@@ -1,13 +1,378 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops._
+
+/** Driver contract — every implemented operator from SURVEY.md §2 is
+  * registered here as a named query over the testdata tables, with an ANSI
+  * SQL oracle (run by the driver in DuckDB over the same parquet) in
+  * [[oracleSql]]. Column names/aliases are kept identical between the Spark
+  * plan and the oracle (the driver compare sorts columns by name).
+  *
+  * Role-cast (FIXTURES.md §B): `events` plays the quote/tick stream
+  * (user_id≈symbol, event_type≈asset_type, value≈price, ts≈updated_at),
+  * `orders` plays the stored monthly history, `customer` the requested-symbol
+  * catalog, `documents`/`embeddings` the north-star text/similarity corpora.
+  *
+  * Timestamp parity: the testdata's `ts` is nanosecond-precision parquet;
+  * both Spark and DuckDB floor it to microseconds on read, and all oracle
+  * queries emit `timestamp_ntz` (naive, UTC session) so the driver compares
+  * naive-µs against naive-µs.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship on sf0.001: last-wins snapshot per (symbol, asset_type) with
+    * change vs previous tick — the reference's realtime upsert semantics
+    * (SURVEY.md §7.3). Driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qLatestSnapshotUpsert(spark, "/root/testdata/sf0.001")
+
+  // ---- shared constants (deterministic bounds of the testdata, TESTDATA.md) ----
+  private val OrdersStart = "1995-01-01" // min(o_orderdate) month
+  private val OrdersStop  = "2001-08-01" // max(o_orderdate) month
+  private val Today       = "2001-06-15" // pinned "today" for clamp tests
+
+  // =========================================================================
+  // Step-3 merge/window queries (A11-A13, B12, B18)
+  // =========================================================================
+
+  /** B18/A11 — latest tick per key + delta vs previous tick (lead() in the
+    * same DESC window, so one shuffle + one sort serves both).
+    */
+  def qLatestSnapshotUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"))
+      .withColumn("prev_value", lead(col("value"), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(
+        col("user_id").as("symbol"),
+        col("event_type").as("asset_type"),
+        col("value").as("price"),
+        (col("value") - col("prev_value")).as("change"),
+        ((col("value") - col("prev_value")) / col("prev_value") * lit(100)).as("percent_change"),
+        col("ts").cast("timestamp_ntz").as("updated_at"))
+  }
+
+  /** A11 — upsert = union(previous snapshot, delta ticks) → last-wins. */
+  def qMergeLastWins(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"))
+    val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+    val previous = Merge.lastWins(
+      ev.filter(col("ts") < cutoff), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+    val delta = ev.filter(col("ts") >= cutoff)
+    Merge
+      .upsert(previous, delta, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+      .select(
+        col("user_id").as("symbol"),
+        col("event_type").as("asset_type"),
+        col("value").as("price"),
+        col("ts").cast("timestamp_ntz").as("updated_at"))
+  }
+
+  /** A12 — monthly series: last close per (symbol, month), the
+    * `market_data_monthly` relation built from the stored history.
+    */
+  def qMonthlyLastClose(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("date"),
+        col("o_totalprice"),
+        col("o_orderdate"),
+        col("o_orderkey"))
+    Merge
+      .lastWins(o, Seq("o_custkey", "date"), Seq(col("o_orderdate"), col("o_orderkey")))
+      .select(col("o_custkey").as("symbol"), col("date"), col("o_totalprice").as("price"))
+  }
+
+  /** B12 — current-period last-value pick via `max_by` (hash agg, no sort). */
+  def qCurrentMonthPick(spark: SparkSession, dir: String): DataFrame = {
+    val cur = Tables.orders(spark, dir)
+      .filter(date_trunc("month", col("o_orderdate")) === lit(OrdersStop).cast("timestamp"))
+    Merge
+      .latestByKey(cur, Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"), Seq("o_totalprice"))
+      .select(col("o_custkey").as("symbol"), col("o_totalprice").as("price"))
+  }
+
+  // =========================================================================
+  // Step-2 incremental planning (B7-B11)
+  // =========================================================================
+
+  /** "Freshly stored" horizon: a symbol counts as present only if it has rows
+    * since this date — so the anti/semi probes split the catalog non-trivially.
+    */
+  private val FreshSince = "2001-01-01"
+
+  /** B7 — requested symbols with no fresh stored rows (broadcast anti-join). */
+  def qAssetsNeedingUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val requested = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val stored = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(FreshSince).cast("timestamp"))
+      .select(col("o_custkey").as("c_custkey"))
+    Incremental
+      .needingUpdate(requested, stored, Seq("c_custkey"))
+      .select(col("c_custkey").as("symbol"), col("c_name").as("name"))
+  }
+
+  /** B8 — requested symbols already freshly present (semi-join probe). */
+  def qExistingSymbols(spark: SparkSession, dir: String): DataFrame = {
+    val requested = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val stored = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(FreshSince).cast("timestamp"))
+      .select(col("o_custkey").as("c_custkey"))
+    Incremental
+      .existing(requested, stored, Seq("c_custkey"))
+      .select(col("c_custkey").as("symbol"), col("c_name").as("name"))
+  }
+
+  /** Month spine per symbol between its own first/last stored month. */
+  def qMonthSpine(spark: SparkSession, dir: String): DataFrame = {
+    val rng = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        to_date(date_trunc("month", min(col("o_orderdate")))).as("start"),
+        to_date(date_trunc("month", max(col("o_orderdate")))).as("stop"))
+    Incremental
+      .monthSpine(rng, col("start"), col("stop"))
+      .select(col("o_custkey").as("symbol"), col("month"))
+  }
+
+  /** B10 — calendar-spine gap detection → one (symbol, gap range) per symbol
+    * with missing months; fully-covered symbols drop out.
+    */
+  def qGapDetection(spark: SparkSession, dir: String): DataFrame = {
+    val requested = Tables.customer(spark, dir).select(col("c_custkey"))
+    val stored    = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"), col("o_orderdate"))
+    Incremental
+      .gapDetection(
+        requested, stored, Seq("c_custkey"), "o_orderdate",
+        lit(OrdersStart).cast("date"), lit(OrdersStop).cast("date"))
+      .select(col("c_custkey").as("symbol"), col("gap_start"), col("gap_end"), col("missing_months"))
+  }
+
+  /** B11 — date-range normalization with pinned "today" clamp. */
+  def qAdjustDateRange(spark: SparkSession, dir: String): DataFrame = {
+    val rng = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        min(col("o_orderdate")).cast("date").as("start_date"),
+        max(col("o_orderdate")).cast("date").as("end_date"))
+    Incremental
+      .adjustDateRange(rng, "start_date", "end_date", lit(Today).cast("date"))
+      .select(col("o_custkey").as("symbol"), col("adj_start"), col("adj_end"), col("single_month"))
+  }
+
+  // =========================================================================
+  // Step-1 ingest / validate (B1-B6)
+  // =========================================================================
+
+  /** B1 — required-field validation over a derived document (a deterministic
+    * null is injected so the reject path is actually exercised).
+    */
+  def qValidateRequiredFields(spark: SparkSession, dir: String): DataFrame = {
+    val doc = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      col("l_quantity").as("quantity"),
+      when(col("l_discount") === 0.0, lit(null)).otherwise(col("l_discount")).as("discount"))
+    Relational.validateRequired(doc, Seq("l_orderkey", "l_linenumber", "quantity", "discount"))
+  }
+
+  /** B3 — string→double round-trip, timestamp→date, epoch seconds. */
+  def qCoerceTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      col("value").cast("string").cast("double").as("price"),
+      col("ts").cast("date").as("event_date"),
+      unix_timestamp(col("ts")).as("ts_epoch_s"))
+
+  /** B2 — rename/extract projection; absent source fields pass as nulls. */
+  def qIndexProjection(spark: SparkSession, dir: String): DataFrame =
+    Relational
+      .renameProject(
+        Tables.events(spark, dir),
+        Seq("user_id" -> "symbol", "value" -> "price", "ts" -> "updated_at"))
+      .withColumn("updated_at", col("updated_at").cast("timestamp_ntz"))
+      .withColumn("price_high", lit(null).cast("double"))
+      .withColumn("price_low", lit(null).cast("double"))
+
+  /** B4+B5 — asset-type dispatch (unknown types skipped) + pair split. */
+  def qAssetTypeDispatch(spark: SparkSession, dir: String): DataFrame = {
+    val routed = Relational.dispatchAssetType(
+      Tables.events(spark, dir).select(col("event_id"), col("event_type"), col("user_id")),
+      "event_type",
+      Seq("click" -> "stock_fetcher", "purchase" -> "crypto_fetcher", "view" -> "forex_fetcher"))
+    val (fromLeg, toLeg) = Relational.splitPair(concat(col("event_type"), lit("/USD")))
+    routed.withColumn("from_leg", fromLeg).withColumn("to_leg", toLeg)
+  }
+
+  /** B6 — JSON payload parse with shape guard. */
+  def qPayloadParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("payload", from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))))
+      .filter(col("payload.k").isNotNull)
+      .select(col("event_id"), col("payload.k").as("k"))
+
+  // =========================================================================
+  // Step-4 grouping / batching / completion (B13, B14, B17)
+  // =========================================================================
+
+  /** B13 — deterministic group→members bucketing. */
+  def qGroupByAssetType(spark: SparkSession, dir: String): DataFrame =
+    Batching.groupKeys(Tables.events(spark, dir), "event_type", "user_id")
+
+  /** B14 — fixed-size batch assignment per group (request-side only). */
+  def qBatchAssignment(spark: SparkSession, dir: String): DataFrame =
+    Batching
+      .assignBatches(
+        Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+        Seq("c_mktsegment"), "c_custkey", 100)
+      .select(col("c_custkey").as("symbol"), col("c_mktsegment").as("asset_type"), col("batch_id"))
+
+  /** B17 — completion payload stats per group. */
+  def qCompletionStats(spark: SparkSession, dir: String): DataFrame = {
+    val batched = Batching.assignBatches(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+      Seq("c_mktsegment"), "c_custkey", 100)
+    Batching
+      .completionStats(batched, Seq("c_mktsegment"), "c_custkey")
+      .select(
+        col("c_mktsegment").as("asset_type"),
+        col("record_count"), col("total_assets"), col("total_batches"), col("status"))
+  }
+
+  // =========================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_latest_snapshot_upsert"  -> (qLatestSnapshotUpsert(_, _)),
+    "q_merge_last_wins"         -> (qMergeLastWins(_, _)),
+    "q_monthly_last_close"      -> (qMonthlyLastClose(_, _)),
+    "q_current_month_pick"      -> (qCurrentMonthPick(_, _)),
+    "q_assets_needing_update"   -> (qAssetsNeedingUpdate(_, _)),
+    "q_existing_symbols"        -> (qExistingSymbols(_, _)),
+    "q_month_spine"             -> (qMonthSpine(_, _)),
+    "q_gap_detection"           -> (qGapDetection(_, _)),
+    "q_adjust_date_range"       -> (qAdjustDateRange(_, _)),
+    "q_validate_required_fields"-> (qValidateRequiredFields(_, _)),
+    "q_coerce_types"            -> (qCoerceTypes(_, _)),
+    "q_index_projection"        -> (qIndexProjection(_, _)),
+    "q_asset_type_dispatch"     -> (qAssetTypeDispatch(_, _)),
+    "q_payload_parse"           -> (qPayloadParse(_, _)),
+    "q_group_by_asset_type"     -> (qGroupByAssetType(_, _)),
+    "q_batch_assignment"        -> (qBatchAssignment(_, _)),
+    "q_completion_stats"        -> (qCompletionStats(_, _)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_latest_snapshot_upsert" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, value, ts, event_id,
+        |         lead(value) OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS prev_value,
+        |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id AS symbol, event_type AS asset_type, value AS price,
+        |       value - prev_value AS change,
+        |       (value - prev_value) / prev_value * 100 AS percent_change,
+        |       ts AS updated_at
+        |FROM w WHERE rn = 1""".stripMargin,
+    "q_merge_last_wins" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, value, ts,
+        |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id AS symbol, event_type AS asset_type, value AS price, ts AS updated_at
+        |FROM w WHERE rn = 1""".stripMargin,
+    "q_monthly_last_close" ->
+      """WITH w AS (
+        |  SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS date, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey, date_trunc('month', o_orderdate)
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey AS symbol, date, o_totalprice AS price FROM w WHERE rn = 1""".stripMargin,
+    "q_current_month_pick" ->
+      """WITH cur AS (SELECT * FROM orders WHERE date_trunc('month', o_orderdate) = TIMESTAMP '2001-08-01'),
+        |w AS (SELECT o_custkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM cur)
+        |SELECT o_custkey AS symbol, o_totalprice AS price FROM w WHERE rn = 1""".stripMargin,
+    "q_assets_needing_update" ->
+      """SELECT c_custkey AS symbol, c_name AS name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+    "q_existing_symbols" ->
+      """SELECT c_custkey AS symbol, c_name AS name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+    "q_month_spine" ->
+      """WITH rng AS (
+        |  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS start, date_trunc('month', max(o_orderdate)) AS stop
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey AS symbol, unnest(generate_series(start, stop, INTERVAL 1 MONTH))::DATE AS month FROM rng""".stripMargin,
+    "q_gap_detection" ->
+      """WITH spine AS (
+        |  SELECT c_custkey, unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01', INTERVAL 1 MONTH))::DATE AS month
+        |  FROM customer),
+        |cov AS (SELECT DISTINCT o_custkey AS c_custkey, date_trunc('month', o_orderdate)::DATE AS month FROM orders),
+        |miss AS (SELECT s.c_custkey, s.month FROM spine s
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.c_custkey = s.c_custkey AND c.month = s.month))
+        |SELECT c_custkey AS symbol, min(month) AS gap_start, max(month) AS gap_end, count(*) AS missing_months
+        |FROM miss GROUP BY 1""".stripMargin,
+    "q_adjust_date_range" ->
+      """WITH rng AS (
+        |  SELECT o_custkey, min(o_orderdate)::DATE AS start_date, max(o_orderdate)::DATE AS end_date FROM orders GROUP BY 1)
+        |SELECT o_custkey AS symbol,
+        |       date_trunc('month', start_date)::DATE AS adj_start,
+        |       least(end_date, DATE '2001-06-15') AS adj_end,
+        |       date_trunc('month', start_date) = date_trunc('month', least(end_date, DATE '2001-06-15')) AS single_month
+        |FROM rng""".stripMargin,
+    "q_validate_required_fields" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS quantity,
+        |       CASE WHEN l_discount = 0 THEN NULL ELSE l_discount END AS discount,
+        |       (l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+        |        AND (CASE WHEN l_discount = 0 THEN NULL ELSE l_discount END) IS NOT NULL) AS valid
+        |FROM lineitem""".stripMargin,
+    "q_coerce_types" ->
+      """SELECT event_id, (value::VARCHAR)::DOUBLE AS price, ts::DATE AS event_date,
+        |       floor(epoch(ts))::BIGINT AS ts_epoch_s
+        |FROM events""".stripMargin,
+    "q_index_projection" ->
+      """SELECT user_id AS symbol, value AS price, ts AS updated_at,
+        |       NULL::DOUBLE AS price_high, NULL::DOUBLE AS price_low
+        |FROM events""".stripMargin,
+    "q_asset_type_dispatch" ->
+      """SELECT event_id, event_type, user_id,
+        |       CASE event_type WHEN 'click' THEN 'stock_fetcher' WHEN 'purchase' THEN 'crypto_fetcher'
+        |                       WHEN 'view' THEN 'forex_fetcher' END AS route,
+        |       str_split(event_type || '/USD', '/')[1] AS from_leg,
+        |       str_split(event_type || '/USD', '/')[2] AS to_leg
+        |FROM events WHERE event_type IN ('click','purchase','view')""".stripMargin,
+    "q_payload_parse" ->
+      """SELECT event_id, json_extract_string(props, '$.k')::INTEGER AS k FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin,
+    "q_group_by_asset_type" ->
+      """SELECT event_type, list_sort(list(DISTINCT user_id)) AS members, count(DISTINCT user_id) AS n_members
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_batch_assignment" ->
+      """SELECT c_custkey AS symbol, c_mktsegment AS asset_type,
+        |       CAST(ceil(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) / 100.0) AS BIGINT) AS batch_id
+        |FROM customer""".stripMargin,
+    "q_completion_stats" ->
+      """WITH b AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(ceil(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) / 100.0) AS BIGINT) AS batch_id
+        |  FROM customer)
+        |SELECT c_mktsegment AS asset_type, count(*) AS record_count, count(DISTINCT c_custkey) AS total_assets,
+        |       max(batch_id) AS total_batches, 'complete' AS status
+        |FROM b GROUP BY 1""".stripMargin,
+  )
 }

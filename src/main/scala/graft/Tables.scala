@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the driver-generated testdata (TESTDATA.md).
+  *
+  * At cluster scale these would be catalog tables (partitioned parquet /
+  * iceberg); the engine only ever sees `DataFrame`s, so the loader is the
+  * single seam where storage layout changes. All reads go through here so
+  * column pruning / predicate pushdown land on the parquet scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is nanosecond-precision parquet, which Spark's vectorized
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw ns-longs
+    * (`nanosAsLong`) and floor to microseconds — exactly what DuckDB's reader
+    * does — so both engines see identical µs timestamps.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
+  def customer(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+}

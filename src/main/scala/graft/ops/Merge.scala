@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed last-wins merge — the engine's restatement of the reference's
+  * `INSERT … ON CONFLICT DO UPDATE` upsert sinks (SURVEY.md §2.A A11-A13,
+  * §2.B B12/B18).
+  *
+  * Parquet has no in-place MERGE, so state is modeled as
+  * `current = merge(previous, delta)`: union then keep the newest row per
+  * key. Crucially this is NOT `dropDuplicates` (which keeps an arbitrary
+  * row); the reference's EXCLUDED-wins semantics require an explicit
+  * ordering — `row_number() over (partition by key order by version desc)`
+  * with a total order (version column + tiebreakers) so the result is
+  * deterministic under re-delivery, matching at-least-once Kafka input
+  * collapsing via upsert keys.
+  *
+  * Scale notes: one shuffle on the merge key. The window needs no global
+  * sort — each key's rows sort within its hash partition. For streaming,
+  * `foreachBatch` applies the same function per micro-batch
+  * (graft.streaming.Streaming).
+  */
+object Merge {
+
+  /** Newest row per key under `orderBy` (descending, first wins). `orderBy`
+    * must be a total order for determinism — pass tiebreakers.
+    */
+  def lastWins(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** A11-A13 — upsert = union(previous, delta) → last-wins by version. */
+  def upsert(previous: DataFrame, delta: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame =
+    lastWins(previous.unionByName(delta), keys, orderBy)
+
+  /** B12 — current-period last-value pick (`api_data[-1]`,
+    * `fetch_historical_market_data.py:50-61`): keep only the latest row per
+    * key, expressed with `max_by(struct(payload), struct(version))` — a
+    * hash-aggregate (map-side partial, no sort), preferable to a window when
+    * only ONE row survives per key.
+    */
+  def latestByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      versionCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    val picked = df
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payloadCols.map(col): _*), struct(versionCols.map(col): _*)).as("__p"))
+    payloadCols
+      .foldLeft(picked) { (d, c) => d.withColumn(c, col(s"__p.$c")) }
+      .drop("__p")
+  }
+}
