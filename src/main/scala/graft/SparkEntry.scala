@@ -252,8 +252,90 @@ object SparkEntry {
   }
 
   // =========================================================================
+  // North-star extensions (BASELINE.json): text analysis, dedup, similarity
+  // =========================================================================
+
+  /** Per-document token/char statistics. */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame =
+    TextOps.textStats(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Whitespace + BPE-ish token counting. */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCount(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Stopword-marker language ID vs the labeled lang column. */
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    TextOps
+      .langId(Tables.documents(spark, dir), "text")
+      .select(col("doc_id"), col("pred_lang"), (col("pred_lang") === col("lang")).as("is_match"))
+
+  /** Composite quality score (length/punct/stopword heuristics). */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScore(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Normalized-content fingerprint. */
+  def qDocFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprint(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Exact dedup groups by content digest. */
+  def qExactDedup(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.exactDedup(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Word-3-gram Jaccard near-dup pairs at 0.5 (exact, shingle-join). */
+  def qNgramJaccardDedup(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard verified (no SQL oracle:
+    * xxhash64 has no DuckDB equivalent; rows-only check + ScalaTest
+    * equivalence against q_ngram_jaccard_dedup).
+    */
+  def qMinhashDedup(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
+
+  /** SimHash near-dup pairs at Hamming ≤ 3 (no SQL oracle: xxhash64). */
+  def qSimhashDedup(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.simhashPairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Brute-force cosine top-10 for probe vectors vec_id < 20. */
+  def qEmbeddingKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.knnBrute(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+  }
+
+  /** Multimodal packing: opaque binary payload + typed metadata (the decode
+    * stage itself is mapPartitions-based, covered in ScalaTest; the packed
+    * relation is oracle-checked here).
+    */
+  def qBinaryMeta(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps
+      .packBinary(Tables.documents(spark, dir), "doc_id", "text", "text")
+      .select(col("media_id"), col("kind"), col("n_bytes"))
+
+  /** IVF approximate top-10 (16 lists, 4 probed) for the same probe set
+    * (no SQL oracle: approximate result; ScalaTest checks recall vs brute).
+    */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.knnIvf(
+      emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 10, nLists = 16, nProbe = 4)
+  }
+
+  // =========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats"              -> (qTextStats(_, _)),
+    "q_token_count"             -> (qTokenCount(_, _)),
+    "q_lang_id"                 -> (qLangId(_, _)),
+    "q_quality_score"           -> (qQualityScore(_, _)),
+    "q_doc_fingerprint"         -> (qDocFingerprint(_, _)),
+    "q_exact_dedup"             -> (qExactDedup(_, _)),
+    "q_ngram_jaccard_dedup"     -> (qNgramJaccardDedup(_, _)),
+    "q_minhash_dedup"           -> (qMinhashDedup(_, _)),
+    "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
+    "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
+    "q_ann_ivf"                 -> (qAnnIvf(_, _)),
+    "q_binary_meta"             -> (qBinaryMeta(_, _)),
     "q_latest_snapshot_upsert"  -> (qLatestSnapshotUpsert(_, _)),
     "q_merge_last_wins"         -> (qMergeLastWins(_, _)),
     "q_monthly_last_close"      -> (qMonthlyLastClose(_, _)),
@@ -274,6 +356,77 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id, length(text)::BIGINT AS n_chars,
+        |       len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |       len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS uniq_tokens,
+        |       length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+        |         / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS avg_token_len,
+        |       len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE AS punct_ratio
+        |FROM documents""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |         len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS en,
+        |         len(regexp_extract_all(lower(text), '\b(der|und|die|das)\b')) AS de,
+        |         len(regexp_extract_all(lower(text), '\b(le|la|et|les)\b')) AS fr,
+        |         len(regexp_extract_all(lower(text), '\b(el|los|que|una)\b')) AS es
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |            WHEN de >= fr AND de >= es THEN 'de'
+        |            WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang,
+        |       (CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |             WHEN de >= fr AND de >= es THEN 'de'
+        |             WHEN fr >= es THEN 'fr' ELSE 'es' END) = lang AS is_match
+        |FROM s""".stripMargin,
+    "q_quality_score" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n_tokens,
+        |         len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE AS punct_ratio,
+        |         len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
+        |           / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS stopword_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_tokens::BIGINT AS n_tokens, punct_ratio, stopword_ratio,
+        |       0.4 * least(1.0, n_tokens / 100.0)
+        |       + 0.3 * (1.0 - least(1.0, punct_ratio * 10.0))
+        |       + 0.3 * least(1.0, stopword_ratio * 5.0) AS quality
+        |FROM s""".stripMargin,
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        |       length(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))::BIGINT AS norm_len
+        |FROM documents""".stripMargin,
+    "q_exact_dedup" ->
+      """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS n_dupes
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_ngram_jaccard_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+        |      FROM t WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM g)
+        |SELECT doc_a, doc_b, common::DOUBLE / (sa.n + sb.n - common) AS jaccard
+        |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5""".stripMargin,
+    "q_binary_meta" ->
+      """SELECT doc_id AS media_id, 'text' AS kind, octet_length(text::BLOB)::BIGINT AS n_bytes
+        |FROM documents""".stripMargin,
+    "q_embedding_knn" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM n WHERE vec_id < 20),
+        |j AS (SELECT probe_id, vec_id, list_dot_product(pv, v) / (pn * nrm) AS sim
+        |      FROM p, n WHERE vec_id <> probe_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank FROM j)
+        |SELECT probe_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
     "q_latest_snapshot_upsert" ->
       """WITH w AS (
         |  SELECT user_id, event_type, value, ts, event_id,

@@ -1,0 +1,125 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** The three reference job pipelines (SURVEY.md §3), composed from graft.ops
+  * operators as pure batch functions: request relation in → (updated store,
+  * completion payload) out. The "fetch" step — an HTTP call in the reference —
+  * is a join against a quotes/series feed DataFrame (tests feed parquet; a
+  * live deployment would plug a DataSource V2 HTTP source, SURVEY.md §2.A A3).
+  */
+object Jobs {
+
+  /** A job's output: the new store contents plus the completion stats row
+    * (B17). `processingTimeMs` is driver wall-clock like the reference —
+    * attached by the caller, not computed here, to keep jobs pure.
+    */
+  case class JobResult(store: DataFrame, completion: DataFrame)
+
+  val SnapshotKeys: Seq[String] = Seq("symbol", "asset_type")
+  val RequiredFields: Seq[String] =
+    Seq("symbol", "asset_type", "price", "percent_change", "change", "high", "low")
+
+  /** §3.1 MARKET_DATA_UPDATE_REQUEST: anti-join update planning → fetch
+    * (join) → required-field validation → last-wins upsert → completion.
+    */
+  def marketDataUpdate(
+      requests: DataFrame, // (symbol, asset_type)
+      store: DataFrame,    // snapshot keyed (symbol, asset_type)
+      quotes: DataFrame,   // feed with RequiredFields columns
+      now: Column): JobResult = {
+    val needed = Incremental.needingUpdate(requests, store, SnapshotKeys)
+    val fetched = needed.join(quotes, SnapshotKeys)
+    val valid = Relational.filterValid(fetched, RequiredFields)
+      .withColumn("updated_at", now)
+    val updated = Merge.upsert(store, valid, SnapshotKeys, Seq(col("updated_at")))
+    val completion = valid
+      .agg(
+        count(lit(1)).as("record_count"),
+        ceil(count(lit(1)) / lit(100.0)).cast("long").as("total_batches"),
+        countDistinct(col("symbol")).as("total_assets"))
+      .withColumn("status", lit("complete"))
+    JobResult(updated, completion)
+  }
+
+  /** §3.2 HISTORICAL_MARKET_DATA_REQUEST: coverage scan → month-gap
+    * detection → range-bounded fetch (join) → monthly last-close → upsert
+    * keyed (symbol, date, asset_type) → completion.
+    */
+  def historicalBackfill(
+      requests: DataFrame, // (symbol, asset_type)
+      store: DataFrame,    // monthly rows (symbol, date, asset_type, price)
+      series: DataFrame,   // feed (symbol, asset_type, datetime ts, close)
+      start: Column,
+      stop: Column): JobResult = {
+    val gaps = Incremental.gapDetection(
+      requests, store.select(col("symbol"), col("asset_type"), col("date")),
+      Seq("symbol", "asset_type"), "date", start, stop)
+    // fetch one [gap_start, gap_end] span per key (range coalescing,
+    // fetch_utils.py:231), over-fetching then collapsing via upsert
+    val fetched = series
+      .join(gaps, Seq("symbol", "asset_type"))
+      .filter(
+        col("datetime") >= col("gap_start") &&
+          col("datetime") < add_months(col("gap_end"), 1))
+    val monthly = Merge.lastWins(
+      fetched
+        .withColumn("date", to_date(date_trunc("month", col("datetime"))))
+        .select(col("symbol"), col("asset_type"), col("date"), col("close").as("price"), col("datetime")),
+      Seq("symbol", "asset_type", "date"),
+      Seq(col("datetime"))).drop("datetime")
+    val updated = Merge.upsert(
+      store, monthly, Seq("symbol", "asset_type", "date"), Seq(col("price")))
+    val completion = monthly
+      .agg(
+        count(lit(1)).as("record_count"),
+        ceil(countDistinct(col("symbol")) / lit(50.0)).cast("long").as("total_batches"),
+        countDistinct(col("symbol")).as("total_symbols"))
+      .withColumn("status", lit("complete"))
+    JobResult(updated, completion)
+  }
+
+  /** §3.3 MARKET_INDEX_DATA_UPDATE_REQUEST: cache-first short-circuit →
+    * batched fetch (join) → rename projection → single-key upsert →
+    * completion; on a failed/empty fetch the cached rows are re-emitted
+    * (stale-on-error fallback).
+    */
+  def indexUpdate(
+      requests: DataFrame, // (symbol)
+      store: DataFrame,    // index snapshot keyed (symbol)
+      quotes: DataFrame,   // feed (symbol, regularMarketPrice, …)
+      now: Column): JobResult = {
+    val cached = Incremental.existing(requests, store, Seq("symbol"))
+    if (Incremental.fullyCovered(requests, store, Seq("symbol"))) {
+      // B9: everything cached — re-emit existing rows, no fetch
+      val data = store.join(cached, Seq("symbol"), "left_semi")
+      val completion = data
+        .agg(count(lit(1)).as("record_count"), countDistinct(col("symbol")).as("total_symbols"))
+        .withColumn("total_batches", lit(0L))
+        .withColumn("status", lit("complete_cached"))
+      JobResult(store, completion)
+    } else {
+      val fetched = Relational.renameProject(
+        requests.join(quotes, Seq("symbol")),
+        Seq(
+          "symbol" -> "symbol",
+          "regularMarketPrice" -> "price",
+          "regularMarketChange" -> "price_change",
+          "regularMarketChangePercent" -> "percent_change",
+          "regularMarketDayHigh" -> "price_high",
+          "regularMarketDayLow" -> "price_low"))
+        .withColumn("updated_at", now)
+      val updated = Merge.upsert(store, fetched, Seq("symbol"), Seq(col("updated_at")))
+      val completion = fetched
+        .agg(
+          count(lit(1)).as("record_count"),
+          ceil(count(lit(1)) / lit(100.0)).cast("long").as("total_batches"),
+          countDistinct(col("symbol")).as("total_symbols"))
+        .withColumn("status", lit("complete"))
+      JobResult(updated, completion)
+    }
+  }
+}

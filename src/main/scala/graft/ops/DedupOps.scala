@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines (north-star extension):
+  * exact (hash group-by), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB stance):
+  *  - exact dedup is one hash-aggregate on a 128-bit digest — no text shuffle,
+  *    only (digest, id) pairs move.
+  *  - pairwise similarity NEVER does an O(n²) cross join: candidates come
+  *    from an equi-join on a bucket key (shared shingle / LSH band / SimHash
+  *    chunk), which Spark executes as a shuffle-hash join on the bucket.
+  *  - hot buckets (stop-shingles shared by half the corpus) are dropped with
+  *    a document-frequency cap BEFORE the self-join — the standard guard that
+  *    keeps the join output near-linear; the cap is part of the operator
+  *    contract (and of the oracle SQL), not a silent truncation.
+  */
+object DedupOps {
+
+  /** Exact dedup groups: one row per distinct content digest with the
+    * surviving (minimum) id and the duplicate count.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dupes"))
+
+  /** Distinct word n-gram shingles per document: (id, sh: array<string>).
+    * Documents shorter than `n` tokens get an empty shingle set.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val grams = transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    df.select(
+      col(idCol),
+      when(size(toks) >= n, array_distinct(grams))
+        .otherwise(array().cast("array<string>")).as("sh"))
+  }
+
+  /** Candidate pairs sharing ≥1 bucket value, with the shared-bucket count.
+    * Input: (id, bucket). Output: (doc_a, doc_b, common) with doc_a < doc_b.
+    */
+  private def bucketPairs(exploded: DataFrame, idCol: String, bucketCol: String): DataFrame = {
+    val a = exploded.select(col(idCol).as("doc_a"), col(bucketCol).as("__ba"))
+    val b = exploded.select(col(idCol).as("doc_b"), col(bucketCol).as("__bb"))
+    a.join(b, col("__ba") === col("__bb") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+  }
+
+  /** N-gram Jaccard near-dup pairs: explode distinct shingles, equi-join on
+    * the shingle, exact Jaccard = common / (|A| + |B| - common) ≥ threshold.
+    * `maxDocFreq` drops shingles present in more than that many documents
+    * before pairing (0 = no cap).
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Int = 0): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.select(col(idCol), size(col("sh")).as("n_sh"))
+    val explodedAll = sh.select(col(idCol), explode(col("sh")).as("s"))
+    val exploded =
+      if (maxDocFreq <= 0) explodedAll
+      else {
+        val hot = explodedAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select(col("s"))
+        explodedAll.join(hot, Seq("s"), "left_anti")
+      }
+    val pairs = bucketPairs(exploded, idCol, "s")
+    val jac = pairs
+      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+    jac.filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: for each of `numHashes` permutations, the minimum
+    * xxhash64 of the document's shingles (seed mixed in via concat — one
+    * deterministic hash family, no RNG state).
+    */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(concat(s, lit("#"), i.cast("string"))))))
+
+  /** MinHash+LSH near-dup pairs. Signature of `numHashes` minhashes split
+    * into `bands` bands; documents sharing any band bucket become candidates;
+    * candidates are verified with exact Jaccard ≥ threshold (so LSH only
+    * affects recall, never precision).
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = shingles(df, idCol, textCol, n).filter(size(col("sh")) > 0).cache()
+    val sig = sh.select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
+    // band bucket = (band index, hash of the band's slice of the signature)
+    val banded = sig.select(
+      col(idCol),
+      explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => concat(
+          b.cast("string"), lit(":"),
+          xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).cast("string")))).as("bucket"))
+      .distinct()
+    val candidates = bucketPairs(banded, idCol, "bucket").select(col("doc_a"), col("doc_b"))
+    // verify candidates with exact Jaccard over the shingle sets
+    val shA = sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
+    candidates
+      .join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash of the document's distinct tokens: bit b of the result is
+    * set iff the sum over tokens of ±1 (by bit b of the token's xxhash64) is
+    * positive.
+    */
+  def simhash(tokensCol: Column): Column = {
+    val hashes = transform(array_distinct(tokensCol), t => xxhash64(t))
+    // variable-distance shifts need the SQL shiftright/shiftleft (the Scala
+    // helpers only take literal Int distances)
+    def shr(v: Column, n: Column): Column = call_function("shiftright", v, n.cast("int"))
+    def shl(v: Column, n: Column): Column = call_function("shiftleft", v, n.cast("int"))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        val vote = aggregate(
+          hashes,
+          lit(0L),
+          (s, h) => s + shr(h, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        acc.bitwiseOR(when(vote > 0, shl(lit(1L), b)).otherwise(lit(0L)))
+      })
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 with the
+    * default 4 chunks, by pigeonhole: ≤3 differing bits leave ≥1 of the 4
+    * 16-bit chunks identical, so chunk-equality buckets lose no true pair).
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sims = df
+      .select(col(idCol), simhash(TextOps.tokens(col(textCol))).as("sim"))
+      .cache()
+    val chunks = sims.select(
+      col(idCol), col("sim"),
+      explode(transform(
+        sequence(lit(0), lit(3)),
+        c => concat(
+          c.cast("string"), lit(":"),
+          call_function("shiftright", col("sim"), (c * 16).cast("int"))
+            .bitwiseAND(lit(0xFFFFL)).cast("string")))).as("bucket"))
+    val a = chunks.select(col(idCol).as("doc_a"), col("sim").as("sim_a"), col("bucket"))
+    val b = chunks.select(col(idCol).as("doc_b"), col("sim").as("sim_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b")).distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star extension): brute-force cosine
+  * top-k as the exact baseline, IVF (inverted-file) partitioned search as the
+  * scale path.
+  *
+  * All numerics are double-precision higher-order-function folds over the
+  * embedding arrays (`zip_with` + `aggregate`) — codegen-friendly built-ins,
+  * sequential left-fold accumulation (deterministic, and reproducible in the
+  * DuckDB oracle which folds lists in the same element order).
+  *
+  * Scale design: the probe set is broadcast (it is the small side by
+  * construction); the corpus is scanned once, partition-parallel, with no
+  * shuffle of raw vectors for the brute-force path. Top-k uses a window
+  * partitioned by probe — the shuffled rows are (probe, id, sim) triples,
+  * never embeddings. The IVF path cuts scanned candidates by
+  * |lists probed| / |lists| at the cost of recall; at 100 TB the coarse
+  * assignment becomes the partitioning key so each list is co-located.
+  */
+object SimilarityOps {
+
+  /** Sum fold of the elementwise product — dot(a, b) in doubles. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Corpus with embeddings cast to double and pre-computed norms. */
+  def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+
+  /** Exact cosine top-k: for each probe, the k nearest corpus vectors
+    * (excluding itself), ranked by (similarity desc, id) for a total order.
+    */
+  def knnBrute(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val p = prepared(probes, idCol, vecCol)
+      .select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val scored = c
+      .join(broadcast(p), col(idCol) =!= col("probe_id"))
+      .withColumn("sim", dot(col("pv"), col("v")) / (col("pn") * col("nrm")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** IVF approximate top-k. Coarse "centroids" are a deterministic corpus
+    * subset (every `corpusSize/nLists`-th id — at real scale these come from
+    * a k-means fit, which only changes how the centroid table is produced).
+    * Every corpus vector is assigned to its nearest centroid (its list);
+    * probes search only their `nProbe` nearest lists.
+    */
+  def knnIvf(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int,
+      nProbe: Int): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol).cache()
+    val n = c.count()
+    val stride = math.max(1L, n / nLists)
+    val centroids = c
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).as("list_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // nearest-list assignment for every corpus vector: rank centroids per vector
+    val assignW = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("list_id"))
+    val assigned = c
+      .join(broadcast(centroids), lit(true))
+      .withColumn("csim", dot(col("cv"), col("v")) / (col("cn") * col("nrm")))
+      .withColumn("crank", row_number().over(assignW))
+      .filter(col("crank") === 1)
+      .select(col(idCol), col("v"), col("nrm"), col("list_id"))
+    // probes pick their nProbe closest lists
+    val p = prepared(probes, idCol, vecCol)
+      .select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val probeW = Window.partitionBy(col("probe_id")).orderBy(col("psim").desc, col("list_id"))
+    val probeLists = broadcast(p)
+      .join(broadcast(centroids), lit(true))
+      .withColumn("psim", dot(col("cv"), col("pv")) / (col("cn") * col("pn")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nProbe)
+      .select(col("probe_id"), col("pv"), col("pn"), col("list_id"))
+    // search only the selected lists
+    val scored = assigned
+      .join(broadcast(probeLists), Seq("list_id"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("sim", dot(col("pv"), col("v")) / (col("pn") * col("nrm")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.Merge
+
+/** Streaming request→job flow (SURVEY.md §2.A A1/A2, §2.B B19): the Spark
+  * restatement of the reference's Kafka consume → topic dispatch → job →
+  * completion produce loop, as Structured Streaming.
+  *
+  * The Kafka wiring itself is kept behind this interface (no broker in the
+  * harness): [[kafkaRequestStream]] builds the real `readStream` plan;
+  * tests drive the same transformations through a MemoryStream. Semantics
+  * vs the reference: at-least-once consumption + idempotent keyed upsert —
+  * re-delivered messages collapse in the last-wins merge exactly like the
+  * reference's `ON CONFLICT DO UPDATE` (checkpointing upgrades the
+  * processing-time poll loop, documented semantic upgrade per SURVEY.md §4).
+  */
+object Streaming {
+
+  /** A1 — Kafka source plan: subscribe to the request topics, decode value
+    * bytes, drop empty messages (the reference's empty-skip,
+    * `etl/main.py:151-153`).
+    */
+  def kafkaRequestStream(spark: SparkSession, bootstrap: String, topics: Seq[String]): DataFrame =
+    decodeRequests(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topics.mkString(","))
+        .load())
+
+  /** Value decode + empty-skip, shared by the live source and tests. */
+  def decodeRequests(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("value_str", col("value").cast("string"))
+      .filter(length(trim(col("value_str"))) > 0)
+
+  /** B19 — topic→job routing as a `when` chain; unknown topics are tagged
+    * (the reference logs-and-skips them, `etl/main.py:156-160`).
+    */
+  def routeTopics(df: DataFrame, routes: Seq[(String, String)]): DataFrame = {
+    val routed = routes.tail
+      .foldLeft(when(col("topic") === routes.head._1, lit(routes.head._2))) {
+        case (acc, (t, j)) => acc.when(col("topic") === t, lit(j))
+      }
+      .otherwise(lit("unknown"))
+    df.withColumn("job", routed)
+  }
+
+  /** A2 — completion publish plan: JSON-serialize the payload the way the
+    * producer does (`etl/main.py:236`); callers attach the Kafka sink.
+    */
+  def completionPayload(df: DataFrame, topic: String): DataFrame =
+    df.select(
+      lit(topic).as("topic"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** Maintained keyed snapshot over a micro-batched stream: every batch is
+    * merged last-wins into the running state (the reference's upsert sink,
+    * A11). State is lineage-truncated each batch so the plan doesn't grow.
+    * At real scale the `foreachBatch` body becomes a Delta/JDBC MERGE; the
+    * merge function is the same.
+    */
+  class SnapshotStream(
+      spark: SparkSession,
+      keys: Seq[String],
+      orderCols: Seq[String]) {
+    @volatile private var state: Option[DataFrame] = None
+
+    def current: Option[DataFrame] = state
+
+    def start(stream: DataFrame, checkpointDir: String): StreamingQuery =
+      stream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val merged = state match {
+            case Some(prev) => Merge.upsert(prev, batch, keys, orderCols.map(col))
+            case None       => Merge.lastWins(batch, keys, orderCols.map(col))
+          }
+          state = Some(merged.localCheckpoint(true))
+        }
+        .start()
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, TextOps}
+
+class DedupTextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private def docs = Tables.documents(spark, TestSpark.sf0001)
+
+  test("minhash LSH pairs == exact n-gram Jaccard pairs on the corpus (verified candidates)") {
+    val exact = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.minhashLshPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH-verified pairs must be a subset (verification = exact Jaccard)")
+    assert(lsh == exact, s"expected full recall on planted dups, missed ${exact -- lsh}")
+  }
+
+  test("simhash: identical docs collide at hamming 0; near-dup pairs found") {
+    val crafted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // identical
+      (3L, "completely different words entirely unrelated content here")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.simhashPairs(crafted, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.get((1L, 2L)).contains(0L))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("exactDedup groups duplicates and keeps the minimum id") {
+    val crafted = Seq((5L, "same"), (9L, "same"), (7L, "other")).toDF("doc_id", "text")
+    val got = DedupOps.exactDedup(crafted, "doc_id", "text")
+      .select("keeper_id", "n_dupes").as[(Long, Long)].collect().toSet
+    assert(got == Set((5L, 2L), (7L, 1L)))
+  }
+
+  test("textStats n_chars matches the dataset's own n_chars column") {
+    val joined = TextOps.textStats(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("n_chars").as("expected")), "doc_id")
+    assert(joined.filter(col("n_chars") =!= col("expected")).count() == 0)
+  }
+
+  test("langId is total and deterministic over the corpus") {
+    val out = TextOps.langId(docs, "text").select("pred_lang").as[String].collect()
+    assert(out.length == docs.count())
+    assert(out.toSet.subsetOf(Set("en", "de", "fr", "es")))
+  }
+
+  test("fingerprint is invariant to whitespace/case noise") {
+    val crafted = Seq((1L, "Hello   World"), (2L, "  hello world "), (3L, "hello worlds"))
+      .toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(crafted, "doc_id", "text")
+      .select("doc_id", "fingerprint").as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Merge
+
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ticks = Seq(
+    // (symbol, asset_type, price, version)
+    ("AAPL", "STOCK", 100.0, 1L),
+    ("AAPL", "STOCK", 101.0, 3L),
+    ("AAPL", "STOCK", 99.0, 2L),
+    ("BTC", "CRYPTO", 7.0, 1L)
+  ).toDF("symbol", "asset_type", "price", "v")
+
+  test("lastWins keeps the NEWEST row per key, not an arbitrary one") {
+    val got = Merge.lastWins(ticks, Seq("symbol", "asset_type"), Seq(col("v")))
+      .select("symbol", "price").as[(String, Double)].collect().toMap
+    assert(got == Map("AAPL" -> 101.0, "BTC" -> 7.0))
+  }
+
+  test("upsert: delta wins over store; re-delivered duplicates collapse (idempotent)") {
+    val store = Seq(("AAPL", "STOCK", 100.0, 1L)).toDF("symbol", "asset_type", "price", "v")
+    val delta = Seq(("AAPL", "STOCK", 105.0, 2L), ("ETH", "CRYPTO", 3.0, 2L))
+      .toDF("symbol", "asset_type", "price", "v")
+    val once = Merge.upsert(store, delta, Seq("symbol", "asset_type"), Seq(col("v")))
+    val twice = Merge.upsert(once, delta, Seq("symbol", "asset_type"), Seq(col("v")))
+    val got = twice.select("symbol", "price").as[(String, Double)].collect().toMap
+    assert(got == Map("AAPL" -> 105.0, "ETH" -> 3.0))
+    assert(once.count() == twice.count())
+  }
+
+  test("latestByKey (max_by) agrees with the window form") {
+    val a = Merge.lastWins(ticks, Seq("symbol"), Seq(col("v")))
+      .select("symbol", "price").as[(String, Double)].collect().toSet
+    val b = Merge.latestByKey(ticks, Seq("symbol"), Seq("v"), Seq("price"))
+      .select("symbol", "price").as[(String, Double)].collect().toSet
+    assert(a == b)
+  }
+}
