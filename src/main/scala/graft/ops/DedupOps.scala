@@ -26,19 +26,30 @@ object DedupOps {
     df.groupBy(md5(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dupes"))
 
-  /** Distinct word n-gram shingles per document: (id, sh: array<string>).
-    * Documents shorter than `n` tokens get an empty shingle set.
+  /** Let-binding via a single-element HOF: evaluates `value` ONCE and binds
+    * it to the lambda variable. Without this, any expression referenced
+    * inside a higher-order-function lambda body is RE-EVALUATED per array
+    * element (e.g. re-running a regex split once per shingle index).
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val grams = transform(
-      sequence(lit(1), size(toks) - lit(n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+  def bindOnce(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
+  /** Distinct word n-gram shingles per document: (id, sh: array<string>).
+    * Documents shorter than `n` tokens get an empty shingle set. The token
+    * array is let-bound so tokenization runs once per document, not once per
+    * shingle position.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(
       col(idCol),
-      when(size(toks) >= n, array_distinct(grams))
-        .otherwise(array().cast("array<string>")).as("sh"))
-  }
+      bindOnce(TextOps.tokens(col(textCol))) { toks =>
+        when(
+          size(toks) >= n,
+          array_distinct(transform(
+            sequence(lit(1), size(toks) - lit(n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n))))))
+          .otherwise(array().cast("array<string>"))
+      }.as("sh"))
 
   /** Candidate pairs sharing ≥1 bucket value, with the shared-bucket count.
     * Input: (id, bucket). Output: (doc_a, doc_b, common) with doc_a < doc_b.
@@ -82,14 +93,23 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash signature: for each of `numHashes` permutations, the minimum
-    * xxhash64 of the document's shingles (seed mixed in via concat — one
-    * deterministic hash family, no RNG state).
+  /** Base 64-bit hash per shingle — computed ONCE per shingle; the per-
+    * permutation hashes are derived arithmetically from it.
     */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
+  def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
+
+  /** MinHash signature from pre-computed shingle hashes: permutation i
+    * re-mixes the base hash with the permutation index (`xxhash64(h, i)` over
+    * fixed-width longs — no string allocation, no re-tokenization), so the
+    * signature costs |shingles| string hashes + 64·|shingles| long mixes —
+    * not 64 string re-hashes per shingle (which made the first cut ~20×
+    * slower). Affine h·aᵢ+bᵢ would be cheaper still but ANSI mode forbids
+    * wrapping long arithmetic.
+    */
+  def minhashSignature(hashes: Column, numHashes: Int): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(concat(s, lit("#"), i.cast("string"))))))
+      i => array_min(transform(hashes, h => xxhash64(h, i))))
 
   /** MinHash+LSH near-dup pairs. Signature of `numHashes` minhashes split
     * into `bands` bands; documents sharing any band bucket become candidates;
@@ -102,12 +122,18 @@ object DedupOps {
       textCol: String,
       n: Int,
       threshold: Double,
-      numHashes: Int = 64,
+      numHashes: Int = 32,
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sh = shingles(df, idCol, textCol, n).filter(size(col("sh")) > 0).cache()
-    val sig = sh.select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
+    // The cache() below is a correctness-of-cost barrier, not just reuse:
+    // without it Catalyst's CollapseProject inlines the signature expression
+    // into every band projection (16×64 array transforms per row).
+    val sig = sh
+      .select(col(idCol), shingleHashes(col("sh")).as("hs"))
+      .select(col(idCol), minhashSignature(col("hs"), numHashes).as("sig"))
+      .cache()
     // band bucket = (band index, hash of the band's slice of the signature)
     val banded = sig.select(
       col(idCol),
@@ -133,8 +159,12 @@ object DedupOps {
     * set iff the sum over tokens of ±1 (by bit b of the token's xxhash64) is
     * positive.
     */
-  def simhash(tokensCol: Column): Column = {
-    val hashes = transform(array_distinct(tokensCol), t => xxhash64(t))
+  /** 64-bit SimHash from pre-computed token hashes (bit b set iff the ±1
+    * votes on bit b of the token hashes sum positive). Takes the hash ARRAY
+    * column (materialize it in a projection first) so the token hashing runs
+    * once per document, not once per bit.
+    */
+  def simhashFromHashes(hashes: Column): Column = {
     // variable-distance shifts need the SQL shiftright/shiftleft (the Scala
     // helpers only take literal Int distances)
     def shr(v: Column, n: Column): Column = call_function("shiftright", v, n.cast("int"))
@@ -151,6 +181,9 @@ object DedupOps {
       })
   }
 
+  def simhash(tokensCol: Column): Column =
+    simhashFromHashes(transform(array_distinct(tokensCol), t => xxhash64(t)))
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 with the
     * default 4 chunks, by pigeonhole: ≤3 differing bits leave ≥1 of the 4
     * 16-bit chunks identical, so chunk-equality buckets lose no true pair).
@@ -160,8 +193,16 @@ object DedupOps {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sims = df
-      .select(col(idCol), simhash(TextOps.tokens(col(textCol))).as("sim"))
+    // cache the token-hash arrays BEFORE the 64-bit fold: otherwise
+    // CollapseProject inlines the tokenize+hash expression into all 64
+    // per-bit vote folds (64× re-tokenization per row)
+    val hs = df
+      .select(
+        col(idCol),
+        transform(array_distinct(TextOps.tokens(col(textCol))), t => xxhash64(t)).as("hs"))
+      .cache()
+    val sims = hs
+      .select(col(idCol), simhashFromHashes(col("hs")).as("sim"))
       .cache()
     val chunks = sims.select(
       col(idCol), col("sim"),

@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.DedupOps
+
+/** Scratch profiling main (not part of the driver contract). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Long): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime(); val n = f
+      println(f"PROFILE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    val docs = Tables.documents(spark, dir)
+    time("warmup-count") { docs.count() }
+    for (round <- 1 to 2) {
+      time(s"full-minhash-$round") {
+        DedupOps.minhashLshPairs(docs, "doc_id", "text", 3, 0.5).count()
+      }
+      time(s"full-jaccard-$round") {
+        DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
+      }
+      time(s"full-simhash-$round") {
+        DedupOps.simhashPairs(docs, "doc_id", "text").count()
+      }
+    }
+    spark.stop()
+  }
+}
