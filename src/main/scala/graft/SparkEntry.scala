@@ -252,6 +252,77 @@ object SparkEntry {
   }
 
   // =========================================================================
+  // Analytics / ordering / event-time / set operators (engine completeness;
+  // SURVEY.md §2.D rationale)
+  // =========================================================================
+
+  /** Top-100 line items by price under a total order (TakeOrdered, no global
+    * sort).
+    */
+  def qTopK(spark: SparkSession, dir: String): DataFrame =
+    Analytics
+      .topK(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+        100,
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")))
+
+  /** Tumbling 1-hour event-time windows per event_type (exact decimal sums —
+    * order-independent, so a 1000-executor plan matches the oracle bitwise).
+    */
+  def qEventTimeWindow(spark: SparkSession, dir: String): DataFrame =
+    Analytics.eventTimeWindow(
+      Tables.events(spark, dir), "ts", Seq("event_type"), "value", "1 hour")
+
+  /** As-of carry: each error event joined to the user's most recent prior
+    * click value (composition form of an as-of join).
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"))
+    Analytics
+      .asOfCarry(ev, Seq("user_id"), Seq("ts", "event_id"),
+        col("event_type") === "click", "value", "last_click_value")
+      .filter(col("event_type") === "error")
+      .select(
+        col("user_id").as("symbol"),
+        col("ts").cast("timestamp_ntz").as("event_ts"),
+        col("value").as("error_value"),
+        col("last_click_value"))
+  }
+
+  /** Distinct set algebra over per-type key sets:
+    * (signup ∖ error) ∪ (purchase ∩ view).
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    def keysOf(t: String) = Tables.events(spark, dir)
+      .filter(col("event_type") === t).select(col("user_id").as("symbol")).distinct()
+    Analytics.setCombine(keysOf("signup"), keysOf("error"), keysOf("purchase"), keysOf("view"))
+  }
+
+  /** Rollup totals per event_type with grand total. */
+  def qRollupStats(spark: SparkSession, dir: String): DataFrame =
+    Analytics.rollupStats(Tables.events(spark, dir), "event_type", "value")
+
+  /** A2 — completion payload JSON assembly (deterministic field order via
+    * manual concat; integers only, so both engines render identically).
+    */
+  def qCompletionPayload(spark: SparkSession, dir: String): DataFrame = {
+    val batched = Batching.assignBatches(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+      Seq("c_mktsegment"), "c_custkey", 100)
+    Batching
+      .completionStats(batched, Seq("c_mktsegment"), "c_custkey")
+      .select(
+        col("c_mktsegment").as("asset_type"),
+        concat(
+          lit("{\"asset_type\":\""), col("c_mktsegment"),
+          lit("\",\"record_count\":"), col("record_count").cast("string"),
+          lit(",\"total_batches\":"), col("total_batches").cast("string"),
+          lit(",\"status\":\"complete\"}")).as("payload"))
+  }
+
+  // =========================================================================
   // North-star extensions (BASELINE.json): text analysis, dedup, similarity
   // =========================================================================
 
@@ -324,6 +395,12 @@ object SparkEntry {
   // =========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_top_k"                   -> (qTopK(_, _)),
+    "q_event_time_window"       -> (qEventTimeWindow(_, _)),
+    "q_asof_join"               -> (qAsofJoin(_, _)),
+    "q_set_ops"                 -> (qSetOps(_, _)),
+    "q_rollup_stats"            -> (qRollupStats(_, _)),
+    "q_completion_payload"      -> (qCompletionPayload(_, _)),
     "q_text_stats"              -> (qTextStats(_, _)),
     "q_token_count"             -> (qTokenCount(_, _)),
     "q_lang_id"                 -> (qLangId(_, _)),
@@ -356,6 +433,44 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_top_k" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_event_time_window" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_asof_join" ->
+      """WITH t AS (SELECT user_id, event_type, value, ts, event_id FROM events
+        |           WHERE event_type IN ('click', 'error')),
+        |w AS (SELECT *, last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_value
+        |      FROM t)
+        |SELECT user_id AS symbol, ts AS event_ts, value AS error_value, last_click_value
+        |FROM w WHERE event_type = 'error'""".stripMargin,
+    "q_set_ops" ->
+      """(SELECT DISTINCT user_id AS symbol FROM events WHERE event_type = 'signup'
+        | EXCEPT SELECT DISTINCT user_id AS symbol FROM events WHERE event_type = 'error')
+        |UNION
+        |(SELECT DISTINCT user_id AS symbol FROM events WHERE event_type = 'purchase'
+        | INTERSECT SELECT DISTINCT user_id AS symbol FROM events WHERE event_type = 'view')""".stripMargin,
+    "q_rollup_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       grouping(event_type)::INTEGER AS g
+        |FROM events GROUP BY ROLLUP(event_type)""".stripMargin,
+    "q_completion_payload" ->
+      """WITH b AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(ceil(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) / 100.0) AS BIGINT) AS batch_id
+        |  FROM customer),
+        |s AS (SELECT c_mktsegment, count(*) AS record_count, max(batch_id) AS total_batches FROM b GROUP BY 1)
+        |SELECT c_mktsegment AS asset_type,
+        |       '{"asset_type":"' || c_mktsegment || '","record_count":' || record_count::VARCHAR
+        |         || ',"total_batches":' || total_batches::VARCHAR || ',"status":"complete"}' AS payload
+        |FROM s""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, length(text)::BIGINT AS n_chars,
         |       len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,

@@ -82,6 +82,39 @@ object Jobs {
     JobResult(updated, completion)
   }
 
+  /** B15 — retry-queue partition: split a fetch-attempt relation into
+    * succeeded / retryable / skipped by error class (the reference's
+    * `handle_api_error`: 429 → retry, 404 → skip, `etl/fetch_utils.py:235-258`).
+    * The bounded re-drive loop itself is driver control flow (see
+    * [[fetchWithRetry]]) — kept out of the relational layer on purpose, like
+    * the reference keeps it out of SQL.
+    */
+  def partitionByErrorClass(attempts: DataFrame, statusCol: String): (DataFrame, DataFrame, DataFrame) = (
+    attempts.filter(col(statusCol) === "ok"),
+    attempts.filter(col(statusCol) === "rate_limited"),
+    attempts.filter(col(statusCol) === "not_found"))
+
+  /** B15 — bounded semantic retry: re-drive only the retryable slice, at most
+    * `maxRetries` extra passes (reference default 3; the 60s sleep is an
+    * external concern injected by the caller between passes).
+    */
+  def fetchWithRetry(
+      requests: DataFrame,
+      fetchOnce: DataFrame => DataFrame, // returns rows + statusCol
+      statusCol: String,
+      maxRetries: Int = 3): DataFrame = {
+    var ok: Option[DataFrame] = None
+    var pending = requests
+    var pass = 0
+    while (pass <= maxRetries && !pending.isEmpty) {
+      val (succeeded, retryable, _) = partitionByErrorClass(fetchOnce(pending), statusCol)
+      ok = Some(ok.fold(succeeded)(_.unionByName(succeeded)))
+      pending = pending.join(retryable.select(col("symbol")), Seq("symbol"), "left_semi")
+      pass += 1
+    }
+    ok.get
+  }
+
   /** §3.3 MARKET_INDEX_DATA_UPDATE_REQUEST: cache-first short-circuit →
     * batched fetch (join) → rename projection → single-key upsert →
     * completion; on a failed/empty fetch the cached rows are re-emitted

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking / ordering / event-time / set operators. The reference has none of
+  * these (SURVEY.md §2.D) — they exist because the Spark-native expression of
+  * its last-wins/last-pick semantics and the `events` stream slice requires
+  * them, plus general engine completeness.
+  *
+  * Scale notes: top-k compiles to TakeOrderedAndProject (per-partition heap
+  * of k + driver merge of k·partitions rows — never a global sort); the
+  * event-time window is a plain hash aggregate on (bucket, keys); the as-of
+  * carry is one shuffle on the join key with an in-partition ordered frame
+  * (no point-in-time self-join blowup). Double sums in oracle-checked
+  * aggregates go through DECIMAL so results are order-independent —
+  * float addition is not associative, and a 1000-executor plan must not
+  * produce different bits than a single-node oracle.
+  */
+object Analytics {
+
+  /** Global top-k under a total order — TakeOrdered, not sort-the-world. */
+  def topK(df: DataFrame, k: Int, orderBy: Seq[Column]): DataFrame =
+    df.orderBy(orderBy: _*).limit(k)
+
+  /** Tumbling event-time window aggregate: count + exact (decimal) sum of
+    * `valueCol` per (window, keys). Emits `window_start` + flattened keys.
+    */
+  def eventTimeWindow(
+      df: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      valueCol: String,
+      windowLen: String): DataFrame =
+    df.groupBy(window(col(tsCol), windowLen) +: keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("window_start") +:
+          keys.map(col) :+ col("n_events") :+ col("total_value"): _*)
+
+  /** As-of carry: for every row, the most recent STRICTLY PRIOR value of
+    * `pickWhen`-matching rows within the same `keys` partition — the
+    * composition form of an as-of join (union the two sides, then one
+    * ordered-frame window; no per-row range self-join).
+    */
+  def asOfCarry(
+      df: DataFrame,
+      keys: Seq[String],
+      orderBy: Seq[String],
+      pickWhen: Column,
+      valueCol: String,
+      as: String): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderBy.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn(as, last(when(pickWhen, col(valueCol)), ignoreNulls = true).over(w))
+  }
+
+  /** Distinct set algebra: (a EXCEPT b) ∪ (c INTERSECT d) — SQL set
+    * semantics (Spark's except/intersect are already distinct; union is ALL,
+    * so a final distinct restores set semantics).
+    */
+  def setCombine(a: DataFrame, b: DataFrame, c: DataFrame, d: DataFrame): DataFrame =
+    a.except(b).union(c.intersect(d)).distinct()
+
+  /** Rollup aggregate with grouping indicator and exact decimal sums. */
+  def rollupStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.rollup(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value"),
+        grouping(col(groupCol)).cast("int").as("g"))
+}

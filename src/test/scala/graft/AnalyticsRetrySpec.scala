@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.Jobs
+import graft.ops.Analytics
+
+class AnalyticsRetrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fetchWithRetry re-drives only rate-limited symbols, bounded passes, skips 404s") {
+    // symbol -> (passes needed before ok, terminal class)
+    val behavior = Map(
+      "OK1" -> 0, "OK2" -> 0, // succeed immediately
+      "SLOW" -> 2,            // rate-limited twice, then ok
+      "GONE" -> -1,           // always 404
+      "DEAD" -> 99            // rate-limited forever
+    )
+    var passCount = 0
+    val attemptsSeen = collection.mutable.ArrayBuffer.empty[Set[String]]
+    def fetchOnce(req: DataFrame): DataFrame = {
+      val syms = req.select("symbol").as[String].collect().toSet
+      attemptsSeen += syms
+      val p = passCount; passCount += 1
+      syms.toSeq.map { s =>
+        val b = behavior(s)
+        val status =
+          if (b == -1) "not_found"
+          else if (p >= b) "ok"
+          else "rate_limited"
+        (s, status, 100.0 + p)
+      }.toDF("symbol", "status", "price")
+    }
+    val requests = behavior.keys.toSeq.toDF("symbol")
+    val ok = Jobs.fetchWithRetry(requests, fetchOnce, "status", maxRetries = 3)
+      .select("symbol").as[String].collect().toSet
+    assert(ok == Set("OK1", "OK2", "SLOW"))
+    assert(attemptsSeen.head == behavior.keySet)          // first pass: everything
+    assert(attemptsSeen(1) == Set("SLOW", "DEAD"))        // only retryables re-driven
+    assert(attemptsSeen.last.contains("DEAD"))            // DEAD retried to the cap
+    assert(attemptsSeen.length <= 4)                      // 1 initial + 3 retries
+  }
+
+  test("partitionByErrorClass splits the three classes") {
+    val attempts = Seq(("A", "ok"), ("B", "rate_limited"), ("C", "not_found"))
+      .toDF("symbol", "status")
+    val (ok, retry, skip) = Jobs.partitionByErrorClass(attempts, "status")
+    assert(ok.select("symbol").as[String].collect().toSeq == Seq("A"))
+    assert(retry.select("symbol").as[String].collect().toSeq == Seq("B"))
+    assert(skip.select("symbol").as[String].collect().toSeq == Seq("C"))
+  }
+
+  test("asOfCarry picks the latest strictly-prior matching value") {
+    val ev = Seq(
+      (1L, "click", 10.0, 1L), (1L, "error", 0.0, 2L),
+      (1L, "click", 20.0, 3L), (1L, "error", 0.0, 4L),
+      (2L, "error", 0.0, 1L) // no prior click
+    ).toDF("user_id", "event_type", "value", "seq")
+    val got = Analytics
+      .asOfCarry(ev, Seq("user_id"), Seq("seq"), col("event_type") === "click", "value", "carried")
+      .filter(col("event_type") === "error")
+      .select("user_id", "seq", "carried")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(got == Set((1L, 2L, Some(10.0)), (1L, 4L, Some(20.0)), (2L, 1L, None)))
+  }
+
+  test("streaming event-time window with watermark matches the batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("2024-01-01 00:10:00", "click", 1.0), ("2024-01-01 00:50:00", "click", 2.0),
+      ("2024-01-01 01:10:00", "view", 3.0), ("2024-01-01 02:05:00", "click", 4.0))
+    val stream = MemoryStream[(String, String, Double)]
+    val df = stream.toDF().toDF("ts_s", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val agg = df
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("win_out").start()
+    stream.addData(rows)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("win_out")
+      .select(col("window_start").cast("string"), col("event_type"), col("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    // batch over the same static data
+    val staticDf = rows.toDF("ts_s", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("string"), col("event_type"), col("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == staticDf)
+    assert(streamed == Set(
+      ("2024-01-01 00:00:00", "click", 2L),
+      ("2024-01-01 01:00:00", "view", 1L),
+      ("2024-01-01 02:00:00", "click", 1L)))
+  }
+
+  test("topK returns exactly k under the total order") {
+    val df = Tables.lineitem(spark, TestSpark.sf0001)
+    val got = Analytics.topK(
+      df.select(col("l_orderkey"), col("l_extendedprice")),
+      5, Seq(col("l_extendedprice").desc, col("l_orderkey")))
+      .as[(Long, Double)].collect()
+    assert(got.length == 5)
+    assert(got.map(_._2).sorted.reverse.toSeq == got.map(_._2).toSeq)
+  }
+}
