@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native vector kernels as Catalyst expressions.
+  *
+  * Spark's higher-order functions (`zip_with` + `aggregate`) are interpreted
+  * per element — every lambda application walks an expression tree — so a
+  * 64-dim dot product costs ~128 boxed evaluations. This expression is the
+  * "drop to a custom `Expression` where built-ins can't express it
+  * efficiently" path: one codegen'd tight loop over the two `ArrayData`
+  * buffers, identical accumulation order (sequential left fold) to both the
+  * HOF formulation and the DuckDB oracle's `list_dot_product`, so results
+  * stay bit-exact while the interpretive overhead disappears.
+  *
+  * Null semantics: null if either array is null (standard binary-expression
+  * propagation); null ELEMENTS contribute 0 (documents with padded vectors
+  * keep a defined score).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_dot expects (array<double>, array<double>), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        acc += a.getDouble(i) * b.getDouble(i)
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column API for [[DotProduct]] (expects array<double> inputs). */
+  def graft_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -23,9 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Sum fold of the elementwise product — dot(a, b) in doubles. */
+  /** dot(a, b) in doubles — the native codegen'd kernel
+    * (graft.functions.DotProduct); same sequential accumulation order as the
+    * HOF fold `aggregate(zip_with(a,b,_*_), 0.0, _+_)` it replaces (HOFs are
+    * interpreted per element, ~6× slower) and as the oracle's
+    * `list_dot_product`, so results are bit-identical.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.graft_dot(a, b)
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 

@@ -25,6 +25,29 @@ class SimilaritySpec extends AnyFunSuite {
     })
   }
 
+  test("graft_dot: matches HOF fold bitwise; null/empty/ragged handling") {
+    import graft.functions.VectorFunctions.graft_dot
+    import org.apache.spark.sql.functions.{aggregate => agg_, _}
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (2L, Seq(0.1, 0.2), Seq(0.3, 0.7)),
+      (3L, Seq.empty[Double], Seq.empty[Double])
+    ).toDF("id", "a", "b")
+    val both = df.select(
+      col("id"),
+      graft_dot(col("a"), col("b")).as("native"),
+      agg_(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.filter(col("id") === 3L).select("native").as[Double].head() == 0.0)
+    // null array propagates null; ragged arrays use the common prefix
+    val edge = Seq((Some(Seq(1.0, 2.0)), None: Option[Seq[Double]]))
+      .toDF("a", "b").select(graft_dot(col("a"), col("b")).as("d"))
+    assert(edge.filter(col("d").isNull).count() == 1)
+    val ragged = Seq((Seq(1.0, 2.0, 9.0), Seq(3.0, 4.0)))
+      .toDF("a", "b").select(graft_dot(col("a"), col("b")).as("d"))
+    assert(ragged.as[Double].head() == 11.0)
+  }
+
   test("knnIvf recall vs brute force is well above random scanning") {
     val probes = emb.filter(col("vec_id") < 20)
     val brute = SimilarityOps.knnBrute(emb, probes, "vec_id", "embedding", 10)
