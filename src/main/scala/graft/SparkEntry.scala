@@ -392,9 +392,28 @@ object SparkEntry {
       k = 10, nLists = 16, nProbe = 4)
   }
 
+  /** A3-A7 — the DataSource V2 quote source (live-HTTP seam) driven from the
+    * symbol catalog: request list collected driver-side (bounded by design,
+    * like every reference request payload), one input partition per 100
+    * symbols. No SQL oracle (the synthesized quote values use JVM hashing);
+    * rows-only check + SourcesSpec invariants.
+    */
+  def qQuoteSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val syms = Tables.customer(spark, dir)
+      .select(col("c_custkey")).orderBy(col("c_custkey")).limit(500)
+      .as[Long].collect().map(k => s"C$k:STOCK").mkString(",")
+    spark.read
+      .format("graft.sources.QuoteSource")
+      .option("symbols", syms)
+      .option("batchSize", "100")
+      .load()
+  }
+
   // =========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quote_source"            -> (qQuoteSource(_, _)),
     "q_top_k"                   -> (qTopK(_, _)),
     "q_event_time_window"       -> (qEventTimeWindow(_, _)),
     "q_asof_join"               -> (qAsofJoin(_, _)),

@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 quote source — the live-parity seam for the reference's HTTP
+  * fetchers (SURVEY.md §2.A A3-A7): `spark.read.format("graft.sources.QuoteSource")
+  * .option("symbols", "AAPL:STOCK,BTC:CRYPTO").option("batchSize", "100").load()`.
+  *
+  * Partitioning mirrors the reference's request batching: one input partition
+  * per `batchSize` symbols (`fetch_market_data.py:93`), so on a cluster each
+  * task issues one batched fetch — the unit of parallelism is the API batch,
+  * and executors fan out across batches instead of a driver-side loop.
+  *
+  * [[QuotePartitionReader.fetch]] is the ONLY stub: it synthesizes a
+  * deterministic quote document per symbol (hash-derived price fields) where
+  * a deployment would perform the HTTP GET. Everything else — provider
+  * registration, schema, batch planning, per-partition readers, column order —
+  * is the real engine contract.
+  */
+class QuoteSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = QuoteSource.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new QuoteTable(new CaseInsensitiveStringMap(properties))
+}
+
+object QuoteSource {
+  /** Engine-facing quote row: already projected/coerced (B2/B3 applied at the
+    * source boundary so downstream plans see clean doubles).
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("symbol", StringType, nullable = false),
+    StructField("asset_type", StringType, nullable = false),
+    StructField("price", DoubleType),
+    StructField("percent_change", DoubleType),
+    StructField("change", DoubleType),
+    StructField("high", DoubleType),
+    StructField("low", DoubleType)))
+
+  def parseSymbols(options: CaseInsensitiveStringMap): Seq[(String, String)] =
+    Option(options.get("symbols")).map(_.split(",").toSeq.filter(_.nonEmpty).map { s =>
+      s.split(":") match {
+        case Array(sym, at) => (sym.trim, at.trim)
+        case Array(sym)     => (sym.trim, "STOCK")
+        case other          => (other.head.trim, other(1).trim)
+      }
+    }).getOrElse(Seq.empty)
+}
+
+private class QuoteTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = "graft_quotes"
+  override def schema(): StructType = QuoteSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // getTable receives dsv2 properties; reader options come through here
+    val merged = if (caseInsensitiveOptions.isEmpty) options else caseInsensitiveOptions
+    new QuoteScanBuilder(merged)
+  }
+}
+
+private class QuoteScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder with Scan with Batch {
+  private val symbols = QuoteSource.parseSymbols(options)
+  private val batchSize = Option(options.get("batchSize")).map(_.toInt).getOrElse(100)
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = QuoteSource.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    symbols.grouped(batchSize).map(g => QuoteBatch(g.toArray): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory = new QuoteReaderFactory
+}
+
+private case class QuoteBatch(symbols: Array[(String, String)]) extends InputPartition
+
+private class QuoteReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new QuotePartitionReader(partition.asInstanceOf[QuoteBatch].symbols)
+}
+
+private class QuotePartitionReader(symbols: Array[(String, String)])
+    extends PartitionReader[InternalRow] {
+  private var i = -1
+
+  override def next(): Boolean = { i += 1; i < symbols.length }
+
+  /** STUB fetch — a deployment replaces this body with the batched HTTP GET
+    * (Twelve Data `/quote`, Yahoo get-quotes) + Schemas.quoteDocument parse +
+    * the B1/B3 validate/coerce steps. Deterministic hash-derived fields so
+    * tests are stable.
+    */
+  override def get(): InternalRow = {
+    val (sym, at) = symbols(i)
+    val h = (sym + ":" + at).hashCode.toLong & 0x7FFFFFFFL
+    val price = 10.0 + (h % 100000L) / 100.0
+    val change = ((h >> 8) % 2000L - 1000L) / 100.0
+    InternalRow(
+      UTF8String.fromString(sym),
+      UTF8String.fromString(at),
+      price,
+      if (price - change != 0.0) change / (price - change) * 100.0 else 0.0,
+      change,
+      price + math.abs(change),
+      price - math.abs(change))
+  }
+  override def close(): Unit = ()
+}
