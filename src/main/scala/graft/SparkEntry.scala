@@ -322,6 +322,53 @@ object SparkEntry {
           lit(",\"status\":\"complete\"}")).as("payload"))
   }
 
+  /** B16 — coverage map: per symbol the sorted set of stored months (the
+    * relational form of the reference's `{symbol: set(dates)}` fold).
+    */
+  def qCoverageMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_custkey").as("symbol"), to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .groupBy(col("symbol"))
+      .agg(
+        sort_array(collect_set(col("month"))).as("months"),
+        countDistinct(col("month")).as("n_months"))
+
+  /** Month-over-month percent change on the monthly last-close series (the
+    * stored-vs-new delta the reference derives from its API responses).
+    */
+  def qMonthlyPctChange(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = qMonthlyLastClose(spark, dir)
+    val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
+    monthly
+      .withColumn("prev_price", lag(col("price"), 1).over(w))
+      .withColumn("pct_change", (col("price") - col("prev_price")) / col("prev_price") * lit(100))
+      .select(col("symbol"), col("date"), col("price"), col("pct_change"))
+  }
+
+  /** Corpus dedup-rate metrics (pipeline observability for dedup stages). */
+  def qDedupRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        countDistinct(md5(TextOps.normalize(col("text")))).as("n_distinct_norm"))
+      .withColumn(
+        "dup_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double"))
+
+  /** Embedding-corpus statistics: dimension bounds and exact total L2 norm
+    * (decimal-summed — order-independent across any partitioning).
+    */
+  def qEmbeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    val prepared = SimilarityOps.prepared(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    prepared
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        min(size(col("v"))).cast("long").as("min_dim"),
+        max(size(col("v"))).cast("long").as("max_dim"),
+        sum(col("nrm").cast("decimal(18,6)")).cast("double").as("total_norm"))
+  }
+
   // =========================================================================
   // North-star extensions (BASELINE.json): text analysis, dedup, similarity
   // =========================================================================
@@ -420,6 +467,10 @@ object SparkEntry {
     "q_set_ops"                 -> (qSetOps(_, _)),
     "q_rollup_stats"            -> (qRollupStats(_, _)),
     "q_completion_payload"      -> (qCompletionPayload(_, _)),
+    "q_coverage_map"            -> (qCoverageMap(_, _)),
+    "q_monthly_pct_change"      -> (qMonthlyPctChange(_, _)),
+    "q_dedup_rate"              -> (qDedupRate(_, _)),
+    "q_embedding_stats"         -> (qEmbeddingStats(_, _)),
     "q_text_stats"              -> (qTextStats(_, _)),
     "q_token_count"             -> (qTokenCount(_, _)),
     "q_lang_id"                 -> (qLangId(_, _)),
@@ -490,6 +541,31 @@ object SparkEntry {
         |       '{"asset_type":"' || c_mktsegment || '","record_count":' || record_count::VARCHAR
         |         || ',"total_batches":' || total_batches::VARCHAR || ',"status":"complete"}' AS payload
         |FROM s""".stripMargin,
+    "q_coverage_map" ->
+      """SELECT o_custkey AS symbol,
+        |       list_sort(list(DISTINCT date_trunc('month', o_orderdate)::DATE)) AS months,
+        |       count(DISTINCT date_trunc('month', o_orderdate)) AS n_months
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_monthly_pct_change" ->
+      """WITH w AS (
+        |  SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS date, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey, date_trunc('month', o_orderdate)
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |m AS (SELECT o_custkey AS symbol, date, o_totalprice AS price FROM w WHERE rn = 1),
+        |l AS (SELECT symbol, date, price,
+        |             lag(price) OVER (PARTITION BY symbol ORDER BY date) AS prev_price
+        |      FROM m)
+        |SELECT symbol, date, price, (price - prev_price) / prev_price * 100 AS pct_change FROM l""".stripMargin,
+    "q_dedup_rate" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
+        |       count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_distinct_norm,
+        |       1.0 - count(DISTINCT md5(text))::DOUBLE / count(*)::DOUBLE AS dup_ratio
+        |FROM documents""".stripMargin,
+    "q_embedding_stats" ->
+      """SELECT count(*) AS n_vectors, min(len(embedding)) AS min_dim, max(len(embedding)) AS max_dim,
+        |       CAST(sum(CAST(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS DECIMAL(18,6))) AS DOUBLE) AS total_norm
+        |FROM embeddings""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, length(text)::BIGINT AS n_chars,
         |       len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.ops.Merge
 
@@ -57,6 +57,37 @@ object Streaming {
     df.select(
       lit(topic).as("topic"),
       to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** A tick on the input stream and the stateful snapshot emitted per key. */
+  case class Tick(symbol: String, asset_type: String, price: Double, seq: Long)
+  case class TickState(price: Double, seq: Long, n_updates: Long)
+  case class Snapshot(
+      symbol: String, asset_type: String, price: Double,
+      change: Double, n_updates: Long)
+
+  /** Custom keyed state via flatMapGroupsWithState: per (symbol, asset_type)
+    * keep the newest tick (seq-ordered, re-delivery safe) and an update
+    * counter, emitting a delta-bearing snapshot per key per micro-batch —
+    * the arbitrary-state upgrade path beyond what `foreachBatch` merge gives.
+    * State is per-key and partitioned by the grouping key, so it scales with
+    * distinct keys, not events.
+    */
+  def statefulLatest(ticks: Dataset[Tick]): Dataset[Snapshot] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(t => (t.symbol, t.asset_type))
+      .flatMapGroupsWithState[TickState, Snapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((symbol, assetType), rows, state: GroupState[TickState]) =>
+          val prev = state.getOption
+          val newest = (rows ++ prev.map(s => Tick(symbol, assetType, s.price, s.seq)))
+            .maxBy(t => t.seq)
+          val nUpdates = prev.map(_.n_updates).getOrElse(0L) + 1L
+          state.update(TickState(newest.price, newest.seq, nUpdates))
+          val change = prev.map(p => newest.price - p.price).getOrElse(0.0)
+          Iterator.single(Snapshot(symbol, assetType, newest.price, change, nUpdates))
+      }
+  }
 
   /** Maintained keyed snapshot over a micro-batched stream: every batch is
     * merged last-wins into the running state (the reference's upsert sink,

@@ -85,6 +85,27 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(streamed == Set((1L, 11.0), (2L, 5.0)))
   }
 
+  test("flatMapGroupsWithState keeps newest tick per key with update counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{Tick, Snapshot}
+    val stream = MemoryStream[Tick]
+    val out = Streaming.statefulLatest(stream.toDS())
+    val q = out.writeStream.outputMode("append").format("memory").queryName("state_out").start()
+    stream.addData(Tick("AAPL", "STOCK", 100.0, 1L), Tick("AAPL", "STOCK", 102.0, 2L))
+    q.processAllAvailable()
+    stream.addData(Tick("AAPL", "STOCK", 101.0, 1L)) // stale re-delivery: must NOT win
+    q.processAllAvailable()
+    stream.addData(Tick("AAPL", "STOCK", 110.0, 5L), Tick("BTC", "CRYPTO", 7.0, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val snaps = spark.table("state_out").as[Snapshot].collect()
+      .groupBy(s => (s.symbol, s.n_updates)).view.mapValues(_.head.price).toMap
+    assert(snaps(("AAPL", 1L)) == 102.0) // batch 1: newest of seq 1,2
+    assert(snaps(("AAPL", 2L)) == 102.0) // batch 2: stale seq 1 ignored
+    assert(snaps(("AAPL", 3L)) == 110.0) // batch 3: newer seq wins
+    assert(snaps(("BTC", 1L)) == 7.0)
+  }
+
   test("topic routing dispatches known topics, tags unknown") {
     val msgs = Seq(
       ("MARKET_DATA_UPDATE_REQUEST", "{}"), ("HISTORICAL_MARKET_DATA_REQUEST", "{}"),
