@@ -429,14 +429,17 @@ object SparkEntry {
       .packBinary(Tables.documents(spark, dir), "doc_id", "text", "text")
       .select(col("media_id"), col("kind"), col("n_bytes"))
 
-  /** IVF approximate top-10 (16 lists, 4 probed) for the same probe set
-    * (no SQL oracle: approximate result; ScalaTest checks recall vs brute).
+  /** IVF approximate top-10 (k-means coarse quantizer, 16 lists, 4 probed)
+    * for the same probe set (no SQL oracle: approximate result; ScalaTest
+    * checks recall vs brute force — on these uniform synthetic vectors recall
+    * ≈ scan fraction + ranking margin; clustered real embeddings are where
+    * the quantizer pays off).
     */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    SimilarityOps.knnIvf(
+    SimilarityOps.knnIvfKmeans(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-      k = 10, nLists = 16, nProbe = 4)
+      k = 10, nLists = 16, nProbe = 4, maxIter = 3)
   }
 
   /** A3-A7 — the DataSource V2 quote source (live-HTTP seam) driven from the

@@ -38,6 +38,16 @@ object Merge {
   def upsert(previous: DataFrame, delta: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame =
     lastWins(previous.unionByName(delta), keys, orderBy)
 
+  /** Persist a store relation partitioned by a low-cardinality key column
+    * (month date for the monthly table, asset_type for snapshots): at 100 TB
+    * the store must be laid out so incremental reads prune — a gap-detection
+    * or backfill pass touching 3 months reads 3 partitions, not the table.
+    * Readers get partition pruning automatically (verified in MergeSpec via
+    * the scan's PartitionFilters).
+    */
+  def writePartitionedStore(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+
   /** B12 — current-period last-value pick (`api_data[-1]`,
     * `fetch_historical_market_data.py:50-61`): keep only the latest row per
     * key, expressed with `max_by(struct(payload), struct(version))` — a

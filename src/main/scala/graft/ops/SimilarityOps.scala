@@ -63,11 +63,66 @@ object SimilarityOps {
       .select(col("probe_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
   }
 
-  /** IVF approximate top-k. Coarse "centroids" are a deterministic corpus
-    * subset (every `corpusSize/nLists`-th id — at real scale these come from
-    * a k-means fit, which only changes how the centroid table is produced).
-    * Every corpus vector is assigned to its nearest centroid (its list);
-    * probes search only their `nProbe` nearest lists.
+  /** IVF approximate top-k with k-means coarse quantization: vectors are
+    * L2-normalized (so Euclidean k-means clusters by cosine direction), a
+    * small KMeans fit produces the `nLists` centroids, every corpus vector
+    * joins its predicted list, and probes search only their `nProbe`
+    * closest lists by centroid dot product. The fit touches normalized
+    * vectors once; the search path shuffles only (list, id, sim) triples.
+    */
+  def knnIvfKmeans(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int,
+      nProbe: Int,
+      seed: Long = 42L,
+      maxIter: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = prepared(corpus, idCol, vecCol)
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      .cache()
+    val feat = c.withColumn("features", array_to_vector(col("vn")))
+    val model = new KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
+      .fit(feat)
+    val assigned = model
+      .transform(feat)
+      .select(col(idCol), col("v"), col("nrm"), col("prediction").as("list_id"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (ctr, i) => (i, ctr.toArray.toSeq) }
+      .toDF("list_id", "cv")
+    val p = prepared(probes, idCol, vecCol)
+      .select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    // probes pick their nProbe closest lists by direction (dot with centroid)
+    val probeW = Window.partitionBy(col("probe_id")).orderBy(col("pdot").desc, col("list_id"))
+    val probeLists = broadcast(p)
+      .join(broadcast(centroids), lit(true))
+      .withColumn("pdot", dot(col("pv"), col("cv")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nProbe)
+      .select(col("probe_id"), col("pv"), col("pn"), col("list_id"))
+    val scored = assigned
+      .join(broadcast(probeLists), Seq("list_id"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("sim", dot(col("pv"), col("v")) / (col("pn") * col("nrm")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** IVF approximate top-k (MLlib-free variant). Coarse "centroids" are a
+    * deterministic corpus subset (every `corpusSize/nLists`-th id); see
+    * [[knnIvfKmeans]] for the fitted version. Every corpus vector is
+    * assigned to its nearest centroid (its list); probes search only their
+    * `nProbe` nearest lists.
     */
   def knnIvf(
       corpus: DataFrame,

@@ -34,6 +34,21 @@ class MergeSpec extends AnyFunSuite {
     assert(once.count() == twice.count())
   }
 
+  test("partitioned store write: month filter prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val monthly = graft.SparkEntry.qMonthlyLastClose(spark, TestSpark.sf0001)
+    Merge.writePartitionedStore(monthly, dir, Seq("date"))
+    val oneMonth = spark.read.parquet(dir).filter(col("date") === lit("1997-03-01").cast("date"))
+    val plan = oneMonth.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    assert(!plan.replaceAll("(?s)PartitionFilters: \\[[^\\]]*", "").contains("1997-03-01"),
+      "date filter should be a partition filter, not a data filter")
+    assert(oneMonth.count() > 0)
+    // reading one month touches one partition directory
+    val allMonths = new java.io.File(dir).listFiles().count(_.getName.startsWith("date="))
+    assert(allMonths > 10)
+  }
+
   test("latestByKey (max_by) agrees with the window form") {
     val a = Merge.lastWins(ticks, Seq("symbol"), Seq(col("v")))
       .select("symbol", "price").as[(String, Double)].collect().toSet

@@ -48,6 +48,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ragged.as[Double].head() == 11.0)
   }
 
+  test("knnIvfKmeans: k-means lists beat stride-sampled lists on recall") {
+    val probes = emb.filter(col("vec_id") < 20)
+    val brute = SimilarityOps.knnBrute(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val km = SimilarityOps.knnIvfKmeans(emb, probes, "vec_id", "embedding", 10, nLists = 16, nProbe = 4)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val kmRecall = (brute & km).size.toDouble / brute.size
+    val stride = SimilarityOps.knnIvf(emb, probes, "vec_id", "embedding", 10, nLists = 16, nProbe = 4)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val strideRecall = (brute & stride).size.toDouble / brute.size
+    info(s"kmeans recall=$kmRecall stride recall=$strideRecall")
+    assert(kmRecall >= strideRecall - 0.05, s"kmeans=$kmRecall stride=$strideRecall")
+    assert(kmRecall > 0.35)
+  }
+
   test("knnIvf recall vs brute force is well above random scanning") {
     val probes = emb.filter(col("vec_id") < 20)
     val brute = SimilarityOps.knnBrute(emb, probes, "vec_id", "embedding", 10)
