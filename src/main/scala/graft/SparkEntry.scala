@@ -62,14 +62,17 @@ object SparkEntry {
         col("ts").cast("timestamp_ntz").as("updated_at"))
   }
 
-  /** A11 — upsert = union(previous snapshot, delta ticks) → last-wins. */
+  /** A11 — upsert = union(previous snapshot, delta ticks) → last-wins. The
+    * time-slice filters compare `ts_ns` (the raw parquet long) so they push
+    * down to the scan; a predicate on the derived `ts` would not.
+    */
   def qMergeLastWins(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"))
-    val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"), col("ts_ns"))
+    val cutoffNs = java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond * 1000000000L
     val previous = Merge.lastWins(
-      ev.filter(col("ts") < cutoff), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
-    val delta = ev.filter(col("ts") >= cutoff)
+      ev.filter(col("ts_ns") < cutoffNs), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+    val delta = ev.filter(col("ts_ns") >= cutoffNs)
     Merge
       .upsert(previous, delta, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
       .select(
@@ -322,6 +325,34 @@ object SparkEntry {
           lit(",\"status\":\"complete\"}")).as("payload"))
   }
 
+  /** Range join: facts banded into broadcast value ranges (the engine's
+    * theta-join form — broadcast nested-loop against a tiny bands dim, then
+    * hash-aggregate; never a shuffle of facts on a range key).
+    */
+  def qRangeBand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      (1L, 0.0, 10.0), (2L, 10.0, 20.0), (3L, 20.0, 30.0),
+      (4L, 30.0, 40.0), (5L, 40.0, 60.0)
+    ).toDF("band_id", "lo", "hi")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(bands), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+  }
+
+  /** HLL-sketch distinct counts per event_type (approx_count_distinct — no
+    * SQL oracle, approximate; ScalaTest bounds the error vs exact).
+    */
+  def qApproxUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
   /** B16 — coverage map: per symbol the sorted set of stored months (the
     * relational form of the reference's `{symbol: set(dates)}` fold).
     */
@@ -470,6 +501,8 @@ object SparkEntry {
     "q_set_ops"                 -> (qSetOps(_, _)),
     "q_rollup_stats"            -> (qRollupStats(_, _)),
     "q_completion_payload"      -> (qCompletionPayload(_, _)),
+    "q_range_band"              -> (qRangeBand(_, _)),
+    "q_approx_users"            -> (qApproxUsers(_, _)),
     "q_coverage_map"            -> (qCoverageMap(_, _)),
     "q_monthly_pct_change"      -> (qMonthlyPctChange(_, _)),
     "q_dedup_rate"              -> (qDedupRate(_, _)),
@@ -544,6 +577,14 @@ object SparkEntry {
         |       '{"asset_type":"' || c_mktsegment || '","record_count":' || record_count::VARCHAR
         |         || ',"total_batches":' || total_batches::VARCHAR || ',"status":"complete"}' AS payload
         |FROM s""".stripMargin,
+    "q_range_band" ->
+      """WITH bands(band_id, lo, hi) AS (VALUES
+        |  (1::BIGINT, 0.0, 10.0), (2::BIGINT, 10.0, 20.0), (3::BIGINT, 20.0, 30.0),
+        |  (4::BIGINT, 30.0, 40.0), (5::BIGINT, 40.0, 60.0))
+        |SELECT band_id, count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY 1""".stripMargin,
     "q_coverage_map" ->
       """SELECT o_custkey AS symbol,
         |       list_sort(list(DISTINCT date_trunc('month', o_orderdate)::DATE)) AS months,

