@@ -107,6 +107,66 @@ object SparkEntry {
       .select(col("o_custkey").as("symbol"), col("o_totalprice").as("price"))
   }
 
+  /** §3.1 end-to-end — the realtime job's whole dataflow as ONE oracle-
+    * checked relation: store = last-wins snapshot before the cutoff;
+    * requests = every key ever seen; needed = keys absent from the store
+    * (anti-join); fetch = latest post-cutoff tick per needed key; result =
+    * merge(store, fetched). Differentially tests the COMPOSITION, not just
+    * the operators.
+    */
+  def qJobMarketDataE2e(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"), col("ts_ns"))
+    val cutoffNs = java.time.Instant.parse("2024-01-20T00:00:00Z").getEpochSecond * 1000000000L
+    val store = Merge.lastWins(
+      ev.filter(col("ts_ns") < cutoffNs), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+    val requests = ev.select(col("user_id"), col("event_type")).distinct()
+    val needed = Incremental.needingUpdate(requests, store, Seq("user_id", "event_type"))
+    val quotes = Merge.lastWins(
+      ev.filter(col("ts_ns") >= cutoffNs), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+    val fetched = needed.join(quotes, Seq("user_id", "event_type"))
+    Merge
+      .upsert(store, fetched, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+      .select(
+        col("user_id").as("symbol"),
+        col("event_type").as("asset_type"),
+        col("value").as("price"),
+        col("ts").cast("timestamp_ntz").as("updated_at"))
+  }
+
+  /** §3.2 end-to-end — the historical backfill dataflow as one relation:
+    * store = monthly closes from pre-1999 orders; gap detection over the full
+    * spine; fetch = post-store months from the feed (orders) restricted to
+    * each symbol's gap range; result = merged monthly table.
+    */
+  def qJobHistoricalE2e(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"),
+      to_date(date_trunc("month", col("o_orderdate"))).as("date"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderkey"))
+    val cut = lit("1999-01-01").cast("timestamp")
+    val store = Merge.lastWins(
+      o.filter(col("o_orderdate") < cut), Seq("o_custkey", "date"),
+      Seq(col("o_orderdate"), col("o_orderkey")))
+      .select(col("o_custkey"), col("date"), col("o_totalprice"))
+    val requests = Tables.customer(spark, dir).select(col("c_custkey").as("o_custkey"))
+    val gaps = Incremental.gapDetection(
+      requests, store.select(col("o_custkey"), col("date")), Seq("o_custkey"), "date",
+      lit(OrdersStart).cast("date"), lit(OrdersStop).cast("date"))
+    val fetched = o
+      .join(gaps, Seq("o_custkey"))
+      .filter(col("date") >= col("gap_start") && col("date") <= col("gap_end"))
+    val monthly = Merge.lastWins(
+      fetched.select(col("o_custkey"), col("date"), col("o_totalprice"), col("o_orderdate"), col("o_orderkey")),
+      Seq("o_custkey", "date"), Seq(col("o_orderdate"), col("o_orderkey")))
+      .select(col("o_custkey"), col("date"), col("o_totalprice"))
+    store
+      .unionByName(monthly)
+      .groupBy(col("o_custkey"), col("date"))
+      .agg(max(col("o_totalprice")).as("price")) // store ∩ fetched disjoint by construction; max = pick
+      .select(col("o_custkey").as("symbol"), col("date"), col("price"))
+  }
+
   // =========================================================================
   // Step-2 incremental planning (B7-B11)
   // =========================================================================
@@ -501,6 +561,8 @@ object SparkEntry {
     "q_set_ops"                 -> (qSetOps(_, _)),
     "q_rollup_stats"            -> (qRollupStats(_, _)),
     "q_completion_payload"      -> (qCompletionPayload(_, _)),
+    "q_job_market_data_e2e"     -> (qJobMarketDataE2e(_, _)),
+    "q_job_historical_e2e"      -> (qJobHistoricalE2e(_, _)),
     "q_range_band"              -> (qRangeBand(_, _)),
     "q_approx_users"            -> (qApproxUsers(_, _)),
     "q_coverage_map"            -> (qCoverageMap(_, _)),
@@ -577,6 +639,38 @@ object SparkEntry {
         |       '{"asset_type":"' || c_mktsegment || '","record_count":' || record_count::VARCHAR
         |         || ',"total_batches":' || total_batches::VARCHAR || ',"status":"complete"}' AS payload
         |FROM s""".stripMargin,
+    "q_job_market_data_e2e" ->
+      """WITH ev AS (SELECT user_id, event_type, value, ts, event_id FROM events),
+        |store AS (SELECT * FROM ev WHERE ts < TIMESTAMP '2024-01-20'
+        |          QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1),
+        |quotes AS (SELECT * FROM ev WHERE ts >= TIMESTAMP '2024-01-20'
+        |           QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1),
+        |requests AS (SELECT DISTINCT user_id, event_type FROM ev),
+        |needed AS (SELECT r.* FROM requests r
+        |           WHERE NOT EXISTS (SELECT 1 FROM store s
+        |                             WHERE s.user_id = r.user_id AND s.event_type = r.event_type)),
+        |fetched AS (SELECT q.* FROM needed n JOIN quotes q USING (user_id, event_type)),
+        |merged AS (SELECT * FROM (SELECT * FROM store UNION ALL SELECT * FROM fetched)
+        |           QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT user_id AS symbol, event_type AS asset_type, value AS price, ts AS updated_at FROM merged""".stripMargin,
+    "q_job_historical_e2e" ->
+      """WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS date, o_totalprice,
+        |                  o_orderdate, o_orderkey FROM orders),
+        |store AS (SELECT o_custkey, date, o_totalprice FROM o WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        |          QUALIFY row_number() OVER (PARTITION BY o_custkey, date ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
+        |spine AS (SELECT c_custkey AS o_custkey,
+        |                 unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01', INTERVAL 1 MONTH))::DATE AS month
+        |          FROM customer),
+        |cov AS (SELECT DISTINCT o_custkey, date AS month FROM store),
+        |miss AS (SELECT s.o_custkey, s.month FROM spine s
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.o_custkey = s.o_custkey AND c.month = s.month)),
+        |gaps AS (SELECT o_custkey, min(month) AS gap_start, max(month) AS gap_end FROM miss GROUP BY 1),
+        |fetched AS (SELECT o.* FROM o JOIN gaps g
+        |            ON o.o_custkey = g.o_custkey AND o.date >= g.gap_start AND o.date <= g.gap_end),
+        |monthly AS (SELECT o_custkey, date, o_totalprice FROM fetched
+        |            QUALIFY row_number() OVER (PARTITION BY o_custkey, date ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
+        |SELECT o_custkey AS symbol, date, max(o_totalprice) AS price
+        |FROM (SELECT * FROM store UNION ALL SELECT * FROM monthly) GROUP BY 1, 2""".stripMargin,
     "q_range_band" ->
       """WITH bands(band_id, lo, hi) AS (VALUES
         |  (1::BIGINT, 0.0, 10.0), (2::BIGINT, 10.0, 20.0), (3::BIGINT, 20.0, 30.0),

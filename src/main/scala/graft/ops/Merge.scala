@@ -38,6 +38,29 @@ object Merge {
   def upsert(previous: DataFrame, delta: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame =
     lastWins(previous.unionByName(delta), keys, orderBy)
 
+  /** Skew-safe last-wins: two-phase reduction — a partial latest-pick per
+    * (key, salt) bucket collapses a hot key's rows map-side-ish before the
+    * final per-key pick, so no single reducer sorts a whale key's entire
+    * history. Result is identical to [[lastWins]] (max is associative);
+    * checked by MergeSpec. Use when key skew is known; plain [[latestByKey]]
+    * already gets partial-aggregation for the agg form.
+    */
+  def lastWinsSalted(
+      df: DataFrame,
+      keys: Seq[String],
+      versionCols: Seq[String],
+      payloadCols: Seq[String],
+      saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(xxhash64(versionCols.map(col): _*), lit(saltBuckets)))
+    val partial = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(max_by(
+        struct((payloadCols ++ versionCols).map(col): _*),
+        struct(versionCols.map(col): _*)).as("__p"))
+      .select(keys.map(col) ++ (payloadCols ++ versionCols).map(c => col(s"__p.$c").as(c)): _*)
+    latestByKey(partial, keys, versionCols, payloadCols)
+  }
+
   /** Persist a store relation partitioned by a low-cardinality key column
     * (month date for the monthly table, asset_type for snapshots): at 100 TB
     * the store must be laid out so incremental reads prune — a gap-detection

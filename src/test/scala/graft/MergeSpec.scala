@@ -49,6 +49,18 @@ class MergeSpec extends AnyFunSuite {
     assert(allMonths > 10)
   }
 
+  test("lastWinsSalted equals lastWins on a hot-key distribution") {
+    val hot = (1L to 5000L).map(i => ("WHALE", "STOCK", i.toDouble, i)) ++
+      Seq(("AAPL", "STOCK", 1.0, 1L), ("AAPL", "STOCK", 2.0, 2L))
+    val df = hot.toDF("symbol", "asset_type", "price", "v")
+    val plain = Merge.lastWins(df, Seq("symbol", "asset_type"), Seq(col("v")))
+      .select("symbol", "price").as[(String, Double)].collect().toSet
+    val salted = Merge.lastWinsSalted(df, Seq("symbol", "asset_type"), Seq("v"), Seq("price"))
+      .select("symbol", "price").as[(String, Double)].collect().toSet
+    assert(salted == plain)
+    assert(salted == Set(("WHALE", 5000.0), ("AAPL", 2.0)))
+  }
+
   test("MetricsListener records completed query executions (A14 log-sink parity)") {
     val listener = graft.tools.MetricsListener.attach(spark)
     try {
