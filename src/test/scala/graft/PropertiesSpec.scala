@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, Incremental, Merge}
+
+/** Property-based checks (SURVEY §5's upgrade over the reference's
+  * example-based tests): algebraic invariants of merge/gap/jaccard operators
+  * over generated inputs. Generators are driven directly from ScalaCheck
+  * with a fixed seed (deterministic; no scalatest bridge in the offline
+  * dependency set).
+  */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default.withSize(30)
+    Iterator
+      .iterate((Seed(42L), Option.empty[A])) { case (s, _) =>
+        (s.next, Some(g.pureApply(params, s)))
+      }
+      .drop(1).take(n).flatMap(_._2).toSeq
+  }
+
+  private val tickGen: Gen[List[(String, Double, Long)]] = Gen.listOf(
+    for {
+      sym <- Gen.oneOf("A", "B", "C", "D")
+      price <- Gen.choose(1.0, 1000.0)
+      v <- Gen.choose(1L, 50L)
+    } yield (sym, price, v)).suchThat(_.nonEmpty)
+
+  test("property: lastWins is idempotent and re-delivery-insensitive") {
+    samples(tickGen, 8).foreach { ticks =>
+      val df = ticks.toDF("symbol", "price", "v")
+      // (sym, v) can collide with different prices — price is the tiebreaker
+      val order = Seq(col("v"), col("price"))
+      val once = Merge.lastWins(df, Seq("symbol"), order)
+      val a = once.collect().toSet
+      assert(Merge.lastWins(once, Seq("symbol"), order).collect().toSet == a)
+      assert(Merge.upsert(once, df, Seq("symbol"), order).collect().toSet == a)
+      assert(once.groupBy("symbol").count().filter(col("count") > 1).count() == 0)
+    }
+  }
+
+  test("property: upsert of the two slices is insensitive to slice order") {
+    samples(Gen.zip(tickGen, tickGen), 6).foreach { case (xs, ys) =>
+      val a = xs.toDF("symbol", "price", "v")
+      val b = ys.toDF("symbol", "price", "v")
+      val order = Seq(col("v"), col("price"))
+      val ab = Merge.upsert(a, b, Seq("symbol"), order).collect().toSet
+      val ba = Merge.upsert(b, a, Seq("symbol"), order).collect().toSet
+      assert(ab == ba)
+    }
+  }
+
+  test("property: gap detection partitions the spine (missing + covered = spine)") {
+    val covGen = Gen.listOf(for {
+      sym <- Gen.oneOf("X", "Y")
+      m <- Gen.choose(0, 11)
+    } yield (sym, java.sql.Date.valueOf(f"2024-${m + 1}%02d-15")))
+    samples(covGen, 8).foreach { cov =>
+      val requested = Seq("X", "Y").toDF("symbol")
+      val stored = cov.toDF("symbol", "d")
+      val gaps = Incremental
+        .gapDetection(
+          requested, stored, Seq("symbol"), "d",
+          lit("2024-01-01").cast("date"), lit("2024-12-01").cast("date"))
+        .select("symbol", "missing_months").as[(String, Long)].collect().toMap
+      val coveredMonths =
+        cov.groupBy(_._1).view.mapValues(_.map(_._2.toString.substring(0, 7)).toSet.size).toMap
+      Seq("X", "Y").foreach { s =>
+        assert(gaps.getOrElse(s, 0L) + coveredMonths.getOrElse(s, 0) == 12L, s"symbol $s")
+      }
+    }
+  }
+
+  test("property: jaccard pairs are bounded, canonical and complete on identical docs") {
+    val docGen = Gen.listOfN(8, Gen.chooseNum(0, 3)).map { seeds =>
+      seeds.zipWithIndex.map { case (s, i) =>
+        (i.toLong, (0 to 6).map(j => s"w${(s + j) % 9}").mkString(" "))
+      }
+    }
+    samples(docGen, 6).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val pairs = DedupOps.jaccardPairs(df, "doc_id", "text", 3, 0.0)
+        .as[(Long, Long, Double)].collect()
+      assert(pairs.forall { case (a, b, j) => a < b && j >= 0.0 && j <= 1.0 })
+      val identical = docs.groupBy(_._2).values.filter(_.size > 1)
+        .flatMap(g => g.map(_._1).sorted.combinations(2).map(c => (c(0), c(1)))).toSet
+      val found = pairs.filter(_._3 == 1.0).map(p => (p._1, p._2)).toSet
+      assert(identical.subsetOf(found))
+    }
+  }
+}
