@@ -281,8 +281,8 @@ object SparkEntry {
 
   /** B6 — JSON payload parse with shape guard. */
   def qPayloadParse(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .withColumn("payload", from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))))
+    Relational
+      .parsePayload(Tables.events(spark, dir), "props", "k INT")
       .filter(col("payload.k").isNotNull)
       .select(col("event_id"), col("payload.k").as("k"))
 

@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.DedupOps
+
+/** Scaling smoke for the dedup pipelines: replicate the documents corpus
+  * K× with per-copy perturbation (every 5th token salted, so copies do NOT
+  * near-dup each other and the planted dup structure stays constant per
+  * copy), then time MinHash-LSH and exact-Jaccard dedup at each K. The
+  * numbers demonstrate the candidate-join growth is governed by real dup
+  * structure, not corpus size² — the property that keeps shingle/LSH dedup
+  * viable at 100 TB.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+
+    def copyK(k: Int): DataFrame =
+      (0 until k).map { c =>
+        base.select(
+          (col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+          concat_ws(" ", transform(
+            split(trim(col("text")), "\\s+"),
+            (t, i) => when(pmod(i, lit(5)) === 0, concat(t, lit("_c"), lit(c))).otherwise(t))).as("text"))
+      }.reduce(_ unionByName _)
+
+    println("k,docs,op,seconds,pairs")
+    Seq(1, 2, 4, 8).foreach { k =>
+      val corpus = copyK(k).cache()
+      val n = corpus.count()
+      Seq(
+        ("minhash", () => DedupOps.minhashLshPairs(corpus, "doc_id", "text", 3, 0.5).count()),
+        ("jaccard", () => DedupOps.jaccardPairs(corpus, "doc_id", "text", 3, 0.5).count())
+      ).foreach { case (name, f) =>
+        spark.sharedState.cacheManager.clearCache()
+        corpus.cache().count()
+        val t0 = System.nanoTime()
+        val pairs = f()
+        println(s"$k,$n,$name,${(System.nanoTime() - t0) / 1e9},$pairs")
+      }
+      corpus.unpersist()
+    }
+    spark.stop()
+  }
+}

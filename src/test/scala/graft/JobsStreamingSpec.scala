@@ -106,6 +106,20 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(snaps(("BTC", 1L)) == 7.0)
   }
 
+  test("completionPayload serializes the stats row for the completion topic (A2)") {
+    val stats = Seq((42L, 1L, 40L, "complete"))
+      .toDF("record_count", "total_batches", "total_assets", "status")
+    val out = Streaming.completionPayload(stats, "MARKET_DATA_UPDATE_COMPLETE")
+      .as[(String, String)].collect()
+    assert(out.length == 1)
+    val (topic, value) = out.head
+    assert(topic == "MARKET_DATA_UPDATE_COMPLETE")
+    val parsed = spark.read.json(Seq(value).toDS())
+    val row = parsed.select("record_count", "total_batches", "total_assets", "status")
+      .as[(Long, Long, Long, String)].head()
+    assert(row == ((42L, 1L, 40L, "complete")))
+  }
+
   test("topic routing dispatches known topics, tags unknown") {
     val msgs = Seq(
       ("MARKET_DATA_UPDATE_REQUEST", "{}"), ("HISTORICAL_MARKET_DATA_REQUEST", "{}"),
