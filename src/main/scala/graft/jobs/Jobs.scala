@@ -82,6 +82,30 @@ object Jobs {
     JobResult(updated, completion)
   }
 
+  /** §3.3 error path — stale-on-error fallback
+    * (`fetch_market_index_data.py:205-221`): if the fetch (or any downstream
+    * step) throws, serve the cached rows for the requested symbols with a
+    * degraded status instead of failing the job.
+    */
+  def indexUpdateWithFallback(
+      requests: DataFrame,
+      store: DataFrame,
+      fetchQuotes: () => DataFrame,
+      now: Column): JobResult =
+    try {
+      val r = indexUpdate(requests, store, fetchQuotes(), now)
+      r.store.count() // force evaluation so fetch-time failures surface here
+      r
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        val cached = store.join(requests, Seq("symbol"), "left_semi")
+        val completion = cached
+          .agg(count(lit(1)).as("record_count"), countDistinct(col("symbol")).as("total_symbols"))
+          .withColumn("total_batches", lit(0L))
+          .withColumn("status", lit("stale_fallback"))
+        JobResult(store, completion)
+    }
+
   /** B15 — retry-queue partition: split a fetch-attempt relation into
     * succeeded / retryable / skipped by error class (the reference's
     * `handle_api_error`: 429 → retry, 404 → skip, `etl/fetch_utils.py:235-258`).

@@ -63,6 +63,22 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(r.store.count() == 1)
   }
 
+  test("indexUpdate stale-on-error fallback serves cached rows with degraded status") {
+    val requests = Seq("^GSPC", "^NDX").toDF("symbol")
+    val store = Seq(("^GSPC", 5000.0)).toDF("symbol", "price")
+    val r = graft.jobs.Jobs.indexUpdateWithFallback(
+      requests, store,
+      () => throw new RuntimeException("simulated API outage"),
+      current_timestamp())
+    assert(r.completion.select("status").as[String].head() == "stale_fallback")
+    assert(r.completion.select("record_count").as[Long].head() == 1L) // only ^GSPC cached
+    assert(r.store.collect().toSeq.nonEmpty)
+  }
+
+  test("driver smoke contract: entry() returns rows on sf0.001") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("streaming snapshot merge equals batch merge over the same ticks (MemoryStream)") {
     implicit val sqlCtx = spark.sqlContext
     val ticks = Seq(

@@ -83,6 +83,27 @@ class SchemasSpec extends AnyFunSuite {
       ("^NDX", 19876.5, -45.6, -0.23, 19950.0, 19800.0)))
   }
 
+  test("typed storage rows: engine snapshot round-trips through Dataset[MarketData]") {
+    import graft.schemas.Typed.MarketData
+    val snap = graft.SparkEntry.qLatestSnapshotUpsert(spark, TestSpark.sf0001)
+      .select(
+        col("symbol").cast("string").as("symbol"),
+        col("asset_type"),
+        col("price"),
+        col("percent_change"),
+        col("change"),
+        lit(null).cast("double").as("high"),
+        lit(null).cast("double").as("low"),
+        col("updated_at").cast("timestamp").as("updated_at"))
+      .as[MarketData]
+    val rows = snap.collect()
+    assert(rows.nonEmpty)
+    // compile-time field access + typed transform
+    val maxPrice = snap.map(_.price).reduce(math.max _)
+    assert(rows.map(_.price).max == maxPrice)
+    assert(rows.forall(_.high.isEmpty))
+  }
+
   test("request payloads parse with shape guards") {
     val req = """{"assets":[{"symbol":"AAPL","asset_type":"STOCK"},{"symbol":"BTC","asset_type":"CRYPTO"}],
                 |"start_date":"2020-01-01","end_date":"2024-12-31"}""".stripMargin.replace("\n", "")
