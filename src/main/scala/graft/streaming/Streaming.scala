@@ -58,6 +58,21 @@ object Streaming {
       lit(topic).as("topic"),
       to_json(struct(df.columns.map(col): _*)).as("value"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same content key
+    * within the watermark horizon (`dropDuplicatesWithinWatermark` — state
+    * per key is evicted once the watermark passes, so dedup state is bounded
+    * by the horizon's key arrival rate, not the stream's history; the
+    * streaming leg of DedupOps.exactDedup for at-least-once document feeds).
+    */
+  def dedupWithinWatermark(
+      stream: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      horizon: String): DataFrame =
+    stream
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** A tick on the input stream and the stateful snapshot emitted per key. */
   case class Tick(symbol: String, asset_type: String, price: Double, seq: Long)
   case class TickState(price: Double, seq: Long, n_updates: Long)

@@ -63,6 +63,24 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(r.store.count() == 1)
   }
 
+  test("streaming dedup within watermark drops re-delivered fingerprints") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val df = stream.toDF().toDF("fingerprint", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .select("fingerprint", "ts")
+    val deduped = Streaming.dedupWithinWatermark(df, "ts", Seq("fingerprint"), "10 minutes")
+    val q = deduped.writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    stream.addData(("doc_a", "2024-01-01 00:00:00"), ("doc_b", "2024-01-01 00:01:00"))
+    q.processAllAvailable()
+    // re-delivery of doc_a within the horizon + a fresh doc
+    stream.addData(("doc_a", "2024-01-01 00:02:00"), ("doc_c", "2024-01-01 00:03:00"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").select("fingerprint").as[String].collect().toSeq
+    assert(got.sorted == Seq("doc_a", "doc_b", "doc_c"))
+  }
+
   test("indexUpdate stale-on-error fallback serves cached rows with degraded status") {
     val requests = Seq("^GSPC", "^NDX").toDF("symbol")
     val store = Seq(("^GSPC", 5000.0)).toDF("symbol", "price")
