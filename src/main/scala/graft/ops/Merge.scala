@@ -71,6 +71,23 @@ object Merge {
   def writePartitionedStore(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
 
+  /** Persist a store as a BUCKETED table on its merge key: joins and
+    * last-wins merges against a store bucketed on the same key need no
+    * shuffle of the store side (the dominant side at 100 TB — the delta is
+    * small by construction). Requires a catalog table (`saveAsTable`);
+    * `sortBy` within buckets lets the merge window skip the sort too.
+    */
+  def writeBucketedStore(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
+
   /** B12 — current-period last-value pick (`api_data[-1]`,
     * `fetch_historical_market_data.py:50-61`): keep only the latest row per
     * key, expressed with `max_by(struct(payload), struct(version))` — a

@@ -62,6 +62,7 @@ object Relational {
       df: DataFrame,
       typeCol: String,
       routes: Seq[(String, String)]): DataFrame = {
+    require(routes.nonEmpty, "dispatchAssetType needs at least one route")
     val known = routes.map(_._1)
     val route = routes.tail.foldLeft(
       when(col(typeCol) === routes.head._1, lit(routes.head._2))) {

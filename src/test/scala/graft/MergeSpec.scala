@@ -49,6 +49,20 @@ class MergeSpec extends AnyFunSuite {
     assert(allMonths > 10)
   }
 
+  test("bucketed store: aggregation on the bucket key has no Exchange for the store side") {
+    val monthly = graft.SparkEntry.qMonthlyLastClose(spark, TestSpark.sf0001)
+    Merge.writeBucketedStore(monthly, "monthly_bucketed", Seq("symbol"), 8)
+    try {
+      val store = spark.table("monthly_bucketed")
+      // per-key aggregation over the bucketed store: bucketing satisfies the
+      // required hash distribution, so no shuffle of the store
+      val agg = store.groupBy("symbol").agg(max(col("price")).as("p"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(agg.count() > 0)
+    } finally spark.sql("DROP TABLE IF EXISTS monthly_bucketed")
+  }
+
   test("lastWinsSalted equals lastWins on a hot-key distribution") {
     val hot = (1L to 5000L).map(i => ("WHALE", "STOCK", i.toDouble, i)) ++
       Seq(("AAPL", "STOCK", 1.0, 1L), ("AAPL", "STOCK", 2.0, 2L))
