@@ -505,7 +505,12 @@ object SparkEntry {
   def qSimhashDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.simhashPairs(Tables.documents(spark, dir), "doc_id", "text")
 
-  /** Brute-force cosine top-10 for probe vectors vec_id < 20. */
+  /** Brute-force cosine top-10 for probe vectors vec_id < 20. Window-rank
+    * form here (faster at this corpus size); the bounded-heap aggregator
+    * form (SimilarityOps.knnBruteAgg — map-side partial top-k, the winning
+    * shape once per-probe candidate sets dwarf k·partitions) is proven
+    * row-identical in SimilaritySpec.
+    */
   def qEmbeddingKnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     SimilarityOps.knnBrute(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)

@@ -63,6 +63,39 @@ object SimilarityOps {
       .select(col("probe_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Exact cosine top-k via the bounded-heap aggregator
+    * (graft.functions.TopKAggregator): identical result to [[knnBrute]]
+    * (same (sim desc, id) total order) but the per-probe reduction happens
+    * map-side — each partition shuffles at most k candidates per probe
+    * instead of all |corpus| scored rows, the winning shape when the
+    * candidate set per probe is huge.
+    */
+  def knnBruteAgg(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    val c = prepared(corpus, idCol, vecCol)
+    val p = prepared(probes, idCol, vecCol)
+      .select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    c.join(broadcast(p), col(idCol) =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        (dot(col("pv"), col("v")) / (col("pn") * col("nrm"))).as("score"),
+        col(idCol).as("id"))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("score"), col("id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(
+        col("probe_id"),
+        col("entry.id").as("neighbor_id"),
+        col("entry.score").as("sim"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** IVF approximate top-k with k-means coarse quantization: vectors are
     * L2-normalized (so Euclidean k-means clusters by cosine direction), a
     * small KMeans fit produces the `nLists` centroids, every corpus vector

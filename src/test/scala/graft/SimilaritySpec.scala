@@ -25,6 +25,17 @@ class SimilaritySpec extends AnyFunSuite {
     })
   }
 
+  test("knnBruteAgg (heap aggregator) returns exactly the window-rank result") {
+    val probes = emb.filter(col("vec_id") < 10)
+    val win = SimilarityOps.knnBrute(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val agg = SimilarityOps.knnBruteAgg(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(agg == win)
+  }
+
   test("graft_dot: matches HOF fold bitwise; null/empty/ragged handling") {
     import graft.functions.VectorFunctions.graft_dot
     import org.apache.spark.sql.functions.{aggregate => agg_, _}
