@@ -54,11 +54,28 @@ object DedupOps {
   /** Candidate pairs sharing ≥1 bucket value, with the shared-bucket count.
     * Input: (id, bucket). Output: (doc_a, doc_b, common) with doc_a < doc_b.
     */
+  /** Candidate pairs via posting lists: group ids per bucket, emit each
+    * bucket's id-combinations directly (ordered pairs a<b from the sorted
+    * list), then count shared buckets per pair. One shuffle on the bucket +
+    * one on the pair — strictly cheaper than the naive self-join, which
+    * shuffles the exploded relation twice and materializes the join
+    * intermediate. Hot buckets must be capped upstream (maxDocFreq) since a
+    * bucket of m docs emits m(m-1)/2 pairs — true of ANY pairing strategy.
+    */
   private def bucketPairs(exploded: DataFrame, idCol: String, bucketCol: String): DataFrame = {
-    val a = exploded.select(col(idCol).as("doc_a"), col(bucketCol).as("__ba"))
-    val b = exploded.select(col(idCol).as("doc_b"), col(bucketCol).as("__bb"))
-    a.join(b, col("__ba") === col("__bb") && col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    val posting = exploded
+      .groupBy(col(bucketCol))
+      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+    val pairs = posting.select(explode(bindOnce(col("__ids")) { ids =>
+      flatten(transform(
+        ids,
+        (x, i) => transform(
+          slice(ids, i + lit(2), size(ids)),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))
+    }).as("__p"))
+    pairs
+      .groupBy(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
   }
 
