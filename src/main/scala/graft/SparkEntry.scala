@@ -715,7 +715,8 @@ object SparkEntry {
         |       len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS uniq_tokens,
         |       length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
         |         / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS avg_token_len,
-        |       len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE AS punct_ratio
+        |       CASE WHEN length(text) > 0
+        |            THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE END AS punct_ratio
         |FROM documents""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws_tokens,
@@ -741,7 +742,8 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT doc_id,
         |         len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n_tokens,
-        |         len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE AS punct_ratio,
+        |         CASE WHEN length(text) > 0
+        |              THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE END AS punct_ratio,
         |         len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
         |           / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS stopword_ratio
         |  FROM documents)

@@ -33,7 +33,10 @@ object TextOps {
       nTokens.as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("uniq_tokens"),
       (tokenChars.cast("double") / nTokens.cast("double")).as("avg_token_len"),
-      (regexp_count(t, lit("[.,;:!?]")).cast("double") / length(t).cast("double")).as("punct_ratio"))
+      // empty docs: NULL ratio, not a DIVIDE_BY_ZERO job abort (ANSI mode)
+      when(length(t) > 0,
+        regexp_count(t, lit("[.,;:!?]")).cast("double") / length(t).cast("double"))
+        .as("punct_ratio"))
   }
 
   /** Token counting: plain whitespace tokens plus a BPE-ish segmentation
@@ -80,7 +83,8 @@ object TextOps {
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val nTokens = size(tokens(t)).cast("double")
-    val punctRatio = regexp_count(t, lit("[.,;:!?]")).cast("double") / length(t).cast("double")
+    val punctRatio = when(length(t) > 0,
+      regexp_count(t, lit("[.,;:!?]")).cast("double") / length(t).cast("double"))
     val stopRatio =
       regexp_count(lower(t), lit("\\b(the|and|of|is|to|in|a)\\b")).cast("double") / nTokens
     df.select(

@@ -50,6 +50,24 @@ class DedupTextSpec extends AnyFunSuite {
     assert(out.toSet.subsetOf(Set("en", "de", "fr", "es")))
   }
 
+  test("qualityScore is bounded in [0,1] over the corpus") {
+    val scores = TextOps.qualityScore(docs, "doc_id", "text")
+      .select("quality").as[Double].collect()
+    assert(scores.nonEmpty)
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("text ops degrade gracefully on empty/whitespace-only documents") {
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
+    val stats = TextOps.textStats(edge, "doc_id", "text").collect()
+    assert(stats.length == 3) // no exception, one row each
+    val sh = graft.ops.DedupOps.shingles(edge, "doc_id", "text", 3)
+      .select("doc_id", "sh").as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).isEmpty && sh(2L).isEmpty && sh(3L).isEmpty)
+    val pairs = graft.ops.DedupOps.jaccardPairs(edge, "doc_id", "text", 3, 0.5).count()
+    assert(pairs == 0)
+  }
+
   test("fingerprint is invariant to whitespace/case noise") {
     val crafted = Seq((1L, "Hello   World"), (2L, "  hello world "), (3L, "hello worlds"))
       .toDF("doc_id", "text")
