@@ -58,7 +58,8 @@ object SparkEntry {
         col("event_type").as("asset_type"),
         col("value").as("price"),
         (col("value") - col("prev_value")).as("change"),
-        ((col("value") - col("prev_value")) / col("prev_value") * lit(100)).as("percent_change"),
+        when(col("prev_value") =!= 0,
+          (col("value") - col("prev_value")) / col("prev_value") * lit(100)).as("percent_change"),
         col("ts").cast("timestamp_ntz").as("updated_at"))
   }
 
@@ -432,7 +433,8 @@ object SparkEntry {
     val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
     monthly
       .withColumn("prev_price", lag(col("price"), 1).over(w))
-      .withColumn("pct_change", (col("price") - col("prev_price")) / col("prev_price") * lit(100))
+      .withColumn("pct_change",
+        when(col("prev_price") =!= 0, (col("price") - col("prev_price")) / col("prev_price") * lit(100)))
       .select(col("symbol"), col("date"), col("price"), col("pct_change"))
   }
 
@@ -699,7 +701,9 @@ object SparkEntry {
         |l AS (SELECT symbol, date, price,
         |             lag(price) OVER (PARTITION BY symbol ORDER BY date) AS prev_price
         |      FROM m)
-        |SELECT symbol, date, price, (price - prev_price) / prev_price * 100 AS pct_change FROM l""".stripMargin,
+        |SELECT symbol, date, price,
+        |       CASE WHEN prev_price <> 0 THEN (price - prev_price) / prev_price * 100 END AS pct_change
+        |FROM l""".stripMargin,
     "q_dedup_rate" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
         |       count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_distinct_norm,
@@ -778,9 +782,10 @@ object SparkEntry {
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
         |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM n WHERE vec_id < 20),
-        |j AS (SELECT probe_id, vec_id, list_dot_product(pv, v) / (pn * nrm) AS sim
+        |j AS (SELECT probe_id, vec_id,
+        |             CASE WHEN pn * nrm > 0 THEN list_dot_product(pv, v) / (pn * nrm) END AS sim
         |      FROM p, n WHERE vec_id <> probe_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank FROM j)
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC NULLS LAST, vec_id) AS rank FROM j)
         |SELECT probe_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
     "q_latest_snapshot_upsert" ->
       """WITH w AS (
@@ -790,7 +795,7 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id AS symbol, event_type AS asset_type, value AS price,
         |       value - prev_value AS change,
-        |       (value - prev_value) / prev_value * 100 AS percent_change,
+        |       CASE WHEN prev_value <> 0 THEN (value - prev_value) / prev_value * 100 END AS percent_change,
         |       ts AS updated_at
         |FROM w WHERE rn = 1""".stripMargin,
     "q_merge_last_wins" ->

@@ -34,6 +34,13 @@ object SimilarityOps {
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Cosine from a precomputed dot and the two norms, NULL when either
+    * vector has zero norm — ANSI mode turns a double division by zero into a
+    * job abort, and one zero vector must not kill a corpus-wide search.
+    */
+  def cosine(dotCol: Column, n1: Column, n2: Column): Column =
+    when(n1 * n2 > 0, dotCol / (n1 * n2))
+
   /** Corpus with embeddings cast to double and pre-computed norms. */
   def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(
@@ -55,7 +62,7 @@ object SimilarityOps {
       .select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
     val scored = c
       .join(broadcast(p), col(idCol) =!= col("probe_id"))
-      .withColumn("sim", dot(col("pv"), col("v")) / (col("pn") * col("nrm")))
+      .withColumn("sim", cosine(dot(col("pv"), col("v")), col("pn"), col("nrm")))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -84,7 +91,7 @@ object SimilarityOps {
     c.join(broadcast(p), col(idCol) =!= col("probe_id"))
       .select(
         col("probe_id"),
-        (dot(col("pv"), col("v")) / (col("pn") * col("nrm"))).as("score"),
+        (cosine(dot(col("pv"), col("v")), col("pn"), col("nrm"))).as("score"),
         col(idCol).as("id"))
       .groupBy(col("probe_id"))
       .agg(topk(col("score"), col("id")).as("top"))
@@ -116,7 +123,8 @@ object SimilarityOps {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = prepared(corpus, idCol, vecCol)
-      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      // zero-norm vectors normalize to the zero vector, not a division abort
+      .withColumn("vn", transform(col("v"), x => when(col("nrm") > 0, x / col("nrm")).otherwise(lit(0.0))))
       .cache()
     val feat = c.withColumn("features", array_to_vector(col("vn")))
     val model = new KMeans()
@@ -143,7 +151,7 @@ object SimilarityOps {
     val scored = assigned
       .join(broadcast(probeLists), Seq("list_id"))
       .filter(col(idCol) =!= col("probe_id"))
-      .withColumn("sim", dot(col("pv"), col("v")) / (col("pn") * col("nrm")))
+      .withColumn("sim", cosine(dot(col("pv"), col("v")), col("pn"), col("nrm")))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -175,7 +183,7 @@ object SimilarityOps {
     val assignW = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("list_id"))
     val assigned = c
       .join(broadcast(centroids), lit(true))
-      .withColumn("csim", dot(col("cv"), col("v")) / (col("cn") * col("nrm")))
+      .withColumn("csim", cosine(dot(col("cv"), col("v")), col("cn"), col("nrm")))
       .withColumn("crank", row_number().over(assignW))
       .filter(col("crank") === 1)
       .select(col(idCol), col("v"), col("nrm"), col("list_id"))
@@ -185,7 +193,7 @@ object SimilarityOps {
     val probeW = Window.partitionBy(col("probe_id")).orderBy(col("psim").desc, col("list_id"))
     val probeLists = broadcast(p)
       .join(broadcast(centroids), lit(true))
-      .withColumn("psim", dot(col("cv"), col("pv")) / (col("cn") * col("pn")))
+      .withColumn("psim", cosine(dot(col("cv"), col("pv")), col("cn"), col("pn")))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nProbe)
       .select(col("probe_id"), col("pv"), col("pn"), col("list_id"))
@@ -193,7 +201,7 @@ object SimilarityOps {
     val scored = assigned
       .join(broadcast(probeLists), Seq("list_id"))
       .filter(col(idCol) =!= col("probe_id"))
-      .withColumn("sim", dot(col("pv"), col("v")) / (col("pn") * col("nrm")))
+      .withColumn("sim", cosine(dot(col("pv"), col("v")), col("pn"), col("nrm")))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -59,6 +59,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ragged.as[Double].head() == 11.0)
   }
 
+  test("zero-norm vectors yield NULL sims instead of aborting the search") {
+    val crafted = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)), (3L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.knnBrute(crafted, crafted.filter(col("vec_id") === 1), "vec_id", "embedding", 2)
+      .select("neighbor_id", "sim").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(got(2L).isEmpty)          // zero vector: NULL sim, no crash
+    assert(got(3L).exists(_ > 0.6))  // real neighbor still scored
+  }
+
   test("knnIvfKmeans: k-means lists beat stride-sampled lists on recall") {
     val probes = emb.filter(col("vec_id") < 20)
     val brute = SimilarityOps.knnBrute(emb, probes, "vec_id", "embedding", 10)
