@@ -447,7 +447,8 @@ object SparkEntry {
         countDistinct(md5(TextOps.normalize(col("text")))).as("n_distinct_norm"))
       .withColumn(
         "dup_ratio",
-        lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double"))
+        when(col("n_docs") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double")))
 
   /** Embedding-corpus statistics: dimension bounds and exact total L2 norm
     * (decimal-summed — order-independent across any partitioning).
@@ -707,7 +708,8 @@ object SparkEntry {
     "q_dedup_rate" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
         |       count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_distinct_norm,
-        |       1.0 - count(DISTINCT md5(text))::DOUBLE / count(*)::DOUBLE AS dup_ratio
+        |       CASE WHEN count(*) > 0
+        |            THEN 1.0 - count(DISTINCT md5(text))::DOUBLE / count(*)::DOUBLE END AS dup_ratio
         |FROM documents""".stripMargin,
     "q_embedding_stats" ->
       """SELECT count(*) AS n_vectors, min(len(embedding)) AS min_dim, max(len(embedding)) AS max_dim,
