@@ -386,6 +386,44 @@ object SparkEntry {
           lit(",\"status\":\"complete\"}")).as("payload"))
   }
 
+  /** Multi-way star join: fact ⋈ orders ⋈ customer ⋈ nation with dimension
+    * broadcast and exact decimal revenue — the plan-quality staple (Catalyst
+    * reorders and broadcasts the dims; only the fact⋈orders equi-join
+    * shuffles).
+    */
+  def qStarJoinRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+
+  /** Rolling-frame analytics: 7-row trailing sum and average of each user's
+    * tick values (ordered frame window; sums through DECIMAL for
+    * order-independent results).
+    */
+  def qRollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rolling_sum",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn("rolling_n", count(lit(1)).over(w))
+      .select(
+        col("user_id").as("symbol"),
+        col("ts").cast("timestamp_ntz").as("event_ts"),
+        col("value").as("price"),
+        col("rolling_sum"),
+        col("rolling_n"))
+  }
+
   /** Range join: facts banded into broadcast value ranges (the engine's
     * theta-join form — broadcast nested-loop against a tiny bands dim, then
     * hash-aggregate; never a shuffle of facts on a range key).
@@ -571,6 +609,8 @@ object SparkEntry {
     "q_completion_payload"      -> (qCompletionPayload(_, _)),
     "q_job_market_data_e2e"     -> (qJobMarketDataE2e(_, _)),
     "q_job_historical_e2e"      -> (qJobHistoricalE2e(_, _)),
+    "q_star_join_revenue"       -> (qStarJoinRevenue(_, _)),
+    "q_rolling_window"          -> (qRollingWindow(_, _)),
     "q_range_band"              -> (qRangeBand(_, _)),
     "q_approx_users"            -> (qApproxUsers(_, _)),
     "q_coverage_map"            -> (qCoverageMap(_, _)),
@@ -679,6 +719,22 @@ object SparkEntry {
         |            QUALIFY row_number() OVER (PARTITION BY o_custkey, date ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
         |SELECT o_custkey AS symbol, date, max(o_totalprice) AS price
         |FROM (SELECT * FROM store UNION ALL SELECT * FROM monthly) GROUP BY 1, 2""".stripMargin,
+    "q_star_join_revenue" ->
+      """SELECT n_name, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q_rolling_window" ->
+      """SELECT user_id AS symbol, ts AS event_ts, value AS price,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_sum,
+        |       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_n
+        |FROM events""".stripMargin,
     "q_range_band" ->
       """WITH bands(band_id, lo, hi) AS (VALUES
         |  (1::BIGINT, 0.0, 10.0), (2::BIGINT, 10.0, 20.0), (3::BIGINT, 20.0, 30.0),
