@@ -424,6 +424,35 @@ object SparkEntry {
         col("rolling_n"))
   }
 
+  /** Sessionization: break a user's event stream into sessions on >30-min
+    * inactivity gaps — lag + cumulative-sum-of-breaks over one ordered
+    * window (single shuffle on the user key; the standard event-analytics
+    * building block).
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapS = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("is_new", when(gapS.isNull || gapS > 1800, lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(
+        col("user_id").as("symbol"),
+        col("ts").cast("timestamp_ntz").as("event_ts"),
+        col("event_type"),
+        col("session_seq"))
+  }
+
+  /** Exact per-type value quantiles (interpolated medians/p95). */
+  def qValueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+
   /** Range join: facts banded into broadcast value ranges (the engine's
     * theta-join form — broadcast nested-loop against a tiny bands dim, then
     * hash-aggregate; never a shuffle of facts on a range key).
@@ -609,6 +638,8 @@ object SparkEntry {
     "q_completion_payload"      -> (qCompletionPayload(_, _)),
     "q_job_market_data_e2e"     -> (qJobMarketDataE2e(_, _)),
     "q_job_historical_e2e"      -> (qJobHistoricalE2e(_, _)),
+    "q_sessionize"              -> (qSessionize(_, _)),
+    "q_value_quantiles"         -> (qValueQuantiles(_, _)),
     "q_star_join_revenue"       -> (qStarJoinRevenue(_, _)),
     "q_rolling_window"          -> (qRollingWindow(_, _)),
     "q_range_band"              -> (qRangeBand(_, _)),
@@ -719,6 +750,20 @@ object SparkEntry {
         |            QUALIFY row_number() OVER (PARTITION BY o_custkey, date ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
         |SELECT o_custkey AS symbol, date, max(o_totalprice) AS price
         |FROM (SELECT * FROM store UNION ALL SELECT * FROM monthly) GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT AS gap_s
+        |  FROM events),
+        |b AS (SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS is_new FROM g)
+        |SELECT user_id AS symbol, ts AS event_ts, event_type,
+        |       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |FROM b""".stripMargin,
+    "q_value_quantiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.95) AS p95,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "q_star_join_revenue" ->
       """SELECT n_name, count(*) AS n_items,
         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
