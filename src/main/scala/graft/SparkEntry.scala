@@ -164,7 +164,12 @@ object SparkEntry {
     store
       .unionByName(monthly)
       .groupBy(col("o_custkey"), col("date"))
-      .agg(max(col("o_totalprice")).as("price")) // store ∩ fetched disjoint by construction; max = pick
+      // Covered months INSIDE a symbol's coalesced [gap_start, gap_end] span
+      // are re-fetched from the full feed, so store ∩ fetched overlap and
+      // max(price) is a real tie-break (stale-wins-if-higher), not a no-op
+      // pick. Oracle uses the same max, so parity holds; the production-
+      // semantics EXCLUDED-wins variant is Jobs.historicalBackfill.
+      .agg(max(col("o_totalprice")).as("price"))
       .select(col("o_custkey").as("symbol"), col("date"), col("price"))
   }
 
@@ -291,9 +296,14 @@ object SparkEntry {
   // Step-4 grouping / batching / completion (B13, B14, B17)
   // =========================================================================
 
-  /** B13 — deterministic group→members bucketing. */
+  /** B13 — deterministic group→members bucketing (members packed to a
+    * comma-joined string for the driver's scalar row-hash compare; the
+    * relational array form is [[Batching.groupKeys]]).
+    */
   def qGroupByAssetType(spark: SparkSession, dir: String): DataFrame =
-    Batching.groupKeys(Tables.events(spark, dir), "event_type", "user_id")
+    Batching
+      .groupKeys(Tables.events(spark, dir), "event_type", "user_id")
+      .withColumn("members", array_join(transform(col("members"), m => m.cast("string")), ","))
 
   /** B14 — fixed-size batch assignment per group (request-side only). */
   def qBatchAssignment(spark: SparkSession, dir: String): DataFrame =
@@ -482,14 +492,19 @@ object SparkEntry {
         count(lit(1)).as("n_events"))
 
   /** B16 — coverage map: per symbol the sorted set of stored months (the
-    * relational form of the reference's `{symbol: set(dates)}` fold).
+    * relational form of the reference's `{symbol: set(dates)}` fold). The
+    * month set is emitted packed as a comma-joined string — the driver's
+    * row-hash compare needs scalar cells, and the packed form is also what
+    * the reference serializes into its completion payloads.
     */
   def qCoverageMap(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .select(col("o_custkey").as("symbol"), to_date(date_trunc("month", col("o_orderdate"))).as("month"))
       .groupBy(col("symbol"))
       .agg(
-        sort_array(collect_set(col("month"))).as("months"),
+        array_join(
+          transform(sort_array(collect_set(col("month"))), d => date_format(d, "yyyy-MM-dd")),
+          ",").as("months"),
         countDistinct(col("month")).as("n_months"))
 
   /** Month-over-month percent change on the monthly last-close series (the
@@ -757,8 +772,8 @@ object SparkEntry {
         |  FROM events),
         |b AS (SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS is_new FROM g)
         |SELECT user_id AS symbol, ts AS event_ts, event_type,
-        |       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |FROM b""".stripMargin,
     "q_value_quantiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.95) AS p95,
@@ -790,7 +805,7 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q_coverage_map" ->
       """SELECT o_custkey AS symbol,
-        |       list_sort(list(DISTINCT date_trunc('month', o_orderdate)::DATE)) AS months,
+        |       array_to_string(list_sort(list(DISTINCT date_trunc('month', o_orderdate)::DATE)), ',') AS months,
         |       count(DISTINCT date_trunc('month', o_orderdate)) AS n_months
         |FROM orders GROUP BY 1""".stripMargin,
     "q_monthly_pct_change" ->
@@ -976,7 +991,8 @@ object SparkEntry {
       """SELECT event_id, json_extract_string(props, '$.k')::INTEGER AS k FROM events
         |WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin,
     "q_group_by_asset_type" ->
-      """SELECT event_type, list_sort(list(DISTINCT user_id)) AS members, count(DISTINCT user_id) AS n_members
+      """SELECT event_type, array_to_string(list_sort(list(DISTINCT user_id)), ',') AS members,
+        |       count(DISTINCT user_id) AS n_members
         |FROM events GROUP BY 1""".stripMargin,
     "q_batch_assignment" ->
       """SELECT c_custkey AS symbol, c_mktsegment AS asset_type,

@@ -71,8 +71,16 @@ object Jobs {
         .select(col("symbol"), col("asset_type"), col("date"), col("close").as("price"), col("datetime")),
       Seq("symbol", "asset_type", "date"),
       Seq(col("datetime"))).drop("datetime")
+    // EXCLUDED-wins (ON CONFLICT DO UPDATE SET price = EXCLUDED.price,
+    // fetch_historical_market_data.py:92-103): a coalesced [gap_start,
+    // gap_end] span can re-fetch months the store already covers, and the
+    // freshly fetched value must ALWAYS replace the stored one — so order the
+    // merge by an explicit source-priority column (delta=1 > store=0), never
+    // by a payload value.
     val updated = Merge.upsert(
-      store, monthly, Seq("symbol", "asset_type", "date"), Seq(col("price")))
+      store.withColumn("__src", lit(0)),
+      monthly.withColumn("__src", lit(1)),
+      Seq("symbol", "asset_type", "date"), Seq(col("__src"))).drop("__src")
     val completion = monthly
       .agg(
         count(lit(1)).as("record_count"),
@@ -121,22 +129,31 @@ object Jobs {
   /** B15 — bounded semantic retry: re-drive only the retryable slice, at most
     * `maxRetries` extra passes (reference default 3; the 60s sleep is an
     * external concern injected by the caller between passes).
+    *
+    * Each pass's attempt relation is pinned with `localCheckpoint` before the
+    * status split: a live fetch source is nondeterministic, and without the
+    * pin the lazily-kept `ok` lineage would re-execute every pass's fetch at
+    * action time — retry decisions and the final output must come from ONE
+    * evaluation. An empty request set returns an empty DataFrame with
+    * `fetchOnce`'s schema (no passes run).
     */
   def fetchWithRetry(
       requests: DataFrame,
       fetchOnce: DataFrame => DataFrame, // returns rows + statusCol
       statusCol: String,
-      maxRetries: Int = 3): DataFrame = {
+      maxRetries: Int = 3,
+      keyCols: Seq[String] = Seq("symbol")): DataFrame = {
     var ok: Option[DataFrame] = None
     var pending = requests
     var pass = 0
     while (pass <= maxRetries && !pending.isEmpty) {
-      val (succeeded, retryable, _) = partitionByErrorClass(fetchOnce(pending), statusCol)
+      val attempt = fetchOnce(pending).localCheckpoint(true)
+      val (succeeded, retryable, _) = partitionByErrorClass(attempt, statusCol)
       ok = Some(ok.fold(succeeded)(_.unionByName(succeeded)))
-      pending = pending.join(retryable.select(col("symbol")), Seq("symbol"), "left_semi")
+      pending = pending.join(retryable.select(keyCols.map(col): _*), keyCols, "left_semi")
       pass += 1
     }
-    ok.get
+    ok.getOrElse(fetchOnce(requests.limit(0)).limit(0))
   }
 
   /** §3.3 MARKET_INDEX_DATA_UPDATE_REQUEST: cache-first short-circuit →

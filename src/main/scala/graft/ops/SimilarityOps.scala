@@ -93,6 +93,10 @@ object SimilarityOps {
         col("probe_id"),
         (cosine(dot(col("pv"), col("v")), col("pn"), col("nrm"))).as("score"),
         col(idCol).as("id"))
+      // zero-norm vectors score NULL; the aggregator's Entry.score is a
+      // primitive Double, so NULLs must drop here — same visible effect as
+      // knnBrute's NULLS-LAST ranking (all-null probes just return < k rows)
+      .filter(col("score").isNotNull)
       .groupBy(col("probe_id"))
       .agg(topk(col("score"), col("id")).as("top"))
       .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "entry")))

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -52,6 +53,45 @@ class JobsStreamingSpec extends AnyFunSuite {
     // Jan kept from store (10.0, not refetched-overwritten since gap excludes covered months...
     // actually Jan IS in the fetched span [Feb..Mar]? no: gap_start=Feb)
     assert(rows == Map("2024-01-01" -> 10.0, "2024-02-01" -> 13.0, "2024-03-01" -> 14.0))
+  }
+
+  test("historicalBackfill: non-contiguous gap — fresh fetch beats a higher stale store price") {
+    val requests = Seq(("AAPL", "STOCK")).toDF("symbol", "asset_type")
+    // store covers Jan and Mar; spine Jan..Apr → missing {Feb, Apr} coalesce
+    // to the span [Feb, Apr], which CONTAINS the covered Mar. The stored Mar
+    // price (99.0) is higher than the re-fetched one (14.0): EXCLUDED-wins
+    // means the fresh 14.0 must replace it regardless of magnitude.
+    val store = Seq(
+      ("AAPL", "STOCK", java.sql.Date.valueOf("2024-01-01"), 10.0),
+      ("AAPL", "STOCK", java.sql.Date.valueOf("2024-03-01"), 99.0)
+    ).toDF("symbol", "asset_type", "date", "price")
+    val series = Seq(
+      ("AAPL", "STOCK", Timestamp.valueOf("2024-02-10 00:00:00"), 12.0),
+      ("AAPL", "STOCK", Timestamp.valueOf("2024-03-05 00:00:00"), 14.0),
+      ("AAPL", "STOCK", Timestamp.valueOf("2024-04-02 00:00:00"), 16.0)
+    ).toDF("symbol", "asset_type", "datetime", "close")
+    val r = Jobs.historicalBackfill(
+      requests, store, series,
+      lit("2024-01-01").cast("date"), lit("2024-04-01").cast("date"))
+    val rows = r.store.select("date", "price").as[(java.sql.Date, Double)].collect()
+      .map { case (d, p) => d.toString -> p }.toMap
+    assert(rows == Map(
+      "2024-01-01" -> 10.0, // untouched (outside the gap span)
+      "2024-02-01" -> 12.0,
+      "2024-03-01" -> 14.0, // fresh fetch wins over stale 99.0
+      "2024-04-01" -> 16.0))
+  }
+
+  test("fetchWithRetry: empty request set returns an empty frame with fetchOnce's schema") {
+    val requests = Seq.empty[String].toDF("symbol")
+    var calls = 0
+    def fetchOnce(req: DataFrame): DataFrame = {
+      calls += 1
+      req.withColumn("status", lit("ok")).withColumn("price", lit(1.0))
+    }
+    val out = Jobs.fetchWithRetry(requests, fetchOnce, "status")
+    assert(out.columns.toSeq == Seq("symbol", "status", "price"))
+    assert(out.count() == 0)
   }
 
   test("indexUpdate: cache-first short-circuit when fully covered") {

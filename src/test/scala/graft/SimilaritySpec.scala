@@ -70,6 +70,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(3L).exists(_ > 0.6))  // real neighbor still scored
   }
 
+  test("knnBruteAgg survives zero-norm corpus vectors (NULL scores dropped pre-agg)") {
+    val crafted = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)), (3L, Seq(0.5f, 0.5f)), (4L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val probes = crafted.filter(col("vec_id") === 1)
+    val agg = SimilarityOps.knnBruteAgg(crafted, probes, "vec_id", "embedding", 3)
+      .select("neighbor_id", "sim", "rank").as[(Long, Double, Long)].collect()
+    // the zero vector contributes no row; real neighbors keep their ranking
+    assert(agg.map(_._1).toSet == Set(3L, 4L))
+    val win = SimilarityOps.knnBrute(crafted, probes, "vec_id", "embedding", 3)
+      .filter(col("sim").isNotNull)
+      .select("neighbor_id", "sim", "rank").as[(Long, Double, Long)].collect()
+    assert(agg.toSet == win.toSet)
+  }
+
   test("knnIvfKmeans: k-means lists beat stride-sampled lists on recall") {
     val probes = emb.filter(col("vec_id") < 20)
     val brute = SimilarityOps.knnBrute(emb, probes, "vec_id", "embedding", 10)
