@@ -25,6 +25,14 @@ object Bench {
       try (if (t == "events") Tables.events(spark, sfDir) else Tables(spark, sfDir, t)).count()
       catch { case _: Throwable => () }
     }
+    // JIT/classload warmup at the smallest scale factor (standard bench
+    // methodology): every query runs once on sf0.001 so one-time costs —
+    // MLlib class loading, codegen compilation, UDAF encoders — land here,
+    // and the measured pass times steady-state execution at the bench SF.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").count() } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

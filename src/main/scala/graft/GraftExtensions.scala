@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, MinHashSignature, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for SQL use. Wire with
@@ -13,24 +13,40 @@ import graft.functions.DotProduct
   * session use [[GraftExtensions.registerAll]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotProductDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private def build(args: Seq[Expression]): Expression = args match {
+  private def buildDot(args: Seq[Expression]): Expression = args match {
     case Seq(a, b) => DotProduct(a, b)
     case _ => throw new IllegalArgumentException("graft_dot expects exactly 2 arguments")
   }
 
-  val dotProductDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_dot"),
-    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-    build _)
+  private def buildSimhash(args: Seq[Expression]): Expression = args match {
+    case Seq(a) => SimHash64(a)
+    case _ => throw new IllegalArgumentException("graft_simhash expects exactly 1 argument")
+  }
+
+  private def buildMinhashSig(args: Seq[Expression]): Expression = args match {
+    case Seq(a, Literal(k: Int, _)) => MinHashSignature(a, k)
+    case _ => throw new IllegalArgumentException(
+      "graft_minhash_sig expects (array<bigint>, <int literal>)")
+  }
+
+  private val builders: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
+    ("graft_dot", buildDot _, classOf[DotProduct]),
+    ("graft_simhash", buildSimhash _, classOf[SimHash64]),
+    ("graft_minhash_sig", buildMinhashSig _, classOf[MinHashSignature]))
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    builders.map { case (name, b, cls) =>
+      (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), b)
+    }
 
   /** Register on a live session (used by tests and the Verify/Bench mains). */
   def registerAll(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", build, "built-in")
+    builders.foreach { case (name, b, _) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+    }
 }

@@ -51,6 +51,26 @@ object DedupOps {
           .otherwise(array().cast("array<string>"))
       }.as("sh"))
 
+  /** Distinct word n-gram shingles per document, HASHED to 64-bit longs:
+    * (id, sh: array<long>). All downstream set algebra (posting-list joins,
+    * intersections, minhash signatures) runs on fixed-width longs — an
+    * exploded shuffle moves 8-byte keys instead of n-word strings, and the
+    * intersect in the verification step compares longs. Distinctness and
+    * intersection sizes are preserved up to xxhash64 collisions
+    * (~|shingles|²/2⁶⁵ — negligible at any realistic corpus size).
+    */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(
+      col(idCol),
+      bindOnce(TextOps.tokens(col(textCol))) { toks =>
+        when(
+          size(toks) >= n,
+          array_distinct(transform(
+            sequence(lit(1), size(toks) - lit(n - 1)),
+            i => xxhash64(concat_ws(" ", slice(toks, i, lit(n)))))))
+          .otherwise(array().cast("array<bigint>"))
+      }.as("sh"))
+
   /** Candidate pairs sharing ≥1 bucket value, with the shared-bucket count.
     * Input: (id, bucket). Output: (doc_a, doc_b, common) with doc_a < doc_b.
     */
@@ -91,7 +111,7 @@ object DedupOps {
       n: Int,
       threshold: Double,
       maxDocFreq: Int = 0): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    val sh = hashedShingles(df, idCol, textCol, n).cache()
     val sizes = sh.select(col(idCol), size(col("sh")).as("n_sh"))
     val explodedAll = sh.select(col(idCol), explode(col("sh")).as("s"))
     val exploded =
@@ -115,15 +135,22 @@ object DedupOps {
     */
   def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
 
-  /** MinHash signature from pre-computed shingle hashes: permutation i
-    * re-mixes the base hash with the permutation index (`xxhash64(h, i)` over
-    * fixed-width longs — no string allocation, no re-tokenization), so the
-    * signature costs |shingles| string hashes + 64·|shingles| long mixes —
-    * not 64 string re-hashes per shingle (which made the first cut ~20×
-    * slower). Affine h·aᵢ+bᵢ would be cheaper still but ANSI mode forbids
-    * wrapping long arithmetic.
+  /** MinHash signature from pre-computed shingle hashes — the native
+    * one-pass Catalyst kernel (graft.functions.MinHashSignature): permutation
+    * p takes `min over h of XXH64.hashLong(h, p)`. The HOF formulation
+    * ([[minhashSignatureHof]]) evaluates an interpreted lambda per
+    * (permutation × shingle); the native loop removes that overhead while
+    * keeping the same shape (k independent permutations of the base hashes).
     */
   def minhashSignature(hashes: Column, numHashes: Int): Column =
+    graft.functions.HashFunctions.graft_minhash_sig(hashes, numHashes)
+
+  /** Reference HOF formulation of the minhash signature (kept as the
+    * differential baseline for the native kernel; mixes with `xxhash64(h, i)`
+    * so values differ from [[minhashSignature]], but the min-of-permuted-
+    * hashes structure — and therefore LSH behavior — is the same).
+    */
+  def minhashSignatureHof(hashes: Column, numHashes: Int): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(hashes, h => xxhash64(h, i))))
@@ -143,13 +170,12 @@ object DedupOps {
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = shingles(df, idCol, textCol, n).filter(size(col("sh")) > 0).cache()
+    val sh = hashedShingles(df, idCol, textCol, n).filter(size(col("sh")) > 0).cache()
     // The cache() below is a correctness-of-cost barrier, not just reuse:
     // without it Catalyst's CollapseProject inlines the signature expression
-    // into every band projection (16×64 array transforms per row).
+    // into every band projection (16 signature recomputations per row).
     val sig = sh
-      .select(col(idCol), shingleHashes(col("sh")).as("hs"))
-      .select(col(idCol), minhashSignature(col("hs"), numHashes).as("sig"))
+      .select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
       .cache()
     // band bucket = (band index, hash of the band's slice of the signature)
     val banded = sig.select(
@@ -181,7 +207,14 @@ object DedupOps {
     * column (materialize it in a projection first) so the token hashing runs
     * once per document, not once per bit.
     */
-  def simhashFromHashes(hashes: Column): Column = {
+  def simhashFromHashes(hashes: Column): Column =
+    graft.functions.HashFunctions.graft_simhash(hashes)
+
+  /** Reference HOF formulation of the 64-bit simhash — bit-identical to the
+    * native kernel (checked in DedupTextSpec); kept as its differential
+    * baseline. 64 interpreted vote folds per document vs one native pass.
+    */
+  def simhashFromHashesHof(hashes: Column): Column = {
     // variable-distance shifts need the SQL shiftright/shiftleft (the Scala
     // helpers only take literal Int distances)
     def shr(v: Column, n: Column): Column = call_function("shiftright", v, n.cast("int"))
@@ -210,16 +243,11 @@ object DedupOps {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // cache the token-hash arrays BEFORE the 64-bit fold: otherwise
-    // CollapseProject inlines the tokenize+hash expression into all 64
-    // per-bit vote folds (64× re-tokenization per row)
-    val hs = df
-      .select(
-        col(idCol),
-        transform(array_distinct(TextOps.tokens(col(textCol))), t => xxhash64(t)).as("hs"))
-      .cache()
-    val sims = hs
-      .select(col(idCol), simhashFromHashes(col("hs")).as("sim"))
+    // the native kernel folds tokenize→hash→simhash in ONE projection; the
+    // cache is still a required barrier so CollapseProject can't inline the
+    // simhash into each of the 4 chunk-bucket expressions below
+    val sims = df
+      .select(col(idCol), simhash(TextOps.tokens(col(textCol))).as("sim"))
       .cache()
     val chunks = sims.select(
       col(idCol), col("sim"),

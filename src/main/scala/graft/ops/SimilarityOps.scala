@@ -133,6 +133,10 @@ object SimilarityOps {
     val feat = c.withColumn("features", array_to_vector(col("vn")))
     val model = new KMeans()
       .setK(nLists).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
+      // random init: kmeans|| costs ~2 extra full passes over the corpus and
+      // buys nothing here — Lloyd iterations on unit-norm vectors converge to
+      // equivalent coarse lists either way (recall checked in SimilaritySpec)
+      .setInitMode("random")
       .fit(feat)
     val assigned = model
       .transform(feat)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.DedupOps
+import graft.ops.{DedupOps, SimilarityOps}
 
 /** Scratch profiling main (not part of the driver contract). */
 object Profile {
@@ -24,8 +24,21 @@ object Profile {
       println(f"PROFILE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
+    val emb = Tables.embeddings(spark, dir)
+    time("warmup-count") { emb.count() }
+    for (round <- 1 to 2) {
+      time(s"ann-ivf-kmeans-$round") {
+        SimilarityOps.knnIvfKmeans(
+          emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 10, nLists = 16, nProbe = 4, maxIter = 3).count()
+      }
+      time(s"knn-brute-$round") {
+        SimilarityOps.knnBrute(
+          emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10).count()
+      }
+    }
     val docs = Tables.documents(spark, dir)
-    time("warmup-count") { docs.count() }
+    time("docs-count") { docs.count() }
     for (round <- 1 to 2) {
       time(s"full-minhash-$round") {
         DedupOps.minhashLshPairs(docs, "doc_id", "text", 3, 0.5).count()

@@ -31,6 +31,42 @@ class DedupTextSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("native graft_simhash is bit-identical to the HOF vote fold over the corpus") {
+    val hs = docs.select(
+      col("doc_id"),
+      transform(array_distinct(TextOps.tokens(col("text"))), t => xxhash64(t)).as("hs"))
+    val both = hs.select(
+      col("doc_id"),
+      DedupOps.simhashFromHashes(col("hs")).as("native"),
+      DedupOps.simhashFromHashesHof(col("hs")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() == docs.count())
+  }
+
+  test("native graft_minhash_sig matches a Scala XXH64 reference; empty input → NULL") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val crafted = Seq(
+      (1L, Seq(7L, 42L, -3L)), (2L, Seq(0L)), (3L, Seq.empty[Long]))
+      .toDF("id", "hs")
+    val got = crafted
+      .select(col("id"), graft.functions.HashFunctions.graft_minhash_sig(col("hs"), 8).as("sig"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    def ref(hs: Seq[Long]): Seq[Long] =
+      (0 until 8).map(p => hs.map(h => XXH64.hashLong(h, p.toLong)).min)
+    assert(got(1L).contains(ref(Seq(7L, 42L, -3L))))
+    assert(got(2L).contains(ref(Seq(0L))))
+    assert(got(3L).isEmpty) // no shingles → no signature
+  }
+
+  test("graft_simhash and graft_minhash_sig are callable from SQL after registration") {
+    GraftExtensions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT graft_simhash(array(1L, 3L)) AS s,
+        |       graft_minhash_sig(array(1L, 3L), 4) AS m""".stripMargin)
+      .as[(Long, Seq[Long])].head()
+    assert(row._2.length == 4)
+  }
+
   test("exactDedup groups duplicates and keeps the minimum id") {
     val crafted = Seq((5L, "same"), (9L, "same"), (7L, "other")).toDF("doc_id", "text")
     val got = DedupOps.exactDedup(crafted, "doc_id", "text")
