@@ -454,6 +454,49 @@ object SparkEntry {
         col("session_seq"))
   }
 
+  /** CUBE over (event_type, event_date): all four grouping sets in one
+    * hash aggregate, with grouping indicators.
+    */
+  def qCubeStats(spark: SparkSession, dir: String): DataFrame =
+    Analytics.cubeStats(
+      Tables.events(spark, dir)
+        .select(col("event_type"), col("ts").cast("date").as("event_date"), col("value")),
+      "event_type", "event_date", "value")
+
+  /** Pivot: per-user value totals spread across the five event types (fixed
+    * value list, so the plan is a single aggregate — no distinct-scan).
+    */
+  def qPivotValues(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id").as("symbol"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+
+  /** Unpivot (melt): lineitem measures to long form — the inverse reshape,
+    * a generator projection (no shuffle at all).
+    */
+  def qUnpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+
+  /** Native session-window aggregate (session_window merges events closer
+    * than 30 min per user; one shuffle on the key). Oracle reproduces the
+    * merge with the lag/cumsum construction at full µs precision.
+    */
+  def qSessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Analytics
+      .sessionWindowAgg(
+        Tables.events(spark, dir).select(col("user_id"), col("ts"), col("value")),
+        "ts", Seq("user_id"), "value", "30 minutes")
+      .select(
+        col("user_id").as("symbol"), col("session_start"),
+        col("n_events"), col("total_value"))
+
   /** Exact per-type value quantiles (interpolated medians/p95). */
   def qValueQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -601,6 +644,14 @@ object SparkEntry {
     SimilarityOps.knnBrute(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
   }
 
+  /** Embedding-cosine near-duplicate pairs at cosine ≥ 0.4 (exact form —
+    * broadcast upper-triangle scan with the native dot kernel; the scale
+    * path is k-means-list blocking, see SimilarityOps.cosineNearDupPairs).
+    */
+  def qEmbeddingNeardup(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.cosineNearDupPairs(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4)
+
   /** Multimodal packing: opaque binary payload + typed metadata (the decode
     * stage itself is mapPartitions-based, covered in ScalaTest; the packed
     * relation is oracle-checked here).
@@ -673,7 +724,12 @@ object SparkEntry {
     "q_minhash_dedup"           -> (qMinhashDedup(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
+    "q_embedding_neardup"       -> (qEmbeddingNeardup(_, _)),
     "q_ann_ivf"                 -> (qAnnIvf(_, _)),
+    "q_cube_stats"              -> (qCubeStats(_, _)),
+    "q_pivot_values"            -> (qPivotValues(_, _)),
+    "q_unpivot_measures"        -> (qUnpivotMeasures(_, _)),
+    "q_session_window_agg"      -> (qSessionWindowAgg(_, _)),
     "q_binary_meta"             -> (qBinaryMeta(_, _)),
     "q_latest_snapshot_upsert"  -> (qLatestSnapshotUpsert(_, _)),
     "q_merge_last_wins"         -> (qMergeLastWins(_, _)),
@@ -905,6 +961,47 @@ object SparkEntry {
         |      FROM p, n WHERE vec_id <> probe_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC NULLS LAST, vec_id) AS rank FROM j)
         |SELECT probe_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
+    "q_embedding_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        |nz AS (SELECT * FROM n WHERE nrm > 0),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+        |      FROM nz a JOIN nz b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4""".stripMargin,
+    "q_cube_stats" ->
+      """WITH e AS (SELECT event_type, ts::DATE AS event_date, value FROM events)
+        |SELECT event_type, event_date, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       grouping(event_type)::INTEGER AS ga, grouping(event_date)::INTEGER AS gb
+        |FROM e GROUP BY CUBE(event_type, event_date)""".stripMargin,
+    "q_pivot_values" ->
+      """SELECT user_id AS symbol,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "view"
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_unpivot_measures" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS val FROM lineitem""".stripMargin,
+    "q_session_window_agg" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM g)
+        |SELECT user_id AS symbol, min(ts) AS session_start, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_latest_snapshot_upsert" ->
       """WITH w AS (
         |  SELECT user_id, event_type, value, ts, event_id,

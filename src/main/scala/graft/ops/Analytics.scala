@@ -74,4 +74,36 @@ object Analytics {
         count(lit(1)).as("n"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value"),
         grouping(col(groupCol)).cast("int").as("g"))
+
+  /** CUBE aggregate over two dimensions — all four grouping sets in one
+    * pass (Spark expands to a single hash aggregate over the grouping-set
+    * union; no per-set rescans).
+    */
+  def cubeStats(df: DataFrame, dimA: String, dimB: String, valueCol: String): DataFrame =
+    df.cube(col(dimA), col(dimB))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value"),
+        grouping(col(dimA)).cast("int").as("ga"),
+        grouping(col(dimB)).cast("int").as("gb"))
+
+  /** Session-window aggregate: Spark's native `session_window` merges each
+    * key's events closer than `gap` into one session (same partitioning as a
+    * plain keyed aggregate — one shuffle on the key, sessions formed within
+    * the partition; also the streaming form with a watermark).
+    */
+  def sessionWindowAgg(
+      df: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      valueCol: String,
+      gap: String): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        keys.map(col) :+
+          col("session_window.start").cast("timestamp_ntz").as("session_start") :+
+          col("n_events") :+ col("total_value"): _*)
 }

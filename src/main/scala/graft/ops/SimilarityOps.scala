@@ -107,6 +107,33 @@ object SimilarityOps {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: every unordered pair (a < b)
+    * with cosine ≥ threshold, scored with the native dot kernel. Zero-norm
+    * vectors have undefined direction and pair with nothing.
+    *
+    * Scale stance: this is the EXACT form — an upper-triangle self-comparison
+    * whose Spark plan is a broadcast nested-loop on the id inequality, so the
+    * big side streams once and only (id, id, sim) survive. Moderate-angle
+    * thresholds (τ ≲ 0.9) defeat sign-random-projection banding (expected
+    * Hamming fraction θ/π is far from 0, so no band survives), which is why
+    * the scale path is NOT an LSH variant but coarse-quantizer blocking:
+    * assign vectors to k-means lists ([[knnIvfKmeans]]'s quantizer) and score
+    * within-list (+probed-neighbor) pairs only.
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol).filter(col("nrm") > 0)
+    val a = c.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = c.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** IVF approximate top-k with k-means coarse quantization: vectors are
     * L2-normalized (so Euclidean k-means clusters by cosine direction), a
     * small KMeans fit produces the `nLists` centroids, every corpus vector

@@ -101,6 +101,38 @@ class AnalyticsRetrySpec extends AnyFunSuite {
       ("2024-01-01 02:00:00", "click", 1L)))
   }
 
+  test("streaming session_window agg with watermark matches the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0), (1L, "2024-01-01 00:10:00", 2.0), // session A
+      (1L, "2024-01-01 01:00:00", 3.0),                                   // session B (50 min gap)
+      (2L, "2024-01-01 00:05:00", 4.0))
+    val stream = MemoryStream[(Long, String, Double)]
+    val df = stream.toDF().toDF("user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val agg = df
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("sess_out").start()
+    stream.addData(rows)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess_out")
+      .select(col("user_id"), col("session_start").cast("string"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    val batch = graft.ops.Analytics.sessionWindowAgg(
+      rows.toDF("user_id", "ts_s", "value").withColumn("ts", col("ts_s").cast("timestamp")),
+      "ts", Seq("user_id"), "value", "30 minutes")
+      .select(col("user_id"), col("session_start").cast("string"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set(
+      (1L, "2024-01-01 00:00:00", 2L),
+      (1L, "2024-01-01 01:00:00", 1L),
+      (2L, "2024-01-01 00:05:00", 1L)))
+  }
+
   test("topK returns exactly k under the total order") {
     val df = Tables.lineitem(spark, TestSpark.sf0001)
     val got = Analytics.topK(

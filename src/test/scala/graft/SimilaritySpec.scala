@@ -85,6 +85,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(agg.toSet == win.toSet)
   }
 
+  test("cosineNearDupPairs: canonical ordered pairs, threshold respected, zero-norm excluded") {
+    val crafted = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), // near-dup of 1
+      (3L, Seq(0.0f, 1.0f)),                        // orthogonal to 1/2
+      (4L, Seq(0.0f, 0.0f)),                        // zero norm: pairs with nothing
+      (5L, Seq(2.0f, 0.0f)))                        // same direction as 1, scaled
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.cosineNearDupPairs(crafted, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+    assert(got.forall { case (a, b) => a < b })
+    // lower threshold pulls in the orthogonal pair set too
+    val loose = SimilarityOps.cosineNearDupPairs(crafted, "vec_id", "embedding", -1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose.size == 6) // C(4,2) over the non-zero vectors
+    assert(!loose.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("knnIvfKmeans: k-means lists beat stride-sampled lists on recall") {
     val probes = emb.filter(col("vec_id") < 20)
     val brute = SimilarityOps.knnBrute(emb, probes, "vec_id", "embedding", 10)
