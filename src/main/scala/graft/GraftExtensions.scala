@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, MinHashSignature, SimHash64}
+import graft.functions.{DotProduct, MinHashSignature, SimHash64, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for SQL use. Wire with
@@ -34,10 +34,17 @@ object GraftExtensions {
       "graft_minhash_sig expects (array<bigint>, <int literal>)")
   }
 
+  private def buildWinnow(args: Seq[Expression]): Expression = args match {
+    case Seq(t, Literal(k: Int, _), Literal(w: Int, _)) => WinnowFingerprints(t, k, w)
+    case _ => throw new IllegalArgumentException(
+      "graft_winnow expects (string, <int literal>, <int literal>)")
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
     ("graft_dot", buildDot _, classOf[DotProduct]),
     ("graft_simhash", buildSimhash _, classOf[SimHash64]),
-    ("graft_minhash_sig", buildMinhashSig _, classOf[MinHashSignature]))
+    ("graft_minhash_sig", buildMinhashSig _, classOf[MinHashSignature]),
+    ("graft_winnow", buildWinnow _, classOf[WinnowFingerprints]))
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     builders.map { case (name, b, cls) =>

@@ -633,6 +633,13 @@ object SparkEntry {
   def qSimhashDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.simhashPairs(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Winnowing rolling-hash near-dup pairs (no SQL oracle: Rabin–Karp
+    * fingerprints have no DuckDB equivalent; DedupTextSpec pins the
+    * winnowing guarantee and near-dup recall vs the shingle ground truth).
+    */
+  def qWinnowDedup(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.winnowPairs(Tables.documents(spark, dir), "doc_id", "text")
+
   /** Brute-force cosine top-10 for probe vectors vec_id < 20. Window-rank
     * form here (faster at this corpus size); the bounded-heap aggregator
     * form (SimilarityOps.knnBruteAgg — map-side partial top-k, the winning
@@ -723,6 +730,7 @@ object SparkEntry {
     "q_ngram_jaccard_dedup"     -> (qNgramJaccardDedup(_, _)),
     "q_minhash_dedup"           -> (qMinhashDedup(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
+    "q_winnow_dedup"            -> (qWinnowDedup(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_embedding_neardup"       -> (qEmbeddingNeardup(_, _)),
     "q_ann_ivf"                 -> (qAnnIvf(_, _)),

@@ -110,8 +110,20 @@ object DedupOps {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxDocFreq: Int = 0): DataFrame = {
-    val sh = hashedShingles(df, idCol, textCol, n).cache()
+      maxDocFreq: Int = 0): DataFrame =
+    setJaccardPairs(hashedShingles(df, idCol, textCol, n), idCol, threshold, maxDocFreq)
+
+  /** Exact set-Jaccard pairs over any (id, sh: array) element-set relation:
+    * explode, posting-list pair the shared elements, Jaccard = common /
+    * (|A| + |B| − common) ≥ threshold. The candidate-generation core shared
+    * by n-gram shingles and winnowed fingerprints.
+    */
+  private[ops] def setJaccardPairs(
+      sets: DataFrame,
+      idCol: String,
+      threshold: Double,
+      maxDocFreq: Int): DataFrame = {
+    val sh = sets.cache()
     val sizes = sh.select(col(idCol), size(col("sh")).as("n_sh"))
     val explodedAll = sh.select(col(idCol), explode(col("sh")).as("s"))
     val exploded =
@@ -129,6 +141,27 @@ object DedupOps {
     jac.filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Winnowing near-dup pairs: Rabin–Karp rolling-hash k-gram fingerprints
+    * selected by the winnowing scheme (graft.functions.WinnowFingerprints),
+    * then exact set-Jaccard over the selected fingerprints. Density ~2/(w+1)
+    * means the exploded relation is ~(w+1)/2× smaller than full byte-shingle
+    * dedup for the same guarantee window — the byte-level complement to the
+    * word-shingle [[jaccardPairs]].
+    */
+  def winnowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      threshold: Double = 0.5,
+      maxDocFreq: Int = 0): DataFrame =
+    setJaccardPairs(
+      df.select(
+        col(idCol),
+        graft.functions.WinnowFunctions.graft_winnow(col(textCol), k, w).as("sh")),
+      idCol, threshold, maxDocFreq)
 
   /** Base 64-bit hash per shingle — computed ONCE per shingle; the per-
     * permutation hashes are derived arithmetically from it.

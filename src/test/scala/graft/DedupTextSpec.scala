@@ -67,6 +67,48 @@ class DedupTextSpec extends AnyFunSuite {
     assert(row._2.length == 4)
   }
 
+  test("winnowing guarantee: a shared substring of length >= w+k-1 shares a fingerprint") {
+    import graft.functions.WinnowFunctions.graft_winnow
+    val shared = "the winnowing guarantee holds for any sufficiently long shared run of text"
+    val crafted = Seq(
+      (1L, s"prefix alpha $shared"),
+      (2L, s"a totally different and much longer prefix beta gamma $shared with a suffix"),
+      (3L, "no overlap with the others at all, completely disjoint content"))
+      .toDF("doc_id", "text")
+    val fp = crafted
+      .select(col("doc_id"), graft_winnow(col("text"), 8, 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert((fp(1L).toSet & fp(2L).toSet).nonEmpty, "shifted copies must share fingerprints")
+    assert((fp(1L).toSet & fp(3L).toSet).isEmpty, "disjoint docs share nothing")
+    // selection density ~2/(w+1): far fewer fingerprints than k-gram positions
+    assert(fp(1L).size < shared.length)
+  }
+
+  test("winnowPairs finds the corpus's planted near-dups (recall vs shingle ground truth)") {
+    val exact = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val win = DedupOps.winnowPairs(docs, "doc_id", "text", k = 8, w = 4, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val recall = if (exact.isEmpty) 1.0 else (exact & win).size.toDouble / exact.size
+    info(s"winnow recall=$recall over ${exact.size} ground-truth pairs, ${win.size} winnow pairs")
+    assert(recall >= 0.9, s"expected >=0.9 recall, got $recall")
+  }
+
+  test("graft_winnow edge cases: short text -> empty, deterministic, SQL-callable") {
+    import graft.functions.WinnowFunctions.graft_winnow
+    val edge = Seq((1L, ""), (2L, "abc"), (3L, "abcdefgh"), (4L, "abcdefghi"))
+      .toDF("doc_id", "text")
+    val fp = edge.select(col("doc_id"), graft_winnow(col("text"), 8, 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fp(1L).isEmpty && fp(2L).isEmpty) // shorter than k
+    assert(fp(3L).size == 1)                 // exactly one k-gram
+    assert(fp(3L) == fp(3L))
+    GraftExtensions.registerAll(spark)
+    val viaSql = spark.sql("SELECT graft_winnow('abcdefgh', 8, 4) AS fp")
+      .as[Seq[Long]].head()
+    assert(viaSql == fp(3L))
+  }
+
   test("exactDedup groups duplicates and keeps the minimum id") {
     val crafted = Seq((5L, "same"), (9L, "same"), (7L, "other")).toDF("doc_id", "text")
     val got = DedupOps.exactDedup(crafted, "doc_id", "text")
