@@ -13,8 +13,10 @@ import graft.functions.{DotProduct, MinHashSignature, SimHash64, WinnowFingerpri
   * session use [[GraftExtensions.registerAll]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeLookupStrategy)
+  }
 }
 
 object GraftExtensions {

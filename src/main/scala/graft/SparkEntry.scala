@@ -524,6 +524,27 @@ object SparkEntry {
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total_price"))
   }
 
+  /** Range join at REAL band cardinality (1000 bands) through the custom
+    * RangeLookupJoin operator (graft.plans): broadcast bands sorted by lo,
+    * binary-search probe per fact row — O(log bands) where the built-in
+    * BroadcastNestedLoopJoin is O(bands) per row. Same semantics
+    * (v ≥ lo AND v < hi), oracle-checked.
+    */
+  def qRangeBandFast(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(1000).select(
+      col("id").as("band_id"),
+      (lit(900.0) + col("id").cast("double") * 105.0).as("lo"),
+      (lit(1005.0) + col("id").cast("double") * 105.0).as("hi"))
+    val facts = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").cast("double").as("price"))
+    plans.Plans
+      .rangeLookup(facts, bands, "price", "lo", "hi")
+      .groupBy(col("band_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("price").cast("decimal(18,2)")).cast("double").as("total_price"))
+  }
+
   /** HLL-sketch distinct counts per event_type (approx_count_distinct — no
     * SQL oracle, approximate; ScalaTest bounds the error vs exact).
     */
@@ -716,6 +737,7 @@ object SparkEntry {
     "q_star_join_revenue"       -> (qStarJoinRevenue(_, _)),
     "q_rolling_window"          -> (qRollingWindow(_, _)),
     "q_range_band"              -> (qRangeBand(_, _)),
+    "q_range_band_fast"         -> (qRangeBandFast(_, _)),
     "q_approx_users"            -> (qApproxUsers(_, _)),
     "q_coverage_map"            -> (qCoverageMap(_, _)),
     "q_monthly_pct_change"      -> (qMonthlyPctChange(_, _)),
@@ -866,6 +888,14 @@ object SparkEntry {
         |SELECT band_id, count(*) AS n,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY 1""".stripMargin,
+    "q_range_band_fast" ->
+      """WITH bands AS (
+        |  SELECT range AS band_id, 900.0 + range * 105.0 AS lo, 1005.0 + range * 105.0 AS hi
+        |  FROM range(1000))
+        |SELECT band_id, count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
         |GROUP BY 1""".stripMargin,
     "q_coverage_map" ->
       """SELECT o_custkey AS symbol,

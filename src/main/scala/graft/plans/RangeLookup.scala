@@ -1,0 +1,153 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
+
+/** Custom whole-operator path (north-star preference (c)): a broadcast
+  * RANGE-LOOKUP JOIN — `facts ⋈ bands ON v ≥ lo AND v < hi` with a SMALL
+  * bands side.
+  *
+  * Spark plans this join shape as BroadcastNestedLoopJoin: every fact row is
+  * tested against EVERY band — O(|facts|·|bands|) comparisons. This operator
+  * broadcasts the bands sorted by `lo` with a prefix-max of `hi`, and probes
+  * each fact row by binary search + bounded leftward walk —
+  * O(|facts|·(log |bands| + matches)). Same results for any band set,
+  * including overlapping bands; at 10³ bands this is ~100× fewer comparisons
+  * per row, and the fact side still streams with NO shuffle and NO sort.
+  *
+  * Pieces: [[RangeLookupJoin]] (logical), [[RangeLookupStrategy]] (planner
+  * rule mapping logical→physical, auto-registered on first use via
+  * `spark.experimental.extraStrategies`), [[RangeLookupJoinExec]] (physical).
+  */
+case class RangeLookupJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    valueExpr: Expression, // over left output, DoubleType
+    loExpr: Expression,    // over right output, DoubleType
+    hiExpr: Expression)    // over right output, DoubleType
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object RangeLookupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case RangeLookupJoin(l, r, v, lo, hi) =>
+      RangeLookupJoinExec(planLater(l), planLater(r), v, lo, hi) :: Nil
+    case _ => Nil
+  }
+}
+
+case class RangeLookupJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    valueExpr: Expression,
+    loExpr: Expression,
+    hiExpr: Expression)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+  // the fact side streams through unchanged — preserve its partitioning so
+  // downstream aggregates on fact keys can reuse it
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // bands: tiny by contract — collect, sort by lo, prefix-max the his
+    val bandRows = right.executeCollect()
+    val loB = BindReferences.bindReference(loExpr, right.output)
+    val hiB = BindReferences.bindReference(hiExpr, right.output)
+    val sorted = bandRows.flatMap { r =>
+      (loB.eval(r), hiB.eval(r)) match {
+        case (lo: java.lang.Double, hi: java.lang.Double) => Some((lo.doubleValue(), hi.doubleValue(), r))
+        case _ => None // null-bounded bands match nothing
+      }
+    }.sortBy(_._1)
+    val los = sorted.map(_._1)
+    val his = sorted.map(_._2)
+    val rows = sorted.map(_._3)
+    val prefixMaxHi = new Array[Double](his.length)
+    var i = 0
+    var mx = Double.NegativeInfinity
+    while (i < his.length) { mx = math.max(mx, his(i)); prefixMaxHi(i) = mx; i += 1 }
+    val bc = sparkContext.broadcast((los, his, prefixMaxHi, rows))
+
+    val valB = BindReferences.bindReference(valueExpr, left.output)
+    val outAttrs = output
+    left.execute().mapPartitions { iter =>
+      val (blos, bhis, bmax, brows) = bc.value
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      iter.flatMap { l =>
+        valB.eval(l) match {
+          case v: java.lang.Double =>
+            val x = v.doubleValue()
+            // rightmost band with lo <= x (binary search upper bound)
+            var lo = 0; var hi = blos.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (blos(mid) <= x) lo = mid + 1 else hi = mid
+            }
+            var idx = lo - 1
+            val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+            // walk left while some band to the left can still contain x
+            while (idx >= 0 && bmax(idx) > x) {
+              if (x < bhis(idx)) buf += proj(joined(l, brows(idx))).copy()
+              idx -= 1
+            }
+            buf
+          case _ => Nil // null fact value joins nothing (SQL comparison semantics)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object Plans {
+  /** Register the strategy on a session (idempotent; called by [[rangeLookup]]). */
+  def register(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(RangeLookupStrategy))
+      spark.experimental.extraStrategies = cur :+ RangeLookupStrategy
+  }
+
+  /** facts ⋈ bands ON value ≥ lo AND value < hi via [[RangeLookupJoinExec]].
+    * `valueCol` names a DoubleType column of `facts`, `loCol`/`hiCol`
+    * DoubleType columns of `bands` (cast first) — names, not Columns, so
+    * resolution against the custom node's children is explicit here rather
+    * than left to the analyzer (which does not descend into foreign nodes).
+    * The bands side is collected and broadcast — it must be small (a
+    * dimension, not a fact table).
+    */
+  def rangeLookup(
+      facts: DataFrame, bands: DataFrame,
+      valueCol: String, loCol: String, hiCol: String): DataFrame = {
+    val spark = facts.sparkSession
+    register(spark)
+    val leftPlan = PlanBridge.analyzedPlan(facts)
+    val rightPlan = PlanBridge.analyzedPlan(bands)
+    def attr(plan: LogicalPlan, name: String, side: String): Expression = {
+      val a = plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column '$name' not found in $side side"))
+      require(a.dataType == org.apache.spark.sql.types.DoubleType,
+        s"column '$name' must be DOUBLE (cast first), got ${a.dataType.simpleString}")
+      a
+    }
+    val node = RangeLookupJoin(
+      leftPlan, rightPlan,
+      attr(leftPlan, valueCol, "facts"),
+      attr(rightPlan, loCol, "bands"),
+      attr(rightPlan, hiCol, "bands"))
+    PlanBridge.ofRows(spark, node)
+  }
+}

@@ -37,6 +37,24 @@ object Profile {
           emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10).count()
       }
     }
+    // range join at 1000 bands: custom binary-search operator vs built-in BNL
+    val bands1k = spark.range(1000).select(
+      col("id").as("band_id"),
+      (lit(900.0) + col("id").cast("double") * 105.0).as("lo"),
+      (lit(1005.0) + col("id").cast("double") * 105.0).as("hi"))
+    val priced = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").cast("double").as("price"))
+    for (round <- 1 to 2) {
+      time(s"rangejoin-custom-$round") {
+        graft.plans.Plans.rangeLookup(priced, bands1k, "price", "lo", "hi")
+          .groupBy("band_id").count().count()
+      }
+      time(s"rangejoin-bnl-$round") {
+        priced.join(broadcast(bands1k), col("price") >= col("lo") && col("price") < col("hi"))
+          .groupBy("band_id").count().count()
+      }
+    }
+
     val docs = Tables.documents(spark, dir)
     time("docs-count") { docs.count() }
     for (round <- 1 to 2) {
