@@ -661,6 +661,46 @@ object SparkEntry {
   def qWinnowDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.winnowPairs(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Deterministic train/val/test split (0.8/0.1/0.1) by md5 hex-prefix of
+    * the document key — content-hashed, so stable across runs, engines and
+    * partitionings (the oracle checks the assignment row-for-row).
+    */
+  def qHashSplit(spark: SparkSession, dir: String): DataFrame =
+    SamplingOps
+      .hashSplit(
+        Tables.documents(spark, dir).select(col("doc_id")),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
+  /** Deterministic stratified 20% take per language stratum (md5-ordered,
+    * reproducible — the sampling a training pipeline can re-derive).
+    */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    SamplingOps.stratifiedTake(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      Seq("lang"), "doc_id", 0.2)
+
+  /** End-to-end corpus curation — the training-data use case the north-star
+    * operators exist for, as ONE oracle-checked relation: predicted-English
+    * documents with quality ≥ 0.5, keeping only exact-dedup keepers and
+    * dropping the higher-id side of every near-duplicate pair.
+    */
+  def qCorpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lang = TextOps.langId(docs, "text").select(col("doc_id"), col("pred_lang"))
+    val quality = TextOps.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val keepers = DedupOps.exactDedup(docs, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"))
+    val nearDupLosers = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    quality
+      .join(lang, "doc_id").filter(col("pred_lang") === "en")
+      .filter(col("quality") >= 0.5)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+  }
+
   /** Brute-force cosine top-10 for probe vectors vec_id < 20. Window-rank
     * form here (faster at this corpus size); the bounded-heap aggregator
     * form (SimilarityOps.knnBruteAgg — map-side partial top-k, the winning
@@ -753,6 +793,9 @@ object SparkEntry {
     "q_minhash_dedup"           -> (qMinhashDedup(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
     "q_winnow_dedup"            -> (qWinnowDedup(_, _)),
+    "q_hash_split"              -> (qHashSplit(_, _)),
+    "q_stratified_sample"       -> (qStratifiedSample(_, _)),
+    "q_corpus_curation"         -> (qCorpusCuration(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_embedding_neardup"       -> (qEmbeddingNeardup(_, _)),
     "q_ann_ivf"                 -> (qAnnIvf(_, _)),
@@ -987,6 +1030,63 @@ object SparkEntry {
         |SELECT doc_a, doc_b, common::DOUBLE / (sa.n + sb.n - common) AS jaccard
         |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5""".stripMargin,
+    "q_hash_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'cccd' THEN 'train'
+        |            WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'e666' THEN 'val'
+        |            ELSE 'test' END AS bucket
+        |FROM documents""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= ceil(n * 0.2)""".stripMargin,
+    "q_corpus_curation" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS en,
+        |         len(regexp_extract_all(lower(text), '\b(der|und|die|das)\b')) AS de,
+        |         len(regexp_extract_all(lower(text), '\b(le|la|et|les)\b')) AS fr,
+        |         len(regexp_extract_all(lower(text), '\b(el|los|que|una)\b')) AS es
+        |  FROM documents),
+        |lang AS (SELECT doc_id,
+        |                CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |                     WHEN de >= fr AND de >= es THEN 'de'
+        |                     WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang
+        |         FROM s),
+        |qs AS (
+        |  SELECT doc_id,
+        |         len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n_tokens,
+        |         CASE WHEN length(text) > 0
+        |              THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE END AS punct_ratio,
+        |         len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
+        |           / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS stopword_ratio
+        |  FROM documents),
+        |quality AS (
+        |  SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+        |         0.4 * least(1.0, n_tokens / 100.0)
+        |         + 0.3 * (1.0 - least(1.0, punct_ratio * 10.0))
+        |         + 0.3 * least(1.0, stopword_ratio * 5.0) AS quality
+        |  FROM qs),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+        |      FROM t WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS sg FROM g),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM g),
+        |losers AS (SELECT DISTINCT doc_b AS doc_id
+        |           FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |           WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5)
+        |SELECT q.doc_id, q.n_tokens, q.quality
+        |FROM quality q JOIN lang l ON q.doc_id = l.doc_id
+        |WHERE l.pred_lang = 'en' AND q.quality >= 0.5
+        |  AND q.doc_id IN (SELECT doc_id FROM keepers)
+        |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
     "q_binary_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind, octet_length(text::BLOB)::BIGINT AS n_bytes
         |FROM documents""".stripMargin,

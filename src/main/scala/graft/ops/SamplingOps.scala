@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Random `df.sample` is seed-and-partitioning dependent — re-running on a
+  * different cluster layout yields a different sample, which is unacceptable
+  * for train/val/test lineage. These operators derive membership from a
+  * CONTENT hash (md5 of the key), so the assignment is a pure function of
+  * the row: stable across runs, engines and partitionings, and expressible
+  * in any SQL dialect with md5 (the DuckDB oracle checks it row-for-row).
+  *
+  * Scale: both are narrow map-side operations except the stratified take's
+  * single shuffle on the strata key. The hex-prefix comparison keys on the
+  * first 4 md5 nibbles (65536 buckets) — split-fraction granularity 1/65536.
+  */
+object SamplingOps {
+
+  /** Assign each row to a named bucket with the given weights (must sum to
+    * ~1) by md5(key) hex-prefix range — a deterministic train/val/test split.
+    */
+  def hashSplit(df: DataFrame, keyCol: String, fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val hx = substring(md5(col(keyCol).cast("string")), 1, 4)
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val bounds = cum.init.map(c => f"${math.round(c * 65536).toInt}%04x")
+    val bucket = fractions.init.zip(bounds)
+      .foldRight(lit(fractions.last._1): Column) { case (((name, _), b), elseC) =>
+        when(hx < lit(b), lit(name)).otherwise(elseC)
+      }
+    df.withColumn("bucket", bucket)
+  }
+
+  /** Deterministic stratified take: within each stratum, keep the first
+    * `fraction` of rows under md5(key) order (a content-keyed, reproducible
+    * "sample" of every stratum — each stratum keeps ceil(fraction·n) rows).
+    */
+  def stratifiedTake(
+      df: DataFrame, strataCols: Seq[String], keyCol: String, fraction: Double): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    val wAll = Window.partitionBy(strataCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") <= ceil(col("__n") * lit(fraction)))
+      .drop("__rn", "__n")
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SamplingOps
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private def docs = Tables.documents(spark, TestSpark.sf0001)
+
+  test("hashSplit: total, deterministic, partition-invariant, ~requested fractions") {
+    val ids = docs.select(col("doc_id"))
+    val split = SamplingOps.hashSplit(ids, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("bucket").count().as[(String, Long)].collect().toMap
+    val n = ids.count()
+    assert(counts.values.sum == n) // total: every row lands in exactly one bucket
+    assert(counts("train") > n * 6 / 10 && counts("train") < n)
+    // partition-invariant: same assignment after a repartition
+    val again = SamplingOps.hashSplit(
+      ids.repartition(7), "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .as[(Long, String)].collect().toMap
+    val first = split.as[(Long, String)].collect().toMap
+    assert(first == again)
+  }
+
+  test("stratifiedTake keeps exactly ceil(fraction*n) rows per stratum, deterministically") {
+    val strata = docs.select(col("doc_id"), col("lang"))
+    val take = SamplingOps.stratifiedTake(strata, Seq("lang"), "doc_id", 0.2)
+    val got = take.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val full = strata.groupBy("lang").count().as[(String, Long)].collect().toMap
+    full.foreach { case (lang, n) =>
+      assert(got(lang) == math.ceil(n * 0.2).toLong, s"$lang: ${got.get(lang)} of $n")
+    }
+    val again = SamplingOps.stratifiedTake(strata.repartition(5), Seq("lang"), "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == take.select("doc_id").as[Long].collect().toSet)
+  }
+}
