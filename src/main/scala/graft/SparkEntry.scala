@@ -729,6 +729,17 @@ object SparkEntry {
       .packBinary(Tables.documents(spark, dir), "doc_id", "text", "text")
       .select(col("media_id"), col("kind"), col("n_bytes"))
 
+  /** Frame sampling over packed media: the 1→N multimodal generator stage
+    * (no SQL oracle: the decode stub derives features from JVM hashing;
+    * JobsStreamingSpec pins determinism and fan-out bounds).
+    */
+  def qFrameSample(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps
+      .sampleFrames(
+        spark,
+        MultimodalOps.packBinary(Tables.documents(spark, dir), "doc_id", "text", "video"))
+      .select(col("media_id"), col("frame_idx"), col("ts_ms"), col("width"), col("height"))
+
   /** IVF approximate top-10 (k-means coarse quantizer, 16 lists, 4 probed)
     * for the same probe set (no SQL oracle: approximate result; ScalaTest
     * checks recall vs brute force — on these uniform synthetic vectors recall
@@ -804,6 +815,7 @@ object SparkEntry {
     "q_unpivot_measures"        -> (qUnpivotMeasures(_, _)),
     "q_session_window_agg"      -> (qSessionWindowAgg(_, _)),
     "q_binary_meta"             -> (qBinaryMeta(_, _)),
+    "q_frame_sample"            -> (qFrameSample(_, _)),
     "q_latest_snapshot_upsert"  -> (qLatestSnapshotUpsert(_, _)),
     "q_merge_last_wins"         -> (qMergeLastWins(_, _)),
     "q_monthly_last_close"      -> (qMonthlyLastClose(_, _)),

@@ -69,4 +69,36 @@ object MultimodalOps {
       }
     }
   }
+
+  /** One sampled video frame: downscaled dims + a thumbnail payload. */
+  case class FrameSample(
+      media_id: Long, frame_idx: Int, ts_ms: Long, width: Int, height: Int, thumb: Array[Byte])
+
+  /** Frame sampling over packed "video": a 1→N generator (`mapPartitions` +
+    * streamed flatMap, one decoder context per partition) emitting a frame
+    * every `everyMs` ms up to `maxFrames`. The decode/grab is the
+    * deterministic [[fakeDecode]] stub (duration and thumbnail bytes derived
+    * from the payload checksum); the engine contract — generator shape, frame
+    * schema, payload-stays-in-place partitioning, bounded fan-out — is real.
+    * Source payloads never shuffle; only the small frame rows flow on.
+    */
+  def sampleFrames(
+      spark: SparkSession,
+      packed: DataFrame,
+      everyMs: Long = 1000L,
+      maxFrames: Int = 8): Dataset[FrameSample] = {
+    import spark.implicits._
+    packed.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val (checksum, w, h) = fakeDecode(r.payload)
+        val durationMs = 500L + math.abs(checksum % 8000L) // stub duration probe
+        val n = math.min(maxFrames.toLong, durationMs / everyMs + 1).toInt
+        (0 until n).iterator.map { i =>
+          val ts = i * everyMs
+          val thumb = java.nio.ByteBuffer.allocate(8).putLong(checksum ^ ts).array()
+          FrameSample(r.media_id, i, ts, math.max(16, w / 4), math.max(16, h / 4), thumb)
+        }
+      }
+    }
+  }
 }

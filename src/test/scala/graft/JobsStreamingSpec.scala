@@ -256,6 +256,24 @@ class JobsStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: frame sampling is deterministic with bounded per-media fan-out") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(40)
+    val packed = MultimodalOps.packBinary(docs, "doc_id", "text", "video")
+    val f1 = MultimodalOps.sampleFrames(spark, packed, everyMs = 1000L, maxFrames = 8)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    val f2 = MultimodalOps.sampleFrames(spark, packed, everyMs = 1000L, maxFrames = 8)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(f1.map(f => (f.media_id, f.frame_idx, f.ts_ms, f.width, f.height)).toSeq ==
+      f2.map(f => (f.media_id, f.frame_idx, f.ts_ms, f.width, f.height)).toSeq)
+    val perMedia = f1.groupBy(_.media_id)
+    assert(perMedia.size == 40)
+    assert(perMedia.values.forall(fs => fs.length >= 1 && fs.length <= 8))
+    // frame indices contiguous from 0, ts spaced by everyMs
+    assert(perMedia.values.forall(fs =>
+      fs.sortBy(_.frame_idx).zipWithIndex.forall { case (f, i) => f.frame_idx == i && f.ts_ms == i * 1000L }))
+    assert(f1.forall(f => f.thumb.length == 8 && f.width >= 16 && f.height >= 16))
+  }
+
   test("multimodal: pack → mapPartitions feature extraction is deterministic and total") {
     val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
     val packed = MultimodalOps.packBinary(docs, "doc_id", "text", "text")
