@@ -659,7 +659,8 @@ object SparkEntry {
     * winnowing guarantee and near-dup recall vs the shingle ground truth).
     */
   def qWinnowDedup(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.winnowPairs(Tables.documents(spark, dir), "doc_id", "text")
+    DedupOps.winnowPairs(Tables.documents(spark, dir), "doc_id", "text",
+      threshold = 0.3)
 
   /** Deterministic train/val/test split (0.8/0.1/0.1) by md5 hex-prefix of
     * the document key — content-hashed, so stable across runs, engines and

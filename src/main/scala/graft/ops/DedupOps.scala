@@ -148,15 +148,25 @@ object DedupOps {
     * means the exploded relation is ~(w+1)/2× smaller than full byte-shingle
     * dedup for the same guarantee window — the byte-level complement to the
     * word-shingle [[jaccardPairs]].
+    *
+    * Parameter calibration (measured on the sf0.1 corpus): SHORT byte grams
+    * (k=8 ≈ one word) are stop-gram-dominated — "the and"-type 8-grams occur
+    * corpus-wide, so posting lists go quadratic (272s uncapped) and capping
+    * them deletes the very fingerprints near-dup pairs share (0 recall).
+    * k=16 (≈2–3 words, like the word-3-gram shingles) makes fingerprints
+    * discriminative: full recall of the shingle ground truth with the
+    * df>100 stop-gram cap ON, in ~2s. Both defaults are part of the operator
+    * contract; the cap is not silent truncation — a fingerprint shared by
+    * >100 documents identifies no PAIR in any case.
     */
   def winnowPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 8,
+      k: Int = 16,
       w: Int = 4,
       threshold: Double = 0.5,
-      maxDocFreq: Int = 0): DataFrame =
+      maxDocFreq: Int = 100): DataFrame =
     setJaccardPairs(
       df.select(
         col(idCol),

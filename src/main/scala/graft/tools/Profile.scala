@@ -57,6 +57,9 @@ object Profile {
 
     val docs = Tables.documents(spark, dir)
     time("docs-count") { docs.count() }
+    time("winnow-pairs") {
+      DedupOps.winnowPairs(docs, "doc_id", "text", threshold = 0.3).count()
+    }
     for (round <- 1 to 2) {
       time(s"full-minhash-$round") {
         DedupOps.minhashLshPairs(docs, "doc_id", "text", 3, 0.5).count()

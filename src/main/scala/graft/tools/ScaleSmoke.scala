@@ -42,7 +42,9 @@ object ScaleSmoke {
       val n = corpus.count()
       Seq(
         ("minhash", () => DedupOps.minhashLshPairs(corpus, "doc_id", "text", 3, 0.5).count()),
-        ("jaccard", () => DedupOps.jaccardPairs(corpus, "doc_id", "text", 3, 0.5).count())
+        ("jaccard", () => DedupOps.jaccardPairs(corpus, "doc_id", "text", 3, 0.5).count()),
+        ("simhash", () => DedupOps.simhashPairs(corpus, "doc_id", "text").count()),
+        ("winnow",  () => DedupOps.winnowPairs(corpus, "doc_id", "text", threshold = 0.3).count())
       ).foreach { case (name, f) =>
         spark.sharedState.cacheManager.clearCache()
         corpus.cache().count()

@@ -87,7 +87,7 @@ class DedupTextSpec extends AnyFunSuite {
   test("winnowPairs finds the corpus's planted near-dups (recall vs shingle ground truth)") {
     val exact = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    val win = DedupOps.winnowPairs(docs, "doc_id", "text", k = 8, w = 4, threshold = 0.3)
+    val win = DedupOps.winnowPairs(docs, "doc_id", "text", threshold = 0.3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val recall = if (exact.isEmpty) 1.0 else (exact & win).size.toDouble / exact.size
     info(s"winnow recall=$recall over ${exact.size} ground-truth pairs, ${win.size} winnow pairs")
