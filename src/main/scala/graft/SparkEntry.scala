@@ -635,6 +635,56 @@ object SparkEntry {
   def qDocFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprint(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Top-3 distinctive terms per document (TF-IDF-style integer-safe
+    * ranking: tf DESC, document-frequency ASC, term ASC).
+    */
+  def qTfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTopTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+
+  /** Corpus top-100 bigram collocations (deterministic total order at the
+    * LIMIT boundary).
+    */
+  def qBigramCounts(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bigramCounts(Tables.documents(spark, dir), "text", k = 100)
+
+  /** PII scrub over the corpus with deterministic synthetic PII injected
+    * into every 7th document (the raw corpus is clean, so the injection
+    * makes the redaction path actually fire and be oracle-checked).
+    */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com or 555-123-4567")))
+        .otherwise(col("text")).as("text"))
+    TextOps.piiScrub(docs, "doc_id", "text")
+  }
+
+  /** Int8 quantization stats per embedding vector (integer-exact
+    * invariants: quantized sum + saturation count).
+    */
+  def qEmbeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.quantizeInt8(Tables.embeddings(spark, dir), "vec_id", "embedding")
+
+  /** SCD type-2 history of each key's value changes (validity intervals
+    * with change compression) — the warehouse-history complement of the
+    * last-wins snapshot.
+    */
+  def qScd2History(spark: SparkSession, dir: String): DataFrame =
+    Merge
+      .scd2History(
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id")),
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      .select(
+        col("user_id").as("symbol"),
+        col("event_type").as("asset_type"),
+        col("value").as("price"),
+        col("valid_from").cast("timestamp_ntz").as("valid_from"),
+        col("valid_to").cast("timestamp_ntz").as("valid_to"),
+        col("is_current"))
+
   /** Exact dedup groups by content digest. */
   def qExactDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.exactDedup(Tables.documents(spark, dir), "doc_id", "text")
@@ -801,6 +851,11 @@ object SparkEntry {
     "q_quality_score"           -> (qQualityScore(_, _)),
     "q_doc_fingerprint"         -> (qDocFingerprint(_, _)),
     "q_exact_dedup"             -> (qExactDedup(_, _)),
+    "q_tfidf_top_terms"         -> (qTfidfTopTerms(_, _)),
+    "q_bigram_counts"           -> (qBigramCounts(_, _)),
+    "q_pii_scrub"               -> (qPiiScrub(_, _)),
+    "q_embedding_quantize"      -> (qEmbeddingQuantize(_, _)),
+    "q_scd2_history"            -> (qScd2History(_, _)),
     "q_ngram_jaccard_dedup"     -> (qNgramJaccardDedup(_, _)),
     "q_minhash_dedup"           -> (qMinhashDedup(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
@@ -1031,6 +1086,65 @@ object SparkEntry {
     "q_exact_dedup" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |             row_number() OVER (PARTITION BY tf.doc_id
+        |                                ORDER BY tf.tf DESC, dfreq.df ASC, tf.term) AS rank
+        |      FROM tf JOIN dfreq USING (term))
+        |SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3""".stripMargin,
+    "q_bigram_counts" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |g AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+        |      FROM t WHERE len(w) >= 2)
+        |SELECT bigram, count(*) AS n FROM g GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0
+        |              THEN text || ' contact: user' || doc_id::VARCHAR || '@example.com or 555-123-4567'
+        |              ELSE text END AS t
+        |  FROM documents),
+        |s AS (SELECT doc_id, t,
+        |             regexp_replace(
+        |               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |               '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS scrubbed
+        |      FROM aug)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |       len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::BIGINT AS n_phones,
+        |       md5(scrubbed) AS scrub_sig,
+        |       length(scrubbed)::BIGINT AS scrub_len
+        |FROM s""".stripMargin,
+    "q_embedding_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),
+        |q AS (SELECT vec_id, len(v)::BIGINT AS n_dims, scale,
+        |             list_transform(v, x -> CAST(round(x / (CASE WHEN scale > 0 THEN scale ELSE 1.0 END)) AS BIGINT)) AS qs
+        |      FROM s)
+        |SELECT vec_id, n_dims, scale,
+        |       CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        |       len(list_filter(qs, x -> abs(x) >= 127))::BIGINT AS n_sat
+        |FROM q""".stripMargin,
+    "q_scd2_history" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, value, ts, event_id,
+        |         lag(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT * FROM w WHERE prev IS DISTINCT FROM value),
+        |h AS (SELECT user_id, event_type, value, ts AS valid_from,
+        |             lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS valid_to
+        |      FROM c)
+        |SELECT user_id AS symbol, event_type AS asset_type, value AS price,
+        |       valid_from, valid_to, valid_to IS NULL AS is_current
+        |FROM h""".stripMargin,
     "q_ngram_jaccard_dedup" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
         |g AS (SELECT doc_id,

@@ -106,4 +106,30 @@ object Merge {
       .foldLeft(picked) { (d, c) => d.withColumn(c, col(s"__p.$c")) }
       .drop("__p")
   }
+
+  /** SCD type-2 history: turn a keyed change stream into validity intervals.
+    * Consecutive rows whose `valueCol` did not change are compressed away
+    * (null-safe comparison), then each surviving change row gets
+    * `valid_from = its timestamp`, `valid_to = next change's timestamp`
+    * (NULL and `is_current = true` on the open interval) — the standard
+    * warehouse history table the snapshot upserts (A11-A13) discard.
+    *
+    * One shuffle on the key; both windows use the same partitioning and
+    * ordering so the sort is planned once and reused (verified in
+    * PLANS.md — a single Sort node feeds both Window operators).
+    */
+  def scd2History(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .filter(!(col("__prev") <=> col(valueCol)))
+      .drop("__prev")
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

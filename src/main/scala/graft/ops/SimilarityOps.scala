@@ -41,6 +41,29 @@ object SimilarityOps {
   def cosine(dotCol: Column, n1: Column, n2: Column): Column =
     when(n1 * n2 > 0, dotCol / (n1 * n2))
 
+  /** Symmetric int8 quantization stats per vector — the storage/transport
+    * compression step of an embedding pipeline (scale = max|v|/127,
+    * qᵢ = round(vᵢ/scale)). Emits integer-exact invariants (quantized sum,
+    * saturation count) rather than the quantized array itself so the result
+    * is scalar-celled and order-independent: the same check works on any
+    * engine and any partitioning. One codegen'd map stage, no shuffle.
+    * Zero vectors quantize to all-zeros with scale 0 (the division is
+    * guarded — ANSI mode aborts on double division by zero).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val absmax = array_max(transform(v, x => abs(x)))
+    val scale = absmax / lit(127.0)
+    val q = transform(v, x => round(x / when(scale > 0, scale).otherwise(lit(1.0))).cast("long"))
+    df.select(
+      col(idCol),
+      size(v).cast("long").as("n_dims"),
+      scale.as("scale"),
+      aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+      aggregate(q, lit(0L), (acc, x) => acc + when(abs(x) >= 127, lit(1L)).otherwise(lit(0L)))
+        .as("n_sat"))
+  }
+
   /** Corpus with embeddings cast to double and pre-computed norms. */
   def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(

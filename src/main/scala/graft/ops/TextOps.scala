@@ -107,4 +107,75 @@ object TextOps {
       md5(norm).as("fingerprint"),
       length(norm).cast("long").as("norm_len"))
   }
+
+  /** Top-k distinctive terms per document, TF-IDF style but with an
+    * integer-safe ranking (tf DESC, then document-frequency ASC, then term) —
+    * rarer terms win ties, exactly the tf·idf ordering for equal tf, without
+    * transcendental math that could diverge between engines at the last ulp.
+    *
+    * Scale shape: one narrow explode (no shuffle), one partial-aggregating
+    * groupBy on (doc, term), one groupBy on term for document frequency
+    * (terms follow a Zipf law, so the df relation is small relative to the
+    * corpus and the join back is a standard shuffle join; at 100 TB the df
+    * side is still the one to bucket or broadcast-threshold on), one window
+    * rank per doc. No driver collects.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
+  /** Corpus-level top-k bigram collocations: adjacent normalized-token pairs,
+    * counted and totally ordered (count DESC, bigram ASC — deterministic at
+    * the LIMIT boundary). The pair construction is a zip of two array slices
+    * inside one projection — no self-join, no positional explode; the only
+    * shuffle is the count aggregation (map-side partial), and the top-k is
+    * TakeOrdered, never a global sort.
+    */
+  def bigramCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = split(normalize(col(textCol)), " ")
+    val bigrams = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    df.select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** PII scrubbing: redact email addresses and NNN-NNN-NNNN phone numbers,
+    * emitting redaction counts and an md5 signature of the scrubbed text
+    * (the cheap equality witness — comparing full scrubbed bodies across
+    * engines/runs without shipping them). Pure regex built-ins, so the whole
+    * pass is one codegen'd map stage. Patterns are deliberately RE2-safe
+    * (no backreferences/lookaround) so the same expressions run on any
+    * regex engine a downstream verifier uses.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scrubbed =
+      regexp_replace(regexp_replace(t, emailPattern, "[EMAIL]"), phonePattern, "[PHONE]")
+    df.select(
+      col(idCol),
+      regexp_count(t, lit(emailPattern)).cast("long").as("n_emails"),
+      regexp_count(t, lit(phonePattern)).cast("long").as("n_phones"),
+      md5(scrubbed).as("scrub_sig"),
+      length(scrubbed).cast("long").as("scrub_len"))
+  }
 }

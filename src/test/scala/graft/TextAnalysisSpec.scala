@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Merge, SimilarityOps, TextOps}
+
+/** Round-2 text/embedding/history additions: TF-IDF term ranking, bigram
+  * collocations, PII scrubbing, int8 quantization, SCD2 history.
+  */
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tfidfTopTerms ranks by tf desc, then rarity (df asc), then term") {
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana banana date"),
+      (3L, "apple banana")
+    ).toDF("doc_id", "text")
+    val top = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "term", "tf", "df", "rank")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // df: apple→2 docs, banana→3, cherry→1, date→1
+    assert(top.filter(_._1 == 1L).map(_._2) == Seq("apple", "cherry"),
+      "doc 1: apple wins on tf=2; cherry beats banana on rarity at tf=1")
+    assert(top.filter(_._1 == 2L).map(_._2) == Seq("banana", "date"))
+    assert(top.filter(_._1 == 3L).map(_._2) == Seq("apple", "banana"),
+      "doc 3: tf tie broken by df (apple in 2 docs < banana in 3)")
+  }
+
+  test("bigramCounts: adjacent pairs, single-token and empty docs contribute none") {
+    val docs = Seq(
+      (1L, "a b a b c"),
+      (2L, "a  B"), // normalization collapses whitespace and lowercases
+      (3L, "single"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextOps.bigramCounts(docs, "text", k = 10).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("piiScrub redacts emails/phones with counts; clean text untouched") {
+    val docs = Seq(
+      (1L, "reach me at bob@site.org or 555-123-4567 thanks"),
+      (2L, "no pii here")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiScrub(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String, Long)].collect()
+    assert(got(0)._2 == 1L && got(0)._3 == 1L)
+    assert(got(0)._5 == "reach me at [EMAIL] or [PHONE] thanks".length.toLong)
+    assert(got(1)._2 == 0L && got(1)._3 == 0L)
+    assert(got(1)._5 == "no pii here".length.toLong)
+  }
+
+  test("quantizeInt8: unit scale quantizes exactly, saturation counted, zero vector safe") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -2.0f, 127.0f)), // scale = 127/127 = 1.0 exactly
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.quantizeInt8(vecs, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .as[(Long, Long, Double, Long, Long)].collect()
+    assert(got(0)._2 == 3L)
+    assert(got(0)._3 == 1.0)
+    assert(got(0)._4 == 1L - 2L + 127L)
+    assert(got(0)._5 == 1L)
+    assert(got(1)._3 == 0.0 && got(1)._4 == 0L && got(1)._5 == 0L,
+      "zero vector: scale 0, all-zero quants, no division abort")
+  }
+
+  test("scd2History compresses unchanged runs and closes intervals in order") {
+    def ts(i: Int) = Timestamp.valueOf(f"2024-01-01 00:0$i%d:00")
+    val ev = Seq(
+      ("u1", "t", 10.0, ts(1), 1L),
+      ("u1", "t", 10.0, ts(2), 2L), // unchanged → compressed away
+      ("u1", "t", 20.0, ts(3), 3L),
+      ("u2", "t", 5.0, ts(4), 4L)
+    ).toDF("user_id", "event_type", "value", "ts", "event_id")
+    val h = Merge
+      .scd2History(ev, Seq("user_id", "event_type"), "ts", "event_id", "value")
+      .orderBy("user_id", "valid_from")
+      .select("user_id", "value", "valid_from", "valid_to", "is_current")
+      .as[(String, Double, Timestamp, Option[Timestamp], Boolean)].collect().toSeq
+    assert(h == Seq(
+      ("u1", 10.0, ts(1), Some(ts(3)), false),
+      ("u1", 20.0, ts(3), None, true),
+      ("u2", 5.0, ts(4), None, true)))
+  }
+}
