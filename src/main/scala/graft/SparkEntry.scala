@@ -752,6 +752,40 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), col("quality"))
   }
 
+  /** Within-document repetition metrics (Gopher-style duplicate-trigram and
+    * top-bigram-share filters) with the standard thresholds.
+    */
+  def qRepetitionFilter(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** GPT-style sequence packing: documents laid end-to-end per shard
+    * (8 shards by doc_id), chunked every 512 tokens; each document's span
+    * and chunk range is a pure function of (id, token count).
+    */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame =
+    SamplingOps.packSequences(
+      Tables.documents(spark, dir), "doc_id", "text", chunkTokens = 512, nShards = 8)
+
+  /** Train/eval 8-gram decontamination with a deterministic canary: docs
+    * with doc_id % 97 == 0 form the eval set, every 13th remaining doc gets
+    * the same canary sentence appended (the raw word-soup corpus shares no
+    * natural 8-grams, so the injection makes the leak-detection path
+    * actually fire and be oracle-checked — same pattern as q_pii_scrub).
+    */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val canary = lit(" the quick brown fox jumps over the lazy dog again and again")
+    val isEval = col("doc_id") % 97 === 0
+    val evalDocs = docs.filter(isEval)
+      .select(col("doc_id"), concat(col("text"), canary).as("text"))
+    val trainDocs = docs.filter(!isEval)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), canary))
+          .otherwise(col("text")).as("text"))
+    DedupOps.decontaminate(trainDocs, evalDocs, "doc_id", "text", n = 8)
+  }
+
   /** Brute-force cosine top-10 for probe vectors vec_id < 20. Window-rank
     * form here (faster at this corpus size); the bounded-heap aggregator
     * form (SimilarityOps.knnBruteAgg — map-side partial top-k, the winning
@@ -802,6 +836,18 @@ object SparkEntry {
     SimilarityOps.knnIvfKmeans(
       emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
       k = 10, nLists = 16, nProbe = 4, maxIter = 3)
+  }
+
+  /** SRP-LSH approximate top-10 for the same probe set (sign-random-
+    * projection signatures, 8 bands × 8 bits; no SQL oracle: approximate
+    * candidate set; SimilaritySpec checks recall vs brute force on
+    * clustered vectors and exactness of returned scores).
+    */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.knnLshSrp(
+      emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 10, dim = 64)
   }
 
   /** A3-A7 — the DataSource V2 quote source (live-HTTP seam) driven from the
@@ -863,9 +909,13 @@ object SparkEntry {
     "q_hash_split"              -> (qHashSplit(_, _)),
     "q_stratified_sample"       -> (qStratifiedSample(_, _)),
     "q_corpus_curation"         -> (qCorpusCuration(_, _)),
+    "q_repetition_filter"       -> (qRepetitionFilter(_, _)),
+    "q_pack_sequences"          -> (qPackSequences(_, _)),
+    "q_decontaminate"           -> (qDecontaminate(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_embedding_neardup"       -> (qEmbeddingNeardup(_, _)),
     "q_ann_ivf"                 -> (qAnnIvf(_, _)),
+    "q_ann_lsh"                 -> (qAnnLsh(_, _)),
     "q_cube_stats"              -> (qCubeStats(_, _)),
     "q_pivot_values"            -> (qPivotValues(_, _)),
     "q_unpivot_measures"        -> (qUnpivotMeasures(_, _)),
@@ -1214,6 +1264,73 @@ object SparkEntry {
         |WHERE l.pred_lang = 'en' AND q.quality >= 0.5
         |  AND q.doc_id IN (SELECT doc_id FROM keepers)
         |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    "q_repetition_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, len(w)::BIGINT AS n_tokens,
+        |         CASE WHEN len(w) >= 3
+        |              THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+        |              ELSE [] END AS tg,
+        |         CASE WHEN len(w) >= 2
+        |              THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |              ELSE [] END AS bg
+        |  FROM t),
+        |base AS (
+        |  SELECT doc_id, n_tokens,
+        |         CASE WHEN len(tg) > 0
+        |              THEN (len(tg) - len(list_distinct(tg)))::DOUBLE / len(tg) END AS dup_trigram_frac,
+        |         bg
+        |  FROM tri),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(bg) AS bigram FROM base) GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac FROM bc GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens, b.dup_trigram_frac, t2.top_bigram_frac,
+        |       coalesce(b.dup_trigram_frac > 0.3, false) OR coalesce(t2.top_bigram_frac > 0.2, false)
+        |         AS is_repetitive
+        |FROM base b LEFT JOIN top t2 USING (doc_id)""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, (doc_id % 8)::BIGINT AS shard,
+        |         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |       (cum - n_tokens)::BIGINT AS start_offset,
+        |       floor((cum - n_tokens) / 512)::BIGINT AS chunk_first,
+        |       floor((cum - 1) / 512)::BIGINT AS chunk_last,
+        |       (floor((cum - 1) / 512) - floor((cum - n_tokens) / 512) + 1)::BIGINT AS n_chunks
+        |FROM c""".stripMargin,
+    "q_decontaminate" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 97 = 0 OR doc_id % 13 = 0
+        |              THEN text || ' the quick brown fox jumps over the lazy dog again and again'
+        |              ELSE text END AS text,
+        |         (doc_id % 97 = 0) AS is_eval
+        |  FROM documents),
+        |tok AS (SELECT doc_id, is_eval, regexp_split_to_array(trim(text), '\s+') AS w FROM aug),
+        |grams AS (
+        |  SELECT doc_id, is_eval,
+        |         unnest(list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])) AS g
+        |  FROM tok WHERE len(w) >= 8),
+        |eval_g AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+        |hits AS (SELECT doc_id, count(*) AS n_hits
+        |         FROM grams WHERE NOT is_eval AND g IN (SELECT g FROM eval_g) GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 8
+        |              THEN len(list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]))
+        |              ELSE 0 END::BIGINT AS n_grams
+        |  FROM tok WHERE NOT is_eval)
+        |SELECT b.doc_id, b.n_grams, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        |       coalesce(h.n_hits, 0) > 0 AS is_contaminated
+        |FROM base b LEFT JOIN hits h USING (doc_id)""".stripMargin,
     "q_binary_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind, octet_length(text::BLOB)::BIGINT AS n_bytes
         |FROM documents""".stripMargin,

@@ -241,6 +241,40 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Train/eval decontamination: flag training documents sharing any word
+    * n-gram with the evaluation set — the standard benchmark-leakage guard
+    * run before pretraining (n = 8 by convention; see the hashed-shingle
+    * notes on collision odds). Output: one row per training document with
+    * its distinct-gram count, the number of those grams that appear
+    * anywhere in the eval set, and the contamination flag.
+    *
+    * Scale shape: the eval side is tiny by construction (benchmarks vs a
+    * 100 TB corpus), so its distinct gram set is BROADCAST — the training
+    * corpus is scanned once, grams are hashed to 64-bit longs
+    * ([[hashedShingles]]) so the probe compares fixed-width keys, and the
+    * only shuffle is the per-document count aggregation of (id, hit) pairs.
+    * A left join keeps zero-overlap documents in the result.
+    */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val trainSh = hashedShingles(train, idCol, textCol, n)
+    val evalGrams = hashedShingles(eval, idCol, textCol, n)
+      .select(explode(col("sh")).as("g")).distinct()
+    val exploded = trainSh.select(col(idCol), explode(col("sh")).as("g"))
+    val hits = exploded
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    trainSh.select(col(idCol), size(col("sh")).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("is_contaminated", col("n_hits") > 0)
+  }
+
   /** 64-bit SimHash of the document's distinct tokens: bit b of the result is
     * set iff the sum over tokens of ±1 (by bit b of the token's xxhash64) is
     * positive.

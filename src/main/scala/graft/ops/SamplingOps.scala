@@ -49,4 +49,40 @@ object SamplingOps {
       .filter(col("__rn") <= ceil(col("__n") * lit(fraction)))
       .drop("__rn", "__n")
   }
+
+  /** Sequence packing for LLM pretraining — the concat-then-chunk layout:
+    * documents are laid end-to-end in a deterministic order and the token
+    * stream is cut every `chunkTokens` tokens, so each document maps to a
+    * span `[offset, offset + n_tokens)` of its shard's stream and to the
+    * chunk range `[chunk_first, chunk_last]` it lands in (documents may
+    * straddle a chunk boundary, exactly like GPT-style packing).
+    *
+    * Scale shape: a single GLOBAL stream would serialize the cumulative sum
+    * through one partition, so packing is SHARDED — `pmod(id, nShards)`
+    * picks the shard, and the running sum is a window per shard (at 100 TB,
+    * nShards = O(cluster cores) keeps every shard's sort-and-scan local
+    * after one shuffle; shard streams are independent training files).
+    * Assignment is a pure function of (id, token count), reproducible on
+    * any engine/partitioning.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      nShards: Int): DataFrame = {
+    val nTok = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(
+      col(idCol),
+      pmod(col(idCol), lit(nShards)).cast("long").as("shard"),
+      nTok.as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("start_offset", (col("__cum") - col("n_tokens")))
+      .withColumn("chunk_first", floor(col("start_offset") / chunkTokens))
+      .withColumn("chunk_last", floor((col("__cum") - 1) / chunkTokens))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
+      .drop("__cum")
+  }
 }

@@ -217,6 +217,68 @@ object SimilarityOps {
       .select(col("probe_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** SRP-LSH approximate top-k: sign-random-projection signatures (Charikar
+    * SimHash for real vectors) with banding. Each vector gets an `nBits`-bit
+    * signature — bit b is the sign of its dot product with a fixed
+    * seed-deterministic Gaussian hyperplane — split into `nBands` bands;
+    * probes only score corpus vectors sharing at least one band bucket,
+    * then candidates are ranked by EXACT cosine (LSH affects recall only,
+    * never the correctness of returned scores).
+    *
+    * Scale shape vs [[knnIvf]]: no training pass at all — the signature is
+    * one codegen'd projection (nBits native dot kernels against literal
+    * hyperplanes), so the corpus streams once with no driver state; the
+    * banded join is an equi shuffle-hash join on (band, value) carrying
+    * (id, bucket) pairs, never vectors; probes stay broadcast. P(band
+    * match) = (1 − θ/π)^(nBits/nBands) per band — tune nBands up for
+    * recall, down for candidate volume.
+    */
+  def knnLshSrp(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      nBits: Int = 64,
+      nBands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    require(nBits % nBands == 0 && nBits <= 64, "nBands must divide nBits ≤ 64")
+    val bandBits = nBits / nBands
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()).toSeq)
+    def signature(v: Column): Column =
+      planes.zipWithIndex.map { case (h, b) =>
+        when(dot(v, typedlit(h)) >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    // cache is the CollapseProject barrier: without it the nBits-dot
+    // signature expression is inlined into every band-bucket projection
+    val c = prepared(corpus, idCol, vecCol).withColumn("sig", signature(col("v"))).cache()
+    val p = prepared(probes, idCol, vecCol)
+      .select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+      .withColumn("psig", signature(col("pv")))
+    val bucketOf = (sig: Column) => explode(transform(
+      sequence(lit(0), lit(nBands - 1)),
+      b => concat(
+        b.cast("string"), lit(":"),
+        call_function("shiftright", sig, (b * bandBits).cast("int"))
+          .bitwiseAND(lit((1L << bandBits) - 1)).cast("string"))))
+    val cb = c.select(col(idCol), bucketOf(col("sig")).as("bucket"))
+    val pb = p.select(col("probe_id"), bucketOf(col("psig")).as("bucket"))
+    val candidates = cb.join(broadcast(pb), Seq("bucket"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol)).distinct()
+    val scored = candidates
+      .join(c.select(col(idCol), col("v"), col("nrm")), Seq(idCol))
+      .join(broadcast(p.select(col("probe_id"), col("pv"), col("pn"))), Seq("probe_id"))
+      .withColumn("sim", cosine(dot(col("pv"), col("v")), col("pn"), col("nrm")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** IVF approximate top-k (MLlib-free variant). Coarse "centroids" are a
     * deterministic corpus subset (every `corpusSize/nLists`-th id); see
     * [[knnIvfKmeans]] for the fitted version. Every corpus vector is

@@ -178,4 +178,63 @@ object TextOps {
       md5(scrubbed).as("scrub_sig"),
       length(scrubbed).cast("long").as("scrub_len"))
   }
+
+  /** Within-document repetition metrics (the Gopher/MassiveText-style
+    * repetition filters): fraction of word-trigram occurrences that are
+    * repeats of an earlier trigram in the SAME document, and the share of
+    * all bigram occurrences taken by the document's single most frequent
+    * bigram. High values of either mark degenerate boilerplate/looping text
+    * that length or quality heuristics miss.
+    *
+    * Shape: the trigram-repeat fraction is computed entirely inside one
+    * projection (array HOFs over the token array — no shuffle); the
+    * top-bigram share needs a per-(doc,bigram) count, i.e. one explode +
+    * two partial-aggregating groupBys keyed by doc, then a left join back
+    * so short documents (<2 tokens) survive with NULL fractions. Every
+    * shuffled row is (doc_id, small ints) — text never moves.
+    */
+  def repetitionStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dupTrigramMax: Double = 0.3,
+      topBigramMax: Double = 0.2): DataFrame = {
+    val toks = split(normalize(col(textCol)), " ")
+    val trigrams = when(size(toks) >= 3,
+      zip_with(
+        zip_with(
+          slice(toks, lit(1), size(toks) - 2),
+          slice(toks, lit(2), size(toks) - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(toks, lit(3), size(toks) - 2),
+        (ab, c) => concat(ab, lit(" "), c)))
+      .otherwise(array().cast("array<string>"))
+    val bigrams = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val base = df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      when(size(trigrams) > 0,
+        (size(trigrams) - size(array_distinct(trigrams))).cast("double")
+          / size(trigrams).cast("double"))
+        .as("dup_trigram_frac"),
+      bigrams.as("__bigrams"))
+    val top = base
+      .select(col(idCol), explode(col("__bigrams")).as("bigram"))
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg((max(col("__c")).cast("double") / sum(col("__c")).cast("double"))
+        .as("top_bigram_frac"))
+    base.drop("__bigrams")
+      .join(top, Seq(idCol), "left")
+      .withColumn(
+        "is_repetitive",
+        coalesce(col("dup_trigram_frac") > dupTrigramMax, lit(false)) ||
+          coalesce(col("top_bigram_frac") > topBigramMax, lit(false)))
+  }
 }

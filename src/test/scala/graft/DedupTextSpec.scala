@@ -154,4 +154,23 @@ class DedupTextSpec extends AnyFunSuite {
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
   }
+
+  test("decontaminate counts exactly the train grams present in the eval set") {
+    // eval doc = w1..w10 (8-grams: w1..w8, w2..w9, w3..w10); train doc 1 =
+    // x0 w1..w9 (grams: x0w1..w7, w1..w8 hit, w2..w9 hit); train doc 2 is
+    // disjoint; train doc 3 is too short for any 8-gram
+    val words = (1 to 10).map(i => s"w$i")
+    val eval = Seq((100L, words.mkString(" "))).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, ("x0" +: words.take(9)).mkString(" ")),
+      (2L, (11 to 20).map(i => s"w$i").mkString(" ")),
+      (3L, "w1 w2 w3")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.decontaminate(train, eval, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got(0) == ((1L, 3L, 2L, true)))  // 10 tokens → 3 grams, 2 inside eval
+    assert(got(1) == ((2L, 3L, 0L, false)))
+    assert(got(2) == ((3L, 0L, 0L, false)))
+  }
 }

@@ -25,6 +25,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(first == again)
   }
 
+  test("packSequences: per-shard spans are a gapless prefix-sum partition of the token stream") {
+    val packed = SamplingOps.packSequences(docs, "doc_id", "text", chunkTokens = 512, nShards = 8)
+      .select("doc_id", "shard", "n_tokens", "start_offset", "chunk_first", "chunk_last", "n_chunks")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(packed.length == docs.count())
+    packed.groupBy(_._2).values.foreach { shard =>
+      val byId = shard.sortBy(_._1)
+      // spans tile the shard stream: each doc starts where the previous ended
+      assert(byId.head._4 == 0L)
+      byId.zip(byId.tail).foreach { case (a, b) => assert(a._4 + a._3 == b._4) }
+    }
+    // chunk arithmetic: chunk_first/last bracket the span, n_chunks consistent
+    packed.foreach { case (_, _, n, off, cf, cl, nc) =>
+      assert(cf == off / 512 && cl == (off + n - 1) / 512 && nc == cl - cf + 1)
+    }
+    // deterministic under repartition
+    val again = SamplingOps
+      .packSequences(docs.repartition(5), "doc_id", "text", chunkTokens = 512, nShards = 8)
+      .select("doc_id", "start_offset").as[(Long, Long)].collect().toMap
+    assert(packed.map(p => p._1 -> p._4).toMap == again)
+  }
+
   test("stratifiedTake keeps exactly ceil(fraction*n) rows per stratum, deterministically") {
     val strata = docs.select(col("doc_id"), col("lang"))
     val take = SamplingOps.stratifiedTake(strata, Seq("lang"), "doc_id", 0.2)

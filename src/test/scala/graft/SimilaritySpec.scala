@@ -129,4 +129,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.35, s"recall=$recall")
     assert(ivf.size <= brute.size)
   }
+
+  test("knnLshSrp: high recall on clustered vectors, exact sims, deterministic") {
+    // 10 well-separated clusters of 20 points each (center ± small noise):
+    // a probe's true neighbors are its cluster-mates, whose SRP signatures
+    // agree on nearly every hyperplane — the regime banding is built for
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(10)(Array.fill(dim)(rng.nextGaussian() * 3))
+    val points = for {
+      c <- centers.indices; i <- 0 until 20
+    } yield (c * 20L + i, centers(c).map(_ + rng.nextGaussian() * 0.05).toSeq)
+    val vecs = points.toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") % 20 === 0)
+    val brute = SimilarityOps.knnBrute(vecs, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    val lsh = SimilarityOps.knnLshSrp(vecs, probes, "vec_id", "embedding", 10, dim)
+      .select("probe_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    val lshSet = lsh.map(r => (r._1, r._2)).toSet
+    val recall = (bruteSet & lshSet).size.toDouble / bruteSet.size
+    info(s"srp-lsh recall=$recall")
+    assert(recall >= 0.9, s"recall=$recall")
+    // candidates are ranked by EXACT cosine: any pair both methods return
+    // carries the identical similarity
+    val bruteSims = brute.map(r => (r._1, r._2) -> r._3).toMap
+    assert(lsh.filter(r => bruteSims.contains((r._1, r._2)))
+      .forall(r => r._3 == bruteSims((r._1, r._2))))
+    // seed-deterministic: a second run returns the same rows
+    val again = SimilarityOps.knnLshSrp(vecs, probes, "vec_id", "embedding", 10, dim)
+      .select("probe_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(again == lsh.toSet)
+  }
 }

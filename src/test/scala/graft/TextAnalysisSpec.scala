@@ -72,6 +72,21 @@ class TextAnalysisSpec extends AnyFunSuite {
       "zero vector: scale 0, all-zero quants, no division abort")
   }
 
+  test("repetitionStats flags looping text, passes varied text, survives short docs") {
+    val d = Seq(
+      (1L, "a b a b a b a b"),     // top bigram "a b" = 4/7 occurrences, dup trigrams 4/6
+      (2L, "one two three four five six seven eight"), // no repeats
+      (3L, "x")                    // <2 tokens: NULL fracs, not repetitive
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.repetitionStats(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double], Option[Double], Boolean)].collect()
+    val (_, n1, dup1, top1, rep1) = got(0)
+    assert(n1 == 8L && dup1.get > 0.6 && top1.get > 0.5 && rep1)
+    assert(got(1)._3.contains(0.0) && !got(1)._5)
+    assert(got(2)._3.isEmpty && got(2)._4.isEmpty && !got(2)._5)
+  }
+
   test("scd2History compresses unchanged runs and closes intervals in order") {
     def ts(i: Int) = Timestamp.valueOf(f"2024-01-01 00:0$i%d:00")
     val ev = Seq(
