@@ -752,6 +752,36 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), col("quality"))
   }
 
+  /** Domain-mix rebalancing of the corpus to a skewed target (sources
+    * src0-src4 get 10% each, the rest split the remaining half), sized by
+    * n_chars — deterministic integer-hash membership, so the kept set is
+    * oracle-checkable row-for-row.
+    */
+  def qDomainRebalance(spark: SparkSession, dir: String): DataFrame =
+    SamplingOps.rebalanceDomains(
+      Tables.documents(spark, dir), "doc_id", "source", "n_chars",
+      (0 to 4).map(i => s"src$i" -> 0.1) ++ (5 to 19).map(i => s"src$i" -> 1.0 / 30))
+
+  /** Near-duplicate cluster resolution: connected components over the
+    * word-3-gram Jaccard pairs (min-label propagation to fixpoint), every
+    * document labeled with its cluster's minimum id (the keeper), plus the
+    * cluster size. Singletons are their own keeper — the relation a
+    * curation pipeline joins against to drop transitive duplicates exactly
+    * once.
+    */
+  def qNeardupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val cc = DedupOps.connectedComponents(pairs, "doc_a", "doc_b")
+    val labeled = docs.select(col("doc_id"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+  }
+
   /** Within-document repetition metrics (Gopher-style duplicate-trigram and
     * top-bigram-share filters) with the standard thresholds.
     */
@@ -910,6 +940,8 @@ object SparkEntry {
     "q_stratified_sample"       -> (qStratifiedSample(_, _)),
     "q_corpus_curation"         -> (qCorpusCuration(_, _)),
     "q_repetition_filter"       -> (qRepetitionFilter(_, _)),
+    "q_neardup_clusters"        -> (qNeardupClusters(_, _)),
+    "q_domain_rebalance"        -> (qDomainRebalance(_, _)),
     "q_pack_sequences"          -> (qPackSequences(_, _)),
     "q_decontaminate"           -> (qDecontaminate(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
@@ -1264,6 +1296,41 @@ object SparkEntry {
         |WHERE l.pred_lang = 'en' AND q.quality >= 0.5
         |  AND q.doc_id IN (SELECT doc_id FROM keepers)
         |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    "q_domain_rebalance" -> {
+      val vals = ((0 to 4).map(i => s"('src$i', 0.1)") ++
+        (5 to 19).map(i => s"('src$i', 1.0/30)")).mkString(", ")
+      s"""WITH w(source, tw) AS (VALUES $vals),
+         |stats AS (SELECT source, sum(n_chars)::DOUBLE AS sz FROM documents GROUP BY 1),
+         |sw AS (SELECT s.source, s.sz, w.tw FROM stats s JOIN w USING (source) WHERE tw > 0),
+         |b AS (SELECT min(sz / tw) AS budget FROM sw),
+         |frac AS (SELECT source, least(1.0, tw * budget / sz) AS keep_frac FROM sw, b)
+         |SELECT d.doc_id, d.source, d.n_chars, f.keep_frac
+         |FROM documents d JOIN frac f USING (source)
+         |WHERE (d.doc_id * 2654435761 % 1000003)::DOUBLE / 1000003.0 < f.keep_frac""".stripMargin
+    },
+    "q_neardup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+        |      FROM t WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM g),
+        |pr AS (SELECT doc_a, doc_b
+        |       FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |       WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5),
+        |edges AS (SELECT doc_a AS es, doc_b AS et FROM pr UNION SELECT doc_b, doc_a FROM pr),
+        |rch(v, r) AS (
+        |  SELECT es, es FROM (SELECT DISTINCT es FROM edges)
+        |  UNION
+        |  SELECT ed.es, rc.r FROM edges ed JOIN rch rc ON rc.v = ed.et),
+        |lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM rch GROUP BY 1),
+        |labeled AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |            FROM (SELECT doc_id FROM documents) d LEFT JOIN lab l USING (doc_id)),
+        |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1)
+        |SELECT doc_id, cluster_id, cluster_size, doc_id = cluster_id AS is_keeper
+        |FROM labeled JOIN szs USING (cluster_id)""".stripMargin,
     "q_repetition_filter" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -241,6 +241,53 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Connected components over near-duplicate pairs — the cluster-resolution
+    * step that turns PAIRWISE dedup output into transitive duplicate groups
+    * (A~B, B~C ⟹ {A,B,C} is one group with one keeper; dropping the higher
+    * id of each pair independently would over-drop and can even drop every
+    * member of a cycle). Returns (id, cluster_id) where cluster_id is the
+    * minimum member id — the canonical keeper.
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint — each round
+    * every vertex takes the min of its own label and its neighbors' labels
+    * (one shuffle join + partial-aggregating groupBy per round, converging
+    * in O(graph diameter) rounds). Near-dup graphs are overwhelmingly tiny
+    * cliques and chains (diameter ≤ ~3), so the round count is small and
+    * data-independent of corpus size; each round's state is localCheckpointed
+    * so the lineage (and the re-execution cost of the convergence check)
+    * stays O(1) per round instead of growing with the iteration count. For
+    * adversarially long chains at 100 TB, the standard upgrade is
+    * large-star/small-star (pointer doubling, O(log n) rounds) — same
+    * join/agg building blocks, different message rule.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("s"), col(bCol).as("t"))
+      .union(pairs.select(col(bCol).as("s"), col(aCol).as("t")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("t"), col("label").as("nl")), Seq("t"))
+        .groupBy(col("s").as("id")).agg(min(col("nl")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("__chg"))
+        .localCheckpoint()
+      converged = next.filter(col("__chg")).limit(1).isEmpty
+      labels = next.drop("__chg")
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Train/eval decontamination: flag training documents sharing any word
     * n-gram with the evaluation set — the standard benchmark-leakage guard
     * run before pretraining (n = 8 by convention; see the hashed-shingle

@@ -50,6 +50,42 @@ object SamplingOps {
       .drop("__rn", "__n")
   }
 
+  /** Domain-mix rebalancing: downsample each domain so the kept corpus
+    * approximates the target weight distribution. The achievable total is
+    * set by the limiting domain (budget = min over domains of size/weight —
+    * no domain can be upsampled), each domain keeps
+    * `min(1, weight·budget/size)` of its rows, and membership is decided by
+    * a deterministic integer mix of the row id (Knuth multiplicative hash
+    * mod a prime — exact in 64-bit arithmetic on any engine, so the kept
+    * set is a pure function of (id, weights), reproducible row-for-row).
+    * Domains absent from `weights` (or weighted 0) are dropped.
+    *
+    * Scale shape: the per-domain stats relation is tiny (|domains| rows) —
+    * one partial-aggregating groupBy, then a broadcast join back; the keep
+    * decision is a codegen'd filter. Nothing but the stats ever shuffles.
+    */
+  def rebalanceDomains(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      sizeCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    val wExpr = weights.foldRight(lit(0.0): Column) { case ((d, w), e) =>
+      when(col(domainCol) === d, lit(w)).otherwise(e)
+    }
+    val stats = df.groupBy(col(domainCol)).agg(sum(col(sizeCol)).cast("double").as("__sz"))
+      .withColumn("__w", wExpr).filter(col("__w") > 0)
+    val budget = stats.agg(min(col("__sz") / col("__w")).as("__budget"))
+    val frac = stats.crossJoin(broadcast(budget))
+      .withColumn("keep_frac", least(lit(1.0), col("__w") * col("__budget") / col("__sz")))
+      .select(col(domainCol), col("keep_frac"))
+    df.join(broadcast(frac), Seq(domainCol))
+      .withColumn("__u",
+        pmod(col(idCol) * lit(2654435761L), lit(1000003L)).cast("double") / lit(1000003.0))
+      .filter(col("__u") < col("keep_frac"))
+      .select(col(idCol), col(domainCol), col(sizeCol), col("keep_frac"))
+  }
+
   /** Sequence packing for LLM pretraining — the concat-then-chunk layout:
     * documents are laid end-to-end in a deterministic order and the token
     * stream is cut every `chunkTokens` tokens, so each document maps to a

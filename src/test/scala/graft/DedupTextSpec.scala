@@ -155,6 +155,22 @@ class DedupTextSpec extends AnyFunSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("connectedComponents resolves transitive clusters to min-id labels") {
+    // chain 1-2-3 (1 and 3 never pair directly), clique 10-11-12,
+    // long path 20..24 (diameter 4 → needs several propagation rounds)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (23L, 24L), (22L, 23L), (21L, 22L), (20L, 21L)
+    ).toDF("doc_a", "doc_b")
+    val got = graft.ops.DedupOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+  }
+
   test("decontaminate counts exactly the train grams present in the eval set") {
     // eval doc = w1..w10 (8-grams: w1..w8, w2..w9, w3..w10); train doc 1 =
     // x0 w1..w9 (grams: x0w1..w7, w1..w8 hit, w2..w9 hit); train doc 2 is

@@ -47,6 +47,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(packed.map(p => p._1 -> p._4).toMap == again)
   }
 
+  test("rebalanceDomains: limiting domain kept whole, others thinned toward target mix") {
+    // A: 100 units at weight .5, B: 50 units at weight .5 → budget = 100,
+    // keep_frac A = .5, B = 1.0 (B is the limiting domain)
+    val rows = (1L to 100L).map(i => (i, "A", 1L)) ++ (101L to 150L).map(i => (i, "B", 1L)) ++
+      Seq((999L, "junk", 1L)) // unweighted domain → dropped
+    val df = rows.toDF("doc_id", "source", "n")
+    val kept = SamplingOps.rebalanceDomains(df, "doc_id", "source", "n",
+      Seq("A" -> 0.5, "B" -> 0.5))
+      .select("doc_id", "source", "keep_frac").as[(Long, String, Double)].collect()
+    val byDom = kept.groupBy(_._2)
+    assert(!byDom.contains("junk"))
+    assert(byDom("B").length == 50 && byDom("B").forall(_._3 == 1.0))
+    assert(byDom("A").forall(_._3 == 0.5))
+    val nA = byDom("A").length
+    assert(nA > 30 && nA < 70, s"kept $nA of 100 at frac 0.5")
+    // deterministic: identical kept set on a different partitioning
+    val again = SamplingOps.rebalanceDomains(df.repartition(7), "doc_id", "source", "n",
+      Seq("A" -> 0.5, "B" -> 0.5)).select("doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("stratifiedTake keeps exactly ceil(fraction*n) rows per stratum, deterministically") {
     val strata = docs.select(col("doc_id"), col("lang"))
     val take = SamplingOps.stratifiedTake(strata, Seq("lang"), "doc_id", 0.2)
