@@ -159,6 +159,34 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(streamed == Set((1L, 11.0), (2L, 5.0)))
   }
 
+  test("stateless curation ops compose onto a stream unchanged (piiScrub + repetition)") {
+    // the map-only text operators (scrub, repetition metrics' projection
+    // half, lang-id, quality) are stateless Catalyst expressions, so the
+    // SAME operator object runs on a readStream frame with no code change —
+    // the streaming form of the curation pipeline is composition, not a port
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "mail me at a@b.com and x@y.org"),
+      (2L, "call 555-123-4567 now"),
+      (3L, "clean text with no pii at all"))
+    val stream = MemoryStream[(Long, String)]
+    val scrubbed = graft.ops.TextOps.piiScrub(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = scrubbed.writeStream.format("memory")
+      .queryName("pii_stream").outputMode("append").start()
+    stream.addData(docs.take(1)); q.processAllAvailable()
+    stream.addData(docs.drop(1)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pii_stream")
+      .select("doc_id", "n_emails", "n_phones", "scrub_sig")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val batch = graft.ops.TextOps.piiScrub(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "n_emails", "n_phones", "scrub_sig")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.exists { case (id, e, p, _) => id == 1L && e == 2L && p == 0L })
+  }
+
   test("flatMapGroupsWithState keeps newest tick per key with update counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streaming.{Tick, Snapshot}

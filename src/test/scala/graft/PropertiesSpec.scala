@@ -78,6 +78,55 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: connectedComponents labels equal the true component minimum") {
+    val edgeGen = Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+    samples(edgeGen, 6).foreach { edges =>
+      val got = DedupOps.connectedComponents(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      // reference union-find on the driver
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val expected = verts.map { v =>
+        v -> verts.filter(u => find(u) == find(v)).min
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
+  test("property: packSequences spans tile each shard stream exactly") {
+    val docGen = Gen.listOfN(20, Gen.chooseNum(1, 40)).map { lens =>
+      lens.zipWithIndex.map { case (len, i) =>
+        (i.toLong, (1 to len).map(j => s"t$j").mkString(" "))
+      }
+    }
+    samples(docGen, 5).foreach { docs =>
+      val packed = graft.ops.SamplingOps
+        .packSequences(docs.toDF("doc_id", "text"), "doc_id", "text", 7, 3)
+        .select("doc_id", "shard", "n_tokens", "start_offset", "chunk_first", "chunk_last")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      packed.groupBy(_._2).values.foreach { sh =>
+        val byId = sh.sortBy(_._1)
+        assert(byId.head._4 == 0L)
+        byId.zip(byId.tail).foreach { case (a, b) => assert(a._4 + a._3 == b._4) }
+        // token mass conservation: last doc's end == shard total
+        assert(byId.last._4 + byId.last._3 == sh.map(_._3).sum)
+      }
+      packed.foreach { case (_, _, n, off, cf, cl) =>
+        assert(cf == off / 7 && cl == (off + n - 1) / 7)
+      }
+    }
+  }
+
   test("property: jaccard pairs are bounded, canonical and complete on identical docs") {
     val docGen = Gen.listOfN(8, Gen.chooseNum(0, 3)).map { seeds =>
       seeds.zipWithIndex.map { case (s, i) =>
