@@ -42,6 +42,43 @@ class SourcesSpec extends AnyFunSuite {
     assert(r.completion.select("record_count").as[Long].head() == 2L)
   }
 
+  test("csv/jsonl landing: schema-pinned parse routes malformed rows to rejects") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("symbol", StringType), StructField("price", DoubleType)))
+    val dir = Files.createTempDirectory("graft-land")
+    val csvPath = dir.resolve("q.csv")
+    Files.write(csvPath, java.util.Arrays.asList(
+      "symbol,price", "AAPL,101.5", "MSFT,not_a_number", "GOOG,99.0"))
+    val (csvOk, csvBad) = graft.sources.FileSources.splitValid(
+      graft.sources.FileSources.csv(spark, csvPath.toString, schema))
+    assert(csvOk.select("symbol").as[String].collect().toSet == Set("AAPL", "GOOG"))
+    assert(csvBad.select("raw").as[String].collect().toSeq == Seq("MSFT,not_a_number"))
+    val jsonPath = dir.resolve("q.jsonl")
+    Files.write(jsonPath, java.util.Arrays.asList(
+      """{"symbol":"AAPL","price":101.5}""", """{"symbol":"MSFT","price":}""",
+      """{"symbol":"GOOG","price":99.0}"""))
+    val (jsOk, jsBad) = graft.sources.FileSources.splitValid(
+      graft.sources.FileSources.jsonl(spark, jsonPath.toString, schema))
+    assert(jsOk.select("symbol").as[String].collect().toSet == Set("AAPL", "GOOG"))
+    assert(jsBad.count() == 1)
+  }
+
+  test("orc round-trip preserves schema and rows; predicate pushdown reaches the scan") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-orc").resolve("docs").toString
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "lang", "n_chars")
+    graft.sources.FileSources.writeOrc(docs, dir)
+    val back = graft.sources.FileSources.orc(spark, dir)
+    assert(back.schema == docs.schema)
+    assert(back.count() == docs.count())
+    val plan = back.filter(col("n_chars") > 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]"),
+      s"pushdown missing in:\n$plan")
+  }
+
   test("graft_dot is callable from SQL after registration") {
     GraftExtensions.registerAll(spark)
     val got = spark.sql(
