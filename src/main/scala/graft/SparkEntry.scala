@@ -463,6 +463,43 @@ object SparkEntry {
         .select(col("event_type"), col("ts").cast("date").as("event_date"), col("value")),
       "event_type", "event_date", "value")
 
+  /** Incremental rollup maintenance: per-customer order stats as a merge of
+    * two partial aggregates (history < 1997-01-01, delta ≥) — the count/sum
+    * monoid merge that updates a stored rollup from a new partition without
+    * rescanning history. The oracle is the full-scan aggregate, proving the
+    * split-merge is exact.
+    */
+  def qIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val cut = lit("1997-01-01").cast("timestamp_ntz")
+    val prev = Analytics.partialAgg(
+      orders.filter(col("o_orderdate") < cut), Seq("o_custkey"), "o_totalprice")
+    val delta = Analytics.partialAgg(
+      orders.filter(col("o_orderdate") >= cut), Seq("o_custkey"), "o_totalprice")
+    Analytics.mergePartialAggs(Seq(prev, delta), Seq("o_custkey"))
+      .select(
+        col("o_custkey"),
+        col("n").as("n_orders"),
+        col("__total").cast("double").as("total_price"))
+  }
+
+  /** Z-order (Morton) layout values over (customer, order-day) — the
+    * two-dimensional clustering key that gives files tight min/max
+    * envelopes on BOTH columns; ztile is the 4096-wide curve tile a writer
+    * would partition by. Pure integer bit arithmetic, oracle-checked.
+    */
+  def qZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val zx = pmod(col("o_custkey"), lit(65536L))
+    val zy = pmod(
+      datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")).cast("long"),
+      lit(65536L))
+    val z = Layout.zvalue(col("zx"), col("zy"))
+    o.select(col("o_orderkey"), zx.as("zx"), zy.as("zy"))
+      .withColumn("zval", z)
+      .withColumn("ztile", shiftright(col("zval"), 20))
+  }
+
   /** Pivot: per-user value totals spread across the five event types (fixed
     * value list, so the plan is a single aggregate — no distinct-scan).
     */
@@ -942,6 +979,8 @@ object SparkEntry {
     "q_repetition_filter"       -> (qRepetitionFilter(_, _)),
     "q_neardup_clusters"        -> (qNeardupClusters(_, _)),
     "q_domain_rebalance"        -> (qDomainRebalance(_, _)),
+    "q_incremental_agg"         -> (qIncrementalAgg(_, _)),
+    "q_zorder_layout"           -> (qZorderLayout(_, _)),
     "q_pack_sequences"          -> (qPackSequences(_, _)),
     "q_decontaminate"           -> (qDecontaminate(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
@@ -1296,6 +1335,21 @@ object SparkEntry {
         |WHERE l.pred_lang = 'en' AND q.quality >= 0.5
         |  AND q.doc_id IN (SELECT doc_id FROM keepers)
         |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    "q_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_zorder_layout" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"((zx >> $i) & 1) * ${1L << (2 * i)}",
+        s"((zy >> $i) & 1) * ${1L << (2 * i + 1)}")).mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT o_orderkey, o_custkey % 65536 AS zx,
+         |         date_diff('day', DATE '1992-01-01', o_orderdate::DATE) % 65536 AS zy
+         |  FROM orders),
+         |z AS (SELECT o_orderkey, zx, zy, ($terms)::BIGINT AS zval FROM b)
+         |SELECT o_orderkey, zx, zy, zval, (zval >> 20)::BIGINT AS ztile FROM z""".stripMargin
+    },
     "q_domain_rebalance" -> {
       val vals = ((0 to 4).map(i => s"('src$i', 0.1)") ++
         (5 to 19).map(i => s"('src$i', 1.0/30)")).mkString(", ")

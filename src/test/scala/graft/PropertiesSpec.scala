@@ -127,6 +127,44 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: z-values interleave exactly and share prefixes within aligned tiles") {
+    import graft.ops.Layout
+    // known interleavings: x occupies even bits, y odd bits
+    val known = Seq((0L, 0L, 0L), (3L, 0L, 5L), (0L, 3L, 10L), (1L, 1L, 3L), (65535L, 0L, 0x55555555L))
+    val kdf = known.toDF("x", "y", "expect")
+      .withColumn("z", Layout.zvalue(col("x"), col("y")))
+    assert(kdf.filter(col("z") =!= col("expect")).count() == 0)
+    // locality: all 16 points of any 4x4 tile aligned at multiples of 4
+    // collapse to one value after dropping the low 4 interleaved bits
+    val grid = (for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y)).toDF("x", "y")
+      .withColumn("z", Layout.zvalue(col("x"), col("y")))
+      .withColumn("tile", call_function("shiftright", col("z"), lit(4)))
+      .withColumn("bx", floor(col("x") / 4) * 4).withColumn("by", floor(col("y") / 4) * 4)
+    val perBox = grid.groupBy("bx", "by").agg(countDistinct(col("tile")).as("nt"))
+    assert(perBox.filter(col("nt") =!= 1).count() == 0)
+  }
+
+  test("property: merged partial aggregates equal the full-scan aggregate for any split") {
+    import graft.ops.Analytics
+    val rowGen = Gen.listOfN(40, for {
+      k <- Gen.chooseNum(0L, 5L)
+      v <- Gen.chooseNum(1, 99999).map(_ / 100.0)
+      s <- Gen.chooseNum(0, 2)
+    } yield (k, v, s)).suchThat(_.nonEmpty)
+    samples(rowGen, 6).foreach { rows =>
+      val df = rows.toDF("k", "v", "slice")
+      val parts = (0 to 2).map(s => Analytics.partialAgg(
+        df.filter(col("slice") === s), Seq("k"), "v"))
+      val merged = Analytics.mergePartialAggs(parts, Seq("k"))
+        .select(col("k"), col("n"), col("__total").cast("double"))
+        .as[(Long, Long, Double)].collect().toSet
+      val full = Analytics.partialAgg(df, Seq("k"), "v")
+        .select(col("k"), col("n"), col("__total").cast("double"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(merged == full)
+    }
+  }
+
   test("property: jaccard pairs are bounded, canonical and complete on identical docs") {
     val docGen = Gen.listOfN(8, Gen.chooseNum(0, 3)).map { seeds =>
       seeds.zipWithIndex.map { case (s, i) =>
