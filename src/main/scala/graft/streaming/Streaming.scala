@@ -131,4 +131,39 @@ object Streaming {
         }
         .start()
   }
+
+  /** Maintained keyed rollup over a micro-batched stream: each batch is
+    * partially aggregated (count + exact decimal sum) and monoid-merged
+    * into the running rollup (Analytics.mergePartialAggs) — the streaming
+    * form of incremental aggregate maintenance, exactly equal to a batch
+    * aggregate over all rows ever seen because the merge is associative
+    * and the decimal sums never round. The maintained state is |keys|-sized
+    * regardless of stream volume, and lineage is truncated per batch.
+    * Unlike the built-in streaming aggregation (whose `update` output
+    * re-emits changed rows to a sink), this keeps a queryable TABLE of
+    * current totals — the reference's "store" role (A11-A13) for
+    * aggregates instead of snapshots.
+    */
+  class RollupStream(
+      spark: SparkSession,
+      keys: Seq[String],
+      valueCol: String) {
+    @volatile private var state: Option[DataFrame] = None
+
+    def current: Option[DataFrame] = state
+
+    def start(stream: DataFrame, checkpointDir: String): StreamingQuery =
+      stream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val part = graft.ops.Analytics.partialAgg(batch, keys, valueCol)
+          val merged = state match {
+            case Some(prev) => graft.ops.Analytics.mergePartialAggs(Seq(prev, part), keys)
+            case None       => part
+          }
+          state = Some(merged.localCheckpoint(true))
+        }
+        .start()
+  }
 }

@@ -159,6 +159,30 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(streamed == Set((1L, 11.0), (2L, 5.0)))
   }
 
+  test("streaming rollup maintenance equals the batch aggregate over all batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ticks = Seq(
+      (1L, 10.5, 0), (2L, 3.25, 0), (1L, 2.75, 0),
+      (1L, 1.0, 1), (3L, 7.5, 1), (2L, 0.25, 1))
+    val stream = MemoryStream[(Long, Double, Int)]
+    val df = stream.toDF().toDF("k", "v", "b")
+    val roll = new Streaming.RollupStream(spark, Seq("k"), "v")
+    val ckpt = Files.createTempDirectory("graft-roll").toString
+    val q = roll.start(df, ckpt)
+    stream.addData(ticks.filter(_._3 == 0)); q.processAllAvailable()
+    stream.addData(ticks.filter(_._3 == 1)); q.processAllAvailable()
+    q.stop()
+    val streamed = roll.current.get
+      .select(col("k"), col("n"), col("__total").cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.ops.Analytics.partialAgg(
+      ticks.toDF("k", "v", "b"), Seq("k"), "v")
+      .select(col("k"), col("n"), col("__total").cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 3L, 14.25), (2L, 2L, 3.5), (3L, 1L, 7.5)))
+  }
+
   test("stateless curation ops compose onto a stream unchanged (piiScrub + repetition)") {
     // the map-only text operators (scrub, repetition metrics' projection
     // half, lang-id, quality) are stateless Catalyst expressions, so the
