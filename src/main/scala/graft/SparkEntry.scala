@@ -769,8 +769,10 @@ object SparkEntry {
 
   /** End-to-end corpus curation — the training-data use case the north-star
     * operators exist for, as ONE oracle-checked relation: predicted-English
-    * documents with quality ≥ 0.5, keeping only exact-dedup keepers and
-    * dropping the higher-id side of every near-duplicate pair.
+    * documents with quality ≥ 0.5, keeping only exact-dedup keepers and,
+    * per near-duplicate CLUSTER (connected components over the pair graph,
+    * not per-pair drops — a star 2-9, 3-9 must keep only one of {2,3,9}),
+    * the minimum-id representative.
     */
   def qCorpusCuration(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -779,8 +781,9 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), col("quality"))
     val keepers = DedupOps.exactDedup(docs, "doc_id", "text")
       .select(col("keeper_id").as("doc_id"))
-    val nearDupLosers = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
-      .select(col("doc_b").as("doc_id")).distinct()
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val nearDupLosers = DedupOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .filter(col("id") =!= col("cluster_id")).select(col("id").as("doc_id"))
     quality
       .join(lang, "doc_id").filter(col("pred_lang") === "en")
       .filter(col("quality") >= 0.5)
@@ -1292,7 +1295,7 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang FROM r WHERE rn <= ceil(n * 0.2)""".stripMargin,
     "q_corpus_curation" ->
-      """WITH s AS (
+      """WITH RECURSIVE s AS (
         |  SELECT doc_id,
         |         len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS en,
         |         len(regexp_extract_all(lower(text), '\b(der|und|die|das)\b')) AS de,
@@ -1327,9 +1330,15 @@ object SparkEntry {
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
         |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |sz AS (SELECT doc_id, len(sh) AS n FROM g),
-        |losers AS (SELECT DISTINCT doc_b AS doc_id
-        |           FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-        |           WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5)
+        |pr AS (SELECT doc_a, doc_b
+        |       FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |       WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5),
+        |edges AS (SELECT doc_a AS es, doc_b AS et FROM pr UNION SELECT doc_b, doc_a FROM pr),
+        |rch(v, r) AS (
+        |  SELECT es, es FROM (SELECT DISTINCT es FROM edges)
+        |  UNION
+        |  SELECT ed.es, rc.r FROM edges ed JOIN rch rc ON rc.v = ed.et),
+        |losers AS (SELECT v AS doc_id FROM rch GROUP BY v HAVING v <> min(r))
         |SELECT q.doc_id, q.n_tokens, q.quality
         |FROM quality q JOIN lang l ON q.doc_id = l.doc_id
         |WHERE l.pred_lang = 'en' AND q.quality >= 0.5
