@@ -268,8 +268,13 @@ object DedupOps {
     val edges = pairs.select(col(aCol).as("s"), col(bCol).as("t"))
       .union(pairs.select(col(bCol).as("s"), col(aCol).as("t")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("s").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // smart init: label = min(id, min neighbor) — one aggregation that
+    // fully resolves cliques and stars (the dominant near-dup shapes), so
+    // the loop below usually runs exactly one no-change round
+    var labels = edges.groupBy(col("s").as("id"))
+      .agg(min(col("t")).as("__nmin"))
+      .select(col("id"), least(col("id"), col("__nmin")).as("label"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
