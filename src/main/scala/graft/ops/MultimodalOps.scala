@@ -70,6 +70,41 @@ object MultimodalOps {
     }
   }
 
+  /** A resized media record: original + target dims and the transformed
+    * payload (stub transform — real deployments swap the scaler body).
+    */
+  case class ResizedMedia(
+      media_id: Long, kind: String, src_width: Int, src_height: Int,
+      width: Int, height: Int, n_bytes: Long, payload: Array[Byte])
+
+  /** Resize stage over packed media: fit each item into a `maxDim` box
+    * preserving aspect ratio (never upscale), emitting the scaled payload.
+    * The geometry is exact integer arithmetic on the decoded dims; the
+    * pixel transform is a stub (payload truncated proportionally to the
+    * area ratio) standing in for a real scaler. Same mapPartitions shape
+    * as [[extractFeatures]]: one scaler context per partition, payloads
+    * stay in place, nothing shuffles.
+    */
+  def resizeMedia(
+      spark: SparkSession,
+      packed: DataFrame,
+      maxDim: Int = 256): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    packed.as[MediaRecord].mapPartitions { it =>
+      // real scaler: initialize per-partition image context here
+      it.map { r =>
+        val (_, sw, sh) = fakeDecode(r.payload)
+        val scaleNum = math.min(maxDim, math.max(sw, sh)) // never upscale
+        val scaleDen = math.max(sw, sh)
+        val (w, h) = (math.max(1, sw * scaleNum / scaleDen),
+          math.max(1, sh * scaleNum / scaleDen))
+        val outLen = math.max(1, (r.payload.length.toLong * w * h / (sw.toLong * sh)).toInt)
+        ResizedMedia(r.media_id, r.kind, sw, sh, w, h, outLen.toLong,
+          java.util.Arrays.copyOf(r.payload, outLen))
+      }
+    }
+  }
+
   /** One sampled video frame: downscaled dims + a thumbnail payload. */
   case class FrameSample(
       media_id: Long, frame_idx: Int, ts_ms: Long, width: Int, height: Int, thumb: Array[Byte])

@@ -326,6 +326,29 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(f1.forall(f => f.thumb.length == 8 && f.width >= 16 && f.height >= 16))
   }
 
+  test("multimodal: resize fits the maxDim box, preserves aspect ratio, never upscales") {
+    import graft.ops.MultimodalOps
+    val packed = MultimodalOps.packBinary(
+      Tables.documents(spark, TestSpark.sf0001), "doc_id", "text", "image")
+    val resized = MultimodalOps.resizeMedia(spark, packed, maxDim = 256).collect()
+    assert(resized.length == packed.count())
+    resized.foreach { r =>
+      assert(math.max(r.width, r.height) <= math.max(256, math.max(r.src_width, r.src_height)))
+      assert(r.width <= r.src_width && r.height <= r.src_height, "never upscale")
+      // aspect ratio preserved within integer rounding: truncating the
+      // smaller dimension by 1 shifts the ratio by at most 1/min(w,h)
+      val srcAr = r.src_width.toDouble / r.src_height
+      val dstAr = r.width.toDouble / r.height
+      assert(math.abs(srcAr - dstAr) / srcAr <= 1.0 / math.min(r.width, r.height) + 1e-9,
+        s"$srcAr vs $dstAr at ${r.width}x${r.height}")
+      assert(r.n_bytes == r.payload.length.toLong)
+    }
+    // deterministic
+    val again = MultimodalOps.resizeMedia(spark, packed, maxDim = 256).collect()
+    assert(resized.map(r => (r.media_id, r.width, r.height, r.n_bytes)).toSet ==
+      again.map(r => (r.media_id, r.width, r.height, r.n_bytes)).toSet)
+  }
+
   test("multimodal: pack → mapPartitions feature extraction is deterministic and total") {
     val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
     val packed = MultimodalOps.packBinary(docs, "doc_id", "text", "text")
