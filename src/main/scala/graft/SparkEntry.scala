@@ -592,6 +592,20 @@ object SparkEntry {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         count(lit(1)).as("n_events"))
 
+  /** Incremental distinct maintenance: per-(type, day) HLL sketch partials
+    * merged up to per-type estimates — the sketch-monoid analog of
+    * q_incremental_agg (no SQL oracle: sketch hashing is engine-specific;
+    * ScalaTest proves merge-of-partials == one-pass sketch exactly and
+    * bounds the estimate vs exact distinct).
+    */
+  def qHllIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("ts").cast("date").as("d"))
+    Analytics.sketchMergeEstimate(
+      Analytics.sketchPartial(ev, Seq("event_type", "d"), "user_id"),
+      Seq("event_type"))
+  }
+
   /** B16 — coverage map: per symbol the sorted set of stored months (the
     * relational form of the reference's `{symbol: set(dates)}` fold). The
     * month set is emitted packed as a comma-joined string — the driver's
@@ -957,6 +971,7 @@ object SparkEntry {
     "q_range_band"              -> (qRangeBand(_, _)),
     "q_range_band_fast"         -> (qRangeBandFast(_, _)),
     "q_approx_users"            -> (qApproxUsers(_, _)),
+    "q_hll_incremental"         -> (qHllIncremental(_, _)),
     "q_coverage_map"            -> (qCoverageMap(_, _)),
     "q_monthly_pct_change"      -> (qMonthlyPctChange(_, _)),
     "q_dedup_rate"              -> (qDedupRate(_, _)),

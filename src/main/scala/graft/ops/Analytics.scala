@@ -115,6 +115,26 @@ object Analytics {
       .agg(sum(col("n")).as("n"), sum(col("__total")).as("__total"))
   }
 
+  /** Per-key HLL sketch partials — the distinct-count analog of
+    * [[partialAgg]]: sketches are a commutative monoid under union, so
+    * per-partition (e.g. per-day) sketches merge into exactly the sketch a
+    * full scan would build. Store the sketch column, not the estimate.
+    */
+  def sketchPartial(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol)).as("sk"))
+
+  /** Merge sketch partials over a coarser key and estimate: the incremental
+    * answer to "distinct users per type, updated daily without rescanning
+    * history" — each day contributes a fixed-size sketch (~KB), the merge
+    * cost is |partials|, and the estimate is IDENTICAL to sketching the
+    * full history in one pass (union is exact on sketch state; only the
+    * estimate itself carries the HLL error vs true distinct).
+    */
+  def sketchMergeEstimate(partials: DataFrame, keys: Seq[String]): DataFrame =
+    partials.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_distinct"))
+
   /** Session-window aggregate: Spark's native `session_window` merges each
     * key's events closer than `gap` into one session (same partitioning as a
     * plain keyed aggregate — one shuffle on the key, sessions formed within

@@ -133,6 +133,26 @@ class AnalyticsRetrySpec extends AnyFunSuite {
       (2L, "2024-01-01 00:05:00", 1L)))
   }
 
+  test("sketch merge of partials equals the one-pass sketch; estimate bounds exact distinct") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_type"), col("user_id"), col("ts").cast("date").as("d"))
+    val merged = Analytics.sketchMergeEstimate(
+      Analytics.sketchPartial(ev, Seq("event_type", "d"), "user_id"), Seq("event_type"))
+      .as[(String, Long)].collect().toMap
+    // one-pass sketch over the un-partitioned input: identical estimates,
+    // because sketch union is exact on sketch state
+    val onePass = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_distinct"))
+      .as[(String, Long)].collect().toMap
+    assert(merged == onePass)
+    // estimates within HLL error of the exact distinct (lgConfigK=12 → ~2% rsd)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(merged(k) - n).toDouble / n < 0.05, s"$k: ${merged(k)} vs $n")
+    }
+  }
+
   test("topK returns exactly k under the total order") {
     val df = Tables.lineitem(spark, TestSpark.sf0001)
     val got = Analytics.topK(
