@@ -806,6 +806,15 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), col("quality"))
   }
 
+  /** Fuzzy self-join on customer names within Levenshtein distance 1 —
+    * record linkage with SymSpell deletion-variant blocking (equi-join
+    * candidates, exact verify). The oracle is the brute-force O(n²)
+    * distance join: an INDEPENDENT method, so the hash match also proves
+    * the blocking's completeness claim on this corpus.
+    */
+  def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame =
+    LinkOps.fuzzySelfMatch(Tables.customer(spark, dir), "c_custkey", "c_name")
+
   /** Domain-mix rebalancing of the corpus to a skewed target (sources
     * src0-src4 get 10% each, the rest split the remaining half), sized by
     * n_chars — deterministic integer-hash membership, so the kept set is
@@ -997,6 +1006,7 @@ object SparkEntry {
     "q_repetition_filter"       -> (qRepetitionFilter(_, _)),
     "q_neardup_clusters"        -> (qNeardupClusters(_, _)),
     "q_domain_rebalance"        -> (qDomainRebalance(_, _)),
+    "q_fuzzy_join"              -> (qFuzzyJoin(_, _)),
     "q_incremental_agg"         -> (qIncrementalAgg(_, _)),
     "q_zorder_layout"           -> (qZorderLayout(_, _)),
     "q_pack_sequences"          -> (qPackSequences(_, _)),
@@ -1359,6 +1369,11 @@ object SparkEntry {
         |WHERE l.pred_lang = 'en' AND q.quality >= 0.5
         |  AND q.doc_id IN (SELECT doc_id FROM keepers)
         |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     "q_incremental_agg" ->
       """SELECT o_custkey, count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

@@ -82,7 +82,7 @@ object DedupOps {
     * intermediate. Hot buckets must be capped upstream (maxDocFreq) since a
     * bucket of m docs emits m(m-1)/2 pairs — true of ANY pairing strategy.
     */
-  private def bucketPairs(exploded: DataFrame, idCol: String, bucketCol: String): DataFrame = {
+  private[ops] def bucketPairs(exploded: DataFrame, idCol: String, bucketCol: String): DataFrame = {
     val posting = exploded
       .groupBy(col(bucketCol))
       .agg(sort_array(collect_set(col(idCol))).as("__ids"))

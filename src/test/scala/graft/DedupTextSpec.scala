@@ -155,6 +155,19 @@ class DedupTextSpec extends AnyFunSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("fuzzySelfMatch finds all one-edit pairs (sub/ins/del) and no distance-2 pairs") {
+    val names = Seq(
+      (1L, "alpha"), (2L, "alpba"),   // substitution
+      (3L, "alphax"),                 // insertion vs 1
+      (4L, "alph"),                   // deletion vs 1
+      (5L, "beta"), (6L, "beta"),     // identical (dist 0)
+      (7L, "gamma")                   // isolated; dist(alpba,alph)=2 must not pair
+    ).toDF("id", "name")
+    val got = graft.ops.LinkOps.fuzzySelfMatch(names, "id", "name")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L), (5L, 6L, 0L)))
+  }
+
   test("connectedComponents resolves transitive clusters to min-id labels") {
     // chain 1-2-3 (1 and 3 never pair directly), clique 10-11-12,
     // long path 20..24 (diameter 4 → needs several propagation rounds)
