@@ -43,6 +43,15 @@ object ScaleSmoke {
       Seq(
         ("minhash", () => DedupOps.minhashLshPairs(corpus, "doc_id", "text", 3, 0.5).count()),
         ("jaccard", () => DedupOps.jaccardPairs(corpus, "doc_id", "text", 3, 0.5).count()),
+        // the df-capped form returns identical pairs here (this corpus's
+        // word-3-gram df stays low, so both track linearly — confirmed
+        // k=1..8) and is the guard rail for stop-shingle-dominated corpora,
+        // where uncapped posting lists go quadratic (see the measured
+        // k=8-byte-gram winnowing case in DedupOps.winnowPairs' scaladoc:
+        // 272s uncapped vs 2s capped); a shingle shared by >100 docs
+        // identifies no pair above any useful threshold anyway
+        ("jaccard_capped",
+          () => DedupOps.jaccardPairs(corpus, "doc_id", "text", 3, 0.5, maxDocFreq = 100).count()),
         ("simhash", () => DedupOps.simhashPairs(corpus, "doc_id", "text").count()),
         ("winnow",  () => DedupOps.winnowPairs(corpus, "doc_id", "text", threshold = 0.3).count())
       ).foreach { case (name, f) =>
