@@ -543,6 +543,22 @@ object SparkEntry {
         expr("percentile(value, 0.95)").as("p95"),
         count(lit(1)).as("n"))
 
+  /** Percentile-threshold outlier flags: each event against its type's
+    * exact p99 — the stats relation is |types|-sized and broadcast back, so
+    * flagging is a codegen'd filter over one corpus scan (the same
+    * tiny-stats-join-back shape as the domain rebalance).
+    */
+  def qOutlierFlags(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.99)").as("p99"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(
+        col("event_id"), col("event_type"), col("value"), col("p99"),
+        (col("value") > col("p99")).as("is_outlier"))
+  }
+
   /** Range join: facts banded into broadcast value ranges (the engine's
     * theta-join form — broadcast nested-loop against a tiny bands dim, then
     * hash-aggregate; never a shuffle of facts on a range key).
@@ -975,6 +991,7 @@ object SparkEntry {
     "q_job_historical_e2e"      -> (qJobHistoricalE2e(_, _)),
     "q_sessionize"              -> (qSessionize(_, _)),
     "q_value_quantiles"         -> (qValueQuantiles(_, _)),
+    "q_outlier_flags"           -> (qOutlierFlags(_, _)),
     "q_star_join_revenue"       -> (qStarJoinRevenue(_, _)),
     "q_rolling_window"          -> (qRollingWindow(_, _)),
     "q_range_band"              -> (qRangeBand(_, _)),
@@ -1125,6 +1142,10 @@ object SparkEntry {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.95) AS p95,
         |       count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    "q_outlier_flags" ->
+      """WITH s AS (SELECT event_type, quantile_cont(value, 0.99) AS p99 FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value, s.p99, e.value > s.p99 AS is_outlier
+        |FROM events e JOIN s USING (event_type)""".stripMargin,
     "q_star_join_revenue" ->
       """SELECT n_name, count(*) AS n_items,
         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -63,6 +63,40 @@ object ScaleSmoke {
       }
       corpus.unpersist()
     }
+
+    // ---- similarity-search scaling: brute vs heap-agg vs IVF vs SRP-LSH ----
+    // copies perturb dim 0 so replicas are near- but not exact duplicates;
+    // probes stay fixed (first copy, 20 vectors), so work growth is purely
+    // corpus-side — the axis that matters at 100 TB
+    import graft.ops.SimilarityOps
+    val baseEmb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    def embK(k: Int): DataFrame =
+      (0 until k).map { c =>
+        baseEmb.select(
+          (col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(c * 0.001f)).otherwise(x)).as("embedding"))
+      }.reduce(_ unionByName _)
+
+    println("knn: k,vectors,op,seconds,rows")
+    Seq(1, 2, 4, 8).foreach { k =>
+      val corpus = embK(k).cache()
+      val n = corpus.count()
+      val probes = corpus.filter(col("vec_id") < 20)
+      Seq(
+        ("brute",   () => SimilarityOps.knnBrute(corpus, probes, "vec_id", "embedding", 10).count()),
+        ("heapagg", () => SimilarityOps.knnBruteAgg(corpus, probes, "vec_id", "embedding", 10).count()),
+        ("ivf",     () => SimilarityOps.knnIvf(corpus, probes, "vec_id", "embedding", 10, 16, 4).count()),
+        ("srp-lsh", () => SimilarityOps.knnLshSrp(corpus, probes, "vec_id", "embedding", 10, 64).count())
+      ).foreach { case (name, f) =>
+        spark.sharedState.cacheManager.clearCache()
+        corpus.cache().count()
+        val t0 = System.nanoTime()
+        val rows = f()
+        println(s"$k,$n,$name,${(System.nanoTime() - t0) / 1e9},$rows")
+      }
+      corpus.unpersist()
+    }
     spark.stop()
   }
 }
