@@ -83,6 +83,29 @@ object SparkEntry {
         col("ts").cast("timestamp_ntz").as("updated_at"))
   }
 
+  /** CDC apply — the upsert family completed with deletes: the pre-cutoff
+    * snapshot merged with a post-cutoff change stream whose op is derived
+    * deterministically (value < 5 → 'D'); a key whose LAST change is a
+    * delete leaves the store entirely.
+    */
+  def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"), col("ts_ns"))
+    val cutoffNs = java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond * 1000000000L
+    val snapshot = Merge.lastWins(
+      ev.filter(col("ts_ns") < cutoffNs), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+    val changes = ev.filter(col("ts_ns") >= cutoffNs)
+      .withColumn("op", when(col("value") < 5, lit("D")).otherwise(lit("U")))
+    Merge
+      .applyCdc(snapshot, changes, Seq("user_id", "event_type"),
+        Seq(col("ts"), col("event_id")), "op")
+      .select(
+        col("user_id").as("symbol"),
+        col("event_type").as("asset_type"),
+        col("value").as("price"),
+        col("ts").cast("timestamp_ntz").as("updated_at"))
+  }
+
   /** A12 — monthly series: last close per (symbol, month), the
     * `market_data_monthly` relation built from the stored history.
     */
@@ -1040,6 +1063,7 @@ object SparkEntry {
     "q_frame_sample"            -> (qFrameSample(_, _)),
     "q_latest_snapshot_upsert"  -> (qLatestSnapshotUpsert(_, _)),
     "q_merge_last_wins"         -> (qMergeLastWins(_, _)),
+    "q_cdc_apply"               -> (qCdcApply(_, _)),
     "q_monthly_last_close"      -> (qMonthlyLastClose(_, _)),
     "q_current_month_pick"      -> (qCurrentMonthPick(_, _)),
     "q_assets_needing_update"   -> (qAssetsNeedingUpdate(_, _)),
@@ -1583,6 +1607,24 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id AS symbol, event_type AS asset_type, value AS price, ts AS updated_at
         |FROM w WHERE rn = 1""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH snapw AS (
+        |  SELECT user_id, event_type, value, ts, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+        |snap AS (SELECT user_id, event_type, value, ts FROM snapw WHERE rn = 1),
+        |chw AS (
+        |  SELECT user_id, event_type, value, ts, event_id,
+        |         CASE WHEN value < 5 THEN 'D' ELSE 'U' END AS op,
+        |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+        |lastch AS (SELECT * FROM chw WHERE rn = 1),
+        |keep AS (SELECT s.user_id, s.event_type, s.value, s.ts FROM snap s
+        |         WHERE NOT EXISTS (SELECT 1 FROM lastch c
+        |                           WHERE c.user_id = s.user_id AND c.event_type = s.event_type)),
+        |ups AS (SELECT user_id, event_type, value, ts FROM lastch WHERE op <> 'D')
+        |SELECT user_id AS symbol, event_type AS asset_type, value AS price, ts AS updated_at
+        |FROM (SELECT * FROM keep UNION ALL SELECT * FROM ups)""".stripMargin,
     "q_monthly_last_close" ->
       """WITH w AS (
         |  SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS date, o_totalprice,

@@ -107,6 +107,28 @@ object Merge {
       .drop("__p")
   }
 
+  /** CDC apply: merge a change stream carrying upserts AND deletes into a
+    * snapshot — the full MERGE semantics the reference's upsert-only sinks
+    * (A11-A13) lack a delete path for. Per key, the LAST change (by
+    * `orderBy`) wins: a final 'D' removes the key, anything else replaces
+    * the stored row; keys untouched by the stream pass through. One
+    * last-wins reduction over the (small) change stream + one anti join +
+    * one union — the snapshot is never shuffled on anything but its key.
+    */
+  def applyCdc(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      orderBy: Seq[Column],
+      opCol: String,
+      deleteOp: String = "D"): DataFrame = {
+    val last = lastWins(changes, keys, orderBy)
+    val ups = last.filter(col(opCol) =!= deleteOp).drop(opCol)
+    snapshot
+      .join(last.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(ups)
+  }
+
   /** SCD type-2 history: turn a keyed change stream into validity intervals.
     * Consecutive rows whose `valueCol` did not change are compressed away
     * (null-safe comparison), then each surviving change row gets

@@ -63,6 +63,20 @@ class MergeSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS monthly_bucketed")
   }
 
+  test("applyCdc: last delete removes the key, last upsert replaces, untouched keys persist") {
+    val snapshot = Seq(
+      ("AAPL", 100.0, 1L), ("MSFT", 50.0, 1L), ("GOOG", 75.0, 1L))
+      .toDF("symbol", "price", "v")
+    val changes = Seq(
+      ("AAPL", 101.0, 2L, "U"), ("AAPL", 0.0, 3L, "D"),   // delete wins (later)
+      ("MSFT", 0.0, 2L, "D"), ("MSFT", 55.0, 3L, "U"),    // upsert wins (later)
+      ("NVDA", 500.0, 2L, "U"))                           // fresh insert
+      .toDF("symbol", "price", "v", "op")
+    val got = Merge.applyCdc(snapshot, changes, Seq("symbol"), Seq(col("v")), "op")
+      .select("symbol", "price").as[(String, Double)].collect().toSet
+    assert(got == Set(("MSFT", 55.0), ("GOOG", 75.0), ("NVDA", 500.0)))
+  }
+
   test("lastWinsSalted equals lastWins on a hot-key distribution") {
     val hot = (1L to 5000L).map(i => ("WHALE", "STOCK", i.toDouble, i)) ++
       Seq(("AAPL", "STOCK", 1.0, 1L), ("AAPL", "STOCK", 2.0, 2L))
