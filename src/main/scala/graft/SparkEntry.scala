@@ -566,6 +566,22 @@ object SparkEntry {
         expr("percentile(value, 0.95)").as("p95"),
         count(lit(1)).as("n"))
 
+  /** Funnel conversion: per user, the first view and the first purchase
+    * strictly after it — one conditional aggregation pass (no self-join,
+    * no per-step scans), then a single funnel-stage rollup row.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      count(col("first_view")).as("n_viewed"),
+      count(when(col("first_purchase") > col("first_view"), lit(1))).as("n_converted"))
+  }
+
   /** Percentile-threshold outlier flags: each event against its type's
     * exact p99 — the stats relation is |types|-sized and broadcast back, so
     * flagging is a codegen'd filter over one corpus scan (the same
@@ -1015,6 +1031,7 @@ object SparkEntry {
     "q_sessionize"              -> (qSessionize(_, _)),
     "q_value_quantiles"         -> (qValueQuantiles(_, _)),
     "q_outlier_flags"           -> (qOutlierFlags(_, _)),
+    "q_funnel"                  -> (qFunnel(_, _)),
     "q_star_join_revenue"       -> (qStarJoinRevenue(_, _)),
     "q_rolling_window"          -> (qRollingWindow(_, _)),
     "q_range_band"              -> (qRangeBand(_, _)),
@@ -1170,6 +1187,16 @@ object SparkEntry {
       """WITH s AS (SELECT event_type, quantile_cont(value, 0.99) AS p99 FROM events GROUP BY 1)
         |SELECT e.event_id, e.event_type, e.value, s.p99, e.value > s.p99 AS is_outlier
         |FROM events e JOIN s USING (event_type)""".stripMargin,
+    "q_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT count(*) AS n_users,
+        |       count(first_view) AS n_viewed,
+        |       count(CASE WHEN first_purchase > first_view THEN 1 END) AS n_converted
+        |FROM u""".stripMargin,
     "q_star_join_revenue" ->
       """SELECT n_name, count(*) AS n_items,
         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
