@@ -159,6 +159,61 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(streamed == Set((1L, 11.0), (2L, 5.0)))
   }
 
+  test("streaming request→route→job→completion end-to-end; malformed payloads quarantined") {
+    // the full reference loop (A1 decode → B19 route → §3.1 job → A2
+    // publish) driven through one MemoryStream, including a malformed and
+    // an empty request: both must be survived, neither must reach the job
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Relational
+    val quotes = Seq(
+      ("AAPL", "STOCK", 101.0, 0.5, 0.5, 102.0, 100.0),
+      ("BTC", "CRYPTO", 50000.0, 1.0, 490.0, 50500.0, 49000.0))
+      .toDF("symbol", "asset_type", "price", "percent_change", "change", "high", "low")
+    val store0 = quotes.limit(0).withColumn("updated_at", lit(null).cast("timestamp"))
+    var completions = Seq.empty[(Long, String)]
+    var rejected = 0L
+    var store = store0
+    val stream = MemoryStream[(String, String)]
+    val decoded = Streaming.decodeRequests(stream.toDF().toDF("topic", "value"))
+    val routed = Streaming.routeTopics(decoded, Seq("MARKET_DATA_UPDATE_REQUEST" -> "market_data"))
+    val q = routed.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val parsed = Relational.parsePayload(
+          batch.filter(col("job") === "market_data"), "value_str",
+          "assets ARRAY<STRUCT<symbol: STRING, asset_type: STRING>>")
+        // PERMISSIVE from_json yields an all-null struct for garbage, so
+        // the shape guard is on the required key (B6), not the struct
+        rejected += parsed.filter(col("payload.assets").isNull).count()
+        val requests = parsed.filter(col("payload.assets").isNotNull)
+          .select(explode(col("payload.assets")).as("a"))
+          .select(col("a.symbol").as("symbol"), col("a.asset_type").as("asset_type"))
+          .filter(col("symbol").isNotNull && col("asset_type").isNotNull)
+          .distinct()
+        if (!requests.isEmpty) {
+          val r = Jobs.marketDataUpdate(requests, store, quotes, current_timestamp())
+          store = r.store.localCheckpoint(true)
+          completions ++= Streaming.completionPayload(r.completion, "MARKET_DATA_COMPLETE")
+            .select(col("value")).as[String].collect()
+            .map(v => (1L, v))
+        }
+      }.start()
+    stream.addData(
+      ("MARKET_DATA_UPDATE_REQUEST", """{"assets":[{"symbol":"AAPL","asset_type":"STOCK"}]}"""),
+      ("MARKET_DATA_UPDATE_REQUEST", "not json at all"),
+      ("MARKET_DATA_UPDATE_REQUEST", "   "),
+      ("SOME_OTHER_TOPIC", """{"assets":[{"symbol":"IGNORED","asset_type":"STOCK"}]}"""))
+    q.processAllAvailable()
+    stream.addData(
+      ("MARKET_DATA_UPDATE_REQUEST", """{"assets":[{"symbol":"BTC","asset_type":"CRYPTO"}]}"""))
+    q.processAllAvailable()
+    q.stop()
+    assert(rejected == 1L) // the non-JSON payload (empty value dropped at decode)
+    assert(completions.size == 2)
+    assert(completions.forall(_._2.contains("\"record_count\":1")))
+    val finalStore = store.select("symbol", "price").as[(String, Double)].collect().toMap
+    assert(finalStore == Map("AAPL" -> 101.0, "BTC" -> 50000.0))
+  }
+
   test("streaming rollup maintenance equals the batch aggregate over all batches") {
     implicit val sqlCtx = spark.sqlContext
     val ticks = Seq(
