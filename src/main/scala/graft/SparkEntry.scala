@@ -900,6 +900,21 @@ object SparkEntry {
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
   }
 
+  /** Frequency-ranked top-30 vocabulary of the corpus (deterministic
+    * (count DESC, token) order), the tokenizer-prep relation.
+    */
+  def qVocabBuild(spark: SparkSession, dir: String): DataFrame =
+    TextOps.buildVocab(Tables.documents(spark, dir), "text", vocabSize = 30)
+
+  /** Documents encoded against the top-30 vocab: token/unk counts plus the
+    * md5 signature of the position-ordered id sequence (tokens outside the
+    * capped vocab exercise the UNK path).
+    */
+  def qEncodeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextOps.encodeTokens(docs, "doc_id", "text", TextOps.buildVocab(docs, "text", 30))
+  }
+
   /** Within-document repetition metrics (Gopher-style duplicate-trigram and
     * top-bigram-share filters) with the standard thresholds.
     */
@@ -1061,6 +1076,8 @@ object SparkEntry {
     "q_stratified_sample"       -> (qStratifiedSample(_, _)),
     "q_corpus_curation"         -> (qCorpusCuration(_, _)),
     "q_repetition_filter"       -> (qRepetitionFilter(_, _)),
+    "q_vocab_build"             -> (qVocabBuild(_, _)),
+    "q_encode_tokens"           -> (qEncodeTokens(_, _)),
     "q_neardup_clusters"        -> (qNeardupClusters(_, _)),
     "q_domain_rebalance"        -> (qDomainRebalance(_, _)),
     "q_fuzzy_join"              -> (qFuzzyJoin(_, _)),
@@ -1473,6 +1490,29 @@ object SparkEntry {
          |FROM documents d JOIN frac f USING (source)
          |WHERE (d.doc_id * 2654435761 % 1000003)::DOUBLE / 1000003.0 < f.keep_frac""".stripMargin
     },
+    "q_vocab_build" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY 1)
+        |SELECT token, n, (row_number() OVER (ORDER BY n DESC, token) - 1)::BIGINT AS id
+        |FROM c QUALIFY id < 30""".stripMargin,
+    "q_encode_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS token FROM t),
+        |tk AS (SELECT * FROM toks WHERE token <> ''),
+        |c AS (SELECT token, count(*) AS n FROM tk GROUP BY 1),
+        |v AS (SELECT token, (row_number() OVER (ORDER BY n DESC, token) - 1)::BIGINT AS id
+        |      FROM c QUALIFY id < 30),
+        |j AS (SELECT tk.doc_id, tk.pos, coalesce(v.id, -1) AS tid, v.id AS vid
+        |      FROM tk LEFT JOIN v USING (token))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       count(CASE WHEN vid IS NULL THEN 1 END) AS n_unk,
+        |       md5(string_agg(tid::VARCHAR, ',' ORDER BY pos)) AS ids_sig
+        |FROM j GROUP BY 1""".stripMargin,
     "q_neardup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
         |g AS (SELECT doc_id,

@@ -179,6 +179,50 @@ object TextOps {
       length(scrubbed).cast("long").as("scrub_len"))
   }
 
+  /** Frequency-ranked vocabulary of the corpus's most common `vocabSize`
+    * normalized tokens: (token, n, id) with dense ids 0..vocabSize-1
+    * assigned by (count DESC, token ASC) — the deterministic total order
+    * that makes the vocab reproducible on any engine. The ranking window
+    * is a single partition BY DESIGN: the vocab relation is the token
+    * TYPE set (Zipf-bounded, ~10⁵-10⁶ rows at any corpus size), so the
+    * one-partition sort is constant work while the corpus-sized token
+    * counting underneath is a partial-aggregating groupBy.
+    */
+  def buildVocab(df: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n").desc, col("token"))
+    df.select(explode(split(normalize(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("id", (row_number().over(w) - 1).cast("long"))
+      .filter(col("id") < vocabSize)
+  }
+
+  /** Encode each document as vocab ids (unknown → -1), emitting scalar
+    * invariants rather than the id array itself (arrays don't survive
+    * engine-neutral comparison): token/unk counts and an md5 signature of
+    * the comma-joined id sequence in position order — the cheap equality
+    * witness for the full encoding. The vocab is broadcast (it is tiny by
+    * construction); the corpus is scanned once and only (doc, pos, id)
+    * rows flow into the per-document aggregation.
+    */
+  def encodeTokens(df: DataFrame, idCol: String, textCol: String, vocab: DataFrame): DataFrame = {
+    val toks = df
+      .select(col(idCol), posexplode(split(normalize(col(textCol)), " ")).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    toks
+      .join(broadcast(vocab.select(col("token"), col("id"))), Seq("token"), "left")
+      .withColumn("tid", coalesce(col("id"), lit(-1L)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("id").isNull, lit(1))).as("n_unk"),
+        md5(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tid")))),
+            s => s.getField("tid").cast("string")))).as("ids_sig"))
+  }
+
   /** Within-document repetition metrics (the Gopher/MassiveText-style
     * repetition filters): fraction of word-trigram occurrences that are
     * repeats of an earlier trigram in the SAME document, and the share of

@@ -72,6 +72,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       "zero vector: scale 0, all-zero quants, no division abort")
   }
 
+  test("buildVocab ranks by frequency then token; encodeTokens marks out-of-vocab as unk") {
+    val d = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a b rare")
+    ).toDF("doc_id", "text")
+    // counts: b=4, a=3, c=1, rare=1 → vocab(2): b→0, a→1; c/rare → UNK
+    val v = graft.ops.TextOps.buildVocab(d, "text", vocabSize = 2)
+      .select("token", "id").as[(String, Long)].collect().toMap
+    assert(v == Map("b" -> 0L, "a" -> 1L))
+    val enc = graft.ops.TextOps
+      .encodeTokens(d, "doc_id", "text", graft.ops.TextOps.buildVocab(d, "text", 2))
+      .select("doc_id", "n_tokens", "n_unk").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(enc == Map(1L -> ((6L, 1L)), 2L -> ((3L, 1L))))
+  }
+
   test("repetitionStats flags looping text, passes varied text, survives short docs") {
     val d = Seq(
       (1L, "a b a b a b a b"),     // top bigram "a b" = 4/7 occurrences, dup trigrams 4/6
