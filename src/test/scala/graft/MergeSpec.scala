@@ -49,6 +49,34 @@ class MergeSpec extends AnyFunSuite {
     assert(allMonths > 10)
   }
 
+  test("z-order layout: ztile-partitioned store prunes files for two-column range reads") {
+    import graft.ops.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val o = Tables.orders(spark, TestSpark.sf0001)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        pmod(col("o_custkey"), lit(65536L)).as("zx"),
+        pmod(datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long"), lit(65536L)).as("zy"))
+      .withColumn("ztile", call_function("shiftright", Layout.zvalue(col("zx"), col("zy")), lit(16)))
+    Merge.writePartitionedStore(o, dir, Seq("ztile"))
+    val all = spark.read.parquet(dir)
+    // an ALIGNED 256x256 box on BOTH clustering keys is exactly one curve
+    // tile: zx in [0,256) and zy in [1280,1536) (mid-1995, data exists) has
+    // ztile = interleave(zx>>8 = 0, zy>>8 = 5) = 0b100010 = 34
+    val box = all.filter(col("ztile") === 34)
+    val plan = box.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    assert(!plan.replaceAll("(?s)PartitionFilters: \\[[^\\]]*", "").contains("ztile = 34"),
+      "ztile filter should be a partition filter, not a data filter")
+    val nTiles = new java.io.File(dir).listFiles().count(_.getName.startsWith("ztile="))
+    assert(nTiles > 1, s"need multiple tiles for pruning to mean anything, got $nTiles")
+    // tile 34 contains exactly the rows of the aligned (zx, zy) box
+    val full = o.filter(col("zx") < 256 && col("zy") >= 1280 && col("zy") < 1536).count()
+    assert(full > 0)
+    assert(box.count() == full)
+  }
+
   test("bucketed store: aggregation on the bucket key has no Exchange for the store side") {
     val monthly = graft.SparkEntry.qMonthlyLastClose(spark, TestSpark.sf0001)
     Merge.writeBucketedStore(monthly, "monthly_bucketed", Seq("symbol"), 8)
