@@ -900,6 +900,23 @@ object SparkEntry {
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
   }
 
+  /** Training manifest — the end-to-end composition the whole training-data
+    * operator family exists for: the curated corpus (lang + quality + exact
+    * dedup + near-dup cluster keepers) packed into 512-token chunks across
+    * 8 shards, one row per surviving document with its span, chunk range
+    * and quality score.
+    */
+  def qTrainingManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val curated = qCorpusCuration(spark, dir).select(col("doc_id"), col("quality"))
+    val kept = docs.join(curated.select("doc_id"), Seq("doc_id"))
+    SamplingOps.packSequences(kept, "doc_id", "text", chunkTokens = 512, nShards = 8)
+      .join(curated, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("shard"), col("n_tokens"), col("start_offset"),
+        col("chunk_first"), col("chunk_last"), col("quality"))
+  }
+
   /** Frequency-ranked top-30 vocabulary of the corpus (deterministic
     * (count DESC, token) order), the tokenizer-prep relation.
     */
@@ -1075,6 +1092,7 @@ object SparkEntry {
     "q_hash_split"              -> (qHashSplit(_, _)),
     "q_stratified_sample"       -> (qStratifiedSample(_, _)),
     "q_corpus_curation"         -> (qCorpusCuration(_, _)),
+    "q_training_manifest"       -> (qTrainingManifest(_, _)),
     "q_repetition_filter"       -> (qRepetitionFilter(_, _)),
     "q_vocab_build"             -> (qVocabBuild(_, _)),
     "q_encode_tokens"           -> (qEncodeTokens(_, _)),
@@ -1114,6 +1132,64 @@ object SparkEntry {
     "q_batch_assignment"        -> (qBatchAssignment(_, _)),
     "q_completion_stats"        -> (qCompletionStats(_, _)),
   )
+
+  /** Shared DuckDB CTE chain + final select of the corpus-curation
+    * relation — used verbatim by the q_corpus_curation oracle and embedded
+    * as a CTE by the q_training_manifest oracle (which packs the curated
+    * set).
+    */
+  private val curationCtes: String =
+    """s AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS en,
+        |         len(regexp_extract_all(lower(text), '\b(der|und|die|das)\b')) AS de,
+        |         len(regexp_extract_all(lower(text), '\b(le|la|et|les)\b')) AS fr,
+        |         len(regexp_extract_all(lower(text), '\b(el|los|que|una)\b')) AS es
+        |  FROM documents),
+        |lang AS (SELECT doc_id,
+        |                CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |                     WHEN de >= fr AND de >= es THEN 'de'
+        |                     WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang
+        |         FROM s),
+        |qs AS (
+        |  SELECT doc_id,
+        |         len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n_tokens,
+        |         CASE WHEN length(text) > 0
+        |              THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE END AS punct_ratio,
+        |         len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
+        |           / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS stopword_ratio
+        |  FROM documents),
+        |quality AS (
+        |  SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+        |         0.4 * least(1.0, n_tokens / 100.0)
+        |         + 0.3 * (1.0 - least(1.0, punct_ratio * 10.0))
+        |         + 0.3 * least(1.0, stopword_ratio * 5.0) AS quality
+        |  FROM qs),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+        |      FROM t WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS sg FROM g),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM g),
+        |pr AS (SELECT doc_a, doc_b
+        |       FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |       WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5),
+        |edges AS (SELECT doc_a AS es, doc_b AS et FROM pr UNION SELECT doc_b, doc_a FROM pr),
+        |rch(v, r) AS (
+        |  SELECT es, es FROM (SELECT DISTINCT es FROM edges)
+        |  UNION
+        |  SELECT ed.es, rc.r FROM edges ed JOIN rch rc ON rc.v = ed.et),
+        |losers AS (SELECT v AS doc_id FROM rch GROUP BY v HAVING v <> min(r))""".stripMargin
+
+  private val curationSelect: String =
+    """|SELECT q.doc_id, q.n_tokens, q.quality
+        |FROM quality q JOIN lang l ON q.doc_id = l.doc_id
+        |WHERE l.pred_lang = 'en' AND q.quality >= 0.5
+        |  AND q.doc_id IN (SELECT doc_id FROM keepers)
+        |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_top_k" ->
@@ -1409,55 +1485,25 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang FROM r WHERE rn <= ceil(n * 0.2)""".stripMargin,
     "q_corpus_curation" ->
-      """WITH RECURSIVE s AS (
-        |  SELECT doc_id,
-        |         len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS en,
-        |         len(regexp_extract_all(lower(text), '\b(der|und|die|das)\b')) AS de,
-        |         len(regexp_extract_all(lower(text), '\b(le|la|et|les)\b')) AS fr,
-        |         len(regexp_extract_all(lower(text), '\b(el|los|que|una)\b')) AS es
-        |  FROM documents),
-        |lang AS (SELECT doc_id,
-        |                CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
-        |                     WHEN de >= fr AND de >= es THEN 'de'
-        |                     WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang
-        |         FROM s),
-        |qs AS (
-        |  SELECT doc_id,
-        |         len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n_tokens,
-        |         CASE WHEN length(text) > 0
-        |              THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE END AS punct_ratio,
-        |         len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
-        |           / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS stopword_ratio
-        |  FROM documents),
-        |quality AS (
-        |  SELECT doc_id, n_tokens::BIGINT AS n_tokens,
-        |         0.4 * least(1.0, n_tokens / 100.0)
-        |         + 0.3 * (1.0 - least(1.0, punct_ratio * 10.0))
-        |         + 0.3 * least(1.0, stopword_ratio * 5.0) AS quality
-        |  FROM qs),
-        |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-        |g AS (SELECT doc_id,
-        |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
-        |      FROM t WHERE len(w) >= 3),
-        |e AS (SELECT doc_id, unnest(sh) AS sg FROM g),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, len(sh) AS n FROM g),
-        |pr AS (SELECT doc_a, doc_b
-        |       FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-        |       WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5),
-        |edges AS (SELECT doc_a AS es, doc_b AS et FROM pr UNION SELECT doc_b, doc_a FROM pr),
-        |rch(v, r) AS (
-        |  SELECT es, es FROM (SELECT DISTINCT es FROM edges)
-        |  UNION
-        |  SELECT ed.es, rc.r FROM edges ed JOIN rch rc ON rc.v = ed.et),
-        |losers AS (SELECT v AS doc_id FROM rch GROUP BY v HAVING v <> min(r))
-        |SELECT q.doc_id, q.n_tokens, q.quality
-        |FROM quality q JOIN lang l ON q.doc_id = l.doc_id
-        |WHERE l.pred_lang = 'en' AND q.quality >= 0.5
-        |  AND q.doc_id IN (SELECT doc_id FROM keepers)
-        |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+      s"WITH RECURSIVE $curationCtes\n$curationSelect",
+    "q_training_manifest" ->
+      raw"""WITH RECURSIVE CTES_HOLE,
+        |cur AS (
+        |SELECT_HOLE),
+        |pt AS (SELECT d.doc_id, (d.doc_id % 8)::BIGINT AS shard,
+        |              len(regexp_split_to_array(trim(d.text), '\s+'))::BIGINT AS n_tokens
+        |       FROM documents d JOIN cur ON d.doc_id = cur.doc_id),
+        |cm AS (SELECT doc_id, shard, n_tokens,
+        |              sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM pt)
+        |SELECT cm.doc_id, cm.shard, cm.n_tokens,
+        |       (cum - cm.n_tokens)::BIGINT AS start_offset,
+        |       floor((cum - cm.n_tokens) / 512)::BIGINT AS chunk_first,
+        |       floor((cum - 1) / 512)::BIGINT AS chunk_last,
+        |       cur.quality
+        |FROM cm JOIN cur ON cm.doc_id = cur.doc_id""".stripMargin
+        .replace("CTES_HOLE", curationCtes).replace("SELECT_HOLE", curationSelect),
     "q_fuzzy_join" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |       levenshtein(a.c_name, b.c_name)::BIGINT AS dist
