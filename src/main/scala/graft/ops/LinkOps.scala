@@ -23,15 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object LinkOps {
 
-  /** The key itself plus all single-deletion variants, deduplicated. */
+  /** The key itself plus all single-deletion variants, deduplicated.
+    * Guarded for empty keys: Spark's `sequence(1, 0)` is DESCENDING
+    * ([1, 0]), not empty, so the deletion positions must be gated on
+    * length ≥ 1.
+    */
   private def delVariants(name: Column): Column =
     array_union(
       array(name),
-      transform(
-        sequence(lit(1), length(name)),
-        i => concat(
-          call_function("substring", name, lit(1), i - 1),
-          call_function("substring", name, i + 1, length(name)))))
+      when(length(name) >= 1,
+        transform(
+          sequence(lit(1), length(name)),
+          i => concat(
+            call_function("substring", name, lit(1), i - 1),
+            call_function("substring", name, i + 1, length(name)))))
+        .otherwise(array().cast("array<string>")))
 
   /** Self-match pairs (id_a < id_b) whose keys are within Levenshtein
     * distance `maxDist` (must be ≤ 1 — the deletion-variant pigeonhole

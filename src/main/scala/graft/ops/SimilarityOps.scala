@@ -245,6 +245,9 @@ object SimilarityOps {
       seed: Long = 42L): DataFrame = {
     require(nBits % nBands == 0 && nBits <= 64, "nBands must divide nBits ≤ 64")
     val bandBits = nBits / nBands
+    // bandBits = 64 would wrap the mask (1L << 64 == 1L in JVM shift
+    // semantics), making every vector share one bucket — a full cross join
+    require(bandBits < 64, "need nBands >= 2 for a 64-bit signature")
     val rng = new scala.util.Random(seed)
     val planes = Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()).toSeq)
     def signature(v: Column): Column =

@@ -166,6 +166,13 @@ class DedupTextSpec extends AnyFunSuite {
     val got = graft.ops.LinkOps.fuzzySelfMatch(names, "id", "name")
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L), (5L, 6L, 0L)))
+    // empty keys must not blow up the variant expansion (sequence(1,0) is
+    // descending in Spark, not empty) — two empties pair at distance 0,
+    // and an empty pairs with a 1-char key at distance 1
+    val edge = Seq((1L, ""), (2L, ""), (3L, "x")).toDF("id", "name")
+    val egot = graft.ops.LinkOps.fuzzySelfMatch(edge, "id", "name")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(egot == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
 
   test("connectedComponents resolves transitive clusters to min-id labels") {
