@@ -908,7 +908,9 @@ object SparkEntry {
     */
   def qTrainingManifest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val curated = qCorpusCuration(spark, dir).select(col("doc_id"), col("quality"))
+    // cached: the curated relation feeds BOTH join branches below, and
+    // Spark performs no cross-branch subtree reuse on its own
+    val curated = qCorpusCuration(spark, dir).select(col("doc_id"), col("quality")).cache()
     val kept = docs.join(curated.select("doc_id"), Seq("doc_id"))
     SamplingOps.packSequences(kept, "doc_id", "text", chunkTokens = 512, nShards = 8)
       .join(curated, Seq("doc_id"))
