@@ -1155,11 +1155,13 @@ object SparkEntry {
         |         FROM s),
         |qs AS (
         |  SELECT doc_id,
-        |         len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n_tokens,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::DOUBLE AS n_tokens,
         |         CASE WHEN length(text) > 0
         |              THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE END AS punct_ratio,
-        |         len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
-        |           / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS stopword_ratio
+        |         CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) > 0
+        |              THEN len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
+        |                / len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::DOUBLE END
+        |           AS stopword_ratio
         |  FROM documents),
         |quality AS (
         |  SELECT doc_id, n_tokens::BIGINT AS n_tokens,
@@ -1353,16 +1355,22 @@ object SparkEntry {
         |       CAST(sum(CAST(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS DECIMAL(18,6))) AS DOUBLE) AS total_norm
         |FROM embeddings""".stripMargin,
     "q_text_stats" ->
-      """SELECT doc_id, length(text)::BIGINT AS n_chars,
-        |       len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
-        |       len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS uniq_tokens,
-        |       length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
-        |         / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS avg_token_len,
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents)
+        |SELECT doc_id, length(text)::BIGINT AS n_chars,
+        |       len(w)::BIGINT AS n_tokens,
+        |       len(list_distinct(w))::BIGINT AS uniq_tokens,
+        |       CASE WHEN len(w) > 0
+        |            THEN length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(w)::DOUBLE END
+        |         AS avg_token_len,
         |       CASE WHEN length(text) > 0
         |            THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE END AS punct_ratio
-        |FROM documents""".stripMargin,
+        |FROM t""".stripMargin,
     "q_token_count" ->
-      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws_tokens,
+      """SELECT doc_id,
+        |       len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens
         |FROM documents""".stripMargin,
     "q_lang_id" ->
@@ -1384,11 +1392,13 @@ object SparkEntry {
     "q_quality_score" ->
       """WITH s AS (
         |  SELECT doc_id,
-        |         len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n_tokens,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::DOUBLE AS n_tokens,
         |         CASE WHEN length(text) > 0
         |              THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE END AS punct_ratio,
-        |         len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
-        |           / len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS stopword_ratio
+        |         CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) > 0
+        |              THEN len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
+        |                / len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::DOUBLE END
+        |           AS stopword_ratio
         |  FROM documents)
         |SELECT doc_id, n_tokens::BIGINT AS n_tokens, punct_ratio, stopword_ratio,
         |       0.4 * least(1.0, n_tokens / 100.0)
@@ -1536,7 +1546,8 @@ object SparkEntry {
          |frac AS (SELECT source, least(1.0, tw * budget / sz) AS keep_frac FROM sw, b)
          |SELECT d.doc_id, d.source, d.n_chars, f.keep_frac
          |FROM documents d JOIN frac f USING (source)
-         |WHERE (d.doc_id * 2654435761 % 1000003)::DOUBLE / 1000003.0 < f.keep_frac""".stripMargin
+         |WHERE ((d.doc_id % 1000003) * (2654435761 % 1000003) % 1000003)::DOUBLE / 1000003.0
+         |        < f.keep_frac""".stripMargin
     },
     "q_vocab_build" ->
       """WITH toks AS (

@@ -372,6 +372,10 @@ object DedupOps {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // 4 chunks of 16 bits guarantee recall only up to 3 differing bits
+    // (pigeonhole); a larger radius would silently lose true pairs
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-chunk banding is complete only for maxHamming <= 3")
     // the native kernel folds tokenize→hash→simhash in ONE projection; the
     // cache is still a required barrier so CollapseProject can't inline the
     // simhash into each of the 4 chunk-bucket expressions below

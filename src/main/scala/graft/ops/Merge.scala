@@ -58,7 +58,9 @@ object Merge {
         struct((payloadCols ++ versionCols).map(col): _*),
         struct(versionCols.map(col): _*)).as("__p"))
       .select(keys.map(col) ++ (payloadCols ++ versionCols).map(c => col(s"__p.$c").as(c)): _*)
-    latestByKey(partial, keys, versionCols, payloadCols)
+    // version cols ride along in the payload so the result carries the
+    // same columns as lastWins, not just keys + payload
+    latestByKey(partial, keys, versionCols, payloadCols ++ versionCols)
   }
 
   /** Persist a store relation partitioned by a low-cardinality key column

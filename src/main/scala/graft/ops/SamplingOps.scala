@@ -27,7 +27,9 @@ object SamplingOps {
       "fractions must sum to 1")
     val hx = substring(md5(col(keyCol).cast("string")), 1, 4)
     val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
-    val bounds = cum.init.map(c => f"${math.round(c * 65536).toInt}%04x")
+    // clamp to 0xffff: a fraction rounding to 65536 would format as the
+    // 5-char "10000" and break the 4-char lexicographic comparison
+    val bounds = cum.init.map(c => f"${math.min(0xffff, math.round(c * 65536).toInt)}%04x")
     val bucket = fractions.init.zip(bounds)
       .foldRight(lit(fractions.last._1): Column) { case (((name, _), b), elseC) =>
         when(hx < lit(b), lit(name)).otherwise(elseC)
@@ -79,9 +81,14 @@ object SamplingOps {
     val frac = stats.crossJoin(broadcast(budget))
       .withColumn("keep_frac", least(lit(1.0), col("__w") * col("__budget") / col("__sz")))
       .select(col(domainCol), col("keep_frac"))
+    // modular multiply: (id * c) mod p == ((id mod p)(c mod p)) mod p, and
+    // the reduced form never exceeds ~10^12 — a raw id * c would overflow
+    // Long (ANSI abort) for ids above ~3.5e9
+    val p = 1000003L
     df.join(broadcast(frac), Seq(domainCol))
       .withColumn("__u",
-        pmod(col(idCol) * lit(2654435761L), lit(1000003L)).cast("double") / lit(1000003.0))
+        pmod(pmod(col(idCol), lit(p)) * lit(2654435761L % p), lit(p))
+          .cast("double") / lit(p.toDouble))
       .filter(col("__u") < col("keep_frac"))
       .select(col(idCol), col(domainCol), col(sizeCol), col("keep_frac"))
   }

@@ -283,10 +283,14 @@ object SimilarityOps {
   }
 
   /** IVF approximate top-k (MLlib-free variant). Coarse "centroids" are a
-    * deterministic corpus subset (every `corpusSize/nLists`-th id); see
-    * [[knnIvfKmeans]] for the fitted version. Every corpus vector is
-    * assigned to its nearest centroid (its list); probes search only their
-    * `nProbe` nearest lists.
+    * deterministic hash-ranked corpus subset — the `nLists` vectors with
+    * the smallest xxhash64(id), a uniform pseudo-random pick that is
+    * independent of the id distribution (an id-modulo stride would
+    * silently select zero centroids when ids are sparse or share a common
+    * factor with the stride) and costs one TakeOrdered, never a global
+    * sort. See [[knnIvfKmeans]] for the fitted version. Every corpus
+    * vector is assigned to its nearest centroid (its list); probes search
+    * only their `nProbe` nearest lists.
     */
   def knnIvf(
       corpus: DataFrame,
@@ -297,10 +301,9 @@ object SimilarityOps {
       nLists: Int,
       nProbe: Int): DataFrame = {
     val c = prepared(corpus, idCol, vecCol).cache()
-    val n = c.count()
-    val stride = math.max(1L, n / nLists)
     val centroids = c
-      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nLists)
       .select(col(idCol).as("list_id"), col("v").as("cv"), col("nrm").as("cn"))
     // nearest-list assignment for every corpus vector: rank centroids per vector
     val assignW = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("list_id"))

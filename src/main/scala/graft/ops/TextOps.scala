@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens of a (trimmed) text column. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens of a (trimmed) text column. Empty/whitespace-only
+    * text yields an EMPTY array — `split(trim(""), "\s+")` alone returns
+    * `[""]`, a phantom 1-token artifact that would make empty documents
+    * pass `n_tokens == 0` filters and emit "" shingles.
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
 
   /** Whitespace-collapsed, lowercased, trimmed normalization. */
   def normalize(text: Column): Column =
@@ -32,8 +37,9 @@ object TextOps {
       length(t).cast("long").as("n_chars"),
       nTokens.as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("uniq_tokens"),
-      (tokenChars.cast("double") / nTokens.cast("double")).as("avg_token_len"),
-      // empty docs: NULL ratio, not a DIVIDE_BY_ZERO job abort (ANSI mode)
+      // empty docs: NULL ratios, not a DIVIDE_BY_ZERO job abort (ANSI mode)
+      when(nTokens > 0, tokenChars.cast("double") / nTokens.cast("double"))
+        .as("avg_token_len"),
       when(length(t) > 0,
         regexp_count(t, lit("[.,;:!?]")).cast("double") / length(t).cast("double"))
         .as("punct_ratio"))
@@ -85,8 +91,8 @@ object TextOps {
     val nTokens = size(tokens(t)).cast("double")
     val punctRatio = when(length(t) > 0,
       regexp_count(t, lit("[.,;:!?]")).cast("double") / length(t).cast("double"))
-    val stopRatio =
-      regexp_count(lower(t), lit("\\b(the|and|of|is|to|in|a)\\b")).cast("double") / nTokens
+    val stopRatio = when(nTokens > 0,
+      regexp_count(lower(t), lit("\\b(the|and|of|is|to|in|a)\\b")).cast("double") / nTokens)
     df.select(
       col(idCol),
       nTokens.cast("long").as("n_tokens"),
