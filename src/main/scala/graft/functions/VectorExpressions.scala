@@ -22,6 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Null semantics: null if either array is null (standard binary-expression
   * propagation); null ELEMENTS contribute 0 (documents with padded vectors
   * keep a defined score).
+  *
+  * Ragged inputs: arrays of different lengths reduce over the COMMON PREFIX
+  * (pinned in SimilaritySpec). This is a deliberate total-function contract
+  * — a mixed-dimension corpus degrades scores instead of killing a
+  * corpus-wide search — but it means a malformed short vector yields a
+  * plausible partial score, and the bit-exactness claim above holds only
+  * for equal-length inputs (DuckDB's list_dot_product RAISES on mismatch);
+  * validate dimensions at ingest when exact parity matters.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

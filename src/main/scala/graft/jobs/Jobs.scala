@@ -102,8 +102,11 @@ object Jobs {
       now: Column): JobResult =
     try {
       val r = indexUpdate(requests, store, fetchQuotes(), now)
-      r.store.count() // force evaluation so fetch-time failures surface here
-      r
+      // pin the evaluated result, not just probe it: an un-checkpointed
+      // lineage would RE-RUN the fetch at the caller's action, where a
+      // flaky source could throw outside this try (or return different
+      // rows than the ones probed here)
+      JobResult(r.store.localCheckpoint(true), r.completion.localCheckpoint(true))
     } catch {
       case scala.util.control.NonFatal(_) =>
         val cached = store.join(requests, Seq("symbol"), "left_semi")
@@ -116,14 +119,17 @@ object Jobs {
 
   /** B15 — retry-queue partition: split a fetch-attempt relation into
     * succeeded / retryable / skipped by error class (the reference's
-    * `handle_api_error`: 429 → retry, 404 → skip, `etl/fetch_utils.py:235-258`).
+    * `handle_api_error`, `etl/fetch_utils.py:235-258`: 429 → retry,
+    * 404 → skip, and any OTHER error also retries — its else branch
+    * returns should_retry=True). Statuses outside the known classes
+    * therefore land in the retryable slice, never silently vanish.
     * The bounded re-drive loop itself is driver control flow (see
-    * [[fetchWithRetry]]) — kept out of the relational layer on purpose, like
-    * the reference keeps it out of SQL.
+    * [[fetchWithRetry]]) — kept out of the relational layer on purpose,
+    * like the reference keeps it out of SQL.
     */
   def partitionByErrorClass(attempts: DataFrame, statusCol: String): (DataFrame, DataFrame, DataFrame) = (
     attempts.filter(col(statusCol) === "ok"),
-    attempts.filter(col(statusCol) === "rate_limited"),
+    attempts.filter(!col(statusCol).isin("ok", "not_found")),
     attempts.filter(col(statusCol) === "not_found"))
 
   /** B15 — bounded semantic retry: re-drive only the retryable slice, at most

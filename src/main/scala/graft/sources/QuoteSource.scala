@@ -48,11 +48,13 @@ object QuoteSource {
     StructField("low", DoubleType)))
 
   def parseSymbols(options: CaseInsensitiveStringMap): Seq[(String, String)] =
-    Option(options.get("symbols")).map(_.split(",").toSeq.filter(_.nonEmpty).map { s =>
+    Option(options.get("symbols")).map(_.split(",").toSeq.filter(_.nonEmpty).flatMap { s =>
+      // ":" splits to an empty array — skip such malformed entries instead
+      // of crashing scan planning (mirrors the payload shape guards)
       s.split(":") match {
-        case Array(sym, at) => (sym.trim, at.trim)
-        case Array(sym)     => (sym.trim, "STOCK")
-        case other          => (other.head.trim, other(1).trim)
+        case Array(sym, at, _*) if sym.trim.nonEmpty => Some((sym.trim, at.trim))
+        case Array(sym) if sym.trim.nonEmpty         => Some((sym.trim, "STOCK"))
+        case _                                       => None
       }
     }).getOrElse(Seq.empty)
 }

@@ -42,11 +42,15 @@ object Streaming {
     * (the reference logs-and-skips them, `etl/main.py:156-160`).
     */
   def routeTopics(df: DataFrame, routes: Seq[(String, String)]): DataFrame = {
-    val routed = routes.tail
-      .foldLeft(when(col("topic") === routes.head._1, lit(routes.head._2))) {
-        case (acc, (t, j)) => acc.when(col("topic") === t, lit(j))
-      }
-      .otherwise(lit("unknown"))
+    // empty route table → everything is an unknown topic (don't crash on
+    // routes.head; a config-driven table can legitimately resolve empty)
+    val routed = routes match {
+      case Seq() => lit("unknown")
+      case (t0, j0) +: rest =>
+        rest.foldLeft(when(col("topic") === t0, lit(j0))) {
+          case (acc, (t, j)) => acc.when(col("topic") === t, lit(j))
+        }.otherwise(lit("unknown"))
+    }
     df.withColumn("job", routed)
   }
 
@@ -81,11 +85,12 @@ object Streaming {
       change: Double, n_updates: Long)
 
   /** Custom keyed state via flatMapGroupsWithState: per (symbol, asset_type)
-    * keep the newest tick (seq-ordered, re-delivery safe) and an update
-    * counter, emitting a delta-bearing snapshot per key per micro-batch —
-    * the arbitrary-state upgrade path beyond what `foreachBatch` merge gives.
-    * State is per-key and partitioned by the grouping key, so it scales with
-    * distinct keys, not events.
+    * keep the newest tick (seq-ordered, re-delivery safe) and a counter of
+    * FRESH ticks applied (seq newer than the held state — stale
+    * re-deliveries don't count), emitting a delta-bearing snapshot per key
+    * per micro-batch — the arbitrary-state upgrade path beyond what
+    * `foreachBatch` merge gives. State is per-key and partitioned by the
+    * grouping key, so it scales with distinct keys, not events.
     */
   def statefulLatest(ticks: Dataset[Tick]): Dataset[Snapshot] = {
     import ticks.sparkSession.implicits._
@@ -95,9 +100,12 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case ((symbol, assetType), rows, state: GroupState[TickState]) =>
           val prev = state.getOption
-          val newest = (rows ++ prev.map(s => Tick(symbol, assetType, s.price, s.seq)))
+          val batch = rows.toList
+          val prevSeq = prev.map(_.seq).getOrElse(Long.MinValue)
+          val fresh = batch.count(_.seq > prevSeq)
+          val newest = (batch ++ prev.map(s => Tick(symbol, assetType, s.price, s.seq)))
             .maxBy(t => t.seq)
-          val nUpdates = prev.map(_.n_updates).getOrElse(0L) + 1L
+          val nUpdates = prev.map(_.n_updates).getOrElse(0L) + fresh
           state.update(TickState(newest.price, newest.seq, nUpdates))
           val change = prev.map(p => newest.price - p.price).getOrElse(0.0)
           Iterator.single(Snapshot(symbol, assetType, newest.price, change, nUpdates))
@@ -111,7 +119,6 @@ object Streaming {
     * merge function is the same.
     */
   class SnapshotStream(
-      spark: SparkSession,
       keys: Seq[String],
       orderCols: Seq[String]) {
     @volatile private var state: Option[DataFrame] = None
@@ -145,7 +152,6 @@ object Streaming {
     * aggregates instead of snapshots.
     */
   class RollupStream(
-      spark: SparkSession,
       keys: Seq[String],
       valueCol: String) {
     @volatile private var state: Option[DataFrame] = None

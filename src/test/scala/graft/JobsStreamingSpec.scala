@@ -144,7 +144,7 @@ class JobsStreamingSpec extends AnyFunSuite {
       (2L, "CRYPTO", 5.0, 1L), (1L, "STOCK", 9.0, 2L))
     val stream = MemoryStream[(Long, String, Double, Long)]
     val df = stream.toDF().toDF("symbol", "asset_type", "price", "v")
-    val snap = new Streaming.SnapshotStream(spark, Seq("symbol", "asset_type"), Seq("v"))
+    val snap = new Streaming.SnapshotStream(Seq("symbol", "asset_type"), Seq("v"))
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
     val q = snap.start(df, ckpt)
     stream.addData(ticks.take(2)); q.processAllAvailable()
@@ -221,7 +221,7 @@ class JobsStreamingSpec extends AnyFunSuite {
       (1L, 1.0, 1), (3L, 7.5, 1), (2L, 0.25, 1))
     val stream = MemoryStream[(Long, Double, Int)]
     val df = stream.toDF().toDF("k", "v", "b")
-    val roll = new Streaming.RollupStream(spark, Seq("k"), "v")
+    val roll = new Streaming.RollupStream(Seq("k"), "v")
     val ckpt = Files.createTempDirectory("graft-roll").toString
     val q = roll.start(df, ckpt)
     stream.addData(ticks.filter(_._3 == 0)); q.processAllAvailable()
@@ -281,9 +281,11 @@ class JobsStreamingSpec extends AnyFunSuite {
     q.stop()
     val snaps = spark.table("state_out").as[Snapshot].collect()
       .groupBy(s => (s.symbol, s.n_updates)).view.mapValues(_.head.price).toMap
-    assert(snaps(("AAPL", 1L)) == 102.0) // batch 1: newest of seq 1,2
-    assert(snaps(("AAPL", 2L)) == 102.0) // batch 2: stale seq 1 ignored
-    assert(snaps(("AAPL", 3L)) == 110.0) // batch 3: newer seq wins
+    // n_updates counts FRESH ticks applied, not micro-batches: the stale
+    // re-delivery in batch 2 leaves the counter at 2
+    assert(snaps(("AAPL", 2L)) == 102.0) // batches 1-2: two fresh ticks, stale ignored
+    assert(!snaps.contains(("AAPL", 1L)))
+    assert(snaps(("AAPL", 3L)) == 110.0) // batch 3: one more fresh tick
     assert(snaps(("BTC", 1L)) == 7.0)
   }
 
@@ -337,7 +339,7 @@ class JobsStreamingSpec extends AnyFunSuite {
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .select("user_id", "event_type", "value", "ts", "event_id")
-    val snap = new Streaming.SnapshotStream(spark, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    val snap = new Streaming.SnapshotStream(Seq("user_id", "event_type"), Seq("ts", "event_id"))
     val ckpt = Files.createTempDirectory("graft-file-ckpt").toString
     val q = snap.start(stream, ckpt)
     q.processAllAvailable(); q.stop()
