@@ -919,6 +919,21 @@ object SparkEntry {
         col("chunk_first"), col("chunk_last"), col("quality"))
   }
 
+  /** Per-language quality percentile (curriculum normalization): each
+    * document's percent_rank within its predicted language, deterministic
+    * tiebreak on doc_id. Partitioned by language so the ranking sort is
+    * per-stratum — no global sort at corpus scale.
+    */
+  def qQualityRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val q = TextOps.qualityScore(docs, "doc_id", "text").select(col("doc_id"), col("quality"))
+    val lang = TextOps.langId(docs, "text").select(col("doc_id"), col("pred_lang"))
+    val w = Window.partitionBy(col("pred_lang")).orderBy(col("quality"), col("doc_id"))
+    q.join(lang, "doc_id")
+      .withColumn("q_rank", percent_rank().over(w))
+      .select(col("doc_id"), col("pred_lang"), col("quality"), col("q_rank"))
+  }
+
   /** Frequency-ranked top-30 vocabulary of the corpus (deterministic
     * (count DESC, token) order), the tokenizer-prep relation.
     */
@@ -1096,6 +1111,7 @@ object SparkEntry {
     "q_corpus_curation"         -> (qCorpusCuration(_, _)),
     "q_training_manifest"       -> (qTrainingManifest(_, _)),
     "q_repetition_filter"       -> (qRepetitionFilter(_, _)),
+    "q_quality_rank"            -> (qQualityRank(_, _)),
     "q_vocab_build"             -> (qVocabBuild(_, _)),
     "q_encode_tokens"           -> (qEncodeTokens(_, _)),
     "q_neardup_clusters"        -> (qNeardupClusters(_, _)),
@@ -1549,6 +1565,38 @@ object SparkEntry {
          |WHERE ((d.doc_id % 1000003) * (2654435761 % 1000003) % 1000003)::DOUBLE / 1000003.0
          |        < f.keep_frac""".stripMargin
     },
+    "q_quality_rank" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS en,
+        |         len(regexp_extract_all(lower(text), '\b(der|und|die|das)\b')) AS de,
+        |         len(regexp_extract_all(lower(text), '\b(le|la|et|les)\b')) AS fr,
+        |         len(regexp_extract_all(lower(text), '\b(el|los|que|una)\b')) AS es
+        |  FROM documents),
+        |lang AS (SELECT doc_id,
+        |                CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |                     WHEN de >= fr AND de >= es THEN 'de'
+        |                     WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang
+        |         FROM s),
+        |qs AS (
+        |  SELECT doc_id,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::DOUBLE AS n_tokens,
+        |         CASE WHEN length(text) > 0
+        |              THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE END AS punct_ratio,
+        |         CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) > 0
+        |              THEN len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
+        |                / len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::DOUBLE END
+        |           AS stopword_ratio
+        |  FROM documents),
+        |quality AS (
+        |  SELECT doc_id,
+        |         0.4 * least(1.0, n_tokens / 100.0)
+        |         + 0.3 * (1.0 - least(1.0, punct_ratio * 10.0))
+        |         + 0.3 * least(1.0, stopword_ratio * 5.0) AS quality
+        |  FROM qs)
+        |SELECT q.doc_id, l.pred_lang, q.quality,
+        |       percent_rank() OVER (PARTITION BY l.pred_lang ORDER BY q.quality, q.doc_id) AS q_rank
+        |FROM quality q JOIN lang l USING (doc_id)""".stripMargin,
     "q_vocab_build" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
