@@ -77,6 +77,36 @@ object Streaming {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: attribute each right-stream event to
+    * left-stream events of the same key that happened within `[left.ts,
+    * left.ts + horizon]` — the click→purchase attribution shape. Both sides
+    * carry watermarks equal to the horizon, so Spark bounds the join state:
+    * a buffered left row is dropped once the right watermark passes
+    * `left.ts + horizon`, making state proportional to the horizon's
+    * arrival volume, never the stream's history. The same function applied
+    * to batch frames degenerates to a plain range-predicate join —
+    * batch/streaming equivalence is pinned in JobsStreamingSpec.
+    *
+    * Column contract: left columns are prefixed `l_`, right columns `r_`,
+    * so callers can join a stream to itself without ambiguity.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      horizon: String): DataFrame = {
+    val l = left.columns.foldLeft(left) { (d, c) => d.withColumnRenamed(c, s"l_$c") }
+      .withWatermark(s"l_$tsCol", horizon)
+    val r = right.columns.foldLeft(right) { (d, c) => d.withColumnRenamed(c, s"r_$c") }
+      .withWatermark(s"r_$tsCol", horizon)
+    l.join(
+      r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $horizon"))
+  }
+
   /** A tick on the input stream and the stateful snapshot emitted per key. */
   case class Tick(symbol: String, asset_type: String, price: Double, seq: Long)
   case class TickState(price: Double, seq: Long, n_updates: Long)

@@ -214,6 +214,35 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(finalStore == Map("AAPL" -> 101.0, "BTC" -> 50000.0))
   }
 
+  test("stream-stream interval join equals the batch range join (click→purchase attribution)") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val clicks = Seq((1L, ts(0), "c1"), (1L, ts(20), "c2"), (2L, ts(5), "c3"))
+    val purchases = Seq(
+      (1L, ts(8), "p1"),   // within 10m of c1
+      (1L, ts(25), "p2"),  // within 10m of c2 only
+      (2L, ts(30), "p3"))  // no click within horizon
+    val cs = MemoryStream[(Long, Timestamp, String)]
+    val ps = MemoryStream[(Long, Timestamp, String)]
+    val joined = Streaming.intervalJoin(
+      cs.toDF().toDF("user_id", "ts", "click_id"),
+      ps.toDF().toDF("user_id", "ts", "purchase_id"),
+      "user_id", "ts", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    cs.addData(clicks.take(2)); ps.addData(purchases.take(1)); q.processAllAvailable()
+    cs.addData(clicks.drop(2)); ps.addData(purchases.drop(1)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_out")
+      .select("l_click_id", "r_purchase_id").as[(String, String)].collect().toSet
+    val batch = Streaming.intervalJoin(
+      clicks.toDF("user_id", "ts", "click_id"),
+      purchases.toDF("user_id", "ts", "purchase_id"),
+      "user_id", "ts", "10 minutes")
+      .select("l_click_id", "r_purchase_id").as[(String, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set(("c1", "p1"), ("c2", "p2")))
+  }
+
   test("streaming rollup maintenance equals the batch aggregate over all batches") {
     implicit val sqlCtx = spark.sqlContext
     val ticks = Seq(
