@@ -566,6 +566,23 @@ object SparkEntry {
         expr("percentile(value, 0.95)").as("p95"),
         count(lit(1)).as("n"))
 
+  /** Batch form of the stream-stream interval join (same function, no
+    * watermark effect): purchases attributed to clicks of the same user
+    * within 1 hour.
+    */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+    graft.streaming.Streaming.intervalJoin(clicks, purchases, "user_id", "ts", "1 hour")
+      .select(
+        col("l_event_id").as("click_id"),
+        col("r_event_id").as("purchase_id"),
+        col("l_ts").cast("timestamp_ntz").as("click_ts"),
+        col("r_ts").cast("timestamp_ntz").as("purchase_ts"))
+  }
+
   /** Funnel conversion: per user, the first view and the first purchase
     * strictly after it — one conditional aggregation pass (no self-join,
     * no per-step scans), then a single funnel-stage rollup row.
@@ -1081,6 +1098,7 @@ object SparkEntry {
     "q_value_quantiles"         -> (qValueQuantiles(_, _)),
     "q_outlier_flags"           -> (qOutlierFlags(_, _)),
     "q_funnel"                  -> (qFunnel(_, _)),
+    "q_interval_join"           -> (qIntervalJoin(_, _)),
     "q_star_join_revenue"       -> (qStarJoinRevenue(_, _)),
     "q_rolling_window"          -> (qRollingWindow(_, _)),
     "q_range_band"              -> (qRangeBand(_, _)),
@@ -1300,6 +1318,13 @@ object SparkEntry {
       """WITH s AS (SELECT event_type, quantile_cont(value, 0.99) AS p99 FROM events GROUP BY 1)
         |SELECT e.event_id, e.event_type, e.value, s.p99, e.value > s.p99 AS is_outlier
         |FROM events e JOIN s USING (event_type)""".stripMargin,
+    "q_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |       c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
     "q_funnel" ->
       """WITH u AS (
         |  SELECT user_id,
