@@ -7,6 +7,10 @@ import org.apache.spark.sql.SparkSession
   * (deterministic, comparable across rounds) after a table warmup pass that
   * takes parquet footer reads and OS page-cache noise out of the first
   * measured query.
+  *
+  * Failure honesty: a query that throws is reported with value -1 and
+  * listed under "failed", and contributes NOTHING to "total" — a broken
+  * query must look broken, not fast.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,23 +33,37 @@ object Bench {
     // methodology): every query runs once on sf0.001 so one-time costs —
     // MLlib class loading, codegen compilation, UDAF encoders — land here,
     // and the measured pass times steady-state execution at the bench SF.
+    // Falls back to the bench dir (a slower but valid warmup) when the
+    // small SF is absent; a silent no-op warmup would skew the first
+    // measured queries with classload costs.
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
+      else sfDir
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try { fn(spark, "/root/testdata/sf0.001").count() } catch { case _: Throwable => () }
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop per-query caches (LSH signatures etc.) so accumulated blocks
       // don't pressure the heap of later queries; not part of the timing
       spark.catalog.clearCache()
-      name -> dt
+      (name, if (ok) dt else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => JsonOut.q(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => JsonOut.q(k) }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$failed,"sf":${JsonOut.q(sfDir)}}""")
     spark.stop()
   }
 }

@@ -53,7 +53,13 @@ object GraftExtensions {
       (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), b)
     }
 
-  /** Register on a live session (used by tests and the Verify/Bench mains). */
+  /** Register on a live session. Tests (SourcesSpec, DedupTextSpec)
+    * exercise SQL-string resolution through this; the Verify/Bench mains
+    * do NOT call it — every registered query reaches the kernels through
+    * typed Column wrappers, which need no registry. A query that embeds
+    * `graft_*` in SQL text must call this (or install [[GraftExtensions]])
+    * first.
+    */
   def registerAll(spark: SparkSession): Unit =
     builders.foreach { case (name, b, _) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")

@@ -70,7 +70,7 @@ object SparkEntry {
   def qMergeLastWins(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"), col("ts_ns"))
-    val cutoffNs = java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond * 1000000000L
+    val cutoffNs = Tables.ns("2024-01-15T00:00:00Z")
     val previous = Merge.lastWins(
       ev.filter(col("ts_ns") < cutoffNs), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
     val delta = ev.filter(col("ts_ns") >= cutoffNs)
@@ -91,7 +91,7 @@ object SparkEntry {
   def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"), col("ts_ns"))
-    val cutoffNs = java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond * 1000000000L
+    val cutoffNs = Tables.ns("2024-01-15T00:00:00Z")
     val snapshot = Merge.lastWins(
       ev.filter(col("ts_ns") < cutoffNs), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
     val changes = ev.filter(col("ts_ns") >= cutoffNs)
@@ -141,7 +141,7 @@ object SparkEntry {
   def qJobMarketDataE2e(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"), col("ts_ns"))
-    val cutoffNs = java.time.Instant.parse("2024-01-20T00:00:00Z").getEpochSecond * 1000000000L
+    val cutoffNs = Tables.ns("2024-01-20T00:00:00Z")
     val store = Merge.lastWins(
       ev.filter(col("ts_ns") < cutoffNs), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
     val requests = ev.select(col("user_id"), col("event_type")).distinct()

@@ -36,16 +36,24 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 
+  /** Epoch nanoseconds of an ISO-8601 UTC instant — the unit `ts_ns`
+    * predicates must compare in so they push down to the parquet scan
+    * (a predicate on the derived µs `ts` would not). Shared by every
+    * time-sliced query cutoff.
+    */
+  def ns(isoUtc: String): Long = {
+    val i = java.time.Instant.parse(isoUtc)
+    i.getEpochSecond * 1000000000L + i.getNano
+  }
+
   /** Events within [start, end) wall-clock UTC, with the time predicate
     * pushed to the parquet scan in raw-ns space.
     */
   def eventsTsRange(
       spark: SparkSession, dir: String,
-      startUtc: java.time.Instant, endUtc: java.time.Instant): DataFrame = {
-    def ns(i: java.time.Instant): Long = i.getEpochSecond * 1000000000L + i.getNano
+      startUtc: java.time.Instant, endUtc: java.time.Instant): DataFrame =
     events(spark, dir)
-      .filter(col("ts_ns") >= ns(startUtc) && col("ts_ns") < ns(endUtc))
-  }
+      .filter(col("ts_ns") >= ns(startUtc.toString) && col("ts_ns") < ns(endUtc.toString))
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
   def customer(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "customer")
