@@ -835,6 +835,19 @@ object SparkEntry {
     DedupOps.winnowPairs(Tables.documents(spark, dir), "doc_id", "text",
       threshold = 0.3)
 
+  /** Incremental dedup: word-3-gram Jaccard pairs BETWEEN the even-id
+    * "existing corpus" and the odd-id "incoming batch" at 0.5 — the
+    * new-crawl-vs-store check that never re-pairs the store against
+    * itself.
+    */
+  def qCrossDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    DedupOps.crossJaccardPairs(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", n = 3, threshold = 0.5)
+  }
+
   /** Deterministic train/val/test split (0.8/0.1/0.1) by md5 hex-prefix of
     * the document key — content-hashed, so stable across runs, engines and
     * partitionings (the oracle checks the assignment row-for-row).
@@ -1121,6 +1134,7 @@ object SparkEntry {
     "q_embedding_quantize"      -> (qEmbeddingQuantize(_, _)),
     "q_scd2_history"            -> (qScd2History(_, _)),
     "q_ngram_jaccard_dedup"     -> (qNgramJaccardDedup(_, _)),
+    "q_cross_dedup"             -> (qCrossDedup(_, _)),
     "q_minhash_dedup"           -> (qMinhashDedup(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
     "q_winnow_dedup"            -> (qWinnowDedup(_, _)),
@@ -1520,6 +1534,18 @@ object SparkEntry {
         |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM g)
+        |SELECT doc_a, doc_b, common::DOUBLE / (sa.n + sb.n - common) AS jaccard
+        |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5""".stripMargin,
+    "q_cross_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+        |      FROM t WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2),
         |sz AS (SELECT doc_id, len(sh) AS n FROM g)
         |SELECT doc_a, doc_b, common::DOUBLE / (sa.n + sb.n - common) AS jaccard
         |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b

@@ -142,6 +142,57 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Incremental (cross-corpus) near-dup pairs: exact Jaccard between a
+    * NEW batch and an EXISTING corpus only — the dedup shape that matters
+    * operationally at 100 TB, where each crawl increment is checked
+    * against the store without ever re-pairing existing×existing (that
+    * work was done when those documents arrived). Candidates come from
+    * per-shingle posting lists kept separate per side, so a bucket emits
+    * |existing|×|incoming| cross pairs and zero same-side pairs; the
+    * existing side's shingle sets are typically the big side and stream
+    * through one shuffle on the hashed shingle. `maxDocFreq` caps hot
+    * shingles by their combined document frequency, same contract as
+    * [[jaccardPairs]].
+    */
+  def crossJaccardPairs(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Int = 0): DataFrame = {
+    val shA = hashedShingles(existing, idCol, textCol, n).cache()
+    val shB = hashedShingles(incoming, idCol, textCol, n).cache()
+    val ea = shA.select(col(idCol), explode(col("sh")).as("s"))
+    val eb = shB.select(col(idCol), explode(col("sh")).as("s"))
+    val (fa, fb) =
+      if (maxDocFreq <= 0) (ea, eb)
+      else {
+        val hot = ea.select(col(idCol), col("s")).unionByName(eb)
+          .groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select(col("s"))
+        (ea.join(hot, Seq("s"), "left_anti"), eb.join(hot, Seq("s"), "left_anti"))
+      }
+    val pa = fa.groupBy(col("s")).agg(collect_set(col(idCol)).as("__as"))
+    val pb = fb.groupBy(col("s")).agg(collect_set(col(idCol)).as("__bs"))
+    val pairs = pa.join(pb, Seq("s"))
+      .select(explode(bindOnce(struct(col("__as"), col("__bs"))) { ab =>
+        flatten(transform(
+          ab.getField("__as"),
+          x => transform(ab.getField("__bs"), y => struct(x.as("doc_a"), y.as("doc_b")))))
+      }).as("__p"))
+      .groupBy(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val sizesA = shA.select(col(idCol).as("doc_a"), size(col("sh")).as("na"))
+    val sizesB = shB.select(col(idCol).as("doc_b"), size(col("sh")).as("nb"))
+    pairs
+      .join(sizesA, "doc_a").join(sizesB, "doc_b")
+      .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Winnowing near-dup pairs: Rabin–Karp rolling-hash k-gram fingerprints
     * selected by the winnowing scheme (graft.functions.WinnowFingerprints),
     * then exact set-Jaccard over the selected fingerprints. Density ~2/(w+1)

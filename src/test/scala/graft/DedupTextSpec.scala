@@ -155,6 +155,21 @@ class DedupTextSpec extends AnyFunSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("crossJaccardPairs equals the self-join pairs restricted to cross-side") {
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val cross = graft.ops.DedupOps
+      .crossJaccardPairs(even, odd, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    val full = graft.ops.DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => a % 2 != b % 2 }.toSet
+    assert(cross == full)
+    // no same-side pair can appear by construction
+    assert(cross.forall { case (a, b, _) => a % 2 != b % 2 })
+  }
+
   test("fuzzySelfMatch finds all one-edit pairs (sub/ins/del) and no distance-2 pairs") {
     val names = Seq(
       (1L, "alpha"), (2L, "alpba"),   // substitution
