@@ -77,6 +77,21 @@ object Streaming {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static dedup: drop stream rows whose content key already
+    * exists in a STATIC store relation (left-anti stream-static join — no
+    * state, no watermark; the store is re-resolved per micro-batch, so a
+    * store table updated between batches is picked up). Complements
+    * [[dedupWithinWatermark]]: that one bounds re-delivery WITHIN the
+    * stream's horizon, this one screens against everything already
+    * ingested. At scale the store side is the big one — the join keys on
+    * the content digest, so only (digest) columns of the store are read
+    * (column pruning), and a broadcast of the stream side is not needed:
+    * Spark plans stream-static anti joins with the static side as the
+    * build/lookup side per batch.
+    */
+  def dedupAgainstStore(stream: DataFrame, store: DataFrame, keyCols: Seq[String]): DataFrame =
+    stream.join(store.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+
   /** Stream-stream interval join: attribute each right-stream event to
     * left-stream events of the same key that happened within `[left.ts,
     * left.ts + horizon]` — the click→purchase attribution shape. Both sides

@@ -214,6 +214,20 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(finalStore == Map("AAPL" -> 101.0, "BTC" -> 50000.0))
   }
 
+  test("stream-static dedup screens incoming docs against the stored fingerprint set") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = Seq("fp_a", "fp_b").toDF("fingerprint")
+    val stream = MemoryStream[(Long, String)]
+    val incoming = stream.toDF().toDF("doc_id", "fingerprint")
+    val novel = Streaming.dedupAgainstStore(incoming, store, Seq("fingerprint"))
+    val q = novel.writeStream.format("memory").queryName("novel_out").outputMode("append").start()
+    stream.addData((1L, "fp_a"), (2L, "fp_new")); q.processAllAvailable()
+    stream.addData((3L, "fp_b"), (4L, "fp_other")); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("novel_out").select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L, 4L)) // stored fingerprints screened out
+  }
+
   test("stream-stream interval join equals the batch range join (click→purchase attribution)") {
     implicit val sqlCtx = spark.sqlContext
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
