@@ -1,12 +1,12 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
+import org.apache.spark.sql.graftbridge.PlanBridge
 
 /** Custom whole-operator path (north-star preference (c)): a broadcast
   * RANGE-LOOKUP JOIN — `facts ⋈ bands ON v ≥ lo AND v < hi` with a SMALL
@@ -15,10 +15,20 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
   * Spark plans this join shape as BroadcastNestedLoopJoin: every fact row is
   * tested against EVERY band — O(|facts|·|bands|) comparisons. This operator
   * broadcasts the bands sorted by `lo` with a prefix-max of `hi`, and probes
-  * each fact row by binary search + bounded leftward walk —
-  * O(|facts|·(log |bands| + matches)). Same results for any band set,
-  * including overlapping bands; at 10³ bands this is ~100× fewer comparisons
-  * per row, and the fact side still streams with NO shuffle and NO sort.
+  * each fact row by binary search + bounded leftward walk — O(log |bands| +
+  * scanned-overlap) per row, where scanned-overlap is the number of bands
+  * whose prefix-max `hi` still covers the probe (equal to the match count
+  * for mostly-disjoint bands; a single giant band spanning everything
+  * degrades the walk toward O(|bands|), the price of supporting arbitrary
+  * overlap without an interval tree). Same results for any band set; at 10³
+  * mostly-disjoint bands this is ~100× fewer comparisons per row, and the
+  * fact side still streams with NO shuffle and NO sort.
+  *
+  * The join columns travel as NAMES, resolved against each side's output at
+  * execution: capturing Attribute expressions at build time breaks under
+  * self-joins, where the analyzer's DeduplicateRelations re-aliases the
+  * right child (fresh exprIds) without rewriting expressions held by a
+  * foreign node.
   *
   * Pieces: [[RangeLookupJoin]] (logical), [[RangeLookupStrategy]] (planner
   * rule mapping logical→physical, auto-registered on first use via
@@ -27,11 +37,19 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
 case class RangeLookupJoin(
     left: LogicalPlan,
     right: LogicalPlan,
-    valueExpr: Expression, // over left output, DoubleType
-    loExpr: Expression,    // over right output, DoubleType
-    hiExpr: Expression)    // over right output, DoubleType
+    valueCol: String, // DoubleType column of left
+    loCol: String,    // DoubleType column of right
+    hiCol: String)    // DoubleType column of right
   extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
+  // the join columns are held as NAMES, invisible to the optimizer's
+  // reference tracking — declare them against the CURRENT children so
+  // ColumnPruning keeps them and the declaration survives the analyzer
+  // re-aliasing a deduplicated child (the whole point of name storage)
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      left.output.filter(_.name == valueCol) ++
+        right.output.filter(a => a.name == loCol || a.name == hiCol))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
     copy(left = newLeft, right = newRight)
@@ -48,9 +66,9 @@ object RangeLookupStrategy extends SparkStrategy {
 case class RangeLookupJoinExec(
     left: SparkPlan,
     right: SparkPlan,
-    valueExpr: Expression,
-    loExpr: Expression,
-    hiExpr: Expression)
+    valueCol: String,
+    loCol: String,
+    hiCol: String)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -58,11 +76,15 @@ case class RangeLookupJoinExec(
   // downstream aggregates on fact keys can reuse it
   override def outputPartitioning = left.outputPartitioning
 
+  private def resolve(attrs: Seq[Attribute], name: String): Attribute =
+    attrs.find(_.name == name).getOrElse(
+      throw new IllegalStateException(s"column '$name' not found in ${attrs.map(_.name)}"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     // bands: tiny by contract — collect, sort by lo, prefix-max the his
     val bandRows = right.executeCollect()
-    val loB = BindReferences.bindReference(loExpr, right.output)
-    val hiB = BindReferences.bindReference(hiExpr, right.output)
+    val loB = BindReferences.bindReference(resolve(right.output, loCol): Expression, right.output)
+    val hiB = BindReferences.bindReference(resolve(right.output, hiCol): Expression, right.output)
     val sorted = bandRows.flatMap { r =>
       (loB.eval(r), hiB.eval(r)) match {
         case (lo: java.lang.Double, hi: java.lang.Double) => Some((lo.doubleValue(), hi.doubleValue(), r))
@@ -78,7 +100,7 @@ case class RangeLookupJoinExec(
     while (i < his.length) { mx = math.max(mx, his(i)); prefixMaxHi(i) = mx; i += 1 }
     val bc = sparkContext.broadcast((los, his, prefixMaxHi, rows))
 
-    val valB = BindReferences.bindReference(valueExpr, left.output)
+    val valB = BindReferences.bindReference(resolve(left.output, valueCol): Expression, left.output)
     val outAttrs = output
     left.execute().mapPartitions { iter =>
       val (blos, bhis, bmax, brows) = bc.value
@@ -124,10 +146,10 @@ object Plans {
   /** facts ⋈ bands ON value ≥ lo AND value < hi via [[RangeLookupJoinExec]].
     * `valueCol` names a DoubleType column of `facts`, `loCol`/`hiCol`
     * DoubleType columns of `bands` (cast first) — names, not Columns, so
-    * resolution against the custom node's children is explicit here rather
-    * than left to the analyzer (which does not descend into foreign nodes).
-    * The bands side is collected and broadcast — it must be small (a
-    * dimension, not a fact table).
+    * resolution is explicit and survives the analyzer's relation
+    * deduplication on self-joins (first match wins if a side has duplicate
+    * names). The bands side is collected and broadcast — it must be small
+    * (a dimension, not a fact table).
     */
   def rangeLookup(
       facts: DataFrame, bands: DataFrame,
@@ -136,18 +158,15 @@ object Plans {
     register(spark)
     val leftPlan = PlanBridge.analyzedPlan(facts)
     val rightPlan = PlanBridge.analyzedPlan(bands)
-    def attr(plan: LogicalPlan, name: String, side: String): Expression = {
+    def check(plan: LogicalPlan, name: String, side: String): Unit = {
       val a = plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column '$name' not found in $side side"))
       require(a.dataType == org.apache.spark.sql.types.DoubleType,
         s"column '$name' must be DOUBLE (cast first), got ${a.dataType.simpleString}")
-      a
     }
-    val node = RangeLookupJoin(
-      leftPlan, rightPlan,
-      attr(leftPlan, valueCol, "facts"),
-      attr(rightPlan, loCol, "bands"),
-      attr(rightPlan, hiCol, "bands"))
-    PlanBridge.ofRows(spark, node)
+    check(leftPlan, valueCol, "facts")
+    check(rightPlan, loCol, "bands")
+    check(rightPlan, hiCol, "bands")
+    PlanBridge.ofRows(spark, RangeLookupJoin(leftPlan, rightPlan, valueCol, loCol, hiCol))
   }
 }

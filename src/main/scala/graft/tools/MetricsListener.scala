@@ -9,12 +9,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
 /** A14 — structured log sink. The reference logs every job step to
   * file+stdout (`etl/utils.py:37-56`); the engine equivalent is a
   * QueryExecutionListener emitting one structured record per completed
-  * query (rows written where available, wall time, success/failure), which a
-  * deployment routes to log4j/metrics instead of the in-memory buffer used
-  * for tests.
+  * query (function name, wall time, success/failure), which a deployment
+  * routes to log4j/metrics instead of the in-memory buffer used for tests.
   */
 class MetricsListener extends QueryExecutionListener {
-  case class QueryMetric(funcName: String, durationNs: Long, error: Option[String])
+  import MetricsListener.QueryMetric
 
   private val buffer = new ConcurrentLinkedQueue[QueryMetric]()
 
@@ -33,6 +32,12 @@ class MetricsListener extends QueryExecutionListener {
 }
 
 object MetricsListener {
+  /** One record per completed query. Lives on the companion so the type is
+    * nameable without a listener instance and records don't pin their
+    * listener through an $outer reference.
+    */
+  case class QueryMetric(funcName: String, durationNs: Long, error: Option[String])
+
   /** Attach a fresh listener to the session and return it. */
   def attach(spark: SparkSession): MetricsListener = {
     val l = new MetricsListener

@@ -26,6 +26,11 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
 
     val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // replica ids are offset by 1e6 per copy — ids at or above the stride
+    // would collide across copies and silently corrupt the planted-dup
+    // premise, so refuse rather than measure garbage
+    require(base.agg(max(col("doc_id"))).head.getLong(0) < 1000000L,
+      "base doc_id must stay below the 1e6 replica stride")
 
     def copyK(k: Int): DataFrame =
       (0 until k).map { c =>
@@ -70,6 +75,8 @@ object ScaleSmoke {
     // corpus-side — the axis that matters at 100 TB
     import graft.ops.SimilarityOps
     val baseEmb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    require(baseEmb.agg(max(col("vec_id"))).head.getLong(0) < 1000000L,
+      "base vec_id must stay below the 1e6 replica stride")
     def embK(k: Int): DataFrame =
       (0 until k).map { c =>
         baseEmb.select(

@@ -27,6 +27,20 @@ class RangeLookupSpec extends AnyFunSuite {
     assert(expected.contains((10.0, 3L)) && !expected.contains((10.0, 1L))) // hi exclusive
   }
 
+  test("rangeLookup survives shared lineage: bands derived from the facts frame") {
+    // the realistic shape — bands computed by an aggregate OVER the facts —
+    // makes the analyzer deduplicate the right relation (fresh exprIds);
+    // name-based resolution must survive that (captured Attributes did not)
+    val df = Seq(0.5, 1.5, 2.5, 3.5).toDF("v")
+    val bands = df.agg(min(col("v")).as("lo"), (max(col("v")) - 1.0).as("hi"))
+    val got = Plans.rangeLookup(df, bands, "v", "lo", "hi")
+      .select("v").as[Double].collect().sorted.toSeq
+    assert(got == Seq(0.5, 1.5)) // [0.5, 2.5): v in {0.5, 1.5}
+    // and the literal self-join form
+    val self = Seq((1.0, 0.0, 2.0), (5.0, 4.0, 6.0)).toDF("v", "lo", "hi")
+    assert(Plans.rangeLookup(self, self, "v", "lo", "hi").count() == 2)
+  }
+
   test("rangeLookup on lineitem equals the BNL plan row-for-row") {
     val facts = Tables.lineitem(spark, TestSpark.sf0001)
       .select(col("l_extendedprice").cast("double").as("v"), col("l_orderkey"))
