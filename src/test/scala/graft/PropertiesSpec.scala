@@ -165,6 +165,28 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: applyCdc is idempotent under change-stream re-delivery") {
+    val changeGen = Gen.listOfN(15, for {
+      sym <- Gen.oneOf("A", "B", "C")
+      price <- Gen.choose(1.0, 100.0)
+      v <- Gen.choose(1L, 9L)
+      del <- Gen.oneOf(true, false)
+    } yield (sym, price, v, if (del) "D" else "U")).suchThat(_.nonEmpty)
+    samples(Gen.zip(tickGen, changeGen), 5).foreach { case (snapTicks, chRows) =>
+      val snapshot = Merge.lastWins(
+        snapTicks.toDF("symbol", "price", "v"), Seq("symbol"), Seq(col("v"), col("price")))
+      val changes = chRows.toDF("symbol", "price", "v", "op")
+      // ties on (v, price) between a D and U row of the same key would make
+      // the winner op ambiguous — disambiguate the order by op as well
+      val order = Seq(col("v"), col("price"), col("op"))
+      val once = Merge.applyCdc(snapshot, changes, Seq("symbol"), order, "op")
+      val again = Merge.applyCdc(once, changes, Seq("symbol"), order, "op")
+      assert(again.collect().toSet == once.collect().toSet,
+        "re-delivering the same change stream must not change the store")
+      assert(once.groupBy("symbol").count().filter(col("count") > 1).count() == 0)
+    }
+  }
+
   test("property: jaccard pairs are bounded, canonical and complete on identical docs") {
     val docGen = Gen.listOfN(8, Gen.chooseNum(0, 3)).map { seeds =>
       seeds.zipWithIndex.map { case (s, i) =>
