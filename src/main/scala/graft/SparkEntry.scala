@@ -812,7 +812,10 @@ object SparkEntry {
   def qExactDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.exactDedup(Tables.documents(spark, dir), "doc_id", "text")
 
-  /** Word-3-gram Jaccard near-dup pairs at 0.5 (exact, shingle-join). */
+  /** Word-3-gram Jaccard near-dup pairs at 0.5 (exact, shingle-join) under
+    * the operator's default hot-shingle cap (df > 100 — the registered
+    * contract; the oracle applies the identical cap).
+    */
   def qNgramJaccardDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
 
@@ -1032,6 +1035,19 @@ object SparkEntry {
     SimilarityOps.cosineNearDupPairs(
       Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4)
 
+  /** Embedding near-dup pairs via k-means-list blocking — the registered
+    * scale path (no SQL oracle: the k-means fit has no DuckDB equivalent;
+    * SimilaritySpec pins recall ≥ 0.9 vs the exact form on clustered
+    * vectors, and ScaleSmoke measures sub-quadratic growth vs the exact
+    * O(n²) triangle). nProbe=4 of 16 lists on the uniform synthetic
+    * corpus; real clustered embeddings need fewer probes for the same
+    * recall.
+    */
+  def qEmbeddingNeardupBlocked(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.cosineNearDupPairsBlocked(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4,
+      nLists = 16, nProbe = 4)
+
   /** Multimodal packing: opaque binary payload + typed metadata (the decode
     * stage itself is mapPartitions-based, covered in ScalaTest; the packed
     * relation is oracle-checked here).
@@ -1155,6 +1171,7 @@ object SparkEntry {
     "q_decontaminate"           -> (qDecontaminate(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_embedding_neardup"       -> (qEmbeddingNeardup(_, _)),
+    "q_embedding_neardup_blocked" -> (qEmbeddingNeardupBlocked(_, _)),
     "q_ann_ivf"                 -> (qAnnIvf(_, _)),
     "q_ann_lsh"                 -> (qAnnLsh(_, _)),
     "q_cube_stats"              -> (qCubeStats(_, _)),
@@ -1222,7 +1239,9 @@ object SparkEntry {
         |g AS (SELECT doc_id,
         |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
         |      FROM t WHERE len(w) >= 3),
-        |e AS (SELECT doc_id, unnest(sh) AS sg FROM g),
+        |e0 AS (SELECT doc_id, unnest(sh) AS sg FROM g),
+        |e AS (SELECT doc_id, sg FROM e0
+        |      WHERE sg NOT IN (SELECT sg FROM e0 GROUP BY sg HAVING count(*) > 100)),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
         |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |sz AS (SELECT doc_id, len(sh) AS n FROM g),
@@ -1531,7 +1550,9 @@ object SparkEntry {
         |g AS (SELECT doc_id,
         |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
         |      FROM t WHERE len(w) >= 3),
-        |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+        |e0 AS (SELECT doc_id, unnest(sh) AS s FROM g),
+        |e AS (SELECT doc_id, s FROM e0
+        |      WHERE s NOT IN (SELECT s FROM e0 GROUP BY s HAVING count(*) > 100)),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |sz AS (SELECT doc_id, len(sh) AS n FROM g)
@@ -1543,7 +1564,9 @@ object SparkEntry {
         |g AS (SELECT doc_id,
         |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
         |      FROM t WHERE len(w) >= 3),
-        |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+        |e0 AS (SELECT doc_id, unnest(sh) AS s FROM g),
+        |e AS (SELECT doc_id, s FROM e0
+        |      WHERE s NOT IN (SELECT s FROM e0 GROUP BY s HAVING count(*) > 100)),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2),
         |sz AS (SELECT doc_id, len(sh) AS n FROM g)
@@ -1570,7 +1593,7 @@ object SparkEntry {
         |cur AS (
         |SELECT_HOLE),
         |pt AS (SELECT d.doc_id, (d.doc_id % 8)::BIGINT AS shard,
-        |              len(regexp_split_to_array(trim(d.text), '\s+'))::BIGINT AS n_tokens
+        |              len(list_filter(regexp_split_to_array(trim(d.text), '\s+'), x -> x <> ''))::BIGINT AS n_tokens
         |       FROM documents d JOIN cur ON d.doc_id = cur.doc_id),
         |cm AS (SELECT doc_id, shard, n_tokens,
         |              sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -1676,7 +1699,9 @@ object SparkEntry {
         |g AS (SELECT doc_id,
         |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
         |      FROM t WHERE len(w) >= 3),
-        |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+        |e0 AS (SELECT doc_id, unnest(sh) AS s FROM g),
+        |e AS (SELECT doc_id, s FROM e0
+        |      WHERE s NOT IN (SELECT s FROM e0 GROUP BY s HAVING count(*) > 100)),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |sz AS (SELECT doc_id, len(sh) AS n FROM g),
@@ -1724,7 +1749,7 @@ object SparkEntry {
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, (doc_id % 8)::BIGINT AS shard,
-        |         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, shard, n_tokens,
         |             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id

@@ -121,15 +121,17 @@ object Jobs {
     * succeeded / retryable / skipped by error class (the reference's
     * `handle_api_error`, `etl/fetch_utils.py:235-258`: 429 → retry,
     * 404 → skip, and any OTHER error also retries — its else branch
-    * returns should_retry=True). Statuses outside the known classes
-    * therefore land in the retryable slice, never silently vanish.
+    * returns should_retry=True). Statuses outside the known classes —
+    * including NULL, which every three-valued-logic filter would
+    * otherwise drop from all three slices — land in the retryable slice,
+    * never silently vanish.
     * The bounded re-drive loop itself is driver control flow (see
     * [[fetchWithRetry]]) — kept out of the relational layer on purpose,
     * like the reference keeps it out of SQL.
     */
   def partitionByErrorClass(attempts: DataFrame, statusCol: String): (DataFrame, DataFrame, DataFrame) = (
     attempts.filter(col(statusCol) === "ok"),
-    attempts.filter(!col(statusCol).isin("ok", "not_found")),
+    attempts.filter(col(statusCol).isNull || !col(statusCol).isin("ok", "not_found")),
     attempts.filter(col(statusCol) === "not_found"))
 
   /** B15 — bounded semantic retry: re-drive only the retryable slice, at most

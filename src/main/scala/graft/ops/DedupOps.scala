@@ -103,6 +103,17 @@ object DedupOps {
     * the shingle, exact Jaccard = common / (|A| + |B| - common) ≥ threshold.
     * `maxDocFreq` drops shingles present in more than that many documents
     * before pairing (0 = no cap).
+    *
+    * The cap DEFAULTS ON (df > 100, the same calibration as [[winnowPairs]])
+    * and is part of the operator contract, oracle included: a bucket of m
+    * documents emits m(m-1)/2 candidate pairs, so on a stop-shingle-heavy
+    * real corpus the uncapped posting lists go quadratic (measured: 272s vs
+    * 2s on the byte-gram variant, see [[winnowPairs]]). A shingle shared by
+    * >100 documents identifies no pair above any useful threshold — each
+    * pair loses at most that shingle from its intersection, a vanishing
+    * Jaccard perturbation for real near-dups — so the guard changes cost
+    * class, not answers. Pass 0 only for small/curated corpora where the
+    * exact uncapped semantics are wanted.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -110,7 +121,7 @@ object DedupOps {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxDocFreq: Int = 0): DataFrame =
+      maxDocFreq: Int = 100): DataFrame =
     setJaccardPairs(hashedShingles(df, idCol, textCol, n), idCol, threshold, maxDocFreq)
 
   /** Exact set-Jaccard pairs over any (id, sh: array) element-set relation:
@@ -153,6 +164,12 @@ object DedupOps {
     * through one shuffle on the hashed shingle. `maxDocFreq` caps hot
     * shingles by their combined document frequency, same contract as
     * [[jaccardPairs]].
+    *
+    * Caching contract: both sides' shingle sets are cached for reuse across
+    * the pair/size branches and stay cached after return (the result is
+    * lazy, so they cannot be unpersisted here). Long-lived sessions issuing
+    * many calls should `spark.sharedState.cacheManager.clearCache()` (or
+    * unpersist) once the result is materialized — Verify/Bench do.
     */
   def crossJaccardPairs(
       existing: DataFrame,
@@ -161,7 +178,7 @@ object DedupOps {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxDocFreq: Int = 0): DataFrame = {
+      maxDocFreq: Int = 100): DataFrame = {
     val shA = hashedShingles(existing, idCol, textCol, n).cache()
     val shB = hashedShingles(incoming, idCol, textCol, n).cache()
     val ea = shA.select(col(idCol), explode(col("sh")).as("s"))
@@ -307,9 +324,10 @@ object DedupOps {
     * data-independent of corpus size; each round's state is localCheckpointed
     * so the lineage (and the re-execution cost of the convergence check)
     * stays O(1) per round instead of growing with the iteration count. For
-    * adversarially long chains at 100 TB, the standard upgrade is
-    * large-star/small-star (pointer doubling, O(log n) rounds) — same
-    * join/agg building blocks, different message rule.
+    * adversarially long chains at 100 TB, use [[connectedComponentsFast]]
+    * (large-star/small-star pointer doubling, O(log n) rounds) — same
+    * join/agg building blocks, different message rule; identical labels
+    * (pinned by a PropertiesSpec random-graph property).
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -342,6 +360,83 @@ object DedupOps {
       i += 1
     }
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components via alternating large-star / small-star (the
+    * MapReduce pointer-doubling scheme of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — the adversarial-diameter
+    * upgrade of [[connectedComponents]]: a path graph of n nodes converges
+    * in O(log n) rounds where min-label propagation needs O(n). Same
+    * output contract: (id, cluster_id = component minimum) for every id
+    * appearing in `pairs`.
+    *
+    * Per round (both phases are one join + one partial-aggregating groupBy
+    * on the node id — no global structure):
+    *  - large-star: every node u connects its strictly-LARGER neighbors to
+    *    m(u) = min(Γ(u) ∪ u), halving long chains upward;
+    *  - small-star: with edges oriented max→min, every node u connects its
+    *    not-larger neighbors and itself to m(u), collapsing local stars.
+    * The edge set monotonically approaches the star closure {(v, root)};
+    * convergence = the round was a no-op. Each round's edge set is
+    * localCheckpointed so lineage stays O(1) per round.
+    *
+    * Near-dup graphs (tiny cliques/chains) converge in 1-2 rounds either
+    * way — the min-label version's smart init is marginally cheaper there,
+    * which is why the registered cluster queries keep it; this variant is
+    * the one to reach for when component diameter is unknown or unbounded
+    * (web graphs, transitive identity resolution at 100 TB).
+    */
+  def connectedComponentsFast(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val (edges, _) = alternatingStarRounds(pairs, aCol, bCol, maxIter)
+    val nodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct()
+    // converged edges are star edges (child → root); roots and self-pair
+    // singletons label themselves
+    nodes
+      .join(edges.select(col("s").as("id"), col("t").as("__root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__root"), col("id")).as("cluster_id"))
+  }
+
+  /** Star-contraction loop shared with the spec (which asserts the O(log n)
+    * round count on a long chain). Returns (converged max→min edge set,
+    * rounds executed).
+    */
+  private[ops] def alternatingStarRounds(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int): (DataFrame, Int) = {
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("s"), least(col(aCol), col(bCol)).as("t"))
+      .filter(col("s") =!= col("t"))
+      .distinct().localCheckpoint(true)
+    var rounds = 0
+    var done = edges.isEmpty
+    while (!done && rounds < maxIter) {
+      val nbrs = edges.union(edges.select(col("t").as("s"), col("s").as("t")))
+      val lsMin = nbrs.groupBy(col("s")).agg(min(col("t")).as("__nmin"))
+        .select(col("s"), least(col("s"), col("__nmin")).as("m"))
+      val ls = nbrs.join(lsMin, "s")
+        .filter(col("t") > col("s"))
+        .select(col("t").as("s"), col("m").as("t"))
+        .filter(col("s") =!= col("t"))
+        .distinct()
+      val ssMin = ls.groupBy(col("s")).agg(min(col("t")).as("m"))
+      val withM = ls.join(ssMin, "s")
+      val ss = withM.select(col("t").as("s"), col("m").as("t"))
+        .union(withM.select(col("s"), col("m").as("t")))
+        .filter(col("s") =!= col("t"))
+        .distinct()
+        .localCheckpoint(true)
+      done = ss.count() == edges.count() && ss.except(edges).isEmpty
+      edges = ss
+      rounds += 1
+    }
+    (edges, rounds)
   }
 
   /** Train/eval decontamination: flag training documents sharing any word

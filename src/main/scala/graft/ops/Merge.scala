@@ -116,6 +116,12 @@ object Merge {
     * the stored row; keys untouched by the stream pass through. One
     * last-wins reduction over the (small) change stream + one anti join +
     * one union — the snapshot is never shuffled on anything but its key.
+    *
+    * `orderBy` must TOTALLY order the change stream — include a unique
+    * tiebreaker (e.g. event_id), same contract as [[lastWins]]. A 'D' and
+    * a 'U' row tied on every orderBy column would make the delete-vs-upsert
+    * winner arbitrary; with a total order the apply is deterministic and
+    * idempotent under re-delivery (pinned by a PropertiesSpec property).
     */
   def applyCdc(
       snapshot: DataFrame,

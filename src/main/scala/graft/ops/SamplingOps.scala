@@ -114,7 +114,11 @@ object SamplingOps {
       textCol: String,
       chunkTokens: Int,
       nShards: Int): DataFrame = {
-    val nTok = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    // TextOps.tokens, not a raw split: an empty/whitespace-only document
+    // must count 0 tokens (raw split yields a phantom [""] = 1 token that
+    // would occupy a slot in the packed stream), consistent with n_tokens
+    // in the quality/curation operators
+    val nTok = size(TextOps.tokens(col(textCol))).cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(

@@ -140,8 +140,10 @@ object SimilarityOps {
     * thresholds (τ ≲ 0.9) defeat sign-random-projection banding (expected
     * Hamming fraction θ/π is far from 0, so no band survives), which is why
     * the scale path is NOT an LSH variant but coarse-quantizer blocking:
-    * assign vectors to k-means lists ([[knnIvfKmeans]]'s quantizer) and score
-    * within-list (+probed-neighbor) pairs only.
+    * [[cosineNearDupPairsBlocked]] — same result contract, candidates from
+    * shared k-means lists instead of the full triangle. This exact form is
+    * the blocked variant's oracle (and the right choice up to ~10⁴ vectors,
+    * where one broadcast beats a quantizer fit).
     */
   def cosineNearDupPairs(
       corpus: DataFrame,
@@ -152,6 +154,77 @@ object SimilarityOps {
     val a = c.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = c.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via k-means coarse-quantizer
+    * BLOCKING — the scale path [[cosineNearDupPairs]]'s doc comment names:
+    * fit the same normalized-vector k-means quantizer as [[knnIvfKmeans]],
+    * multi-assign every vector to its `nProbe` closest lists by direction,
+    * take candidate pairs ONLY from vectors sharing at least one list, and
+    * verify candidates with the exact cosine (blocking affects recall,
+    * never the correctness of returned scores — same candidate/verify
+    * separation as the LSH dedup family).
+    *
+    * Why blocking and not SRP banding: at moderate thresholds (τ ≲ 0.9)
+    * the expected signature-disagreement fraction θ/π is far from 0, so no
+    * LSH band survives with useful probability; coarse lists cluster by
+    * direction and keep near-dup pairs co-listed instead.
+    *
+    * Scale shape vs the exact form's O(n²) broadcast nested loop: the
+    * candidate join is an equi self-join on `list_id` carrying only
+    * (id, list) pairs, so per-list work is |list|²/2 with |list| ≈
+    * nProbe·n/nLists — total candidate volume ~ nProbe²·n²/nLists, made
+    * sub-quadratic by growing `nLists` with the corpus (nLists ∝ √n keeps
+    * per-list size, and therefore cost growth, at O(n^1.5); at 100 TB the
+    * list id also becomes the partitioning key so each list's pairing is
+    * co-located). Raw vectors shuffle only in the final verify join on id,
+    * sized by surviving candidates, not n². Recall on clustered corpora is
+    * pinned ≥ 0.9 in SimilaritySpec; sub-quadratic growth is measured in
+    * ScaleSmoke against the exact form.
+    */
+  def cosineNearDupPairsBlocked(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nLists: Int = 16,
+      nProbe: Int = 2,
+      seed: Long = 42L,
+      maxIter: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = prepared(corpus, idCol, vecCol)
+      .filter(col("nrm") > 0)
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      .cache()
+    val model = new KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
+      .setInitMode("random")
+      .fit(c.withColumn("features", array_to_vector(col("vn"))))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (ctr, i) => (i, ctr.toArray.toSeq) }
+      .toDF("list_id", "cv")
+    // multi-probe assignment: top-nProbe lists by direction per vector, so
+    // boundary pairs straddling two lists still share their probed neighbor
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cdot").desc, col("list_id"))
+    val assigned = c
+      .join(broadcast(centroids), lit(true))
+      .withColumn("cdot", dot(col("vn"), col("cv")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nProbe)
+      .select(col(idCol), col("list_id"))
+    val cand = assigned.select(col(idCol).as("id_a"), col("list_id"))
+      .join(assigned.select(col(idCol).as("id_b"), col("list_id")), Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val va = c.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = c.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))

@@ -188,20 +188,28 @@ object TextOps {
   /** Frequency-ranked vocabulary of the corpus's most common `vocabSize`
     * normalized tokens: (token, n, id) with dense ids 0..vocabSize-1
     * assigned by (count DESC, token ASC) — the deterministic total order
-    * that makes the vocab reproducible on any engine. The ranking window
-    * is a single partition BY DESIGN: the vocab relation is the token
-    * TYPE set (Zipf-bounded, ~10⁵-10⁶ rows at any corpus size), so the
-    * one-partition sort is constant work while the corpus-sized token
-    * counting underneath is a partial-aggregating groupBy.
+    * that makes the vocab reproducible on any engine.
+    *
+    * Shape: the corpus-sized token counting is a partial-aggregating
+    * groupBy; the ranking is `orderBy().limit(vocabSize)` — a TakeOrdered
+    * (per-partition top-k then a k-sized driver merge), NEVER a global
+    * single-partition window sort. A web-crawl corpus's distinct-token set
+    * (typos, unicode junk) is 10⁸+, which a no-partition window would
+    * funnel through one task; top-k keeps the reduction distributed. The
+    * vocabSize survivors (small by the operator's contract — a vocab IS
+    * driver-sized) are collected once and re-emitted as a local relation
+    * with their dense ids, which downstream encoders broadcast anyway.
     */
   def buildVocab(df: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("n").desc, col("token"))
-    df.select(explode(split(normalize(col(textCol)), " ")).as("token"))
+    val counts = df.select(explode(split(normalize(col(textCol)), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .withColumn("id", (row_number().over(w) - 1).cast("long"))
-      .filter(col("id") < vocabSize)
+    val top = counts.orderBy(col("n").desc, col("token")).limit(vocabSize).collect()
+    val spark = df.sparkSession
+    import spark.implicits._
+    top.toSeq.zipWithIndex
+      .map { case (r, i) => (r.getString(0), r.getLong(1), i.toLong) }
+      .toDF("token", "n", "id")
   }
 
   /** Encode each document as vocab ids (unknown → -1), emitting scalar

@@ -47,16 +47,16 @@ object ScaleSmoke {
       val n = corpus.count()
       Seq(
         ("minhash", () => DedupOps.minhashLshPairs(corpus, "doc_id", "text", 3, 0.5).count()),
+        // "jaccard" is the registered contract (df>100 cap ON by default
+        // since round 3); "jaccard_uncapped" keeps measuring the unguarded
+        // form — identical pairs on this corpus (word-3-gram df stays low,
+        // both track linearly, confirmed k=1..8), but the cap is the guard
+        // rail for stop-shingle-dominated corpora where uncapped posting
+        // lists go quadratic (measured on k=8 byte grams: 272s vs 2s, see
+        // DedupOps.winnowPairs' scaladoc)
         ("jaccard", () => DedupOps.jaccardPairs(corpus, "doc_id", "text", 3, 0.5).count()),
-        // the df-capped form returns identical pairs here (this corpus's
-        // word-3-gram df stays low, so both track linearly — confirmed
-        // k=1..8) and is the guard rail for stop-shingle-dominated corpora,
-        // where uncapped posting lists go quadratic (see the measured
-        // k=8-byte-gram winnowing case in DedupOps.winnowPairs' scaladoc:
-        // 272s uncapped vs 2s capped); a shingle shared by >100 docs
-        // identifies no pair above any useful threshold anyway
-        ("jaccard_capped",
-          () => DedupOps.jaccardPairs(corpus, "doc_id", "text", 3, 0.5, maxDocFreq = 100).count()),
+        ("jaccard_uncapped",
+          () => DedupOps.jaccardPairs(corpus, "doc_id", "text", 3, 0.5, maxDocFreq = 0).count()),
         ("simhash", () => DedupOps.simhashPairs(corpus, "doc_id", "text").count()),
         ("winnow",  () => DedupOps.winnowPairs(corpus, "doc_id", "text", threshold = 0.3).count())
       ).foreach { case (name, f) =>
@@ -101,6 +101,32 @@ object ScaleSmoke {
         val t0 = System.nanoTime()
         val rows = f()
         println(s"$k,$n,$name,${(System.nanoTime() - t0) / 1e9},$rows")
+      }
+      corpus.unpersist()
+    }
+
+    // ---- near-dup pair scaling: exact O(n²) triangle vs k-means blocking ----
+    // the exact form's dot-product count grows n²/2; the blocked form's
+    // grows ~nProbe²·n²/nLists with nLists scaled √n-style per k, so its
+    // measured growth stays sub-quadratic — the property that makes
+    // embedding near-dup viable beyond ~10⁴ vectors
+    println("neardup: k,vectors,op,seconds,pairs")
+    Seq(1, 2, 4, 8).foreach { k =>
+      val corpus = embK(k).cache()
+      val n = corpus.count()
+      val nLists = 16 * math.sqrt(k.toDouble).round.toInt
+      Seq(
+        ("exact", () => SimilarityOps
+          .cosineNearDupPairs(corpus, "vec_id", "embedding", 0.4).count()),
+        (s"blocked($nLists)", () => SimilarityOps
+          .cosineNearDupPairsBlocked(corpus, "vec_id", "embedding", 0.4,
+            nLists = nLists, nProbe = 4).count())
+      ).foreach { case (name, f) =>
+        spark.sharedState.cacheManager.clearCache()
+        corpus.cache().count()
+        val t0 = System.nanoTime()
+        val pairs = f()
+        println(s"$k,$n,$name,${(System.nanoTime() - t0) / 1e9},$pairs")
       }
       corpus.unpersist()
     }

@@ -103,6 +103,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!loose.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("cosineNearDupPairsBlocked: recall >= 0.9 vs exact on clustered vectors, exact sims, canonical pairs") {
+    // same clustered regime as the SRP-LSH spec: near-dup pairs are
+    // cluster-mates, the case coarse-quantizer blocking is built for
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(10)(Array.fill(dim)(rng.nextGaussian() * 3))
+    val points = for {
+      c <- centers.indices; i <- 0 until 20
+    } yield (c * 20L + i, centers(c).map(_ + rng.nextGaussian() * 0.05).toSeq)
+    val vecs = points.toDF("vec_id", "embedding")
+    val exact = SimilarityOps.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+    val blocked = SimilarityOps.cosineNearDupPairsBlocked(
+      vecs, "vec_id", "embedding", 0.9, nLists = 16, nProbe = 2)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val blockedSet = blocked.map(r => (r._1, r._2)).toSet
+    assert(exactSet.nonEmpty)
+    val recall = (exactSet & blockedSet).size.toDouble / exactSet.size
+    info(s"blocked near-dup recall=$recall (${blockedSet.size}/${exactSet.size} pairs)")
+    assert(recall >= 0.9, s"recall=$recall")
+    // blocking affects recall only: no false positives vs the exact form,
+    // and every returned pair carries the identical exact similarity
+    assert((blockedSet -- exactSet).isEmpty)
+    val exactSims = exact.map(r => (r._1, r._2) -> r._3).toMap
+    assert(blocked.forall(r => exactSims((r._1, r._2)) == r._3))
+    assert(blocked.forall(r => r._1 < r._2))
+  }
+
   test("knnIvfKmeans: k-means lists beat stride-sampled lists on recall") {
     val probes = emb.filter(col("vec_id") < 20)
     val brute = SimilarityOps.knnBrute(emb, probes, "vec_id", "embedding", 10)
