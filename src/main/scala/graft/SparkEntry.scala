@@ -419,6 +419,33 @@ object SparkEntry {
           lit(",\"status\":\"complete\"}")).as("payload"))
   }
 
+  /** Per-batch completion payloads (the reference's publish-inside-the-loop
+    * contract, `fetch_historical_market_data.py:207-213`): customers batched
+    * 100 per market segment; one row per batch with the batch's full sorted
+    * symbol list, member count, and the total order-record count for its
+    * members (customers with zero orders still listed, count 0 — exactly
+    * the reference's `batch_symbols` + `record_count` pairing).
+    */
+  def qCompletionPerBatch(spark: SparkSession, dir: String): DataFrame = {
+    val batched = Batching.assignBatches(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+      Seq("c_mktsegment"), "c_custkey", 100)
+    val records = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c_custkey"))
+      .join(
+        Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+        Seq("c_custkey"))
+    Batching
+      .completionPerBatch(batched, records, Seq("c_mktsegment"), "c_custkey")
+      .select(
+        col("c_mktsegment").as("asset_type"),
+        col("batch_id"),
+        array_join(transform(col("symbols"), s => s.cast("string")), ",").as("symbols"),
+        col("symbol_count"),
+        col("record_count"),
+        col("status"))
+  }
+
   /** Multi-way star join: fact ⋈ orders ⋈ customer ⋈ nation with dimension
     * broadcast and exact decimal revenue — the plan-quality staple (Catalyst
     * reorders and broadcasts the dims; only the fact⋈orders equi-join
@@ -1094,22 +1121,21 @@ object SparkEntry {
   }
 
   /** A3-A7 — the DataSource V2 quote source (live-HTTP seam) driven from the
-    * symbol catalog: request list collected driver-side (bounded by design,
-    * like every reference request payload), one input partition per 100
+    * symbol catalog TABLE: the source itself reads the first 500 customer
+    * keys at scan planning (`symbolsPath` option — the request-list analog
+    * of file listing; no caller-side collect), one input partition per 100
     * symbols. No SQL oracle (the synthesized quote values use JVM hashing);
-    * rows-only check + SourcesSpec invariants.
+    * rows-only check + SourcesSpec invariants incl. table-vs-inline parity.
     */
-  def qQuoteSource(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val syms = Tables.customer(spark, dir)
-      .select(col("c_custkey")).orderBy(col("c_custkey")).limit(500)
-      .as[Long].collect().map(k => s"C$k:STOCK").mkString(",")
+  def qQuoteSource(spark: SparkSession, dir: String): DataFrame =
     spark.read
       .format("graft.sources.QuoteSource")
-      .option("symbols", syms)
+      .option("symbolsPath", s"$dir/customer.parquet")
+      .option("symbolCol", "c_custkey")
+      .option("symbolPrefix", "C")
+      .option("maxSymbols", "500")
       .option("batchSize", "100")
       .load()
-  }
 
   // =========================================================================
 
@@ -1198,6 +1224,7 @@ object SparkEntry {
     "q_group_by_asset_type"     -> (qGroupByAssetType(_, _)),
     "q_batch_assignment"        -> (qBatchAssignment(_, _)),
     "q_completion_stats"        -> (qCompletionStats(_, _)),
+    "q_completion_per_batch"    -> (qCompletionPerBatch(_, _)),
   )
 
   /** Shared DuckDB CTE chain + final select of the corpus-curation
@@ -1301,6 +1328,19 @@ object SparkEntry {
         |       '{"asset_type":"' || c_mktsegment || '","record_count":' || record_count::VARCHAR
         |         || ',"total_batches":' || total_batches::VARCHAR || ',"status":"complete"}' AS payload
         |FROM s""".stripMargin,
+    "q_completion_per_batch" ->
+      """WITH b AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(ceil(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) / 100.0) AS BIGINT) AS batch_id
+        |  FROM customer),
+        |cnt AS (SELECT o_custkey AS c_custkey, count(*) AS n FROM orders GROUP BY 1)
+        |SELECT b.c_mktsegment AS asset_type, b.batch_id,
+        |       string_agg(b.c_custkey::VARCHAR, ',' ORDER BY b.c_custkey) AS symbols,
+        |       count(*)::BIGINT AS symbol_count,
+        |       CAST(sum(coalesce(cnt.n, 0)) AS BIGINT) AS record_count,
+        |       'complete' AS status
+        |FROM b LEFT JOIN cnt USING (c_custkey)
+        |GROUP BY 1, 2""".stripMargin,
     "q_job_market_data_e2e" ->
       """WITH ev AS (SELECT user_id, event_type, value, ts, event_id FROM events),
         |store AS (SELECT * FROM ev WHERE ts < TIMESTAMP '2024-01-20'

@@ -16,8 +16,17 @@ object Jobs {
   /** A job's output: the new store contents plus the completion stats row
     * (B17). `processingTimeMs` is driver wall-clock like the reference —
     * attached by the caller, not computed here, to keep jobs pure.
+    *
+    * `perBatch` is the per-batch completion relation (one payload row per
+    * batch, `Batching.completionPerBatch`) for jobs whose reference
+    * counterpart publishes inside the batch loop — only the historical job
+    * does (`fetch_historical_market_data.py:207-213`); the market-data and
+    * index jobs publish a single final message, so they carry None.
     */
-  case class JobResult(store: DataFrame, completion: DataFrame)
+  case class JobResult(
+      store: DataFrame,
+      completion: DataFrame,
+      perBatch: Option[DataFrame] = None)
 
   val SnapshotKeys: Seq[String] = Seq("symbol", "asset_type")
   val RequiredFields: Seq[String] =
@@ -87,7 +96,20 @@ object Jobs {
         ceil(countDistinct(col("symbol")) / lit(50.0)).cast("long").as("total_batches"),
         countDistinct(col("symbol")).as("total_symbols"))
       .withColumn("status", lit("complete"))
-    JobResult(updated, completion)
+    // per-batch completion events (publish-inside-the-loop,
+    // fetch_historical_market_data.py:207-213): requested symbols batched
+    // 50 per asset type, one payload row per batch with the batch's symbol
+    // list and its fetched-record count (0-record symbols still listed)
+    val symbolBatches = Batching.assignBatches(
+      requests.select(col("symbol"), col("asset_type")).distinct(),
+      Seq("asset_type"), "symbol", 50)
+    val perBatch = Batching
+      .completionPerBatch(
+        symbolBatches, monthly.select(col("symbol"), col("asset_type")),
+        Seq("asset_type"), "symbol")
+      .withColumn("start_date", to_date(start))
+      .withColumn("end_date", to_date(stop))
+    JobResult(updated, completion, Some(perBatch))
   }
 
   /** §3.3 error path — stale-on-error fallback
@@ -106,7 +128,9 @@ object Jobs {
       // lineage would RE-RUN the fetch at the caller's action, where a
       // flaky source could throw outside this try (or return different
       // rows than the ones probed here)
-      JobResult(r.store.localCheckpoint(true), r.completion.localCheckpoint(true))
+      JobResult(
+        r.store.localCheckpoint(true), r.completion.localCheckpoint(true),
+        r.perBatch.map(_.localCheckpoint(true)))
     } catch {
       case scala.util.control.NonFatal(_) =>
         val cached = store.join(requests, Seq("symbol"), "left_semi")

@@ -56,4 +56,38 @@ object Batching {
         countDistinct(col(keyCol)).as("total_assets"),
         max(col("batch_id")).as("total_batches"),
         lit("complete").as("status"))
+
+  /** Per-batch completion payloads — the reference publishes one completion
+    * message per batch INSIDE the historical job
+    * (`fetch_historical_market_data.py:207-213`: symbols of the batch +
+    * record_count of the fetch), in addition to the final aggregate
+    * [[completionStats]]. One row per (group, batch_id): the batch's full
+    * sorted member list (symbols with ZERO fetched records still appear,
+    * exactly like the reference's `batch_symbols`), the member count, and
+    * the total record count across the batch's members.
+    *
+    * Inputs: `symbolBatches` = the [[assignBatches]] output over the
+    * REQUEST list (bounded, one row per key); `records` = the fetched data
+    * relation carrying `groupCols` and `keyCol` per record. The record
+    * side is reduced per key BEFORE the join (partial-aggregating groupBy),
+    * so the join is request-list-sized regardless of fetch volume.
+    */
+  def completionPerBatch(
+      symbolBatches: DataFrame,
+      records: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String): DataFrame = {
+    val joinKeys = groupCols :+ keyCol
+    val counts = records
+      .groupBy(joinKeys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    symbolBatches
+      .join(counts, joinKeys, "left")
+      .groupBy((groupCols :+ "batch_id").map(col): _*)
+      .agg(
+        sort_array(collect_set(col(keyCol))).as("symbols"),
+        count(lit(1)).as("symbol_count"),
+        sum(coalesce(col("__n"), lit(0L))).as("record_count"),
+        lit("complete").as("status"))
+  }
 }

@@ -405,7 +405,7 @@ object DedupOps {
     * round count on a long chain). Returns (converged max→min edge set,
     * rounds executed).
     */
-  private[ops] def alternatingStarRounds(
+  private[graft] def alternatingStarRounds(
       pairs: DataFrame,
       aCol: String,
       bCol: String,

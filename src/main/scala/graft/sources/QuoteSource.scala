@@ -14,6 +14,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * fetchers (SURVEY.md §2.A A3-A7): `spark.read.format("graft.sources.QuoteSource")
   * .option("symbols", "AAPL:STOCK,BTC:CRYPTO").option("batchSize", "100").load()`.
   *
+  * The request list comes either inline (`symbols`, the reference's message
+  * payload shape) or from a TABLE (`symbolsPath` + `symbolCol` [+
+  * `symbolPrefix`/`assetType`/`maxSymbols`]): the source reads the parquet
+  * symbol catalog itself during `planInputPartitions` — driver-side scan
+  * planning, exactly where every file source lists its files — so callers
+  * never collect a request list through the session. The list is bounded by
+  * construction (it is a request payload, like every reference batch).
+  *
   * Partitioning mirrors the reference's request batching: one input partition
   * per `batchSize` symbols (`fetch_market_data.py:93`), so on a cluster each
   * task issues one batched fetch — the unit of parallelism is the API batch,
@@ -57,6 +65,36 @@ object QuoteSource {
         case _                                       => None
       }
     }).getOrElse(Seq.empty)
+
+  /** Table-driven request list: first `maxSymbols` values of `symbolCol` in
+    * the parquet at `symbolsPath`, ordered by the raw column (so numeric
+    * keys order numerically before stringification), prefixed and typed.
+    * Runs at scan-planning time on the driver — the request-list analog of
+    * file listing.
+    */
+  def symbolsFromTable(options: CaseInsensitiveStringMap): Seq[(String, String)] =
+    Option(options.get("symbolsPath")).map { path =>
+      import org.apache.spark.sql.SparkSession
+      import org.apache.spark.sql.functions.col
+      val keyCol = Option(options.get("symbolCol")).getOrElse("symbol")
+      val at = Option(options.get("assetType")).getOrElse("STOCK")
+      val prefix = Option(options.get("symbolPrefix")).getOrElse("")
+      val maxSymbols = Option(options.get("maxSymbols")).map(_.toInt).getOrElse(Int.MaxValue)
+      SparkSession.active.read.parquet(path)
+        .select(col(keyCol))
+        .orderBy(col(keyCol))
+        .limit(maxSymbols)
+        .select(col(keyCol).cast("string"))
+        .collect()
+        .toSeq
+        .map(r => (prefix + r.getString(0), at))
+    }.getOrElse(Seq.empty)
+
+  /** Inline `symbols` wins; otherwise the `symbolsPath` table. */
+  def resolveSymbols(options: CaseInsensitiveStringMap): Seq[(String, String)] = {
+    val inline = parseSymbols(options)
+    if (inline.nonEmpty) inline else symbolsFromTable(options)
+  }
 }
 
 private class QuoteTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
@@ -72,8 +110,10 @@ private class QuoteTable(options: CaseInsensitiveStringMap) extends Table with S
 }
 
 private class QuoteScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder with Scan with Batch {
-  private val symbols = QuoteSource.parseSymbols(options)
   private val batchSize = Option(options.get("batchSize")).map(_.toInt).getOrElse(100)
+  // resolved lazily so a table-driven request list is read at scan planning,
+  // not at DataFrameReader.load()
+  private lazy val symbols = QuoteSource.resolveSymbols(options)
 
   override def build(): Scan = this
   override def readSchema(): StructType = QuoteSource.schema

@@ -157,20 +157,46 @@ object Streaming {
       }
   }
 
+  /** True iff `dir` holds a committed parquet write (the `_SUCCESS` marker —
+    * a crash mid-write must not be mistaken for a recoverable store).
+    */
+  private def hasCommittedStore(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      s.getPath.getName == "_SUCCESS" || s.isDirectory
+    }
+  }
+
   /** Maintained keyed snapshot over a micro-batched stream: every batch is
     * merged last-wins into the running state (the reference's upsert sink,
     * A11). State is lineage-truncated each batch so the plan doesn't grow.
-    * At real scale the `foreachBatch` body becomes a Delta/JDBC MERGE; the
-    * merge function is the same.
+    *
+    * Durability: with `storeDir` set, the merged snapshot is persisted after
+    * every batch and a (re)started instance resumes from it — restart-safe
+    * exactly-once, because the checkpoint's replayed in-flight batch
+    * collapses in the keyed last-wins merge (re-applying a batch is a
+    * no-op; pinned by JobsStreamingSpec's kill-and-restart case). Without
+    * `storeDir` the state is driver-memory only and the batch-vs-stream
+    * equality holds within one uninterrupted run. At real scale the
+    * persist step becomes a Delta/JDBC MERGE; the merge function is the
+    * same.
     */
   class SnapshotStream(
       keys: Seq[String],
-      orderCols: Seq[String]) {
+      orderCols: Seq[String],
+      storeDir: Option[String] = None) {
     @volatile private var state: Option[DataFrame] = None
 
     def current: Option[DataFrame] = state
 
-    def start(stream: DataFrame, checkpointDir: String): StreamingQuery =
+    def start(stream: DataFrame, checkpointDir: String): StreamingQuery = {
+      val spark = stream.sparkSession
+      // restart recovery: resume from the persisted store so the replayed
+      // in-flight batch merges into the pre-crash state
+      if (state.isEmpty) storeDir.filter(hasCommittedStore(spark, _)).foreach { d =>
+        state = Some(spark.read.parquet(d))
+      }
       stream.writeStream
         .option("checkpointLocation", checkpointDir)
         .outputMode("append")
@@ -179,9 +205,14 @@ object Streaming {
             case Some(prev) => Merge.upsert(prev, batch, keys, orderCols.map(col))
             case None       => Merge.lastWins(batch, keys, orderCols.map(col))
           }
-          state = Some(merged.localCheckpoint(true))
+          // pin BEFORE the overwrite: the recovered state lazily reads the
+          // very files the persist below replaces
+          val pinned = merged.localCheckpoint(true)
+          state = Some(pinned)
+          storeDir.foreach(d => pinned.write.mode("overwrite").parquet(d))
         }
         .start()
+    }
   }
 
   /** Maintained keyed rollup over a micro-batched stream: each batch is
@@ -195,26 +226,53 @@ object Streaming {
     * re-emits changed rows to a sink), this keeps a queryable TABLE of
     * current totals — the reference's "store" role (A11-A13) for
     * aggregates instead of snapshots.
+    *
+    * Durability: sums are NOT idempotent under re-delivery, so (unlike
+    * [[SnapshotStream]]) the persistent form keys the store BY BATCH ID —
+    * each batch's partial overwrites `storeDir/batch_id=<id>`, making the
+    * checkpoint's replay of an in-flight batch a no-op overwrite, and the
+    * rollup is the monoid-merge of all persisted partials (rebuilt on
+    * restart; exactly-once across kills, pinned by JobsStreamingSpec).
+    * Without `storeDir`, the equality claim is scoped to one uninterrupted
+    * run. At scale the per-batch partials are the compaction inputs a
+    * nightly job folds into a base rollup.
     */
   class RollupStream(
       keys: Seq[String],
-      valueCol: String) {
+      valueCol: String,
+      storeDir: Option[String] = None) {
     @volatile private var state: Option[DataFrame] = None
 
     def current: Option[DataFrame] = state
 
-    def start(stream: DataFrame, checkpointDir: String): StreamingQuery =
+    private def mergeAll(partials: DataFrame): DataFrame =
+      graft.ops.Analytics.mergePartialAggs(Seq(partials.drop("batch_id")), keys)
+
+    def start(stream: DataFrame, checkpointDir: String): StreamingQuery = {
+      val spark = stream.sparkSession
+      if (state.isEmpty) storeDir.filter(hasCommittedStore(spark, _)).foreach { d =>
+        state = Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
+      }
       stream.writeStream
         .option("checkpointLocation", checkpointDir)
         .outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val part = graft.ops.Analytics.partialAgg(batch, keys, valueCol)
-          val merged = state match {
-            case Some(prev) => graft.ops.Analytics.mergePartialAggs(Seq(prev, part), keys)
-            case None       => part
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val part = graft.ops.Analytics.partialAgg(batch, keys, valueCol).localCheckpoint(true)
+          state = storeDir match {
+            case Some(d) =>
+              // idempotent slot write, then rebuild from ALL partials — a
+              // replayed batch overwrote its own slot, so merging it into
+              // the recovered state would double-count
+              part.write.mode("overwrite").parquet(s"$d/batch_id=$batchId")
+              Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
+            case None =>
+              Some((state match {
+                case Some(prev) => graft.ops.Analytics.mergePartialAggs(Seq(prev, part), keys)
+                case None       => part
+              }).localCheckpoint(true))
           }
-          state = Some(merged.localCheckpoint(true))
         }
         .start()
+    }
   }
 }

@@ -130,6 +130,42 @@ object ScaleSmoke {
       }
       corpus.unpersist()
     }
+
+    // ---- skewed-key last-wins: plain window vs salted two-phase ----
+    // whale key: every 3rd event collapses onto user_id 0 (~33% of all
+    // rows on ONE (user, type) set), replicas keep the rest distinct — the
+    // plain window sorts the whale's whole history in one task, the salted
+    // form pre-reduces per (key, salt) bucket first (Merge.lastWinsSalted;
+    // identity vs lastWins pinned in MergeSpec on the same construction)
+    import graft.ops.Merge
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"))
+    def skewed(k: Int): DataFrame =
+      (0 until k).map { c =>
+        ev.select(
+          when(pmod(col("event_id"), lit(3)) === 0, lit(0L))
+            .otherwise(col("user_id") + lit(c * 1000000L)).as("user_id"),
+          col("event_type"), col("value"), col("ts"),
+          (col("event_id") + lit(c * 100000000L)).as("event_id"))
+      }.reduce(_ unionByName _)
+    println("merge: k,rows,op,seconds,keys")
+    Seq(1, 2, 4, 8).foreach { k =>
+      val df = skewed(k).cache()
+      val n = df.count()
+      Seq(
+        ("lastwins", () => Merge.lastWins(
+          df, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id"))).count()),
+        ("salted", () => Merge.lastWinsSalted(
+          df, Seq("user_id", "event_type"), Seq("ts", "event_id"), Seq("value")).count())
+      ).foreach { case (name, f) =>
+        spark.sharedState.cacheManager.clearCache()
+        df.cache().count()
+        val t0 = System.nanoTime()
+        val keys = f()
+        println(s"$k,$n,$name,${(System.nanoTime() - t0) / 1e9},$keys")
+      }
+      df.unpersist()
+    }
     spark.stop()
   }
 }

@@ -82,6 +82,50 @@ class JobsStreamingSpec extends AnyFunSuite {
       "2024-04-01" -> 16.0))
   }
 
+  test("historicalBackfill emits one completion payload per batch of requested symbols") {
+    // 7 STOCK + 2 CRYPTO requests with batch size 50 → 1 batch each; the
+    // per-batch record counts must tile the aggregate completion count and
+    // 0-record symbols must still appear in their batch's symbol list
+    val requests = ((1 to 7).map(i => (s"S$i", "STOCK")) ++ Seq(("C1", "CRYPTO"), ("C2", "CRYPTO")))
+      .toDF("symbol", "asset_type")
+    val store = Seq.empty[(String, String, java.sql.Date, Double)]
+      .toDF("symbol", "asset_type", "date", "price")
+    // S7 and C2 have no feed rows at all
+    val series = ((1 to 6).flatMap(i => Seq(
+      (s"S$i", "STOCK", Timestamp.valueOf("2024-01-10 00:00:00"), i * 1.0),
+      (s"S$i", "STOCK", Timestamp.valueOf("2024-02-10 00:00:00"), i * 2.0))) ++
+      Seq(("C1", "CRYPTO", Timestamp.valueOf("2024-01-15 00:00:00"), 9.0)))
+      .toDF("symbol", "asset_type", "datetime", "close")
+    val r = Jobs.historicalBackfill(
+      requests, store, series,
+      lit("2024-01-01").cast("date"), lit("2024-02-01").cast("date"))
+    val pb = r.perBatch.get
+      .select("asset_type", "batch_id", "symbols", "symbol_count", "record_count", "status")
+      .as[(String, Long, Seq[String], Long, Long, String)].collect()
+    assert(pb.length == 2) // one batch per asset type at this size
+    val byType = pb.map(p => p._1 -> p).toMap
+    assert(byType("STOCK")._3 == (1 to 7).map(i => s"S$i"))
+    assert(byType("STOCK")._4 == 7L && byType("STOCK")._5 == 12L) // 6 symbols × 2 months
+    assert(byType("CRYPTO")._3 == Seq("C1", "C2"))
+    assert(byType("CRYPTO")._4 == 2L && byType("CRYPTO")._5 == 1L)
+    assert(pb.forall(_._6 == "complete"))
+    // per-batch record counts tile the aggregate completion exactly
+    val total = r.completion.select("record_count").as[Long].head()
+    assert(pb.map(_._5).sum == total)
+    // start/end dates ride along per payload, like the reference message
+    val dates = r.perBatch.get.select("start_date", "end_date")
+      .as[(java.sql.Date, java.sql.Date)].collect().toSet
+    assert(dates == Set((java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-02-01"))))
+    // jobs without a per-batch publish contract carry None
+    assert(Jobs.marketDataUpdate(
+      Seq(("AAPL", "STOCK")).toDF("symbol", "asset_type"),
+      Seq.empty[(String, String, Double, Double, Double, Double, Double, Timestamp)]
+        .toDF("symbol", "asset_type", "price", "percent_change", "change", "high", "low", "updated_at"),
+      Seq(quote("AAPL", "STOCK", 1.0))
+        .toDF("symbol", "asset_type", "price", "percent_change", "change", "high", "low"),
+      current_timestamp()).perBatch.isEmpty)
+  }
+
   test("fetchWithRetry: empty request set returns an empty frame with fetchOnce's schema") {
     val requests = Seq.empty[String].toDF("symbol")
     var calls = 0
@@ -157,6 +201,57 @@ class JobsStreamingSpec extends AnyFunSuite {
       .select("symbol", "price").as[(Long, Double)].collect().toSet
     assert(streamed == batch)
     assert(streamed == Set((1L, 11.0), (2L, 5.0)))
+  }
+
+  test("SnapshotStream: kill and restart from checkpoint + persisted store equals single-run merge") {
+    implicit val sqlCtx = spark.sqlContext
+    val ticks1 = Seq((1L, "STOCK", 10.0, 1L), (2L, "CRYPTO", 5.0, 1L))
+    val ticks2 = Seq((1L, "STOCK", 11.0, 3L), (1L, "STOCK", 9.0, 2L), (3L, "STOCK", 7.0, 1L))
+    val stream = MemoryStream[(Long, String, Double, Long)]
+    val df = stream.toDF().toDF("symbol", "asset_type", "price", "v")
+    val ckpt = Files.createTempDirectory("graft-snap-ckpt").toString
+    val store = Files.createTempDirectory("graft-snap-store").toString + "/snap"
+    val snap1 = new Streaming.SnapshotStream(Seq("symbol", "asset_type"), Seq("v"), Some(store))
+    val q1 = snap1.start(df, ckpt)
+    stream.addData(ticks1); q1.processAllAvailable(); q1.stop()
+    // a FRESH instance — driver state gone, the crash analog — restarts
+    // from the same checkpoint dir and the persisted store
+    val snap2 = new Streaming.SnapshotStream(Seq("symbol", "asset_type"), Seq("v"), Some(store))
+    val q2 = snap2.start(df, ckpt)
+    stream.addData(ticks2); q2.processAllAvailable(); q2.stop()
+    val streamed = snap2.current.get
+      .select("symbol", "price").as[(Long, Double)].collect().toSet
+    val batch = Merge.lastWins(
+      (ticks1 ++ ticks2).toDF("symbol", "asset_type", "price", "v"),
+      Seq("symbol", "asset_type"), Seq(col("v")))
+      .select("symbol", "price").as[(Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 11.0), (2L, 5.0), (3L, 7.0)))
+  }
+
+  test("RollupStream: kill and restart rebuilds the rollup from per-batch partials exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = Seq((1L, 10.5), (2L, 3.25), (1L, 2.75))
+    val t2 = Seq((1L, 1.0), (3L, 7.5), (2L, 0.25))
+    val stream = MemoryStream[(Long, Double)]
+    val df = stream.toDF().toDF("k", "v")
+    val ckpt = Files.createTempDirectory("graft-roll-ckpt").toString
+    val store = Files.createTempDirectory("graft-roll-store").toString + "/roll"
+    val roll1 = new Streaming.RollupStream(Seq("k"), "v", Some(store))
+    val q1 = roll1.start(df, ckpt)
+    stream.addData(t1); q1.processAllAvailable(); q1.stop()
+    val roll2 = new Streaming.RollupStream(Seq("k"), "v", Some(store))
+    val q2 = roll2.start(df, ckpt)
+    stream.addData(t2); q2.processAllAvailable(); q2.stop()
+    val streamed = roll2.current.get
+      .select(col("k"), col("n"), col("__total").cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.ops.Analytics.partialAgg(
+      (t1 ++ t2).toDF("k", "v"), Seq("k"), "v")
+      .select(col("k"), col("n"), col("__total").cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 3L, 14.25), (2L, 2L, 3.5), (3L, 1L, 7.5)))
   }
 
   test("streaming request→route→job→completion end-to-end; malformed payloads quarantined") {

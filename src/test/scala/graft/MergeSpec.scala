@@ -117,6 +117,25 @@ class MergeSpec extends AnyFunSuite {
     assert(salted == Set(("WHALE", 5000.0), ("AAPL", 2.0)))
   }
 
+  test("lastWinsSalted identity on the events table with ScaleSmoke's whale remap") {
+    // the exact construction ScaleSmoke times at sf0.1: every 3rd event
+    // collapses onto user_id 0 (~33% of rows on one key set) — identity
+    // here certifies the numbers in the README compare equal answers
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(
+        when(pmod(col("event_id"), lit(3)) === 0, lit(0L)).otherwise(col("user_id")).as("user_id"),
+        col("event_type"), col("value"), col("ts"), col("event_id"))
+    val plain = Merge.lastWins(ev, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_type", "value")
+      .as[(Long, String, Double)].collect().toSet
+    val salted = Merge.lastWinsSalted(
+      ev, Seq("user_id", "event_type"), Seq("ts", "event_id"), Seq("value"))
+      .select("user_id", "event_type", "value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("MetricsListener records completed query executions (A14 log-sink parity)") {
     val listener = graft.tools.MetricsListener.attach(spark)
     try {

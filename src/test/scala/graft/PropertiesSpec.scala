@@ -103,6 +103,40 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: connectedComponentsFast labels equal the min-label version on random graphs") {
+    val edgeGen = Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+    samples(edgeGen, 6).foreach { edges =>
+      val df = edges.toDF("doc_a", "doc_b")
+      val slow = DedupOps.connectedComponents(df, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      val fast = DedupOps.connectedComponentsFast(df, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      assert(fast == slow, s"edge set: $edges")
+    }
+  }
+
+  test("connectedComponentsFast: long path converges in O(log n) rounds where min-label needs O(n)") {
+    // a 128-node path is the adversarial-diameter case: min-label moves the
+    // component minimum ONE hop per round, star contraction halves the
+    // chain — O(log n) rounds with generous slack
+    val n = 128
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (_, rounds) = DedupOps.alternatingStarRounds(chain, "doc_a", "doc_b", 50)
+    info(s"alternating star rounds on a $n-path: $rounds")
+    assert(rounds <= 14, s"expected O(log n) rounds, got $rounds")
+    val labels = DedupOps.connectedComponentsFast(chain, "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(labels.length == n && labels.forall(_._2 == 0L))
+    // min-label given the same round budget has NOT finished propagating —
+    // the far end of the path still carries a non-minimum label
+    val capped = DedupOps.connectedComponents(chain, "doc_a", "doc_b", maxIter = rounds)
+      .as[(Long, Long)].collect()
+    assert(capped.exists(_._2 != 0L),
+      "min-label should need O(n) rounds on a path; it converged suspiciously fast")
+  }
+
   test("property: packSequences spans tile each shard stream exactly") {
     val docGen = Gen.listOfN(20, Gen.chooseNum(1, 40)).map { lens =>
       lens.zipWithIndex.map { case (len, i) =>

@@ -30,6 +30,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("quote source: table-driven request list equals the inline list") {
+    import spark.implicits._
+    // inline: first 7 customers of sf0.001, C-prefixed, via option("symbols")
+    val keys = Tables.customer(spark, TestSpark.sf0001)
+      .select(col("c_custkey")).orderBy(col("c_custkey")).limit(7)
+      .as[Long].collect()
+    val inline = spark.read.format("graft.sources.QuoteSource")
+      .option("symbols", keys.map(k => s"C$k:STOCK").mkString(","))
+      .option("batchSize", "3")
+      .load()
+    // table-driven: the SOURCE reads the same catalog at scan planning
+    val fromTable = spark.read.format("graft.sources.QuoteSource")
+      .option("symbolsPath", s"${TestSpark.sf0001}/customer.parquet")
+      .option("symbolCol", "c_custkey")
+      .option("symbolPrefix", "C")
+      .option("maxSymbols", "7")
+      .option("batchSize", "3")
+      .load()
+    assert(fromTable.rdd.getNumPartitions == 3) // 7 symbols / 3 per batch
+    assert(fromTable.orderBy("symbol").collect().toSeq ==
+      inline.orderBy("symbol").collect().toSeq)
+    // inline symbols win when both options are present
+    val both = spark.read.format("graft.sources.QuoteSource")
+      .option("symbols", "ONLY:STOCK")
+      .option("symbolsPath", s"${TestSpark.sf0001}/customer.parquet")
+      .option("symbolCol", "c_custkey")
+      .load()
+    assert(both.select("symbol").as[String].collect().toSeq == Seq("ONLY"))
+  }
+
   test("quote source feeds the realtime job pipeline end-to-end") {
     val requests = Seq(("SYM1", "STOCK"), ("SYM2", "STOCK")).toDF("symbol", "asset_type")
     val emptyStore = Seq.empty[(String, String, Double, Double, Double, Double, Double, java.sql.Timestamp)]
