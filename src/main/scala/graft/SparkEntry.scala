@@ -388,6 +388,32 @@ object SparkEntry {
         col("last_click_value"))
   }
 
+  /** Two-relation AS-OF join (trades⋈quotes shape): each purchase picks the
+    * latest view value at-or-before its timestamp per user, via the linear
+    * union+window form (Analytics.asofJoin — no point-in-time range
+    * self-join). The right side is pre-reduced to one row per (user, ts)
+    * (the as-of tie contract); the oracle is DuckDB's native ASOF LEFT
+    * JOIN — an independent implementation of the same semantics.
+    */
+  def qAsofJoin2t(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val views = Merge.lastWins(
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      Seq("user_id", "ts"), Seq(col("event_id")))
+      .select(col("user_id"), col("ts"), col("value"))
+    Analytics.asofJoin(purchases, views, Seq("user_id"), "ts", "value")
+      .select(
+        col("user_id").as("symbol"),
+        col("ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("event_id"),
+        col("value").as("purchase_value"),
+        col("asof_value").as("last_view_value"))
+  }
+
   /** Distinct set algebra over per-type key sets:
     * (signup ∖ error) ∪ (purchase ∩ view).
     */
@@ -1144,6 +1170,7 @@ object SparkEntry {
     "q_top_k"                   -> (qTopK(_, _)),
     "q_event_time_window"       -> (qEventTimeWindow(_, _)),
     "q_asof_join"               -> (qAsofJoin(_, _)),
+    "q_asof_join_2t"            -> (qAsofJoin2t(_, _)),
     "q_set_ops"                 -> (qSetOps(_, _)),
     "q_rollup_stats"            -> (qRollupStats(_, _)),
     "q_completion_payload"      -> (qCompletionPayload(_, _)),
@@ -1307,6 +1334,14 @@ object SparkEntry {
         |      FROM t)
         |SELECT user_id AS symbol, ts AS event_ts, value AS error_value, last_click_value
         |FROM w WHERE event_type = 'error'""".stripMargin,
+    "q_asof_join_2t" ->
+      """WITH l AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        |r0 AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'),
+        |r AS (SELECT user_id, ts, value FROM r0
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        |SELECT l.user_id AS symbol, l.ts AS purchase_ts, l.event_id,
+        |       l.value AS purchase_value, r.value AS last_view_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "q_set_ops" ->
       """(SELECT DISTINCT user_id AS symbol FROM events WHERE event_type = 'signup'
         | EXCEPT SELECT DISTINCT user_id AS symbol FROM events WHERE event_type = 'error')

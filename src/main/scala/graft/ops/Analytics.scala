@@ -60,6 +60,45 @@ object Analytics {
     df.withColumn(as, last(when(pickWhen, col(valueCol)), ignoreNulls = true).over(w))
   }
 
+  /** Two-relation AS-OF join (trades⋈quotes shape): every left row picks
+    * the right row with the greatest `tsCol` ≤ its own, per key — emitted
+    * as `asof_<valueCol>` (NULL when no prior right row exists, i.e. a LEFT
+    * as-of). The right side must be unique per (keys, ts) — pre-reduce with
+    * [[graft.ops.Merge.lastWins]] otherwise, or the picked row is
+    * tie-ambiguous (same contract as DuckDB's ASOF JOIN, which is this
+    * operator's oracle).
+    *
+    * Shape: the classic point-in-time self-join explodes into a per-row
+    * range probe (BroadcastNestedLoop at best); this is instead the UNION
+    * form — tag sides, one shuffle on the key, one in-partition ordered
+    * frame carrying the last right value forward (right sorts before left
+    * on ts ties, so same-instant quotes are visible to trades, matching
+    * ASOF's ≤). Cost is sort-merge of |L|+|R| rows — linear, no range
+    * blowup, and the window reuses the exchange's partitioning.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val as = s"asof_$valueCol"
+    val l = left
+      .withColumn("__src", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right
+      .select((keys :+ tsCol).map(col) :+ col(valueCol).as("__rv"): _*)
+      .withColumn("__src", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn(as, last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .drop("__src", "__rv")
+  }
+
   /** Distinct set algebra: (a EXCEPT b) ∪ (c INTERSECT d) — SQL set
     * semantics (Spark's except/intersect are already distinct; union is ALL,
     * so a final distinct restores set semantics).

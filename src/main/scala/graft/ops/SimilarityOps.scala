@@ -194,17 +194,50 @@ object SimilarityOps {
       nProbe: Int = 2,
       seed: Long = 42L,
       maxIter: Int = 5): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val c = prepared(corpus, idCol, vecCol)
+    val c = preparedNonZero(corpus, idCol, vecCol).cache()
+    val cand = blockedCandidatesFrom(c, idCol, nLists, nProbe, seed, maxIter)
+    val va = c.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = c.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Candidate pairs of the blocked near-dup (before the exact-cosine
+    * verify) — exposed for ScaleSmoke, where the candidate count is the
+    * machine-independent scale metric (the exact form scores n(n-1)/2).
+    */
+  private[graft] def blockedCandidates(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      nProbe: Int,
+      seed: Long = 42L,
+      maxIter: Int = 5): DataFrame =
+    blockedCandidatesFrom(
+      preparedNonZero(corpus, idCol, vecCol).cache(), idCol, nLists, nProbe, seed, maxIter)
+
+  private def preparedNonZero(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    prepared(df, idCol, vecCol)
       .filter(col("nrm") > 0)
       .withColumn("vn", transform(col("v"), x => x / col("nrm")))
-      .cache()
+
+  private def blockedCandidatesFrom(
+      c: DataFrame,
+      idCol: String,
+      nLists: Int,
+      nProbe: Int,
+      seed: Long,
+      maxIter: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
     val model = new KMeans()
       .setK(nLists).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
       .setInitMode("random")
       .fit(c.withColumn("features", array_to_vector(col("vn"))))
-    val spark = corpus.sparkSession
+    val spark = c.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex.toSeq
       .map { case (ctr, i) => (i, ctr.toArray.toSeq) }
@@ -218,16 +251,10 @@ object SimilarityOps {
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") <= nProbe)
       .select(col(idCol), col("list_id"))
-    val cand = assigned.select(col(idCol).as("id_a"), col("list_id"))
+    assigned.select(col(idCol).as("id_a"), col("list_id"))
       .join(assigned.select(col(idCol).as("id_b"), col("list_id")), Seq("list_id"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val va = c.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val vb = c.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    cand.join(va, "id_a").join(vb, "id_b")
-      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
   }
 
   /** IVF approximate top-k with k-means coarse quantization: vectors are

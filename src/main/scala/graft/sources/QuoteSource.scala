@@ -95,6 +95,36 @@ object QuoteSource {
     val inline = parseSymbols(options)
     if (inline.nonEmpty) inline else symbolsFromTable(options)
   }
+
+  /** RFC-3986 percent-encoding of one symbol with urllib.parse.quote
+    * semantics (unreserved characters and '/' pass through) — the encoding
+    * the reference applies per symbol before comma-joining the batched
+    * request parameter (`etl/utils.py:98-105`: `",".join([quote(symbol)
+    * for symbol in symbols])`). Index tickers like `^GSPC` become
+    * `%5EGSPC`; multi-byte characters encode per UTF-8 byte.
+    */
+  def encodeSymbol(s: String): String =
+    s.flatMap {
+      case c if (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '.' || c == '-' || c == '~' || c == '/' =>
+        c.toString
+      case c =>
+        c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => f"%%${b & 0xff}%02X").mkString
+    }
+
+  /** The batched GET's query parameters, reference shape: the encoded
+    * comma-joined symbol list plus the region.
+    */
+  def requestParams(symbols: Seq[String], region: String): Seq[(String, String)] =
+    Seq("symbols" -> symbols.map(encodeSymbol).mkString(","), "region" -> region)
+
+  /** Full request URL (`https://{host}/{path}?k=v&…`) — what
+    * [[QuotePartitionReader]]'s stubbed fetch would GET per batch in a
+    * live deployment.
+    */
+  def requestUrl(host: String, path: String, params: Seq[(String, String)]): String =
+    s"https://$host/$path?" + params.map { case (k, v) => s"$k=$v" }.mkString("&")
 }
 
 private class QuoteTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
@@ -137,9 +167,11 @@ private class QuotePartitionReader(symbols: Array[(String, String)])
   override def next(): Boolean = { i += 1; i < symbols.length }
 
   /** STUB fetch — a deployment replaces this body with the batched HTTP GET
-    * (Twelve Data `/quote`, Yahoo get-quotes) + Schemas.quoteDocument parse +
-    * the B1/B3 validate/coerce steps. Deterministic hash-derived fields so
-    * tests are stable.
+    * of `QuoteSource.requestUrl(host, path, requestParams(batch symbols,
+    * region))` (Twelve Data `/quote`, Yahoo get-quotes — the URL/param
+    * assembly is implemented and unit-tested; only the network call is
+    * stubbed) + Schemas.quoteDocument parse + the B1/B3 validate/coerce
+    * steps. Deterministic hash-derived fields so tests are stable.
     */
   override def get(): InternalRow = {
     val (sym, at) = symbols(i)

@@ -106,27 +106,50 @@ object ScaleSmoke {
     }
 
     // ---- near-dup pair scaling: exact O(n²) triangle vs k-means blocking ----
-    // the exact form's dot-product count grows n²/2; the blocked form's
-    // grows ~nProbe²·n²/nLists with nLists scaled √n-style per k, so its
-    // measured growth stays sub-quadratic — the property that makes
-    // embedding near-dup viable beyond ~10⁴ vectors
-    println("neardup: k,vectors,op,seconds,pairs")
+    // CLUSTERED corpus — the regime near-dup blocking targets (real
+    // embedding corpora cluster by topic/source; near-dup pairs live inside
+    // clusters). Growth axis = MORE clusters of constant size (new content),
+    // the realistic 100 TB axis. The scale metric is pairs SCORED: the exact
+    // triangle scores n(n-1)/2 (quadratic by construction); the blocked
+    // form's candidate count stays proportional to within-cluster mass
+    // (linear in cluster count) when nLists grows with the corpus.
+    // Uniform random vectors are the documented worst case (no structure to
+    // exploit — candidate pruning ≈ the nLists fraction only; measured
+    // blocked(48) 61s vs exact 5.5s at 16k uniform vectors): below ~10⁵
+    // vectors the broadcast exact scan wins there, which is exactly why the
+    // exact form stays the registered oracle at test scale.
+    import spark.implicits._
+    val dim = 16
+    def clustered(k: Int): DataFrame = {
+      val rng = new scala.util.Random(13)
+      val nClusters = 25 * k
+      val centers = Array.fill(nClusters)(Array.fill(dim)(rng.nextGaussian() * 3))
+      (for { c <- 0 until nClusters; i <- 0 until 40 }
+        yield (c * 1000L + i, centers(c).map(_ + rng.nextGaussian() * 0.05).toSeq))
+        .toDF("vec_id", "embedding")
+    }
+    println("neardup: k,vectors,op,seconds,pairs,scored")
     Seq(1, 2, 4, 8).foreach { k =>
-      val corpus = embK(k).cache()
+      val corpus = clustered(k).cache()
       val n = corpus.count()
-      val nLists = 16 * math.sqrt(k.toDouble).round.toInt
-      Seq(
-        ("exact", () => SimilarityOps
-          .cosineNearDupPairs(corpus, "vec_id", "embedding", 0.4).count()),
-        (s"blocked($nLists)", () => SimilarityOps
-          .cosineNearDupPairsBlocked(corpus, "vec_id", "embedding", 0.4,
-            nLists = nLists, nProbe = 4).count())
-      ).foreach { case (name, f) =>
+      val nLists = 8 * k
+      Seq[(String, () => Long, () => Long)](
+        ("exact",
+          () => SimilarityOps.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.9).count(),
+          () => n * (n - 1) / 2),
+        (s"blocked($nLists)",
+          () => SimilarityOps.cosineNearDupPairsBlocked(corpus, "vec_id", "embedding", 0.9,
+            nLists = nLists, nProbe = 2).count(),
+          // candidate count re-runs the quantizer OUTSIDE the timing — it is
+          // the reported work metric, not part of the measured query
+          () => SimilarityOps.blockedCandidates(corpus, "vec_id", "embedding", nLists, 2).count())
+      ).foreach { case (name, run, scoredFn) =>
         spark.sharedState.cacheManager.clearCache()
         corpus.cache().count()
         val t0 = System.nanoTime()
-        val pairs = f()
-        println(s"$k,$n,$name,${(System.nanoTime() - t0) / 1e9},$pairs")
+        val pairs = run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(s"$k,$n,$name,$dt,$pairs,${scoredFn()}")
       }
       corpus.unpersist()
     }

@@ -162,4 +162,21 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     assert(got.length == 5)
     assert(got.map(_._2).sorted.reverse.toSeq == got.map(_._2).toSeq)
   }
+
+  test("asofJoin: greatest right ts <= left ts per key; tie inclusive; NULL when no prior") {
+    val l = Seq((1L, 5L, "p0"), (1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 7L, "q1"))
+      .toDF("k", "ts", "tag")
+    val r = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (3L, 1L, 999.0))
+      .toDF("k", "ts", "v")
+    val got = Analytics.asofJoin(l, r, Seq("k"), "ts", "v")
+      .select("k", "ts", "tag", "asof_v")
+      .as[(Long, Long, String, Option[Double])].collect().toSet
+    assert(got == Set(
+      (1L, 5L, "p0", None),         // before any right row
+      (1L, 10L, "p1", Some(100.0)), // same-instant tie is inclusive (≤)
+      (1L, 20L, "p2", Some(150.0)), // picks the greatest prior, not the first
+      (2L, 7L, "q1", None)))        // key absent from the right side
+    // left row count is preserved exactly (left as-of join, no fan-out)
+    assert(Analytics.asofJoin(l, r, Seq("k"), "ts", "v").count() == l.count())
+  }
 }

@@ -72,6 +72,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(r.completion.select("record_count").as[Long].head() == 2L)
   }
 
+  test("quote source request assembly matches the reference's URL-encoding contract") {
+    import graft.sources.QuoteSource
+    // urllib.parse.quote semantics: unreserved + '/' pass, the rest
+    // percent-encodes (the reference quotes each symbol before comma-join)
+    assert(QuoteSource.encodeSymbol("AAPL") == "AAPL")
+    assert(QuoteSource.encodeSymbol("^GSPC") == "%5EGSPC")
+    assert(QuoteSource.encodeSymbol("BRK.B") == "BRK.B")
+    assert(QuoteSource.encodeSymbol("BTC/USD") == "BTC/USD")
+    assert(QuoteSource.encodeSymbol("A B") == "A%20B")
+    assert(QuoteSource.encodeSymbol("é") == "%C3%A9") // UTF-8 per byte
+    val params = QuoteSource.requestParams(Seq("^DJI", "^GSPC", "AAPL"), "US")
+    assert(params == Seq("symbols" -> "%5EDJI,%5EGSPC,AAPL", "region" -> "US"))
+    assert(QuoteSource.requestUrl("example-host.test", "market/v2/get-quotes", params) ==
+      "https://example-host.test/market/v2/get-quotes?symbols=%5EDJI,%5EGSPC,AAPL&region=US")
+  }
+
   test("csv/jsonl landing: schema-pinned parse routes malformed rows to rejects") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._
