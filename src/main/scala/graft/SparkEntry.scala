@@ -1101,6 +1101,28 @@ object SparkEntry {
       Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4,
       nLists = 16, nProbe = 4)
 
+  /** SemDeDup-style semantic dedup: embedding-cosine near-dup pairs
+    * resolved into TRANSITIVE clusters (A~B, B~C ⟹ one cluster, one
+    * keeper) — the embedding-space analog of q_neardup_clusters, and the
+    * composition the blocked pair path exists to feed at scale. Cluster
+    * resolution runs through connectedComponentsFast (large-star/
+    * small-star), so the pointer-doubling CC gets an ORACLE here — the
+    * recursive-CTE reachability oracle is an independent method. Zero-norm
+    * vectors pair with nothing and label themselves (singleton keepers).
+    */
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = SimilarityOps.cosineNearDupPairs(emb, "vec_id", "embedding", threshold = 0.4)
+    val cc = DedupOps.connectedComponentsFast(pairs, "id_a", "id_b")
+    val labeled = emb.select(col("vec_id"))
+      .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("is_keeper"))
+  }
+
   /** Multimodal packing: opaque binary payload + typed metadata (the decode
     * stage itself is mapPartitions-based, covered in ScalaTest; the packed
     * relation is oracle-checked here).
@@ -1225,6 +1247,7 @@ object SparkEntry {
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_embedding_neardup"       -> (qEmbeddingNeardup(_, _)),
     "q_embedding_neardup_blocked" -> (qEmbeddingNeardupBlocked(_, _)),
+    "q_semantic_dedup"          -> (qSemanticDedup(_, _)),
     "q_ann_ivf"                 -> (qAnnIvf(_, _)),
     "q_ann_lsh"                 -> (qAnnLsh(_, _)),
     "q_cube_stats"              -> (qCubeStats(_, _)),
@@ -1881,6 +1904,24 @@ object SparkEntry {
         |             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
         |      FROM nz a JOIN nz b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4""".stripMargin,
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        |nz AS (SELECT * FROM n WHERE nrm > 0),
+        |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |       FROM nz a JOIN nz b ON a.vec_id < b.vec_id
+        |       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+        |edges AS (SELECT id_a AS es, id_b AS et FROM pr UNION SELECT id_b, id_a FROM pr),
+        |rch(x, r) AS (
+        |  SELECT es, es FROM (SELECT DISTINCT es FROM edges)
+        |  UNION
+        |  SELECT ed.es, rc.r FROM edges ed JOIN rch rc ON rc.x = ed.et),
+        |lab AS (SELECT x AS vec_id, min(r) AS cluster_id FROM rch GROUP BY 1),
+        |labeled AS (SELECT e.vec_id, coalesce(l.cluster_id, e.vec_id) AS cluster_id
+        |            FROM (SELECT vec_id FROM embeddings) e LEFT JOIN lab l USING (vec_id)),
+        |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1)
+        |SELECT vec_id, cluster_id, cluster_size, vec_id = cluster_id AS is_keeper
+        |FROM labeled JOIN szs USING (cluster_id)""".stripMargin,
     "q_cube_stats" ->
       """WITH e AS (SELECT event_type, ts::DATE AS event_date, value FROM events)
         |SELECT event_type, event_date, count(*) AS n,

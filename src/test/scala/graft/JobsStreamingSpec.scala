@@ -254,6 +254,51 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(streamed == Set((1L, 3L, 14.25), (2L, 2L, 3.5), (3L, 1L, 7.5)))
   }
 
+  test("streaming corpus ingestion: quality gate + store dedup equals the batch curation") {
+    // the curation ops composed onto a document stream: per micro-batch,
+    // gate by token count, drop content already ingested (digest anti-join
+    // against the store), first-arrival-wins within the batch, append.
+    // Re-deliveries and cross-batch exact dupes must collapse exactly as
+    // the batch pipeline over all arrivals would.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "x")) // 1 token — quality-gated out
+    val b2 = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (4L, "a completely different document about spark engines"),
+      (1L, "the quick brown fox jumps over the lazy dog")) // re-delivery
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().toDF("doc_id", "text")
+    @volatile var store = Seq.empty[(Long, String, String)].toDF("doc_id", "digest", "text")
+    val ckpt = Files.createTempDirectory("graft-curate-ckpt").toString
+    val q = df.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val gated = batch
+          .filter(size(graft.ops.TextOps.tokens(col("text"))) >= 3)
+          .withColumn("digest", md5(col("text")))
+        val fresh = Streaming.dedupAgainstStore(gated, store, Seq("digest"))
+        val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+        val kept = fresh.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        store = store.unionByName(kept.select("doc_id", "digest", "text")).localCheckpoint(true)
+      }
+      .start()
+    stream.addData(b1); q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamedIds = store.select("doc_id").as[Long].collect().toSet
+    // batch curation over all arrivals: gate, then min-id keeper per digest
+    val all = (b1 ++ b2).toDF("doc_id", "text").distinct()
+      .filter(size(graft.ops.TextOps.tokens(col("text"))) >= 3)
+    val batchKeepers = graft.ops.DedupOps.exactDedup(all, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id")).as[Long].collect().toSet
+    assert(streamedIds == batchKeepers)
+    assert(streamedIds == Set(1L, 4L))
+  }
+
   test("streaming request→route→job→completion end-to-end; malformed payloads quarantined") {
     // the full reference loop (A1 decode → B19 route → §3.1 job → A2
     // publish) driven through one MemoryStream, including a malformed and

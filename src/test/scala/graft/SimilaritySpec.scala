@@ -132,6 +132,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(blocked.forall(r => r._1 < r._2))
   }
 
+  test("semantic dedup via blocked pairs equals the exact-pair pipeline on clustered vectors") {
+    // the full SemDeDup path at scale: blocked candidate pairs → connected
+    // components → keepers must resolve the SAME clusters as the exact
+    // O(n²) pair pipeline when blocking recall is total (clustered regime)
+    import graft.ops.DedupOps
+    val rng = new scala.util.Random(23)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rng.nextGaussian() * 3))
+    val points = for {
+      c <- centers.indices; i <- 0 until 15
+    } yield (c * 100L + i, centers(c).map(_ + rng.nextGaussian() * 0.05).toSeq)
+    val vecs = points.toDF("vec_id", "embedding")
+    def clusters(pairs: org.apache.spark.sql.DataFrame) =
+      DedupOps.connectedComponentsFast(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+    val exact = clusters(SimilarityOps.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9))
+    val blocked = clusters(SimilarityOps.cosineNearDupPairsBlocked(
+      vecs, "vec_id", "embedding", 0.9, nLists = 8, nProbe = 2))
+    assert(exact.nonEmpty)
+    assert(blocked == exact)
+    // every cluster resolves to its center's min id (8 clusters of 15)
+    assert(exact.values.toSet == centers.indices.map(_ * 100L).toSet)
+  }
+
   test("knnIvfKmeans: k-means lists beat stride-sampled lists on recall") {
     val probes = emb.filter(col("vec_id") < 20)
     val brute = SimilarityOps.knnBrute(emb, probes, "vec_id", "embedding", 10)
