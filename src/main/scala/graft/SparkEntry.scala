@@ -904,6 +904,20 @@ object SparkEntry {
       "doc_id", "text", n = 3, threshold = 0.5)
   }
 
+  /** Incremental MinHash+LSH dedup: banded signature buckets per side,
+    * candidates only ACROSS the even-id store / odd-id batch split, exact-
+    * Jaccard verified — the LSH analog of q_cross_dedup (no SQL oracle:
+    * xxhash64 signatures; rows-only + DedupTextSpec equivalence against
+    * the exact cross form).
+    */
+  def qCrossDedupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    DedupOps.crossMinhashLshPairs(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", n = 3, threshold = 0.5)
+  }
+
   /** Deterministic train/val/test split (0.8/0.1/0.1) by md5 hex-prefix of
     * the document key — content-hashed, so stable across runs, engines and
     * partitionings (the oracle checks the assignment row-for-row).
@@ -1226,6 +1240,7 @@ object SparkEntry {
     "q_scd2_history"            -> (qScd2History(_, _)),
     "q_ngram_jaccard_dedup"     -> (qNgramJaccardDedup(_, _)),
     "q_cross_dedup"             -> (qCrossDedup(_, _)),
+    "q_cross_dedup_lsh"         -> (qCrossDedupLsh(_, _)),
     "q_minhash_dedup"           -> (qMinhashDedup(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
     "q_winnow_dedup"            -> (qWinnowDedup(_, _)),

@@ -309,6 +309,58 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Incremental (cross-corpus) MinHash+LSH near-dup pairs: the LSH analog
+    * of [[crossJaccardPairs]], completing the {self, cross} × {exact, LSH}
+    * matrix — banded signature buckets are built PER SIDE and joined only
+    * across sides, so a bucket with a existing and b incoming docs emits
+    * a·b candidates and zero same-side pairs, and the store is never
+    * re-paired against itself. Candidates verify with exact Jaccard over
+    * the hashed shingle sets (LSH affects recall only, never precision).
+    *
+    * At 100 TB this is the operationally dominant dedup shape: the store's
+    * banded buckets are computed once per increment (or persisted — the
+    * signature relation is ~numHashes longs per doc, a compact sketch
+    * table worth materializing), the incoming increment is small, and the
+    * bucket join shuffles (id, bucket) pairs, never text or signatures.
+    */
+  def crossMinhashLshPairs(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val shA = hashedShingles(existing, idCol, textCol, n).filter(size(col("sh")) > 0).cache()
+    val shB = hashedShingles(incoming, idCol, textCol, n).filter(size(col("sh")) > 0).cache()
+    // cache barrier per side, same as minhashLshPairs (CollapseProject
+    // would inline the signature into every band projection)
+    def banded(sh: DataFrame): DataFrame = sh
+      .select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
+      .cache()
+      .select(
+        col(idCol),
+        explode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => concat(
+            b.cast("string"), lit(":"),
+            xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).cast("string")))).as("bucket"))
+      .distinct()
+    val candidates = banded(shA).select(col(idCol).as("doc_a"), col("bucket"))
+      .join(banded(shB).select(col(idCol).as("doc_b"), col("bucket")), Seq("bucket"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    candidates
+      .join(shA.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shB.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Connected components over near-duplicate pairs — the cluster-resolution
     * step that turns PAIRWISE dedup output into transitive duplicate groups
     * (A~B, B~C ⟹ {A,B,C} is one group with one keeper; dropping the higher

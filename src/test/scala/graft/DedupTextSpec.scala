@@ -155,6 +155,24 @@ class DedupTextSpec extends AnyFunSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("crossMinhashLshPairs equals the exact cross form (recall total at this band setting)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    // maxDocFreq=0 on the exact side: the LSH verify intersects FULL
+    // shingle sets, so equality must be judged against uncapped semantics
+    val exact = graft.ops.DedupOps
+      .crossJaccardPairs(even, odd, "doc_id", "text", 3, 0.5, maxDocFreq = 0)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = graft.ops.DedupOps
+      .crossMinhashLshPairs(even, odd, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
   test("crossJaccardPairs equals the self-join pairs restricted to cross-side") {
     val even = docs.filter(col("doc_id") % 2 === 0)
     val odd = docs.filter(col("doc_id") % 2 === 1)

@@ -116,6 +116,14 @@ class JobsStreamingSpec extends AnyFunSuite {
     val dates = r.perBatch.get.select("start_date", "end_date")
       .as[(java.sql.Date, java.sql.Date)].collect().toSet
     assert(dates == Set((java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-02-01"))))
+    // A2 publish shape: one JSON message per batch on the completion topic
+    val payloads = Streaming.completionPayload(r.perBatch.get, "historical_complete")
+      .select("topic", "value").as[(String, String)].collect()
+    assert(payloads.length == 2)
+    assert(payloads.forall(_._1 == "historical_complete"))
+    assert(payloads.forall(p =>
+      p._2.contains("\"record_count\"") && p._2.contains("\"symbols\"") &&
+        p._2.contains("\"status\":\"complete\"")))
     // jobs without a per-batch publish contract carry None
     assert(Jobs.marketDataUpdate(
       Seq(("AAPL", "STOCK")).toDF("symbol", "asset_type"),
