@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   *    a document-frequency cap BEFORE the self-join — the standard guard that
   *    keeps the join output near-linear; the cap is part of the operator
   *    contract (and of the oracle SQL), not a silent truncation.
+  *
+  * Caching contract (applies to every pair operator here and in
+  * SimilarityOps): shingle/signature relations are cached because they feed
+  * multiple branches (candidates + sizes/verify) and as CollapseProject
+  * barriers; results are lazy, so they cannot be unpersisted inside the
+  * operator. Long-lived sessions issuing many calls should clear or
+  * unpersist once results are materialized — Verify/Bench clear the cache
+  * between queries.
   */
 object DedupOps {
 

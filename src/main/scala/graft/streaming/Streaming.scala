@@ -242,6 +242,13 @@ object Streaming {
       valueCol: String,
       storeDir: Option[String] = None) {
     @volatile private var state: Option[DataFrame] = None
+    // false until this query instance has processed its first batch: the
+    // FIRST batch after a (re)start may be a checkpoint replay whose
+    // partial is already in the recovered state, so it must rebuild from
+    // the on-disk slots (its overwrite is a no-op); every later batchId is
+    // guaranteed new, so steady state is a pure O(|keys|) monoid merge —
+    // the per-batch cost never grows with stream lifetime
+    @volatile private var incremental = false
 
     def current: Option[DataFrame] = state
 
@@ -250,6 +257,7 @@ object Streaming {
 
     def start(stream: DataFrame, checkpointDir: String): StreamingQuery = {
       val spark = stream.sparkSession
+      incremental = false
       if (state.isEmpty) storeDir.filter(hasCommittedStore(spark, _)).foreach { d =>
         state = Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
       }
@@ -260,11 +268,14 @@ object Streaming {
           val part = graft.ops.Analytics.partialAgg(batch, keys, valueCol).localCheckpoint(true)
           state = storeDir match {
             case Some(d) =>
-              // idempotent slot write, then rebuild from ALL partials — a
-              // replayed batch overwrote its own slot, so merging it into
-              // the recovered state would double-count
+              // idempotent slot write; replay-safe rebuild only on the
+              // first batch of this query instance
               part.write.mode("overwrite").parquet(s"$d/batch_id=$batchId")
-              Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
+              if (!incremental) {
+                incremental = true
+                Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
+              } else Some(graft.ops.Analytics
+                .mergePartialAggs(Seq(state.get, part), keys).localCheckpoint(true))
             case None =>
               Some((state match {
                 case Some(prev) => graft.ops.Analytics.mergePartialAggs(Seq(prev, part), keys)

@@ -241,6 +241,7 @@ class JobsStreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val t1 = Seq((1L, 10.5), (2L, 3.25), (1L, 2.75))
     val t2 = Seq((1L, 1.0), (3L, 7.5), (2L, 0.25))
+    val t3 = Seq((3L, 2.5), (4L, 6.0)) // steady-state batch after the restart rebuild
     val stream = MemoryStream[(Long, Double)]
     val df = stream.toDF().toDF("k", "v")
     val ckpt = Files.createTempDirectory("graft-roll-ckpt").toString
@@ -250,16 +251,18 @@ class JobsStreamingSpec extends AnyFunSuite {
     stream.addData(t1); q1.processAllAvailable(); q1.stop()
     val roll2 = new Streaming.RollupStream(Seq("k"), "v", Some(store))
     val q2 = roll2.start(df, ckpt)
-    stream.addData(t2); q2.processAllAvailable(); q2.stop()
+    stream.addData(t2); q2.processAllAvailable() // first batch: disk rebuild
+    stream.addData(t3); q2.processAllAvailable() // later batch: O(keys) monoid merge
+    q2.stop()
     val streamed = roll2.current.get
       .select(col("k"), col("n"), col("__total").cast("double"))
       .as[(Long, Long, Double)].collect().toSet
     val batch = graft.ops.Analytics.partialAgg(
-      (t1 ++ t2).toDF("k", "v"), Seq("k"), "v")
+      (t1 ++ t2 ++ t3).toDF("k", "v"), Seq("k"), "v")
       .select(col("k"), col("n"), col("__total").cast("double"))
       .as[(Long, Long, Double)].collect().toSet
     assert(streamed == batch)
-    assert(streamed == Set((1L, 3L, 14.25), (2L, 2L, 3.5), (3L, 1L, 7.5)))
+    assert(streamed == Set((1L, 3L, 14.25), (2L, 2L, 3.5), (3L, 2L, 10.0), (4L, 1L, 6.0)))
   }
 
   test("streaming corpus ingestion: quality gate + store dedup equals the batch curation") {
