@@ -255,6 +255,31 @@ object Streaming {
     private def mergeAll(partials: DataFrame): DataFrame =
       graft.ops.Analytics.mergePartialAggs(Seq(partials.drop("batch_id")), keys)
 
+    /** Fold all per-batch partial slots into one base slot (`batch_id=-1`)
+      * — the compaction a long-lived store needs, since restart rebuild
+      * cost is O(slots). Correct because the merge is the same monoid the
+      * stream applies. MUST run between query runs (no active query,
+      * offsets committed): a checkpoint replay arriving after compaction
+      * would re-add a batch the base already folded. Returns the number of
+      * slots folded away (0 when there was nothing to compact).
+      */
+    def compact(spark: SparkSession): Int = storeDir match {
+      case Some(d) if hasCommittedStore(spark, d) =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val slots = fs.listStatus(p).filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("batch_id=")).map(_.getPath)
+        if (slots.length <= 1) 0
+        else {
+          val merged = mergeAll(spark.read.parquet(d)).localCheckpoint(true)
+          slots.foreach(fs.delete(_, true))
+          merged.write.mode("overwrite").parquet(s"$d/batch_id=-1")
+          state = Some(merged)
+          slots.length
+        }
+      case _ => 0
+    }
+
     def start(stream: DataFrame, checkpointDir: String): StreamingQuery = {
       val spark = stream.sparkSession
       incremental = false

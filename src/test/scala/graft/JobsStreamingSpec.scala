@@ -263,6 +263,17 @@ class JobsStreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(streamed == batch)
     assert(streamed == Set((1L, 3L, 14.25), (2L, 2L, 3.5), (3L, 2L, 10.0), (4L, 1L, 6.0)))
+    // between-runs compaction folds the three slots into one base slot and
+    // a further restart + new batch still yields the exact rollup
+    assert(roll2.compact(spark) == 3)
+    val roll3 = new Streaming.RollupStream(Seq("k"), "v", Some(store))
+    val q3 = roll3.start(df, ckpt)
+    stream.addData(Seq((1L, 0.5))); q3.processAllAvailable(); q3.stop()
+    val afterCompact = roll3.current.get
+      .select(col("k"), col("n"), col("__total").cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(afterCompact == Set(
+      (1L, 4L, 14.75), (2L, 2L, 3.5), (3L, 2L, 10.0), (4L, 1L, 6.0)))
   }
 
   test("streaming corpus ingestion: quality gate + store dedup equals the batch curation") {

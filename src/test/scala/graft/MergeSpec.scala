@@ -136,6 +136,55 @@ class MergeSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("AQE splits the whale-key partition of a skewed sort-merge join (skew=true)") {
+    // the join-side complement of lastWinsSalted: aggregation skew is
+    // handled by salting, JOIN skew is AQE's runtime re-plan — verify the
+    // optimized plan actually marks the skewed SMJ partition as split
+    // (thresholds lowered so the toy-scale whale qualifies)
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2048")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2048")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // repartition(8) gives the join shuffle 8 MAP tasks: AQE's skew split
+      // granularity is the map-output block, so a single-mapper stage (one
+      // tiny parquet file) has unsplittable reduce partitions no matter how
+      // skewed — at real scale the map side is always wide
+      val ev = Tables.events(spark, TestSpark.sf0001)
+        .select(
+          when(pmod(col("event_id"), lit(10)) < 9, lit(0L))
+            .otherwise(col("user_id")).as("user_id"),
+          col("value"), col("event_id"))
+        .repartition(8)
+      // right side must be a PLAIN shuffled relation (Sort directly over
+      // the exchange) — the skew rule doesn't match through an aggregate
+      val recent = ev.filter(pmod(col("event_id"), lit(97)) === 0)
+        .select(col("user_id"), col("value").as("v2"))
+      val j = ev.join(recent, "user_id")
+      // execute THIS dataset (not a count() wrapper) so the adaptive plan
+      // finalizes, then read the re-planned SMJ
+      assert(j.collect().nonEmpty)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"), s"no skew split in:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("MetricsListener records completed query executions (A14 log-sink parity)") {
     val listener = graft.tools.MetricsListener.attach(spark)
     try {
