@@ -1157,6 +1157,18 @@ object SparkEntry {
         MultimodalOps.packBinary(Tables.documents(spark, dir), "doc_id", "text", "video"))
       .select(col("media_id"), col("frame_idx"), col("ts_ms"), col("width"), col("height"))
 
+  /** Audio pre-segmentation over packed media: overlapping fixed-length
+    * windows per clip (no SQL oracle: stub duration/energy features derive
+    * from JVM hashing; JobsStreamingSpec pins determinism, overlap
+    * geometry and fan-out bounds).
+    */
+  def qAudioWindows(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps
+      .sampleAudioWindows(
+        spark,
+        MultimodalOps.packBinary(Tables.documents(spark, dir), "doc_id", "text", "audio"))
+      .select(col("media_id"), col("window_idx"), col("start_ms"), col("end_ms"))
+
   /** IVF approximate top-10 (k-means coarse quantizer, 16 lists, 4 probed)
     * for the same probe set (no SQL oracle: approximate result; ScalaTest
     * checks recall vs brute force — on these uniform synthetic vectors recall
@@ -1271,6 +1283,7 @@ object SparkEntry {
     "q_session_window_agg"      -> (qSessionWindowAgg(_, _)),
     "q_binary_meta"             -> (qBinaryMeta(_, _)),
     "q_frame_sample"            -> (qFrameSample(_, _)),
+    "q_audio_windows"           -> (qAudioWindows(_, _)),
     "q_latest_snapshot_upsert"  -> (qLatestSnapshotUpsert(_, _)),
     "q_merge_last_wins"         -> (qMergeLastWins(_, _)),
     "q_cdc_apply"               -> (qCdcApply(_, _)),

@@ -451,7 +451,12 @@ object DedupOps {
       aCol: String,
       bCol: String,
       maxIter: Int = 50): DataFrame = {
-    val (edges, _) = alternatingStarRounds(pairs, aCol, bCol, maxIter)
+    val (edges, rounds, converged) = alternatingStarRounds(pairs, aCol, bCol, maxIter)
+    // O(log n) rounds means the default budget covers ~2^50 nodes; hitting
+    // it unconverged must fail LOUD — star edges from a truncated run would
+    // silently mislabel components
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsFast did not converge in $rounds rounds (maxIter=$maxIter)")
     val nodes = pairs.select(col(aCol).as("id"))
       .union(pairs.select(col(bCol).as("id"))).distinct()
     // converged edges are star edges (child → root); roots and self-pair
@@ -462,14 +467,14 @@ object DedupOps {
   }
 
   /** Star-contraction loop shared with the spec (which asserts the O(log n)
-    * round count on a long chain). Returns (converged max→min edge set,
-    * rounds executed).
+    * round count on a long chain). Returns (final max→min edge set, rounds
+    * executed, converged?).
     */
   private[graft] def alternatingStarRounds(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int): (DataFrame, Int) = {
+      maxIter: Int): (DataFrame, Int, Boolean) = {
     var edges = pairs
       .select(greatest(col(aCol), col(bCol)).as("s"), least(col(aCol), col(bCol)).as("t"))
       .filter(col("s") =!= col("t"))
@@ -496,7 +501,7 @@ object DedupOps {
       edges = ss
       rounds += 1
     }
-    (edges, rounds)
+    (edges, rounds, done || edges.isEmpty)
   }
 
   /** Train/eval decontamination: flag training documents sharing any word

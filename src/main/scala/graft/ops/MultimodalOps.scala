@@ -136,4 +136,44 @@ object MultimodalOps {
       }
     }
   }
+
+  /** One sampled audio window: span + stub energy features. */
+  case class AudioWindow(
+      media_id: Long, window_idx: Int, start_ms: Long, end_ms: Long,
+      rms: Double, peak: Double)
+
+  /** Audio windowing over packed "audio": a 1→N generator emitting
+    * fixed-length windows of `windowMs` every `hopMs` (overlapping when
+    * hop < window — the ASR / audio-embedding pre-segmentation shape),
+    * bounded by `maxWindows`. The duration probe and per-window energy
+    * features (rms/peak in [0,1)) are the deterministic [[fakeDecode]]
+    * stub; the engine contract — generator fan-out bounds, window
+    * geometry (last window clipped to the duration), payload-stays-in-
+    * place partitioning — is real, same shape as [[sampleFrames]].
+    */
+  def sampleAudioWindows(
+      spark: SparkSession,
+      packed: DataFrame,
+      windowMs: Long = 2000L,
+      hopMs: Long = 1000L,
+      maxWindows: Int = 16): Dataset[AudioWindow] = {
+    require(windowMs > 0 && hopMs > 0, "window and hop must be positive")
+    import spark.implicits._
+    packed.as[MediaRecord].mapPartitions { it =>
+      // real codec: per-partition audio decoder context here
+      it.flatMap { r =>
+        val (checksum, _, _) = fakeDecode(r.payload)
+        val durationMs = 1000L + math.abs(checksum % 30000L) // stub duration probe
+        val nAll = if (durationMs <= windowMs) 1L else (durationMs - windowMs) / hopMs + 1
+        val n = math.min(maxWindows.toLong, nAll).toInt
+        (0 until n).iterator.map { i =>
+          val start = i * hopMs
+          val end = math.min(start + windowMs, durationMs)
+          val mix = checksum ^ (start * 2654435761L)
+          AudioWindow(r.media_id, i, start, end,
+            math.abs(mix % 10000L) / 10000.0, math.abs((mix >> 16) % 10000L) / 10000.0)
+        }
+      }
+    }
+  }
 }

@@ -588,6 +588,33 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(f1.forall(f => f.thumb.length == 8 && f.width >= 16 && f.height >= 16))
   }
 
+  test("multimodal: audio windowing is deterministic with correct overlap geometry") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(40)
+    val packed = MultimodalOps.packBinary(docs, "doc_id", "text", "audio")
+    val w1 = MultimodalOps.sampleAudioWindows(spark, packed, windowMs = 2000L, hopMs = 1000L)
+      .collect().sortBy(w => (w.media_id, w.window_idx))
+    val w2 = MultimodalOps.sampleAudioWindows(spark, packed, windowMs = 2000L, hopMs = 1000L)
+      .collect().sortBy(w => (w.media_id, w.window_idx))
+    assert(w1.map(w => (w.media_id, w.window_idx, w.start_ms, w.end_ms)).toSeq ==
+      w2.map(w => (w.media_id, w.window_idx, w.start_ms, w.end_ms)).toSeq)
+    val perMedia = w1.groupBy(_.media_id)
+    assert(perMedia.size == 40)
+    assert(perMedia.values.forall(ws => ws.length >= 1 && ws.length <= 16))
+    perMedia.values.foreach { ws =>
+      val sorted = ws.sortBy(_.window_idx)
+      // contiguous indices, hop spacing, window length bounded, 50% overlap
+      sorted.zipWithIndex.foreach { case (w, i) =>
+        assert(w.window_idx == i && w.start_ms == i * 1000L)
+        assert(w.end_ms > w.start_ms && w.end_ms <= w.start_ms + 2000L)
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.start_ms < a.end_ms, "windows must overlap at this hop")
+        case _           =>
+      }
+    }
+    assert(w1.forall(w => w.rms >= 0.0 && w.rms < 1.0 && w.peak >= 0.0 && w.peak < 1.0))
+  }
+
   test("multimodal: resize fits the maxDim box, preserves aspect ratio, never upscales") {
     import graft.ops.MultimodalOps
     val packed = MultimodalOps.packBinary(

@@ -103,6 +103,28 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: asofJoin equals the brute-force greatest-prior-right lookup") {
+    import graft.ops.Analytics
+    val lGen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 50L)))
+    val rGen = Gen.listOfN(15, for {
+      k <- Gen.chooseNum(0L, 3L); ts <- Gen.chooseNum(0L, 50L)
+      v <- Gen.chooseNum(1, 999)
+    } yield (k, ts, v.toDouble))
+    samples(Gen.zip(lGen, rGen), 6).foreach { case (ls, rs0) =>
+      // right side unique per (k, ts) — the operator's tie contract
+      val rs = rs0.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val l = ls.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+        .toDF("k", "ts", "lid")
+      val r = rs.toDF("k", "ts", "v")
+      val got = Analytics.asofJoin(l, r, Seq("k"), "ts", "v")
+        .select("lid", "asof_v").as[(Long, Option[Double])].collect().toMap
+      val expected = ls.zipWithIndex.map { case ((k, ts), i) =>
+        i.toLong -> rs.filter(x => x._1 == k && x._2 <= ts).sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      assert(got == expected, s"left=$ls right=$rs")
+    }
+  }
+
   test("property: connectedComponentsFast labels equal the min-label version on random graphs") {
     val edgeGen = Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L)))
       .map(_.filter { case (a, b) => a != b })
@@ -123,7 +145,8 @@ class PropertiesSpec extends AnyFunSuite {
     // chain — O(log n) rounds with generous slack
     val n = 128
     val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val (_, rounds) = DedupOps.alternatingStarRounds(chain, "doc_a", "doc_b", 50)
+    val (_, rounds, converged) = DedupOps.alternatingStarRounds(chain, "doc_a", "doc_b", 50)
+    assert(converged)
     info(s"alternating star rounds on a $n-path: $rounds")
     assert(rounds <= 14, s"expected O(log n) rounds, got $rounds")
     val labels = DedupOps.connectedComponentsFast(chain, "doc_a", "doc_b")
