@@ -414,6 +414,42 @@ object SparkEntry {
         col("asof_value").as("last_view_value"))
   }
 
+  /** Tolerance-bounded AS-OF join: as q_asof_join_2t but a view older than
+    * one hour before the purchase is discarded (pandas merge_asof
+    * `tolerance` semantics). Timestamps run as epoch-ms longs
+    * (`unix_millis` / DuckDB `epoch_ms`) so the tolerance arithmetic is
+    * integer-exact on both engines.
+    */
+  def qAsofJoinTol(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_millis(col("ts")).as("tsm"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsm"), col("event_id"), col("value"))
+    val views = Merge.lastWins(
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tsm"), col("event_id"), col("value")),
+      Seq("user_id", "tsm"), Seq(col("event_id")))
+      .select(col("user_id"), col("tsm"), col("value"))
+    Analytics.asofJoinWithin(purchases, views, Seq("user_id"), "tsm", "value",
+      toleranceMs = 3600000L)
+      .select(
+        col("user_id").as("symbol"),
+        col("tsm").as("purchase_ts_ms"),
+        col("event_id"),
+        col("value").as("purchase_value"),
+        col("asof_value").as("last_view_value"))
+  }
+
+  /** Whale-key detection: keys holding > 0.3% of all event rows — the
+    * skew probe that routes merges to the salted two-phase reduction.
+    */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Analytics
+      .heavyHitters(
+        Tables.events(spark, dir).select(col("user_id")), Seq("user_id"), minShare = 0.003)
+      .select(col("user_id").as("symbol"), col("n"), col("share"))
+
   /** Distinct set algebra over per-type key sets:
     * (signup ∖ error) ∪ (purchase ∩ view).
     */
@@ -1219,6 +1255,8 @@ object SparkEntry {
     "q_event_time_window"       -> (qEventTimeWindow(_, _)),
     "q_asof_join"               -> (qAsofJoin(_, _)),
     "q_asof_join_2t"            -> (qAsofJoin2t(_, _)),
+    "q_asof_join_tol"           -> (qAsofJoinTol(_, _)),
+    "q_heavy_hitters"           -> (qHeavyHitters(_, _)),
     "q_set_ops"                 -> (qSetOps(_, _)),
     "q_rollup_stats"            -> (qRollupStats(_, _)),
     "q_completion_payload"      -> (qCompletionPayload(_, _)),
@@ -1393,6 +1431,20 @@ object SparkEntry {
         |SELECT l.user_id AS symbol, l.ts AS purchase_ts, l.event_id,
         |       l.value AS purchase_value, r.value AS last_view_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_asof_join_tol" ->
+      """WITH l AS (SELECT user_id, epoch_ms(ts) AS tsm, event_id, value FROM events WHERE event_type = 'purchase'),
+        |r0 AS (SELECT user_id, epoch_ms(ts) AS tsm, event_id, value FROM events WHERE event_type = 'view'),
+        |r AS (SELECT user_id, tsm, value FROM r0
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, tsm ORDER BY event_id DESC) = 1)
+        |SELECT l.user_id AS symbol, l.tsm AS purchase_ts_ms, l.event_id,
+        |       l.value AS purchase_value,
+        |       CASE WHEN r.tsm >= l.tsm - 3600000 THEN r.value END AS last_view_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsm >= r.tsm""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS t FROM events)
+        |SELECT user_id AS symbol, n, n::DOUBLE / t AS share
+        |FROM c, t WHERE n > t * 0.003""".stripMargin,
     "q_set_ops" ->
       """(SELECT DISTINCT user_id AS symbol FROM events WHERE event_type = 'signup'
         | EXCEPT SELECT DISTINCT user_id AS symbol FROM events WHERE event_type = 'error')

@@ -99,6 +99,61 @@ object Analytics {
       .drop("__src", "__rv")
   }
 
+  /** Tolerance-bounded AS-OF join: like [[asofJoin]], but a match older
+    * than `toleranceMs` before the left timestamp is discarded (pandas
+    * merge_asof `tolerance` semantics — a quote from last week shouldn't
+    * price today's trade). Correct because the as-of pick is the GREATEST
+    * prior right row: if that one is out of tolerance, no in-tolerance
+    * match exists. Same linear union+window shape; the window carries the
+    * (right ts, value) struct so the tolerance check is a post-window
+    * projection, not a second join. `tsCol` must be numeric/castable for
+    * the subtraction (ms-epoch longs in the engine convention).
+    */
+  def asofJoinWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      toleranceMs: Long): DataFrame = {
+    val as = s"asof_$valueCol"
+    val l = left
+      .withColumn("__src", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("__rts", lit(null).cast(left.schema(tsCol).dataType))
+    val r = right
+      .select((keys :+ tsCol).map(col) :+ col(valueCol).as("__rv"): _*)
+      .withColumn("__src", lit(0))
+      .withColumn("__rts", col(tsCol))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__m", last(
+        when(col("__src") === 0, struct(col("__rts").as("ts"), col("__rv").as("v"))),
+        ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .withColumn(as,
+        when(col("__m.ts") >= col(tsCol) - lit(toleranceMs), col("__m.v")))
+      .drop("__src", "__rv", "__rts", "__m")
+  }
+
+  /** Keys holding more than `minShare` of all rows — the whale-key detector
+    * that tells a pipeline to route its merge through the salted two-phase
+    * reduction (Merge.lastWinsSalted) or expect AQE skew splits. Per-key
+    * counts partially aggregate map-side; the total is one broadcast
+    * scalar; nothing but (key, n) ever shuffles.
+    */
+  def heavyHitters(df: DataFrame, keys: Seq[String], minShare: Double): DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n") > col("__t") * minShare)
+      .withColumn("share", col("n").cast("double") / col("__t"))
+      .drop("__t")
+  }
+
   /** Distinct set algebra: (a EXCEPT b) ∪ (c INTERSECT d) — SQL set
     * semantics (Spark's except/intersect are already distinct; union is ALL,
     * so a final distinct restores set semantics).

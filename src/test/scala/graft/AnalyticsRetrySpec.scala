@@ -179,4 +179,18 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     // left row count is preserved exactly (left as-of join, no fan-out)
     assert(Analytics.asofJoin(l, r, Seq("k"), "ts", "v").count() == l.count())
   }
+
+  test("asofJoinWithin: matches older than the tolerance are discarded, not substituted") {
+    val l = Seq((1L, 100L, "p1"), (1L, 2000L, "p2")).toDF("k", "ts", "tag")
+    val r = Seq((1L, 90L, 9.0), (1L, 1990L, 19.0)).toDF("k", "ts", "v")
+    val got = Analytics.asofJoinWithin(l, r, Seq("k"), "ts", "v", toleranceMs = 50L)
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+    // p1's only prior (ts 90) is within 50ms → kept; p2's greatest prior
+    // (1990) is within tolerance too
+    assert(got == Map("p1" -> Some(9.0), "p2" -> Some(19.0)))
+    val tight = Analytics.asofJoinWithin(l, r, Seq("k"), "ts", "v", toleranceMs = 5L)
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+    // both priors now too old: NULL, and crucially NOT the even-older row
+    assert(tight == Map("p1" -> None, "p2" -> None))
+  }
 }
