@@ -94,9 +94,15 @@ object Analytics {
       .partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("__src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn(as, last(col("__rv"), ignoreNulls = true).over(w))
+    // the carried marker is a STRUCT gated on the side tag, never the raw
+    // value: a right row whose value is legitimately NULL must still BE the
+    // as-of match (yielding NULL), not get skipped in favor of an older
+    // row — ASOF matches on time, not on non-nullness (DuckDB agrees)
+    u.withColumn("__m", last(
+        when(col("__src") === 0, struct(col("__rv").as("v"))), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
-      .drop("__src", "__rv")
+      .withColumn(as, col("__m.v"))
+      .drop("__src", "__rv", "__m")
   }
 
   /** Tolerance-bounded AS-OF join: like [[asofJoin]], but a match older
@@ -142,12 +148,14 @@ object Analytics {
   /** Keys holding more than `minShare` of all rows — the whale-key detector
     * that tells a pipeline to route its merge through the salted two-phase
     * reduction (Merge.lastWinsSalted) or expect AQE skew splits. Per-key
-    * counts partially aggregate map-side; the total is one broadcast
-    * scalar; nothing but (key, n) ever shuffles.
+    * counts partially aggregate map-side and are cached; the grand total
+    * derives from the tiny (key, n) relation (every row lands in exactly
+    * one group), so the fact table is scanned ONCE — nothing but (key, n)
+    * ever shuffles, and the total is one broadcast scalar.
     */
   def heavyHitters(df: DataFrame, keys: Seq[String], minShare: Double): DataFrame = {
-    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
-    val total = df.agg(count(lit(1)).as("__t"))
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n")).cache()
+    val total = counts.agg(sum(col("n")).as("__t"))
     counts.crossJoin(broadcast(total))
       .filter(col("n") > col("__t") * minShare)
       .withColumn("share", col("n").cast("double") / col("__t"))

@@ -104,14 +104,18 @@ object QuoteSource {
     * `%5EGSPC`; multi-byte characters encode per UTF-8 byte.
     */
   def encodeSymbol(s: String): String =
-    s.flatMap {
-      case c if (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
-        (c >= '0' && c <= '9') || c == '_' || c == '.' || c == '-' || c == '~' || c == '/' =>
+    // iterate UTF-8 BYTES, not UTF-16 chars: a supplementary-plane char
+    // (emoji, math letters) is two surrogates char-wise, and encoding a
+    // lone surrogate yields '?' — byte-wise matches urllib exactly (all
+    // multi-byte sequences have the high bit set, so the ASCII
+    // pass-through test below can never match half a character)
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).map { b =>
+      val c = b.toChar
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '.' || c == '-' || c == '~' || c == '/')
         c.toString
-      case c =>
-        c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          .map(b => f"%%${b & 0xff}%02X").mkString
-    }
+      else f"%%${b & 0xff}%02X"
+    }.mkString
 
   /** The batched GET's query parameters, reference shape: the encoded
     * comma-joined symbol list plus the region.

@@ -157,29 +157,53 @@ object Streaming {
       }
   }
 
-  /** True iff `dir` holds a committed parquet write (the `_SUCCESS` marker —
-    * a crash mid-write must not be mistaken for a recoverable store).
-    */
-  private def hasCommittedStore(spark: SparkSession, dir: String): Boolean = {
+  private def fsFor(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(p) && fs.listStatus(p).exists { s =>
-      s.getPath.getName == "_SUCCESS" || s.isDirectory
-    }
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Committed (`_SUCCESS`-marked) `<prefix><id>` subdirectories of `dir`,
+    * newest id first. Subdirectories matching the prefix WITHOUT a commit
+    * marker are leftovers of a crashed write and are DELETED here, so no
+    * reader ever sees partial files — this is the store layer's crash
+    * fencing (a crash mid-write must never be mistaken for a recoverable
+    * store, and must never shadow the previous good copy).
+    */
+  private def committedSlots(
+      spark: SparkSession,
+      dir: String,
+      prefix: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val (fs, p) = fsFor(spark, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .flatMap { s =>
+        scala.util.Try(s.getPath.getName.stripPrefix(prefix).toLong).toOption match {
+          case None => None
+          case Some(id) =>
+            if (fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))) Some(id -> s.getPath)
+            else { fs.delete(s.getPath, true); None }
+        }
+      }
+      .sortBy(-_._1)
   }
 
   /** Maintained keyed snapshot over a micro-batched stream: every batch is
     * merged last-wins into the running state (the reference's upsert sink,
     * A11). State is lineage-truncated each batch so the plan doesn't grow.
     *
-    * Durability: with `storeDir` set, the merged snapshot is persisted after
-    * every batch and a (re)started instance resumes from it — restart-safe
-    * exactly-once, because the checkpoint's replayed in-flight batch
-    * collapses in the keyed last-wins merge (re-applying a batch is a
-    * no-op; pinned by JobsStreamingSpec's kill-and-restart case). Without
-    * `storeDir` the state is driver-memory only and the batch-vs-stream
-    * equality holds within one uninterrupted run. At real scale the
-    * persist step becomes a Delta/JDBC MERGE; the merge function is the
+    * Durability: with `storeDir` set, each batch persists the merged
+    * snapshot as a new VERSION directory (`v=<batchId>`), and only after
+    * that write commits (`_SUCCESS`) are older versions deleted — a crash
+    * mid-write can never destroy the previous good copy (uncommitted
+    * version dirs are fenced off and removed on recovery). A (re)started
+    * instance resumes from the newest committed version; the checkpoint's
+    * replayed in-flight batch collapses in the keyed last-wins merge
+    * (re-applying a batch is a no-op; pinned by JobsStreamingSpec's
+    * kill-and-restart case). Without `storeDir` the state is driver-memory
+    * only and the batch-vs-stream equality holds within one uninterrupted
+    * run. At real scale the persist step becomes a Delta/JDBC MERGE (which
+    * provides the same atomic-commit property); the merge function is the
     * same.
     */
   class SnapshotStream(
@@ -192,24 +216,34 @@ object Streaming {
 
     def start(stream: DataFrame, checkpointDir: String): StreamingQuery = {
       val spark = stream.sparkSession
-      // restart recovery: resume from the persisted store so the replayed
-      // in-flight batch merges into the pre-crash state
-      if (state.isEmpty) storeDir.filter(hasCommittedStore(spark, _)).foreach { d =>
-        state = Some(spark.read.parquet(d))
+      // restart recovery: newest committed version (crashed partial writes
+      // are fenced and deleted by committedSlots); the replayed in-flight
+      // batch then merges into the pre-crash state
+      if (state.isEmpty) storeDir.foreach { d =>
+        committedSlots(spark, d, "v=").headOption.foreach { case (_, path) =>
+          state = Some(spark.read.parquet(path.toString))
+        }
       }
       stream.writeStream
         .option("checkpointLocation", checkpointDir)
         .outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val merged = state match {
             case Some(prev) => Merge.upsert(prev, batch, keys, orderCols.map(col))
             case None       => Merge.lastWins(batch, keys, orderCols.map(col))
           }
-          // pin BEFORE the overwrite: the recovered state lazily reads the
-          // very files the persist below replaces
+          // pin BEFORE persisting: the recovered state lazily reads files
+          // the version cleanup below may delete
           val pinned = merged.localCheckpoint(true)
           state = Some(pinned)
-          storeDir.foreach(d => pinned.write.mode("overwrite").parquet(d))
+          storeDir.foreach { d =>
+            val (fs, _) = fsFor(spark, d)
+            // overwrite is replay-safe (same version id rewrites itself);
+            // older versions are deleted ONLY after this commit succeeds
+            pinned.write.mode("overwrite").parquet(s"$d/v=$batchId")
+            committedSlots(spark, d, "v=").filter(_._1 != batchId)
+              .foreach { case (_, old) => fs.delete(old, true) }
+          }
         }
         .start()
     }
@@ -255,25 +289,52 @@ object Streaming {
     private def mergeAll(partials: DataFrame): DataFrame =
       graft.ops.Analytics.mergePartialAggs(Seq(partials.drop("batch_id")), keys)
 
-    /** Fold all per-batch partial slots into one base slot (`batch_id=-1`)
-      * — the compaction a long-lived store needs, since restart rebuild
-      * cost is O(slots). Correct because the merge is the same monoid the
-      * stream applies. MUST run between query runs (no active query,
-      * offsets committed): a checkpoint replay arriving after compaction
-      * would re-add a batch the base already folded. Returns the number of
-      * slots folded away (0 when there was nothing to compact).
+    /** Complete or roll back an interrupted [[compact]] — idempotent: a
+      * COMMITTED `.compact-<id>` staging dir proves the folded base was
+      * fully written, so recovery finishes the job (delete the folded
+      * slots, rename the staging dir into place); an uncommitted staging
+      * dir is a crashed write and is fenced off by [[committedSlots]].
+      * Staging dirs are dot-prefixed, which Spark's file index ignores —
+      * a half-finished compaction is invisible to every reader.
+      */
+    private def recoverCompaction(spark: SparkSession, d: String): Unit = {
+      val (fs, _) = fsFor(spark, d)
+      val tmps = committedSlots(spark, d, ".compact-")
+      tmps.drop(1).foreach { case (_, t) => fs.delete(t, true): Unit }
+      tmps.headOption.foreach { case (id, tmp) =>
+        committedSlots(spark, d, "batch_id=").foreach { case (_, s) => fs.delete(s, true): Unit }
+        fs.rename(tmp, new org.apache.hadoop.fs.Path(d, s"batch_id=$id")): Unit
+      }
+    }
+
+    /** Fold all per-batch partial slots into one base slot — the compaction
+      * a long-lived store needs, since restart rebuild cost is O(slots).
+      * Correct because the fold is the same monoid the stream applies, and
+      * crash-safe at every point: the folded base is STAGED to a
+      * dot-prefixed dir first (invisible to readers), only a committed
+      * staging dir triggers slot deletion, and an interruption anywhere is
+      * completed or rolled back by [[recoverCompaction]] on the next
+      * start/compact. MUST run between query runs (offsets committed): a
+      * checkpoint replay arriving after compaction would re-add a batch the
+      * base already folded. Returns the number of slots folded (0 when
+      * nothing to compact).
       */
     def compact(spark: SparkSession): Int = storeDir match {
-      case Some(d) if hasCommittedStore(spark, d) =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        val slots = fs.listStatus(p).filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith("batch_id=")).map(_.getPath)
+      case Some(d) =>
+        recoverCompaction(spark, d)
+        val slots = committedSlots(spark, d, "batch_id=")
         if (slots.length <= 1) 0
         else {
+          val (fs, _) = fsFor(spark, d)
+          // a fresh id below every existing slot — never collides with a
+          // replayed batch id (those are non-negative and increasing)
+          val newBase = math.min(slots.map(_._1).min, 0L) - 1
           val merged = mergeAll(spark.read.parquet(d)).localCheckpoint(true)
-          slots.foreach(fs.delete(_, true))
-          merged.write.mode("overwrite").parquet(s"$d/batch_id=-1")
+          merged.write.mode("overwrite").parquet(s"$d/.compact-$newBase")
+          slots.foreach { case (_, s) => fs.delete(s, true): Unit }
+          fs.rename(
+            new org.apache.hadoop.fs.Path(d, s".compact-$newBase"),
+            new org.apache.hadoop.fs.Path(d, s"batch_id=$newBase")): Unit
           state = Some(merged)
           slots.length
         }
@@ -283,8 +344,12 @@ object Streaming {
     def start(stream: DataFrame, checkpointDir: String): StreamingQuery = {
       val spark = stream.sparkSession
       incremental = false
-      if (state.isEmpty) storeDir.filter(hasCommittedStore(spark, _)).foreach { d =>
-        state = Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
+      storeDir.foreach { d =>
+        // finish any interrupted compaction and fence crashed slot writes
+        // BEFORE anything reads the store dir
+        recoverCompaction(spark, d)
+        if (state.isEmpty && committedSlots(spark, d, "batch_id=").nonEmpty)
+          state = Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
       }
       stream.writeStream
         .option("checkpointLocation", checkpointDir)
@@ -298,6 +363,7 @@ object Streaming {
               part.write.mode("overwrite").parquet(s"$d/batch_id=$batchId")
               if (!incremental) {
                 incremental = true
+                committedSlots(spark, d, "batch_id=") // fence crashed slots
                 Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
               } else Some(graft.ops.Analytics
                 .mergePartialAggs(Seq(state.get, part), keys).localCheckpoint(true))

@@ -119,15 +119,9 @@ object ScaleSmoke {
     // vectors the broadcast exact scan wins there, which is exactly why the
     // exact form stays the registered oracle at test scale.
     import spark.implicits._
-    val dim = 16
-    def clustered(k: Int): DataFrame = {
-      val rng = new scala.util.Random(13)
-      val nClusters = 25 * k
-      val centers = Array.fill(nClusters)(Array.fill(dim)(rng.nextGaussian() * 3))
-      (for { c <- 0 until nClusters; i <- 0 until 40 }
-        yield (c * 1000L + i, centers(c).map(_ + rng.nextGaussian() * 0.05).toSeq))
+    def clustered(k: Int): DataFrame =
+      SyntheticVectors.clustered(nClusters = 25 * k, perCluster = 40, dim = 16, seed = 13)
         .toDF("vec_id", "embedding")
-    }
     println("neardup: k,vectors,op,seconds,pairs,scored")
     Seq(1, 2, 4, 8).foreach { k =>
       val corpus = clustered(k).cache()

@@ -178,6 +178,14 @@ class AnalyticsRetrySpec extends AnyFunSuite {
       (2L, 7L, "q1", None)))        // key absent from the right side
     // left row count is preserved exactly (left as-of join, no fan-out)
     assert(Analytics.asofJoin(l, r, Seq("k"), "ts", "v").count() == l.count())
+    // a right row with a NULL value is still the as-of MATCH (yielding
+    // NULL) — never skipped in favor of an older non-null row
+    val rNull = Seq((1L, Some(10.0)), (1L, None)).zipWithIndex
+      .map { case ((k, v), i) => (k, (i + 1) * 10L, v) }.toDF("k", "ts", "v")
+    val lAfter = Seq((1L, 25L, "p")).toDF("k", "ts", "tag")
+    val nullMatch = Analytics.asofJoin(lAfter, rNull, Seq("k"), "ts", "v")
+      .select("asof_v").as[Option[Double]].head()
+    assert(nullMatch.isEmpty, "ASOF matches on time, not on non-nullness")
   }
 
   test("asofJoinWithin: matches older than the tolerance are discarded, not substituted") {

@@ -276,6 +276,54 @@ class JobsStreamingSpec extends AnyFunSuite {
       (1L, 4L, 14.75), (2L, 2L, 3.5), (3L, 2L, 10.0), (4L, 1L, 6.0)))
   }
 
+  test("SnapshotStream recovery fences a crashed version write and resumes from the last good one") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = Files.createTempDirectory("graft-snapv").toString + "/snap"
+    Seq((1L, "STOCK", 42.0, 1L)).toDF("symbol", "asset_type", "price", "v")
+      .write.parquet(s"$store/v=3")
+    // a crashed overwrite: newer version dir with data but NO _SUCCESS —
+    // must be fenced off, never read, never shadow v=3
+    Seq((9L, "JUNK", 0.0, 9L)).toDF("symbol", "asset_type", "price", "v")
+      .write.parquet(s"$store/v=5")
+    assert(new java.io.File(s"$store/v=5/_SUCCESS").delete())
+    val stream = MemoryStream[(Long, String, Double, Long)]
+    val df = stream.toDF().toDF("symbol", "asset_type", "price", "v")
+    val snap = new Streaming.SnapshotStream(Seq("symbol", "asset_type"), Seq("v"), Some(store))
+    val q = snap.start(df, Files.createTempDirectory("graft-snapv-ckpt").toString)
+    stream.addData(Seq((2L, "CRYPTO", 5.0, 1L))); q.processAllAvailable(); q.stop()
+    val got = snap.current.get.select("symbol", "price").as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 42.0), (2L, 5.0))) // junk from the crashed write is gone
+    // exactly one committed version remains on disk
+    val dirs = new java.io.File(store).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.size == 1 && dirs.forall(_.startsWith("v=")))
+  }
+
+  test("RollupStream start completes an interrupted compaction without double-counting") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = Files.createTempDirectory("graft-rollc").toString + "/roll"
+    val p0 = graft.ops.Analytics.partialAgg(Seq((1L, 2.0), (2L, 3.0)).toDF("k", "v"), Seq("k"), "v")
+    p0.write.parquet(s"$store/batch_id=0")
+    val p1 = graft.ops.Analytics.partialAgg(Seq((1L, 1.0)).toDF("k", "v"), Seq("k"), "v")
+    p1.write.parquet(s"$store/batch_id=1")
+    // a committed staging dir whose compaction crashed BEFORE deleting the
+    // folded slots: recovery must finish the job (delete 0 and 1, rename
+    // the staging fold into place) — merging staging + slots would double
+    graft.ops.Analytics.mergePartialAggs(Seq(p0, p1), Seq("k"))
+      .write.parquet(s"$store/.compact--1")
+    val stream = MemoryStream[(Long, Double)]
+    val df = stream.toDF().toDF("k", "v")
+    val roll = new Streaming.RollupStream(Seq("k"), "v", Some(store))
+    val q = roll.start(df, Files.createTempDirectory("graft-rollc-ckpt").toString)
+    stream.addData(Seq((3L, 7.0))); q.processAllAvailable(); q.stop()
+    val got = roll.current.get.select(col("k"), col("n"), col("__total").cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 3.0), (2L, 1L, 3.0), (3L, 1L, 7.0)))
+    // the folded slots 0/1 were deleted and the staging dir renamed into
+    // the base; the NEW batch (fresh checkpoint, id 0) wrote its own slot
+    val dirs = new java.io.File(store).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch_id=-1", "batch_id=0"))
+  }
+
   test("streaming corpus ingestion: quality gate + store dedup equals the batch curation") {
     // the curation ops composed onto a document stream: per micro-batch,
     // gate by token count, drop content already ingested (digest anti-join

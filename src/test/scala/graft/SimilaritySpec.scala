@@ -104,15 +104,12 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("cosineNearDupPairsBlocked: recall >= 0.9 vs exact on clustered vectors, exact sims, canonical pairs") {
-    // same clustered regime as the SRP-LSH spec: near-dup pairs are
-    // cluster-mates, the case coarse-quantizer blocking is built for
-    val rng = new scala.util.Random(11)
-    val dim = 16
-    val centers = Array.fill(10)(Array.fill(dim)(rng.nextGaussian() * 3))
-    val points = for {
-      c <- centers.indices; i <- 0 until 20
-    } yield (c * 20L + i, centers(c).map(_ + rng.nextGaussian() * 0.05).toSeq)
-    val vecs = points.toDF("vec_id", "embedding")
+    // same clustered regime as the SRP-LSH spec AND ScaleSmoke's measured
+    // benchmark (one shared generator): near-dup pairs are cluster-mates,
+    // the case coarse-quantizer blocking is built for
+    val vecs = graft.tools.SyntheticVectors
+      .clustered(nClusters = 10, perCluster = 20, dim = 16, seed = 11, stride = 20L)
+      .toDF("vec_id", "embedding")
     val exact = SimilarityOps.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9)
       .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
     val blocked = SimilarityOps.cosineNearDupPairsBlocked(
@@ -137,13 +134,9 @@ class SimilaritySpec extends AnyFunSuite {
     // components → keepers must resolve the SAME clusters as the exact
     // O(n²) pair pipeline when blocking recall is total (clustered regime)
     import graft.ops.DedupOps
-    val rng = new scala.util.Random(23)
-    val dim = 16
-    val centers = Array.fill(8)(Array.fill(dim)(rng.nextGaussian() * 3))
-    val points = for {
-      c <- centers.indices; i <- 0 until 15
-    } yield (c * 100L + i, centers(c).map(_ + rng.nextGaussian() * 0.05).toSeq)
-    val vecs = points.toDF("vec_id", "embedding")
+    val vecs = graft.tools.SyntheticVectors
+      .clustered(nClusters = 8, perCluster = 15, dim = 16, seed = 23, stride = 100L)
+      .toDF("vec_id", "embedding")
     def clusters(pairs: org.apache.spark.sql.DataFrame) =
       DedupOps.connectedComponentsFast(pairs, "id_a", "id_b")
         .as[(Long, Long)].collect().toMap
@@ -153,7 +146,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.nonEmpty)
     assert(blocked == exact)
     // every cluster resolves to its center's min id (8 clusters of 15)
-    assert(exact.values.toSet == centers.indices.map(_ * 100L).toSet)
+    assert(exact.values.toSet == (0 until 8).map(_ * 100L).toSet)
   }
 
   test("knnIvfKmeans: k-means lists beat stride-sampled lists on recall") {
@@ -184,16 +177,14 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("knnLshSrp: high recall on clustered vectors, exact sims, deterministic") {
-    // 10 well-separated clusters of 20 points each (center ± small noise):
-    // a probe's true neighbors are its cluster-mates, whose SRP signatures
-    // agree on nearly every hyperplane — the regime banding is built for
-    val rng = new scala.util.Random(7)
+    // 10 well-separated clusters of 20 points each (center ± small noise,
+    // the shared SyntheticVectors regime): a probe's true neighbors are its
+    // cluster-mates, whose SRP signatures agree on nearly every hyperplane
+    // — the regime banding is built for
     val dim = 16
-    val centers = Array.fill(10)(Array.fill(dim)(rng.nextGaussian() * 3))
-    val points = for {
-      c <- centers.indices; i <- 0 until 20
-    } yield (c * 20L + i, centers(c).map(_ + rng.nextGaussian() * 0.05).toSeq)
-    val vecs = points.toDF("vec_id", "embedding")
+    val vecs = graft.tools.SyntheticVectors
+      .clustered(nClusters = 10, perCluster = 20, dim = dim, seed = 7, stride = 20L)
+      .toDF("vec_id", "embedding")
     val probes = vecs.filter(col("vec_id") % 20 === 0)
     val brute = SimilarityOps.knnBrute(vecs, probes, "vec_id", "embedding", 10)
       .select("probe_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()

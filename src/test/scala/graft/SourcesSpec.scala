@@ -82,6 +82,9 @@ class SourcesSpec extends AnyFunSuite {
     assert(QuoteSource.encodeSymbol("BTC/USD") == "BTC/USD")
     assert(QuoteSource.encodeSymbol("A B") == "A%20B")
     assert(QuoteSource.encodeSymbol("é") == "%C3%A9") // UTF-8 per byte
+    // supplementary-plane chars (two UTF-16 surrogates) must encode their
+    // UTF-8 bytes, not a '?' per surrogate half
+    assert(QuoteSource.encodeSymbol("𝓐") == "%F0%9D%93%90")
     val params = QuoteSource.requestParams(Seq("^DJI", "^GSPC", "AAPL"), "US")
     assert(params == Seq("symbols" -> "%5EDJI,%5EGSPC,AAPL", "region" -> "US"))
     assert(QuoteSource.requestUrl("example-host.test", "market/v2/get-quotes", params) ==
