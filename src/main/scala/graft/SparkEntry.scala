@@ -1085,6 +1085,13 @@ object SparkEntry {
     TextOps.encodeTokens(docs, "doc_id", "text", TextOps.buildVocab(docs, "text", 30))
   }
 
+  /** Corpus-frequency rarity stats (integer-exact unigram-LM proxy):
+    * rare-occurrence counts flag gibberish, frequency mass flags
+    * stopword boilerplate.
+    */
+  def qTokenRarity(spark: SparkSession, dir: String): DataFrame =
+    TextOps.rarityStats(Tables.documents(spark, dir), "doc_id", "text", rareBelow = 5L)
+
   /** Within-document repetition metrics (Gopher-style duplicate-trigram and
     * top-bigram-share filters) with the standard thresholds.
     */
@@ -1299,6 +1306,7 @@ object SparkEntry {
     "q_corpus_curation"         -> (qCorpusCuration(_, _)),
     "q_training_manifest"       -> (qTrainingManifest(_, _)),
     "q_repetition_filter"       -> (qRepetitionFilter(_, _)),
+    "q_token_rarity"            -> (qTokenRarity(_, _)),
     "q_quality_rank"            -> (qQualityRank(_, _)),
     "q_vocab_build"             -> (qVocabBuild(_, _)),
     "q_encode_tokens"           -> (qEncodeTokens(_, _)),
@@ -1849,6 +1857,17 @@ object SparkEntry {
         |SELECT q.doc_id, l.pred_lang, q.quality,
         |       percent_rank() OVER (PARTITION BY l.pred_lang ORDER BY q.quality, q.doc_id) AS q_rank
         |FROM quality q JOIN lang l USING (doc_id)""".stripMargin,
+    "q_token_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+        |  FROM documents),
+        |tk AS (SELECT * FROM toks WHERE token <> ''),
+        |f AS (SELECT token, count(*) AS tf FROM tk GROUP BY 1)
+        |SELECT tk.doc_id, count(*) AS n_tokens,
+        |       count(CASE WHEN f.tf < 5 THEN 1 END) AS n_rare,
+        |       CAST(sum(f.tf) AS BIGINT) AS freq_mass
+        |FROM tk JOIN f USING (token)
+        |GROUP BY 1""".stripMargin,
     "q_vocab_build" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token

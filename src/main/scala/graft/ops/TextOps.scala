@@ -57,6 +57,35 @@ object TextOps {
       regexp_count(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("bpe_tokens"))
   }
 
+  /** Corpus-frequency rarity stats per document — the integer-exact proxy
+    * for a unigram-LM quality score (true log-probs need float `log`s that
+    * don't reproduce bit-identically across engines; sums of corpus counts
+    * do): per document, the token count, how many of its token OCCURRENCES
+    * have corpus frequency below `rareBelow` (gibberish and OCR noise are
+    * rare-token-dense), and the total corpus-frequency mass of its tokens
+    * (high mass = stopword-heavy boilerplate). Normalized tokens, counted
+    * over occurrences on both ends.
+    *
+    * Scale shape: one partial-aggregating groupBy builds the (token, tf)
+    * relation, the corpus joins back ON the token (a shuffle of (doc, token)
+    * pairs against the type-sized frequency table — NOT broadcast: a web
+    * corpus's token-type set is 10⁸+), then one per-document aggregation.
+    * Nothing bigger than 8-byte-keyed pairs shuffles.
+    */
+  def rarityStats(df: DataFrame, idCol: String, textCol: String, rareBelow: Long): DataFrame = {
+    val toks = df.select(
+      col(idCol),
+      explode(split(normalize(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    toks.join(freq, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("tf") < rareBelow, lit(1))).as("n_rare"),
+        sum(col("tf")).as("freq_mass"))
+  }
+
   /** Language markers for the n-gram/stopword language-ID heuristic.
     * Deterministic and oracle-expressible (plain regex counts + CASE).
     */
