@@ -1722,9 +1722,10 @@ object SparkEntry {
     "q_scd2_history" ->
       """WITH w AS (
         |  SELECT user_id, event_type, value, ts, event_id,
-        |         lag(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+        |         lag(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev,
+        |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
         |  FROM events),
-        |c AS (SELECT * FROM w WHERE prev IS DISTINCT FROM value),
+        |c AS (SELECT * FROM w WHERE rn = 1 OR prev IS DISTINCT FROM value),
         |h AS (SELECT user_id, event_type, value, ts AS valid_from,
         |             lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS valid_to
         |      FROM c)

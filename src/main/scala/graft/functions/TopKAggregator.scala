@@ -19,6 +19,11 @@ class TopKAggregator(k: Int)
     extends Aggregator[TopKAggregator.Entry, Seq[TopKAggregator.Entry], Seq[TopKAggregator.Entry]] {
   import TopKAggregator.Entry
 
+  // fail at construction, not as a NoSuchElementException inside an
+  // executor task (buf.last on the empty buffer when k = 0) — same guard
+  // convention as the other kernels (MinHashSignature, WinnowFingerprints)
+  require(k > 0, "TopKAggregator needs k > 0")
+
   private def better(a: Entry, b: Entry): Boolean =
     a.score > b.score || (a.score == b.score && a.id < b.id)
 

@@ -44,7 +44,14 @@ object Jobs {
     val fetched = needed.join(quotes, SnapshotKeys)
     val valid = Relational.filterValid(fetched, RequiredFields)
       .withColumn("updated_at", now)
-    val updated = Merge.upsert(store, valid, SnapshotKeys, Seq(col("updated_at")))
+    // EXCLUDED-wins via explicit source priority (fresh=1 > store=0), like
+    // historicalBackfill: ordering by updated_at alone can TIE (a stored
+    // row from a retried run carries the same pinned `now`), making the
+    // winner arbitrary where the reference's ON CONFLICT is deterministic
+    val updated = Merge.upsert(
+      store.withColumn("__src", lit(0)),
+      valid.withColumn("__src", lit(1)),
+      SnapshotKeys, Seq(col("__src"), col("updated_at"))).drop("__src")
     val completion = valid
       .agg(
         count(lit(1)).as("record_count"),
@@ -74,12 +81,16 @@ object Jobs {
       .filter(
         col("datetime") >= col("gap_start") &&
           col("datetime") < add_months(col("gap_end"), 1))
+    // close rides as the final tiebreaker: two feed rows with the same
+    // (symbol, type, datetime) — duplicate delivery or a vendor correction —
+    // must resolve deterministically (Merge.lastWins' total-order contract);
+    // feeds carrying an event id should include it in the projection instead
     val monthly = Merge.lastWins(
       fetched
         .withColumn("date", to_date(date_trunc("month", col("datetime"))))
         .select(col("symbol"), col("asset_type"), col("date"), col("close").as("price"), col("datetime")),
       Seq("symbol", "asset_type", "date"),
-      Seq(col("datetime"))).drop("datetime")
+      Seq(col("datetime"), col("price"))).drop("datetime")
     // EXCLUDED-wins (ON CONFLICT DO UPDATE SET price = EXCLUDED.price,
     // fetch_historical_market_data.py:92-103): a coalesced [gap_start,
     // gap_end] span can re-fetch months the store already covers, and the
@@ -90,12 +101,6 @@ object Jobs {
       store.withColumn("__src", lit(0)),
       monthly.withColumn("__src", lit(1)),
       Seq("symbol", "asset_type", "date"), Seq(col("__src"))).drop("__src")
-    val completion = monthly
-      .agg(
-        count(lit(1)).as("record_count"),
-        ceil(countDistinct(col("symbol")) / lit(50.0)).cast("long").as("total_batches"),
-        countDistinct(col("symbol")).as("total_symbols"))
-      .withColumn("status", lit("complete"))
     // per-batch completion events (publish-inside-the-loop,
     // fetch_historical_market_data.py:207-213): requested symbols batched
     // 50 per asset type, one payload row per batch with the batch's symbol
@@ -103,6 +108,20 @@ object Jobs {
     val symbolBatches = Batching.assignBatches(
       requests.select(col("symbol"), col("asset_type")).distinct(),
       Seq("asset_type"), "symbol", 50)
+    // total_batches must RECONCILE with the per-batch payloads: batching is
+    // per asset type, so the total is the number of (asset_type, batch_id)
+    // slots — a global ceil(distinct symbols / 50) undercounts whenever
+    // more than one asset type is requested
+    val nBatches = symbolBatches
+      .select(col("asset_type"), col("batch_id")).distinct()
+      .agg(count(lit(1)).as("total_batches"))
+    val completion = monthly
+      .agg(
+        count(lit(1)).as("record_count"),
+        countDistinct(col("symbol")).as("total_symbols"))
+      .crossJoin(broadcast(nBatches))
+      .select(col("record_count"), col("total_batches"), col("total_symbols"))
+      .withColumn("status", lit("complete"))
     val perBatch = Batching
       .completionPerBatch(
         symbolBatches, monthly.select(col("symbol"), col("asset_type")),
@@ -198,10 +217,9 @@ object Jobs {
       store: DataFrame,    // index snapshot keyed (symbol)
       quotes: DataFrame,   // feed (symbol, regularMarketPrice, …)
       now: Column): JobResult = {
-    val cached = Incremental.existing(requests, store, Seq("symbol"))
     if (Incremental.fullyCovered(requests, store, Seq("symbol"))) {
       // B9: everything cached — re-emit existing rows, no fetch
-      val data = store.join(cached, Seq("symbol"), "left_semi")
+      val data = store.join(requests, Seq("symbol"), "left_semi")
       val completion = data
         .agg(count(lit(1)).as("record_count"), countDistinct(col("symbol")).as("total_symbols"))
         .withColumn("total_batches", lit(0L))
@@ -218,7 +236,16 @@ object Jobs {
           "regularMarketDayHigh" -> "price_high",
           "regularMarketDayLow" -> "price_low"))
         .withColumn("updated_at", now)
-      val updated = Merge.upsert(store, fetched, Seq("symbol"), Seq(col("updated_at")))
+        // pinned ONCE: a live quote source is nondeterministic, and both
+        // outputs (store AND completion) must describe the SAME evaluation
+        // — without this, a caller materializing them separately could see
+        // a completion that doesn't count the rows actually upserted
+        .localCheckpoint(true)
+      // EXCLUDED-wins via source priority — updated_at can tie on retries
+      val updated = Merge.upsert(
+        store.withColumn("__src", lit(0)),
+        fetched.withColumn("__src", lit(1)),
+        Seq("symbol"), Seq(col("__src"), col("updated_at"))).drop("__src")
       val completion = fetched
         .agg(
           count(lit(1)).as("record_count"),

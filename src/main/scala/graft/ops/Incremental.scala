@@ -45,11 +45,21 @@ object Incremental {
     * `stop` (inclusive, like the reference's `month_range`,
     * `etl/fetch_utils.py:212-218`). `sequence` + `explode` keeps generation
     * distributed — each key's spine is produced where the key row lives.
+    *
+    * Both bounds are normalized to their month start HERE: coverage months
+    * are `date_trunc`'d to the 1st, so a mid-month start would otherwise
+    * generate 15th-of-month spine rows that can never match coverage —
+    * every month would read as missing on every run (incrementality
+    * silently destroyed). The reference applies the same normalization in
+    * `adjust_date_range` before building its month range.
     */
   def monthSpine(keys: DataFrame, start: Column, stop: Column, monthCol: String = "month"): DataFrame =
     keys.withColumn(
       monthCol,
-      explode(sequence(start, stop, expr("interval 1 month"))))
+      explode(sequence(
+        to_date(date_trunc("month", start)),
+        to_date(date_trunc("month", stop)),
+        expr("interval 1 month"))))
 
   /** B10 — calendar-spine gap detection (`determine_symbols_needing_update`,
     * `etl/fetch_utils.py:203-233`): expected months minus stored months per

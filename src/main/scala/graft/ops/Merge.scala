@@ -131,7 +131,12 @@ object Merge {
       opCol: String,
       deleteOp: String = "D"): DataFrame = {
     val last = lastWins(changes, keys, orderBy)
-    val ups = last.filter(col(opCol) =!= deleteOp).drop(opCol)
+    // NULL-inclusive: a change row with a NULL op (malformed CDC input) is
+    // treated as an upsert — a bare `=!=` would exclude it from ups while
+    // the anti join still removed its key, silently DELETING on malformed
+    // input (the same three-valued-logic trap Jobs.partitionByErrorClass
+    // guards for statuses)
+    val ups = last.filter(col(opCol).isNull || col(opCol) =!= deleteOp).drop(opCol)
     snapshot
       .join(last.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(ups)
@@ -156,8 +161,12 @@ object Merge {
       valueCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol), col(tieCol))
     df.withColumn("__prev", lag(col(valueCol), 1).over(w))
-      .filter(!(col("__prev") <=> col(valueCol)))
-      .drop("__prev")
+      .withColumn("__rn", row_number().over(w))
+      // __rn = 1 keeps a key's FIRST row even when its value is NULL: lag's
+      // no-previous-row NULL is otherwise indistinguishable from a previous
+      // NULL value, and the key's opening interval would silently vanish
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(valueCol)))
+      .drop("__prev", "__rn")
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)

@@ -30,14 +30,16 @@ object Relational {
     * invalid.
     */
   def validateRequired(df: DataFrame, required: Seq[String]): DataFrame = {
+    // fold from lit(true), not reduce: an empty required list (config-driven
+    // per asset type) means vacuously valid, not an empty.reduce crash
     val allPresent: Column =
-      required.map(c => col(c).isNotNull).reduce(_ && _)
+      required.map(c => col(c).isNotNull).foldLeft(lit(true))(_ && _)
     df.select(required.map(col) :+ allPresent.as("valid"): _*)
   }
 
   /** B1 valid-only variant (the reference's happy path after `process_data`). */
   def filterValid(df: DataFrame, required: Seq[String]): DataFrame =
-    df.filter(required.map(c => col(c).isNotNull).reduce(_ && _))
+    df.filter(required.map(c => col(c).isNotNull).foldLeft(lit(true))(_ && _))
       .select(required.map(col): _*)
 
   /** B2 — rename/extract projection: map source-document field names onto the
@@ -80,7 +82,10 @@ object Relational {
 
   /** B6 — payload parse + shape guard: `from_json` with an explicit schema;
     * rows whose payload fails to parse (or misses required keys) surface as
-    * nulls and are filtered, mirroring the reference's reject-and-log.
+    * a NULL `payload` struct — the tag-don't-throw convention (like B1's
+    * `valid` flag), so downstream routes rejects to a side output in the
+    * same pass, mirroring the reference's reject-and-log. This operator
+    * does NOT drop them itself.
     */
   def parsePayload(df: DataFrame, jsonCol: String, ddl: String): DataFrame =
     df.withColumn("payload", from_json(col(jsonCol), DataType.fromDDL(ddl)))

@@ -29,6 +29,22 @@ class IncrementalSpec extends AnyFunSuite {
     assert(got("EMPTY") == (("2024-01-01", "2024-04-01", 4L)))   // everything missing
   }
 
+  test("gapDetection: a mid-month start still matches month-truncated coverage") {
+    // spine months must normalize to the 1st like coverage does — a
+    // 15th-of-month spine would never equal truncated coverage and every
+    // month would read as missing forever (incrementality destroyed)
+    val requested = Seq("A").toDF("symbol")
+    val stored = Seq(("A", Date.valueOf("2024-01-20"))).toDF("symbol", "d")
+    val got = Incremental
+      .gapDetection(
+        requested, stored, Seq("symbol"), "d",
+        lit("2024-01-15").cast("date"), lit("2024-03-15").cast("date"))
+      .as[(String, Date, Date, Long)].collect().toSeq
+      .map(r => (r._1, r._2.toString, r._3.toString, r._4))
+    // January is COVERED despite the mid-month bounds; only Feb+Mar missing
+    assert(got == Seq(("A", "2024-02-01", "2024-03-01", 2L)))
+  }
+
   test("adjustDateRange truncates start, clamps end to today, flags single-month") {
     val df = Seq(
       ("A", Date.valueOf("2024-03-17"), Date.valueOf("2024-09-30")), // end clamped

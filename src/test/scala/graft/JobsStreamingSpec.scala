@@ -109,9 +109,12 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(byType("CRYPTO")._3 == Seq("C1", "C2"))
     assert(byType("CRYPTO")._4 == 2L && byType("CRYPTO")._5 == 1L)
     assert(pb.forall(_._6 == "complete"))
-    // per-batch record counts tile the aggregate completion exactly
-    val total = r.completion.select("record_count").as[Long].head()
+    // per-batch record counts tile the aggregate completion exactly, and
+    // total_batches reconciles with the number of per-batch payloads
+    val (total, totalBatches) = r.completion
+      .select("record_count", "total_batches").as[(Long, Long)].head()
     assert(pb.map(_._5).sum == total)
+    assert(totalBatches == pb.length.toLong)
     // start/end dates ride along per payload, like the reference message
     val dates = r.perBatch.get.select("start_date", "end_date")
       .as[(java.sql.Date, java.sql.Date)].collect().toSet

@@ -105,6 +105,27 @@ class MergeSpec extends AnyFunSuite {
     assert(got == Set(("MSFT", 55.0), ("GOOG", 75.0), ("NVDA", 500.0)))
   }
 
+  test("applyCdc treats a NULL op as an upsert, never a silent delete") {
+    val snapshot = Seq(("AAPL", 100.0, 1L)).toDF("symbol", "price", "v")
+    val changes = Seq(("AAPL", 120.0, 2L, null.asInstanceOf[String]))
+      .toDF("symbol", "price", "v", "op")
+    val got = Merge.applyCdc(snapshot, changes, Seq("symbol"), Seq(col("v")), "op")
+      .select("symbol", "price").as[(String, Double)].collect().toSet
+    // a malformed (NULL-op) change row must apply as an upsert — the
+    // three-valued-logic trap would otherwise DELETE the key
+    assert(got == Set(("AAPL", 120.0)))
+  }
+
+  test("scd2History keeps a key's opening interval when its first value is NULL") {
+    val rows = Seq(
+      ("K", Option.empty[Double], 1L, 1L),
+      ("K", Some(5.0), 2L, 2L)).toDF("symbol", "value", "ts", "event_id")
+    val got = Merge.scd2History(rows, Seq("symbol"), "ts", "event_id", "value")
+      .select("value", "valid_from", "valid_to")
+      .as[(Option[Double], Long, Option[Long])].collect().toSet
+    assert(got == Set((None, 1L, Some(2L)), (Some(5.0), 2L, None)))
+  }
+
   test("lastWinsSalted equals lastWins on a hot-key distribution") {
     val hot = (1L to 5000L).map(i => ("WHALE", "STOCK", i.toDouble, i)) ++
       Seq(("AAPL", "STOCK", 1.0, 1L), ("AAPL", "STOCK", 2.0, 2L))
