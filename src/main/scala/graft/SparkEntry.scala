@@ -1699,16 +1699,17 @@ object SparkEntry {
         |              ELSE text END AS t
         |  FROM documents),
         |s AS (SELECT doc_id, t,
-        |             regexp_replace(
-        |               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |               '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS scrubbed
-        |      FROM aug)
+        |             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS es
+        |      FROM aug),
+        |s2 AS (SELECT doc_id, t, es,
+        |              regexp_replace(es, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS scrubbed
+        |       FROM s)
         |SELECT doc_id,
         |       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
-        |       len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::BIGINT AS n_phones,
+        |       len(regexp_extract_all(es, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::BIGINT AS n_phones,
         |       md5(scrubbed) AS scrub_sig,
         |       length(scrubbed)::BIGINT AS scrub_len
-        |FROM s""".stripMargin,
+        |FROM s2""".stripMargin,
     "q_embedding_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),
@@ -1923,7 +1924,7 @@ object SparkEntry {
         |         regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
         |  FROM documents),
         |tri AS (
-        |  SELECT doc_id, len(w)::BIGINT AS n_tokens,
+        |  SELECT doc_id, len(list_filter(w, x -> x <> ''))::BIGINT AS n_tokens,
         |         CASE WHEN len(w) >= 3
         |              THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
         |              ELSE [] END AS tg,

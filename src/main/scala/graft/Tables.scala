@@ -30,6 +30,12 @@ object Tables {
     * Use [[eventsTsRange]] for time-sliced reads.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // session-level BY DESIGN (the legacy flag has no per-read form): every
+    // session built by this engine reads ns-precision parquet as raw longs.
+    // The visible side effect is that other ns-timestamp parquet reads in
+    // the same session also get longs instead of PARQUET_TYPE_ILLEGAL —
+    // callers mixing in ns data of their own should read it through this
+    // convention too.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(spark, dir, "events")
       .withColumnRenamed("ts", "ts_ns")

@@ -279,6 +279,18 @@ object DedupOps {
     * candidates are verified with exact Jaccard ≥ threshold (so LSH only
     * affects recall, never precision).
     */
+  /** Banded bucket ids from a minhash signature — ONE definition for the
+    * self- and cross-corpus LSH variants, whose bucket encodings are
+    * contractually required to agree (a candidate can only form across
+    * sides if both sides bucket identically).
+    */
+  private def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
+    explode(transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => concat(
+        b.cast("string"), lit(":"),
+        xxhash64(slice(sig, b * rows + 1, lit(rows))).cast("string"))))
+
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
@@ -297,13 +309,7 @@ object DedupOps {
       .select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
       .cache()
     // band bucket = (band index, hash of the band's slice of the signature)
-    val banded = sig.select(
-      col(idCol),
-      explode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => concat(
-          b.cast("string"), lit(":"),
-          xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).cast("string")))).as("bucket"))
+    val banded = sig.select(col(idCol), bandBuckets(col("sig"), bands, rows).as("bucket"))
       .distinct()
     val candidates = bucketPairs(banded, idCol, "bucket").select(col("doc_a"), col("doc_b"))
     // verify candidates with exact Jaccard over the shingle sets
@@ -349,13 +355,7 @@ object DedupOps {
     def banded(sh: DataFrame): DataFrame = sh
       .select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
       .cache()
-      .select(
-        col(idCol),
-        explode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => concat(
-            b.cast("string"), lit(":"),
-            xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).cast("string")))).as("bucket"))
+      .select(col(idCol), bandBuckets(col("sig"), bands, rows).as("bucket"))
       .distinct()
     val candidates = banded(shA).select(col(idCol).as("doc_a"), col("bucket"))
       .join(banded(shB).select(col(idCol).as("doc_b"), col("bucket")), Seq("bucket"))
@@ -419,6 +419,13 @@ object DedupOps {
       labels = next.drop("__chg")
       i += 1
     }
+    // same fail-loud contract as connectedComponentsFast: labels from a
+    // truncated run would silently split one transitive duplicate group
+    // into several "clusters", each keeping its own copy. Components wider
+    // than the round budget need the O(log n) variant.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $i rounds (maxIter=$maxIter); " +
+        "use connectedComponentsFast for large-diameter graphs")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

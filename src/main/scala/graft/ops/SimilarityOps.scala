@@ -73,6 +73,10 @@ object SimilarityOps {
 
   /** Exact cosine top-k: for each probe, the k nearest corpus vectors
     * (excluding itself), ranked by (similarity desc, id) for a total order.
+    * Zero-norm vectors (on either side) have UNDEFINED direction and are
+    * dropped from the candidate set — never returned as NULL-sim padding in
+    * the tail of the top-k — so [[knnBruteAgg]] (whose heap holds primitive
+    * doubles) is row-identical by the same rule.
     */
   def knnBrute(
       corpus: DataFrame,
@@ -86,6 +90,7 @@ object SimilarityOps {
     val scored = c
       .join(broadcast(p), col(idCol) =!= col("probe_id"))
       .withColumn("sim", cosine(dot(col("pv"), col("v")), col("pn"), col("nrm")))
+      .filter(col("sim").isNotNull)
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -116,9 +121,8 @@ object SimilarityOps {
         col("probe_id"),
         (cosine(dot(col("pv"), col("v")), col("pn"), col("nrm"))).as("score"),
         col(idCol).as("id"))
-      // zero-norm vectors score NULL; the aggregator's Entry.score is a
-      // primitive Double, so NULLs must drop here — same visible effect as
-      // knnBrute's NULLS-LAST ranking (all-null probes just return < k rows)
+      // zero-norm vectors score NULL and drop — the same rule knnBrute
+      // applies, so the two operators stay row-identical in every case
       .filter(col("score").isNotNull)
       .groupBy(col("probe_id"))
       .agg(topk(col("score"), col("id")).as("top"))
@@ -294,15 +298,22 @@ object SimilarityOps {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (ctr, i) => (i, ctr.toArray.toSeq) }
-      .toDF("list_id", "cv")
+      .map { case (ctr, i) => (i, ctr.toArray.toSeq, ctr.toArray.map(x => x * x).sum / 2) }
+      .toDF("list_id", "cv", "chalf")
     val p = prepared(probes, idCol, vecCol)
       .select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
-    // probes pick their nProbe closest lists by direction (dot with centroid)
-    val probeW = Window.partitionBy(col("probe_id")).orderBy(col("pdot").desc, col("list_id"))
+      .withColumn("pvn",
+        transform(col("pv"), x => when(col("pn") > 0, x / col("pn")).otherwise(lit(0.0))))
+    // probes rank lists by the SAME objective the k-means assignment
+    // minimized — ‖vn − c‖² over NORMALIZED vectors, i.e. maximize
+    // vn·c − ‖c‖²/2. A raw dot against unnormalized centroids is a
+    // different metric (centroid norms vary with cluster tightness) and can
+    // rank a probe's own assignment list below a foreign one, missing even
+    // an exact-duplicate neighbor at nProbe=1
+    val probeW = Window.partitionBy(col("probe_id")).orderBy(col("pscore").desc, col("list_id"))
     val probeLists = broadcast(p)
       .join(broadcast(centroids), lit(true))
-      .withColumn("pdot", dot(col("pv"), col("cv")))
+      .withColumn("pscore", dot(col("pvn"), col("cv")) - col("chalf"))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nProbe)
       .select(col("probe_id"), col("pv"), col("pn"), col("list_id"))
@@ -310,6 +321,7 @@ object SimilarityOps {
       .join(broadcast(probeLists), Seq("list_id"))
       .filter(col(idCol) =!= col("probe_id"))
       .withColumn("sim", cosine(dot(col("pv"), col("v")), col("pn"), col("nrm")))
+      .filter(col("sim").isNotNull)
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -375,6 +387,7 @@ object SimilarityOps {
       .join(c.select(col(idCol), col("v"), col("nrm")), Seq(idCol))
       .join(broadcast(p.select(col("probe_id"), col("pv"), col("pn"))), Seq("probe_id"))
       .withColumn("sim", cosine(dot(col("pv"), col("v")), col("pn"), col("nrm")))
+      .filter(col("sim").isNotNull)
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -428,6 +441,7 @@ object SimilarityOps {
       .join(broadcast(probeLists), Seq("list_id"))
       .filter(col(idCol) =!= col("probe_id"))
       .withColumn("sim", cosine(dot(col("pv"), col("v")), col("pn"), col("nrm")))
+      .filter(col("sim").isNotNull)
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

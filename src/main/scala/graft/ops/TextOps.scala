@@ -73,10 +73,14 @@ object TextOps {
     * Nothing bigger than 8-byte-keyed pairs shuffles.
     */
   def rarityStats(df: DataFrame, idCol: String, textCol: String, rareBelow: Long): DataFrame = {
+    // cached: the exploded corpus feeds BOTH the frequency aggregation and
+    // the join back — without the barrier the full scan+split+explode runs
+    // twice (same multi-branch contract as the dedup family's shingle sets)
     val toks = df.select(
       col(idCol),
       explode(split(normalize(col(textCol)), " ")).as("token"))
       .filter(col("token") =!= "")
+      .cache()
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
     toks.join(freq, Seq("token"))
       .groupBy(col(idCol))
@@ -160,7 +164,8 @@ object TextOps {
     val toks = df
       .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // cached: tf feeds both the document-frequency aggregation and the join
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")).cache()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("tf").desc, col("df").asc, col("term"))
     tf.join(dfreq, "term")
@@ -176,15 +181,21 @@ object TextOps {
     * shuffle is the count aggregation (map-side partial), and the top-k is
     * TakeOrdered, never a global sort.
     */
-  def bigramCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    val toks = split(normalize(col(textCol)), " ")
-    val bigrams = when(size(toks) >= 2,
+  /** Adjacent-pair array from a token array — ONE definition for every
+    * bigram consumer ([[bigramCounts]], [[repetitionStats]]), so the pair
+    * construction can never silently diverge between them.
+    */
+  private[graft] def bigramArray(toks: Column): Column =
+    when(size(toks) >= 2,
       zip_with(
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    df.select(explode(bigrams).as("bigram"))
+
+  def bigramCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = split(normalize(col(textCol)), " ")
+    df.select(explode(bigramArray(toks)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
@@ -204,12 +215,16 @@ object TextOps {
 
   def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val scrubbed =
-      regexp_replace(regexp_replace(t, emailPattern, "[EMAIL]"), phonePattern, "[PHONE]")
+    val emailScrubbed = regexp_replace(t, emailPattern, "[EMAIL]")
+    val scrubbed = regexp_replace(emailScrubbed, phonePattern, "[PHONE]")
     df.select(
       col(idCol),
       regexp_count(t, lit(emailPattern)).cast("long").as("n_emails"),
-      regexp_count(t, lit(phonePattern)).cast("long").as("n_phones"),
+      // counted on the EMAIL-scrubbed text, because replacement is
+      // sequential: a phone-shaped digit run inside an email local part
+      // (123-456-7890@x.com) is consumed by the email redaction, and
+      // n_phones must equal the [PHONE] markers actually emitted
+      regexp_count(emailScrubbed, lit(phonePattern)).cast("long").as("n_phones"),
       md5(scrubbed).as("scrub_sig"),
       length(scrubbed).cast("long").as("scrub_len"))
   }
@@ -296,15 +311,13 @@ object TextOps {
         slice(toks, lit(3), size(toks) - 2),
         (ab, c) => concat(ab, lit(" "), c)))
       .otherwise(array().cast("array<string>"))
-    val bigrams = when(size(toks) >= 2,
-      zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat(a, lit(" "), b)))
-      .otherwise(array().cast("array<string>"))
+    val bigrams = bigramArray(toks)
     val base = df.select(
       col(idCol),
-      size(toks).cast("long").as("n_tokens"),
+      // empty-safe: the raw split of an empty doc is [""] (phantom 1 token,
+      // the artifact tokens()' doc warns about) — count non-empty tokens so
+      // n_tokens agrees with textStats/tokenCount/packSequences
+      size(filter(toks, t => t =!= "")).cast("long").as("n_tokens"),
       when(size(trigrams) > 0,
         (size(trigrams) - size(array_distinct(trigrams))).cast("double")
           / size(trigrams).cast("double"))

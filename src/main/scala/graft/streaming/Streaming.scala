@@ -147,7 +147,10 @@ object Streaming {
           val prev = state.getOption
           val batch = rows.toList
           val prevSeq = prev.map(_.seq).getOrElse(Long.MinValue)
-          val fresh = batch.count(_.seq > prevSeq)
+          // DISTINCT seqs: at-least-once delivery can put two copies of the
+          // same tick into ONE micro-batch, and both compare against the
+          // pre-batch state — counting rows would inflate n_updates
+          val fresh = batch.filter(_.seq > prevSeq).map(_.seq).distinct.size
           val newest = (batch ++ prev.map(s => Tick(symbol, assetType, s.price, s.seq)))
             .maxBy(t => t.seq)
           val nUpdates = prev.map(_.n_updates).getOrElse(0L) + fresh
@@ -214,12 +217,29 @@ object Streaming {
 
     def current: Option[DataFrame] = state
 
+    /** Promote a committed staged version write (`.v-<id>`) into its `v=<id>`
+      * slot — the second half of the stage→rename protocol, idempotent so a
+      * crash at any point is completed (committed staging) or rolled back
+      * (uncommitted staging, fenced by [[committedSlots]]) on recovery.
+      */
+    private def promoteStagedVersion(spark: SparkSession, d: String): Unit = {
+      val (fs, _) = fsFor(spark, d)
+      val staged = committedSlots(spark, d, ".v-")
+      staged.drop(1).foreach { case (_, t) => fs.delete(t, true): Unit }
+      staged.headOption.foreach { case (id, tmp) =>
+        val target = new org.apache.hadoop.fs.Path(d, s"v=$id")
+        if (fs.exists(target)) fs.delete(target, true): Unit
+        fs.rename(tmp, target): Unit
+      }
+    }
+
     def start(stream: DataFrame, checkpointDir: String): StreamingQuery = {
       val spark = stream.sparkSession
-      // restart recovery: newest committed version (crashed partial writes
-      // are fenced and deleted by committedSlots); the replayed in-flight
-      // batch then merges into the pre-crash state
+      // restart recovery: finish any interrupted version promotion, fence
+      // crashed partial writes, then resume from the newest committed
+      // version; the replayed in-flight batch merges into that state
       if (state.isEmpty) storeDir.foreach { d =>
+        promoteStagedVersion(spark, d)
         committedSlots(spark, d, "v=").headOption.foreach { case (_, path) =>
           state = Some(spark.read.parquet(path.toString))
         }
@@ -238,9 +258,14 @@ object Streaming {
           state = Some(pinned)
           storeDir.foreach { d =>
             val (fs, _) = fsFor(spark, d)
-            // overwrite is replay-safe (same version id rewrites itself);
-            // older versions are deleted ONLY after this commit succeeds
-            pinned.write.mode("overwrite").parquet(s"$d/v=$batchId")
+            // stage → promote, never overwrite in place: a REPLAYED batch
+            // rewrites its own version id, and an in-place overwrite would
+            // first delete the only committed copy — a crash mid-rewrite
+            // would then lose every prior batch. The dot-prefixed staging
+            // dir is invisible to readers; promotion is an atomic rename;
+            // older versions are deleted only after the new one is live
+            pinned.write.mode("overwrite").parquet(s"$d/.v-$batchId")
+            promoteStagedVersion(spark, d)
             committedSlots(spark, d, "v=").filter(_._1 != batchId)
               .foreach { case (_, old) => fs.delete(old, true) }
           }

@@ -301,6 +301,23 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(dirs.size == 1 && dirs.forall(_.startsWith("v=")))
   }
 
+  test("SnapshotStream recovery promotes a committed staged version (crash between delete and rename)") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = Files.createTempDirectory("graft-snapp").toString + "/snap"
+    // the worst crash window: the old version was already deleted and the
+    // new one fully staged (committed) but not yet renamed into place —
+    // recovery must finish the promotion, not lose the store
+    Seq((1L, "STOCK", 42.0, 7L)).toDF("symbol", "asset_type", "price", "v")
+      .write.parquet(s"$store/.v-7")
+    val stream = MemoryStream[(Long, String, Double, Long)]
+    val df = stream.toDF().toDF("symbol", "asset_type", "price", "v")
+    val snap = new Streaming.SnapshotStream(Seq("symbol", "asset_type"), Seq("v"), Some(store))
+    val q = snap.start(df, Files.createTempDirectory("graft-snapp-ckpt").toString)
+    stream.addData(Seq((2L, "CRYPTO", 5.0, 1L))); q.processAllAvailable(); q.stop()
+    val got = snap.current.get.select("symbol", "price").as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 42.0), (2L, 5.0)))
+  }
+
   test("RollupStream start completes an interrupted compaction without double-counting") {
     implicit val sqlCtx = spark.sqlContext
     val store = Files.createTempDirectory("graft-rollc").toString + "/roll"

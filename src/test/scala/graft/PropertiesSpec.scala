@@ -153,11 +153,10 @@ class PropertiesSpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     assert(labels.length == n && labels.forall(_._2 == 0L))
     // min-label given the same round budget has NOT finished propagating —
-    // the far end of the path still carries a non-minimum label
-    val capped = DedupOps.connectedComponents(chain, "doc_a", "doc_b", maxIter = rounds)
-      .as[(Long, Long)].collect()
-    assert(capped.exists(_._2 != 0L),
-      "min-label should need O(n) rounds on a path; it converged suspiciously fast")
+    // and must FAIL LOUD rather than return silently mislabeled components
+    assertThrows[IllegalStateException] {
+      DedupOps.connectedComponents(chain, "doc_a", "doc_b", maxIter = rounds)
+    }
   }
 
   test("property: packSequences spans tile each shard stream exactly") {

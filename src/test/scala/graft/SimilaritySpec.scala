@@ -59,15 +59,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ragged.as[Double].head() == 11.0)
   }
 
-  test("zero-norm vectors yield NULL sims instead of aborting the search") {
+  test("zero-norm vectors are dropped from the candidate set, not returned as NULL padding") {
     val crafted = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)), (3L, Seq(0.5f, 0.5f)))
       .toDF("vec_id", "embedding")
     val got = SimilarityOps.knnBrute(crafted, crafted.filter(col("vec_id") === 1), "vec_id", "embedding", 2)
       .select("neighbor_id", "sim").collect()
-      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
-    assert(got(2L).isEmpty)          // zero vector: NULL sim, no crash
-    assert(got(3L).exists(_ > 0.6))  // real neighbor still scored
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got.contains(2L))     // undefined direction: excluded, no crash
+    assert(got(3L) > 0.6)         // real neighbor still scored
+    assert(got.size == 1)         // only non-degenerate candidates remain
   }
 
   test("knnBruteAgg survives zero-norm corpus vectors (NULL scores dropped pre-agg)") {
