@@ -42,8 +42,12 @@ object Jobs {
       now: Column): JobResult = {
     val needed = Incremental.needingUpdate(requests, store, SnapshotKeys)
     val fetched = needed.join(quotes, SnapshotKeys)
+    // pinned ONCE: a live quotes source is nondeterministic, and the two
+    // outputs (store and completion) must describe the SAME evaluation —
+    // same contract as indexUpdate
     val valid = Relational.filterValid(fetched, RequiredFields)
       .withColumn("updated_at", now)
+      .localCheckpoint(true)
     // EXCLUDED-wins via explicit source priority (fresh=1 > store=0), like
     // historicalBackfill: ordering by updated_at alone can TIE (a stored
     // row from a retried run carries the same pinned `now`), making the
@@ -56,7 +60,10 @@ object Jobs {
       .agg(
         count(lit(1)).as("record_count"),
         ceil(count(lit(1)) / lit(100.0)).cast("long").as("total_batches"),
-        countDistinct(col("symbol")).as("total_assets"))
+        // the job's asset identity is the composite key — a symbol listed
+        // under two asset types is two assets, like the reference's
+        // len(assets) over (symbol, asset_type) request entries
+        countDistinct(col("symbol"), col("asset_type")).as("total_assets"))
       .withColumn("status", lit("complete"))
     JobResult(updated, completion)
   }
@@ -75,12 +82,16 @@ object Jobs {
       requests, store.select(col("symbol"), col("asset_type"), col("date")),
       Seq("symbol", "asset_type"), "date", start, stop)
     // fetch one [gap_start, gap_end] span per key (range coalescing,
-    // fetch_utils.py:231), over-fetching then collapsing via upsert
+    // fetch_utils.py:231), over-fetching then collapsing via upsert.
+    // Pinned ONCE: a live series feed is nondeterministic, and the three
+    // outputs (store, completion, per-batch payloads) must all describe
+    // the SAME evaluation
     val fetched = series
       .join(gaps, Seq("symbol", "asset_type"))
       .filter(
         col("datetime") >= col("gap_start") &&
           col("datetime") < add_months(col("gap_end"), 1))
+      .localCheckpoint(true)
     // close rides as the final tiebreaker: two feed rows with the same
     // (symbol, type, datetime) — duplicate delivery or a vendor correction —
     // must resolve deterministically (Merge.lastWins' total-order contract);
@@ -115,7 +126,10 @@ object Jobs {
     val nBatches = symbolBatches
       .select(col("asset_type"), col("batch_id")).distinct()
       .agg(count(lit(1)).as("total_batches"))
-    val completion = monthly
+    // record counts are over FETCHED rows (the reference's len(data) /
+    // total_record_count), not the collapsed monthly rows — a month with 30
+    // daily feed rows counts 30 fetched records but stores one row
+    val completion = fetched
       .agg(
         count(lit(1)).as("record_count"),
         countDistinct(col("symbol")).as("total_symbols"))
@@ -124,7 +138,7 @@ object Jobs {
       .withColumn("status", lit("complete"))
     val perBatch = Batching
       .completionPerBatch(
-        symbolBatches, monthly.select(col("symbol"), col("asset_type")),
+        symbolBatches, fetched.select(col("symbol"), col("asset_type")),
         Seq("asset_type"), "symbol")
       .withColumn("start_date", to_date(start))
       .withColumn("end_date", to_date(stop))
@@ -186,7 +200,10 @@ object Jobs {
     * pin the lazily-kept `ok` lineage would re-execute every pass's fetch at
     * action time — retry decisions and the final output must come from ONE
     * evaluation. An empty request set returns an empty DataFrame with
-    * `fetchOnce`'s schema (no passes run).
+    * `fetchOnce`'s schema (no passes run). A key still retryable when the
+    * budget exhausts contributes NO rows — with per-record statuses its
+    * partial ok rows are withheld each pass (the re-fetch re-delivers
+    * them), so the result never double-counts a key's data.
     */
   def fetchWithRetry(
       requests: DataFrame,
@@ -200,8 +217,13 @@ object Jobs {
     while (pass <= maxRetries && !pending.isEmpty) {
       val attempt = fetchOnce(pending).localCheckpoint(true)
       val (succeeded, retryable, _) = partitionByErrorClass(attempt, statusCol)
-      ok = Some(ok.fold(succeeded)(_.unionByName(succeeded)))
-      pending = pending.join(retryable.select(keyCols.map(col): _*), keyCols, "left_semi")
+      val retryKeys = retryable.select(keyCols.map(col): _*).distinct()
+      // a key that is being RETRIED contributes nothing this pass — with
+      // per-record statuses, a key can return ok rows AND a retryable row,
+      // and the full re-fetch next pass would duplicate the ok rows
+      val cleanOk = succeeded.join(retryKeys, keyCols, "left_anti")
+      ok = Some(ok.fold(cleanOk)(_.unionByName(cleanOk)))
+      pending = pending.join(retryKeys, keyCols, "left_semi")
       pass += 1
     }
     ok.getOrElse(fetchOnce(requests.limit(0)).limit(0))

@@ -53,13 +53,19 @@ object Incremental {
     * silently destroyed). The reference applies the same normalization in
     * `adjust_date_range` before building its month range.
     */
-  def monthSpine(keys: DataFrame, start: Column, stop: Column, monthCol: String = "month"): DataFrame =
+  def monthSpine(keys: DataFrame, start: Column, stop: Column, monthCol: String = "month"): DataFrame = {
+    val startM = to_date(date_trunc("month", start))
+    val stopM = to_date(date_trunc("month", stop))
     keys.withColumn(
       monthCol,
-      explode(sequence(
-        to_date(date_trunc("month", start)),
-        to_date(date_trunc("month", stop)),
-        expr("interval 1 month"))))
+      // inverted range (start after the clamped end — e.g. a request dated
+      // beyond `today`) → EMPTY spine, not sequence()'s IllegalArgumentException
+      // mid-job; explode of the empty array drops the key's rows, so the
+      // gap set is empty, which is the correct "nothing to fetch" answer
+      explode(when(startM <= stopM,
+        sequence(startM, stopM, expr("interval 1 month")))
+        .otherwise(array().cast("array<date>"))))
+  }
 
   /** B10 — calendar-spine gap detection (`determine_symbols_needing_update`,
     * `etl/fetch_utils.py:203-233`): expected months minus stored months per

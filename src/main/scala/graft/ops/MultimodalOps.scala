@@ -122,6 +122,8 @@ object MultimodalOps {
       packed: DataFrame,
       everyMs: Long = 1000L,
       maxFrames: Int = 8): Dataset[FrameSample] = {
+    // fail fast, not as a per-task ArithmeticException (durationMs / everyMs)
+    require(everyMs > 0 && maxFrames > 0, "frame interval and budget must be positive")
     import spark.implicits._
     packed.as[MediaRecord].mapPartitions { it =>
       it.flatMap { r =>

@@ -89,7 +89,7 @@ object Schemas {
   val marketData: StructType = StructType(Seq(
     StructField("symbol", StringType, nullable = false),
     StructField("asset_type", StringType, nullable = false),
-    StructField("price", DoubleType),
+    StructField("price", DoubleType, nullable = false),
     StructField("percent_change", DoubleType),
     StructField("change", DoubleType),
     StructField("high", DoubleType),
@@ -98,13 +98,13 @@ object Schemas {
 
   val marketDataMonthly: StructType = StructType(Seq(
     StructField("symbol", StringType, nullable = false),
-    StructField("price", DoubleType),
+    StructField("price", DoubleType, nullable = false),
     StructField("date", DateType, nullable = false),
     StructField("asset_type", StringType, nullable = false)))
 
   val marketIndexData: StructType = StructType(Seq(
     StructField("symbol", StringType, nullable = false),
-    StructField("price", DoubleType),
+    StructField("price", DoubleType, nullable = false),
     StructField("price_change", DoubleType),
     StructField("percent_change", DoubleType),
     StructField("price_high", DoubleType),

@@ -82,6 +82,9 @@ object QuoteSource {
       val maxSymbols = Option(options.get("maxSymbols")).map(_.toInt).getOrElse(Int.MaxValue)
       SparkSession.active.read.parquet(path)
         .select(col(keyCol))
+        // NULL keys would stringify into fabricated symbols ("Cnull") and
+        // the source would fetch quotes for assets that don't exist
+        .filter(col(keyCol).isNotNull)
         .orderBy(col(keyCol))
         .limit(maxSymbols)
         .select(col(keyCol).cast("string"))

@@ -28,7 +28,7 @@ class MetricsListener extends QueryExecutionListener {
     buffer.add(QueryMetric(funcName, durationNs, None))
 
   override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-    buffer.add(QueryMetric(funcName, 0L, Some(exception.getMessage)))
+    buffer.add(QueryMetric(funcName, 0L, Option(exception.getMessage)))
 }
 
 object MetricsListener {
