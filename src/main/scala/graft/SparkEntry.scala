@@ -1126,6 +1126,78 @@ object SparkEntry {
     DedupOps.decontaminate(trainDocs, evalDocs, "doc_id", "text", n = 8)
   }
 
+  /** Bloom-prefiltered decontamination — BY CONSTRUCTION row-identical to
+    * [[qDecontaminate]] (the bloom pass has no false negatives and survivors
+    * are exact-verified), so it shares that query's DuckDB oracle verbatim:
+    * the hash-match proves the sketch path loses nothing. This is the scale
+    * form for eval-gram sets too big to broadcast as an exact hash relation
+    * (~1.2 bytes/gram at fpp=0.01 vs 8+ bytes exact).
+    */
+  def qDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val canary = lit(" the quick brown fox jumps over the lazy dog again and again")
+    val isEval = col("doc_id") % 97 === 0
+    val evalDocs = docs.filter(isEval)
+      .select(col("doc_id"), concat(col("text"), canary).as("text"))
+    val trainDocs = docs.filter(!isEval)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), canary))
+          .otherwise(col("text")).as("text"))
+    DedupOps.decontaminateBloom(trainDocs, evalDocs, "doc_id", "text", n = 8, fpp = 0.01)
+  }
+
+  /** Line-level boilerplate removal with a deterministic injection: the raw
+    * corpus is word-soup with no newlines, so the query first lays each
+    * document out as 12-token lines, then PREPENDS a nav-bar line to every
+    * 3rd document and APPENDS a copyright-footer line to every 5th — the
+    * cross-document repeated lines a web crawl actually has. lineDedup at
+    * maxDocFreq=20 must strip exactly those (header df≈167, footer df=100,
+    * organic 12-token lines df≈1), and the DuckDB oracle re-derives the
+    * whole construction, so the hash-match covers injection, df counting
+    * and order-preserving reconstruction together.
+    */
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lined = DedupOps.bindOnce(TextOps.tokens(col("text"))) { ts =>
+      when(size(ts) === 0, lit(""))
+        .otherwise(array_join(
+          transform(
+            sequence(lit(0), floor((size(ts) - 1) / lit(12)).cast("int")),
+            j => concat_ws(" ", slice(ts, j * 12 + 1, lit(12)))),
+          "\n"))
+    }
+    val prepped = docs.select(
+      col("doc_id"),
+      concat(
+        when(col("doc_id") % 3 === 0, lit("nav home about contact login search\n"))
+          .otherwise(lit("")),
+        lined,
+        when(col("doc_id") % 5 === 0, lit("\ncopyright 2026 all rights reserved worldwide"))
+          .otherwise(lit(""))).as("text"))
+    DedupOps.lineDedup(prepped, "doc_id", "text", maxDocFreq = 20L)
+  }
+
+  /** Deterministic global shuffle of the corpus into 16 training shards:
+    * (shard, pos) is a pure function of md5("42:" || doc_id), so the shard
+    * layout is byte-stable across engines and cluster layouts — which is
+    * exactly what the DuckDB oracle checks.
+    */
+  def qShuffleShards(spark: SparkSession, dir: String): DataFrame =
+    SamplingOps.shuffleShards(
+      Tables.documents(spark, dir).select(col("doc_id")),
+      "doc_id", nShards = 16, seed = "42")
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  /** Overlapping 64-token / stride-48 chunking (RAG & long-context prep):
+    * each chunk overlaps its neighbor by 16 tokens; the final short chunk
+    * and the empty-document single-empty-chunk contract are both exercised
+    * by the corpus (doc lengths are not multiples of the stride).
+    */
+  def qChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    SamplingOps.chunkDocs(
+      Tables.documents(spark, dir), "doc_id", "text", chunkTokens = 64, strideTokens = 48)
+
   /** Brute-force cosine top-10 for probe vectors vec_id < 20. Window-rank
     * form here (faster at this corpus size); the bounded-heap aggregator
     * form (SimilarityOps.knnBruteAgg — map-side partial top-k, the winning
@@ -1317,6 +1389,10 @@ object SparkEntry {
     "q_zorder_layout"           -> (qZorderLayout(_, _)),
     "q_pack_sequences"          -> (qPackSequences(_, _)),
     "q_decontaminate"           -> (qDecontaminate(_, _)),
+    "q_decontaminate_bloom"     -> (qDecontaminateBloom(_, _)),
+    "q_line_dedup"              -> (qLineDedup(_, _)),
+    "q_shuffle_shards"          -> (qShuffleShards(_, _)),
+    "q_chunk_docs"              -> (qChunkDocs(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_embedding_neardup"       -> (qEmbeddingNeardup(_, _)),
     "q_embedding_neardup_blocked" -> (qEmbeddingNeardupBlocked(_, _)),
@@ -1350,6 +1426,37 @@ object SparkEntry {
     "q_completion_stats"        -> (qCompletionStats(_, _)),
     "q_completion_per_batch"    -> (qCompletionPerBatch(_, _)),
   )
+
+  /** Shared decontamination oracle — q_decontaminate and
+    * q_decontaminate_bloom must agree with it (and therefore with each
+    * other) bit-for-bit: the bloom form is a lossless prefilter over the
+    * same semantics.
+    */
+  private val decontaminationOracle: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 97 = 0 OR doc_id % 13 = 0
+      |              THEN text || ' the quick brown fox jumps over the lazy dog again and again'
+      |              ELSE text END AS text,
+      |         (doc_id % 97 = 0) AS is_eval
+      |  FROM documents),
+      |tok AS (SELECT doc_id, is_eval, regexp_split_to_array(trim(text), '\s+') AS w FROM aug),
+      |grams AS (
+      |  SELECT doc_id, is_eval,
+      |         unnest(list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])) AS g
+      |  FROM tok WHERE len(w) >= 8),
+      |eval_g AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+      |hits AS (SELECT doc_id, count(*) AS n_hits
+      |         FROM grams WHERE NOT is_eval AND g IN (SELECT g FROM eval_g) GROUP BY 1),
+      |base AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 8
+      |              THEN len(list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]))
+      |              ELSE 0 END::BIGINT AS n_grams
+      |  FROM tok WHERE NOT is_eval)
+      |SELECT b.doc_id, b.n_grams, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+      |       coalesce(h.n_hits, 0) > 0 AS is_contaminated
+      |FROM base b LEFT JOIN hits h USING (doc_id)""".stripMargin
 
   /** Shared DuckDB CTE chain + final select of the corpus-curation
     * relation — used verbatim by the q_corpus_curation oracle and embedded
@@ -1960,31 +2067,59 @@ object SparkEntry {
         |       floor((cum - 1) / 512)::BIGINT AS chunk_last,
         |       (floor((cum - 1) / 512) - floor((cum - n_tokens) / 512) + 1)::BIGINT AS n_chunks
         |FROM c""".stripMargin,
-    "q_decontaminate" ->
-      """WITH aug AS (
-        |  SELECT doc_id,
-        |         CASE WHEN doc_id % 97 = 0 OR doc_id % 13 = 0
-        |              THEN text || ' the quick brown fox jumps over the lazy dog again and again'
-        |              ELSE text END AS text,
-        |         (doc_id % 97 = 0) AS is_eval
+    "q_decontaminate" -> decontaminationOracle,
+    // identical by construction: the bloom pass is a lossless prefilter, so
+    // the sketch path must reproduce the exact oracle bit-for-bit
+    "q_decontaminate_bloom" -> decontaminationOracle,
+    "q_line_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
         |  FROM documents),
-        |tok AS (SELECT doc_id, is_eval, regexp_split_to_array(trim(text), '\s+') AS w FROM aug),
-        |grams AS (
-        |  SELECT doc_id, is_eval,
-        |         unnest(list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])) AS g
-        |  FROM tok WHERE len(w) >= 8),
-        |eval_g AS (SELECT DISTINCT g FROM grams WHERE is_eval),
-        |hits AS (SELECT doc_id, count(*) AS n_hits
-        |         FROM grams WHERE NOT is_eval AND g IN (SELECT g FROM eval_g) GROUP BY 1),
-        |base AS (
+        |lined AS (
         |  SELECT doc_id,
-        |         CASE WHEN len(w) >= 8
-        |              THEN len(list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]))
-        |              ELSE 0 END::BIGINT AS n_grams
-        |  FROM tok WHERE NOT is_eval)
-        |SELECT b.doc_id, b.n_grams, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
-        |       coalesce(h.n_hits, 0) > 0 AS is_contaminated
-        |FROM base b LEFT JOIN hits h USING (doc_id)""".stripMargin,
+        |         CASE WHEN len(w) = 0 THEN ''
+        |              ELSE array_to_string(
+        |                [array_to_string(w[i:i+11], ' ') for i in range(1, len(w) + 1, 12)],
+        |                chr(10)) END AS t
+        |  FROM tok),
+        |prep AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN doc_id % 3 = 0 THEN 'nav home about contact login search' || chr(10) ELSE '' END)
+        |         || t ||
+        |         (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'copyright 2026 all rights reserved worldwide' ELSE '' END)
+        |           AS text
+        |  FROM lined),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM prep),
+        |ln AS (SELECT doc_id, unnest(lines) AS line FROM ls),
+        |hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df FROM ln GROUP BY 1)
+        |        WHERE df > 20),
+        |hl AS (SELECT coalesce(list(line), []) AS arr FROM hot)
+        |SELECT doc_id,
+        |       len(lines)::BIGINT AS n_lines,
+        |       len(list_filter(lines, l -> list_contains(hl.arr, l)))::BIGINT AS n_dropped,
+        |       array_to_string(list_filter(lines, l -> NOT list_contains(hl.arr, l)), chr(10)) AS clean_text
+        |FROM ls, hl""".stripMargin,
+    "q_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id, md5('42:' || doc_id::VARCHAR) AS hx FROM documents)
+        |SELECT doc_id,
+        |       (('0x' || substr(hx, 1, 8))::BIGINT % 16) AS shard,
+        |       row_number() OVER (
+        |         PARTITION BY ('0x' || substr(hx, 1, 8))::BIGINT % 16
+        |         ORDER BY hx, doc_id)::BIGINT AS pos
+        |FROM h""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |         unnest(range(0, (1 + ceil(greatest(len(w) - 64, 0) / 48.0))::BIGINT)) AS i
+        |  FROM tok)
+        |SELECT doc_id,
+        |       i::BIGINT AS chunk_id,
+        |       len(w[(i*48+1):(i*48+64)])::BIGINT AS n_chunk_tokens,
+        |       array_to_string(w[(i*48+1):(i*48+64)], ' ') AS chunk_text
+        |FROM c""".stripMargin,
     "q_binary_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind, octet_length(text::BLOB)::BIGINT AS n_bytes
         |FROM documents""".stripMargin,

@@ -545,6 +545,125 @@ object DedupOps {
       .withColumn("is_contaminated", col("n_hits") > 0)
   }
 
+  /** Bloom-prefiltered decontamination — same output as [[decontaminate]]
+    * (row-identical; the registered query reuses its DuckDB oracle), for the
+    * regime where the eval-side distinct-gram set is too large to sit in the
+    * driver as a broadcast hash relation but its BLOOM FILTER is not: at
+    * fpp=0.01 the filter costs ~1.2 bytes/gram, so 10⁹ eval grams fit in
+    * ~1.2 GB where the exact long-set needs 8 GB+ and a hash table on top.
+    *
+    * Two-phase exactness: the bloom filter has NO false negatives, so
+    * prefiltering the exploded training grams through it keeps every true
+    * hit; the surviving candidates (true hits + ~fpp false positives) then
+    * exact-verify against the real eval-gram relation, which now joins a
+    * candidate set ~fpp·|train grams| instead of the full corpus. The heavy
+    * per-gram shuffle disappears; what remains is the per-document count
+    * aggregation, same as the broadcast form.
+    *
+    * The membership probe is a closure-capturing UDF by design, not a
+    * Catalyst expression: the serialized filter is MB-to-GB scale, and a
+    * native expression would embed it in the plan as a literal (shipped with
+    * every task binary AND into codegen). A broadcast-captured UDF ships it
+    * once per executor — here the UDF-vs-expression preference ladder
+    * inverts. (Spark's own runtime-filter rewrite, `InjectRuntimeFilter`,
+    * uses the same sketch for join pruning but cannot express this
+    * count-the-hits semantic.)
+    *
+    * `fpp` trades filter size against wasted verify work only — never
+    * correctness. Reference provenance: same benchmark-leakage guard as
+    * [[decontaminate]] (n=8 by convention).
+    */
+  def decontaminateBloom(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val evalGrams = hashedShingles(eval, idCol, textCol, n)
+      .select(explode(col("sh")).as("g")).distinct()
+      .cache()
+    // one tiny eval-side job to size the filter; the agg that builds the
+    // filter is distributed (per-partition partials merged on the driver)
+    val nEval = math.max(evalGrams.count(), 1L)
+    val bf = evalGrams.stat.bloomFilter("g", nEval, fpp)
+    val spark = train.sparkSession
+    val bfBc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((g: Long) => bfBc.value.mightContainLong(g))
+    val trainSh = hashedShingles(train, idCol, textCol, n)
+    val hits = trainSh.select(col(idCol), explode(col("sh")).as("g"))
+      .filter(mightContain(col("g")))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    trainSh.select(col(idCol), size(col("sh")).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("is_contaminated", col("n_hits") > 0)
+  }
+
+  /** Line-level boilerplate removal (the CCNet / RefinedWeb pre-dedup pass):
+    * drop every line that appears in more than `maxDocFreq` distinct
+    * documents — navigation bars, cookie banners, copyright footers — and
+    * reconstruct each document from its surviving lines, preserving order.
+    * Output: one row per document with `n_lines`, `n_dropped`, `clean_text`.
+    *
+    * Scale shape (the document text stays put as long as the dropped-position
+    * relation broadcasts; every unconditional shuffle carries hashes and int
+    * positions only):
+    *  1. explode to (id, line_idx, xxhash64(line)) — 8-byte hashes move, not
+    *     line strings;
+    *  2. document-frequency aggregate on the hash (map-side partial) → the
+    *     hot-hash relation, which is small by construction (only lines
+    *     repeated across >maxDocFreq docs survive the filter);
+    *  3. semi-join the (id, idx, hash) relation against the hot hashes →
+    *     dropped positions, collapsed to one `(id, drop_idx array)` row per
+    *     affected document — rows of a few ints;
+    *  4. left-join that small relation back to the original documents (AQE
+    *     picks broadcast when it fits; if boilerplate is so pervasive that
+    *     the position relation outgrows broadcast, this degrades to ONE
+    *     doc-id-keyed shuffle of the corpus — still strictly cheaper than
+    *     the naive explode→filter→regroup, which shuffles every surviving
+    *     line's text) and rebuild the text with an index-aware `filter`
+    *     HOF — a narrow projection over the original partitioning.
+    * Hash collisions (~|lines|²/2⁶⁵) can at worst drop an innocent
+    * line that collides with boilerplate — same odds as the other xxhash64
+    * operators here.
+    */
+  def lineDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Long,
+      sep: String = "\n"): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val lines = df.select(
+      col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("idx", "line")))
+      .select(col(idCol), col("idx"), xxhash64(col("line")).as("h"))
+    val hot = lines.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("docfreq"))
+      .filter(col("docfreq") > maxDocFreq)
+      .select(col("h"))
+    val dropIdx = lines.join(hot, Seq("h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("idx")).as("drop_idx"))
+    df.join(dropIdx, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        bindOnce(split(col(textCol), java.util.regex.Pattern.quote(sep))) { ls =>
+          struct(
+            size(ls).cast("long").as("n_lines"),
+            coalesce(size(col("drop_idx")), lit(0)).cast("long").as("n_dropped"),
+            array_join(
+              filter(ls, (_, i) =>
+                !array_contains(coalesce(col("drop_idx"), array().cast("array<int>")), i)),
+              sep).as("clean_text"))
+        }.as("r"))
+      .select(col(idCol), col("r.n_lines"), col("r.n_dropped"), col("r.clean_text"))
+  }
+
   /** 64-bit SimHash of the document's distinct tokens: bit b of the result is
     * set iff the sum over tokens of ±1 (by bit b of the token's xxhash64) is
     * positive.

@@ -132,4 +132,69 @@ object SamplingOps {
       .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
       .drop("__cum")
   }
+
+  /** Deterministic global shuffle into training shards: every row gets a
+    * `(shard, pos)` address from the md5 of (seed, key) — shard by the hash
+    * prefix, position by rank of the full hash within the shard. Training
+    * pipelines need the corpus in a reproducible pseudo-random ORDER (curriculum
+    * and loss curves must not depend on storage layout); `df.orderBy(rand)` is
+    * partitioning-dependent and a full global sort besides.
+    *
+    * Scale shape: exactly one shuffle — hash-partition by `shard`, sort by the
+    * hash WITHIN each shard (`row_number` over a shard-partitioned window; no
+    * global ordering anywhere). With nShards = O(total cores) each shard sorts
+    * locally and writes one training file; re-running on any cluster layout
+    * yields byte-identical shards. The key tiebreaker makes the order total
+    * even under md5 collisions.
+    */
+  def shuffleShards(
+      df: DataFrame,
+      keyCol: String,
+      nShards: Int,
+      seed: String = "42"): DataFrame = {
+    require(nShards >= 1 && nShards <= 0xffff, "nShards must be in [1, 65535]")
+    val h = md5(concat_ws(":", lit(seed), col(keyCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
+  /** Overlapping token-window chunking (RAG / long-context training prep):
+    * cut each document into windows of `chunkTokens` tokens every
+    * `strideTokens` (stride < chunk ⇒ consecutive chunks overlap by
+    * `chunkTokens - strideTokens` tokens, the standard boundary-context
+    * trick). Chunk count is `1 + ceil(max(0, n - chunk) / stride)` — every
+    * token is covered, the final chunk may be short, and an empty document
+    * yields one empty chunk (so no document silently disappears).
+    *
+    * Scale shape: a pure narrow projection — `sequence` + `transform` +
+    * `posexplode` inside one whole-stage-codegen span, no shuffle, no UDF;
+    * output order and content are a pure function of the row.
+    */
+  def chunkDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1 && strideTokens >= 1 && strideTokens <= chunkTokens,
+      "need 1 <= strideTokens <= chunkTokens")
+    val chunks = DedupOps.bindOnce(TextOps.tokens(col(textCol))) { toks =>
+      transform(
+        sequence(
+          lit(0L),
+          ceil(greatest(size(toks).cast("long") - chunkTokens, lit(0L)) /
+            lit(strideTokens.toDouble)).cast("long")),
+        i => concat_ws(" ", slice(toks, (i * strideTokens + 1).cast("int"), lit(chunkTokens))))
+    }
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size(TextOps.tokens(col("chunk_text"))).cast("long").as("n_chunk_tokens"),
+        col("chunk_text"))
+  }
 }

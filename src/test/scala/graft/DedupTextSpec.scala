@@ -242,4 +242,45 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got(1) == ((2L, 3L, 0L, false)))
     assert(got(2) == ((3L, 0L, 0L, false)))
   }
+
+  test("decontaminateBloom is row-identical to exact decontaminate on the corpus") {
+    // the bloom pass must be a lossless prefilter: no false negatives by
+    // construction, false positives removed by the exact verify join —
+    // differential check at three fpp settings including an aggressive one
+    // that guarantees plenty of bloom false positives to weed out
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val evalSide = docs.filter(col("doc_id") % 2 === 1)
+    val exact = DedupOps.decontaminate(half, evalSide, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bloom = DedupOps.decontaminateBloom(half, evalSide, "doc_id", "text", n = 3, fpp = fpp)
+        .orderBy("doc_id").collect()
+      assert(bloom.sameElements(exact), s"fpp=$fpp diverged from exact")
+    }
+  }
+
+  test("lineDedup drops exactly the >maxDocFreq lines and preserves order") {
+    val boiler = "copyright acme corp"
+    val d = Seq(
+      (1L, s"$boiler\nalpha one\nbeta two"),
+      (2L, s"gamma three\n$boiler\ndelta four"),
+      (3L, s"epsilon five\n$boiler"),
+      (4L, s"zeta six\neta seven"),
+      // line repeated TWICE in one doc: df counts distinct docs (3, not 4),
+      // but both positions are dropped from the reconstruction
+      (5L, s"$boiler\ntheta eight\n$boiler")
+    ).toDF("doc_id", "text")
+    // df(boiler) = 4 distinct docs {1,2,3,5} → dropped at maxDocFreq=3, kept at 4
+    val got = DedupOps.lineDedup(d, "doc_id", "text", maxDocFreq = 3L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0) == ((1L, 3L, 1L, "alpha one\nbeta two")))
+    assert(got(1) == ((2L, 3L, 1L, "gamma three\ndelta four")))
+    assert(got(2) == ((3L, 2L, 1L, "epsilon five")))
+    assert(got(3) == ((4L, 2L, 0L, "zeta six\neta seven")))
+    assert(got(4) == ((5L, 3L, 2L, "theta eight")))
+    val kept = DedupOps.lineDedup(d, "doc_id", "text", maxDocFreq = 4L)
+      .agg(sum(col("n_dropped"))).as[Long].collect().head
+    assert(kept == 0L) // df == maxDocFreq is NOT dropped: strict >
+  }
 }

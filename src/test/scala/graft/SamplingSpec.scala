@@ -80,4 +80,43 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(again == take.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("shuffleShards: total, in-range, contiguous positions, partition-invariant, seed-sensitive") {
+    val ids = docs.select(col("doc_id"))
+    val n = ids.count()
+    val sh = SamplingOps.shuffleShards(ids, "doc_id", nShards = 16, seed = "42")
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(sh.length == n) // every row gets exactly one address
+    assert(sh.forall(r => r._2 >= 0 && r._2 < 16))
+    // positions within each shard are exactly 1..count(shard)
+    sh.groupBy(_._2).values.foreach { s =>
+      assert(s.map(_._3).sorted.toSeq == (1L to s.length).toSeq)
+    }
+    // a pure function of the row: same addresses on a different partitioning
+    val again = SamplingOps.shuffleShards(ids.repartition(7), "doc_id", nShards = 16, seed = "42")
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == sh.sortBy(_._1).toSeq)
+    // the seed actually reshuffles: some address must change
+    val reseeded = SamplingOps.shuffleShards(ids, "doc_id", nShards = 16, seed = "43")
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(reseeded.sortBy(_._1).toSeq != sh.sortBy(_._1).toSeq)
+  }
+
+  test("chunkDocs: stride coverage, overlap, tail and empty-doc contracts") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, W=4 S=3 → 1+ceil(6/3)=3 chunks
+      (2L, "a b"),                                    // shorter than one window → 1 chunk
+      (3L, "   ")                                     // empty → one empty chunk
+    ).toDF("doc_id", "text")
+    val got = SamplingOps.chunkDocs(d, "doc_id", "text", chunkTokens = 4, strideTokens = 3)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect()
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._4).toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.forall(_._3 == 4L))
+    // every source token is covered by at least one chunk
+    assert(d1.flatMap(_._4.split(" ")).toSet == (1 to 10).map(i => s"t$i").toSet)
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2L, "a b")))
+    assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 0L, "")))
+  }
 }
