@@ -1189,6 +1189,18 @@ object SparkEntry {
       "doc_id", nShards = 16, seed = "42")
       .select(col("doc_id"), col("shard"), col("pos"))
 
+  /** Weighted epoch upsampling with a deterministic synthetic weight
+    * (0.25 + (doc_id % 40)/10 spans sub-1× drops through 4× repeats, so the
+    * zero-copy, fractional and integer regimes are all exercised); the
+    * oracle re-derives the Knuth-hash coin flip exactly.
+    */
+  def qUpsampleEpochs(spark: SparkSession, dir: String): DataFrame =
+    SamplingOps.upsampleByWeight(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), (lit(0.25) + (col("doc_id") % 40) / lit(10.0)).as("weight")),
+      "doc_id", "weight")
+      .select(col("doc_id"), col("weight"), col("n_copies"), col("copy_idx"))
+
   /** Overlapping 64-token / stride-48 chunking (RAG & long-context prep):
     * each chunk overlaps its neighbor by 16 tokens; the final short chunk
     * and the empty-document single-empty-chunk contract are both exercised
@@ -1393,6 +1405,7 @@ object SparkEntry {
     "q_line_dedup"              -> (qLineDedup(_, _)),
     "q_shuffle_shards"          -> (qShuffleShards(_, _)),
     "q_chunk_docs"              -> (qChunkDocs(_, _)),
+    "q_upsample_epochs"         -> (qUpsampleEpochs(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_embedding_neardup"       -> (qEmbeddingNeardup(_, _)),
     "q_embedding_neardup_blocked" -> (qEmbeddingNeardupBlocked(_, _)),
@@ -2107,6 +2120,17 @@ object SparkEntry {
         |         PARTITION BY ('0x' || substr(hx, 1, 8))::BIGINT % 16
         |         ORDER BY hx, doc_id)::BIGINT AS pos
         |FROM h""".stripMargin,
+    "q_upsample_epochs" ->
+      """WITH w AS (
+        |  SELECT doc_id, 0.25 + (doc_id % 40) / 10.0 AS weight,
+        |         ((doc_id % 1000003) * (2654435761 % 1000003) % 1000003) / 1000003.0 AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, weight,
+        |         (floor(weight) + CASE WHEN u < weight - floor(weight) THEN 1 ELSE 0 END)::BIGINT AS n_copies
+        |  FROM w)
+        |SELECT doc_id, weight, n_copies, unnest(range(1, n_copies + 1))::BIGINT AS copy_idx
+        |FROM c WHERE n_copies >= 1""".stripMargin,
     "q_chunk_docs" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w

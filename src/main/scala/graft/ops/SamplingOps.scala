@@ -133,6 +133,35 @@ object SamplingOps {
       .drop("__cum")
   }
 
+  /** Weighted epoch upsampling — the complement of [[rebalanceDomains]]'
+    * downsampling: repeat each document `weight` times in expectation
+    * (training recipes up-sample high-quality or rare-domain sources by
+    * non-integer factors). Copies = floor(w) guaranteed + 1 more with
+    * probability frac(w), decided by the same Knuth multiplicative hash of
+    * the id as rebalanceDomains — exact 64-bit integer arithmetic, so the
+    * expansion is a pure function of (id, weight), reproducible row-for-row
+    * on any engine (the DuckDB oracle re-derives it). Weight 0 drops the
+    * row; output carries `copy_idx` in 1..n_copies so downstream shuffles
+    * (e.g. [[shuffleShards]] keyed on (id, copy_idx)) spread the copies.
+    *
+    * Scale shape: a narrow projection + explode — no shuffle, no UDF; the
+    * output volume is sum(weights) rows, which is the point.
+    */
+  def upsampleByWeight(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String): DataFrame = {
+    val p = 1000003L
+    val u = pmod(pmod(col(idCol), lit(p)) * lit(2654435761L % p), lit(p))
+      .cast("double") / lit(p.toDouble)
+    val w = col(weightCol).cast("double")
+    val copies = (floor(w) + when(u < w - floor(w), lit(1L)).otherwise(lit(0L)))
+      .cast("long")
+    df.withColumn("n_copies", copies)
+      .filter(col("n_copies") >= 1)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))
+  }
+
   /** Deterministic global shuffle into training shards: every row gets a
     * `(shard, pos)` address from the md5 of (seed, key) — shard by the hash
     * prefix, position by rank of the full hash within the shard. Training

@@ -16,6 +16,10 @@ import graft.ops.DedupOps
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
+    // no args = every section; args name the sections to run
+    // (dedup | knn | neardup | merge | linededup | decon)
+    val only = args.toSet
+    def want(s: String): Boolean = only.isEmpty || only.contains(s)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -41,8 +45,8 @@ object ScaleSmoke {
             (t, i) => when(pmod(i, lit(5)) === 0, concat(t, lit("_c"), lit(c))).otherwise(t))).as("text"))
       }.reduce(_ unionByName _)
 
-    println("k,docs,op,seconds,pairs")
-    Seq(1, 2, 4, 8).foreach { k =>
+    if (want("dedup")) println("k,docs,op,seconds,pairs")
+    (if (want("dedup")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
       val corpus = copyK(k).cache()
       val n = corpus.count()
       Seq(
@@ -85,8 +89,8 @@ object ScaleSmoke {
             when(i === 0, x + lit(c * 0.001f)).otherwise(x)).as("embedding"))
       }.reduce(_ unionByName _)
 
-    println("knn: k,vectors,op,seconds,rows")
-    Seq(1, 2, 4, 8).foreach { k =>
+    if (want("knn")) println("knn: k,vectors,op,seconds,rows")
+    (if (want("knn")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
       val corpus = embK(k).cache()
       val n = corpus.count()
       val probes = corpus.filter(col("vec_id") < 20)
@@ -122,8 +126,8 @@ object ScaleSmoke {
     def clustered(k: Int): DataFrame =
       SyntheticVectors.clustered(nClusters = 25 * k, perCluster = 40, dim = 16, seed = 13)
         .toDF("vec_id", "embedding")
-    println("neardup: k,vectors,op,seconds,pairs,scored")
-    Seq(1, 2, 4, 8).foreach { k =>
+    if (want("neardup")) println("neardup: k,vectors,op,seconds,pairs,scored")
+    (if (want("neardup")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
       val corpus = clustered(k).cache()
       val n = corpus.count()
       val nLists = 8 * k
@@ -165,8 +169,8 @@ object ScaleSmoke {
           col("event_type"), col("value"), col("ts"),
           (col("event_id") + lit(c * 100000000L)).as("event_id"))
       }.reduce(_ unionByName _)
-    println("merge: k,rows,op,seconds,keys")
-    Seq(1, 2, 4, 8).foreach { k =>
+    if (want("merge")) println("merge: k,rows,op,seconds,keys")
+    (if (want("merge")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
       val df = skewed(k).cache()
       val n = df.count()
       Seq(
@@ -182,6 +186,79 @@ object ScaleSmoke {
         println(s"$k,$n,$name,${(System.nanoTime() - t0) / 1e9},$keys")
       }
       df.unpersist()
+    }
+
+    // ---- line-dedup scaling: global boilerplate stripped at every size ----
+    // every copy lays its documents out as 12-token lines and gets the SAME
+    // header/footer boilerplate lines injected (boilerplate is global by
+    // nature — replication makes it MORE frequent, never less), while
+    // organic lines stay distinct across copies (copyK's token salting).
+    // Only line hashes and int positions shuffle, so time should track
+    // corpus size; `dropped` counts the stripped line occurrences.
+    def linedK(k: Int): DataFrame =
+      copyK(k).select(
+        col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit("nav home about contact login search\n"))
+            .otherwise(lit("")),
+          DedupOps.bindOnce(graft.ops.TextOps.tokens(col("text"))) { ts =>
+            when(size(ts) === 0, lit(""))
+              .otherwise(array_join(
+                transform(
+                  sequence(lit(0), floor((size(ts) - 1) / lit(12)).cast("int")),
+                  j => concat_ws(" ", slice(ts, j * 12 + 1, lit(12)))),
+                "\n"))
+          },
+          when(col("doc_id") % 5 === 0, lit("\ncopyright 2026 all rights reserved worldwide"))
+            .otherwise(lit(""))).as("text"))
+    if (want("linededup")) println("linededup: k,docs,seconds,dropped")
+    (if (want("linededup")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
+      val corpus = linedK(k).cache()
+      val n = corpus.count()
+      val t0 = System.nanoTime()
+      val dropped = DedupOps.lineDedup(corpus, "doc_id", "text", maxDocFreq = 20L)
+        .agg(sum(col("n_dropped"))).head.getLong(0)
+      println(s"$k,$n,${(System.nanoTime() - t0) / 1e9},$dropped")
+      corpus.unpersist()
+    }
+
+    // ---- decontamination: exact broadcast vs bloom prefilter ----
+    // eval side FIXED (first-copy docs with doc_id % 11 == 0), train side
+    // grows with k — the realistic axis (benchmarks are constant, corpora
+    // grow). Wall time is the local measure; `cand_frac` is the
+    // machine-independent one: the fraction of exploded train grams that
+    // survive the bloom and reach the exact verify join (≈ true-hit rate +
+    // fpp). At 100 TB that fraction is what the per-gram join shrinks to.
+    if (want("decon")) println("decon: k,grams,op,seconds,out")
+    (if (want("decon")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
+      val corpus = copyK(k).cache()
+      corpus.count()
+      val evalDocs = base.filter(col("doc_id") % 11 === 0)
+      val train = corpus.filter(!(col("doc_id") % 11 === 0 && col("doc_id") < 1000000L))
+      val nGrams = DedupOps.hashedShingles(train, "doc_id", "text", 8)
+        .select(explode(col("sh"))).count()
+      Seq(
+        ("exact", () => DedupOps.decontaminate(
+          train, evalDocs, "doc_id", "text", n = 8).count()),
+        ("bloom", () => DedupOps.decontaminateBloom(
+          train, evalDocs, "doc_id", "text", n = 8, fpp = 0.01).count())
+      ).foreach { case (name, f) =>
+        spark.sharedState.cacheManager.clearCache()
+        corpus.cache().count()
+        val t0 = System.nanoTime()
+        val out = f()
+        println(s"$k,$nGrams,$name,${(System.nanoTime() - t0) / 1e9},$out")
+      }
+      // candidate fraction, outside the timings: same bloom, direct probe
+      val evalG = DedupOps.hashedShingles(evalDocs, "doc_id", "text", 8)
+        .select(explode(col("sh")).as("g")).distinct().cache()
+      val bf = evalG.stat.bloomFilter("g", math.max(evalG.count(), 1L), 0.01)
+      val bfBc = spark.sparkContext.broadcast(bf)
+      val mc = udf((g: Long) => bfBc.value.mightContainLong(g))
+      val cand = DedupOps.hashedShingles(train, "doc_id", "text", 8)
+        .select(explode(col("sh")).as("g")).filter(mc(col("g"))).count()
+      println(s"$k,$nGrams,cand_frac,${cand.toDouble / math.max(nGrams, 1L)},$cand")
+      evalG.unpersist(); corpus.unpersist()
     }
     spark.stop()
   }

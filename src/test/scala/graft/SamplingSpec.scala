@@ -102,6 +102,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(reseeded.sortBy(_._1).toSeq != sh.sortBy(_._1).toSeq)
   }
 
+  test("upsampleByWeight: floor(w) guaranteed, +1 at rate frac(w), deterministic, w=0 drops") {
+    val d = (0L until 1000L).map(i => (i, 2.5)).toDF("doc_id", "weight")
+    val up = SamplingOps.upsampleByWeight(d, "doc_id", "weight")
+      .select("doc_id", "n_copies", "copy_idx").as[(Long, Long, Long)].collect()
+    val byId = up.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byId.size == 1000 && byId.values.forall(n => n == 2 || n == 3))
+    // copy_idx is exactly 1..n_copies per id
+    up.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.head._2).toSeq)
+    }
+    // the +1 coin lands ~frac(w) of the time (frac = 0.5 here)
+    val extra = byId.values.count(_ == 3)
+    assert(extra > 400 && extra < 600, s"got $extra of 1000 at frac 0.5")
+    // deterministic: identical expansion on a different partitioning
+    val again = SamplingOps.upsampleByWeight(d.repartition(7), "doc_id", "weight")
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect().toSet
+    assert(again == up.map(r => (r._1, r._3)).toSet)
+    // weight 0 drops the row entirely; integer weight is exact
+    val mixed = Seq((1L, 0.0), (2L, 3.0)).toDF("doc_id", "weight")
+    val got = SamplingOps.upsampleByWeight(mixed, "doc_id", "weight")
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect()
+    assert(got.toSet == Set((2L, 1L), (2L, 2L), (2L, 3L)))
+  }
+
   test("chunkDocs: stride coverage, overlap, tail and empty-doc contracts") {
     val d = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, W=4 S=3 → 1+ceil(6/3)=3 chunks
