@@ -1113,7 +1113,16 @@ object SparkEntry {
     * actually fire and be oracle-checked — same pattern as q_pii_scrub).
     */
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val (trainDocs, evalDocs) = decontaminationInputs(Tables.documents(spark, dir))
+    DedupOps.decontaminate(trainDocs, evalDocs, "doc_id", "text", n = 8)
+  }
+
+  /** Shared (train, eval) construction for the two decontamination queries —
+    * they share [[decontaminationOracle]] verbatim, so the canary/modulus
+    * prep MUST stay byte-identical between them; one helper removes the
+    * desynchronization hazard.
+    */
+  private def decontaminationInputs(docs: DataFrame): (DataFrame, DataFrame) = {
     val canary = lit(" the quick brown fox jumps over the lazy dog again and again")
     val isEval = col("doc_id") % 97 === 0
     val evalDocs = docs.filter(isEval)
@@ -1123,7 +1132,7 @@ object SparkEntry {
         col("doc_id"),
         when(col("doc_id") % 13 === 0, concat(col("text"), canary))
           .otherwise(col("text")).as("text"))
-    DedupOps.decontaminate(trainDocs, evalDocs, "doc_id", "text", n = 8)
+    (trainDocs, evalDocs)
   }
 
   /** Bloom-prefiltered decontamination — BY CONSTRUCTION row-identical to
@@ -1134,16 +1143,7 @@ object SparkEntry {
     * (~1.2 bytes/gram at fpp=0.01 vs 8+ bytes exact).
     */
   def qDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val canary = lit(" the quick brown fox jumps over the lazy dog again and again")
-    val isEval = col("doc_id") % 97 === 0
-    val evalDocs = docs.filter(isEval)
-      .select(col("doc_id"), concat(col("text"), canary).as("text"))
-    val trainDocs = docs.filter(!isEval)
-      .select(
-        col("doc_id"),
-        when(col("doc_id") % 13 === 0, concat(col("text"), canary))
-          .otherwise(col("text")).as("text"))
+    val (trainDocs, evalDocs) = decontaminationInputs(Tables.documents(spark, dir))
     DedupOps.decontaminateBloom(trainDocs, evalDocs, "doc_id", "text", n = 8, fpp = 0.01)
   }
 
@@ -1157,8 +1157,18 @@ object SparkEntry {
     * whole construction, so the hash-match covers injection, df counting
     * and order-preserving reconstruction together.
     */
-  def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.lineDedup(
+      boilerplateLinedDocs(Tables.documents(spark, dir)),
+      "doc_id", "text", maxDocFreq = 20L)
+
+  /** 12-token lining + nav/footer boilerplate injection over a (doc_id,
+    * text) relation — the construction the q_line_dedup oracle re-derives.
+    * Shared with ScaleSmoke's linededup section so the benchmark measures
+    * EXACTLY the oracle-checked workload (any drift would silently split
+    * them otherwise).
+    */
+  private[graft] def boilerplateLinedDocs(docs: DataFrame): DataFrame = {
     val lined = DedupOps.bindOnce(TextOps.tokens(col("text"))) { ts =>
       when(size(ts) === 0, lit(""))
         .otherwise(array_join(
@@ -1167,7 +1177,7 @@ object SparkEntry {
             j => concat_ws(" ", slice(ts, j * 12 + 1, lit(12)))),
           "\n"))
     }
-    val prepped = docs.select(
+    docs.select(
       col("doc_id"),
       concat(
         when(col("doc_id") % 3 === 0, lit("nav home about contact login search\n"))
@@ -1175,7 +1185,6 @@ object SparkEntry {
         lined,
         when(col("doc_id") % 5 === 0, lit("\ncopyright 2026 all rights reserved worldwide"))
           .otherwise(lit(""))).as("text"))
-    DedupOps.lineDedup(prepped, "doc_id", "text", maxDocFreq = 20L)
   }
 
   /** Deterministic global shuffle of the corpus into 16 training shards:
@@ -1202,9 +1211,11 @@ object SparkEntry {
       .select(col("doc_id"), col("weight"), col("n_copies"), col("copy_idx"))
 
   /** Overlapping 64-token / stride-48 chunking (RAG & long-context prep):
-    * each chunk overlaps its neighbor by 16 tokens; the final short chunk
-    * and the empty-document single-empty-chunk contract are both exercised
-    * by the corpus (doc lengths are not multiples of the stride).
+    * each chunk overlaps its neighbor by 16 tokens. The final-short-chunk
+    * path is exercised by the corpus (doc lengths are not stride
+    * multiples); the empty-document single-empty-chunk contract is covered
+    * by SamplingSpec (no corpus doc is empty) and the oracle coalesces
+    * DuckDB's NULL-for-empty-list array_to_string to '' to match it.
     */
   def qChunkDocs(spark: SparkSession, dir: String): DataFrame =
     SamplingOps.chunkDocs(
@@ -2110,7 +2121,7 @@ object SparkEntry {
         |SELECT doc_id,
         |       len(lines)::BIGINT AS n_lines,
         |       len(list_filter(lines, l -> list_contains(hl.arr, l)))::BIGINT AS n_dropped,
-        |       array_to_string(list_filter(lines, l -> NOT list_contains(hl.arr, l)), chr(10)) AS clean_text
+        |       coalesce(array_to_string(list_filter(lines, l -> NOT list_contains(hl.arr, l)), chr(10)), '') AS clean_text
         |FROM ls, hl""".stripMargin,
     "q_shuffle_shards" ->
       """WITH h AS (SELECT doc_id, md5('42:' || doc_id::VARCHAR) AS hx FROM documents)
@@ -2142,7 +2153,7 @@ object SparkEntry {
         |SELECT doc_id,
         |       i::BIGINT AS chunk_id,
         |       len(w[(i*48+1):(i*48+64)])::BIGINT AS n_chunk_tokens,
-        |       array_to_string(w[(i*48+1):(i*48+64)], ' ') AS chunk_text
+        |       coalesce(array_to_string(w[(i*48+1):(i*48+64)], ' '), '') AS chunk_text
         |FROM c""".stripMargin,
     "q_binary_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind, octet_length(text::BLOB)::BIGINT AS n_bytes

@@ -555,10 +555,14 @@ object DedupOps {
     * Two-phase exactness: the bloom filter has NO false negatives, so
     * prefiltering the exploded training grams through it keeps every true
     * hit; the surviving candidates (true hits + ~fpp false positives) then
-    * exact-verify against the real eval-gram relation, which now joins a
-    * candidate set ~fpp·|train grams| instead of the full corpus. The heavy
-    * per-gram shuffle disappears; what remains is the per-document count
-    * aggregation, same as the broadcast form.
+    * exact-verify against the real eval-gram relation. That verify join is
+    * deliberately NOT broadcast-hinted — in the target regime the eval-gram
+    * relation is exactly the thing that does not fit as a broadcast hash
+    * relation, so the join must be free to run as a shuffled semi join on
+    * the 8-byte gram key, where the bloom has already cut the corpus side
+    * to ~fpp of its grams (AQE still picks broadcast when eval is small).
+    * What remains after the join is the per-document count aggregation,
+    * same as the broadcast form.
     *
     * The membership probe is a closure-capturing UDF by design, not a
     * Catalyst expression: the serialized filter is MB-to-GB scale, and a
@@ -572,6 +576,13 @@ object DedupOps {
     * `fpp` trades filter size against wasted verify work only — never
     * correctness. Reference provenance: same benchmark-leakage guard as
     * [[decontaminate]] (n=8 by convention).
+    *
+    * Unlike the other (fully lazy) operators here, CONSTRUCTION runs two
+    * eager eval-side jobs (the sizing count and the filter aggregate), and
+    * the cached eval-gram relation stays pinned because the returned frame
+    * still references it lazily in the verify join — the module's
+    * caller-clears-cache contract applies per call, so long-lived sessions
+    * should clearCache()/unpersist after materializing each result.
     */
   def decontaminateBloom(
       train: DataFrame,
@@ -591,9 +602,12 @@ object DedupOps {
     val bfBc = spark.sparkContext.broadcast(bf)
     val mightContain = udf((g: Long) => bfBc.value.mightContainLong(g))
     val trainSh = hashedShingles(train, idCol, textCol, n)
+    // no broadcast hint: in the target regime evalGrams is bigger than any
+    // broadcast budget — AQE broadcasts it when small, shuffles on the
+    // 8-byte gram key when not (with the candidate side already ~fpp-sized)
     val hits = trainSh.select(col(idCol), explode(col("sh")).as("g"))
       .filter(mightContain(col("g")))
-      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .join(evalGrams, Seq("g"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
     trainSh.select(col(idCol), size(col("sh")).cast("long").as("n_grams"))

@@ -211,19 +211,26 @@ object SamplingOps {
       strideTokens: Int): DataFrame = {
     require(chunkTokens >= 1 && strideTokens >= 1 && strideTokens <= chunkTokens,
       "need 1 <= strideTokens <= chunkTokens")
+    // token count per chunk is arithmetic on (n, i), not a re-tokenization
+    // of the just-built string — the chunk struct carries it out of the
+    // same transform that slices the tokens
     val chunks = DedupOps.bindOnce(TextOps.tokens(col(textCol))) { toks =>
       transform(
         sequence(
           lit(0L),
           ceil(greatest(size(toks).cast("long") - chunkTokens, lit(0L)) /
             lit(strideTokens.toDouble)).cast("long")),
-        i => concat_ws(" ", slice(toks, (i * strideTokens + 1).cast("int"), lit(chunkTokens))))
+        i => struct(
+          least(lit(chunkTokens.toLong),
+            greatest(size(toks).cast("long") - i * strideTokens, lit(0L))).as("n"),
+          concat_ws(" ", slice(toks, (i * strideTokens + 1).cast("int"), lit(chunkTokens)))
+            .as("t")))
     }
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "c")))
       .select(
         col(idCol),
         col("chunk_id").cast("long").as("chunk_id"),
-        size(TextOps.tokens(col("chunk_text"))).cast("long").as("n_chunk_tokens"),
-        col("chunk_text"))
+        col("c.n").as("n_chunk_tokens"),
+        col("c.t").as("chunk_text"))
   }
 }

@@ -19,6 +19,9 @@ object ScaleSmoke {
     // no args = every section; args name the sections to run
     // (dedup | knn | neardup | merge | linededup | decon)
     val only = args.toSet
+    val known = Set("dedup", "knn", "neardup", "merge", "linededup", "decon")
+    require(only.subsetOf(known),
+      s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -195,22 +198,9 @@ object ScaleSmoke {
     // organic lines stay distinct across copies (copyK's token salting).
     // Only line hashes and int positions shuffle, so time should track
     // corpus size; `dropped` counts the stripped line occurrences.
-    def linedK(k: Int): DataFrame =
-      copyK(k).select(
-        col("doc_id"),
-        concat(
-          when(col("doc_id") % 3 === 0, lit("nav home about contact login search\n"))
-            .otherwise(lit("")),
-          DedupOps.bindOnce(graft.ops.TextOps.tokens(col("text"))) { ts =>
-            when(size(ts) === 0, lit(""))
-              .otherwise(array_join(
-                transform(
-                  sequence(lit(0), floor((size(ts) - 1) / lit(12)).cast("int")),
-                  j => concat_ws(" ", slice(ts, j * 12 + 1, lit(12)))),
-                "\n"))
-          },
-          when(col("doc_id") % 5 === 0, lit("\ncopyright 2026 all rights reserved worldwide"))
-            .otherwise(lit(""))).as("text"))
+    // same construction as q_line_dedup (shared helper — the benchmark must
+    // measure exactly the oracle-checked workload)
+    def linedK(k: Int): DataFrame = graft.SparkEntry.boilerplateLinedDocs(copyK(k))
     if (want("linededup")) println("linededup: k,docs,seconds,dropped")
     (if (want("linededup")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
       val corpus = linedK(k).cache()
@@ -225,23 +215,38 @@ object ScaleSmoke {
     // ---- decontamination: exact broadcast vs bloom prefilter ----
     // eval side FIXED (first-copy docs with doc_id % 11 == 0), train side
     // grows with k — the realistic axis (benchmarks are constant, corpora
-    // grow). Wall time is the local measure; `cand_frac` is the
-    // machine-independent one: the fraction of exploded train grams that
-    // survive the bloom and reach the exact verify join (≈ true-hit rate +
-    // fpp). At 100 TB that fraction is what the per-gram join shrinks to.
+    // grow). copyK salts every 5th token, so NO organic 8-gram can cross
+    // the eval/train divide; a shared canary sentence is appended to the
+    // eval docs and to every 13th train doc in EVERY copy (same device as
+    // q_decontaminate), so true hits exist and GROW with k — `out` counts
+    // contaminated docs, which makes the exact==bloom equality sensitive
+    // to dropped hits, not just to row cardinality. Wall time is the local
+    // measure; `cand_frac` is the machine-independent one: the fraction of
+    // exploded train grams that survive the bloom and reach the exact
+    // verify join (true-hit rate + ~fpp). At 100 TB that fraction is what
+    // the per-gram join shrinks to.
+    val canary = lit(" the quick brown fox jumps over the lazy dog again and again")
     if (want("decon")) println("decon: k,grams,op,seconds,out")
     (if (want("decon")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
-      val corpus = copyK(k).cache()
+      val isEval = col("doc_id") % 11 === 0 && col("doc_id") < 1000000L
+      val corpus = copyK(k)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), canary))
+            .otherwise(col("text")))
+        .cache()
       corpus.count()
       val evalDocs = base.filter(col("doc_id") % 11 === 0)
-      val train = corpus.filter(!(col("doc_id") % 11 === 0 && col("doc_id") < 1000000L))
+        .select(col("doc_id"), concat(col("text"), canary).as("text"))
+      val train = corpus.filter(!isEval)
       val nGrams = DedupOps.hashedShingles(train, "doc_id", "text", 8)
         .select(explode(col("sh"))).count()
       Seq(
         ("exact", () => DedupOps.decontaminate(
-          train, evalDocs, "doc_id", "text", n = 8).count()),
+          train, evalDocs, "doc_id", "text", n = 8)
+          .filter(col("is_contaminated")).count()),
         ("bloom", () => DedupOps.decontaminateBloom(
-          train, evalDocs, "doc_id", "text", n = 8, fpp = 0.01).count())
+          train, evalDocs, "doc_id", "text", n = 8, fpp = 0.01)
+          .filter(col("is_contaminated")).count())
       ).foreach { case (name, f) =>
         spark.sharedState.cacheManager.clearCache()
         corpus.cache().count()

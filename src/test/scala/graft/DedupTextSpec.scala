@@ -246,8 +246,9 @@ class DedupTextSpec extends AnyFunSuite {
   test("decontaminateBloom is row-identical to exact decontaminate on the corpus") {
     // the bloom pass must be a lossless prefilter: no false negatives by
     // construction, false positives removed by the exact verify join —
-    // differential check at three fpp settings including an aggressive one
-    // that guarantees plenty of bloom false positives to weed out
+    // differential check at two fpp settings: the registered 0.01 and an
+    // aggressive 0.5 that guarantees plenty of bloom false positives to
+    // weed out
     val half = docs.filter(col("doc_id") % 2 === 0)
     val evalSide = docs.filter(col("doc_id") % 2 === 1)
     val exact = DedupOps.decontaminate(half, evalSide, "doc_id", "text", n = 3)
