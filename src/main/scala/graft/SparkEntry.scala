@@ -1055,6 +1055,29 @@ object SparkEntry {
         col("chunk_first"), col("chunk_last"), col("quality"))
   }
 
+  /** End-to-end mixture manifest: the curated corpus is epoch-upsampled by
+    * a quality-proportional weight (1.4·quality ∈ [0.7, 1.4] — exercises
+    * the drop, single-copy and repeat regimes), every (doc, copy) unit is
+    * dealt into 16 training shards by the deterministic md5 shuffle, and
+    * the manifest aggregates each shard's unit/doc/token totals. max_pos
+    * must equal n_units per shard (positions are contiguous 1..n), which
+    * the oracle re-derives — so the hash-match differentially tests the
+    * whole curation → upsample → shuffle composition, not just the pieces.
+    */
+  def qMixtureManifest(spark: SparkSession, dir: String): DataFrame = {
+    val weighted = qCorpusCuration(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), (col("quality") * lit(1.4)).as("weight"))
+    val units = SamplingOps.upsampleByWeight(weighted, "doc_id", "weight")
+      .withColumn("unit_id", col("doc_id") * 10 + col("copy_idx"))
+    SamplingOps.shuffleShards(units, "unit_id", nShards = 16, seed = "mix")
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_units"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        max(col("pos")).as("max_pos"))
+  }
+
   /** Per-language quality percentile (curriculum normalization): each
     * document's percent_rank within its predicted language, deterministic
     * tiebreak on doc_id. Partitioned by language so the ranking sort is
@@ -1417,6 +1440,7 @@ object SparkEntry {
     "q_shuffle_shards"          -> (qShuffleShards(_, _)),
     "q_chunk_docs"              -> (qChunkDocs(_, _)),
     "q_upsample_epochs"         -> (qUpsampleEpochs(_, _)),
+    "q_mixture_manifest"        -> (qMixtureManifest(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_embedding_neardup"       -> (qEmbeddingNeardup(_, _)),
     "q_embedding_neardup_blocked" -> (qEmbeddingNeardupBlocked(_, _)),
@@ -1924,6 +1948,36 @@ object SparkEntry {
         |       floor((cum - 1) / 512)::BIGINT AS chunk_last,
         |       cur.quality
         |FROM cm JOIN cur ON cm.doc_id = cur.doc_id""".stripMargin
+        .replace("CTES_HOLE", curationCtes).replace("SELECT_HOLE", curationSelect),
+    "q_mixture_manifest" ->
+      raw"""WITH RECURSIVE CTES_HOLE,
+        |cur AS (
+        |SELECT_HOLE),
+        |up AS (
+        |  SELECT doc_id, n_tokens, quality * 1.4 AS weight,
+        |         ((doc_id % 1000003) * (2654435761 % 1000003) % 1000003) / 1000003.0 AS u
+        |  FROM cur),
+        |cc AS (
+        |  SELECT doc_id, n_tokens,
+        |         (floor(weight) + CASE WHEN u < weight - floor(weight) THEN 1 ELSE 0 END)::BIGINT AS n_copies
+        |  FROM up),
+        |units AS (
+        |  SELECT doc_id, n_tokens,
+        |         doc_id * 10 + unnest(range(1, n_copies + 1)) AS unit_id
+        |  FROM cc WHERE n_copies >= 1),
+        |sh AS (
+        |  SELECT doc_id, n_tokens, unit_id, md5('mix:' || unit_id::VARCHAR) AS hx
+        |  FROM units),
+        |addr AS (
+        |  SELECT doc_id, n_tokens,
+        |         (('0x' || substr(hx, 1, 8))::BIGINT % 16) AS shard,
+        |         row_number() OVER (
+        |           PARTITION BY ('0x' || substr(hx, 1, 8))::BIGINT % 16
+        |           ORDER BY hx, unit_id) AS pos
+        |  FROM sh)
+        |SELECT shard, count(*)::BIGINT AS n_units, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |       sum(n_tokens)::BIGINT AS sum_tokens, max(pos)::BIGINT AS max_pos
+        |FROM addr GROUP BY 1""".stripMargin
         .replace("CTES_HOLE", curationCtes).replace("SELECT_HOLE", curationSelect),
     "q_fuzzy_join" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
