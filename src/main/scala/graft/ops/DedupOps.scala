@@ -584,6 +584,26 @@ object DedupOps {
     * caller-clears-cache contract applies per call, so long-lived sessions
     * should clearCache()/unpersist after materializing each result.
     */
+  /** The (cached distinct eval-gram relation, bloom filter) pair behind
+    * [[decontaminateBloom]] — factored so diagnostics (ScaleSmoke's
+    * cand_frac probe) measure EXACTLY the filter the operator runs with
+    * (sizing, hashing and fpp included); construction runs two eval-side
+    * jobs (the sizing count, then the distributed filter aggregate whose
+    * per-partition partials merge on the driver).
+    */
+  private[graft] def evalGramBloom(
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      fpp: Double): (DataFrame, org.apache.spark.util.sketch.BloomFilter) = {
+    val evalGrams = hashedShingles(eval, idCol, textCol, n)
+      .select(explode(col("sh")).as("g")).distinct()
+      .cache()
+    val bf = evalGrams.stat.bloomFilter("g", math.max(evalGrams.count(), 1L), fpp)
+    (evalGrams, bf)
+  }
+
   def decontaminateBloom(
       train: DataFrame,
       eval: DataFrame,
@@ -591,13 +611,7 @@ object DedupOps {
       textCol: String,
       n: Int = 8,
       fpp: Double = 0.01): DataFrame = {
-    val evalGrams = hashedShingles(eval, idCol, textCol, n)
-      .select(explode(col("sh")).as("g")).distinct()
-      .cache()
-    // one tiny eval-side job to size the filter; the agg that builds the
-    // filter is distributed (per-partition partials merged on the driver)
-    val nEval = math.max(evalGrams.count(), 1L)
-    val bf = evalGrams.stat.bloomFilter("g", nEval, fpp)
+    val (evalGrams, bf) = evalGramBloom(eval, idCol, textCol, n, fpp)
     val spark = train.sparkSession
     val bfBc = spark.sparkContext.broadcast(bf)
     val mightContain = udf((g: Long) => bfBc.value.mightContainLong(g))

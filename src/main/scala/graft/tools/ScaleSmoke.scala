@@ -213,11 +213,13 @@ object ScaleSmoke {
     }
 
     // ---- decontamination: exact broadcast vs bloom prefilter ----
-    // eval side FIXED (first-copy docs with doc_id % 11 == 0), train side
-    // grows with k — the realistic axis (benchmarks are constant, corpora
-    // grow). copyK salts every 5th token, so NO organic 8-gram can cross
-    // the eval/train divide; a shared canary sentence is appended to the
-    // eval docs and to every 13th train doc in EVERY copy (same device as
+    // eval side FIXED (UNSALTED base docs with doc_id % 11 == 0 — not the
+    // salted first copy), train side grows with k — the realistic axis
+    // (benchmarks are constant, corpora grow). Every corpus copy INCLUDING
+    // c=0 salts every 5th token while the eval text is unsalted, so NO
+    // organic 8-gram can cross the eval/train divide (any 8 consecutive
+    // tokens contain a salted index); a shared canary sentence is appended
+    // to the eval docs and to every 13th train doc in EVERY copy (same device as
     // q_decontaminate), so true hits exist and GROW with k — `out` counts
     // contaminated docs, which makes the exact==bloom equality sensitive
     // to dropped hits, not just to row cardinality. Wall time is the local
@@ -254,10 +256,10 @@ object ScaleSmoke {
         val out = f()
         println(s"$k,$nGrams,$name,${(System.nanoTime() - t0) / 1e9},$out")
       }
-      // candidate fraction, outside the timings: same bloom, direct probe
-      val evalG = DedupOps.hashedShingles(evalDocs, "doc_id", "text", 8)
-        .select(explode(col("sh")).as("g")).distinct().cache()
-      val bf = evalG.stat.bloomFilter("g", math.max(evalG.count(), 1L), 0.01)
+      // candidate fraction, outside the timings — built through the SAME
+      // helper as the operator (evalGramBloom), so sizing/hashing/fpp can
+      // never drift between what is timed and what is reported
+      val (evalG, bf) = DedupOps.evalGramBloom(evalDocs, "doc_id", "text", n = 8, fpp = 0.01)
       val bfBc = spark.sparkContext.broadcast(bf)
       val mc = udf((g: Long) => bfBc.value.mightContainLong(g))
       val cand = DedupOps.hashedShingles(train, "doc_id", "text", 8)

@@ -260,6 +260,28 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateBloom == exact under a FORCED shuffled (non-broadcast) verify join") {
+    // the hint removal exists for eval sets beyond broadcast size; locally
+    // the tiny cached eval relation always planner-broadcasts, so the
+    // shuffled regime would otherwise ship untested — force it off the
+    // broadcast path the same way MergeSpec pins its skew plans
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      keys.foreach(spark.conf.set(_, "-1"))
+      val half = docs.filter(col("doc_id") % 2 === 0)
+      val evalSide = docs.filter(col("doc_id") % 2 === 1)
+      val exact = DedupOps.decontaminate(half, evalSide, "doc_id", "text", n = 3)
+        .orderBy("doc_id").collect()
+      val bloom = DedupOps.decontaminateBloom(half, evalSide, "doc_id", "text", n = 3, fpp = 0.1)
+        .orderBy("doc_id").collect()
+      assert(bloom.sameElements(exact), "shuffled-regime bloom diverged from exact")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("lineDedup drops exactly the >maxDocFreq lines and preserves order") {
     val boiler = "copyright acme corp"
     val d = Seq(

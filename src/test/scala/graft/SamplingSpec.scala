@@ -130,7 +130,8 @@ class SamplingSpec extends AnyFunSuite {
     val d = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, W=4 S=3 → 1+ceil(6/3)=3 chunks
       (2L, "a b"),                                    // shorter than one window → 1 chunk
-      (3L, "   ")                                     // empty → one empty chunk
+      (3L, "   "),                                    // empty → one empty chunk
+      (4L, (1 to 9).map(i => s"s$i").mkString(" "))   // SHORT TAIL: i=2 chunk has 3 of 4 tokens
     ).toDF("doc_id", "text")
     val got = SamplingOps.chunkDocs(d, "doc_id", "text", chunkTokens = 4, strideTokens = 3)
       .orderBy("doc_id", "chunk_id")
@@ -142,5 +143,12 @@ class SamplingSpec extends AnyFunSuite {
     assert(d1.flatMap(_._4.split(" ")).toSet == (1 to 10).map(i => s"t$i").toSet)
     assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 2L, "a b")))
     assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 0L, "")))
+    // short final chunk of a multi-chunk doc: the one branch where the
+    // arithmetic token count (least/greatest on i·stride) differs from
+    // chunkTokens — 9 tokens → chunks at 1,4,7 with the tail holding 3
+    assert(got.filter(_._1 == 4L).toSeq == Seq(
+      (4L, 0L, 4L, "s1 s2 s3 s4"),
+      (4L, 1L, 4L, "s4 s5 s6 s7"),
+      (4L, 2L, 3L, "s7 s8 s9")))
   }
 }
