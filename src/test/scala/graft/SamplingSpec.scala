@@ -102,6 +102,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(reseeded.sortBy(_._1).toSeq != sh.sortBy(_._1).toSeq)
   }
 
+  test("chunkDocs: exhaustive arithmetic pin over n=0..50 for six (chunk, stride) shapes") {
+    // every branch of the chunk-count and token-count arithmetic, against a
+    // model computed independently in plain Scala: nChunks, each chunk's
+    // exact token slice, and full coverage of [0, n)
+    val docs50 = (0L to 50L).map(n => (n, (1 to n.toInt).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    for ((w, s) <- Seq((1, 1), (4, 3), (5, 5), (8, 2), (20, 20), (7, 1))) {
+      val got = SamplingOps.chunkDocs(docs50, "doc_id", "text", w, s)
+        .as[(Long, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      (0 to 50).foreach { n =>
+        val toks = (1 to n).map(i => s"w$i")
+        val expChunks = 1 + math.ceil(math.max(0, n - w) / s.toDouble).toInt
+        val chunks = got(n.toLong)
+        assert(chunks.length == expChunks, s"n=$n W=$w S=$s: ${chunks.length} != $expChunks")
+        chunks.foreach { case (_, i, nTok, text) =>
+          val expected = toks.slice(i.toInt * s, i.toInt * s + w)
+          assert(text == expected.mkString(" "), s"n=$n W=$w S=$s chunk $i")
+          assert(nTok == expected.length, s"n=$n W=$w S=$s chunk $i count")
+        }
+        // coverage: every token index lands in at least one chunk
+        val covered = chunks.flatMap { case (_, i, nTok, _) =>
+          (i.toInt * s) until (i.toInt * s + nTok.toInt) }.toSet
+        assert(covered == (0 until n).toSet, s"n=$n W=$w S=$s coverage")
+      }
+    }
+  }
+
   test("upsampleByWeight: floor(w) guaranteed, +1 at rate frac(w), deterministic, w=0 drops") {
     val d = (0L until 1000L).map(i => (i, 2.5)).toDF("doc_id", "weight")
     val up = SamplingOps.upsampleByWeight(d, "doc_id", "weight")
