@@ -1055,6 +1055,16 @@ object SparkEntry {
         col("chunk_first"), col("chunk_last"), col("quality"))
   }
 
+  /** Per-user price-shape screen: best match of a V-shaped 8-point motif in
+    * each user's value series (sliding squared distance in integer cents —
+    * exact on any engine; ties break to the lowest offset). Users with
+    * fewer than 8 points keep their row with NULL match fields.
+    */
+  def qSeriesMotif(spark: SparkSession, dir: String): DataFrame =
+    Analytics.seriesMotifMatch(
+      Tables.events(spark, dir), "user_id", "ts", "event_id", "value",
+      patternCents = Seq(20000L, 19000L, 18000L, 17000L, 18000L, 19000L, 20000L, 21000L))
+
   /** End-to-end mixture manifest: the curated corpus is epoch-upsampled by
     * a quality-proportional weight (1.4·quality ∈ [0.7, 1.4] — exercises
     * the drop, single-copy and repeat regimes), every (doc, copy) unit is
@@ -1441,6 +1451,7 @@ object SparkEntry {
     "q_chunk_docs"              -> (qChunkDocs(_, _)),
     "q_upsample_epochs"         -> (qUpsampleEpochs(_, _)),
     "q_mixture_manifest"        -> (qMixtureManifest(_, _)),
+    "q_series_motif"            -> (qSeriesMotif(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_embedding_neardup"       -> (qEmbeddingNeardup(_, _)),
     "q_embedding_neardup_blocked" -> (qEmbeddingNeardupBlocked(_, _)),
@@ -1949,6 +1960,22 @@ object SparkEntry {
         |       cur.quality
         |FROM cm JOIN cur ON cm.doc_id = cur.doc_id""".stripMargin
         .replace("CTES_HOLE", curationCtes).replace("SELECT_HOLE", curationSelect),
+    "q_series_motif" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, round(value * 100)::BIGINT AS c FROM events),
+        |ser AS (SELECT user_id, list(c ORDER BY ts, event_id) AS s FROM ev GROUP BY 1),
+        |sc AS (
+        |  SELECT user_id, len(s)::BIGINT AS n_points,
+        |         CASE WHEN len(s) >= 8 THEN
+        |           list_min([{'d': list_sum([
+        |                        (s[off+jj] - ([20000,19000,18000,17000,18000,19000,20000,21000])[jj+1])
+        |                      * (s[off+jj] - ([20000,19000,18000,17000,18000,19000,20000,21000])[jj+1])
+        |                      for jj in range(0, 8)]),
+        |                      'off': off}
+        |                     for off in range(1, len(s) - 8 + 2)])
+        |         END AS b
+        |  FROM ser)
+        |SELECT user_id, n_points, (b.d)::BIGINT AS best_dist2, (b.off)::BIGINT AS best_offset
+        |FROM sc""".stripMargin,
     "q_mixture_manifest" ->
       raw"""WITH RECURSIVE CTES_HOLE,
         |cur AS (

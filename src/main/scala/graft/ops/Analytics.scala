@@ -256,4 +256,89 @@ object Analytics {
         keys.map(col) :+
           col("session_window.start").cast("timestamp_ntz").as("session_start") :+
           col("n_events") :+ col("total_value"): _*)
+
+  /** Time-series motif search: for each key's value series (ordered by
+    * (ts, tiebreaker)), the sliding-window offset minimizing the squared
+    * Euclidean distance to a fixed query pattern — the brute subsequence
+    * matcher behind price-shape screens ("find the V-bottom in every
+    * symbol's history"). Distances are computed in INTEGER cents
+    * (round(value·100)), so the result is exact and order-independent on
+    * any engine — the same trick the token-rarity stats use to keep an
+    * otherwise-float pipeline oracle-checkable; with ~1e6-cent values and
+    * pattern length m, the distance fits a Long for m ≪ 2⁶³/1e12.
+    *
+    * Output per key: series length, best offset (1-based; ties → lowest
+    * offset) and its distance; series shorter than the pattern yield NULL
+    * offset/distance but KEEP their row (screens must distinguish "no
+    * match possible" from "dropped").
+    *
+    * Scale shape: one shuffle groups each key's points; the O(n·m) scan
+    * runs inside a projection over the collected per-key array (bounded:
+    * one key's history must fit a row — same contract as every
+    * collect_list window in the engine); the argmin is an array_min over
+    * (distance, offset) structs, never a per-offset explode+shuffle.
+    */
+  def seriesMotifMatch(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      patternCents: Seq[Long]): DataFrame = {
+    require(patternCents.nonEmpty, "pattern must be non-empty")
+    val m = patternCents.size
+    val pat = typedLit(patternCents)
+    val series = array_sort(
+      collect_list(struct(col(tsCol), col(tieCol), round(col(valueCol) * 100).cast("long").as("c"))))
+    df.groupBy(col(keyCol))
+      .agg(transform(series, p => p.getField("c")).as("__s"))
+      .select(
+        col(keyCol),
+        DedupOps.bindOnce(col("__s")) { s =>
+          DedupOnceHelpers.motif(s, pat, m)
+        }.as("r"))
+      .select(
+        col(keyCol),
+        col("r.n_points"),
+        col("r.best_offset"),
+        col("r.best_dist2"))
+  }
+
+  /** Internal expression pieces for [[seriesMotifMatch]] (kept out of the
+    * method body so the argmin construction is readable).
+    */
+  private object DedupOnceHelpers {
+    def motif(s: Column, pat: Column, m: Int): Column = {
+      // per offset: left fold of integer squared diffs — exact, no floats;
+      // the argmin struct orders (d, off) lexicographically, so ties break
+      // to the lowest offset
+      val best = array_min(
+        transform(
+          sequence(lit(1), size(s) - lit(m - 1)),
+          off => struct(
+            aggregate(
+              sequence(lit(0), lit(m - 1)),
+              lit(0L),
+              (acc, j) =>
+                DedupOps.bindOnce(
+                  element_at(s, (off + j).cast("int")) - element_at(pat, (j + 1).cast("int"))
+                )(d => acc + d * d)
+            ).as("d"),
+            off.cast("long").as("off"))))
+      // the ENTIRE argmin sits in the when-true branch: evaluated once (via
+      // bindOnce), and never for short series (where the offset sequence
+      // would be descending)
+      when(size(s) >= m,
+        DedupOps.bindOnce(best) { b =>
+          struct(
+            size(s).cast("long").as("n_points"),
+            b.getField("off").as("best_offset"),
+            b.getField("d").as("best_dist2"))
+        })
+        .otherwise(struct(
+          size(s).cast("long").as("n_points"),
+          lit(null).cast("long").as("best_offset"),
+          lit(null).cast("long").as("best_dist2")))
+    }
+  }
 }

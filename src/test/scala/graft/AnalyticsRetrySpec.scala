@@ -201,4 +201,26 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     // both priors now too old: NULL, and crucially NOT the even-older row
     assert(tight == Map("p1" -> None, "p2" -> None))
   }
+
+  test("seriesMotifMatch: exact argmin, lowest-offset ties, short-series NULLs") {
+    import java.sql.Timestamp
+    def t(i: Int) = Timestamp.valueOf(f"2001-01-01 00:00:$i%02d")
+    val rows =
+      // user 1: cents series [1,2,3,4,5]; pattern [3,4] has a zero-distance
+      // match at offset 3
+      (1 to 5).map(i => (1L, t(i), i.toLong, i / 100.0)) ++
+      // user 2: [9,9,9] vs [9,9] -> zero distance at offsets 1 AND 2; the
+      // tie must break to offset 1
+      (1 to 3).map(i => (2L, t(i), i.toLong, 0.09)) ++
+      // user 3: one point — shorter than the pattern
+      Seq((3L, t(1), 1L, 0.42))
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val got = graft.ops.Analytics
+      .seriesMotifMatch(df, "user_id", "ts", "event_id", "value", Seq(3L, 4L))
+      .orderBy("user_id")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+    assert(got(0) == ((1L, 5L, Some(3L), Some(0L))))
+    assert(got(1) == ((2L, 3L, Some(1L), Some(61L)))) // (9-3)²+(9-4)² at both offsets; tie → offset 1
+    assert(got(2) == ((3L, 1L, None, None)))
+  }
 }
