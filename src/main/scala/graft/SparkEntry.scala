@@ -1265,6 +1265,22 @@ object SparkEntry {
     SimilarityOps.knnBrute(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
   }
 
+  /** Incremental top-k maintenance, proven BY CONSTRUCTION equal to the
+    * one-shot knn: the corpus is split in half (even/odd vec_id), each half
+    * is scored separately, and knnMerge of the halves must reproduce
+    * q_embedding_knn bit-for-bit — the two queries share one oracle, so the
+    * hash-match is the grow-the-corpus-without-rescoring proof.
+    */
+  def qKnnIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 20)
+    val stored = SimilarityOps.knnBrute(
+      emb.filter(col("vec_id") % 2 === 0), probes, "vec_id", "embedding", k = 10)
+    val delta = SimilarityOps.knnBrute(
+      emb.filter(col("vec_id") % 2 === 1), probes, "vec_id", "embedding", k = 10)
+    SimilarityOps.knnMerge(stored, delta, k = 10)
+  }
+
   /** Embedding-cosine near-duplicate pairs at cosine ≥ 0.4 (exact form —
     * broadcast upper-triangle scan with the native dot kernel; the scale
     * path is k-means-list blocking, see SimilarityOps.cosineNearDupPairs).
@@ -1453,6 +1469,7 @@ object SparkEntry {
     "q_mixture_manifest"        -> (qMixtureManifest(_, _)),
     "q_series_motif"            -> (qSeriesMotif(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
+    "q_knn_incremental"         -> (qKnnIncremental(_, _)),
     "q_embedding_neardup"       -> (qEmbeddingNeardup(_, _)),
     "q_embedding_neardup_blocked" -> (qEmbeddingNeardupBlocked(_, _)),
     "q_semantic_dedup"          -> (qSemanticDedup(_, _)),
@@ -1485,6 +1502,19 @@ object SparkEntry {
     "q_completion_stats"        -> (qCompletionStats(_, _)),
     "q_completion_per_batch"    -> (qCompletionPerBatch(_, _)),
   )
+
+  /** Shared knn oracle — q_embedding_knn and q_knn_incremental must agree
+    * with it (and each other) bit-for-bit: incremental merge is lossless.
+    */
+  private val knnOracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM n WHERE vec_id < 20),
+      |j AS (SELECT probe_id, vec_id,
+      |             CASE WHEN pn * nrm > 0 THEN list_dot_product(pv, v) / (pn * nrm) END AS sim
+      |      FROM p, n WHERE vec_id <> probe_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC NULLS LAST, vec_id) AS rank FROM j)
+      |SELECT probe_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
 
   /** Shared decontamination oracle — q_decontaminate and
     * q_decontaminate_bloom must agree with it (and therefore with each
@@ -2239,15 +2269,11 @@ object SparkEntry {
     "q_binary_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind, octet_length(text::BLOB)::BIGINT AS n_bytes
         |FROM documents""".stripMargin,
-    "q_embedding_knn" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
-        |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM n WHERE vec_id < 20),
-        |j AS (SELECT probe_id, vec_id,
-        |             CASE WHEN pn * nrm > 0 THEN list_dot_product(pv, v) / (pn * nrm) END AS sim
-        |      FROM p, n WHERE vec_id <> probe_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC NULLS LAST, vec_id) AS rank FROM j)
-        |SELECT probe_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
+    "q_embedding_knn" -> knnOracle,
+    // identical by construction: per-half top-10s merged and re-ranked must
+    // reproduce the one-shot top-10 (every global winner is in its half's
+    // top-10), so the incremental query reuses the knn oracle verbatim
+    "q_knn_incremental" -> knnOracle,
     "q_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),

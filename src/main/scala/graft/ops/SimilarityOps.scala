@@ -107,6 +107,28 @@ object SimilarityOps {
       .select(col("probe_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Incremental top-k maintenance (the interactive-session pattern: the
+    * corpus grows, stored per-probe results must not be recomputed against
+    * everything): merge a stored top-k relation with the top-k of a DELTA
+    * batch and re-rank. Because every global top-k neighbor is necessarily
+    * in its own partition's top-k (per-side k ≥ merged k), the merge is
+    * EXACTLY the full-corpus [[knnBrute]] result — the registered query
+    * proves it by sharing q_embedding_knn's oracle verbatim.
+    *
+    * Scale shape: the inputs are already k rows per probe per side, so the
+    * merge shuffles O(|probes|·k) rows total — corpus-size-independent;
+    * the only corpus-scaled work is scoring the delta, which is the point
+    * of incremental maintenance.
+    */
+  def knnMerge(storedTopK: DataFrame, deltaTopK: DataFrame, k: Int): DataFrame = {
+    val cols = Seq("probe_id", "neighbor_id", "sim")
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    storedTopK.select(cols.map(col): _*)
+      .unionByName(deltaTopK.select(cols.map(col): _*))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact cosine top-k via the bounded-heap aggregator
     * (graft.functions.TopKAggregator): identical result to [[knnBrute]]
     * (same (sim desc, id) total order) but the per-probe reduction happens
