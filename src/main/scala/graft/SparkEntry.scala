@@ -1513,7 +1513,8 @@ object SparkEntry {
       |j AS (SELECT probe_id, vec_id,
       |             CASE WHEN pn * nrm > 0 THEN list_dot_product(pv, v) / (pn * nrm) END AS sim
       |      FROM p, n WHERE vec_id <> probe_id),
-      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC NULLS LAST, vec_id) AS rank FROM j)
+      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+      |      FROM j WHERE sim IS NOT NULL)
       |SELECT probe_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
 
   /** Shared decontamination oracle — q_decontaminate and

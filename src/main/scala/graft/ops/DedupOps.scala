@@ -580,9 +580,9 @@ object DedupOps {
     * Unlike the other (fully lazy) operators here, CONSTRUCTION runs two
     * eager eval-side jobs (the sizing count and the filter aggregate), and
     * the cached eval-gram relation stays pinned because the returned frame
-    * still references it lazily in the verify join — the module's
-    * caller-clears-cache contract applies per call, so long-lived sessions
-    * should clearCache()/unpersist after materializing each result.
+    * still references it lazily in the verify join — long-lived sessions
+    * should use [[decontaminateBloomManaged]] and invoke its release handle
+    * after materializing each result.
     */
   /** The (cached distinct eval-gram relation, bloom filter) pair behind
     * [[decontaminateBloom]] — factored so diagnostics (ScaleSmoke's
@@ -610,10 +610,27 @@ object DedupOps {
       idCol: String,
       textCol: String,
       n: Int = 8,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01): DataFrame =
+    decontaminateBloomManaged(train, eval, idCol, textCol, n, fpp)._1
+
+  /** [[decontaminateBloom]] plus an explicit release handle: the second
+    * element unpersists the cached eval-gram relation and destroys the
+    * (MB-to-GB scale) broadcast bloom filter. Call it AFTER materializing
+    * the returned frame — long-lived sessions (query harnesses, notebooks)
+    * that loop over corpora must not rely on GC/ContextCleaner to reclaim
+    * executor memory for filters this large.
+    */
+  def decontaminateBloomManaged(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      fpp: Double = 0.01): (DataFrame, () => Unit) = {
     val (evalGrams, bf) = evalGramBloom(eval, idCol, textCol, n, fpp)
     val spark = train.sparkSession
     val bfBc = spark.sparkContext.broadcast(bf)
+    val release = () => { evalGrams.unpersist(); bfBc.destroy() }
     val mightContain = udf((g: Long) => bfBc.value.mightContainLong(g))
     val trainSh = hashedShingles(train, idCol, textCol, n)
     // no broadcast hint: in the target regime evalGrams is bigger than any
@@ -624,10 +641,11 @@ object DedupOps {
       .join(evalGrams, Seq("g"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
-    trainSh.select(col(idCol), size(col("sh")).cast("long").as("n_grams"))
+    val out = trainSh.select(col(idCol), size(col("sh")).cast("long").as("n_grams"))
       .join(hits, Seq(idCol), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("is_contaminated", col("n_hits") > 0)
+    (out, release)
   }
 
   /** Line-level boilerplate removal (the CCNet / RefinedWeb pre-dedup pass):

@@ -119,12 +119,22 @@ object SimilarityOps {
     * merge shuffles O(|probes|·k) rows total — corpus-size-independent;
     * the only corpus-scaled work is scoring the delta, which is the point
     * of incremental maintenance.
+    *
+    * The two sides need NOT be disjoint: a (probe_id, neighbor_id) pair
+    * appearing on both sides (a re-scored vector) is collapsed to one slot
+    * with max(sim) before ranking, so overlapping inputs merge correctly
+    * instead of double-occupying the k budget.
     */
   def knnMerge(storedTopK: DataFrame, deltaTopK: DataFrame, k: Int): DataFrame = {
     val cols = Seq("probe_id", "neighbor_id", "sim")
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     storedTopK.select(cols.map(col): _*)
       .unionByName(deltaTopK.select(cols.map(col): _*))
+      // a neighbor present on BOTH sides (a re-scored vector) must occupy ONE
+      // slot with its freshest/best score, not two — max(sim) keeps the merge
+      // lossless under overlapping inputs, still O(|probes|·k) rows
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(max(col("sim")).as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }

@@ -260,6 +260,25 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateBloomManaged: release handle frees caches without corrupting the materialized result") {
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val evalSide = docs.filter(col("doc_id") % 2 === 1)
+    val exact = DedupOps.decontaminate(half, evalSide, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    val (bloomDf, release) =
+      DedupOps.decontaminateBloomManaged(half, evalSide, "doc_id", "text", n = 3, fpp = 0.1)
+    val got = bloomDf.orderBy("doc_id").collect()
+    release()  // after materialization: must not throw, must drop the cached eval grams
+    assert(got.sameElements(exact))
+    // other suites may legitimately hold caches, so assert only that a fresh
+    // managed call + immediate release round-trips cleanly too
+    val (df2, release2) =
+      DedupOps.decontaminateBloomManaged(half, evalSide, "doc_id", "text", n = 3, fpp = 0.1)
+    val got2 = df2.orderBy("doc_id").collect()
+    release2()
+    assert(got2.sameElements(exact))
+  }
+
   test("decontaminateBloom == exact under a FORCED shuffled (non-broadcast) verify join") {
     // the hint removal exists for eval sets beyond broadcast size; locally
     // the tiny cached eval relation always planner-broadcasts, so the

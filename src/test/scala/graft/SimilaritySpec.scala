@@ -36,6 +36,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(agg == win)
   }
 
+  test("knnMerge with OVERLAPPING corpus slices equals full-corpus knnBrute") {
+    // slices share vec_id in [cut-50, cut): an overlapping neighbor appears in
+    // both per-side top-k relations and must occupy ONE merged slot, not two
+    val probes = emb.filter(col("vec_id") < 5)
+    val n = emb.count()
+    val cut = n / 2
+    val a = emb.filter(col("vec_id") < cut)
+    val b = emb.filter(col("vec_id") >= cut - 50)
+    val merged = SimilarityOps.knnMerge(
+      SimilarityOps.knnBrute(a, probes, "vec_id", "embedding", 10),
+      SimilarityOps.knnBrute(b, probes, "vec_id", "embedding", 10), k = 10)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val full = SimilarityOps.knnBrute(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(merged == full)
+  }
+
+  test("knnMerge collapses a re-scored (probe, neighbor) pair to max(sim)") {
+    val stored = Seq((1L, 7L, 0.90), (1L, 8L, 0.80)).toDF("probe_id", "neighbor_id", "sim")
+    val delta = Seq((1L, 7L, 0.95), (1L, 9L, 0.70)).toDF("probe_id", "neighbor_id", "sim")
+    val got = SimilarityOps.knnMerge(stored, delta, k = 3)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4).toSeq
+    assert(got == Seq((1L, 7L, 0.95, 1L), (1L, 8L, 0.80, 2L), (1L, 9L, 0.70, 3L)))
+  }
+
   test("graft_dot: matches HOF fold bitwise; null/empty/ragged handling") {
     import graft.functions.VectorFunctions.graft_dot
     import org.apache.spark.sql.functions.{aggregate => agg_, _}
