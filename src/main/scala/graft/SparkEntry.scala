@@ -908,24 +908,36 @@ object SparkEntry {
   def qNgramJaccardDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
 
-  /** MinHash+LSH near-dup pairs, exact-Jaccard verified (no SQL oracle:
-    * xxhash64 has no DuckDB equivalent; rows-only check + ScalaTest
-    * equivalence against q_ngram_jaccard_dedup).
+  /** MinHash+LSH near-dup pairs, exact-Jaccard verified. The output is the
+    * text-derivable verified-pairs relation (true uncapped Jaccard), so the
+    * DuckDB oracle — shared verbatim with q_winnow_dedup — re-derives it in
+    * SQL; the hash-match doubles as a measured recall-1.0 assertion for the
+    * banding on the gate corpus.
     */
   def qMinhashDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
 
-  /** SimHash near-dup pairs at Hamming ≤ 3 (no SQL oracle: xxhash64). */
+  /** SimHash near-dup pairs at Hamming ≤ 3 (no SQL oracle — and unlike the
+    * minhash/winnow generators this is INHERENT, not an xxhash64 artifact:
+    * token-simhash at radius 3 is a near-EXACT-dup detector whose recall of
+    * J≈0.9 pairs is partial by construction (single-token edits flip ~6 of
+    * 64 bits on 100-word docs), so no text-level SQL predicate reproduces
+    * its pair set. Rows-only check + DedupTextSpec precision pins; the
+    * exact-verified composition [[DedupOps.simhashVerifiedPairs]] is specced
+    * as a SUBSET of the exact relation, never claimed equal).
+    */
   def qSimhashDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.simhashPairs(Tables.documents(spark, dir), "doc_id", "text")
 
-  /** Winnowing rolling-hash near-dup pairs (no SQL oracle: Rabin–Karp
-    * fingerprints have no DuckDB equivalent; DedupTextSpec pins the
-    * winnowing guarantee and near-dup recall vs the shingle ground truth).
+  /** Winnowing-bucketed near-dup pairs (Rabin–Karp fingerprint candidates
+    * at 0.3), exact word-3-gram Jaccard verified at 0.5 — shares the
+    * verified-pairs oracle with q_minhash_dedup (equality = the winnowing
+    * generator lost no true pair). The raw fingerprint-Jaccard form stays
+    * [[DedupOps.winnowPairs]], ScalaTest-pinned.
     */
   def qWinnowDedup(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.winnowPairs(Tables.documents(spark, dir), "doc_id", "text",
-      threshold = 0.3)
+    DedupOps.winnowVerifiedPairs(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, threshold = 0.5)
 
   /** Incremental dedup: word-3-gram Jaccard pairs BETWEEN the even-id
     * "existing corpus" and the odd-id "incoming batch" at 0.5 — the
@@ -942,9 +954,10 @@ object SparkEntry {
 
   /** Incremental MinHash+LSH dedup: banded signature buckets per side,
     * candidates only ACROSS the even-id store / odd-id batch split, exact-
-    * Jaccard verified — the LSH analog of q_cross_dedup (no SQL oracle:
-    * xxhash64 signatures; rows-only + DedupTextSpec equivalence against
-    * the exact cross form).
+    * Jaccard verified — the LSH analog of q_cross_dedup. Oracle: the
+    * uncapped cross verified-pairs SQL (the LSH verify re-scores against
+    * full shingle sets, so no df cap applies); hash-equality doubles as the
+    * cross-banding recall-1.0 assertion on the gate corpus.
     */
   def qCrossDedupLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -1077,8 +1090,10 @@ object SparkEntry {
   def qMixtureManifest(spark: SparkSession, dir: String): DataFrame = {
     val weighted = qCorpusCuration(spark, dir)
       .select(col("doc_id"), col("n_tokens"), (col("quality") * lit(1.4)).as("weight"))
+    // string unit address: collision-free for ANY weight (an arithmetic
+    // doc_id*K+copy_idx scheme silently aliases units once weight >= K)
     val units = SamplingOps.upsampleByWeight(weighted, "doc_id", "weight")
-      .withColumn("unit_id", col("doc_id") * 10 + col("copy_idx"))
+      .withColumn("unit_id", concat_ws("#", col("doc_id"), col("copy_idx")))
     SamplingOps.shuffleShards(units, "unit_id", nShards = 16, seed = "mix")
       .groupBy(col("shard"))
       .agg(
@@ -1334,27 +1349,34 @@ object SparkEntry {
       .select(col("media_id"), col("kind"), col("n_bytes"))
 
   /** Frame sampling over packed media: the 1→N multimodal generator stage
-    * (no SQL oracle: the decode stub derives features from JVM hashing;
-    * JobsStreamingSpec pins determinism and fan-out bounds).
+    * in its metadata-driven form — the container header supplies
+    * duration_ms (here a deterministic function of the payload size, so the
+    * oracle re-derives the WHOLE geometry in SQL: frame count, indices and
+    * timestamps). The codec-probed variant ([[MultimodalOps.sampleFrames]],
+    * decode-stub duration) stays ScalaTest-pinned to the same arithmetic.
     */
-  def qFrameSample(spark: SparkSession, dir: String): DataFrame =
-    MultimodalOps
-      .sampleFrames(
-        spark,
-        MultimodalOps.packBinary(Tables.documents(spark, dir), "doc_id", "text", "video"))
-      .select(col("media_id"), col("frame_idx"), col("ts_ms"), col("width"), col("height"))
+  def qFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val packed = MultimodalOps
+      .packBinary(Tables.documents(spark, dir), "doc_id", "text", "video")
+      .withColumn("duration_ms", lit(500L) + pmod(col("n_bytes") * 37, lit(8000L)))
+    MultimodalOps.frameGeometry(packed, "duration_ms")
+      .select(col("media_id"), col("frame_idx"), col("ts_ms"), col("n_frames"))
+  }
 
   /** Audio pre-segmentation over packed media: overlapping fixed-length
-    * windows per clip (no SQL oracle: stub duration/energy features derive
-    * from JVM hashing; JobsStreamingSpec pins determinism, overlap
-    * geometry and fan-out bounds).
+    * windows per clip, metadata-driven duration (a deterministic function
+    * of payload size) — the oracle re-derives window count, spans and the
+    * clipped last window in SQL. The codec-probed variant
+    * ([[MultimodalOps.sampleAudioWindows]]) stays ScalaTest-pinned to the
+    * same span arithmetic.
     */
-  def qAudioWindows(spark: SparkSession, dir: String): DataFrame =
-    MultimodalOps
-      .sampleAudioWindows(
-        spark,
-        MultimodalOps.packBinary(Tables.documents(spark, dir), "doc_id", "text", "audio"))
+  def qAudioWindows(spark: SparkSession, dir: String): DataFrame = {
+    val packed = MultimodalOps
+      .packBinary(Tables.documents(spark, dir), "doc_id", "text", "audio")
+      .withColumn("duration_ms", lit(1000L) + pmod(col("n_bytes") * 131, lit(30000L)))
+    MultimodalOps.audioWindowGeometry(packed, "duration_ms")
       .select(col("media_id"), col("window_idx"), col("start_ms"), col("end_ms"))
+  }
 
   /** IVF approximate top-10 (k-means coarse quantizer, 16 lists, 4 probed)
     * for the same probe set (no SQL oracle: approximate result; ScalaTest
@@ -1385,8 +1407,11 @@ object SparkEntry {
     * symbol catalog TABLE: the source itself reads the first 500 customer
     * keys at scan planning (`symbolsPath` option — the request-list analog
     * of file listing; no caller-side collect), one input partition per 100
-    * symbols. No SQL oracle (the synthesized quote values use JVM hashing);
-    * rows-only check + SourcesSpec invariants incl. table-vs-inline parity.
+    * symbols. The stubbed fetch synthesizes quote fields from the Java
+    * String.hashCode of "symbol:asset_type" — a 31-polynomial the oracle
+    * folds in SQL — so the whole source (request-list planning, batching,
+    * field derivation) is hash-checked end-to-end; SourcesSpec adds
+    * table-vs-inline parity and the URL/param assembly invariants.
     */
   def qQuoteSource(spark: SparkSession, dir: String): DataFrame =
     spark.read
@@ -1610,7 +1635,92 @@ object SparkEntry {
         |  AND q.doc_id IN (SELECT doc_id FROM keepers)
         |  AND q.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
 
+  /** Shared verified-pairs oracle — the UNCAPPED exact word-3-gram Jaccard
+    * relation at 0.5, straight from text. q_minhash_dedup and
+    * q_winnow_dedup must both agree with it (and each other) bit-for-bit:
+    * each generator's candidates, exact-verified, reduce to this relation
+    * exactly when the generator loses no true pair — so the two
+    * hash-matches are measured recall-1.0 assertions, the
+    * q_decontaminate_bloom losslessness pattern. (No df cap here, unlike
+    * q_ngram_jaccard_dedup: the verify step re-scores against FULL shingle
+    * sets. SimHash stays OUT of this family: its radius-3 recall of J≈0.9
+    * pairs is partial by construction, see qSimhashDedup.)
+    */
+  private val verifiedPairsOracle: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+      |      FROM t WHERE len(w) >= 3),
+      |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(sh) AS n FROM g)
+      |SELECT doc_a, doc_b, common::DOUBLE / (sa.n + sb.n - common) AS jaccard
+      |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5""".stripMargin
+
+  /** Cross-corpus (even-store × odd-batch) variant of
+    * [[verifiedPairsOracle]] for q_cross_dedup_lsh — uncapped, exact.
+    */
+  private val crossVerifiedPairsOracle: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+      |      FROM t WHERE len(w) >= 3),
+      |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(sh) AS n FROM g)
+      |SELECT doc_a, doc_b, common::DOUBLE / (sa.n + sb.n - common) AS jaccard
+      |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_minhash_dedup" -> verifiedPairsOracle,
+    "q_winnow_dedup" -> verifiedPairsOracle,
+    "q_cross_dedup_lsh" -> crossVerifiedPairsOracle,
+    "q_quote_source" ->
+      """WITH sym AS (
+        |  SELECT 'C' || c_custkey::VARCHAR AS symbol, 'STOCK' AS asset_type
+        |  FROM (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL
+        |        ORDER BY c_custkey LIMIT 500)),
+        |hs AS (
+        |  SELECT symbol, asset_type,
+        |         list_reduce(
+        |           list_prepend(0::BIGINT, [unicode(st[i])::BIGINT for i in range(1, len(st) + 1)]),
+        |           (h, c) -> (31 * h + c) % 4294967296) AS u
+        |  FROM (SELECT symbol, asset_type, symbol || ':' || asset_type AS st FROM sym)),
+        |f AS (SELECT symbol, asset_type, (u % 2147483648)::BIGINT AS h FROM hs),
+        |v AS (SELECT symbol, asset_type,
+        |             10.0::DOUBLE + (h % 100000)::DOUBLE / 100.0::DOUBLE AS price,
+        |             ((h // 256) % 2000 - 1000)::DOUBLE / 100.0::DOUBLE AS change
+        |      FROM f)
+        |SELECT symbol, asset_type, price,
+        |       CASE WHEN price - change <> 0.0
+        |            THEN change / (price - change) * 100.0 ELSE 0.0 END AS percent_change,
+        |       change, price + abs(change) AS high, price - abs(change) AS low
+        |FROM v""".stripMargin,
+    "q_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |                  500 + (strlen(text) * 37) % 8000 AS d
+        |           FROM documents),
+        |n AS (SELECT media_id, least(8, d // 1000 + 1) AS nf FROM m),
+        |sel AS (SELECT media_id, nf, unnest(range(0, nf)) AS frame_idx FROM n)
+        |SELECT media_id, frame_idx::BIGINT AS frame_idx,
+        |       (frame_idx * 1000)::BIGINT AS ts_ms, nf::BIGINT AS n_frames
+        |FROM sel""".stripMargin,
+    "q_audio_windows" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |                  1000 + (strlen(text) * 131) % 30000 AS d
+        |           FROM documents),
+        |n AS (SELECT media_id, d,
+        |             least(16, CASE WHEN d <= 2000 THEN 1 ELSE (d - 2000) // 1000 + 1 END) AS nw
+        |      FROM m),
+        |sel AS (SELECT media_id, d, unnest(range(0, nw)) AS window_idx FROM n)
+        |SELECT media_id, window_idx::BIGINT AS window_idx,
+        |       (window_idx * 1000)::BIGINT AS start_ms,
+        |       least(window_idx * 1000 + 2000, d)::BIGINT AS end_ms
+        |FROM sel""".stripMargin,
     "q_top_k" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
@@ -2021,7 +2131,7 @@ object SparkEntry {
         |  FROM up),
         |units AS (
         |  SELECT doc_id, n_tokens,
-        |         doc_id * 10 + unnest(range(1, n_copies + 1)) AS unit_id
+        |         doc_id::VARCHAR || '#' || unnest(range(1, n_copies + 1))::VARCHAR AS unit_id
         |  FROM cc WHERE n_copies >= 1),
         |sh AS (
         |  SELECT doc_id, n_tokens, unit_id, md5('mix:' || unit_id::VARCHAR) AS hx

@@ -710,6 +710,78 @@ object DedupOps {
       .select(col(idCol), col("r.n_lines"), col("r.n_dropped"), col("r.clean_text"))
   }
 
+  /** Exact word-n-gram Jaccard verification over any candidate pair
+    * relation: each (doc_a, doc_b) candidate is re-scored against the FULL
+    * (uncapped) shingle sets and kept at `threshold` — the standard
+    * candidate/verify split where the generator (LSH bands, simhash chunks,
+    * winnowed fingerprints) affects RECALL only, never precision or scores.
+    *
+    * The returned `jaccard` is the true text-level similarity, re-derivable
+    * in plain SQL from the documents — so when the generator's recall is
+    * total (measured on the gate corpus in DedupTextSpec), the result is
+    * EXACTLY the text-derivable exact-Jaccard relation, and the registered
+    * queries built on this share one DuckDB oracle: the hash-match then
+    * verifies the whole generate→verify composition end-to-end, including
+    * that no true pair was lost to banding.
+    *
+    * Scale shape: candidates are the (small) output of a bucketed generator
+    * — this join ships each candidate id pair plus two hashed shingle sets,
+    * never text, and never goes all-pairs.
+    */
+  def verifyPairsExactJaccard(
+      candidates: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val sh = hashedShingles(docs, idCol, textCol, n)
+    val shA = sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
+    candidates.select(col("doc_a"), col("doc_b")).distinct()
+      .join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash-bucketed near-dup pairs, exact-Jaccard verified: candidates
+    * from [[simhashPairs]] (Hamming ≤ `maxHamming` over token simhashes),
+    * scores from [[verifyPairsExactJaccard]]. Precision 1.0 by
+    * construction; recall is PARTIAL on ordinary near-dups — radius-3
+    * token-simhash only reliably buckets near-EXACT duplicates (a single
+    * token edit flips ~6 of 64 bits on a 100-word doc), so this is a
+    * subset of the exact relation (specced as such), not an
+    * oracle-checkable reconstruction of it like the minhash/winnow forms.
+    */
+  def simhashVerifiedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxHamming: Int = 3): DataFrame =
+    verifyPairsExactJaccard(
+      simhashPairs(df, idCol, textCol, maxHamming), df, idCol, textCol, n, threshold)
+
+  /** Winnowing-bucketed near-dup pairs, exact-Jaccard verified: candidates
+    * from [[winnowPairs]] at the looser `candidateThreshold` over winnowed
+    * fingerprint sets, scores from [[verifyPairsExactJaccard]] over word
+    * n-gram shingles. The oracle-checkable form of the winnowing generator.
+    */
+  def winnowVerifiedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      candidateThreshold: Double = 0.3): DataFrame =
+    verifyPairsExactJaccard(
+      winnowPairs(df, idCol, textCol, threshold = candidateThreshold),
+      df, idCol, textCol, n, threshold)
+
   /** 64-bit SimHash of the document's distinct tokens: bit b of the result is
     * set iff the sum over tokens of ±1 (by bit b of the token's xxhash64) is
     * positive.

@@ -139,6 +139,67 @@ object MultimodalOps {
     }
   }
 
+  /** Declarative frame-sampling GEOMETRY over packed media that carries a
+    * duration column — the production-dominant case where the container
+    * header (ffprobe-style metadata scan, or a catalog column) supplies the
+    * duration without decoding a single frame. One row per sampled frame
+    * every `everyMs` ms, capped at `maxFrames`; pure integer arithmetic in
+    * one whole-stage-codegen span (sequence + explode — no UDF, no
+    * mapPartitions, nothing shuffles). [[sampleFrames]] remains the shape
+    * for when geometry must come from the codec itself; its per-media
+    * (frame_idx, ts_ms) fan-out is this same arithmetic (differentially
+    * pinned in MultimodalSpec).
+    */
+  def frameGeometry(
+      packed: DataFrame,
+      durationMsCol: String,
+      everyMs: Long = 1000L,
+      maxFrames: Int = 8): DataFrame = {
+    require(everyMs > 0 && maxFrames > 0, "frame interval and budget must be positive")
+    packed
+      .select(
+        col("media_id"),
+        // malformed (negative) metadata clamps to an empty clip, not a
+        // sequence() error inside the task
+        greatest(lit(0L), col(durationMsCol).cast("long")).as("duration_ms"))
+      .withColumn("n_frames",
+        least(lit(maxFrames.toLong), floor(col("duration_ms") / everyMs).cast("long") + 1L))
+      .withColumn("frame_idx", explode(sequence(lit(0L), col("n_frames") - 1)))
+      .withColumn("ts_ms", col("frame_idx") * everyMs)
+      .select(col("media_id"), col("frame_idx"), col("ts_ms"), col("n_frames"),
+        col("duration_ms"))
+  }
+
+  /** Declarative audio-windowing GEOMETRY over packed media with a duration
+    * column: fixed `windowMs` windows every `hopMs` (overlapping when hop <
+    * window), bounded by `maxWindows`, last window clipped to the duration —
+    * the same span arithmetic as [[sampleAudioWindows]] (differentially
+    * pinned in MultimodalSpec) without the decode stub, as one codegen'd
+    * narrow projection.
+    */
+  def audioWindowGeometry(
+      packed: DataFrame,
+      durationMsCol: String,
+      windowMs: Long = 2000L,
+      hopMs: Long = 1000L,
+      maxWindows: Int = 16): DataFrame = {
+    require(windowMs > 0 && hopMs > 0 && maxWindows > 0,
+      "window, hop and budget must be positive")
+    packed
+      .select(col("media_id"),
+        greatest(lit(0L), col(durationMsCol).cast("long")).as("duration_ms"))
+      .withColumn("n_windows",
+        least(
+          lit(maxWindows.toLong),
+          when(col("duration_ms") <= windowMs, lit(1L))
+            .otherwise(floor((col("duration_ms") - windowMs) / hopMs).cast("long") + 1L)))
+      .withColumn("window_idx", explode(sequence(lit(0L), col("n_windows") - 1)))
+      .withColumn("start_ms", col("window_idx") * hopMs)
+      .withColumn("end_ms", least(col("start_ms") + windowMs, col("duration_ms")))
+      .select(col("media_id"), col("window_idx"), col("start_ms"), col("end_ms"),
+        col("n_windows"), col("duration_ms"))
+  }
+
   /** One sampled audio window: span + stub energy features. */
   case class AudioWindow(
       media_id: Long, window_idx: Int, start_ms: Long, end_ms: Long,

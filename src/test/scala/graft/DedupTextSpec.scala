@@ -94,6 +94,25 @@ class DedupTextSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"expected >=0.9 recall, got $recall")
   }
 
+  test("winnow-verified pairs equal the uncapped exact relation; simhash-verified is a strict-precision subset") {
+    // the registered q_winnow_dedup contract: winnow candidates,
+    // exact-verified, must reduce to the text-derivable uncapped
+    // exact-Jaccard relation — pair set AND scores — which is what its
+    // DuckDB oracle (shared with q_minhash_dedup) re-derives
+    val exact = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDocFreq = 0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "corpus must plant near-dups for this test to bite")
+    val win = DedupOps.winnowVerifiedPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(win == exact, s"winnow-verified diverged: missing=${exact -- win} extra=${win -- exact}")
+    // simhash at radius 3 is a near-EXACT-dup detector: verified pairs are a
+    // subset (precision 1.0), and on this corpus it DOES miss J≈0.9 pairs —
+    // which is why q_simhash_dedup is documented rows-only, not oracle-shared
+    val sim = DedupOps.simhashVerifiedPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sim.subsetOf(exact), s"simhash-verified must never invent pairs: ${sim -- exact}")
+  }
+
   test("graft_winnow edge cases: short text -> empty, deterministic, SQL-callable") {
     import graft.functions.WinnowFunctions.graft_winnow
     val edge = Seq((1L, ""), (2L, "abc"), (3L, "abcdefgh"), (4L, "abcdefghi"))

@@ -154,6 +154,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(got.toSet == Set((2L, 1L), (2L, 2L), (2L, 3L)))
   }
 
+  test("unit addressing stays collision-free at weight >= 10 (the doc_id*10 aliasing regime)") {
+    // doc 5 copy 11 vs doc 6 copy 1 alias under unit_id = doc_id*10 + copy_idx;
+    // the string address doc_id#copy_idx cannot collide for any weight
+    val d = (1L to 20L).map(i => (i, 12.0)).toDF("doc_id", "weight")
+    val units = SamplingOps.upsampleByWeight(d, "doc_id", "weight")
+      .withColumn("unit_id", concat_ws("#", col("doc_id"), col("copy_idx")))
+    val total = units.count()
+    assert(total == 20L * 12L)
+    assert(units.select("unit_id").distinct().count() == total, "unit ids collided")
+    // and the full shard address space stays total: every unit lands exactly once
+    val sharded = SamplingOps.shuffleShards(units, "unit_id", nShards = 16, seed = "mix")
+    assert(sharded.count() == total)
+    assert(sharded.select("unit_id").distinct().count() == total)
+    // per-shard positions remain contiguous 1..n under the string key
+    val byShard = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(byShard.forall { case (_, n, mx, mn) => mn == 1L && mx == n })
+  }
+
   test("chunkDocs: stride coverage, overlap, tail and empty-doc contracts") {
     val d = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, W=4 S=3 → 1+ceil(6/3)=3 chunks
