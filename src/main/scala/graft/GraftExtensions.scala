@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, MinHashSignature, SimHash64, WinnowFingerprints}
+import graft.functions.{DotProduct, MinHashSignature, NGramHashes, SimHash64, TopCount, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for SQL use. Wire with
@@ -42,8 +42,22 @@ object GraftExtensions {
       "graft_winnow expects (string, <int literal>, <int literal>)")
   }
 
+  private def buildNgramHashes(args: Seq[Expression]): Expression = args match {
+    case Seq(t, Literal(n: Int, _)) => NGramHashes(t, n, distinct = false)
+    case Seq(t, Literal(n: Int, _), Literal(d: Boolean, _)) => NGramHashes(t, n, d)
+    case _ => throw new IllegalArgumentException(
+      "graft_ngram_hashes expects (array<string>, <int literal>[, <bool literal>])")
+  }
+
+  private def buildTopCount(args: Seq[Expression]): Expression = args match {
+    case Seq(a) => TopCount(a)
+    case _ => throw new IllegalArgumentException("graft_top_count expects exactly 1 argument")
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
     ("graft_dot", buildDot _, classOf[DotProduct]),
+    ("graft_ngram_hashes", buildNgramHashes _, classOf[NGramHashes]),
+    ("graft_top_count", buildTopCount _, classOf[TopCount]),
     ("graft_simhash", buildSimhash _, classOf[SimHash64]),
     ("graft_minhash_sig", buildMinhashSig _, classOf[MinHashSignature]),
     ("graft_winnow", buildWinnow _, classOf[WinnowFingerprints]))

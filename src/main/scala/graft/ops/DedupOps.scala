@@ -66,8 +66,24 @@ object DedupOps {
     * intersect in the verification step compares longs. Distinctness and
     * intersection sizes are preserved up to xxhash64 collisions
     * (~|shingles|²/2⁶⁵ — negligible at any realistic corpus size).
+    *
+    * The build is the native [[graft.functions.NGramHashes]] kernel — one
+    * codegen'd loop per document; [[hashedShinglesHof]] keeps the
+    * interpreted HOF formulation as its differential baseline
+    * (DedupTextSpec pins bitwise equality).
     */
   def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(
+      col(idCol),
+      graft.functions.HashFunctions
+        .graft_ngram_hashes(TextOps.tokens(col(textCol)), n, distinct = true)
+        .as("sh"))
+
+  /** Reference HOF formulation of [[hashedShingles]] (interpreted lambda per
+    * shingle position) — the differential baseline for the native kernel.
+    */
+  private[graft] def hashedShinglesHof(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(
       col(idCol),
       bindOnce(TextOps.tokens(col(textCol))) { toks =>

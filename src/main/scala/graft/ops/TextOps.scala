@@ -288,15 +288,14 @@ object TextOps {
     * bigram. High values of either mark degenerate boilerplate/looping text
     * that length or quality heuristics miss.
     *
-    * Shape: the trigram-repeat fraction is computed entirely inside one
-    * projection (array HOFs over the token array — no shuffle); the
-    * top-bigram share needs a per-(doc,bigram) count, i.e. one explode +
-    * two partial-aggregating groupBys keyed by doc, then a left join back
-    * so short documents (<2 tokens) survive with NULL fractions. The
-    * explode carries xxhash64(bigram), not the bigram string, so every
-    * shuffled row is (doc_id, 8-byte hash) — text never moves. A within-
-    * document hash collision (~b²/2⁶⁵ for b bigrams — negligible) could
-    * merge two bigrams' counts; same accepted odds as the module's other
+    * Shape: BOTH fractions are pure functions of the document's own token
+    * array, so the whole operator is ONE codegen'd narrow projection over
+    * the scan — the native graft_ngram_hashes kernel builds the gram
+    * hashes and graft_top_count reduces multiplicity in-row; no explode,
+    * no aggregation, no join, nothing shuffles at any corpus size. Short
+    * documents (<n tokens) keep their row with NULL fractions. A within-
+    * document hash collision (~b²/2⁶⁵ for b grams — negligible) could
+    * merge two grams' counts; same accepted odds as the module's other
     * xxhash64 operators.
     */
   def repetitionStats(
@@ -306,43 +305,31 @@ object TextOps {
       dupTrigramMax: Double = 0.3,
       topBigramMax: Double = 0.2): DataFrame = {
     val toks = split(normalize(col(textCol)), " ")
-    // trigram repeats are counted on xxhash64'd trigrams built in ONE
-    // single-level transform (slice+hash per position) — measured 5× faster
-    // than the two-level zip_with string construction it replaces (HOF
-    // lambdas evaluate interpreted, so lambda levels and string allocation
-    // dominate); distinctness is preserved up to the module's standard
-    // negligible collision odds
-    val trigramFrac = DedupOps.bindOnce(toks) { ts =>
-      DedupOps.bindOnce(
-        when(size(ts) >= 3,
-          transform(sequence(lit(1), size(ts) - 2),
-            i => xxhash64(concat_ws(" ", slice(ts, i, lit(3))))))
-          .otherwise(array().cast("array<bigint>"))
-      ) { tg =>
-        when(size(tg) > 0,
-          (size(tg) - size(array_distinct(tg))).cast("double")
-            / size(tg).cast("double"))
-      }
+    // BOTH metrics are pure per-document functions, computed by the native
+    // kernels (graft_ngram_hashes + graft_top_count) inside ONE codegen'd
+    // narrow projection — no explode, no groupBy, no join, nothing shuffles.
+    // (The previous shapes exploded bigram hashes into a two-level shuffled
+    // aggregation; a per-row reduction never needed an exchange at all.)
+    // Distinctness/multiplicity are preserved up to the module's standard
+    // negligible collision odds.
+    import graft.functions.HashFunctions.{graft_ngram_hashes, graft_top_count}
+    val trigramFrac = DedupOps.bindOnce(graft_ngram_hashes(toks, 3)) { tg =>
+      when(size(tg) > 0,
+        (size(tg) - size(array_distinct(tg))).cast("double")
+          / size(tg).cast("double"))
     }
-    val bigrams = bigramArray(toks)
-    val base = df.select(
+    val topBigramFrac = DedupOps.bindOnce(graft_ngram_hashes(toks, 2)) { bg =>
+      when(size(bg) > 0,
+        graft_top_count(bg).cast("double") / size(bg).cast("double"))
+    }
+    df.select(
       col(idCol),
       // empty-safe: the raw split of an empty doc is [""] (phantom 1 token,
       // the artifact tokens()' doc warns about) — count non-empty tokens so
       // n_tokens agrees with textStats/tokenCount/packSequences
       size(filter(toks, t => t =!= "")).cast("long").as("n_tokens"),
       trigramFrac.as("dup_trigram_frac"),
-      bigrams.as("__bigrams"))
-    val top = base
-      .select(col(idCol), explode(col("__bigrams")).as("bigram"))
-      .select(col(idCol), xxhash64(col("bigram")).as("bigram"))
-      .groupBy(col(idCol), col("bigram"))
-      .agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol))
-      .agg((max(col("__c")).cast("double") / sum(col("__c")).cast("double"))
-        .as("top_bigram_frac"))
-    base.drop("__bigrams")
-      .join(top, Seq(idCol), "left")
+      topBigramFrac.as("top_bigram_frac"))
       .withColumn(
         "is_repetitive",
         coalesce(col("dup_trigram_frac") > dupTrigramMax, lit(false)) ||

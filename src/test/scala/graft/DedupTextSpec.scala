@@ -43,6 +43,88 @@ class DedupTextSpec extends AnyFunSuite {
     assert(both.count() == docs.count())
   }
 
+  test("native graft_ngram_hashes is bit-identical to the HOF shingle/trigram builds over the corpus") {
+    import graft.functions.HashFunctions.graft_ngram_hashes
+    // distinct form vs the interpreted hashedShingles formulation, several n
+    for (n <- Seq(1, 2, 3, 5)) {
+      val native = graft.ops.DedupOps.hashedShingles(docs, "doc_id", "text", n)
+        .as[(Long, Seq[Long])].collect().toMap
+      val hof = graft.ops.DedupOps.hashedShinglesHof(docs, "doc_id", "text", n)
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(native == hof, s"n=$n diverged")
+    }
+    // non-distinct form vs the raw transform build (ALL positions, repeats kept)
+    val toks = TextOps.tokens(col("text"))
+    val nat = docs.select(col("doc_id"), graft_ngram_hashes(toks, 3).as("tg"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val ref = docs.select(
+      col("doc_id"),
+      DedupOps.bindOnce(toks) { ts =>
+        when(size(ts) >= 3,
+          transform(sequence(lit(1), size(ts) - 2),
+            i => xxhash64(concat_ws(" ", slice(ts, i, lit(3))))))
+          .otherwise(array().cast("array<bigint>"))
+      }.as("tg")).as[(Long, Seq[Long])].collect().toMap
+    assert(nat == ref)
+  }
+
+  test("graft_ngram_hashes edge cases: short/empty input, null tokens, SQL-callable") {
+    import graft.functions.HashFunctions.graft_ngram_hashes
+    val edge = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("a", "b")),          // shorter than n=3 → empty
+      (3L, Seq.empty[String]),      // empty → empty
+      (4L, Seq("a", "a", "a", "a")) // repeats: non-distinct keeps, distinct collapses
+    ).toDF("id", "toks")
+    val got = edge.select(col("id"), graft_ngram_hashes(col("toks"), 3).as("g"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L).length == 1 && got(2L).isEmpty && got(3L).isEmpty)
+    assert(got(4L).length == 2 && got(4L).distinct.length == 1)
+    val dis = edge.select(col("id"), graft_ngram_hashes(col("toks"), 3, distinct = true).as("g"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(dis(4L).length == 1 && dis(4L).head == got(4L).head)
+    // null tokens follow concat_ws skip-null semantics, same as the HOF form
+    val withNull = Seq((1L, Seq("a", null, "c"))).toDF("id", "toks")
+    val nativeNull = withNull.select(graft_ngram_hashes(col("toks"), 3).as("g"))
+      .as[Seq[Long]].head()
+    val hofNull = withNull.select(
+      transform(sequence(lit(1), size(col("toks")) - 2),
+        i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(3))))).as("g"))
+      .as[Seq[Long]].head()
+    assert(nativeNull == hofNull)
+    // SQL resolution through the extension registry
+    GraftExtensions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_ngram_hashes(array('x','y','z'), 2) AS g, " +
+      "graft_ngram_hashes(array('x','x','x'), 1, true) AS d")
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(viaSql._1.length == 2 && viaSql._2.length == 1)
+  }
+
+  test("graft_top_count equals the exploded groupBy top-count over the corpus; edge cases") {
+    import graft.functions.HashFunctions.{graft_ngram_hashes, graft_top_count}
+    val toks = split(TextOps.normalize(col("text")), " ")
+    val bg = docs.select(col("doc_id"), graft_ngram_hashes(toks, 2).as("bg"))
+      .filter(size(col("bg")) > 0).cache()
+    val native = bg.select(col("doc_id"), graft_top_count(col("bg")).as("top"))
+      .as[(Long, Long)].collect().toMap
+    val shuffled = bg.select(col("doc_id"), explode(col("bg")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == shuffled)
+    // edges: empty → 0, nulls skipped, all-equal → length
+    val edge = Seq(
+      (1L, Seq.empty[java.lang.Long]),
+      (2L, Seq[java.lang.Long](5L, null, 5L, 7L)),
+      (3L, Seq[java.lang.Long](9L, 9L, 9L))).toDF("id", "hs")
+    val got = edge.select(col("id"), graft_top_count(col("hs")).as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 3L))
+    GraftExtensions.registerAll(spark)
+    assert(spark.sql("SELECT graft_top_count(array(1L, 1L, 2L)) AS t").as[Long].head() == 2L)
+  }
+
   test("native graft_minhash_sig matches a Scala XXH64 reference; empty input → NULL") {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val crafted = Seq(
