@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+
+/** JDBC upsert sink — the deploy seam for the reference's Postgres
+  * `INSERT ... ON CONFLICT (symbol, asset_type) DO UPDATE`
+  * (`/root/reference/etl/jobs/fetch_market_data/fetch_market_data.py:30-55`):
+  * Spark has no built-in JDBC upsert (`DataFrameWriter.jdbc` only appends or
+  * overwrites), so this runs the portable row-level equivalent — UPDATE, and
+  * INSERT when no row matched — in one transaction per partition over
+  * executor-local connections.
+  *
+  * Correctness under parallelism: the frame is repartitioned by the key
+  * columns first, so a given key is written by exactly ONE task and the
+  * update-then-insert pair can never race itself across partitions (no
+  * cross-partition deadlocks, no duplicate-key insert races). Within a
+  * batch, rows sharing a key would still apply in arbitrary order — callers
+  * wanting last-wins semantics dedupe first (ops.Merge.lastWins, exactly the
+  * engine's B18 operator). Re-running the same batch is idempotent, which is
+  * what makes [[foreachBatchUpsert]] + checkpointing effectively-once for
+  * deterministic batches (the standard Structured Streaming JDBC posture).
+  *
+  * Scale shape: one connection + one prepared-statement pair per partition,
+  * rows streamed (never materialized); the only data movement is the key
+  * repartition. At warehouse scale a set-based `MERGE INTO` from a staged
+  * temp table amortizes round trips further — same contract, swap the
+  * per-row loop; the row loop is the reference-parity form and works on any
+  * JDBC target (tested against in-process Derby, the sandbox stand-in for
+  * Postgres).
+  *
+  * Identifiers are double-quoted verbatim in the generated SQL, so `table`,
+  * `keyCols` and `valueCols` must match the DDL case exactly.
+  */
+object JdbcUpsert {
+
+  def upsertBatch(
+      df: DataFrame,
+      url: String,
+      table: String,
+      keyCols: Seq[String],
+      valueCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty, "need key and value columns")
+    val cols = keyCols ++ valueCols
+    def q(c: String) = "\"" + c + "\""
+    val updateSql =
+      s"UPDATE ${q(table)} SET ${valueCols.map(c => s"${q(c)} = ?").mkString(", ")} " +
+        s"WHERE ${keyCols.map(c => s"${q(c)} = ?").mkString(" AND ")}"
+    val insertSql =
+      s"INSERT INTO ${q(table)} (${cols.map(q).mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    df.select(cols.map(col): _*)
+      .repartition(keyCols.map(col): _*)
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            conn.setAutoCommit(false)
+            val upd = conn.prepareStatement(updateSql)
+            val ins = conn.prepareStatement(insertSql)
+            try {
+              it.foreach { r =>
+                valueCols.indices.foreach { i =>
+                  upd.setObject(i + 1, r.get(keyCols.length + i))
+                }
+                keyCols.indices.foreach { i =>
+                  upd.setObject(valueCols.length + i + 1, r.get(i))
+                }
+                if (upd.executeUpdate() == 0) {
+                  cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+                  ins.executeUpdate()
+                }
+              }
+              conn.commit()
+            } finally { upd.close(); ins.close() }
+          } catch {
+            case e: Throwable =>
+              try conn.rollback() catch { case _: Exception => () }
+              throw e
+          } finally conn.close()
+        }
+      }
+  }
+
+  /** `writeStream.foreachBatch` adapter: every micro-batch upserts into the
+    * JDBC table — the engine's deploy path for the reference's
+    * poll-Kafka-upsert-Postgres loop (`etl/main.py:86-209`), with
+    * effectively-once semantics from idempotent upserts + checkpointed
+    * batch replay.
+    */
+  def foreachBatchUpsert(
+      url: String,
+      table: String,
+      keyCols: Seq[String],
+      valueCols: Seq[String]): (DataFrame, Long) => Unit =
+    (batch, _) => upsertBatch(batch, url, table, keyCols, valueCols)
+}

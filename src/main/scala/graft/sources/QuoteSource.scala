@@ -27,11 +27,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * task issues one batched fetch — the unit of parallelism is the API batch,
   * and executors fan out across batches instead of a driver-side loop.
   *
-  * [[QuotePartitionReader.fetch]] is the ONLY stub: it synthesizes a
-  * deterministic quote document per symbol (hash-derived price fields) where
-  * a deployment would perform the HTTP GET. Everything else — provider
-  * registration, schema, batch planning, per-partition readers, column order —
-  * is the real engine contract.
+  * Two fetch modes: with an `endpoint` option (e.g.
+  * `http://host:port/quotes`, plus `region`/`maxRetries`/`retryDelayMs`)
+  * each partition performs the REAL batched GET with the reference's
+  * 429-retry / 404-skip classifier ([[HttpQuotePartitionReader]] —
+  * exercised against a live localhost fixture in SourcesSpec); without it,
+  * [[QuotePartitionReader]] synthesizes deterministic hash-derived quotes
+  * (the broker-less default, SQL-re-derivable by the q_quote_source
+  * oracle). Provider registration, schema, batch planning, per-partition
+  * readers and column order are identical in both modes.
   */
 class QuoteSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = QuoteSource.schema
@@ -148,6 +152,10 @@ private class QuoteTable(options: CaseInsensitiveStringMap) extends Table with S
 
 private class QuoteScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder with Scan with Batch {
   private val batchSize = Option(options.get("batchSize")).map(_.toInt).getOrElse(100)
+  private val endpoint = Option(options.get("endpoint")).getOrElse("")
+  private val region = Option(options.get("region")).getOrElse("US")
+  private val maxRetries = Option(options.get("maxRetries")).map(_.toInt).getOrElse(3)
+  private val retryDelayMs = Option(options.get("retryDelayMs")).map(_.toLong).getOrElse(60000L)
   // resolved lazily so a table-driven request list is read at scan planning,
   // not at DataFrameReader.load()
   private lazy val symbols = QuoteSource.resolveSymbols(options)
@@ -156,15 +164,92 @@ private class QuoteScanBuilder(options: CaseInsensitiveStringMap) extends ScanBu
   override def readSchema(): StructType = QuoteSource.schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    symbols.grouped(batchSize).map(g => QuoteBatch(g.toArray): InputPartition).toArray
+    symbols.grouped(batchSize)
+      .map(g => QuoteBatch(g.toArray, endpoint, region, maxRetries, retryDelayMs): InputPartition)
+      .toArray
   override def createReaderFactory(): PartitionReaderFactory = new QuoteReaderFactory
 }
 
-private case class QuoteBatch(symbols: Array[(String, String)]) extends InputPartition
+private case class QuoteBatch(
+    symbols: Array[(String, String)],
+    endpoint: String,
+    region: String,
+    maxRetries: Int,
+    retryDelayMs: Long) extends InputPartition
 
 private class QuoteReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new QuotePartitionReader(partition.asInstanceOf[QuoteBatch].symbols)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val b = partition.asInstanceOf[QuoteBatch]
+    if (b.endpoint.nonEmpty) new HttpQuotePartitionReader(b)
+    else new QuotePartitionReader(b.symbols)
+  }
+}
+
+/** LIVE partition reader: ONE batched GET per input partition — the unit of
+  * parallelism is the API batch, same as the stub path — with the
+  * reference's retry/skip classifier executing against the real status
+  * codes ([[HttpFetch.fetchParsedWithRetry]]): 429 retries then fails the
+  * task, 404 skips the batch (zero rows — a missing symbol set is data),
+  * malformed payloads (missing `quoteResponse`/`result`, the reference's
+  * ValueError guards at `etl/utils.py:117-126`) classify as retryable.
+  * Response rows are parsed with Jackson (on Spark's classpath) from the
+  * engine-shaped `{"quoteResponse": {"result": [...]}}` wire form; rows
+  * missing `symbol` are dropped (the B6 payload guard), numeric fields
+  * absent or non-numeric become NULL (B3 coercion at the source boundary).
+  */
+private class HttpQuotePartitionReader(batch: QuoteBatch)
+    extends PartitionReader[InternalRow] {
+  private var rows: Iterator[InternalRow] = _
+  private var current: InternalRow = _
+
+  private def fetchRows(): Iterator[InternalRow] = {
+    val bySymbol = batch.symbols.toMap
+    val url = batch.endpoint + "?" +
+      QuoteSource.requestParams(batch.symbols.map(_._1).toSeq, batch.region)
+        .map { case (k, v) => s"$k=$v" }.mkString("&")
+    HttpFetch.fetchParsedWithRetry(
+      url, parseQuotes(bySymbol, _), batch.maxRetries, batch.retryDelayMs) match {
+      case HttpFetch.Fetched(rs) => rs.iterator
+      case HttpFetch.NotFound => Iterator.empty
+      case HttpFetch.Failed(reason) =>
+        throw new java.io.IOException(s"quote fetch failed for batch of ${batch.symbols.length}: $reason")
+    }
+  }
+
+  private def parseQuotes(
+      bySymbol: Map[String, String], body: String): Seq[InternalRow] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val root = mapper.readTree(body)
+    if (root == null || !root.has("quoteResponse"))
+      throw new java.io.IOException("Invalid API response format: missing 'quoteResponse' field")
+    val qr = root.get("quoteResponse")
+    if (!qr.has("result"))
+      throw new java.io.IOException("Invalid API response format: missing 'result' field in 'quoteResponse'")
+    val result = qr.get("result")
+    import scala.jdk.CollectionConverters._
+    result.elements().asScala.flatMap { n =>
+      if (!n.has("symbol")) None
+      else {
+        val sym = n.get("symbol").asText
+        val at =
+          if (n.has("asset_type")) n.get("asset_type").asText
+          else bySymbol.getOrElse(sym, "STOCK")
+        def dbl(f: String): Any =
+          if (n.has(f) && n.get(f).isNumber) java.lang.Double.valueOf(n.get(f).asDouble) else null
+        Some(InternalRow(
+          UTF8String.fromString(sym),
+          UTF8String.fromString(at),
+          dbl("price"), dbl("percent_change"), dbl("change"), dbl("high"), dbl("low")))
+      }
+    }.toSeq
+  }
+
+  override def next(): Boolean = {
+    if (rows == null) rows = fetchRows()
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 private class QuotePartitionReader(symbols: Array[(String, String)])
@@ -173,12 +258,13 @@ private class QuotePartitionReader(symbols: Array[(String, String)])
 
   override def next(): Boolean = { i += 1; i < symbols.length }
 
-  /** STUB fetch — a deployment replaces this body with the batched HTTP GET
-    * of `QuoteSource.requestUrl(host, path, requestParams(batch symbols,
-    * region))` (Twelve Data `/quote`, Yahoo get-quotes — the URL/param
-    * assembly is implemented and unit-tested; only the network call is
-    * stubbed) + Schemas.quoteDocument parse + the B1/B3 validate/coerce
-    * steps. Deterministic hash-derived fields so tests are stable.
+  /** STUB fetch — a deployment sets the `endpoint` option instead, routing
+    * the batch through [[HttpQuotePartitionReader]]'s real GET of
+    * `QuoteSource.requestUrl(host, path, requestParams(batch symbols,
+    * region))` (Twelve Data `/quote`, Yahoo get-quotes). Deterministic
+    * hash-derived fields so tests are stable AND SQL-re-derivable: the
+    * q_quote_source oracle folds this exact Java String.hashCode
+    * arithmetic.
     */
   override def get(): InternalRow = {
     val (sym, at) = symbols(i)

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.JdbcUpsert
+
+/** The JDBC upsert round trip ACTUALLY TAKEN against an in-process Derby
+  * (the sandbox stand-in for the reference's Postgres): composite-key
+  * ON-CONFLICT semantics, partition-parallel writes, idempotent replay, and
+  * the foreachBatch streaming deploy path.
+  */
+class JdbcUpsertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private val keyCols = Seq("symbol", "asset_type")
+  private val valCols = Seq("price", "change")
+
+  private def withTable[A](name: String)(body: String => A): A = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(s"""DROP TABLE "$name"""") catch { case _: java.sql.SQLException => () }
+      st.execute(
+        s"""CREATE TABLE "$name" (
+           |  "symbol" VARCHAR(32) NOT NULL,
+           |  "asset_type" VARCHAR(16) NOT NULL,
+           |  "price" DOUBLE,
+           |  "change" DOUBLE,
+           |  PRIMARY KEY ("symbol", "asset_type"))""".stripMargin)
+      st.close()
+      body(name)
+    } finally conn.close()
+  }
+
+  private def readAll(name: String): Set[(String, String, Double, Double)] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        s"""SELECT "symbol", "asset_type", "price", "change" FROM "$name"""")
+      val buf = scala.collection.mutable.Set.empty[(String, String, Double, Double)]
+      while (rs.next()) buf += ((rs.getString(1), rs.getString(2), rs.getDouble(3), rs.getDouble(4)))
+      buf.toSet
+    } finally conn.close()
+  }
+
+  test("upsertBatch: insert-new + update-existing on the composite key (reference ON CONFLICT)") {
+    withTable("market_data") { t =>
+      val b1 = Seq(
+        ("AAPL", "STOCK", 100.0, 1.0),
+        ("BTC", "CRYPTO", 50000.0, -20.0),
+        ("MSFT", "STOCK", 200.0, 2.0))
+        .toDF("symbol", "asset_type", "price", "change")
+      JdbcUpsert.upsertBatch(b1, url, t, keyCols, valCols)
+      assert(readAll(t) == Set(
+        ("AAPL", "STOCK", 100.0, 1.0), ("BTC", "CRYPTO", 50000.0, -20.0),
+        ("MSFT", "STOCK", 200.0, 2.0)))
+      // second batch: one conflict (AAPL updated), one new row; same symbol
+      // under a DIFFERENT asset_type must NOT conflict (composite key)
+      val b2 = Seq(
+        ("AAPL", "STOCK", 101.5, 1.5),
+        ("AAPL", "OPTION", 9.0, 0.1),
+        ("ETH", "CRYPTO", 3000.0, 30.0))
+        .toDF("symbol", "asset_type", "price", "change")
+      JdbcUpsert.upsertBatch(b2, url, t, keyCols, valCols)
+      assert(readAll(t) == Set(
+        ("AAPL", "STOCK", 101.5, 1.5), ("AAPL", "OPTION", 9.0, 0.1),
+        ("BTC", "CRYPTO", 50000.0, -20.0), ("MSFT", "STOCK", 200.0, 2.0),
+        ("ETH", "CRYPTO", 3000.0, 30.0)))
+      // replaying a batch verbatim is a no-op (idempotence — the property
+      // foreachBatch checkpoint recovery leans on)
+      JdbcUpsert.upsertBatch(b2, url, t, keyCols, valCols)
+      assert(readAll(t).size == 5)
+    }
+  }
+
+  test("upsertBatch: partition-parallel writes land every key exactly once") {
+    withTable("market_par") { t =>
+      val n = 2000
+      val df = spark.range(n)
+        .select(
+          concat(lit("S"), col("id")).as("symbol"),
+          lit("STOCK").as("asset_type"),
+          col("id").cast("double").as("price"),
+          lit(0.5).as("change"))
+        .repartition(16) // many concurrent writer tasks against one Derby
+      JdbcUpsert.upsertBatch(df, url, t, keyCols, valCols)
+      val got = readAll(t)
+      assert(got.size == n)
+      assert(got.forall { case (s, _, p, _) => s == s"S${p.toLong}" })
+      // update wave: every row conflicts, none duplicates
+      JdbcUpsert.upsertBatch(
+        df.withColumn("price", col("price") + 1000000.0), url, t, keyCols, valCols)
+      val after = readAll(t)
+      assert(after.size == n && after.forall(_._3 >= 1000000.0))
+    }
+  }
+
+  test("foreachBatchUpsert: MemoryStream micro-batches reach the table with last-wins state") {
+    withTable("market_stream") { t =>
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(String, String, Double, Double)]
+      val q = in.toDF().toDF("symbol", "asset_type", "price", "change")
+        .writeStream
+        .outputMode("append")
+        .foreachBatch(JdbcUpsert.foreachBatchUpsert(url, t, keyCols, valCols))
+        .start()
+      try {
+        in.addData(("AAPL", "STOCK", 100.0, 1.0), ("BTC", "CRYPTO", 50000.0, -20.0))
+        q.processAllAvailable()
+        assert(readAll(t) == Set(
+          ("AAPL", "STOCK", 100.0, 1.0), ("BTC", "CRYPTO", 50000.0, -20.0)))
+        // a later micro-batch re-quotes AAPL: the table must hold the new
+        // value, not a second row — the reference's poll-upsert loop parity
+        in.addData(("AAPL", "STOCK", 103.0, 3.0))
+        q.processAllAvailable()
+        assert(readAll(t) == Set(
+          ("AAPL", "STOCK", 103.0, 3.0), ("BTC", "CRYPTO", 50000.0, -20.0)))
+      } finally q.stop()
+    }
+  }
+}

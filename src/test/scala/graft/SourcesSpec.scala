@@ -91,6 +91,105 @@ class SourcesSpec extends AnyFunSuite {
       "https://example-host.test/market/v2/get-quotes?symbols=%5EDJI,%5EGSPC,AAPL&region=US")
   }
 
+  /** Localhost fixture server: serves /quotes with scriptable status
+    * behavior, counting requests — the reference's 429/404 classifier
+    * finally runs against REAL status codes over a real socket.
+    */
+  private def withFixtureServer[A](
+      rateLimitFirst: Int = 0, notFound: Boolean = false, malformedFirst: Int = 0)(
+      body: (String, java.util.concurrent.atomic.AtomicInteger) => A): A = {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/quotes", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val n = hits.incrementAndGet()
+      val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val symbols = query.split("&").find(_.startsWith("symbols="))
+        .map(_.stripPrefix("symbols=").split(",").toSeq.map(s =>
+          java.net.URLDecoder.decode(s, "UTF-8"))).getOrElse(Seq.empty)
+      val (status, payload) =
+        if (n <= rateLimitFirst) (429, """{"error": "rate limited"}""")
+        else if (notFound) (404, """{"error": "not found"}""")
+        else if (n <= malformedFirst) (200, """{"unexpected": []}""")
+        else {
+          val rows = symbols.map(s =>
+            s"""{"symbol": "$s", "asset_type": "STOCK", "price": ${s.length}.5,
+               | "percent_change": 1.25, "change": 0.5, "high": ${s.length}.75,
+               | "low": ${s.length}.25}""".stripMargin.replace("\n", ""))
+          (200, s"""{"quoteResponse": {"result": [${rows.mkString(",")}]}}""")
+        }
+      val bytes = payload.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/quotes", hits)
+    finally server.stop(0)
+  }
+
+  private def liveQuotes(endpoint: String, symbols: String, extra: Map[String, String] = Map.empty) = {
+    val base = spark.read.format("graft.sources.QuoteSource")
+      .option("symbols", symbols)
+      .option("batchSize", "2")
+      .option("endpoint", endpoint)
+      .option("retryDelayMs", "1")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("LIVE http quote source: real GET per batch partition, parsed rows, encoded request") {
+    withFixtureServer() { (endpoint, hits) =>
+      val df = liveQuotes(endpoint, "AAPL:STOCK,^GSPC:INDEX,BRK.B:STOCK")
+      // sort locally: a global orderBy adds a range-sampling pass that would
+      // re-run the scan (and double the GET count this test pins)
+      val rows = df.select("symbol", "asset_type", "price", "high", "low")
+        .as[(String, String, Double, Double, Double)].collect().toSeq.sortBy(_._1)
+      // ^GSPC round-trips through %5EGSPC percent-encoding and back; the
+      // fixture's asset_type overrides the request's (response is truth)
+      assert(rows == Seq(
+        ("AAPL", "STOCK", 4.5, 4.75, 4.25),
+        ("BRK.B", "STOCK", 5.5, 5.75, 5.25),
+        ("^GSPC", "STOCK", 5.5, 5.75, 5.25)))
+      assert(hits.get() == 2, "one GET per batch partition (3 symbols / batchSize 2)")
+    }
+  }
+
+  test("LIVE http quote source: 429 rate limit retries then succeeds (reference classifier)") {
+    withFixtureServer(rateLimitFirst = 2) { (endpoint, hits) =>
+      val df = liveQuotes(endpoint, "AAPL:STOCK,MSFT:STOCK")
+      assert(df.count() == 2)
+      assert(hits.get() == 3, "two 429s then one 200 — the retry loop took the socket path 3 times")
+    }
+  }
+
+  test("LIVE http quote source: 404 skips the batch without failing the scan") {
+    withFixtureServer(notFound = true) { (endpoint, hits) =>
+      val df = liveQuotes(endpoint, "GONE:STOCK")
+      assert(df.count() == 0, "404 = symbol set not found → skip, per the reference")
+      assert(hits.get() == 1, "404 must NOT retry")
+    }
+  }
+
+  test("LIVE http quote source: malformed payload classifies as retryable, then parses") {
+    withFixtureServer(malformedFirst = 1) { (endpoint, hits) =>
+      val df = liveQuotes(endpoint, "AAPL:STOCK")
+      assert(df.count() == 1)
+      assert(hits.get() == 2, "missing quoteResponse → ValueError-equivalent → one retry")
+    }
+  }
+
+  test("fetchParsedWithRetry: terminal failure after maxRetries, sleep cadence observed") {
+    withFixtureServer(rateLimitFirst = Int.MaxValue) { (endpoint, hits) =>
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val r = graft.sources.HttpFetch.fetchParsedWithRetry[String](
+        endpoint + "?symbols=X", identity, maxRetries = 3, retryDelayMs = 7L, sleep = sleeps += _)
+      assert(r.isInstanceOf[graft.sources.HttpFetch.Failed])
+      assert(r.asInstanceOf[graft.sources.HttpFetch.Failed].reason.contains("HTTP 429"))
+      assert(hits.get() == 4, "initial attempt + 3 retries")
+      assert(sleeps.toSeq == Seq(7L, 7L, 7L), "sleeps between attempts, none after the last")
+    }
+  }
+
   test("csv/jsonl landing: schema-pinned parse routes malformed rows to rejects") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._
