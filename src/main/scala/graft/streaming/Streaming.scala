@@ -77,6 +77,28 @@ object Streaming {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Run `body` (typically a `writeStream...start()`) with the RocksDB
+    * state-store provider active — the PRODUCTION posture for unbounded
+    * streams: per-executor state lives off-heap in RocksDB with incremental
+    * snapshot+changelog checkpointing, so watermark-bounded stateful
+    * operators ([[dedupWithinWatermark]], windowed aggs, stream-stream
+    * joins) scale to key cardinalities far beyond JVM heap, where the
+    * default HDFS-backed in-memory provider OOMs. The provider class is
+    * captured at QUERY START, so exactly the queries started inside `body`
+    * are affected; the previous setting is restored on exit. Restart
+    * equivalence on this path (state reloaded from RocksDB checkpoint
+    * files) and the provider's state-size metrics are pinned in
+    * JobsStreamingSpec.
+    */
+  def withRocksDbStateStore[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   /** Stream-static dedup: drop stream rows whose content key already
     * exists in a STATIC store relation (left-anti stream-static join — no
     * state, no watermark; the store is re-resolved per micro-batch, so a

@@ -176,6 +176,56 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(got.sorted == Seq("doc_a", "doc_b", "doc_c"))
   }
 
+  test("RocksDB-backed dedupWithinWatermark: crash/restart equivalence + provider state metrics") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val df = stream.toDF().toDF("fingerprint", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .select("fingerprint", "ts")
+    val deduped = Streaming.dedupWithinWatermark(df, "ts", Seq("fingerprint"), "10 minutes")
+    val ckpt = Files.createTempDirectory("graft-rocks-ckpt").toString
+    // foreachBatch sink: the memory sink refuses checkpoint recovery, and
+    // recovery is exactly what this test exercises
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def startQuery() = Streaming.withRocksDbStateStore(spark) {
+      deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("fingerprint").collect().foreach(r => emitted.add(r.getString(0)))
+        }
+        .start()
+    }
+    val q1 = startQuery()
+    stream.addData(
+      ("doc_a", "2024-01-01 00:00:00"), ("doc_b", "2024-01-01 00:01:00"),
+      ("doc_a", "2024-01-01 00:00:30")) // in-batch re-delivery
+    q1.processAllAvailable()
+    // the provider actually in use must be RocksDB: its custom metrics are
+    // namespaced rocksdb* in the progress events
+    val metrics1 = q1.lastProgress.stateOperators.head.customMetrics
+    import scala.jdk.CollectionConverters._
+    assert(metrics1.keySet.asScala.exists(_.startsWith("rocksdb")),
+      s"expected rocksdb provider metrics, got ${metrics1.keySet}")
+    q1.stop()
+    // crash analog: a FRESH query restarts from the checkpoint — dedup state
+    // must come back from the RocksDB snapshot, so a cross-restart
+    // re-delivery of doc_a/doc_b within the horizon still drops
+    val q2 = startQuery()
+    stream.addData(
+      ("doc_a", "2024-01-01 00:02:00"), ("doc_b", "2024-01-01 00:03:00"),
+      ("doc_c", "2024-01-01 00:04:00"))
+    q2.processAllAvailable()
+    val prog = q2.lastProgress.stateOperators.head
+    // state-size assertion: exactly the distinct keys within the horizon are
+    // held (3 fingerprints), none evicted yet, none duplicated by the restart
+    assert(prog.numRowsTotal == 3L, s"state rows = ${prog.numRowsTotal}")
+    assert(prog.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))
+    q2.stop()
+    val got = emitted.toArray(new Array[String](0)).toSeq
+    assert(got.sorted == Seq("doc_a", "doc_b", "doc_c"),
+      s"restart must not re-emit keys already deduped before the crash, got $got")
+  }
+
   test("indexUpdate stale-on-error fallback serves cached rows with degraded status") {
     val requests = Seq("^GSPC", "^NDX").toDF("symbol")
     val store = Seq(("^GSPC", 5000.0)).toDF("symbol", "price")
