@@ -17,9 +17,9 @@ import graft.ops.DedupOps
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     // no args = every section; args name the sections to run
-    // (dedup | knn | neardup | merge | linededup | decon)
+    // (dedup | knn | neardup | neardupskew | merge | linededup | decon)
     val only = args.toSet
-    val known = Set("dedup", "knn", "neardup", "merge", "linededup", "decon")
+    val known = Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -151,6 +151,48 @@ object ScaleSmoke {
         val pairs = run()
         val dt = (System.nanoTime() - t0) / 1e9
         println(s"$k,$n,$name,$dt,$pairs,${scoredFn()}")
+      }
+      corpus.unpersist()
+    }
+
+    // ---- one-giant-cluster near-dup: flat blocking vs salted blocking ----
+    // 50% of the corpus is ONE diffuse direction cluster (plus tight cold
+    // clusters): the flat blocking funnels it into one list whose candidate
+    // count is quadratic in the hot mass; the salted blocking subdivides hot
+    // lists with adaptive-fan-out sub-k-means (SimilarityOps
+    // .cosineNearDupPairsBlockedSalted; recall pinned in SimilaritySpec on
+    // the same generator). Candidate count is the machine-independent metric.
+    def skewedVecs(k: Int): DataFrame =
+      SyntheticVectors.skewedOneCluster(
+        nTwinPairs = 500 * k, nColdClusters = 10 * k, perCold = 100, dim = 16, seed = 7L)
+        .toDF("vec_id", "embedding")
+    if (want("neardupskew")) println("neardupskew: k,vectors,op,seconds,pairs,candidates")
+    (if (want("neardupskew")) Seq(1, 2, 4) else Seq[Int]()).foreach { k =>
+      val corpus = skewedVecs(k).cache()
+      val n = corpus.count()
+      def prepped = corpus
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(aggregate(
+          transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+        .filter(col("nrm") > 0)
+        .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      Seq[(String, () => Long, () => Long)](
+        ("blocked(16)",
+          () => SimilarityOps.cosineNearDupPairsBlocked(corpus, "vec_id", "embedding", 0.99,
+            nLists = 16, nProbe = 2).count(),
+          () => SimilarityOps.blockedCandidates(corpus, "vec_id", "embedding", 16, 2).count()),
+        ("salted(16,cap200)",
+          () => SimilarityOps.cosineNearDupPairsBlockedSalted(corpus, "vec_id", "embedding", 0.99,
+            nLists = 16, nProbe = 2, maxListSize = 200).count(),
+          () => SimilarityOps.blockedCandidatesSalted(
+            prepped, "vec_id", 16, 2, 200, 42L, 5, 3).count())
+      ).foreach { case (name, run, candFn) =>
+        spark.sharedState.cacheManager.clearCache()
+        corpus.cache().count()
+        val t0 = System.nanoTime()
+        val pairs = run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(s"$k,$n,$name,$dt,$pairs,${candFn()}")
       }
       corpus.unpersist()
     }

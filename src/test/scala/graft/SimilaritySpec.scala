@@ -158,6 +158,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(blocked.forall(r => r._1 < r._2))
   }
 
+  test("salted blocked near-dup: sub-quadratic candidates on a 50%-one-cluster corpus, recall pinned") {
+    import graft.tools.SyntheticVectors
+    def corpus(scale: Int) = SyntheticVectors
+      .skewedOneCluster(
+        nTwinPairs = 250 * scale, nColdClusters = 5 * scale, perCold = 100,
+        dim = 16, seed = 7L)
+      .toDF("vec_id", "embedding")
+    val big = corpus(2).cache() // 1000 hot + 1000 cold vectors
+    val exact = SimilarityOps.cosineNearDupPairs(big, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    assert(exactSet.size >= 500, "twin pairs + cold cluster pairs must be planted")
+    val salted = SimilarityOps.cosineNearDupPairsBlockedSalted(
+      big, "vec_id", "embedding", 0.99,
+      nLists = 8, nProbe = 2, maxListSize = 100, maxDepth = 4)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+    val saltedSet = salted.map(r => (r._1, r._2)).toSet
+    val recall = (exactSet & saltedSet).size.toDouble / exactSet.size
+    info(s"salted near-dup recall=$recall (${saltedSet.size}/${exactSet.size} pairs)")
+    assert(recall >= 0.95, s"recall=$recall")
+    // salting affects recall only: subset of exact, identical scores
+    assert((saltedSet -- exactSet).isEmpty)
+    val exactSims = exact.map(r => (r._1, r._2) -> r._3).toMap
+    assert(salted.forall(r => exactSims((r._1, r._2)) == r._3))
+    // candidate growth: flat blocking's hot list goes quadratic; the salted
+    // blocking must stay well under it and grow sub-quadratically with n
+    def prep(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(aggregate(
+          transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+        .filter(col("nrm") > 0)
+        .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      p
+    }
+    val small = corpus(1).cache() // 500 hot + 500 cold
+    def saltedCand(df: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.blockedCandidatesSalted(
+        prep(df), "vec_id", nLists = 8, nProbe = 2, maxListSize = 100,
+        seed = 42L, maxIter = 5, maxDepth = 4).count()
+    val flatBig = SimilarityOps.blockedCandidates(
+      big, "vec_id", "embedding", nLists = 8, nProbe = 2).count()
+    val (candSmall, candBig) = (saltedCand(small), saltedCand(big))
+    val growth = candBig.toDouble / candSmall
+    info(s"candidates: flat(big)=$flatBig salted(small)=$candSmall salted(big)=$candBig growth=$growth")
+    assert(candBig < flatBig / 2, s"salted ($candBig) must undercut flat ($flatBig) substantially")
+    assert(growth < 3.0, s"2x corpus must grow candidates sub-quadratically, got ${growth}x")
+  }
+
   test("semantic dedup via blocked pairs equals the exact-pair pipeline on clustered vectors") {
     // the full SemDeDup path at scale: blocked candidate pairs → connected
     // components → keepers must resolve the SAME clusters as the exact
