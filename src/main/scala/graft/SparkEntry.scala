@@ -1157,6 +1157,32 @@ object SparkEntry {
       .select(col("doc_id"), col("pred_lang"), col("quality"), col("q_rank"))
   }
 
+  /** Per-domain cap: top-50 documents per source by (n_chars DESC, doc_id)
+    * — the anti-SEO curation guard ([[SamplingOps.capPerDomain]]).
+    */
+  def qDomainCap(spark: SparkSession, dir: String): DataFrame =
+    SamplingOps.capPerDomain(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "doc_id", "n_chars", maxPerDomain = 50)
+
+  /** Sequence-length power-of-two bucketing with padding/truncation costs
+    * ([[SamplingOps.lengthBuckets]]) — training-batch shape planning.
+    */
+  def qLengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    SamplingOps.lengthBuckets(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Quality quartiles within predicted language
+    * ([[TextOps.curriculumBins]]) — curriculum-learning prep.
+    */
+  def qCurriculumBins(spark: SparkSession, dir: String): DataFrame =
+    TextOps.curriculumBins(Tables.documents(spark, dir), "doc_id", "text", k = 4)
+
+  /** First-16-token template groups ([[DedupOps.prefixTemplates]]) —
+    * mirror/boilerplate families whole-document dedup misses.
+    */
+  def qPrefixTemplates(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.prefixTemplates(Tables.documents(spark, dir), "doc_id", "text", k = 16)
+
   /** Frequency-ranked top-30 vocabulary of the corpus (deterministic
     * (count DESC, token) order), the tokenizer-prep relation.
     */
@@ -1532,6 +1558,10 @@ object SparkEntry {
     "q_upsample_epochs"         -> (qUpsampleEpochs(_, _)),
     "q_mixture_manifest"        -> (qMixtureManifest(_, _)),
     "q_curation_manifest_staged" -> (qCurationManifestStaged(_, _)),
+    "q_domain_cap"              -> (qDomainCap(_, _)),
+    "q_length_buckets"          -> (qLengthBuckets(_, _)),
+    "q_curriculum_bins"         -> (qCurriculumBins(_, _)),
+    "q_prefix_templates"        -> (qPrefixTemplates(_, _)),
     "q_series_motif"            -> (qSeriesMotif(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_knn_incremental"         -> (qKnnIncremental(_, _)),
@@ -1618,7 +1648,11 @@ object SparkEntry {
     * as a CTE by the q_training_manifest oracle (which packs the curated
     * set).
     */
-  private val curationCtes: String =
+  /** The lang + quality CTE block alone (non-recursive) — reused by the
+    * q_curriculum_bins oracle, which needs the scoring but not the dedup
+    * chain. [[curationCtes]] builds on it.
+    */
+  private val langQualityCtes: String =
     """s AS (
         |  SELECT doc_id,
         |         len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS en,
@@ -1646,7 +1680,9 @@ object SparkEntry {
         |         0.4 * least(1.0, n_tokens / 100.0)
         |         + 0.3 * (1.0 - least(1.0, punct_ratio * 10.0))
         |         + 0.3 * least(1.0, stopword_ratio * 5.0) AS quality
-        |  FROM qs),
+        |  FROM qs)""".stripMargin
+
+  private val curationCtes: String = langQualityCtes + """,
         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
         |g AS (SELECT doc_id,
@@ -1719,6 +1755,39 @@ object SparkEntry {
     "q_minhash_dedup" -> verifiedPairsOracle,
     "q_winnow_dedup" -> verifiedPairsOracle,
     "q_cross_dedup_lsh" -> crossVerifiedPairsOracle,
+    "q_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |                  row_number() OVER (PARTITION BY source
+        |                                     ORDER BY n_chars DESC, doc_id) AS rk
+        |           FROM documents)
+        |SELECT doc_id, source, n_chars, rk::BIGINT AS domain_rank
+        |FROM r WHERE rk <= 50""".stripMargin,
+    "q_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |                  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n
+        |           FROM documents),
+        |b AS (SELECT doc_id, n,
+        |             (CASE WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+        |                   WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512 WHEN n <= 1024 THEN 1024
+        |                   WHEN n <= 2048 THEN 2048 ELSE -1 END)::BIGINT AS bucket
+        |      FROM t)
+        |SELECT bucket, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS sum_tokens,
+        |       sum(CASE WHEN bucket <> -1 THEN bucket - n ELSE 0 END)::BIGINT AS pad_tokens,
+        |       sum(CASE WHEN bucket = -1 THEN n - 2048 ELSE 0 END)::BIGINT AS overflow_tokens
+        |FROM b GROUP BY 1""".stripMargin,
+    "q_curriculum_bins" ->
+      s"""WITH $langQualityCtes
+        |SELECT q.doc_id, l.pred_lang, q.quality,
+        |       ntile(4) OVER (PARTITION BY l.pred_lang ORDER BY q.quality, q.doc_id)::BIGINT AS bin
+        |FROM quality q JOIN lang l ON q.doc_id = l.doc_id""".stripMargin,
+    "q_prefix_templates" ->
+      raw"""WITH t AS (SELECT doc_id,
+        |                  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |           FROM documents),
+        |p AS (SELECT doc_id, md5(coalesce(array_to_string(w[1:16], ' '), '')) AS fingerprint
+        |      FROM t)
+        |SELECT fingerprint, min(doc_id) AS keeper_id, count(*)::BIGINT AS n_docs
+        |FROM p GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
     "q_quote_source" ->
       """WITH sym AS (
         |  SELECT 'C' || c_custkey::VARCHAR AS symbol, 'STOCK' AS asset_type

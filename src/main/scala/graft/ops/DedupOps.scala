@@ -726,6 +726,33 @@ object DedupOps {
       .select(col(idCol), col("r.n_lines"), col("r.n_dropped"), col("r.clean_text"))
   }
 
+  /** Prefix-template groups (mirror/boilerplate detection): documents
+    * sharing their first `k` tokens verbatim collapse into one template
+    * group — SEO farms, mirrored articles and generated pages repeat their
+    * openings even when tails diverge, so the prefix fingerprint catches
+    * families that whole-document exact dedup misses. One row per group
+    * with ≥2 members: (fingerprint = md5 of the joined prefix, keeper_id =
+    * min id, n_docs). Documents shorter than `k` tokens fingerprint their
+    * whole token stream (empty documents therefore form one group — the
+    * degenerate template).
+    *
+    * Scale shape: one narrow projection (tokens → k-slice → md5) + one
+    * hash-aggregate on the 128-bit fingerprint; text never shuffles.
+    */
+  def prefixTemplates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 16): DataFrame = {
+    require(k >= 1, "k must be positive")
+    df.select(
+      col(idCol),
+      md5(concat_ws(" ", slice(TextOps.tokens(col(textCol)), 1, k))).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Exact word-n-gram Jaccard verification over any candidate pair
     * relation: each (doc_a, doc_b) candidate is re-scored against the FULL
     * (uncapped) shingle sets and kept at `threshold` — the standard

@@ -191,6 +191,67 @@ object SamplingOps {
       .drop("__h")
   }
 
+  /** Per-domain document cap (the Common-Crawl-style anti-SEO guard: no
+    * single site may dominate the corpus): keep the top `maxPerDomain`
+    * documents per domain by (score DESC, id) — deterministic at the cut.
+    * Output keeps every surviving row with its `domain_rank`.
+    *
+    * Scale shape: one hash-partition by domain + per-partition sort; the
+    * `row_number <= k` filter is recognized by Spark's WindowGroupLimit
+    * rewrite, so each partition keeps a bounded top-k heap instead of
+    * sorting its full domain history. A whale domain still lands on one
+    * task — for web-scale whales, pre-reduce with the group-top-k
+    * aggregator ([[graft.functions.TopKAggregator]] precedent) or salt +
+    * re-rank, the same ladder as Merge.lastWinsSalted.
+    */
+  def capPerDomain(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      scoreCol: String,
+      maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain >= 1, "maxPerDomain must be positive")
+    val w = Window.partitionBy(col(domainCol)).orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("domain_rank", row_number().over(w).cast("long"))
+      .filter(col("domain_rank") <= maxPerDomain)
+  }
+
+  /** Sequence-length bucketing (training-batch shape planning): every
+    * document lands in the smallest power-of-two token bucket that holds
+    * it, and the per-bucket aggregate reports document count, token mass,
+    * the PADDING cost of batching at that bucket length (bucket − n per
+    * doc), and the truncation cost of the overflow bucket (−1: docs longer
+    * than the largest bound, which would be cut to it). Bucket bounds are a
+    * CASE chain over `bounds`, so the assignment is integer-exact on any
+    * engine — no log2 round-trip, whose ulp error flips exactly at the
+    * powers of two where buckets change.
+    *
+    * Scale shape: one narrow projection + one tiny aggregation (|bounds|+1
+    * groups) with map-side partials.
+    */
+  def lengthBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bounds: Seq[Int] = Seq(32, 64, 128, 256, 512, 1024, 2048)): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted && bounds.distinct == bounds,
+      "bounds must be ascending and distinct")
+    val n = size(TextOps.tokens(col(textCol))).cast("long")
+    val bucket = bounds.reverse.foldLeft(lit(-1L)) { case (acc, b) =>
+      when(n <= b, lit(b.toLong)).otherwise(acc)
+    }
+    val maxB = bounds.last.toLong
+    df.select(col(idCol), n.as("__n"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("sum_tokens"),
+        sum(when(col("bucket") =!= -1L, col("bucket") - col("__n")).otherwise(lit(0L)))
+          .as("pad_tokens"),
+        sum(when(col("bucket") === -1L, col("__n") - maxB).otherwise(lit(0L)))
+          .as("overflow_tokens"))
+  }
+
   /** Overlapping token-window chunking (RAG / long-context training prep):
     * cut each document into windows of `chunkTokens` tokens every
     * `strideTokens` (stride < chunk ⇒ consecutive chunks overlap by

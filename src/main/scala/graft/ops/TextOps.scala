@@ -281,6 +281,27 @@ object TextOps {
             s => s.getField("tid").cast("string")))).as("ids_sig"))
   }
 
+  /** Curriculum bins: every document is assigned its quality k-tile WITHIN
+    * its predicted language (ntile over (lang, quality ASC, id)) — the
+    * standard curriculum-learning prep, where training schedules draw from
+    * ascending-quality bins per language instead of a global ordering that
+    * would interleave languages by score. Deterministic: the quality score
+    * and language are pure row functions and the tiebreak is the id.
+    *
+    * Scale shape: language-partitioned window — per-stratum sort, no global
+    * sort; same shape as [[qualityRank]]'s percentile.
+    */
+  def curriculumBins(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    val q = qualityScore(df, idCol, textCol).select(col(idCol), col("quality"))
+    val lang = langId(df, textCol).select(col(idCol), col("pred_lang"))
+    val w = Window.partitionBy(col("pred_lang")).orderBy(col("quality"), col(idCol))
+    q.join(lang, idCol)
+      .withColumn("bin", ntile(k).over(w).cast("long"))
+      .select(col(idCol), col("pred_lang"), col("quality"), col("bin"))
+  }
+
   /** Within-document repetition metrics (the Gopher/MassiveText-style
     * repetition filters): fraction of word-trigram occurrences that are
     * repeats of an earlier trigram in the SAME document, and the share of

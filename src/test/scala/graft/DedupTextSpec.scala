@@ -210,6 +210,20 @@ class DedupTextSpec extends AnyFunSuite {
     assert(viaSql == fp(3L))
   }
 
+  test("prefixTemplates groups shared-opening docs; singletons and short/empty docs behave") {
+    val opener = (1 to 16).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$opener tail one"),
+      (2L, s"$opener completely different tail"),
+      (5L, s"$opener"),                  // exactly the prefix
+      (3L, "unique opening never repeated anywhere at all in this corpus truly unique words here"),
+      (4L, ""), (6L, "   ")              // empty + whitespace-only → one degenerate group
+    ).toDF("doc_id", "text")
+    val got = DedupOps.prefixTemplates(d, "doc_id", "text", k = 16)
+      .select("keeper_id", "n_docs").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L), (4L, 2L)))
+  }
+
   test("exactDedup groups duplicates and keeps the minimum id") {
     val crafted = Seq((5L, "same"), (9L, "same"), (7L, "other")).toDF("doc_id", "text")
     val got = DedupOps.exactDedup(crafted, "doc_id", "text")

@@ -174,6 +174,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(byShard.forall { case (_, n, mx, mn) => mn == 1L && mx == n })
   }
 
+  test("capPerDomain keeps exactly the top-k per domain with deterministic tie order") {
+    val d = Seq(
+      ("a.com", 1L, 100L), ("a.com", 2L, 300L), ("a.com", 3L, 300L), ("a.com", 4L, 50L),
+      ("b.com", 5L, 10L)).toDF("source", "doc_id", "n_chars")
+    val got = SamplingOps.capPerDomain(d, "source", "doc_id", "n_chars", 2)
+      .select("source", "doc_id", "domain_rank")
+      .as[(String, Long, Long)].collect().toSet
+    // ties on score break to the lower id: 2 then 3; 1 (rank 3) is cut
+    assert(got == Set(("a.com", 2L, 1L), ("a.com", 3L, 2L), ("b.com", 5L, 1L)))
+  }
+
+  test("lengthBuckets: integer-exact bucket assignment, padding and overflow accounting") {
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (1L, doc(32)),   // exactly at a bound → that bucket, zero pad
+      (2L, doc(33)),   // one over → next bucket, pad 31
+      (3L, ""),        // empty → 0 tokens → smallest bucket, pad 32
+      (4L, doc(2049))  // over the top bound → overflow bucket
+    ).toDF("doc_id", "text")
+    val got = SamplingOps.lengthBuckets(d, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(32L) == ((2L, 32L, 32L, 0L)))   // docs 1+3: 32+0 tokens, pad 0+32
+    assert(got(64L) == ((1L, 33L, 31L, 0L)))
+    assert(got(-1L) == ((1L, 2049L, 0L, 1L)))  // truncation cost 2049-2048
+  }
+
   test("chunkDocs: stride coverage, overlap, tail and empty-doc contracts") {
     val d = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, W=4 S=3 → 1+ceil(6/3)=3 chunks

@@ -13,6 +13,32 @@ class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("curriculumBins: k-tiles per language, balanced counts, quality-monotone") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val bins = TextOps.curriculumBins(docs, "doc_id", "text", k = 4).cache()
+    val perLang = bins.groupBy("pred_lang", "bin").count()
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    perLang.foreach { case (lang, rows) =>
+      val counts = rows.sortBy(_._2).map(_._3)
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length), s"$lang bins not contiguous")
+      // ntile balance: sizes differ by at most 1 within a language
+      assert(counts.max - counts.min <= 1, s"$lang tile sizes $counts")
+    }
+    // monotone: a doc in a higher bin never has lower quality than one in a
+    // lower bin of the same language
+    val byLang = bins.select("pred_lang", "bin", "quality")
+      .as[(String, Long, Double)].collect().groupBy(_._1)
+    byLang.foreach { case (lang, rows) =>
+      val maxByBin = rows.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+      val minByBin = rows.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+      maxByBin.keys.toSeq.sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(maxByBin(a) <= minByBin(b), s"$lang bins $a/$b overlap")
+        case _ => ()
+      }
+    }
+  }
+
   test("tfidfTopTerms ranks by tf desc, then rarity (df asc), then term") {
     val docs = Seq(
       (1L, "apple apple banana cherry"),
