@@ -1722,34 +1722,29 @@ object SparkEntry {
     * sets. SimHash stays OUT of this family: its radius-3 recall of J≈0.9
     * pairs is partial by construction, see qSimhashDedup.)
     */
-  private val verifiedPairsOracle: String =
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+  private def verifiedPairsOracleWith(pairPredicate: String): String =
+    raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
       |g AS (SELECT doc_id,
       |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
       |      FROM t WHERE len(w) >= 3),
       |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-      |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |      FROM e a JOIN e b ON a.s = b.s AND PAIR_PREDICATE GROUP BY 1, 2),
       |sz AS (SELECT doc_id, len(sh) AS n FROM g)
       |SELECT doc_a, doc_b, common::DOUBLE / (sa.n + sb.n - common) AS jaccard
       |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
       |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5""".stripMargin
+      .replace("PAIR_PREDICATE", pairPredicate)
+
+  private val verifiedPairsOracle: String =
+    verifiedPairsOracleWith("a.doc_id < b.doc_id")
 
   /** Cross-corpus (even-store × odd-batch) variant of
-    * [[verifiedPairsOracle]] for q_cross_dedup_lsh — uncapped, exact.
+    * [[verifiedPairsOracle]] for q_cross_dedup_lsh — uncapped, exact; only
+    * the pairing predicate differs, the shingle derivation is shared.
     */
   private val crossVerifiedPairsOracle: String =
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-      |g AS (SELECT doc_id,
-      |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
-      |      FROM t WHERE len(w) >= 3),
-      |e AS (SELECT doc_id, unnest(sh) AS s FROM g),
-      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-      |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 GROUP BY 1, 2),
-      |sz AS (SELECT doc_id, len(sh) AS n FROM g)
-      |SELECT doc_a, doc_b, common::DOUBLE / (sa.n + sb.n - common) AS jaccard
-      |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-      |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5""".stripMargin
+    verifiedPairsOracleWith("a.doc_id % 2 = 0 AND b.doc_id % 2 = 1")
 
   def oracleSql: Map[String, String] = Map(
     "q_minhash_dedup" -> verifiedPairsOracle,

@@ -159,8 +159,11 @@ object MultimodalOps {
     packed
       .select(
         col("media_id"),
-        // malformed (negative) metadata clamps to an empty clip, not a
-        // sequence() error inside the task
+        // malformed (negative) metadata clamps to duration 0, not a
+        // sequence() error inside the task; like any clip shorter than the
+        // sample interval that still yields the single t=0 frame — a media
+        // row is NEVER silently dropped (the chunkDocs empty-chunk
+        // convention), and undecodable media is screened upstream
         greatest(lit(0L), col(durationMsCol).cast("long")).as("duration_ms"))
       .withColumn("n_frames",
         least(lit(maxFrames.toLong), floor(col("duration_ms") / everyMs).cast("long") + 1L))

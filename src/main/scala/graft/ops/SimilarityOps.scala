@@ -121,18 +121,23 @@ object SimilarityOps {
     * of incremental maintenance.
     *
     * The two sides need NOT be disjoint: a (probe_id, neighbor_id) pair
-    * appearing on both sides (a re-scored vector) is collapsed to one slot
-    * with max(sim) before ranking, so overlapping inputs merge correctly
-    * instead of double-occupying the k budget.
+    * appearing on both sides is collapsed to ONE slot before ranking, so
+    * overlapping inputs merge correctly instead of double-occupying the k
+    * budget. Contract: both sides must score a pair consistently (the
+    * corpus is append-only; a neighbor's embedding does not change between
+    * scorings) — max(sim) then just deduplicates. If embeddings can MUTATE,
+    * stale stored scores must be invalidated upstream; no top-k merge can
+    * distinguish "re-scored lower" from "scored against a different
+    * probe set".
     */
   def knnMerge(storedTopK: DataFrame, deltaTopK: DataFrame, k: Int): DataFrame = {
     val cols = Seq("probe_id", "neighbor_id", "sim")
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     storedTopK.select(cols.map(col): _*)
       .unionByName(deltaTopK.select(cols.map(col): _*))
-      // a neighbor present on BOTH sides (a re-scored vector) must occupy ONE
-      // slot with its freshest/best score, not two — max(sim) keeps the merge
-      // lossless under overlapping inputs, still O(|probes|·k) rows
+      // a neighbor present on BOTH sides must occupy ONE slot, not two —
+      // under the consistent-scoring contract max(sim) is pure dedup, and
+      // the merge stays lossless at O(|probes|·k) rows
       .groupBy(col("probe_id"), col("neighbor_id"))
       .agg(max(col("sim")).as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -405,6 +410,9 @@ object SimilarityOps {
         assigned = assigned.join(broadcast(hotKeys), Seq("k"), "left_anti")
           .unionByName(rehashed)
           .localCheckpoint()
+        // the eager checkpoint above severed the lineage — the per-level
+        // hot cache is dead weight from here on
+        hotVecs.unpersist()
         depth += 1
       }
     }

@@ -56,7 +56,11 @@ object HttpFetch {
         else if (status == 404) return NotFound
         else lastError = s"HTTP $status"
       } catch {
-        case e: Exception => lastError = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        // interrupts (task kill/cancellation) must propagate, not become a
+        // retryable "error" that keeps the dead task sleeping in the loop
+        case e: InterruptedException => throw e
+        case scala.util.control.NonFatal(e) =>
+          lastError = s"${e.getClass.getSimpleName}: ${e.getMessage}"
       }
       attempt += 1
       if (attempt <= maxRetries) sleep(retryDelayMs)

@@ -60,6 +60,15 @@ object JdbcUpsert {
             val ins = conn.prepareStatement(insertSql)
             try {
               it.foreach { r =>
+                // NULL never equals anything in SQL, so UPDATE WHERE k = NULL
+                // matches zero rows and every replay would INSERT a duplicate
+                // — a silent break of the idempotence the streaming path
+                // leans on. Fail loudly instead; upstream validation (B1)
+                // owns null keys.
+                keyCols.indices.foreach { i =>
+                  if (r.isNullAt(i)) throw new IllegalArgumentException(
+                    s"upsert key ${keyCols(i)} is NULL — null keys break upsert idempotence")
+                }
                 valueCols.indices.foreach { i =>
                   upd.setObject(i + 1, r.get(keyCols.length + i))
                 }

@@ -130,12 +130,20 @@ object QuoteSource {
   def requestParams(symbols: Seq[String], region: String): Seq[(String, String)] =
     Seq("symbols" -> symbols.map(encodeSymbol).mkString(","), "region" -> region)
 
+  /** Append query params to a base URL — the ONE `k=v&…` assembly point for
+    * the stub URL builder and the live reader; respects a query string the
+    * endpoint already carries (`…/quotes?auth=x` + params joins with `&`).
+    */
+  def urlWithParams(base: String, params: Seq[(String, String)]): String =
+    base + (if (base.contains("?")) "&" else "?") +
+      params.map { case (k, v) => s"$k=$v" }.mkString("&")
+
   /** Full request URL (`https://{host}/{path}?k=v&…`) — what
     * [[QuotePartitionReader]]'s stubbed fetch would GET per batch in a
     * live deployment.
     */
   def requestUrl(host: String, path: String, params: Seq[(String, String)]): String =
-    s"https://$host/$path?" + params.map { case (k, v) => s"$k=$v" }.mkString("&")
+    urlWithParams(s"https://$host/$path", params)
 }
 
 private class QuoteTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
@@ -204,9 +212,9 @@ private class HttpQuotePartitionReader(batch: QuoteBatch)
 
   private def fetchRows(): Iterator[InternalRow] = {
     val bySymbol = batch.symbols.toMap
-    val url = batch.endpoint + "?" +
-      QuoteSource.requestParams(batch.symbols.map(_._1).toSeq, batch.region)
-        .map { case (k, v) => s"$k=$v" }.mkString("&")
+    val url = QuoteSource.urlWithParams(
+      batch.endpoint,
+      QuoteSource.requestParams(batch.symbols.map(_._1).toSeq, batch.region))
     HttpFetch.fetchParsedWithRetry(
       url, parseQuotes(bySymbol, _), batch.maxRetries, batch.retryDelayMs) match {
       case HttpFetch.Fetched(rs) => rs.iterator

@@ -89,6 +89,10 @@ class SourcesSpec extends AnyFunSuite {
     assert(params == Seq("symbols" -> "%5EDJI,%5EGSPC,AAPL", "region" -> "US"))
     assert(QuoteSource.requestUrl("example-host.test", "market/v2/get-quotes", params) ==
       "https://example-host.test/market/v2/get-quotes?symbols=%5EDJI,%5EGSPC,AAPL&region=US")
+    // an endpoint that already carries a query string joins with &, not a
+    // second ? (the live reader passes endpoints verbatim)
+    assert(QuoteSource.urlWithParams("http://h:9/q?auth=x", Seq("region" -> "US")) ==
+      "http://h:9/q?auth=x&region=US")
   }
 
   /** Localhost fixture server: serves /quotes with scriptable status
