@@ -1049,6 +1049,50 @@ object SparkEntry {
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
   }
 
+  /** Incremental near-dup cluster MAINTENANCE — the full store/batch cycle
+    * of the incremental dedup story: even-id docs are the STORE (clusters
+    * already resolved from their own pairs, historical pair set discarded),
+    * odd-id docs the incoming BATCH; new evidence = batch-internal pairs +
+    * store×batch cross pairs (never store×store — that work was done when
+    * those documents arrived), folded into the store labeling by
+    * [[DedupOps.mergeClusters]]. All three pair relations come from
+    * [[DedupOps.incrementalJaccardPairs]] under ONE corpus-wide df cap (the
+    * statistic the store maintains incrementally), so they partition
+    * exactly the full corpus's capped pair set — the incremental result is
+    * therefore provably equal to a from-scratch CC over all documents, and
+    * the query SHARES q_neardup_clusters' oracle verbatim: the hash-match
+    * IS the losslessness proof of incremental maintenance.
+    *
+    * Bench note: this registered form re-derives the STORE side (its pairs
+    * and its CC labels) self-contained so one oracle covers the whole
+    * cycle — that is most of its wall-clock. The steady-state increment
+    * cost is only the batch+cross pair generation and the (small)
+    * mergeClusters CC over store stars + new evidence; the store work is
+    * what previous increments banked — same harness-artifact reasoning as
+    * the self-contained curation compositions vs q_curation_manifest_staged.
+    */
+  def qNeardupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val store = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val (storePairs, batchPairs, crossPairs) = DedupOps.incrementalJaccardPairs(
+      store, batch, "doc_id", "text", n = 3, threshold = 0.5)
+    val storeLabels = store.select(col("doc_id").as("id"))
+      .join(
+        DedupOps.connectedComponentsFast(storePairs, "doc_a", "doc_b"),
+        Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+    val newPairs = batchPairs.unionByName(crossPairs)
+    val merged = DedupOps.mergeClusters(storeLabels, newPairs.select(col("doc_a"), col("doc_b")))
+    val labeled = docs.select(col("doc_id"))
+      .join(merged.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+  }
+
   /** Training manifest — the end-to-end composition the whole training-data
     * operator family exists for: the curated corpus (lang + quality + exact
     * dedup + near-dup cluster keepers) packed into 512-token chunks across
@@ -1558,6 +1602,7 @@ object SparkEntry {
     "q_upsample_epochs"         -> (qUpsampleEpochs(_, _)),
     "q_mixture_manifest"        -> (qMixtureManifest(_, _)),
     "q_curation_manifest_staged" -> (qCurationManifestStaged(_, _)),
+    "q_neardup_clusters_incr"   -> (qNeardupClustersIncremental(_, _)),
     "q_domain_cap"              -> (qDomainCap(_, _)),
     "q_length_buckets"          -> (qLengthBuckets(_, _)),
     "q_curriculum_bins"         -> (qCurriculumBins(_, _)),
@@ -1738,6 +1783,38 @@ object SparkEntry {
 
   private val verifiedPairsOracle: String =
     verifiedPairsOracleWith("a.doc_id < b.doc_id")
+
+  /** From-scratch capped near-dup clustering (recursive-CTE reachability) —
+    * shared verbatim by q_neardup_clusters and q_neardup_clusters_incr:
+    * equality of the incremental maintenance cycle with this relation is
+    * the losslessness proof of [[DedupOps.mergeClusters]] +
+    * [[DedupOps.incrementalJaccardPairs]].
+    */
+  private val neardupClustersOracle: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+      |      FROM t WHERE len(w) >= 3),
+      |e0 AS (SELECT doc_id, unnest(sh) AS s FROM g),
+      |e AS (SELECT doc_id, s FROM e0
+      |      WHERE s NOT IN (SELECT s FROM e0 GROUP BY s HAVING count(*) > 100)),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(sh) AS n FROM g),
+      |pr AS (SELECT doc_a, doc_b
+      |       FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |       WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5),
+      |edges AS (SELECT doc_a AS es, doc_b AS et FROM pr UNION SELECT doc_b, doc_a FROM pr),
+      |rch(v, r) AS (
+      |  SELECT es, es FROM (SELECT DISTINCT es FROM edges)
+      |  UNION
+      |  SELECT ed.es, rc.r FROM edges ed JOIN rch rc ON rc.v = ed.et),
+      |lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM rch GROUP BY 1),
+      |labeled AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      |            FROM (SELECT doc_id FROM documents) d LEFT JOIN lab l USING (doc_id)),
+      |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1)
+      |SELECT doc_id, cluster_id, cluster_size, doc_id = cluster_id AS is_keeper
+      |FROM labeled JOIN szs USING (cluster_id)""".stripMargin
 
   /** Cross-corpus (even-store × odd-batch) variant of
     * [[verifiedPairsOracle]] for q_cross_dedup_lsh — uncapped, exact; only
@@ -2404,31 +2481,11 @@ object SparkEntry {
         |       count(CASE WHEN vid IS NULL THEN 1 END) AS n_unk,
         |       md5(string_agg(tid::VARCHAR, ',' ORDER BY pos)) AS ids_sig
         |FROM j GROUP BY 1""".stripMargin,
-    "q_neardup_clusters" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-        |g AS (SELECT doc_id,
-        |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
-        |      FROM t WHERE len(w) >= 3),
-        |e0 AS (SELECT doc_id, unnest(sh) AS s FROM g),
-        |e AS (SELECT doc_id, s FROM e0
-        |      WHERE s NOT IN (SELECT s FROM e0 GROUP BY s HAVING count(*) > 100)),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, len(sh) AS n FROM g),
-        |pr AS (SELECT doc_a, doc_b
-        |       FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-        |       WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5),
-        |edges AS (SELECT doc_a AS es, doc_b AS et FROM pr UNION SELECT doc_b, doc_a FROM pr),
-        |rch(v, r) AS (
-        |  SELECT es, es FROM (SELECT DISTINCT es FROM edges)
-        |  UNION
-        |  SELECT ed.es, rc.r FROM edges ed JOIN rch rc ON rc.v = ed.et),
-        |lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM rch GROUP BY 1),
-        |labeled AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
-        |            FROM (SELECT doc_id FROM documents) d LEFT JOIN lab l USING (doc_id)),
-        |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1)
-        |SELECT doc_id, cluster_id, cluster_size, doc_id = cluster_id AS is_keeper
-        |FROM labeled JOIN szs USING (cluster_id)""".stripMargin,
+    // SHARED with q_neardup_clusters: the incremental maintenance cycle
+    // (store labels + batch/cross pairs under the corpus-wide df cap) must
+    // reproduce the from-scratch capped labeling bit-for-bit
+    "q_neardup_clusters_incr" -> neardupClustersOracle,
+    "q_neardup_clusters" -> neardupClustersOracle,
     "q_repetition_filter" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -157,17 +157,22 @@ object DedupOps {
       sets: DataFrame,
       idCol: String,
       threshold: Double,
-      maxDocFreq: Int): DataFrame = {
+      maxDocFreq: Int,
+      hotOverride: Option[DataFrame] = None): DataFrame = {
     val sh = sets.cache()
     val sizes = sh.select(col(idCol), size(col("sh")).as("n_sh"))
     val explodedAll = sh.select(col(idCol), explode(col("sh")).as("s"))
-    val exploded =
-      if (maxDocFreq <= 0) explodedAll
-      else {
+    // hotOverride supplies an EXTERNALLY-maintained hot-element relation
+    // (e.g. corpus-wide df in the incremental store cycle, where capping by
+    // this subset's own df would diverge from the full-corpus contract)
+    val exploded = hotOverride match {
+      case Some(hot) => explodedAll.join(hot.select(col("s")), Seq("s"), "left_anti")
+      case None if maxDocFreq <= 0 => explodedAll
+      case None =>
         val hot = explodedAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select(col("s"))
         explodedAll.join(hot, Seq("s"), "left_anti")
-      }
+    }
     val pairs = bucketPairs(exploded, idCol, "s")
     val jac = pairs
       .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
@@ -205,16 +210,33 @@ object DedupOps {
       maxDocFreq: Int = 100): DataFrame = {
     val shA = hashedShingles(existing, idCol, textCol, n).cache()
     val shB = hashedShingles(incoming, idCol, textCol, n).cache()
+    crossJaccardPairsFrom(shA, shB, idCol, threshold, maxDocFreq, None)
+  }
+
+  /** [[crossJaccardPairs]] core over pre-hashed shingle relations, with an
+    * optional externally-maintained hot-shingle override (the incremental
+    * store cycle's corpus-wide df cap — see [[incrementalJaccardPairs]]).
+    */
+  private[ops] def crossJaccardPairsFrom(
+      shA: DataFrame,
+      shB: DataFrame,
+      idCol: String,
+      threshold: Double,
+      maxDocFreq: Int,
+      hotOverride: Option[DataFrame]): DataFrame = {
     val ea = shA.select(col(idCol), explode(col("sh")).as("s"))
     val eb = shB.select(col(idCol), explode(col("sh")).as("s"))
-    val (fa, fb) =
-      if (maxDocFreq <= 0) (ea, eb)
-      else {
+    val (fa, fb) = hotOverride match {
+      case Some(hot) =>
+        (ea.join(hot.select(col("s")), Seq("s"), "left_anti"),
+          eb.join(hot.select(col("s")), Seq("s"), "left_anti"))
+      case None if maxDocFreq <= 0 => (ea, eb)
+      case None =>
         val hot = ea.select(col(idCol), col("s")).unionByName(eb)
           .groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select(col("s"))
         (ea.join(hot, Seq("s"), "left_anti"), eb.join(hot, Seq("s"), "left_anti"))
-      }
+    }
     val pa = fa.groupBy(col("s")).agg(collect_set(col(idCol)).as("__as"))
     val pb = fb.groupBy(col("s")).agg(collect_set(col(idCol)).as("__bs"))
     val pairs = pa.join(pb, Seq("s"))
@@ -232,6 +254,43 @@ object DedupOps {
       .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** The full incremental pair-generation cycle under ONE corpus-wide df
+    * cap: store-internal, batch-internal and store×batch cross pairs, all
+    * excluding shingles whose document frequency ACROSS THE WHOLE CORPUS
+    * (store + batch) exceeds `maxDocFreq` — the df statistic an operating
+    * store maintains incrementally (counts only add). Because the three
+    * relations cap by the same global df, their union is EXACTLY
+    * [[jaccardPairs]] over the full corpus (pair sets and scores) — the
+    * property that makes incremental cluster maintenance
+    * ([[mergeClusters]]) provably equal to a from-scratch run, and what
+    * the registered query's shared oracle checks. Returns the three parts
+    * (store, batch, cross); in steady-state operation only the batch and
+    * cross parts are computed — the store part is what previous increments
+    * already banked.
+    */
+  def incrementalJaccardPairs(
+      store: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Int = 100): (DataFrame, DataFrame, DataFrame) = {
+    val shA = hashedShingles(store, idCol, textCol, n).cache()
+    val shB = hashedShingles(batch, idCol, textCol, n).cache()
+    val hot =
+      if (maxDocFreq <= 0) None
+      else Some(
+        shA.select(explode(col("sh")).as("s"))
+          .unionByName(shB.select(explode(col("sh")).as("s")))
+          .groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select(col("s"))
+          .cache())
+    (setJaccardPairs(shA, idCol, threshold, maxDocFreq, hot),
+      setJaccardPairs(shB, idCol, threshold, maxDocFreq, hot),
+      crossJaccardPairsFrom(shA, shB, idCol, threshold, maxDocFreq, hot))
   }
 
   /** Winnowing near-dup pairs: Rabin–Karp rolling-hash k-gram fingerprints
@@ -724,6 +783,36 @@ object DedupOps {
               sep).as("clean_text"))
         }.as("r"))
       .select(col(idCol), col("r.n_lines"), col("r.n_dropped"), col("r.clean_text"))
+  }
+
+  /** Incremental connected-components maintenance — the cluster-resolution
+    * leg of the incremental dedup story ([[crossJaccardPairs]] /
+    * [[crossMinhashLshPairs]] generate the pairs, this folds them into the
+    * store's labeling): given the EXISTING `(id, cluster_id)` labeling and
+    * a batch of NEW pairs, produce the labeling a full recomputation over
+    * every pair ever seen would give — WITHOUT keeping historical pairs
+    * around. The stored labeling is itself a star forest (each id → its
+    * component's min id, which is a member), so CC over {store stars} ∪
+    * {new pairs} reconnects exactly the historical components and links
+    * them through the new evidence; labels stay the global min id
+    * (spec-pinned equal to the from-scratch CC).
+    *
+    * Scale shape: the input is O(store ids) star edges + O(batch pairs) —
+    * never O(historical pairs); rounds are [[connectedComponentsFast]]'s
+    * O(log n). Singletons (with or without new edges) keep their row.
+    */
+  def mergeClusters(labeled: DataFrame, newPairs: DataFrame): DataFrame = {
+    val edges = labeled
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_a"), col("cluster_id").as("doc_b"))
+      .unionByName(newPairs.select(col("doc_a"), col("doc_b")))
+    val cc = connectedComponentsFast(edges, "doc_a", "doc_b")
+    val ids = labeled.select(col("id"))
+      .unionByName(newPairs.select(col("doc_a").as("id")))
+      .unionByName(newPairs.select(col("doc_b").as("id")))
+      .distinct()
+    ids.join(cc, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
   }
 
   /** Prefix-template groups (mirror/boilerplate detection): documents

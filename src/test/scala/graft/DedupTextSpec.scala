@@ -210,6 +210,47 @@ class DedupTextSpec extends AnyFunSuite {
     assert(viaSql == fp(3L))
   }
 
+  test("mergeClusters: incremental fold equals from-scratch CC; crafted merges") {
+    // store: {1,3} labeled 1, singletons 5 and 12, cluster {10,11} labeled 10.
+    // batch evidence: 7 joins {1,3}; 9 joins 5; (10,12) merges a singleton
+    // INTO an existing cluster — labels must stay the global min id
+    val labeled = Seq((1L, 1L), (3L, 1L), (5L, 5L), (12L, 12L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    val np = Seq((3L, 7L), (5L, 9L), (10L, 12L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.mergeClusters(labeled, np)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L, 7L -> 1L, 5L -> 5L, 9L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // corpus scale: the registered incremental query (even store + odd
+    // batch, corpus-wide df cap) must equal a from-scratch CC over the full
+    // CAPPED pair relation — the losslessness contract its shared oracle
+    // checks at the gate
+    val incr = graft.SparkEntry.qNeardupClustersIncremental(spark, TestSpark.sf0001)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val scratch = {
+      val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      val cc = DedupOps.connectedComponentsFast(pairs, "doc_a", "doc_b")
+      docs.select(col("doc_id").as("id"))
+        .join(cc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(incr == scratch)
+    // and the three incremental pair parts partition the full capped pair
+    // relation exactly (sets AND scores)
+    val (sp, bp, cp) = DedupOps.incrementalJaccardPairs(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", 3, 0.5)
+    val parts = sp.unionByName(bp).unionByName(cp)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => if (a < b) (a, b, j) else (b, a, j) }.toSet
+    val partsCanon = parts.map { case (a, b, j) => if (a < b) (a, b, j) else (b, a, j) }
+    assert(partsCanon == full,
+      s"missing=${full -- partsCanon} extra=${partsCanon -- full}")
+  }
+
   test("prefixTemplates groups shared-opening docs; singletons and short/empty docs behave") {
     val opener = (1 to 16).map(i => s"w$i").mkString(" ")
     val d = Seq(
