@@ -236,12 +236,18 @@ object SamplingOps {
       bounds: Seq[Int] = Seq(32, 64, 128, 256, 512, 1024, 2048)): DataFrame = {
     require(bounds.nonEmpty && bounds == bounds.sorted && bounds.distinct == bounds,
       "bounds must be ascending and distinct")
-    val n = size(TextOps.tokens(col(textCol))).cast("long")
-    val bucket = bounds.reverse.foldLeft(lit(-1L)) { case (acc, b) =>
-      when(n <= b, lit(b.toLong)).otherwise(acc)
+    // let-bind the token count: inlined, CollapseProject would re-run the
+    // tokenizing split once per CASE branch (|bounds|+1 times per row)
+    val packed = DedupOps.bindOnce(size(TextOps.tokens(col(textCol))).cast("long")) { n =>
+      struct(
+        n.as("n"),
+        bounds.reverse.foldLeft(lit(-1L)) { case (acc, b) =>
+          when(n <= b, lit(b.toLong)).otherwise(acc)
+        }.as("bucket"))
     }
     val maxB = bounds.last.toLong
-    df.select(col(idCol), n.as("__n"), bucket.as("bucket"))
+    df.select(col(idCol), packed.as("__p"))
+      .select(col(idCol), col("__p.n").as("__n"), col("__p.bucket").as("bucket"))
       .groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("n_docs"),
