@@ -1221,6 +1221,16 @@ object SparkEntry {
   def qCurriculumBins(spark: SparkSession, dir: String): DataFrame =
     TextOps.curriculumBins(Tables.documents(spark, dir), "doc_id", "text", k = 4)
 
+  /** Substring-level repeated spans ([[DedupOps.repeatedSpans]], 8-gram
+    * windows, corpus-wide occurrence ≥ 2) — repeated passages INSIDE
+    * otherwise-unique documents. The oracle re-derives positions, the
+    * occurrence filter and the gap-≤-k island merge with md5 grams (hash
+    * VALUES never surface — only positions and counts — so the engines'
+    * different gram hashes cannot diverge the relation).
+    */
+  def qRepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.repeatedSpans(Tables.documents(spark, dir), "doc_id", "text")
+
   /** First-16-token template groups ([[DedupOps.prefixTemplates]]) —
     * mirror/boilerplate families whole-document dedup misses.
     */
@@ -1607,6 +1617,7 @@ object SparkEntry {
     "q_length_buckets"          -> (qLengthBuckets(_, _)),
     "q_curriculum_bins"         -> (qCurriculumBins(_, _)),
     "q_prefix_templates"        -> (qPrefixTemplates(_, _)),
+    "q_repeated_spans"          -> (qRepeatedSpans(_, _)),
     "q_series_motif"            -> (qSeriesMotif(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_knn_incremental"         -> (qKnnIncremental(_, _)),
@@ -1860,6 +1871,25 @@ object SparkEntry {
         |      FROM t)
         |SELECT fingerprint, min(doc_id) AS keeper_id, count(*)::BIGINT AS n_docs
         |FROM p GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    "q_repeated_spans" ->
+      raw"""WITH t AS (SELECT doc_id,
+        |                  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |           FROM documents),
+        |sel AS (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i
+        |        FROM t WHERE len(w) >= 8),
+        |g AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+7], ' ')) AS h FROM sel),
+        |hot AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |hp AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM hot)),
+        |br AS (SELECT doc_id, pos,
+        |              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |                   THEN 1 ELSE 0 END AS brk
+        |       FROM hp),
+        |isl AS (SELECT doc_id, pos,
+        |               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+        |        FROM br)
+        |SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end,
+        |       count(*)::BIGINT AS n_grams
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
     "q_quote_source" ->
       """WITH sym AS (
         |  SELECT 'C' || c_custkey::VARCHAR AS symbol, 'STOCK' AS asset_type

@@ -785,6 +785,56 @@ object DedupOps {
       .select(col(idCol), col("r.n_lines"), col("r.n_dropped"), col("r.clean_text"))
   }
 
+  /** Repeated-SPAN detection — the substring-level dedup pass (the
+    * "Deduplicating Training Data" ExactSubstr shape, re-expressed
+    * relationally): find, per document, the maximal token spans whose every
+    * k-gram occurs at least `minCount` times corpus-wide — repeated
+    * passages, quotes and boilerplate INSIDE otherwise-unique documents,
+    * which document-level (exact/Jaccard/minhash) dedup cannot see. Two
+    * hot k-gram positions belong to one span when their token windows
+    * touch or overlap (position gap ≤ k); output one row per span:
+    * (id, span_start, span_end, n_grams) with token positions 0-based and
+    * span_end exclusive.
+    *
+    * Scale shape: position-indexed gram hashes (posexplode of the native
+    * kernel — 8-byte hashes + int positions move, text never leaves the
+    * scan), one count aggregate on the hash (map-side partial), a semi-join
+    * back, and one by-id window for the island merge — two shuffles total,
+    * both on fixed-width keys. The suffix-array construction of the paper
+    * is a single-machine algorithm; the k-gram-occurrence relaxation is the
+    * join-friendly equivalent with one-sided error only for repeats shorter
+    * than k tokens.
+    */
+  def repeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && minCount >= 2, "need k >= 1 and minCount >= 2")
+    val grams = df.select(
+      col(idCol),
+      posexplode(
+        graft.functions.HashFunctions.graft_ngram_hashes(TextOps.tokens(col(textCol)), k))
+        .as(Seq("pos", "h")))
+    val hot = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select(col("h"))
+    val hotPos = grams.join(hot, Seq("h"), "left_semi")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    hotPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > k, lit(1L)).otherwise(lit(0L)))
+      .withColumn("grp",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("grp"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
   /** Incremental connected-components maintenance — the cluster-resolution
     * leg of the incremental dedup story ([[crossJaccardPairs]] /
     * [[crossMinhashLshPairs]] generate the pairs, this folds them into the

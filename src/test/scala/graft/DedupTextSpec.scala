@@ -210,6 +210,31 @@ class DedupTextSpec extends AnyFunSuite {
     assert(viaSql == fp(3L))
   }
 
+  test("repeatedSpans: island merge, span arithmetic, within-doc repeats, short docs") {
+    def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    val passage = toks(0 until 12, "shared")  // 12 tokens → 5 hot 8-grams when repeated
+    val d = Seq(
+      (1L, s"${toks(0 until 10, "a")} $passage ${toks(0 until 10, "b")}"),
+      (2L, s"${toks(0 until 3, "c")} $passage"),
+      // within-doc repetition: the same 8 tokens twice in ONE doc
+      (3L, s"${toks(0 until 8, "r")} ${toks(0 until 20, "m")} ${toks(0 until 8, "r")}"),
+      (4L, "too short for any gram"),
+      (5L, toks(0 until 30, "u"))  // unique content → no spans
+    ).toDF("doc_id", "text")
+    val got = DedupOps.repeatedSpans(d, "doc_id", "text", k = 8, minCount = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).toSet).toMap
+    // doc 1: passage tokens occupy positions 10..21 → hot grams at 10..14 →
+    // one island, span [10, 22), 5 grams
+    assert(got(1L) == Set((10L, 22L, 5L)))
+    // doc 2: passage at positions 3..14 → grams 3..7 → span [3, 15)
+    assert(got(2L) == Set((3L, 15L, 5L)))
+    // doc 3: the repeated 8-token run sits at 0..7 and 28..35 — gap 28 > k,
+    // so TWO spans, each exactly one gram wide: [0,8) and [28,36)
+    assert(got(3L) == Set((0L, 8L, 1L), (28L, 36L, 1L)))
+    assert(!got.contains(4L) && !got.contains(5L))
+  }
+
   test("mergeClusters: incremental fold equals from-scratch CC; crafted merges") {
     // store: {1,3} labeled 1, singletons 5 and 12, cluster {10,11} labeled 10.
     // batch evidence: 7 joins {1,3}; 9 joins 5; (10,12) merges a singleton
