@@ -1231,6 +1231,14 @@ object SparkEntry {
   def qRepeatedSpans(spark: SparkSession, dir: String): DataFrame =
     DedupOps.repeatedSpans(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Repeated-span removal ([[DedupOps.removeRepeatedSpans]]) — documents
+    * reconstructed without their corpus-repeated passages, the scrub that
+    * consumes q_repeated_spans (oracle: same span CTEs + anti-exists token
+    * reconstruction).
+    */
+  def qSpanScrub(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.removeRepeatedSpans(Tables.documents(spark, dir), "doc_id", "text")
+
   /** First-16-token template groups ([[DedupOps.prefixTemplates]]) —
     * mirror/boilerplate families whole-document dedup misses.
     */
@@ -1618,6 +1626,7 @@ object SparkEntry {
     "q_curriculum_bins"         -> (qCurriculumBins(_, _)),
     "q_prefix_templates"        -> (qPrefixTemplates(_, _)),
     "q_repeated_spans"          -> (qRepeatedSpans(_, _)),
+    "q_span_scrub"              -> (qSpanScrub(_, _)),
     "q_series_motif"            -> (qSeriesMotif(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_knn_incremental"         -> (qKnnIncremental(_, _)),
@@ -1890,6 +1899,34 @@ object SparkEntry {
         |SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end,
         |       count(*)::BIGINT AS n_grams
         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    "q_span_scrub" ->
+      raw"""WITH t AS (SELECT doc_id,
+        |                  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |           FROM documents),
+        |sel AS (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i
+        |        FROM t WHERE len(w) >= 8),
+        |g AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+7], ' ')) AS h FROM sel),
+        |hot AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |hp AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM hot)),
+        |br AS (SELECT doc_id, pos,
+        |              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |                   THEN 1 ELSE 0 END AS brk
+        |       FROM hp),
+        |isl AS (SELECT doc_id, pos,
+        |               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+        |        FROM br),
+        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM isl GROUP BY doc_id, grp),
+        |tok AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM t),
+        |kept AS (SELECT tk.doc_id, tk.i, tk.w[tk.i] AS tkn FROM tok tk
+        |         WHERE NOT EXISTS (SELECT 1 FROM sp
+        |                           WHERE sp.doc_id = tk.doc_id
+        |                             AND tk.i - 1 >= sp.s AND tk.i - 1 < sp.e)),
+        |agg AS (SELECT doc_id, count(*) AS kept_n, string_agg(tkn, ' ' ORDER BY i) AS clean
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, len(w)::BIGINT AS n_tokens,
+        |       (len(w) - coalesce(kept_n, 0))::BIGINT AS n_removed,
+        |       coalesce(clean, '') AS clean_text
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q_quote_source" ->
       """WITH sym AS (
         |  SELECT 'C' || c_custkey::VARCHAR AS symbol, 'STOCK' AS asset_type

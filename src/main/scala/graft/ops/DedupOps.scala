@@ -835,6 +835,47 @@ object DedupOps {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
   }
 
+  /** Repeated-span REMOVAL — the consumer of [[repeatedSpans]], same
+    * contract as [[lineDedup]]'s reconstruction: drop every token covered
+    * by a repeated span and rebuild each document from its surviving
+    * tokens, order preserved. Output one row per document:
+    * (id, n_tokens, n_removed, clean_text) — documents with no repeated
+    * spans keep their row with the normalized token stream intact.
+    *
+    * Scale shape: the span relation is the (small) repeatedSpans output —
+    * it broadcasts; the reconstruction is a narrow per-row filter over the
+    * token array (token index ∈ some span tested against the doc's
+    * collected span list), so full text shuffles only if the span relation
+    * exceeds broadcast size and AQE picks a shuffled join.
+    */
+  def removeRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minCount: Long = 2L): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, k, minCount)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .join(spans, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        bindOnce(coalesce(col("__spans"),
+          array().cast("array<struct<span_start:bigint,span_end:bigint>>"))) { sp =>
+          bindOnce(filter(col("__toks"), (_, i) =>
+            !exists(sp, s =>
+              i.cast("long") >= s.getField("span_start") &&
+                i.cast("long") < s.getField("span_end")))) { kept =>
+            struct(
+              size(col("__toks")).cast("long").as("n_tokens"),
+              (size(col("__toks")) - size(kept)).cast("long").as("n_removed"),
+              array_join(kept, " ").as("clean_text"))
+          }
+        }.as("r"))
+      .select(col(idCol), col("r.n_tokens"), col("r.n_removed"), col("r.clean_text"))
+  }
+
   /** Incremental connected-components maintenance — the cluster-resolution
     * leg of the incremental dedup story ([[crossJaccardPairs]] /
     * [[crossMinhashLshPairs]] generate the pairs, this folds them into the

@@ -235,6 +235,24 @@ class DedupTextSpec extends AnyFunSuite {
     assert(!got.contains(4L) && !got.contains(5L))
   }
 
+  test("removeRepeatedSpans reconstructs documents without their repeated passages") {
+    def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    val passage = toks(0 until 12, "shared")
+    val a = toks(0 until 10, "a"); val b = toks(0 until 10, "b")
+    val d = Seq(
+      (1L, s"$a $passage $b"),
+      (2L, s"${toks(0 until 3, "c")} $passage"),
+      (3L, toks(0 until 30, "u")),   // untouched
+      (4L, "")                        // empty doc survives with empty text
+    ).toDF("doc_id", "text")
+    val got = DedupOps.removeRepeatedSpans(d, "doc_id", "text", k = 8, minCount = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((32L, 12L, s"$a $b")))
+    assert(got(2L) == ((15L, 12L, toks(0 until 3, "c"))))
+    assert(got(3L) == ((30L, 0L, toks(0 until 30, "u"))))
+    assert(got(4L) == ((0L, 0L, "")))
+  }
+
   test("mergeClusters: incremental fold equals from-scratch CC; crafted merges") {
     // store: {1,3} labeled 1, singletons 5 and 12, cluster {10,11} labeled 10.
     // batch evidence: 7 joins {1,3}; 9 joins 5; (10,12) merges a singleton
