@@ -1251,6 +1251,21 @@ object SparkEntry {
   def qVocabBuild(spark: SparkSession, dir: String): DataFrame =
     TextOps.buildVocab(Tables.documents(spark, dir), "text", vocabSize = 30)
 
+  /** Incremental vocabulary maintenance: the stored token counts (even-id
+    * docs) folded with a batch's counts (odd-id docs) via
+    * [[TextOps.mergeVocabCounts]] — counts add, so the fold must reproduce
+    * the full-corpus vocabulary exactly; SHARES q_vocab_build's oracle
+    * (the losslessness proof, same pattern as q_neardup_clusters_incr).
+    */
+  def qVocabIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextOps.vocabFromCounts(
+      TextOps.mergeVocabCounts(
+        TextOps.vocabCounts(docs.filter(col("doc_id") % 2 === 0), "text"),
+        TextOps.vocabCounts(docs.filter(col("doc_id") % 2 === 1), "text")),
+      vocabSize = 30)
+  }
+
   /** Documents encoded against the top-30 vocab: token/unk counts plus the
     * md5 signature of the position-ordered id sequence (tokens outside the
     * capped vocab exercise the UNK path).
@@ -1605,6 +1620,7 @@ object SparkEntry {
     "q_token_rarity"            -> (qTokenRarity(_, _)),
     "q_quality_rank"            -> (qQualityRank(_, _)),
     "q_vocab_build"             -> (qVocabBuild(_, _)),
+    "q_vocab_incremental"       -> (qVocabIncremental(_, _)),
     "q_encode_tokens"           -> (qEncodeTokens(_, _)),
     "q_neardup_clusters"        -> (qNeardupClusters(_, _)),
     "q_domain_rebalance"        -> (qDomainRebalance(_, _)),
@@ -1803,6 +1819,18 @@ object SparkEntry {
 
   private val verifiedPairsOracle: String =
     verifiedPairsOracleWith("a.doc_id < b.doc_id")
+
+  /** Shared by q_vocab_build and q_vocab_incremental: the incremental count
+    * fold ([[TextOps.mergeVocabCounts]]) must reproduce the from-scratch
+    * vocabulary bit-for-bit.
+    */
+  private val vocabBuildOracle: String =
+    raw"""WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+      |  FROM documents),
+      |c AS (SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY 1)
+      |SELECT token, n, (row_number() OVER (ORDER BY n DESC, token) - 1)::BIGINT AS id
+      |FROM c QUALIFY id < 30""".stripMargin
 
   /** From-scratch capped near-dup clustering (recursive-CTE reachability) —
     * shared verbatim by q_neardup_clusters and q_neardup_clusters_incr:
@@ -2525,13 +2553,9 @@ object SparkEntry {
         |       CAST(sum(f.tf) AS BIGINT) AS freq_mass
         |FROM tk JOIN f USING (token)
         |GROUP BY 1""".stripMargin,
-    "q_vocab_build" ->
-      """WITH toks AS (
-        |  SELECT unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
-        |  FROM documents),
-        |c AS (SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY 1)
-        |SELECT token, n, (row_number() OVER (ORDER BY n DESC, token) - 1)::BIGINT AS id
-        |FROM c QUALIFY id < 30""".stripMargin,
+    "q_vocab_build" -> vocabBuildOracle,
+    // SHARED: the incremental count fold must reproduce the full vocabulary
+    "q_vocab_incremental" -> vocabBuildOracle,
     "q_encode_tokens" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w

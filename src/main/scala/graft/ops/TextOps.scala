@@ -244,12 +244,33 @@ object TextOps {
     * driver-sized) are collected once and re-emitted as a local relation
     * with their dense ids, which downstream encoders broadcast anyway.
     */
-  def buildVocab(df: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
-    val counts = df.select(explode(split(normalize(col(textCol)), " ")).as("token"))
+  def buildVocab(df: DataFrame, textCol: String, vocabSize: Int): DataFrame =
+    vocabFromCounts(vocabCounts(df, textCol), vocabSize)
+
+  /** Raw corpus token counts `(token, n)` — the maintainable statistic
+    * behind the vocabulary: counts ADD across increments, so an operating
+    * store keeps this relation and folds each batch in with
+    * [[mergeVocabCounts]] instead of re-scanning history (the registered
+    * incremental query proves the fold lossless by sharing q_vocab_build's
+    * oracle).
+    */
+  def vocabCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(normalize(col(textCol)), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
+
+  /** Sum count relations token-wise — the incremental vocab fold. */
+  def mergeVocabCounts(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "need at least one count relation")
+    parts.reduce(_.unionByName(_)).groupBy(col("token")).agg(sum(col("n")).as("n"))
+  }
+
+  /** Frequency-ranked dense-id vocabulary from a count relation (top-k via
+    * orderBy+limit TakeOrdered — never a global single-partition window).
+    */
+  def vocabFromCounts(counts: DataFrame, vocabSize: Int): DataFrame = {
     val top = counts.orderBy(col("n").desc, col("token")).limit(vocabSize).collect()
-    val spark = df.sparkSession
+    val spark = counts.sparkSession
     import spark.implicits._
     top.toSeq.zipWithIndex
       .map { case (r, i) => (r.getString(0), r.getLong(1), i.toLong) }

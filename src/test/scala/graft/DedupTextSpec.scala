@@ -235,6 +235,17 @@ class DedupTextSpec extends AnyFunSuite {
     assert(!got.contains(4L) && !got.contains(5L))
   }
 
+  test("incremental vocab fold equals the from-scratch vocabulary") {
+    val full = TextOps.buildVocab(docs, "text", 30)
+      .as[(String, Long, Long)].collect().toSeq
+    val incr = TextOps.vocabFromCounts(
+      TextOps.mergeVocabCounts(
+        TextOps.vocabCounts(docs.filter(col("doc_id") % 2 === 0), "text"),
+        TextOps.vocabCounts(docs.filter(col("doc_id") % 2 === 1), "text")),
+      30).as[(String, Long, Long)].collect().toSeq
+    assert(incr == full)
+  }
+
   test("removeRepeatedSpans reconstructs documents without their repeated passages") {
     def toks(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
     val passage = toks(0 until 12, "shared")
