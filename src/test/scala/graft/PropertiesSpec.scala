@@ -33,6 +33,43 @@ class PropertiesSpec extends AnyFunSuite {
       v <- Gen.choose(1L, 50L)
     } yield (sym, price, v)).suchThat(_.nonEmpty)
 
+  test("property: graft_ngram_hashes equals the HOF build on random token arrays, all n") {
+    // "e e" (embedded space) exercises that hashing runs over the joined
+    // STRING either way; "δδ" exercises multi-byte UTF-8
+    val tokGen: Gen[List[String]] = Gen.listOf(
+      Gen.oneOf("a", "bb", "ccc", "δδ", "e e", "x", ""))
+    samples(tokGen, 12).foreach { toks =>
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      for (n <- 1 to 4) {
+        import graft.functions.HashFunctions.graft_ngram_hashes
+        val native = df.select(graft_ngram_hashes(col("toks"), n).as("g"))
+          .as[Seq[Long]].head()
+        val hof = df.select(
+          when(size(col("toks")) >= n,
+            transform(sequence(lit(1), size(col("toks")) - lit(n - 1)),
+              i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(n))))))
+            .otherwise(array().cast("array<bigint>")).as("g"))
+          .as[Seq[Long]].head()
+        assert(native == hof, s"n=$n toks=$toks")
+        // the distinct form preserves first-occurrence order like array_distinct
+        val natD = df.select(graft_ngram_hashes(col("toks"), n, distinct = true).as("g"))
+          .as[Seq[Long]].head()
+        assert(natD == hof.distinct, s"distinct n=$n toks=$toks")
+      }
+    }
+  }
+
+  test("property: graft_top_count equals the max group size of the array, any multiset") {
+    val hGen: Gen[List[Long]] = Gen.listOf(Gen.choose(0L, 6L))
+    samples(hGen, 20).foreach { hs =>
+      val df = Seq(Tuple1(hs)).toDF("hs")
+      val got = df.select(graft.functions.HashFunctions.graft_top_count(col("hs")).as("t"))
+        .as[Long].head()
+      val expect = if (hs.isEmpty) 0L else hs.groupBy(identity).values.map(_.size).max.toLong
+      assert(got == expect, s"hs=$hs")
+    }
+  }
+
   test("property: lastWins is idempotent and re-delivery-insensitive") {
     samples(tickGen, 8).foreach { ticks =>
       val df = ticks.toDF("symbol", "price", "v")
