@@ -1307,6 +1307,28 @@ object SparkEntry {
     DedupOps.decontaminate(trainDocs, evalDocs, "doc_id", "text", n = 8)
   }
 
+  /** Multi-benchmark decontamination attribution: TWO synthetic eval sets
+    * (doc_id%97 with canary A, doc_id%89 with canary B) against the
+    * remaining docs as train (canary A planted at %13, canary B at %11 —
+    * docs divisible by both carry both), so every attribution path fires
+    * and is oracle-checked: per-(doc, eval_set) shared-gram counts.
+    */
+  def qDecontaminateMulti(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ca = lit(" the quick brown fox jumps over the lazy dog again and again")
+    val cb = lit(" pack my box with five dozen liquor jugs every single day")
+    val isA = col("doc_id") % 97 === 0
+    val isB = (col("doc_id") % 89 === 0) && !(col("doc_id") % 97 === 0)
+    val evalA = docs.filter(isA).withColumn("text", concat(col("text"), ca))
+    val evalB = docs.filter(isB).withColumn("text", concat(col("text"), cb))
+    val train = docs.filter(!isA && !isB)
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 13 === 0, ca).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, cb).otherwise(lit(""))))
+    DedupOps.decontaminateMulti(
+      train, Seq("benchmark_a" -> evalA, "benchmark_b" -> evalB), "doc_id", "text", n = 8)
+  }
+
   /** Shared (train, eval) construction for the two decontamination queries —
     * they share [[decontaminationOracle]] verbatim, so the canary/modulus
     * prep MUST stay byte-identical between them; one helper removes the
@@ -1643,6 +1665,7 @@ object SparkEntry {
     "q_prefix_templates"        -> (qPrefixTemplates(_, _)),
     "q_repeated_spans"          -> (qRepeatedSpans(_, _)),
     "q_span_scrub"              -> (qSpanScrub(_, _)),
+    "q_decontaminate_multi"     -> (qDecontaminateMulti(_, _)),
     "q_series_motif"            -> (qSeriesMotif(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_knn_incremental"         -> (qKnnIncremental(_, _)),
@@ -1927,6 +1950,40 @@ object SparkEntry {
         |SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end,
         |       count(*)::BIGINT AS n_grams
         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    "q_decontaminate_multi" ->
+      raw"""WITH base AS (SELECT doc_id, text FROM documents),
+        |tr AS (
+        |  SELECT doc_id,
+        |         text || CASE WHEN doc_id % 13 = 0
+        |                      THEN ' the quick brown fox jumps over the lazy dog again and again'
+        |                      ELSE '' END
+        |              || CASE WHEN doc_id % 11 = 0
+        |                      THEN ' pack my box with five dozen liquor jugs every single day'
+        |                      ELSE '' END AS text
+        |  FROM base WHERE doc_id % 97 <> 0 AND NOT (doc_id % 89 = 0 AND doc_id % 97 <> 0)),
+        |ea AS (SELECT doc_id,
+        |              text || ' the quick brown fox jumps over the lazy dog again and again' AS text
+        |       FROM base WHERE doc_id % 97 = 0),
+        |eb AS (SELECT doc_id,
+        |              text || ' pack my box with five dozen liquor jugs every single day' AS text
+        |       FROM base WHERE doc_id % 89 = 0 AND doc_id % 97 <> 0),
+        |tg AS (SELECT doc_id, unnest(list_distinct(
+        |              [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])) AS g
+        |       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM tr)
+        |       WHERE len(w) >= 8),
+        |ga AS (SELECT DISTINCT unnest(list_distinct(
+        |              [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])) AS g
+        |       FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM ea)
+        |       WHERE len(w) >= 8),
+        |gb AS (SELECT DISTINCT unnest(list_distinct(
+        |              [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])) AS g
+        |       FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM eb)
+        |       WHERE len(w) >= 8)
+        |SELECT doc_id, 'benchmark_a' AS eval_set, count(*)::BIGINT AS n_hits
+        |FROM tg WHERE g IN (SELECT g FROM ga) GROUP BY 1
+        |UNION ALL
+        |SELECT doc_id, 'benchmark_b', count(*)::BIGINT
+        |FROM tg WHERE g IN (SELECT g FROM gb) GROUP BY 1""".stripMargin,
     "q_span_scrub" ->
       raw"""WITH t AS (SELECT doc_id,
         |                  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w

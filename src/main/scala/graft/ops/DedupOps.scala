@@ -723,6 +723,40 @@ object DedupOps {
     (out, release)
   }
 
+  /** Multi-benchmark decontamination ATTRIBUTION: which eval set leaked
+    * into which training document. [[decontaminate]] answers "is this doc
+    * contaminated"; production pipelines run dozens of benchmarks and need
+    * the per-(doc, eval_set) hit counts to decide drops per benchmark
+    * policy and to report leakage per suite. Output: one row per
+    * contaminated (id, eval_set) pair with its shared-gram count — clean
+    * pairs are absent by construction (the relation is hit-sized, not
+    * |train|×|sets|).
+    *
+    * Scale shape: train grams explode ONCE and join the union of the
+    * (set-tagged, distinct) eval gram relations on the 8-byte hash — the
+    * eval union is benchmark-sized (small), so AQE broadcasts it; the
+    * aggregation is a map-side-partial count on (id, set). Adding a
+    * benchmark adds rows to the broadcast side, never a second train scan.
+    */
+  def decontaminateMulti(
+      train: DataFrame,
+      evals: Seq[(String, DataFrame)],
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    require(evals.nonEmpty, "need at least one eval set")
+    val trainG = hashedShingles(train, idCol, textCol, n)
+      .select(col(idCol), explode(col("sh")).as("g"))
+    val evalG = evals.map { case (name, df) =>
+      hashedShingles(df, idCol, textCol, n)
+        .select(explode(col("sh")).as("g")).distinct()
+        .withColumn("eval_set", lit(name))
+    }.reduce(_.unionByName(_))
+    trainG.join(evalG, Seq("g"))
+      .groupBy(col(idCol), col("eval_set"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Line-level boilerplate removal (the CCNet / RefinedWeb pre-dedup pass):
     * drop every line that appears in more than `maxDocFreq` distinct
     * documents — navigation bars, cookie banners, copyright footers — and

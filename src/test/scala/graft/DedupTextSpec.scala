@@ -235,6 +235,24 @@ class DedupTextSpec extends AnyFunSuite {
     assert(!got.contains(4L) && !got.contains(5L))
   }
 
+  test("decontaminateMulti attributes hits to the right benchmark, per set") {
+    val leakA = "alpha beta gamma delta epsilon zeta eta theta"        // 8 tokens → 1 gram
+    val leakB = "one two three four five six seven eight nine"          // 9 tokens → 2 grams
+    val train = Seq(
+      (1L, s"clean words only here nothing shared at all truly"),
+      (2L, s"$leakA plus some trailing words here"),
+      (3L, s"$leakB and $leakA mixed together in one document")
+    ).toDF("doc_id", "text")
+    val evals = Seq(
+      "suite_a" -> Seq((100L, leakA)).toDF("doc_id", "text"),
+      "suite_b" -> Seq((200L, leakB)).toDF("doc_id", "text"))
+    val got = DedupOps.decontaminateMulti(train, evals, "doc_id", "text", n = 8)
+      .as[(Long, String, Long)].collect().toSet
+    // doc 2 shares exactly the one leakA gram with suite_a only; doc 3
+    // shares both suite_b grams AND the leakA gram; doc 1 is absent
+    assert(got == Set((2L, "suite_a", 1L), (3L, "suite_a", 1L), (3L, "suite_b", 2L)))
+  }
+
   test("incremental vocab fold equals the from-scratch vocabulary") {
     val full = TextOps.buildVocab(docs, "text", 30)
       .as[(String, Long, Long)].collect().toSeq
