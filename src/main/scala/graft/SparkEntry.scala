@@ -1093,6 +1093,25 @@ object SparkEntry {
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
   }
 
+  /** Quality-based keeper election per near-dup cluster
+    * ([[DedupOps.keeperByScore]]): production curation keeps each family's
+    * BEST-quality member, not the accidental minimum id — the labeling is
+    * the q_neardup_clusters relation, the score is the quality operator,
+    * the winner breaks ties to the lower id.
+    */
+  def qKeeperByQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cc = DedupOps.connectedComponents(
+      DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5), "doc_a", "doc_b")
+    val labeled = docs.select(col("doc_id").as("id"))
+      .join(cc, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+    val quality = TextOps.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality"))
+    DedupOps.keeperByScore(labeled, quality, "doc_id", "quality")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("keeper_id"), col("is_keeper"))
+  }
+
   /** Training manifest — the end-to-end composition the whole training-data
     * operator family exists for: the curated corpus (lang + quality + exact
     * dedup + near-dup cluster keepers) packed into 512-token chunks across
@@ -1666,6 +1685,7 @@ object SparkEntry {
     "q_repeated_spans"          -> (qRepeatedSpans(_, _)),
     "q_span_scrub"              -> (qSpanScrub(_, _)),
     "q_decontaminate_multi"     -> (qDecontaminateMulti(_, _)),
+    "q_keeper_by_quality"       -> (qKeeperByQuality(_, _)),
     "q_series_motif"            -> (qSeriesMotif(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_knn_incremental"         -> (qKnnIncremental(_, _)),
@@ -1861,8 +1881,12 @@ object SparkEntry {
     * the losslessness proof of [[DedupOps.mergeClusters]] +
     * [[DedupOps.incrementalJaccardPairs]].
     */
-  private val neardupClustersOracle: String =
-    """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+  /** The capped near-dup CLUSTER CTE block (pairs → recursive reachability
+    * → min-label → per-doc `labeled` relation) — shared by the cluster
+    * oracles and the keeper-election oracle.
+    */
+  private val neardupClusterCtes: String =
+    raw"""t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
       |g AS (SELECT doc_id,
       |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
       |      FROM t WHERE len(w) >= 3),
@@ -1882,7 +1906,10 @@ object SparkEntry {
       |  SELECT ed.es, rc.r FROM edges ed JOIN rch rc ON rc.v = ed.et),
       |lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM rch GROUP BY 1),
       |labeled AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
-      |            FROM (SELECT doc_id FROM documents) d LEFT JOIN lab l USING (doc_id)),
+      |            FROM (SELECT doc_id FROM documents) d LEFT JOIN lab l USING (doc_id))""".stripMargin
+
+  private val neardupClustersOracle: String =
+    s"""WITH RECURSIVE $neardupClusterCtes,
       |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1)
       |SELECT doc_id, cluster_id, cluster_size, doc_id = cluster_id AS is_keeper
       |FROM labeled JOIN szs USING (cluster_id)""".stripMargin
@@ -1950,6 +1977,16 @@ object SparkEntry {
         |SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end,
         |       count(*)::BIGINT AS n_grams
         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    "q_keeper_by_quality" ->
+      (s"""WITH RECURSIVE $langQualityCtes,
+        |$neardupClusterCtes,
+        |rk AS (SELECT l.doc_id, l.cluster_id,
+        |              row_number() OVER (PARTITION BY l.cluster_id
+        |                                 ORDER BY q.quality DESC, l.doc_id) AS rn
+        |       FROM labeled l JOIN quality q USING (doc_id)),
+        |kp AS (SELECT cluster_id, doc_id AS keeper_id FROM rk WHERE rn = 1)
+        |SELECT l.doc_id, l.cluster_id, kp.keeper_id, l.doc_id = kp.keeper_id AS is_keeper
+        |FROM labeled l JOIN kp USING (cluster_id)""".stripMargin),
     "q_decontaminate_multi" ->
       raw"""WITH base AS (SELECT doc_id, text FROM documents),
         |tr AS (

@@ -940,6 +940,34 @@ object DedupOps {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
   }
 
+  /** Score-based keeper election per cluster: given a `(id, cluster_id)`
+    * labeling (any CC output) and a per-id score relation, pick each
+    * cluster's HIGHEST-scoring member (ties → min id) as its keeper —
+    * production curation keeps the best-quality member of a near-dup
+    * family, not the accidental minimum id. Output: the labeling extended
+    * with (keeper_id, is_keeper).
+    *
+    * Scale shape: one join on id + one max_by aggregation on cluster_id
+    * (map-side partial; the struct argmax carries (score, -id) so the
+    * tiebreak needs no second pass), then a broadcast-size join back —
+    * cluster count is ≤ id count and the aggregate row is a few fields.
+    */
+  def keeperByScore(
+      labeled: DataFrame,
+      scores: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val withScore = labeled.join(
+      scores.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+    val keepers = withScore
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("__score"), (-col("id")).as("__negid"))).as("__best"))
+      .select(col("cluster_id"), (-col("__best.__negid")).as("keeper_id"))
+    labeled.join(keepers, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("keeper_id"),
+        (col("id") === col("keeper_id")).as("is_keeper"))
+  }
+
   /** Prefix-template groups (mirror/boilerplate detection): documents
     * sharing their first `k` tokens verbatim collapse into one template
     * group — SEO farms, mirrored articles and generated pages repeat their

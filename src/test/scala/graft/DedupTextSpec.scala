@@ -253,6 +253,22 @@ class DedupTextSpec extends AnyFunSuite {
     assert(got == Set((2L, "suite_a", 1L), (3L, "suite_a", 1L), (3L, "suite_b", 2L)))
   }
 
+  test("keeperByScore elects the highest-scoring member per cluster, ties to min id") {
+    val labeled = Seq(
+      (1L, 1L), (3L, 1L), (7L, 1L),  // cluster 1
+      (5L, 5L),                       // singleton
+      (10L, 10L), (12L, 10L)).toDF("id", "cluster_id")
+    val scores = Seq(
+      (1L, 0.2), (3L, 0.9), (7L, 0.9),  // tie 3 vs 7 → 3 wins
+      (5L, 0.1), (10L, 0.5), (12L, 0.8)).toDF("doc_id", "quality")
+    val got = DedupOps.keeperByScore(labeled, scores, "doc_id", "quality")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 3L, false), (3L, 1L, 3L, true), (7L, 1L, 3L, false),
+      (5L, 5L, 5L, true),
+      (10L, 10L, 12L, false), (12L, 10L, 12L, true)))
+  }
+
   test("incremental vocab fold equals the from-scratch vocabulary") {
     val full = TextOps.buildVocab(docs, "text", 30)
       .as[(String, Long, Long)].collect().toSeq
