@@ -1037,16 +1037,25 @@ object SparkEntry {
     * once.
     */
   def qNeardupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
-    val cc = DedupOps.connectedComponents(pairs, "doc_a", "doc_b")
-    val labeled = docs.select(col("doc_id"))
-      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val labeled = labeledClusters(Tables.documents(spark, dir))
+      .withColumnRenamed("id", "doc_id")
     val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labeled.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
+  }
+
+  /** The per-doc near-dup cluster labeling (word-3-gram pairs at 0.5 → CC →
+    * every doc labeled, singletons self-labeled) — ONE derivation shared by
+    * qNeardupClusters and qKeeperByQuality so the clustering parameters and
+    * the coalesce convention cannot drift between them.
+    */
+  private def labeledClusters(docs: DataFrame): DataFrame = {
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val cc = DedupOps.connectedComponents(pairs, "doc_a", "doc_b")
+    docs.select(col("doc_id").as("id"))
+      .join(cc, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
   }
 
   /** Incremental near-dup cluster MAINTENANCE — the full store/batch cycle
@@ -1101,14 +1110,9 @@ object SparkEntry {
     */
   def qKeeperByQuality(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val cc = DedupOps.connectedComponents(
-      DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5), "doc_a", "doc_b")
-    val labeled = docs.select(col("doc_id").as("id"))
-      .join(cc, Seq("id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
     val quality = TextOps.qualityScore(docs, "doc_id", "text")
       .select(col("doc_id"), col("quality"))
-    DedupOps.keeperByScore(labeled, quality, "doc_id", "quality")
+    DedupOps.keeperByScore(labeledClusters(docs), quality, "doc_id", "quality")
       .select(col("id").as("doc_id"), col("cluster_id"), col("keeper_id"), col("is_keeper"))
   }
 
@@ -1875,12 +1879,6 @@ object SparkEntry {
       |SELECT token, n, (row_number() OVER (ORDER BY n DESC, token) - 1)::BIGINT AS id
       |FROM c QUALIFY id < 30""".stripMargin
 
-  /** From-scratch capped near-dup clustering (recursive-CTE reachability) —
-    * shared verbatim by q_neardup_clusters and q_neardup_clusters_incr:
-    * equality of the incremental maintenance cycle with this relation is
-    * the losslessness proof of [[DedupOps.mergeClusters]] +
-    * [[DedupOps.incrementalJaccardPairs]].
-    */
   /** The capped near-dup CLUSTER CTE block (pairs → recursive reachability
     * → min-label → per-doc `labeled` relation) — shared by the cluster
     * oracles and the keeper-election oracle.
@@ -1908,6 +1906,12 @@ object SparkEntry {
       |labeled AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
       |            FROM (SELECT doc_id FROM documents) d LEFT JOIN lab l USING (doc_id))""".stripMargin
 
+  /** From-scratch capped near-dup clustering — shared verbatim by
+    * q_neardup_clusters and q_neardup_clusters_incr: equality of the
+    * incremental maintenance cycle with this relation is the losslessness
+    * proof of [[DedupOps.mergeClusters]] +
+    * [[DedupOps.incrementalJaccardPairs]].
+    */
   private val neardupClustersOracle: String =
     s"""WITH RECURSIVE $neardupClusterCtes,
       |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1)

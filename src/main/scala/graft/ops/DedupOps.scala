@@ -745,6 +745,8 @@ object DedupOps {
       textCol: String,
       n: Int = 8): DataFrame = {
     require(evals.nonEmpty, "need at least one eval set")
+    require(evals.map(_._1).distinct.size == evals.size,
+      "eval set names must be unique — same-named sets would silently merge and double-count")
     val trainG = hashedShingles(train, idCol, textCol, n)
       .select(col(idCol), explode(col("sh")).as("g"))
     val evalG = evals.map { case (name, df) =>
@@ -945,7 +947,9 @@ object DedupOps {
     * cluster's HIGHEST-scoring member (ties → min id) as its keeper —
     * production curation keeps the best-quality member of a near-dup
     * family, not the accidental minimum id. Output: the labeling extended
-    * with (keeper_id, is_keeper).
+    * with (keeper_id, is_keeper) — EVERY labeled row survives; ids missing
+    * from the score relation rank below all scored members, and a cluster
+    * with no scored member falls back to the min-id keeper.
     *
     * Scale shape: one join on id + one max_by aggregation on cluster_id
     * (map-side partial; the struct argmax carries (score, -id) so the
@@ -957,8 +961,12 @@ object DedupOps {
       scores: DataFrame,
       idCol: String,
       scoreCol: String): DataFrame = {
+    // LEFT join: an unscored id must stay in the labeling (it just cannot
+    // win against any scored member — missing score ranks below every real
+    // one); an entirely-unscored cluster falls back to the min-id keeper
     val withScore = labeled.join(
-      scores.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+      scores.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"), "left")
+      .withColumn("__score", coalesce(col("__score"), lit(Double.NegativeInfinity)))
     val keepers = withScore
       .groupBy(col("cluster_id"))
       .agg(max(struct(col("__score"), (-col("id")).as("__negid"))).as("__best"))

@@ -267,6 +267,16 @@ class DedupTextSpec extends AnyFunSuite {
       (1L, 1L, 3L, false), (3L, 1L, 3L, true), (7L, 1L, 3L, false),
       (5L, 5L, 5L, true),
       (10L, 10L, 12L, false), (12L, 10L, 12L, true)))
+    // partial score relations must not drop rows: the unscored member loses
+    // the election but stays labeled, and a fully-unscored cluster falls
+    // back to the min-id keeper
+    val partial = Seq((1L, 0.2)).toDF("doc_id", "quality")
+    val sparse = DedupOps.keeperByScore(labeled, partial, "doc_id", "quality")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(sparse.map(_._1) == labeled.as[(Long, Long)].collect().map(_._1).toSet,
+      "every labeled id must survive a partial score relation")
+    assert(sparse.contains((1L, 1L, 1L, true)))    // only scored member wins
+    assert(sparse.contains((10L, 10L, 10L, true))) // unscored cluster → min id
   }
 
   test("incremental vocab fold equals the from-scratch vocabulary") {
