@@ -1565,6 +1565,20 @@ object SparkEntry {
       .select(col("media_id"), col("window_idx"), col("start_ms"), col("end_ms"))
   }
 
+  /** Embedding-space decontamination ([[SimilarityOps.semanticDecontaminate]]):
+    * the %13 vectors act as the eval benchmark, the rest as train; every
+    * train vector gets its nearest-eval cosine and a ≥0.9 contamination
+    * flag — the semantic leg of leakage screening, oracle-checked exactly
+    * (broadcast eval, one corpus scan).
+    */
+  def qSemanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.semanticDecontaminate(
+      emb.filter(col("vec_id") % 13 =!= 0),
+      emb.filter(col("vec_id") % 13 === 0),
+      "vec_id", "embedding", threshold = 0.9)
+  }
+
   /** IVF approximate top-10 (k-means coarse quantizer, 16 lists, 4 probed)
     * for the same probe set (no SQL oracle: approximate result; ScalaTest
     * checks recall vs brute force — on these uniform synthetic vectors recall
@@ -1690,6 +1704,7 @@ object SparkEntry {
     "q_span_scrub"              -> (qSpanScrub(_, _)),
     "q_decontaminate_multi"     -> (qDecontaminateMulti(_, _)),
     "q_keeper_by_quality"       -> (qKeeperByQuality(_, _)),
+    "q_semantic_decontaminate"  -> (qSemanticDecontaminate(_, _)),
     "q_series_motif"            -> (qSeriesMotif(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_knn_incremental"         -> (qKnnIncremental(_, _)),
@@ -1981,6 +1996,21 @@ object SparkEntry {
         |SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end,
         |       count(*)::BIGINT AS n_grams
         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    "q_semantic_decontaminate" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        |t AS (SELECT * FROM n WHERE vec_id % 13 <> 0),
+        |e AS (SELECT vec_id AS eval_id, v AS ev, nrm AS en FROM n WHERE vec_id % 13 = 0 AND nrm > 0),
+        |sc AS (SELECT t.vec_id, e.eval_id,
+        |              CASE WHEN t.nrm * e.en > 0 THEN list_dot_product(t.v, e.ev) / (t.nrm * e.en) END AS sim
+        |       FROM t LEFT JOIN e ON true),
+        |r AS (SELECT vec_id, sim, eval_id,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn
+        |      FROM sc WHERE sim IS NOT NULL)
+        |SELECT b.vec_id, r.sim AS max_sim, r.eval_id AS nearest_eval_id,
+        |       coalesce(r.sim >= 0.9, false) AS is_contaminated
+        |FROM (SELECT DISTINCT vec_id FROM t) b
+        |LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (vec_id)""".stripMargin,
     "q_keeper_by_quality" ->
       (s"""WITH RECURSIVE $langQualityCtes,
         |$neardupClusterCtes,

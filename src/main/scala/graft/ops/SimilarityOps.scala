@@ -144,6 +144,44 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding-space (SEMANTIC) decontamination: flag every train vector
+    * whose nearest EVAL vector by cosine reaches `threshold` — the
+    * embedding leg of benchmark-leakage screening, catching paraphrased or
+    * reformatted eval items that n-gram decontamination
+    * (DedupOps.decontaminate) cannot see. Output: one row per train vector
+    * with (max_sim, nearest_eval_id, is_contaminated); zero-norm vectors on
+    * either side have undefined direction and contribute no similarity
+    * (a train doc scored only against zero-norm evals keeps its row with
+    * NULL max_sim, never a fabricated score).
+    *
+    * Scale shape: the eval set is benchmark-sized, so it BROADCASTS; the
+    * corpus streams once through a single scored projection + per-id
+    * max_by — no shuffle of train vectors, and the reduction is the same
+    * (sim desc, eval_id asc) total order as the knn family. For eval sets
+    * beyond broadcast, block with [[knnIvfKmeans]]'s quantizer first (the
+    * ANN path); this exact form is the oracle-checkable contract.
+    */
+  def semanticDecontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val t = prepared(train, idCol, vecCol)
+    val e = prepared(eval, idCol, vecCol)
+      .filter(col("nrm") > 0)
+      .select(col(idCol).as("eval_id"), col("v").as("ev"), col("nrm").as("en"))
+    t.join(broadcast(e), lit(true), "left")
+      .withColumn("sim", cosine(dot(col("v"), col("ev")), col("nrm"), col("en")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("sim"), (-col("eval_id")).as("__neg"))).as("__best"))
+      .select(
+        col(idCol),
+        col("__best.sim").as("max_sim"),
+        when(col("__best.sim").isNotNull, -col("__best.__neg")).as("nearest_eval_id"),
+        coalesce(col("__best.sim") >= threshold, lit(false)).as("is_contaminated"))
+  }
+
   /** Exact cosine top-k via the bounded-heap aggregator
     * (graft.functions.TopKAggregator): identical result to [[knnBrute]]
     * (same (sim desc, id) total order) but the per-probe reduction happens

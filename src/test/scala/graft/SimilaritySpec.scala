@@ -64,6 +64,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Seq((1L, 7L, 0.95, 1L), (1L, 8L, 0.80, 2L), (1L, 9L, 0.70, 3L)))
   }
 
+  test("semanticDecontaminate flags cosine-near train vectors, survives zero-norm and empty-eval edges") {
+    val train = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),   // identical to eval 100 → sim 1.0
+      (2L, Seq(0.0, 1.0, 0.0)),   // orthogonal to every eval
+      (3L, Seq(2.0, 0.02, 0.0)),  // near-parallel to eval 100
+      (4L, Seq(0.0, 0.0, 0.0))    // zero-norm: no defined similarity
+    ).toDF("vec_id", "embedding")
+    val eval = Seq(
+      (100L, Seq(1.0, 0.0, 0.0)),
+      (200L, Seq(0.0, 0.0, 1.0)),
+      (300L, Seq(0.0, 0.0, 0.0))  // zero-norm eval: dropped, never scored
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.semanticDecontaminate(train, eval, "vec_id", "embedding", 0.95)
+      .as[(Long, Option[Double], Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L)._1.contains(1.0) && got(1L)._2.contains(100L) && got(1L)._3)
+    assert(got(2L)._1.contains(0.0) && !got(2L)._3)
+    assert(got(3L)._1.exists(_ > 0.99) && got(3L)._2.contains(100L) && got(3L)._3)
+    assert(got(4L) == ((None, None, false)), "zero-norm train keeps its row, unflagged")
+    // an eval set with no usable vectors flags nothing and drops nothing
+    val none = SimilarityOps.semanticDecontaminate(
+      train, eval.filter(col("vec_id") === 300L), "vec_id", "embedding", 0.95)
+      .as[(Long, Option[Double], Option[Long], Boolean)].collect()
+    assert(none.length == 4 && none.forall(r => r._2.isEmpty && !r._4))
+  }
+
   test("graft_dot: matches HOF fold bitwise; null/empty/ragged handling") {
     import graft.functions.VectorFunctions.graft_dot
     import org.apache.spark.sql.functions.{aggregate => agg_, _}
