@@ -122,6 +122,16 @@ object SparkEntry {
       .select(col("o_custkey").as("symbol"), col("date"), col("o_totalprice").as("price"))
   }
 
+  /** Gap FILL over the monthly close series: each symbol's observed
+    * min..max month spine with interior gaps linearly interpolated
+    * ([[Analytics.interpolateMonthlyGaps]]) — the reconstruction complement
+    * of the reference's gap detection, oracle-checked on the integer month
+    * axis with identical IEEE expression order.
+    */
+  def qGapInterpolate(spark: SparkSession, dir: String): DataFrame =
+    Analytics.interpolateMonthlyGaps(
+      qMonthlyLastClose(spark, dir), "symbol", "date", "price")
+
   /** B12 — current-period last-value pick via `max_by` (hash agg, no sort). */
   def qCurrentMonthPick(spark: SparkSession, dir: String): DataFrame = {
     val cur = Tables.orders(spark, dir)
@@ -1705,6 +1715,7 @@ object SparkEntry {
     "q_decontaminate_multi"     -> (qDecontaminateMulti(_, _)),
     "q_keeper_by_quality"       -> (qKeeperByQuality(_, _)),
     "q_semantic_decontaminate"  -> (qSemanticDecontaminate(_, _)),
+    "q_gap_interpolate"         -> (qGapInterpolate(_, _)),
     "q_series_motif"            -> (qSeriesMotif(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_knn_incremental"         -> (qKnnIncremental(_, _)),
@@ -2921,6 +2932,40 @@ object SparkEntry {
         |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders)
         |SELECT o_custkey AS symbol, date, o_totalprice AS price FROM w WHERE rn = 1""".stripMargin,
+    "q_gap_interpolate" ->
+      """WITH w AS (
+        |  SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS date, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey, date_trunc('month', o_orderdate)
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |cl AS (SELECT o_custkey AS symbol, date, o_totalprice AS price FROM w WHERE rn = 1),
+        |b AS (SELECT symbol, min(date) AS lo, max(date) AS hi FROM cl GROUP BY 1),
+        |sp AS (SELECT symbol, unnest(generate_series(lo, hi, INTERVAL 1 MONTH))::DATE AS month FROM b),
+        |j AS (SELECT sp.symbol, sp.month, cl.price AS v
+        |      FROM sp LEFT JOIN cl ON cl.symbol = sp.symbol AND cl.date = sp.month),
+        |m AS (SELECT symbol, month, v,
+        |             date_part('year', month)::BIGINT * 12 + date_part('month', month)::BIGINT AS mi
+        |      FROM j),
+        |f AS (SELECT symbol, month, v, mi,
+        |             last_value(CASE WHEN v IS NOT NULL THEN mi END IGNORE NULLS)
+        |               OVER (PARTITION BY symbol ORDER BY month
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+        |             last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+        |               OVER (PARTITION BY symbol ORDER BY month
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |             first_value(CASE WHEN v IS NOT NULL THEN mi END IGNORE NULLS)
+        |               OVER (PARTITION BY symbol ORDER BY month
+        |                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt,
+        |             first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+        |               OVER (PARTITION BY symbol ORDER BY month
+        |                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+        |      FROM m)
+        |SELECT symbol, month,
+        |       CASE WHEN v IS NOT NULL THEN v
+        |            WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |            THEN pv + (nv - pv) * ((mi - pt)::DOUBLE / (nt - pt)::DOUBLE) END AS price,
+        |       (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS is_interpolated
+        |FROM f""".stripMargin,
     "q_current_month_pick" ->
       """WITH cur AS (SELECT * FROM orders WHERE date_trunc('month', o_orderdate) = TIMESTAMP '2001-08-01'),
         |w AS (SELECT o_custkey, o_totalprice,

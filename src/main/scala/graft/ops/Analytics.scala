@@ -341,4 +341,52 @@ object Analytics {
           lit(null).cast("long").as("best_dist2")))
     }
   }
+
+  /** Monthly gap INTERPOLATION — the fill complement of the reference's gap
+    * DETECTION (Incremental.gapDetection finds the missing months; this
+    * reconstructs values for them): every key's series expands to its
+    * observed min..max month spine, and interior gaps get linear
+    * interpolation between the nearest observed neighbors on the integer
+    * month axis (year·12+month — exact arithmetic, no date-diff float
+    * ambiguity). Endpoints are always observed (the spine is bounded by
+    * observations), so every gap interpolates; `is_interpolated` marks
+    * reconstructed rows. Input must carry one row per (key, month).
+    *
+    * Scale shape: one bounds aggregate, a narrow spine explode, one left
+    * join back on (key, month), and ONE per-key window pass carrying
+    * (t, v) structs — the ignore-nulls last/first frames resolve both
+    * neighbors in the same sort; no self-join, no per-gap probing.
+    */
+  def interpolateMonthlyGaps(
+      series: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      valueCol: String): DataFrame = {
+    val bounds = series.groupBy(col(keyCol))
+      .agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
+    val spine = Incremental.monthSpine(bounds, col("__lo"), col("__hi"), "month")
+      .select(col(keyCol), col("month"))
+    val joined = spine.join(
+      series.select(col(keyCol), col(dateCol).as("month"), col(valueCol).as("__v")),
+      Seq(keyCol, "month"), "left")
+    val mi = (year(col("month")) * 12 + month(col("month"))).cast("long")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("month"))
+    val obs = when(col("__v").isNotNull, struct(mi.as("t"), col("__v").as("v")))
+    val prevS = last(obs, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val nextS = first(obs, ignoreNulls = true)
+      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    joined
+      .withColumn("__mi", mi)
+      .withColumn("__p", prevS)
+      .withColumn("__n", nextS)
+      .withColumn(valueCol,
+        when(col("__v").isNotNull, col("__v"))
+          .otherwise(when(col("__p").isNotNull && col("__n").isNotNull,
+            col("__p.v") + (col("__n.v") - col("__p.v")) *
+              ((col("__mi") - col("__p.t")).cast("double")
+                / (col("__n.t") - col("__p.t")).cast("double")))))
+      .withColumn("is_interpolated", col("__v").isNull && col(valueCol).isNotNull)
+      .select(col(keyCol), col("month"), col(valueCol), col("is_interpolated"))
+  }
 }

@@ -12,6 +12,28 @@ class AnalyticsRetrySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("interpolateMonthlyGaps fills interior gaps linearly, marks them, spans stay observation-bounded") {
+    import graft.ops.Analytics
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val series = Seq(
+      ("A", d("2024-01-01"), 10.0),
+      ("A", d("2024-04-01"), 40.0),   // gap: Feb, Mar → 20, 30
+      ("A", d("2024-06-01"), 20.0),   // gap: May → 30
+      ("B", d("2024-02-01"), 5.0)     // single point → one-row spine
+    ).toDF("symbol", "date", "price")
+    val got = Analytics.interpolateMonthlyGaps(series, "symbol", "date", "price")
+      .as[(String, java.sql.Date, Double, Boolean)].collect()
+      .map(r => (r._1, r._2.toString) -> ((r._3, r._4))).toMap
+    assert(got(("A", "2024-01-01")) == ((10.0, false)))
+    assert(got(("A", "2024-02-01")) == ((20.0, true)))
+    assert(got(("A", "2024-03-01")) == ((30.0, true)))
+    assert(got(("A", "2024-04-01")) == ((40.0, false)))
+    assert(got(("A", "2024-05-01")) == ((30.0, true)))
+    assert(got(("A", "2024-06-01")) == ((20.0, false)))
+    assert(got(("B", "2024-02-01")) == ((5.0, false)))
+    assert(got.size == 7, "spine never extends past the observed bounds")
+  }
+
   test("fetchWithRetry re-drives only rate-limited symbols, bounded passes, skips 404s") {
     // symbol -> (passes needed before ok, terminal class)
     val behavior = Map(
