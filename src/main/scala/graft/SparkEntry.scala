@@ -1932,6 +1932,18 @@ object SparkEntry {
       |labeled AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
       |            FROM (SELECT doc_id FROM documents) d LEFT JOIN lab l USING (doc_id))""".stripMargin
 
+  /** The monthly-last-close CTE block (`cl` = one close per (symbol,
+    * month)) — shared by q_monthly_last_close and the q_gap_interpolate
+    * oracle so the base relation cannot drift between them.
+    */
+  private val monthlyLastCloseCtes: String =
+    """w AS (
+      |  SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS date, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey, date_trunc('month', o_orderdate)
+      |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders),
+      |cl AS (SELECT o_custkey AS symbol, date, o_totalprice AS price FROM w WHERE rn = 1)""".stripMargin
+
   /** From-scratch capped near-dup clustering — shared verbatim by
     * q_neardup_clusters and q_neardup_clusters_incr: equality of the
     * incremental maintenance cycle with this relation is the losslessness
@@ -2926,19 +2938,10 @@ object SparkEntry {
         |SELECT user_id AS symbol, event_type AS asset_type, value AS price, ts AS updated_at
         |FROM (SELECT * FROM keep UNION ALL SELECT * FROM ups)""".stripMargin,
     "q_monthly_last_close" ->
-      """WITH w AS (
-        |  SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS date, o_totalprice,
-        |         row_number() OVER (PARTITION BY o_custkey, date_trunc('month', o_orderdate)
-        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-        |  FROM orders)
-        |SELECT o_custkey AS symbol, date, o_totalprice AS price FROM w WHERE rn = 1""".stripMargin,
+      s"""WITH $monthlyLastCloseCtes
+        |SELECT symbol, date, price FROM cl""".stripMargin,
     "q_gap_interpolate" ->
-      """WITH w AS (
-        |  SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS date, o_totalprice,
-        |         row_number() OVER (PARTITION BY o_custkey, date_trunc('month', o_orderdate)
-        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-        |  FROM orders),
-        |cl AS (SELECT o_custkey AS symbol, date, o_totalprice AS price FROM w WHERE rn = 1),
+      s"""WITH $monthlyLastCloseCtes,
         |b AS (SELECT symbol, min(date) AS lo, max(date) AS hi FROM cl GROUP BY 1),
         |sp AS (SELECT symbol, unnest(generate_series(lo, hi, INTERVAL 1 MONTH))::DATE AS month FROM b),
         |j AS (SELECT sp.symbol, sp.month, cl.price AS v

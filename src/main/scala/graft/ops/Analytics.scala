@@ -350,7 +350,9 @@ object Analytics {
     * month axis (year·12+month — exact arithmetic, no date-diff float
     * ambiguity). Endpoints are always observed (the spine is bounded by
     * observations), so every gap interpolates; `is_interpolated` marks
-    * reconstructed rows. Input must carry one row per (key, month).
+    * reconstructed rows. Input must carry one row per (key, month);
+    * observation dates anywhere inside a month are normalized to its
+    * start (the last-trading-day convention joins correctly).
     *
     * Scale shape: one bounds aggregate, a narrow spine explode, one left
     * join back on (key, month), and ONE per-key window pass carrying
@@ -362,13 +364,19 @@ object Analytics {
       keyCol: String,
       dateCol: String,
       valueCol: String): DataFrame = {
-    val bounds = series.groupBy(col(keyCol))
-      .agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
+    // truncate the SERIES side to month starts before joining — the spine
+    // is month-start dated, and month-end-dated input (the last-trading-day
+    // convention) would otherwise match nothing and silently NULL every
+    // observation (the same hazard gapDetection normalizes away)
+    val norm = series.select(
+      col(keyCol),
+      to_date(date_trunc("month", col(dateCol))).as("month"),
+      col(valueCol).as("__v"))
+    val bounds = norm.groupBy(col(keyCol))
+      .agg(min(col("month")).as("__lo"), max(col("month")).as("__hi"))
     val spine = Incremental.monthSpine(bounds, col("__lo"), col("__hi"), "month")
       .select(col(keyCol), col("month"))
-    val joined = spine.join(
-      series.select(col(keyCol), col(dateCol).as("month"), col(valueCol).as("__v")),
-      Seq(keyCol, "month"), "left")
+    val joined = spine.join(norm, Seq(keyCol, "month"), "left")
     val mi = (year(col("month")) * 12 + month(col("month"))).cast("long")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("month"))
     val obs = when(col("__v").isNotNull, struct(mi.as("t"), col("__v").as("v")))

@@ -173,13 +173,19 @@ object SimilarityOps {
       .select(col(idCol).as("eval_id"), col("v").as("ev"), col("nrm").as("en"))
     t.join(broadcast(e), lit(true), "left")
       .withColumn("sim", cosine(dot(col("v"), col("ev")), col("nrm"), col("en")))
+      // argmax via min over (-sim, eval_id): negating the DOUBLE (never the
+      // id) keeps the (sim desc, eval_id asc) total order portable to any
+      // id type — string ids order lexically, exactly like the SQL oracle's
+      // ORDER BY; null sims are excluded by the when-guard, so an all-null
+      // train row degrades to NULL fields, never a fabricated winner
       .groupBy(col(idCol))
-      .agg(max(struct(col("sim"), (-col("eval_id")).as("__neg"))).as("__best"))
+      .agg(min(when(col("sim").isNotNull,
+        struct((-col("sim")).as("__negsim"), col("eval_id")))).as("__best"))
       .select(
         col(idCol),
-        col("__best.sim").as("max_sim"),
-        when(col("__best.sim").isNotNull, -col("__best.__neg")).as("nearest_eval_id"),
-        coalesce(col("__best.sim") >= threshold, lit(false)).as("is_contaminated"))
+        (-col("__best.__negsim")).as("max_sim"),
+        col("__best.eval_id").as("nearest_eval_id"),
+        coalesce(-col("__best.__negsim") >= threshold, lit(false)).as("is_contaminated"))
   }
 
   /** Exact cosine top-k via the bounded-heap aggregator

@@ -32,6 +32,17 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     assert(got(("A", "2024-06-01")) == ((20.0, false)))
     assert(got(("B", "2024-02-01")) == ((5.0, false)))
     assert(got.size == 7, "spine never extends past the observed bounds")
+    // month-END dated input (the last-trading-day convention) must normalize
+    // onto the spine, not silently NULL every observation
+    val monthEnd = Seq(
+      ("C", d("2024-01-31"), 10.0), ("C", d("2024-03-29"), 30.0))
+      .toDF("symbol", "date", "price")
+    val filled = Analytics.interpolateMonthlyGaps(monthEnd, "symbol", "date", "price")
+      .as[(String, java.sql.Date, Double, Boolean)].collect()
+      .map(r => r._2.toString -> ((r._3, r._4))).toMap
+    assert(filled == Map(
+      "2024-01-01" -> ((10.0, false)), "2024-02-01" -> ((20.0, true)),
+      "2024-03-01" -> ((30.0, false))))
   }
 
   test("fetchWithRetry re-drives only rate-limited symbols, bounded passes, skips 404s") {
