@@ -368,10 +368,15 @@ object Analytics {
     // is month-start dated, and month-end-dated input (the last-trading-day
     // convention) would otherwise match nothing and silently NULL every
     // observation (the same hazard gapDetection normalizes away)
+    // cached: the normalized series feeds BOTH the bounds aggregate and the
+    // spine join, and Spark performs no cross-branch subtree reuse — without
+    // the barrier the upstream series derivation (e.g. a last-wins window)
+    // executes twice (module caching contract: caller/harness clears)
     val norm = series.select(
       col(keyCol),
       to_date(date_trunc("month", col(dateCol))).as("month"),
       col(valueCol).as("__v"))
+      .cache()
     val bounds = norm.groupBy(col(keyCol))
       .agg(min(col("month")).as("__lo"), max(col("month")).as("__hi"))
     val spine = Incremental.monthSpine(bounds, col("__lo"), col("__hi"), "month")
