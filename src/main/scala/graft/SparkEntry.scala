@@ -1321,6 +1321,14 @@ object SparkEntry {
   def qRepetitionFilter(spark: SparkSession, dir: String): DataFrame =
     TextOps.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Corpus-trained interpolated bigram LM score (CCNet/KenLM-style
+    * perplexity quality filter) — per-document mean negative log-likelihood
+    * from fixed-point-quantized log-probs (order-free integer sums, so the
+    * float-summation-order hazard cannot exist on either engine).
+    */
+  def qLmScore(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lmScore(Tables.documents(spark, dir), "doc_id", "text")
+
   /** GPT-style sequence packing: documents laid end-to-end per shard
     * (8 shards by doc_id), chunked every 512 tokens; each document's span
     * and chunk range is a pure function of (id, token count).
@@ -1687,6 +1695,7 @@ object SparkEntry {
     "q_training_manifest"       -> (qTrainingManifest(_, _)),
     "q_repetition_filter"       -> (qRepetitionFilter(_, _)),
     "q_token_rarity"            -> (qTokenRarity(_, _)),
+    "q_lm_score"                -> (qLmScore(_, _)),
     "q_quality_rank"            -> (qQualityRank(_, _)),
     "q_vocab_build"             -> (qVocabBuild(_, _)),
     "q_vocab_incremental"       -> (qVocabIncremental(_, _)),
@@ -2704,6 +2713,35 @@ object SparkEntry {
         |       CAST(sum(f.tf) AS BIGINT) AS freq_mass
         |FROM tk JOIN f USING (token)
         |GROUP BY 1""".stripMargin,
+    "q_lm_score" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |o AS (SELECT doc_id,
+        |             unnest([{'tok': w[i], 'prev': CASE WHEN i > 1 THEN w[i-1] END}
+        |                     for i in range(1, len(w)+1)]) AS g
+        |      FROM t),
+        |occ AS (SELECT doc_id, g.tok AS token, g.prev AS prev FROM o WHERE g.tok <> ''),
+        |uni AS (SELECT token, count(*) AS cw FROM occ GROUP BY 1),
+        |tot AS (SELECT sum(cw) AS n, count(*) AS v FROM uni),
+        |big AS (SELECT prev, token, count(*) AS cb FROM occ WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |sc AS (SELECT occ.doc_id,
+        |              CASE WHEN occ.prev IS NULL
+        |                   THEN ln((u.cw + 1.0) / (tot.n + tot.v))
+        |                   ELSE ln(0.5 * ((coalesce(b.cb, 0) + 1.0) / (up.cw + tot.v))
+        |                           + 0.5 * ((u.cw + 1.0) / (tot.n + tot.v)))
+        |              END AS lp
+        |       FROM occ
+        |       JOIN uni u USING (token)
+        |       LEFT JOIN uni up ON up.token = occ.prev
+        |       LEFT JOIN big b ON b.prev = occ.prev AND b.token = occ.token
+        |       CROSS JOIN tot),
+        |agg AS (SELECT doc_id, count(*) AS n_scored,
+        |               sum(round(lp * 1000000.0)::BIGINT)::BIGINT AS sum_logq
+        |        FROM sc GROUP BY 1)
+        |SELECT d.doc_id, agg.n_scored, agg.sum_logq,
+        |       -(agg.sum_logq::DOUBLE / (agg.n_scored::DOUBLE * 1000000.0)) AS avg_nll
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q_vocab_build" -> vocabBuildOracle,
     // SHARED: the incremental count fold must reproduce the full vocabulary
     "q_vocab_incremental" -> vocabBuildOracle,

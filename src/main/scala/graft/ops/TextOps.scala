@@ -323,6 +323,66 @@ object TextOps {
       .select(col(idCol), col("pred_lang"), col("quality"), col("bin"))
   }
 
+  /** Corpus-trained interpolated bigram language-model score per document —
+    * the CCNet/KenLM-style perplexity quality filter re-expressed with
+    * engine-portable fixed-point arithmetic. The LM is add-α (α=1) smoothed
+    * and trained on the corpus itself: p_uni(w) = (c(w)+1)/(N+V),
+    * p_bi(w|v) = (c(v w)+1)/(c(v)+V), and each occurrence scores
+    * ln(λ·p_bi + (1−λ)·p_uni) with λ=0.5 (first token: unigram only). The
+    * per-occurrence log is QUANTIZED to a BIGINT (round(ln·10⁶)) before the
+    * per-document sum, so the aggregate is an order-free integer — immune
+    * to float summation order across partitions, engines and runs — and
+    * avg_nll (mean negative log-likelihood per token, the perplexity
+    * exponent; high = unnatural text) is derived per-row from the two
+    * integer statistics. Empty documents keep their row with NULL stats.
+    *
+    * Scale shape: the tokens+prev construction is ONE in-row array
+    * transform (no window, no array carried through the explode); the
+    * unigram/bigram tables are Zipf-small partial-aggregating groupBys;
+    * scoring joins shuffle only (doc, token, prev) triples against the
+    * count tables (at 100 TB the LM tables are the side to bucket or
+    * broadcast-threshold, same adjudication as [[rarityStats]]); N/V ride
+    * a broadcast single-row cross join. The exploded occurrence relation
+    * feeds the two count aggregations AND the scoring join, so it is
+    * cached (module caching contract: caller/harness clears).
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withPrev = DedupOps.bindOnce(split(normalize(col(textCol)), " ")) { w =>
+      transform(w, (t, i) =>
+        struct(
+          t.as("token"),
+          when(i > 0, element_at(w, i)).as("prev")))
+    }
+    val occ = df
+      .select(col(idCol), explode(withPrev).as("g"))
+      .select(col(idCol), col("g.token").as("token"), col("g.prev").as("prev"))
+      .filter(col("token") =!= "")
+      .cache()
+    val uni = occ.groupBy(col("token")).agg(count(lit(1)).as("cw"))
+    val tot = uni.agg(sum(col("cw")).as("n"), count(lit(1)).as("v"))
+    val big = occ.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("cb"))
+    val pUni = (col("cw") + lit(1.0)) / (col("n") + col("v"))
+    val pBi = (coalesce(col("cb"), lit(0L)) + lit(1.0)) / (col("cprev") + col("v"))
+    val lp = when(col("prev").isNull, log(pUni))
+      .otherwise(log(lit(0.5) * pBi + lit(0.5) * pUni))
+    val scored = occ
+      .join(uni, Seq("token"))
+      .join(uni.select(col("token").as("prev"), col("cw").as("cprev")), Seq("prev"), "left")
+      .join(big, Seq("prev", "token"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_scored"),
+        sum(round(lp * lit(1.0e6)).cast("long")).as("sum_logq"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_scored"), col("sum_logq"),
+        (-(col("sum_logq").cast("double") / (col("n_scored").cast("double") * lit(1.0e6))))
+          .as("avg_nll"))
+  }
+
   /** Within-document repetition metrics (the Gopher/MassiveText-style
     * repetition filters): fraction of word-trigram occurrences that are
     * repeats of an earlier trigram in the SAME document, and the share of

@@ -147,4 +147,51 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("u1", 20.0, ts(3), None, true),
       ("u2", 5.0, ts(4), None, true)))
   }
+
+  test("lmScore matches a plain-Scala reference LM; empty doc keeps NULL stats") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat"),
+      (3L, "zyx qwv"),
+      (4L, "  "),
+      (5L, "the cat sat on the mat the cat sat")
+    ).toDF("doc_id", "text")
+    val got = TextOps.lmScore(docs, "doc_id", "text")
+      .select("doc_id", "n_scored", "sum_logq")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // reference model in plain Scala, same formula
+    val corpus = Map(
+      1L -> "the cat sat on the mat", 2L -> "the cat sat", 3L -> "zyx qwv",
+      5L -> "the cat sat on the mat the cat sat"
+    ).view.mapValues(_.split("\\s+").toSeq).toMap
+    val uni = corpus.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = uni.values.sum.toDouble
+    val v = uni.size.toDouble
+    val big = corpus.values.flatMap(w => w.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def score(ws: Seq[String]): (Long, Long) = {
+      val lqs = ws.zipWithIndex.map { case (w, i) =>
+        val pu = (uni(w) + 1.0) / (n + v)
+        val lp =
+          if (i == 0) math.log(pu)
+          else {
+            val prev = ws(i - 1)
+            val pb = (big.getOrElse((prev, w), 0L) + 1.0) / (uni(prev) + v)
+            math.log(0.5 * pb + 0.5 * pu)
+          }
+        math.round(lp * 1e6)
+      }
+      (ws.size.toLong, lqs.sum)
+    }
+    corpus.foreach { case (id, ws) =>
+      val (en, eq) = score(ws)
+      assert(got(id) == ((Some(en), Some(eq))), s"doc $id")
+    }
+    assert(got(4L) == ((None, None)), "whitespace-only doc keeps its row with NULL stats")
+    // natural repeated text scores lower NLL than the rare-token doc
+    assert(got(5L)._2.get.toDouble / got(5L)._1.get > got(3L)._2.get.toDouble / got(3L)._1.get,
+      "higher (less negative) mean log-prob for the in-distribution doc")
+  }
 }
