@@ -1321,6 +1321,14 @@ object SparkEntry {
   def qRepetitionFilter(spark: SparkSession, dir: String): DataFrame =
     TextOps.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** TextRank keywords: 3 fixed-point PageRank iterations over the token
+    * co-occurrence graph, top-50 by (score DESC, token) — the iterative
+    * graph-compute operator beyond connected components, with integer
+    * arithmetic that reproduces exactly on any engine.
+    */
+  def qTextRank(spark: SparkSession, dir: String): DataFrame =
+    TextOps.textRank(Tables.documents(spark, dir), "text", iterations = 3, k = 50)
+
   /** Corpus-trained interpolated bigram LM score (CCNet/KenLM-style
     * perplexity quality filter) — per-document mean negative log-likelihood
     * from fixed-point-quantized log-probs (order-free integer sums, so the
@@ -1696,6 +1704,7 @@ object SparkEntry {
     "q_repetition_filter"       -> (qRepetitionFilter(_, _)),
     "q_token_rarity"            -> (qTokenRarity(_, _)),
     "q_lm_score"                -> (qLmScore(_, _)),
+    "q_textrank"                -> (qTextRank(_, _)),
     "q_quality_rank"            -> (qQualityRank(_, _)),
     "q_vocab_build"             -> (qVocabBuild(_, _)),
     "q_vocab_incremental"       -> (qVocabIncremental(_, _)),
@@ -2742,6 +2751,27 @@ object SparkEntry {
         |SELECT d.doc_id, agg.n_scored, agg.sum_logq,
         |       -(agg.sum_logq::DOUBLE / (agg.n_scored::DOUBLE * 1000000.0)) AS avg_nll
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q_textrank" ->
+      raw"""WITH t AS (
+        |  SELECT regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |pr AS (SELECT unnest([{'a': w[i], 'b': w[i+1]} for i in range(1, len(w))]) AS g
+        |       FROM t WHERE len(w) >= 2),
+        |d AS (SELECT g.a AS a, g.b AS b FROM pr WHERE g.a <> '' AND g.b <> '' AND g.a <> g.b),
+        |ed AS (SELECT src, dst, count(*) AS w
+        |       FROM (SELECT a AS src, b AS dst FROM d UNION ALL SELECT b AS src, a AS dst FROM d)
+        |       GROUP BY 1, 2),
+        |dg AS (SELECT src, sum(w)::BIGINT AS wsum FROM ed GROUP BY 1),
+        |e AS (SELECT ed.src, ed.dst, ed.w, dg.wsum FROM ed JOIN dg USING (src)),
+        |r0 AS (SELECT src AS token, 1000000::BIGINT AS score FROM dg),
+        |r1 AS (SELECT e.dst AS token, (150000 + (85 * sum((r.score * e.w) // e.wsum)) // 100)::BIGINT AS score
+        |       FROM e JOIN r0 r ON r.token = e.src GROUP BY 1),
+        |r2 AS (SELECT e.dst AS token, (150000 + (85 * sum((r.score * e.w) // e.wsum)) // 100)::BIGINT AS score
+        |       FROM e JOIN r1 r ON r.token = e.src GROUP BY 1),
+        |r3 AS (SELECT e.dst AS token, (150000 + (85 * sum((r.score * e.w) // e.wsum)) // 100)::BIGINT AS score
+        |       FROM e JOIN r2 r ON r.token = e.src GROUP BY 1)
+        |SELECT token, score, row_number() OVER (ORDER BY score DESC, token)::BIGINT AS rank
+        |FROM r3 QUALIFY rank <= 50""".stripMargin,
     "q_vocab_build" -> vocabBuildOracle,
     // SHARED: the incremental count fold must reproduce the full vocabulary
     "q_vocab_incremental" -> vocabBuildOracle,

@@ -383,6 +383,66 @@ object TextOps {
           .as("avg_nll"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): fixed-iteration
+    * weighted PageRank over the token co-occurrence graph — nodes are
+    * normalized tokens, edges adjacent-token pairs (undirected, weighted by
+    * corpus adjacency count, self-loops dropped), damping 0.85. All rank
+    * arithmetic is FIXED-POINT: scores live as BIGINT millionths
+    * (r₀ = 10⁶), each neighbor contribution is the integral division
+    * (r·w) div W(src), and the damped update is 150000 + (85·Σ) div 100 —
+    * so every iteration is order-free integer sums that reproduce exactly
+    * on any engine (the same portability contract as [[lmScore]]'s
+    * quantized log-probs), at the cost of ≤1 micro-rank truncation per
+    * edge, identical on both sides. Returns the top-`k` tokens by
+    * (score DESC, token ASC) with their dense rank.
+    *
+    * Scale shape: the edge relation is built once from one narrow
+    * in-row zip (no window, no self-join) and cached with its per-source
+    * weight sums; each iteration is ONE shuffle join of the V-sized rank
+    * relation against the edges plus one partial-aggregating groupBy —
+    * O(iterations) rounds like [[DedupOps.connectedComponents]], with no
+    * driver-side state. At 100 TB the rank relation (vocab-sized) is the
+    * broadcast candidate; the edge relation shuffles once at build and
+    * stays partitioned by src across iterations. The final top-k is
+    * TakeOrdered (orderBy+limit), never a global sort; the rank column is
+    * a window over the ≤k survivors only.
+    */
+  def textRank(df: DataFrame, textCol: String, iterations: Int = 3, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iterations >= 1, "need at least one iteration")
+    require(k >= 1, "k must be positive")
+    val toks = split(normalize(col(textCol)), " ")
+    val adj = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("a"), b.as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val d = df.select(explode(adj).as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "" && col("a") =!= col("b"))
+    val edges = d.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(d.select(col("b").as("src"), col("a").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    // cached: the weighted edge relation feeds every iteration's join —
+    // without the barrier the corpus-wide pair build re-runs per round
+    // (module caching contract: caller/harness clears)
+    val e = edges.join(deg, "src").cache()
+    var r = deg.select(col("src").as("token"), lit(1000000L).as("score"))
+    for (_ <- 1 to iterations) {
+      r = e.join(r.withColumnRenamed("token", "src"), "src")
+        .select(col("dst").as("token"), expr("(score * w) div wsum").as("c"))
+        .groupBy(col("token")).agg(sum(col("c")).as("cs"))
+        .select(col("token"), (lit(150000L) + expr("(85 * cs) div 100")).as("score"))
+    }
+    val top = r.orderBy(col("score").desc, col("token")).limit(k)
+    // window over the ≤k TakeOrdered survivors only — bounded by contract
+    top.withColumn(
+      "rank",
+      row_number().over(Window.orderBy(col("score").desc, col("token"))).cast("long"))
+  }
+
   /** Within-document repetition metrics (the Gopher/MassiveText-style
     * repetition filters): fraction of word-trigram occurrences that are
     * repeats of an earlier trigram in the SAME document, and the share of

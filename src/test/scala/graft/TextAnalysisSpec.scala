@@ -194,4 +194,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(5L)._2.get.toDouble / got(5L)._1.get > got(3L)._2.get.toDouble / got(3L)._1.get,
       "higher (less negative) mean log-prob for the in-distribution doc")
   }
+
+  test("textRank matches a plain-Scala fixed-point PageRank; hub token ranks first") {
+    val docs = Seq(
+      (1L, "spark runs fast and spark scales well"),
+      (2L, "spark joins and spark aggregates"),
+      (3L, "fast joins need spark"),
+      (4L, "solo"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = TextOps.textRank(docs, "text", iterations = 3, k = 10)
+      .select("token", "score", "rank")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._3)
+
+    // reference model: same graph, same integer arithmetic
+    val corpus = Seq(
+      "spark runs fast and spark scales well",
+      "spark joins and spark aggregates",
+      "fast joins need spark").map(_.split("\\s+").toSeq)
+    val directed = corpus.flatMap(w =>
+      w.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).filter(p => p._1 != p._2))
+    val edges = (directed ++ directed.map(_.swap))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wsum = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    var r: Map[String, Long] = wsum.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.toSeq
+        .map { case ((src, dst), w) => dst -> (r(src) * w) / wsum(src) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = contrib.map { case (t, cs) => t -> (150000L + (85L * cs) / 100L) }
+    }
+    val expect = r.toSeq.sortBy { case (t, s) => (-s, t) }.take(10)
+      .zipWithIndex.map { case ((t, s), i) => (t, s, i + 1L) }
+    assert(got == expect)
+    assert(got.head._1 == "spark", "the hub token carries the highest centrality")
+  }
 }
