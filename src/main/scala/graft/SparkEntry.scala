@@ -1112,6 +1112,26 @@ object SparkEntry {
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
   }
 
+  /** Length-weighted priority sampling: top-20 per language by w/u
+    * priority (w = n_chars, u = LCG(doc_id)) — deterministic
+    * weight-proportional subsampling without replacement
+    * ([[SamplingOps.prioritySample]]).
+    */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    SamplingOps.prioritySample(
+      Tables.documents(spark, dir), "doc_id", "n_chars", Seq("lang"), k = 20)
+
+  /** Leakage-safe train/val/test split: the near-dup cluster labeling
+    * bucketed by md5(cluster_id) — near-duplicate families never straddle
+    * splits, closing the eval-contamination path a doc-keyed split leaves
+    * open ([[SamplingOps.clusterSplit]]).
+    */
+  def qClusterSplit(spark: SparkSession, dir: String): DataFrame =
+    SamplingOps.clusterSplit(
+      labeledClusters(Tables.documents(spark, dir)).withColumnRenamed("id", "doc_id"),
+      "doc_id", "cluster_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
   /** Quality-based keeper election per near-dup cluster
     * ([[DedupOps.keeperByScore]]): production curation keeps each family's
     * BEST-quality member, not the accidental minimum id — the labeling is
@@ -1705,6 +1725,8 @@ object SparkEntry {
     "q_token_rarity"            -> (qTokenRarity(_, _)),
     "q_lm_score"                -> (qLmScore(_, _)),
     "q_textrank"                -> (qTextRank(_, _)),
+    "q_cluster_split"           -> (qClusterSplit(_, _)),
+    "q_weighted_sample"         -> (qWeightedSample(_, _)),
     "q_quality_rank"            -> (qQualityRank(_, _)),
     "q_vocab_build"             -> (qVocabBuild(_, _)),
     "q_vocab_incremental"       -> (qVocabIncremental(_, _)),
@@ -2751,6 +2773,23 @@ object SparkEntry {
         |SELECT d.doc_id, agg.n_scored, agg.sum_logq,
         |       -(agg.sum_logq::DOUBLE / (agg.n_scored::DOUBLE * 1000000.0)) AS avg_nll
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+        |                 (doc_id * 1103515245 + 12345) % 2147483648 AS hh
+        |          FROM documents),
+        |p AS (SELECT doc_id, lang, n_chars,
+        |             (n_chars::DOUBLE * 2147483648.0) / (hh + 1) AS priority
+        |      FROM h),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rk
+        |      FROM p)
+        |SELECT lang, doc_id, n_chars, priority, rk::BIGINT AS rank FROM r WHERE rk <= 20""".stripMargin,
+    "q_cluster_split" ->
+      s"""WITH RECURSIVE $neardupClusterCtes
+        |SELECT doc_id, cluster_id,
+        |       CASE WHEN substr(md5(cluster_id::VARCHAR), 1, 4) < 'cccd' THEN 'train'
+        |            WHEN substr(md5(cluster_id::VARCHAR), 1, 4) < 'e666' THEN 'val'
+        |            ELSE 'test' END AS bucket
+        |FROM labeled""".stripMargin,
     "q_textrank" ->
       raw"""WITH t AS (
         |  SELECT regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w

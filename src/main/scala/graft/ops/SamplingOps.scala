@@ -37,6 +37,66 @@ object SamplingOps {
     df.withColumn("bucket", bucket)
   }
 
+  /** Leakage-safe train/val/test split: buckets by the near-dup CLUSTER id,
+    * not the document id, so a whole near-duplicate family lands in ONE
+    * split. A doc-keyed [[hashSplit]] routinely strands one member of a
+    * near-dup pair in train and its twin in test — the classic silent eval
+    * contamination that survives doc-level dedup audits because no row is
+    * actually duplicated across splits. `labels` is any (id, cluster)
+    * relation — e.g. the connected-components labeling the cluster queries
+    * build — and the bucket is the same md5-prefix function of the cluster
+    * id, so singleton docs (cluster = own id) split exactly like
+    * [[hashSplit]] while families move as a unit.
+    *
+    * Scale shape: one narrow map over the labeling (the md5 bucket is a
+    * pure row function) — the clustering's cost is the caller's, already
+    * paid for dedup; the split itself adds no shuffle.
+    */
+  def clusterSplit(
+      labels: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      fractions: Seq[(String, Double)]): DataFrame =
+    hashSplit(labels, clusterCol, fractions)
+      .select(col(idCol), col(clusterCol), col("bucket"))
+
+  /** Deterministic weight-proportional sampling without replacement
+    * (priority sampling, Duffield–Lund–Thorup): each row gets priority
+    * w/u where u ∈ (0,1] is a pure integer-LCG function of its id, and
+    * each stratum keeps its top-`k` priorities — heavier rows are
+    * proportionally more likely to survive, yet the selection is a pure
+    * row function: stable across runs, engines and partitionings, like
+    * every sampler in this module. The uniform is u = (h+1)/2³¹ with
+    * h = (id·1103515245 + 12345) mod 2³¹ (the classic rand LCG step), so
+    * the priority (w·2³¹)/(h+1) is ONE multiply and ONE divide of exact
+    * integers — bit-identical on any IEEE engine, no ln/pow whose libm
+    * rounding could diverge. Ids must be non-negative and < 2³³ (the LCG
+    * product must not overflow 64-bit — engines disagree on wrap
+    * semantics); weights must be ≥ 0 (w=0 ⇒ priority 0, drawn only if a
+    * stratum has fewer than k positive-weight rows).
+    *
+    * Scale shape: the priority is map-side; the per-stratum top-k is a
+    * rank-filtered window (WindowGroupLimit pushes the k-limit into the
+    * sort) — one shuffle on the strata key, never a global sort.
+    */
+  def prioritySample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      strataCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val h = (col(idCol) * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    val priority = (col(weightCol).cast("double") * lit(2147483648.0)) / (h + lit(1L))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("priority").desc, col(idCol))
+    df.withColumn("priority", priority)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select((strataCols.map(col) :+ col(idCol) :+ col(weightCol) :+
+        col("priority") :+ col("rank")): _*)
+  }
+
   /** Deterministic stratified take: within each stratum, keep the first
     * `fraction` of rows under md5(key) order (a content-keyed, reproducible
     * "sample" of every stratum — each stratum keeps ceil(fraction·n) rows).

@@ -226,4 +226,59 @@ class SamplingSpec extends AnyFunSuite {
       (4L, 1L, 4L, "s4 s5 s6 s7"),
       (4L, 2L, 3L, "s7 s8 s9")))
   }
+
+  test("clusterSplit: near-dup families never straddle splits; doc-keyed split does") {
+    import graft.ops.DedupOps
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty, "corpus must contain near-dup pairs for the test to bite")
+    val cc = DedupOps.connectedComponents(
+      DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5), "doc_a", "doc_b")
+    val labels = docs.select(col("doc_id"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val byCluster = SamplingOps.clusterSplit(labels, "doc_id", "cluster_id", fr)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(byCluster.size == docs.count(), "split is total")
+    pairs.foreach { case (a, b) =>
+      assert(byCluster(a) == byCluster(b), s"pair ($a,$b) straddles cluster split")
+    }
+    // the hazard is real on this corpus: the doc-keyed split strands at
+    // least one near-dup pair across buckets (deterministic md5 check)
+    val byDoc = SamplingOps.hashSplit(docs.select(col("doc_id")), "doc_id", fr)
+      .as[(Long, String)].collect().toMap
+    assert(pairs.exists { case (a, b) => byDoc(a) != byDoc(b) },
+      "doc-keyed split should straddle at least one near-dup pair here")
+  }
+
+  test("prioritySample matches a plain-Scala reference; scale-invariant; weight-biased") {
+    val rows = (0L until 400L).map(i => (i, s"s${i % 3}", (i % 37) + 1L))
+    val df = rows.toDF("id", "stratum", "w")
+    def refTop(k: Int, scale: Long): Map[String, Seq[(Long, Double)]] =
+      rows.map { case (id, s, w0) =>
+        val w = w0 * scale
+        val h = (id * 1103515245L + 12345L) % 2147483648L
+        (s, id, (w.toDouble * 2147483648.0) / (h + 1L))
+      }.groupBy(_._1).view.mapValues(
+        _.sortBy { case (_, id, p) => (-p, id) }.take(k).map(t => (t._2, t._3)).toSeq).toMap
+
+    val got = SamplingOps.prioritySample(df, "id", "w", Seq("stratum"), k = 10)
+      .select("stratum", "id", "priority", "rank")
+      .as[(String, Long, Double, Long)].collect().toSeq
+    val gotBy = got.groupBy(_._1).view.mapValues(
+      _.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    assert(gotBy == refTop(10, 1L), "exact priority and selection parity with the reference")
+
+    // scale invariance: doubling every weight reselects the same ids
+    val scaled = SamplingOps.prioritySample(
+      df.withColumn("w", col("w") * 2), "id", "w", Seq("stratum"), k = 10)
+      .select("stratum", "id").as[(String, Long)].collect().toSet
+    assert(scaled == got.map(t => (t._1, t._2)).toSet)
+
+    // weight bias: mean weight of the selected rows exceeds the population mean
+    val selW = got.map(t => rows(t._2.toInt)._3)
+    assert(selW.sum.toDouble / selW.size > rows.map(_._3).sum.toDouble / rows.size,
+      "heavier rows are selected preferentially")
+  }
 }
