@@ -429,7 +429,10 @@ object TextOps {
     // without the barrier the corpus-wide pair build re-runs per round
     // (module caching contract: caller/harness clears)
     val e = edges.join(deg, "src").cache()
-    var r = deg.select(col("src").as("token"), lit(1000000L).as("score"))
+    // seed from the CACHED edge relation (distinct src = the node set) —
+    // seeding from `deg` would re-run the corpus-wide pair build once more
+    var r = e.select(col("src").as("token")).distinct()
+      .withColumn("score", lit(1000000L))
     for (_ <- 1 to iterations) {
       r = e.join(r.withColumnRenamed("token", "src"), "src")
         .select(col("dst").as("token"), expr("(score * w) div wsum").as("c"))
