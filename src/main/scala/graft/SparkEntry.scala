@@ -1341,6 +1341,21 @@ object SparkEntry {
   def qRepetitionFilter(spark: SparkSession, dir: String): DataFrame =
     TextOps.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Incremental LM-count maintenance, proven lossless BY CONSTRUCTION:
+    * the corpus is split in half (even/odd doc_id), each half's
+    * unigram/bigram counts are folded with [[TextOps.mergeLmCounts]], and
+    * scoring the full corpus against the merged statistics must reproduce
+    * q_lm_score bit-for-bit — the two queries share one oracle, the same
+    * pattern as q_vocab_incremental and q_knn_incremental.
+    */
+  def qLmIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (u, b) = TextOps.mergeLmCounts(
+      TextOps.lmCounts(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+      TextOps.lmCounts(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"))
+    TextOps.lmScoreFromCounts(docs, "doc_id", "text", u, b)
+  }
+
   /** TextRank keywords: 3 fixed-point PageRank iterations over the token
     * co-occurrence graph, top-50 by (score DESC, token) — the iterative
     * graph-compute operator beyond connected components, with integer
@@ -1511,6 +1526,17 @@ object SparkEntry {
   def qEmbeddingKnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     SimilarityOps.knnBrute(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+  }
+
+  /** Hard-negative mining: for the anchor set (every 10th vector), the
+    * top-5 most-similar vectors with a DIFFERENT label — contrastive
+    * near-misses, knn rules plus the label-inequality predicate
+    * ([[SimilarityOps.hardNegatives]]).
+    */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.hardNegatives(
+      emb, emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", "label", k = 5)
   }
 
   /** Incremental top-k maintenance, proven BY CONSTRUCTION equal to the
@@ -1724,6 +1750,7 @@ object SparkEntry {
     "q_repetition_filter"       -> (qRepetitionFilter(_, _)),
     "q_token_rarity"            -> (qTokenRarity(_, _)),
     "q_lm_score"                -> (qLmScore(_, _)),
+    "q_lm_incremental"          -> (qLmIncremental(_, _)),
     "q_textrank"                -> (qTextRank(_, _)),
     "q_cluster_split"           -> (qClusterSplit(_, _)),
     "q_weighted_sample"         -> (qWeightedSample(_, _)),
@@ -1758,6 +1785,7 @@ object SparkEntry {
     "q_gap_interpolate"         -> (qGapInterpolate(_, _)),
     "q_series_motif"            -> (qSeriesMotif(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
+    "q_hard_negatives"          -> (qHardNegatives(_, _)),
     "q_knn_incremental"         -> (qKnnIncremental(_, _)),
     "q_embedding_neardup"       -> (qEmbeddingNeardup(_, _)),
     "q_embedding_neardup_blocked" -> (qEmbeddingNeardupBlocked(_, _)),
@@ -1795,6 +1823,41 @@ object SparkEntry {
   /** Shared knn oracle — q_embedding_knn and q_knn_incremental must agree
     * with it (and each other) bit-for-bit: incremental merge is lossless.
     */
+  /** Self-trained interpolated bigram LM scoring — shared verbatim by
+    * q_lm_score and q_lm_incremental: equality of scoring against the
+    * merged half-corpus counts with this relation is the losslessness
+    * proof of [[graft.ops.TextOps.mergeLmCounts]].
+    */
+  private val lmScoreOracle: String =
+    raw"""WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |o AS (SELECT doc_id,
+      |             unnest([{'tok': w[i], 'prev': CASE WHEN i > 1 THEN w[i-1] END}
+      |                     for i in range(1, len(w)+1)]) AS g
+      |      FROM t),
+      |occ AS (SELECT doc_id, g.tok AS token, g.prev AS prev FROM o WHERE g.tok <> ''),
+      |uni AS (SELECT token, count(*) AS cw FROM occ GROUP BY 1),
+      |tot AS (SELECT sum(cw) AS n, count(*) AS v FROM uni),
+      |big AS (SELECT prev, token, count(*) AS cb FROM occ WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |sc AS (SELECT occ.doc_id,
+      |              CASE WHEN occ.prev IS NULL
+      |                   THEN ln((u.cw + 1.0) / (tot.n + tot.v))
+      |                   ELSE ln(0.5 * ((coalesce(b.cb, 0) + 1.0) / (up.cw + tot.v))
+      |                           + 0.5 * ((u.cw + 1.0) / (tot.n + tot.v)))
+      |              END AS lp
+      |       FROM occ
+      |       JOIN uni u USING (token)
+      |       LEFT JOIN uni up ON up.token = occ.prev
+      |       LEFT JOIN big b ON b.prev = occ.prev AND b.token = occ.token
+      |       CROSS JOIN tot),
+      |agg AS (SELECT doc_id, count(*) AS n_scored,
+      |               sum(round(lp * 1000000.0)::BIGINT)::BIGINT AS sum_logq
+      |        FROM sc GROUP BY 1)
+      |SELECT d.doc_id, agg.n_scored, agg.sum_logq,
+      |       -(agg.sum_logq::DOUBLE / (agg.n_scored::DOUBLE * 1000000.0)) AS avg_nll
+      |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""".stripMargin
+
   private val knnOracle: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
@@ -2744,35 +2807,10 @@ object SparkEntry {
         |       CAST(sum(f.tf) AS BIGINT) AS freq_mass
         |FROM tk JOIN f USING (token)
         |GROUP BY 1""".stripMargin,
-    "q_lm_score" ->
-      raw"""WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
-        |  FROM documents),
-        |o AS (SELECT doc_id,
-        |             unnest([{'tok': w[i], 'prev': CASE WHEN i > 1 THEN w[i-1] END}
-        |                     for i in range(1, len(w)+1)]) AS g
-        |      FROM t),
-        |occ AS (SELECT doc_id, g.tok AS token, g.prev AS prev FROM o WHERE g.tok <> ''),
-        |uni AS (SELECT token, count(*) AS cw FROM occ GROUP BY 1),
-        |tot AS (SELECT sum(cw) AS n, count(*) AS v FROM uni),
-        |big AS (SELECT prev, token, count(*) AS cb FROM occ WHERE prev IS NOT NULL GROUP BY 1, 2),
-        |sc AS (SELECT occ.doc_id,
-        |              CASE WHEN occ.prev IS NULL
-        |                   THEN ln((u.cw + 1.0) / (tot.n + tot.v))
-        |                   ELSE ln(0.5 * ((coalesce(b.cb, 0) + 1.0) / (up.cw + tot.v))
-        |                           + 0.5 * ((u.cw + 1.0) / (tot.n + tot.v)))
-        |              END AS lp
-        |       FROM occ
-        |       JOIN uni u USING (token)
-        |       LEFT JOIN uni up ON up.token = occ.prev
-        |       LEFT JOIN big b ON b.prev = occ.prev AND b.token = occ.token
-        |       CROSS JOIN tot),
-        |agg AS (SELECT doc_id, count(*) AS n_scored,
-        |               sum(round(lp * 1000000.0)::BIGINT)::BIGINT AS sum_logq
-        |        FROM sc GROUP BY 1)
-        |SELECT d.doc_id, agg.n_scored, agg.sum_logq,
-        |       -(agg.sum_logq::DOUBLE / (agg.n_scored::DOUBLE * 1000000.0)) AS avg_nll
-        |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q_lm_score" -> lmScoreOracle,
+    // SHARED: scoring against the merged half-corpus counts must reproduce
+    // the self-trained LM bit-for-bit (mergeLmCounts losslessness proof)
+    "q_lm_incremental" -> lmScoreOracle,
     "q_weighted_sample" ->
       """WITH h AS (SELECT doc_id, lang, n_chars,
         |                 (doc_id * 1103515245 + 12345) % 2147483648 AS hh
@@ -2945,6 +2983,19 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'text' AS kind, octet_length(text::BLOB)::BIGINT AS n_bytes
         |FROM documents""".stripMargin,
     "q_embedding_knn" -> knnOracle,
+    "q_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn, label AS probe_label
+        |      FROM n WHERE vec_id % 10 = 0),
+        |j AS (SELECT probe_id, probe_label, vec_id, label,
+        |             CASE WHEN pn * nrm > 0 THEN list_dot_product(pv, v) / (pn * nrm) END AS sim
+        |      FROM p, n WHERE vec_id <> probe_id AND label <> probe_label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+        |      FROM j WHERE sim IS NOT NULL)
+        |SELECT probe_id, probe_label::INT AS probe_label, vec_id AS neighbor_id,
+        |       label::INT AS neighbor_label, sim, rank
+        |FROM r WHERE rank <= 5""".stripMargin,
     // identical by construction: per-half top-10s merged and re-ranked must
     // reproduce the one-shot top-10 (every global winner is in its half's
     // top-10), so the incremental query reuses the knn oracle verbatim

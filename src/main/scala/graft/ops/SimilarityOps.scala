@@ -107,6 +107,51 @@ object SimilarityOps {
       .select(col("probe_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * top-`k` most cosine-similar corpus vectors with a DIFFERENT label —
+    * the near-misses a contrastive or reranker objective learns the most
+    * from (easy negatives are already far; same-label neighbors are
+    * positives, not negatives). Same candidate rules as [[knnBrute]]
+    * (self excluded, zero-norm vectors dropped, (sim DESC, id) total
+    * order), plus the label-inequality predicate; both labels ride along
+    * in the output for audit.
+    *
+    * Scale shape: identical to [[knnBrute]] — anchors broadcast, corpus
+    * scanned once with no shuffle of raw vectors, per-anchor top-k via a
+    * rank-filtered window over (anchor, id, sim) triples. The label adds
+    * one tiny column to the broadcast and the scan.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    def prep(df: DataFrame) = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"), col(labelCol))
+      .withColumn("nrm", l2norm(col("v")))
+    val c = prep(corpus)
+    val p = prep(anchors)
+      .select(
+        col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn"),
+        col(labelCol).as("probe_label"))
+    val scored = c
+      .join(
+        broadcast(p),
+        col(idCol) =!= col("probe_id") && col(labelCol) =!= col("probe_label"))
+      .withColumn("sim", cosine(dot(col("pv"), col("v")), col("pn"), col("nrm")))
+      .filter(col("sim").isNotNull)
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("probe_id"), col("probe_label"),
+        col(idCol).as("neighbor_id"), col(labelCol).as("neighbor_label"),
+        col("sim"), col("rank"))
+  }
+
   /** Incremental top-k maintenance (the interactive-session pattern: the
     * corpus grows, stored per-probe results must not be recomputed against
     * everything): merge a stored top-k relation with the top-k of a DELTA

@@ -347,27 +347,83 @@ object TextOps {
     * cached (module caching contract: caller/harness clears).
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = lmOccurrences(df, idCol, textCol).cache()
+    lmScoreFrom(df, idCol, occ,
+      occ.groupBy(col("token")).agg(count(lit(1)).as("cw")),
+      occ.filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("cb")))
+  }
+
+  /** The (id, token, prev) occurrence relation behind [[lmScore]] — one
+    * in-row array transform (prev zipped inside the array before the
+    * explode, no window, no array carried through), empty tokens dropped.
+    */
+  private[graft] def lmOccurrences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withPrev = DedupOps.bindOnce(split(normalize(col(textCol)), " ")) { w =>
       transform(w, (t, i) =>
         struct(
           t.as("token"),
           when(i > 0, element_at(w, i)).as("prev")))
     }
-    val occ = df
-      .select(col(idCol), explode(withPrev).as("g"))
+    df.select(col(idCol), explode(withPrev).as("g"))
       .select(col(idCol), col("g.token").as("token"), col("g.prev").as("prev"))
       .filter(col("token") =!= "")
-      .cache()
-    val uni = occ.groupBy(col("token")).agg(count(lit(1)).as("cw"))
-    val tot = uni.agg(sum(col("cw")).as("n"), count(lit(1)).as("v"))
-    val big = occ.filter(col("prev").isNotNull)
-      .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("cb"))
-    val pUni = (col("cw") + lit(1.0)) / (col("n") + col("v"))
-    val pBi = (coalesce(col("cb"), lit(0L)) + lit(1.0)) / (col("cprev") + col("v"))
+  }
+
+  /** The maintainable LM statistics: unigram `(token, cw)` and bigram
+    * `(prev, token, cb)` counts. Counts ADD across increments — an
+    * operating store keeps these two relations and folds each batch in
+    * with [[mergeLmCounts]] instead of re-scanning history, exactly the
+    * [[vocabCounts]]/[[mergeVocabCounts]] contract; the registered
+    * incremental query proves the fold lossless by sharing q_lm_score's
+    * oracle (N and V derive from the unigram relation, so they need no
+    * separate maintenance).
+    */
+  def lmCounts(df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val occ = lmOccurrences(df, idCol, textCol).cache()
+    (occ.groupBy(col("token")).agg(count(lit(1)).as("cw")),
+      occ.filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("cb")))
+  }
+
+  /** Sum LM count relations key-wise — the incremental LM fold. */
+  def mergeLmCounts(parts: (DataFrame, DataFrame)*): (DataFrame, DataFrame) = {
+    require(parts.nonEmpty, "need at least one count pair")
+    (parts.map(_._1).reduce(_.unionByName(_))
+      .groupBy(col("token")).agg(sum(col("cw")).as("cw")),
+      parts.map(_._2).reduce(_.unionByName(_))
+        .groupBy(col("prev"), col("token")).agg(sum(col("cb")).as("cb")))
+  }
+
+  /** Score `df` against externally-supplied LM count relations (the
+    * incremental-store operating mode; [[lmScore]] is the self-contained
+    * train-on-yourself form).
+    */
+  def lmScoreFromCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      uni: DataFrame,
+      big: DataFrame): DataFrame =
+    lmScoreFrom(df, idCol, lmOccurrences(df, idCol, textCol), uni, big)
+
+  private def lmScoreFrom(
+      df: DataFrame,
+      idCol: String,
+      occ: DataFrame,
+      uni: DataFrame,
+      big: DataFrame): DataFrame = {
+    val tot = uni.agg(sum(col("cw")).cast("long").as("n"), count(lit(1)).as("v"))
+    // out-of-vocabulary coalesces (tokens absent from external counts score
+    // as unseen, c=0 — the add-α row): no-ops in the self-trained form,
+    // where every scored token is in its own count tables by construction
+    val pUni = (coalesce(col("cw"), lit(0L)) + lit(1.0)) / (col("n") + col("v"))
+    val pBi = (coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("cprev"), lit(0L)) + col("v"))
     val lp = when(col("prev").isNull, log(pUni))
       .otherwise(log(lit(0.5) * pBi + lit(0.5) * pUni))
     val scored = occ
-      .join(uni, Seq("token"))
+      .join(uni, Seq("token"), "left")
       .join(uni.select(col("token").as("prev"), col("cw").as("cprev")), Seq("prev"), "left")
       .join(big, Seq("prev", "token"), "left")
       .crossJoin(broadcast(tot))

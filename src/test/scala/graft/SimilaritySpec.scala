@@ -36,6 +36,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(agg == win)
   }
 
+  test("hardNegatives: cross-label only, exactly the knn restricted to other labels") {
+    val anchors = emb.filter(col("vec_id") % 10 === 0)
+    val got = SimilarityOps.hardNegatives(emb, anchors, "vec_id", "embedding", "label", 5)
+      .select("probe_id", "probe_label", "neighbor_id", "neighbor_label", "sim", "rank")
+      .as[(Long, Int, Long, Int, Double, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall { case (p, pl, n, nl, _, _) => p != n && pl != nl },
+      "every mined negative carries a different label")
+    // reference: brute-force in Scala over the collected vectors
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .as[(Long, Seq[Double], Int)].collect()
+    def nrm(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val anchorSet = vecs.filter(_._1 % 10 == 0)
+    val expect = anchorSet.flatMap { case (p, pv, pl) =>
+      val pn = nrm(pv)
+      vecs.filter { case (n, _, nl) => n != p && nl != pl }
+        .flatMap { case (n, v, nl) =>
+          val d = nrm(v) * pn
+          if (d > 0) Some((n, nl, pv.zip(v).map { case (a, b) => a * b }.sum / d)) else None
+        }
+        .sortBy { case (n, _, s) => (-s, n) }.take(5)
+        .zipWithIndex.map { case ((n, nl, s), i) => (p, pl, n, nl, i + 1L) }
+    }.toSet
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._6)).toSet == expect,
+      "selection and order match the brute-force reference")
+  }
+
   test("knnMerge with OVERLAPPING corpus slices equals full-corpus knnBrute") {
     // slices share vec_id in [cut-50, cut): an overlapping neighbor appears in
     // both per-side top-k relations and must occupy ONE merged slot, not two

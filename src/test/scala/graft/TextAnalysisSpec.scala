@@ -195,6 +195,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       "higher (less negative) mean log-prob for the in-distribution doc")
   }
 
+  test("lmScore: merged half-corpus counts reproduce the self-trained scores; OOV keeps rows") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat"),
+      (3L, "zyx qwv"),
+      (4L, "the cat sat on the mat the cat sat")
+    ).toDF("doc_id", "text")
+    val full = TextOps.lmScore(docs, "doc_id", "text")
+      .as[(Long, Option[Long], Option[Long], Option[Double])].collect().toSet
+    val (u, b) = TextOps.mergeLmCounts(
+      TextOps.lmCounts(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+      TextOps.lmCounts(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"))
+    val merged = TextOps.lmScoreFromCounts(docs, "doc_id", "text", u, b)
+      .as[(Long, Option[Long], Option[Long], Option[Double])].collect().toSet
+    assert(merged == full, "count fold is lossless")
+    // OOV: scoring docs against counts that never saw their tokens must
+    // keep every occurrence (add-alpha unseen row), not drop rows
+    val oov = TextOps.lmScoreFromCounts(
+      Seq((9L, "totally unseen words")).toDF("doc_id", "text"), "doc_id", "text", u, b)
+      .select("doc_id", "n_scored").as[(Long, Option[Long])].collect().toSeq
+    assert(oov == Seq((9L, Some(3L))), "all OOV occurrences scored, none dropped")
+  }
+
   test("textRank matches a plain-Scala fixed-point PageRank; hub token ranks first") {
     val docs = Seq(
       (1L, "spark runs fast and spark scales well"),
