@@ -918,6 +918,15 @@ object SparkEntry {
   def qNgramJaccardDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
 
+  /** Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin candidate
+    * scheme): rarest-first prefixes cut the candidate set, exact
+    * verification restores [[DedupOps.jaccardPairs]]' output bit-for-bit —
+    * proven by sharing q_ngram_jaccard_dedup's oracle verbatim.
+    */
+  def qJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.jaccardPairsPrefix(
+      Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
+
   /** MinHash+LSH near-dup pairs, exact-Jaccard verified. The output is the
     * text-derivable verified-pairs relation (true uncapped Jaccard), so the
     * DuckDB oracle — shared verbatim with q_winnow_dedup — re-derives it in
@@ -1738,6 +1747,7 @@ object SparkEntry {
     "q_embedding_quantize"      -> (qEmbeddingQuantize(_, _)),
     "q_scd2_history"            -> (qScd2History(_, _)),
     "q_ngram_jaccard_dedup"     -> (qNgramJaccardDedup(_, _)),
+    "q_jaccard_prefix"          -> (qJaccardPrefix(_, _)),
     "q_cross_dedup"             -> (qCrossDedup(_, _)),
     "q_cross_dedup_lsh"         -> (qCrossDedupLsh(_, _)),
     "q_minhash_dedup"           -> (qMinhashDedup(_, _)),
@@ -1857,6 +1867,25 @@ object SparkEntry {
       |SELECT d.doc_id, agg.n_scored, agg.sum_logq,
       |       -(agg.sum_logq::DOUBLE / (agg.n_scored::DOUBLE * 1000000.0)) AS avg_nll
       |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  /** Capped exact n-gram Jaccard pairs — shared verbatim by
+    * q_ngram_jaccard_dedup and q_jaccard_prefix: the prefix-filtered
+    * candidate scheme must reproduce the full posting-list pair set.
+    */
+  private val ngramJaccardOracle: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+      |      FROM t WHERE len(w) >= 3),
+      |e0 AS (SELECT doc_id, unnest(sh) AS s FROM g),
+      |e AS (SELECT doc_id, s FROM e0
+      |      WHERE s NOT IN (SELECT s FROM e0 GROUP BY s HAVING count(*) > 100)),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(sh) AS n FROM g)
+      |SELECT doc_a, doc_b, common::DOUBLE / (sa.n + sb.n - common) AS jaccard
+      |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5""".stripMargin
 
   private val knnOracle: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2570,20 +2599,10 @@ object SparkEntry {
         |SELECT user_id AS symbol, event_type AS asset_type, value AS price,
         |       valid_from, valid_to, valid_to IS NULL AS is_current
         |FROM h""".stripMargin,
-    "q_ngram_jaccard_dedup" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-        |g AS (SELECT doc_id,
-        |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
-        |      FROM t WHERE len(w) >= 3),
-        |e0 AS (SELECT doc_id, unnest(sh) AS s FROM g),
-        |e AS (SELECT doc_id, s FROM e0
-        |      WHERE s NOT IN (SELECT s FROM e0 GROUP BY s HAVING count(*) > 100)),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, len(sh) AS n FROM g)
-        |SELECT doc_a, doc_b, common::DOUBLE / (sa.n + sb.n - common) AS jaccard
-        |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-        |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5""".stripMargin,
+    "q_ngram_jaccard_dedup" -> ngramJaccardOracle,
+    // SHARED: prefix filtering must restore the full posting-list pair set
+    // bit-for-bit (AllPairs candidate-scheme equality proof)
+    "q_jaccard_prefix" -> ngramJaccardOracle,
     "q_cross_dedup" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
         |g AS (SELECT doc_id,

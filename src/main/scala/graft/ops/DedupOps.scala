@@ -182,6 +182,75 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Prefix-filtered exact Jaccard pairs (the AllPairs/PPJoin candidate
+    * scheme, Bayardo et al. / Xiao et al.): identical OUTPUT to
+    * [[jaccardPairs]] — the registered query shares its oracle verbatim as
+    * the equality proof — with a candidate set cut by prefix filtering.
+    * Under a global element order (document frequency ASC, then hash: the
+    * rarest-first order that minimizes collisions), a pair at Jaccard ≥ t
+    * must share an element within each side's first |C| − ⌈t·|C|⌉ + 1
+    * elements, so only those PREFIX elements are indexed; the bound holds
+    * under the df cap because the capped common is ≤ each capped set size
+    * while the denominator uses the (larger) full sizes. Candidates are
+    * then verified exactly: capped-set intersection over full-size
+    * denominators, the same contract as [[jaccardPairs]].
+    *
+    * Scale tradeoff vs full posting lists: one extra per-document ranking
+    * window (a shuffle on the doc id) buys posting lists ~(1−t)× the
+    * length — at t=0.9 only a tenth of each document's shingles are ever
+    * indexed, and near-threshold workloads see order-of-magnitude candidate
+    * reductions (the spec measures the ratio). Verification joins each
+    * candidate pair's capped sets once; candidates are few by construction.
+    */
+  def jaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Int = 100): DataFrame = {
+    val sh = hashedShingles(df, idCol, textCol, n).cache()
+    val sizes = sh.select(col(idCol), size(col("sh")).as("n_sh"))
+    val ex0 = sh.select(col(idCol), explode(col("sh")).as("s"))
+    val ex = (if (maxDocFreq <= 0) ex0
+    else {
+      val hot = ex0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq).select(col("s"))
+      ex0.join(hot, Seq("s"), "left_anti")
+    }).cache()
+    val cand = prefixCandidatePairs(ex, idCol, threshold)
+    val csets = ex.groupBy(col(idCol)).agg(sort_array(collect_list(col("s"))).as("cs"))
+    cand
+      .join(csets.select(col(idCol).as("doc_a"), col("cs").as("ca")), "doc_a")
+      .join(csets.select(col(idCol).as("doc_b"), col("cs").as("cb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("ca"), col("cb"))))
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** The distinct candidate pairs whose rarest-first prefixes intersect —
+    * split out so the spec can measure the candidate reduction against
+    * full posting lists.
+    */
+  private[graft] def prefixCandidatePairs(
+      ex: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfr = ex.groupBy(col("s")).agg(count(lit(1)).as("sdf"))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("sdf"), col("s"))
+    val wAll = Window.partitionBy(col(idCol))
+    val prefix = ex.join(dfr, Seq("s"))
+      .withColumn("pos", row_number().over(wDoc))
+      .withColumn("nc", count(lit(1)).over(wAll))
+      .filter(col("pos") <= col("nc") - ceil(lit(threshold) * col("nc")) + lit(1))
+      .select(col(idCol), col("s"))
+    bucketPairs(prefix, idCol, "s").select(col("doc_a"), col("doc_b"))
+  }
+
   /** Incremental (cross-corpus) near-dup pairs: exact Jaccard between a
     * NEW batch and an EXISTING corpus only — the dedup shape that matters
     * operationally at 100 TB, where each crawl increment is checked

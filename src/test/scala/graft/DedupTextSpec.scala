@@ -579,4 +579,27 @@ class DedupTextSpec extends AnyFunSuite {
       .agg(sum(col("n_dropped"))).as[Long].collect().head
     assert(kept == 0L) // df == maxDocFreq is NOT dropped: strict >
   }
+
+  test("jaccardPairsPrefix: identical pairs to full posting lists, with FEWER candidates") {
+    val full = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val pref = DedupOps.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(pref == full, "prefix filtering must be lossless, scores included")
+    assert(full.nonEmpty)
+
+    // candidate accounting on the same capped exploded relation
+    val sh = DedupOps.hashedShingles(docs, "doc_id", "text", 3)
+    val ex0 = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val hot = ex0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 100).select(col("s"))
+    val ex = ex0.join(hot, Seq("s"), "left_anti").cache()
+    val fullCand = ex.as("a").join(ex.as("b"), Seq("s"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val prefCand = DedupOps.prefixCandidatePairs(ex, "doc_id", 0.5).count()
+    assert(prefCand < fullCand,
+      s"prefix candidates $prefCand should undercut full posting candidates $fullCand")
+    info(s"candidates: full=$fullCand prefix=$prefCand (${100 * prefCand / fullCand}%)")
+  }
 }
