@@ -1548,6 +1548,15 @@ object SparkEntry {
       emb, emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", "label", k = 5)
   }
 
+  /** Per-class centroid distances with farthest-first outlier flags
+    * (top-5 per label) — the embedding-quality audit, fixed-point
+    * centroids + dot-identity distances so even the doubles hash-match
+    * ([[SimilarityOps.classCentroidOutliers]]).
+    */
+  def qClassOutliers(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.classCentroidOutliers(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", "label", k = 5)
+
   /** Incremental top-k maintenance, proven BY CONSTRUCTION equal to the
     * one-shot knn: the corpus is split in half (even/odd vec_id), each half
     * is scored separately, and knnMerge of the halves must reproduce
@@ -1796,6 +1805,7 @@ object SparkEntry {
     "q_series_motif"            -> (qSeriesMotif(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_hard_negatives"          -> (qHardNegatives(_, _)),
+    "q_class_outliers"          -> (qClassOutliers(_, _)),
     "q_knn_incremental"         -> (qKnnIncremental(_, _)),
     "q_embedding_neardup"       -> (qEmbeddingNeardup(_, _)),
     "q_embedding_neardup_blocked" -> (qEmbeddingNeardupBlocked(_, _)),
@@ -3002,6 +3012,22 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'text' AS kind, octet_length(text::BLOB)::BIGINT AS n_bytes
         |FROM documents""".stripMargin,
     "q_embedding_knn" -> knnOracle,
+    "q_class_outliers" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id, label, generate_subscripts(v, 1) AS dim,
+        |             unnest(list_transform(v, x -> round(x * 1000000.0)::BIGINT)) AS q
+        |      FROM v),
+        |cd AS (SELECT label, dim, sum(q)::BIGINT AS sq, count(*) AS cnt FROM q GROUP BY 1, 2),
+        |c AS (SELECT label, list(sq::DOUBLE / (cnt::DOUBLE * 1000000.0) ORDER BY dim) AS cvec
+        |      FROM cd GROUP BY 1),
+        |d AS (SELECT vec_id, v.label,
+        |             sqrt(greatest(list_dot_product(v.v, v.v)
+        |                           - 2.0 * list_dot_product(v.v, c.cvec)
+        |                           + list_dot_product(c.cvec, c.cvec), 0.0)) AS dist
+        |      FROM v JOIN c ON v.label = c.label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rank
+        |      FROM d)
+        |SELECT vec_id, label, dist, rank::BIGINT AS rank, rank <= 5 AS is_outlier FROM r""".stripMargin,
     "q_hard_negatives" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
         |n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM v),

@@ -152,6 +152,55 @@ object SimilarityOps {
         col("sim"), col("rank"))
   }
 
+  /** Per-class centroid distances with farthest-first outlier ranking —
+    * the embedding-quality audit that catches mislabeled or degenerate
+    * vectors before they poison contrastive training: each vector's
+    * Euclidean distance to its label's centroid, ranked DESC within the
+    * label, the top-`k` flagged. Engine-portable by construction:
+    * per-dimension coordinates are quantized to BIGINT millionths and the
+    * centroid is built from their order-free integer sums (the float
+    * mean of a million-row class would otherwise depend on partition
+    * order); the distance uses the dot identity ‖v−c‖² = v·v − 2v·c + c·c
+    * over the SAME sequential folds on both engines, so even the doubles
+    * hash-match.
+    *
+    * Scale shape: one explode to (label, dim, q) integer rows →
+    * partial-aggregating groupBy (label, dim) → per-label centroid arrays
+    * (labels × dims — tiny, broadcast); the corpus is scanned once for the
+    * quantized sums and once for the distance projection; the per-label
+    * ranking is a rank-filtered window over (label, dist, id) triples —
+    * WindowGroupLimit applies, vectors never shuffle.
+    */
+  def classCentroidOutliers(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val v = col(vecCol).cast("array<double>")
+    val vq = df.select(
+      col(idCol), col(labelCol),
+      posexplode(transform(v, x => round(x * lit(1.0e6)).cast("long"))).as(Seq("dim", "q")))
+    val cent = vq.groupBy(col(labelCol), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+      .groupBy(col(labelCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"),
+          (col("sq").cast("double") / (col("cnt").cast("double") * lit(1.0e6))).as("c")))),
+        s => s.getField("c")).as("cvec"))
+    val d2 = dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cvec")) +
+      dot(col("cvec"), col("cvec"))
+    val w = Window.partitionBy(col(labelCol)).orderBy(col("dist").desc, col(idCol))
+    df.select(col(idCol), col(labelCol), v.as("v"))
+      .join(broadcast(cent), Seq(labelCol))
+      .withColumn("dist", sqrt(greatest(d2, lit(0.0))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(
+        col(idCol), col(labelCol), col("dist"), col("rank"),
+        (col("rank") <= k).as("is_outlier"))
+  }
+
   /** Incremental top-k maintenance (the interactive-session pattern: the
     * corpus grows, stored per-probe results must not be recomputed against
     * everything): merge a stored top-k relation with the top-k of a DELTA

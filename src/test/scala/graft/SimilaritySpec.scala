@@ -63,6 +63,32 @@ class SimilaritySpec extends AnyFunSuite {
       "selection and order match the brute-force reference")
   }
 
+  test("classCentroidOutliers matches a plain-Scala fixed-point reference exactly") {
+    val got = SimilarityOps.classCentroidOutliers(emb, "vec_id", "embedding", "label", 5)
+      .select("vec_id", "label", "dist", "rank", "is_outlier")
+      .as[(Long, Int, Double, Long, Boolean)].collect().toSet
+
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .as[(Long, Seq[Double], Int)].collect()
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val expect = vecs.groupBy(_._3).flatMap { case (label, members) =>
+      val dims = members.head._2.size
+      val qsums = (0 until dims).map(d =>
+        members.map(m => math.round(m._2(d) * 1e6)).sum)
+      val cvec = qsums.map(s => s.toDouble / (members.size.toDouble * 1e6))
+      members.map { case (id, v, _) =>
+        val d2 = dot(v, v) - 2.0 * dot(v, cvec) + dot(cvec, cvec)
+        (id, label, math.sqrt(math.max(d2, 0.0)))
+      }.toSeq.sortBy { case (id, _, dist) => (-dist, id) }
+        .zipWithIndex.map { case ((id, l, dist), i) =>
+          (id, l, dist, i + 1L, i < 5)
+        }
+    }.toSet
+    assert(got == expect, "distances, ranks and flags all bit-identical to the reference")
+    assert(got.count(_._5) == vecs.map(_._3).distinct.size * 5, "exactly k flags per label")
+  }
+
   test("knnMerge with OVERLAPPING corpus slices equals full-corpus knnBrute") {
     // slices share vec_id in [cut-50, cut): an overlapping neighbor appears in
     // both per-side top-k relations and must occupy ONE merged slot, not two
