@@ -561,6 +561,27 @@ object SparkEntry {
     * window (single shuffle on the user key; the standard event-analytics
     * building block).
     */
+  /** Weekly cohort retention over the event stream: users bucketed by
+    * first-event week, activity counted per (cohort, offset) with exact
+    * integer period arithmetic ([[Analytics.cohortRetention]]).
+    */
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame =
+    Analytics.cohortRetention(Tables.events(spark, dir), "user_id", "ts", periodDays = 7)
+
+  /** First-order Markov transition matrix over per-user event sequences,
+    * probabilities in BIGINT millionths ([[Analytics.transitionMatrix]]).
+    */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame =
+    Analytics.transitionMatrix(
+      Tables.events(spark, dir), "user_id", "ts", "event_id", "event_type")
+
+  /** Temperature-flattened (τ=0.5) mixture allocation of 100k training
+    * slots across sources — exact integer Hamilton apportionment
+    * ([[SamplingOps.temperatureAllocation]]); Σalloc == slots bit-exactly.
+    */
+  def qTemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    SamplingOps.temperatureAllocation(Tables.documents(spark, dir), "source", slots = 100000L)
+
   def qSessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapS = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser))
@@ -1730,6 +1751,9 @@ object SparkEntry {
     "q_job_market_data_e2e"     -> (qJobMarketDataE2e(_, _)),
     "q_job_historical_e2e"      -> (qJobHistoricalE2e(_, _)),
     "q_sessionize"              -> (qSessionize(_, _)),
+    "q_cohort_retention"        -> (qCohortRetention(_, _)),
+    "q_event_transitions"       -> (qEventTransitions(_, _)),
+    "q_temperature_mix"         -> (qTemperatureMix(_, _)),
     "q_value_quantiles"         -> (qValueQuantiles(_, _)),
     "q_outlier_flags"           -> (qOutlierFlags(_, _)),
     "q_funnel"                  -> (qFunnel(_, _)),
@@ -2395,6 +2419,35 @@ object SparkEntry {
         |            QUALIFY row_number() OVER (PARTITION BY o_custkey, date ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
         |SELECT o_custkey AS symbol, date, max(o_totalprice) AS price
         |FROM (SELECT * FROM store UNION ALL SELECT * FROM monthly) GROUP BY 1, 2""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH s AS (SELECT user_id, floor(epoch(ts))::BIGINT AS secs FROM events),
+        |f AS (SELECT user_id, (min(secs) // 86400) // 7 AS cohort FROM s GROUP BY 1),
+        |a AS (SELECT s.user_id, f.cohort, ((s.secs // 86400) // 7) - f.cohort AS period_offset
+        |      FROM s JOIN f USING (user_id)),
+        |m AS (SELECT cohort, period_offset, count(DISTINCT user_id) AS n_users FROM a GROUP BY 1, 2),
+        |z AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+        |SELECT m.cohort, m.period_offset, m.n_users, z.cohort_size,
+        |       m.n_users::DOUBLE / z.cohort_size::DOUBLE AS pct
+        |FROM m JOIN z USING (cohort)""".stripMargin,
+    "q_event_transitions" ->
+      """WITH o AS (SELECT event_type,
+        |                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+        |          FROM events),
+        |p AS (SELECT event_type AS src_type, dst_type, count(*) AS n
+        |      FROM o WHERE dst_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src_type, sum(n)::BIGINT AS tt FROM p GROUP BY 1)
+        |SELECT p.src_type, p.dst_type, p.n, (p.n * 1000000) // t.tt AS p_fp
+        |FROM p JOIN t USING (src_type)""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs, round(sqrt(n_docs::DOUBLE) * 1000000.0)::BIGINT AS w FROM c),
+        |t AS (SELECT sum(w)::BIGINT AS tw FROM w),
+        |b AS (SELECT source, n_docs, w, (w * 100000) // tw AS base, (w * 100000) % tw AS rem
+        |      FROM w CROSS JOIN t),
+        |l AS (SELECT 100000 - sum(base)::BIGINT AS lo FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b CROSS JOIN l)
+        |SELECT source, n_docs, w, (base + CASE WHEN rk <= lo THEN 1 ELSE 0 END)::BIGINT AS alloc
+        |FROM r""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, event_type,

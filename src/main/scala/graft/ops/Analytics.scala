@@ -402,4 +402,77 @@ object Analytics {
       .withColumn("is_interpolated", col("__v").isNull && col(valueCol).isNotNull)
       .select(col(keyCol), col("month"), col(valueCol), col("is_interpolated"))
   }
+
+  /** Cohort retention: users grouped by the period of their FIRST event,
+    * counted per (cohort, period_offset) — the classic retention triangle. Period
+    * indices are pure integer arithmetic on epoch seconds
+    * (secs div 86400 div `periodDays`), so the matrix is exact on any
+    * engine; `pct` is the one derived double, computed per-row from the
+    * two integer counts. Offsets are dense only where activity exists —
+    * zero cells are absent rows, not zero rows (the sparse contract; a
+    * reporting layer left-joins the offset spine it wants).
+    *
+    * Scale shape: one groupBy(user) for first-events (partial-aggregated),
+    * one broadcast-joinable (user, cohort) relation back onto the event
+    * stream (at 100 TB the user dimension outgrows broadcast → standard
+    * shuffle join on user_id), then count(DISTINCT user) per (cohort,
+    * offset) — Spark expands the distinct into a two-level aggregate, both
+    * levels partial. Nothing but (user, period) pairs ever shuffles.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, "periodDays must be positive")
+    // integral div end-to-end (epoch secs are non-negative, so Spark `div`
+    // and the oracle's `//` agree) — no double division anywhere
+    val firsts = events.groupBy(col(userCol))
+      .agg(min(unix_timestamp(col(tsCol))).as("__secs__"))
+      .select(col(userCol), expr(s"(__secs__ div 86400) div $periodDays").as("cohort"))
+    val act = events
+      .select(col(userCol), unix_timestamp(col(tsCol)).as("__secs__"))
+      .select(col(userCol), expr(s"(__secs__ div 86400) div $periodDays").as("__p"))
+      .join(firsts.select(col(userCol), col("cohort")), Seq(userCol))
+      .groupBy(col("cohort"), (col("__p") - col("cohort")).as("period_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+    val sizes = firsts.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    act.join(sizes, Seq("cohort"))
+      .select(
+        col("cohort"), col("period_offset"), col("n_users"), col("cohort_size"),
+        (col("n_users").cast("double") / col("cohort_size").cast("double")).as("pct"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * counts of (event_type → next event_type) under the (ts, id) total
+    * order, with the row-normalized transition probability in BIGINT
+    * millionths ((n·10⁶) div row_total — integral arithmetic, exact on any
+    * engine; terminal events have no successor and drop out, so each row's
+    * fixed-point probabilities sum to 10⁶ − (rounding loss < out-degree)).
+    *
+    * Scale shape: one per-user window (shuffle on user, the natural event
+    * partitioning) for the successor, then a partial-aggregating groupBy
+    * on the (src, dst) type pairs — the type×type matrix is tiny; the
+    * window's (user, ts) sort is the same exchange sessionization already
+    * pays, reusable across both when pipelined.
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("dst_type", lead(col(typeCol), 1).over(byUser))
+      .filter(col("dst_type").isNotNull)
+      .groupBy(col(typeCol).as("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("src_type")).agg(sum(col("n")).as("__t"))
+    pairs.join(totals, Seq("src_type"))
+      .select(
+        col("src_type"), col("dst_type"), col("n"),
+        expr("(n * 1000000) div __t").as("p_fp"))
+  }
 }

@@ -97,6 +97,44 @@ object SamplingOps {
         col("priority") :+ col("rank")): _*)
   }
 
+  /** Temperature-flattened mixture allocation (the Pile/ROOTS mixture
+    * shape at τ=0.5): apportion exactly `slots` training slots across
+    * sources proportionally to √(source size), by Hamilton
+    * largest-remainder apportionment in PURE integer arithmetic — the √
+    * weights are quantized to BIGINT millionths (sqrt is correctly
+    * rounded on every IEEE engine, and quantization makes the share sums
+    * order-free), each source gets base = (slots·w) div W, and the
+    * `slots − Σbase` leftover slots go to the largest remainders
+    * ((slots·w) mod W, ties to source ASC). Σalloc == slots EXACTLY —
+    * the invariant float-quota rounding schemes silently break.
+    *
+    * Scale shape: one partial-aggregating count per source, a single-row
+    * total broadcast onto the (tiny) source relation, one bounded window
+    * over #sources rows for the remainder ranking. The corpus is scanned
+    * once for the counts; everything downstream is dimension-sized.
+    */
+  def temperatureAllocation(
+      df: DataFrame,
+      sourceCol: String,
+      slots: Long): DataFrame = {
+    require(slots >= 0, "slots must be non-negative")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", round(sqrt(col("n_docs").cast("double")) * lit(1.0e6)).cast("long"))
+    val tot = counts.agg(sum(col("w")).as("tw"))
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("base", expr("(w * cast(" + slots + " as bigint)) div tw"))
+      .withColumn("rem", expr("(w * cast(" + slots + " as bigint)) % tw"))
+    val leftover = based.agg((lit(slots) - sum(col("base"))).as("lo"))
+    val w = Window.orderBy(col("rem").desc, col(sourceCol))
+    based.crossJoin(broadcast(leftover))
+      // bounded window: #sources rows by contract (a mixture IS dimension-sized)
+      .withColumn("rk", row_number().over(w))
+      .select(
+        col(sourceCol), col("n_docs"), col("w"),
+        (col("base") + when(col("rk") <= col("lo"), lit(1L)).otherwise(lit(0L))).as("alloc"))
+  }
+
   /** Deterministic stratified take: within each stratum, keep the first
     * `fraction` of rows under md5(key) order (a content-keyed, reproducible
     * "sample" of every stratum — each stratum keeps ceil(fraction·n) rows).

@@ -256,4 +256,68 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     assert(got(1) == ((2L, 3L, Some(1L), Some(61L)))) // (9-3)²+(9-4)² at both offsets; tie → offset 1
     assert(got(2) == ((3L, 1L, None, None)))
   }
+
+  test("cohortRetention: exact integer periods, offset-0 complete, sparse zero cells") {
+    def ts(day: Int, h: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day}%02d $h%02d:00:00")
+    // epoch day of 2024-01-01 is 19723 → week (19723 div 7) = 2817; the
+    // absolute week grid puts day 19733 (Jan 11) in the NEXT week of 19732
+    val ev = Seq(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(10)),   // u1: w 2817, 2817, 2818
+      (2L, ts(3)), (2L, ts(20)),                // u2: w 2817, 2820
+      (3L, ts(10)), (3L, ts(11))                // u3: w 2818, 2819
+    ).toDF("user_id", "ts")
+    val got = Analytics.cohortRetention(ev, "user_id", "ts", periodDays = 7)
+      .select("cohort", "period_offset", "n_users", "cohort_size", "pct")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val w0 = 19723L / 7
+    assert(got == Set(
+      (w0, 0L, 2L, 2L, 1.0),       // both w0 users active in their first week
+      (w0, 1L, 1L, 2L, 0.5),       // u1 returns in week +1
+      (w0, 3L, 1L, 2L, 0.5),       // u2 returns in week +3; no (w0,2) row: sparse
+      (w0 + 1, 0L, 1L, 1L, 1.0),
+      (w0 + 1, 1L, 1L, 1L, 1.0)))  // u3 straddles the 19732/19733 week boundary
+  }
+
+  test("transitionMatrix: lead counts under (ts,id) order, fixed-point row shares") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(1), 1L, "view"), (1L, ts(2), 2L, "cart"), (1L, ts(3), 3L, "buy"),
+      (2L, ts(1), 4L, "view"), (2L, ts(2), 5L, "view"), (2L, ts(3), 6L, "buy"),
+      (3L, ts(1), 7L, "view")   // terminal-only user contributes no transition
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.transitionMatrix(ev, "user_id", "ts", "event_id", "event_type")
+      .select("src_type", "dst_type", "n", "p_fp")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("view", "cart", 1L, 333333L),  // 1 of 3 view-transitions
+      ("view", "view", 1L, 333333L),
+      ("view", "buy", 1L, 333333L),
+      ("cart", "buy", 1L, 1000000L)))
+  }
+
+  test("temperatureAllocation: sum == slots exactly, sqrt-proportional, deterministic remainders") {
+    import graft.ops.SamplingOps
+    val docs = (1 to 100).map(i => (i.toLong, s"src${i % 4}")) ++
+      (101 to 400).map(i => (i.toLong, "src4"))
+    val df = docs.toDF("doc_id", "source")
+    val got = SamplingOps.temperatureAllocation(df, "source", slots = 1000L)
+      .select("source", "n_docs", "alloc").as[(String, Long, Long)].collect().toSeq
+    assert(got.map(_._3).sum == 1000L, "Hamilton apportionment is exact")
+    // reference: integer largest-remainder over quantized sqrt weights
+    val wts = got.map(t => t._1 -> math.round(math.sqrt(t._2.toDouble) * 1e6)).toMap
+    val tw = wts.values.sum
+    val base = wts.view.mapValues(w => w * 1000L / tw).toMap
+    val lo = 1000L - base.values.sum
+    val order = wts.toSeq.sortBy { case (s, w) => (-(w * 1000L % tw), s) }.map(_._1)
+    val expect = order.zipWithIndex.map { case (s, i) =>
+      s -> (base(s) + (if (i < lo) 1L else 0L))
+    }.toMap
+    assert(got.map(t => t._1 -> t._3).toMap == expect)
+    // τ=0.5 flattening: src4 holds 75% of docs but √-weights cap it near
+    // √300/(√300+4·√25) ≈ 46% of slots — under raw share, above equal share
+    val big = got.find(_._1 == "src4").get
+    assert(big._3 > 300L && big._3 < 700L,
+      s"sqrt flattening should land src4 near 46% of slots, got ${big._3}")
+  }
 }
