@@ -463,12 +463,16 @@ object Analytics {
       idCol: String,
       typeCol: String): DataFrame = {
     val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    // cached: the (src,dst) counts feed the row totals AND the final join —
+    // without the barrier the corpus-wide window pass runs twice
+    // (module caching contract: caller/harness clears)
     val pairs = events
       .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
       .withColumn("dst_type", lead(col(typeCol), 1).over(byUser))
       .filter(col("dst_type").isNotNull)
       .groupBy(col(typeCol).as("src_type"), col("dst_type"))
       .agg(count(lit(1)).as("n"))
+      .cache()
     val totals = pairs.groupBy(col("src_type")).agg(sum(col("n")).as("__t"))
     pairs.join(totals, Seq("src_type"))
       .select(

@@ -118,9 +118,13 @@ object SamplingOps {
       sourceCol: String,
       slots: Long): DataFrame = {
     require(slots >= 0, "slots must be non-negative")
+    // cached: the per-source counts feed the weight total, the leftover
+    // aggregate and the final projection — without the barrier the corpus
+    // scan runs three times (module caching contract: caller/harness clears)
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w", round(sqrt(col("n_docs").cast("double")) * lit(1.0e6)).cast("long"))
+      .cache()
     val tot = counts.agg(sum(col("w")).as("tw"))
     val based = counts.crossJoin(broadcast(tot))
       .withColumn("base", expr("(w * cast(" + slots + " as bigint)) div tw"))

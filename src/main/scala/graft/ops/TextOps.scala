@@ -411,8 +411,13 @@ object TextOps {
       df: DataFrame,
       idCol: String,
       occ: DataFrame,
-      uni: DataFrame,
+      uni0: DataFrame,
       big: DataFrame): DataFrame = {
+    // cached: the unigram relation feeds the totals aggregate AND both
+    // scoring joins (token and prev) — three consumers, and in the
+    // incremental form each recompute would re-fold the count union
+    // (module caching contract: caller/harness clears)
+    val uni = uni0.cache()
     val tot = uni.agg(sum(col("cw")).cast("long").as("n"), count(lit(1)).as("v"))
     // out-of-vocabulary coalesces (tokens absent from external counts score
     // as unseen, c=0 — the add-α row): no-ops in the self-trained form,
