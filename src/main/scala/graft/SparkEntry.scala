@@ -1394,6 +1394,17 @@ object SparkEntry {
   def qTextRank(spark: SparkSession, dir: String): DataFrame =
     TextOps.textRank(Tables.documents(spark, dir), "text", iterations = 3, k = 50)
 
+  /** BM25 retrieval: every 97th document's text as a query against the
+    * full corpus, top-10 by the fixed-point BM25 score (self excluded) —
+    * the inverted-index join shape ([[TextOps.bm25Search]]).
+    */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextOps.bm25Search(
+      docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 10)
+  }
+
   /** Corpus-trained interpolated bigram LM score (CCNet/KenLM-style
     * perplexity quality filter) — per-document mean negative log-likelihood
     * from fixed-point-quantized log-probs (order-free integer sums, so the
@@ -1794,6 +1805,7 @@ object SparkEntry {
     "q_token_rarity"            -> (qTokenRarity(_, _)),
     "q_lm_score"                -> (qLmScore(_, _)),
     "q_lm_incremental"          -> (qLmIncremental(_, _)),
+    "q_bm25"                    -> (qBm25(_, _)),
     "q_textrank"                -> (qTextRank(_, _)),
     "q_cluster_split"           -> (qClusterSplit(_, _)),
     "q_weighted_sample"         -> (qWeightedSample(_, _)),
@@ -2893,6 +2905,35 @@ object SparkEntry {
     // SHARED: scoring against the merged half-corpus counts must reproduce
     // the self-trained LM bit-for-bit (mergeLmCounts losslessness proof)
     "q_lm_incremental" -> lmScoreOracle,
+    "q_bm25" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |  FROM documents),
+        |tk AS (SELECT * FROM toks WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+        |st AS (SELECT count(*) AS nd, sum(dl)::BIGINT AS tl FROM dl),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT term,
+        |               round(ln(1.0 + (st.nd - df + 0.5) / (df + 0.5)) * 1000000.0)::BIGINT AS idfq
+        |        FROM dfq CROSS JOIN st),
+        |q AS (SELECT doc_id AS query_id,
+        |             unnest(list_distinct(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS term
+        |      FROM documents WHERE doc_id % 97 = 0),
+        |qq AS (SELECT * FROM q WHERE term <> ''),
+        |c AS (SELECT qq.query_id, tf.doc_id,
+        |             round((idf.idfq::DOUBLE / 1000000.0)
+        |                   * ((tf.tf::DOUBLE * 2.2)
+        |                      / (tf.tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE / (st.tl::DOUBLE / st.nd::DOUBLE)))))
+        |                   * 1000000.0)::BIGINT AS cq
+        |      FROM qq JOIN tf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+        |      JOIN idf ON idf.term = qq.term CROSS JOIN st
+        |      WHERE qq.query_id <> tf.doc_id),
+        |s AS (SELECT query_id, doc_id, sum(cq)::BIGINT AS score_fp FROM c GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank
+        |      FROM s)
+        |SELECT query_id, doc_id, score_fp, score_fp::DOUBLE / 1000000.0 AS score, rank::BIGINT AS rank
+        |FROM r WHERE rank <= 10""".stripMargin,
     "q_weighted_sample" ->
       """WITH h AS (SELECT doc_id, lang, n_chars,
         |                 (doc_id * 1103515245 + 12345) % 2147483648 AS hh

@@ -444,6 +444,78 @@ object TextOps {
           .as("avg_nll"))
   }
 
+  /** BM25 retrieval (Robertson–Spärck Jones, the Lucene-variant IDF):
+    * top-`k` corpus documents per query under
+    * score(q,d) = Σ_{t∈q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) — always positive. Portability
+    * contract as everywhere in this module: the per-(query,doc,term)
+    * contribution is quantized to BIGINT millionths BEFORE the score sum,
+    * so the ranking integer is order-free and exact on any engine; the
+    * readable `score` double is derived per-row from it. Ties break to the
+    * lower doc id; a query's own document is excluded (self-retrieval is
+    * trivially rank 1).
+    *
+    * Scale shape: tf/dl/df are the usual partial-aggregating token
+    * groupBys; the retrieval itself is the INVERTED-INDEX join — query
+    * terms joined to the (term, doc, tf) postings on the term, one shuffle
+    * keyed by term, then one (query, doc) aggregation and a rank-filtered
+    * per-query window (WindowGroupLimit). At 100 TB the term-keyed join is
+    * the operator to impact-order or broadcast-threshold (queries are the
+    * small side by construction); document text never shuffles.
+    */
+  def bm25Search(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    // cached: the (doc, term) occurrence relation feeds tf, dl AND df
+    val toks = docs
+      .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .cache()
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+    val idfq = dfreq.crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log(lit(1.0) +
+          (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1.0e6))
+          .cast("long").as("idfq"))
+    val qterms = queries
+      .select(col(qidCol).as("query_id"),
+        explode(array_distinct(split(normalize(col(qtextCol)), " "))).as("term"))
+      .filter(col("term") =!= "")
+    val avgdl = col("tl").cast("double") / col("nd").cast("double")
+    val factor = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    val contrib = qterms
+      .join(tf, Seq("term"))
+      .join(dl, Seq(idCol))
+      .join(idfq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("cq",
+        round((col("idfq").cast("double") / lit(1.0e6)) * factor * lit(1.0e6)).cast("long"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("cq")).as("score_fp"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score_fp").desc, col(idCol))
+    contrib
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"), col(idCol).as("doc_id"), col("score_fp"),
+        (col("score_fp").cast("double") / lit(1.0e6)).as("score"), col("rank"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): fixed-iteration
     * weighted PageRank over the token co-occurrence graph — nodes are
     * normalized tokens, edges adjacent-token pairs (undirected, weighted by

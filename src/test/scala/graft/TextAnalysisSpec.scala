@@ -219,6 +219,50 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(oov == Seq((9L, Some(3L))), "all OOV occurrences scored, none dropped")
   }
 
+  test("bm25Search matches a plain-Scala reference; rare shared term dominates retrieval") {
+    val docs = Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "the cat sat on the mat"),
+      (3L, "spark caches data in memory"),
+      (4L, "a mat for the cat"),
+      (5L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val queries = Seq((10L, "cat mat")).toDF("doc_id", "text")
+    val got = TextOps.bm25Search(docs, "doc_id", "text", queries, "doc_id", "text", k = 3)
+      .select("query_id", "doc_id", "score_fp", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._4)
+
+    // reference in plain Scala, same arithmetic
+    val corpus = Map(
+      1L -> "spark shuffles data across the cluster", 2L -> "the cat sat on the mat",
+      3L -> "spark caches data in memory", 4L -> "a mat for the cat",
+      5L -> "unrelated words entirely here"
+    ).view.mapValues(_.split("\\s+").toSeq).toMap
+    val tf = corpus.map { case (id, ws) =>
+      id -> ws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    val dl = corpus.view.mapValues(_.size.toLong).toMap
+    val nd = corpus.size.toLong
+    val tl = dl.values.sum
+    val df = corpus.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size.toLong)
+    val idfq = df.map { case (t, d) =>
+      t -> math.round(math.log(1.0 + (nd - d + 0.5) / (d + 0.5)) * 1e6)
+    }.toMap
+    val avgdl = tl.toDouble / nd.toDouble
+    val expect = corpus.keys.toSeq.flatMap { d =>
+      val terms = Seq("cat", "mat").filter(tf(d).contains)
+      if (terms.isEmpty) None
+      else Some(d -> terms.map { t =>
+        val f = (tf(d)(t).toDouble * 2.2) /
+          (tf(d)(t).toDouble + 1.2 * (0.25 + 0.75 * (dl(d).toDouble / avgdl)))
+        math.round((idfq(t).toDouble / 1e6) * f * 1e6)
+      }.sum)
+    }.sortBy { case (d, s) => (-s, d) }.take(3)
+      .zipWithIndex.map { case ((d, s), i) => (10L, d, s, i + 1L) }
+    assert(got == expect)
+    assert(Set(got(0)._2, got(1)._2) == Set(2L, 4L), "the cat/mat docs outrank everything")
+  }
+
   test("textRank matches a plain-Scala fixed-point PageRank; hub token ranks first") {
     val docs = Seq(
       (1L, "spark runs fast and spark scales well"),
