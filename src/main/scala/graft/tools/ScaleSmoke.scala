@@ -19,7 +19,8 @@ object ScaleSmoke {
     // no args = every section; args name the sections to run
     // (dedup | knn | neardup | neardupskew | merge | linededup | decon)
     val only = args.toSet
-    val known = Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon")
+    val known =
+      Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -74,6 +75,36 @@ object ScaleSmoke {
         println(s"$k,$n,$name,${(System.nanoTime() - t0) / 1e9},$pairs")
       }
       corpus.unpersist()
+    }
+
+    // ---- prefix filtering vs full posting lists: candidate growth ----
+    // same replicated corpus; candidates are the cost driver of exact
+    // Jaccard, and the prefix scheme must keep its advantage as K grows
+    if (want("prefix")) println("k,docs,full_cands,prefix_cands,full_s,prefix_s")
+    (if (want("prefix")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
+      val corpus = copyK(k).cache()
+      val n = corpus.count()
+      spark.sharedState.cacheManager.clearCache()
+      corpus.cache().count()
+      val sh = DedupOps.hashedShingles(corpus, "doc_id", "text", 3)
+      val ex0 = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      val hot = ex0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 100).select(col("s"))
+      val ex = ex0.join(hot, Seq("s"), "left_anti").cache()
+      val fullC = ex.as("a").join(ex.as("b"), Seq("s"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      val prefC = DedupOps.prefixCandidatePairs(ex, "doc_id", 0.5).count()
+      val t0 = System.nanoTime()
+      DedupOps.jaccardPairs(corpus, "doc_id", "text", 3, 0.5).count()
+      val tFull = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      corpus.cache().count()
+      val t1 = System.nanoTime()
+      DedupOps.jaccardPairsPrefix(corpus, "doc_id", "text", 3, 0.5).count()
+      val tPref = (System.nanoTime() - t1) / 1e9
+      println(s"$k,$n,$fullC,$prefC,$tFull,$tPref")
+      spark.sharedState.cacheManager.clearCache()
     }
 
     // ---- similarity-search scaling: brute vs heap-agg vs IVF vs SRP-LSH ----
