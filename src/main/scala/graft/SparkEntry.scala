@@ -575,6 +575,13 @@ object SparkEntry {
     Analytics.transitionMatrix(
       Tables.events(spark, dir), "user_id", "ts", "event_id", "event_type")
 
+  /** Quota sample: exactly 200 documents drawn per the τ=0.5 mixture —
+    * the allocation composed with deterministic md5-order selection per
+    * source ([[SamplingOps.quotaSample]]).
+    */
+  def qQuotaSample(spark: SparkSession, dir: String): DataFrame =
+    SamplingOps.quotaSample(Tables.documents(spark, dir), "doc_id", "source", slots = 200L)
+
   /** Temperature-flattened (τ=0.5) mixture allocation of 100k training
     * slots across sources — exact integer Hamilton apportionment
     * ([[SamplingOps.temperatureAllocation]]); Σalloc == slots bit-exactly.
@@ -1765,6 +1772,7 @@ object SparkEntry {
     "q_cohort_retention"        -> (qCohortRetention(_, _)),
     "q_event_transitions"       -> (qEventTransitions(_, _)),
     "q_temperature_mix"         -> (qTemperatureMix(_, _)),
+    "q_quota_sample"            -> (qQuotaSample(_, _)),
     "q_value_quantiles"         -> (qValueQuantiles(_, _)),
     "q_outlier_flags"           -> (qOutlierFlags(_, _)),
     "q_funnel"                  -> (qFunnel(_, _)),
@@ -2460,6 +2468,21 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b CROSS JOIN l)
         |SELECT source, n_docs, w, (base + CASE WHEN rk <= lo THEN 1 ELSE 0 END)::BIGINT AS alloc
         |FROM r""".stripMargin,
+    "q_quota_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs, round(sqrt(n_docs::DOUBLE) * 1000000.0)::BIGINT AS w FROM c),
+        |t AS (SELECT sum(w)::BIGINT AS tw FROM w),
+        |b AS (SELECT source, w, (w * 200) // tw AS base, (w * 200) % tw AS rem
+        |      FROM w CROSS JOIN t),
+        |l AS (SELECT 200 - sum(base)::BIGINT AS lo FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b CROSS JOIN l),
+        |al AS (SELECT source, (base + CASE WHEN rk <= lo THEN 1 ELSE 0 END)::BIGINT AS alloc FROM r),
+        |rk AS (SELECT doc_id, source,
+        |              row_number() OVER (PARTITION BY source
+        |                                 ORDER BY md5(doc_id::VARCHAR), doc_id) AS sample_rank
+        |       FROM documents)
+        |SELECT rk.doc_id, rk.source, rk.sample_rank::BIGINT AS sample_rank
+        |FROM rk JOIN al USING (source) WHERE rk.sample_rank <= al.alloc""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, event_type,

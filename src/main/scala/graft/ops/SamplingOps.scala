@@ -139,6 +139,37 @@ object SamplingOps {
         (col("base") + when(col("rk") <= col("lo"), lit(1L)).otherwise(lit(0L))).as("alloc"))
   }
 
+  /** Quota sampling: draw EXACTLY the [[temperatureAllocation]] mixture —
+    * each source contributes its apportioned alloc_i documents, selected
+    * deterministically by md5(id) order (the [[stratifiedTake]] content-
+    * keyed convention, so the drawn set is partition- and engine-stable).
+    * The end-to-end "build the eval set the mixture prescribes" step:
+    * Σ|sample| == slots exactly whenever every source holds at least its
+    * allocation; a source smaller than its quota contributes everything
+    * it has (the apportionment caps at √-share, so only tiny sources
+    * near-empty sources can under-fill).
+    *
+    * Scale shape: the allocation is dimension-sized and broadcast; the
+    * per-source ranking is one rank-filtered window (WindowGroupLimit
+    * prunes at the per-partition sort since alloc_i ≤ slots); the corpus
+    * scans once for the counts and once for the ranking.
+    */
+  def quotaSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      slots: Long): DataFrame = {
+    val alloc = temperatureAllocation(df, sourceCol, slots)
+      .select(col(sourceCol), col("alloc"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(idCol), col(sourceCol))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .join(broadcast(alloc), Seq(sourceCol))
+      .filter(col("sample_rank") <= col("alloc"))
+      .select(col(idCol), col(sourceCol), col("sample_rank"))
+  }
+
   /** Deterministic stratified take: within each stratum, keep the first
     * `fraction` of rows under md5(key) order (a content-keyed, reproducible
     * "sample" of every stratum — each stratum keeps ceil(fraction·n) rows).

@@ -320,4 +320,21 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     assert(big._3 > 300L && big._3 < 700L,
       s"sqrt flattening should land src4 near 46% of slots, got ${big._3}")
   }
+
+  test("quotaSample draws exactly the allocation per source, md5-deterministic") {
+    import graft.ops.SamplingOps
+    val docs = ((1 to 100).map(i => (i.toLong, s"src${i % 4}")) ++
+      (101 to 400).map(i => (i.toLong, "src4"))).toDF("doc_id", "source")
+    val alloc = SamplingOps.temperatureAllocation(docs, "source", 50L)
+      .select("source", "alloc").as[(String, Long)].collect().toMap
+    val sample = SamplingOps.quotaSample(docs, "doc_id", "source", 50L)
+      .select("doc_id", "source", "sample_rank").as[(Long, String, Long)].collect().toSeq
+    assert(sample.size == 50, "sum of per-source draws is exactly the slot count")
+    val bySource = sample.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(bySource == alloc.filter(_._2 > 0), "each source contributes exactly alloc_i")
+    // deterministic under repartition
+    val again = SamplingOps.quotaSample(docs.repartition(7), "doc_id", "source", 50L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == sample.map(_._1).toSet)
+  }
 }
