@@ -426,10 +426,13 @@ object Analytics {
       periodDays: Int = 7): DataFrame = {
     require(periodDays >= 1, "periodDays must be positive")
     // integral div end-to-end (epoch secs are non-negative, so Spark `div`
-    // and the oracle's `//` agree) — no double division anywhere
+    // and the oracle's `//` agree) — no double division anywhere.
+    // cached: the corpus-wide first-event aggregation feeds BOTH the
+    // activity join and the cohort-size count (module caching contract)
     val firsts = events.groupBy(col(userCol))
       .agg(min(unix_timestamp(col(tsCol))).as("__secs__"))
       .select(col(userCol), expr(s"(__secs__ div 86400) div $periodDays").as("cohort"))
+      .cache()
     val act = events
       .select(col(userCol), unix_timestamp(col(tsCol)).as("__secs__"))
       .select(col(userCol), expr(s"(__secs__ div 86400) div $periodDays").as("__p"))

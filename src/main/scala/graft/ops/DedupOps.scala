@@ -106,6 +106,22 @@ object DedupOps {
     * intermediate. Hot buckets must be capped upstream (maxDocFreq) since a
     * bucket of m docs emits m(m-1)/2 pairs — true of ANY pairing strategy.
     */
+  /** Drop elements whose document frequency exceeds `maxDocFreq` from an
+    * exploded (id, s) element relation — THE df-cap block (strict `>`, the
+    * boundary DedupTextSpec pins). One definition for every capped
+    * consumer ([[setJaccardPairs]], [[jaccardPairsPrefix]], ScaleSmoke,
+    * the specs) so the cap semantics cannot drift between the operators
+    * whose shared oracles assume they are identical.
+    */
+  private[graft] def cappedExploded(
+      ex0: DataFrame, idCol: String, maxDocFreq: Int): DataFrame =
+    if (maxDocFreq <= 0) ex0
+    else {
+      val hot = ex0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq).select(col("s"))
+      ex0.join(hot, Seq("s"), "left_anti")
+    }
+
   private[ops] def bucketPairs(exploded: DataFrame, idCol: String, bucketCol: String): DataFrame = {
     val posting = exploded
       .groupBy(col(bucketCol))
@@ -167,11 +183,7 @@ object DedupOps {
     // this subset's own df would diverge from the full-corpus contract)
     val exploded = hotOverride match {
       case Some(hot) => explodedAll.join(hot.select(col("s")), Seq("s"), "left_anti")
-      case None if maxDocFreq <= 0 => explodedAll
-      case None =>
-        val hot = explodedAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFreq).select(col("s"))
-        explodedAll.join(hot, Seq("s"), "left_anti")
+      case None => cappedExploded(explodedAll, idCol, maxDocFreq)
     }
     val pairs = bucketPairs(exploded, idCol, "s")
     val jac = pairs
@@ -202,12 +214,14 @@ object DedupOps {
     * sf0.1×K): full-posting candidates grow 338k → 14.0M over K=1..8
     * (41×, super-linear — shared shingles compound) while prefix
     * candidates grow 68k → 717k (10.5×, tracking the 8× corpus) — 5% of
-    * full at K=8 and diverging. Wall-clock still favors the plain form at
-    * these corpus sizes (1.7–4.3s vs 2.9–6.2s: the ranking window +
-    * per-candidate set verification cost more than the avoided in-bucket
-    * pair explosion while candidates are memory-cheap); the prefix form
-    * is the one whose cost scales with REAL near-dup structure rather
-    * than bucket co-occurrence², which is what survives at 100 TB.
+    * full at K=8 and diverging. Wall-clock (both forms cold-cache) still
+    * favors the plain form at these corpus sizes, but the gap NARROWS as
+    * the candidate gap compounds: 2.0s vs 3.3s at K=1, 5.0s vs 5.7s at
+    * K=8 — the ranking window + per-candidate verification are a fixed
+    * toll while the avoided in-bucket pair explosion keeps growing; the
+    * prefix form is the one whose cost scales with REAL near-dup
+    * structure rather than bucket co-occurrence², which is what survives
+    * at 100 TB.
     */
   def jaccardPairsPrefix(
       df: DataFrame,
@@ -218,13 +232,8 @@ object DedupOps {
       maxDocFreq: Int = 100): DataFrame = {
     val sh = hashedShingles(df, idCol, textCol, n).cache()
     val sizes = sh.select(col(idCol), size(col("sh")).as("n_sh"))
-    val ex0 = sh.select(col(idCol), explode(col("sh")).as("s"))
-    val ex = (if (maxDocFreq <= 0) ex0
-    else {
-      val hot = ex0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDocFreq).select(col("s"))
-      ex0.join(hot, Seq("s"), "left_anti")
-    }).cache()
+    val ex = cappedExploded(
+      sh.select(col(idCol), explode(col("sh")).as("s")), idCol, maxDocFreq).cache()
     val cand = prefixCandidatePairs(ex, idCol, threshold)
     val csets = ex.groupBy(col(idCol)).agg(sort_array(collect_list(col("s"))).as("cs"))
     cand

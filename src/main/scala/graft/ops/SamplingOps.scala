@@ -68,9 +68,12 @@ object SamplingOps {
     * row function: stable across runs, engines and partitionings, like
     * every sampler in this module. The uniform is u = (h+1)/2³¹ with
     * h = (id·1103515245 + 12345) mod 2³¹ (the classic rand LCG step), so
-    * the priority (w·2³¹)/(h+1) is ONE multiply and ONE divide of exact
-    * integers — bit-identical on any IEEE engine, no ln/pow whose libm
-    * rounding could diverge. Ids must be non-negative and < 2³³ (the LCG
+    * the priority (w·2³¹)/(h+1) is ONE multiply and ONE divide — the
+    * portability guarantee is the IDENTICAL IEEE operation sequence on
+    * both engines (each op individually correctly rounded, no ln/pow
+    * whose libm rounding could diverge, no FMA fusing in either), not
+    * integer-exactness of the product, which exceeds 2⁵³ for weights
+    * beyond ~4M. Ids must be non-negative and < 2³³ (the LCG
     * product must not overflow 64-bit — engines disagree on wrap
     * semantics); weights must be ≥ 0 (w=0 ⇒ priority 0, drawn only if a
     * stratum has fewer than k positive-weight rows).

@@ -590,10 +590,8 @@ class DedupTextSpec extends AnyFunSuite {
 
     // candidate accounting on the same capped exploded relation
     val sh = DedupOps.hashedShingles(docs, "doc_id", "text", 3)
-    val ex0 = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val hot = ex0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > 100).select(col("s"))
-    val ex = ex0.join(hot, Seq("s"), "left_anti").cache()
+    val ex = DedupOps.cappedExploded(
+      sh.select(col("doc_id"), explode(col("sh")).as("s")), "doc_id", 100).cache()
     val fullCand = ex.as("a").join(ex.as("b"), Seq("s"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
