@@ -297,4 +297,68 @@ class PropertiesSpec extends AnyFunSuite {
       assert(identical.subsetOf(found))
     }
   }
+
+  test("property: temperatureAllocation sums to slots exactly and stays within one of quota") {
+    import graft.ops.SamplingOps
+    val mixGen: Gen[List[Int]] =
+      Gen.nonEmptyListOf(Gen.choose(1, 500)).map(_.take(12))
+    samples(mixGen, 12).zipWithIndex.foreach { case (sizes, it) =>
+      val slots = 97L + it * 31L  // vary the slot count too, off round numbers
+      val docs = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (1 to n).map(i => (s * 100000L + i, s"src$s"))
+      }.toDF("doc_id", "source")
+      val got = SamplingOps.temperatureAllocation(docs, "source", slots)
+        .select("source", "n_docs", "w", "alloc")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(got.map(_._4).sum == slots, s"iteration $it: allocation must sum to $slots")
+      // Hamilton stays within 1 of the real (rational) quota
+      val tw = got.map(_._3).sum
+      got.foreach { case (s, _, w, alloc) =>
+        val quota = w.toDouble * slots / tw
+        assert(alloc >= quota.floor - 1e-9 && alloc <= quota.ceil + 1e-9,
+          s"iteration $it: $s alloc $alloc outside [floor,ceil] of quota $quota")
+      }
+    }
+  }
+
+  test("property: prioritySample per-stratum selection equals the reference top-k for random data") {
+    import graft.ops.SamplingOps
+    val rowsGen: Gen[List[(Long, String, Long)]] = Gen.nonEmptyListOf(
+      for {
+        id <- Gen.choose(0L, 4000000000L)  // exercises ids up to the 2^33 contract bound
+        s <- Gen.oneOf("x", "y")
+        w <- Gen.choose(0L, 5000000L)
+      } yield (id, s, w)).map(_.distinctBy(_._1))
+    samples(rowsGen, 10).foreach { rows =>
+      val df = rows.toDF("id", "stratum", "w")
+      val got = SamplingOps.prioritySample(df, "id", "w", Seq("stratum"), k = 5)
+        .select("stratum", "id").as[(String, Long)].collect().toSet
+      val expect = rows.map { case (id, s, w0) =>
+        val h = (id * 1103515245L + 12345L) % 2147483648L
+        (s, id, (w0.toDouble * 2147483648.0) / (h + 1L))
+      }.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy { case (_, id, p) => (-p, id) }.take(5).map(t => (t._1, t._2))
+      }.toSet
+      assert(got == expect)
+    }
+  }
+
+  test("property: jaccardPairsPrefix equals jaccardPairs on random near-dup corpora") {
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      base <- Gen.nonEmptyListOf(
+        Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")).map(_.mkString(" ")))
+      n = base.take(12)
+    } yield n.zipWithIndex.flatMap { case (t, i) =>
+      // each doc plus a perturbed twin → guaranteed near-dup structure
+      Seq((i * 2L, t), (i * 2L + 1L, t + " hh"))
+    }
+    samples(corpusGen, 8).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val full = DedupOps.jaccardPairs(df, "doc_id", "text", 2, 0.5)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val pref = DedupOps.jaccardPairsPrefix(df, "doc_id", "text", 2, 0.5)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(pref == full)
+    }
+  }
 }
