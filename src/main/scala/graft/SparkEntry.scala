@@ -961,6 +961,15 @@ object SparkEntry {
     * SQL; the hash-match doubles as a measured recall-1.0 assertion for the
     * banding on the gate corpus.
     */
+  /** Edit-distance near-dup pairs: df-capped shingle blocking, lossless
+    * length-ratio prefilter, exact `levenshtein` verify (the near-dup lens
+    * that catches in-place rewrites sitting below a Jaccard threshold).
+    * Fully oracle-checked — DuckDB's `levenshtein` is the same classic DP
+    * (parity already proven by q_fuzzy_join).
+    */
+  def qEditDistDedup(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.editDistancePairs(Tables.documents(spark, dir), "doc_id", "text")
+
   def qMinhashDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
 
@@ -1412,6 +1421,22 @@ object SparkEntry {
       docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 10)
   }
 
+  /** Incremental BM25 index maintenance, proven lossless BY CONSTRUCTION:
+    * even/odd corpus halves are indexed separately, folded with
+    * [[TextOps.mergeBm25Stats]], and searching the merged index must
+    * reproduce q_bm25 bit-for-bit — shared oracle, the same pattern as
+    * q_lm_incremental / q_vocab_incremental / q_knn_incremental.
+    */
+  def qBm25Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merged = TextOps.mergeBm25Stats(
+      TextOps.bm25Stats(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+      TextOps.bm25Stats(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"))
+    TextOps.bm25SearchFromStats(
+      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", "doc_id",
+      merged._1, merged._2, merged._3, merged._4, k = 10)
+  }
+
   /** Corpus-trained interpolated bigram LM score (CCNet/KenLM-style
     * perplexity quality filter) — per-document mean negative log-likelihood
     * from fixed-point-quantized log-probs (order-free integer sums, so the
@@ -1803,6 +1828,7 @@ object SparkEntry {
     "q_cross_dedup"             -> (qCrossDedup(_, _)),
     "q_cross_dedup_lsh"         -> (qCrossDedupLsh(_, _)),
     "q_minhash_dedup"           -> (qMinhashDedup(_, _)),
+    "q_editdist_dedup"          -> (qEditDistDedup(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
     "q_winnow_dedup"            -> (qWinnowDedup(_, _)),
     "q_hash_split"              -> (qHashSplit(_, _)),
@@ -1814,6 +1840,7 @@ object SparkEntry {
     "q_lm_score"                -> (qLmScore(_, _)),
     "q_lm_incremental"          -> (qLmIncremental(_, _)),
     "q_bm25"                    -> (qBm25(_, _)),
+    "q_bm25_incremental"        -> (qBm25Incremental(_, _)),
     "q_textrank"                -> (qTextRank(_, _)),
     "q_cluster_split"           -> (qClusterSplit(_, _)),
     "q_weighted_sample"         -> (qWeightedSample(_, _)),
@@ -1940,6 +1967,41 @@ object SparkEntry {
       |SELECT doc_a, doc_b, common::DOUBLE / (sa.n + sb.n - common) AS jaccard
       |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
       |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5""".stripMargin
+
+  /** Fixed-point BM25 retrieval over the 97-stride query set — shared
+    * verbatim by q_bm25 and q_bm25_incremental: equality of searching the
+    * merged half-corpus index with this relation is the losslessness proof
+    * of [[graft.ops.TextOps.mergeBm25Stats]].
+    */
+  private val bm25Oracle: String =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+      |  FROM documents),
+      |tk AS (SELECT * FROM toks WHERE term <> ''),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+      |st AS (SELECT count(*) AS nd, sum(dl)::BIGINT AS tl FROM dl),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |idf AS (SELECT term,
+      |               round(ln(1.0 + (st.nd - df + 0.5) / (df + 0.5)) * 1000000.0)::BIGINT AS idfq
+      |        FROM dfq CROSS JOIN st),
+      |q AS (SELECT doc_id AS query_id,
+      |             unnest(list_distinct(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS term
+      |      FROM documents WHERE doc_id % 97 = 0),
+      |qq AS (SELECT * FROM q WHERE term <> ''),
+      |c AS (SELECT qq.query_id, tf.doc_id,
+      |             round((idf.idfq::DOUBLE / 1000000.0)
+      |                   * ((tf.tf::DOUBLE * 2.2)
+      |                      / (tf.tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE / (st.tl::DOUBLE / st.nd::DOUBLE)))))
+      |                   * 1000000.0)::BIGINT AS cq
+      |      FROM qq JOIN tf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+      |      JOIN idf ON idf.term = qq.term CROSS JOIN st
+      |      WHERE qq.query_id <> tf.doc_id),
+      |s AS (SELECT query_id, doc_id, sum(cq)::BIGINT AS score_fp FROM c GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank
+      |      FROM s)
+      |SELECT query_id, doc_id, score_fp, score_fp::DOUBLE / 1000000.0 AS score, rank::BIGINT AS rank
+      |FROM r WHERE rank <= 10""".stripMargin
 
   private val knnOracle: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2151,6 +2213,27 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_minhash_dedup" -> verifiedPairsOracle,
+    "q_editdist_dedup" ->
+      raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+        |      FROM t WHERE len(w) >= 3),
+        |e0 AS (SELECT doc_id, unnest(sh) AS s FROM g),
+        |e AS (SELECT doc_id, s FROM e0
+        |      WHERE s NOT IN (SELECT s FROM e0 GROUP BY s HAVING count(*) > 100)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |      HAVING count(*) >= 5),
+        |nrm AS (SELECT doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS nt FROM documents),
+        |j AS (SELECT doc_a, doc_b, na.nt AS ta, nb.nt AS tb,
+        |             length(na.nt) AS la, length(nb.nt) AS lb
+        |      FROM p JOIN nrm na ON na.doc_id = doc_a JOIN nrm nb ON nb.doc_id = doc_b
+        |      WHERE least(length(na.nt), length(nb.nt))::DOUBLE
+        |            >= 0.6 * greatest(length(na.nt), length(nb.nt))::DOUBLE),
+        |d AS (SELECT doc_a, doc_b, levenshtein(ta, tb)::BIGINT AS dist,
+        |             1.0 - levenshtein(ta, tb)::DOUBLE / greatest(la, lb)::DOUBLE AS sim
+        |      FROM j)
+        |SELECT doc_a, doc_b, dist, sim FROM d WHERE sim >= 0.6""".stripMargin,
     "q_winnow_dedup" -> verifiedPairsOracle,
     "q_cross_dedup_lsh" -> crossVerifiedPairsOracle,
     "q_domain_cap" ->
@@ -2928,35 +3011,9 @@ object SparkEntry {
     // SHARED: scoring against the merged half-corpus counts must reproduce
     // the self-trained LM bit-for-bit (mergeLmCounts losslessness proof)
     "q_lm_incremental" -> lmScoreOracle,
-    "q_bm25" ->
-      raw"""WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
-        |  FROM documents),
-        |tk AS (SELECT * FROM toks WHERE term <> ''),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
-        |st AS (SELECT count(*) AS nd, sum(dl)::BIGINT AS tl FROM dl),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |idf AS (SELECT term,
-        |               round(ln(1.0 + (st.nd - df + 0.5) / (df + 0.5)) * 1000000.0)::BIGINT AS idfq
-        |        FROM dfq CROSS JOIN st),
-        |q AS (SELECT doc_id AS query_id,
-        |             unnest(list_distinct(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS term
-        |      FROM documents WHERE doc_id % 97 = 0),
-        |qq AS (SELECT * FROM q WHERE term <> ''),
-        |c AS (SELECT qq.query_id, tf.doc_id,
-        |             round((idf.idfq::DOUBLE / 1000000.0)
-        |                   * ((tf.tf::DOUBLE * 2.2)
-        |                      / (tf.tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE / (st.tl::DOUBLE / st.nd::DOUBLE)))))
-        |                   * 1000000.0)::BIGINT AS cq
-        |      FROM qq JOIN tf USING (term) JOIN dl ON dl.doc_id = tf.doc_id
-        |      JOIN idf ON idf.term = qq.term CROSS JOIN st
-        |      WHERE qq.query_id <> tf.doc_id),
-        |s AS (SELECT query_id, doc_id, sum(cq)::BIGINT AS score_fp FROM c GROUP BY 1, 2),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank
-        |      FROM s)
-        |SELECT query_id, doc_id, score_fp, score_fp::DOUBLE / 1000000.0 AS score, rank::BIGINT AS rank
-        |FROM r WHERE rank <= 10""".stripMargin,
+    "q_bm25" -> bm25Oracle,
+    // SHARED: merged-index search must reproduce the one-shot index
+    "q_bm25_incremental" -> bm25Oracle,
     "q_weighted_sample" ->
       """WITH h AS (SELECT doc_id, lang, n_chars,
         |                 (doc_id * 1103515245 + 12345) % 2147483648 AS hh

@@ -473,17 +473,70 @@ object TextOps {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k >= 1, "k must be positive")
-    // cached: the (doc, term) occurrence relation feeds tf, dl AND df
+    val (tf, dl, dfreq, stats) = bm25Stats(docs, idCol, textCol)
+    bm25SearchFromStats(queries, qidCol, qtextCol, idCol, tf, dl, dfreq, stats, k, k1, b)
+  }
+
+  /** The maintainable BM25 index statistics: postings `(id, term, tf)`,
+    * doc lengths `(id, dl)`, document frequencies `(term, df)` and the
+    * single-row corpus totals `(nd, tl)`. For an append-only corpus all
+    * four ADD across increments — postings/lengths by disjoint union, df
+    * termwise, totals elementwise — so an operating store folds each batch
+    * in with [[mergeBm25Stats]] instead of re-indexing history; the
+    * registered incremental query proves the fold lossless by sharing
+    * q_bm25's oracle.
+    */
+  def bm25Stats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // cached: the (doc, term) occurrence relation feeds tf AND dl
     val toks = docs
       .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")
       .cache()
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")).cache()
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl")).cache()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+    (tf, dl, dfreq, stats)
+  }
+
+  /** Fold BM25 index increments — disjoint-doc unions for postings and
+    * lengths, termwise df sums, elementwise totals. Contract: the parts
+    * index DISJOINT document sets (append-only corpus); overlapping ids
+    * would double-count df/tl.
+    */
+  def mergeBm25Stats(
+      parts: (DataFrame, DataFrame, DataFrame, DataFrame)*)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(parts.nonEmpty, "need at least one stats tuple")
+    (parts.map(_._1).reduce(_.unionByName(_)),
+      parts.map(_._2).reduce(_.unionByName(_)),
+      parts.map(_._3).reduce(_.unionByName(_))
+        .groupBy(col("term")).agg(sum(col("df")).as("df")),
+      parts.map(_._4).reduce(_.unionByName(_))
+        .agg(sum(col("nd")).cast("long").as("nd"), sum(col("tl")).cast("long").as("tl")))
+  }
+
+  /** Score queries against externally-maintained BM25 index statistics
+    * (the incremental-store operating mode; [[bm25Search]] is the
+    * self-contained index-and-search form).
+    */
+  def bm25SearchFromStats(
+      queries: DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      idCol: String,
+      tf: DataFrame,
+      dl: DataFrame,
+      dfreq: DataFrame,
+      stats: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
     val idfq = dfreq.crossJoin(broadcast(stats))
       .select(col("term"),
         round(log(lit(1.0) +

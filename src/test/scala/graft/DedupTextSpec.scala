@@ -600,4 +600,34 @@ class DedupTextSpec extends AnyFunSuite {
       s"prefix candidates $prefCand should undercut full posting candidates $fullCand")
     info(s"candidates: full=$fullCand prefix=$prefCand (${100 * prefCand / fullCand}%)")
   }
+
+  test("editDistancePairs: exact dist/sim vs plain-Scala Levenshtein; prefilters drop out-of-scope pairs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
+    val oneSub = base.replace("theta", "THETA-X") // one in-place substitution
+    val crafted = Seq(
+      (1L, base),
+      (2L, oneSub),
+      (3L, "totally different words entirely unrelated content here now forever and ever amen"),
+      // shares 6 shingles with 1 (>= minCommon) but fails the length-ratio
+      // prefilter: 45 chars vs 80, least < 0.6*greatest
+      (4L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.editDistancePairs(crafted, "doc_id", "text")
+      .select("doc_a", "doc_b", "dist", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expDist = lev(base.toLowerCase, oneSub.toLowerCase).toLong
+    val expSim = 1.0 - expDist.toDouble / math.max(base.length, oneSub.length).toDouble
+    assert(got == Seq((1L, 2L, expDist, expSim)),
+      "exactly the single-substitution pair, with DP-exact distance")
+    // doc 4: candidate shingles shared, but 30/79 chars fails least >= 0.6*greatest
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
 }

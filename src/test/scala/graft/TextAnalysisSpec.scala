@@ -261,6 +261,18 @@ class TextAnalysisSpec extends AnyFunSuite {
       .zipWithIndex.map { case ((d, s), i) => (10L, d, s, i + 1L) }
     assert(got == expect)
     assert(Set(got(0)._2, got(1)._2) == Set(2L, 4L), "the cat/mat docs outrank everything")
+
+    // merged half-index search reproduces the one-shot result exactly
+    import org.apache.spark.sql.functions.col
+    val merged = TextOps.mergeBm25Stats(
+      TextOps.bm25Stats(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+      TextOps.bm25Stats(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"))
+    val inc = TextOps.bm25SearchFromStats(
+      queries, "doc_id", "text", "doc_id",
+      merged._1, merged._2, merged._3, merged._4, k = 3)
+      .select("query_id", "doc_id", "score_fp", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._4)
+    assert(inc == got, "index fold is lossless")
   }
 
   test("textRank matches a plain-Scala fixed-point PageRank; hub token ranks first") {

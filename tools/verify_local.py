@@ -51,6 +51,9 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    only = set(sys.argv[3:])  # optional: restrict to named queries (dev loop)
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
