@@ -1106,6 +1106,37 @@ object SparkEntry {
     * qNeardupClusters and qKeeperByQuality so the clustering parameters and
     * the coalesce convention cannot drift between them.
     */
+  /** Label-propagation communities over the verified near-dup pair graph —
+    * the community complement of q_neardup_clusters' connected components:
+    * a single bridge pair merges two template families in CC but cannot
+    * flip a dense community's majority label here. Deterministic
+    * (weight-argmax with min-label ties), 3 synchronous rounds, mirrored
+    * round-for-round by the unrolled-CTE oracle.
+    */
+  def qLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val lp = GraphOps.labelPropagation(pairs, "doc_a", "doc_b", rounds = 3)
+    val all = docs.select(col("doc_id"))
+      .join(lp.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("community_id"))
+    val sizes = all.groupBy(col("community_id")).agg(count(lit(1)).as("community_size"))
+    all.join(sizes, "community_id")
+      .select(col("doc_id"), col("community_id"), col("community_size"))
+  }
+
+  /** Per-document triangle count / degree / local clustering coefficient
+    * on the same verified pair graph — local density as a template-family
+    * detector (a doc whose neighbors all pair with each other is
+    * boilerplate structure, not chance collision).
+    */
+  def qTriangleStats(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.jaccardPairs(
+      Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
+    GraphOps.triangleStats(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("degree"), col("triangles"), col("lcc"))
+  }
+
   private def labeledClusters(docs: DataFrame): DataFrame = {
     val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
     val cc = DedupOps.connectedComponents(pairs, "doc_a", "doc_b")
@@ -1829,6 +1860,8 @@ object SparkEntry {
     "q_cross_dedup_lsh"         -> (qCrossDedupLsh(_, _)),
     "q_minhash_dedup"           -> (qMinhashDedup(_, _)),
     "q_editdist_dedup"          -> (qEditDistDedup(_, _)),
+    "q_label_propagation"       -> (qLabelPropagation(_, _)),
+    "q_triangle_stats"          -> (qTriangleStats(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
     "q_winnow_dedup"            -> (qWinnowDedup(_, _)),
     "q_hash_split"              -> (qHashSplit(_, _)),
@@ -2157,7 +2190,12 @@ object SparkEntry {
     * → min-label → per-doc `labeled` relation) — shared by the cluster
     * oracles and the keeper-election oracle.
     */
-  private val neardupClusterCtes: String =
+  /** The capped-shingle verified-pair CTE prefix (`pr` = jaccardPairs at
+    * 0.5, canonical doc_a < doc_b) — shared by the cluster, label-
+    * propagation, and triangle oracles so the pair relation cannot drift
+    * between them.
+    */
+  private val neardupPairCtes: String =
     raw"""t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
       |g AS (SELECT doc_id,
       |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
@@ -2170,7 +2208,10 @@ object SparkEntry {
       |sz AS (SELECT doc_id, len(sh) AS n FROM g),
       |pr AS (SELECT doc_a, doc_b
       |       FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-      |       WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5),
+      |       WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5)""".stripMargin
+
+  private val neardupClusterCtes: String =
+    raw"""$neardupPairCtes,
       |edges AS (SELECT doc_a AS es, doc_b AS et FROM pr UNION SELECT doc_b, doc_a FROM pr),
       |rch(v, r) AS (
       |  SELECT es, es FROM (SELECT DISTINCT es FROM edges)
@@ -2198,6 +2239,45 @@ object SparkEntry {
     * proof of [[DedupOps.mergeClusters]] +
     * [[DedupOps.incrementalJaccardPairs]].
     */
+  /** Unrolled synchronous label-propagation rounds over the shared pair
+    * CTEs — round-for-round mirror of [[GraphOps.labelPropagation]]
+    * (weight-argmax update, min-label ties).
+    */
+  private val labelPropagationOracle: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""u$i AS (SELECT ew.es AS node, s${i - 1}.label AS nl, sum(ew.w)::BIGINT AS c
+         |      FROM ew JOIN s${i - 1} ON s${i - 1}.node = ew.et GROUP BY 1, 2),
+         |s$i AS (SELECT node, nl AS label FROM (
+         |        SELECT node, nl, row_number() OVER (PARTITION BY node ORDER BY c DESC, nl) AS rn
+         |        FROM u$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $neardupPairCtes,
+      |ed AS (SELECT doc_a AS es, doc_b AS et FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+      |ew AS (SELECT es, et, count(*) AS w FROM ed GROUP BY 1, 2),
+      |s0 AS (SELECT DISTINCT es AS node, es AS label FROM ew),
+      |$rounds,
+      |alln AS (SELECT d.doc_id, coalesce(s3.label, d.doc_id) AS community_id
+      |         FROM (SELECT doc_id FROM documents) d LEFT JOIN s3 ON s3.node = d.doc_id),
+      |szc AS (SELECT community_id, count(*) AS community_size FROM alln GROUP BY 1)
+      |SELECT doc_id, community_id, community_size FROM alln JOIN szc USING (community_id)""".stripMargin
+  }
+
+  private val triangleStatsOracle: String =
+    s"""WITH $neardupPairCtes,
+      |deg AS (SELECT node, count(*)::BIGINT AS degree
+      |        FROM (SELECT doc_a AS node FROM pr UNION ALL SELECT doc_b FROM pr) GROUP BY 1),
+      |tri AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+      |        FROM pr e1 JOIN pr e2 ON e2.doc_a = e1.doc_b
+      |        JOIN pr e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+      |pn AS (SELECT node, count(*)::BIGINT AS triangles
+      |       FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+      |       GROUP BY 1)
+      |SELECT deg.node AS doc_id, deg.degree, coalesce(pn.triangles, 0)::BIGINT AS triangles,
+      |       CASE WHEN deg.degree >= 2
+      |            THEN 2.0 * coalesce(pn.triangles, 0)::DOUBLE / (deg.degree * (deg.degree - 1))::DOUBLE
+      |       END AS lcc
+      |FROM deg LEFT JOIN pn USING (node)""".stripMargin
+
   private val neardupClustersOracle: String =
     s"""WITH RECURSIVE $neardupClusterCtes,
       |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1)
@@ -2235,6 +2315,8 @@ object SparkEntry {
         |      FROM j)
         |SELECT doc_a, doc_b, dist, sim FROM d WHERE sim >= 0.6""".stripMargin,
     "q_winnow_dedup" -> verifiedPairsOracle,
+    "q_label_propagation" -> labelPropagationOracle,
+    "q_triangle_stats" -> triangleStatsOracle,
     "q_cross_dedup_lsh" -> crossVerifiedPairsOracle,
     "q_domain_cap" ->
       """WITH r AS (SELECT doc_id, source, n_chars,

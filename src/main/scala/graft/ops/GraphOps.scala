@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators over pair relations (near-dup pairs, similarity edges,
+  * link graphs). Complements [[DedupOps.connectedComponents]] — CC answers
+  * "what is transitively connected"; these answer the denser questions a
+  * curation pipeline asks of the same pair graph: community structure
+  * (label propagation — a bridge edge should NOT merge two dense
+  * communities the way CC does) and local density (triangles / clustering
+  * coefficient — a doc whose neighbors all pair with each other is a
+  * template family, not a chance collision).
+  *
+  * Scale stance shared by both operators: the input is the PAIR relation
+  * (already near-linear via df-capped candidate generation), never the
+  * corpus; every round/join shuffles on a node id — 8-byte keys; nothing
+  * here touches text. Caching contract as per [[DedupOps]]: multi-branch
+  * relations are cached, harness/caller clears.
+  */
+object GraphOps {
+
+  /** Synchronous label propagation (Raghavan et al. 2007), made fully
+    * deterministic: `rounds` fixed iterations; each node adopts the label
+    * carried by the largest total edge weight among its neighbors, ties
+    * broken by SMALLEST label (the argmin is a total order, so the result
+    * is engine-reproducible — no random tie-breaks, no update-order
+    * dependence). Nodes start labeled with their own id. Isolated nodes
+    * (absent from `pairs`) are absent from the result; callers left-join
+    * and coalesce to the node id, as with connectedComponents.
+    *
+    * Versus CC on the same pairs: one bridge pair between two template
+    * families merges them in CC forever, while LPA keeps two dense
+    * communities — after round 1 every member holds its community's
+    * majority label and a single bridge vote cannot flip it.
+    *
+    * Shape: the undirected weighted edge relation builds once (one
+    * shuffle) and is cached; each round is one join of the node-label
+    * relation against the edges plus two partial-aggregating groupBys —
+    * O(rounds) shuffles total on 8-byte ids, no driver state, the same
+    * round discipline as [[DedupOps.connectedComponents]]. The per-node
+    * argmin is `min(struct(-count, label))` — an in-aggregate reduction,
+    * not a window.
+    *
+    * Output: (node, label).
+    */
+  def labelPropagation(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    // undirected: each pair votes in both directions; weights sum parallel
+    // edges so a multi-evidence pair counts accordingly
+    val edges = pairs
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .cache()
+    var lab = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      lab = edges
+        .join(lab.select(col("node").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src"), col("nl")).agg(sum(col("w")).as("c"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("c")).as("nc"), col("nl").as("nl"))).as("m"))
+        .select(col("src").as("node"), col("m.nl").as("label"))
+    }
+    lab
+  }
+
+  /** Per-node triangle count, degree, and local clustering coefficient
+    * over an undirected simple graph given as canonical pairs (a < b,
+    * distinct). lcc = 2·triangles / (degree·(degree−1)), NULL for
+    * degree-1 nodes.
+    *
+    * Shape: triangles enumerate via the canonical-orientation join —
+    * (a,b)⋈(b,c)⋈(a,c) with a<b<c, each triangle produced exactly once —
+    * three shuffles on 8-byte ids. On a pair graph from df-capped
+    * candidate generation the max degree is already bounded by the cap
+    * (a node can only pair inside its capped buckets), which is what
+    * keeps the (a,b)⋈(b,c) wedge join from going quadratic at corpus
+    * scale; for general graphs the standard refinement is degree-ordered
+    * orientation, which this operator's canonical a<b orientation
+    * approximates without the extra degree join.
+    *
+    * Output: (node, degree, triangles, lcc).
+    */
+  def triangleStats(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = pairs.select(col(srcCol).as("a"), col(dstCol).as("b")).distinct().cache()
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e2.a") === col("e1.b"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(
+        col("node"),
+        col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double")
+            / (col("degree") * (col("degree") - 1)).cast("double"))
+          .as("lcc"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, GraphOps}
+
+/** Graph operators over pair relations: label-propagation communities and
+  * triangle/clustering stats, pinned on a hand-computed bridged-triangles
+  * graph where LPA and connected components must DISAGREE.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two triangles {1,2,3} and {4,5,6} joined by the bridge 3-4
+  private def bridged = Seq(
+    (1L, 2L), (1L, 3L), (2L, 3L),
+    (4L, 5L), (4L, 6L), (5L, 6L),
+    (3L, 4L)).toDF("doc_a", "doc_b")
+
+  test("labelPropagation keeps bridged dense communities apart (hand-computed rounds); CC merges them") {
+    val got = GraphOps.labelPropagation(bridged, "doc_a", "doc_b", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // synchronous rounds, weight-argmax with min-label ties, traced by hand:
+    // r1: {1:2, 2:1, 3:1, 4:3, 5:4, 6:4}
+    // r2: {1:1, 2:1, 3:1, 4:4, 5:3, 6:3}
+    // r3: {1:1, 2:1, 3:1, 4:3, 5:3, 6:3}
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    assert(got.values.toSet.size == 2, "the bridge must not merge the communities")
+    val cc = DedupOps.connectedComponents(bridged, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size == 1, "CC on the same graph merges across the bridge")
+  }
+
+  test("triangleStats: exact degree/triangles/lcc on the bridged graph") {
+    val got = GraphOps.triangleStats(bridged, "doc_a", "doc_b")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val third = 2.0 * 1.0 / (3 * 2).toDouble
+    assert(got == Map(
+      1L -> ((2L, 1L, Some(1.0))),
+      2L -> ((2L, 1L, Some(1.0))),
+      3L -> ((3L, 1L, Some(third))),
+      4L -> ((3L, 1L, Some(third))),
+      5L -> ((2L, 1L, Some(1.0))),
+      6L -> ((2L, 1L, Some(1.0)))))
+  }
+
+  test("triangleStats: degree-1 node has NULL lcc and zero triangles") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)).toDF("doc_a", "doc_b")
+    val got = GraphOps.triangleStats(g, "doc_a", "doc_b")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(9L) == ((1L, 0L, None)))
+    assert(got(3L)._1 == 3L && got(3L)._2 == 1L)
+  }
+}
