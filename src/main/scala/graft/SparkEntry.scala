@@ -132,6 +132,14 @@ object SparkEntry {
     Analytics.interpolateMonthlyGaps(
       qMonthlyLastClose(spark, dir), "symbol", "date", "price")
 
+  /** Fixed-point EWMA over the monthly close series — the smoothing
+    * complement of gap detection/interpolation. Integer recurrence on
+    * millionth-quantized prices (α = 1/4), so the sequential trajectory
+    * is engine-exact; the oracle replays it with a recursive CTE.
+    */
+  def qEwmaSmooth(spark: SparkSession, dir: String): DataFrame =
+    Analytics.ewmaFixedPoint(qMonthlyLastClose(spark, dir), "symbol", "date", "price")
+
   /** B12 — current-period last-value pick via `max_by` (hash agg, no sort). */
   def qCurrentMonthPick(spark: SparkSession, dir: String): DataFrame = {
     val cur = Tables.orders(spark, dir)
@@ -1862,6 +1870,7 @@ object SparkEntry {
     "q_editdist_dedup"          -> (qEditDistDedup(_, _)),
     "q_label_propagation"       -> (qLabelPropagation(_, _)),
     "q_triangle_stats"          -> (qTriangleStats(_, _)),
+    "q_ewma_smooth"             -> (qEwmaSmooth(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
     "q_winnow_dedup"            -> (qWinnowDedup(_, _)),
     "q_hash_split"              -> (qHashSplit(_, _)),
@@ -3399,6 +3408,21 @@ object SparkEntry {
     "q_monthly_last_close" ->
       s"""WITH $monthlyLastCloseCtes
         |SELECT symbol, date, price FROM cl""".stripMargin,
+    // replays the integer recurrence step-for-step (s1 = fp1,
+    // s_i = (fp_i + 3*s_{i-1}) // 4 on millionth-quantized prices)
+    "q_ewma_smooth" ->
+      s"""WITH RECURSIVE $monthlyLastCloseCtes,
+        |q AS (SELECT symbol, date, price,
+        |             round(price * 1000000.0)::BIGINT AS fp,
+        |             row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+        |      FROM cl),
+        |ew(symbol, rn, date, price, s) AS (
+        |  SELECT symbol, rn, date, price, fp FROM q WHERE rn = 1
+        |  UNION ALL
+        |  SELECT q.symbol, q.rn, q.date, q.price, (q.fp + 3 * ew.s) // 4
+        |  FROM q JOIN ew ON q.symbol = ew.symbol AND q.rn = ew.rn + 1)
+        |SELECT symbol, date, price, s AS ewma_fp, s::DOUBLE / 1000000.0 AS ewma
+        |FROM ew""".stripMargin,
     "q_gap_interpolate" ->
       s"""WITH $monthlyLastCloseCtes,
         |b AS (SELECT symbol, min(date) AS lo, max(date) AS hi FROM cl GROUP BY 1),

@@ -482,4 +482,65 @@ object Analytics {
         col("src_type"), col("dst_type"), col("n"),
         expr("(n * 1000000) div __t").as("p_fp"))
   }
+
+  /** Exponentially-weighted moving average over a per-key time series, in
+    * FIXED POINT: values quantize to BIGINT millionths and the recurrence
+    * is s₁ = v₁, sᵢ = (vᵢ + (k−1)·sᵢ₋₁) div k with α = 1/`alphaInv` —
+    * every step is integer arithmetic on the quantized inputs, so the
+    * whole trajectory reproduces bit-for-bit on any engine (the
+    * [[graft.ops.TextOps.lmScore]] portability contract applied to a
+    * sequential recurrence, where float accumulation drift would
+    * otherwise compound per step). Inputs must be non-negative (prices,
+    * counts): integral `div` is floor division there, matching SQL `//`.
+    *
+    * Shape: an EWMA is inherently sequential per key, so the series is
+    * assembled in-row — one hash aggregation collects each key's
+    * (date, value) structs, `sort_array` orders them, and ONE codegen'd
+    * `aggregate` lambda runs the recurrence — then explodes back to rows.
+    * One shuffle on the key, no window, no self-join, no driver state.
+    * The per-key array is the operating constraint (a monthly series is
+    * a few hundred structs; this is NOT the operator for tick-level
+    * series — aggregate to periods first, as the registered query does).
+    *
+    * Output: (key, date, value, ewma_fp, ewma).
+    */
+  def ewmaFixedPoint(
+      series: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      valueCol: String,
+      alphaInv: Int = 4): DataFrame = {
+    require(alphaInv >= 2, "alphaInv must be >= 2 (alpha = 1/alphaInv)")
+    val seq = sort_array(collect_list(struct(
+      col(dateCol).as("d"),
+      col(valueCol).as("v"),
+      round(col(valueCol) * lit(1000000.0)).cast("long").as("fp"))))
+    val rec = df_rec(alphaInv)
+    series
+      .groupBy(col(keyCol))
+      .agg(seq.as("__seq"))
+      .select(col(keyCol), explode(expr(rec)).as("__e"))
+      .select(
+        col(keyCol),
+        col("__e.d").as(dateCol),
+        col("__e.v").as(valueCol),
+        col("__e.s").as("ewma_fp"),
+        (col("__e.s").cast("double") / lit(1000000.0)).as("ewma"))
+  }
+
+  /** The SQL-lambda recurrence for [[ewmaFixedPoint]] — `aggregate` over
+    * the sorted struct array, appending each step's smoothed value so the
+    * full trajectory is emitted, not just the final state.
+    */
+  private def df_rec(alphaInv: Int): String = {
+    val k = alphaInv
+    val km1 = alphaInv - 1
+    s"""aggregate(
+       |  __seq,
+       |  cast(array() as array<struct<d:date,v:double,fp:bigint,s:bigint>>),
+       |  (acc, x) -> array_append(acc, named_struct(
+       |    'd', x.d, 'v', x.v, 'fp', x.fp,
+       |    's', CASE WHEN size(acc) = 0 THEN x.fp
+       |              ELSE (x.fp + $km1 * element_at(acc, -1).s) div $k END)))""".stripMargin
+  }
 }

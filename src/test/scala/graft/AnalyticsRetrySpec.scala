@@ -337,4 +337,29 @@ class AnalyticsRetrySpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(again == sample.map(_._1).toSet)
   }
+
+  test("ewmaFixedPoint replays the integer recurrence exactly, regardless of input row order") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // deliberately out of order; one single-point key
+    val series = Seq(
+      (1L, d("2024-03-01"), 30.0),
+      (1L, d("2024-01-01"), 10.0),
+      (1L, d("2024-02-01"), 20.5),
+      (2L, d("2024-01-01"), 5.25)).toDF("symbol", "date", "price")
+    val got = Analytics.ewmaFixedPoint(series, "symbol", "date", "price")
+      .select("symbol", "date", "price", "ewma_fp", "ewma")
+      .as[(Long, java.sql.Date, Double, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2.toString))
+
+    def ref(vals: Seq[Double]): Seq[Long] =
+      vals.map(v => math.round(v * 1e6)).scanLeft(Option.empty[Long]) {
+        case (None, fp) => Some(fp)
+        case (Some(s), fp) => Some(Math.floorDiv(fp + 3 * s, 4))
+      }.flatten
+    val exp1 = ref(Seq(10.0, 20.5, 30.0))
+    assert(got.map(_._4).toSeq == exp1 ++ Seq(5250000L))
+    assert(got.map(_._5).toSeq == (exp1 ++ Seq(5250000L)).map(_.toDouble / 1e6))
+    assert(got.map(r => (r._1, r._3)).toSeq ==
+      Seq((1L, 10.0), (1L, 20.5), (1L, 30.0), (2L, 5.25)))
+  }
 }
