@@ -140,6 +140,28 @@ object SparkEntry {
   def qEwmaSmooth(spark: SparkSession, dir: String): DataFrame =
     Analytics.ewmaFixedPoint(qMonthlyLastClose(spark, dir), "symbol", "date", "price")
 
+  /** Incremental EWMA maintenance, proven lossless BY CONSTRUCTION: the
+    * series is split at a pivot date, the suffix resumes from the
+    * prefix's stored final states via [[Analytics.ewmaResume]], and
+    * prefix-trajectory ∪ resumed-suffix must reproduce the from-scratch
+    * recurrence bit-for-bit — q_ewma_smooth's oracle, shared verbatim.
+    * This is the sequential-state instance of the incremental-proof
+    * pattern (mergeBm25Stats, mergeLmCounts, knnMerge): per-increment
+    * cost O(batch), history never replayed.
+    */
+  def qEwmaIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = qMonthlyLastClose(spark, dir).cache()
+    val pivot = lit("1996-01-01").cast("date")
+    val storedTraj = Analytics.ewmaFixedPoint(
+      monthly.filter(col("date") < pivot), "symbol", "date", "price").cache()
+    val lastState = storedTraj
+      .groupBy(col("symbol"))
+      .agg(max_by(col("ewma_fp"), col("date")).as("ewma_fp"))
+    val resumed = Analytics.ewmaResume(
+      monthly.filter(col("date") >= pivot), "symbol", "date", "price", lastState)
+    storedTraj.unionByName(resumed)
+  }
+
   /** B12 — current-period last-value pick via `max_by` (hash agg, no sort). */
   def qCurrentMonthPick(spark: SparkSession, dir: String): DataFrame = {
     val cur = Tables.orders(spark, dir)
@@ -1871,6 +1893,7 @@ object SparkEntry {
     "q_label_propagation"       -> (qLabelPropagation(_, _)),
     "q_triangle_stats"          -> (qTriangleStats(_, _)),
     "q_ewma_smooth"             -> (qEwmaSmooth(_, _)),
+    "q_ewma_incremental"        -> (qEwmaIncremental(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
     "q_winnow_dedup"            -> (qWinnowDedup(_, _)),
     "q_hash_split"              -> (qHashSplit(_, _)),
@@ -2286,6 +2309,24 @@ object SparkEntry {
       |            THEN 2.0 * coalesce(pn.triangles, 0)::DOUBLE / (deg.degree * (deg.degree - 1))::DOUBLE
       |       END AS lcc
       |FROM deg LEFT JOIN pn USING (node)""".stripMargin
+
+  /** Recursive-CTE replay of the fixed-point EWMA recurrence — shared by
+    * q_ewma_smooth and q_ewma_incremental (resume-from-state equality is
+    * the [[graft.ops.Analytics.ewmaResume]] losslessness proof).
+    */
+  private val ewmaOracle: String =
+    s"""WITH RECURSIVE $monthlyLastCloseCtes,
+      |q AS (SELECT symbol, date, price,
+      |             round(price * 1000000.0)::BIGINT AS fp,
+      |             row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+      |      FROM cl),
+      |ew(symbol, rn, date, price, s) AS (
+      |  SELECT symbol, rn, date, price, fp FROM q WHERE rn = 1
+      |  UNION ALL
+      |  SELECT q.symbol, q.rn, q.date, q.price, (q.fp + 3 * ew.s) // 4
+      |  FROM q JOIN ew ON q.symbol = ew.symbol AND q.rn = ew.rn + 1)
+      |SELECT symbol, date, price, s AS ewma_fp, s::DOUBLE / 1000000.0 AS ewma
+      |FROM ew""".stripMargin
 
   private val neardupClustersOracle: String =
     s"""WITH RECURSIVE $neardupClusterCtes,
@@ -3410,19 +3451,10 @@ object SparkEntry {
         |SELECT symbol, date, price FROM cl""".stripMargin,
     // replays the integer recurrence step-for-step (s1 = fp1,
     // s_i = (fp_i + 3*s_{i-1}) // 4 on millionth-quantized prices)
-    "q_ewma_smooth" ->
-      s"""WITH RECURSIVE $monthlyLastCloseCtes,
-        |q AS (SELECT symbol, date, price,
-        |             round(price * 1000000.0)::BIGINT AS fp,
-        |             row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
-        |      FROM cl),
-        |ew(symbol, rn, date, price, s) AS (
-        |  SELECT symbol, rn, date, price, fp FROM q WHERE rn = 1
-        |  UNION ALL
-        |  SELECT q.symbol, q.rn, q.date, q.price, (q.fp + 3 * ew.s) // 4
-        |  FROM q JOIN ew ON q.symbol = ew.symbol AND q.rn = ew.rn + 1)
-        |SELECT symbol, date, price, s AS ewma_fp, s::DOUBLE / 1000000.0 AS ewma
-        |FROM ew""".stripMargin,
+    "q_ewma_smooth" -> ewmaOracle,
+    // SHARED: resuming the suffix from stored prefix states must reproduce
+    // the from-scratch trajectory (ewmaResume losslessness proof)
+    "q_ewma_incremental" -> ewmaOracle,
     "q_gap_interpolate" ->
       s"""WITH $monthlyLastCloseCtes,
         |b AS (SELECT symbol, min(date) AS lo, max(date) AS hi FROM cl GROUP BY 1),

@@ -511,15 +511,57 @@ object Analytics {
       valueCol: String,
       alphaInv: Int = 4): DataFrame = {
     require(alphaInv >= 2, "alphaInv must be >= 2 (alpha = 1/alphaInv)")
+    ewmaRun(series, keyCol, dateCol, valueCol, alphaInv, useSeed = false)
+  }
+
+  /** Resume [[ewmaFixedPoint]] from externally-stored state — the
+    * incremental operating mode: `prior` carries each key's last smoothed
+    * value (`keyCol`, `priorFpCol` as BIGINT millionths) from the
+    * previously-processed prefix; new batches fold in WITHOUT replaying
+    * history, so the per-increment cost is O(batch), not O(series). Keys
+    * absent from `prior` start the recurrence fresh. Losslessness is
+    * proven by the registered incremental query, which splits the series
+    * at a pivot date, resumes the suffix from the prefix's final states,
+    * and must reproduce the from-scratch trajectory bit-for-bit (shared
+    * oracle) — exactly the [[graft.ops.TextOps.mergeBm25Stats]] /
+    * mergeLmCounts proof pattern, here for a SEQUENTIAL state.
+    */
+  def ewmaResume(
+      series: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      valueCol: String,
+      prior: DataFrame,
+      priorFpCol: String = "ewma_fp",
+      alphaInv: Int = 4): DataFrame = {
+    val seeded = series.join(
+      prior.select(col(keyCol), col(priorFpCol).as("__seed")),
+      Seq(keyCol), "left")
+    ewmaRun(seeded, keyCol, dateCol, valueCol, alphaInv, useSeed = true)
+  }
+
+  private def ewmaRun(
+      series: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      valueCol: String,
+      alphaInv: Int,
+      useSeed: Boolean): DataFrame = {
+    require(alphaInv >= 2, "alphaInv must be >= 2 (alpha = 1/alphaInv)")
     val seq = sort_array(collect_list(struct(
       col(dateCol).as("d"),
       col(valueCol).as("v"),
       round(col(valueCol) * lit(1000000.0)).cast("long").as("fp"))))
-    val rec = df_rec(alphaInv)
-    series
-      .groupBy(col(keyCol))
-      .agg(seq.as("__seq"))
-      .select(col(keyCol), explode(expr(rec)).as("__e"))
+    val grouped =
+      if (useSeed)
+        series.groupBy(col(keyCol))
+          .agg(seq.as("__seq"), first(col("__seed")).as("__seed"))
+      else
+        series.groupBy(col(keyCol))
+          .agg(seq.as("__seq"))
+          .withColumn("__seed", lit(null).cast("long"))
+    grouped
+      .select(col(keyCol), explode(expr(df_rec(alphaInv))).as("__e"))
       .select(
         col(keyCol),
         col("__e.d").as(dateCol),
@@ -528,9 +570,11 @@ object Analytics {
         (col("__e.s").cast("double") / lit(1000000.0)).as("ewma"))
   }
 
-  /** The SQL-lambda recurrence for [[ewmaFixedPoint]] — `aggregate` over
-    * the sorted struct array, appending each step's smoothed value so the
-    * full trajectory is emitted, not just the final state.
+  /** The SQL-lambda recurrence for [[ewmaFixedPoint]]/[[ewmaResume]] —
+    * `aggregate` over the sorted struct array, appending each step's
+    * smoothed value so the full trajectory is emitted, not just the final
+    * state. A NULL `__seed` means a fresh start (first element passes
+    * through); a non-NULL seed is the stored sᵢ₋₁ for the first element.
     */
   private def df_rec(alphaInv: Int): String = {
     val k = alphaInv
@@ -540,7 +584,9 @@ object Analytics {
        |  cast(array() as array<struct<d:date,v:double,fp:bigint,s:bigint>>),
        |  (acc, x) -> array_append(acc, named_struct(
        |    'd', x.d, 'v', x.v, 'fp', x.fp,
-       |    's', CASE WHEN size(acc) = 0 THEN x.fp
+       |    's', CASE WHEN size(acc) = 0 THEN
+       |               CASE WHEN __seed IS NULL THEN x.fp
+       |                    ELSE (x.fp + $km1 * __seed) div $k END
        |              ELSE (x.fp + $km1 * element_at(acc, -1).s) div $k END)))""".stripMargin
   }
 }

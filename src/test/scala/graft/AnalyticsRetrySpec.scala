@@ -362,4 +362,25 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     assert(got.map(r => (r._1, r._3)).toSeq ==
       Seq((1L, 10.0), (1L, 20.5), (1L, 30.0), (2L, 5.25)))
   }
+
+  test("ewmaResume from stored state == from-scratch trajectory; unseeded keys start fresh") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val series = Seq(
+      (1L, d("2024-01-01"), 10.0), (1L, d("2024-02-01"), 20.5),
+      (1L, d("2024-03-01"), 30.0), (1L, d("2024-04-01"), 12.25),
+      (2L, d("2024-03-01"), 7.5), (2L, d("2024-04-01"), 9.0)).toDF("symbol", "date", "price")
+    val full = Analytics.ewmaFixedPoint(series, "symbol", "date", "price")
+      .as[(Long, java.sql.Date, Double, Long, Double)].collect().toSet
+    val pivot = d("2024-03-01")
+    val pre = Analytics.ewmaFixedPoint(
+      series.filter(col("date") < lit(pivot)), "symbol", "date", "price")
+    val state = pre.groupBy(col("symbol"))
+      .agg(max_by(col("ewma_fp"), col("date")).as("ewma_fp"))
+    val post = Analytics.ewmaResume(
+      series.filter(col("date") >= lit(pivot)), "symbol", "date", "price", state)
+    val stitched = pre.unionByName(post)
+      .as[(Long, java.sql.Date, Double, Long, Double)].collect().toSet
+    // key 2 has NO pre-pivot rows: must start fresh inside ewmaResume
+    assert(stitched == full, "resume-from-state must be lossless")
+  }
 }
