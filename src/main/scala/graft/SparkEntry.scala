@@ -605,6 +605,31 @@ object SparkEntry {
     Analytics.transitionMatrix(
       Tables.events(spark, dir), "user_id", "ts", "event_id", "event_type")
 
+  /** Per-part VWAP over lineitem — [[Analytics.weightedMean]] in fixed
+    * point: order-free integer sums of millionth-quantized value·weight
+    * products, one hash aggregation over the engine's biggest table.
+    */
+  def qVwap(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_partkey"),
+      (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+      col("l_quantity"))
+    Analytics.weightedMean(l, Seq("l_partkey"), "unit_price", "l_quantity")
+  }
+
+  /** Consecutive-duplicate debounce on the event stream (at-least-once
+    * feed cleaner): A→A→B collapses to A→B per user, alternations
+    * survive, run_seq indexes the runs.
+    */
+  def qDebounce(spark: SparkSession, dir: String): DataFrame =
+    Merge.debounceConsecutive(
+      Tables.events(spark, dir).select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      Seq("user_id"), Seq(col("ts"), col("event_id")), Seq("event_type"))
+      .select(
+        col("user_id"),
+        col("ts").cast("timestamp_ntz").as("event_ts"),
+        col("event_id"), col("event_type"), col("run_seq"))
+
   /** Quota sample: exactly 200 documents drawn per the τ=0.5 mixture —
     * the allocation composed with deterministic md5-order selection per
     * source ([[SamplingOps.quotaSample]]).
@@ -1894,6 +1919,8 @@ object SparkEntry {
     "q_triangle_stats"          -> (qTriangleStats(_, _)),
     "q_ewma_smooth"             -> (qEwmaSmooth(_, _)),
     "q_ewma_incremental"        -> (qEwmaIncremental(_, _)),
+    "q_vwap"                    -> (qVwap(_, _)),
+    "q_debounce"                -> (qDebounce(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
     "q_winnow_dedup"            -> (qWinnowDedup(_, _)),
     "q_hash_split"              -> (qHashSplit(_, _)),
@@ -2708,6 +2735,26 @@ object SparkEntry {
         |       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |FROM b""".stripMargin,
+    "q_vwap" ->
+      """WITH r AS (SELECT l_partkey,
+        |                  round((l_extendedprice / l_quantity) * l_quantity * 1000000.0)::BIGINT AS wv,
+        |                  round(l_quantity * 1000000.0)::BIGINT AS w
+        |           FROM lineitem)
+        |SELECT l_partkey, sum(wv)::BIGINT AS wv_fp, sum(w)::BIGINT AS w_fp,
+        |       CASE WHEN sum(w)::BIGINT <> 0
+        |            THEN sum(wv)::BIGINT::DOUBLE / sum(w)::BIGINT::DOUBLE END AS wmean
+        |FROM r GROUP BY 1""".stripMargin,
+    "q_debounce" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS nr FROM e),
+        |r AS (SELECT user_id, ts, event_id, event_type, nr,
+        |             CAST(sum(nr) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_seq
+        |      FROM m)
+        |SELECT user_id, ts AS event_ts, event_id, event_type, run_seq FROM r WHERE nr = 1""".stripMargin,
     "q_value_quantiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.95) AS p95,
         |       count(*) AS n

@@ -483,6 +483,30 @@ object Analytics {
         expr("(n * 1000000) div __t").as("p_fp"))
   }
 
+  /** Weight-averaged value per key group in FIXED POINT — the VWAP shape:
+    * each row's value·weight product and weight quantize to BIGINT
+    * millionths BEFORE aggregation, so both sums are order-free integer
+    * arithmetic (the engine's standard float-portability recipe) and the
+    * mean is a single double division of two exact longs. One partial-
+    * aggregating hash groupBy — map-side combine, one shuffle of
+    * (key, two longs), no window.
+    *
+    * Output: (keys…, wv_fp, w_fp, wmean).
+    */
+  def weightedMean(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      weightCol: String): DataFrame =
+    df
+      .select(keys.map(col) :+
+        round(col(valueCol) * col(weightCol) * lit(1000000.0)).cast("long").as("__wv") :+
+        round(col(weightCol) * lit(1000000.0)).cast("long").as("__w"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__wv")).as("wv_fp"), sum(col("__w")).as("w_fp"))
+      .withColumn("wmean",
+        when(col("w_fp") =!= 0L, col("wv_fp").cast("double") / col("w_fp").cast("double")))
+
   /** Exponentially-weighted moving average over a per-key time series, in
     * FIXED POINT: values quantize to BIGINT millionths and the recurrence
     * is s₁ = v₁, sᵢ = (vᵢ + (k−1)·sᵢ₋₁) div k with α = 1/`alphaInv` —

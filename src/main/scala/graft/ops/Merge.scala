@@ -34,6 +34,31 @@ object Merge {
       .drop("__rn")
   }
 
+  /** Debounce: drop events that repeat the previous event's `dedupCols`
+    * values within the same key's (ts, id)-ordered stream — the standard
+    * at-least-once-feed cleaner for consecutive duplicate emissions
+    * (sensor re-sends, double-fired webhooks). Unlike [[lastWins]] this
+    * keeps EVERY run's first row, so an A→B→A alternation survives while
+    * A→A→B collapses to A→B. One window pass per key; emits run_seq (the
+    * per-key run index) so downstream run-length analytics need no second
+    * pass.
+    */
+  def debounceConsecutive(
+      df: DataFrame,
+      keys: Seq[String],
+      orderBy: Seq[Column],
+      dedupCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    val changed = dedupCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    df.withColumn("__new_run", when(changed, lit(1L)).otherwise(lit(0L)))
+      .withColumn("run_seq",
+        sum(col("__new_run")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__new_run") === 1L)
+      .drop("__new_run")
+  }
+
   /** A11-A13 — upsert = union(previous, delta) → last-wins by version. */
   def upsert(previous: DataFrame, delta: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame =
     lastWins(previous.unionByName(delta), keys, orderBy)

@@ -383,4 +383,17 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     // key 2 has NO pre-pivot rows: must start fresh inside ewmaResume
     assert(stitched == full, "resume-from-state must be lossless")
   }
+
+  test("weightedMean: exact fixed-point sums; zero total weight yields NULL mean") {
+    val rows = Seq(
+      ("p1", 10.0, 2.0), ("p1", 20.0, 6.0),   // wmean = (20 + 120) / 8 = 17.5
+      ("p2", 5.5, 0.0))                        // zero weight: NULL
+      .toDF("part", "v", "w")
+    val m = Analytics.weightedMean(rows, Seq("part"), "v", "w")
+      .select("part", "wv_fp", "w_fp", "wmean")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m("p1") == ((140000000L, 8000000L, Some(17.5))))
+    assert(m("p2") == ((0L, 0L, None)))
+  }
 }

@@ -225,4 +225,22 @@ class MergeSpec extends AnyFunSuite {
       .select("symbol", "price").as[(String, Double)].collect().toSet
     assert(a == b)
   }
+
+  test("debounceConsecutive keeps each run's first row, alternations survive, nulls are one run") {
+    val events = Seq(
+      (1L, 1L, Some("A")), (1L, 2L, Some("A")), (1L, 3L, Some("B")),
+      (1L, 4L, Some("A")), (1L, 5L, Some("A")), (1L, 6L, Some("A")),
+      (2L, 1L, Some("X")),
+      (3L, 1L, Some("A")), (3L, 2L, None), (3L, 3L, None), (3L, 4L, Some("A")))
+      .toDF("user_id", "seq", "event_type")
+    val got = Merge.debounceConsecutive(
+      events, Seq("user_id"), Seq(col("seq")), Seq("event_type"))
+      .select("user_id", "seq", "event_type", "run_seq")
+      .as[(Long, Long, Option[String], Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(got == Seq(
+      (1L, 1L, Some("A"), 1L), (1L, 3L, Some("B"), 2L), (1L, 4L, Some("A"), 3L),
+      (2L, 1L, Some("X"), 1L),
+      (3L, 1L, Some("A"), 1L), (3L, 2L, None, 2L), (3L, 4L, Some("A"), 3L)))
+  }
 }
