@@ -605,6 +605,19 @@ object SparkEntry {
     Analytics.transitionMatrix(
       Tables.events(spark, dir), "user_id", "ts", "event_id", "event_type")
 
+  /** Running-peak drawdown over the monthly close series — cumulative max
+    * selects an input double, so the whole metric is engine-exact with no
+    * quantization needed.
+    */
+  def qDrawdown(spark: SparkSession, dir: String): DataFrame =
+    Analytics.drawdown(qMonthlyLastClose(spark, dir), "symbol", "date", "price")
+
+  /** Per-document trigram novelty (first-corpus-occurrence attribution) —
+    * the curation signal for "recombined from earlier material".
+    */
+  def qNgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.ngramNovelty(Tables.documents(spark, dir), "doc_id", "text", n = 3)
+
   /** Per-part VWAP over lineitem — [[Analytics.weightedMean]] in fixed
     * point: order-free integer sums of millionth-quantized value·weight
     * products, one hash aggregation over the engine's biggest table.
@@ -1921,6 +1934,8 @@ object SparkEntry {
     "q_ewma_incremental"        -> (qEwmaIncremental(_, _)),
     "q_vwap"                    -> (qVwap(_, _)),
     "q_debounce"                -> (qDebounce(_, _)),
+    "q_drawdown"                -> (qDrawdown(_, _)),
+    "q_ngram_novelty"           -> (qNgramNovelty(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
     "q_winnow_dedup"            -> (qWinnowDedup(_, _)),
     "q_hash_split"              -> (qHashSplit(_, _)),
@@ -2735,6 +2750,27 @@ object SparkEntry {
         |       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |FROM b""".stripMargin,
+    "q_drawdown" ->
+      s"""WITH $monthlyLastCloseCtes
+        |SELECT symbol, date, price,
+        |       max(price) OVER (PARTITION BY symbol ORDER BY date
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+        |       price / max(price) OVER (PARTITION BY symbol ORDER BY date
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1.0 AS drawdown
+        |FROM cl""".stripMargin,
+    "q_ngram_novelty" ->
+      raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+        |      FROM t WHERE len(w) >= 3),
+        |e0 AS (SELECT doc_id, unnest(sh) AS s FROM g),
+        |f AS (SELECT s, min(doc_id) AS first_id FROM e0 GROUP BY 1)
+        |SELECT e0.doc_id, count(*)::BIGINT AS n_grams,
+        |       sum(CASE WHEN f.first_id = e0.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |       sum(CASE WHEN f.first_id = e0.doc_id THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+        |         / count(*)::BIGINT::DOUBLE AS novelty
+        |FROM e0 JOIN f USING (s)
+        |GROUP BY 1""".stripMargin,
     "q_vwap" ->
       """WITH r AS (SELECT l_partkey,
         |                  round((l_extendedprice / l_quantity) * l_quantity * 1000000.0)::BIGINT AS wv,

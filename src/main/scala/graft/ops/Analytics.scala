@@ -483,6 +483,25 @@ object Analytics {
         expr("(n * 1000000) div __t").as("p_fp"))
   }
 
+  /** Running-peak drawdown per key series: peak = cumulative max of the
+    * value in date order, drawdown = value/peak − 1 (≤ 0, the standard
+    * loss-from-high metric). Engine-exact without quantization: cumulative
+    * max SELECTS an input double (no accumulation), and the division is
+    * one correctly-rounded operation on two exact inputs. One window pass
+    * per key, no self-join.
+    */
+  def drawdown(
+      series: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series
+      .withColumn("peak", max(col(valueCol)).over(w))
+      .withColumn("drawdown", col(valueCol) / col("peak") - lit(1.0))
+  }
+
   /** Weight-averaged value per key group in FIXED POINT — the VWAP shape:
     * each row's value·weight product and weight quantize to BIGINT
     * millionths BEFORE aggregation, so both sums are order-free integer

@@ -1125,6 +1125,41 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * word n-grams whose FIRST corpus occurrence (minimum doc id) is this
+    * document — the cheap sequencing-free instance of the "how much new
+    * text does this doc add" question that exact-substring dedup answers
+    * expensively. Low-novelty late documents are recombinations of
+    * earlier material; a training-data curation pass ranks or drops them.
+    *
+    * Shape: one explode of hashed shingles, one min-aggregate per gram
+    * (8-byte keys, map-side combined), one equi-join back, one count
+    * aggregate — no pairing, so no df cap is needed: a hot gram costs one
+    * posting row per doc, never a quadratic bucket. Documents with fewer
+    * than `n` tokens have no grams and are excluded (mirrored by the
+    * oracle).
+    *
+    * Output: (id, n_grams, n_novel, novelty).
+    */
+  def ngramNovelty(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    // cached: the exploded gram relation feeds the first-owner aggregate
+    // AND the join probe (module caching contract: caller/harness clears)
+    val ex = hashedShingles(docs, idCol, textCol, n)
+      .select(col(idCol), explode(col("sh")).as("s"))
+      .cache()
+    val firstOwner = ex.groupBy(col("s")).agg(min(col(idCol)).as("__first"))
+    ex.join(firstOwner, "s")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Edit-distance (Levenshtein) near-dup pairs: shingle-blocked candidates
     * verified with the exact `levenshtein` built-in. Reference scope: the
     * fuzzy-match lens the reference applies to symbol/name reconciliation

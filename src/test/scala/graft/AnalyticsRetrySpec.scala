@@ -396,4 +396,17 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     assert(m("p1") == ((140000000L, 8000000L, Some(17.5))))
     assert(m("p2") == ((0L, 0L, None)))
   }
+
+  test("drawdown: running peak and loss-from-high, flat at new highs") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val series = Seq(
+      (1L, d("2024-01-01"), 100.0), (1L, d("2024-02-01"), 80.0),
+      (1L, d("2024-03-01"), 120.0), (1L, d("2024-04-01"), 90.0))
+      .toDF("symbol", "date", "price")
+    val got = Analytics.drawdown(series, "symbol", "date", "price")
+      .select("date", "peak", "drawdown")
+      .as[(java.sql.Date, Double, Double)].collect().sortBy(_._1.toString)
+    assert(got.map(_._2).toSeq == Seq(100.0, 100.0, 120.0, 120.0))
+    assert(got.map(_._3).toSeq == Seq(0.0, 80.0 / 100.0 - 1.0, 0.0, 90.0 / 120.0 - 1.0))
+  }
 }

@@ -601,6 +601,23 @@ class DedupTextSpec extends AnyFunSuite {
     info(s"candidates: full=$fullCand prefix=$prefCand (${100 * prefCand / fullCand}%)")
   }
 
+  test("ngramNovelty: originals fully novel, verbatim copy zero, partial recombination in between") {
+    val crafted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),      // 4 trigrams, all first
+      (2L, "alpha beta gamma delta epsilon zeta"),      // exact copy: 0 novel
+      (3L, "alpha beta gamma NEW1 NEW2 NEW3"),          // 4 trigrams, 1 seen (alpha beta gamma)
+      (4L, "too short"))                                // < 3 tokens: excluded
+      .toDF("doc_id", "text")
+    val got = DedupOps.ngramNovelty(crafted, "doc_id", "text", 3)
+      .select("doc_id", "n_grams", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((4L, 4L, 1.0)),
+      2L -> ((4L, 0L, 0.0)),
+      3L -> ((4L, 3L, 0.75))))
+  }
+
   test("editDistancePairs: exact dist/sim vs plain-Scala Levenshtein; prefilters drop out-of-scope pairs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
     val oneSub = base.replace("theta", "THETA-X") // one in-place substitution
