@@ -1185,9 +1185,12 @@ object SparkEntry {
     val docs = Tables.documents(spark, dir)
     val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
     val lp = GraphOps.labelPropagation(pairs, "doc_a", "doc_b", rounds = 3)
+    // cached: feeds BOTH the size aggregate and the final join
+    // (module caching contract: harness clears)
     val all = docs.select(col("doc_id"))
       .join(lp.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("community_id"))
+      .cache()
     val sizes = all.groupBy(col("community_id")).agg(count(lit(1)).as("community_size"))
     all.join(sizes, "community_id")
       .select(col("doc_id"), col("community_id"), col("community_size"))

@@ -66,6 +66,10 @@ object GraphOps {
         .groupBy(col("src"))
         .agg(min(struct((-col("c")).as("nc"), col("nl").as("nl"))).as("m"))
         .select(col("src").as("node"), col("m.nl").as("label"))
+        // truncate lineage per round (the connectedComponents discipline):
+        // without the barrier round N's plan nests rounds 1..N-1 and the
+        // label chain recomputes quadratically
+        .localCheckpoint()
     }
     lab
   }
