@@ -643,6 +643,15 @@ object SparkEntry {
         col("ts").cast("timestamp_ntz").as("event_ts"),
         col("event_id"), col("event_type"), col("run_seq"))
 
+  /** Winsorized robust stats per event type — rank-exact quantile clamps
+    * (order statistics, not interpolation, so the bounds are input
+    * doubles) and a fixed-point winsorized mean.
+    */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame =
+    Analytics.winsorizedStats(
+      Tables.events(spark, dir).select(col("event_type"), col("value"), col("event_id")),
+      Seq("event_type"), "value", "event_id")
+
   /** Quota sample: exactly 200 documents drawn per the τ=0.5 mixture —
     * the allocation composed with deterministic md5-order selection per
     * source ([[SamplingOps.quotaSample]]).
@@ -1938,6 +1947,7 @@ object SparkEntry {
     "q_vwap"                    -> (qVwap(_, _)),
     "q_debounce"                -> (qDebounce(_, _)),
     "q_drawdown"                -> (qDrawdown(_, _)),
+    "q_winsorize"               -> (qWinsorize(_, _)),
     "q_ngram_novelty"           -> (qNgramNovelty(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
     "q_winnow_dedup"            -> (qWinnowDedup(_, _)),
@@ -2794,6 +2804,21 @@ object SparkEntry {
         |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_seq
         |      FROM m)
         |SELECT user_id, ts AS event_ts, event_id, event_type, run_seq FROM r WHERE nr = 1""".stripMargin,
+    "q_winsorize" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+        |                  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |                  count(*) OVER (PARTITION BY event_type) AS n
+        |           FROM events),
+        |b AS (SELECT event_type,
+        |             min(CASE WHEN rn = floor(0.05 * (n - 1))::BIGINT + 1 THEN value END) AS lo,
+        |             max(CASE WHEN rn = floor(0.95 * (n - 1))::BIGINT + 1 THEN value END) AS hi
+        |      FROM r GROUP BY 1),
+        |c AS (SELECT r.event_type, least(greatest(r.value, b.lo), b.hi) AS wv, b.lo, b.hi
+        |      FROM r JOIN b USING (event_type))
+        |SELECT event_type, count(*)::BIGINT AS n, any_value(lo) AS lo, any_value(hi) AS hi,
+        |       sum(round(wv * 1000000.0)::BIGINT)::BIGINT AS wmean_fp_sum,
+        |       sum(round(wv * 1000000.0)::BIGINT)::BIGINT::DOUBLE / count(*)::BIGINT::DOUBLE / 1000000.0 AS wmean
+        |FROM c GROUP BY 1""".stripMargin,
     "q_value_quantiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.95) AS p95,
         |       count(*) AS n

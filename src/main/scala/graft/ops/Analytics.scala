@@ -483,6 +483,59 @@ object Analytics {
         expr("(n * 1000000) div __t").as("p_fp"))
   }
 
+  /** Winsorized robust statistics per key group: values clamp to the
+    * EXACT order statistics at ranks ⌊q·(n−1)⌋+1 under the total order
+    * (value, tieCol) — rank selection, not interpolation, so the clamp
+    * bounds are input doubles and the whole operator is engine-exact;
+    * the winsorized mean quantizes the clamped values to BIGINT
+    * millionths per row (order-free integer sum, one final division).
+    * The robust-mean shape for outlier-heavy metrics where a plain mean
+    * follows the whales.
+    *
+    * Shape: one window pass ranks each group (the sort a quantile needs
+    * anyway), the two bound rows are selected by rank and joined back
+    * broadcast-sized (2 rows per key), and the stats are one hash
+    * aggregate. No self-join, no percentile UDAF.
+    *
+    * Output: (keys…, n, lo, hi, wmean_fp, wmean).
+    */
+  def winsorizedStats(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      tieCol: String,
+      qLo: Double = 0.05,
+      qHi: Double = 0.95): DataFrame = {
+    require(qLo >= 0 && qHi <= 1 && qLo < qHi, "need 0 <= qLo < qHi <= 1")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol), col(tieCol))
+    // cached: the ranked relation feeds the bound pick AND the clamp scan
+    // (module caching contract: caller/harness clears)
+    val ranked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .cache()
+    val loRank = (floor(lit(qLo) * (col("__n") - 1)) + 1).cast("long")
+    val hiRank = (floor(lit(qHi) * (col("__n") - 1)) + 1).cast("long")
+    val bounds = ranked
+      .filter(col("__rn") === loRank || col("__rn") === hiRank)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        min(when(col("__rn") === loRank, col(valueCol))).as("lo"),
+        max(when(col("__rn") === hiRank, col(valueCol))).as("hi"))
+    ranked
+      .join(broadcast(bounds), keys)
+      .withColumn("__wv", least(greatest(col(valueCol), col("lo")), col("hi")))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"),
+        sum(round(col("__wv") * lit(1000000.0)).cast("long")).as("wmean_fp_sum"))
+      .select(keys.map(col) :+ col("n") :+ col("lo") :+ col("hi") :+
+        col("wmean_fp_sum") :+
+        (col("wmean_fp_sum").cast("double") / col("n").cast("double") / lit(1000000.0)).as("wmean"): _*)
+  }
+
   /** Running-peak drawdown per key series: peak = cumulative max of the
     * value in date order, drawdown = value/peak − 1 (≤ 0, the standard
     * loss-from-high metric). Engine-exact without quantization: cumulative

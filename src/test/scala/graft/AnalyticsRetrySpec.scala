@@ -397,6 +397,20 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     assert(m("p2") == ((0L, 0L, None)))
   }
 
+  test("winsorizedStats: rank-exact clamps, fixed-point robust mean") {
+    val vals = (0 to 20).map(i => ("T", i.toDouble, i.toLong)) :+ (("S", 7.0, 99L))
+    val df = vals.toDF("event_type", "value", "event_id")
+    val got = Analytics.winsorizedStats(df, Seq("event_type"), "value", "event_id")
+      .select("event_type", "n", "lo", "hi", "wmean")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // n=21: loRank = floor(.05*20)+1 = 2 -> 1.0; hiRank = floor(.95*20)+1 = 20 -> 19.0
+    // clamping 0->1 and 20->19 keeps the sum at 210 -> mean 10.0
+    assert(got("T") == ((21L, 1.0, 19.0, 10.0)))
+    // singleton group: both bounds are the single value
+    assert(got("S") == ((1L, 7.0, 7.0, 7.0)))
+  }
+
   test("drawdown: running peak and loss-from-high, flat at new highs") {
     def d(s: String) = java.sql.Date.valueOf(s)
     val series = Seq(
