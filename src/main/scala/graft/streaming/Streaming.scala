@@ -182,6 +182,59 @@ object Streaming {
       }
   }
 
+  /** A time-series observation on the input stream and the smoothed point
+    * emitted per observation by [[statefulEwma]].
+    */
+  case class SeriesPoint(symbol: Long, seq: Long, price: Double)
+  case class EwmaState(lastFp: Long, lastSeq: Long)
+  case class EwmaPoint(symbol: Long, seq: Long, price: Double, ewma_fp: Long, ewma: Double)
+
+  /** Streaming fixed-point EWMA — [[graft.ops.Analytics.ewmaFixedPoint]]'s
+    * recurrence as keyed streaming state: per symbol the state is ONE long
+    * (the last smoothed value), each arriving observation folds in as
+    * s ← (fp + (k−1)·s) div k, and the smoothed point is emitted
+    * immediately — O(keys) state, O(batch) work per micro-batch, the
+    * streaming face of the same integer recurrence (a spec pins the
+    * streamed trajectory bit-equal to the batch operator's).
+    *
+    * Ordering contract: observations must arrive seq-ascending per key
+    * ACROSS micro-batches (an EWMA is order-defined); within a batch rows
+    * are sorted by seq here. Out-of-order arrivals relative to committed
+    * state FAIL LOUDLY rather than silently corrupting the trajectory —
+    * late data needs an upstream watermark/sort stage, not a quiet wrong
+    * answer. Re-deliveries of the committed seq are dropped (at-least-once
+    * safe).
+    */
+  def statefulEwma(points: Dataset[SeriesPoint], alphaInv: Int = 4): Dataset[EwmaPoint] = {
+    require(alphaInv >= 2, "alphaInv must be >= 2 (alpha = 1/alphaInv)")
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (symbol, rows, state: GroupState[EwmaState]) =>
+          var sOpt = state.getOption
+          val out = rows.toList.sortBy(p => (p.seq, p.price)).flatMap { p =>
+            val committed = sOpt.map(_.lastSeq).getOrElse(Long.MinValue)
+            if (p.seq < committed)
+              throw new IllegalStateException(
+                s"statefulEwma: out-of-order arrival seq=${p.seq} < committed=$committed for key $symbol")
+            else if (p.seq == committed) None // at-least-once re-delivery
+            else {
+              val fp = math.round(p.price * 1e6)
+              val next = sOpt match {
+                case None => fp
+                case Some(st) => Math.floorDiv(fp + (alphaInv - 1) * st.lastFp, alphaInv)
+              }
+              sOpt = Some(EwmaState(next, p.seq))
+              Some(EwmaPoint(symbol, p.seq, p.price, next, next.toDouble / 1e6))
+            }
+          }
+          sOpt.foreach(state.update)
+          out.iterator
+      }
+  }
+
   private def fsFor(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)

@@ -612,6 +612,47 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(snaps(("BTC", 1L)) == 7.0)
   }
 
+  test("statefulEwma: streamed trajectory bit-equal to the batch recurrence; re-delivery dropped, regression fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{SeriesPoint, EwmaPoint}
+    val stream = MemoryStream[SeriesPoint]
+    val out = Streaming.statefulEwma(stream.toDS())
+    val q = out.writeStream.outputMode("append").format("memory").queryName("ewma_out").start()
+    // seq-ascending across batches, split mid-series; one re-delivery of
+    // the committed seq in batch 2 (must be dropped, not re-smoothed)
+    stream.addData(SeriesPoint(1L, 1L, 10.0), SeriesPoint(1L, 2L, 20.5), SeriesPoint(2L, 1L, 5.25))
+    q.processAllAvailable()
+    stream.addData(SeriesPoint(1L, 2L, 20.5), SeriesPoint(1L, 3L, 30.0), SeriesPoint(2L, 2L, 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ewma_out").as[EwmaPoint].collect()
+      .map(p => (p.symbol, p.seq, p.ewma_fp)).toSet
+
+    // batch reference: the same series through Analytics.ewmaFixedPoint
+    def d(i: Long) = java.sql.Date.valueOf(f"2024-$i%02d-01")
+    val batch = graft.ops.Analytics.ewmaFixedPoint(
+      Seq((1L, d(1), 10.0), (1L, d(2), 20.5), (1L, d(3), 30.0),
+        (2L, d(1), 5.25), (2L, d(2), 9.0)).toDF("symbol", "date", "price"),
+      "symbol", "date", "price")
+      .select("symbol", "date", "ewma_fp")
+      .as[(Long, java.sql.Date, Long)].collect()
+      .map { case (s, dt, fp) => (s, dt.toLocalDate.getMonthValue.toLong, fp) }.toSet
+    assert(streamed == batch, "streaming state must replay the batch recurrence exactly")
+
+    // a seq BELOW the committed state must fail loudly, not corrupt
+    val stream2 = MemoryStream[SeriesPoint]
+    val q2 = Streaming.statefulEwma(stream2.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("ewma_bad").start()
+    stream2.addData(SeriesPoint(1L, 5L, 10.0)); q2.processAllAvailable()
+    stream2.addData(SeriesPoint(1L, 3L, 9.0))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(ex.getMessage.contains("out-of-order") ||
+      Option(ex.getCause).exists(_.getMessage.contains("out-of-order")))
+    q2.stop()
+  }
+
   test("completionPayload serializes the stats row for the completion topic (A2)") {
     val stats = Seq((42L, 1L, 40L, "complete"))
       .toDF("record_count", "total_batches", "total_assets", "status")
