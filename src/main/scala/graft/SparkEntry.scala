@@ -643,6 +643,13 @@ object SparkEntry {
         col("ts").cast("timestamp_ntz").as("event_ts"),
         col("event_id"), col("event_type"), col("run_seq"))
 
+  /** Per-symbol OLS beta/correlation vs the equal-weighted market return
+    * over the monthly close series — five integer moment sums in
+    * basis-point fixed point, engine-exact ratios at the end.
+    */
+  def qMarketBeta(spark: SparkSession, dir: String): DataFrame =
+    Analytics.marketBeta(qMonthlyLastClose(spark, dir), "symbol", "date", "price")
+
   /** Winsorized robust stats per event type — rank-exact quantile clamps
     * (order statistics, not interpolation, so the bounds are input
     * doubles) and a fixed-point winsorized mean.
@@ -1948,6 +1955,7 @@ object SparkEntry {
     "q_debounce"                -> (qDebounce(_, _)),
     "q_drawdown"                -> (qDrawdown(_, _)),
     "q_winsorize"               -> (qWinsorize(_, _)),
+    "q_market_beta"             -> (qMarketBeta(_, _)),
     "q_ngram_novelty"           -> (qNgramNovelty(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
     "q_winnow_dedup"            -> (qWinnowDedup(_, _)),
@@ -2804,6 +2812,31 @@ object SparkEntry {
         |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_seq
         |      FROM m)
         |SELECT user_id, ts AS event_ts, event_id, event_type, run_seq FROM r WHERE nr = 1""".stripMargin,
+    "q_market_beta" ->
+      s"""WITH $monthlyLastCloseCtes,
+        |r AS (SELECT symbol, date,
+        |             round((price - prev) / prev * 10000.0)::BIGINT AS r
+        |      FROM (SELECT symbol, date, price,
+        |                   lag(price) OVER (PARTITION BY symbol ORDER BY date) AS prev
+        |            FROM cl)
+        |      WHERE prev IS NOT NULL AND prev <> 0),
+        |mk AS (SELECT date, sum(r)::BIGINT // count(*)::BIGINT AS m FROM r GROUP BY 1),
+        |mo AS (SELECT symbol, count(*)::BIGINT AS n,
+        |              sum(mk.m)::BIGINT AS sx, sum(r.r)::BIGINT AS sy,
+        |              sum(mk.m * r.r)::BIGINT AS sxy,
+        |              sum(mk.m * mk.m)::BIGINT AS sxx,
+        |              sum(r.r * r.r)::BIGINT AS syy
+        |       FROM r JOIN mk USING (date) GROUP BY 1),
+        |d AS (SELECT symbol, n,
+        |             n * sxy - sx * sy AS num,
+        |             n * sxx - sx * sx AS dx,
+        |             n * syy - sy * sy AS dy
+        |      FROM mo)
+        |SELECT symbol, n,
+        |       CASE WHEN dx > 0 THEN num::DOUBLE / dx::DOUBLE END AS beta,
+        |       CASE WHEN dx > 0 AND dy > 0
+        |            THEN num::DOUBLE / sqrt(dx::DOUBLE * dy::DOUBLE) END AS corr
+        |FROM d""".stripMargin,
     "q_winsorize" ->
       """WITH r AS (SELECT event_type, value, event_id,
         |                  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

@@ -483,6 +483,65 @@ object Analytics {
         expr("(n * 1000000) div __t").as("p_fp"))
   }
 
+  /** Per-key OLS beta and correlation against the cross-sectional market
+    * return, in FIXED POINT: monthly returns quantize to BIGINT
+    * basis-point units (×10⁴ — sized so every moment sum fits int64 with
+    * ~30× headroom at this corpus's extreme swings), the market return is
+    * the equal-weighted TRUNCATED-division mean of that month's return
+    * units (Spark `div` and DuckDB `//` both truncate toward zero,
+    * verified on negative sums), and all five moment sums are order-free
+    * integer aggregations. The only doubles are the final
+    * beta/corr ratios of exact longs — mirrored association, engine-exact.
+    *
+    * Shape: one lag window per key (the return build), one month
+    * aggregate (dimension-sized market relation, broadcast back), one
+    * hash aggregate of five longs per key. Degenerate keys (< 2 returns,
+    * or zero variance on either side) yield NULL beta/corr rather than a
+    * division artifact.
+    *
+    * Output: (key, n, beta, corr).
+    */
+  def marketBeta(
+      series: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+    // cached: the return relation feeds the market aggregate AND the join
+    // (module caching contract: caller/harness clears)
+    val rets = series
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__prev") =!= 0)
+      .select(
+        col(keyCol), col(dateCol),
+        round((col(valueCol) - col("__prev")) / col("__prev") * lit(10000.0))
+          .cast("long").as("__r"))
+      .cache()
+    val market = rets.groupBy(col(dateCol))
+      .agg(sum(col("__r")).as("__s"), count(lit(1)).as("__c"))
+      .select(col(dateCol), expr("__s div __c").as("__m"))
+    val moments = rets.join(broadcast(market), dateCol)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__m")).as("__sx"),
+        sum(col("__r")).as("__sy"),
+        sum(col("__m") * col("__r")).as("__sxy"),
+        sum(col("__m") * col("__m")).as("__sxx"),
+        sum(col("__r") * col("__r")).as("__syy"))
+    moments
+      .withColumn("__num", col("n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__dx", col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__dy", col("n") * col("__syy") - col("__sy") * col("__sy"))
+      .select(
+        col(keyCol), col("n"),
+        when(col("__dx") > 0,
+          col("__num").cast("double") / col("__dx").cast("double")).as("beta"),
+        when(col("__dx") > 0 && col("__dy") > 0,
+          col("__num").cast("double")
+            / sqrt(col("__dx").cast("double") * col("__dy").cast("double"))).as("corr"))
+  }
+
   /** Winsorized robust statistics per key group: values clamp to the
     * EXACT order statistics at ranks ⌊q·(n−1)⌋+1 under the total order
     * (value, tieCol) — rank selection, not interpolation, so the clamp

@@ -397,6 +397,24 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     assert(m("p2") == ((0L, 0L, None)))
   }
 
+  test("marketBeta: hand-computed moments — antisymmetric pair has beta 2/corr 1, flat symbol beta 0/corr NULL") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // A returns: +1000bp, -1000bp; B returns: +500bp, +500bp
+    // market (truncated-div mean): m2 = 750, m3 = -500 div 2 = -250
+    val series = Seq(
+      ("A", d("2024-01-01"), 100.0), ("A", d("2024-02-01"), 110.0), ("A", d("2024-03-01"), 99.0),
+      ("B", d("2024-01-01"), 100.0), ("B", d("2024-02-01"), 105.0), ("B", d("2024-03-01"), 110.25))
+      .toDF("symbol", "date", "price")
+    val got = Analytics.marketBeta(series, "symbol", "date", "price")
+      .select("symbol", "n", "beta", "corr")
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // A: num = 2e6, dx = 1e6, dy = 4e6 -> beta 2.0, corr 1.0
+    assert(got("A") == ((2L, Some(2.0), Some(1.0))))
+    // B: num = 0 -> beta 0; dy = 0 -> corr NULL (zero variance)
+    assert(got("B") == ((2L, Some(0.0), None)))
+  }
+
   test("winsorizedStats: rank-exact clamps, fixed-point robust mean") {
     val vals = (0 to 20).map(i => ("T", i.toDouble, i.toLong)) :+ (("S", 7.0, 99L))
     val df = vals.toDF("event_type", "value", "event_id")
