@@ -1555,6 +1555,22 @@ object SparkEntry {
       merged._1, merged._2, merged._3, merged._4, k = 10)
   }
 
+  /** Retrieval scorecard — MRR/hits@10/recall@10 of BM25 (dense %29 query
+    * stride) against near-dup cluster co-membership as the relevance set:
+    * a fully oracle-checked composition of two independently-verified
+    * relations, with every metric in integer fixed point.
+    */
+  def qRetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val results = TextOps.bm25Search(
+      docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 29 === 0), "doc_id", "text", k = 10)
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val rel = pairs.select(col("doc_a").as("query_id"), col("doc_b").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("query_id"), col("doc_a").as("doc_id")))
+    TextOps.retrievalEval(results, rel, "query_id", "doc_id", "rank", k = 10)
+  }
+
   /** Corpus-trained interpolated bigram LM score (CCNet/KenLM-style
     * perplexity quality filter) — per-document mean negative log-likelihood
     * from fixed-point-quantized log-probs (order-free integer sums, so the
@@ -1969,6 +1985,7 @@ object SparkEntry {
     "q_lm_incremental"          -> (qLmIncremental(_, _)),
     "q_bm25"                    -> (qBm25(_, _)),
     "q_bm25_incremental"        -> (qBm25Incremental(_, _)),
+    "q_retrieval_eval"          -> (qRetrievalEval(_, _)),
     "q_textrank"                -> (qTextRank(_, _)),
     "q_cluster_split"           -> (qClusterSplit(_, _)),
     "q_weighted_sample"         -> (qWeightedSample(_, _)),
@@ -2101,7 +2118,14 @@ object SparkEntry {
     * merged half-corpus index with this relation is the losslessness proof
     * of [[graft.ops.TextOps.mergeBm25Stats]].
     */
-  private val bm25Oracle: String =
+  private val bm25Oracle: String = bm25OracleWith(97)
+
+  /** The BM25 retrieval relation parametrized by the query-set stride —
+    * 97 for the registered q_bm25/q_bm25_incremental, 29 (a denser query
+    * set, so cluster co-members actually land in it) for the retrieval
+    * scorecard.
+    */
+  private def bm25OracleWith(stride: Int): String =
     raw"""WITH toks AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
       |  FROM documents),
@@ -2115,7 +2139,7 @@ object SparkEntry {
       |        FROM dfq CROSS JOIN st),
       |q AS (SELECT doc_id AS query_id,
       |             unnest(list_distinct(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' '))) AS term
-      |      FROM documents WHERE doc_id % 97 = 0),
+      |      FROM documents WHERE doc_id % $stride = 0),
       |qq AS (SELECT * FROM q WHERE term <> ''),
       |c AS (SELECT qq.query_id, tf.doc_id,
       |             round((idf.idfq::DOUBLE / 1000000.0)
@@ -3290,6 +3314,25 @@ object SparkEntry {
     "q_bm25" -> bm25Oracle,
     // SHARED: merged-index search must reproduce the one-shot index
     "q_bm25_incremental" -> bm25Oracle,
+    "q_retrieval_eval" ->
+      s"""WITH $neardupPairCtes,
+        |res AS (${bm25OracleWith(29)}),
+        |rel AS (SELECT DISTINCT query_id, rel_doc FROM (
+        |          SELECT doc_a AS query_id, doc_b AS rel_doc FROM pr
+        |          UNION ALL SELECT doc_b, doc_a FROM pr)),
+        |qs AS (SELECT DISTINCT query_id FROM res),
+        |relq AS (SELECT query_id, count(*)::BIGINT AS n_rel
+        |         FROM qs JOIN rel USING (query_id) GROUP BY 1),
+        |hit AS (SELECT res.query_id, min(res.rank)::BIGINT AS first_rel_rank,
+        |               sum(CASE WHEN res.rank <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits_at_k
+        |        FROM res JOIN rel ON rel.query_id = res.query_id AND rel.rel_doc = res.doc_id
+        |        GROUP BY 1)
+        |SELECT qs.query_id, coalesce(relq.n_rel, 0)::BIGINT AS n_rel, hit.first_rel_rank,
+        |       1000000 // hit.first_rel_rank AS rr_fp,
+        |       coalesce(hit.hits_at_k, 0)::BIGINT AS hits_at_k,
+        |       CASE WHEN coalesce(relq.n_rel, 0) > 0
+        |            THEN (coalesce(hit.hits_at_k, 0) * 1000000) // least(relq.n_rel, 10) END AS recall_fp
+        |FROM qs LEFT JOIN relq USING (query_id) LEFT JOIN hit USING (query_id)""".stripMargin,
     "q_weighted_sample" ->
       """WITH h AS (SELECT doc_id, lang, n_chars,
         |                 (doc_id * 1103515245 + 12345) % 2147483648 AS hh

@@ -569,6 +569,52 @@ object TextOps {
         (col("score_fp").cast("double") / lit(1.0e6)).as("score"), col("rank"))
   }
 
+  /** Retrieval evaluation — per-query MRR/hits@k/recall@k of a ranked
+    * result relation against a relevance relation, entirely in integer
+    * arithmetic (reciprocal ranks as `1e6 div rank` fixed point, capped
+    * recall as `(hits·1e6) div min(n_rel, k)`), so the whole scorecard is
+    * engine-exact. The relevance side is any (query, doc) relation — the
+    * registered query uses near-dup cluster co-membership, making the
+    * metric itself a composition of two independently-oracled relations.
+    *
+    * Shape: one distinct on each input, one equi-join on (query, doc),
+    * two dimension-sized aggregates, two left joins back onto the query
+    * set — every post-join relation is query-count-sized. Queries with no
+    * relevant documents keep a row (n_rel = 0, NULL ranks) so macro
+    * averages can choose their denominator downstream.
+    *
+    * Output: (query_id, n_rel, first_rel_rank, rr_fp, hits_at_k,
+    * recall_fp).
+    */
+  def retrievalEval(
+      results: DataFrame,
+      relevance: DataFrame,
+      qidCol: String,
+      docCol: String,
+      rankCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val res = results.select(col(qidCol), col(docCol), col(rankCol)).cache()
+    val rel = relevance.select(col(qidCol), col(docCol)).distinct()
+    val qs = res.select(col(qidCol)).distinct()
+    val relq = qs.join(rel, qidCol)
+      .groupBy(col(qidCol)).agg(count(lit(1)).as("n_rel"))
+    val hit = res.join(rel, Seq(qidCol, docCol))
+      .groupBy(col(qidCol))
+      .agg(
+        min(col(rankCol)).as("first_rel_rank"),
+        sum(when(col(rankCol) <= k, 1L).otherwise(0L)).as("hits_at_k"))
+    qs.join(relq, Seq(qidCol), "left").join(hit, Seq(qidCol), "left")
+      .select(
+        col(qidCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("first_rel_rank"),
+        expr("1000000 div first_rel_rank").as("rr_fp"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          expr(s"(coalesce(hits_at_k, 0) * 1000000) div least(n_rel, $k)")).as("recall_fp"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): fixed-iteration
     * weighted PageRank over the token co-occurrence graph — nodes are
     * normalized tokens, edges adjacent-token pairs (undirected, weighted by

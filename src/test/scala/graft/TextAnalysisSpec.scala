@@ -275,6 +275,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(inc == got, "index fold is lossless")
   }
 
+  test("retrievalEval: integer MRR/hits/recall with capped denominator, empty-relevance rows kept") {
+    val results = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),  // q1: rel at ranks 2 and 3
+      (2L, 20L, 1L), (2L, 21L, 2L),                 // q2: nothing relevant
+      (3L, 30L, 1L))                                // q3: rel at rank 1, n_rel 2
+      .toDF("query_id", "doc_id", "rank")
+    val relevance = Seq(
+      (1L, 11L), (1L, 12L), (1L, 11L),              // duplicate must not double-count
+      (3L, 30L), (3L, 99L),                         // 99 never retrieved
+      (4L, 5L))                                     // query 4 not in results: ignored
+      .toDF("query_id", "doc_id")
+    val got = TextOps.retrievalEval(results, relevance, "query_id", "doc_id", "rank", k = 10)
+      .select("query_id", "n_rel", "first_rel_rank", "rr_fp", "hits_at_k", "recall_fp")
+      .as[(Long, Long, Option[Long], Option[Long], Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == Map(
+      1L -> ((2L, Some(2L), Some(500000L), 2L, Some(1000000L))),
+      2L -> ((0L, None, None, 0L, None)),
+      3L -> ((2L, Some(1L), Some(1000000L), 1L, Some(500000L)))))
+  }
+
   test("textRank matches a plain-Scala fixed-point PageRank; hub token ranks first") {
     val docs = Seq(
       (1L, "spark runs fast and spark scales well"),
