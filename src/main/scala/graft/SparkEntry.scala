@@ -650,6 +650,22 @@ object SparkEntry {
   def qMarketBeta(spark: SparkSession, dir: String): DataFrame =
     Analytics.marketBeta(qMonthlyLastClose(spark, dir), "symbol", "date", "price")
 
+  /** Two-sided CUSUM on basis-point monthly returns per symbol (slack 0,
+    * alarm at ±5000 bp cumulative drift) — the Page-style drift detector
+    * for shifts no single-month outlier flag catches; integer recurrence,
+    * recursive-CTE oracle.
+    */
+  def qCusum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
+    val rets = qMonthlyLastClose(spark, dir)
+      .withColumn("__prev", lag(col("price"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__prev") =!= 0)
+      .select(col("symbol"), col("date"),
+        round((col("price") - col("__prev")) / col("__prev") * lit(10000.0))
+          .cast("long").as("ret_fp"))
+    Analytics.cusumFixedPoint(rets, "symbol", "date", "ret_fp", slackFp = 0L, thresholdFp = 5000L)
+  }
+
   /** Winsorized robust stats per event type — rank-exact quantile clamps
     * (order statistics, not interpolation, so the bounds are input
     * doubles) and a fixed-point winsorized mean.
@@ -1555,6 +1571,17 @@ object SparkEntry {
       merged._1, merged._2, merged._3, merged._4, k = 10)
   }
 
+  /** Unigram drift KL(even‖odd) between the two corpus halves — per-term
+    * smoothed contributions in micro-nats (order-free integer total).
+    */
+  def qVocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextOps.distributionDrift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "text")
+  }
+
   /** Retrieval scorecard — MRR/hits@10/recall@10 of BM25 (dense %29 query
     * stride) against near-dup cluster co-membership as the relevance set:
     * a fully oracle-checked composition of two independently-verified
@@ -1972,6 +1999,7 @@ object SparkEntry {
     "q_drawdown"                -> (qDrawdown(_, _)),
     "q_winsorize"               -> (qWinsorize(_, _)),
     "q_market_beta"             -> (qMarketBeta(_, _)),
+    "q_cusum"                   -> (qCusum(_, _)),
     "q_ngram_novelty"           -> (qNgramNovelty(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
     "q_winnow_dedup"            -> (qWinnowDedup(_, _)),
@@ -1986,6 +2014,7 @@ object SparkEntry {
     "q_bm25"                    -> (qBm25(_, _)),
     "q_bm25_incremental"        -> (qBm25Incremental(_, _)),
     "q_retrieval_eval"          -> (qRetrievalEval(_, _)),
+    "q_vocab_drift"             -> (qVocabDrift(_, _)),
     "q_textrank"                -> (qTextRank(_, _)),
     "q_cluster_split"           -> (qClusterSplit(_, _)),
     "q_weighted_sample"         -> (qWeightedSample(_, _)),
@@ -2836,6 +2865,22 @@ object SparkEntry {
         |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_seq
         |      FROM m)
         |SELECT user_id, ts AS event_ts, event_id, event_type, run_seq FROM r WHERE nr = 1""".stripMargin,
+    "q_cusum" ->
+      s"""WITH RECURSIVE $monthlyLastCloseCtes,
+        |r AS (SELECT symbol, date, round((price - prev) / prev * 10000.0)::BIGINT AS r,
+        |             row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+        |      FROM (SELECT symbol, date, price,
+        |                   lag(price) OVER (PARTITION BY symbol ORDER BY date) AS prev
+        |            FROM cl)
+        |      WHERE prev IS NOT NULL AND prev <> 0),
+        |cu(symbol, rn, date, fp, cp, cn) AS (
+        |  SELECT symbol, rn, date, r, greatest(0, r), least(0, r) FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.symbol, r.rn, r.date, r.r, greatest(0, cu.cp + r.r), least(0, cu.cn + r.r)
+        |  FROM r JOIN cu ON r.symbol = cu.symbol AND r.rn = cu.rn + 1)
+        |SELECT symbol, date, fp AS value_fp, cp AS cusum_pos, cn AS cusum_neg,
+        |       (cp > 5000 OR cn < -5000) AS alarm
+        |FROM cu""".stripMargin,
     "q_market_beta" ->
       s"""WITH $monthlyLastCloseCtes,
         |r AS (SELECT symbol, date,
@@ -3314,6 +3359,22 @@ object SparkEntry {
     "q_bm25" -> bm25Oracle,
     // SHARED: merged-index search must reproduce the one-shot index
     "q_bm25_incremental" -> bm25Oracle,
+    "q_vocab_drift" ->
+      raw"""WITH ta AS (SELECT unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |ca AS (SELECT term, count(*) AS c_a FROM ta WHERE term <> '' GROUP BY 1),
+        |tb AS (SELECT unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |cb AS (SELECT term, count(*) AS c_b FROM tb WHERE term <> '' GROUP BY 1),
+        |j AS (SELECT term, coalesce(c_a, 0)::BIGINT AS c_a, coalesce(c_b, 0)::BIGINT AS c_b
+        |      FROM ca FULL OUTER JOIN cb USING (term)),
+        |t AS (SELECT sum(c_a)::BIGINT AS na, sum(c_b)::BIGINT AS nb, count(*)::BIGINT AS v FROM j)
+        |SELECT term, c_a, c_b,
+        |       round(((c_a + 1)::DOUBLE / (na + v)::DOUBLE)
+        |             * ln(((c_a + 1)::DOUBLE / (na + v)::DOUBLE)
+        |                  / ((c_b + 1)::DOUBLE / (nb + v)::DOUBLE))
+        |             * 1000000.0)::BIGINT AS contrib_fp
+        |FROM j CROSS JOIN t""".stripMargin,
     "q_retrieval_eval" ->
       s"""WITH $neardupPairCtes,
         |res AS (${bm25OracleWith(29)}),

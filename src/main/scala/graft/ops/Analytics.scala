@@ -725,6 +725,55 @@ object Analytics {
         (col("__e.s").cast("double") / lit(1000000.0)).as("ewma"))
   }
 
+  /** Two-sided CUSUM change detection over a per-key series of ALREADY
+    * fixed-point deviations (callers quantize — e.g. basis-point returns):
+    * c⁺ᵢ = max(0, c⁺ᵢ₋₁ + dᵢ − slack), c⁻ᵢ = min(0, c⁻ᵢ₋₁ + dᵢ + slack),
+    * alarm when either side breaches ±threshold (non-resetting; the Page
+    * CUSUM shape for drift that per-point outlier flags miss because no
+    * single observation is extreme). Pure integer recurrence — the same
+    * engine-exact portability contract as [[ewmaFixedPoint]], and the
+    * same shape: one hash aggregation collects each key's sorted series,
+    * ONE codegen'd aggregate lambda runs both accumulators in-row, one
+    * explode back. One shuffle on the key, no window, no driver state;
+    * the per-key array is the operating constraint (period-aggregated
+    * series, not ticks).
+    *
+    * Output: (key, date, value_fp, cusum_pos, cusum_neg, alarm).
+    */
+  def cusumFixedPoint(
+      series: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      valueFpCol: String,
+      slackFp: Long = 0L,
+      thresholdFp: Long): DataFrame = {
+    require(slackFp >= 0, "slackFp must be non-negative")
+    require(thresholdFp > 0, "thresholdFp must be positive")
+    val seq = sort_array(collect_list(struct(
+      col(dateCol).as("d"), col(valueFpCol).cast("long").as("fp"))))
+    val rec =
+      s"""aggregate(
+         |  __seq,
+         |  cast(array() as array<struct<d:date,fp:bigint,cp:bigint,cn:bigint>>),
+         |  (acc, x) -> array_append(acc, named_struct(
+         |    'd', x.d, 'fp', x.fp,
+         |    'cp', CASE WHEN size(acc) = 0 THEN greatest(0L, x.fp - $slackFp)
+         |               ELSE greatest(0L, element_at(acc, -1).cp + x.fp - $slackFp) END,
+         |    'cn', CASE WHEN size(acc) = 0 THEN least(0L, x.fp + $slackFp)
+         |               ELSE least(0L, element_at(acc, -1).cn + x.fp + $slackFp) END)))""".stripMargin
+    series
+      .groupBy(col(keyCol))
+      .agg(seq.as("__seq"))
+      .select(col(keyCol), explode(expr(rec)).as("__e"))
+      .select(
+        col(keyCol),
+        col("__e.d").as(dateCol),
+        col("__e.fp").as("value_fp"),
+        col("__e.cp").as("cusum_pos"),
+        col("__e.cn").as("cusum_neg"),
+        (col("__e.cp") > thresholdFp || col("__e.cn") < -thresholdFp).as("alarm"))
+  }
+
   /** The SQL-lambda recurrence for [[ewmaFixedPoint]]/[[ewmaResume]] —
     * `aggregate` over the sorted struct array, appending each step's
     * smoothed value so the full trajectory is emitted, not just the final

@@ -569,6 +569,55 @@ object TextOps {
         (col("score_fp").cast("double") / lit(1.0e6)).as("score"), col("rank"))
   }
 
+  /** Unigram distribution drift between two corpora — the per-term
+    * Laplace-smoothed KL(A‖B) contributions, the data-drift monitor a
+    * training pipeline runs between crawl snapshots / corpus versions
+    * before a mixture decision. Per-term contribution
+    * pA·ln(pA/pB) quantizes to BIGINT micro-nats AFTER a fully mirrored
+    * double expression on integer-derived probabilities (the [[lmScore]]
+    * portability recipe: doubles stay per-row, only integers cross rows),
+    * so Σcontrib_fp is an order-free integer total. Smoothing is over the
+    * UNION vocabulary, so unseen-in-B terms contribute large positive
+    * drift instead of dividing by zero.
+    *
+    * Shape: two token-count aggregates, a full outer join on the term
+    * (vocabulary-sized), single-row totals broadcast back — the corpus
+    * scans once per side, everything after is dimension-sized.
+    *
+    * Output: (term, c_a, c_b, contrib_fp) — KL(A‖B) in micro-nats =
+    * sum(contrib_fp).
+    */
+  def distributionDrift(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String): DataFrame = {
+    def counts(df: DataFrame): DataFrame = df
+      .select(explode(split(normalize(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val ca = counts(a)
+    val cb = counts(b)
+    val joined = ca.select(col("term"), col("c").as("c_a"))
+      .join(cb.select(col("term"), col("c").as("c_b")), Seq("term"), "full_outer")
+      .select(
+        col("term"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .cache()
+    val totals = joined.agg(
+      sum(col("c_a")).as("na"), sum(col("c_b")).as("nb"),
+      count(lit(1)).as("v"))
+    joined.crossJoin(broadcast(totals))
+      .select(
+        col("term"), col("c_a"), col("c_b"),
+        round(
+          ((col("c_a") + 1).cast("double") / (col("na") + col("v")).cast("double"))
+            * log(
+              ((col("c_a") + 1).cast("double") / (col("na") + col("v")).cast("double"))
+                / ((col("c_b") + 1).cast("double") / (col("nb") + col("v")).cast("double")))
+            * lit(1.0e6)).cast("long").as("contrib_fp"))
+  }
+
   /** Retrieval evaluation — per-query MRR/hits@k/recall@k of a ranked
     * result relation against a relevance relation, entirely in integer
     * arithmetic (reciprocal ranks as `1e6 div rank` fixed point, capped

@@ -397,6 +397,31 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     assert(m("p2") == ((0L, 0L, None)))
   }
 
+  test("cusumFixedPoint: hand-traced two-sided accumulators, reset-at-zero, threshold alarm") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // deviations: +300, -100, -400, +50 with slack 100
+    val devs = Seq(
+      (1L, d("2024-01-01"), 300L), (1L, d("2024-02-01"), -100L),
+      (1L, d("2024-03-01"), -400L), (1L, d("2024-04-01"), 50L))
+      .toDF("symbol", "date", "dev_fp")
+    val got = Analytics.cusumFixedPoint(devs, "symbol", "date", "dev_fp",
+      slackFp = 100L, thresholdFp = 350L)
+      .select("date", "cusum_pos", "cusum_neg", "alarm")
+      .as[(java.sql.Date, Long, Long, Boolean)].collect().sortBy(_._1.toString)
+    // cp: max(0, 300-100)=200; max(0,200-100-100)=0; max(0,0-400-100)=0; max(0,0+50-100)=0
+    // cn: min(0, 300+100)=0; min(0,0-100+100)=0; min(0,0-400+100)=-300; min(0,-300+50+100)=-150
+    assert(got.map(r => (r._2, r._3)).toSeq ==
+      Seq((200L, 0L), (0L, 0L), (0L, -300L), (0L, -150L)))
+    // only the -300 breach is NOT an alarm at 350; none breach here
+    assert(got.forall(!_._4))
+    val alarmed = Analytics.cusumFixedPoint(devs, "symbol", "date", "dev_fp",
+      slackFp = 0L, thresholdFp = 250L)
+      .select("date", "alarm").as[(java.sql.Date, Boolean)].collect()
+      .sortBy(_._1.toString).map(_._2).toSeq
+    // slack 0: cp = 300, 200, 0, 50; cn = 0, -100, -500, -350 -> alarms rows 1,3,4
+    assert(alarmed == Seq(true, false, true, true))
+  }
+
   test("marketBeta: hand-computed moments — antisymmetric pair has beta 2/corr 1, flat symbol beta 0/corr NULL") {
     def d(s: String) = java.sql.Date.valueOf(s)
     // A returns: +1000bp, -1000bp; B returns: +500bp, +500bp

@@ -275,6 +275,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(inc == got, "index fold is lossless")
   }
 
+  test("distributionDrift: plain-Scala KL contributions; identical halves drift zero") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val a = Seq("a a b", "a c").toDF("text")
+    val b = Seq("a b b", "b d").toDF("text")
+    val got = TextOps.distributionDrift(a, b, "text")
+      .select("term", "c_a", "c_b", "contrib_fp")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val cA = Map("a" -> 3L, "b" -> 1L, "c" -> 1L, "d" -> 0L)
+    val cB = Map("a" -> 1L, "b" -> 3L, "c" -> 0L, "d" -> 1L)
+    val (na, nb, v) = (5L, 5L, 4L)
+    cA.keys.foreach { t =>
+      val pA = (cA(t) + 1).toDouble / (na + v).toDouble
+      val pB = (cB(t) + 1).toDouble / (nb + v).toDouble
+      val exp = math.round(pA * math.log(pA / pB) * 1.0e6)
+      assert(got(t) == ((cA(t), cB(t), exp)), s"term $t")
+    }
+    // identical halves: every contribution is exactly zero
+    val same = TextOps.distributionDrift(a, a, "text")
+      .agg(sum(col("contrib_fp"))).as[Long].collect().head
+    assert(same == 0L)
+  }
+
   test("retrievalEval: integer MRR/hits/recall with capped denominator, empty-relevance rows kept") {
     val results = Seq(
       (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),  // q1: rel at ranks 2 and 3
