@@ -1582,6 +1582,19 @@ object SparkEntry {
       "text")
   }
 
+  /** Incremental drift maintenance: each half's counts are folded from
+    * quarter-stride batches with [[TextOps.mergeVocabCounts]]; the drift
+    * over the folds must reproduce q_vocab_drift bit-for-bit (shared
+    * oracle — the count-fold losslessness proof applied to the monitor).
+    */
+  def qVocabDriftIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def counts(m: Int) = TextOps.vocabCounts(docs.filter(col("doc_id") % 4 === m), "text")
+    TextOps.distributionDriftFromCounts(
+      TextOps.mergeVocabCounts(counts(0), counts(2)),
+      TextOps.mergeVocabCounts(counts(1), counts(3)))
+  }
+
   /** Retrieval scorecard — MRR/hits@10/recall@10 of BM25 (dense %29 query
     * stride) against near-dup cluster co-membership as the relevance set:
     * a fully oracle-checked composition of two independently-verified
@@ -2015,6 +2028,7 @@ object SparkEntry {
     "q_bm25_incremental"        -> (qBm25Incremental(_, _)),
     "q_retrieval_eval"          -> (qRetrievalEval(_, _)),
     "q_vocab_drift"             -> (qVocabDrift(_, _)),
+    "q_vocab_drift_incremental" -> (qVocabDriftIncremental(_, _)),
     "q_textrank"                -> (qTextRank(_, _)),
     "q_cluster_split"           -> (qClusterSplit(_, _)),
     "q_weighted_sample"         -> (qWeightedSample(_, _)),
@@ -2443,6 +2457,28 @@ object SparkEntry {
       |  FROM q JOIN ew ON q.symbol = ew.symbol AND q.rn = ew.rn + 1)
       |SELECT symbol, date, price, s AS ewma_fp, s::DOUBLE / 1000000.0 AS ewma
       |FROM ew""".stripMargin
+
+  /** Smoothed per-term KL(even‖odd) contributions — shared by
+    * q_vocab_drift and q_vocab_drift_incremental (count-fold equality is
+    * the [[graft.ops.TextOps.mergeVocabCounts]] losslessness proof in its
+    * monitor form).
+    */
+  private val vocabDriftOracle: String =
+    raw"""WITH ta AS (SELECT unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+      |            FROM documents WHERE doc_id % 2 = 0),
+      |ca AS (SELECT term, count(*) AS c_a FROM ta WHERE term <> '' GROUP BY 1),
+      |tb AS (SELECT unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+      |       FROM documents WHERE doc_id % 2 = 1),
+      |cb AS (SELECT term, count(*) AS c_b FROM tb WHERE term <> '' GROUP BY 1),
+      |j AS (SELECT term, coalesce(c_a, 0)::BIGINT AS c_a, coalesce(c_b, 0)::BIGINT AS c_b
+      |      FROM ca FULL OUTER JOIN cb USING (term)),
+      |t AS (SELECT sum(c_a)::BIGINT AS na, sum(c_b)::BIGINT AS nb, count(*)::BIGINT AS v FROM j)
+      |SELECT term, c_a, c_b,
+      |       round(((c_a + 1)::DOUBLE / (na + v)::DOUBLE)
+      |             * ln(((c_a + 1)::DOUBLE / (na + v)::DOUBLE)
+      |                  / ((c_b + 1)::DOUBLE / (nb + v)::DOUBLE))
+      |             * 1000000.0)::BIGINT AS contrib_fp
+      |FROM j CROSS JOIN t""".stripMargin
 
   private val neardupClustersOracle: String =
     s"""WITH RECURSIVE $neardupClusterCtes,
@@ -3359,22 +3395,10 @@ object SparkEntry {
     "q_bm25" -> bm25Oracle,
     // SHARED: merged-index search must reproduce the one-shot index
     "q_bm25_incremental" -> bm25Oracle,
-    "q_vocab_drift" ->
-      raw"""WITH ta AS (SELECT unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
-        |            FROM documents WHERE doc_id % 2 = 0),
-        |ca AS (SELECT term, count(*) AS c_a FROM ta WHERE term <> '' GROUP BY 1),
-        |tb AS (SELECT unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
-        |       FROM documents WHERE doc_id % 2 = 1),
-        |cb AS (SELECT term, count(*) AS c_b FROM tb WHERE term <> '' GROUP BY 1),
-        |j AS (SELECT term, coalesce(c_a, 0)::BIGINT AS c_a, coalesce(c_b, 0)::BIGINT AS c_b
-        |      FROM ca FULL OUTER JOIN cb USING (term)),
-        |t AS (SELECT sum(c_a)::BIGINT AS na, sum(c_b)::BIGINT AS nb, count(*)::BIGINT AS v FROM j)
-        |SELECT term, c_a, c_b,
-        |       round(((c_a + 1)::DOUBLE / (na + v)::DOUBLE)
-        |             * ln(((c_a + 1)::DOUBLE / (na + v)::DOUBLE)
-        |                  / ((c_b + 1)::DOUBLE / (nb + v)::DOUBLE))
-        |             * 1000000.0)::BIGINT AS contrib_fp
-        |FROM j CROSS JOIN t""".stripMargin,
+    "q_vocab_drift" -> vocabDriftOracle,
+    // SHARED: drift over quarter-fold merged counts must reproduce the
+    // from-scratch halves (mergeVocabCounts losslessness, monitor form)
+    "q_vocab_drift_incremental" -> vocabDriftOracle,
     "q_retrieval_eval" ->
       s"""WITH $neardupPairCtes,
         |res AS (${bm25OracleWith(29)}),

@@ -590,15 +590,19 @@ object TextOps {
   def distributionDrift(
       a: DataFrame,
       b: DataFrame,
-      textCol: String): DataFrame = {
-    def counts(df: DataFrame): DataFrame = df
-      .select(explode(split(normalize(col(textCol)), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val ca = counts(a)
-    val cb = counts(b)
-    val joined = ca.select(col("term"), col("c").as("c_a"))
-      .join(cb.select(col("term"), col("c").as("c_b")), Seq("term"), "full_outer")
+      textCol: String): DataFrame =
+    distributionDriftFromCounts(vocabCounts(a, textCol), vocabCounts(b, textCol))
+
+  /** [[distributionDrift]] over externally-maintained [[vocabCounts]]
+    * relations — the incremental operating mode: corpus versions keep
+    * per-batch count relations folded with [[mergeVocabCounts]], and the
+    * drift monitor reads the folds without re-tokenizing history. The
+    * registered incremental query proves the fold path lossless by
+    * sharing q_vocab_drift's oracle.
+    */
+  def distributionDriftFromCounts(ca: DataFrame, cb: DataFrame): DataFrame = {
+    val joined = ca.select(col("token").as("term"), col("n").as("c_a"))
+      .join(cb.select(col("token").as("term"), col("n").as("c_b")), Seq("term"), "full_outer")
       .select(
         col("term"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
