@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators for scan pruning at scale.
@@ -26,5 +26,29 @@ object Layout {
       shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
         shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
+  }
+
+  /** Write `df` as a bucketed (and optionally sorted) parquet table — the
+    * pre-shuffled layout for repeated co-located joins/aggregations on
+    * `keys`: every table bucketed the same way joins WITHOUT a shuffle
+    * exchange (and without a sort, when `sortCols` covers the join key),
+    * which at 100 TB turns the recurring fact⋈fact join from the
+    * cluster's dominant network cost into a per-bucket local merge.
+    * Bucket pruning additionally serves `key = literal` probes from a
+    * single bucket. The spec pins the contract by asserting the join plan
+    * of two co-bucketed tables contains NO exchange.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      buckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(buckets >= 1, "buckets must be positive")
+    require(keys.nonEmpty, "need at least one bucketing key")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(table)
   }
 }
