@@ -650,6 +650,14 @@ object SparkEntry {
   def qMarketBeta(spark: SparkSession, dir: String): DataFrame =
     Analytics.marketBeta(qMonthlyLastClose(spark, dir), "symbol", "date", "price")
 
+  /** Per-event-type equi-width value histogram (20 data-driven bins) —
+    * the distribution-observability scan before clamp/outlier decisions.
+    */
+  def qValueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Analytics.histogram(
+      Tables.events(spark, dir).select(col("event_type"), col("value")),
+      Seq("event_type"), "value", nBins = 20)
+
   /** Two-sided CUSUM on basis-point monthly returns per symbol (slack 0,
     * alarm at ±5000 bp cumulative drift) — the Page-style drift detector
     * for shifts no single-month outlier flag catches; integer recurrence,
@@ -2013,6 +2021,7 @@ object SparkEntry {
     "q_winsorize"               -> (qWinsorize(_, _)),
     "q_market_beta"             -> (qMarketBeta(_, _)),
     "q_cusum"                   -> (qCusum(_, _)),
+    "q_value_histogram"         -> (qValueHistogram(_, _)),
     "q_ngram_novelty"           -> (qNgramNovelty(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
     "q_winnow_dedup"            -> (qWinnowDedup(_, _)),
@@ -2901,6 +2910,17 @@ object SparkEntry {
         |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_seq
         |      FROM m)
         |SELECT user_id, ts AS event_ts, event_id, event_type, run_seq FROM r WHERE nr = 1""".stripMargin,
+    "q_value_histogram" ->
+      """WITH b AS (SELECT event_type, min(value) AS mn, max(value) AS mx FROM events GROUP BY 1),
+        |c AS (SELECT e.event_type,
+        |             CASE WHEN b.mx = b.mn THEN 0
+        |                  ELSE least(floor((e.value - b.mn) / (b.mx - b.mn) * 20)::BIGINT, 19) END AS bin,
+        |             b.mn, b.mx
+        |      FROM events e JOIN b USING (event_type))
+        |SELECT event_type, bin::BIGINT AS bin, count(*)::BIGINT AS n,
+        |       any_value(mn) + bin::DOUBLE * (any_value(mx) - any_value(mn)) / 20 AS bin_lo,
+        |       any_value(mn) + (bin + 1)::DOUBLE * (any_value(mx) - any_value(mn)) / 20 AS bin_hi
+        |FROM c GROUP BY event_type, c.bin""".stripMargin,
     "q_cusum" ->
       s"""WITH RECURSIVE $monthlyLastCloseCtes,
         |r AS (SELECT symbol, date, round((price - prev) / prev * 10000.0)::BIGINT AS r,

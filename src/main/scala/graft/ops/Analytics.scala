@@ -483,6 +483,42 @@ object Analytics {
         expr("(n * 1000000) div __t").as("p_fp"))
   }
 
+  /** Per-group equi-width histogram over data-driven [min, max] bounds:
+    * bin = ⌊(v − mn)/(mx − mn)·nBins⌋ clamped into [0, nBins−1] (the max
+    * lands in the last bin; a constant group collapses to bin 0). The
+    * binning expression is mirrored double arithmetic on two exact
+    * aggregate doubles, so the histogram is engine-exact — the
+    * distribution-observability scan a pipeline runs per metric before
+    * choosing clamp/outlier thresholds. Sparse output: only occupied
+    * bins. One bounds aggregate broadcast back, one count aggregate.
+    *
+    * Output: (keys…, bin, n, bin_lo, bin_hi).
+    */
+  def histogram(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      nBins: Int = 20): DataFrame = {
+    require(nBins >= 1, "nBins must be positive")
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+    val binned = df.join(broadcast(bounds), keys)
+      .withColumn("bin",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(
+            floor((col(valueCol) - col("__mn")) / (col("__mx") - col("__mn")) * nBins).cast("long"),
+            lit(nBins - 1L))))
+    binned
+      .groupBy((keys.map(col) :+ col("bin")): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("__mn")).as("__mn"),
+        first(col("__mx")).as("__mx"))
+      .select(keys.map(col) :+ col("bin") :+ col("n") :+
+        (col("__mn") + col("bin").cast("double") * (col("__mx") - col("__mn")) / nBins).as("bin_lo") :+
+        (col("__mn") + (col("bin") + 1).cast("double") * (col("__mx") - col("__mn")) / nBins).as("bin_hi"): _*)
+  }
+
   /** Per-key OLS beta and correlation against the cross-sectional market
     * return, in FIXED POINT: monthly returns quantize to BIGINT
     * basis-point units (×10⁴ — sized so every moment sum fits int64 with

@@ -397,6 +397,21 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     assert(m("p2") == ((0L, 0L, None)))
   }
 
+  test("histogram: max in last bin, constant group collapses to bin 0, counts partition the group") {
+    val df = (Seq.tabulate(10)(i => ("T", i.toDouble)) ++ Seq(("C", 5.0), ("C", 5.0)))
+      .toDF("g", "v")
+    val got = Analytics.histogram(df, Seq("g"), "v", nBins = 5)
+      .select("g", "bin", "n", "bin_lo", "bin_hi")
+      .as[(String, Long, Long, Double, Double)].collect()
+    val t = got.filter(_._1 == "T").sortBy(_._2)
+    // range [0,9], width 1.8: bins get 2 values each; v=9 clamps into bin 4
+    assert(t.map(b => (b._2, b._3)).toSeq == Seq((0L, 2L), (1L, 2L), (2L, 2L), (3L, 2L), (4L, 2L)))
+    assert(t.head._4 == 0.0 && t.last._5 == 9.0)
+    assert(t.map(_._3).sum == 10L)
+    val c = got.filter(_._1 == "C")
+    assert(c.map(b => (b._2, b._3)).toSeq == Seq((0L, 2L)))
+  }
+
   test("cusumFixedPoint: hand-traced two-sided accumulators, reset-at-zero, threshold alarm") {
     def d(s: String) = java.sql.Date.valueOf(s)
     // deviations: +300, -100, -400, +50 with slack 100
