@@ -1579,6 +1579,15 @@ object SparkEntry {
       merged._1, merged._2, merged._3, merged._4, k = 10)
   }
 
+  /** Distributed Lloyd k-means over the embeddings (k=8, 2 iterations) —
+    * fully engine-exact in integer fixed point: assignments, centroid
+    * means (truncated div) and final distances all hash-match the oracle,
+    * which replays both iterations as unrolled CTEs.
+    */
+  def qKmeans(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.kmeansFixedPoint(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, iters = 2)
+
   /** Unigram drift KL(even‖odd) between the two corpus halves — per-term
     * smoothed contributions in micro-nats (order-free integer total).
     */
@@ -2022,6 +2031,7 @@ object SparkEntry {
     "q_market_beta"             -> (qMarketBeta(_, _)),
     "q_cusum"                   -> (qCusum(_, _)),
     "q_value_histogram"         -> (qValueHistogram(_, _)),
+    "q_kmeans"                  -> (qKmeans(_, _)),
     "q_ngram_novelty"           -> (qNgramNovelty(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
     "q_winnow_dedup"            -> (qWinnowDedup(_, _)),
@@ -2489,6 +2499,39 @@ object SparkEntry {
       |             * 1000000.0)::BIGINT AS contrib_fp
       |FROM j CROSS JOIN t""".stripMargin
 
+  /** Unrolled Lloyd iterations over millionth-quantized vectors — mirror
+    * of [[graft.ops.SimilarityOps.kmeansFixedPoint]] at k=8, iters=2:
+    * squared-L2 integer distances, (dist, cid) argmin, truncated-div
+    * centroid means, empty clusters keeping the prior centroid.
+    */
+  private val kmeansOracle: String = {
+    def assignCte(i: Int, cs: String): String =
+      s"""d$i AS (SELECT v.vec_id, $cs.cid,
+         |        list_sum([(v.vfp[i] - $cs.cfp[i]) * (v.vfp[i] - $cs.cfp[i])
+         |                  for i in range(1, len(v.vfp) + 1)])::BIGINT AS dist
+         |        FROM v CROSS JOIN $cs),
+         |a$i AS (SELECT vec_id, cid, dist FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |          FROM d$i) WHERE rn = 1)""".stripMargin
+    def updateCte(i: Int, prev: String): String =
+      s"""e$i AS (SELECT a$i.cid, unnest(v.vfp) AS x, generate_subscripts(v.vfp, 1) AS pos
+         |        FROM a$i JOIN v USING (vec_id)),
+         |m$i AS (SELECT cid, pos, sum(x)::BIGINT // count(*)::BIGINT AS m FROM e$i GROUP BY 1, 2),
+         |n$i AS (SELECT cid, list(m ORDER BY pos) AS cfp FROM m$i GROUP BY 1),
+         |c$i AS (SELECT $prev.cid, coalesce(n$i.cfp, $prev.cfp) AS cfp
+         |        FROM $prev LEFT JOIN n$i USING (cid))""".stripMargin
+    s"""WITH v AS (SELECT vec_id, [round(x::DOUBLE * 1000000.0)::BIGINT for x in embedding] AS vfp
+      |           FROM embeddings),
+      |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vfp AS cfp
+      |       FROM v ORDER BY vec_id LIMIT 8),
+      |${assignCte(1, "c0")},
+      |${updateCte(1, "c0")},
+      |${assignCte(2, "c1")},
+      |${updateCte(2, "c1")},
+      |${assignCte(3, "c2")}
+      |SELECT vec_id, cid, dist AS dist_fp FROM a3""".stripMargin
+  }
+
   private val neardupClustersOracle: String =
     s"""WITH RECURSIVE $neardupClusterCtes,
       |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1)
@@ -2527,6 +2570,7 @@ object SparkEntry {
         |SELECT doc_a, doc_b, dist, sim FROM d WHERE sim >= 0.6""".stripMargin,
     "q_winnow_dedup" -> verifiedPairsOracle,
     "q_label_propagation" -> labelPropagationOracle,
+    "q_kmeans" -> kmeansOracle,
     "q_triangle_stats" -> triangleStatsOracle,
     "q_cross_dedup_lsh" -> crossVerifiedPairsOracle,
     "q_domain_cap" ->

@@ -747,4 +747,76 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
   }
+
+  /** Distributed Lloyd k-means, fully ENGINE-EXACT: vector components
+    * quantize once to BIGINT millionths, squared-L2 distances are integer
+    * sums over the zipped arrays, the argmin assignment breaks ties by
+    * smallest centroid id, and centroid updates are per-dimension
+    * truncated-division means of integer sums — no floating point
+    * anywhere in the iteration, so the full clustering (assignments AND
+    * final distances) reproduces bit-for-bit on any engine and the
+    * registered query's oracle replays the iterations as unrolled CTEs.
+    * Deterministic seeding: the k lowest-id vectors are the initial
+    * centroids (rank order = centroid id). An emptied cluster keeps its
+    * previous centroid (coalesce against the prior round), so k is stable
+    * across iterations.
+    *
+    * Shape per iteration: assignment is a broadcast of the k centroid
+    * arrays against one corpus scan (a codegen'd integer fold per
+    * (vector, centroid), k·n rows of (id, cid, dist) — never shuffled
+    * vectors); the update is one posexplode to (cid, dim) integer sums —
+    * k·dim groups, dimension-sized — and an array rebuild. Centroids are
+    * localCheckpointed per round (the connectedComponents discipline).
+    * At 100 TB: the corpus scans `iters` times but only 8-byte triples
+    * ever shuffle; k·dim state is driver-broadcast, not driver-looped.
+    *
+    * Output: (id, cid, dist_fp) for the final assignment.
+    */
+  def kmeansFixedPoint(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(iters >= 1, "need at least one iteration")
+    // quantize once; cached — every iteration's assignment scans it
+    // (module caching contract: caller/harness clears)
+    val v = vecs.select(
+      col(idCol),
+      transform(col(vecCol), x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+        .as("vfp"))
+      .cache()
+    val seedW = Window.orderBy(col(idCol))
+    var centroids = v.orderBy(col(idCol)).limit(k)
+      .withColumn("cid", row_number().over(seedW).cast("long") - 1)
+      .select(col("cid"), col("vfp").as("cfp"))
+      .localCheckpoint()
+    val distFp = aggregate(
+      zip_with(col("vfp"), col("cfp"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    def assign(cs: DataFrame): DataFrame = v
+      .join(broadcast(cs), lit(true))
+      .withColumn("dist_fp", distFp)
+      .groupBy(col(idCol))
+      .agg(min(struct(col("dist_fp").as("d"), col("cid").as("c"))).as("m"))
+      .select(col(idCol), col("m.c").as("cid"), col("m.d").as("dist_fp"))
+    for (_ <- 1 to iters) {
+      // vectors re-join by id for the update so the argmin aggregate only
+      // ever shuffles (id, cid, dist) triples, never arrays
+      val means = assign(centroids).join(v, idCol)
+        .select(col("cid"), posexplode(col("vfp")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"), expr("s div n").as("m"))
+        .groupBy(col("cid"))
+        .agg(DedupOps.bindOnce(sort_array(collect_list(struct(col("pos"), col("m"))))) { arr =>
+          transform(arr, e => e.getField("m"))
+        }.as("cfp_new"))
+      centroids = centroids.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cfp_new"), col("cfp")).as("cfp"))
+        .localCheckpoint()
+    }
+    assign(centroids).select(col(idCol), col("cid"), col("dist_fp"))
+  }
 }

@@ -361,4 +361,48 @@ class SimilaritySpec extends AnyFunSuite {
       .select("probe_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect().toSet
     assert(again == lsh.toSet)
   }
+
+  test("kmeansFixedPoint matches a plain-Scala integer Lloyd run; two planted blobs separate") {
+    // two tight blobs around (0,0) and (10,10), plus one outlier
+    val pts = Seq(
+      (1L, Seq(0.0f, 0.1f)), (2L, Seq(0.1f, 0.0f)), (3L, Seq(-0.1f, 0.1f)),
+      (4L, Seq(10.0f, 10.1f)), (5L, Seq(10.1f, 9.9f)), (6L, Seq(9.9f, 10.0f)),
+      (7L, Seq(5.0f, 5.0f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val got = SimilarityOps.kmeansFixedPoint(df, "vec_id", "embedding", k = 2, iters = 3)
+      .select("vec_id", "cid", "dist_fp")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // plain-Scala mirror: fp quantize, seed = 2 lowest ids, 3 Lloyd rounds
+    def fp(v: Seq[Float]): Seq[Long] = v.map(x => math.round(x.toDouble * 1e6))
+    val vf = pts.map { case (id, v) => id -> fp(v) }.toMap
+    var cents = Seq(0L -> vf(1L), 1L -> vf(2L))
+    def dist(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assignAll = vf.toSeq.map { case (id, v) =>
+      val (cid, d) = cents.map { case (c, cv) => (c, dist(v, cv)) }
+        .minBy { case (c, d) => (d, c) }
+      (id, cid, d)
+    }
+    for (_ <- 1 to 3) {
+      val byC = assignAll.groupBy(_._2)
+      cents = cents.map { case (c, old) =>
+        byC.get(c) match {
+          case Some(rows) =>
+            val vs = rows.map(r => vf(r._1))
+            c -> vs.head.indices.map { i =>
+              val s = vs.map(_(i)).sum
+              s / vs.size  // truncated division (Scala / on Long truncates)
+            }
+          case None => c -> old
+        }
+      }
+    }
+    val exp = assignAll.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == exp, s"got $got\nexp $exp")
+    // the two blobs must land in different clusters
+    assert(Set(got(1L)._1, got(2L)._1, got(3L)._1).size >= 1)
+    assert(got(4L)._1 == got(5L)._1 && got(5L)._1 == got(6L)._1)
+    assert(got(1L)._1 != got(4L)._1)
+  }
 }
