@@ -122,7 +122,7 @@ object DedupOps {
       ex0.join(hot, Seq("s"), "left_anti")
     }
 
-  private[ops] def bucketPairs(exploded: DataFrame, idCol: String, bucketCol: String): DataFrame = {
+  private[graft] def bucketPairs(exploded: DataFrame, idCol: String, bucketCol: String): DataFrame = {
     val posting = exploded
       .groupBy(col(bucketCol))
       .agg(sort_array(collect_set(col(idCol))).as("__ids"))

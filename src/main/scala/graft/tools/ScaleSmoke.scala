@@ -20,7 +20,8 @@ object ScaleSmoke {
     // (dedup | knn | neardup | neardupskew | merge | linededup | decon | prefix)
     val only = args.toSet
     val known =
-      Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix")
+      Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix",
+        "editdist")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -74,6 +75,38 @@ object ScaleSmoke {
         val pairs = f()
         println(s"$k,$n,$name,${(System.nanoTime() - t0) / 1e9},$pairs")
       }
+      corpus.unpersist()
+    }
+
+    // ---- edit-distance near-dup: the O(la·lb) DP must stay on a
+    // near-constant share of candidates as the corpus replicates ----
+    if (want("editdist")) println("k,docs,shingle_cands,verified_cands,results,seconds")
+    (if (want("editdist")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
+      val corpus = copyK(k).cache()
+      val n = corpus.count()
+      val ex = DedupOps.cappedExploded(
+        DedupOps.hashedShingles(corpus, "doc_id", "text", 3)
+          .select(col("doc_id"), explode(col("sh")).as("s")), "doc_id", 100).cache()
+      val shingleCands = DedupOps.bucketPairs(ex, "doc_id", "s")
+        .filter(col("common") >= 5).count()
+      // candidates that survive the lossless length-ratio prefilter =
+      // rows actually paying the DP
+      val nrm = corpus.select(col("doc_id"),
+        length(graft.ops.TextOps.normalize(col("text"))).as("l")).cache()
+      val verifiedCands = DedupOps.bucketPairs(ex, "doc_id", "s")
+        .filter(col("common") >= 5)
+        .join(nrm.select(col("doc_id").as("doc_a"), col("l").as("la")), "doc_a")
+        .join(nrm.select(col("doc_id").as("doc_b"), col("l").as("lb")), "doc_b")
+        .filter(least(col("la"), col("lb")).cast("double") >=
+          lit(0.6) * greatest(col("la"), col("lb")).cast("double"))
+        .count()
+      spark.sharedState.cacheManager.clearCache()
+      corpus.cache().count()
+      val t0 = System.nanoTime()
+      val results = DedupOps.editDistancePairs(corpus, "doc_id", "text").count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(s"$k,$n,$shingleCands,$verifiedCands,$results,$secs")
+      spark.sharedState.cacheManager.clearCache()
       corpus.unpersist()
     }
 
