@@ -1588,6 +1588,18 @@ object SparkEntry {
     SimilarityOps.kmeansFixedPoint(
       Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, iters = 2)
 
+  /** The sample-train / full-score k-means split: centroids trained on
+    * the even-id half, every vector scored against the broadcast model —
+    * one scan, no iteration over the scored corpus. Oracle-checked with
+    * the same unrolled CTEs over the training subset.
+    */
+  def qKmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+    val model = SimilarityOps.kmeansCentroids(
+      vecs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", k = 8, iters = 2)
+    SimilarityOps.kmeansAssign(vecs, "vec_id", "embedding", model)
+  }
+
   /** Unigram drift KL(even‖odd) between the two corpus halves — per-term
     * smoothed contributions in micro-nats (order-free integer total).
     */
@@ -2032,6 +2044,7 @@ object SparkEntry {
     "q_cusum"                   -> (qCusum(_, _)),
     "q_value_histogram"         -> (qValueHistogram(_, _)),
     "q_kmeans"                  -> (qKmeans(_, _)),
+    "q_kmeans_assign"           -> (qKmeansAssign(_, _)),
     "q_ngram_novelty"           -> (qNgramNovelty(_, _)),
     "q_simhash_dedup"           -> (qSimhashDedup(_, _)),
     "q_winnow_dedup"            -> (qWinnowDedup(_, _)),
@@ -2504,31 +2517,39 @@ object SparkEntry {
     * squared-L2 integer distances, (dist, cid) argmin, truncated-div
     * centroid means, empty clusters keeping the prior centroid.
     */
-  private val kmeansOracle: String = {
-    def assignCte(i: Int, cs: String): String =
-      s"""d$i AS (SELECT v.vec_id, $cs.cid,
-         |        list_sum([(v.vfp[i] - $cs.cfp[i]) * (v.vfp[i] - $cs.cfp[i])
-         |                  for i in range(1, len(v.vfp) + 1)])::BIGINT AS dist
-         |        FROM v CROSS JOIN $cs),
+  private val kmeansOracle: String = kmeansOracleWith("TRUE")
+
+  /** Unrolled Lloyd training on the `trainFilter` subset (k=8, iters=2)
+    * followed by a full-corpus assignment — serves q_kmeans (train = all)
+    * and q_kmeans_assign (train = even ids, the sample-train/full-score
+    * operating split).
+    */
+  private def kmeansOracleWith(trainFilter: String): String = {
+    def assignCte(i: Int, cs: String, src: String): String =
+      s"""d$i AS (SELECT $src.vec_id, $cs.cid,
+         |        list_sum([($src.vfp[i] - $cs.cfp[i]) * ($src.vfp[i] - $cs.cfp[i])
+         |                  for i in range(1, len($src.vfp) + 1)])::BIGINT AS dist
+         |        FROM $src CROSS JOIN $cs),
          |a$i AS (SELECT vec_id, cid, dist FROM (
          |          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
          |          FROM d$i) WHERE rn = 1)""".stripMargin
     def updateCte(i: Int, prev: String): String =
-      s"""e$i AS (SELECT a$i.cid, unnest(v.vfp) AS x, generate_subscripts(v.vfp, 1) AS pos
-         |        FROM a$i JOIN v USING (vec_id)),
+      s"""e$i AS (SELECT a$i.cid, unnest(vt.vfp) AS x, generate_subscripts(vt.vfp, 1) AS pos
+         |        FROM a$i JOIN vt USING (vec_id)),
          |m$i AS (SELECT cid, pos, sum(x)::BIGINT // count(*)::BIGINT AS m FROM e$i GROUP BY 1, 2),
          |n$i AS (SELECT cid, list(m ORDER BY pos) AS cfp FROM m$i GROUP BY 1),
          |c$i AS (SELECT $prev.cid, coalesce(n$i.cfp, $prev.cfp) AS cfp
          |        FROM $prev LEFT JOIN n$i USING (cid))""".stripMargin
     s"""WITH v AS (SELECT vec_id, [round(x::DOUBLE * 1000000.0)::BIGINT for x in embedding] AS vfp
       |           FROM embeddings),
+      |vt AS (SELECT * FROM v WHERE $trainFilter),
       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vfp AS cfp
-      |       FROM v ORDER BY vec_id LIMIT 8),
-      |${assignCte(1, "c0")},
+      |       FROM vt ORDER BY vec_id LIMIT 8),
+      |${assignCte(1, "c0", "vt")},
       |${updateCte(1, "c0")},
-      |${assignCte(2, "c1")},
+      |${assignCte(2, "c1", "vt")},
       |${updateCte(2, "c1")},
-      |${assignCte(3, "c2")}
+      |${assignCte(3, "c2", "v")}
       |SELECT vec_id, cid, dist AS dist_fp FROM a3""".stripMargin
   }
 
@@ -2571,6 +2592,7 @@ object SparkEntry {
     "q_winnow_dedup" -> verifiedPairsOracle,
     "q_label_propagation" -> labelPropagationOracle,
     "q_kmeans" -> kmeansOracle,
+    "q_kmeans_assign" -> kmeansOracleWith("vec_id % 2 = 0"),
     "q_triangle_stats" -> triangleStatsOracle,
     "q_cross_dedup_lsh" -> crossVerifiedPairsOracle,
     "q_domain_cap" ->

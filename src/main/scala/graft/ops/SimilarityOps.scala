@@ -778,33 +778,69 @@ object SimilarityOps {
       vecCol: String,
       k: Int,
       iters: Int): DataFrame = {
-    require(k >= 1, "k must be positive")
-    require(iters >= 1, "need at least one iteration")
-    // quantize once; cached — every iteration's assignment scans it
-    // (module caching contract: caller/harness clears)
-    val v = vecs.select(
+    val v = quantizeFp(vecs, idCol, vecCol).cache()
+    assignFp(v, idCol, lloyd(v, idCol, k, iters))
+  }
+
+  /** Train the fixed-point k-means model alone — (cid, cfp) centroid
+    * arrays. The 100 TB operating split: train on a SAMPLE, then score
+    * the full corpus with [[kmeansAssign]] (one broadcast scan, no
+    * iteration over the big relation); the registered assign query pins
+    * the split's determinism by oracle.
+    */
+  def kmeansCentroids(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame =
+    lloyd(quantizeFp(vecs, idCol, vecCol).cache(), idCol, k, iters)
+
+  /** Score vectors against an externally-trained centroid relation
+    * (cid, cfp as BIGINT-millionth arrays) — one broadcast + one scan +
+    * one triple-shuffling argmin aggregate, no iteration.
+    */
+  def kmeansAssign(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame): DataFrame =
+    assignFp(quantizeFp(vecs, idCol, vecCol), idCol, centroids)
+
+  private def quantizeFp(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs.select(
       col(idCol),
       transform(col(vecCol), x => round(x.cast("double") * lit(1000000.0)).cast("long"))
         .as("vfp"))
-      .cache()
+
+  private def assignFp(v: DataFrame, idCol: String, cs: DataFrame): DataFrame = {
+    val distFp = aggregate(
+      zip_with(col("vfp"), col("cfp"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    v.join(broadcast(cs), lit(true))
+      .withColumn("dist_fp", distFp)
+      .groupBy(col(idCol))
+      .agg(min(struct(col("dist_fp").as("d"), col("cid").as("c"))).as("m"))
+      .select(col(idCol), col("m.c").as("cid"), col("m.d").as("dist_fp"))
+  }
+
+  /** The Lloyd loop over an (id, vfp) quantized relation: deterministic
+    * lowest-id seeding, argmin assignment, truncated-div means, empty
+    * clusters keep the prior centroid, localCheckpoint per round. The
+    * caller caches `v` — every iteration scans it.
+    */
+  private def lloyd(v: DataFrame, idCol: String, k: Int, iters: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(iters >= 1, "need at least one iteration")
     val seedW = Window.orderBy(col(idCol))
     var centroids = v.orderBy(col(idCol)).limit(k)
       .withColumn("cid", row_number().over(seedW).cast("long") - 1)
       .select(col("cid"), col("vfp").as("cfp"))
       .localCheckpoint()
-    val distFp = aggregate(
-      zip_with(col("vfp"), col("cfp"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-    def assign(cs: DataFrame): DataFrame = v
-      .join(broadcast(cs), lit(true))
-      .withColumn("dist_fp", distFp)
-      .groupBy(col(idCol))
-      .agg(min(struct(col("dist_fp").as("d"), col("cid").as("c"))).as("m"))
-      .select(col(idCol), col("m.c").as("cid"), col("m.d").as("dist_fp"))
     for (_ <- 1 to iters) {
       // vectors re-join by id for the update so the argmin aggregate only
       // ever shuffles (id, cid, dist) triples, never arrays
-      val means = assign(centroids).join(v, idCol)
+      val means = assignFp(v, idCol, centroids).join(v, idCol)
         .select(col("cid"), posexplode(col("vfp")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
@@ -817,6 +853,6 @@ object SimilarityOps {
         .select(col("cid"), coalesce(col("cfp_new"), col("cfp")).as("cfp"))
         .localCheckpoint()
     }
-    assign(centroids).select(col(idCol), col("cid"), col("dist_fp"))
+    centroids
   }
 }
