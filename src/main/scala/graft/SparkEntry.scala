@@ -1063,12 +1063,6 @@ object SparkEntry {
     DedupOps.jaccardPairsPrefix(
       Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
 
-  /** MinHash+LSH near-dup pairs, exact-Jaccard verified. The output is the
-    * text-derivable verified-pairs relation (true uncapped Jaccard), so the
-    * DuckDB oracle — shared verbatim with q_winnow_dedup — re-derives it in
-    * SQL; the hash-match doubles as a measured recall-1.0 assertion for the
-    * banding on the gate corpus.
-    */
   /** Edit-distance near-dup pairs: df-capped shingle blocking, lossless
     * length-ratio prefilter, exact `levenshtein` verify (the near-dup lens
     * that catches in-place rewrites sitting below a Jaccard threshold).
@@ -1078,6 +1072,12 @@ object SparkEntry {
   def qEditDistDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.editDistancePairs(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** MinHash+LSH near-dup pairs, exact-Jaccard verified. The output is the
+    * text-derivable verified-pairs relation (true uncapped Jaccard), so the
+    * DuckDB oracle — shared verbatim with q_winnow_dedup — re-derives it in
+    * SQL; the hash-match doubles as a measured recall-1.0 assertion for the
+    * banding on the gate corpus.
+    */
   def qMinhashDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
 
@@ -1214,6 +1214,14 @@ object SparkEntry {
     * qNeardupClusters and qKeeperByQuality so the clustering parameters and
     * the coalesce convention cannot drift between them.
     */
+  private def labeledClusters(docs: DataFrame): DataFrame = {
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val cc = DedupOps.connectedComponents(pairs, "doc_a", "doc_b")
+    docs.select(col("doc_id").as("id"))
+      .join(cc, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+  }
+
   /** Label-propagation communities over the verified near-dup pair graph —
     * the community complement of q_neardup_clusters' connected components:
     * a single bridge pair merges two template families in CC but cannot
@@ -1246,14 +1254,6 @@ object SparkEntry {
       Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
     GraphOps.triangleStats(pairs, "doc_a", "doc_b")
       .select(col("node").as("doc_id"), col("degree"), col("triangles"), col("lcc"))
-  }
-
-  private def labeledClusters(docs: DataFrame): DataFrame = {
-    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
-    val cc = DedupOps.connectedComponents(pairs, "doc_a", "doc_b")
-    docs.select(col("doc_id").as("id"))
-      .join(cc, Seq("id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
   }
 
   /** Incremental near-dup cluster MAINTENANCE — the full store/batch cycle
@@ -2568,21 +2568,15 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_minhash_dedup" -> verifiedPairsOracle,
+    // shares the t/g/e0/e/p shingle CTE prefix with the cluster/LPA/
+    // triangle oracles (only the candidate gate differs: common >= 5)
     "q_editdist_dedup" ->
-      raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-        |g AS (SELECT doc_id,
-        |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
-        |      FROM t WHERE len(w) >= 3),
-        |e0 AS (SELECT doc_id, unnest(sh) AS s FROM g),
-        |e AS (SELECT doc_id, s FROM e0
-        |      WHERE s NOT IN (SELECT s FROM e0 GROUP BY s HAVING count(*) > 100)),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
-        |      HAVING count(*) >= 5),
+      raw"""WITH $neardupPairCtes,
+        |pe AS (SELECT doc_a, doc_b FROM p WHERE common >= 5),
         |nrm AS (SELECT doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS nt FROM documents),
         |j AS (SELECT doc_a, doc_b, na.nt AS ta, nb.nt AS tb,
         |             length(na.nt) AS la, length(nb.nt) AS lb
-        |      FROM p JOIN nrm na ON na.doc_id = doc_a JOIN nrm nb ON nb.doc_id = doc_b
+        |      FROM pe JOIN nrm na ON na.doc_id = doc_a JOIN nrm nb ON nb.doc_id = doc_b
         |      WHERE least(length(na.nt), length(nb.nt))::DOUBLE
         |            >= 0.6 * greatest(length(na.nt), length(nb.nt))::DOUBLE),
         |d AS (SELECT doc_a, doc_b, levenshtein(ta, tb)::BIGINT AS dist,
@@ -2968,9 +2962,10 @@ object SparkEntry {
     "q_debounce" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id, event_type,
-        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
         |  FROM events),
-        |m AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS nr FROM e),
+        |m AS (SELECT *, CASE WHEN rnk = 1 OR prev IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS nr FROM e),
         |r AS (SELECT user_id, ts, event_id, event_type, nr,
         |             CAST(sum(nr) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_seq
@@ -3032,7 +3027,7 @@ object SparkEntry {
       """WITH r AS (SELECT event_type, value, event_id,
         |                  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
         |                  count(*) OVER (PARTITION BY event_type) AS n
-        |           FROM events),
+        |           FROM events WHERE value IS NOT NULL),
         |b AS (SELECT event_type,
         |             min(CASE WHEN rn = floor(0.05 * (n - 1))::BIGINT + 1 THEN value END) AS lo,
         |             max(CASE WHEN rn = floor(0.95 * (n - 1))::BIGINT + 1 THEN value END) AS hi

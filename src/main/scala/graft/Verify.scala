@@ -33,6 +33,9 @@ object Verify {
     // optional: extra args name specific queries (dev loop); the driver
     // passes exactly two args and gets the full dump
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -604,8 +604,12 @@ object Analytics {
     require(qLo >= 0 && qHi <= 1 && qLo < qHi, "need 0 <= qLo < qHi <= 1")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol), col(tieCol))
     // cached: the ranked relation feeds the bound pick AND the clamp scan
-    // (module caching contract: caller/harness clears)
+    // (module caching contract: caller/harness clears). NULL values are
+    // excluded up front — engines disagree on NULL ordering (Spark NULLS
+    // FIRST vs SQL NULLS LAST would shift every order statistic), and a
+    // NULL contributes nothing to a robust mean but would inflate n
     val ranked = df
+      .filter(col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
       .cache()

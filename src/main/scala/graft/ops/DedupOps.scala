@@ -1207,13 +1207,20 @@ object DedupOps {
       hashedShingles(docs, idCol, textCol, n)
         .select(col(idCol), explode(col("sh")).as("s")),
       idCol, maxDocFreq)
+    // lengths join + ratio filter FIRST on 8-byte columns; only the
+    // surviving candidates (0.3% on the measured corpus) ever join the
+    // text relation — the full texts must not shuffle for candidates the
+    // length prefilter is about to discard
+    val lens = nrm.select(col(idCol), col("__len"))
     val cand = bucketPairs(exploded, idCol, "s")
       .filter(col("common") >= minCommon)
-    cand
-      .join(nrm.select(col(idCol).as("doc_a"), col("__t").as("__ta"), col("__len").as("__la")), "doc_a")
-      .join(nrm.select(col(idCol).as("doc_b"), col("__t").as("__tb"), col("__len").as("__lb")), "doc_b")
+      .join(lens.select(col(idCol).as("doc_a"), col("__len").as("__la")), "doc_a")
+      .join(lens.select(col(idCol).as("doc_b"), col("__len").as("__lb")), "doc_b")
       .filter(least(col("__la"), col("__lb")).cast("double") >=
         lit(simThreshold) * greatest(col("__la"), col("__lb")).cast("double"))
+    cand
+      .join(nrm.select(col(idCol).as("doc_a"), col("__t").as("__ta")), "doc_a")
+      .join(nrm.select(col(idCol).as("doc_b"), col("__t").as("__tb")), "doc_b")
       .withColumn("dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
       .withColumn("sim",
         lit(1.0) - col("dist").cast("double") / greatest(col("__la"), col("__lb")).cast("double"))

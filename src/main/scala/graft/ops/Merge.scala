@@ -49,7 +49,11 @@ object Merge {
       orderBy: Seq[Column],
       dedupCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
-    val changed = dedupCols
+    // the first row of a partition is ALWAYS a new run — detected by
+    // row_number, not by comparing against the (absent) previous row:
+    // a null-safe compare of a leading NULL value against lag's NULL
+    // would otherwise read as "unchanged" and silently drop the run
+    val changed = (row_number().over(w) === 1) || dedupCols
       .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
       .reduce(_ || _)
     df.withColumn("__new_run", when(changed, lit(1L)).otherwise(lit(0L)))

@@ -199,11 +199,13 @@ object Streaming {
     *
     * Ordering contract: observations must arrive seq-ascending per key
     * ACROSS micro-batches (an EWMA is order-defined); within a batch rows
-    * are sorted by seq here. Out-of-order arrivals relative to committed
-    * state FAIL LOUDLY rather than silently corrupting the trajectory —
-    * late data needs an upstream watermark/sort stage, not a quiet wrong
-    * answer. Re-deliveries of the committed seq are dropped (at-least-once
-    * safe).
+    * are sorted by seq here. Anything at or below the committed seq is
+    * dropped SILENTLY: an at-least-once source legitimately replays whole
+    * spans of already-folded observations after an offset reset, and every
+    * seq ≤ committed is either such a replay (already in the state) or an
+    * upstream ordering violation the operator cannot distinguish from one
+    * — feeds that can genuinely produce late NEW seqs need an upstream
+    * sort/watermark stage before this operator.
     */
   def statefulEwma(points: Dataset[SeriesPoint], alphaInv: Int = 4): Dataset[EwmaPoint] = {
     require(alphaInv >= 2, "alphaInv must be >= 2 (alpha = 1/alphaInv)")
@@ -216,10 +218,7 @@ object Streaming {
           var sOpt = state.getOption
           val out = rows.toList.sortBy(p => (p.seq, p.price)).flatMap { p =>
             val committed = sOpt.map(_.lastSeq).getOrElse(Long.MinValue)
-            if (p.seq < committed)
-              throw new IllegalStateException(
-                s"statefulEwma: out-of-order arrival seq=${p.seq} < committed=$committed for key $symbol")
-            else if (p.seq == committed) None // at-least-once re-delivery
+            if (p.seq <= committed) None // at-least-once replay span: already folded
             else {
               val fp = math.round(p.price * 1e6)
               val next = sOpt match {

@@ -87,14 +87,14 @@ object ScaleSmoke {
       val ex = DedupOps.cappedExploded(
         DedupOps.hashedShingles(corpus, "doc_id", "text", 3)
           .select(col("doc_id"), explode(col("sh")).as("s")), "doc_id", 100).cache()
-      val shingleCands = DedupOps.bucketPairs(ex, "doc_id", "s")
-        .filter(col("common") >= 5).count()
+      val cand = DedupOps.bucketPairs(ex, "doc_id", "s")
+        .filter(col("common") >= 5).cache()
+      val shingleCands = cand.count()
       // candidates that survive the lossless length-ratio prefilter =
       // rows actually paying the DP
       val nrm = corpus.select(col("doc_id"),
         length(graft.ops.TextOps.normalize(col("text"))).as("l")).cache()
-      val verifiedCands = DedupOps.bucketPairs(ex, "doc_id", "s")
-        .filter(col("common") >= 5)
+      val verifiedCands = cand
         .join(nrm.select(col("doc_id").as("doc_a"), col("l").as("la")), "doc_a")
         .join(nrm.select(col("doc_id").as("doc_b"), col("l").as("lb")), "doc_b")
         .filter(least(col("la"), col("lb")).cast("double") >=

@@ -639,18 +639,21 @@ class JobsStreamingSpec extends AnyFunSuite {
       .map { case (s, dt, fp) => (s, dt.toLocalDate.getMonthValue.toLong, fp) }.toSet
     assert(streamed == batch, "streaming state must replay the batch recurrence exactly")
 
-    // a seq BELOW the committed state must fail loudly, not corrupt
+    // a whole replayed span (seqs at/below committed) is dropped silently —
+    // the at-least-once offset-reset case — and does NOT perturb the state
     val stream2 = MemoryStream[SeriesPoint]
     val q2 = Streaming.statefulEwma(stream2.toDS())
-      .writeStream.outputMode("append").format("memory").queryName("ewma_bad").start()
-    stream2.addData(SeriesPoint(1L, 5L, 10.0)); q2.processAllAvailable()
-    stream2.addData(SeriesPoint(1L, 3L, 9.0))
-    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q2.processAllAvailable()
-    }
-    assert(ex.getMessage.contains("out-of-order") ||
-      Option(ex.getCause).exists(_.getMessage.contains("out-of-order")))
+      .writeStream.outputMode("append").format("memory").queryName("ewma_replay").start()
+    stream2.addData(SeriesPoint(1L, 4L, 10.0), SeriesPoint(1L, 5L, 20.5))
+    q2.processAllAvailable()
+    stream2.addData(SeriesPoint(1L, 4L, 10.0), SeriesPoint(1L, 5L, 20.5), SeriesPoint(1L, 6L, 30.0))
+    q2.processAllAvailable()
     q2.stop()
+    val replayed = spark.table("ewma_replay").as[EwmaPoint].collect().sortBy(_.seq)
+    assert(replayed.map(_.seq).toSeq == Seq(4L, 5L, 6L), "replayed span emits nothing twice")
+    // seq 6 folds against the state from the FIRST delivery of 4-5
+    val s45 = Math.floorDiv(20500000L + 3 * 10000000L, 4)
+    assert(replayed.last.ewma_fp == Math.floorDiv(30000000L + 3 * s45, 4))
   }
 
   test("completionPayload serializes the stats row for the completion topic (A2)") {

@@ -231,7 +231,10 @@ class MergeSpec extends AnyFunSuite {
       (1L, 1L, Some("A")), (1L, 2L, Some("A")), (1L, 3L, Some("B")),
       (1L, 4L, Some("A")), (1L, 5L, Some("A")), (1L, 6L, Some("A")),
       (2L, 1L, Some("X")),
-      (3L, 1L, Some("A")), (3L, 2L, None), (3L, 3L, None), (3L, 4L, Some("A")))
+      (3L, 1L, Some("A")), (3L, 2L, None), (3L, 3L, None), (3L, 4L, Some("A")),
+      // leading NULL run: the first row must be kept (a null-safe compare
+      // against lag's NULL would silently drop it)
+      (4L, 1L, None), (4L, 2L, None), (4L, 3L, Some("A")))
       .toDF("user_id", "seq", "event_type")
     val got = Merge.debounceConsecutive(
       events, Seq("user_id"), Seq(col("seq")), Seq("event_type"))
@@ -241,6 +244,7 @@ class MergeSpec extends AnyFunSuite {
     assert(got == Seq(
       (1L, 1L, Some("A"), 1L), (1L, 3L, Some("B"), 2L), (1L, 4L, Some("A"), 3L),
       (2L, 1L, Some("X"), 1L),
-      (3L, 1L, Some("A"), 1L), (3L, 2L, None, 2L), (3L, 4L, Some("A"), 3L)))
+      (3L, 1L, Some("A"), 1L), (3L, 2L, None, 2L), (3L, 4L, Some("A"), 3L),
+      (4L, 1L, None, 1L), (4L, 3L, Some("A"), 2L)))
   }
 }
