@@ -650,6 +650,29 @@ object SparkEntry {
   def qMarketBeta(spark: SparkSession, dir: String): DataFrame =
     Analytics.marketBeta(qMonthlyLastClose(spark, dir), "symbol", "date", "price")
 
+  /** Deterministic KMV distinct-user estimate per event type — the
+    * oracle-checkable sketch complement of the rows-only HLL queries:
+    * sketch rows AND estimates hash-match the DuckDB oracle.
+    */
+  def qKmvUsers(spark: SparkSession, dir: String): DataFrame = {
+    val s = Analytics.kmvSketch(
+      Tables.events(spark, dir).select(col("event_type"), col("user_id")),
+      Seq("event_type"), "user_id", k = 64)
+    Analytics.kmvEstimate(s, Seq("event_type"), k = 64)
+  }
+
+  /** Incremental KMV maintenance: per-half sketches folded with
+    * [[Analytics.kmvMerge]] must estimate identically to the from-scratch
+    * sketch — shared oracle (min-k-of-union losslessness).
+    */
+  def qKmvIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"), col("event_id"))
+    def half(m: Int) = Analytics.kmvSketch(
+      ev.filter(col("event_id") % 2 === m), Seq("event_type"), "user_id", k = 64)
+    Analytics.kmvEstimate(
+      Analytics.kmvMerge(64, half(0), half(1)), Seq("event_type"), k = 64)
+  }
+
   /** Per-event-type equi-width value histogram (20 data-driven bins) —
     * the distribution-observability scan before clamp/outlier decisions.
     */
@@ -2043,6 +2066,8 @@ object SparkEntry {
     "q_market_beta"             -> (qMarketBeta(_, _)),
     "q_cusum"                   -> (qCusum(_, _)),
     "q_value_histogram"         -> (qValueHistogram(_, _)),
+    "q_kmv_users"               -> (qKmvUsers(_, _)),
+    "q_kmv_incremental"         -> (qKmvIncremental(_, _)),
     "q_kmeans"                  -> (qKmeans(_, _)),
     "q_kmeans_assign"           -> (qKmeansAssign(_, _)),
     "q_ngram_novelty"           -> (qNgramNovelty(_, _)),
@@ -2495,6 +2520,22 @@ object SparkEntry {
     * the [[graft.ops.TextOps.mergeVocabCounts]] losslessness proof in its
     * monitor form).
     */
+  /** KMV distinct-user estimate — shared by q_kmv_users and
+    * q_kmv_incremental (merge losslessness). The nibble-sum reconstructs
+    * the same 60-bit integer Spark's conv(md5-prefix, 16, 10) parses.
+    */
+  private val kmvOracle: String =
+    """WITH hv AS (SELECT DISTINCT event_type,
+      |                   list_sum([(strpos('0123456789abcdef', md5(user_id::VARCHAR)[i]) - 1)::BIGINT << (4 * (15 - i))
+      |                             for i in range(1, 16)])::BIGINT AS hv
+      |            FROM events),
+      |r AS (SELECT event_type, hv, row_number() OVER (PARTITION BY event_type ORDER BY hv) AS pos FROM hv),
+      |s AS (SELECT event_type, hv FROM r WHERE pos <= 64)
+      |SELECT event_type, count(*)::BIGINT AS n_sketch,
+      |       CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+      |            ELSE 63.0 * 1152921504606846976.0 / max(hv)::DOUBLE END AS est_distinct
+      |FROM s GROUP BY 1""".stripMargin
+
   private val vocabDriftOracle: String =
     raw"""WITH ta AS (SELECT unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
       |            FROM documents WHERE doc_id % 2 = 0),
@@ -2971,6 +3012,9 @@ object SparkEntry {
         |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_seq
         |      FROM m)
         |SELECT user_id, ts AS event_ts, event_id, event_type, run_seq FROM r WHERE nr = 1""".stripMargin,
+    "q_kmv_users" -> kmvOracle,
+    // SHARED: min-k of the merged half sketches == min-k from scratch
+    "q_kmv_incremental" -> kmvOracle,
     "q_value_histogram" ->
       """WITH b AS (SELECT event_type, min(value) AS mn, max(value) AS mx FROM events GROUP BY 1),
         |c AS (SELECT e.event_type,

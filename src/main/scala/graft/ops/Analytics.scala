@@ -217,6 +217,64 @@ object Analytics {
       .agg(sum(col("n")).as("n"), sum(col("__total")).as("__total"))
   }
 
+  /** Per-key KMV (k-minimum-values) distinct-count sketch — the
+    * DETERMINISTIC, fully oracle-checkable alternative to HLL: the sketch
+    * is the k smallest md5-derived 60-bit hash values of the distinct
+    * inputs (a pure function of the data, no randomness, no opaque
+    * binary), so the whole sketch relation hash-matches a SQL oracle on
+    * any engine with md5 — which HLL's implementation-defined registers
+    * never can. Standard error ≈ 1/√(k−2) (~12.6% at k=64); store the
+    * sketch rows, not the estimate. Mergeable: min-k of a union of
+    * min-k parts equals min-k of the union (lossless by construction,
+    * and the registered incremental query proves it by sharing the
+    * from-scratch oracle).
+    *
+    * Output: (keys…, hv, pos) with pos 1..k per key.
+    */
+  def kmvSketch(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val hv = expr(
+      s"cast(conv(substring(md5(cast(`$valueCol` as string)), 1, 15), 16, 10) as bigint)")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("hv"))
+    df.select(keys.map(col) :+ hv.as("hv"): _*).distinct()
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= k)
+  }
+
+  /** Fold KMV sketch increments: min-k of the distinct union, re-ranked.
+    * Parts may overlap (distinct absorbs re-counted values) — unlike the
+    * additive folds (mergeBm25Stats, mergeLmCounts) no disjointness
+    * contract is needed.
+    */
+  def kmvMerge(k: Int, parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "need at least one sketch")
+    val keys = parts.head.columns.filterNot(Set("hv", "pos")).toSeq
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("hv"))
+    parts.map(_.drop("pos")).reduce(_.unionByName(_)).distinct()
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= k)
+  }
+
+  /** Distinct-count estimate from a KMV sketch: exact count when the key
+    * holds fewer than k values (the sketch IS the distinct set), else the
+    * standard (k−1)·M/v₍k₎ estimator over the 16¹⁵-value hash space.
+    * Output: (keys…, n_sketch, est_distinct).
+    */
+  def kmvEstimate(sketch: DataFrame, keys: Seq[String], k: Int = 64): DataFrame = {
+    val space = 1152921504606846976.0 // 16^15 = 2^60, exact as a double
+    sketch
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_sketch"), max(col("hv")).as("__vk"))
+      .select(keys.map(col) :+ col("n_sketch") :+
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(space) / col("__vk").cast("double"))
+          .as("est_distinct"): _*)
+  }
+
   /** Per-key HLL sketch partials — the distinct-count analog of
     * [[partialAgg]]: sketches are a commutative monoid under union, so
     * per-partition (e.g. per-day) sketches merge into exactly the sketch a

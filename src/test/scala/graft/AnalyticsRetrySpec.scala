@@ -397,6 +397,29 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     assert(m("p2") == ((0L, 0L, None)))
   }
 
+  test("kmvSketch: sub-k keys are exact, estimates within KMV error, merge == from-scratch") {
+    // group "big": 2000 distinct values; group "small": 10 distinct
+    val rows = (1 to 2000).map(i => ("big", i.toLong)) ++
+      (1 to 10).flatMap(i => Seq(("small", i.toLong), ("small", i.toLong))) // dups absorbed
+    val df = rows.toDF("g", "v")
+    val sk = Analytics.kmvSketch(df, Seq("g"), "v", k = 64)
+    val est = Analytics.kmvEstimate(sk, Seq("g"), k = 64)
+      .select("g", "n_sketch", "est_distinct")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(est("small") == ((10L, 10.0)), "sub-k key must be exact")
+    assert(est("big")._1 == 64L)
+    assert(math.abs(est("big")._2 - 2000.0) / 2000.0 < 0.3,
+      s"KMV estimate ${est("big")._2} outside 30% of 2000")
+
+    // merge of overlapping halves == from-scratch sketch, rows and all
+    val h1 = Analytics.kmvSketch(df.filter(col("v") % 2 === 0), Seq("g"), "v", k = 64)
+    val h2 = Analytics.kmvSketch(df.filter(col("v") % 2 === 1 || col("v") < 100), Seq("g"), "v", k = 64)
+    val merged = Analytics.kmvMerge(64, h1, h2)
+      .select("g", "hv", "pos").as[(String, Long, Long)].collect().toSet
+    val scratch = sk.select("g", "hv", "pos").as[(String, Long, Long)].collect().toSet
+    assert(merged == scratch, "min-k of merged overlapping parts must equal from-scratch")
+  }
+
   test("histogram: max in last bin, constant group collapses to bin 0, counts partition the group") {
     val df = (Seq.tabulate(10)(i => ("T", i.toDouble)) ++ Seq(("C", 5.0), ("C", 5.0)))
       .toDF("g", "v")
