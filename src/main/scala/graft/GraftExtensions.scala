@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, MinHashSignature, NGramHashes, SimHash64, TopCount, WinnowFingerprints}
+import graft.functions.{DotProduct, L2SquaredFp, MinHashSignature, NGramHashes, SimHash64, TopCount, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for SQL use. Wire with
@@ -23,6 +23,11 @@ object GraftExtensions {
   private def buildDot(args: Seq[Expression]): Expression = args match {
     case Seq(a, b) => DotProduct(a, b)
     case _ => throw new IllegalArgumentException("graft_dot expects exactly 2 arguments")
+  }
+
+  private def buildL2Sq(args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) => L2SquaredFp(a, b)
+    case _ => throw new IllegalArgumentException("graft_l2sq expects exactly 2 arguments")
   }
 
   private def buildSimhash(args: Seq[Expression]): Expression = args match {
@@ -56,6 +61,7 @@ object GraftExtensions {
 
   private val builders: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
     ("graft_dot", buildDot _, classOf[DotProduct]),
+    ("graft_l2sq", buildL2Sq _, classOf[L2SquaredFp]),
     ("graft_ngram_hashes", buildNgramHashes _, classOf[NGramHashes]),
     ("graft_top_count", buildTopCount _, classOf[TopCount]),
     ("graft_simhash", buildSimhash _, classOf[SimHash64]),

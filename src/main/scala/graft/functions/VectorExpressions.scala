@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native vector kernels as Catalyst expressions.
   *
@@ -82,8 +82,74 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer squared-L2 distance over two array<bigint> fixed-point vectors —
+  * the assignment kernel of [[graft.ops.SimilarityOps.kmeansFixedPoint]].
+  * Same preference-ladder rationale as [[DotProduct]]: the HOF form
+  * (`aggregate(zip_with(...))`) interprets two lambdas per element; this is
+  * one codegen'd long loop, exact 64-bit arithmetic identical to the HOF
+  * fold and to the oracle's list comprehension. Null semantics and ragged
+  * common-prefix contract as [[DotProduct]] (null elements contribute 0).
+  */
+case class L2SquaredFp(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_l2sq expects (array<bigint>, array<bigint>), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_l2sq"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val d = a.getLong(i) - b.getLong(i)
+        acc += d * d
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]] (expects array<double> inputs). */
   def graft_dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[L2SquaredFp]] (expects array<bigint> inputs). */
+  def graft_l2sq(a: Column, b: Column): Column =
+    ColumnBridge.column(L2SquaredFp(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

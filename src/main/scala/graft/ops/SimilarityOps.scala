@@ -814,9 +814,10 @@ object SimilarityOps {
         .as("vfp"))
 
   private def assignFp(v: DataFrame, idCol: String, cs: DataFrame): DataFrame = {
-    val distFp = aggregate(
-      zip_with(col("vfp"), col("cfp"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    // native codegen'd long loop (graft_l2sq) — the HOF formulation
+    // aggregate(zip_with(...)) interprets two lambdas per element and is
+    // the differential baseline in SimilaritySpec
+    val distFp = graft.functions.VectorFunctions.graft_l2sq(col("vfp"), col("cfp"))
     v.join(broadcast(cs), lit(true))
       .withColumn("dist_fp", distFp)
       .groupBy(col(idCol))

@@ -362,6 +362,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == lsh.toSet)
   }
 
+  test("graft_l2sq kernel == interpreted HOF fold on the corpus fixed-point vectors") {
+    import graft.functions.VectorFunctions.graft_l2sq
+    val v = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+          .as("vfp"))
+    val pairs = v.as("a").join(v.as("b"), col("a.vec_id") % 7 === col("b.vec_id") % 7)
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        col("a.vfp").as("va"), col("b.vfp").as("vb"))
+    val diff = pairs.select(
+      graft_l2sq(col("va"), col("vb")).as("native"),
+      aggregate(
+        zip_with(col("va"), col("vb"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L, "native kernel must be bit-equal to the HOF fold")
+  }
+
   test("kmeansFixedPoint matches a plain-Scala integer Lloyd run; two planted blobs separate") {
     // two tight blobs around (0,0) and (10,10), plus one outlier
     val pts = Seq(
