@@ -673,6 +673,16 @@ object SparkEntry {
       Analytics.kmvMerge(64, half(0), half(1)), Seq("event_type"), k = 64)
   }
 
+  /** Rolling 20-event z-score anomalies per user — integer rolling
+    * moments, engine-exact scores, |z| > 3 flags.
+    */
+  def qRollingZscore(spark: SparkSession, dir: String): DataFrame =
+    Analytics.rollingZscore(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts").cast("timestamp_ntz").as("event_ts"),
+          col("event_id"), col("value")),
+      Seq("user_id"), "event_ts", "event_id", "value", window = 20, threshold = 3.0)
+
   /** Per-event-type equi-width value histogram (20 data-driven bins) —
     * the distribution-observability scan before clamp/outlier decisions.
     */
@@ -2067,6 +2077,7 @@ object SparkEntry {
     "q_cusum"                   -> (qCusum(_, _)),
     "q_value_histogram"         -> (qValueHistogram(_, _)),
     "q_kmv_users"               -> (qKmvUsers(_, _)),
+    "q_rolling_zscore"          -> (qRollingZscore(_, _)),
     "q_kmv_incremental"         -> (qKmvIncremental(_, _)),
     "q_kmeans"                  -> (qKmeans(_, _)),
     "q_kmeans_assign"           -> (qKmeansAssign(_, _)),
@@ -3013,6 +3024,24 @@ object SparkEntry {
         |      FROM m)
         |SELECT user_id, ts AS event_ts, event_id, event_type, run_seq FROM r WHERE nr = 1""".stripMargin,
     "q_kmv_users" -> kmvOracle,
+    "q_rolling_zscore" ->
+      """WITH b AS (
+        |  SELECT user_id, ts AS event_ts, event_id, value,
+        |         round(value * 1000.0)::BIGINT AS v,
+        |         count(*) OVER w AS n,
+        |         sum(round(value * 1000.0)::BIGINT) OVER w AS s,
+        |         sum(round(value * 1000.0)::BIGINT * round(value * 1000.0)::BIGINT) OVER w AS sq
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT user_id, event_ts, event_id, value, n::BIGINT AS n,
+        |             (n::BIGINT * v - s::BIGINT) AS num,
+        |             (n::BIGINT * sq::BIGINT - s::BIGINT * s::BIGINT) AS den
+        |      FROM b)
+        |SELECT user_id, event_ts, event_id, value, n AS n_window,
+        |       CASE WHEN den > 0 THEN num::DOUBLE / sqrt(den::DOUBLE) END AS z,
+        |       coalesce(abs(CASE WHEN den > 0 THEN num::DOUBLE / sqrt(den::DOUBLE) END) > 3.0, false) AS is_anomaly
+        |FROM d""".stripMargin,
     // SHARED: min-k of the merged half sketches == min-k from scratch
     "q_kmv_incremental" -> kmvOracle,
     "q_value_histogram" ->

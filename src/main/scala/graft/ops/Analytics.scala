@@ -541,6 +541,47 @@ object Analytics {
         expr("(n * 1000000) div __t").as("p_fp"))
   }
 
+  /** Rolling z-score anomaly detection per key stream, in FIXED POINT:
+    * values quantize to BIGINT thousandths and the rolling mean/variance
+    * come from integer sum and sum-of-squares over a `window`-row frame —
+    * both order-free within the frame, so unlike float rolling sums the
+    * score is engine-exact. z = (n·v − Σv)/√(n·Σv² − (Σv)²): one double
+    * division over exact longs (the identity avoids materializing
+    * mean/std separately and keeps every cross-row term integer). Rows
+    * with zero in-frame variance score NULL; `is_anomaly` is |z| >
+    * `threshold`. One window pass (sum, sumsq, count share the sort).
+    *
+    * Quantization headroom: |v|·10³ up to ~3·10⁶ keeps n·Σv² under 10¹⁵
+    * at window ≤ 100 — far inside int64.
+    *
+    * Output: (keys…, orderBy cols…, value, n_window, z, is_anomaly).
+    */
+  def rollingZscore(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      window: Int = 20,
+      threshold: Double = 3.0): DataFrame = {
+    require(window >= 2, "window must be at least 2")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val vfp = round(col(valueCol) * lit(1000.0)).cast("long")
+    val base = df
+      .withColumn("__v", vfp)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__v")).over(w))
+      .withColumn("__sq", sum(col("__v") * col("__v")).over(w))
+    val num = col("__n") * col("__v") - col("__s")
+    val den = col("__n") * col("__sq") - col("__s") * col("__s")
+    base
+      .withColumn("z", when(den > 0, num.cast("double") / sqrt(den.cast("double"))))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > threshold, lit(false)))
+      .select(keys.map(col) :+ col(tsCol) :+ col(idCol) :+ col(valueCol) :+
+        col("__n").as("n_window") :+ col("z") :+ col("is_anomaly"): _*)
+  }
+
   /** Per-group equi-width histogram over data-driven [min, max] bounds:
     * bin = ⌊(v − mn)/(mx − mn)·nBins⌋ clamped into [0, nBins−1] (the max
     * lands in the last bin; a constant group collapses to bin 0). The

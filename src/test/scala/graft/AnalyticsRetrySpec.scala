@@ -397,6 +397,27 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     assert(m("p2") == ((0L, 0L, None)))
   }
 
+  test("rollingZscore: hand-computed integer moments, constant-window NULL, spike flagged") {
+    def t(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    // constant run then a spike; window 4
+    val events = Seq(
+      (1L, t(1), 1L, 10.0), (1L, t(2), 2L, 10.0), (1L, t(3), 3L, 10.0),
+      (1L, t(4), 4L, 10.0), (1L, t(5), 5L, 50.0))
+      .toDF("user_id", "event_ts", "event_id", "value")
+    val got = Analytics.rollingZscore(events, Seq("user_id"), "event_ts", "event_id", "value",
+      window = 4, threshold = 3.0)
+      .select("event_id", "n_window", "z", "is_anomaly")
+      .as[(Long, Long, Option[Double], Boolean)].collect().sortBy(_._1)
+    // rows 1-4: zero variance -> NULL z, no flag
+    assert(got.take(4).forall(r => r._3.isEmpty && !r._4))
+    // row 5: frame = (10,10,10,50) fp = (10000,10000,10000,50000)
+    val (n, v, s) = (4L, 50000L, 80000L)
+    val sq = 3 * 10000L * 10000L + 50000L * 50000L
+    val expZ = (n * v - s).toDouble / math.sqrt((n * sq - s * s).toDouble)
+    assert(got(4)._2 == 4L && got(4)._3.contains(expZ))
+    assert(!got(4)._4 == (math.abs(expZ) <= 3.0))
+  }
+
   test("kmvSketch: sub-k keys are exact, estimates within KMV error, merge == from-scratch") {
     // group "big": 2000 distinct values; group "small": 10 distinct
     val rows = (1 to 2000).map(i => ("big", i.toLong)) ++
