@@ -656,6 +656,34 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(replayed.last.ewma_fp == Math.floorDiv(30000000L + 3 * s45, 4))
   }
 
+  test("statefulEwma: kill and restart from checkpoint continues the recurrence bit-exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{SeriesPoint, EwmaPoint}
+    val ckpt = Files.createTempDirectory("graft-ewma-ckpt").toString
+    val buf = scala.collection.concurrent.TrieMap[(Long, Long), Long]()
+    val stream = MemoryStream[SeriesPoint]
+    def start() = Streaming.statefulEwma(stream.toDS())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[EwmaPoint], _: Long) =>
+        df.collect().foreach(p => buf((p.symbol, p.seq)) = p.ewma_fp): Unit
+      }
+      .start()
+    val q1 = start()
+    stream.addData(SeriesPoint(1L, 1L, 10.0), SeriesPoint(1L, 2L, 20.5))
+    q1.processAllAvailable(); q1.stop()
+    // crash analog: a new query instance from the same checkpoint — the
+    // per-key state (last ewma_fp) must be recovered, not re-derived
+    val q2 = start()
+    stream.addData(SeriesPoint(1L, 3L, 30.0))
+    q2.processAllAvailable(); q2.stop()
+    val s2 = Math.floorDiv(20500000L + 3 * 10000000L, 4)
+    val s3 = Math.floorDiv(30000000L + 3 * s2, 4)
+    assert(buf.toMap == Map(
+      (1L, 1L) -> 10000000L, (1L, 2L) -> s2, (1L, 3L) -> s3),
+      "post-restart point must fold against the checkpointed state")
+  }
+
   test("completionPayload serializes the stats row for the completion topic (A2)") {
     val stats = Seq((42L, 1L, 40L, "complete"))
       .toDF("record_count", "total_batches", "total_assets", "status")
