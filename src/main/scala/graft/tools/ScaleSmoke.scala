@@ -21,7 +21,7 @@ object ScaleSmoke {
     val only = args.toSet
     val known =
       Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix",
-        "editdist")
+        "editdist", "kmeans")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -158,6 +158,30 @@ object ScaleSmoke {
           transform(col("embedding"), (x, i) =>
             when(i === 0, x + lit(c * 0.001f)).otherwise(x)).as("embedding"))
       }.reduce(_ unionByName _)
+
+    // ---- kmeans: train cost fixed (sample), assign cost linear in n ----
+    if (want("kmeans")) println("kmeans: k,vectors,op,seconds,rows")
+    (if (want("kmeans")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
+      val corpus = embK(k).cache()
+      val n = corpus.count()
+      val sample = corpus.filter(col("vec_id") % 1000000L < 1000L)
+      Seq(
+        ("train+assign", () => SimilarityOps.kmeansFixedPoint(
+          corpus, "vec_id", "embedding", 8, 2).count()),
+        ("sample-train/score", () => {
+          val model = SimilarityOps.kmeansCentroids(sample, "vec_id", "embedding", 8, 2)
+          SimilarityOps.kmeansAssign(corpus, "vec_id", "embedding", model).count()
+        })
+      ).foreach { case (name, f) =>
+        spark.sharedState.cacheManager.clearCache()
+        corpus.cache().count()
+        val t0 = System.nanoTime()
+        val rows = f()
+        println(s"$k,$n,$name,${(System.nanoTime() - t0) / 1e9},$rows")
+      }
+      spark.sharedState.cacheManager.clearCache()
+      corpus.unpersist()
+    }
 
     if (want("knn")) println("knn: k,vectors,op,seconds,rows")
     (if (want("knn")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
