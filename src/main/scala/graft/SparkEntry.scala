@@ -673,6 +673,17 @@ object SparkEntry {
       Analytics.kmvMerge(64, half(0), half(1)), Seq("event_type"), k = 64)
   }
 
+  /** Monthly OHLC bars per symbol — first/last by the (date, orderkey)
+    * total order via one struct-ordered hash aggregate, no window.
+    */
+  def qOhlcBars(spark: SparkSession, dir: String): DataFrame =
+    Analytics.ohlcBars(
+      Tables.orders(spark, dir).select(
+        col("o_custkey").as("symbol"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month"),
+        col("o_orderdate"), col("o_orderkey"), col("o_totalprice")),
+      Seq("symbol", "month"), "o_orderdate", "o_orderkey", "o_totalprice")
+
   /** Rolling 20-event z-score anomalies per user — integer rolling
     * moments, engine-exact scores, |z| > 3 flags.
     */
@@ -2078,6 +2089,7 @@ object SparkEntry {
     "q_value_histogram"         -> (qValueHistogram(_, _)),
     "q_kmv_users"               -> (qKmvUsers(_, _)),
     "q_rolling_zscore"          -> (qRollingZscore(_, _)),
+    "q_ohlc_bars"               -> (qOhlcBars(_, _)),
     "q_kmv_incremental"         -> (qKmvIncremental(_, _)),
     "q_kmeans"                  -> (qKmeans(_, _)),
     "q_kmeans_assign"           -> (qKmeansAssign(_, _)),
@@ -3024,6 +3036,22 @@ object SparkEntry {
         |      FROM m)
         |SELECT user_id, ts AS event_ts, event_id, event_type, run_seq FROM r WHERE nr = 1""".stripMargin,
     "q_kmv_users" -> kmvOracle,
+    "q_ohlc_bars" ->
+      """WITH b AS (
+        |  SELECT o_custkey AS symbol, date_trunc('month', o_orderdate)::DATE AS month,
+        |         o_orderdate, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey, date_trunc('month', o_orderdate)
+        |                            ORDER BY o_orderdate, o_orderkey) AS ra,
+        |         row_number() OVER (PARTITION BY o_custkey, date_trunc('month', o_orderdate)
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rd
+        |  FROM orders)
+        |SELECT symbol, month,
+        |       max(CASE WHEN ra = 1 THEN o_totalprice END) AS open,
+        |       max(o_totalprice) AS high,
+        |       min(o_totalprice) AS low,
+        |       max(CASE WHEN rd = 1 THEN o_totalprice END) AS close,
+        |       count(*)::BIGINT AS n
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "q_rolling_zscore" ->
       """WITH b AS (
         |  SELECT user_id, ts AS event_ts, event_id, value,

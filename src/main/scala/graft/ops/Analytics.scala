@@ -541,6 +541,32 @@ object Analytics {
         expr("(n * 1000000) div __t").as("p_fp"))
   }
 
+  /** OHLC bars per key/period: open and close are the first/last values
+    * under the (ts, tie) total order — selected with ONE hash aggregate
+    * via struct-ordered min/max (no window, no sort: the struct compares
+    * (ts, tie, value) lexicographically, so the extreme struct IS the
+    * extreme row) — high/low/count/volume-style stats ride the same
+    * aggregate. Every output is an input double (selection, never
+    * arithmetic), so the bars are engine-exact by construction.
+    *
+    * Output: (keys…, open, high, low, close, n).
+    */
+  def ohlcBars(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        min(struct(col(tsCol).as("t"), col(tieCol).as("i"), col(valueCol).as("v"))).as("__o"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(struct(col(tsCol).as("t"), col(tieCol).as("i"), col(valueCol).as("v"))).as("__c"),
+        count(lit(1)).as("n"))
+      .select(keys.map(col) :+ col("__o.v").as("open") :+ col("high") :+ col("low") :+
+        col("__c.v").as("close") :+ col("n"): _*)
+
   /** Rolling z-score anomaly detection per key stream, in FIXED POINT:
     * values quantize to BIGINT thousandths and the rolling mean/variance
     * come from integer sum and sum-of-squares over a `window`-row frame —

@@ -397,6 +397,22 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     assert(m("p2") == ((0L, 0L, None)))
   }
 
+  test("ohlcBars: open/close by total order, high/low exact, singleton bar collapses") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val ticks = Seq(
+      ("A", d("2024-01-03"), 2L, 105.0), ("A", d("2024-01-01"), 1L, 100.0),
+      ("A", d("2024-01-05"), 3L, 95.0), ("A", d("2024-01-05"), 4L, 102.0),
+      ("B", d("2024-01-02"), 9L, 7.5))
+      .toDF("symbol", "date", "tick_id", "price")
+    val got = Analytics.ohlcBars(ticks, Seq("symbol"), "date", "tick_id", "price")
+      .select("symbol", "open", "high", "low", "close", "n")
+      .as[(String, Double, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // A: open = first by (date, id) = 100; close = last = 102 (id 4 beats id 3 same day)
+    assert(got("A") == ((100.0, 105.0, 95.0, 102.0, 4L)))
+    assert(got("B") == ((7.5, 7.5, 7.5, 7.5, 1L)))
+  }
+
   test("rollingZscore: hand-computed integer moments, constant-window NULL, spike flagged") {
     def t(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
     // constant run then a spike; window 4
