@@ -361,4 +361,95 @@ class PropertiesSpec extends AnyFunSuite {
       assert(pref == full)
     }
   }
+
+  test("property: graft_l2sq equals a plain-Scala fold on random long arrays, incl. ragged") {
+    import graft.functions.VectorFunctions.graft_l2sq
+    val vecGen: Gen[(List[Long], List[Long])] = for {
+      n <- Gen.choose(0, 12)
+      m <- Gen.choose(0, 12)
+      a <- Gen.listOfN(n, Gen.choose(-2000000L, 2000000L))
+      b <- Gen.listOfN(m, Gen.choose(-2000000L, 2000000L))
+    } yield (a, b)
+    samples(vecGen, 40).foreach { case (a, b) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(graft_l2sq(col("a"), col("b"))).as[Long].collect().head
+      val exp = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(got == exp, s"a=$a b=$b")
+    }
+  }
+
+  test("property: debounceConsecutive is idempotent for any event stream") {
+    val evGen: Gen[List[(Long, Option[String])]] = Gen.listOf(
+      for {
+        u <- Gen.choose(1L, 3L)
+        t <- Gen.option(Gen.oneOf("A", "B"))
+      } yield (u, t)).suchThat(_.nonEmpty)
+    samples(evGen, 15).foreach { evs =>
+      val df = evs.zipWithIndex.map { case ((u, t), i) => (u, i.toLong, t) }
+        .toDF("user_id", "seq", "event_type")
+      val once = Merge.debounceConsecutive(df, Seq("user_id"), Seq(col("seq")), Seq("event_type"))
+      val twice = Merge.debounceConsecutive(
+        once.drop("run_seq"), Seq("user_id"), Seq(col("seq")), Seq("event_type"))
+      val a = once.select("user_id", "seq").as[(Long, Long)].collect().toSet
+      val b = twice.select("user_id", "seq").as[(Long, Long)].collect().toSet
+      assert(a == b, s"debounce must be idempotent on $evs")
+      // every input row's value survives somewhere: the kept rows cover all runs
+      val runs = evs.zipWithIndex.groupBy { case ((u, _), _) => u }.values.map { rows =>
+        rows.map { case ((_, t), _) => t }.foldLeft(List.empty[Option[String]]) {
+          case (acc, t) if acc.headOption.contains(t) => acc
+          case (acc, t) => t :: acc
+        }.size
+      }.sum
+      assert(a.size == runs, "kept rows == total run count across users")
+    }
+  }
+
+  test("property: kmvMerge of any split equals the from-scratch sketch, estimates included") {
+    import graft.ops.Analytics
+    val valGen: Gen[List[(String, Long)]] = Gen.listOf(
+      for {
+        g <- Gen.oneOf("g1", "g2")
+        v <- Gen.choose(1L, 500L)
+      } yield (g, v)).suchThat(_.nonEmpty)
+    samples(valGen, 10).foreach { rows =>
+      val df = rows.toDF("g", "v")
+      val k = 16
+      val scratch = Analytics.kmvSketch(df, Seq("g"), "v", k)
+      // arbitrary overlapping 3-way split
+      val parts = Seq(
+        df.filter(col("v") % 3 === 0 || col("v") < 50),
+        df.filter(col("v") % 3 === 1 || col("v") > 400),
+        df.filter(col("v") % 3 === 2 || (col("v") >= 50 && col("v") <= 400)))
+        .map(p => Analytics.kmvSketch(p, Seq("g"), "v", k))
+      val merged = Analytics.kmvMerge(k, parts: _*)
+      val a = scratch.select("g", "hv", "pos").as[(String, Long, Long)].collect().toSet
+      val b = merged.select("g", "hv", "pos").as[(String, Long, Long)].collect().toSet
+      assert(a == b, s"kmv merge must equal scratch on $rows")
+    }
+  }
+
+  test("property: ewmaResume at ANY pivot stitches to the from-scratch trajectory") {
+    import graft.ops.Analytics
+    val serGen: Gen[List[Double]] = Gen.listOf(Gen.choose(1.0, 500.0)).suchThat(_.size >= 2)
+    samples(serGen, 5).foreach { vals =>
+      def d(i: Int) = java.sql.Date.valueOf(f"2024-01-${i + 1}%02d")
+      val df = vals.take(28).zipWithIndex.map { case (v, i) => (1L, d(i), v) }
+        .toDF("symbol", "date", "price")
+      val full = Analytics.ewmaFixedPoint(df, "symbol", "date", "price")
+        .select("date", "ewma_fp").as[(java.sql.Date, Long)].collect().toSet
+      val n = math.min(vals.size, 28)
+      for (pivot <- 1 until n by 7) {
+        val pd = d(pivot)
+        val pre = Analytics.ewmaFixedPoint(
+          df.filter(col("date") < lit(pd)), "symbol", "date", "price")
+        val state = pre.groupBy(col("symbol"))
+          .agg(max_by(col("ewma_fp"), col("date")).as("ewma_fp"))
+        val post = Analytics.ewmaResume(
+          df.filter(col("date") >= lit(pd)), "symbol", "date", "price", state)
+        val stitched = pre.unionByName(post)
+          .select("date", "ewma_fp").as[(java.sql.Date, Long)].collect().toSet
+        assert(stitched == full, s"pivot $pivot on ${vals.take(28)}")
+      }
+    }
+  }
 }
