@@ -673,6 +673,12 @@ object SparkEntry {
       Analytics.kmvMerge(64, half(0), half(1)), Seq("event_type"), k = 64)
   }
 
+  /** 12-month Bollinger bands over the monthly close series — integer
+    * rolling moments at cent precision, breach flags vs the raw price.
+    */
+  def qBollinger(spark: SparkSession, dir: String): DataFrame =
+    Analytics.bollingerBands(qMonthlyLastClose(spark, dir), "symbol", "date", "price")
+
   /** Monthly OHLC bars per symbol — first/last by the (date, orderkey)
     * total order via one struct-ordered hash aggregate, no window.
     */
@@ -2090,6 +2096,7 @@ object SparkEntry {
     "q_kmv_users"               -> (qKmvUsers(_, _)),
     "q_rolling_zscore"          -> (qRollingZscore(_, _)),
     "q_ohlc_bars"               -> (qOhlcBars(_, _)),
+    "q_bollinger"               -> (qBollinger(_, _)),
     "q_kmv_incremental"         -> (qKmvIncremental(_, _)),
     "q_kmeans"                  -> (qKmeans(_, _)),
     "q_kmeans_assign"           -> (qKmeansAssign(_, _)),
@@ -3036,6 +3043,26 @@ object SparkEntry {
         |      FROM m)
         |SELECT user_id, ts AS event_ts, event_id, event_type, run_seq FROM r WHERE nr = 1""".stripMargin,
     "q_kmv_users" -> kmvOracle,
+    "q_bollinger" ->
+      s"""WITH $monthlyLastCloseCtes,
+        |b AS (
+        |  SELECT symbol, date, price,
+        |         round(price * 100.0)::BIGINT AS v,
+        |         count(*) OVER w AS n,
+        |         sum(round(price * 100.0)::BIGINT) OVER w AS s,
+        |         sum(round(price * 100.0)::BIGINT * round(price * 100.0)::BIGINT) OVER w AS sq
+        |  FROM cl
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY date
+        |               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT symbol, date, price, n::BIGINT AS n,
+        |             (s::BIGINT // n::BIGINT)::DOUBLE / 100.0 AS mid,
+        |             sqrt((n::BIGINT * sq::BIGINT - s::BIGINT * s::BIGINT)::DOUBLE) / n::BIGINT::DOUBLE / 100.0 AS sigma
+        |      FROM b)
+        |SELECT symbol, date, price, n AS n_window, mid, sigma,
+        |       mid + 2.0 * sigma AS upper, mid - 2.0 * sigma AS lower,
+        |       price > mid + 2.0 * sigma AS breach_upper,
+        |       price < mid - 2.0 * sigma AS breach_lower
+        |FROM d""".stripMargin,
     "q_ohlc_bars" ->
       """WITH b AS (
         |  SELECT o_custkey AS symbol, date_trunc('month', o_orderdate)::DATE AS month,

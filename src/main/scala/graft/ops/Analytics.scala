@@ -541,6 +541,50 @@ object Analytics {
         expr("(n * 1000000) div __t").as("p_fp"))
   }
 
+  /** Bollinger bands per key series: rolling mid/σ from integer sum and
+    * sum-of-squares of CENT-quantized values over a `window`-row frame
+    * (order-free, engine-exact — the [[rollingZscore]] moments at a price
+    * scale: |v|·100 up to ~7·10⁷ keeps n·Σv² inside int64 at window ≤ 20),
+    * bands at mid ± `numSigma`·σ with σ = √(n·Σv²−(Σv)²)/n, and breach
+    * flags against the raw value. Head-of-series rows use the partial
+    * frame (n < window) rather than going NULL — the convention that
+    * keeps the first year of a series monitorable.
+    *
+    * Output: (keys…, date, value, n_window, mid, sigma, upper, lower,
+    * breach_upper, breach_lower).
+    */
+  def bollingerBands(
+      series: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      valueCol: String,
+      window: Int = 12,
+      numSigma: Double = 2.0): DataFrame = {
+    require(window >= 2, "window must be at least 2")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val vfp = round(col(valueCol) * lit(100.0)).cast("long")
+    val base = series
+      .withColumn("__v", vfp)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__v")).over(w))
+      .withColumn("__sq", sum(col("__v") * col("__v")).over(w))
+    val den = col("__n") * col("__sq") - col("__s") * col("__s")
+    val mid = expr("__s div __n").cast("double") / lit(100.0)
+    val sigma = sqrt(den.cast("double")) / col("__n").cast("double") / lit(100.0)
+    base
+      .withColumn("mid", mid)
+      .withColumn("sigma", sigma)
+      .withColumn("upper", col("mid") + lit(numSigma) * col("sigma"))
+      .withColumn("lower", col("mid") - lit(numSigma) * col("sigma"))
+      .select(
+        col(keyCol), col(dateCol), col(valueCol),
+        col("__n").as("n_window"), col("mid"), col("sigma"),
+        col("upper"), col("lower"),
+        (col(valueCol) > col("upper")).as("breach_upper"),
+        (col(valueCol) < col("lower")).as("breach_lower"))
+  }
+
   /** OHLC bars per key/period: open and close are the first/last values
     * under the (ts, tie) total order — selected with ONE hash aggregate
     * via struct-ordered min/max (no window, no sort: the struct compares

@@ -397,6 +397,34 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     assert(m("p2") == ((0L, 0L, None)))
   }
 
+  test("bollingerBands: hand-computed cent moments, partial head frame, breach only outside bands") {
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-$i%02d-01")
+    val series = Seq(
+      (1L, d(1), 10.0), (1L, d(2), 12.0), (1L, d(3), 11.0), (1L, d(4), 40.0))
+      .toDF("symbol", "date", "price")
+    val got = Analytics.bollingerBands(series, "symbol", "date", "price", window = 3)
+      .select("date", "n_window", "mid", "sigma", "breach_upper", "breach_lower")
+      .as[(java.sql.Date, Long, Double, Double, Boolean, Boolean)].collect().sortBy(_._1.toString)
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L, 3L), "head frames are partial, not NULL")
+    // row 3 frame (1000,1200,1100)fp2: mid = 3300 div 3 = 1100 -> 11.0
+    // sigma = sqrt(3*3650000 - 3300^2)/3/100 = sqrt(60000)/300
+    assert(got(2)._3 == 11.0)
+    assert(got(2)._4 == math.sqrt((3L * 3650000L - 3300L * 3300L).toDouble) / 3.0 / 100.0)
+    assert(!got(2)._5 && !got(2)._6)
+    // a 3-point frame can never 2-sigma-breach (max |z| = (n-1)/sqrt(n)):
+    assert(got.forall(r => !r._5 && !r._6))
+
+    // 11 flat closes then a spike, window 12: mean 12.5, sigma ~8.29,
+    // upper ~29.1 < 40 -> the spike breaches its own frame's band
+    val flatSpike = ((1 to 11).map(i => (2L, d(i), 10.0)) :+ ((2L, d(12), 40.0)))
+      .toDF("symbol", "date", "price")
+    val spike = Analytics.bollingerBands(flatSpike, "symbol", "date", "price", window = 12)
+      .select("date", "breach_upper", "breach_lower")
+      .as[(java.sql.Date, Boolean, Boolean)].collect().sortBy(_._1.toString)
+    assert(spike.last._2 && !spike.last._3)
+    assert(spike.init.forall(r => !r._2 && !r._3))
+  }
+
   test("ohlcBars: open/close by total order, high/low exact, singleton bar collapses") {
     def d(s: String) = java.sql.Date.valueOf(s)
     val ticks = Seq(
