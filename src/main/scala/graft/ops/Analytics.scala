@@ -659,7 +659,9 @@ object Analytics {
     * aggregate doubles, so the histogram is engine-exact — the
     * distribution-observability scan a pipeline runs per metric before
     * choosing clamp/outlier thresholds. Sparse output: only occupied
-    * bins. One bounds aggregate broadcast back, one count aggregate.
+    * bins. One bounds aggregate joined back (AQE broadcasts it when its
+    * runtime size fits — no forced hint, so high key cardinality cannot
+    * OOM the driver), one count aggregate.
     *
     * Output: (keys…, bin, n, bin_lo, bin_hi).
     */
@@ -671,7 +673,12 @@ object Analytics {
     require(nBins >= 1, "nBins must be positive")
     val bounds = df.groupBy(keys.map(col): _*)
       .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
-    val binned = df.join(broadcast(bounds), keys)
+    // no broadcast() hint: bounds is one row per key GROUP, which is only
+    // small when key cardinality is — at 10⁸ groups a forced broadcast
+    // would OOM the driver and AQE could not override the explicit hint.
+    // Left to itself AQE sees the aggregate's true runtime size and
+    // broadcasts exactly when it fits.
+    val binned = df.join(bounds, keys)
       .withColumn("bin",
         when(col("__mx") === col("__mn"), lit(0L))
           .otherwise(least(
@@ -791,7 +798,9 @@ object Analytics {
         min(when(col("__rn") === loRank, col(valueCol))).as("lo"),
         max(when(col("__rn") === hiRank, col(valueCol))).as("hi"))
     ranked
-      .join(broadcast(bounds), keys)
+      // no broadcast() hint (one bounds row per key group — unbounded at
+      // high key cardinality); AQE broadcasts when the runtime size fits
+      .join(bounds, keys)
       .withColumn("__wv", least(greatest(col(valueCol), col("lo")), col("hi")))
       .groupBy(keys.map(col): _*)
       .agg(

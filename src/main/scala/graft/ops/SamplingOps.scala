@@ -90,7 +90,19 @@ object SamplingOps {
       k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val h = (col(idCol) * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
-    val priority = (col(weightCol).cast("double") * lit(2147483648.0)) / (h + lit(1L))
+    // the portability contract above is ENFORCED, not just documented: an
+    // id outside [0, 2³³) overflows the LCG product with engine-dependent
+    // wrap semantics and a negative weight inverts the top-k, both silent
+    // divergences from the oracle — fail loudly instead. The guard lives
+    // inside the priority expression (not a droppable side column) so the
+    // optimizer cannot prune it away.
+    val priority = when(
+      col(idCol).isNull || col(idCol) < 0 || col(idCol) >= lit(8589934592L) ||
+        col(weightCol) < 0,
+      raise_error(concat(
+        lit("prioritySample portability contract violated: need 0 <= id < 2^33 and weight >= 0, got id="),
+        col(idCol).cast("string"), lit(" weight="), col(weightCol).cast("string"))))
+      .otherwise((col(weightCol).cast("double") * lit(2147483648.0)) / (h + lit(1L)))
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(col("priority").desc, col(idCol))
     df.withColumn("priority", priority)
@@ -119,11 +131,24 @@ object SamplingOps {
   def temperatureAllocation(
       df: DataFrame,
       sourceCol: String,
-      slots: Long): DataFrame = {
+      slots: Long): DataFrame =
+    temperatureAllocationManaged(df, sourceCol, slots)._1
+
+  /** [[temperatureAllocation]] plus an explicit release handle for the
+    * cached per-source count relation (dimension-sized, but pinned until
+    * released). Call AFTER materializing the returned frame; same contract
+    * as [[graft.ops.DedupOps.decontaminateBloomManaged]] for long-lived
+    * sessions that loop over corpora.
+    */
+  def temperatureAllocationManaged(
+      df: DataFrame,
+      sourceCol: String,
+      slots: Long): (DataFrame, () => Unit) = {
     require(slots >= 0, "slots must be non-negative")
     // cached: the per-source counts feed the weight total, the leftover
     // aggregate and the final projection — without the barrier the corpus
-    // scan runs three times (module caching contract: caller/harness clears)
+    // scan runs three times. The returned release handle unpersists it;
+    // [[temperatureAllocation]] callers get the legacy contract
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w", round(sqrt(col("n_docs").cast("double")) * lit(1.0e6)).cast("long"))
@@ -134,12 +159,13 @@ object SamplingOps {
       .withColumn("rem", expr("(w * cast(" + slots + " as bigint)) % tw"))
     val leftover = based.agg((lit(slots) - sum(col("base"))).as("lo"))
     val w = Window.orderBy(col("rem").desc, col(sourceCol))
-    based.crossJoin(broadcast(leftover))
+    val alloc = based.crossJoin(broadcast(leftover))
       // bounded window: #sources rows by contract (a mixture IS dimension-sized)
       .withColumn("rk", row_number().over(w))
       .select(
         col(sourceCol), col("n_docs"), col("w"),
         (col("base") + when(col("rk") <= col("lo"), lit(1L)).otherwise(lit(0L))).as("alloc"))
+    (alloc, () => { counts.unpersist(); () })
   }
 
   /** Quota sampling: draw EXACTLY the [[temperatureAllocation]] mixture —

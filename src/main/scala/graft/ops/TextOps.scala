@@ -692,7 +692,21 @@ object TextOps {
     * TakeOrdered (orderBy+limit), never a global sort; the rank column is
     * a window over the ≤k survivors only.
     */
-  def textRank(df: DataFrame, textCol: String, iterations: Int = 3, k: Int = 50): DataFrame = {
+  def textRank(df: DataFrame, textCol: String, iterations: Int = 3, k: Int = 50): DataFrame =
+    textRankManaged(df, textCol, iterations, k)._1
+
+  /** [[textRank]] plus an explicit release handle for the cached weighted
+    * edge relation (corpus-adjacency-sized — the one piece of module state
+    * the iteration loop pins in executor memory). Call it AFTER
+    * materializing the returned frame; long-lived sessions that loop over
+    * corpora must not rely on GC/ContextCleaner to reclaim it (same
+    * contract as [[graft.ops.DedupOps.decontaminateBloomManaged]]).
+    */
+  def textRankManaged(
+      df: DataFrame,
+      textCol: String,
+      iterations: Int = 3,
+      k: Int = 50): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     require(iterations >= 1, "need at least one iteration")
     require(k >= 1, "k must be positive")
@@ -711,8 +725,9 @@ object TextOps {
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
     val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
     // cached: the weighted edge relation feeds every iteration's join —
-    // without the barrier the corpus-wide pair build re-runs per round
-    // (module caching contract: caller/harness clears)
+    // without the barrier the corpus-wide pair build re-runs per round.
+    // The returned release handle unpersists it; [[textRank]] callers get
+    // the legacy caller/harness-clears contract
     val e = edges.join(deg, "src").cache()
     // seed from the CACHED edge relation (distinct src = the node set) —
     // seeding from `deg` would re-run the corpus-wide pair build once more
@@ -726,9 +741,10 @@ object TextOps {
     }
     val top = r.orderBy(col("score").desc, col("token")).limit(k)
     // window over the ≤k TakeOrdered survivors only — bounded by contract
-    top.withColumn(
+    val ranked = top.withColumn(
       "rank",
       row_number().over(Window.orderBy(col("score").desc, col("token"))).cast("long"))
+    (ranked, () => { e.unpersist(); () })
   }
 
   /** Within-document repetition metrics (the Gopher/MassiveText-style

@@ -14,7 +14,18 @@ import org.apache.spark.sql.functions.col
   * Correctness under parallelism: the frame is repartitioned by the key
   * columns first, so a given key is written by exactly ONE task and the
   * update-then-insert pair can never race itself across partitions (no
-  * cross-partition deadlocks, no duplicate-key insert races). Within a
+  * cross-partition deadlocks, no duplicate-key insert races). That
+  * one-task-per-key claim does NOT cover two attempts of the SAME task —
+  * speculative execution, or a retried task racing its zombie, can put two
+  * copies of one partition in flight at once, and both can observe
+  * `executeUpdate() == 0` before either inserts. The insert is therefore
+  * conflict-safe: with a unique/primary-key constraint on the key columns
+  * (which a Postgres `ON CONFLICT` target requires anyway), the losing
+  * attempt's duplicate-key error (SQLState class 23) is caught behind a
+  * savepoint — so a Postgres transaction isn't poisoned by the failed
+  * statement — and the row re-applies as an UPDATE. Without such a
+  * constraint the database cannot detect the race, so either declare one
+  * or run the sink with `spark.speculation=false`. Within a
   * batch, rows sharing a key would still apply in arbitrary order — callers
   * wanting last-wins semantics dedupe first (ops.Merge.lastWins, exactly the
   * engine's B18 operator). Re-running the same batch is idempotent, which is
@@ -77,7 +88,23 @@ object JdbcUpsert {
                 }
                 if (upd.executeUpdate() == 0) {
                   cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
-                  ins.executeUpdate()
+                  // A racing attempt of this same partition (speculation /
+                  // zombie retry) may have inserted this key between our
+                  // UPDATE and INSERT. The savepoint confines the failed
+                  // INSERT (Postgres aborts the whole transaction on any
+                  // statement error otherwise); the duplicate-key loser
+                  // re-applies as an UPDATE so both attempts converge on
+                  // identical final rows.
+                  val sp = conn.setSavepoint()
+                  try {
+                    ins.executeUpdate()
+                    conn.releaseSavepoint(sp)
+                  } catch {
+                    case e: java.sql.SQLException
+                        if Option(e.getSQLState).exists(_.startsWith("23")) =>
+                      conn.rollback(sp)
+                      if (upd.executeUpdate() == 0) throw e
+                  }
                 }
               }
               conn.commit()

@@ -110,16 +110,22 @@ object QuoteSource {
     * for symbol in symbols])`). Index tickers like `^GSPC` become
     * `%5EGSPC`; multi-byte characters encode per UTF-8 byte.
     */
-  def encodeSymbol(s: String): String =
-    // iterate UTF-8 BYTES, not UTF-16 chars: a supplementary-plane char
-    // (emoji, math letters) is two surrogates char-wise, and encoding a
-    // lone surrogate yields '?' — byte-wise matches urllib exactly (all
-    // multi-byte sequences have the high bit set, so the ASCII
-    // pass-through test below can never match half a character)
+  def encodeSymbol(s: String): String = pctEncode(s, Set.empty)
+
+  /** urllib.parse.quote-style percent-encoding (unreserved characters and
+    * '/' pass through; `safeExtra` chars additionally pass through),
+    * iterating UTF-8 BYTES, not UTF-16 chars: a supplementary-plane char
+    * (emoji, math letters) is two surrogates char-wise, and encoding a
+    * lone surrogate yields '?' — byte-wise matches urllib exactly (all
+    * multi-byte sequences have the high bit set, so the ASCII
+    * pass-through test below can never match half a character).
+    */
+  private def pctEncode(s: String, safeExtra: Set[Char]): String =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8).map { b =>
       val c = b.toChar
       if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
-        (c >= '0' && c <= '9') || c == '_' || c == '.' || c == '-' || c == '~' || c == '/')
+        (c >= '0' && c <= '9') || c == '_' || c == '.' || c == '-' || c == '~' ||
+        c == '/' || safeExtra(c))
         c.toString
       else f"%%${b & 0xff}%02X"
     }.mkString
@@ -133,10 +139,22 @@ object QuoteSource {
   /** Append query params to a base URL — the ONE `k=v&…` assembly point for
     * the stub URL builder and the live reader; respects a query string the
     * endpoint already carries (`…/quotes?auth=x` + params joins with `&`).
+    *
+    * Keys and values are percent-encoded here, so a region (or any other
+    * param) containing '&', '=', a space or non-ASCII can never malform
+    * the request URL. Two characters stay raw in VALUES by contract:
+    * ',' (the reference comma-joins pre-quoted symbols, so commas are a
+    * deliberate raw separator on the wire — `etl/utils.py:98-105`) and
+    * '%' (the symbols value arrives pre-percent-encoded from
+    * [[encodeSymbol]]; re-encoding would double-escape it). A value
+    * wanting a LITERAL percent sign must therefore pre-encode it as %25 —
+    * the standard "values are URI fragments" posture.
     */
   def urlWithParams(base: String, params: Seq[(String, String)]): String =
     base + (if (base.contains("?")) "&" else "?") +
-      params.map { case (k, v) => s"$k=$v" }.mkString("&")
+      params.map { case (k, v) =>
+        s"${pctEncode(k, Set.empty)}=${pctEncode(v, Set(',', '%'))}"
+      }.mkString("&")
 
   /** Full request URL (`https://{host}/{path}?k=v&…`) — what
     * [[QuotePartitionReader]]'s stubbed fetch would GET per batch in a

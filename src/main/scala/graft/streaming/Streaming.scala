@@ -223,7 +223,10 @@ object Streaming {
               val fp = math.round(p.price * 1e6)
               val next = sOpt match {
                 case None => fp
-                case Some(st) => Math.floorDiv(fp + (alphaInv - 1) * st.lastFp, alphaInv)
+                // plain Long `/` truncates toward zero, matching the batch
+                // recurrence's SQL `div` — floorDiv would diverge by one fp
+                // unit whenever the smoothed numerator goes negative
+                case Some(st) => (fp + (alphaInv - 1) * st.lastFp) / alphaInv
               }
               sOpt = Some(EwmaState(next, p.seq))
               Some(EwmaPoint(symbol, p.seq, p.price, next, next.toDouble / 1e6))

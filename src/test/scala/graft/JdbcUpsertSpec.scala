@@ -99,6 +99,31 @@ class JdbcUpsertSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertBatch: two concurrent attempts of the same rows converge (speculation/zombie race)") {
+    // Speculative execution (or a retried task racing its zombie) puts two
+    // attempts of the SAME partition in flight: both can see 0 updated
+    // rows and both try to INSERT. With the PK declared, the loser's
+    // duplicate-key error must resolve via the savepoint fallback into an
+    // UPDATE — the job converges instead of failing or double-inserting.
+    withTable("market_race") { t =>
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (1 to 10).foreach { round =>
+        val df = Seq(("AAPL", "STOCK", 100.0 + round, round.toDouble))
+          .toDF("symbol", "asset_type", "price", "change")
+        val threads = (1 to 2).map { _ =>
+          new Thread(() =>
+            try JdbcUpsert.upsertBatch(df, url, t, keyCols, valCols)
+            catch { case e: Throwable => errs.add(e) })
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+        assert(errs.isEmpty, s"racing attempt failed: ${Option(errs.peek())}")
+        assert(readAll(t) == Set(("AAPL", "STOCK", 100.0 + round, round.toDouble)),
+          "both attempts must land on the same single final row")
+      }
+    }
+  }
+
   test("foreachBatchUpsert: MemoryStream micro-batches reach the table with last-wins state") {
     withTable("market_stream") { t =>
       implicit val sqlCtx = spark.sqlContext

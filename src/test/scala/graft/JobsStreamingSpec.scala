@@ -656,6 +656,31 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(replayed.last.ewma_fp == Math.floorDiv(30000000L + 3 * s45, 4))
   }
 
+  test("statefulEwma: negative values divide exactly like the batch `div` (truncation, not floor)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{SeriesPoint, EwmaPoint}
+    // -10.000001 then 20.5: the smoothed numerator is -9500003, where
+    // truncating division (SQL `div`, what the batch op uses) gives
+    // -2375000 but floorDiv gives -2375001 — this series distinguishes them
+    val stream = MemoryStream[SeriesPoint]
+    val q = Streaming.statefulEwma(stream.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("ewma_neg").start()
+    stream.addData(SeriesPoint(1L, 1L, -10.000001), SeriesPoint(1L, 2L, 20.5))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ewma_neg").as[EwmaPoint].collect()
+      .map(p => (p.seq, p.ewma_fp)).toSet
+    assert(streamed == Set((1L, -10000001L), (2L, -2375000L)))
+
+    def d(i: Long) = java.sql.Date.valueOf(f"2024-$i%02d-01")
+    val batch = graft.ops.Analytics.ewmaFixedPoint(
+      Seq((1L, d(1), -10.000001), (1L, d(2), 20.5)).toDF("symbol", "date", "price"),
+      "symbol", "date", "price")
+      .select("date", "ewma_fp").as[(java.sql.Date, Long)].collect()
+      .map { case (dt, fp) => (dt.toLocalDate.getMonthValue.toLong, fp) }.toSet
+    assert(batch == streamed, "negative-input stream and batch recurrences must stay bit-equal")
+  }
+
   test("statefulEwma: kill and restart from checkpoint continues the recurrence bit-exactly") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streaming.{SeriesPoint, EwmaPoint}

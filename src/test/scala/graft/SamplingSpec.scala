@@ -280,5 +280,22 @@ class SamplingSpec extends AnyFunSuite {
     val selW = got.map(t => rows(t._2.toInt)._3)
     assert(selW.sum.toDouble / selW.size > rows.map(_._3).sum.toDouble / rows.size,
       "heavier rows are selected preferentially")
+
+    // the portability contract is enforced, not just documented: an id
+    // outside [0, 2^33) or a negative weight would silently diverge from
+    // the oracle (engine-dependent 64-bit wrap / inverted top-k), so the
+    // operator fails loudly instead of sampling wrong
+    def mustRaise(data: Seq[(Long, String, Long)]): Unit = {
+      val e = intercept[Exception] {
+        SamplingOps.prioritySample(
+          data.toDF("id", "stratum", "w"), "id", "w", Seq("stratum"), k = 5).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("portability contract")), s"unexpected error: $e")
+    }
+    mustRaise(Seq((-1L, "s0", 3L)))
+    mustRaise(Seq((8589934592L, "s0", 3L)))
+    mustRaise(Seq((7L, "s0", -2L)))
   }
 }

@@ -93,6 +93,15 @@ class SourcesSpec extends AnyFunSuite {
     // second ? (the live reader passes endpoints verbatim)
     assert(QuoteSource.urlWithParams("http://h:9/q?auth=x", Seq("region" -> "US")) ==
       "http://h:9/q?auth=x&region=US")
+    // param values with URL metacharacters or non-ASCII are encoded at the
+    // assembly point — a region of "a&b=c d" can never smuggle extra params
+    // or malform the URL; ',' and '%' stay raw so the pre-encoded
+    // comma-joined symbols value keeps the reference's exact wire shape
+    assert(QuoteSource.urlWithParams("http://h/q",
+      Seq("region" -> "a&b=c d", "symbols" -> "%5EGSPC,AAPL")) ==
+      "http://h/q?region=a%26b%3Dc%20d&symbols=%5EGSPC,AAPL")
+    assert(QuoteSource.urlWithParams("http://h/q", Seq("region" -> "é")) ==
+      "http://h/q?region=%C3%A9")
   }
 
   /** Localhost fixture server: serves /quotes with scriptable status
