@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan contracts for the most expensive registered queries — the 100 TB
+  * posture the plan audits verify by hand, pinned in CI so a regression
+  * (a dropped broadcast, an accidental cartesian, an unbounded global
+  * window creeping into a hot path) fails the build instead of surfacing
+  * as a silent bench cliff.
+  *
+  * What is asserted, per query, on the STATIC physical plan (AQE disabled
+  * for planning only, so the assertions are deterministic; at runtime AQE
+  * can only improve on this plan, e.g. converting a shuffle join to
+  * broadcast — it never introduces a cartesian or drops a pushed filter):
+  *
+  *  - `CartesianProduct` never appears: an unpartitioned all-pairs product
+  *    is the one operator that cannot survive a 100× scale-up anywhere.
+  *  - `BroadcastNestedLoopJoin` appears only where the query DECLARES a
+  *    bounded broadcast cross (a one-row aggregate or dimension-sized
+  *    relation crossed onto the corpus — the documented centroid/spine/
+  *    threshold pattern). Everywhere else it is forbidden: an accidental
+  *    BNL against a corpus-sized side is quadratic work.
+  *  - Window operators over an EMPTY partition spec (single-partition
+  *    global sort of the whole input) appear only where the windowed
+  *    relation is bounded by contract (≤k TakeOrdered survivors,
+  *    dimension-sized mixtures) — checked on the optimized logical plan,
+  *    where the window's partitionSpec is inspectable, not string-matched.
+  *  - Expected physical markers are present: the explicit broadcasts the
+  *    operators declare (`BroadcastHashJoin`), the shuffle joins that are
+  *    the designed shape (`SortMergeJoin`), parquet `PushedFilters` where
+  *    a selective predicate must reach the scan, and the custom
+  *    `RangeLookupJoin` operator where the whole point of the query is
+  *    replacing the naive theta-join.
+  *
+  * Query set = the top of the per-round bench by wall-clock (the heavy
+  * dedup/curation/retrieval compositions) — the plans a scale regression
+  * would hit first.
+  */
+class PlanContractSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** One query's pinned contract. `requiredMarkers` are substrings of the
+    * static physical plan; `allowBroadcastCross`/`allowGlobalWindow`
+    * whitelist the two documented bounded exceptions.
+    */
+  private case class Contract(
+      name: String,
+      requiredMarkers: Seq[String],
+      allowBroadcastCross: Boolean = false,
+      allowGlobalWindow: Boolean = false)
+
+  private val contracts = Seq(
+    // incremental near-dup: batch vs store pairs both df-capped; the
+    // small batch side broadcasts, store-side CC shuffles on ids
+    Contract("q_neardup_clusters_incr",
+      requiredMarkers = Seq("BroadcastHashJoin", "SortMergeJoin", "PushedFilters")),
+    // shingle-join dedup: the df-capped hot-shingle relation broadcasts
+    Contract("q_ngram_jaccard_dedup", requiredMarkers = Seq("BroadcastHashJoin")),
+    // BM25 index + near-dup pairs + eval scorecard; qrels/eval sides
+    // broadcast, postings join shuffles; the one-row corpus-stats cross is
+    // a declared broadcast cross
+    Contract("q_retrieval_eval",
+      requiredMarkers = Seq("BroadcastHashJoin", "SortMergeJoin"),
+      allowBroadcastCross = true, allowGlobalWindow = true),
+    // embedding near-dup at threshold: id-keyed pair join shuffles; the
+    // one-row norm aggregate crosses via broadcast
+    Contract("q_semantic_dedup",
+      requiredMarkers = Seq("SortMergeJoin", "PushedFilters"),
+      allowBroadcastCross = true),
+    Contract("q_training_manifest",
+      requiredMarkers = Seq("BroadcastHashJoin", "PushedFilters"),
+      allowBroadcastCross = true, allowGlobalWindow = true),
+    Contract("q_corpus_curation",
+      requiredMarkers = Seq("BroadcastHashJoin", "PushedFilters")),
+    // the registered 100×-scale curation mode (curated relation persisted
+    // once, both manifests derived from it)
+    Contract("q_curation_manifest_staged",
+      requiredMarkers = Seq("BroadcastHashJoin", "PushedFilters"),
+      allowBroadcastCross = true, allowGlobalWindow = true),
+    Contract("q_neardup_clusters", requiredMarkers = Seq("SortMergeJoin")),
+    // min-over-grams novelty: reference grams broadcast onto the batch
+    Contract("q_ngram_novelty", requiredMarkers = Seq("BroadcastHashJoin")),
+    // the custom physical operator IS the contract: the naive form of the
+    // band lookup is a theta-join that plans as BNL
+    Contract("q_range_band_fast", requiredMarkers = Seq("RangeLookupJoin")),
+    Contract("q_triangle_stats", requiredMarkers = Seq("BroadcastHashJoin")),
+    // rank relation broadcasts onto the cached edge relation each
+    // iteration; the final rank window runs over ≤k TakeOrdered survivors
+    Contract("q_textrank",
+      requiredMarkers = Seq("BroadcastHashJoin"), allowGlobalWindow = true))
+
+  /** Static plan + logical global windows for one registered query, with
+    * AQE off so the physical plan is fully materialized at plan time.
+    */
+  private def planOf(name: String): (String, Seq[LogicalWindow]) = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = SparkEntry.queries(name)(spark, TestSpark.sf0001)
+      val phys = df.queryExecution.executedPlan.toString
+      val globalWindows = df.queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+      }
+      (phys, globalWindows)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.catalog.clearCache()
+    }
+  }
+
+  contracts.foreach { c =>
+    test(s"${c.name}: pinned plan contract (no cartesian/BNL/global-window drift, markers present)") {
+      val (plan, globalWindows) = planOf(c.name)
+      assert(!plan.contains("CartesianProduct"),
+        s"${c.name} planned a CartesianProduct — quadratic at scale:\n$plan")
+      if (!c.allowBroadcastCross)
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${c.name} planned a BroadcastNestedLoopJoin without a declared bounded cross:\n$plan")
+      if (!c.allowGlobalWindow)
+        assert(globalWindows.isEmpty,
+          s"${c.name} has ${globalWindows.size} unpartitioned Window(s) — single-partition " +
+            s"sort of the whole relation: ${globalWindows.map(_.windowExpressions).mkString("; ")}")
+      c.requiredMarkers.foreach { m =>
+        assert(plan.contains(m), s"${c.name} lost expected plan marker '$m':\n$plan")
+      }
+    }
+  }
+}
