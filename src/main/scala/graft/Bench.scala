@@ -21,6 +21,28 @@ import org.apache.spark.sql.SparkSession
   * query must look broken, not fast.
   */
 object Bench {
+
+  /** Aggregate (steal, total) jiffies from /proc/stat's `cpu` line —
+    * fields are user nice system idle iowait irq softirq steal guest
+    * guest_nice. Steal is time this VM's vCPUs were runnable but the
+    * hypervisor ran someone else: the one host-side effect that inflates
+    * wall-clock measurements without showing up in any JVM metric. Taken
+    * before and after the measured pass and embedded in the output JSON,
+    * a steal-polluted capture becomes machine-detectable (compare
+    * steal_pct across runs) instead of needing a judge to adjudicate
+    * quiet-window reruns. Returns (0, 0) where /proc/stat is unreadable
+    * (non-Linux) — steal_pct then reads 0 and the fields are still
+    * present, keeping the JSON schema stable.
+    */
+  private def stealJiffies(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val parts = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (parts.length > 7) parts(7) else 0L, parts.sum)
+      } finally src.close()
+    } catch { case _: Exception => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -53,6 +75,7 @@ object Bench {
       try { exhaust(fn(spark, warmDir)) } catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    val (stealBefore, totalBefore) = stealJiffies()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -71,9 +94,17 @@ object Bench {
     val failed = results.collect { case (k, _, false) => JsonOut.q(k) }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    val (stealAfter, totalAfter) = stealJiffies()
+    val stealDelta = stealAfter - stealBefore
+    val jiffiesDelta = totalAfter - totalBefore
+    val stealPct =
+      if (jiffiesDelta > 0) 100.0 * stealDelta.toDouble / jiffiesDelta else 0.0
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":$failed,"sf":${JsonOut.q(sfDir)}}""")
+        s""""failed":$failed,"sf":${JsonOut.q(sfDir)},""" +
+        s""""steal":{"before":$stealBefore,"after":$stealAfter,""" +
+        s""""delta":$stealDelta,"jiffies_delta":$jiffiesDelta,""" +
+        s""""steal_pct":$stealPct}}""")
     spark.stop()
   }
 }
