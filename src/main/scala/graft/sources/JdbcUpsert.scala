@@ -45,6 +45,129 @@ import org.apache.spark.sql.functions.col
   */
 object JdbcUpsert {
 
+  private def q(c: String) = "\"" + c + "\""
+
+  /** The reference's exact Postgres statement shape — one `INSERT … ON
+    * CONFLICT (keys) DO UPDATE SET v = EXCLUDED.v` per row
+    * (`/root/reference/etl/jobs/fetch_market_data/fetch_market_data.py:36-47`),
+    * with `?` parameter slots in `keyCols ++ valueCols` order. Generated
+    * here (and pinned by a spec against the reference's text shape) so a
+    * Postgres deployment runs the native conflict-safe statement rather
+    * than the portable update-then-insert pair; the sandbox cannot execute
+    * it (Derby has no ON CONFLICT), so the portable pair stays the tested
+    * default and this is the documented swap-in.
+    */
+  def onConflictSql(table: String, keyCols: Seq[String], valueCols: Seq[String]): String = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty, "need key and value columns")
+    val cols = keyCols ++ valueCols
+    s"INSERT INTO ${q(table)} (${cols.map(q).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${keyCols.map(q).mkString(", ")}) DO UPDATE SET " +
+      valueCols.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+  }
+
+  /** Set-based upsert statement: one `MERGE INTO target USING staging`
+    * covering the whole staged batch — the warehouse-scale form the
+    * per-row loop's Scaladoc promises, and standard SQL (Derby 10.11+,
+    * Postgres 15+, every warehouse engine), so [[upsertViaStagedMerge]]
+    * can exercise the statement text LIVE against the in-process Derby.
+    */
+  def mergeSql(
+      table: String,
+      staging: String,
+      keyCols: Seq[String],
+      valueCols: Seq[String]): String = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty, "need key and value columns")
+    val cols = keyCols ++ valueCols
+    s"MERGE INTO ${q(table)} t USING ${q(staging)} s ON " +
+      keyCols.map(c => s"t.${q(c)} = s.${q(c)}").mkString(" AND ") +
+      " WHEN MATCHED THEN UPDATE SET " +
+      valueCols.map(c => s"${q(c)} = s.${q(c)}").mkString(", ") +
+      s" WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})" +
+      s" VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})"
+  }
+
+  /** Upsert via staged set-based MERGE: executors stream the (key-deduped
+    * — MERGE rejects a source with two rows matching one target row, so
+    * last-wins dedupe first, the same B18 precondition as the row loop)
+    * batch into `staging` with JDBC batch inserts, then the driver runs
+    * ONE [[mergeSql]] statement and clears the staging table in the same
+    * transaction. Compared to the per-row loop this trades a second write
+    * of the batch for set-based target maintenance — the right exchange
+    * when the target is indexed and the round-trip latency dominates
+    * (warehouse deployments); the per-row pair remains the lowest-footprint
+    * portable default. Caller owns the staging table's DDL and exclusivity
+    * (two jobs staging into one table would merge each other's rows).
+    *
+    * Crash safety: a failure between staging and MERGE leaves orphan
+    * staging rows but an untouched target; the defensive pre-clear makes
+    * the retry see only its own rows, so the operation stays idempotent.
+    */
+  def upsertViaStagedMerge(
+      df: DataFrame,
+      url: String,
+      table: String,
+      staging: String,
+      keyCols: Seq[String],
+      valueCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty, "need key and value columns")
+    val cols = keyCols ++ valueCols
+    val insertSql =
+      s"INSERT INTO ${q(staging)} (${cols.map(q).mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    withConn(url) { conn =>
+      // defensive pre-clear: a previous crashed attempt's orphans must not
+      // leak into this batch's MERGE
+      conn.createStatement().executeUpdate(s"DELETE FROM ${q(staging)}")
+      conn.commit()
+    }
+    df.select(cols.map(col): _*)
+      .repartition(keyCols.map(col): _*)
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          withConn(url) { conn =>
+            val ins = conn.prepareStatement(insertSql)
+            try {
+              var n = 0
+              it.foreach { r =>
+                keyCols.indices.foreach { i =>
+                  if (r.isNullAt(i)) throw new IllegalArgumentException(
+                    s"upsert key ${keyCols(i)} is NULL — null keys break upsert idempotence")
+                }
+                cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+                ins.addBatch()
+                n += 1
+                if (n % 1000 == 0) ins.executeBatch()
+              }
+              ins.executeBatch()
+            } finally ins.close()
+            conn.commit()
+          }
+        }
+      }
+    withConn(url) { conn =>
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(mergeSql(table, staging, keyCols, valueCols))
+        st.executeUpdate(s"DELETE FROM ${q(staging)}")
+      } finally st.close()
+      conn.commit()
+    }
+  }
+
+  private def withConn[A](url: String)(body: java.sql.Connection => A): A = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      try body(conn)
+      catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case _: Exception => () }
+          throw e
+      }
+    } finally conn.close()
+  }
+
   def upsertBatch(
       df: DataFrame,
       url: String,
@@ -53,7 +176,6 @@ object JdbcUpsert {
       valueCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty && valueCols.nonEmpty, "need key and value columns")
     val cols = keyCols ++ valueCols
-    def q(c: String) = "\"" + c + "\""
     val updateSql =
       s"UPDATE ${q(table)} SET ${valueCols.map(c => s"${q(c)} = ?").mkString(", ")} " +
         s"WHERE ${keyCols.map(c => s"${q(c)} = ?").mkString(" AND ")}"

@@ -124,6 +124,56 @@ class JdbcUpsertSpec extends AnyFunSuite {
     }
   }
 
+  test("onConflictSql generates the reference's exact Postgres statement shape") {
+    // reference: fetch_market_data.py:36-47 — INSERT … VALUES … ON
+    // CONFLICT (symbol, asset_type) DO UPDATE SET col = EXCLUDED.col.
+    // Pinned verbatim (modulo quoting and ? placeholders) so the Postgres
+    // deployment path executes the same statement the reference does.
+    assert(JdbcUpsert.onConflictSql("market_data", keyCols, valCols) ==
+      """INSERT INTO "market_data" ("symbol", "asset_type", "price", "change") """ +
+        """VALUES (?, ?, ?, ?) ON CONFLICT ("symbol", "asset_type") DO UPDATE SET """ +
+        """"price" = EXCLUDED."price", "change" = EXCLUDED."change"""")
+  }
+
+  test("upsertViaStagedMerge: set-based MERGE round trip against live Derby") {
+    withTable("merge_target") { t =>
+      withTable("merge_staging") { s =>
+        // wave 1: all inserts through the NOT MATCHED branch
+        val b1 = Seq(
+          ("AAPL", "STOCK", 100.0, 1.0),
+          ("BTC", "CRYPTO", 50000.0, -20.0))
+          .toDF("symbol", "asset_type", "price", "change")
+        JdbcUpsert.upsertViaStagedMerge(b1, url, t, s, keyCols, valCols)
+        assert(readAll(t) == Set(
+          ("AAPL", "STOCK", 100.0, 1.0), ("BTC", "CRYPTO", 50000.0, -20.0)))
+        // wave 2: one MATCHED update, one new key, composite key respected
+        val b2 = Seq(
+          ("AAPL", "STOCK", 101.5, 1.5),
+          ("AAPL", "OPTION", 9.0, 0.1))
+          .toDF("symbol", "asset_type", "price", "change")
+        JdbcUpsert.upsertViaStagedMerge(b2, url, t, s, keyCols, valCols)
+        assert(readAll(t) == Set(
+          ("AAPL", "STOCK", 101.5, 1.5), ("AAPL", "OPTION", 9.0, 0.1),
+          ("BTC", "CRYPTO", 50000.0, -20.0)))
+        // replay of the same batch is a no-op (idempotence) and the
+        // staging table is left empty for the next batch
+        JdbcUpsert.upsertViaStagedMerge(b2, url, t, s, keyCols, valCols)
+        assert(readAll(t).size == 3)
+        assert(readAll(s).isEmpty, "staging must be cleared after the merge")
+        // many-partition wave: the staged form handles parallel writers too
+        val wide = spark.range(500)
+          .select(
+            concat(lit("W"), col("id")).as("symbol"),
+            lit("STOCK").as("asset_type"),
+            col("id").cast("double").as("price"),
+            lit(0.25).as("change"))
+          .repartition(8)
+        JdbcUpsert.upsertViaStagedMerge(wide, url, t, s, keyCols, valCols)
+        assert(readAll(t).size == 503)
+      }
+    }
+  }
+
   test("foreachBatchUpsert: MemoryStream micro-batches reach the table with last-wins state") {
     withTable("market_stream") { t =>
       implicit val sqlCtx = spark.sqlContext
