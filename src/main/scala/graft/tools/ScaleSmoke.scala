@@ -25,6 +25,12 @@ object ScaleSmoke {
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
+    // SPARK_GRAFT_SMOKE_DEEP=1 pushes the replication one decade further
+    // (K up to 32 / 64k+ vectors) on the sections where the sub-quadratic
+    // claim matters most; the default Ks keep the full smoke minutes-cheap
+    val deep = sys.env.get("SPARK_GRAFT_SMOKE_DEEP").contains("1")
+    def ks(section: String, default: Seq[Int], deepKs: Seq[Int]): Seq[Int] =
+      if (!want(section)) Seq[Int]() else if (deep) deepKs else default
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -81,7 +87,7 @@ object ScaleSmoke {
     // ---- edit-distance near-dup: the O(la·lb) DP must stay on a
     // near-constant share of candidates as the corpus replicates ----
     if (want("editdist")) println("k,docs,shingle_cands,verified_cands,results,seconds")
-    (if (want("editdist")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
+    ks("editdist", Seq(1, 2, 4, 8), Seq(1, 4, 16, 32)).foreach { k =>
       val corpus = copyK(k).cache()
       val n = corpus.count()
       val ex = DedupOps.cappedExploded(
@@ -114,7 +120,7 @@ object ScaleSmoke {
     // same replicated corpus; candidates are the cost driver of exact
     // Jaccard, and the prefix scheme must keep its advantage as K grows
     if (want("prefix")) println("k,docs,full_cands,prefix_cands,full_s,prefix_s")
-    (if (want("prefix")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
+    ks("prefix", Seq(1, 2, 4, 8), Seq(1, 4, 16, 32)).foreach { k =>
       val corpus = copyK(k).cache()
       val n = corpus.count()
       spark.sharedState.cacheManager.clearCache()
@@ -184,7 +190,7 @@ object ScaleSmoke {
     }
 
     if (want("knn")) println("knn: k,vectors,op,seconds,rows")
-    (if (want("knn")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
+    ks("knn", Seq(1, 2, 4, 8), Seq(1, 8, 32)).foreach { k =>
       val corpus = embK(k).cache()
       val n = corpus.count()
       val probes = corpus.filter(col("vec_id") < 20)
@@ -221,7 +227,7 @@ object ScaleSmoke {
       SyntheticVectors.clustered(nClusters = 25 * k, perCluster = 40, dim = 16, seed = 13)
         .toDF("vec_id", "embedding")
     if (want("neardup")) println("neardup: k,vectors,op,seconds,pairs,scored")
-    (if (want("neardup")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
+    ks("neardup", Seq(1, 2, 4, 8), Seq(1, 4, 16)).foreach { k =>
       val corpus = clustered(k).cache()
       val n = corpus.count()
       val nLists = 8 * k
