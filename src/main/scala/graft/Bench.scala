@@ -75,6 +75,8 @@ object Bench {
       try { exhaust(fn(spark, warmDir)) } catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    // free the warmup pass's dead localCheckpoint blocks before measuring
+    System.gc()
     val (stealBefore, totalBefore) = stealJiffies()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -85,8 +87,14 @@ object Bench {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop per-query caches (LSH signatures etc.) so accumulated blocks
-      // don't pressure the heap of later queries; not part of the timing
+      // don't pressure the heap of later queries; not part of the timing.
+      // clearCache only covers cache()/persist() — localCheckpoint blocks
+      // are freed by the ContextCleaner, which only fires on a JVM GC, so
+      // force one: without it dead checkpoint RDDs from 150 queries pile
+      // up in the shared local-mode heap and tax later queries (measured
+      // 4-5× inflation on queries late in a heavy sequence)
       spark.catalog.clearCache()
+      System.gc()
       (name, if (ok) dt else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => JsonOut.q(k) + ":" + v }

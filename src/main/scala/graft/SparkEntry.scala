@@ -1685,8 +1685,12 @@ object SparkEntry {
       docs, "doc_id", "text",
       docs.filter(col("doc_id") % 29 === 0), "doc_id", "text", k = 10)
     val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
-    val rel = pairs.select(col("doc_a").as("query_id"), col("doc_b").as("doc_id"))
-      .unionByName(pairs.select(col("doc_b").as("query_id"), col("doc_a").as("doc_id")))
+    // both orientations from ONE evaluation of the (expensive) pair
+    // relation — a two-branch union would re-derive the shingle join twice
+    val rel = pairs.select(explode(array(
+        struct(col("doc_a").as("query_id"), col("doc_b").as("doc_id")),
+        struct(col("doc_b").as("query_id"), col("doc_a").as("doc_id")))).as("__e"))
+      .select(col("__e.query_id"), col("__e.doc_id"))
     TextOps.retrievalEval(results, rel, "query_id", "doc_id", "rank", k = 10)
   }
 

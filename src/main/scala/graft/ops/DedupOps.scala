@@ -554,8 +554,13 @@ object DedupOps {
       aCol: String,
       bCol: String,
       maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("s"), col(bCol).as("t"))
-      .union(pairs.select(col(bCol).as("s"), col(aCol).as("t")))
+    // materialize the pair relation exactly ONCE: `pairs` is typically an
+    // expensive shingle/band join-aggregate, and the two union branches
+    // below would otherwise each re-derive it (Spark performs no
+    // cross-branch subtree reuse)
+    val base = pairs.select(col(aCol).as("s"), col(bCol).as("t")).localCheckpoint(true)
+    val edges = base
+      .union(base.select(col("t").as("s"), col("s").as("t")))
       .distinct().localCheckpoint()
     // smart init: label = min(id, min neighbor) — one aggregation that
     // fully resolves cliques and stars (the dominant near-dup shapes), so
@@ -618,14 +623,19 @@ object DedupOps {
       aCol: String,
       bCol: String,
       maxIter: Int = 50): DataFrame = {
-    val (edges, rounds, converged) = alternatingStarRounds(pairs, aCol, bCol, maxIter)
+    // materialize the pair relation exactly ONCE: the star rounds and the
+    // node set both consume it, and downstream evaluations of the OUTPUT
+    // would otherwise re-derive the (typically expensive) pair lineage
+    // through `nodes` on every use
+    val base = pairs.select(col(aCol).as("s"), col(bCol).as("t")).localCheckpoint(true)
+    val (edges, rounds, converged) = alternatingStarRounds(base, "s", "t", maxIter)
     // O(log n) rounds means the default budget covers ~2^50 nodes; hitting
     // it unconverged must fail LOUD — star edges from a truncated run would
     // silently mislabel components
     if (!converged) throw new IllegalStateException(
       s"connectedComponentsFast did not converge in $rounds rounds (maxIter=$maxIter)")
-    val nodes = pairs.select(col(aCol).as("id"))
-      .union(pairs.select(col(bCol).as("id"))).distinct()
+    val nodes = base.select(col("s").as("id"))
+      .union(base.select(col("t").as("id"))).distinct()
     // converged edges are star edges (child → root); roots and self-pair
     // singletons label themselves
     nodes
@@ -1014,14 +1024,20 @@ object DedupOps {
     * O(log n). Singletons (with or without new edges) keep their row.
     */
   def mergeClusters(labeled: DataFrame, newPairs: DataFrame): DataFrame = {
-    val edges = labeled
+    // materialize each input exactly ONCE: `labeled` feeds the edge seed
+    // and the id roster, `newPairs` feeds both plus its mirror — without a
+    // checkpoint the (typically expensive: a CC run, a shingle join) input
+    // lineages re-derive once per consuming branch
+    val lab = labeled.select(col("id"), col("cluster_id")).localCheckpoint(true)
+    val np = newPairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val edges = lab
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("doc_a"), col("cluster_id").as("doc_b"))
-      .unionByName(newPairs.select(col("doc_a"), col("doc_b")))
+      .unionByName(np)
     val cc = connectedComponentsFast(edges, "doc_a", "doc_b")
-    val ids = labeled.select(col("id"))
-      .unionByName(newPairs.select(col("doc_a").as("id")))
-      .unionByName(newPairs.select(col("doc_b").as("id")))
+    val ids = lab.select(col("id"))
+      .unionByName(np.select(col("doc_a").as("id")))
+      .unionByName(np.select(col("doc_b").as("id")))
       .distinct()
     ids.join(cc, Seq("id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))

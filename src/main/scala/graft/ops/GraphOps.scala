@@ -51,10 +51,14 @@ object GraphOps {
       rounds: Int = 3): DataFrame = {
     require(rounds >= 1, "need at least one round")
     // undirected: each pair votes in both directions; weights sum parallel
-    // edges so a multi-evidence pair counts accordingly
+    // edges so a multi-evidence pair counts accordingly. Both orientations
+    // come from ONE evaluation of `pairs` (explode, not a two-branch
+    // union) — the pair relation is typically an expensive shingle join
     val edges = pairs
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionByName(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("__e"))
+      .select(col("__e.src"), col("__e.dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
       .cache()
     var lab = edges.select(col("src").as("node")).distinct()

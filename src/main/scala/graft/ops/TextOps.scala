@@ -720,8 +720,12 @@ object TextOps {
     val d = df.select(explode(adj).as("g"))
       .select(col("g.a").as("a"), col("g.b").as("b"))
       .filter(col("a") =!= "" && col("b") =!= "" && col("a") =!= col("b"))
-    val edges = d.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(d.select(col("b").as("src"), col("a").as("dst")))
+    // both orientations from ONE corpus-pair build (explode, not a
+    // two-branch union that would re-run the tokenize+pair scan twice)
+    val edges = d.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("__e"))
+      .select(col("__e.src"), col("__e.dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
     val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
     // cached: the weighted edge relation feeds every iteration's join —

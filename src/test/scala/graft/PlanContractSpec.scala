@@ -51,10 +51,14 @@ class PlanContractSpec extends AnyFunSuite {
       allowGlobalWindow: Boolean = false)
 
   private val contracts = Seq(
-    // incremental near-dup: batch vs store pairs both df-capped; the
-    // small batch side broadcasts, store-side CC shuffles on ids
+    // incremental near-dup: the pair-generation stages (where the
+    // df-capped hot-shingle broadcasts live — pinned by
+    // q_ngram_jaccard_dedup's contract on the same path) are
+    // checkpoint-materialized, so the FINAL plan visible here is the
+    // cluster-merge tail: id-keyed shuffle joins over checkpointed pair
+    // RDDs plus the pruned parquet scan of the doc roster
     Contract("q_neardup_clusters_incr",
-      requiredMarkers = Seq("BroadcastHashJoin", "SortMergeJoin", "PushedFilters")),
+      requiredMarkers = Seq("SortMergeJoin", "PushedFilters")),
     // shingle-join dedup: the df-capped hot-shingle relation broadcasts
     Contract("q_ngram_jaccard_dedup", requiredMarkers = Seq("BroadcastHashJoin")),
     // BM25 index + near-dup pairs + eval scorecard; qrels/eval sides
