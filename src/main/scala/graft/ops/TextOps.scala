@@ -648,7 +648,12 @@ object TextOps {
       k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val res = results.select(col(qidCol), col(docCol), col(rankCol)).cache()
-    val rel = relevance.select(col(qidCol), col(docCol)).distinct()
+    // cached like `res`: the relevance relation feeds BOTH the per-query
+    // n_rel aggregate and the hit join below, and its upstream lineage is
+    // typically expensive (q_retrieval_eval derives it from a shingle-join
+    // near-dup pair relation) — without materialization each branch
+    // re-derives it
+    val rel = relevance.select(col(qidCol), col(docCol)).distinct().cache()
     val qs = res.select(col(qidCol)).distinct()
     val relq = qs.join(rel, qidCol)
       .groupBy(col(qidCol)).agg(count(lit(1)).as("n_rel"))
