@@ -92,7 +92,47 @@ class PlanContractSpec extends AnyFunSuite {
     // rank relation broadcasts onto the cached edge relation each
     // iteration; the final rank window runs over ≤k TakeOrdered survivors
     Contract("q_textrank",
-      requiredMarkers = Seq("BroadcastHashJoin"), allowGlobalWindow = true))
+      requiredMarkers = Seq("BroadcastHashJoin"), allowGlobalWindow = true),
+    // shard-allocation mixture: dimension-sized allocation relation joins
+    // broadcast; the curated corpus scan keeps its pushed quality filter
+    Contract("q_mixture_manifest",
+      requiredMarkers = Seq("BroadcastHashJoin", "PushedFilters"),
+      allowBroadcastCross = true, allowGlobalWindow = true),
+    // month-spine fill: per-key bounds broadcast back onto the spine; the
+    // interpolation windows are keyed by symbol, never global
+    Contract("q_gap_interpolate",
+      requiredMarkers = Seq("BroadcastHashJoin", "PushedFilters")),
+    // iterative vote rounds: label relation shuffle-joins the cached edge
+    // relation on node ids each round
+    Contract("q_label_propagation",
+      requiredMarkers = Seq("SortMergeJoin", "PushedFilters")),
+    // keeper election: quality scores shuffle-join the cluster labeling on
+    // doc ids; the per-cluster argmax window is cluster-keyed, not global
+    Contract("q_keeper_by_quality",
+      requiredMarkers = Seq("SortMergeJoin", "PushedFilters")),
+    // BM25: postings join via the df-bounded term dictionary broadcasts;
+    // the ONLY BNL is the one-row corpus-stats (N, avgdl) cross — the
+    // declared bounded broadcast-cross pattern
+    Contract("q_bm25",
+      requiredMarkers = Seq("BroadcastHashJoin", "PushedFilters"),
+      allowBroadcastCross = true, allowGlobalWindow = true),
+    // incremental BM25 must keep the SAME plan posture as the from-scratch
+    // build it is proven equal to (shared oracle)
+    Contract("q_bm25_incremental",
+      requiredMarkers = Seq("BroadcastHashJoin", "PushedFilters"),
+      allowBroadcastCross = true, allowGlobalWindow = true),
+    // PPJoin prefix filtering: every candidate join is on hashed shingles
+    // with the df-capped hot relation broadcast — no shuffle join at all
+    Contract("q_jaccard_prefix", requiredMarkers = Seq("BroadcastHashJoin")),
+    // df-capped blocking + length-ratio prefilter: candidate joins
+    // broadcast; DP verification never plans as a product
+    Contract("q_editdist_dedup", requiredMarkers = Seq("BroadcastHashJoin")),
+    // leakage-safe split: cluster labeling shuffle-joins the doc roster;
+    // the split boundaries are per-cluster hashes, no global sort
+    Contract("q_cluster_split",
+      requiredMarkers = Seq("SortMergeJoin", "PushedFilters")),
+    // winnowing fingerprints: df-capped hot-fingerprint relation broadcasts
+    Contract("q_winnow_dedup", requiredMarkers = Seq("BroadcastHashJoin")))
 
   /** Static plan + logical global windows for one registered query, with
     * AQE off so the physical plan is fully materialized at plan time.
