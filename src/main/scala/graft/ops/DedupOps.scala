@@ -298,6 +298,32 @@ object DedupOps {
     crossJaccardPairsFrom(shA, shB, idCol, threshold, maxDocFreq, None)
   }
 
+  /** Batch-internal + bank-cross Jaccard pairs from PRE-COMPUTED shingle
+    * relations (`(id, sh: array<long>)`, the [[hashedShingles]] shape)
+    * under an EXTERNALLY maintained hot-shingle set — the seam a streaming
+    * cluster maintainer drives ([[graft.streaming.Streaming]]'s
+    * NearDupClusterStream): the caller banks shingles and the corpus-wide
+    * df statistic across micro-batches, so each increment pays only
+    * batch-internal + bank×batch candidate work, never bank×bank. With
+    * `hot = None` the semantics are exact/uncapped — the configuration
+    * whose stream-fold ≡ from-scratch equality is unconditional (a GROWING
+    * hot set is by nature prefix-dependent: a pair legitimately found
+    * before an element crossed the cap has no counterpart in a
+    * full-corpus-capped one-shot run, so capped equality holds exactly
+    * when the hot set is stable across the stream — see the streaming
+    * spec, which pins both regimes).
+    */
+  def pairsFromShingleBank(
+      bank: DataFrame,
+      batchSh: DataFrame,
+      idCol: String,
+      threshold: Double,
+      hot: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val b = batchSh.cache()
+    (setJaccardPairs(b, idCol, threshold, maxDocFreq = 0, hotOverride = hot),
+      crossJaccardPairsFrom(bank, b, idCol, threshold, maxDocFreq = 0, hotOverride = hot))
+  }
+
   /** [[crossJaccardPairs]] core over pre-hashed shingle relations, with an
     * optional externally-maintained hot-shingle override (the incremental
     * store cycle's corpus-wide df cap — see [[incrementalJaccardPairs]]).

@@ -452,4 +452,58 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: the shingle-bank streaming fold equals from-scratch CC at any batch split") {
+    // the algebraic core of Streaming.NearDupClusterStream, property-tested
+    // without the streaming machinery: fold random doc corpora through
+    // pairsFromShingleBank + mergeClusters in 1-4 random batches and the
+    // final labeling must equal the one-shot jaccardPairs + CC (uncapped —
+    // the configuration whose equality is unconditional)
+    val wordPool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docGen: Gen[List[(Long, String)]] = for {
+      nFam <- Gen.choose(1, 3)
+      fams <- Gen.listOfN(nFam, Gen.listOfN(8, Gen.oneOf(wordPool)).map(_.mkString(" ")))
+      docs <- Gen.listOf(for {
+        id <- Gen.choose(0L, 40L)
+        fam <- Gen.oneOf(fams)
+        extra <- Gen.listOfN(2, Gen.oneOf(wordPool))
+      } yield (id, s"$fam ${extra.mkString(" ")}"))
+        .suchThat(_.nonEmpty)
+    } yield docs.distinctBy(_._1)
+    samples(docGen, 8).zipWithIndex.foreach { case (docs, i) =>
+      val all = docs.toDF("doc_id", "text")
+      val expected = all.select(col("doc_id").as("id"))
+        .join(
+          DedupOps.connectedComponents(
+            DedupOps.jaccardPairs(all, "doc_id", "text", n = 3,
+              threshold = 0.5, maxDocFreq = 0),
+            "doc_a", "doc_b"),
+          Seq("id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+        .as[(Long, Long)].collect().toSet
+      val nBatches = 1 + i % 4
+      val batches = docs.grouped(math.max(1, (docs.size + nBatches - 1) / nBatches)).toSeq
+      var bank = Option.empty[org.apache.spark.sql.DataFrame]
+      var labels = Option.empty[org.apache.spark.sql.DataFrame]
+      batches.foreach { b =>
+        val sh = DedupOps.hashedShingles(
+          b.toDF("doc_id", "text"), "doc_id", "text", 3).localCheckpoint(true)
+        val (bp, cp) = DedupOps.pairsFromShingleBank(
+          bank.getOrElse(sh.limit(0)), sh, "doc_id", 0.5, hot = None)
+        val seeded = labels.fold(
+          sh.select(col("doc_id").as("id"), col("doc_id").as("cluster_id")))(
+          _.unionByName(sh.select(col("doc_id").as("id"), col("doc_id").as("cluster_id"))))
+        labels = Some(DedupOps.mergeClusters(
+          seeded,
+          bp.select(col("doc_a"), col("doc_b"))
+            .unionByName(cp.select(col("doc_a"), col("doc_b")))).localCheckpoint(true))
+        bank = Some(bank.fold(sh)(_.unionByName(sh).localCheckpoint(true)))
+      }
+      val got = labels.get.select(col("id"), col("cluster_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == expected, s"case $i: ${docs.size} docs in $nBatches batches")
+      spark.catalog.clearCache()
+    }
+  }
 }

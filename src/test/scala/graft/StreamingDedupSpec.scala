@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.DedupOps
+import graft.streaming.Streaming
+
+/** Streaming near-dup cluster maintenance (Streaming.NearDupClusterStream):
+  * the micro-batched fold is proven EQUAL to a from-scratch batch
+  * clustering over all documents ever seen, on the real corpus (uncapped)
+  * and on a cap-stable synthetic corpus (capped), across a kill/restart
+  * with a fully re-delivered batch (at-least-once).
+  */
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** From-scratch expected labeling: CC over the one-shot pair relation,
+    * singletons self-labeled — the same relation the batch operators are
+    * oracled against.
+    */
+  private def batchClusters(docs: DataFrame, maxDocFreq: Int): Set[(Long, Long)] = {
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5, maxDocFreq = maxDocFreq)
+    docs.select(col("doc_id").as("id"))
+      .join(DedupOps.connectedComponents(pairs, "doc_a", "doc_b"), Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      .as[(Long, Long)].collect().toSet
+  }
+
+  private def streamedClusters(s: Streaming.NearDupClusterStream): Set[(Long, Long)] =
+    s.clusters.get.select(col("id"), col("cluster_id")).as[(Long, Long)].collect().toSet
+
+  test("stream-fed clustering equals from-scratch CC on the real corpus (uncapped)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val rows = docs.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    val ckpt = Files.createTempDirectory("graft-ndc-ckpt").toString
+    val ndc = new Streaming.NearDupClusterStream(
+      "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 0)
+    val q = ndc.start(sdf, ckpt)
+    chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+    q.stop()
+    val expected = batchClusters(docs, maxDocFreq = 0)
+    assert(streamedClusters(ndc) == expected)
+    // sanity: the corpus actually contains non-trivial clusters
+    assert(expected.exists { case (id, cid) => id != cid })
+  }
+
+  test("capped stream: kill/restart + fully re-delivered batch leaves the fold exact") {
+    implicit val sqlCtx = spark.sqlContext
+    // cap-stable corpus for maxDocFreq = 5: the boilerplate sentence is
+    // shared by ALL docs and crosses the cap already within batch 1 (6
+    // docs), so the hot set never changes mid-stream; family A's text is
+    // shared by 3 batch-1 docs (df 3 ≤ 5) and one batch-2 doc (df 4 ≤ 5).
+    // If a replayed batch-1 doubled df contributions, family A's shingles
+    // would read df 7 > 5 at batch 2, the cross pairs would vanish, and
+    // doc 103's row would break the equality below — the redelivery
+    // fencing is load-bearing in this test, not incidental.
+    // geometry: the capped Jaccard counts COMMON over non-hot grams but
+    // sizes over ALL grams, so identical family docs score (N−h)/(N+h)
+    // with N total grams and h hot boilerplate grams — famA is sized so
+    // that lands at 22/38 ≈ 0.58 ≥ 0.5 (a 10-token boiler → h = 8)
+    val boiler = "terms of service apply to all content on this page"
+    val famA = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles slowly cross the ancient stone bridge near the waterfall"
+    val batch1 = Seq(
+      (1L, s"$famA $boiler"), (2L, s"$famA $boiler"), (3L, s"$famA $boiler"),
+      (4L, s"completely unrelated text about volcano geology and magma $boiler"),
+      (5L, s"another singleton document discussing medieval trade routes $boiler"),
+      (6L, s"a third lone document on deep sea bioluminescence patterns $boiler"))
+    val batch2 = Seq(
+      (103L, s"$famA $boiler"),
+      (104L, s"fresh singleton text about glacier formation and moraines $boiler"))
+    val stream1 = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("graft-ndc2-ckpt").toString
+    val store = Files.createTempDirectory("graft-ndc2-store").toString + "/ndc"
+    val ndc1 = new Streaming.NearDupClusterStream(
+      "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 5, Some(store))
+    val q1 = ndc1.start(stream1.toDF().toDF("doc_id", "text"), ckpt)
+    stream1.addData(batch1); q1.processAllAvailable(); q1.stop()
+    // crash analog: a FRESH instance recovers from the persisted store; the
+    // source then re-delivers ALL of batch 1 before batch 2 (at-least-once)
+    val stream2 = MemoryStream[(Long, String)]
+    val ckpt2 = Files.createTempDirectory("graft-ndc2-ckpt-b").toString
+    val ndc2 = new Streaming.NearDupClusterStream(
+      "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 5, Some(store))
+    val q2 = ndc2.start(stream2.toDF().toDF("doc_id", "text"), ckpt2)
+    stream2.addData(batch1); q2.processAllAvailable()
+    stream2.addData(batch2); q2.processAllAvailable()
+    q2.stop()
+    val expected = batchClusters(
+      (batch1 ++ batch2).toDF("doc_id", "text"), maxDocFreq = 5)
+    assert(streamedClusters(ndc2) == expected)
+    // the family resolved across the batch boundary: 103 joined {1,2,3}
+    assert(streamedClusters(ndc2).contains((103L, 1L)))
+    // a THIRD recovery sees the version the replayed run promoted
+    val ndc3 = new Streaming.NearDupClusterStream(
+      "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 5, Some(store))
+    val stream3 = MemoryStream[(Long, String)]
+    val q3 = ndc3.start(stream3.toDF().toDF("doc_id", "text"), Files.createTempDirectory("graft-ndc2-ckpt-c").toString)
+    stream3.addData(Seq.empty[(Long, String)]); q3.processAllAvailable(); q3.stop()
+    assert(streamedClusters(ndc3) == expected)
+  }
+}
