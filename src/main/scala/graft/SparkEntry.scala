@@ -1233,6 +1233,39 @@ object SparkEntry {
   def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame =
     LinkOps.fuzzySelfMatch(Tables.customer(spark, dir), "c_custkey", "c_name")
 
+  /** Customer-dimension pseudonymization before a data share: the name
+    * becomes a deterministic salted-md5 pseudonym (join-stable across
+    * exports under the same pepper) AND a digit-masked display form —
+    * [[Privacy.pseudonymize]], a single narrow codegen'd projection.
+    * The salt is pinned so the oracle reproduces the pseudonyms; in
+    * production it is a caller-held secret.
+    */
+  def qPseudonymize(spark: SparkSession, dir: String): DataFrame =
+    Privacy.pseudonymize(
+      Tables.customer(spark, dir),
+      keepCols = Seq("c_custkey", "c_mktsegment"),
+      hashCols = Seq("c_name"),
+      maskCols = Seq("c_name"),
+      salt = "graft-pepper")
+
+  /** k-anonymity audit over the (nation, segment) quasi-identifier pair —
+    * one row per equivalence class with its size and release-safety flag
+    * ([[Privacy.kAnonymity]], k=12: strict enough that both outcomes
+    * occur on the test corpus).
+    */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Privacy.kAnonymity(
+      Tables.customer(spark, dir), Seq("c_nationkey", "c_mktsegment"), k = 12)
+
+  /** Full-domain suppression of rare quasi-identifier classes: customers
+    * in a (nation, segment) class below k=12 get both quasi values
+    * collapsed to '*' ([[Privacy.suppressRare]] — the generalization step
+    * that restores k-anonymity after the audit flags leaks).
+    */
+  def qSuppressRare(spark: SparkSession, dir: String): DataFrame =
+    Privacy.suppressRare(
+      Tables.customer(spark, dir), Seq("c_nationkey", "c_mktsegment"), k = 12)
+
   /** Domain-mix rebalancing of the corpus to a skewed target (sources
     * src0-src4 get 10% each, the rest split the remaining half), sized by
     * n_chars — deterministic integer-hash membership, so the kept set is
@@ -2130,6 +2163,9 @@ object SparkEntry {
     "q_neardup_clusters"        -> (qNeardupClusters(_, _)),
     "q_domain_rebalance"        -> (qDomainRebalance(_, _)),
     "q_fuzzy_join"              -> (qFuzzyJoin(_, _)),
+    "q_pseudonymize"            -> (qPseudonymize(_, _)),
+    "q_k_anonymity"             -> (qKAnonymity(_, _)),
+    "q_suppress_rare"           -> (qSuppressRare(_, _)),
     "q_incremental_agg"         -> (qIncrementalAgg(_, _)),
     "q_zorder_layout"           -> (qZorderLayout(_, _)),
     "q_pack_sequences"          -> (qPackSequences(_, _)),
@@ -3530,6 +3566,30 @@ object SparkEntry {
         |       levenshtein(a.c_name, b.c_name)::BIGINT AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // `||` not concat: DuckDB concat IGNORES nulls where Spark's
+    // null-propagates; `||` null-propagates on both. The 'g' flag makes
+    // DuckDB's regexp_replace global like Spark's default.
+    "q_pseudonymize" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       substring(md5('graft-pepper' || c_name), 1, 12) AS c_name_pseudo,
+        |       CASE WHEN c_name IS NULL THEN NULL
+        |            WHEN length(c_name) <= 4 THEN c_name
+        |            ELSE regexp_replace(substring(c_name, 1, length(c_name) - 4),
+        |                                '[0-9]', 'X', 'g')
+        |                 || substring(c_name, length(c_name) - 3, 4)
+        |       END AS c_name_masked
+        |FROM customer""".stripMargin,
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+        |       count(*) >= 12 AS is_safe
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q_suppress_rare" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+        |       CASE WHEN cnt < 12 THEN '*' ELSE CAST(c_nationkey AS VARCHAR) END
+        |         AS c_nationkey_gen,
+        |       CASE WHEN cnt < 12 THEN '*' ELSE c_mktsegment END AS c_mktsegment_gen
+        |FROM (SELECT *, count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS cnt
+        |      FROM customer)""".stripMargin,
     "q_incremental_agg" ->
       """SELECT o_custkey, count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
