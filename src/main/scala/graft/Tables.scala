@@ -18,29 +18,54 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is nanosecond-precision parquet, which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw ns-longs
-    * (`nanosAsLong`) and floor to microseconds — exactly what DuckDB's reader
-    * does — so both engines see identical µs timestamps.
+  /** Normalized events relation: `ts` an instant-semantics TIMESTAMP and
+    * `ts_ns` the epoch-nanosecond long, whatever the storage layout.
     *
-    * The raw column survives as `ts_ns`: a filter on the DERIVED `ts` cannot
-    * reach the parquet scan (it's an expression over the long), but a filter
-    * on `ts_ns` pushes down as a plain long range — at 100 TB of events that
-    * is the difference between scanning a time slice and scanning the table.
-    * Use [[eventsTsRange]] for time-sliced reads.
+    * The loader is SCHEMA-ADAPTIVE because the upstream generator has
+    * shipped two layouts: (a) nanosecond-precision parquet, which Spark's
+    * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]) — read as
+    * raw ns-longs (`nanosAsLong`) and floored to microseconds, exactly what
+    * DuckDB's reader does; (b) microsecond TIMESTAMP(NTZ) parquet — used
+    * directly (session timezone is pinned UTC everywhere, so the NTZ→instant
+    * cast is the identity on the stored datetimes) with `ts_ns` derived.
+    * Both layouts yield identical `ts`/`ts_ns` values and column order.
+    *
+    * Pushdown: time predicates must hit the RAW stored column to reach the
+    * parquet scan — the long `ts_ns` in layout (a), the NTZ `ts` in layout
+    * (b); a filter on any DERIVED column stays above the scan. At 100 TB of
+    * events that is the difference between scanning a time slice and
+    * scanning the table — [[eventsTsRange]] picks the pushdown-safe raw
+    * predicate per layout.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEvents(rawEvents(spark, dir))
+
+  private def rawEvents(spark: SparkSession, dir: String): DataFrame = {
     // session-level BY DESIGN (the legacy flag has no per-read form): every
     // session built by this engine reads ns-precision parquet as raw longs.
-    // The visible side effect is that other ns-timestamp parquet reads in
-    // the same session also get longs instead of PARQUET_TYPE_ILLEGAL —
-    // callers mixing in ns data of their own should read it through this
-    // convention too.
+    // Harmless for µs-precision files, which never trip the flag.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
+
+  /** Normalize a raw events relation (either storage layout, batch or
+    * stream) to the engine contract: columns `(event_id, ts_ns, user_id,
+    * event_type, value, props, ts)` with `ts` TIMESTAMP and `ts_ns` LONG.
+    */
+  def normalizeEvents(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        // µs TIMESTAMP or TIMESTAMP_NTZ; session tz is UTC so the cast is
+        // the identity instant mapping. Column order mirrors layout (a).
+        raw.select(
+          col("event_id"),
+          (unix_micros(col("ts").cast("timestamp")) * 1000L).as("ts_ns"),
+          col("user_id"), col("event_type"), col("value"), col("props"),
+          col("ts").cast("timestamp").as("ts"))
+    }
 
   /** Epoch nanoseconds of an ISO-8601 UTC instant — the unit `ts_ns`
     * predicates must compare in so they push down to the parquet scan
@@ -53,13 +78,26 @@ object Tables {
   }
 
   /** Events within [start, end) wall-clock UTC, with the time predicate
-    * pushed to the parquet scan in raw-ns space.
+    * phrased against the RAW stored column (ns-long or NTZ timestamp) so it
+    * pushes down to the parquet scan in either storage layout.
     */
   def eventsTsRange(
       spark: SparkSession, dir: String,
-      startUtc: java.time.Instant, endUtc: java.time.Instant): DataFrame =
-    events(spark, dir)
-      .filter(col("ts_ns") >= ns(startUtc.toString) && col("ts_ns") < ns(endUtc.toString))
+      startUtc: java.time.Instant, endUtc: java.time.Instant): DataFrame = {
+    val raw = rawEvents(spark, dir)
+    val sliced = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.filter(col("ts") >= ns(startUtc.toString) && col("ts") < ns(endUtc.toString))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        val utc = java.time.ZoneOffset.UTC
+        raw.filter(
+          col("ts") >= lit(java.time.LocalDateTime.ofInstant(startUtc, utc)) &&
+            col("ts") < lit(java.time.LocalDateTime.ofInstant(endUtc, utc)))
+      case _ =>
+        raw.filter(col("ts") >= lit(startUtc) && col("ts") < lit(endUtc))
+    }
+    normalizeEvents(sliced)
+  }
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
   def customer(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "customer")

@@ -742,22 +742,20 @@ class JobsStreamingSpec extends AnyFunSuite {
   }
 
   test("file-source events stream: foreachBatch merge equals batch last-wins snapshot") {
-    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nsSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // streams require an explicit schema: take the file's ACTUAL schema from
+    // a batch read so the test tracks either storage layout (ns-long or µs
+    // timestamp), then normalize through the same seam the batch path uses
+    val fileSchema = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet").schema
     // the file source watches a landing DIRECTORY; stage the file into one
     val landing = Files.createTempDirectory("graft-landing")
     Files.copy(
       java.nio.file.Paths.get(s"${TestSpark.sf0001}/events.parquet"),
       landing.resolve("events.parquet"))
-    val stream = spark.readStream
-      .schema(nsSchema)
-      .parquet(landing.toString)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val stream = Tables.normalizeEvents(
+      spark.readStream
+        .schema(fileSchema)
+        .parquet(landing.toString))
       .select("user_id", "event_type", "value", "ts", "event_id")
     val snap = new Streaming.SnapshotStream(Seq("user_id", "event_type"), Seq("ts", "event_id"))
     val ckpt = Files.createTempDirectory("graft-file-ckpt").toString
