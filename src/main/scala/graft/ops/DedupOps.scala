@@ -122,22 +122,67 @@ object DedupOps {
       ex0.join(hot, Seq("s"), "left_anti")
     }
 
-  private[graft] def bucketPairs(exploded: DataFrame, idCol: String, bucketCol: String): DataFrame = {
-    val posting = exploded
+  private[graft] def bucketPairs(exploded: DataFrame, idCol: String, bucketCol: String): DataFrame =
+    bucketPairsCapped(exploded, idCol, bucketCol, maxDocFreq = 0)
+
+  /** [[bucketPairs]] with the df cap FUSED into the posting-list build: the
+    * posting aggregation already materializes each bucket's distinct-id set,
+    * so "document frequency > maxDocFreq" is just `size(__ids) > cap` — one
+    * predicate on the aggregate instead of [[cappedExploded]]'s separate
+    * df-count shuffle plus an anti-join back over the whole exploded
+    * relation. Same strict-`>` boundary (a bucket of exactly `maxDocFreq`
+    * documents survives), identical pairs and `common` counts for
+    * duplicate-free (id, bucket) input — which every element-set producer
+    * here guarantees ([[shingles]]/[[hashedShingles]] are array_distinct,
+    * winnow fingerprints `.distinct`). At 100 TB this removes the widest
+    * extra shuffle in the dedup family: the exploded relation is re-shuffled
+    * once (the posting groupBy), never a second time for the cap.
+    */
+  private[graft] def bucketPairsCapped(
+      exploded: DataFrame,
+      idCol: String,
+      bucketCol: String,
+      maxDocFreq: Int): DataFrame = {
+    val posting0 = postingLists(exploded, idCol, bucketCol)
+    val posting =
+      if (maxDocFreq <= 0) posting0
+      else posting0.filter(size(col("__ids")) <= maxDocFreq)
+    expandPostingPairs(posting)
+  }
+
+  /** [[bucketPairs]] under an EXTERNALLY maintained hot-bucket exclusion:
+    * the anti-join runs against the POSTING LISTS (one row per distinct
+    * bucket) instead of the exploded relation (one row per id×bucket) —
+    * dropping a hot bucket before or after the per-bucket grouping is the
+    * same set algebra, but the post-grouping relation is |distinct buckets|
+    * rows instead of sum-of-set-sizes rows, so the anti-join touches the
+    * narrowest possible relation.
+    */
+  private[graft] def bucketPairsAntiHot(
+      exploded: DataFrame,
+      idCol: String,
+      bucketCol: String,
+      hot: DataFrame): DataFrame =
+    expandPostingPairs(
+      postingLists(exploded, idCol, bucketCol)
+        .join(hot.select(col("s").as(bucketCol)), Seq(bucketCol), "left_anti"))
+
+  private def postingLists(exploded: DataFrame, idCol: String, bucketCol: String): DataFrame =
+    exploded
       .groupBy(col(bucketCol))
       .agg(sort_array(collect_set(col(idCol))).as("__ids"))
       .filter(size(col("__ids")) > 1)
-    val pairs = posting.select(explode(bindOnce(col("__ids")) { ids =>
+
+  private def expandPostingPairs(posting: DataFrame): DataFrame =
+    posting.select(explode(bindOnce(col("__ids")) { ids =>
       flatten(transform(
         ids,
         (x, i) => transform(
           slice(ids, i + lit(2), size(ids)),
           y => struct(x.as("doc_a"), y.as("doc_b")))))
     }).as("__p"))
-    pairs
       .groupBy(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-  }
 
   /** N-gram Jaccard near-dup pairs: explode distinct shingles, equi-join on
     * the shingle, exact Jaccard = common / (|A| + |B| - common) ≥ threshold.
@@ -181,11 +226,14 @@ object DedupOps {
     // hotOverride supplies an EXTERNALLY-maintained hot-element relation
     // (e.g. corpus-wide df in the incremental store cycle, where capping by
     // this subset's own df would diverge from the full-corpus contract)
-    val exploded = hotOverride match {
-      case Some(hot) => explodedAll.join(hot.select(col("s")), Seq("s"), "left_anti")
-      case None => cappedExploded(explodedAll, idCol, maxDocFreq)
+    val pairs = hotOverride match {
+      case Some(hot) =>
+        // hot exclusion applied to posting lists, not the exploded relation
+        bucketPairsAntiHot(explodedAll, idCol, "s", hot)
+      case None =>
+        // df cap fused into the posting build — no separate df shuffle
+        bucketPairsCapped(explodedAll, idCol, "s", maxDocFreq)
     }
-    val pairs = bucketPairs(exploded, idCol, "s")
     val jac = pairs
       .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
       .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
@@ -337,20 +385,25 @@ object DedupOps {
       hotOverride: Option[DataFrame]): DataFrame = {
     val ea = shA.select(col(idCol), explode(col("sh")).as("s"))
     val eb = shB.select(col(idCol), explode(col("sh")).as("s"))
-    val (fa, fb) = hotOverride match {
-      case Some(hot) =>
-        (ea.join(hot.select(col("s")), Seq("s"), "left_anti"),
-          eb.join(hot.select(col("s")), Seq("s"), "left_anti"))
-      case None if maxDocFreq <= 0 => (ea, eb)
-      case None =>
-        val hot = ea.select(col(idCol), col("s")).unionByName(eb)
-          .groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFreq).select(col("s"))
-        (ea.join(hot, Seq("s"), "left_anti"), eb.join(hot, Seq("s"), "left_anti"))
-    }
-    val pa = fa.groupBy(col("s")).agg(collect_set(col(idCol)).as("__as"))
-    val pb = fb.groupBy(col("s")).agg(collect_set(col(idCol)).as("__bs"))
-    val pairs = pa.join(pb, Seq("s"))
+    val pa = ea.groupBy(col("s")).agg(collect_set(col(idCol)).as("__as"))
+    val pb = eb.groupBy(col("s")).agg(collect_set(col(idCol)).as("__bs"))
+    // Hot/df exclusion applied AFTER the per-side posting grouping, on the
+    // narrowest relation in the plan (one row per element present on both
+    // sides): cross pairing only uses both-sides elements, and dropping a
+    // hot element before or after grouping is the same set algebra. The
+    // combined-df cap is FUSED as a predicate — for both-sides elements the
+    // combined document frequency is exactly size(__as)+size(__bs) (sides
+    // are duplicate-free element sets), so no union + df-count shuffle +
+    // anti-joins back over the exploded relations. One-side-only elements
+    // never join and never pair, so their cap status is irrelevant. Same
+    // strict-`>` boundary as [[cappedExploded]].
+    val joined0 = pa.join(pb, Seq("s"))
+    val pairs = (hotOverride match {
+      case Some(hot) => joined0.join(hot.select(col("s")), Seq("s"), "left_anti")
+      case None if maxDocFreq > 0 =>
+        joined0.filter(size(col("__as")) + size(col("__bs")) <= maxDocFreq)
+      case None => joined0
+    })
       .select(explode(bindOnce(struct(col("__as"), col("__bs"))) { ab =>
         flatten(transform(
           ab.getField("__as"),
