@@ -490,13 +490,18 @@ object TextOps {
       docs: DataFrame,
       idCol: String,
       textCol: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    // cached: the (doc, term) occurrence relation feeds tf AND dl
-    val toks = docs
+    // ONE pass over the exploded token relation: tf is the only aggregate
+    // that reads it (map-side partial agg pipelines straight off the scan,
+    // nothing 5M-rows-wide is ever cached); dl = Σ tf per doc and dfreq =
+    // count per term both derive from the (much smaller) cached postings.
+    // A doc with zero tokens is absent from tf, hence from dl, in both
+    // formulations — nd/tl semantics unchanged.
+    val tf = docs
       .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .cache()
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")).cache()
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl")).cache()
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")).cache()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
     (tf, dl, dfreq, stats)
