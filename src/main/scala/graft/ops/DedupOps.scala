@@ -280,9 +280,18 @@ object DedupOps {
       maxDocFreq: Int = 100): DataFrame = {
     val sh = hashedShingles(df, idCol, textCol, n).cache()
     val sizes = sh.select(col(idCol), size(col("sh")).as("n_sh"))
-    val ex = cappedExploded(
-      sh.select(col(idCol), explode(col("sh")).as("s")), idCol, maxDocFreq).cache()
-    val cand = prefixCandidatePairs(ex, idCol, threshold)
+    // ONE df pass serves both the cap and the rarest-first prefix order:
+    // the inner join against the (small, ≤cap-filtered) per-element df
+    // relation caps hot elements AND annotates survivors with `sdf` in the
+    // same step — the separate cappedExploded df-count + anti-join pass
+    // over the widest relation in the plan is gone. Survivor df values are
+    // identical either way (capping removes whole elements, never rows of
+    // surviving ones).
+    val ex0 = sh.select(col(idCol), explode(col("sh")).as("s"))
+    val dfr0 = ex0.groupBy(col("s")).agg(count(lit(1)).as("sdf"))
+    val dfr = if (maxDocFreq <= 0) dfr0 else dfr0.filter(col("sdf") <= maxDocFreq)
+    val ex = ex0.join(dfr, Seq("s")).cache()
+    val cand = prefixCandidatePairsAnnotated(ex, idCol, threshold)
     val csets = ex.groupBy(col(idCol)).agg(sort_array(collect_list(col("s"))).as("cs"))
     cand
       .join(csets.select(col(idCol).as("doc_a"), col("cs").as("ca")), "doc_a")
@@ -303,11 +312,22 @@ object DedupOps {
       ex: DataFrame,
       idCol: String,
       threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dfr = ex.groupBy(col("s")).agg(count(lit(1)).as("sdf"))
+    prefixCandidatePairsAnnotated(ex.join(dfr, Seq("s")), idCol, threshold)
+  }
+
+  /** [[prefixCandidatePairs]] over an already df-annotated (id, s, sdf)
+    * relation — the fused-cap path in [[jaccardPairsPrefix]] supplies the
+    * annotation from its single df pass.
+    */
+  private[graft] def prefixCandidatePairsAnnotated(
+      exd: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("sdf"), col("s"))
     val wAll = Window.partitionBy(col(idCol))
-    val prefix = ex.join(dfr, Seq("s"))
+    val prefix = exd
       .withColumn("pos", row_number().over(wDoc))
       .withColumn("nc", count(lit(1)).over(wAll))
       .filter(col("pos") <= col("nc") - ceil(lit(threshold) * col("nc")) + lit(1))
@@ -1298,16 +1318,15 @@ object DedupOps {
       .select(col(idCol), TextOps.normalize(col(textCol)).as("__t"))
       .withColumn("__len", length(col("__t")))
       .cache()
-    val exploded = cappedExploded(
-      hashedShingles(docs, idCol, textCol, n)
-        .select(col(idCol), explode(col("sh")).as("s")),
-      idCol, maxDocFreq)
+    val exploded = hashedShingles(docs, idCol, textCol, n)
+      .select(col(idCol), explode(col("sh")).as("s"))
     // lengths join + ratio filter FIRST on 8-byte columns; only the
     // surviving candidates (0.3% on the measured corpus) ever join the
     // text relation — the full texts must not shuffle for candidates the
     // length prefilter is about to discard
     val lens = nrm.select(col(idCol), col("__len"))
-    val cand = bucketPairs(exploded, idCol, "s")
+    // df cap fused into the posting build, same as [[setJaccardPairs]]
+    val cand = bucketPairsCapped(exploded, idCol, "s", maxDocFreq)
       .filter(col("common") >= minCommon)
       .join(lens.select(col(idCol).as("doc_a"), col("__len").as("__la")), "doc_a")
       .join(lens.select(col(idCol).as("doc_b"), col("__len").as("__lb")), "doc_b")
