@@ -121,10 +121,10 @@ class PlanContractSpec extends AnyFunSuite {
     Contract("q_bm25_incremental",
       requiredMarkers = Seq("BroadcastHashJoin", "PushedFilters"),
       allowBroadcastCross = true, allowGlobalWindow = true),
-    // PPJoin prefix filtering: every candidate join is on hashed shingles
-    // with the df-capped hot relation broadcast — no shuffle join at all
+    // PPJoin prefix filtering: the single df pass's cap-and-annotate join
+    // (small per-element df relation) broadcasts — no shuffle join at all
     Contract("q_jaccard_prefix", requiredMarkers = Seq("BroadcastHashJoin")),
-    // df-capped blocking + length-ratio prefilter: candidate joins
+    // fused df-capped blocking + length-ratio prefilter: candidate joins
     // broadcast; DP verification never plans as a product
     Contract("q_editdist_dedup", requiredMarkers = Seq("BroadcastHashJoin")),
     // leakage-safe split: cluster labeling shuffle-joins the doc roster;
