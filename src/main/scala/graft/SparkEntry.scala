@@ -1367,9 +1367,14 @@ object SparkEntry {
     val batch = docs.filter(col("doc_id") % 2 === 1)
     val (storePairs, batchPairs, crossPairs) = DedupOps.incrementalJaccardPairs(
       store, batch, "doc_id", "text", n = 3, threshold = 0.5)
+    // min-label CC with smart init: near-dup store graphs are tiny
+    // cliques/chains, where it converges in one no-change round — the
+    // O(log n) alternating-star variant pays >=2 fixed star rounds for the
+    // same labels (equality property-pinned in PropertiesSpec; reach for
+    // connectedComponentsFast when component diameter is unbounded)
     val storeLabels = store.select(col("doc_id").as("id"))
       .join(
-        DedupOps.connectedComponentsFast(storePairs, "doc_a", "doc_b"),
+        DedupOps.connectedComponents(storePairs, "doc_a", "doc_b"),
         Seq("id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
     val newPairs = batchPairs.unionByName(crossPairs)

@@ -234,13 +234,27 @@ object DedupOps {
         // df cap fused into the posting build — no separate df shuffle
         bucketPairsCapped(explodedAll, idCol, "s", maxDocFreq)
     }
-    val jac = pairs
-      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
-      .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
-    jac.filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    scoreJaccardPairs(pairs, sizes, sizes, idCol, threshold)
   }
+
+  /** Exact-Jaccard scoring tail shared by every posting-list candidate
+    * generator: join each side's FULL set size onto the (doc_a, doc_b,
+    * common) candidates, jaccard = common / (na + nb − common), filter.
+    * `sizesA`/`sizesB` are (idCol, n_sh) relations for the a/b sides
+    * (identical for self-joins).
+    */
+  private def scoreJaccardPairs(
+      pairs: DataFrame,
+      sizesA: DataFrame,
+      sizesB: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame =
+    pairs
+      .join(sizesA.withColumnRenamed(idCol, "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizesB.withColumnRenamed(idCol, "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
   /** Prefix-filtered exact Jaccard pairs (the AllPairs/PPJoin candidate
     * scheme, Bayardo et al. / Xiao et al.): identical OUTPUT to
@@ -418,12 +432,25 @@ object DedupOps {
     // never join and never pair, so their cap status is irrelevant. Same
     // strict-`>` boundary as [[cappedExploded]].
     val joined0 = pa.join(pb, Seq("s"))
-    val pairs = (hotOverride match {
+    val pairs = expandCrossPostingPairs(hotOverride match {
       case Some(hot) => joined0.join(hot.select(col("s")), Seq("s"), "left_anti")
       case None if maxDocFreq > 0 =>
         joined0.filter(size(col("__as")) + size(col("__bs")) <= maxDocFreq)
       case None => joined0
     })
+    scoreJaccardPairs(
+      pairs,
+      shA.select(col(idCol), size(col("sh")).as("n_sh")),
+      shB.select(col(idCol), size(col("sh")).as("n_sh")),
+      idCol, threshold)
+  }
+
+  /** Cross-side pair expansion over joined postings (s, __as, __bs):
+    * every a×b combination, counted per pair — the two-sided complement of
+    * [[expandPostingPairs]].
+    */
+  private def expandCrossPostingPairs(joined: DataFrame): DataFrame =
+    joined
       .select(explode(bindOnce(struct(col("__as"), col("__bs"))) { ab =>
         flatten(transform(
           ab.getField("__as"),
@@ -431,14 +458,6 @@ object DedupOps {
       }).as("__p"))
       .groupBy(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    val sizesA = shA.select(col(idCol).as("doc_a"), size(col("sh")).as("na"))
-    val sizesB = shB.select(col(idCol).as("doc_b"), size(col("sh")).as("nb"))
-    pairs
-      .join(sizesA, "doc_a").join(sizesB, "doc_b")
-      .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /** The full incremental pair-generation cycle under ONE corpus-wide df
     * cap: store-internal, batch-internal and store×batch cross pairs, all
@@ -453,6 +472,17 @@ object DedupOps {
     * (store, batch, cross); in steady-state operation only the batch and
     * cross parts are computed — the store part is what previous increments
     * already banked.
+    *
+    * Plan shape: each side's POSTING LISTS are built once and serve the
+    * whole cycle — own-side pair expansion, the other side's global-df cap
+    * (a posting-level size join: global df of an element is its a-side
+    * posting size plus its b-side posting size, the sides indexing
+    * disjoint documents), and the cross join. Each side's exploded
+    * (id, shingle) relation — the widest in the plan — shuffles exactly
+    * ONCE; the earlier formulation exploded each side three times (a
+    * union-df pass for the hot set plus per-part posting builds).
+    * Singleton postings are kept in the bank: they pair nothing on their
+    * own side but count toward the other side's df cap.
     */
   def incrementalJaccardPairs(
       store: DataFrame,
@@ -464,17 +494,31 @@ object DedupOps {
       maxDocFreq: Int = 100): (DataFrame, DataFrame, DataFrame) = {
     val shA = hashedShingles(store, idCol, textCol, n).cache()
     val shB = hashedShingles(batch, idCol, textCol, n).cache()
-    val hot =
-      if (maxDocFreq <= 0) None
-      else Some(
-        shA.select(explode(col("sh")).as("s"))
-          .unionByName(shB.select(explode(col("sh")).as("s")))
-          .groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFreq).select(col("s"))
-          .cache())
-    (setJaccardPairs(shA, idCol, threshold, maxDocFreq, hot),
-      setJaccardPairs(shB, idCol, threshold, maxDocFreq, hot),
-      crossJaccardPairsFrom(shA, shB, idCol, threshold, maxDocFreq, hot))
+    val pA = shA.select(col(idCol), explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(sort_array(collect_set(col(idCol))).as("__as"))
+      .cache()
+    val pB = shB.select(col(idCol), explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(sort_array(collect_set(col(idCol))).as("__bs"))
+      .cache()
+    val dfA = pA.select(col("s"), size(col("__as")).as("__na"))
+    val dfB = pB.select(col("s"), size(col("__bs")).as("__nb"))
+    def withinCap(total: Column): Column =
+      if (maxDocFreq <= 0) lit(true) else total <= lit(maxDocFreq)
+    val sizesA = shA.select(col(idCol), size(col("sh")).as("n_sh"))
+    val sizesB = shB.select(col(idCol), size(col("sh")).as("n_sh"))
+    val postA = pA.join(dfB, Seq("s"), "left")
+      .filter(size(col("__as")) > 1 &&
+        withinCap(size(col("__as")) + coalesce(col("__nb"), lit(0))))
+      .select(col("s"), col("__as").as("__ids"))
+    val postB = pB.join(dfA, Seq("s"), "left")
+      .filter(size(col("__bs")) > 1 &&
+        withinCap(size(col("__bs")) + coalesce(col("__na"), lit(0))))
+      .select(col("s"), col("__bs").as("__ids"))
+    val crossJoined = pA.join(pB, Seq("s"))
+      .filter(withinCap(size(col("__as")) + size(col("__bs"))))
+    (scoreJaccardPairs(expandPostingPairs(postA), sizesA, sizesA, idCol, threshold),
+      scoreJaccardPairs(expandPostingPairs(postB), sizesB, sizesB, idCol, threshold),
+      scoreJaccardPairs(expandCrossPostingPairs(crossJoined), sizesA, sizesB, idCol, threshold))
   }
 
   /** Winnowing near-dup pairs: Rabin–Karp rolling-hash k-gram fingerprints
