@@ -64,16 +64,19 @@ object SparkEntry {
   }
 
   /** A11 — upsert = union(previous snapshot, delta ticks) → last-wins. The
-    * time-slice filters compare `ts_ns` (the raw parquet long) so they push
-    * down to the scan; a predicate on the derived `ts` would not.
+    * snapshot/delta split comes from [[Tables.eventsSplitAt]], which
+    * phrases each slice's predicate against the RAW stored column so both
+    * scans prune to their own time range (a predicate on the derived
+    * ts/ts_ns would read the whole table twice).
     */
   def qMergeLastWins(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"), col("ts_ns"))
-    val cutoffNs = Tables.ns("2024-01-15T00:00:00Z")
+    val (beforeRaw, afterRaw) = Tables.eventsSplitAt(
+      spark, dir, java.time.Instant.parse("2024-01-15T00:00:00Z"))
+    def sel(df: DataFrame) = df.select(
+      col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"))
     val previous = Merge.lastWins(
-      ev.filter(col("ts_ns") < cutoffNs), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
-    val delta = ev.filter(col("ts_ns") >= cutoffNs)
+      sel(beforeRaw), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+    val delta = sel(afterRaw)
     Merge
       .upsert(previous, delta, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
       .select(
@@ -89,12 +92,13 @@ object SparkEntry {
     * delete leaves the store entirely.
     */
   def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"), col("ts_ns"))
-    val cutoffNs = Tables.ns("2024-01-15T00:00:00Z")
+    val (beforeRaw, afterRaw) = Tables.eventsSplitAt(
+      spark, dir, java.time.Instant.parse("2024-01-15T00:00:00Z"))
+    def sel(df: DataFrame) = df.select(
+      col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"))
     val snapshot = Merge.lastWins(
-      ev.filter(col("ts_ns") < cutoffNs), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
-    val changes = ev.filter(col("ts_ns") >= cutoffNs)
+      sel(beforeRaw), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+    val changes = sel(afterRaw)
       .withColumn("op", when(col("value") < 5, lit("D")).otherwise(lit("U")))
     Merge
       .applyCdc(snapshot, changes, Seq("user_id", "event_type"),
@@ -179,15 +183,18 @@ object SparkEntry {
     * the operators.
     */
   def qJobMarketDataE2e(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"), col("ts_ns"))
-    val cutoffNs = Tables.ns("2024-01-20T00:00:00Z")
+    val (beforeRaw, afterRaw) = Tables.eventsSplitAt(
+      spark, dir, java.time.Instant.parse("2024-01-20T00:00:00Z"))
+    def sel(df: DataFrame) = df.select(
+      col("user_id"), col("event_type"), col("value"), col("ts"), col("event_id"))
     val store = Merge.lastWins(
-      ev.filter(col("ts_ns") < cutoffNs), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
-    val requests = ev.select(col("user_id"), col("event_type")).distinct()
+      sel(beforeRaw), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+    // requests = every key ever seen, either side of the cutoff
+    val requests = sel(beforeRaw).unionByName(sel(afterRaw))
+      .select(col("user_id"), col("event_type")).distinct()
     val needed = Incremental.needingUpdate(requests, store, Seq("user_id", "event_type"))
     val quotes = Merge.lastWins(
-      ev.filter(col("ts_ns") >= cutoffNs), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+      sel(afterRaw), Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
     val fetched = needed.join(quotes, Seq("user_id", "event_type"))
     Merge
       .upsert(store, fetched, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet table loaders for the driver-generated testdata (TESTDATA.md).
@@ -77,6 +77,20 @@ object Tables {
     i.getEpochSecond * 1000000000L + i.getNano
   }
 
+  /** The raw-column cutoff predicate for one instant, phrased in the
+    * stored layout's own type (ns-long, NTZ datetime, or instant) so a
+    * comparison against it reaches the parquet scan as a pushed filter —
+    * a predicate on the DERIVED ts/ts_ns stays above the scan and reads
+    * the whole table.
+    */
+  private def rawTsLiteral(raw: DataFrame, atUtc: java.time.Instant): Column =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(ns(atUtc.toString))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        lit(java.time.LocalDateTime.ofInstant(atUtc, java.time.ZoneOffset.UTC))
+      case _ => lit(atUtc)
+    }
+
   /** Events within [start, end) wall-clock UTC, with the time predicate
     * phrased against the RAW stored column (ns-long or NTZ timestamp) so it
     * pushes down to the parquet scan in either storage layout.
@@ -85,18 +99,23 @@ object Tables {
       spark: SparkSession, dir: String,
       startUtc: java.time.Instant, endUtc: java.time.Instant): DataFrame = {
     val raw = rawEvents(spark, dir)
-    val sliced = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.filter(col("ts") >= ns(startUtc.toString) && col("ts") < ns(endUtc.toString))
-      case _: org.apache.spark.sql.types.TimestampNTZType =>
-        val utc = java.time.ZoneOffset.UTC
-        raw.filter(
-          col("ts") >= lit(java.time.LocalDateTime.ofInstant(startUtc, utc)) &&
-            col("ts") < lit(java.time.LocalDateTime.ofInstant(endUtc, utc)))
-      case _ =>
-        raw.filter(col("ts") >= lit(startUtc) && col("ts") < lit(endUtc))
-    }
-    normalizeEvents(sliced)
+    normalizeEvents(raw.filter(
+      col("ts") >= rawTsLiteral(raw, startUtc) && col("ts") < rawTsLiteral(raw, endUtc)))
+  }
+
+  /** (events before cutoff, events at/after cutoff) — the snapshot/delta
+    * split every upsert/CDC/job query makes, with BOTH slices' predicates
+    * on the raw stored column so each scan prunes to its own time range
+    * (at 100 TB the snapshot and delta sides each read half the row
+    * groups, not two full passes).
+    */
+  def eventsSplitAt(
+      spark: SparkSession, dir: String,
+      cutoffUtc: java.time.Instant): (DataFrame, DataFrame) = {
+    val raw = rawEvents(spark, dir)
+    val c = rawTsLiteral(raw, cutoffUtc)
+    (normalizeEvents(raw.filter(col("ts") < c)),
+      normalizeEvents(raw.filter(col("ts") >= c)))
   }
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")

@@ -58,6 +58,20 @@ class TablesSpec extends AnyFunSuite {
       Tables.normalizeEvents(nsLayout).orderBy("event_id").collect().toSeq)
   }
 
+  test("eventsSplitAt pushes both slice predicates to the parquet scan") {
+    val cutoff = java.time.Instant.parse("2024-01-15T00:00:00Z")
+    val (before, after) = Tables.eventsSplitAt(spark, TestSpark.sf0001, cutoff)
+    for ((df, cmp) <- Seq((before, "LessThan"), (after, "GreaterThanOrEqual"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val scan = plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+      assert(scan.contains(s"$cmp(ts,"),
+        s"slice predicate did not reach the scan as a pushed filter:\n$scan")
+    }
+    // the two slices partition the table exactly
+    assert(before.count() + after.count() ==
+      Tables.events(spark, TestSpark.sf0001).count())
+  }
+
   test("eventsTsRange slices on the raw stored column in the shipped layout") {
     // against the real testdata: the slice equals a post-normalization filter
     val lo = java.time.Instant.parse("2024-01-10T00:00:00Z")
