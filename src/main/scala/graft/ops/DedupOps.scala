@@ -492,32 +492,104 @@ object DedupOps {
       n: Int,
       threshold: Double,
       maxDocFreq: Int = 100): (DataFrame, DataFrame, DataFrame) = {
-    val shA = hashedShingles(store, idCol, textCol, n).cache()
-    val shB = hashedShingles(batch, idCol, textCol, n).cache()
-    val pA = shA.select(col(idCol), explode(col("sh")).as("s"))
-      .groupBy(col("s")).agg(sort_array(collect_set(col(idCol))).as("__as"))
-      .cache()
-    val pB = shB.select(col(idCol), explode(col("sh")).as("s"))
-      .groupBy(col("s")).agg(sort_array(collect_set(col(idCol))).as("__bs"))
-      .cache()
-    val dfA = pA.select(col("s"), size(col("__as")).as("__na"))
-    val dfB = pB.select(col("s"), size(col("__bs")).as("__nb"))
-    def withinCap(total: Column): Column =
-      if (maxDocFreq <= 0) lit(true) else total <= lit(maxDocFreq)
-    val sizesA = shA.select(col(idCol), size(col("sh")).as("n_sh"))
-    val sizesB = shB.select(col(idCol), size(col("sh")).as("n_sh"))
+    val (pA, sizesA) = shingleBank(store, idCol, textCol, n)
+    val (pB, sizesB) = shingleBank(batch, idCol, textCol, n)
+    val (batchPairs, crossPairs) = pairsFromPostingBanks(
+      pA, sizesA, pB, sizesB, idCol, threshold, maxDocFreq)
+    // the store's own pairs under the same global cap: cap df from the
+    // batch side's posting sizes, mirroring the core's postB derivation
+    val dfB = pB.select(col("s"), size(col("__ids")).as("__nother"))
     val postA = pA.join(dfB, Seq("s"), "left")
-      .filter(size(col("__as")) > 1 &&
-        withinCap(size(col("__as")) + coalesce(col("__nb"), lit(0))))
-      .select(col("s"), col("__as").as("__ids"))
+      .filter(size(col("__ids")) > 1 &&
+        withinBankCap(size(col("__ids")) + coalesce(col("__nother"), lit(0)), maxDocFreq))
+      .select(col("s"), col("__ids"))
+    val storePairs =
+      scoreJaccardPairs(expandPostingPairs(postA), sizesA, sizesA, idCol, threshold)
+    (storePairs, batchPairs, crossPairs)
+  }
+
+  /** The banked form of one side of the incremental cycle: posting lists
+    * `(s, __ids)` — sorted distinct doc ids per shingle, singletons
+    * included (they pair nothing but count toward the df cap) — plus the
+    * per-doc set sizes `(id, n_sh)` the Jaccard denominators need. Both
+    * relations ADD across disjoint-doc increments (postings by per-element
+    * array union, sizes by plain union), so an operating store maintains
+    * them instead of re-sharding history; they are exactly what
+    * [[incrementalPairsFromBank]] consumes each batch.
+    */
+  def shingleBank(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): (DataFrame, DataFrame) = {
+    val sh = hashedShingles(df, idCol, textCol, n).cache()
+    (sh.select(col(idCol), explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(sort_array(collect_set(col(idCol))).as("__ids"))
+      .cache(),
+      sh.select(col(idCol), size(col("sh")).as("n_sh")))
+  }
+
+  /** STEADY-STATE increment against a banked store: batch-internal and
+    * bank×batch cross pairs under the corpus-wide df cap — the per-batch
+    * cost of the operating cycle, touching the bank only through
+    * posting-level joins (never re-exploding or re-sharding stored text).
+    * The cap is evaluated from posting sizes: an element's corpus-wide df
+    * is its bank posting size plus its batch posting size (sides index
+    * disjoint documents). Union with the banked side's own pairs (what
+    * previous increments produced) is provably [[jaccardPairs]] over the
+    * whole corpus — [[incrementalJaccardPairs]] is exactly that
+    * composition, and the registered query's shared oracle checks it.
+    */
+  def incrementalPairsFromBank(
+      bank: (DataFrame, DataFrame),
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Int = 100): (DataFrame, DataFrame) = {
+    val (pB, sizesB) = shingleBank(batch, idCol, textCol, n)
+    pairsFromPostingBanks(bank._1, bank._2, pB, sizesB, idCol, threshold, maxDocFreq)
+  }
+
+  /** Fold shingle banks from disjoint-doc increments: postings merge by
+    * per-element array union (ids stay sorted and distinct because the
+    * parts index disjoint documents), sizes by plain union — the
+    * [[graft.ops.TextOps.mergeBm25Stats]] pattern applied to the dedup
+    * store, so history is never re-sharded.
+    */
+  def mergeShingleBanks(banks: (DataFrame, DataFrame)*): (DataFrame, DataFrame) = {
+    require(banks.nonEmpty, "need at least one bank")
+    (banks.map(_._1).reduce(_.unionByName(_))
+      .groupBy(col("s")).agg(sort_array(flatten(collect_list(col("__ids")))).as("__ids")),
+      banks.map(_._2).reduce(_.unionByName(_)))
+  }
+
+  private def withinBankCap(total: Column, maxDocFreq: Int): Column =
+    if (maxDocFreq <= 0) lit(true) else total <= lit(maxDocFreq)
+
+  /** (batch-internal pairs, bank×batch cross pairs) from two posting
+    * banks under the combined-df cap — the shared core of
+    * [[incrementalPairsFromBank]] and [[incrementalJaccardPairs]].
+    */
+  private def pairsFromPostingBanks(
+      pA: DataFrame,
+      sizesA: DataFrame,
+      pB: DataFrame,
+      sizesB: DataFrame,
+      idCol: String,
+      threshold: Double,
+      maxDocFreq: Int): (DataFrame, DataFrame) = {
+    val dfA = pA.select(col("s"), size(col("__ids")).as("__nother"))
     val postB = pB.join(dfA, Seq("s"), "left")
-      .filter(size(col("__bs")) > 1 &&
-        withinCap(size(col("__bs")) + coalesce(col("__na"), lit(0))))
-      .select(col("s"), col("__bs").as("__ids"))
-    val crossJoined = pA.join(pB, Seq("s"))
-      .filter(withinCap(size(col("__as")) + size(col("__bs"))))
-    (scoreJaccardPairs(expandPostingPairs(postA), sizesA, sizesA, idCol, threshold),
-      scoreJaccardPairs(expandPostingPairs(postB), sizesB, sizesB, idCol, threshold),
+      .filter(size(col("__ids")) > 1 &&
+        withinBankCap(size(col("__ids")) + coalesce(col("__nother"), lit(0)), maxDocFreq))
+      .select(col("s"), col("__ids"))
+    val crossJoined = pA.join(
+        pB.select(col("s"), col("__ids").as("__bs")), Seq("s"))
+      .filter(withinBankCap(size(col("__ids")) + size(col("__bs")), maxDocFreq))
+      .select(col("s"), col("__ids").as("__as"), col("__bs"))
+    (scoreJaccardPairs(expandPostingPairs(postB), sizesB, sizesB, idCol, threshold),
       scoreJaccardPairs(expandCrossPostingPairs(crossJoined), sizesA, sizesB, idCol, threshold))
   }
 

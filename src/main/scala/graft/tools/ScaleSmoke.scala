@@ -21,7 +21,7 @@ object ScaleSmoke {
     val only = args.toSet
     val known =
       Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix",
-        "editdist", "kmeans")
+        "editdist", "kmeans", "incr")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -349,6 +349,39 @@ object ScaleSmoke {
         .agg(sum(col("n_dropped"))).head.getLong(0)
       println(s"$k,$n,${(System.nanoTime() - t0) / 1e9},$dropped")
       corpus.unpersist()
+    }
+
+    // ---- incremental dedup: steady-state increment vs from-scratch ----
+    // the operating claim behind q_neardup_clusters_incr: with the store's
+    // posting bank MAINTAINED (built by previous increments), a new batch
+    // pays only batch-internal + bank-cross pair generation. The batch is
+    // FIXED (copy-0 odd ids) while the banked store grows with k — the
+    // realistic axis. `scratch_s` re-pairs the whole corpus from text;
+    // `incr_s` is the steady-state cost against the pre-built bank (bank
+    // construction happens outside the timer — that work was paid when
+    // those documents arrived).
+    if (want("incr")) println("incr: k,store_docs,batch_docs,op,seconds,pairs")
+    ks("incr", Seq(1, 2, 4, 8), Seq(1, 4, 16, 32)).foreach { k =>
+      val corpus = copyK(k).cache()
+      val batch = corpus.filter(col("doc_id") < 1000000L && col("doc_id") % 2 === 1).cache()
+      val store = corpus.exceptAll(batch).cache()
+      val (nStore, nBatch) = (store.count(), batch.count())
+      // bank built and materialized OUTSIDE the timer
+      val bank = DedupOps.shingleBank(store, "doc_id", "text", 3)
+      bank._1.count(); bank._2.count()
+      val t0 = System.nanoTime()
+      val (bp, cp) = DedupOps.incrementalPairsFromBank(
+        bank, batch, "doc_id", "text", 3, 0.5)
+      val incrPairs = bp.unionByName(cp).count()
+      val incrS = (System.nanoTime() - t0) / 1e9
+      println(s"$k,$nStore,$nBatch,incr,$incrS,$incrPairs")
+      spark.sharedState.cacheManager.clearCache()
+      corpus.cache().count(); store.cache().count(); batch.cache().count()
+      val t1 = System.nanoTime()
+      val scratchPairs = DedupOps.jaccardPairs(corpus, "doc_id", "text", 3, 0.5).count()
+      println(s"$k,$nStore,$nBatch,scratch,${(System.nanoTime() - t1) / 1e9},$scratchPairs")
+      spark.sharedState.cacheManager.clearCache()
+      corpus.unpersist(); store.unpersist(); batch.unpersist()
     }
 
     // ---- decontamination: exact broadcast vs bloom prefilter ----

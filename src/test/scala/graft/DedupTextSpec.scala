@@ -349,6 +349,31 @@ class DedupTextSpec extends AnyFunSuite {
       s"missing=${full -- partsCanon} extra=${partsCanon -- full}")
   }
 
+  test("shingle bank: fold of disjoint increments equals the one-shot bank; steady-state pairs match the cycle") {
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    // additivity: bank(evens) ⊕ bank(odds) == bank(all), postings and sizes
+    val merged = DedupOps.mergeShingleBanks(
+      DedupOps.shingleBank(evens, "doc_id", "text", 3),
+      DedupOps.shingleBank(odds, "doc_id", "text", 3))
+    val oneShot = DedupOps.shingleBank(docs, "doc_id", "text", 3)
+    def postingsOf(b: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) =
+      b._1.as[(Long, Seq[Long])].collect().toMap
+    assert(postingsOf(merged) == postingsOf(oneShot))
+    assert(merged._2.as[(Long, Int)].collect().toMap ==
+      oneShot._2.as[(Long, Int)].collect().toMap)
+    // the steady-state seam returns exactly the cycle's batch/cross parts
+    val bank = DedupOps.shingleBank(evens, "doc_id", "text", 3)
+    val (bp2, cp2) = DedupOps.incrementalPairsFromBank(
+      bank, odds, "doc_id", "text", 3, 0.5)
+    val (_, bp, cp) = DedupOps.incrementalJaccardPairs(
+      evens, odds, "doc_id", "text", 3, 0.5)
+    assert(bp2.as[(Long, Long, Double)].collect().toSet ==
+      bp.as[(Long, Long, Double)].collect().toSet)
+    assert(cp2.as[(Long, Long, Double)].collect().toSet ==
+      cp.as[(Long, Long, Double)].collect().toSet)
+  }
+
   test("prefixTemplates groups shared-opening docs; singletons and short/empty docs behave") {
     val opener = (1 to 16).map(i => s"w$i").mkString(" ")
     val d = Seq(
