@@ -73,6 +73,31 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.contains("gapfill")) {
+      import graft.ops.{Analytics, Merge}
+      def noop(df: org.apache.spark.sql.DataFrame): Long = {
+        df.write.format("noop").mode("overwrite").save(); 0L
+      }
+      val orders = Tables.orders(spark, dir)
+      time("orders-warm") { orders.count() }
+      for (round <- 1 to 2) {
+        time(s"monthly-lastwins-$round") {
+          noop(graft.SparkEntry.qMonthlyLastClose(spark, dir))
+        }
+        time(s"gapfill-full-$round") {
+          noop(graft.SparkEntry.qGapInterpolate(spark, dir))
+        }
+        val monthly = graft.SparkEntry.qMonthlyLastClose(spark, dir)
+        time(s"gapfill-given-monthly-$round") {
+          noop(Analytics.interpolateMonthlyGaps(monthly, "symbol", "date", "price"))
+        }
+        val flat = monthly.localCheckpoint(true)
+        time(s"gapfill-given-checkpointed-$round") {
+          noop(Analytics.interpolateMonthlyGaps(flat, "symbol", "date", "price"))
+        }
+      }
+      spark.stop(); return
+    }
     for (round <- 1 to 2) {
       time(s"ann-ivf-kmeans-$round") {
         SimilarityOps.knnIvfKmeans(
