@@ -382,11 +382,15 @@ object DedupOps {
 
   /** Batch-internal + bank-cross Jaccard pairs from PRE-COMPUTED shingle
     * relations (`(id, sh: array<long>)`, the [[hashedShingles]] shape)
-    * under an EXTERNALLY maintained hot-shingle set — the seam a streaming
-    * cluster maintainer drives ([[graft.streaming.Streaming]]'s
-    * NearDupClusterStream): the caller banks shingles and the corpus-wide
-    * df statistic across micro-batches, so each increment pays only
-    * batch-internal + bank×batch candidate work, never bank×bank. With
+    * under an EXTERNALLY maintained hot-shingle set: the caller banks
+    * shingle sets and the corpus-wide df statistic across increments, so
+    * each increment pays only batch-internal + bank×batch candidate work,
+    * never bank×bank. NOTE: the posting-bank form
+    * ([[shingleBank]]/[[pairsFromPostingBanks]], what
+    * [[graft.streaming.Streaming]]'s NearDupClusterStream now maintains)
+    * supersedes this seam operationally — it avoids re-aggregating the
+    * bank side's posting lists per increment; this document-major form
+    * remains for callers that bank raw shingle sets. With
     * `hot = None` the semantics are exact/uncapped — the configuration
     * whose stream-fold ≡ from-scratch equality is unconditional (a GROWING
     * hot set is by nature prefix-dependent: a pair legitimately found
@@ -523,11 +527,18 @@ object DedupOps {
       textCol: String,
       n: Int): (DataFrame, DataFrame) = {
     val sh = hashedShingles(df, idCol, textCol, n).cache()
-    (sh.select(col(idCol), explode(col("sh")).as("s"))
-      .groupBy(col("s")).agg(sort_array(collect_set(col(idCol))).as("__ids"))
-      .cache(),
-      sh.select(col(idCol), size(col("sh")).as("n_sh")))
+    val (postings, sizes) = shingleBankFromSets(sh, idCol)
+    (postings.cache(), sizes)
   }
+
+  /** [[shingleBank]] over an already-shingled (id, sh) relation — no
+    * caching (callers that manage their own materialization, e.g. the
+    * streaming maintainer's per-batch localCheckpoint, use this form).
+    */
+  def shingleBankFromSets(sh: DataFrame, idCol: String): (DataFrame, DataFrame) =
+    (sh.select(col(idCol), explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(sort_array(collect_set(col(idCol))).as("__ids")),
+      sh.select(col(idCol), size(col("sh")).as("n_sh")))
 
   /** STEADY-STATE increment against a banked store: batch-internal and
     * bank×batch cross pairs under the corpus-wide df cap — the per-batch
@@ -570,9 +581,10 @@ object DedupOps {
 
   /** (batch-internal pairs, bank×batch cross pairs) from two posting
     * banks under the combined-df cap — the shared core of
-    * [[incrementalPairsFromBank]] and [[incrementalJaccardPairs]].
+    * [[incrementalPairsFromBank]], [[incrementalJaccardPairs]] and the
+    * streaming cluster maintainer.
     */
-  private def pairsFromPostingBanks(
+  private[graft] def pairsFromPostingBanks(
       pA: DataFrame,
       sizesA: DataFrame,
       pB: DataFrame,

@@ -488,12 +488,14 @@ object Streaming {
     * `foreachBatch` loop instead of a one-shot split). Three relations are
     * maintained across batches:
     *
-    *  - the shingle BANK `(id, sh)` ([[graft.ops.DedupOps.hashedShingles]]
-    *    of every document seen), the cross-candidate side future batches
-    *    join against — bank×bank work is never repeated;
-    *  - the corpus-wide df statistic `(s, df)`, monoid-merged per batch,
-    *    from which the hot-shingle cap is derived (`maxDocFreq`; 0 = exact
+    *  - the POSTING BANK `(s, __ids)` ([[graft.ops.DedupOps.shingleBank]]
+    *    form: sorted doc ids per shingle over every document seen), the
+    *    cross-candidate side future batches join against — bank×bank work
+    *    is never repeated, and the corpus-wide df statistic IS the posting
+    *    size (the hot-shingle cap `maxDocFreq` derives from it; 0 = exact
     *    uncapped semantics);
+    *  - the per-doc set sizes `(id, n_sh)` — the Jaccard denominators and
+    *    the banked-id fence;
     *  - the cluster labeling `(id, cluster_id)`, folded per batch by
     *    [[graft.ops.DedupOps.mergeClusters]] over batch-internal +
     *    bank-cross pairs.
@@ -514,20 +516,32 @@ object Streaming {
     * banked ids BEFORE it can double its df contributions or re-pair
     * (pinned: a fully re-fed batch leaves all three relations unchanged).
     * Durability mirrors [[SnapshotStream]]: per batch, all three relations
-    * are staged into ONE version directory (`bank/`, `df/`, `labels/`
-    * parquet subdirs), committed with a single top-level marker only after
-    * all three writes land, promoted by atomic rename, and only then are
-    * older versions deleted — a crash anywhere leaves the previous
-    * committed version authoritative, and recovery resumes from it.
+    * are staged into ONE version directory (`postings/`, `sizes/`,
+    * `labels/` parquet subdirs), committed with a single top-level marker
+    * only after all three writes land, promoted by atomic rename, and only
+    * then are older versions deleted — a crash anywhere leaves the
+    * previous committed version authoritative, and recovery resumes from
+    * it.
     *
-    * Scale shape: per batch the work is batch-shingling, one df merge
-    * (|distinct shingles|-sized), batch+cross candidate generation under
-    * the same df-capped posting scheme as the batch operators, and a
+    * Scale shape: the store is kept in POSTING-BANK form
+    * ([[graft.ops.DedupOps.shingleBank]]'s (shingle → sorted doc ids)
+    * postings plus per-doc set sizes — the df statistic IS the posting
+    * size, so no separate df relation exists). Per batch the work is
+    * batch-shingling, the batch's own posting build, posting-level joins
+    * against the bank ([[graft.ops.DedupOps.pairsFromPostingBanks]]'
+    * batch+cross generation under the combined-df cap), a
+    * |distinct-shingle|-sized bank fold
+    * ([[graft.ops.DedupOps.mergeShingleBanks]]), and a
     * [[graft.ops.DedupOps.mergeClusters]] CC bounded by cluster structure
-    * — never bank×bank. The bank is the one corpus-sized relation; at real
-    * scale it lives as the partitioned parquet store this class already
-    * writes (executor memory only ever holds the current version's scan),
-    * which is exactly the production posture.
+    * — never bank×bank, and never re-exploding or re-aggregating banked
+    * documents (the earlier formulation re-built the bank side's posting
+    * lists from its (id, sh) sets every batch — O(bank) aggregation per
+    * increment; the bank now stores the postings themselves, measured flat
+    * per-batch in ScaleSmoke's `incr` section). The bank is the one
+    * corpus-sized relation; at real scale it lives as the partitioned
+    * parquet store this class already writes (executor memory only ever
+    * holds the current version's scan), which is exactly the production
+    * posture.
     */
   class NearDupClusterStream(
       idCol: String,
@@ -536,8 +550,8 @@ object Streaming {
       threshold: Double,
       maxDocFreq: Int = 100,
       storeDir: Option[String] = None) {
-    @volatile private var bank: Option[DataFrame] = None
-    @volatile private var dfStats: Option[DataFrame] = None
+    @volatile private var postings: Option[DataFrame] = None
+    @volatile private var sizes: Option[DataFrame] = None
     @volatile private var labels: Option[DataFrame] = None
 
     /** Current labeling `(id, cluster_id)` — every document ever seen has
@@ -554,8 +568,8 @@ object Streaming {
       if (labels.isEmpty) storeDir.foreach { d =>
         promoteStagedVersion(spark, d)
         committedSlots(spark, d, "v=").headOption.foreach { case (_, p) =>
-          bank = Some(spark.read.parquet(s"$p/bank"))
-          dfStats = Some(spark.read.parquet(s"$p/df"))
+          postings = Some(spark.read.parquet(s"$p/postings"))
+          sizes = Some(spark.read.parquet(s"$p/sizes"))
           labels = Some(spark.read.parquet(s"$p/labels"))
         }
       }
@@ -567,48 +581,47 @@ object Streaming {
           // batch, cross-batch redelivery) so df counts never double and
           // no pair is re-derived; within-batch duplicates collapse first
           val incoming = batch.select(col(idCol), col(textCol)).dropDuplicates(idCol)
-          val fresh0 = bank match {
-            case Some(b) => incoming.join(b.select(col(idCol)), Seq(idCol), "left_anti")
-            case None    => incoming
+          val fresh0 = sizes match {
+            case Some(sz) => incoming.join(sz.select(col(idCol)), Seq(idCol), "left_anti")
+            case None     => incoming
           }
           val freshSh = graft.ops.DedupOps
             .hashedShingles(fresh0, idCol, textCol, n).localCheckpoint(true)
-          // df statistic AFTER this batch — the cap basis, mirroring
-          // incrementalJaccardPairs (hot computed over store+batch)
-          val freshDf = freshSh.select(explode(col("sh")).as("s"))
-            .groupBy(col("s")).agg(count(lit(1)).as("df"))
-          val dfNew = (dfStats match {
-            case Some(prev) => prev.unionByName(freshDf)
-              .groupBy(col("s")).agg(sum(col("df")).as("df"))
-            case None => freshDf
-          }).localCheckpoint(true)
-          val hot =
-            if (maxDocFreq <= 0) None
-            else Some(dfNew.filter(col("df") > maxDocFreq).select(col("s")))
-          val (batchPairs, crossPairs) = graft.ops.DedupOps.pairsFromShingleBank(
-            bank.getOrElse(freshSh.limit(0)), freshSh, idCol, threshold, hot)
+          val (pB0, sizesB0) = graft.ops.DedupOps.shingleBankFromSets(freshSh, idCol)
+          val pB = pB0.localCheckpoint(true)
+          val sizesB = sizesB0.localCheckpoint(true)
+          // the cap basis is the df statistic AFTER this batch — bank
+          // posting size + batch posting size, exactly what
+          // pairsFromPostingBanks evaluates (mirroring
+          // incrementalJaccardPairs: hot computed over store+batch)
+          val (batchPairs, crossPairs) = graft.ops.DedupOps.pairsFromPostingBanks(
+            postings.getOrElse(pB.limit(0)), sizes.getOrElse(sizesB.limit(0)),
+            pB, sizesB, idCol, threshold, maxDocFreq)
           val seeded = (labels match {
             case Some(prev) => prev.unionByName(
-              freshSh.select(col(idCol).as("id"), col(idCol).as("cluster_id")))
-            case None => freshSh.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+              sizesB.select(col(idCol).as("id"), col(idCol).as("cluster_id")))
+            case None => sizesB.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
           })
           val evidence = batchPairs.select(col("doc_a"), col("doc_b"))
             .unionByName(crossPairs.select(col("doc_a"), col("doc_b")))
           val labNew = graft.ops.DedupOps.mergeClusters(seeded, evidence)
             .localCheckpoint(true)
-          val bankNew = (bank match {
-            case Some(b) => b.unionByName(freshSh)
-            case None    => freshSh
-          }).localCheckpoint(true)
+          val (postNew0, sizesNew0) = (postings, sizes) match {
+            case (Some(p), Some(sz)) =>
+              graft.ops.DedupOps.mergeShingleBanks((p, sz), (pB, sizesB))
+            case _ => (pB, sizesB)
+          }
+          val postNew = postNew0.localCheckpoint(true)
+          val sizesNew = sizesNew0.localCheckpoint(true)
           // pin the new states BEFORE any store cleanup can delete files
           // the recovered (lazily file-backed) previous states reference
-          bank = Some(bankNew); dfStats = Some(dfNew); labels = Some(labNew)
+          postings = Some(postNew); sizes = Some(sizesNew); labels = Some(labNew)
           storeDir.foreach { d =>
             val (fs, _) = fsFor(spark, d)
             val staged = new org.apache.hadoop.fs.Path(d, s".v-$batchId")
             if (fs.exists(staged)) fs.delete(staged, true): Unit
-            bankNew.write.mode("overwrite").parquet(s"$d/.v-$batchId/bank")
-            dfNew.write.mode("overwrite").parquet(s"$d/.v-$batchId/df")
+            postNew.write.mode("overwrite").parquet(s"$d/.v-$batchId/postings")
+            sizesNew.write.mode("overwrite").parquet(s"$d/.v-$batchId/sizes")
             labNew.write.mode("overwrite").parquet(s"$d/.v-$batchId/labels")
             // the version commits as a UNIT: the top-level marker lands
             // only after all three subdir writes, so a crash between them
