@@ -802,12 +802,15 @@ object DedupOps {
       val neighborMin = edges
         .join(labels.select(col("id").as("t"), col("label").as("nl")), Seq("t"))
         .groupBy(col("s").as("id")).agg(min(col("nl")).as("nmin"))
+      // LAZY checkpoint: the convergence count below is the materializing
+      // action (it computes every partition), so each round pays ONE job
+      // instead of an eager-checkpoint job plus a separate check
       val next = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (col("nmin") < col("label")).as("__chg"))
-        .localCheckpoint()
-      converged = next.filter(col("__chg")).limit(1).isEmpty
+        .localCheckpoint(false)
+      converged = next.filter(col("__chg")).count() == 0
       labels = next.drop("__chg")
       i += 1
     }
@@ -883,8 +886,13 @@ object DedupOps {
       .select(greatest(col(aCol), col(bCol)).as("s"), least(col(aCol), col(bCol)).as("t"))
       .filter(col("s") =!= col("t"))
       .distinct().localCheckpoint(true)
+    // carry the edge count across rounds: each round's count doubles as
+    // the LAZY checkpoint's materializing action, so a round pays one
+    // count job (plus the except only when counts match) instead of an
+    // eager-checkpoint job + two counts
+    var edgeCount = edges.count()
     var rounds = 0
-    var done = edges.isEmpty
+    var done = edgeCount == 0
     while (!done && rounds < maxIter) {
       val nbrs = edges.union(edges.select(col("t").as("s"), col("s").as("t")))
       val lsMin = nbrs.groupBy(col("s")).agg(min(col("t")).as("__nmin"))
@@ -900,12 +908,14 @@ object DedupOps {
         .union(withM.select(col("s"), col("m").as("t")))
         .filter(col("s") =!= col("t"))
         .distinct()
-        .localCheckpoint(true)
-      done = ss.count() == edges.count() && ss.except(edges).isEmpty
+        .localCheckpoint(false)
+      val ssCount = ss.count()
+      done = ssCount == edgeCount && ss.except(edges).isEmpty
       edges = ss
+      edgeCount = ssCount
       rounds += 1
     }
-    (edges, rounds, done || edges.isEmpty)
+    (edges, rounds, done || edgeCount == 0)
   }
 
   /** Train/eval decontamination: flag training documents sharing any word
