@@ -75,7 +75,7 @@ object ScaleSmoke {
         ("simhash", () => DedupOps.simhashPairs(corpus, "doc_id", "text").count()),
         ("winnow",  () => DedupOps.winnowPairs(corpus, "doc_id", "text", threshold = 0.3).count())
       ).foreach { case (name, f) =>
-        spark.sharedState.cacheManager.clearCache()
+        spark.sharedState.cacheManager.clearCache(); System.gc()
         corpus.cache().count()
         val t0 = System.nanoTime()
         val pairs = f()
@@ -106,13 +106,13 @@ object ScaleSmoke {
         .filter(least(col("la"), col("lb")).cast("double") >=
           lit(0.6) * greatest(col("la"), col("lb")).cast("double"))
         .count()
-      spark.sharedState.cacheManager.clearCache()
+      spark.sharedState.cacheManager.clearCache(); System.gc()
       corpus.cache().count()
       val t0 = System.nanoTime()
       val results = DedupOps.editDistancePairs(corpus, "doc_id", "text").count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(s"$k,$n,$shingleCands,$verifiedCands,$results,$secs")
-      spark.sharedState.cacheManager.clearCache()
+      spark.sharedState.cacheManager.clearCache(); System.gc()
       corpus.unpersist()
     }
 
@@ -123,7 +123,7 @@ object ScaleSmoke {
     ks("prefix", Seq(1, 2, 4, 8), Seq(1, 4, 16, 32)).foreach { k =>
       val corpus = copyK(k).cache()
       val n = corpus.count()
-      spark.sharedState.cacheManager.clearCache()
+      spark.sharedState.cacheManager.clearCache(); System.gc()
       corpus.cache().count()
       val sh = DedupOps.hashedShingles(corpus, "doc_id", "text", 3)
       val ex = DedupOps.cappedExploded(
@@ -135,18 +135,18 @@ object ScaleSmoke {
       // both timed runs start from a COLD cache (only the corpus warm) —
       // timing the full form with the candidate-count run's capped-explode
       // relation still cached would hand it the build the prefix form pays
-      spark.sharedState.cacheManager.clearCache()
+      spark.sharedState.cacheManager.clearCache(); System.gc()
       corpus.cache().count()
       val t0 = System.nanoTime()
       DedupOps.jaccardPairs(corpus, "doc_id", "text", 3, 0.5).count()
       val tFull = (System.nanoTime() - t0) / 1e9
-      spark.sharedState.cacheManager.clearCache()
+      spark.sharedState.cacheManager.clearCache(); System.gc()
       corpus.cache().count()
       val t1 = System.nanoTime()
       DedupOps.jaccardPairsPrefix(corpus, "doc_id", "text", 3, 0.5).count()
       val tPref = (System.nanoTime() - t1) / 1e9
       println(s"$k,$n,$fullC,$prefC,$tFull,$tPref")
-      spark.sharedState.cacheManager.clearCache()
+      spark.sharedState.cacheManager.clearCache(); System.gc()
     }
 
     // ---- similarity-search scaling: brute vs heap-agg vs IVF vs SRP-LSH ----
@@ -179,13 +179,13 @@ object ScaleSmoke {
           SimilarityOps.kmeansAssign(corpus, "vec_id", "embedding", model).count()
         })
       ).foreach { case (name, f) =>
-        spark.sharedState.cacheManager.clearCache()
+        spark.sharedState.cacheManager.clearCache(); System.gc()
         corpus.cache().count()
         val t0 = System.nanoTime()
         val rows = f()
         println(s"$k,$n,$name,${(System.nanoTime() - t0) / 1e9},$rows")
       }
-      spark.sharedState.cacheManager.clearCache()
+      spark.sharedState.cacheManager.clearCache(); System.gc()
       corpus.unpersist()
     }
 
@@ -200,7 +200,7 @@ object ScaleSmoke {
         ("ivf",     () => SimilarityOps.knnIvf(corpus, probes, "vec_id", "embedding", 10, 16, 4).count()),
         ("srp-lsh", () => SimilarityOps.knnLshSrp(corpus, probes, "vec_id", "embedding", 10, 64).count())
       ).foreach { case (name, f) =>
-        spark.sharedState.cacheManager.clearCache()
+        spark.sharedState.cacheManager.clearCache(); System.gc()
         corpus.cache().count()
         val t0 = System.nanoTime()
         val rows = f()
@@ -242,7 +242,7 @@ object ScaleSmoke {
           // the reported work metric, not part of the measured query
           () => SimilarityOps.blockedCandidates(corpus, "vec_id", "embedding", nLists, 2).count())
       ).foreach { case (name, run, scoredFn) =>
-        spark.sharedState.cacheManager.clearCache()
+        spark.sharedState.cacheManager.clearCache(); System.gc()
         corpus.cache().count()
         val t0 = System.nanoTime()
         val pairs = run()
@@ -284,7 +284,7 @@ object ScaleSmoke {
           () => SimilarityOps.blockedCandidatesSalted(
             prepped, "vec_id", 16, 2, 200, 42L, 5, 3).count())
       ).foreach { case (name, run, candFn) =>
-        spark.sharedState.cacheManager.clearCache()
+        spark.sharedState.cacheManager.clearCache(); System.gc()
         corpus.cache().count()
         val t0 = System.nanoTime()
         val pairs = run()
@@ -321,7 +321,7 @@ object ScaleSmoke {
         ("salted", () => Merge.lastWinsSalted(
           df, Seq("user_id", "event_type"), Seq("ts", "event_id"), Seq("value")).count())
       ).foreach { case (name, f) =>
-        spark.sharedState.cacheManager.clearCache()
+        spark.sharedState.cacheManager.clearCache(); System.gc()
         df.cache().count()
         val t0 = System.nanoTime()
         val keys = f()
@@ -375,12 +375,12 @@ object ScaleSmoke {
       val incrPairs = bp.unionByName(cp).count()
       val incrS = (System.nanoTime() - t0) / 1e9
       println(s"$k,$nStore,$nBatch,incr,$incrS,$incrPairs")
-      spark.sharedState.cacheManager.clearCache()
+      spark.sharedState.cacheManager.clearCache(); System.gc()
       corpus.cache().count(); store.cache().count(); batch.cache().count()
       val t1 = System.nanoTime()
       val scratchPairs = DedupOps.jaccardPairs(corpus, "doc_id", "text", 3, 0.5).count()
       println(s"$k,$nStore,$nBatch,scratch,${(System.nanoTime() - t1) / 1e9},$scratchPairs")
-      spark.sharedState.cacheManager.clearCache()
+      spark.sharedState.cacheManager.clearCache(); System.gc()
       corpus.unpersist(); store.unpersist(); batch.unpersist()
     }
 
@@ -422,7 +422,7 @@ object ScaleSmoke {
           train, evalDocs, "doc_id", "text", n = 8, fpp = 0.01)
           .filter(col("is_contaminated")).count())
       ).foreach { case (name, f) =>
-        spark.sharedState.cacheManager.clearCache()
+        spark.sharedState.cacheManager.clearCache(); System.gc()
         corpus.cache().count()
         val t0 = System.nanoTime()
         val out = f()
