@@ -515,13 +515,35 @@ object Streaming {
     * or re-delivered document is dropped by an anti-join against the
     * banked ids BEFORE it can double its df contributions or re-pair
     * (pinned: a fully re-fed batch leaves all three relations unchanged).
-    * Durability mirrors [[SnapshotStream]]: per batch, all three relations
-    * are staged into ONE version directory (`postings/`, `sizes/`,
-    * `labels/` parquet subdirs), committed with a single top-level marker
-    * only after all three writes land, promoted by atomic rename, and only
-    * then are older versions deleted — a crash anywhere leaves the
-    * previous committed version authoritative, and recovery resumes from
-    * it.
+    *
+    * Durability is DELTA-SLOT shaped (the [[RollupStream]] protocol, not
+    * [[SnapshotStream]]'s full rewrite — at a 100 TB bank an O(corpus)
+    * rewrite per micro-batch is the scale-killer): per batch, ONE slot
+    * directory (`batch_id=<id>/{postings,sizes,labels}`) persists only the
+    * batch's OWN posting bank, its own set sizes, and the label rows this
+    * batch CHANGED (new docs included) — O(batch) bytes regardless of
+    * store size (measured in ScaleSmoke's `incrstore` section). The slot
+    * is staged dot-prefixed, committed by a single top-level marker after
+    * all three writes land, and promoted by atomic rename, so a crash
+    * anywhere leaves either no slot or the whole slot. The fold back is
+    * exact because each relation is persisted in its monoid form: postings
+    * add across disjoint-doc slots ([[graft.ops.DedupOps.mergeShingleBanks]]),
+    * sizes union (slot id-sets are disjoint by the anti-join fence), and
+    * labels resolve last-wins by slot id (each slot carries the
+    * authoritative label for exactly the rows it changed). Slot ids are
+    * assigned monotonically at write time (decoupled from stream batch
+    * ids, which restart at 0 under a fresh checkpoint); the doc-id fence
+    * makes idempotency DOC-granular — a replayed batch fences down to an
+    * all-empty delta and skips the write, a partially-redelivered one
+    * persists exactly its unseen docs under a fresh id.
+    * Restart rebuild cost is O(slots); [[compact]] folds all slots into
+    * one negative-id base slot between runs. Recovery also migrates
+    * stores persisted by the two earlier layouts (full-rewrite
+    * `v=<id>/{postings,sizes,labels}`, and the pre-posting-bank
+    * `v=<id>/{bank,df,labels}` whose postings are rebuilt from the banked
+    * (id, sh) sets) into a base slot — an unrecognizable layout fails
+    * loudly rather than silently starting an empty stream over a corpus
+    * the store has already seen.
     *
     * Scale shape: the store is kept in POSTING-BANK form
     * ([[graft.ops.DedupOps.shingleBank]]'s (shingle → sorted doc ids)
@@ -549,7 +571,8 @@ object Streaming {
       n: Int,
       threshold: Double,
       maxDocFreq: Int = 100,
-      storeDir: Option[String] = None) {
+      storeDir: Option[String] = None,
+      metrics: Option[graft.tools.MetricsListener] = None) {
     @volatile private var postings: Option[DataFrame] = None
     @volatile private var sizes: Option[DataFrame] = None
     @volatile private var labels: Option[DataFrame] = None
@@ -559,18 +582,177 @@ object Streaming {
       */
     def clusters: Option[DataFrame] = labels
 
+    // store layout (v3): one committed DELTA slot per batch
+    // (`batch_id=<id>/{postings,sizes,labels}` + top-level marker), batch
+    // staging dot-prefixed `.b-<id>`, compaction staging `.c-<id>`;
+    // compacted bases take negative ids, below every real batch id, so the
+    // labels last-wins fold orders them first
+    private val slotPrefix = "batch_id="
+    private val stagePrefix = ".b-"
+    private val compactPrefix = ".c-"
+
+    private def slotBank(
+        spark: SparkSession, p: org.apache.hadoop.fs.Path): (DataFrame, DataFrame) =
+      (spark.read.parquet(s"$p/postings"), spark.read.parquet(s"$p/sizes"))
+
+    /** Persist the three delta relations as slot `batch_id=<id>`: staged
+      * to a dot-prefixed dir (invisible to readers), committed by ONE
+      * top-level marker only after all three writes land, promoted by
+      * atomic rename — a crash anywhere leaves either no slot or the
+      * whole slot. The writes EXECUTE the input plans, so callers may pass
+      * lazily file-backed inputs as long as their files outlive this call.
+      */
+    private def writeSlot(spark: SparkSession, d: String, id: Long,
+        post: DataFrame, sz: DataFrame, lab: DataFrame): Unit = {
+      val (fs, _) = fsFor(spark, d)
+      val staged = new org.apache.hadoop.fs.Path(d, s"$stagePrefix$id")
+      if (fs.exists(staged)) fs.delete(staged, true): Unit
+      post.write.mode("overwrite").parquet(s"$d/$stagePrefix$id/postings")
+      sz.write.mode("overwrite").parquet(s"$d/$stagePrefix$id/sizes")
+      lab.write.mode("overwrite").parquet(s"$d/$stagePrefix$id/labels")
+      fs.create(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"), true).close()
+      promoteSlot(spark, d, id)
+    }
+
+    /** Rename a COMMITTED staged slot into place — idempotent: if the
+      * target already exists (promotion replayed after a crash between
+      * rename and whatever followed), the staging dir is simply dropped.
+      */
+    private def promoteSlot(spark: SparkSession, d: String, id: Long): Unit = {
+      val (fs, _) = fsFor(spark, d)
+      val staged = new org.apache.hadoop.fs.Path(d, s"$stagePrefix$id")
+      val target = new org.apache.hadoop.fs.Path(d, s"$slotPrefix$id")
+      if (fs.exists(staged)) {
+        if (fs.exists(target)) fs.delete(staged, true): Unit
+        else fs.rename(staged, target): Unit
+      }
+    }
+
+    /** Complete or roll back an interrupted [[compact]] — a COMMITTED
+      * `.c-<id>` staging dir proves the folded base was fully written, so
+      * recovery finishes the job (delete the folded slots, rename the base
+      * into place); an uncommitted one is fenced off by [[committedSlots]].
+      * Deleting ALL slots is sound because compaction only runs between
+      * query runs: every slot present alongside a committed staging dir
+      * was an input to that fold.
+      */
+    private def recoverCompaction(spark: SparkSession, d: String): Unit = {
+      val (fs, _) = fsFor(spark, d)
+      val tmps = committedSlots(spark, d, compactPrefix)
+      tmps.drop(1).foreach { case (_, t) => fs.delete(t, true): Unit }
+      tmps.headOption.foreach { case (id, tmp) =>
+        committedSlots(spark, d, slotPrefix).foreach { case (_, s) => fs.delete(s, true): Unit }
+        fs.rename(tmp, new org.apache.hadoop.fs.Path(d, s"$slotPrefix$id")): Unit
+      }
+    }
+
+    /** Recovery: complete interrupted compactions and slot promotions,
+      * fence crashed partial writes, and MIGRATE a store persisted by an
+      * earlier layout into a compacted base slot. Two legacy layouts
+      * exist: v2 (`v=<id>/{postings,sizes,labels}` — the full-bank
+      * rewrite this class used to do) and v1 (`v=<id>/{bank,df,labels}` —
+      * banked (id, sh) sets, postings rebuilt here via
+      * [[graft.ops.DedupOps.shingleBankFromSets]]; the df relation is
+      * derived state, the posting sizes, and is dropped). A version dir
+      * matching neither fails loudly: starting an EMPTY stream over a
+      * corpus the store has already seen would silently double-pair
+      * every future redelivery.
+      */
+    private def recoverStore(spark: SparkSession, d: String): Unit = {
+      val (fs, _) = fsFor(spark, d)
+      promoteStagedVersion(spark, d)
+      val legacy = committedSlots(spark, d, "v=")
+      legacy.headOption.foreach { case (_, p) =>
+        val (post, sz, lab) =
+          if (fs.exists(new org.apache.hadoop.fs.Path(p, "postings")))
+            (spark.read.parquet(s"$p/postings"), spark.read.parquet(s"$p/sizes"),
+              spark.read.parquet(s"$p/labels"))
+          else if (fs.exists(new org.apache.hadoop.fs.Path(p, "bank"))) {
+            val (pp, ss) = graft.ops.DedupOps.shingleBankFromSets(
+              spark.read.parquet(s"$p/bank"), idCol)
+            (pp, ss, spark.read.parquet(s"$p/labels"))
+          } else throw new IllegalStateException(
+            s"unrecognized NearDupClusterStream store layout at $p: expected " +
+              "postings/ (store format v2) or bank/ (v1) under the version dir")
+        // the staged write materializes from the legacy files BEFORE they
+        // are deleted below; a crash in between replays this migration
+        // idempotently (promoteSlot drops the re-staged copy)
+        writeSlot(spark, d, -1L, post, sz, lab)
+      }
+      legacy.foreach { case (_, p) => fs.delete(p, true): Unit }
+      recoverCompaction(spark, d)
+      committedSlots(spark, d, stagePrefix).foreach { case (id, _) => promoteSlot(spark, d, id) }
+    }
+
+    /** Fold the committed slots back into the three live relations — each
+      * in its monoid: postings by [[graft.ops.DedupOps.mergeShingleBanks]],
+      * sizes by union (slots index disjoint docs), labels last-wins by
+      * slot id (each slot carries the rows it changed).
+      */
+    private def foldSlots(
+        spark: SparkSession,
+        slots: Seq[(Long, org.apache.hadoop.fs.Path)]): (DataFrame, DataFrame, DataFrame) = {
+      val banks = slots.map { case (_, p) => slotBank(spark, p) }
+      val (post, sz) =
+        if (banks.size == 1) banks.head
+        else graft.ops.DedupOps.mergeShingleBanks(banks: _*)
+      val lab = slots.map { case (id, p) =>
+          spark.read.parquet(s"$p/labels").withColumn("__slot", lit(id))
+        }
+        .reduce(_.unionByName(_))
+        .groupBy(col("id"))
+        .agg(max_by(col("cluster_id"), col("__slot")).as("cluster_id"))
+      (post, sz, lab)
+    }
+
+    /** Fold every committed delta slot into ONE compacted base slot —
+      * restart rebuild cost is O(slots), so a long-lived store compacts
+      * between runs. MUST NOT run concurrently with an active query (the
+      * slot surgery races the per-batch writer); unlike [[RollupStream]]
+      * the fold itself is replay-safe (a post-compaction checkpoint replay
+      * re-fences by doc id), so "between runs" is only about the file
+      * operations. Crash-safe at every point via [[recoverCompaction]].
+      * Returns the number of slots folded (0 when nothing to do).
+      */
+    def compact(spark: SparkSession): Int = storeDir match {
+      case Some(d) =>
+        recoverStore(spark, d)
+        val slots = committedSlots(spark, d, slotPrefix)
+        if (slots.length <= 1) 0
+        else {
+          val (fs, _) = fsFor(spark, d)
+          val newBase = math.min(slots.map(_._1).min, 0L) - 1
+          val (post, sz, lab) = foldSlots(spark, slots)
+          val staged = s"$d/$compactPrefix$newBase"
+          // the staged writes execute the fold READING the old slots, so
+          // they must all land (and the commit marker with them) before
+          // any slot is deleted
+          post.write.mode("overwrite").parquet(s"$staged/postings")
+          sz.write.mode("overwrite").parquet(s"$staged/sizes")
+          lab.write.mode("overwrite").parquet(s"$staged/labels")
+          fs.create(new org.apache.hadoop.fs.Path(s"$staged/_SUCCESS"), true).close()
+          slots.foreach { case (_, s) => fs.delete(s, true): Unit }
+          fs.rename(
+            new org.apache.hadoop.fs.Path(staged),
+            new org.apache.hadoop.fs.Path(d, s"$slotPrefix$newBase")): Unit
+          slots.length
+        }
+      case _ => 0
+    }
+
     def start(stream: DataFrame, checkpointDir: String): StreamingQuery = {
       val spark = stream.sparkSession
-      // restart recovery: finish any interrupted promotion, fence crashed
-      // partials, resume all three relations from the newest committed
-      // version (the replayed in-flight batch collapses in the id
-      // anti-join below)
+      // restart recovery: migrate/repair the store, then rebuild all
+      // three relations from the committed slots (the replayed in-flight
+      // batch collapses in the id anti-join below)
       if (labels.isEmpty) storeDir.foreach { d =>
-        promoteStagedVersion(spark, d)
-        committedSlots(spark, d, "v=").headOption.foreach { case (_, p) =>
-          postings = Some(spark.read.parquet(s"$p/postings"))
-          sizes = Some(spark.read.parquet(s"$p/sizes"))
-          labels = Some(spark.read.parquet(s"$p/labels"))
+        recoverStore(spark, d)
+        val slots = committedSlots(spark, d, slotPrefix)
+        if (slots.nonEmpty) {
+          val (post, sz, lab) = foldSlots(spark, slots)
+          postings = Some(post.localCheckpoint(true))
+          sizes = Some(sz.localCheckpoint(true))
+          labels = Some(lab.localCheckpoint(true))
         }
       }
       stream.writeStream
@@ -597,7 +779,8 @@ object Streaming {
           val (batchPairs, crossPairs) = graft.ops.DedupOps.pairsFromPostingBanks(
             postings.getOrElse(pB.limit(0)), sizes.getOrElse(sizesB.limit(0)),
             pB, sizesB, idCol, threshold, maxDocFreq)
-          val seeded = (labels match {
+          val prevLab = labels
+          val seeded = (prevLab match {
             case Some(prev) => prev.unionByName(
               sizesB.select(col(idCol).as("id"), col(idCol).as("cluster_id")))
             case None => sizesB.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
@@ -613,23 +796,40 @@ object Streaming {
           }
           val postNew = postNew0.localCheckpoint(true)
           val sizesNew = sizesNew0.localCheckpoint(true)
-          // pin the new states BEFORE any store cleanup can delete files
-          // the recovered (lazily file-backed) previous states reference
+          // pin the new states BEFORE any store file operation can touch
+          // files the recovered (lazily file-backed) previous states
+          // reference
           postings = Some(postNew); sizes = Some(sizesNew); labels = Some(labNew)
-          storeDir.foreach { d =>
-            val (fs, _) = fsFor(spark, d)
-            val staged = new org.apache.hadoop.fs.Path(d, s".v-$batchId")
-            if (fs.exists(staged)) fs.delete(staged, true): Unit
-            postNew.write.mode("overwrite").parquet(s"$d/.v-$batchId/postings")
-            sizesNew.write.mode("overwrite").parquet(s"$d/.v-$batchId/sizes")
-            labNew.write.mode("overwrite").parquet(s"$d/.v-$batchId/labels")
-            // the version commits as a UNIT: the top-level marker lands
-            // only after all three subdir writes, so a crash between them
-            // leaves an uncommitted staging dir that recovery fences off
-            fs.create(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"), true).close()
-            promoteStagedVersion(spark, d)
-            committedSlots(spark, d, "v=").filter(_._1 != batchId)
-              .foreach { case (_, old) => fs.delete(old, true) }
+          if (storeDir.isDefined || metrics.isDefined) {
+            // the label DELTA: rows whose label changed this batch (new
+            // docs label themselves, so they always appear) — with
+            // min-label clustering a changed row is one an evidence pair
+            // relinked, O(touched clusters) not O(corpus)
+            val labDelta = (prevLab match {
+              case Some(pl) => labNew.join(pl, Seq("id", "cluster_id"), "left_anti")
+              case None     => labNew
+            }).localCheckpoint(true)
+            val freshDocs = sizesB.count()
+            storeDir.foreach { d =>
+              // slot ids are assigned monotonically at WRITE time, not
+              // from the stream's batch id: a fresh checkpoint restarts
+              // batch ids at 0 against a store that already holds those
+              // slots, and the doc-id fence makes idempotency DOC-granular
+              // — the delta holds exactly the docs the store lacks, so it
+              // is always safe to append under a fresh id and never
+              // correct to overwrite a committed slot. A fully replayed
+              // batch fences down to an all-empty delta and skips the
+              // write entirely
+              if (freshDocs > 0)
+                writeSlot(spark, d,
+                  committedSlots(spark, d, slotPrefix).headOption.fold(0L)(_._1 + 1L),
+                  pB, sizesB, labDelta)
+            }
+            metrics.foreach { m =>
+              m.recordStore(graft.tools.MetricsListener.StoreMetric(
+                "neardup_cluster_store", batchId,
+                pB.count(), freshDocs, labDelta.count(), sizesNew.count()))
+            }
           }
         }
         .start()

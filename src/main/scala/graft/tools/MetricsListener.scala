@@ -13,9 +13,10 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * routes to log4j/metrics instead of the in-memory buffer used for tests.
   */
 class MetricsListener extends QueryExecutionListener {
-  import MetricsListener.QueryMetric
+  import MetricsListener.{QueryMetric, StoreMetric}
 
   private val buffer = new ConcurrentLinkedQueue[QueryMetric]()
+  private val storeBuffer = new ConcurrentLinkedQueue[StoreMetric]()
 
   def records: Seq[QueryMetric] = {
     val it = buffer.iterator()
@@ -23,6 +24,21 @@ class MetricsListener extends QueryExecutionListener {
     while (it.hasNext) b += it.next()
     b.result()
   }
+
+  /** One record per committed store write (see [[MetricsListener.StoreMetric]]). */
+  def storeRecords: Seq[StoreMetric] = {
+    val it = storeBuffer.iterator()
+    val b = Seq.newBuilder[StoreMetric]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  /** Report a maintained-store batch write. Called by the store maintainers
+    * themselves (e.g. [[graft.streaming.Streaming.NearDupClusterStream]]) —
+    * the write path is driver code inside `foreachBatch`, which no
+    * QueryExecutionListener callback observes.
+    */
+  def recordStore(m: StoreMetric): Unit = { storeBuffer.add(m): Unit }
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
     buffer.add(QueryMetric(funcName, durationNs, None))
@@ -37,6 +53,20 @@ object MetricsListener {
     * listener through an $outer reference.
     */
   case class QueryMetric(funcName: String, durationNs: Long, error: Option[String])
+
+  /** One maintained-store batch write: how many rows each persisted DELTA
+    * relation carried (the bytes-written proxy — the O(batch)-persistence
+    * claim is observable as `postingsDeltaRows`/`sizesDeltaRows` tracking
+    * batch size, not store size) and the store's current document count
+    * (`storeDocs`, the fold-size axis those deltas are flat against).
+    */
+  case class StoreMetric(
+      store: String,
+      batchId: Long,
+      postingsDeltaRows: Long,
+      sizesDeltaRows: Long,
+      labelsDeltaRows: Long,
+      storeDocs: Long)
 
   /** Attach a fresh listener to the session and return it. */
   def attach(spark: SparkSession): MetricsListener = {

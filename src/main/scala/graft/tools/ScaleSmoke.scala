@@ -21,7 +21,7 @@ object ScaleSmoke {
     val only = args.toSet
     val known =
       Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix",
-        "editdist", "kmeans", "incr")
+        "editdist", "kmeans", "incr", "incrstore")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -382,6 +382,44 @@ object ScaleSmoke {
       println(s"$k,$nStore,$nBatch,scratch,${(System.nanoTime() - t1) / 1e9},$scratchPairs")
       spark.sharedState.cacheManager.clearCache(); System.gc()
       corpus.unpersist(); store.unpersist(); batch.unpersist()
+    }
+
+    // ---- streaming store persistence: delta-slot bytes are O(batch) ----
+    // the durability claim behind NearDupClusterStream's delta-slot store:
+    // the bytes PERSISTED per micro-batch track the batch, not the banked
+    // corpus. The batch is FIXED (copy-0 odd ids) while the banked store
+    // grows with k; `delta_bytes` is the batch's committed slot on disk,
+    // `store_bytes` the whole store dir after the batch — what the old
+    // full-rewrite layout paid EVERY batch and the delta layout pays only
+    // at compaction.
+    if (want("incrstore"))
+      println("incrstore: k,store_docs,batch_docs,batch_s,delta_bytes,store_bytes")
+    ks("incrstore", Seq(1, 2, 4, 8), Seq(1, 4, 16, 32)).foreach { k =>
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+      val corpus = copyK(k).cache()
+      val batchDf = corpus.filter(col("doc_id") < 1000000L && col("doc_id") % 2 === 1)
+      val batchRows = batchDf.as[(Long, String)].collect().toSeq
+      val storeRows = corpus.exceptAll(batchDf).as[(Long, String)].collect().toSeq
+      val storeDir = java.nio.file.Files.createTempDirectory("graft-incrstore").toString + "/ndc"
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val ndc = new graft.streaming.Streaming.NearDupClusterStream(
+        "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 100, Some(storeDir))
+      val q = ndc.start(stream.toDF().toDF("doc_id", "text"),
+        java.nio.file.Files.createTempDirectory("graft-incrstore-ck").toString)
+      stream.addData(storeRows); q.processAllAvailable()
+      val t0 = System.nanoTime()
+      stream.addData(batchRows); q.processAllAvailable()
+      val batchS = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val deltaBytes = du(new java.io.File(s"$storeDir/batch_id=1"))
+      val storeBytes = du(new java.io.File(storeDir))
+      println(s"$k,${storeRows.size},${batchRows.size},$batchS,$deltaBytes,$storeBytes")
+      spark.sharedState.cacheManager.clearCache(); System.gc()
+      corpus.unpersist()
     }
 
     // ---- decontamination: exact broadcast vs bloom prefilter ----

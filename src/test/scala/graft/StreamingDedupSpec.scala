@@ -111,4 +111,124 @@ class StreamingDedupSpec extends AnyFunSuite {
     stream3.addData(Seq.empty[(Long, String)]); q3.processAllAvailable(); q3.stop()
     assert(streamedClusters(ndc3) == expected)
   }
+
+  // ---- delta-slot persistence (store format v3) ----
+
+  private val boiler = "terms of service apply to all content on this page"
+  private val famA = "the quick brown fox jumps over the lazy dog while seventeen " +
+    "green turtles slowly cross the ancient stone bridge near the waterfall"
+  private def fixtureBatch1 = Seq(
+    (1L, s"$famA $boiler"), (2L, s"$famA $boiler"), (3L, s"$famA $boiler"),
+    (4L, s"completely unrelated text about volcano geology and magma $boiler"),
+    (5L, s"another singleton document discussing medieval trade routes $boiler"),
+    (6L, s"a third lone document on deep sea bioluminescence patterns $boiler"))
+  private def fixtureBatch2 = Seq(
+    (103L, s"$famA $boiler"),
+    (104L, s"fresh singleton text about glacier formation and moraines $boiler"))
+
+  private def runBatches(
+      ndc: Streaming.NearDupClusterStream,
+      batches: Seq[(Long, String)]*): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = ndc.start(stream.toDF().toDF("doc_id", "text"),
+      Files.createTempDirectory("graft-ndc-ck").toString)
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+  }
+
+  private def slotDirs(store: String): Seq[java.io.File] =
+    new java.io.File(store).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+
+  test("per-batch persistence is O(batch): slots hold only the batch's deltas") {
+    val ml = new graft.tools.MetricsListener
+    val store = Files.createTempDirectory("graft-ndc3-store").toString + "/ndc"
+    val ndc = new Streaming.NearDupClusterStream(
+      "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 5, Some(store), Some(ml))
+    runBatches(ndc, fixtureBatch1, fixtureBatch2)
+    assert(slotDirs(store).map(_.getName).sorted == Seq("batch_id=0", "batch_id=1"))
+    // slot 1 persists ONLY batch 2: 2 size rows (not 8), and only the
+    // labels batch 2 changed — 103 joined family A (label 1), 104 labels
+    // itself; docs 1-6 keep their slot-0 labels and are NOT rewritten
+    assert(spark.read.parquet(s"$store/batch_id=1/sizes").count() == 2)
+    assert(spark.read.parquet(s"$store/batch_id=1/labels")
+      .as[(Long, Long)].collect().toSet == Set((103L, 1L), (104L, 104L)))
+    // the batch-2 posting delta indexes 2 docs' shingles, far below the
+    // 8-doc bank: every posting's ids are a subset of {103, 104}
+    val slot1Ids = spark.read.parquet(s"$store/batch_id=1/postings")
+      .select(explode(col("__ids")).as("id")).as[Long].collect().toSet
+    assert(slot1Ids == Set(103L, 104L))
+    // the metric channel exposes the same shape, per batch
+    val ms = ml.storeRecords
+    assert(ms.map(m => (m.batchId, m.sizesDeltaRows, m.storeDocs)) == Seq((0L, 6L, 6L), (1L, 2L, 8L)))
+    assert(ms(1).labelsDeltaRows == 2L && ms(1).postingsDeltaRows > 0L)
+    // compaction folds both slots into one negative-id base, and a fresh
+    // recovery from the compacted store is exact
+    assert(ndc.compact(spark) == 2)
+    assert(slotDirs(store).map(_.getName) == Seq("batch_id=-1"))
+    val ndc2 = new Streaming.NearDupClusterStream(
+      "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 5, Some(store))
+    runBatches(ndc2, Seq.empty)
+    val expected = batchClusters(
+      (fixtureBatch1 ++ fixtureBatch2).toDF("doc_id", "text"), maxDocFreq = 5)
+    assert(streamedClusters(ndc2) == expected)
+    // ...and post-compaction increments land as new slots above the base
+    runBatches(ndc2, Seq((205L, s"$famA $boiler")))
+    assert(slotDirs(store).map(_.getName).sorted == Seq("batch_id=-1", "batch_id=0"))
+    assert(streamedClusters(ndc2).contains((205L, 1L)))
+  }
+
+  test("recovery migrates the legacy full-rewrite store layouts (v1 and v2)") {
+    val docs = fixtureBatch1.toDF("doc_id", "text")
+    val expected = batchClusters(docs, maxDocFreq = 0)
+    val sh = DedupOps.hashedShingles(docs, "doc_id", "text", 3)
+    val (post, sizes) = DedupOps.shingleBankFromSets(sh, "doc_id")
+    val labels = expected.toSeq.toDF("id", "cluster_id")
+    def commitVersion(store: String, write: String => Unit): Unit = {
+      write(s"$store/v=0")
+      Files.createFile(java.nio.file.Paths.get(s"$store/v=0/_SUCCESS")): Unit
+    }
+    def recovered(store: String): Streaming.NearDupClusterStream = {
+      val ndc = new Streaming.NearDupClusterStream(
+        "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 0, Some(store))
+      runBatches(ndc, Seq.empty)
+      ndc
+    }
+    // v2: v=<id>/{postings,sizes,labels}
+    val storeV2 = Files.createTempDirectory("graft-ndc-v2").toString + "/ndc"
+    commitVersion(storeV2, { v =>
+      post.write.parquet(s"$v/postings")
+      sizes.write.parquet(s"$v/sizes")
+      labels.write.parquet(s"$v/labels")
+    })
+    val fromV2 = recovered(storeV2)
+    assert(streamedClusters(fromV2) == expected)
+    assert(slotDirs(storeV2).map(_.getName) == Seq("batch_id=-1"))
+    assert(!new java.io.File(s"$storeV2/v=0").exists())
+    // v1: v=<id>/{bank,df,labels} — postings rebuilt from the (id, sh) sets
+    val storeV1 = Files.createTempDirectory("graft-ndc-v1").toString + "/ndc"
+    commitVersion(storeV1, { v =>
+      sh.write.parquet(s"$v/bank")
+      post.select(col("s"), size(col("__ids")).as("df")).write.parquet(s"$v/df")
+      labels.write.parquet(s"$v/labels")
+    })
+    val fromV1 = recovered(storeV1)
+    assert(streamedClusters(fromV1) == expected)
+    assert(slotDirs(storeV1).map(_.getName) == Seq("batch_id=-1"))
+    // the migrated store keeps working: a redelivered doc is fenced, a new
+    // doc pairs against the rebuilt bank
+    runBatches(fromV1, fixtureBatch1 :+ (103L, s"$famA $boiler"))
+    assert(streamedClusters(fromV1).contains((103L, 1L)))
+    assert(spark.read.parquet(s"$storeV1/batch_id=0/sizes").count() == 1)
+    // an unrecognizable version layout fails loudly instead of starting empty
+    val storeBad = Files.createTempDirectory("graft-ndc-bad").toString + "/ndc"
+    commitVersion(storeBad, { v =>
+      labels.write.parquet(s"$v/labels")
+    })
+    val err = intercept[IllegalStateException] {
+      recovered(storeBad)
+    }
+    assert(err.getMessage.contains("unrecognized NearDupClusterStream store layout"))
+  }
 }
