@@ -58,8 +58,23 @@ object Tables {
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       case _ =>
-        // µs TIMESTAMP or TIMESTAMP_NTZ; session tz is UTC so the cast is
-        // the identity instant mapping. Column order mirrors layout (a).
+        // µs TIMESTAMP or TIMESTAMP_NTZ. For an instant-typed TIMESTAMP the
+        // cast below is tz-independent; TIMESTAMP_NTZ carries wall-clock
+        // only, and casting it to an instant reads that wall-clock in the
+        // SESSION zone — correct for the engine contract (ts_ns = epoch
+        // nanos of the recorded UTC wall-clock) only under a UTC session.
+        // Every in-repo builder pins UTC; enforce it HERE, where it is
+        // relied upon, so an external caller with a different session zone
+        // fails loudly instead of silently shifting every ts/ts_ns.
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType) {
+          val tz = raw.sparkSession.sessionState.conf.sessionLocalTimeZone
+          require(
+            java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+            s"normalizeEvents needs spark.sql.session.timeZone=UTC to interpret " +
+              s"TIMESTAMP_NTZ event times (session zone is '$tz'): the NTZ->instant " +
+              "cast reinterprets the stored UTC wall-clock in the session zone")
+        }
+        // Column order mirrors layout (a).
         raw.select(
           col("event_id"),
           (unix_micros(col("ts").cast("timestamp")) * 1000L).as("ts_ns"),

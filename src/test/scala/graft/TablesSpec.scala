@@ -49,6 +49,30 @@ class TablesSpec extends AnyFunSuite {
     assert(ra.map(_.getLong(1)) == microsValues.map(_._2 * 1000L))
   }
 
+  test("normalizeEvents rejects a non-UTC session for the NTZ layout") {
+    // the NTZ->instant cast reads wall-clock in the SESSION zone; all
+    // in-repo builders pin UTC, and the function enforces the invariant
+    // where it is relied on rather than silently shifting ts/ts_ns
+    val key = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "America/New_York")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Tables.normalizeEvents(ntzLayout)
+      }
+      assert(ex.getMessage.contains("UTC"))
+    } finally spark.conf.set(key, prev)
+    // the instant-typed layout stays tz-independent: ts_ns values computed
+    // under a non-UTC session equal the UTC ones (instants, not wall-clock)
+    val utcNs = Tables.normalizeEvents(nsLayout)
+      .orderBy("event_id").select("ts_ns").as[Long].collect().toSeq
+    spark.conf.set(key, "America/New_York")
+    try assert(
+      Tables.normalizeEvents(nsLayout)
+        .orderBy("event_id").select("ts_ns").as[Long].collect().toSeq == utcNs)
+    finally spark.conf.set(key, prev)
+  }
+
   test("normalizeEvents on the instant-typed layout is also accepted") {
     val tz = ntzLayout.withColumn("ts", col("ts").cast("timestamp"))
     val out = Tables.normalizeEvents(tz)
