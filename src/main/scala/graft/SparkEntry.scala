@@ -1377,8 +1377,10 @@ object SparkEntry {
     // min-label CC with smart init: near-dup store graphs are tiny
     // cliques/chains, where it converges in one no-change round — the
     // O(log n) alternating-star variant pays >=2 fixed star rounds for the
-    // same labels (equality property-pinned in PropertiesSpec; reach for
-    // connectedComponentsFast when component diameter is unbounded)
+    // same labels (equality property-pinned in PropertiesSpec). The round
+    // budget (default 100 ≈ diameter-200 components) is a fail-loud guard,
+    // not a cost — converged graphs exit after their one no-change round;
+    // reach for connectedComponentsFast when diameter is truly unbounded
     val storeLabels = store.select(col("doc_id").as("id"))
       .join(
         DedupOps.connectedComponents(storePairs, "doc_a", "doc_b"),

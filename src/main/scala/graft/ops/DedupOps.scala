@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import Caching.Syntax
+
 /** Deduplication operators for LLM-data pipelines (north-star extension):
   * exact (hash group-by), n-gram Jaccard, MinHash+LSH, SimHash.
   *
@@ -132,9 +134,18 @@ object DedupOps {
     * df-count shuffle plus an anti-join back over the whole exploded
     * relation. Same strict-`>` boundary (a bucket of exactly `maxDocFreq`
     * documents survives), identical pairs and `common` counts for
-    * duplicate-free (id, bucket) input — which every element-set producer
-    * here guarantees ([[shingles]]/[[hashedShingles]] are array_distinct,
-    * winnow fingerprints `.distinct`). At 100 TB this removes the widest
+    * duplicate-free (id, bucket) input.
+    *
+    * PRECONDITION: the exploded input must be duplicate-free on
+    * (id, bucket). This variant counts df as the number of DISTINCT ids in
+    * a bucket (`size(collect_set)`), where [[cappedExploded]] counted
+    * ROWS — the two cap semantics agree only when the relation has one row
+    * per (id, bucket). Every element-set producer in this module
+    * guarantees that ([[shingles]]/[[hashedShingles]] are array_distinct,
+    * winnow fingerprints `.distinct`); a caller exploding a relation with
+    * repeated (id, bucket) rows must `.distinct()` first or the cap
+    * boundary silently drifts from the pinned strict-`>` contract.
+    * At 100 TB this removes the widest
     * extra shuffle in the dedup family: the exploded relation is re-shuffled
     * once (the posting groupBy), never a second time for the cap.
     */
@@ -220,7 +231,7 @@ object DedupOps {
       threshold: Double,
       maxDocFreq: Int,
       hotOverride: Option[DataFrame] = None): DataFrame = {
-    val sh = sets.cache()
+    val sh = sets.scopedCache()
     val sizes = sh.select(col(idCol), size(col("sh")).as("n_sh"))
     val explodedAll = sh.select(col(idCol), explode(col("sh")).as("s"))
     // hotOverride supplies an EXTERNALLY-maintained hot-element relation
@@ -292,7 +303,7 @@ object DedupOps {
       n: Int,
       threshold: Double,
       maxDocFreq: Int = 100): DataFrame = {
-    val sh = hashedShingles(df, idCol, textCol, n).cache()
+    val sh = hashedShingles(df, idCol, textCol, n).scopedCache()
     val sizes = sh.select(col(idCol), size(col("sh")).as("n_sh"))
     // ONE df pass serves both the cap and the rarest-first prefix order:
     // the inner join against the (small, ≤cap-filtered) per-element df
@@ -304,7 +315,7 @@ object DedupOps {
     val ex0 = sh.select(col(idCol), explode(col("sh")).as("s"))
     val dfr0 = ex0.groupBy(col("s")).agg(count(lit(1)).as("sdf"))
     val dfr = if (maxDocFreq <= 0) dfr0 else dfr0.filter(col("sdf") <= maxDocFreq)
-    val ex = ex0.join(dfr, Seq("s")).cache()
+    val ex = ex0.join(dfr, Seq("s")).scopedCache()
     val cand = prefixCandidatePairsAnnotated(ex, idCol, threshold)
     val csets = ex.groupBy(col(idCol)).agg(sort_array(collect_list(col("s"))).as("cs"))
     cand
@@ -375,8 +386,8 @@ object DedupOps {
       n: Int,
       threshold: Double,
       maxDocFreq: Int = 100): DataFrame = {
-    val shA = hashedShingles(existing, idCol, textCol, n).cache()
-    val shB = hashedShingles(incoming, idCol, textCol, n).cache()
+    val shA = hashedShingles(existing, idCol, textCol, n).scopedCache()
+    val shB = hashedShingles(incoming, idCol, textCol, n).scopedCache()
     crossJaccardPairsFrom(shA, shB, idCol, threshold, maxDocFreq, None)
   }
 
@@ -405,7 +416,7 @@ object DedupOps {
       idCol: String,
       threshold: Double,
       hot: Option[DataFrame]): (DataFrame, DataFrame) = {
-    val b = batchSh.cache()
+    val b = batchSh.scopedCache()
     (setJaccardPairs(b, idCol, threshold, maxDocFreq = 0, hotOverride = hot),
       crossJaccardPairsFrom(bank, b, idCol, threshold, maxDocFreq = 0, hotOverride = hot))
   }
@@ -526,9 +537,9 @@ object DedupOps {
       idCol: String,
       textCol: String,
       n: Int): (DataFrame, DataFrame) = {
-    val sh = hashedShingles(df, idCol, textCol, n).cache()
+    val sh = hashedShingles(df, idCol, textCol, n).scopedCache()
     val (postings, sizes) = shingleBankFromSets(sh, idCol)
-    (postings.cache(), sizes)
+    (postings.scopedCache(), sizes)
   }
 
   /** [[shingleBank]] over an already-shingled (id, sh) relation — no
@@ -568,12 +579,34 @@ object DedupOps {
     * parts index disjoint documents), sizes by plain union — the
     * [[graft.ops.TextOps.mergeBm25Stats]] pattern applied to the dedup
     * store, so history is never re-sharded.
+    *
+    * CONTRACT: the banks must index DISJOINT doc-id sets. An overlapping
+    * id silently breaks both invariants downstream consumers rely on — the
+    * merged postings stop being sorted-distinct (inflated df, duplicated
+    * pairs in [[pairsFromPostingBanks]]) and the sizes relation carries
+    * duplicate rows (doubled Jaccard denominators). The streaming
+    * maintainer fences by anti-joining each batch against the banked ids;
+    * external callers own the same fence. With
+    * `-Dgraft.debug.bankChecks=true` the fold VERIFIES disjointness (one
+    * extra count job over the merged sizes) and fails loudly on overlap —
+    * the debug posture for new integrations; off by default because the
+    * check is a full pass over a relation the production path never
+    * materializes eagerly.
     */
   def mergeShingleBanks(banks: (DataFrame, DataFrame)*): (DataFrame, DataFrame) = {
     require(banks.nonEmpty, "need at least one bank")
+    val sizes = banks.map(_._2).reduce(_.unionByName(_))
+    if (sys.props.get("graft.debug.bankChecks").exists(_.toBoolean) && banks.size > 1) {
+      val idc = sizes.columns.head
+      val overlaps = sizes.groupBy(col(idc)).count().filter(col("count") > 1)
+        .select(col(idc)).limit(5).collect().map(_.get(0))
+      require(overlaps.isEmpty,
+        s"mergeShingleBanks: banks overlap on doc ids ${overlaps.mkString(", ")} — " +
+          "increments must index disjoint documents (fence with an anti-join)")
+    }
     (banks.map(_._1).reduce(_.unionByName(_))
       .groupBy(col("s")).agg(sort_array(flatten(collect_list(col("__ids")))).as("__ids")),
-      banks.map(_._2).reduce(_.unionByName(_)))
+      sizes)
   }
 
   private def withinBankCap(total: Column, maxDocFreq: Int): Column =
@@ -583,6 +616,15 @@ object DedupOps {
     * banks under the combined-df cap — the shared core of
     * [[incrementalPairsFromBank]], [[incrementalJaccardPairs]] and the
     * streaming cluster maintainer.
+    *
+    * PRECONDITIONS: each side's postings must hold sorted DISTINCT doc ids
+    * per element (the [[shingleBankFromSets]] invariant — df is evaluated
+    * as posting SIZE, so a duplicated id inflates the cap basis), and the
+    * two sides must index DISJOINT doc-id sets (the combined df is the
+    * SUM of the two posting sizes, exact only without overlap; an
+    * overlapping doc would also self-pair in the cross join). Callers
+    * fence with an anti-join on the banked ids — see
+    * [[graft.streaming.Streaming.NearDupClusterStream]].
     */
   private[graft] def pairsFromPostingBanks(
       pA: DataFrame,
@@ -688,13 +730,13 @@ object DedupOps {
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = hashedShingles(df, idCol, textCol, n).filter(size(col("sh")) > 0).cache()
+    val sh = hashedShingles(df, idCol, textCol, n).filter(size(col("sh")) > 0).scopedCache()
     // The cache() below is a correctness-of-cost barrier, not just reuse:
     // without it Catalyst's CollapseProject inlines the signature expression
     // into every band projection (16 signature recomputations per row).
     val sig = sh
       .select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
-      .cache()
+      .scopedCache()
     // band bucket = (band index, hash of the band's slice of the signature)
     val banded = sig.select(col(idCol), bandBuckets(col("sig"), bands, rows).as("bucket"))
       .distinct()
@@ -735,13 +777,13 @@ object DedupOps {
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val shA = hashedShingles(existing, idCol, textCol, n).filter(size(col("sh")) > 0).cache()
-    val shB = hashedShingles(incoming, idCol, textCol, n).filter(size(col("sh")) > 0).cache()
+    val shA = hashedShingles(existing, idCol, textCol, n).filter(size(col("sh")) > 0).scopedCache()
+    val shB = hashedShingles(incoming, idCol, textCol, n).filter(size(col("sh")) > 0).scopedCache()
     // cache barrier per side, same as minhashLshPairs (CollapseProject
     // would inline the signature into every band projection)
     def banded(sh: DataFrame): DataFrame = sh
       .select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
-      .cache()
+      .scopedCache()
       .select(col(idCol), bandBuckets(col("sig"), bands, rows).as("bucket"))
       .distinct()
     val candidates = banded(shA).select(col(idCol).as("doc_a"), col("bucket"))
@@ -775,12 +817,20 @@ object DedupOps {
     * (large-star/small-star pointer doubling, O(log n) rounds) — same
     * join/agg building blocks, different message rule; identical labels
     * (pinned by a PropertiesSpec random-graph property).
+    *
+    * `maxIter` is a fail-loud guard, not a cost: the loop exits on the
+    * first no-change round, so a generous budget is only ever PAID by a
+    * graph that actually needs the rounds — the default (100, covering
+    * component diameters ≈200 under min-label + smart init) exists so a
+    * chain-shaped component a few dozen docs long converges rather than
+    * crashing, while a truly unbounded diameter still fails loudly below
+    * instead of looping forever.
     */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 100): DataFrame = {
     // materialize the pair relation exactly ONCE: `pairs` is typically an
     // expensive shingle/band join-aggregate, and the two union branches
     // below would otherwise each re-derive it (Spark performs no
@@ -1006,7 +1056,7 @@ object DedupOps {
       fpp: Double): (DataFrame, org.apache.spark.util.sketch.BloomFilter) = {
     val evalGrams = hashedShingles(eval, idCol, textCol, n)
       .select(explode(col("sh")).as("g")).distinct()
-      .cache()
+      .scopedCache()
     val bf = evalGrams.stat.bloomFilter("g", math.max(evalGrams.count(), 1L), fpp)
     (evalGrams, bf)
   }
@@ -1403,7 +1453,7 @@ object DedupOps {
     // AND the join probe (module caching contract: caller/harness clears)
     val ex = hashedShingles(docs, idCol, textCol, n)
       .select(col(idCol), explode(col("sh")).as("s"))
-      .cache()
+      .scopedCache()
     val firstOwner = ex.groupBy(col("s")).agg(min(col(idCol)).as("__first"))
     ex.join(firstOwner, "s")
       .groupBy(col(idCol))
@@ -1455,7 +1505,7 @@ object DedupOps {
     val nrm = docs
       .select(col(idCol), TextOps.normalize(col(textCol)).as("__t"))
       .withColumn("__len", length(col("__t")))
-      .cache()
+      .scopedCache()
     val exploded = hashedShingles(docs, idCol, textCol, n)
       .select(col(idCol), explode(col("sh")).as("s"))
     // lengths join + ratio filter FIRST on 8-byte columns; only the
@@ -1569,7 +1619,7 @@ object DedupOps {
     // simhash into each of the 4 chunk-bucket expressions below
     val sims = df
       .select(col(idCol), simhash(TextOps.tokens(col(textCol))).as("sim"))
-      .cache()
+      .scopedCache()
     val chunks = sims.select(
       col(idCol), col("sim"),
       explode(transform(

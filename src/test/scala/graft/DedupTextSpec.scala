@@ -374,6 +374,28 @@ class DedupTextSpec extends AnyFunSuite {
       cp.as[(Long, Long, Double)].collect().toSet)
   }
 
+  test("shingle bank: debug mode fails loudly on overlapping increments") {
+    // the disjoint-doc CONTRACT on mergeShingleBanks is caller-fenced in
+    // production; -Dgraft.debug.bankChecks verifies it at the fold — an
+    // overlap would silently inflate df and duplicate pairs otherwise
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val overlapping = docs.filter(col("doc_id") % 4 === 0) // ⊂ evens
+    sys.props("graft.debug.bankChecks") = "true"
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        DedupOps.mergeShingleBanks(
+          DedupOps.shingleBank(evens, "doc_id", "text", 3),
+          DedupOps.shingleBank(overlapping, "doc_id", "text", 3))
+      }
+      assert(ex.getMessage.contains("disjoint"))
+      // disjoint banks pass the same check
+      val odds = docs.filter(col("doc_id") % 2 === 1)
+      DedupOps.mergeShingleBanks(
+        DedupOps.shingleBank(evens, "doc_id", "text", 3),
+        DedupOps.shingleBank(odds, "doc_id", "text", 3))._2.count()
+    } finally sys.props.remove("graft.debug.bankChecks"): Unit
+  }
+
   test("prefixTemplates groups shared-opening docs; singletons and short/empty docs behave") {
     val opener = (1 to 16).map(i => s"w$i").mkString(" ")
     val d = Seq(

@@ -196,6 +196,19 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: a chain beyond the OLD 25-round budget converges under the default") {
+    // regression guard for the round-5 default (25): a 40-doc chain-shaped
+    // near-dup component needs ~39 min-label rounds — real corpora produce
+    // such chains (each doc near-dups its neighbors only), and the operator
+    // must label them, not crash. The 100-round default covers it; truly
+    // unbounded diameters still fail loudly (previous test).
+    val n = 40
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = DedupOps.connectedComponents(chain, "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(labels.length == n && labels.forall(_._2 == 0L))
+  }
+
   test("property: packSequences spans tile each shard stream exactly") {
     val docGen = Gen.listOfN(20, Gen.chooseNum(1, 40)).map { lens =>
       lens.zipWithIndex.map { case (len, i) =>
