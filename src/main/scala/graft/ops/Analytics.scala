@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import Caching.Syntax
+
 /** Ranking / ordering / event-time / set operators. The reference has none of
   * these (SURVEY.md §2.D) — they exist because the Spark-native expression of
   * its last-wins/last-pick semantics and the `events` stream slice requires
@@ -154,7 +156,7 @@ object Analytics {
     * ever shuffles, and the total is one broadcast scalar.
     */
   def heavyHitters(df: DataFrame, keys: Seq[String], minShare: Double): DataFrame = {
-    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n")).cache()
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n")).scopedCache()
     val total = counts.agg(sum(col("n")).as("__t"))
     counts.crossJoin(broadcast(total))
       .filter(col("n") > col("__t") * minShare)
@@ -434,7 +436,7 @@ object Analytics {
       col(keyCol),
       to_date(date_trunc("month", col(dateCol))).as("month"),
       col(valueCol).as("__v"))
-      .cache()
+      .scopedCache()
     val bounds = norm.groupBy(col(keyCol))
       .agg(min(col("month")).as("__lo"), max(col("month")).as("__hi"))
     val spine = Incremental.monthSpine(bounds, col("__lo"), col("__hi"), "month")
@@ -490,7 +492,7 @@ object Analytics {
     val firsts = events.groupBy(col(userCol))
       .agg(min(unix_timestamp(col(tsCol))).as("__secs__"))
       .select(col(userCol), expr(s"(__secs__ div 86400) div $periodDays").as("cohort"))
-      .cache()
+      .scopedCache()
     val act = events
       .select(col(userCol), unix_timestamp(col(tsCol)).as("__secs__"))
       .select(col(userCol), expr(s"(__secs__ div 86400) div $periodDays").as("__p"))
@@ -533,7 +535,7 @@ object Analytics {
       .filter(col("dst_type").isNotNull)
       .groupBy(col(typeCol).as("src_type"), col("dst_type"))
       .agg(count(lit(1)).as("n"))
-      .cache()
+      .scopedCache()
     val totals = pairs.groupBy(col("src_type")).agg(sum(col("n")).as("__t"))
     pairs.join(totals, Seq("src_type"))
       .select(
@@ -728,7 +730,7 @@ object Analytics {
         col(keyCol), col(dateCol),
         round((col(valueCol) - col("__prev")) / col("__prev") * lit(10000.0))
           .cast("long").as("__r"))
-      .cache()
+      .scopedCache()
     val market = rets.groupBy(col(dateCol))
       .agg(sum(col("__r")).as("__s"), count(lit(1)).as("__c"))
       .select(col(dateCol), expr("__s div __c").as("__m"))
@@ -788,7 +790,7 @@ object Analytics {
       .filter(col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-      .cache()
+      .scopedCache()
     val loRank = (floor(lit(qLo) * (col("__n") - 1)) + 1).cast("long")
     val hiRank = (floor(lit(qHi) * (col("__n") - 1)) + 1).cast("long")
     val bounds = ranked

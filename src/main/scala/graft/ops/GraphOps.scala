@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import Caching.Syntax
+
 /** Graph operators over pair relations (near-dup pairs, similarity edges,
   * link graphs). Complements [[DedupOps.connectedComponents]] — CC answers
   * "what is transitively connected"; these answer the denser questions a
@@ -60,7 +62,7 @@ object GraphOps {
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("__e"))
       .select(col("__e.src"), col("__e.dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      .cache()
+      .scopedCache()
     var lab = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
@@ -99,7 +101,7 @@ object GraphOps {
       pairs: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
-    val e = pairs.select(col(srcCol).as("a"), col(dstCol).as("b")).distinct().cache()
+    val e = pairs.select(col(srcCol).as("a"), col(dstCol).as("b")).distinct().scopedCache()
     val deg = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))

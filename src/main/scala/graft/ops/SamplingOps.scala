@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import Caching.Syntax
+
 /** Deterministic sampling / splitting for training-data pipelines.
   *
   * Random `df.sample` is seed-and-partitioning dependent — re-running on a
@@ -152,7 +154,7 @@ object SamplingOps {
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w", round(sqrt(col("n_docs").cast("double")) * lit(1.0e6)).cast("long"))
-      .cache()
+      .scopedCache()
     val tot = counts.agg(sum(col("w")).as("tw"))
     val based = counts.crossJoin(broadcast(tot))
       .withColumn("base", expr("(w * cast(" + slots + " as bigint)) div tw"))

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import Caching.Syntax
+
 /** Text-analysis operators for LLM-data-pipeline workloads (north-star
   * extension, BASELINE.json): token/char statistics, language ID, quality
   * scoring, document fingerprinting — all built from codegen'd built-ins
@@ -80,7 +82,7 @@ object TextOps {
       col(idCol),
       explode(split(normalize(col(textCol)), " ")).as("token"))
       .filter(col("token") =!= "")
-      .cache()
+      .scopedCache()
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
     toks.join(freq, Seq("token"))
       .groupBy(col(idCol))
@@ -165,7 +167,7 @@ object TextOps {
       .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")
     // cached: tf feeds both the document-frequency aggregation and the join
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")).cache()
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")).scopedCache()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("tf").desc, col("df").asc, col("term"))
     tf.join(dfreq, "term")
@@ -347,7 +349,7 @@ object TextOps {
     * cached (module caching contract: caller/harness clears).
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val occ = lmOccurrences(df, idCol, textCol).cache()
+    val occ = lmOccurrences(df, idCol, textCol).scopedCache()
     lmScoreFrom(df, idCol, occ,
       occ.groupBy(col("token")).agg(count(lit(1)).as("cw")),
       occ.filter(col("prev").isNotNull)
@@ -380,7 +382,7 @@ object TextOps {
     * separate maintenance).
     */
   def lmCounts(df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
-    val occ = lmOccurrences(df, idCol, textCol).cache()
+    val occ = lmOccurrences(df, idCol, textCol).scopedCache()
     (occ.groupBy(col("token")).agg(count(lit(1)).as("cw")),
       occ.filter(col("prev").isNotNull)
         .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("cb")))
@@ -417,7 +419,7 @@ object TextOps {
     // scoring joins (token and prev) — three consumers, and in the
     // incremental form each recompute would re-fold the count union
     // (module caching contract: caller/harness clears)
-    val uni = uni0.cache()
+    val uni = uni0.scopedCache()
     val tot = uni.agg(sum(col("cw")).cast("long").as("n"), count(lit(1)).as("v"))
     // out-of-vocabulary coalesces (tokens absent from external counts score
     // as unseen, c=0 — the add-α row): no-ops in the self-trained form,
@@ -500,8 +502,8 @@ object TextOps {
       .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .cache()
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")).cache()
+      .scopedCache()
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")).scopedCache()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
     (tf, dl, dfreq, stats)
@@ -612,7 +614,7 @@ object TextOps {
         col("term"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
-      .cache()
+      .scopedCache()
     val totals = joined.agg(
       sum(col("c_a")).as("na"), sum(col("c_b")).as("nb"),
       count(lit(1)).as("v"))
@@ -652,13 +654,13 @@ object TextOps {
       rankCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
-    val res = results.select(col(qidCol), col(docCol), col(rankCol)).cache()
+    val res = results.select(col(qidCol), col(docCol), col(rankCol)).scopedCache()
     // cached like `res`: the relevance relation feeds BOTH the per-query
     // n_rel aggregate and the hit join below, and its upstream lineage is
     // typically expensive (q_retrieval_eval derives it from a shingle-join
     // near-dup pair relation) — without materialization each branch
     // re-derives it
-    val rel = relevance.select(col(qidCol), col(docCol)).distinct().cache()
+    val rel = relevance.select(col(qidCol), col(docCol)).distinct().scopedCache()
     val qs = res.select(col(qidCol)).distinct()
     val relq = qs.join(rel, qidCol)
       .groupBy(col(qidCol)).agg(count(lit(1)).as("n_rel"))
@@ -742,7 +744,7 @@ object TextOps {
     // without the barrier the corpus-wide pair build re-runs per round.
     // The returned release handle unpersists it; [[textRank]] callers get
     // the legacy caller/harness-clears contract
-    val e = edges.join(deg, "src").cache()
+    val e = edges.join(deg, "src").scopedCache()
     // seed from the CACHED edge relation (distinct src = the node set) —
     // seeding from `deg` would re-run the corpus-wide pair build once more
     var r = e.select(col("src").as("token")).distinct()
