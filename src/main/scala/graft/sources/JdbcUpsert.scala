@@ -47,6 +47,18 @@ object JdbcUpsert {
 
   private def q(c: String) = "\"" + c + "\""
 
+  /** TEST SEAM — invoked between a 0-row UPDATE and the INSERT attempt in
+    * [[upsertBatch]]. The speculation/zombie race window (both attempts
+    * observe `executeUpdate() == 0` before either inserts) is microseconds
+    * wide, so a thread-race test exercises the savepoint fallback only by
+    * luck; the seam lets JdbcUpsertSpec commit a competing row INSIDE the
+    * window and prove the duplicate-key loser re-applies as an UPDATE.
+    * Default no-op; production behavior unchanged. Local-mode tests only
+    * (executors share the driver JVM — a cluster executor would see the
+    * default).
+    */
+  private[graft] var betweenUpdateAndInsert: () => Unit = () => ()
+
   /** The reference's exact Postgres statement shape — one `INSERT … ON
     * CONFLICT (keys) DO UPDATE SET v = EXCLUDED.v` per row
     * (`/root/reference/etl/jobs/fetch_market_data/fetch_market_data.py:36-47`),
@@ -209,6 +221,7 @@ object JdbcUpsert {
                   upd.setObject(valueCols.length + i + 1, r.get(i))
                 }
                 if (upd.executeUpdate() == 0) {
+                  betweenUpdateAndInsert()
                   cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
                   // A racing attempt of this same partition (speculation /
                   // zombie retry) may have inserted this key between our

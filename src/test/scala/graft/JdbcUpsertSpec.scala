@@ -124,6 +124,40 @@ class JdbcUpsertSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertBatch: deterministic zombie-insert interleaving takes the savepoint path") {
+    // The thread-race test above exercises the window only by luck (it is
+    // microseconds wide); this one FORCES the interleaving via the test
+    // seam: after our attempt's UPDATE matched 0 rows, the "zombie" commits
+    // the same key before our INSERT runs. The INSERT must fail on the PK,
+    // roll back to the savepoint (not poison the transaction), and re-apply
+    // as an UPDATE — exactly one final row, holding OUR values.
+    withTable("market_zombie") { t =>
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      JdbcUpsert.betweenUpdateAndInsert = () =>
+        if (fired.incrementAndGet() == 1) {
+          // the racing attempt wins the insert and commits inside our window
+          val zc = java.sql.DriverManager.getConnection(url)
+          try {
+            zc.createStatement().executeUpdate(
+              s"""INSERT INTO "$t" VALUES ('RACE', 'STOCK', 1.0, 0.0)""")
+          } finally zc.close()
+        }
+      try {
+        val df = Seq(("RACE", "STOCK", 42.0, 2.0))
+          .toDF("symbol", "asset_type", "price", "change")
+        JdbcUpsert.upsertBatch(df, url, t, keyCols, valCols)
+        assert(fired.get() >= 1, "the interleaving hook must have run")
+        assert(readAll(t) == Set(("RACE", "STOCK", 42.0, 2.0)),
+          "duplicate-key loser must converge via savepoint + UPDATE to exactly one row")
+        // and a second normal wave still works on the same (unpoisoned) path
+        JdbcUpsert.upsertBatch(
+          Seq(("RACE", "STOCK", 43.0, 3.0)).toDF("symbol", "asset_type", "price", "change"),
+          url, t, keyCols, valCols)
+        assert(readAll(t) == Set(("RACE", "STOCK", 43.0, 3.0)))
+      } finally JdbcUpsert.betweenUpdateAndInsert = () => ()
+    }
+  }
+
   test("onConflictSql generates the reference's exact Postgres statement shape") {
     // reference: fetch_market_data.py:36-47 — INSERT … VALUES … ON
     // CONFLICT (symbol, asset_type) DO UPDATE SET col = EXCLUDED.col.
