@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import Caching.Syntax
+
 /** Embedding similarity search (north-star extension): brute-force cosine
   * top-k as the exact baseline, IVF (inverted-file) partitioned search as the
   * scale path.
@@ -382,7 +384,7 @@ object SimilarityOps {
       nProbe: Int = 2,
       seed: Long = 42L,
       maxIter: Int = 5): DataFrame = {
-    val c = preparedNonZero(corpus, idCol, vecCol).cache()
+    val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
     val cand = blockedCandidatesFrom(c, idCol, nLists, nProbe, seed, maxIter)
     val va = c.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val vb = c.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
@@ -405,7 +407,7 @@ object SimilarityOps {
       seed: Long = 42L,
       maxIter: Int = 5): DataFrame =
     blockedCandidatesFrom(
-      preparedNonZero(corpus, idCol, vecCol).cache(), idCol, nLists, nProbe, seed, maxIter)
+      preparedNonZero(corpus, idCol, vecCol).scopedCache(), idCol, nLists, nProbe, seed, maxIter)
 
   private def preparedNonZero(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     prepared(df, idCol, vecCol)
@@ -493,7 +495,7 @@ object SimilarityOps {
       seed: Long = 42L,
       maxIter: Int = 5,
       maxDepth: Int = 3): DataFrame = {
-    val c = preparedNonZero(corpus, idCol, vecCol).cache()
+    val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
     val cand =
       blockedCandidatesSalted(c, idCol, nLists, nProbe, maxListSize, seed, maxIter, maxDepth)
     val va = c.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
@@ -532,7 +534,7 @@ object SimilarityOps {
         val hot = assigned.join(broadcast(hotKeys), Seq("k"), "left_semi")
         val hotVecs = c.select(col(idCol), col("vn"))
           .join(hot.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
-          .cache()
+          .scopedCache()
         // ADAPTIVE fan-out (the large-star trick applied to blocking): split
         // proportionally to the hot population so ONE level usually lands
         // every block under the cap — a fixed small fan-out would need
@@ -560,12 +562,128 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** IVF approximate top-k with k-means coarse quantization: vectors are
-    * L2-normalized (so Euclidean k-means clusters by cosine direction), a
-    * small KMeans fit produces the `nLists` centroids, every corpus vector
-    * joins its predicted list, and probes search only their `nProbe`
-    * closest lists by centroid dot product. The fit touches normalized
-    * vectors once; the search path shuffles only (list, id, sim) triples.
+  /** Fit an IVF index over a vector corpus — the PERSISTABLE half of
+    * [[knnIvfKmeans]], split out so the quantizer fit and the corpus
+    * assignment are paid ONCE per corpus version instead of per query
+    * batch. Returns two plain relations:
+    *
+    *  - `centroids` `(list_id, cv: array<double>, chalf: ‖c‖²/2)` — the
+    *    nLists normalized-space centroids (tiny: broadcast on search);
+    *  - `assigned` `(idCol, v, nrm, list_id)` — every corpus vector with
+    *    its predicted list.
+    *
+    * The operating posture at scale: write `assigned` out
+    * `partitionBy("list_id")` and `centroids` alongside; every
+    * [[knnIvfSearch]] then reads ONLY its probed lists' partitions (the
+    * search derives a static `list_id IN (…)` predicate, so the pruning
+    * shows up in the scan, not just the join) — per-query-batch work is
+    * the nProbe/nLists fraction of the corpus, while a brute scan re-reads
+    * everything every batch. ScaleSmoke's `knncross` section measures the
+    * crossover.
+    *
+    * `fitFraction < 1` fits the k-means quantizer on a Bernoulli sample
+    * and assigns the FULL corpus — the standard trick when the corpus is
+    * far larger than what centroid estimation needs (quantizer quality
+    * depends on the direction distribution, which a sample captures);
+    * recall bounds in SimilaritySpec pin the sampled fit too.
+    */
+  def ivfFitKmeans(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      seed: Long = 42L,
+      maxIter: Int = 5,
+      fitFraction: Double = 1.0): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = prepared(corpus, idCol, vecCol)
+      // zero-norm vectors normalize to the zero vector, not a division abort
+      .withColumn("vn", transform(col("v"), x => when(col("nrm") > 0, x / col("nrm")).otherwise(lit(0.0))))
+      .scopedCache()
+    val feat = c.withColumn("features", array_to_vector(col("vn")))
+    val fitOn =
+      if (fitFraction >= 1.0) feat
+      else feat.sample(withReplacement = false, fitFraction, seed)
+    val model = new KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
+      // random init: kmeans|| costs ~2 extra full passes over the corpus and
+      // buys nothing here — Lloyd iterations on unit-norm vectors converge to
+      // equivalent coarse lists either way (recall checked in SimilaritySpec)
+      .setInitMode("random")
+      .fit(fitOn)
+    val assigned = model
+      .transform(feat)
+      .select(col(idCol), col("v"), col("nrm"), col("prediction").as("list_id"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (ctr, i) => (i, ctr.toArray.toSeq, ctr.toArray.map(x => x * x).sum / 2) }
+      .toDF("list_id", "cv", "chalf")
+    (centroids, assigned)
+  }
+
+  /** Search a fitted IVF index ([[ivfFitKmeans]]'s relations, live or read
+    * back from a list-partitioned store): probes rank lists by the SAME
+    * objective the k-means assignment minimized — ‖vn − c‖² over
+    * NORMALIZED vectors, i.e. maximize vn·c − ‖c‖²/2 (a raw dot against
+    * unnormalized centroids is a different metric and can rank a probe's
+    * own assignment list below a foreign one, missing even an
+    * exact-duplicate neighbor at nProbe=1) — then score EXACT cosine
+    * against only their `nProbe` lists' vectors.
+    *
+    * Scale shape: probes and centroids are broadcast (probes are the
+    * SMALL side by contract, as in [[knnBrute]]); the union of probed
+    * list ids (≤ nLists values) is collected at PLANNING time and applied
+    * as a static `list_id IN (…)` filter, so a store partitioned by
+    * `list_id` scans only the probed partitions — the search cost is the
+    * probed fraction of the corpus, not a full scan. The subsequent
+    * broadcast join carries (probe, pv, list) only; raw corpus vectors
+    * never shuffle.
+    */
+  def knnIvfSearch(
+      centroids: DataFrame,
+      assigned: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val p = prepared(probes, idCol, vecCol)
+      .select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+      .withColumn("pvn",
+        transform(col("pv"), x => when(col("pn") > 0, x / col("pn")).otherwise(lit(0.0))))
+    val probeW = Window.partitionBy(col("probe_id")).orderBy(col("pscore").desc, col("list_id"))
+    val probeLists = broadcast(p)
+      .join(broadcast(centroids), lit(true))
+      .withColumn("pscore", dot(col("pvn"), col("cv")) - col("chalf"))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nProbe)
+      .select(col("probe_id"), col("pv"), col("pn"), col("list_id"))
+    // planning-time collect (≤ nLists values — the quote-source contract):
+    // the static IN predicate is what turns a list-partitioned store scan
+    // into a partition-pruned one; on an in-memory frame it is a no-op
+    // semantically (the equi join below already restricts to probed lists)
+    val probed = probeLists.select(col("list_id")).distinct().collect().map(_.get(0))
+    val scored = assigned
+      .filter(col("list_id").isin(probed: _*))
+      .join(broadcast(probeLists), Seq("list_id"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("sim", cosine(dot(col("pv"), col("v")), col("pn"), col("nrm")))
+      .filter(col("sim").isNotNull)
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** IVF approximate top-k with k-means coarse quantization — the
+    * self-contained composition of [[ivfFitKmeans]] + [[knnIvfSearch]]
+    * (fit per call; an operating deployment persists the fit and calls
+    * the search directly, which is where IVF actually beats the brute
+    * scan — re-paying the fit per query batch is the measured own-goal
+    * the split removes).
     */
   def knnIvfKmeans(
       corpus: DataFrame,
@@ -577,55 +695,8 @@ object SimilarityOps {
       nProbe: Int,
       seed: Long = 42L,
       maxIter: Int = 5): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val c = prepared(corpus, idCol, vecCol)
-      // zero-norm vectors normalize to the zero vector, not a division abort
-      .withColumn("vn", transform(col("v"), x => when(col("nrm") > 0, x / col("nrm")).otherwise(lit(0.0))))
-      .cache()
-    val feat = c.withColumn("features", array_to_vector(col("vn")))
-    val model = new KMeans()
-      .setK(nLists).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
-      // random init: kmeans|| costs ~2 extra full passes over the corpus and
-      // buys nothing here — Lloyd iterations on unit-norm vectors converge to
-      // equivalent coarse lists either way (recall checked in SimilaritySpec)
-      .setInitMode("random")
-      .fit(feat)
-    val assigned = model
-      .transform(feat)
-      .select(col(idCol), col("v"), col("nrm"), col("prediction").as("list_id"))
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (ctr, i) => (i, ctr.toArray.toSeq, ctr.toArray.map(x => x * x).sum / 2) }
-      .toDF("list_id", "cv", "chalf")
-    val p = prepared(probes, idCol, vecCol)
-      .select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
-      .withColumn("pvn",
-        transform(col("pv"), x => when(col("pn") > 0, x / col("pn")).otherwise(lit(0.0))))
-    // probes rank lists by the SAME objective the k-means assignment
-    // minimized — ‖vn − c‖² over NORMALIZED vectors, i.e. maximize
-    // vn·c − ‖c‖²/2. A raw dot against unnormalized centroids is a
-    // different metric (centroid norms vary with cluster tightness) and can
-    // rank a probe's own assignment list below a foreign one, missing even
-    // an exact-duplicate neighbor at nProbe=1
-    val probeW = Window.partitionBy(col("probe_id")).orderBy(col("pscore").desc, col("list_id"))
-    val probeLists = broadcast(p)
-      .join(broadcast(centroids), lit(true))
-      .withColumn("pscore", dot(col("pvn"), col("cv")) - col("chalf"))
-      .withColumn("prank", row_number().over(probeW))
-      .filter(col("prank") <= nProbe)
-      .select(col("probe_id"), col("pv"), col("pn"), col("list_id"))
-    val scored = assigned
-      .join(broadcast(probeLists), Seq("list_id"))
-      .filter(col(idCol) =!= col("probe_id"))
-      .withColumn("sim", cosine(dot(col("pv"), col("v")), col("pn"), col("nrm")))
-      .filter(col("sim").isNotNull)
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
+    val (centroids, assigned) = ivfFitKmeans(corpus, idCol, vecCol, nLists, seed, maxIter)
+    knnIvfSearch(centroids, assigned, probes, idCol, vecCol, k, nProbe)
   }
 
   /** SRP-LSH approximate top-k: sign-random-projection signatures (Charikar
@@ -653,21 +724,68 @@ object SimilarityOps {
       dim: Int,
       nBits: Int = 64,
       nBands: Int = 8,
+      seed: Long = 42L): DataFrame =
+    knnLshSrpSearch(
+      srpIndex(corpus, idCol, vecCol, dim, nBits, seed).scopedCache(),
+      probes, idCol, vecCol, k, dim, nBits, nBands, seed)
+
+  /** The seed-deterministic Gaussian hyperplanes behind the SRP signature —
+    * one definition, so an index persisted by [[srpIndex]] and probe
+    * signatures computed later by [[knnLshSrpSearch]] (same dim/nBits/seed)
+    * always agree.
+    */
+  private def srpSignature(dim: Int, nBits: Int, seed: Long)(v: Column): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()).toSeq)
+    planes.zipWithIndex.map { case (h, b) =>
+      when(dot(v, typedlit(h)) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The PERSISTABLE half of [[knnLshSrp]]: the corpus with its `nBits`-bit
+    * sign-random-projection signature — `(idCol, v, nrm, sig)`. Computing
+    * the signature is the expensive part of the SRP scheme (nBits dot
+    * products per vector, one full corpus pass); an operating deployment
+    * writes this relation once per corpus version and every
+    * [[knnLshSrpSearch]] reads it back, paying only the banded bucket join
+    * and the output-sized exact verify per query batch. Unlike the IVF
+    * store the per-search scan is still O(corpus) rows — but of trivial
+    * per-row work (bit slicing), not nBits dot products; IVF is the
+    * sublinear-scan path, SRP the no-training-pass one.
+    */
+  def srpIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nBits: Int = 64,
+      seed: Long = 42L): DataFrame =
+    prepared(corpus, idCol, vecCol)
+      .withColumn("sig", srpSignature(dim, nBits, seed)(col("v")))
+
+  /** Search an SRP signature index ([[srpIndex]]'s relation, live or read
+    * back from a store): probes get signatures from the SAME
+    * seed-deterministic hyperplanes, candidates come from shared band
+    * buckets, and candidates are ranked by EXACT cosine (LSH affects
+    * recall only, never the correctness of returned scores).
+    */
+  def knnLshSrpSearch(
+      indexed: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      nBits: Int = 64,
+      nBands: Int = 8,
       seed: Long = 42L): DataFrame = {
     require(nBits % nBands == 0 && nBits <= 64, "nBands must divide nBits ≤ 64")
     val bandBits = nBits / nBands
     // bandBits = 64 would wrap the mask (1L << 64 == 1L in JVM shift
     // semantics), making every vector share one bucket — a full cross join
     require(bandBits < 64, "need nBands >= 2 for a 64-bit signature")
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()).toSeq)
-    def signature(v: Column): Column =
-      planes.zipWithIndex.map { case (h, b) =>
-        when(dot(v, typedlit(h)) >= 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _)
-    // cache is the CollapseProject barrier: without it the nBits-dot
-    // signature expression is inlined into every band-bucket projection
-    val c = prepared(corpus, idCol, vecCol).withColumn("sig", signature(col("v"))).cache()
+    val signature = srpSignature(dim, nBits, seed) _
+    val c = indexed
     val p = prepared(probes, idCol, vecCol)
       .select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
       .withColumn("psig", signature(col("pv")))
@@ -712,7 +830,7 @@ object SimilarityOps {
       k: Int,
       nLists: Int,
       nProbe: Int): DataFrame = {
-    val c = prepared(corpus, idCol, vecCol).cache()
+    val c = prepared(corpus, idCol, vecCol).scopedCache()
     val centroids = c
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nLists)
@@ -778,7 +896,7 @@ object SimilarityOps {
       vecCol: String,
       k: Int,
       iters: Int): DataFrame = {
-    val v = quantizeFp(vecs, idCol, vecCol).cache()
+    val v = quantizeFp(vecs, idCol, vecCol).scopedCache()
     assignFp(v, idCol, lloyd(v, idCol, k, iters))
   }
 
@@ -794,7 +912,7 @@ object SimilarityOps {
       vecCol: String,
       k: Int,
       iters: Int): DataFrame =
-    lloyd(quantizeFp(vecs, idCol, vecCol).cache(), idCol, k, iters)
+    lloyd(quantizeFp(vecs, idCol, vecCol).scopedCache(), idCol, k, iters)
 
   /** Score vectors against an externally-trained centroid relation
     * (cid, cfp as BIGINT-millionth arrays) — one broadcast + one scan +

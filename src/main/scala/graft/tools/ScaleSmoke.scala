@@ -21,7 +21,7 @@ object ScaleSmoke {
     val only = args.toSet
     val known =
       Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix",
-        "editdist", "kmeans", "incr", "incrstore")
+        "editdist", "kmeans", "incr", "incrstore", "knncross")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -207,6 +207,91 @@ object ScaleSmoke {
         println(s"$k,$n,$name,${(System.nanoTime() - t0) / 1e9},$rows")
       }
       corpus.unpersist()
+    }
+
+    // ---- ANN crossover: persisted index search vs per-batch brute scan ----
+    // The OPERATING comparison for approximate kNN: an index fit is paid
+    // once per corpus version (persisted — IVF `assigned` PARTITIONED BY
+    // list_id + centroids; SRP the signature relation) and each query
+    // batch pays only its own search. Every searcher reads the SAME
+    // parquet-backed corpus with no resident cache (the 100 TB posture):
+    // brute re-reads all n vectors and pays |probes| dots per vector per
+    // batch; IVF's static `list_id IN (probed)` predicate prunes the scan
+    // to the probed partitions (~nProbe/nLists of the corpus); SRP
+    // re-reads precomputed signatures instead of recomputing nBits dots,
+    // but still scans O(n) signature rows per batch. Clustered corpus
+    // (the ANN target regime; uniform vectors are the documented worst
+    // case — nothing to prune on). recall@10 is measured against the
+    // brute top-10 of the same batch; search_s is the SECOND timed run
+    // (steady state, both runs printed via search1_s).
+    if (want("knncross"))
+      println("knncross: n,op,fit_s,search1_s,search_s,recall,rows")
+    ks("knncross", Seq(65536, 262144), Seq(262144, 1048576)).foreach { n =>
+      import graft.ops.SimilarityOps
+      val dim = 32
+      val perCluster = 64
+      val nProbes = 64
+      // distributed deterministic generator (a driver-side Seq at 1M
+      // vectors would not fit): cluster centers and per-point noise are
+      // hash-derived uniforms — tight direction clusters, the
+      // SyntheticVectors.clustered regime at scale
+      def u(seedCol: org.apache.spark.sql.Column, d: Int, scale: Double) =
+        (pmod(xxhash64(seedCol, lit(d)), lit(2000001L)).cast("double") / 1000000.0
+          - 1.0) * scale
+      val cidc = expr(s"id div $perCluster")
+      val vec = array((0 until dim).map(d =>
+        u(cidc, d, 3.0) + u(col("id"), d + 7777, 0.05)): _*)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-knncross").toString
+      spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
+        .write.mode("overwrite").parquet(s"$tmp/corpus")
+      val corpusP = spark.read.parquet(s"$tmp/corpus")
+      def probes = corpusP.filter(pmod(col("vec_id"), lit(n.toLong / nProbes)) === 3)
+      def timed[A](f: => A): (Double, A) = {
+        spark.sharedState.cacheManager.clearCache(); System.gc()
+        val t0 = System.nanoTime(); val a = f
+        ((System.nanoTime() - t0) / 1e9, a)
+      }
+      // brute: the per-batch full scan — fit_s = 0 by construction
+      val (bt1, _) = timed(SimilarityOps.knnBrute(corpusP, probes, "vec_id", "embedding", 10).count())
+      val (bt2, bruteRows) = timed(
+        SimilarityOps.knnBrute(corpusP, probes, "vec_id", "embedding", 10)
+          .select(col("probe_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      println(s"$n,brute,0.0,$bt1,$bt2,1.0,${bruteRows.size}")
+      def recallOf(df: DataFrame): Double = {
+        val got = df.select(col("probe_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        got.intersect(bruteRows).size.toDouble / bruteRows.size
+      }
+      // IVF: fit once (quantizer on a ≤64k sample, full assignment) and
+      // PERSIST list-partitioned; searches read the pruned store
+      val nLists = math.max(64, math.sqrt(n.toDouble).toInt)
+      val (fitS, _) = timed {
+        val (ctr, asg) = SimilarityOps.ivfFitKmeans(
+          corpusP, "vec_id", "embedding", nLists, maxIter = 5,
+          fitFraction = math.min(1.0, 65536.0 / n))
+        ctr.write.mode("overwrite").parquet(s"$tmp/ivf/centroids")
+        asg.repartition(32, col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id").parquet(s"$tmp/ivf/assigned")
+      }
+      val ctrP = spark.read.parquet(s"$tmp/ivf/centroids")
+      val asgP = spark.read.parquet(s"$tmp/ivf/assigned")
+      def ivfSearch = SimilarityOps.knnIvfSearch(
+        ctrP, asgP, probes, "vec_id", "embedding", k = 10, nProbe = 8)
+      val (it1, _) = timed(ivfSearch.count())
+      val (it2, ivfRes) = timed(recallOf(ivfSearch))
+      println(s"$n,ivf($nLists/8),$fitS,$it1,$it2,$ivfRes,${bruteRows.size}")
+      // SRP: signature relation persisted once; search re-reads it
+      val (sfitS, _) = timed(
+        SimilarityOps.srpIndex(corpusP, "vec_id", "embedding", dim)
+          .write.mode("overwrite").parquet(s"$tmp/srp"))
+      val srpP = spark.read.parquet(s"$tmp/srp")
+      def srpSearch = SimilarityOps.knnLshSrpSearch(
+        srpP, probes, "vec_id", "embedding", k = 10, dim = dim)
+      val (st1, _) = timed(srpSearch.count())
+      val (st2, srpRes) = timed(recallOf(srpSearch))
+      println(s"$n,srp-lsh,$sfitS,$st1,$st2,$srpRes,${bruteRows.size}")
+      spark.sharedState.cacheManager.clearCache(); System.gc()
     }
 
     // ---- near-dup pair scaling: exact O(n²) triangle vs k-means blocking ----
