@@ -19,6 +19,14 @@ import org.apache.spark.sql.SparkSession
   * Failure honesty: a query that throws is reported with value -1 and
   * listed under "failed", and contributes NOTHING to "total" — a broken
   * query must look broken, not fast.
+  *
+  * Drift detection: when a committed quiet-window baseline exists
+  * (`BENCH_BASELINE_quiet.json`, or `SPARK_GRAFT_BENCH_BASELINE`), the
+  * output carries a "baseline" block with per-query >1.5× regressions and
+  * <0.67× improvements by name — adjudicated only when BOTH captures are
+  * quiet (steal_pct below 2 on each side) and the query is above a 0.3s
+  * jitter floor, so a steal-polluted capture reads as unreliable rather
+  * than flagging the suite.
   */
 object Bench {
 
@@ -42,6 +50,43 @@ object Bench {
         (if (parts.length > 7) parts(7) else 0L, parts.sum)
       } finally src.close()
     } catch { case _: Exception => (0L, 0L) }
+
+  /** A committed quiet-window baseline run (per-query seconds + its own
+    * steal reading), loaded from `SPARK_GRAFT_BENCH_BASELINE` (default
+    * `BENCH_BASELINE_quiet.json` in the working directory). Parsed with
+    * the Jackson that ships in Spark's own jars — the file is this
+    * program's own output format.
+    */
+  private def loadBaseline(): Option[(String, Map[String, Double], Double)] =
+    try {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE_quiet.json")
+      val f = new java.io.File(path)
+      if (!f.isFile) None
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        val qs = root.get("queries")
+        val names = qs.fieldNames()
+        val b = Map.newBuilder[String, Double]
+        while (names.hasNext) { val n = names.next(); b += n -> qs.get(n).asDouble() }
+        val steal = Option(root.get("steal")).flatMap(s => Option(s.get("steal_pct")))
+          .map(_.asDouble()).getOrElse(0.0)
+        Some((path, b.result(), steal))
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] baseline unreadable: ${e.getMessage}"); None
+    }
+
+  /** Steal-% ceiling for a run to count as a QUIET window: per-query
+    * ratios against the baseline are only adjudicated when both sides are
+    * below it (a polluted capture flags everything as regressed).
+    */
+  private val QuietStealPct = 2.0
+
+  /** Per-query floor (seconds, on the BASELINE side) below which ratios
+    * are not adjudicated — sub-300ms queries jitter across same-day runs
+    * by more than the 1.5× threshold without any code change.
+    */
+  private val FloorSec = 0.3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,12 +152,43 @@ object Bench {
     val jiffiesDelta = totalAfter - totalBefore
     val stealPct =
       if (jiffiesDelta > 0) 100.0 * stealDelta.toDouble / jiffiesDelta else 0.0
+    // drift detection against the committed quiet baseline: per-query
+    // ratios, with >1.5× regressions and <0.67× improvements listed by
+    // name — but adjudicated ONLY when both captures are quiet (steal
+    // below threshold on each side) and the query is above the jitter
+    // floor; a steal-polluted run reports ratios as unreliable instead of
+    // flagging the whole suite. This is the machine-check the steal
+    // counters enable: pollution is detectable (counters), drift is
+    // detectable (this block), and neither needs a judge rerun.
+    val baselineJson = loadBaseline() match {
+      case None => "null"
+      case Some((path, bq, bSteal)) =>
+        val reliable = stealPct < QuietStealPct && bSteal < QuietStealPct
+        val ratios = results.collect {
+          case (name, v, true) if bq.getOrElse(name, 0.0) >= FloorSec =>
+            (name, v / bq(name))
+        }
+        def list(sel: ((String, Double)) => Boolean) = ratios.filter(sel)
+          .sortBy(-_._2)
+          .map { case (n, r) => JsonOut.q(n) + ":" + math.round(r * 100.0) / 100.0 }
+          .mkString("{", ",", "}")
+        val regressed = list(_._2 > 1.5)
+        val improved = list(_._2 < 1.0 / 1.5)
+        val bTotal = results.collect {
+          case (name, _, true) if bq.contains(name) => bq(name)
+        }.sum
+        val covered = results.count { case (n, _, ok) => ok && bq.contains(n) }
+        s"""{"path":${JsonOut.q(path)},"baseline_total":$bTotal,""" +
+          s""""baseline_steal_pct":$bSteal,"covered":$covered,""" +
+          s""""reliable":$reliable,"regressed":$regressed,"improved":$improved}"""
+    }
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failed,"sf":${JsonOut.q(sfDir)},""" +
         s""""steal":{"before":$stealBefore,"after":$stealAfter,""" +
         s""""delta":$stealDelta,"jiffies_delta":$jiffiesDelta,""" +
-        s""""steal_pct":$stealPct}}""")
+        s""""steal_pct":$stealPct},""" +
+        s""""baseline":$baselineJson}""")
     spark.stop()
   }
 }
