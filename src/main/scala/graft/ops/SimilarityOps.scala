@@ -678,6 +678,37 @@ object SimilarityOps {
       .select(col("probe_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Assign a NEW batch of vectors to an EXISTING quantizer's lists — the
+    * INCREMENTAL maintenance of the IVF store: append these rows to the
+    * list-partitioned `assigned` relation and the new vectors are
+    * immediately searchable, with no quantizer refit and no touch of the
+    * banked rows (the same append-only discipline as the dedup posting
+    * bank; refresh centroids only at a compaction if direction drift
+    * accumulates — searches stay correct either way because candidates
+    * are verified by exact cosine). Assignment evaluates the SAME
+    * objective as the fit's own predict — argmin ‖vn − c‖² over
+    * normalized vectors, i.e. argmax vn·c − ‖c‖²/2, ties to the lowest
+    * list id (the first-minimum rule) — pinned equal to the fit's
+    * assignment on the whole corpus in SimilaritySpec. One broadcast of
+    * the centroids, one narrow pass over the batch; nothing shuffles but
+    * the per-vector argmax window keyed on the batch id.
+    */
+  def ivfAssign(
+      centroids: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val c = prepared(batch, idCol, vecCol)
+      .withColumn("vn",
+        transform(col("v"), x => when(col("nrm") > 0, x / col("nrm")).otherwise(lit(0.0))))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("list_id"))
+    c.join(broadcast(centroids), lit(true))
+      .withColumn("score", dot(col("vn"), col("cv")) - col("chalf"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("v"), col("nrm"), col("list_id"))
+  }
+
   /** IVF approximate top-k with k-means coarse quantization — the
     * self-contained composition of [[ivfFitKmeans]] + [[knnIvfSearch]]
     * (fit per call; an operating deployment persists the fit and calls

@@ -332,6 +332,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.size <= brute.size)
   }
 
+  test("ivfAssign reproduces the fit's own assignment; the appended store stays searchable") {
+    import graft.tools.SyntheticVectors
+    val vecs = SyntheticVectors
+      .clustered(nClusters = 12, perCluster = 20, dim = 16, seed = 31, stride = 100L)
+      .toDF("vec_id", "embedding")
+    val (ctr, asg) = SimilarityOps.ivfFitKmeans(vecs, "vec_id", "embedding", nLists = 12)
+    // same argmin objective, same first-minimum tie rule: re-assigning the
+    // fitted corpus through ivfAssign must land every vector on its fitted
+    // list — this is what makes the store append-only maintainable
+    val fitted = asg.select("vec_id", "list_id").as[(Long, Int)].collect().toMap
+    val re = SimilarityOps.ivfAssign(ctr, vecs, "vec_id", "embedding")
+      .select("vec_id", "list_id").as[(Long, Int)].collect().toMap
+    assert(re == fitted)
+    // incremental cycle: fit on the first 8 clusters, assign the remaining
+    // 4 as a later batch, search the UNION store with probes from the new
+    // batch — the incrementally-appended vectors must be findable (their
+    // top-1 is a same-cluster twin at sim ≈ 1)
+    val store = vecs.filter(col("vec_id") < 800L)
+    val batch = vecs.filter(col("vec_id") >= 800L)
+    val (ctr2, asg2) = SimilarityOps.ivfFitKmeans(store, "vec_id", "embedding", nLists = 8)
+    val union = asg2.unionByName(SimilarityOps.ivfAssign(ctr2, batch, "vec_id", "embedding"))
+    val probes = batch.filter(col("vec_id") % 20 === 5)
+    val got = SimilarityOps.knnIvfSearch(
+      ctr2, union, probes, "vec_id", "embedding", k = 3, nProbe = 2)
+      .filter(col("rank") === 1)
+      .select("probe_id", "sim").as[(Long, Double)].collect()
+    assert(got.length == probes.count())
+    // every probe's nearest neighbor is a cluster-mate (tight 0.05-σ noise
+    // around a 3-σ center → within-cluster cosine ≈ 1)
+    assert(got.forall(_._2 > 0.97), got.mkString(", "))
+  }
+
+  test("knnIvfSearch over a list-partitioned store prunes the scan to the probed lists") {
+    import graft.tools.SyntheticVectors
+    val vecs = SyntheticVectors
+      .clustered(nClusters = 16, perCluster = 15, dim = 16, seed = 37, stride = 100L)
+      .toDF("vec_id", "embedding")
+    val (ctr, asg) = SimilarityOps.ivfFitKmeans(vecs, "vec_id", "embedding", nLists = 16)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfstore").toString
+    asg.write.mode("overwrite").partitionBy("list_id").parquet(s"$tmp/assigned")
+    val asgP = spark.read.parquet(s"$tmp/assigned")
+    val probes = vecs.filter(col("vec_id") === 5L)
+    val df = SimilarityOps.knnIvfSearch(
+      ctr, asgP, probes, "vec_id", "embedding", k = 5, nProbe = 2)
+    // the static IN predicate must land as a PARTITION filter on the scan
+    // — this is the 100 TB mechanism (probed-fraction read, not full scan)
+    val plan = df.queryExecution.executedPlan.toString
+    val pruned = """PartitionFilters: \[[^\]]*list_id""".r.findFirstIn(plan).isDefined
+    assert(pruned,
+      s"probed-list predicate did not reach the store scan as a partition filter:\n$plan")
+    // and it actually returns the k rows
+    assert(df.count() == 5)
+  }
+
   test("knnLshSrp: high recall on clustered vectors, exact sims, deterministic") {
     // 10 well-separated clusters of 20 points each (center ± small noise,
     // the shared SyntheticVectors regime): a probe's true neighbors are its
