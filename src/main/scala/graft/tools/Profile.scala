@@ -102,6 +102,9 @@ object Profile {
         time(s"training-manifest-$round") {
           noop(graft.SparkEntry.qTrainingManifest(spark, dir))
         }
+        time(s"mixture-manifest-$round") {
+          noop(graft.SparkEntry.qMixtureManifest(spark, dir))
+        }
       }
       spark.stop(); return
     }
