@@ -565,6 +565,199 @@ object Streaming {
     * holds the current version's scan), which is exactly the production
     * posture.
     */
+  /** Maintained IVF VECTOR INDEX over a micro-batched embedding stream —
+    * the similarity-search complement of [[NearDupClusterStream]]: as
+    * embeddings arrive, each batch is fenced against the already-indexed
+    * ids (at-least-once safe), assigned to the FIXED quantizer's lists by
+    * [[graft.ops.SimilarityOps.ivfAssign]] (the fit's own argmin
+    * objective — no refit per batch, the append-only contract the batch
+    * seam pins bit-equal), and appended to the maintained `assigned`
+    * relation; [[graft.ops.SimilarityOps.knnIvfSearch]] over
+    * [[current]] serves queries at any point. The quantizer comes from
+    * `centroids` when provided (the production shape: fit offline on a
+    * corpus sample via [[graft.ops.SimilarityOps.ivfFitKmeans]]) or is
+    * fit ONCE on the first batch otherwise; direction drift accumulating
+    * across a long stream degrades list balance, never correctness
+    * (candidates are exact-cosine verified), and a refit is a compaction-
+    * time decision.
+    *
+    * Durability is the delta-slot protocol shared with the dedup store:
+    * per batch ONE committed slot (`batch_id=<id>/assigned`, staged
+    * dot-prefixed, single `_SUCCESS`, atomic rename) holding only the
+    * batch's OWN assigned rows — O(batch) bytes per batch; the centroids
+    * persist once under `centroids/`. Assigned rows are a plain
+    * append-only monoid (slots index disjoint ids thanks to the fence),
+    * so recovery is a union of slots and [[compact]] folds them into one
+    * base slot between runs. A replayed batch fences to empty and skips
+    * the write; slot ids are assigned monotonically at write time,
+    * decoupled from restarting stream batch ids. At real scale the slot
+    * tree IS the list-partitioned store the search scans (write each
+    * slot `partitionBy(list_id)` — kept flat here because the test-scale
+    * store is small and the partitioned form is pinned at the batch
+    * seam).
+    */
+  class VectorIndexStream(
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      centroids: Option[DataFrame] = None,
+      storeDir: Option[String] = None,
+      seed: Long = 42L,
+      metrics: Option[graft.tools.MetricsListener] = None) {
+    @volatile private var ctr: Option[DataFrame] = centroids
+    @volatile private var assigned: Option[DataFrame] = None
+
+    private val slotPrefix = "batch_id="
+    private val stagePrefix = ".b-"
+
+    /** The live index `(centroids, assigned)` — feed straight into
+      * [[graft.ops.SimilarityOps.knnIvfSearch]].
+      */
+    def current: Option[(DataFrame, DataFrame)] =
+      for { c <- ctr; a <- assigned } yield (c, a)
+
+    private def writeSlot(spark: SparkSession, d: String, id: Long, rows: DataFrame): Unit = {
+      val (fs, _) = fsFor(spark, d)
+      val staged = new org.apache.hadoop.fs.Path(d, s"$stagePrefix$id")
+      if (fs.exists(staged)) fs.delete(staged, true): Unit
+      rows.write.mode("overwrite").parquet(s"$d/$stagePrefix$id/assigned")
+      fs.create(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"), true).close()
+      promoteSlot(spark, d, id)
+    }
+
+    private def promoteSlot(spark: SparkSession, d: String, id: Long): Unit = {
+      val (fs, _) = fsFor(spark, d)
+      val staged = new org.apache.hadoop.fs.Path(d, s"$stagePrefix$id")
+      val target = new org.apache.hadoop.fs.Path(d, s"$slotPrefix$id")
+      if (fs.exists(staged)) {
+        if (fs.exists(target)) fs.delete(staged, true): Unit
+        else fs.rename(staged, target): Unit
+      }
+    }
+
+    private val compactPrefix = ".c-"
+
+    /** Complete or roll back an interrupted [[compact]] — a COMMITTED
+      * `.c-<id>` staging dir proves the folded base was fully written, so
+      * recovery deletes the folded input slots and renames the base into
+      * place; an uncommitted one is fenced off by [[committedSlots]].
+      */
+    private def recoverCompaction(spark: SparkSession, d: String): Unit = {
+      val (fs, _) = fsFor(spark, d)
+      val tmps = committedSlots(spark, d, compactPrefix)
+      tmps.drop(1).foreach { case (_, t) => fs.delete(t, true): Unit }
+      tmps.headOption.foreach { case (id, tmp) =>
+        committedSlots(spark, d, slotPrefix).foreach { case (_, s) => fs.delete(s, true): Unit }
+        fs.rename(tmp, new org.apache.hadoop.fs.Path(d, s"$slotPrefix$id")): Unit
+      }
+    }
+
+    private def recoverStore(spark: SparkSession, d: String): Unit = {
+      recoverCompaction(spark, d)
+      committedSlots(spark, d, stagePrefix).foreach { case (id, _) => promoteSlot(spark, d, id) }
+      committedSlots(spark, d, slotPrefix): Unit // fence crashed slot writes
+    }
+
+    private def foldSlots(
+        spark: SparkSession,
+        slots: Seq[(Long, org.apache.hadoop.fs.Path)]): DataFrame =
+      slots.map { case (_, p) => spark.read.parquet(s"$p/assigned") }
+        .reduce(_.unionByName(_))
+
+    /** Fold every committed slot into ONE negative-id base slot (restart
+      * rebuild is O(slots)) — run between query runs only. Crash-safe at
+      * every point: the folded base is STAGED dot-prefixed (invisible to
+      * readers), only its commit marker triggers slot deletion, and an
+      * interruption anywhere is completed or rolled back by
+      * [[recoverCompaction]] on the next start/compact.
+      */
+    def compact(spark: SparkSession): Int = storeDir match {
+      case Some(d) =>
+        recoverStore(spark, d)
+        val slots = committedSlots(spark, d, slotPrefix)
+        if (slots.length <= 1) 0
+        else {
+          val (fs, _) = fsFor(spark, d)
+          val newBase = math.min(slots.map(_._1).min, 0L) - 1
+          val staged = s"$d/$compactPrefix$newBase"
+          foldSlots(spark, slots).write.mode("overwrite").parquet(s"$staged/assigned")
+          fs.create(new org.apache.hadoop.fs.Path(s"$staged/_SUCCESS"), true).close()
+          slots.foreach { case (_, s) => fs.delete(s, true): Unit }
+          fs.rename(
+            new org.apache.hadoop.fs.Path(staged),
+            new org.apache.hadoop.fs.Path(d, s"$slotPrefix$newBase")): Unit
+          slots.length
+        }
+      case _ => 0
+    }
+
+    def start(stream: DataFrame, checkpointDir: String): StreamingQuery = {
+      val spark = stream.sparkSession
+      if (assigned.isEmpty) storeDir.foreach { d =>
+        recoverStore(spark, d)
+        val slots = committedSlots(spark, d, slotPrefix)
+        if (slots.nonEmpty)
+          assigned = Some(foldSlots(spark, slots).localCheckpoint(true))
+        val cdir = new org.apache.hadoop.fs.Path(d, "centroids")
+        val (fs, _) = fsFor(spark, d)
+        if (ctr.isEmpty && fs.exists(new org.apache.hadoop.fs.Path(cdir, "_SUCCESS")))
+          ctr = Some(spark.read.parquet(cdir.toString).localCheckpoint(true))
+      }
+      stream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val incoming = batch.select(col(idCol), col(vecCol)).dropDuplicates(idCol)
+          val fresh = assigned match {
+            case Some(a) => incoming.join(a.select(col(idCol)), Seq(idCol), "left_anti")
+            case None    => incoming
+          }
+          if (ctr.isEmpty) {
+            // fit ONCE on the first non-empty batch; persist alongside the
+            // slots so recovery re-assigns with the SAME quantizer. The
+            // first batch must carry at least nLists vectors (or supply
+            // pre-fit centroids) — fail loudly rather than fit a
+            // degenerate quantizer
+            val n0 = fresh.count()
+            if (n0 > 0) {
+              require(n0 >= nLists,
+                s"first batch has $n0 vectors < nLists=$nLists: supply pre-fit " +
+                  "centroids (ivfFitKmeans on a corpus sample) or batch larger")
+              val (c0, _) = graft.ops.SimilarityOps.ivfFitKmeans(
+                fresh, idCol, vecCol, nLists, seed)
+              val pinned = c0.localCheckpoint(true)
+              storeDir.foreach(d => pinned.write.mode("overwrite").parquet(s"$d/centroids"))
+              ctr = Some(pinned)
+            }
+          }
+          ctr.foreach { c =>
+            val delta = graft.ops.SimilarityOps.ivfAssign(c, fresh, idCol, vecCol)
+              .localCheckpoint(true)
+            val freshRows = delta.count()
+            // a fully-replayed batch fences to an empty delta: skip both
+            // the store write and the state fold (no O(store) checkpoint
+            // for a no-op batch)
+            if (freshRows > 0) {
+              assigned = Some(assigned match {
+                case Some(a) => a.unionByName(delta).localCheckpoint(true)
+                case None    => delta
+              })
+              storeDir.foreach { d =>
+                writeSlot(spark, d,
+                  committedSlots(spark, d, slotPrefix).headOption.fold(0L)(_._1 + 1L), delta)
+              }
+            }
+            metrics.foreach { m =>
+              m.recordStore(graft.tools.MetricsListener.StoreMetric(
+                "vector_index_store", batchId,
+                freshRows, freshRows, freshRows, assigned.map(_.count()).getOrElse(0L)))
+            }
+          }
+        }
+        .start()
+    }
+  }
+
   class NearDupClusterStream(
       idCol: String,
       textCol: String,
