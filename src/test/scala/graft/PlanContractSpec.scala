@@ -132,7 +132,20 @@ class PlanContractSpec extends AnyFunSuite {
     Contract("q_cluster_split",
       requiredMarkers = Seq("SortMergeJoin", "PushedFilters")),
     // winnowing fingerprints: df-capped hot-fingerprint relation broadcasts
-    Contract("q_winnow_dedup", requiredMarkers = Seq("BroadcastHashJoin")))
+    Contract("q_winnow_dedup", requiredMarkers = Seq("BroadcastHashJoin")),
+    // blocked cosine near-dup: the only BNL is the DECLARED bounded cross
+    // of every vector against the collected centroid list (LocalTableScan
+    // build side); list ranking runs as rank-limited windows partitioned
+    // per vector (WindowGroupLimit — never a global sort), and the exact
+    // verify joins vectors back by id
+    Contract("q_embedding_neardup_blocked",
+      requiredMarkers = Seq("WindowGroupLimit", "BroadcastHashJoin"),
+      allowBroadcastCross = true),
+    // SymSpell fuzzy linkage: candidates come from the deletion-variant
+    // equi-join (never a cartesian); the quadratic-looking levenshtein
+    // runs only as the VERIFY condition on those candidates
+    Contract("q_fuzzy_join",
+      requiredMarkers = Seq("BroadcastHashJoin", "levenshtein")))
 
   /** Static plan + logical global windows for one registered query, with
     * AQE off so the physical plan is fully materialized at plan time.
