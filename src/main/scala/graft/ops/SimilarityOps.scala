@@ -974,6 +974,270 @@ object SimilarityOps {
       .select(col(idCol), col("m.c").as("cid"), col("m.d").as("dist_fp"))
   }
 
+  // ───────────────────────── product quantization ─────────────────────────
+
+  /** Split an already-quantized `(idCol, vfp)` relation into its `m`
+    * contiguous sub-vectors — `(idCol, sub, svfp)` with `svfp` the exact
+    * BIGINT-millionth slice `vfp[sub·d/m … (sub+1)·d/m)`. One generator +
+    * slice projection, no shuffle; the sub key is what lets ONE
+    * distributed job per Lloyd round train all `m` codebooks at once.
+    */
+  private def subSplit(v: DataFrame, idCol: String, dim: Int, m: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    v.select(col(idCol), explode(sequence(lit(0L), lit(m - 1L))).as("sub"), col("vfp"))
+      .select(
+        col(idCol), col("sub"),
+        slice(col("vfp"), (col("sub") * subDim + 1).cast("int"), lit(subDim)).as("svfp"))
+  }
+
+  /** Argmin code per (vector, sub) against a `(sub, cid, cfp)` codebook
+    * relation: the PQ analogue of [[assignFp]] — the codebooks join is an
+    * equi broadcast on `sub` (m·kSub rows, tiny by construction), distances
+    * are the native integer kernel, and the argmin aggregate shuffles only
+    * `(id, sub, dist, cid)` quads, never sub-vectors. Ties break to the
+    * lowest code (the first-minimum rule shared by every fixed-point
+    * assign in this file).
+    */
+  private def pqAssignFp(s: DataFrame, idCol: String, cs: DataFrame): DataFrame = {
+    val distFp = graft.functions.VectorFunctions.graft_l2sq(col("svfp"), col("cfp"))
+    s.join(broadcast(cs), Seq("sub"))
+      .withColumn("dist_fp", distFp)
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("dist_fp").as("d"), col("cid").as("c"))).as("m"))
+      .select(col(idCol), col("sub"), col("m.c").as("code"), col("m.d").as("dist_fp"))
+  }
+
+  /** Per-sub Lloyd over the `(id, sub, svfp)` relation — [[lloyd]] with
+    * `sub` as an extra grouping key, so ONE assignment job and ONE update
+    * job per round train all m codebooks simultaneously instead of m
+    * driver-looped fits. Same engine-exact discipline: k-lowest-id seeding
+    * per sub (the same seed ids in every subspace), truncated-div means,
+    * emptied codes keep their prior codeword, localCheckpoint per round.
+    */
+  private def pqLloyd(s: DataFrame, idCol: String, kSub: Int, iters: Int): DataFrame = {
+    require(kSub >= 1, "kSub must be positive")
+    require(iters >= 1, "need at least one iteration")
+    val seedW = Window.partitionBy(col("sub")).orderBy(col(idCol))
+    var codebooks = s
+      .withColumn("rn", row_number().over(seedW))
+      .filter(col("rn") <= kSub)
+      .select(col("sub"), (col("rn").cast("long") - 1).as("cid"), col("svfp").as("cfp"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val means = pqAssignFp(s, idCol, codebooks)
+        .withColumnRenamed("code", "cid")
+        .join(s, Seq(idCol, "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("svfp")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cid"), col("pos"), expr("sm div n").as("mn"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(DedupOps.bindOnce(sort_array(collect_list(struct(col("pos"), col("mn"))))) { arr =>
+          transform(arr, e => e.getField("mn"))
+        }.as("cfp_new"))
+      codebooks = codebooks.join(means, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"), coalesce(col("cfp_new"), col("cfp")).as("cfp"))
+        .localCheckpoint()
+    }
+    codebooks
+  }
+
+  /** Train product-quantization codebooks: `m` per-subspace codebooks of
+    * `kSub` codewords each, fit with the fixed-point Lloyd discipline
+    * (engine-exact — the registered encode query replays the fit as
+    * unrolled CTEs in the oracle). Returns `(sub, cid, cfp)` — m·kSub
+    * rows, broadcastable everywhere it is consumed.
+    *
+    * The 100 TB posture mirrors [[kmeansCentroids]]: train on a sample,
+    * persist this tiny relation once per corpus version, and encode /
+    * search against it with no further iteration over the big corpus.
+    */
+  def pqTrain(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      kSub: Int,
+      iters: Int): DataFrame = {
+    val s = subSplit(quantizeFp(vecs, idCol, vecCol), idCol, dim, m).scopedCache()
+    pqLloyd(s, idCol, kSub, iters)
+  }
+
+  /** Encode a corpus against trained codebooks — the long-form
+    * `(idCol, sub, code, dist_fp)` relation (one row per vector per
+    * subspace; `dist_fp` is that subspace's squared quantization error in
+    * millionth² units, so `sum(dist_fp) OVER id` is the vector's exact
+    * reconstruction error). One broadcast of the m·kSub codebook rows
+    * against one corpus scan; this is the compression step that turns a
+    * dim·8-byte vector into m small codes — at 100 TB the coded relation
+    * (see [[pqPack]]) is what sits in the hot store, raw vectors stay in
+    * cold storage for optional exact re-ranking only.
+    */
+  def pqEncode(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      codebooks: DataFrame): DataFrame =
+    pqAssignFp(subSplit(quantizeFp(vecs, idCol, vecCol), idCol, dim, m), idCol, codebooks)
+
+  /** Pack [[pqEncode]]'s long form into the store shape — one row per
+    * vector: `(idCol, codes: array<bigint> indexed by sub, err_fp = total
+    * squared reconstruction error)`. The aggregate shuffles only
+    * (id, sub, code, dist) quads.
+    */
+  def pqPack(encoded: DataFrame, idCol: String): DataFrame =
+    encoded
+      .groupBy(col(idCol))
+      .agg(
+        DedupOps.bindOnce(sort_array(collect_list(struct(col("sub"), col("code"))))) { arr =>
+          transform(arr, e => e.getField("code"))
+        }.as("codes"),
+        sum(col("dist_fp")).as("err_fp"))
+
+  /** Search an IVF-PQ index by asymmetric distance computation (ADC): the
+    * compressed store alone answers the query — raw corpus vectors are
+    * NEVER read. Inputs are the three persisted relations of the index:
+    * `coarse` `(cid, cfp)` fixed-point coarse centroids ([[lloyd]] /
+    * [[kmeansCentroids]]), `codebooks` `(sub, cid, cfp)` ([[pqTrain]]),
+    * and `coded` `(idCol, list_id, codes)` — [[pqPack]] joined with the
+    * coarse assignment, written `partitionBy("list_id")`.
+    *
+    * Per probe: (1) rank coarse lists by exact fixed-point L2 and keep
+    * `nProbe` (broadcast × broadcast — tiny); (2) build the ADC lookup
+    * table — the probe's m·kSub sub-distances to every codeword — and
+    * pack it per probe as one flat array indexed `sub·kSub + code`;
+    * (3) score every coded row in the probed lists as the O(m) fold
+    * `Σ_sub lut[sub·kSub + codes[sub]]` — exactly the squared L2 between
+    * the probe and the candidate's reconstruction, in integer arithmetic.
+    * The probed list ids are collected at PLANNING time (≤ nLists values)
+    * into a static `list_id IN (…)` predicate, so a list-partitioned
+    * store scans only the probed partitions — same pruning contract as
+    * [[knnIvfSearch]], but over rows that are m codes wide instead of
+    * dim doubles: the scan is smaller by the PQ compression ratio
+    * (dim·8 bytes → m codes), which is the whole point at 100 TB.
+    *
+    * Output: `(probe_id, neighbor_id, adc_fp, rank)` ranked by
+    * (adc_fp asc, neighbor_id) — approximate distances; compose with an
+    * exact re-rank over the top candidates ([[knnIvfPq]]) when exact
+    * scores are required.
+    */
+  def knnIvfPqSearch(
+      coarse: DataFrame,
+      codebooks: DataFrame,
+      coded: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      kSub: Int,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val p = quantizeFp(probes, idCol, vecCol)
+      .select(col(idCol).as("probe_id"), col("vfp").as("pvfp"))
+    // (1) coarse ranking — probes and centroids both broadcast-sized
+    val probeW = Window.partitionBy(col("probe_id")).orderBy(col("cdist"), col("cid"))
+    val probeLists = p
+      .join(broadcast(coarse), lit(true))
+      .withColumn("cdist", graft.functions.VectorFunctions.graft_l2sq(col("pvfp"), col("cfp")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nProbe)
+      .select(col("probe_id"), col("pvfp"), col("cid").as("list_id"))
+    // (2) per-probe ADC lookup table, packed flat: index = sub·kSub + code
+    val lut = subSplit(
+      probeLists.select(col("probe_id"), col("pvfp")).distinct()
+        .withColumnRenamed("probe_id", "__pid").withColumnRenamed("pvfp", "vfp"),
+      "__pid", dim, m)
+      .join(broadcast(codebooks), Seq("sub"))
+      .withColumn("dfp", graft.functions.VectorFunctions.graft_l2sq(col("svfp"), col("cfp")))
+      .groupBy(col("__pid"))
+      .agg(DedupOps.bindOnce(sort_array(collect_list(struct(col("sub"), col("cid"), col("dfp"))))) {
+        arr => transform(arr, e => e.getField("dfp"))
+      }.as("lut"))
+      .withColumnRenamed("__pid", "probe_id")
+    val pl = probeLists.select(col("probe_id"), col("list_id"))
+      .join(lut, Seq("probe_id"))
+    // planning-time collect (≤ nLists values — the knnIvfSearch contract):
+    // the static IN predicate is what prunes a list-partitioned store scan
+    val probed = pl.select(col("list_id")).distinct().collect().map(_.get(0))
+    // (3) ADC: one O(m) integer fold per (candidate, probe) pair
+    val adc = DedupOps.bindOnce(
+      transform(col("codes"), (c, i) =>
+        element_at(col("lut"), (i.cast("long") * kSub + c + 1).cast("int")))
+    ) { perSub => aggregate(perSub, lit(0L), (acc, x) => acc + x) }
+    val scored = coded
+      .filter(col("list_id").isin(probed: _*))
+      .join(broadcast(pl), Seq("list_id"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("adc_fp", adc)
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("adc_fp"), col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("adc_fp"), col("rank"))
+  }
+
+  /** Self-contained IVF-PQ top-k with exact re-ranking: fixed-point coarse
+    * quantizer (nLists, [[lloyd]]) + per-sub PQ codebooks ([[pqTrain]]) +
+    * ADC candidate generation ([[knnIvfPqSearch]], `rerank·k` candidates
+    * from the compressed store) + exact fixed-point L2 re-rank of the
+    * candidates against raw vectors. The re-rank join touches only
+    * |probes|·rerank·k candidate ids — a point-lookup against the cold
+    * vector store, not a scan — so the raw corpus is read once to build
+    * the index and then only in candidate-sized slices per query batch.
+    *
+    * Every stage is integer-deterministic, so the registered query
+    * replays the ENTIRE pipeline — coarse fit, codebook fit, encode, ADC,
+    * re-rank — as unrolled CTEs in the DuckDB oracle: the approximate
+    * search is oracle-checked end-to-end, not merely recall-bounded.
+    *
+    * Output: `(probe_id, neighbor_id, adc_fp, dist_fp, rank)` — ADC
+    * estimate and exact distance side by side, ranked by
+    * (dist_fp asc, neighbor_id).
+    */
+  def knnIvfPq(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      kSub: Int,
+      k: Int,
+      nLists: Int,
+      nProbe: Int,
+      iters: Int = 2,
+      rerank: Int = 4): DataFrame = {
+    require(rerank >= 1, "rerank factor must be positive")
+    val v = quantizeFp(corpus, idCol, vecCol).scopedCache()
+    val coarse = lloyd(v, idCol, nLists, iters)
+    val assigned = assignFp(v, idCol, coarse)
+      .select(col(idCol), col("cid").as("list_id"))
+    val s = subSplit(v, idCol, dim, m).scopedCache()
+    val codebooks = pqLloyd(s, idCol, kSub, iters)
+    val coded = pqPack(pqAssignFp(s, idCol, codebooks), idCol)
+      .join(assigned, Seq(idCol))
+      .select(col(idCol), col("list_id"), col("codes"))
+    val cand = knnIvfPqSearch(
+      coarse, codebooks, coded, probes, idCol, vecCol, dim, m, kSub, rerank * k, nProbe)
+    val pv = quantizeFp(probes, idCol, vecCol)
+      .select(col(idCol).as("probe_id"), col("vfp").as("pvfp"))
+    val exact = cand
+      .drop("rank")
+      .join(v.select(col(idCol).as("neighbor_id"), col("vfp").as("nvfp")), Seq("neighbor_id"))
+      .join(broadcast(pv), Seq("probe_id"))
+      .withColumn("dist_fp", graft.functions.VectorFunctions.graft_l2sq(col("pvfp"), col("nvfp")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("dist_fp"), col("neighbor_id"))
+    exact
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("adc_fp"), col("dist_fp"), col("rank"))
+  }
+
   /** The Lloyd loop over an (id, vfp) quantized relation: deterministic
     * lowest-id seeding, argmin assignment, truncated-div means, empty
     * clusters keep the prior centroid, localCheckpoint per round. The

@@ -477,4 +477,122 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(4L)._1 == got(5L)._1 && got(5L)._1 == got(6L)._1)
     assert(got(1L)._1 != got(4L)._1)
   }
+
+  // ─────────────────────── product quantization ───────────────────────
+
+  private def fpOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.map(x => math.round(x * 1e6)) }.toMap
+
+  private def l2fp(a: Seq[Long], b: Seq[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("pqEncode: per-sub argmin against the trained codebooks, exact reconstruction error") {
+    val codebooks = SimilarityOps.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 4, kSub = 8, iters = 2)
+    val cb = codebooks.select("sub", "cid", "cfp").as[(Long, Long, Seq[Long])].collect()
+    assert(cb.length == 4 * 8, "m·kSub codewords")
+    assert(cb.forall(_._3.length == 16), "subDim-wide codewords")
+    val enc = SimilarityOps.pqEncode(emb, "vec_id", "embedding", dim = 64, m = 4, codebooks)
+      .select("vec_id", "sub", "code", "dist_fp").as[(Long, Long, Long, Long)].collect()
+    val fp = fpOf(emb)
+    assert(enc.length == fp.size * 4, "m rows per vector")
+    enc.foreach { case (id, sub, code, dist) =>
+      val sv = fp(id).slice(sub.toInt * 16, sub.toInt * 16 + 16)
+      val best = cb.filter(_._1 == sub)
+        .map { case (_, cid, cfp) => (l2fp(sv, cfp), cid) }.min
+      assert(best == ((dist, code)), s"argmin mismatch id=$id sub=$sub")
+    }
+  }
+
+  test("pqPack: codes array indexed by sub, err_fp is the summed per-sub error") {
+    val codebooks = SimilarityOps.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 4, kSub = 8, iters = 2)
+    val enc = SimilarityOps.pqEncode(emb, "vec_id", "embedding", dim = 64, m = 4, codebooks)
+    val long = enc.select("vec_id", "sub", "code", "dist_fp")
+      .as[(Long, Long, Long, Long)].collect()
+    val packed = SimilarityOps.pqPack(enc, "vec_id")
+      .select("vec_id", "codes", "err_fp").as[(Long, Seq[Long], Long)].collect()
+    val byId = long.groupBy(_._1)
+    assert(packed.length == byId.size)
+    packed.foreach { case (id, codes, err) =>
+      val rows = byId(id).sortBy(_._2)
+      assert(codes == rows.map(_._3).toSeq, s"codes out of sub order for id=$id")
+      assert(err == rows.map(_._4).sum, s"err_fp mismatch for id=$id")
+    }
+  }
+
+  test("knnIvfPqSearch: packed-LUT ADC equals the long-form per-sub sum, rank order pinned") {
+    val coarse = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val assigned = SimilarityOps.kmeansAssign(emb, "vec_id", "embedding", coarse)
+      .select(col("vec_id"), col("cid").as("list_id"))
+    val codebooks = SimilarityOps.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 4, kSub = 8, iters = 2)
+    val coded = SimilarityOps
+      .pqPack(SimilarityOps.pqEncode(emb, "vec_id", "embedding", dim = 64, m = 4, codebooks), "vec_id")
+      .join(assigned, "vec_id").select(col("vec_id"), col("list_id"), col("codes"))
+    val probes = emb.filter(col("vec_id") < 5)
+    // nProbe = nLists and k = corpus: every (probe, other) pair must appear,
+    // each scored by the packed-LUT fold — the flat sub·kSub+code indexing
+    // is exactly what this differential pins
+    val got = SimilarityOps.knnIvfPqSearch(
+      coarse, codebooks, coded, probes, "vec_id", "embedding",
+      dim = 64, m = 4, kSub = 8, k = 10000, nProbe = 4)
+      .select("probe_id", "neighbor_id", "adc_fp", "rank")
+      .as[(Long, Long, Long, Long)].collect()
+    val fp = fpOf(emb)
+    val cb = codebooks.select("sub", "cid", "cfp").as[(Long, Long, Seq[Long])].collect()
+      .map { case (sub, cid, cfp) => (sub, cid) -> cfp }.toMap
+    val codes = coded.select("vec_id", "codes").as[(Long, Seq[Long])].collect().toMap
+    val expect = (for {
+      p <- fp.keys.filter(_ < 5); n <- fp.keys if n != p
+    } yield (p, n) -> (0 until 4).map { sub =>
+      val psv = fp(p).slice(sub * 16, sub * 16 + 16)
+      l2fp(psv, cb((sub.toLong, codes(n)(sub))))
+    }.sum).toMap
+    assert(got.length == expect.size, "all pairs present at nProbe = nLists")
+    got.foreach { case (p, n, adc, _) =>
+      assert(adc == expect((p, n)), s"ADC mismatch probe=$p neighbor=$n")
+    }
+    // ranks are the (adc, id) order within each probe
+    got.groupBy(_._1).values.foreach { rs =>
+      val byRank = rs.sortBy(_._4).map(r => (r._3, r._2)).toSeq
+      assert(byRank == byRank.sorted, "rank order is (adc asc, id asc)")
+    }
+  }
+
+  test("knnIvfPq: recall >= 0.9 vs exact fixed-point brute on clustered vectors, exact rerank distances") {
+    val vecs = graft.tools.SyntheticVectors
+      .clustered(nClusters = 10, perCluster = 20, dim = 16, seed = 11, stride = 20L)
+      .toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") % 20 === 0)
+    val got = SimilarityOps.knnIvfPq(
+      vecs, probes, "vec_id", "embedding",
+      dim = 16, m = 4, kSub = 16, k = 5, nLists = 16, nProbe = 2, iters = 2, rerank = 4)
+      .select("probe_id", "neighbor_id", "dist_fp", "rank")
+      .as[(Long, Long, Long, Long)].collect()
+    val fp = fpOf(vecs)
+    val exact = fp.keys.filter(_ % 20 == 0).flatMap { p =>
+      fp.toSeq.filter(_._1 != p)
+        .map { case (n, v) => (l2fp(fp(p), v), n) }.sorted.take(5)
+        .map { case (d, n) => (p, n, d) }
+    }.toSet
+    val gotSet = got.map(r => (r._1, r._2)).toSet
+    val recall = (exact.map(t => (t._1, t._2)) & gotSet).size.toDouble / exact.size
+    info(s"ivfpq recall@5 = $recall on the clustered fixture")
+    assert(recall >= 0.9, s"recall=$recall")
+    // returned distances are the TRUE fixed-point L2 (rerank is exact)
+    val trueDist = fp.keys.filter(_ % 20 == 0).flatMap { p =>
+      fp.toSeq.filter(_._1 != p).map { case (n, v) => (p, n) -> l2fp(fp(p), v) }
+    }.toMap
+    got.foreach { case (p, n, d, _) => assert(d == trueDist((p, n))) }
+  }
+
+  test("pqTrain: codebook count degrades gracefully when kSub exceeds the corpus") {
+    val tiny = emb.filter(col("vec_id") < 6)
+    val cb = SimilarityOps.pqTrain(tiny, "vec_id", "embedding", dim = 64, m = 4, kSub = 8, iters = 1)
+    val n = cb.groupBy(col("sub")).count().select("count").as[Long].collect()
+    assert(n.forall(_ == 6), "one codeword per available vector, no phantom codes")
+    val enc = SimilarityOps.pqEncode(tiny, "vec_id", "embedding", dim = 64, m = 4, cb)
+      .select("code").as[Long].collect()
+    assert(enc.forall(c => c >= 0 && c < 6))
+  }
 }
