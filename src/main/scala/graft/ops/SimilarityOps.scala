@@ -649,17 +649,7 @@ object SimilarityOps {
       vecCol: String,
       k: Int,
       nProbe: Int): DataFrame = {
-    val p = prepared(probes, idCol, vecCol)
-      .select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
-      .withColumn("pvn",
-        transform(col("pv"), x => when(col("pn") > 0, x / col("pn")).otherwise(lit(0.0))))
-    val probeW = Window.partitionBy(col("probe_id")).orderBy(col("pscore").desc, col("list_id"))
-    val probeLists = broadcast(p)
-      .join(broadcast(centroids), lit(true))
-      .withColumn("pscore", dot(col("pvn"), col("cv")) - col("chalf"))
-      .withColumn("prank", row_number().over(probeW))
-      .filter(col("prank") <= nProbe)
-      .select(col("probe_id"), col("pv"), col("pn"), col("list_id"))
+    val probeLists = ivfProbeLists(centroids, probes, idCol, vecCol, nProbe)
     // planning-time collect (≤ nLists values — the quote-source contract):
     // the static IN predicate is what turns a list-partitioned store scan
     // into a partition-pruned one; on an in-memory frame it is a no-op
@@ -676,6 +666,34 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Rank an [[ivfFitKmeans]] centroid relation per probe and keep each
+    * probe's `nProbe` best lists — the coarse ROUTING step of the IVF
+    * search, split out so any store keyed by the same lists (the raw
+    * `assigned` relation, a PQ-coded copy, an externally-maintained
+    * index) can share one routing decision. Probes rank lists by the
+    * assignment's own objective (vn·c − ‖c‖²/2 over normalized vectors —
+    * see [[knnIvfSearch]]). Returns `(probe_id, pv, pn, list_id)`;
+    * broadcast-sized by the probe-batch contract.
+    */
+  def ivfProbeLists(
+      centroids: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int): DataFrame = {
+    val p = prepared(probes, idCol, vecCol)
+      .select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+      .withColumn("pvn",
+        transform(col("pv"), x => when(col("pn") > 0, x / col("pn")).otherwise(lit(0.0))))
+    val probeW = Window.partitionBy(col("probe_id")).orderBy(col("pscore").desc, col("list_id"))
+    broadcast(p)
+      .join(broadcast(centroids), lit(true))
+      .withColumn("pscore", dot(col("pvn"), col("cv")) - col("chalf"))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nProbe)
+      .select(col("probe_id"), col("pv"), col("pn"), col("list_id"))
   }
 
   /** Assign a NEW batch of vectors to an EXISTING quantizer's lists — the
@@ -1060,8 +1078,16 @@ object SimilarityOps {
       dim: Int,
       m: Int,
       kSub: Int,
-      iters: Int): DataFrame = {
-    val s = subSplit(quantizeFp(vecs, idCol, vecCol), idCol, dim, m).scopedCache()
+      iters: Int,
+      fitFraction: Double = 1.0): DataFrame = {
+    // fitFraction < 1: the codebooks only need the sub-vector DISTRIBUTION,
+    // which a Bernoulli sample captures — the same sample-fit/full-encode
+    // split as ivfFitKmeans (seed fixed so the fit stays deterministic
+    // given the input; the registered oracle queries use fraction 1)
+    val fitOn =
+      if (fitFraction >= 1.0) vecs
+      else vecs.sample(withReplacement = false, fitFraction, 42L)
+    val s = subSplit(quantizeFp(fitOn, idCol, vecCol), idCol, dim, m).scopedCache()
     pqLloyd(s, idCol, kSub, iters)
   }
 
@@ -1139,18 +1165,46 @@ object SimilarityOps {
       nProbe: Int): DataFrame = {
     val p = quantizeFp(probes, idCol, vecCol)
       .select(col(idCol).as("probe_id"), col("vfp").as("pvfp"))
-    // (1) coarse ranking — probes and centroids both broadcast-sized
+    // coarse ranking — probes and centroids both broadcast-sized
     val probeW = Window.partitionBy(col("probe_id")).orderBy(col("cdist"), col("cid"))
     val probeLists = p
       .join(broadcast(coarse), lit(true))
       .withColumn("cdist", graft.functions.VectorFunctions.graft_l2sq(col("pvfp"), col("cfp")))
       .withColumn("crank", row_number().over(probeW))
       .filter(col("crank") <= nProbe)
-      .select(col("probe_id"), col("pvfp"), col("cid").as("list_id"))
-    // (2) per-probe ADC lookup table, packed flat: index = sub·kSub + code
+      .select(col("probe_id"), col("cid").as("list_id"))
+    knnIvfPqSearchWithLists(
+      probeLists, codebooks, coded, probes, idCol, vecCol, dim, m, kSub, k)
+  }
+
+  /** [[knnIvfPqSearch]] with the coarse routing EXTERNALIZED: `probeLists`
+    * is any `(probe_id, list_id)` relation (small — |probes|·nProbe rows,
+    * broadcast) naming which lists each probe searches. This is the seam
+    * that lets a PQ-coded store share whatever coarse router the
+    * deployment already persists — the fixed-point lloyd centroids, the
+    * ML-fit [[ivfFitKmeans]] lists, or an externally-maintained
+    * assignment — because ADC ranking inside a list is independent of how
+    * the list was chosen. Steps (2)-(3) of the search: the per-probe flat
+    * lookup table (sub·kSub + code indexed) and the O(m) integer fold per
+    * (candidate, probe) pair, with the same planning-time `list_id IN`
+    * pruning contract.
+    */
+  def knnIvfPqSearchWithLists(
+      probeLists: DataFrame,
+      codebooks: DataFrame,
+      coded: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      kSub: Int,
+      k: Int): DataFrame = {
+    val p = quantizeFp(probes, idCol, vecCol)
+      .select(col(idCol).as("probe_id"), col("vfp").as("pvfp"))
+    // per-probe ADC lookup table, packed flat: index = sub·kSub + code
     val lut = subSplit(
-      probeLists.select(col("probe_id"), col("pvfp")).distinct()
-        .withColumnRenamed("probe_id", "__pid").withColumnRenamed("pvfp", "vfp"),
+      p.withColumnRenamed("probe_id", "__pid").withColumnRenamed("pvfp", "vfp"),
       "__pid", dim, m)
       .join(broadcast(codebooks), Seq("sub"))
       .withColumn("dfp", graft.functions.VectorFunctions.graft_l2sq(col("svfp"), col("cfp")))
@@ -1164,7 +1218,7 @@ object SimilarityOps {
     // planning-time collect (≤ nLists values — the knnIvfSearch contract):
     // the static IN predicate is what prunes a list-partitioned store scan
     val probed = pl.select(col("list_id")).distinct().collect().map(_.get(0))
-    // (3) ADC: one O(m) integer fold per (candidate, probe) pair
+    // ADC: one O(m) integer fold per (candidate, probe) pair
     val adc = DedupOps.bindOnce(
       transform(col("codes"), (c, i) =>
         element_at(col("lut"), (i.cast("long") * kSub + c + 1).cast("int")))

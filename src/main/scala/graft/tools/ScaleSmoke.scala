@@ -291,6 +291,78 @@ object ScaleSmoke {
       val (st1, _) = timed(srpSearch.count())
       val (st2, srpRes) = timed(recallOf(srpSearch))
       println(s"$n,srp-lsh,$sfitS,$st1,$st2,$srpRes,${bruteRows.size}")
+      // IVF-PQ: the COMPRESSED-store search — same coarse router (the
+      // persisted ML-fit lists via ivfProbeLists), but the probed
+      // partitions hold m codes per row instead of dim doubles. Two rows:
+      // adc = ranked purely by the compressed codes, raw vectors never
+      // read at search time; rr = ADC candidates (8·k pool) exact-cosine
+      // re-ranked against the raw store (candidate-sized broadcast join —
+      // at operating scale a row-addressable fetch, here a scan-join).
+      // Fit = codebooks on a ≤64k sample + one full-corpus encode,
+      // persisted list-partitioned next to the IVF store.
+      val pqM = 8; val pqKSub = 64
+      val (pqFitS, _) = timed {
+        val cb = SimilarityOps.pqTrain(corpusP, "vec_id", "embedding", dim, pqM, pqKSub,
+          iters = 2, fitFraction = math.min(1.0, 65536.0 / n))
+        cb.write.mode("overwrite").parquet(s"$tmp/pq/codebooks")
+        val cbFit = spark.read.parquet(s"$tmp/pq/codebooks")
+        SimilarityOps.pqPack(
+          SimilarityOps.pqEncode(corpusP, "vec_id", "embedding", dim, pqM, cbFit), "vec_id")
+          // the STORE layout is smallint codes (kSub ≤ 32k by construction)
+          // — the measured store-bytes row below reports the real
+          // compression, not an 8-byte-per-code artifact
+          .select(col("vec_id"), col("codes").cast("array<smallint>").as("codes"))
+          .join(asgP.select(col("vec_id"), col("list_id")), Seq("vec_id"))
+          .repartition(32, col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id").parquet(s"$tmp/pq/coded")
+      }
+      def dirBytes(p: String): Long = {
+        val root = java.nio.file.Paths.get(p)
+        val st = java.nio.file.Files.walk(root)
+        try st.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum
+        finally st.close()
+      }
+      // the memory-residency argument: what the HOT index costs to keep
+      // resident — raw list-partitioned vectors vs codes (+ tiny codebooks)
+      val rawB = dirBytes(s"$tmp/ivf/assigned")
+      val codedB = dirBytes(s"$tmp/pq/coded") + dirBytes(s"$tmp/pq/codebooks")
+      println(f"$n,pq-store-bytes,${rawB.toDouble / codedB}%.1f,$rawB,$codedB,-,-")
+      val cbP = spark.read.parquet(s"$tmp/pq/codebooks")
+      val codedP = spark.read.parquet(s"$tmp/pq/coded")
+      def pqLists = SimilarityOps.ivfProbeLists(ctrP, probes, "vec_id", "embedding", 8)
+        .select(col("probe_id"), col("list_id"))
+      def adcSearch(kk: Int) = SimilarityOps.knnIvfPqSearchWithLists(
+        pqLists, cbP, codedP, probes, "vec_id", "embedding", dim, pqM, pqKSub, kk)
+      def adcTop = adcSearch(10).select(col("probe_id"), col("neighbor_id"))
+      val (at1, _) = timed(adcTop.count())
+      val (at2, adcRes) = timed(recallOf(adcTop))
+      println(s"$n,ivfpq-adc(${pqM}x$pqKSub),$pqFitS,$at1,$at2,$adcRes,${bruteRows.size}")
+      def rrSearch = {
+        val cand = adcSearch(80).drop("rank", "adc_fp")
+        // candidate raw vectors come from the probed partitions of the
+        // LIST-PARTITIONED raw store (the same static-IN pruning as the
+        // search), never a full raw scan — at operating scale this fetch
+        // is a candidate-sized read from cold storage
+        val probed = pqLists.select(col("list_id")).distinct().collect().map(_.get(0))
+        val cv = asgP.filter(col("list_id").isin(probed: _*))
+          .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+        val pp = SimilarityOps.prepared(probes, "vec_id", "embedding")
+          .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+        broadcast(cand).join(cv, Seq("neighbor_id"))
+          .join(broadcast(pp), Seq("probe_id"))
+          .withColumn("sim", SimilarityOps.cosine(
+            SimilarityOps.dot(col("pv"), col("v")), col("pn"), col("nrm")))
+          .filter(col("sim").isNotNull)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("probe_id"), col("neighbor_id"))
+      }
+      val (rt1, _) = timed(rrSearch.count())
+      val (rt2, rrRes) = timed(recallOf(rrSearch))
+      println(s"$n,ivfpq-rr,$pqFitS,$rt1,$rt2,$rrRes,${bruteRows.size}")
       spark.sharedState.cacheManager.clearCache(); System.gc()
     }
 

@@ -145,7 +145,20 @@ class PlanContractSpec extends AnyFunSuite {
     // equi-join (never a cartesian); the quadratic-looking levenshtein
     // runs only as the VERIFY condition on those candidates
     Contract("q_fuzzy_join",
-      requiredMarkers = Seq("BroadcastHashJoin", "levenshtein")))
+      requiredMarkers = Seq("BroadcastHashJoin", "levenshtein")),
+    // PQ encode: the m·kSub codebook relation broadcasts onto the
+    // sub-split corpus scan; the argmin is a grouped min-aggregate, never
+    // a window, and nothing crosses
+    Contract("q_pq_encode", requiredMarkers = Seq("BroadcastHashJoin")),
+    // IVF-PQ search: the only BNLs are the DECLARED bounded crosses
+    // (probe batch × nLists coarse centroids / × m·kSub codebooks); list
+    // routing and ADC ranking run as probe-keyed rank-limited windows
+    // (WindowGroupLimit — never a global sort); the probe-lists+LUT
+    // relation broadcasts onto the coded store by list_id, and the exact
+    // re-rank joins raw vectors back by candidate id
+    Contract("q_ann_ivfpq",
+      requiredMarkers = Seq("WindowGroupLimit", "BroadcastHashJoin", "SortMergeJoin"),
+      allowBroadcastCross = true))
 
   /** Static plan + logical global windows for one registered query, with
     * AQE off so the physical plan is fully materialized at plan time.
