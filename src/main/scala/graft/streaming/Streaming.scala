@@ -596,6 +596,15 @@ object Streaming {
     * store is small and the partitioned form is pinned at the batch
     * seam).
     */
+  /** PQ configuration for [[VectorIndexStream]]: maintain a product-
+    * quantized copy of the index alongside the raw assignment — the
+    * codebooks ([[graft.ops.SimilarityOps.pqTrain]]) are fit ONCE (first
+    * batch, or on the recovered corpus when enabling PQ over an existing
+    * store) and persisted; every batch's delta is encoded against them
+    * into `(id, list_id, codes)` rows written into the SAME delta slot.
+    */
+  case class PqIndexConfig(dim: Int, m: Int, kSub: Int, iters: Int = 2)
+
   class VectorIndexStream(
       idCol: String,
       vecCol: String,
@@ -603,9 +612,12 @@ object Streaming {
       centroids: Option[DataFrame] = None,
       storeDir: Option[String] = None,
       seed: Long = 42L,
-      metrics: Option[graft.tools.MetricsListener] = None) {
+      metrics: Option[graft.tools.MetricsListener] = None,
+      pq: Option[PqIndexConfig] = None) {
     @volatile private var ctr: Option[DataFrame] = centroids
     @volatile private var assigned: Option[DataFrame] = None
+    @volatile private var cbs: Option[DataFrame] = None
+    @volatile private var codedRel: Option[DataFrame] = None
 
     private val slotPrefix = "batch_id="
     private val stagePrefix = ".b-"
@@ -616,11 +628,47 @@ object Streaming {
     def current: Option[(DataFrame, DataFrame)] =
       for { c <- ctr; a <- assigned } yield (c, a)
 
-    private def writeSlot(spark: SparkSession, d: String, id: Long, rows: DataFrame): Unit = {
+    /** The live COMPRESSED index `(centroids, codebooks, coded)` — route
+      * probes with [[graft.ops.SimilarityOps.ivfProbeLists]] over the
+      * centroids and search the coded relation with
+      * [[graft.ops.SimilarityOps.knnIvfPqSearchWithLists]]; raw vectors
+      * are only needed if the caller re-ranks.
+      */
+    def currentPq: Option[(DataFrame, DataFrame, DataFrame)] =
+      for { c <- ctr; b <- cbs; cd <- codedRel } yield (c, b, cd)
+
+    /** Encode already-assigned rows `(idCol, v, nrm, list_id)` against the
+      * fitted codebooks into the coded-store shape `(idCol, list_id,
+      * codes)` — used for both the per-batch delta and the derive-on-
+      * recovery migration of slots persisted before PQ was enabled.
+      */
+    private def encodeAssigned(rows: DataFrame, conf: PqIndexConfig, books: DataFrame): DataFrame =
+      graft.ops.SimilarityOps
+        .pqPack(graft.ops.SimilarityOps.pqEncode(
+          rows, idCol, "v", conf.dim, conf.m, books), idCol)
+        .select(col(idCol), col("codes"))
+        .join(rows.select(col(idCol), col("list_id")), Seq(idCol))
+        .select(col(idCol), col("list_id"), col("codes"))
+
+    private def fitBooks(spark: SparkSession, conf: PqIndexConfig, on: DataFrame,
+        onVecCol: String, n: Long): DataFrame = {
+      require(n >= conf.kSub,
+        s"PQ fit corpus has $n vectors < kSub=${conf.kSub}: supply a larger first " +
+          "batch or fit codebooks offline (pqTrain on a corpus sample)")
+      val fit = graft.ops.SimilarityOps
+        .pqTrain(on, idCol, onVecCol, conf.dim, conf.m, conf.kSub, conf.iters)
+        .localCheckpoint(true)
+      storeDir.foreach(d => fit.write.mode("overwrite").parquet(s"$d/pq_codebooks"))
+      fit
+    }
+
+    private def writeSlot(spark: SparkSession, d: String, id: Long, rows: DataFrame,
+        coded: Option[DataFrame]): Unit = {
       val (fs, _) = fsFor(spark, d)
       val staged = new org.apache.hadoop.fs.Path(d, s"$stagePrefix$id")
       if (fs.exists(staged)) fs.delete(staged, true): Unit
       rows.write.mode("overwrite").parquet(s"$d/$stagePrefix$id/assigned")
+      coded.foreach(_.write.mode("overwrite").parquet(s"$d/$stagePrefix$id/coded"))
       fs.create(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"), true).close()
       promoteSlot(spark, d, id)
     }
@@ -664,6 +712,33 @@ object Streaming {
       slots.map { case (_, p) => spark.read.parquet(s"$p/assigned") }
         .reduce(_.unionByName(_))
 
+    /** Fold the coded relation across slots. A slot persisted before PQ
+      * was enabled has no `coded` subdir — its rows are DERIVED by
+      * encoding the slot's assigned vectors against the fitted codebooks
+      * (the enable-PQ-over-an-existing-store migration); after the next
+      * [[compact]] every slot carries its coded rows materialized.
+      */
+    private def foldCodedSlots(
+        spark: SparkSession,
+        slots: Seq[(Long, org.apache.hadoop.fs.Path)],
+        conf: PqIndexConfig,
+        books: DataFrame): DataFrame =
+      slots.map { case (_, p) =>
+        val (fs, _) = fsFor(spark, p.toString)
+        val cp = new org.apache.hadoop.fs.Path(p, "coded")
+        if (fs.exists(cp)) spark.read.parquet(cp.toString)
+        else encodeAssigned(spark.read.parquet(s"$p/assigned"), conf, books)
+      }.reduce(_.unionByName(_))
+
+    /** The persisted codebooks, if any — commit-marked like the centroids. */
+    private def loadBooks(spark: SparkSession, d: String): Option[DataFrame] = {
+      val (fs, _) = fsFor(spark, d)
+      val bdir = new org.apache.hadoop.fs.Path(d, "pq_codebooks")
+      if (fs.exists(new org.apache.hadoop.fs.Path(bdir, "_SUCCESS")))
+        Some(spark.read.parquet(bdir.toString).localCheckpoint(true))
+      else None
+    }
+
     /** Fold every committed slot into ONE negative-id base slot (restart
       * rebuild is O(slots)) — run between query runs only. Crash-safe at
       * every point: the folded base is STAGED dot-prefixed (invisible to
@@ -681,6 +756,12 @@ object Streaming {
           val newBase = math.min(slots.map(_._1).min, 0L) - 1
           val staged = s"$d/$compactPrefix$newBase"
           foldSlots(spark, slots).write.mode("overwrite").parquet(s"$staged/assigned")
+          pq.foreach { conf =>
+            val books = cbs.orElse(loadBooks(spark, d))
+            books.foreach(b =>
+              foldCodedSlots(spark, slots, conf, b)
+                .write.mode("overwrite").parquet(s"$staged/coded"))
+          }
           fs.create(new org.apache.hadoop.fs.Path(s"$staged/_SUCCESS"), true).close()
           slots.foreach { case (_, s) => fs.delete(s, true): Unit }
           fs.rename(
@@ -702,6 +783,18 @@ object Streaming {
         val (fs, _) = fsFor(spark, d)
         if (ctr.isEmpty && fs.exists(new org.apache.hadoop.fs.Path(cdir, "_SUCCESS")))
           ctr = Some(spark.read.parquet(cdir.toString).localCheckpoint(true))
+        pq.foreach { conf =>
+          if (cbs.isEmpty) cbs = loadBooks(spark, d)
+          // enabling PQ over a store persisted without it: fit the
+          // codebooks NOW on the recovered corpus (then persist), and
+          // derive each slot's coded rows on fold — the next compact
+          // materializes them
+          if (cbs.isEmpty) assigned.foreach { a =>
+            cbs = Some(fitBooks(spark, conf, a, "v", a.count()))
+          }
+          for { b <- cbs } if (slots.nonEmpty)
+            codedRel = Some(foldCodedSlots(spark, slots, conf, b).localCheckpoint(true))
+        }
       }
       stream.writeStream
         .option("checkpointLocation", checkpointDir)
@@ -742,9 +835,19 @@ object Streaming {
                 case Some(a) => a.unionByName(delta).localCheckpoint(true)
                 case None    => delta
               })
+              val codedDelta = pq.map { conf =>
+                if (cbs.isEmpty) cbs = Some(fitBooks(spark, conf, delta, "v", freshRows))
+                val cd = encodeAssigned(delta, conf, cbs.get).localCheckpoint(true)
+                codedRel = Some(codedRel match {
+                  case Some(r) => r.unionByName(cd).localCheckpoint(true)
+                  case None    => cd
+                })
+                cd
+              }
               storeDir.foreach { d =>
                 writeSlot(spark, d,
-                  committedSlots(spark, d, slotPrefix).headOption.fold(0L)(_._1 + 1L), delta)
+                  committedSlots(spark, d, slotPrefix).headOption.fold(0L)(_._1 + 1L),
+                  delta, codedDelta)
               }
             }
             metrics.foreach { m =>

@@ -103,4 +103,77 @@ class VectorIndexStreamSpec extends AnyFunSuite {
     assert(vis3.current.get._2.select("vec_id", "list_id").as[(Long, Int)]
       .collect().toMap == oneShot)
   }
+
+  private def codesOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.select(col("vec_id"), col("codes")).as[(Long, Seq[Long])].collect().toMap
+
+  private def oneShotCodes(books: org.apache.spark.sql.DataFrame,
+      conf: Streaming.PqIndexConfig): Map[Long, Seq[Long]] =
+    codesOf(SimilarityOps.pqPack(SimilarityOps.pqEncode(
+      all.toDF("vec_id", "embedding"), "vec_id", "embedding", conf.dim, conf.m, books),
+      "vec_id"))
+
+  test("PQ-coded store: per-batch coded slots, stream == one-shot encode, search from codes") {
+    val conf = Streaming.PqIndexConfig(dim = 8, m = 2, kSub = 8)
+    val store = Files.createTempDirectory("graft-vispq-store").toString + "/vis"
+    val vis = new Streaming.VectorIndexStream(
+      "vec_id", "embedding", nLists = 8, storeDir = Some(store), pq = Some(conf))
+    drain(vis, Seq(slice(0, 4), slice(4, 7), slice(7, 10)),
+      Files.createTempDirectory("graft-vispq-ck").toString)
+    val (ctr, books, coded) = vis.currentPq.get
+    // every batch encoded with the SAME (first-batch) codebooks: the
+    // maintained coded relation equals one encode over the whole corpus
+    assert(codesOf(coded) == oneShotCodes(books, conf))
+    // each slot holds ONLY its batch's coded rows (O(batch) persistence)
+    assert(spark.read.parquet(s"$store/batch_id=0/coded").count() == 80)
+    assert(spark.read.parquet(s"$store/batch_id=2/coded").count() == 60)
+    // compressed-store search: a tight cluster-mate of a late-batch vector
+    // surfaces from the codes alone (no raw vectors at search time)
+    val probes = all.toDF("vec_id", "embedding").filter(col("vec_id") === 9005L)
+    val lists = SimilarityOps.ivfProbeLists(ctr, probes, "vec_id", "embedding", nProbe = 2)
+      .select(col("probe_id"), col("list_id"))
+    val top = SimilarityOps.knnIvfPqSearchWithLists(
+      lists, books, coded, probes, "vec_id", "embedding",
+      conf.dim, conf.m, conf.kSub, k = 3)
+      .filter(col("rank") === 1).select("neighbor_id").as[Long].head()
+    assert(top / 1000 == 9, s"rank-1 neighbor $top is not a cluster-mate of 9005")
+  }
+
+  test("enabling PQ over a pre-PQ store: fit-on-recovery, derived coded slots, compacted materialization") {
+    val conf = Streaming.PqIndexConfig(dim = 8, m = 2, kSub = 8)
+    val store = Files.createTempDirectory("graft-vispq2-store").toString + "/vis"
+    val plain = new Streaming.VectorIndexStream(
+      "vec_id", "embedding", nLists = 8, storeDir = Some(store))
+    drain(plain, Seq(slice(0, 4), slice(4, 7)),
+      Files.createTempDirectory("graft-vispq2-ck").toString)
+    assert(!new java.io.File(s"$store/batch_id=0/coded").exists())
+
+    // a PQ-enabled instance over the same store: codebooks fit ONCE on the
+    // recovered corpus (persisted), old slots' coded rows derived on fold,
+    // the new batch's slot written with coded rows materialized
+    val vispq = new Streaming.VectorIndexStream(
+      "vec_id", "embedding", nLists = 8, storeDir = Some(store), pq = Some(conf))
+    drain(vispq, Seq(slice(7, 10)),
+      Files.createTempDirectory("graft-vispq2-ck2").toString)
+    val (_, books, coded) = vispq.currentPq.get
+    assert(coded.count() == 200)
+    assert(codesOf(coded) == oneShotCodes(books, conf))
+    assert(new java.io.File(s"$store/pq_codebooks/_SUCCESS").exists())
+    assert(new java.io.File(s"$store/batch_id=2/coded").exists())
+    assert(!new java.io.File(s"$store/batch_id=0/coded").exists())
+
+    // compaction materializes the derived rows into the base slot; a fresh
+    // instance recovers codebooks + coded store exactly
+    assert(vispq.compact(spark) == 3)
+    assert(new java.io.File(s"$store/batch_id=-1/coded").exists())
+    val vis3 = new Streaming.VectorIndexStream(
+      "vec_id", "embedding", nLists = 8, storeDir = Some(store), pq = Some(conf))
+    drain(vis3, Seq(Seq.empty[(Long, Seq[Double])]),
+      Files.createTempDirectory("graft-vispq2-ck3").toString)
+    val (_, books3, coded3) = vis3.currentPq.get
+    assert(codesOf(coded3) == oneShotCodes(books3, conf))
+    // and the recovered codebooks ARE the persisted ones
+    assert(books3.select("sub", "cid", "cfp").as[(Long, Long, Seq[Long])].collect().toSet ==
+      books.select("sub", "cid", "cfp").as[(Long, Long, Seq[Long])].collect().toSet)
+  }
 }
