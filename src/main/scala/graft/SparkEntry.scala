@@ -1729,6 +1729,22 @@ object SparkEntry {
       dim = 64, m = 8, kSub = 16, k = 5, nLists = 8, nProbe = 4, iters = 2, rerank = 8)
   }
 
+  /** Greedy BPE merge learning over the corpus vocabulary (10 merges) —
+    * the subword-tokenizer training step. Fully deterministic (tie order
+    * pinned), so the oracle replays all ten count→argmax→rewrite rounds
+    * as unrolled CTEs and the learned merge table hash-matches.
+    */
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTrain(Tables.documents(spark, dir), "text", nMerges = 10)
+
+  /** The subword vocabulary after those 10 merges: every symbol with its
+    * frequency-weighted occurrence count — the token histogram the
+    * trained tokenizer induces on its own training corpus. Shares the
+    * oracle's merge rounds with q_bpe_merges.
+    */
+  def qBpeVocab(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeVocab(Tables.documents(spark, dir), "text", nMerges = 10)
+
   /** Unigram drift KL(even‖odd) between the two corpus halves — per-term
     * smoothed contributions in micro-nats (order-free integer total).
     */
@@ -2246,6 +2262,8 @@ object SparkEntry {
     "q_ann_lsh"                 -> (qAnnLsh(_, _)),
     "q_pq_encode"               -> (qPqEncode(_, _)),
     "q_ann_ivfpq"               -> (qAnnIvfPq(_, _)),
+    "q_bpe_merges"              -> (qBpeMerges(_, _)),
+    "q_bpe_vocab"               -> (qBpeVocab(_, _)),
     "q_cube_stats"              -> (qCubeStats(_, _)),
     "q_pivot_values"            -> (qPivotValues(_, _)),
     "q_unpivot_measures"        -> (qUnpivotMeasures(_, _)),
@@ -2822,6 +2840,31 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY dist_fp, neighbor_id)::BIGINT AS rank
        |  FROM ex) WHERE rank <= 5""".stripMargin
 
+  /** One BPE round: adjacent-pair counts over the previous segmentation,
+    * the (cnt DESC, l, r) argmax, and the left-to-right non-overlapping
+    * rewrite as a `list_reduce` fold over singleton lists (DuckDB's
+    * reduce accumulator must share the element type) — the exact mirror
+    * of [[graft.ops.TextOps]]' `bpeMergeFold`.
+    */
+  private def bpeRoundCte(i: Int): String =
+    s"""px$i AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM r${i - 1}),
+       |bp$i AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq)::BIGINT AS cnt
+       |         FROM px$i GROUP BY 1, 2),
+       |bm$i AS (SELECT $i::BIGINT AS merge_rank, l, r, cnt FROM bp$i ORDER BY cnt DESC, l, r LIMIT 1),
+       |r$i AS (SELECT word, freq, list_reduce([[s] for s in syms], (acc, x) ->
+       |          CASE WHEN len(acc) >= 1 AND acc[-1] = bm$i.l AND x[1] = bm$i.r
+       |               THEN acc[1:len(acc)-1] || [bm$i.l || bm$i.r] ELSE acc || x END) AS syms
+       |        FROM r${i - 1} CROSS JOIN bm$i)""".stripMargin
+
+  /** Corpus word counts + Sennrich char-plus-marker initialization shared
+    * by both BPE oracles.
+    */
+  private val bpeBaseCtes: String =
+    raw"""w AS (SELECT word, count(*)::BIGINT AS freq FROM (
+       |         SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS word
+       |         FROM documents) GROUP BY 1),
+       |r0 AS (SELECT word, freq, regexp_split_to_array(word, '') || ['</w>'] AS syms FROM w)""".stripMargin
+
   private val neardupClustersOracle: String =
     s"""WITH RECURSIVE $neardupClusterCtes,
       |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1)
@@ -2860,6 +2903,16 @@ object SparkEntry {
       s"""WITH $pqBaseCtes
          |SELECT vec_id, sub, cid AS code, dist AS dist_fp FROM pa3""".stripMargin,
     "q_ann_ivfpq" -> annIvfPqOracle,
+    "q_bpe_merges" ->
+      s"""WITH $bpeBaseCtes,
+         |${(1 to 10).map(bpeRoundCte).mkString(",\n")}
+         |SELECT merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM (
+         |  ${(1 to 10).map(i => s"SELECT * FROM bm$i").mkString(" UNION ALL ")})""".stripMargin,
+    "q_bpe_vocab" ->
+      s"""WITH $bpeBaseCtes,
+         |${(1 to 10).map(bpeRoundCte).mkString(",\n")}
+         |SELECT token, sum(freq)::BIGINT AS token_count FROM (
+         |  SELECT unnest(syms) AS token, freq FROM r10) GROUP BY 1""".stripMargin,
     "q_triangle_stats" -> triangleStatsOracle,
     "q_cross_dedup_lsh" -> crossVerifiedPairsOracle,
     "q_domain_cap" ->

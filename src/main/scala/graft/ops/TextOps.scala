@@ -817,4 +817,121 @@ object TextOps {
         coalesce(col("dup_trigram_frac") > dupTrigramMax, lit(false)) ||
           coalesce(col("top_bigram_frac") > topBigramMax, lit(false)))
   }
+
+  // ───────────────────────── BPE merge training ─────────────────────────
+
+  /** `(word, freq)` vocabulary of the corpus — the ONE corpus-sized pass
+    * of the BPE trainer. Everything after it (the merge iterations)
+    * operates on this BOUNDED relation: at 100 TB the corpus is scanned
+    * once for a map-side-combined word count, and the training loop never
+    * touches it again — the vocabulary, not the corpus, is the working
+    * set (the same posture as [[vocabCounts]]).
+    */
+  def bpeWordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol sequences: characters plus an end-of-word marker —
+    * `"low"` → `[l, o, w, </w>]` (the Sennrich form, so a merged symbol
+    * ending in `</w>` is a full-word token). Char splitting is by
+    * codepoint on both engines for BMP text; the corpus is ASCII-pinned
+    * by the testdata, and surrogate-pair text would be the one divergence
+    * (Java UTF-16 units vs codepoints) — documented, not hit.
+    */
+  private def bpeInit(words: DataFrame): DataFrame =
+    words.withColumn("syms",
+      concat(filter(split(col("word"), ""), c => c =!= ""), array(lit("</w>"))))
+
+  /** One greedy merge applied to a symbol array: the LEFT-TO-RIGHT
+    * non-overlapping rewrite of `(l, r) → l+r` as a sequential fold —
+    * `aaa` under `(a,a)` becomes `[aa, a]`, never `[a, aa]` or `[aa, aa]`.
+    * The oracle replays the identical fold with DuckDB's `list_reduce`
+    * over a list-of-singletons (its accumulator must share the element
+    * type), so segmentations match element-for-element.
+    */
+  private def bpeMergeFold(l: String, r: String)(syms: Column): Column =
+    aggregate(
+      syms,
+      typedlit(Seq.empty[String]),
+      (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The sequential merge-learning loop over an initialized `(word, freq,
+    * syms)` relation. Per round: adjacent-pair counts weighted by word
+    * frequency (a vocab-sized aggregate — only (l, r, cnt) triples
+    * shuffle), ONE two-string driver round-trip for the argmax (ties
+    * break (count desc, l, r) — pinned identically in the oracle's
+    * ORDER BY ... LIMIT 1), then the fold rewrite, localCheckpointed so
+    * round n+1 neither recomputes nor nests n rounds of lambdas. The
+    * driver sequentialism is intrinsic to BPE (merge n+1's counts depend
+    * on merge n's rewrite); what matters at scale is that each round is
+    * vocab-bounded, not corpus-bounded. Stops early if no pair remains.
+    */
+  private def bpeLoop(
+      words0: DataFrame,
+      nMerges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(nMerges >= 1, "need at least one merge")
+    var words = bpeInit(words0).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          j => struct(
+            element_at(col("syms"), j).as("l"),
+            element_at(col("syms"), j + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((i + 1L, l, r, c))
+        words = words.withColumn("syms", bpeMergeFold(l, r)(col("syms"))).localCheckpoint()
+        i += 1
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** Greedy byte-pair-encoding merge learning (the vocabulary-building
+    * algorithm of subword tokenizers): `nMerges` rounds of
+    * count-all-adjacent-pairs → merge the most frequent, over the
+    * corpus's frequency-weighted word vocabulary. Returns the merge table
+    * `(merge_rank, left_sym, right_sym, pair_count)` — the artifact a
+    * tokenizer ships. Fully deterministic (ties (count desc, l, r)), so
+    * the registered query's oracle replays every round as unrolled CTEs
+    * and the learned merges hash-match.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val words = bpeWordCounts(docs, textCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeLoop(words, nMerges)._1.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** The segmentation after `nMerges` learned merges: `(word, freq,
+    * syms)` — each word's subword sequence under the trained merge table.
+    * Concatenating `syms` always re-spells `word + "</w>"` (the lossless
+    * invariant the spec pins).
+    */
+  def bpeSegment(docs: DataFrame, textCol: String, nMerges: Int): DataFrame =
+    bpeLoop(bpeWordCounts(docs, textCol), nMerges)._2
+
+  /** The subword vocabulary after `nMerges` merges: `(token,
+    * token_count)` — every symbol with its frequency-weighted occurrence
+    * count, i.e. the token histogram a tokenizer built from
+    * [[bpeTrain]]'s merges would produce on this corpus.
+    */
+  def bpeVocab(docs: DataFrame, textCol: String, nMerges: Int): DataFrame =
+    bpeSegment(docs, textCol, nMerges)
+      .select(explode(col("syms")).as("token"), col("freq"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("token_count"))
 }

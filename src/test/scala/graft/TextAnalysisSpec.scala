@@ -353,4 +353,73 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.head._1 == "spark", "the hub token carries the highest centrality")
   }
+
+  // ───────────────────────── BPE merge training ─────────────────────────
+
+  /** Independent plain-Scala greedy BPE — same tie rule (cnt desc, l, r),
+    * same left-to-right non-overlapping fold — for differential checks.
+    */
+  private def refBpe(
+      words: Map[String, Long], n: Int): (Seq[(Long, String, String, Long)], Map[String, List[String]]) = {
+    def mergeSeq(s: List[String], l: String, r: String): List[String] =
+      s.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r) else acc :+ x
+      }
+    var segs: Map[String, (List[String], Long)] =
+      words.map { case (w, f) => w -> ((w.map(_.toString).toList :+ "</w>", f)) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var i = 1
+    var done = false
+    while (i <= n && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for { (_, (s, f)) <- segs; p <- s.zip(s.tail) }
+        counts(p) = counts.getOrElse(p, 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), k) => (-k, a, b) }
+        out += ((i.toLong, l, r, c))
+        segs = segs.map { case (w, (s, f)) => w -> ((mergeSeq(s, l, r), f)) }
+        i += 1
+      }
+    }
+    (out.toSeq, segs.map { case (w, (s, _)) => w -> s })
+  }
+
+  test("bpeTrain: merge table equals an independent plain-Scala BPE on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val words = TextOps.bpeWordCounts(docs, "text")
+      .as[(String, Long)].collect().toMap
+    val (expMerges, expSegs) = refBpe(words, 6)
+    val got = TextOps.bpeTrain(docs, "text", nMerges = 6)
+      .select("merge_rank", "left_sym", "right_sym", "pair_count")
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == expMerges)
+    // the resulting segmentation matches symbol-for-symbol too
+    val segGot = TextOps.bpeSegment(docs, "text", nMerges = 6)
+      .select("word", "syms").as[(String, Seq[String])].collect().toMap
+    assert(segGot.view.mapValues(_.toList).toMap == expSegs)
+  }
+
+  test("bpeSegment is lossless: symbols re-spell every word; vocab mass equals segment mass") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val seg = TextOps.bpeSegment(docs, "text", nMerges = 5).cache()
+    assert(seg.filter(
+      concat_ws("", col("syms")) =!= concat(col("word"), lit("</w>"))).count() == 0)
+    val vocabMass = TextOps.bpeVocab(docs, "text", nMerges = 5)
+      .agg(sum("token_count")).as[Long].head()
+    val segMass = seg.select((size(col("syms")).cast("long") * col("freq")).as("m"))
+      .agg(sum("m")).as[Long].head()
+    assert(vocabMass == segMass)
+    seg.unpersist()
+  }
+
+  test("bpeTrain stops early when no adjacent pair remains") {
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(docs, "text", nMerges = 10)
+      .select("merge_rank", "left_sym", "right_sym", "pair_count")
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a", "b", 1L), (2L, "ab", "</w>", 1L)))
+  }
 }
