@@ -1745,6 +1745,15 @@ object SparkEntry {
   def qBpeVocab(spark: SparkSession, dir: String): DataFrame =
     TextOps.bpeVocab(Tables.documents(spark, dir), "text", nMerges = 10)
 
+  /** The corpus encoded through the learned BPE merges: per-doc
+    * word/subword counts and the md5 signature of the frequency-ranked
+    * subword-id sequence — the apply-the-tokenizer step, corpus encoded
+    * by two broadcast joins against the vocab-sized segmentation and the
+    * bounded id table.
+    */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeEncodeDocs(Tables.documents(spark, dir), "doc_id", "text", nMerges = 10)
+
   /** Unigram drift KL(even‖odd) between the two corpus halves — per-term
     * smoothed contributions in micro-nats (order-free integer total).
     */
@@ -2264,6 +2273,7 @@ object SparkEntry {
     "q_ann_ivfpq"               -> (qAnnIvfPq(_, _)),
     "q_bpe_merges"              -> (qBpeMerges(_, _)),
     "q_bpe_vocab"               -> (qBpeVocab(_, _)),
+    "q_bpe_encode"              -> (qBpeEncode(_, _)),
     "q_cube_stats"              -> (qCubeStats(_, _)),
     "q_pivot_values"            -> (qPivotValues(_, _)),
     "q_unpivot_measures"        -> (qUnpivotMeasures(_, _)),
@@ -2913,6 +2923,27 @@ object SparkEntry {
          |${(1 to 10).map(bpeRoundCte).mkString(",\n")}
          |SELECT token, sum(freq)::BIGINT AS token_count FROM (
          |  SELECT unnest(syms) AS token, freq FROM r10) GROUP BY 1""".stripMargin,
+    // positions are 1-based here and 0-based in Spark; only their ORDER
+    // feeds ids_sig, and the word-count marker is the per-engine first
+    // subword position, so the scalar outputs agree exactly
+    "q_bpe_encode" ->
+      raw"""WITH $bpeBaseCtes,
+         |${(1 to 10).map(bpeRoundCte).mkString(",\n")},
+         |vocab AS (SELECT token, sum(freq)::BIGINT AS tc FROM (
+         |            SELECT unnest(syms) AS token, freq FROM r10) GROUP BY 1),
+         |vid AS (SELECT token, (row_number() OVER (ORDER BY tc DESC, token) - 1)::BIGINT AS tid
+         |        FROM vocab),
+         |dt AS (SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS word FROM (
+         |         SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+         |         FROM documents)),
+         |ds AS (SELECT dt.doc_id, dt.pos, generate_subscripts(r10.syms, 1) AS spos,
+         |              unnest(r10.syms) AS token
+         |       FROM dt JOIN r10 ON r10.word = dt.word),
+         |dj AS (SELECT ds.doc_id, ds.pos, ds.spos, vid.tid FROM ds JOIN vid USING (token))
+         |SELECT doc_id, count(CASE WHEN spos = 1 THEN 1 END)::BIGINT AS n_words,
+         |       count(*)::BIGINT AS n_subwords,
+         |       md5(string_agg(tid::VARCHAR, ',' ORDER BY pos, spos)) AS ids_sig
+         |FROM dj GROUP BY 1""".stripMargin,
     "q_triangle_stats" -> triangleStatsOracle,
     "q_cross_dedup_lsh" -> crossVerifiedPairsOracle,
     "q_domain_cap" ->

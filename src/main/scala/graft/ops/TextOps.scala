@@ -934,4 +934,39 @@ object TextOps {
     bpeSegment(docs, textCol, nMerges)
       .select(explode(col("syms")).as("token"), col("freq"))
       .groupBy(col("token")).agg(sum(col("freq")).as("token_count"))
+
+  /** Encode the CORPUS through the learned merges — the apply-the-
+    * tokenizer step, and the shape that matters at 100 TB: the
+    * segmentation (word → syms, vocab-sized) and the id table (token →
+    * tid, subword-vocab-sized — bounded by |chars| + nMerges) are built
+    * once and BROADCAST; the corpus is scanned once and encoded by two
+    * broadcast joins, nothing vocab-related shuffles with it. Subword ids
+    * are frequency-ranked ((token_count desc, token) — the id window is
+    * over the BOUNDED subword vocab, the declared global-window
+    * exception). Per document: word/subword counts and an md5 signature
+    * of the ordered id sequence — the [[encodeTokens]] convention, scalar
+    * cells that any engine reproduces.
+    */
+  def bpeEncodeDocs(docs: DataFrame, idCol: String, textCol: String, nMerges: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seg = bpeSegment(docs, textCol, nMerges).scopedCache()
+    val w = Window.orderBy(col("tc").desc, col("token"))
+    val vid = seg.select(explode(col("syms")).as("token"), col("freq"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("tc"))
+      .withColumn("tid", row_number().over(w).cast("long") - 1)
+      .select(col("token"), col("tid"))
+    val toks = docs.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+    val sub = toks
+      .join(broadcast(seg.select(col("word"), col("syms"))), Seq("word"))
+      .select(col(idCol), col("pos"), posexplode(col("syms")).as(Seq("spos", "token")))
+      .join(broadcast(vid), Seq("token"))
+    sub.groupBy(col(idCol))
+      .agg(
+        count(when(col("spos") === 0, lit(1))).as("n_words"),
+        count(lit(1)).as("n_subwords"),
+        md5(DedupOps.bindOnce(
+          sort_array(collect_list(struct(col("pos"), col("spos"), col("tid"))))) { arr =>
+          array_join(transform(arr, e => e.getField("tid").cast("string")), ",")
+        }).as("ids_sig"))
+  }
 }

@@ -158,7 +158,12 @@ class PlanContractSpec extends AnyFunSuite {
     // re-rank joins raw vectors back by candidate id
     Contract("q_ann_ivfpq",
       requiredMarkers = Seq("WindowGroupLimit", "BroadcastHashJoin", "SortMergeJoin"),
-      allowBroadcastCross = true))
+      allowBroadcastCross = true),
+    // BPE corpus encoding: the corpus scan is encoded by TWO broadcast
+    // joins (vocab-sized segmentation, bounded id table); the only global
+    // window ranks the subword vocabulary — bounded by |chars| + nMerges
+    Contract("q_bpe_encode",
+      requiredMarkers = Seq("BroadcastHashJoin"), allowGlobalWindow = true))
 
   /** Static plan + logical global windows for one registered query, with
     * AQE off so the physical plan is fully materialized at plan time.

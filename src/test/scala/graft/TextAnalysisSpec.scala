@@ -415,6 +415,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     seg.unpersist()
   }
 
+  test("bpeEncodeDocs: counts tie out against the segmentation; signature is deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val enc = TextOps.bpeEncodeDocs(docs, "doc_id", "text", nMerges = 5)
+      .select("doc_id", "n_words", "n_subwords", "ids_sig")
+      .as[(Long, Long, Long, String)].collect()
+    // per-doc word counts agree with the tokenizer, subword counts with
+    // the segmentation's per-word symbol lengths
+    val segLen = TextOps.bpeSegment(docs, "text", nMerges = 5)
+      .select("word", "syms").as[(String, Seq[String])].collect()
+      .map { case (w, s) => w -> s.length.toLong }.toMap
+    val docWords = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .as[(Long, Seq[String])].collect().toMap
+    enc.foreach { case (id, nw, ns, _) =>
+      assert(nw == docWords(id).length, s"doc $id word count")
+      assert(ns == docWords(id).map(segLen).sum, s"doc $id subword count")
+    }
+    assert(enc.length == docWords.count(_._2.nonEmpty))
+    // determinism: a second run reproduces every signature
+    val again = TextOps.bpeEncodeDocs(docs, "doc_id", "text", nMerges = 5)
+      .select("doc_id", "ids_sig").as[(Long, String)].collect().toMap
+    assert(enc.map(e => e._1 -> e._4).toMap == again)
+  }
+
   test("bpeTrain stops early when no adjacent pair remains") {
     val docs = Seq((1L, "ab")).toDF("doc_id", "text")
     val got = TextOps.bpeTrain(docs, "text", nMerges = 10)
