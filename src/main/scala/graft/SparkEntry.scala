@@ -1754,6 +1754,18 @@ object SparkEntry {
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
     TextOps.bpeEncodeDocs(Tables.documents(spark, dir), "doc_id", "text", nMerges = 10)
 
+  /** The persisted-tokenizer deployment split: merges trained on the
+    * even-doc half only, then the FULL corpus encoded against that fixed
+    * merge list ([[graft.ops.TextOps.bpeEncodeDocsWith]]) — the BPE
+    * analogue of q_kmeans_assign's sample-train / full-score shape.
+    */
+  def qBpeAssign(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = TextOps.bpeMergeList(
+      docs.filter(col("doc_id") % 2 === 0), "text", nMerges = 10)
+    TextOps.bpeEncodeDocsWith(docs, "doc_id", "text", merges.map(m => (m._2, m._3)))
+  }
+
   /** Unigram drift KL(even‖odd) between the two corpus halves — per-term
     * smoothed contributions in micro-nats (order-free integer total).
     */
@@ -2274,6 +2286,7 @@ object SparkEntry {
     "q_bpe_merges"              -> (qBpeMerges(_, _)),
     "q_bpe_vocab"               -> (qBpeVocab(_, _)),
     "q_bpe_encode"              -> (qBpeEncode(_, _)),
+    "q_bpe_assign"              -> (qBpeAssign(_, _)),
     "q_cube_stats"              -> (qCubeStats(_, _)),
     "q_pivot_values"            -> (qPivotValues(_, _)),
     "q_unpivot_measures"        -> (qUnpivotMeasures(_, _)),
@@ -2867,13 +2880,48 @@ object SparkEntry {
        |        FROM r${i - 1} CROSS JOIN bm$i)""".stripMargin
 
   /** Corpus word counts + Sennrich char-plus-marker initialization shared
-    * by both BPE oracles.
+    * by the BPE oracles; `trainFilter` restricts the TRAINING corpus
+    * (q_bpe_assign trains on the even-doc half).
     */
-  private val bpeBaseCtes: String =
+  private def bpeBaseCtesWith(trainFilter: String): String =
     raw"""w AS (SELECT word, count(*)::BIGINT AS freq FROM (
        |         SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS word
-       |         FROM documents) GROUP BY 1),
+       |         FROM documents WHERE $trainFilter) GROUP BY 1),
        |r0 AS (SELECT word, freq, regexp_split_to_array(word, '') || ['</w>'] AS syms FROM w)""".stripMargin
+
+  private val bpeBaseCtes: String = bpeBaseCtesWith("TRUE")
+
+  /** Apply round `i`'s learned merge (`bm$i`) to the FULL-corpus word
+    * relation — the rewrite half of [[bpeRoundCte]] without the counting,
+    * mirroring [[graft.ops.TextOps.bpeSegmentWith]].
+    */
+  private def bpeApplyCte(i: Int): String =
+    s"""ra$i AS (SELECT word, freq, list_reduce([[s] for s in syms], (acc, x) ->
+       |           CASE WHEN len(acc) >= 1 AND acc[-1] = bm$i.l AND x[1] = bm$i.r
+       |                THEN acc[1:len(acc)-1] || [bm$i.l || bm$i.r] ELSE acc || x END) AS syms
+       |         FROM ra${i - 1} CROSS JOIN bm$i)""".stripMargin
+
+  /** The corpus-encoding tail over a final segmentation relation `seg`:
+    * frequency-ranked subword ids, the doc token scan, the two joins, and
+    * the per-doc aggregate — shared by q_bpe_encode (seg = r10) and
+    * q_bpe_assign (seg = ra10).
+    */
+  private def bpeEncodeSql(seg: String): String =
+    raw"""vocab AS (SELECT token, sum(freq)::BIGINT AS tc FROM (
+       |            SELECT unnest(syms) AS token, freq FROM $seg) GROUP BY 1),
+       |vid AS (SELECT token, (row_number() OVER (ORDER BY tc DESC, token) - 1)::BIGINT AS tid
+       |        FROM vocab),
+       |dt AS (SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS word FROM (
+       |         SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+       |         FROM documents)),
+       |ds AS (SELECT dt.doc_id, dt.pos, generate_subscripts($seg.syms, 1) AS spos,
+       |              unnest($seg.syms) AS token
+       |       FROM dt JOIN $seg ON $seg.word = dt.word),
+       |dj AS (SELECT ds.doc_id, ds.pos, ds.spos, vid.tid FROM ds JOIN vid USING (token))
+       |SELECT doc_id, count(CASE WHEN spos = 1 THEN 1 END)::BIGINT AS n_words,
+       |       count(*)::BIGINT AS n_subwords,
+       |       md5(string_agg(tid::VARCHAR, ',' ORDER BY pos, spos)) AS ids_sig
+       |FROM dj GROUP BY 1""".stripMargin
 
   private val neardupClustersOracle: String =
     s"""WITH RECURSIVE $neardupClusterCtes,
@@ -2927,23 +2975,20 @@ object SparkEntry {
     // feeds ids_sig, and the word-count marker is the per-engine first
     // subword position, so the scalar outputs agree exactly
     "q_bpe_encode" ->
-      raw"""WITH $bpeBaseCtes,
+      s"""WITH $bpeBaseCtes,
          |${(1 to 10).map(bpeRoundCte).mkString(",\n")},
-         |vocab AS (SELECT token, sum(freq)::BIGINT AS tc FROM (
-         |            SELECT unnest(syms) AS token, freq FROM r10) GROUP BY 1),
-         |vid AS (SELECT token, (row_number() OVER (ORDER BY tc DESC, token) - 1)::BIGINT AS tid
-         |        FROM vocab),
-         |dt AS (SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS word FROM (
-         |         SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
-         |         FROM documents)),
-         |ds AS (SELECT dt.doc_id, dt.pos, generate_subscripts(r10.syms, 1) AS spos,
-         |              unnest(r10.syms) AS token
-         |       FROM dt JOIN r10 ON r10.word = dt.word),
-         |dj AS (SELECT ds.doc_id, ds.pos, ds.spos, vid.tid FROM ds JOIN vid USING (token))
-         |SELECT doc_id, count(CASE WHEN spos = 1 THEN 1 END)::BIGINT AS n_words,
-         |       count(*)::BIGINT AS n_subwords,
-         |       md5(string_agg(tid::VARCHAR, ',' ORDER BY pos, spos)) AS ids_sig
-         |FROM dj GROUP BY 1""".stripMargin,
+         |${bpeEncodeSql("r10")}""".stripMargin,
+    // train on the even-doc half, encode the FULL corpus with the learned
+    // merges — the persisted-tokenizer deployment split
+    "q_bpe_assign" ->
+      raw"""WITH ${bpeBaseCtesWith("doc_id % 2 = 0")},
+         |${(1 to 10).map(bpeRoundCte).mkString(",\n")},
+         |wa AS (SELECT word, count(*)::BIGINT AS freq FROM (
+         |         SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS word
+         |         FROM documents) GROUP BY 1),
+         |ra0 AS (SELECT word, freq, regexp_split_to_array(word, '') || ['</w>'] AS syms FROM wa),
+         |${(1 to 10).map(bpeApplyCte).mkString(",\n")},
+         |${bpeEncodeSql("ra10")}""".stripMargin,
     "q_triangle_stats" -> triangleStatsOracle,
     "q_cross_dedup_lsh" -> crossVerifiedPairsOracle,
     "q_domain_cap" ->

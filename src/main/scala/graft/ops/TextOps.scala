@@ -911,10 +911,33 @@ object TextOps {
     * and the learned merges hash-match.
     */
   def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    val words = bpeWordCounts(docs, textCol)
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeLoop(words, nMerges)._1.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+    bpeMergeList(docs, textCol, nMerges)
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** [[bpeTrain]]'s merge table as a driver-side list — nMerges rows, the
+    * persistable artifact; feed it to [[bpeSegmentWith]] /
+    * [[bpeEncodeDocsWith]] to apply a trained tokenizer to OTHER corpora
+    * (the train-once / apply-anywhere operating split).
+    */
+  def bpeMergeList(
+      docs: DataFrame, textCol: String, nMerges: Int): Seq[(Long, String, String, Long)] =
+    bpeLoop(bpeWordCounts(docs, textCol), nMerges)._1
+
+  /** Segment a corpus's vocabulary under an ALREADY-LEARNED merge list,
+    * applied in rank order — no counting, no argmax, just the nMerges
+    * fold rewrites over the vocab-sized relation. This is how a persisted
+    * tokenizer meets a new corpus.
+    */
+  def bpeSegmentWith(
+      docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    var words = bpeInit(bpeWordCounts(docs, textCol)).localCheckpoint()
+    merges.foreach { case (l, r) =>
+      words = words.withColumn("syms", bpeMergeFold(l, r)(col("syms"))).localCheckpoint()
+    }
+    words
   }
 
   /** The segmentation after `nMerges` learned merges: `(word, freq,
@@ -947,9 +970,24 @@ object TextOps {
     * of the ordered id sequence — the [[encodeTokens]] convention, scalar
     * cells that any engine reproduces.
     */
-  def bpeEncodeDocs(docs: DataFrame, idCol: String, textCol: String, nMerges: Int): DataFrame = {
+  def bpeEncodeDocs(docs: DataFrame, idCol: String, textCol: String, nMerges: Int): DataFrame =
+    encodeFromSegmentation(docs, idCol, textCol, bpeSegment(docs, textCol, nMerges))
+
+  /** [[bpeEncodeDocs]] under an externally-trained merge list — the
+    * deployment split: merges learned once (possibly on a sample or an
+    * earlier corpus version), any corpus encoded against them.
+    */
+  def bpeEncodeDocsWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    encodeFromSegmentation(docs, idCol, textCol, bpeSegmentWith(docs, textCol, merges))
+
+  private def encodeFromSegmentation(
+      docs: DataFrame, idCol: String, textCol: String, segmentation: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seg = bpeSegment(docs, textCol, nMerges).scopedCache()
+    val seg = segmentation.scopedCache()
     val w = Window.orderBy(col("tc").desc, col("token"))
     val vid = seg.select(explode(col("syms")).as("token"), col("freq"))
       .groupBy(col("token")).agg(sum(col("freq")).as("tc"))

@@ -439,6 +439,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(enc.map(e => e._1 -> e._4).toMap == again)
   }
 
+  test("bpeSegmentWith: applying the own-corpus merge list reproduces bpeSegment; unseen words stay char-split") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val merges = TextOps.bpeMergeList(docs, "text", nMerges = 5).map(m => (m._2, m._3))
+    val applied = TextOps.bpeSegmentWith(docs, "text", merges)
+      .select("word", "syms").as[(String, Seq[String])].collect().toMap
+    val trained = TextOps.bpeSegment(docs, "text", nMerges = 5)
+      .select("word", "syms").as[(String, Seq[String])].collect().toMap
+    assert(applied == trained)
+    // a corpus with words the trainer never saw: known words merge, the
+    // unseen word (no matching adjacent pair) stays fully char-split
+    val other = Seq((1L, "zzqx")).toDF("doc_id", "text")
+    val seg = TextOps.bpeSegmentWith(other, "text", merges)
+      .select("word", "syms").as[(String, Seq[String])].collect().toMap
+    assert(seg("zzqx").length >= 4, "unseen word not spuriously merged")
+    assert(seg("zzqx").mkString == "zzqx</w>")
+  }
+
   test("bpeTrain stops early when no adjacent pair remains") {
     val docs = Seq((1L, "ab")).toDF("doc_id", "text")
     val got = TextOps.bpeTrain(docs, "text", nMerges = 10)
