@@ -2724,34 +2724,40 @@ object SparkEntry {
     * and q_kmeans_assign (train = even ids, the sample-train/full-score
     * operating split).
     */
-  private def kmeansOracleWith(trainFilter: String): String = {
-    def assignCte(i: Int, cs: String, src: String): String =
-      s"""d$i AS (SELECT $src.vec_id, $cs.cid,
-         |        list_sum([($src.vfp[i] - $cs.cfp[i]) * ($src.vfp[i] - $cs.cfp[i])
-         |                  for i in range(1, len($src.vfp) + 1)])::BIGINT AS dist
-         |        FROM $src CROSS JOIN $cs),
-         |a$i AS (SELECT vec_id, cid, dist FROM (
-         |          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |          FROM d$i) WHERE rn = 1)""".stripMargin
-    def updateCte(i: Int, prev: String): String =
-      s"""e$i AS (SELECT a$i.cid, unnest(vt.vfp) AS x, generate_subscripts(vt.vfp, 1) AS pos
-         |        FROM a$i JOIN vt USING (vec_id)),
-         |m$i AS (SELECT cid, pos, sum(x)::BIGINT // count(*)::BIGINT AS m FROM e$i GROUP BY 1, 2),
-         |n$i AS (SELECT cid, list(m ORDER BY pos) AS cfp FROM m$i GROUP BY 1),
-         |c$i AS (SELECT $prev.cid, coalesce(n$i.cfp, $prev.cfp) AS cfp
-         |        FROM $prev LEFT JOIN n$i USING (cid))""".stripMargin
+  /** Unrolled-Lloyd CTE pair — assignment round `i` of `src` against
+    * codebook `cs`, and the truncated-div centroid update — shared by the
+    * k-means oracle (prefix "") and the IVF-PQ coarse fit (prefix "k"),
+    * so the argmin/tie/update logic has ONE definition and cannot drift.
+    */
+  private def lloydAssignCte(p: String, i: Int, cs: String, src: String): String =
+    s"""${p}d$i AS (SELECT $src.vec_id, $cs.cid,
+       |        list_sum([($src.vfp[i] - $cs.cfp[i]) * ($src.vfp[i] - $cs.cfp[i])
+       |                  for i in range(1, len($src.vfp) + 1)])::BIGINT AS dist
+       |        FROM $src CROSS JOIN $cs),
+       |${p}a$i AS (SELECT vec_id, cid, dist FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |          FROM ${p}d$i) WHERE rn = 1)""".stripMargin
+
+  private def lloydUpdateCte(p: String, i: Int, prev: String, src: String): String =
+    s"""${p}e$i AS (SELECT ${p}a$i.cid, unnest($src.vfp) AS x, generate_subscripts($src.vfp, 1) AS pos
+       |        FROM ${p}a$i JOIN $src USING (vec_id)),
+       |${p}m$i AS (SELECT cid, pos, sum(x)::BIGINT // count(*)::BIGINT AS m FROM ${p}e$i GROUP BY 1, 2),
+       |${p}n$i AS (SELECT cid, list(m ORDER BY pos) AS cfp FROM ${p}m$i GROUP BY 1),
+       |${p}c$i AS (SELECT $prev.cid, coalesce(${p}n$i.cfp, $prev.cfp) AS cfp
+       |        FROM $prev LEFT JOIN ${p}n$i USING (cid))""".stripMargin
+
+  private def kmeansOracleWith(trainFilter: String): String =
     s"""WITH v AS (SELECT vec_id, [round(x::DOUBLE * 1000000.0)::BIGINT for x in embedding] AS vfp
       |           FROM embeddings),
       |vt AS (SELECT * FROM v WHERE $trainFilter),
       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vfp AS cfp
       |       FROM vt ORDER BY vec_id LIMIT 8),
-      |${assignCte(1, "c0", "vt")},
-      |${updateCte(1, "c0")},
-      |${assignCte(2, "c1", "vt")},
-      |${updateCte(2, "c1")},
-      |${assignCte(3, "c2", "v")}
+      |${lloydAssignCte("", 1, "c0", "vt")},
+      |${lloydUpdateCte("", 1, "c0", "vt")},
+      |${lloydAssignCte("", 2, "c1", "vt")},
+      |${lloydUpdateCte("", 2, "c1", "vt")},
+      |${lloydAssignCte("", 3, "c2", "v")}
       |SELECT vec_id, cid, dist AS dist_fp FROM a3""".stripMargin
-  }
 
   /** Per-sub PQ assignment round `i` against codebooks `cs` — mirror of
     * [[graft.ops.SimilarityOps.pqEncode]]'s argmin (ties to lowest code).
@@ -2796,26 +2802,16 @@ object SparkEntry {
        |${pqUpdateCte(2, "pc1")},
        |${pqAssignCte(3, "pc2")}""".stripMargin
 
-  /** Coarse-quantizer assignment round `i` over the full vectors (the
-    * `k`-prefixed twin of [[kmeansOracleWith]]'s CTEs, renamed so the
-    * IVF-PQ oracle can hold both fits in one WITH block).
+  /** Coarse-quantizer rounds over the full vectors — the `k`-prefixed
+    * instantiation of the SHARED [[lloydAssignCte]]/[[lloydUpdateCte]]
+    * generators, so the IVF-PQ oracle can hold both fits in one WITH
+    * block without duplicating the Lloyd SQL.
     */
   private def coarseAssignCte(i: Int, cs: String): String =
-    s"""kd$i AS (SELECT v.vec_id, $cs.cid,
-       |         list_sum([(v.vfp[i] - $cs.cfp[i]) * (v.vfp[i] - $cs.cfp[i])
-       |                   for i in range(1, len(v.vfp) + 1)])::BIGINT AS dist
-       |         FROM v CROSS JOIN $cs),
-       |ka$i AS (SELECT vec_id, cid, dist FROM (
-       |           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |           FROM kd$i) WHERE rn = 1)""".stripMargin
+    lloydAssignCte("k", i, cs, "v")
 
   private def coarseUpdateCte(i: Int, prev: String): String =
-    s"""ke$i AS (SELECT ka$i.cid, unnest(v.vfp) AS x, generate_subscripts(v.vfp, 1) AS pos
-       |         FROM ka$i JOIN v USING (vec_id)),
-       |km$i AS (SELECT cid, pos, sum(x)::BIGINT // count(*)::BIGINT AS m FROM ke$i GROUP BY 1, 2),
-       |kn$i AS (SELECT cid, list(m ORDER BY pos) AS cfp FROM km$i GROUP BY 1),
-       |kc$i AS (SELECT $prev.cid, coalesce(kn$i.cfp, $prev.cfp) AS cfp
-       |         FROM $prev LEFT JOIN kn$i USING (cid))""".stripMargin
+    lloydUpdateCte("k", i, prev, "v")
 
   /** IVF-PQ end-to-end oracle: both fixed-point fits unrolled (coarse
     * k=8 and per-sub PQ), probe coarse ranking (nProbe=4), the ADC sum
@@ -2877,7 +2873,11 @@ object SparkEntry {
        |r$i AS (SELECT word, freq, list_reduce([[s] for s in syms], (acc, x) ->
        |          CASE WHEN len(acc) >= 1 AND acc[-1] = bm$i.l AND x[1] = bm$i.r
        |               THEN acc[1:len(acc)-1] || [bm$i.l || bm$i.r] ELSE acc || x END) AS syms
-       |        FROM r${i - 1} CROSS JOIN bm$i)""".stripMargin
+       |        -- LEFT JOIN ON TRUE: an exhausted round (empty bm$i — the
+       |        -- corpus fully merged before nMerges) must be the IDENTITY
+       |        -- rewrite (NULL l/r falls to the ELSE branch), matching
+       |        -- bpeLoop's early stop, not an empty relation
+       |        FROM r${i - 1} LEFT JOIN bm$i ON TRUE)""".stripMargin
 
   /** Corpus word counts + Sennrich char-plus-marker initialization shared
     * by the BPE oracles; `trainFilter` restricts the TRAINING corpus
@@ -2899,7 +2899,7 @@ object SparkEntry {
     s"""ra$i AS (SELECT word, freq, list_reduce([[s] for s in syms], (acc, x) ->
        |           CASE WHEN len(acc) >= 1 AND acc[-1] = bm$i.l AND x[1] = bm$i.r
        |                THEN acc[1:len(acc)-1] || [bm$i.l || bm$i.r] ELSE acc || x END) AS syms
-       |         FROM ra${i - 1} CROSS JOIN bm$i)""".stripMargin
+       |         FROM ra${i - 1} LEFT JOIN bm$i ON TRUE)""".stripMargin
 
   /** The corpus-encoding tail over a final segmentation relation `seg`:
     * frequency-ranked subword ids, the doc token scan, the two joins, and

@@ -1160,7 +1160,6 @@ object SimilarityOps {
       vecCol: String,
       dim: Int,
       m: Int,
-      kSub: Int,
       k: Int,
       nProbe: Int): DataFrame = {
     val p = quantizeFp(probes, idCol, vecCol)
@@ -1174,7 +1173,7 @@ object SimilarityOps {
       .filter(col("crank") <= nProbe)
       .select(col("probe_id"), col("cid").as("list_id"))
     knnIvfPqSearchWithLists(
-      probeLists, codebooks, coded, probes, idCol, vecCol, dim, m, kSub, k)
+      probeLists, codebooks, coded, probes, idCol, vecCol, dim, m, k)
   }
 
   /** [[knnIvfPqSearch]] with the coarse routing EXTERNALIZED: `probeLists`
@@ -1198,11 +1197,16 @@ object SimilarityOps {
       vecCol: String,
       dim: Int,
       m: Int,
-      kSub: Int,
       k: Int): DataFrame = {
     val p = quantizeFp(probes, idCol, vecCol)
       .select(col(idCol).as("probe_id"), col("vfp").as("pvfp"))
-    // per-probe ADC lookup table, packed flat: index = sub·kSub + code
+    // the flat LUT is indexed by the ACTUAL per-sub codeword count, read
+    // from the codebooks at planning time (one tiny aggregate): pqTrain
+    // yields min(kSub, |fit corpus|) codes per sub, and indexing by a
+    // DECLARED kSub against an under-full codebook would silently read
+    // the wrong sub's block (or NULL past the end)
+    val kEff = codebooks.agg(max(col("cid"))).head().getLong(0).toInt + 1
+    // per-probe ADC lookup table, packed flat: index = sub·kEff + code
     val lut = subSplit(
       p.withColumnRenamed("probe_id", "__pid").withColumnRenamed("pvfp", "vfp"),
       "__pid", dim, m)
@@ -1213,15 +1217,17 @@ object SimilarityOps {
         arr => transform(arr, e => e.getField("dfp"))
       }.as("lut"))
       .withColumnRenamed("__pid", "probe_id")
+    // planning-time collect (≤ nLists values — the knnIvfSearch contract):
+    // the static IN predicate is what prunes a list-partitioned store
+    // scan; collected from probeLists ALONE so the LUT aggregate above is
+    // not executed twice per search
+    val probed = probeLists.select(col("list_id")).distinct().collect().map(_.get(0))
     val pl = probeLists.select(col("probe_id"), col("list_id"))
       .join(lut, Seq("probe_id"))
-    // planning-time collect (≤ nLists values — the knnIvfSearch contract):
-    // the static IN predicate is what prunes a list-partitioned store scan
-    val probed = pl.select(col("list_id")).distinct().collect().map(_.get(0))
     // ADC: one O(m) integer fold per (candidate, probe) pair
     val adc = DedupOps.bindOnce(
       transform(col("codes"), (c, i) =>
-        element_at(col("lut"), (i.cast("long") * kSub + c + 1).cast("int")))
+        element_at(col("lut"), (i.cast("long") * kEff + c + 1).cast("int")))
     ) { perSub => aggregate(perSub, lit(0L), (acc, x) => acc + x) }
     val scored = coded
       .filter(col("list_id").isin(probed: _*))
@@ -1277,7 +1283,7 @@ object SimilarityOps {
       .join(assigned, Seq(idCol))
       .select(col(idCol), col("list_id"), col("codes"))
     val cand = knnIvfPqSearch(
-      coarse, codebooks, coded, probes, idCol, vecCol, dim, m, kSub, rerank * k, nProbe)
+      coarse, codebooks, coded, probes, idCol, vecCol, dim, m, rerank * k, nProbe)
     val pv = quantizeFp(probes, idCol, vecCol)
       .select(col(idCol).as("probe_id"), col("vfp").as("pvfp"))
     val exact = cand

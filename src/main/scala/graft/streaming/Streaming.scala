@@ -598,12 +598,17 @@ object Streaming {
     */
   /** PQ configuration for [[VectorIndexStream]]: maintain a product-
     * quantized copy of the index alongside the raw assignment — the
-    * codebooks ([[graft.ops.SimilarityOps.pqTrain]]) are fit ONCE (first
+    * codebooks come from `codebooks` when provided (the production shape:
+    * [[graft.ops.SimilarityOps.pqTrain]] offline on a corpus sample,
+    * mirroring the stream's `centroids` parameter) or are fit ONCE (first
     * batch, or on the recovered corpus when enabling PQ over an existing
-    * store) and persisted; every batch's delta is encoded against them
-    * into `(id, list_id, codes)` rows written into the SAME delta slot.
+    * store); either way they are persisted with the store, and every
+    * batch's delta is encoded against them into `(id, list_id, codes)`
+    * rows written into the SAME delta slot.
     */
-  case class PqIndexConfig(dim: Int, m: Int, kSub: Int, iters: Int = 2)
+  case class PqIndexConfig(
+      dim: Int, m: Int, kSub: Int, iters: Int = 2,
+      codebooks: Option[DataFrame] = None)
 
   class VectorIndexStream(
       idCol: String,
@@ -616,7 +621,7 @@ object Streaming {
       pq: Option[PqIndexConfig] = None) {
     @volatile private var ctr: Option[DataFrame] = centroids
     @volatile private var assigned: Option[DataFrame] = None
-    @volatile private var cbs: Option[DataFrame] = None
+    @volatile private var cbs: Option[DataFrame] = pq.flatMap(_.codebooks)
     @volatile private var codedRel: Option[DataFrame] = None
 
     private val slotPrefix = "batch_id="
@@ -654,7 +659,8 @@ object Streaming {
         onVecCol: String, n: Long): DataFrame = {
       require(n >= conf.kSub,
         s"PQ fit corpus has $n vectors < kSub=${conf.kSub}: supply a larger first " +
-          "batch or fit codebooks offline (pqTrain on a corpus sample)")
+          "batch or pre-fit codebooks via PqIndexConfig.codebooks " +
+          "(pqTrain on a corpus sample)")
       val fit = graft.ops.SimilarityOps
         .pqTrain(on, idCol, onVecCol, conf.dim, conf.m, conf.kSub, conf.iters)
         .localCheckpoint(true)
@@ -783,8 +789,19 @@ object Streaming {
         val (fs, _) = fsFor(spark, d)
         if (ctr.isEmpty && fs.exists(new org.apache.hadoop.fs.Path(cdir, "_SUCCESS")))
           ctr = Some(spark.read.parquet(cdir.toString).localCheckpoint(true))
+        // a CALLER-provided quantizer is persisted on first store contact:
+        // otherwise a recovering instance started without the parameter
+        // would fit a fresh quantizer on its first batch and append slots
+        // assigned under a different model than the store's existing ones
+        else ctr.foreach { c =>
+          if (!fs.exists(new org.apache.hadoop.fs.Path(cdir, "_SUCCESS")))
+            c.write.mode("overwrite").parquet(cdir.toString)
+        }
         pq.foreach { conf =>
           if (cbs.isEmpty) cbs = loadBooks(spark, d)
+          // same persistence rule for provided codebooks as for centroids
+          else if (loadBooks(spark, d).isEmpty)
+            cbs.foreach(_.write.mode("overwrite").parquet(s"$d/pq_codebooks"))
           // enabling PQ over a store persisted without it: fit the
           // codebooks NOW on the recovered corpus (then persist), and
           // derive each slot's coded rows on fold — the next compact

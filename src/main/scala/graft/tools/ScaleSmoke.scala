@@ -333,7 +333,7 @@ object ScaleSmoke {
       def pqLists = SimilarityOps.ivfProbeLists(ctrP, probes, "vec_id", "embedding", 8)
         .select(col("probe_id"), col("list_id"))
       def adcSearch(kk: Int) = SimilarityOps.knnIvfPqSearchWithLists(
-        pqLists, cbP, codedP, probes, "vec_id", "embedding", dim, pqM, pqKSub, kk)
+        pqLists, cbP, codedP, probes, "vec_id", "embedding", dim, pqM, kk)
       def adcTop = adcSearch(10).select(col("probe_id"), col("neighbor_id"))
       val (at1, _) = timed(adcTop.count())
       val (at2, adcRes) = timed(recallOf(adcTop))

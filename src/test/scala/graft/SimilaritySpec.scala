@@ -535,7 +535,7 @@ class SimilaritySpec extends AnyFunSuite {
     // is exactly what this differential pins
     val got = SimilarityOps.knnIvfPqSearch(
       coarse, codebooks, coded, probes, "vec_id", "embedding",
-      dim = 64, m = 4, kSub = 8, k = 10000, nProbe = 4)
+      dim = 64, m = 4, k = 10000, nProbe = 4)
       .select("probe_id", "neighbor_id", "adc_fp", "rank")
       .as[(Long, Long, Long, Long)].collect()
     val fp = fpOf(emb)
@@ -584,6 +584,27 @@ class SimilaritySpec extends AnyFunSuite {
       fp.toSeq.filter(_._1 != p).map { case (n, v) => (p, n) -> l2fp(fp(p), v) }
     }.toMap
     got.foreach { case (p, n, d, _) => assert(d == trueDist((p, n))) }
+  }
+
+  test("knnIvfPq is exact under an UNDER-FULL codebook (corpus smaller than kSub)") {
+    // 12 vectors, kSub=16 -> 12 codewords per sub; the ADC LUT must index
+    // by the ACTUAL codeword count (a declared-kSub stride would read the
+    // wrong sub's block). nProbe = nLists and rerank*k >= corpus, so the
+    // result must equal the exact fixed-point brute top-k.
+    val tiny = emb.filter(col("vec_id") < 12)
+    val probes = tiny.filter(col("vec_id") < 3)
+    val got = SimilarityOps.knnIvfPq(
+      tiny, probes, "vec_id", "embedding",
+      dim = 64, m = 4, kSub = 16, k = 3, nLists = 2, nProbe = 2, iters = 1, rerank = 8)
+      .select("probe_id", "neighbor_id", "dist_fp", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val fp = fpOf(tiny)
+    val expect = (0L until 3L).flatMap { p =>
+      fp.toSeq.filter(_._1 != p)
+        .map { case (n, v) => (l2fp(fp(p), v), n) }.sorted.take(3)
+        .zipWithIndex.map { case ((d, n), i) => (p, n, d, i + 1L) }
+    }.toSet
+    assert(got == expect)
   }
 
   test("pqTrain: codebook count degrades gracefully when kSub exceeds the corpus") {

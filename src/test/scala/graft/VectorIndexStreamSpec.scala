@@ -134,9 +134,34 @@ class VectorIndexStreamSpec extends AnyFunSuite {
       .select(col("probe_id"), col("list_id"))
     val top = SimilarityOps.knnIvfPqSearchWithLists(
       lists, books, coded, probes, "vec_id", "embedding",
-      conf.dim, conf.m, conf.kSub, k = 3)
+      conf.dim, conf.m, k = 3)
       .filter(col("rank") === 1).select("neighbor_id").as[Long].head()
     assert(top / 1000 == 9, s"rank-1 neighbor $top is not a cluster-mate of 9005")
+  }
+
+  test("pre-fit codebooks via PqIndexConfig.codebooks are used AND persisted with the store") {
+    val books = SimilarityOps.pqTrain(
+      all.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dim = 8, m = 2, kSub = 8, iters = 2)
+    val conf = Streaming.PqIndexConfig(dim = 8, m = 2, kSub = 8, codebooks = Some(books))
+    val store = Files.createTempDirectory("graft-vispq3-store").toString + "/vis"
+    val vis = new Streaming.VectorIndexStream(
+      "vec_id", "embedding", nLists = 8, storeDir = Some(store), pq = Some(conf))
+    drain(vis, Seq(slice(0, 5), slice(5, 10)),
+      Files.createTempDirectory("graft-vispq3-ck").toString)
+    val (_, usedBooks, coded) = vis.currentPq.get
+    assert(codesOf(coded) == oneShotCodes(books, conf))
+    // the provided codebooks were persisted on first store contact, so a
+    // recovering instance WITHOUT the parameter encodes identically
+    assert(new java.io.File(s"$store/pq_codebooks/_SUCCESS").exists())
+    val vis2 = new Streaming.VectorIndexStream(
+      "vec_id", "embedding", nLists = 8, storeDir = Some(store),
+      pq = Some(conf.copy(codebooks = None)))
+    drain(vis2, Seq(Seq.empty[(Long, Seq[Double])]),
+      Files.createTempDirectory("graft-vispq3-ck2").toString)
+    assert(codesOf(vis2.currentPq.get._3) == oneShotCodes(books, conf))
+    assert(usedBooks.select("sub", "cid", "cfp").as[(Long, Long, Seq[Long])].collect().toSet ==
+      books.select("sub", "cid", "cfp").as[(Long, Long, Seq[Long])].collect().toSet)
   }
 
   test("enabling PQ over a pre-PQ store: fit-on-recovery, derived coded slots, compacted materialization") {
