@@ -926,6 +926,17 @@ object TextOps {
       docs: DataFrame, textCol: String, nMerges: Int): Seq[(Long, String, String, Long)] =
     bpeLoop(bpeWordCounts(docs, textCol), nMerges)._1
 
+  /** [[bpeMergeList]] over an externally-maintained `(word, freq)`
+    * relation — the operating split at scale: word counts are persisted
+    * once per corpus version (one corpus pass, or a fold of per-batch
+    * counts), and training touches ONLY the bounded vocabulary. The
+    * ScaleSmoke `bpe` section measures exactly this: corpus K×, vocab
+    * constant → flat round cost.
+    */
+  def bpeTrainFromWordCounts(
+      words: DataFrame, nMerges: Int): Seq[(Long, String, String, Long)] =
+    bpeLoop(words, nMerges)._1
+
   /** Segment a corpus's vocabulary under an ALREADY-LEARNED merge list,
     * applied in rank order — no counting, no argmax, just the nMerges
     * fold rewrites over the vocab-sized relation. This is how a persisted

@@ -21,7 +21,7 @@ object ScaleSmoke {
     val only = args.toSet
     val known =
       Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix",
-        "editdist", "kmeans", "incr", "incrstore", "knncross")
+        "editdist", "kmeans", "incr", "incrstore", "knncross", "bpe")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -166,6 +166,51 @@ object ScaleSmoke {
       }.reduce(_ unionByName _)
 
     // ---- kmeans: train cost fixed (sample), assign cost linear in n ----
+    // ---- BPE: one corpus pass, vocab-bounded merge rounds ----
+    // PLAIN replication (no salting): the corpus grows K× while the
+    // vocabulary stays CONSTANT — the regime that separates the two cost
+    // components. wc_s (the one corpus-sized pass building (word, freq))
+    // must grow with K; train_s (the 10 merge rounds over the persisted
+    // counts, bpeTrainFromWordCounts) must stay flat, because every round
+    // is vocab-bounded. Real corpora sit between this and Heaps-law
+    // sublinear vocab growth; either way rounds never scan the corpus.
+    if (want("bpe")) println("bpe: k,docs,vocab,wc_s,train_s,n_merges")
+    ks("bpe", Seq(1, 2, 4, 8), Seq(1, 4, 16)).foreach { k =>
+      val corpus = (0 until k).map { c =>
+        base.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"), col("text"))
+      }.reduce(_ unionByName _).cache()
+      val n = corpus.count()
+      spark.sharedState.cacheManager.clearCache(); System.gc()
+      corpus.cache().count()
+      val t0 = System.nanoTime()
+      val words = graft.ops.TextOps.bpeWordCounts(corpus, "text").localCheckpoint()
+      val vocab = words.count()
+      val wcS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val merges = graft.ops.TextOps.bpeTrainFromWordCounts(words, 10)
+      val trS = (System.nanoTime() - t1) / 1e9
+      println(s"$k,$n,$vocab,$wcS,$trS,${merges.length}")
+      spark.sharedState.cacheManager.clearCache(); System.gc()
+      corpus.unpersist()
+      // salted replication: vocab GROWS with K (every 5th token gets a
+      // per-copy suffix) — train_s may grow with vocab, never with the
+      // corpus beyond the one wc_s pass
+      val salted = copyK(k).cache()
+      val ns = salted.count()
+      spark.sharedState.cacheManager.clearCache(); System.gc()
+      salted.cache().count()
+      val s0 = System.nanoTime()
+      val wordsS = graft.ops.TextOps.bpeWordCounts(salted, "text").localCheckpoint()
+      val vocabS = wordsS.count()
+      val wcSs = (System.nanoTime() - s0) / 1e9
+      val s1 = System.nanoTime()
+      val mergesS = graft.ops.TextOps.bpeTrainFromWordCounts(wordsS, 10)
+      val trSs = (System.nanoTime() - s1) / 1e9
+      println(s"${k}s,$ns,$vocabS,$wcSs,$trSs,${mergesS.length}")
+      spark.sharedState.cacheManager.clearCache(); System.gc()
+      salted.unpersist()
+    }
+
     if (want("kmeans")) println("kmeans: k,vectors,op,seconds,rows")
     (if (want("kmeans")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
       val corpus = embK(k).cache()

@@ -163,6 +163,10 @@ class PlanContractSpec extends AnyFunSuite {
     // joins (vocab-sized segmentation, bounded id table); the only global
     // window ranks the subword vocabulary — bounded by |chars| + nMerges
     Contract("q_bpe_encode",
+      requiredMarkers = Seq("BroadcastHashJoin"), allowGlobalWindow = true),
+    // same final-plan shape as q_bpe_encode — the merges were learned on
+    // the even half, but the corpus-encoding tail is identical
+    Contract("q_bpe_assign",
       requiredMarkers = Seq("BroadcastHashJoin"), allowGlobalWindow = true))
 
   /** Static plan + logical global windows for one registered query, with
