@@ -168,12 +168,28 @@ object Bench {
           case (name, v, true) if bq.getOrElse(name, 0.0) >= FloorSec =>
             (name, v / bq(name))
         }
-        def list(sel: ((String, Double)) => Boolean) = ratios.filter(sel)
+        def fmt(rs: Seq[(String, Double)]) = rs
           .sortBy(-_._2)
           .map { case (n, r) => JsonOut.q(n) + ":" + math.round(r * 100.0) / 100.0 }
           .mkString("{", ",", "}")
-        val regressed = list(_._2 > 1.5)
-        val improved = list(_._2 < 1.0 / 1.5)
+        // transient-window guard: a >1.5× candidate is RE-RUN once and
+        // adjudicated on the MIN of its two captures. Low steal does not
+        // guarantee a clean window (IO or sibling-thread contention shows
+        // zero steal — observed flagging 20 untouched queries in one
+        // otherwise-quiet run); a noisy window clears itself on retry
+        // while a real regression reproduces. The primary `queries` map
+        // keeps the first capture — only the adjudication uses the min.
+        val confirmed = ratios.filter(_._2 > 1.5).toSeq.map { case (name, r) =>
+          val t0 = System.nanoTime()
+          val ok = try { exhaust(SparkEntry.queries(name)(spark, sfDir)); true }
+            catch { case _: Throwable => false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          System.gc()
+          (name, if (ok) math.min(r, dt / bq(name)) else r)
+        }.filter(_._2 > 1.5)
+        val regressed = fmt(confirmed)
+        val improved = fmt(ratios.filter(_._2 < 1.0 / 1.5).toSeq)
         val bTotal = results.collect {
           case (name, _, true) if bq.contains(name) => bq(name)
         }.sum
