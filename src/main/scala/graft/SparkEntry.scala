@@ -1766,6 +1766,21 @@ object SparkEntry {
     TextOps.bpeEncodeDocsWith(docs, "doc_id", "text", merges.map(m => (m._2, m._3)))
   }
 
+  /** MMR-diversified retrieval: per probe, the top-20 cosine candidates
+    * re-selected down to 5 by maximal marginal relevance (λ=0.7) — the
+    * redundancy-penalizing pick for near-duplicate-heavy pools. Fully
+    * deterministic greedy (ties to lowest id), so the oracle replays all
+    * five selection steps as unrolled CTEs and the picks hash-match.
+    */
+  def qMmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cand = SimilarityOps.knnBrute(
+      emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 20)
+    SimilarityOps.mmrSelect(
+      cand, emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      "probe_id", "neighbor_id", "sim", "embedding", k = 5, lam = 0.7)
+  }
+
   /** Unigram drift KL(even‖odd) between the two corpus halves — per-term
     * smoothed contributions in micro-nats (order-free integer total).
     */
@@ -2287,6 +2302,7 @@ object SparkEntry {
     "q_bpe_vocab"               -> (qBpeVocab(_, _)),
     "q_bpe_encode"              -> (qBpeEncode(_, _)),
     "q_bpe_assign"              -> (qBpeAssign(_, _)),
+    "q_mmr_select"              -> (qMmrSelect(_, _)),
     "q_cube_stats"              -> (qCubeStats(_, _)),
     "q_pivot_values"            -> (qPivotValues(_, _)),
     "q_unpivot_measures"        -> (qUnpivotMeasures(_, _)),
@@ -2413,6 +2429,46 @@ object SparkEntry {
       |      FROM s)
       |SELECT query_id, doc_id, score_fp, score_fp::DOUBLE / 1000000.0 AS score, rank::BIGINT AS rank
       |FROM r WHERE rank <= 10""".stripMargin
+
+  /** One MMR greedy step `t`: candidates not yet selected, their max
+    * cosine to the picked set, and the (λ·rel − (1−λ)·max_sim) argmax —
+    * mirror of [[graft.ops.SimilarityOps.mmrSelect]]'s loop body. λ terms
+    * are written as the arithmetic expressions (`0.7`, `1.0 - 0.7`) so
+    * both engines evaluate the identical IEEE doubles.
+    */
+  private def mmrStepCtes(t: Int): String =
+    s"""mr$t AS (SELECT c.probe_id, c.vec_id, c.rel FROM mcand c
+       |         LEFT JOIN msel${t - 1} s ON s.probe_id = c.probe_id AND s.vec_id = c.vec_id
+       |         WHERE s.vec_id IS NULL),
+       |mm$t AS (SELECT r.probe_id, r.vec_id, r.rel,
+       |                max(CASE WHEN nv.nrm * sv.nrm > 0
+       |                         THEN list_dot_product(nv.v, sv.v) / (nv.nrm * sv.nrm) END) AS max_sim
+       |         FROM mr$t r
+       |         JOIN msel${t - 1} s ON s.probe_id = r.probe_id
+       |         JOIN mn nv ON nv.vec_id = r.vec_id
+       |         JOIN mn sv ON sv.vec_id = s.vec_id
+       |         GROUP BY 1, 2, 3),
+       |mp$t AS (SELECT probe_id, vec_id, rel, $t::BIGINT AS pick_rank FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY probe_id
+       |                       ORDER BY 0.7 * rel - (1.0 - 0.7) * max_sim DESC, vec_id) AS rn
+       |           FROM mm$t) WHERE rn = 1),
+       |msel$t AS (SELECT * FROM msel${t - 1} UNION ALL SELECT * FROM mp$t)""".stripMargin
+
+  private val mmrOracle: String =
+    s"""WITH mv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |mn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM mv),
+       |mp AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM mn WHERE vec_id % 50 = 0),
+       |mj AS (SELECT probe_id, vec_id,
+       |              CASE WHEN pn * nrm > 0 THEN list_dot_product(pv, v) / (pn * nrm) END AS sim
+       |       FROM mp, mn WHERE vec_id <> probe_id),
+       |mcand AS (SELECT probe_id, vec_id, sim AS rel FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+       |            FROM mj WHERE sim IS NOT NULL) WHERE rank <= 20),
+       |msel1 AS (SELECT probe_id, vec_id, rel, 1::BIGINT AS pick_rank FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY rel DESC, vec_id) AS rn
+       |            FROM mcand) WHERE rn = 1),
+       |${(2 to 5).map(mmrStepCtes).mkString(",\n")}
+       |SELECT probe_id, vec_id AS neighbor_id, rel AS sim, pick_rank FROM msel5""".stripMargin
 
   private val knnOracle: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -4154,6 +4210,7 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'text' AS kind, octet_length(text::BLOB)::BIGINT AS n_bytes
         |FROM documents""".stripMargin,
     "q_embedding_knn" -> knnOracle,
+    "q_mmr_select" -> mmrOracle,
     "q_class_outliers" ->
       """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id, label, generate_subscripts(v, 1) AS dim,

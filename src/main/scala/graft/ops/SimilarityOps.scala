@@ -727,6 +727,77 @@ object SimilarityOps {
       .select(col(idCol), col("v"), col("nrm"), col("list_id"))
   }
 
+  /** Maximal-marginal-relevance diversified selection (Carbonell &
+    * Goldstein 1998): per query, greedily pick `k` candidates maximizing
+    * `λ·rel − (1−λ)·max_sim_to_already_selected` — the standard
+    * redundancy-penalizing re-rank for retrieval results and for curating
+    * DIVERSE examples out of near-duplicate-heavy candidate pools. First
+    * pick is the relevance argmax; every tie breaks to the lowest doc id,
+    * so the full selection is deterministic and the registered query's
+    * oracle replays the k greedy steps as unrolled CTEs.
+    *
+    * Inputs: `candidates` `(qidCol, didCol, relCol)` — a per-query
+    * candidate pool (top-N of any retrieval stage; N is small by
+    * contract); `vectors` keyed by `didCol` supplies the embedding used
+    * for the redundancy term (exact cosine; zero-norm candidates have no
+    * direction and are dropped, the [[knnBrute]] rule).
+    *
+    * Shape: the selection loop runs k−1 rounds over QUERY-BATCH-sized
+    * relations (|queries|·N rows — never the corpus): an anti-join
+    * against the picked set, one equi-join for candidate×selected sims
+    * (≤ N·k rows per query), a grouped max, and a rank-1 window per
+    * query. Rounds localCheckpoint like every iterative operator here. At
+    * 100 TB the candidate pool is what a retrieval stage already pays
+    * for; MMR adds work bounded by the pool, independent of corpus size.
+    *
+    * Output: `(qidCol, didCol, relCol, pick_rank)` — the k selections per
+    * query in pick order.
+    */
+  def mmrSelect(
+      candidates: DataFrame,
+      vectors: DataFrame,
+      qidCol: String,
+      didCol: String,
+      relCol: String,
+      vecCol: String,
+      k: Int,
+      lam: Double): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(lam >= 0.0 && lam <= 1.0, "lambda must be in [0, 1]")
+    val v = prepared(vectors, didCol, vecCol)
+      .filter(col("nrm") > 0)
+      .select(col(didCol), col("v"), col("nrm"))
+    val c = candidates.select(col(qidCol), col(didCol), col(relCol))
+      .join(v, Seq(didCol))
+      .scopedCache()
+    val w1 = Window.partitionBy(col(qidCol)).orderBy(col(relCol).desc, col(didCol))
+    var selected = c.withColumn("__r", row_number().over(w1))
+      .filter(col("__r") === 1)
+      .select(col(qidCol), col(didCol), col(relCol), col("v"), col("nrm"),
+        lit(1L).as("pick_rank"))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val rem = c.join(selected.select(col(qidCol), col(didCol)), Seq(qidCol, didCol), "left_anti")
+      val sims = rem
+        .join(selected.select(col(qidCol), col("v").as("__sv"), col("nrm").as("__sn")),
+          Seq(qidCol))
+        .withColumn("__sim", cosine(dot(col("v"), col("__sv")), col("nrm"), col("__sn")))
+        .groupBy(col(qidCol), col(didCol))
+        .agg(
+          max(col("__sim")).as("__maxsim"),
+          first(col(relCol)).as(relCol), first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      val wt = Window.partitionBy(col(qidCol)).orderBy(col("__mmr").desc, col(didCol))
+      val pick = sims
+        .withColumn("__mmr", lit(lam) * col(relCol) - lit(1.0 - lam) * col("__maxsim"))
+        .withColumn("__r", row_number().over(wt))
+        .filter(col("__r") === 1)
+        .select(col(qidCol), col(didCol), col(relCol), col("v"), col("nrm"),
+          lit(t.toLong).as("pick_rank"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select(col(qidCol), col(didCol), col(relCol), col("pick_rank"))
+  }
+
   /** IVF approximate top-k with k-means coarse quantization — the
     * self-contained composition of [[ivfFitKmeans]] + [[knnIvfSearch]]
     * (fit per call; an operating deployment persists the fit and calls

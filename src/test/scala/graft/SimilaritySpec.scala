@@ -607,6 +607,63 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("mmrSelect: near-dup demoted in favor of the diverse pick; duplicate-free greedy order") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),   // probe
+      (1L, Seq(0.7, 0.7, 0.0, 0.0)),   // rel .7071, ties c3 -> picked 1st (lower id)
+      (2L, Seq(0.7, 0.72, 0.0, 0.0)),  // near-dup of 1: rel .697 but sim-to-1 ~1
+      (3L, Seq(0.7, 0.0, 0.7, 0.0)))   // rel .7071, sim-to-1 = .5 -> 2nd under MMR
+      .toDF("vec_id", "embedding")
+    val cand = SimilarityOps.knnBrute(
+      vecs, vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", 3)
+    val got = SimilarityOps.mmrSelect(
+      cand, vecs.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      "probe_id", "neighbor_id", "sim", "embedding", k = 3, lam = 0.7)
+      .select("neighbor_id", "pick_rank").as[(Long, Long)].collect()
+      .sortBy(_._2).map(_._1).toSeq
+    // pure top-3 by relevance would order 1, 3, 2 only by the id tiebreak;
+    // the decisive MMR effect: 2 (higher rel than nothing, but redundant
+    // with 1) falls BEHIND the diverse 3
+    assert(got == Seq(1L, 3L, 2L), s"picks $got")
+  }
+
+  test("mmrSelect equals a plain-Scala greedy reference on the clustered fixture") {
+    val vecs = graft.tools.SyntheticVectors
+      .clustered(nClusters = 5, perCluster = 10, dim = 8, seed = 17, stride = 10L)
+      .toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") % 10 === 0 && col("vec_id") < 30)
+    val cand = SimilarityOps.knnBrute(vecs, probes, "vec_id", "embedding", 15)
+    val got = SimilarityOps.mmrSelect(
+      cand, vecs.select(col("vec_id").as("neighbor_id"), col("embedding")),
+      "probe_id", "neighbor_id", "sim", "embedding", k = 5, lam = 0.7)
+      .select("probe_id", "neighbor_id", "sim", "pick_rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    val vv = vecs.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val (na, nb) = (math.sqrt(a.map(x => x * x).sum), math.sqrt(b.map(x => x * x).sum))
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y } / (na * nb)
+    }
+    val candRef = cand.select("probe_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    val expect = candRef.flatMap { case (q, rows) =>
+      val pool = rows.map(r => (r._2, r._3)).sortBy { case (d, r) => (-r, d) }
+      var sel = List(pool.head)
+      var rest = pool.tail.toList
+      for (t <- 2 to 5 if rest.nonEmpty) {
+        val pick = rest.map { case (d, r) =>
+          val ms = sel.map { case (sd, _) => cos(vv(d), vv(sd)) }.max
+          ((d, r), 0.7 * r - (1.0 - 0.7) * ms)
+        }.minBy { case ((d, _), s) => (-s, d) }._1
+        sel = sel :+ pick
+        rest = rest.filterNot(_ == pick)
+      }
+      sel.zipWithIndex.map { case ((d, r), i) => (q, d, r, i + 1L) }
+    }.toSet
+    assert(got == expect)
+  }
+
   test("pqTrain: codebook count degrades gracefully when kSub exceeds the corpus") {
     val tiny = emb.filter(col("vec_id") < 6)
     val cb = SimilarityOps.pqTrain(tiny, "vec_id", "embedding", dim = 64, m = 4, kSub = 8, iters = 1)
