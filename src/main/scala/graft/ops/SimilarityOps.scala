@@ -743,10 +743,12 @@ object SimilarityOps {
     * direction and are dropped, the [[knnBrute]] rule).
     *
     * Shape: the selection loop runs k−1 rounds over QUERY-BATCH-sized
-    * relations (|queries|·N rows — never the corpus): an anti-join
-    * against the picked set, one equi-join for candidate×selected sims
-    * (≤ N·k rows per query), a grouped max, and a rank-1 window per
-    * query. Rounds localCheckpoint like every iterative operator here. At
+    * relations (|queries|·N rows — never the corpus). The redundancy term
+    * is carried forward: remaining candidates keep a running
+    * max-sim-to-selected and each round folds in only the NEWEST pick —
+    * one cosine per candidate per round, O(k·N) total rather than the
+    * naive O(k²·N) re-join of the whole picked set. Rounds
+    * localCheckpoint like every iterative operator here. At
     * 100 TB the candidate pool is what a retrieval stage already pays
     * for; MMR adds work bounded by the pool, independent of corpus size.
     *
@@ -773,27 +775,39 @@ object SimilarityOps {
     val w1 = Window.partitionBy(col(qidCol)).orderBy(col(relCol).desc, col(didCol))
     var selected = c.withColumn("__r", row_number().over(w1))
       .filter(col("__r") === 1)
-      .select(col(qidCol), col(didCol), col(relCol), col("v"), col("nrm"),
+      .select(col(qidCol), col(didCol), col("v"), col("nrm"), col(relCol),
         lit(1L).as("pick_rank"))
       .localCheckpoint()
+    // the redundancy term is carried FORWARD: each remaining candidate
+    // keeps its running max-sim-to-selected and every round folds in ONLY
+    // the newest pick — one cosine per candidate per round (O(k·N) total),
+    // where re-joining the whole picked set each round would recompute the
+    // already-folded pairs (O(k²·N)). max is exact on doubles, so the
+    // incremental greatest() equals the all-pairs max bit-for-bit.
+    def simToPick(pick: DataFrame)(rem: DataFrame): DataFrame = rem
+      .join(pick.select(col(qidCol), col(didCol).as("__pd"),
+        col("v").as("__pv"), col("nrm").as("__pn")), Seq(qidCol))
+      .filter(col(didCol) =!= col("__pd"))
+      .withColumn("__psim", cosine(dot(col("v"), col("__pv")), col("nrm"), col("__pn")))
+    var rem = simToPick(selected)(c)
+      .withColumn("__maxsim", col("__psim"))
+      .drop("__pd", "__pv", "__pn", "__psim")
+      .localCheckpoint()
     for (t <- 2 to k) {
-      val rem = c.join(selected.select(col(qidCol), col(didCol)), Seq(qidCol, didCol), "left_anti")
-      val sims = rem
-        .join(selected.select(col(qidCol), col("v").as("__sv"), col("nrm").as("__sn")),
-          Seq(qidCol))
-        .withColumn("__sim", cosine(dot(col("v"), col("__sv")), col("nrm"), col("__sn")))
-        .groupBy(col(qidCol), col(didCol))
-        .agg(
-          max(col("__sim")).as("__maxsim"),
-          first(col(relCol)).as(relCol), first(col("v")).as("v"), first(col("nrm")).as("nrm"))
       val wt = Window.partitionBy(col(qidCol)).orderBy(col("__mmr").desc, col(didCol))
-      val pick = sims
+      val pick = rem
         .withColumn("__mmr", lit(lam) * col(relCol) - lit(1.0 - lam) * col("__maxsim"))
         .withColumn("__r", row_number().over(wt))
         .filter(col("__r") === 1)
-        .select(col(qidCol), col(didCol), col(relCol), col("v"), col("nrm"),
+        .select(col(qidCol), col(didCol), col("v"), col("nrm"), col(relCol),
           lit(t.toLong).as("pick_rank"))
-      selected = selected.unionByName(pick).localCheckpoint()
+        .localCheckpoint()
+      selected = selected.unionByName(pick)
+      if (t < k)
+        rem = simToPick(pick)(rem)
+          .withColumn("__maxsim", greatest(col("__maxsim"), col("__psim")))
+          .drop("__pd", "__pv", "__pn", "__psim")
+          .localCheckpoint()
     }
     selected.select(col(qidCol), col(didCol), col(relCol), col("pick_rank"))
   }

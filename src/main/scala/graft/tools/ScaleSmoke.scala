@@ -175,10 +175,11 @@ object ScaleSmoke {
     // is vocab-bounded. Real corpora sit between this and Heaps-law
     // sublinear vocab growth; either way rounds never scan the corpus.
     if (want("bpe")) println("bpe: k,docs,vocab,wc_s,train_s,n_merges")
-    ks("bpe", Seq(1, 2, 4, 8), Seq(1, 4, 16)).foreach { k =>
-      val corpus = (0 until k).map { c =>
-        base.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"), col("text"))
-      }.reduce(_ unionByName _).cache()
+    // one measure protocol for both corpora so the plain-vs-salted
+    // comparison cannot drift: warm corpus cache, time the single
+    // corpus-sized word-count pass, then time the vocab-bounded rounds
+    def bpeMeasure(tag: String, corpus: DataFrame): Unit = {
+      corpus.cache()
       val n = corpus.count()
       spark.sharedState.cacheManager.clearCache(); System.gc()
       corpus.cache().count()
@@ -189,26 +190,18 @@ object ScaleSmoke {
       val t1 = System.nanoTime()
       val merges = graft.ops.TextOps.bpeTrainFromWordCounts(words, 10)
       val trS = (System.nanoTime() - t1) / 1e9
-      println(s"$k,$n,$vocab,$wcS,$trS,${merges.length}")
+      println(s"$tag,$n,$vocab,$wcS,$trS,${merges.length}")
       spark.sharedState.cacheManager.clearCache(); System.gc()
-      corpus.unpersist()
+      corpus.unpersist(): Unit
+    }
+    ks("bpe", Seq(1, 2, 4, 8), Seq(1, 4, 16)).foreach { k =>
+      bpeMeasure(s"$k", (0 until k).map { c =>
+        base.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"), col("text"))
+      }.reduce(_ unionByName _))
       // salted replication: vocab GROWS with K (every 5th token gets a
       // per-copy suffix) — train_s may grow with vocab, never with the
       // corpus beyond the one wc_s pass
-      val salted = copyK(k).cache()
-      val ns = salted.count()
-      spark.sharedState.cacheManager.clearCache(); System.gc()
-      salted.cache().count()
-      val s0 = System.nanoTime()
-      val wordsS = graft.ops.TextOps.bpeWordCounts(salted, "text").localCheckpoint()
-      val vocabS = wordsS.count()
-      val wcSs = (System.nanoTime() - s0) / 1e9
-      val s1 = System.nanoTime()
-      val mergesS = graft.ops.TextOps.bpeTrainFromWordCounts(wordsS, 10)
-      val trSs = (System.nanoTime() - s1) / 1e9
-      println(s"${k}s,$ns,$vocabS,$wcSs,$trSs,${mergesS.length}")
-      spark.sharedState.cacheManager.clearCache(); System.gc()
-      salted.unpersist()
+      bpeMeasure(s"${k}s", copyK(k))
     }
 
     if (want("kmeans")) println("kmeans: k,vectors,op,seconds,rows")
