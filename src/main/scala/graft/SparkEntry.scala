@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1050,6 +1050,49 @@ object SparkEntry {
   def qDocFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprint(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Label of the trained classifier queries: the heuristic
+    * [[graft.ops.TextOps.qualityScore]] composite ≥ 0.5 — the "distill a
+    * hand rule into a learned filter" loop (the rule's unsaturated terms
+    * aren't linear in the classifier's saturated feature space, so the fit
+    * is a genuine approximation: 0.944 train / 0.928 held-out measured at
+    * sf0.01). NULL quality (empty text) labels negative in both engines
+    * (when().otherwise ≡ CASE ELSE).
+    */
+  private def qualityLabel: Column = {
+    val t = col("text")
+    val nTokens = size(TextOps.tokens(t)).cast("double")
+    val punctRatio = when(length(t) > 0,
+      regexp_count(t, lit("[.,;:!?]")).cast("double") / length(t).cast("double"))
+    val stopRatio = when(nTokens > 0,
+      regexp_count(lower(t), lit("\\b(the|and|of|is|to|in|a)\\b")).cast("double") / nTokens)
+    (lit(0.4) * least(lit(1.0), nTokens / lit(100.0)) +
+      lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio * lit(10.0))) +
+      lit(0.3) * least(lit(1.0), stopRatio * lit(5.0))) >= 0.5
+  }
+
+  /** TRAINED quality classifier: Rocchio centroid-midpoint fit over the
+    * fixed-point feature relation, engine-exact integer arithmetic
+    * throughout — the oracle replays the class means, weight differences
+    * and folded midpoint threshold as CTEs. Output: the learned (j, w_fp)
+    * weights.
+    */
+  def qClassifierTrain(spark: SparkSession, dir: String): DataFrame =
+    ClassifierOps.centroidTrain(
+      ClassifierOps.features(Tables.documents(spark, dir), "doc_id", "text", qualityLabel),
+      "doc_id")
+
+  /** The sample-train / full-score classifier split (the kmeansAssign
+    * discipline): weights trained on the even-id half, every document
+    * scored against the broadcast model — one scan, no iteration over the
+    * scored corpus.
+    */
+  def qClassifierFilter(spark: SparkSession, dir: String): DataFrame = {
+    val feats = ClassifierOps.features(
+      Tables.documents(spark, dir), "doc_id", "text", qualityLabel)
+    val w = ClassifierOps.centroidTrain(feats.filter(col("doc_id") % 2 === 0), "doc_id")
+    ClassifierOps.score(feats, "doc_id", w)
+  }
+
   /** Top-3 distinctive terms per document (TF-IDF-style integer-safe
     * ranking: tf DESC, document-frequency ASC, term ASC).
     */
@@ -1825,6 +1868,25 @@ object SparkEntry {
     TextOps.retrievalEval(results, rel, "query_id", "doc_id", "rank", k = 10)
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion of the sparse BM25 top-10
+    * and the dense embedding-kNN top-10 over the same %29 query stride
+    * (doc_id and vec_id share the synthetic id space): the standard
+    * two-leg hybrid search shape, fused entirely in integer fixed point.
+    * Both legs are independently-oracled relations; the fusion adds one
+    * dimension-sized aggregate and a per-query window.
+    */
+  def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val sparse = TextOps.bm25Search(
+      docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 29 === 0), "doc_id", "text", k = 10)
+    val dense = SimilarityOps.knnBrute(
+      emb, emb.filter(col("vec_id") % 29 === 0), "vec_id", "embedding", k = 10)
+      .select(col("probe_id").as("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    TextOps.rrfFuse(Seq(sparse, dense), "query_id", "doc_id", "rank", k = 10)
+  }
+
   /** Corpus-trained interpolated bigram LM score (CCNet/KenLM-style
     * perplexity quality filter) — per-document mean negative log-likelihood
     * from fixed-point-quantized log-probs (order-free integer sums, so the
@@ -2204,6 +2266,8 @@ object SparkEntry {
     "q_token_count"             -> (qTokenCount(_, _)),
     "q_lang_id"                 -> (qLangId(_, _)),
     "q_quality_score"           -> (qQualityScore(_, _)),
+    "q_classifier_train"        -> (qClassifierTrain(_, _)),
+    "q_classifier_filter"       -> (qClassifierFilter(_, _)),
     "q_doc_fingerprint"         -> (qDocFingerprint(_, _)),
     "q_exact_dedup"             -> (qExactDedup(_, _)),
     "q_tfidf_top_terms"         -> (qTfidfTopTerms(_, _)),
@@ -2249,6 +2313,7 @@ object SparkEntry {
     "q_bm25"                    -> (qBm25(_, _)),
     "q_bm25_incremental"        -> (qBm25Incremental(_, _)),
     "q_retrieval_eval"          -> (qRetrievalEval(_, _)),
+    "q_hybrid_rrf"              -> (qHybridRrf(_, _)),
     "q_vocab_drift"             -> (qVocabDrift(_, _)),
     "q_vocab_drift_incremental" -> (qVocabDriftIncremental(_, _)),
     "q_textrank"                -> (qTextRank(_, _)),
@@ -2469,6 +2534,33 @@ object SparkEntry {
        |            FROM mcand) WHERE rn = 1),
        |${(2 to 5).map(mmrStepCtes).mkString(",\n")}
        |SELECT probe_id, vec_id AS neighbor_id, rel AS sim, pick_rank FROM msel5""".stripMargin
+
+  /** Hybrid RRF: both leg oracles verbatim (BM25 at stride 29, brute kNN
+    * at the same stride), fused with the integer reciprocal-rank sum —
+    * mirror of [[graft.ops.TextOps.rrfFuse]] (k₀ = 60, top-10,
+    * (rrf_fp DESC, doc) order).
+    */
+  private val hybridRrfOracle: String =
+    s"""WITH sres AS (${bm25OracleWith(29)}),
+       |dres AS (
+       |  WITH hv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |  hn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM hv),
+       |  hp AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM hn WHERE vec_id % 29 = 0),
+       |  hj AS (SELECT probe_id, vec_id,
+       |                CASE WHEN pn * nrm > 0 THEN list_dot_product(pv, v) / (pn * nrm) END AS sim
+       |         FROM hp, hn WHERE vec_id <> probe_id),
+       |  hr AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+       |         FROM hj WHERE sim IS NOT NULL)
+       |  SELECT probe_id AS query_id, vec_id AS doc_id, rank FROM hr WHERE rank <= 10),
+       |u AS (SELECT query_id, doc_id, rank FROM sres
+       |      UNION ALL SELECT query_id, doc_id, rank FROM dres),
+       |fz AS (SELECT query_id, doc_id,
+       |              sum(1000000 // (60 + rank))::BIGINT AS rrf_fp,
+       |              count(*)::BIGINT AS n_runs
+       |       FROM u GROUP BY 1, 2)
+       |SELECT query_id, doc_id, rrf_fp, n_runs, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_fp DESC, doc_id)::BIGINT AS rank
+       |  FROM fz) WHERE rank <= 10""".stripMargin
 
   private val knnOracle: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2801,6 +2893,63 @@ object SparkEntry {
        |${p}n$i AS (SELECT cid, list(m ORDER BY pos) AS cfp FROM ${p}m$i GROUP BY 1),
        |${p}c$i AS (SELECT $prev.cid, coalesce(${p}n$i.cfp, $prev.cfp) AS cfp
        |        FROM $prev LEFT JOIN ${p}n$i USING (cid))""".stripMargin
+
+  /** Shared CTE block of the classifier oracles: the fixed-point feature
+    * relation (mirror of [[graft.ops.ClassifierOps.features]] — every
+    * component a saturating truncated division at BIGINT millionths, label
+    * = heuristic quality ≥ 0.5), its positional form over the
+    * `trainFilter` subset, and the Rocchio fit (truncated-div class means,
+    * w = μ⁺−μ⁻, midpoint threshold folded into the j=1 bias row) —
+    * the exact mirror of [[graft.ops.ClassifierOps.centroidTrain]]
+    * (Spark `div` ≡ DuckDB `//`, both toward zero).
+    */
+  private def rocchioBaseCtes(trainFilter: String): String =
+    s"""base AS (
+       |  SELECT doc_id,
+       |         CASE WHEN (0.4 * least(1.0, nt::DOUBLE / 100.0)
+       |                    + 0.3 * (1.0 - least(1.0, (CASE WHEN nc > 0 THEN np::DOUBLE / nc::DOUBLE END) * 10.0))
+       |                    + 0.3 * least(1.0, (CASE WHEN nt > 0 THEN ns::DOUBLE / nt::DOUBLE END) * 5.0)) >= 0.5
+       |              THEN 1::BIGINT ELSE -1::BIGINT END AS y,
+       |         nc, nt, np, ns, nd
+       |  FROM (
+       |    SELECT doc_id, length(text)::BIGINT AS nc,
+       |         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), z -> z <> ''))::BIGINT AS nt,
+       |         len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS np,
+       |         len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to|in|a)\\b'))::BIGINT AS ns,
+       |         len(regexp_extract_all(text, '[0-9]'))::BIGINT AS nd
+       |    FROM documents)),
+       |fa AS (SELECT doc_id, y, [
+       |         1000000::BIGINT,
+       |         least((nt * 1000000) // 200, 1000000),
+       |         least((np * 20000000) // greatest(nc, 1), 1000000),
+       |         least((ns * 5000000) // greatest(nt, 1), 1000000),
+       |         least((nd * 10000000) // greatest(nc, 1), 1000000),
+       |         least((nc * 1000000) // (greatest(nt, 1) * 10), 1000000)
+       |       ] AS x
+       |       FROM base),
+       |f AS (SELECT * FROM fa WHERE $trainFilter),
+       |fl AS (SELECT doc_id, y, generate_subscripts(x, 1)::BIGINT AS j, unnest(x) AS xv FROM f),
+       |means AS (SELECT y, j, (sum(xv)::BIGINT // count(*)::BIGINT) AS m FROM fl GROUP BY 1, 2),
+       |wd AS (SELECT p.j, (p.m - n.m)::BIGINT AS w, (p.m + n.m)::BIGINT AS s2
+       |       FROM (SELECT j, m FROM means WHERE y = 1) p
+       |       JOIN (SELECT j, m FROM means WHERE y = -1) n USING (j)),
+       |bias AS (SELECT ((-sum(w * s2))::BIGINT // 2) AS b FROM wd),
+       |wt AS (SELECT j, (CASE WHEN j = 1 THEN w + ((SELECT b FROM bias) // 1000000)
+       |                       ELSE w END)::BIGINT AS w
+       |       FROM wd)""".stripMargin
+
+  private val classifierTrainOracle: String =
+    s"""WITH ${rocchioBaseCtes("TRUE")}
+       |SELECT j, w AS w_fp FROM wt""".stripMargin
+
+  private val classifierFilterOracle: String =
+    s"""WITH ${rocchioBaseCtes("doc_id % 2 = 0")},
+       |fla AS (SELECT doc_id, y, generate_subscripts(x, 1)::BIGINT AS j, unnest(x) AS xv FROM fa),
+       |sc AS (SELECT fla.doc_id, min(fla.y) AS y, sum(fla.xv * wt.w)::BIGINT AS s
+       |       FROM fla JOIN wt USING (j) GROUP BY fla.doc_id)
+       |SELECT doc_id, s AS score_fp, s >= 0 AS pred, y = 1 AS is_pos,
+       |       (s >= 0) = (y = 1) AS correct
+       |FROM sc""".stripMargin
 
   private def kmeansOracleWith(trainFilter: String): String =
     s"""WITH v AS (SELECT vec_id, [round(x::DOUBLE * 1000000.0)::BIGINT for x in embedding] AS vfp
@@ -3689,6 +3838,8 @@ object SparkEntry {
         |       + 0.3 * (1.0 - least(1.0, punct_ratio * 10.0))
         |       + 0.3 * least(1.0, stopword_ratio * 5.0) AS quality
         |FROM s""".stripMargin,
+    "q_classifier_train" -> classifierTrainOracle,
+    "q_classifier_filter" -> classifierFilterOracle,
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
         |       length(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))::BIGINT AS norm_len
@@ -4013,6 +4164,7 @@ object SparkEntry {
     // the self-trained LM bit-for-bit (mergeLmCounts losslessness proof)
     "q_lm_incremental" -> lmScoreOracle,
     "q_bm25" -> bm25Oracle,
+    "q_hybrid_rrf" -> hybridRrfOracle,
     // SHARED: merged-index search must reproduce the one-shot index
     "q_bm25_incremental" -> bm25Oracle,
     "q_vocab_drift" -> vocabDriftOracle,

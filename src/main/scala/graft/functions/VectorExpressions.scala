@@ -144,6 +144,62 @@ case class L2SquaredFp(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product over two array<bigint> fixed-point vectors — the
+  * margin kernel of [[graft.ops.ClassifierOps]] (⟨w, x⟩ at Scale²). Same
+  * preference-ladder rationale, null semantics and ragged common-prefix
+  * contract as [[L2SquaredFp]]; exact 64-bit wraparound arithmetic
+  * identical to the HOF fold `aggregate(zip_with(a,b,_*_), 0L, _+_)` it
+  * replaces and to the oracle's list comprehension.
+  */
+case class DotFp(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_dotfp expects (array<bigint>, array<bigint>), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dotfp"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]] (expects array<double> inputs). */
   def graft_dot(a: Column, b: Column): Column =
@@ -152,4 +208,8 @@ object VectorFunctions {
   /** Column API for [[L2SquaredFp]] (expects array<bigint> inputs). */
   def graft_l2sq(a: Column, b: Column): Column =
     ColumnBridge.column(L2SquaredFp(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[DotFp]] (expects array<bigint> inputs). */
+  def graft_dotfp(a: Column, b: Column): Column =
+    ColumnBridge.column(DotFp(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -680,6 +680,47 @@ object TextOps {
           expr(s"(coalesce(hits_at_k, 0) * 1000000) div least(n_rel, $k)")).as("recall_fp"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N ranked
+    * retrieval runs — the standard hybrid-retrieval combiner (sparse BM25 +
+    * dense embedding kNN being the canonical pair): per (query, doc),
+    * rrf = Σ_runs 1/(k₀ + rank), fused entirely in integer fixed point
+    * (`1e6 div (k₀ + rank)` per run — order-free integer sum, engine-exact)
+    * with the final ordering (rrf_fp DESC, doc ASC) and a per-query top-`k`
+    * cut. A document absent from a run simply contributes nothing — no
+    * imputation, the defining RRF property.
+    *
+    * Shape: a union of rank-triple relations (8-byte columns only — scores
+    * and text never enter), ONE (query, doc) aggregate (map-side partial),
+    * one per-query window (WindowGroupLimit under the rank filter). At
+    * 100 TB the runs are top-k-per-query relations — query-count-sized,
+    * not corpus-sized — so the fusion is dimension-scale regardless of
+    * corpus scale; the heavy lifting stays in the legs that produced them.
+    *
+    * Output: (query_id, doc_id, rrf_fp, n_runs, rank).
+    */
+  def rrfFuse(
+      runs: Seq[DataFrame],
+      qidCol: String,
+      docCol: String,
+      rankCol: String,
+      k: Int,
+      k0: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(runs.nonEmpty, "need at least one run")
+    require(k >= 1 && k0 >= 0, "need k >= 1 and k0 >= 0")
+    val normalized = runs.map(_.select(
+      col(qidCol).as("query_id"), col(docCol).as("doc_id"), col(rankCol).as("__rank")))
+    val fused = normalized.reduce(_.unionByName(_))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        sum(expr(s"1000000 div ($k0 + __rank)")).as("rrf_fp"),
+        count(lit(1)).as("n_runs"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rrf_fp").desc, col("doc_id"))
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): fixed-iteration
     * weighted PageRank over the token co-occurrence graph — nodes are
     * normalized tokens, edges adjacent-token pairs (undirected, weighted by

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ClassifierOps
+
+/** Rocchio trained classifier: differential exactness of the closed-form
+  * fit vs an independent plain-Scala implementation, the one-class empty
+  * model contract, native DotFp kernel parity with the HOF fold, and the
+  * train/apply split actually learning a held-out rule.
+  */
+class ClassifierSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val S = ClassifierOps.Scale
+
+  /** Plain-Scala mirror of features + centroidTrain (truncating division
+    * toward zero throughout, like Long `/`).
+    */
+  private def refFit(rows: Seq[(Long, Boolean, String)]): Map[Long, Long] = {
+    def tok(t: String) = t.trim.split("\\s+").filter(_.nonEmpty)
+    def feats(t: String): Array[Long] = {
+      val nc = t.length.toLong
+      val nt = tok(t).length.toLong
+      val np = "[.,;:!?]".r.findAllIn(t).length.toLong
+      val ns = "\\b(the|and|of|is|to|in|a)\\b".r.findAllIn(t.toLowerCase).length.toLong
+      val nd = "[0-9]".r.findAllIn(t).length.toLong
+      Array(S,
+        math.min(nt * S / 200, S),
+        math.min(np * 20 * S / math.max(nc, 1), S),
+        math.min(ns * 5 * S / math.max(nt, 1), S),
+        math.min(nd * 10 * S / math.max(nc, 1), S),
+        math.min(nc * S / (math.max(nt, 1) * 10), S))
+    }
+    val data = rows.map { case (_, pos, t) => (if (pos) 1L else -1L, feats(t)) }
+    val (posF, negF) = data.partition(_._1 == 1L)
+    val mp = Array.tabulate(6)(j => posF.map(_._2(j)).sum / posF.size)
+    val mn = Array.tabulate(6)(j => negF.map(_._2(j)).sum / negF.size)
+    val w = Array.tabulate(6)(j => mp(j) - mn(j))
+    val b = -(0 until 6).map(j => w(j) * (mp(j) + mn(j))).sum / 2
+    val w2 = w.updated(0, w(0) + b / S)
+    (1 to 6).map(j => j.toLong -> w2(j - 1)).toMap
+  }
+
+  private val fixture: Seq[(Long, Boolean, String)] = Seq.tabulate(60) { i =>
+    // positives: longer, stopword-rich text; negatives: short and terse —
+    // plus irregular punctuation/digits so every feature is exercised
+    val pos = i % 3 != 0
+    val words =
+      if (pos) Seq.fill(8 + i % 11)(s"the data of run$i is in a table and")
+      else Seq.fill(2 + i % 3)(s"x$i: 42, err!")
+    (i.toLong, pos, words.mkString(" "))
+  }
+
+  test("centroidTrain matches the plain-Scala closed form exactly") {
+    val df = fixture.toDF("id", "pos", "text")
+    val got = ClassifierOps
+      .centroidTrain(ClassifierOps.features(df, "id", "text", col("pos")), "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == refFit(fixture))
+  }
+
+  test("one-class input yields an empty model, not a wrong one") {
+    val df = fixture.map { case (i, _, t) => (i, true, t) }.toDF("id", "pos", "text")
+    val w = ClassifierOps
+      .centroidTrain(ClassifierOps.features(df, "id", "text", col("pos")), "id")
+    assert(w.count() == 0L)
+  }
+
+  test("DotFp kernel ≡ HOF fold on the feature/weight arrays") {
+    val df = fixture.toDF("id", "pos", "text")
+    val f = ClassifierOps.features(df, "id", "text", col("pos"))
+    val w = ClassifierOps.centroidTrain(f, "id")
+    val warr = w.orderBy("j").agg(collect_list(col("w_fp")).as("warr"))
+    val both = f.join(broadcast(warr), lit(true))
+      .select(
+        graft.functions.VectorFunctions.graft_dotfp(col("x"), col("warr")).as("native"),
+        aggregate(zip_with(col("x"), col("warr"), (a, b) => a * b), lit(0L), (acc, e) => acc + e)
+          .as("hof"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty && both.forall { case (n, h) => n == h })
+  }
+
+  test("train on half, score all: the learned midpoint rule generalizes") {
+    val df = fixture.toDF("id", "pos", "text")
+    val feats = ClassifierOps.features(df, "id", "text", col("pos"))
+    val w = ClassifierOps.centroidTrain(feats.filter(col("id") % 2 === 0), "id")
+    val scored = ClassifierOps.score(feats, "id", w)
+      .as[(Long, Long, Boolean, Boolean, Boolean)].collect()
+    assert(scored.length == fixture.size)
+    // correct column is internally consistent
+    assert(scored.forall { case (_, s, pred, isPos, correct) =>
+      pred == (s >= 0L) && correct == (pred == isPos)
+    })
+    // the held-out half classifies near-perfectly on this separable rule
+    val held = scored.filter(_._1 % 2 == 1)
+    assert(held.count(_._5) >= (held.length * 9) / 10)
+  }
+}

@@ -464,4 +464,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
     assert(got == Seq((1L, "a", "b", 1L), (2L, "ab", "</w>", 1L)))
   }
+
+  test("rrfFuse: hand-computed fusion, absent-leg contribution, top-k cut and tie order") {
+    // query 1: doc 10 is rank 1 in both legs; doc 20 rank 2 sparse only;
+    // doc 30 rank 2 dense only — 20 vs 30 tie on rrf, lower id first
+    val sparse = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 40L, 1L)).toDF("q", "d", "r")
+    val dense = Seq((1L, 10L, 1L), (1L, 30L, 2L)).toDF("q", "d", "r")
+    val got = TextOps.rrfFuse(Seq(sparse, dense), "q", "d", "r", k = 2)
+      .select("query_id", "doc_id", "rrf_fp", "n_runs", "rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val rr1 = 1000000L / 61 // rank 1 → 16393
+    val rr2 = 1000000L / 62 // rank 2 → 16129
+    assert(got == Set(
+      (1L, 10L, 2 * rr1, 2L, 1L),
+      (1L, 20L, rr2, 1L, 2L), // doc 30 ties but loses on id, then k=2 cuts it
+      (2L, 40L, rr1, 1L, 1L)))
+  }
 }
