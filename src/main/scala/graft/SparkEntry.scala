@@ -327,6 +327,37 @@ object SparkEntry {
     Relational.validateRequired(doc, Seq("l_orderkey", "l_linenumber", "quantity", "discount"))
   }
 
+  /** Declarative constraint audit over the orders/lineitem/customer star —
+    * completeness, range and domain row checks (one scan per table for ALL
+    * its predicates), key uniqueness (one groupBy, no self-join), and both
+    * foreign keys (child pre-aggregated to key cardinality before the
+    * parent join). The synthetic data genuinely violates two constraints
+    * (duplicated lineitem (orderkey, linenumber) pairs, negative account
+    * balances), so both scorecard outcomes are oracle-exercised.
+    */
+  def qConstraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    AuditOps.suite(
+      AuditOps.auditRows(orders, "orders", Seq(
+        "orders_custkey_complete" -> col("o_custkey").isNull,
+        "orders_totalprice_positive" -> !(col("o_totalprice") > 0),
+        "orders_status_domain" -> !col("o_orderstatus").isin("O", "F", "P"))),
+      AuditOps.auditRows(li, "lineitem", Seq(
+        "lineitem_quantity_range" -> !(col("l_quantity") >= 1 && col("l_quantity") <= 50),
+        "lineitem_discount_range" -> !(col("l_discount") >= 0 && col("l_discount") <= 0.1))),
+      AuditOps.auditRows(cust, "customer", Seq(
+        "customer_acctbal_nonneg" -> (col("c_acctbal") < 0))),
+      AuditOps.auditUnique(orders, "orders", Seq("o_orderkey"), "orders_pk_unique"),
+      AuditOps.auditUnique(li, "lineitem", Seq("l_orderkey", "l_linenumber"),
+        "lineitem_pk_unique"),
+      AuditOps.auditReferential(li, "lineitem", Seq("l_orderkey" -> "o_orderkey"),
+        orders, "lineitem_orders_fk"),
+      AuditOps.auditReferential(orders, "orders", Seq("o_custkey" -> "c_custkey"),
+        cust, "orders_customer_fk"))
+  }
+
   /** B3 — string→double round-trip, timestamp→date, epoch seconds. */
   def qCoerceTypes(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
@@ -2386,6 +2417,7 @@ object SparkEntry {
     "q_gap_detection"           -> (qGapDetection(_, _)),
     "q_adjust_date_range"       -> (qAdjustDateRange(_, _)),
     "q_validate_required_fields"-> (qValidateRequiredFields(_, _)),
+    "q_constraint_audit"        -> (qConstraintAudit(_, _)),
     "q_coerce_types"            -> (qCoerceTypes(_, _)),
     "q_index_projection"        -> (qIndexProjection(_, _)),
     "q_asset_type_dispatch"     -> (qAssetTypeDispatch(_, _)),
@@ -4571,6 +4603,66 @@ object SparkEntry {
         |       (l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
         |        AND (CASE WHEN l_discount = 0 THEN NULL ELSE l_discount END) IS NOT NULL) AS valid
         |FROM lineitem""".stripMargin,
+    "q_constraint_audit" ->
+      """SELECT 'orders_custkey_complete' AS check_name, 'orders' AS table_name,
+        |       count(*) FILTER (o_custkey IS NULL)::BIGINT AS violations,
+        |       count(*)::BIGINT AS total,
+        |       count(*) FILTER (o_custkey IS NULL) = 0 AS pass
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_totalprice_positive', 'orders',
+        |       count(*) FILTER (NOT coalesce(o_totalprice > 0, FALSE))::BIGINT, count(*)::BIGINT,
+        |       count(*) FILTER (NOT coalesce(o_totalprice > 0, FALSE)) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_status_domain', 'orders',
+        |       count(*) FILTER (NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE))::BIGINT,
+        |       count(*)::BIGINT,
+        |       count(*) FILTER (NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE)) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_quantity_range', 'lineitem',
+        |       count(*) FILTER (NOT coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE))::BIGINT,
+        |       count(*)::BIGINT,
+        |       count(*) FILTER (NOT coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE)) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_discount_range', 'lineitem',
+        |       count(*) FILTER (NOT coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE))::BIGINT,
+        |       count(*)::BIGINT,
+        |       count(*) FILTER (NOT coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE)) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'customer_acctbal_nonneg', 'customer',
+        |       count(*) FILTER (coalesce(c_acctbal < 0, TRUE))::BIGINT, count(*)::BIGINT,
+        |       count(*) FILTER (coalesce(c_acctbal < 0, TRUE)) = 0
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders_pk_unique', 'orders',
+        |       coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0)::BIGINT,
+        |       coalesce(sum(n), 0)::BIGINT,
+        |       coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) = 0
+        |FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem_pk_unique', 'lineitem',
+        |       coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0)::BIGINT,
+        |       coalesce(sum(n), 0)::BIGINT,
+        |       coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) = 0
+        |FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |UNION ALL
+        |SELECT 'lineitem_orders_fk', 'lineitem',
+        |       coalesce(sum(CASE WHEN p.k IS NULL THEN g.n ELSE 0 END), 0)::BIGINT,
+        |       coalesce(sum(g.n), 0)::BIGINT,
+        |       coalesce(sum(CASE WHEN p.k IS NULL THEN g.n ELSE 0 END), 0) = 0
+        |FROM (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1) g
+        |LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p ON g.k = p.k
+        |UNION ALL
+        |SELECT 'orders_customer_fk', 'orders',
+        |       coalesce(sum(CASE WHEN p.k IS NULL THEN g.n ELSE 0 END), 0)::BIGINT,
+        |       coalesce(sum(g.n), 0)::BIGINT,
+        |       coalesce(sum(CASE WHEN p.k IS NULL THEN g.n ELSE 0 END), 0) = 0
+        |FROM (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1) g
+        |LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON g.k = p.k""".stripMargin,
     "q_coerce_types" ->
       """SELECT event_id, (value::VARCHAR)::DOUBLE AS price, ts::DATE AS event_date,
         |       floor(epoch(ts))::BIGINT AS ts_epoch_s

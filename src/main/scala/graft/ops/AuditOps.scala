@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audit (the Deequ/great-expectations shape): a
+  * constraint suite evaluated into one scorecard relation — per constraint,
+  * its violation count, the total rows it judged, and a pass flag. The
+  * production gate a pipeline runs between ingest and publish; unlike
+  * [[Relational.validateRequired]] (per-ROW tagging for reject routing)
+  * this is the per-CONSTRAINT aggregate view.
+  *
+  * Scale shape, per family:
+  *  - row checks: ALL predicates of a table audit in ONE scan — a single
+  *    aggregate of conditional sums (map-side partial, codegen'd), however
+  *    many checks are declared; violation counting never re-reads the table
+  *    per constraint.
+  *  - uniqueness: one groupBy on the key (the only shuffle), then a
+  *    two-sum aggregate over the group counts — no self-join, no distinct
+  *    + count double-pass.
+  *  - referential integrity: the child aggregates to (key, n) BEFORE the
+  *    parent join, so the join carries one row per distinct child key (at
+  *    100 TB: key-cardinality-sized, not child-row-sized) against the
+  *    deduplicated parent key relation; orphan rows are summed from the
+  *    unmatched groups.
+  *
+  * Every family emits the same schema — (check_name, table_name,
+  * violations, total, pass) — so suites union into one scorecard.
+  */
+object AuditOps {
+
+  /** Row-predicate checks: `checks` are (name, violatedWhen) pairs; NULL
+    * predicate evaluations count as violations (a null comparison means
+    * the constraint could not be established — the conservative audit
+    * stance), made explicit with a coalesce-to-true on the violation side.
+    */
+  def auditRows(
+      df: DataFrame,
+      table: String,
+      checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one row check")
+    val sums =
+      count(lit(1)).as("__total") +:
+        checks.zipWithIndex.map { case ((_, viol), i) =>
+          sum(when(coalesce(viol, lit(true)), 1L).otherwise(0L)).as(s"__v$i")
+        }
+    val wide = df.agg(sums.head, sums.tail: _*)
+    wide.select(
+      explode(array(checks.zipWithIndex.map { case ((name, _), i) =>
+        struct(
+          lit(name).as("check_name"),
+          col(s"__v$i").as("violations"))
+      }: _*)).as("__c"), col("__total"))
+      .select(
+        col("__c.check_name"),
+        lit(table).as("table_name"),
+        col("__c.violations"),
+        col("__total").as("total"),
+        (col("__c.violations") === 0L).as("pass"))
+  }
+
+  /** Key-uniqueness check: violations = rows belonging to a key group of
+    * size > 1 (every row of a duplicated key counts, the Deequ
+    * `uniqueness` convention). NULL key components group like values
+    * (a repeated all-NULL key is a duplicate, not an exemption).
+    */
+  def auditUnique(
+      df: DataFrame,
+      table: String,
+      keyCols: Seq[String],
+      name: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(
+        sum(col("__n")).as("total"),
+        sum(when(col("__n") > 1L, col("__n")).otherwise(0L)).as("violations"))
+      .select(
+        lit(name).as("check_name"),
+        lit(table).as("table_name"),
+        coalesce(col("violations"), lit(0L)).as("violations"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        (coalesce(col("violations"), lit(0L)) === 0L).as("pass"))
+  }
+
+  /** Referential-integrity check: violations = child ROWS whose key has no
+    * parent (NULL child keys are orphans — the FK could not be resolved).
+    * The child pre-aggregates to (key, n) so the parent join is
+    * key-cardinality-sized; the parent side deduplicates before joining.
+    */
+  def auditReferential(
+      child: DataFrame,
+      childTable: String,
+      keys: Seq[(String, String)],
+      parent: DataFrame,
+      name: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one key pair")
+    val childKeys = keys.map(_._1)
+    val grouped = child.groupBy(childKeys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val parentKeys = parent
+      .select(keys.map { case (c, p) => col(p).as(c) }: _*)
+      .distinct()
+      .withColumn("__hit", lit(1))
+    grouped.join(parentKeys, childKeys, "left")
+      .agg(
+        sum(col("__n")).as("total"),
+        sum(when(col("__hit").isNull, col("__n")).otherwise(0L)).as("violations"))
+      .select(
+        lit(name).as("check_name"),
+        lit(childTable).as("table_name"),
+        coalesce(col("violations"), lit(0L)).as("violations"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        (coalesce(col("violations"), lit(0L)) === 0L).as("pass"))
+  }
+
+  /** Union a suite of audit relations into the single scorecard. */
+  def suite(audits: DataFrame*): DataFrame = {
+    require(audits.nonEmpty, "need at least one audit")
+    audits.reduce(_.unionByName(_))
+  }
+}
