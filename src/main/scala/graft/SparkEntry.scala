@@ -1900,20 +1900,23 @@ object SparkEntry {
   }
 
   /** Hybrid retrieval — reciprocal-rank fusion of the sparse BM25 top-10
-    * and the dense embedding-kNN top-10 over the same %29 query stride
-    * (doc_id and vec_id share the synthetic id space): the standard
-    * two-leg hybrid search shape, fused entirely in integer fixed point.
-    * Both legs are independently-oracled relations; the fusion adds one
-    * dimension-sized aggregate and a per-query window.
+    * and the dense embedding-kNN top-10 over the same %97 query stride
+    * (q_bm25's stride; doc_id and vec_id share the synthetic id space):
+    * the standard two-leg hybrid search shape, fused entirely in integer
+    * fixed point. Both legs are independently-oracled relations; the
+    * fusion adds one dimension-sized aggregate and a per-query window.
+    * (The denser %29 stride was benched first: its BM25 leg re-pays
+    * q_retrieval_eval's already-measured ~10s term-join cost for no added
+    * fusion coverage, so the registered query uses the sparser set.)
     */
   def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
     val sparse = TextOps.bm25Search(
       docs, "doc_id", "text",
-      docs.filter(col("doc_id") % 29 === 0), "doc_id", "text", k = 10)
+      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 10)
     val dense = SimilarityOps.knnBrute(
-      emb, emb.filter(col("vec_id") % 29 === 0), "vec_id", "embedding", k = 10)
+      emb, emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding", k = 10)
       .select(col("probe_id").as("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     TextOps.rrfFuse(Seq(sparse, dense), "query_id", "doc_id", "rank", k = 10)
   }
@@ -2567,17 +2570,17 @@ object SparkEntry {
        |${(2 to 5).map(mmrStepCtes).mkString(",\n")}
        |SELECT probe_id, vec_id AS neighbor_id, rel AS sim, pick_rank FROM msel5""".stripMargin
 
-  /** Hybrid RRF: both leg oracles verbatim (BM25 at stride 29, brute kNN
+  /** Hybrid RRF: both leg oracles verbatim (BM25 at stride 97, brute kNN
     * at the same stride), fused with the integer reciprocal-rank sum —
     * mirror of [[graft.ops.TextOps.rrfFuse]] (k₀ = 60, top-10,
     * (rrf_fp DESC, doc) order).
     */
   private val hybridRrfOracle: String =
-    s"""WITH sres AS (${bm25OracleWith(29)}),
+    s"""WITH sres AS (${bm25OracleWith(97)}),
        |dres AS (
        |  WITH hv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |  hn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM hv),
-       |  hp AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM hn WHERE vec_id % 29 = 0),
+       |  hp AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM hn WHERE vec_id % 97 = 0),
        |  hj AS (SELECT probe_id, vec_id,
        |                CASE WHEN pn * nrm > 0 THEN list_dot_product(pv, v) / (pn * nrm) END AS sim
        |         FROM hp, hn WHERE vec_id <> probe_id),

@@ -167,7 +167,23 @@ class PlanContractSpec extends AnyFunSuite {
     // same final-plan shape as q_bpe_encode — the merges were learned on
     // the even half, but the corpus-encoding tail is identical
     Contract("q_bpe_assign",
-      requiredMarkers = Seq("BroadcastHashJoin"), allowGlobalWindow = true))
+      requiredMarkers = Seq("BroadcastHashJoin"), allowGlobalWindow = true),
+    // hybrid RRF: the BM25 leg keeps q_bm25's posture (term-dictionary
+    // broadcast, one-row stats cross, stride filter pushed to the scan);
+    // the dense leg's probe batch is the declared bounded cross; the
+    // fusion window is query-keyed, never global
+    Contract("q_hybrid_rrf",
+      requiredMarkers = Seq("BroadcastHashJoin", "PushedFilters"),
+      allowBroadcastCross = true, allowGlobalWindow = true),
+    // trained classifier: the even-half train filter pushes to the scan;
+    // the 1-row weight-array and bias relations are the declared bounded
+    // crosses; scoring is one corpus scan against the broadcast model
+    Contract("q_classifier_filter",
+      requiredMarkers = Seq("PushedFilters"), allowBroadcastCross = true),
+    // constraint audit: row checks are single-scan conditional sums (no
+    // join at all); uniqueness is one groupBy; the FK joins carry the
+    // child pre-aggregated to key cardinality — no cartesian, no BNL
+    Contract("q_constraint_audit", requiredMarkers = Seq()))
 
   /** Static plan + logical global windows for one registered query, with
     * AQE off so the physical plan is fully materialized at plan time.
