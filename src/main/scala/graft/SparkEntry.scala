@@ -358,6 +358,47 @@ object SparkEntry {
         cust, "orders_customer_fk"))
   }
 
+  /** Incremental audit maintenance: each table's batches (id-parity
+    * split) contribute row-check scorecards and (key, n) count relations;
+    * the folds finalize to the same 10-row scorecard — must reproduce
+    * q_constraint_audit bit-for-bit (shared oracle, the audit-monoid
+    * losslessness proof).
+    */
+  def qConstraintAuditIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    def halves(df: DataFrame, key: String): Seq[DataFrame] =
+      Seq(df.filter(col(key) % 2 === 0), df.filter(col(key) % 2 === 1))
+    val orderChecks = Seq(
+      "orders_custkey_complete" -> col("o_custkey").isNull,
+      "orders_totalprice_positive" -> !(col("o_totalprice") > 0),
+      "orders_status_domain" -> !col("o_orderstatus").isin("O", "F", "P"))
+    val liChecks = Seq(
+      "lineitem_quantity_range" -> !(col("l_quantity") >= 1 && col("l_quantity") <= 50),
+      "lineitem_discount_range" -> !(col("l_discount") >= 0 && col("l_discount") <= 0.1))
+    val custChecks = Seq("customer_acctbal_nonneg" -> (col("c_acctbal") < 0))
+    def rowFold(df: DataFrame, key: String, table: String, checks: Seq[(String, Column)]) =
+      AuditOps.mergeRowAudits(halves(df, key).map(AuditOps.auditRows(_, table, checks)): _*)
+    def countFold(df: DataFrame, key: String, keys: Seq[String]) =
+      AuditOps.mergeKeyCounts(keys)(halves(df, key).map(AuditOps.keyCounts(_, keys)): _*)
+    AuditOps.suite(
+      rowFold(orders, "o_orderkey", "orders", orderChecks),
+      rowFold(li, "l_orderkey", "lineitem", liChecks),
+      rowFold(cust, "c_custkey", "customer", custChecks),
+      AuditOps.auditUniqueFromCounts(
+        countFold(orders, "o_orderkey", Seq("o_orderkey")), "orders", "orders_pk_unique"),
+      AuditOps.auditUniqueFromCounts(
+        countFold(li, "l_orderkey", Seq("l_orderkey", "l_linenumber")),
+        "lineitem", "lineitem_pk_unique"),
+      AuditOps.auditReferentialFromCounts(
+        countFold(li, "l_orderkey", Seq("l_orderkey")), "lineitem",
+        Seq("l_orderkey" -> "o_orderkey"), orders, "lineitem_orders_fk"),
+      AuditOps.auditReferentialFromCounts(
+        countFold(orders, "o_orderkey", Seq("o_custkey")), "orders",
+        Seq("o_custkey" -> "c_custkey"), cust, "orders_customer_fk"))
+  }
+
   /** B3 — string→double round-trip, timestamp→date, epoch seconds. */
   def qCoerceTypes(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
@@ -1122,6 +1163,19 @@ object SparkEntry {
       Tables.documents(spark, dir), "doc_id", "text", qualityLabel)
     val w = ClassifierOps.centroidTrain(feats.filter(col("doc_id") % 2 === 0), "doc_id")
     ClassifierOps.score(feats, "doc_id", w)
+  }
+
+  /** Incremental classifier maintenance: per-(class, dim) sufficient
+    * statistics folded from quarter-stride batches, means taken after the
+    * fold — must reproduce q_classifier_train bit-for-bit (shared oracle,
+    * the mergeCentroidStats losslessness proof).
+    */
+  def qClassifierIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def stats(m: Int) = ClassifierOps.centroidStats(
+      ClassifierOps.features(docs.filter(col("doc_id") % 4 === m), "doc_id", "text", qualityLabel))
+    ClassifierOps.centroidFromStats(
+      ClassifierOps.mergeCentroidStats(stats(0), stats(1), stats(2), stats(3)))
   }
 
   /** Top-3 distinctive terms per document (TF-IDF-style integer-safe
@@ -2302,6 +2356,7 @@ object SparkEntry {
     "q_quality_score"           -> (qQualityScore(_, _)),
     "q_classifier_train"        -> (qClassifierTrain(_, _)),
     "q_classifier_filter"       -> (qClassifierFilter(_, _)),
+    "q_classifier_incremental"  -> (qClassifierIncremental(_, _)),
     "q_doc_fingerprint"         -> (qDocFingerprint(_, _)),
     "q_exact_dedup"             -> (qExactDedup(_, _)),
     "q_tfidf_top_terms"         -> (qTfidfTopTerms(_, _)),
@@ -2421,6 +2476,7 @@ object SparkEntry {
     "q_adjust_date_range"       -> (qAdjustDateRange(_, _)),
     "q_validate_required_fields"-> (qValidateRequiredFields(_, _)),
     "q_constraint_audit"        -> (qConstraintAudit(_, _)),
+    "q_audit_incremental"       -> (qConstraintAuditIncremental(_, _)),
     "q_coerce_types"            -> (qCoerceTypes(_, _)),
     "q_index_projection"        -> (qIndexProjection(_, _)),
     "q_asset_type_dispatch"     -> (qAssetTypeDispatch(_, _)),
@@ -2938,6 +2994,72 @@ object SparkEntry {
     * the exact mirror of [[graft.ops.ClassifierOps.centroidTrain]]
     * (Spark `div` ≡ DuckDB `//`, both toward zero).
     */
+  /** From-scratch constraint-audit suite — shared verbatim by
+    * q_constraint_audit and q_audit_incremental: equality of the folded
+    * per-batch partials with this relation is the losslessness proof of
+    * the audit monoids (mergeRowAudits / mergeKeyCounts).
+    */
+  private val constraintAuditOracle: String =
+    """SELECT 'orders_custkey_complete' AS check_name, 'orders' AS table_name,
+        |       count(*) FILTER (o_custkey IS NULL)::BIGINT AS violations,
+        |       count(*)::BIGINT AS total,
+        |       count(*) FILTER (o_custkey IS NULL) = 0 AS pass
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_totalprice_positive', 'orders',
+        |       count(*) FILTER (NOT coalesce(o_totalprice > 0, FALSE))::BIGINT, count(*)::BIGINT,
+        |       count(*) FILTER (NOT coalesce(o_totalprice > 0, FALSE)) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_status_domain', 'orders',
+        |       count(*) FILTER (NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE))::BIGINT,
+        |       count(*)::BIGINT,
+        |       count(*) FILTER (NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE)) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_quantity_range', 'lineitem',
+        |       count(*) FILTER (NOT coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE))::BIGINT,
+        |       count(*)::BIGINT,
+        |       count(*) FILTER (NOT coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE)) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_discount_range', 'lineitem',
+        |       count(*) FILTER (NOT coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE))::BIGINT,
+        |       count(*)::BIGINT,
+        |       count(*) FILTER (NOT coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE)) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'customer_acctbal_nonneg', 'customer',
+        |       count(*) FILTER (coalesce(c_acctbal < 0, TRUE))::BIGINT, count(*)::BIGINT,
+        |       count(*) FILTER (coalesce(c_acctbal < 0, TRUE)) = 0
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders_pk_unique', 'orders',
+        |       coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0)::BIGINT,
+        |       coalesce(sum(n), 0)::BIGINT,
+        |       coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) = 0
+        |FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem_pk_unique', 'lineitem',
+        |       coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0)::BIGINT,
+        |       coalesce(sum(n), 0)::BIGINT,
+        |       coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) = 0
+        |FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |UNION ALL
+        |SELECT 'lineitem_orders_fk', 'lineitem',
+        |       coalesce(sum(CASE WHEN p.k IS NULL THEN g.n ELSE 0 END), 0)::BIGINT,
+        |       coalesce(sum(g.n), 0)::BIGINT,
+        |       coalesce(sum(CASE WHEN p.k IS NULL THEN g.n ELSE 0 END), 0) = 0
+        |FROM (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1) g
+        |LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p ON g.k = p.k
+        |UNION ALL
+        |SELECT 'orders_customer_fk', 'orders',
+        |       coalesce(sum(CASE WHEN p.k IS NULL THEN g.n ELSE 0 END), 0)::BIGINT,
+        |       coalesce(sum(g.n), 0)::BIGINT,
+        |       coalesce(sum(CASE WHEN p.k IS NULL THEN g.n ELSE 0 END), 0) = 0
+        |FROM (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1) g
+        |LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON g.k = p.k""".stripMargin
+
   private def rocchioBaseCtes(trainFilter: String): String =
     s"""base AS (
        |  SELECT doc_id,
@@ -3874,6 +3996,9 @@ object SparkEntry {
         |       + 0.3 * least(1.0, stopword_ratio * 5.0) AS quality
         |FROM s""".stripMargin,
     "q_classifier_train" -> classifierTrainOracle,
+    // SHARED: stats-fold training must reproduce the from-scratch fit
+    // (mergeCentroidStats losslessness proof)
+    "q_classifier_incremental" -> classifierTrainOracle,
     "q_classifier_filter" -> classifierFilterOracle,
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
@@ -4606,66 +4731,10 @@ object SparkEntry {
         |       (l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
         |        AND (CASE WHEN l_discount = 0 THEN NULL ELSE l_discount END) IS NOT NULL) AS valid
         |FROM lineitem""".stripMargin,
-    "q_constraint_audit" ->
-      """SELECT 'orders_custkey_complete' AS check_name, 'orders' AS table_name,
-        |       count(*) FILTER (o_custkey IS NULL)::BIGINT AS violations,
-        |       count(*)::BIGINT AS total,
-        |       count(*) FILTER (o_custkey IS NULL) = 0 AS pass
-        |FROM orders
-        |UNION ALL
-        |SELECT 'orders_totalprice_positive', 'orders',
-        |       count(*) FILTER (NOT coalesce(o_totalprice > 0, FALSE))::BIGINT, count(*)::BIGINT,
-        |       count(*) FILTER (NOT coalesce(o_totalprice > 0, FALSE)) = 0
-        |FROM orders
-        |UNION ALL
-        |SELECT 'orders_status_domain', 'orders',
-        |       count(*) FILTER (NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE))::BIGINT,
-        |       count(*)::BIGINT,
-        |       count(*) FILTER (NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE)) = 0
-        |FROM orders
-        |UNION ALL
-        |SELECT 'lineitem_quantity_range', 'lineitem',
-        |       count(*) FILTER (NOT coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE))::BIGINT,
-        |       count(*)::BIGINT,
-        |       count(*) FILTER (NOT coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE)) = 0
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'lineitem_discount_range', 'lineitem',
-        |       count(*) FILTER (NOT coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE))::BIGINT,
-        |       count(*)::BIGINT,
-        |       count(*) FILTER (NOT coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE)) = 0
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'customer_acctbal_nonneg', 'customer',
-        |       count(*) FILTER (coalesce(c_acctbal < 0, TRUE))::BIGINT, count(*)::BIGINT,
-        |       count(*) FILTER (coalesce(c_acctbal < 0, TRUE)) = 0
-        |FROM customer
-        |UNION ALL
-        |SELECT 'orders_pk_unique', 'orders',
-        |       coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0)::BIGINT,
-        |       coalesce(sum(n), 0)::BIGINT,
-        |       coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) = 0
-        |FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
-        |UNION ALL
-        |SELECT 'lineitem_pk_unique', 'lineitem',
-        |       coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0)::BIGINT,
-        |       coalesce(sum(n), 0)::BIGINT,
-        |       coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) = 0
-        |FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
-        |UNION ALL
-        |SELECT 'lineitem_orders_fk', 'lineitem',
-        |       coalesce(sum(CASE WHEN p.k IS NULL THEN g.n ELSE 0 END), 0)::BIGINT,
-        |       coalesce(sum(g.n), 0)::BIGINT,
-        |       coalesce(sum(CASE WHEN p.k IS NULL THEN g.n ELSE 0 END), 0) = 0
-        |FROM (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1) g
-        |LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p ON g.k = p.k
-        |UNION ALL
-        |SELECT 'orders_customer_fk', 'orders',
-        |       coalesce(sum(CASE WHEN p.k IS NULL THEN g.n ELSE 0 END), 0)::BIGINT,
-        |       coalesce(sum(g.n), 0)::BIGINT,
-        |       coalesce(sum(CASE WHEN p.k IS NULL THEN g.n ELSE 0 END), 0) = 0
-        |FROM (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1) g
-        |LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON g.k = p.k""".stripMargin,
+    "q_constraint_audit" -> constraintAuditOracle,
+    // SHARED: the per-batch fold must reproduce the from-scratch suite
+    // (audit-monoid losslessness proof)
+    "q_audit_incremental" -> constraintAuditOracle,
     "q_coerce_types" ->
       """SELECT event_id, (value::VARCHAR)::DOUBLE AS price, ts::DATE AS event_date,
         |       floor(epoch(ts))::BIGINT AS ts_epoch_s

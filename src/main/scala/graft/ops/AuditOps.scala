@@ -68,20 +68,8 @@ object AuditOps {
       df: DataFrame,
       table: String,
       keyCols: Seq[String],
-      name: String): DataFrame = {
-    require(keyCols.nonEmpty, "need at least one key column")
-    df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-      .agg(
-        sum(col("__n")).as("total"),
-        sum(when(col("__n") > 1L, col("__n")).otherwise(0L)).as("violations"))
-      .select(
-        lit(name).as("check_name"),
-        lit(table).as("table_name"),
-        coalesce(col("violations"), lit(0L)).as("violations"),
-        coalesce(col("total"), lit(0L)).as("total"),
-        (coalesce(col("violations"), lit(0L)) === 0L).as("pass"))
-  }
+      name: String): DataFrame =
+    auditUniqueFromCounts(keyCounts(df, keyCols), table, name)
 
   /** Referential-integrity check: violations = child ROWS whose key has no
     * parent (NULL child keys are orphans — the FK could not be resolved).
@@ -93,16 +81,89 @@ object AuditOps {
       childTable: String,
       keys: Seq[(String, String)],
       parent: DataFrame,
+      name: String): DataFrame =
+    auditReferentialFromCounts(
+      keyCounts(child, keys.map(_._1)), childTable, keys, parent, name)
+
+  /** Union a suite of audit relations into the single scorecard. */
+  def suite(audits: DataFrame*): DataFrame = {
+    require(audits.nonEmpty, "need at least one audit")
+    audits.reduce(_.unionByName(_))
+  }
+
+  // ──────────────────── incremental (fold) forms ────────────────────
+  //
+  // Every audit family reduces over a MONOID, so an append-only pipeline
+  // folds per-batch partials instead of re-scanning history:
+  //  - row checks: (violations, total) add directly — fold the scorecards;
+  //  - uniqueness / referential integrity: fold at the (key, n) count
+  //    level (counts add across disjoint batches), finalize after.
+  // Means/flags are computed only AFTER the fold, so incremental audits
+  // are bit-identical to from-scratch — the registered incremental query
+  // shares q_constraint_audit's oracle as the losslessness proof.
+
+  /** Fold row-check scorecards from DISJOINT batches of the same table:
+    * per (check, table) violation/total sums, pass recomputed on the
+    * folded counts.
+    */
+  def mergeRowAudits(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "need at least one scorecard")
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("check_name"), col("table_name"))
+      .agg(sum(col("violations")).as("violations"), sum(col("total")).as("total"))
+      .select(col("check_name"), col("table_name"), col("violations"), col("total"),
+        (col("violations") === 0L).as("pass"))
+  }
+
+  /** Per-key row counts — the sufficient statistic of [[auditUnique]] and
+    * the child side of [[auditReferential]]. Adds across disjoint batches
+    * via [[mergeKeyCounts]].
+    */
+  def keyCounts(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+  }
+
+  /** Fold [[keyCounts]] increments (same key columns, disjoint batches). */
+  def mergeKeyCounts(keyCols: Seq[String])(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "need at least one counts relation")
+    parts.reduce(_.unionByName(_))
+      .groupBy(keyCols.map(col): _*).agg(sum(col("__n")).as("__n"))
+  }
+
+  /** [[auditUnique]] finalized from a (possibly folded) [[keyCounts]]
+    * relation.
+    */
+  def auditUniqueFromCounts(
+      counts: DataFrame,
+      table: String,
+      name: String): DataFrame =
+    counts.agg(
+      sum(col("__n")).as("total"),
+      sum(when(col("__n") > 1L, col("__n")).otherwise(0L)).as("violations"))
+      .select(
+        lit(name).as("check_name"),
+        lit(table).as("table_name"),
+        coalesce(col("violations"), lit(0L)).as("violations"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        (coalesce(col("violations"), lit(0L)) === 0L).as("pass"))
+
+  /** [[auditReferential]] finalized from a (possibly folded) child
+    * [[keyCounts]] relation keyed by the child key columns.
+    */
+  def auditReferentialFromCounts(
+      childCounts: DataFrame,
+      childTable: String,
+      keys: Seq[(String, String)],
+      parent: DataFrame,
       name: String): DataFrame = {
     require(keys.nonEmpty, "need at least one key pair")
     val childKeys = keys.map(_._1)
-    val grouped = child.groupBy(childKeys.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
     val parentKeys = parent
       .select(keys.map { case (c, p) => col(p).as(c) }: _*)
       .distinct()
       .withColumn("__hit", lit(1))
-    grouped.join(parentKeys, childKeys, "left")
+    childCounts.join(parentKeys, childKeys, "left")
       .agg(
         sum(col("__n")).as("total"),
         sum(when(col("__hit").isNull, col("__n")).otherwise(0L)).as("violations"))
@@ -112,11 +173,5 @@ object AuditOps {
         coalesce(col("violations"), lit(0L)).as("violations"),
         coalesce(col("total"), lit(0L)).as("total"),
         (coalesce(col("violations"), lit(0L)) === 0L).as("pass"))
-  }
-
-  /** Union a suite of audit relations into the single scorecard. */
-  def suite(audits: DataFrame*): DataFrame = {
-    require(audits.nonEmpty, "need at least one audit")
-    audits.reduce(_.unionByName(_))
   }
 }

@@ -102,13 +102,42 @@ object ClassifierOps {
     * one. One aggregate over the positional features (2·[[NumFeatures]]
     * groups, map-side partial), then constant-size arithmetic.
     */
-  def centroidTrain(feats: DataFrame, idCol: String): DataFrame = {
-    val means = feats
+  def centroidTrain(feats: DataFrame, idCol: String): DataFrame =
+    centroidFromStats(centroidStats(feats))
+
+  /** The model's SUFFICIENT STATISTICS — per (class, dimension) feature
+    * sums and counts, `(y, j, s, n)`. They ADD across disjoint batches
+    * (sums and counts are monoids), so an operating store folds per-batch
+    * increments with [[mergeCentroidStats]] instead of re-featurizing
+    * history, and the truncated-division means are taken only at
+    * [[centroidFromStats]] — AFTER the fold — so incremental training is
+    * bit-identical to from-scratch (the registered incremental query
+    * shares q_classifier_train's oracle as the losslessness proof).
+    */
+  def centroidStats(feats: DataFrame): DataFrame =
+    feats
       .select(col("y"), posexplode(col("x")).as(Seq("j0", "xv")))
       .select(col("y"), (col("j0") + 1).cast("long").as("j"), col("xv"))
       .groupBy(col("y"), col("j"))
       .agg(sum(col("xv")).as("s"), count(lit(1)).as("n"))
-      .select(col("y"), col("j"), expr("s div n").as("m"))
+
+  /** Fold [[centroidStats]] increments — per-(class, dimension) sums.
+    * Contract: the parts cover DISJOINT document sets (append-only
+    * corpus); overlapping docs would double-count.
+    */
+  def mergeCentroidStats(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "need at least one stats relation")
+    parts.reduce(_.unionByName(_))
+      .groupBy(col("y"), col("j"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+  }
+
+  /** Finish the Rocchio fit from (possibly folded) sufficient statistics —
+    * the truncated-div means, weight differences and folded midpoint
+    * threshold of [[centroidTrain]].
+    */
+  def centroidFromStats(stats: DataFrame): DataFrame = {
+    val means = stats.select(col("y"), col("j"), expr("s div n").as("m"))
     val wd = means.filter(col("y") === 1L).select(col("j"), col("m").as("mp"))
       .join(means.filter(col("y") === -1L).select(col("j"), col("m").as("mn")), "j")
       .select(col("j"), (col("mp") - col("mn")).as("w"), (col("mp") + col("mn")).as("s2"))

@@ -56,6 +56,40 @@ class AuditSpec extends AnyFunSuite {
     assert(got == ((2L, 4L, false))) // the 99-row and the NULL-row
   }
 
+  test("audit folds are lossless: merged batch partials reproduce the one-shot audits") {
+    val df = Seq(
+      (1L, Some(10.0)), (1L, Some(-3.0)), (2L, None), (3L, Some(5.0)), (3L, Some(1.0))
+    ).toDF("k", "v")
+    val checks = Seq("v_positive" -> !(col("v") > 0))
+    def halves = Seq(df.filter(col("k") % 2 === 0), df.filter(col("k") % 2 === 1))
+    // row-check fold
+    val rowOne = AuditOps.auditRows(df, "t", checks)
+      .select("check_name", "violations", "total", "pass")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    val rowFold = AuditOps.mergeRowAudits(halves.map(AuditOps.auditRows(_, "t", checks)): _*)
+      .select("check_name", "violations", "total", "pass")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(rowFold == rowOne)
+    // uniqueness via key-count fold (key 1 and 3 are duplicated ACROSS a
+    // single batch each; also split so a key's rows straddle batches)
+    val splits = Seq(df.limit(2), df.offset(2))
+    val uniqOne = AuditOps.auditUnique(df, "t", Seq("k"), "pk")
+      .as[(String, String, Long, Long, Boolean)].head()
+    val uniqFold = AuditOps.auditUniqueFromCounts(
+      AuditOps.mergeKeyCounts(Seq("k"))(splits.map(AuditOps.keyCounts(_, Seq("k"))): _*),
+      "t", "pk").as[(String, String, Long, Long, Boolean)].head()
+    assert(uniqFold == uniqOne)
+    // referential via the same fold
+    val parent = Seq(Tuple1(1L), Tuple1(2L)).toDF("pk")
+    val riOne = AuditOps.auditReferential(df, "t", Seq("k" -> "pk"), parent, "fk")
+      .as[(String, String, Long, Long, Boolean)].head()
+    val riFold = AuditOps.auditReferentialFromCounts(
+      AuditOps.mergeKeyCounts(Seq("k"))(splits.map(AuditOps.keyCounts(_, Seq("k"))): _*),
+      "t", Seq("k" -> "pk"), parent, "fk")
+      .as[(String, String, Long, Long, Boolean)].head()
+    assert(riFold == riOne)
+  }
+
   test("suite unions families into one scorecard schema") {
     val df = Seq((1L, 1L), (2L, 1L)).toDF("id", "g")
     val s = AuditOps.suite(

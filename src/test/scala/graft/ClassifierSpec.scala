@@ -83,6 +83,18 @@ class ClassifierSpec extends AnyFunSuite {
     assert(both.nonEmpty && both.forall { case (n, h) => n == h })
   }
 
+  test("stats fold is lossless: merged batch statistics reproduce the one-shot fit") {
+    val df = fixture.toDF("id", "pos", "text")
+    val feats = ClassifierOps.features(df, "id", "text", col("pos"))
+    val oneShot = ClassifierOps.centroidTrain(feats, "id")
+      .as[(Long, Long)].collect().toMap
+    val folded = ClassifierOps.centroidFromStats(
+      ClassifierOps.mergeCentroidStats(
+        (0 to 2).map(m => ClassifierOps.centroidStats(feats.filter(col("id") % 3 === m))): _*))
+      .as[(Long, Long)].collect().toMap
+    assert(folded == oneShot)
+  }
+
   test("train on half, score all: the learned midpoint rule generalizes") {
     val df = fixture.toDF("id", "pos", "text")
     val feats = ClassifierOps.features(df, "id", "text", col("pos"))
