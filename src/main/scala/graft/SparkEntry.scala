@@ -1975,6 +1975,28 @@ object SparkEntry {
     TextOps.rrfFuse(Seq(sparse, dense), "query_id", "doc_id", "rank", k = 10)
   }
 
+  /** Per-source data card — the release report table (volume, exact-dup
+    * rate, mean quality, dominant language per source), every ratio in
+    * fixed point.
+    */
+  def qDataCard(spark: SparkSession, dir: String): DataFrame =
+    TextOps.dataCard(Tables.documents(spark, dir), "doc_id", "text", "source")
+
+  /** Blocklist policy screen over the corpus — a fixed categorized term
+    * list (three categories present in the vocabulary at different rates
+    * plus one absent term, so zero-hit/flag/drop paths all fire),
+    * flag ≥ 3 hits, drop ≥ 9.
+    */
+  def qBlocklistScreen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Seq(
+      ("slow", "performance"), ("crash", "stability"),
+      ("dup", "duplication"), ("big", "size"), ("zzzunseen", "absent"))
+      .toDF("term", "category")
+    TextOps.blocklistScreen(
+      Tables.documents(spark, dir), "doc_id", "text", terms, flagAt = 3L, dropAt = 9L)
+  }
+
   /** Corpus-trained interpolated bigram LM score (CCNet/KenLM-style
     * perplexity quality filter) — per-document mean negative log-likelihood
     * from fixed-point-quantized log-probs (order-free integer sums, so the
@@ -2403,6 +2425,8 @@ object SparkEntry {
     "q_bm25_incremental"        -> (qBm25Incremental(_, _)),
     "q_retrieval_eval"          -> (qRetrievalEval(_, _)),
     "q_hybrid_rrf"              -> (qHybridRrf(_, _)),
+    "q_blocklist_screen"        -> (qBlocklistScreen(_, _)),
+    "q_data_card"               -> (qDataCard(_, _)),
     "q_vocab_drift"             -> (qVocabDrift(_, _)),
     "q_vocab_drift_incremental" -> (qVocabDriftIncremental(_, _)),
     "q_textrank"                -> (qTextRank(_, _)),
@@ -4325,6 +4349,73 @@ object SparkEntry {
     "q_lm_incremental" -> lmScoreOracle,
     "q_bm25" -> bm25Oracle,
     "q_hybrid_rrf" -> hybridRrfOracle,
+    "q_data_card" ->
+      raw"""WITH qy AS (
+        |  SELECT doc_id,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> ''))::BIGINT AS n_tokens,
+        |         0.4 * least(1.0, len(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> ''))::DOUBLE / 100.0)
+        |         + 0.3 * (1.0 - least(1.0, (CASE WHEN length(text) > 0
+        |                 THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE END) * 10.0))
+        |         + 0.3 * least(1.0, (CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> '')) > 0
+        |                 THEN len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
+        |                      / len(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> ''))::DOUBLE END) * 5.0)
+        |           AS quality
+        |  FROM documents),
+        |lg AS (
+        |  SELECT doc_id,
+        |         CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |              WHEN de >= fr AND de >= es THEN 'de'
+        |              WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang
+        |  FROM (SELECT doc_id,
+        |               len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS en,
+        |               len(regexp_extract_all(lower(text), '\b(der|und|die|das)\b')) AS de,
+        |               len(regexp_extract_all(lower(text), '\b(le|la|et|les)\b')) AS fr,
+        |               len(regexp_extract_all(lower(text), '\b(el|los|que|una)\b')) AS es
+        |        FROM documents)),
+        |p AS (SELECT d.doc_id, d.source, qy.n_tokens, length(d.text)::BIGINT AS n_chars,
+        |             round(qy.quality * 1000000.0)::BIGINT AS quality_fp, lg.pred_lang,
+        |             md5(d.text) AS fp
+        |      FROM documents d JOIN qy USING (doc_id) JOIN lg USING (doc_id)),
+        |fpn AS (SELECT fp, count(*) AS fpn FROM p GROUP BY 1),
+        |f AS (SELECT p.*, CASE WHEN fpn.fpn > 1 THEN 1::BIGINT ELSE 0::BIGINT END AS dup
+        |      FROM p JOIN fpn USING (fp)),
+        |s AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+        |             sum(n_chars)::BIGINT AS total_chars, sum(dup)::BIGINT AS n_dups,
+        |             sum(coalesce(quality_fp, 0))::BIGINT AS qsum
+        |      FROM f GROUP BY 1),
+        |lt AS (SELECT source, pred_lang AS top_lang, ln AS topn FROM (
+        |        SELECT source, pred_lang, count(*)::BIGINT AS ln,
+        |               row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, pred_lang) AS rn
+        |        FROM f GROUP BY 1, 2) WHERE rn = 1)
+        |SELECT s.source, s.n_docs, s.total_tokens, s.total_chars, s.n_dups,
+        |       ((s.n_dups * 1000000) // s.n_docs)::BIGINT AS dup_rate_fp,
+        |       (s.qsum // s.n_docs)::BIGINT AS mean_quality_fp,
+        |       lt.top_lang,
+        |       ((lt.topn * 1000000) // s.n_docs)::BIGINT AS top_lang_share_fp
+        |FROM s JOIN lt USING (source)""".stripMargin,
+    "q_blocklist_screen" ->
+      raw"""WITH bl(term, category) AS (VALUES
+        |    ('slow', 'performance'), ('crash', 'stability'),
+        |    ('dup', 'duplication'), ('big', 'size'), ('zzzunseen', 'absent')),
+        |toks AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |  FROM documents),
+        |h AS (SELECT doc_id, category, count(*) AS hits
+        |      FROM (SELECT * FROM toks WHERE term <> '') t JOIN bl USING (term)
+        |      GROUP BY 1, 2),
+        |w AS (SELECT doc_id, hits AS worst_hits, category AS worst_category FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, category DESC) AS rn
+        |        FROM h) WHERE rn = 1),
+        |tot AS (SELECT doc_id, sum(hits)::BIGINT AS total_hits FROM h GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(tot.total_hits, 0)::BIGINT AS total_hits,
+        |       w.worst_category, w.worst_hits,
+        |       CASE WHEN coalesce(tot.total_hits, 0) >= 9 THEN 'drop'
+        |            WHEN coalesce(tot.total_hits, 0) >= 3 THEN 'flag'
+        |            ELSE 'keep' END AS action
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN tot USING (doc_id) LEFT JOIN w USING (doc_id)""".stripMargin,
     // SHARED: merged-index search must reproduce the one-shot index
     "q_bm25_incremental" -> bm25Oracle,
     "q_vocab_drift" -> vocabDriftOracle,

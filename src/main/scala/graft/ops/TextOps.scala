@@ -680,6 +680,114 @@ object TextOps {
           expr(s"(coalesce(hits_at_k, 0) * 1000000) div least(n_rel, $k)")).as("recall_fp"))
   }
 
+  /** Per-source dataset report — the "data card" table a corpus release
+    * ships with: per source, document/token/char volume, the
+    * exact-duplicate rate (md5 of the raw text counted corpus-wide, so a
+    * cross-source duplicate marks BOTH sources), mean heuristic quality,
+    * and the dominant predicted language with its share. Ratios and the
+    * quality mean are fixed-point (per-doc quality rounds to BIGINT
+    * millionths BEFORE the sum — order-free integer totals, truncated-div
+    * means), so the whole report is engine-exact.
+    *
+    * Shape: ONE corpus scan computes every per-doc feature (tokens,
+    * quality, language vote, fingerprint) in a single codegen'd
+    * projection; the fingerprint join is the only corpus-keyed shuffle
+    * (dup detection needs it); the per-source rollup and the language
+    * argmax are source-cardinality-sized. At 100 TB: the fingerprint
+    * relation is the one to bucket; everything downstream is a dimension
+    * table.
+    *
+    * Output: (source, n_docs, total_tokens, total_chars, n_dups,
+    * dup_rate_fp, mean_quality_fp, top_lang, top_lang_share_fp).
+    */
+  def dataCard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = langId(
+      qualityScore(df, idCol, textCol)
+        .join(df.select(col(idCol), col(textCol), col(sourceCol)), idCol), textCol)
+      .select(
+        col(idCol), col(sourceCol).as("source"),
+        col("n_tokens"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        round(col("quality") * lit(1.0e6)).cast("long").as("quality_fp"),
+        col("pred_lang"),
+        md5(col(textCol)).as("__fp"))
+      .scopedCache()
+    val dupCounts = perDoc.groupBy(col("__fp")).agg(count(lit(1)).as("__fpn"))
+    val flagged = perDoc.join(dupCounts, Seq("__fp"))
+      .withColumn("__dup", (col("__fpn") > 1L).cast("long"))
+    val bySource = flagged.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("__dup")).as("n_dups"),
+        sum(coalesce(col("quality_fp"), lit(0L))).as("__qsum"))
+    val langTop = flagged.groupBy(col("source"), col("pred_lang"))
+      .agg(count(lit(1)).as("__ln"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("__ln").desc, col("pred_lang"))))
+      .filter(col("__rn") === 1)
+      .select(col("source"), col("pred_lang").as("top_lang"), col("__ln").as("__topn"))
+    bySource.join(langTop, Seq("source"))
+      .select(
+        col("source"), col("n_docs"), col("total_tokens"), col("total_chars"),
+        col("n_dups"),
+        expr("(n_dups * 1000000) div n_docs").as("dup_rate_fp"),
+        expr("__qsum div n_docs").as("mean_quality_fp"),
+        col("top_lang"),
+        expr("(__topn * 1000000) div n_docs").as("top_lang_share_fp"))
+  }
+
+  /** Blocklist content screening — the keyword-policy gate every corpus
+    * pipeline runs before release: per document, hit counts against a
+    * categorized term list and a keep/flag/drop action from two
+    * thresholds. Every input document keeps a row (zero hits ⇒ NULL
+    * category, action `keep`), so the output is a total routing relation,
+    * not a filter. The worst category is the (hits, category) struct max —
+    * most hits, ties to the lexicographically greatest category (pinned).
+    *
+    * Scale shape: the term list broadcasts (policy lists are always tiny
+    * relative to the corpus); one narrow token explode feeds the equi-join,
+    * the per-(doc, category) count is a map-side-partial aggregate, and
+    * the total/argmax fold is doc-keyed. Text never shuffles.
+    *
+    * Output: (idCol, total_hits, worst_category, worst_hits, action).
+    */
+  def blocklistScreen(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: DataFrame,
+      flagAt: Long,
+      dropAt: Long): DataFrame = {
+    require(flagAt >= 1 && dropAt >= flagAt, "need 1 <= flagAt <= dropAt")
+    val toks = df
+      .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val perDoc = toks.join(broadcast(terms), Seq("term"))
+      .groupBy(col(idCol), col("category"))
+      .agg(count(lit(1)).as("hits"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("hits")).as("total_hits"),
+        max(struct(col("hits"), col("category"))).as("__worst"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("total_hits"), lit(0L)).as("total_hits"),
+        col("__worst.category").as("worst_category"),
+        col("__worst.hits").as("worst_hits"),
+        when(coalesce(col("total_hits"), lit(0L)) >= dropAt, lit("drop"))
+          .when(coalesce(col("total_hits"), lit(0L)) >= flagAt, lit("flag"))
+          .otherwise(lit("keep")).as("action"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N ranked
     * retrieval runs — the standard hybrid-retrieval combiner (sparse BM25 +
     * dense embedding kNN being the canonical pair): per (query, doc),

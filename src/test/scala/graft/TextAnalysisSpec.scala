@@ -465,6 +465,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a", "b", 1L), (2L, "ab", "</w>", 1L)))
   }
 
+  test("blocklistScreen: totality, thresholds, worst-category tie order") {
+    val docs = Seq(
+      (1L, "clean words only here"),
+      (2L, "bad bad ugly"),            // 3 hits → flag; bad=2 beats ugly=1
+      (3L, "bad ugly BAD ugly bad ugly"), // 6 hits → drop; 3 vs 3 tie → 'b' vs 'a'... categories decide
+      (4L, "")
+    ).toDF("id", "text")
+    val terms = Seq(("bad", "catB"), ("ugly", "catA")).toDF("term", "category")
+    val got = TextOps.blocklistScreen(docs, "id", "text", terms, flagAt = 3L, dropAt = 6L)
+      .as[(Long, Long, Option[String], Option[Long], String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((0L, None, None, "keep")))
+    assert(got(2L) == ((3L, Some("catB"), Some(2L), "flag")))
+    // 3-3 tie on hits → lexicographically greatest category wins (catB)
+    assert(got(3L) == ((6L, Some("catB"), Some(3L), "drop")))
+    assert(got(4L) == ((0L, None, None, "keep"))) // empty doc keeps its row
+  }
+
+  test("dataCard: hand-computed per-source report; cross-source dup marks both sides") {
+    val docs = Seq(
+      (1L, "srcA", "the data of the run is in a table and the rest"), // 12 toks
+      (2L, "srcA", "duplicate text"),
+      (3L, "srcB", "duplicate text"), // dup of doc 2, across sources
+      (4L, "srcB", "der und die das der und")
+    ).toDF("doc_id", "source", "text")
+    val got = TextOps.dataCard(docs, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Long, Long, Long, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val a = got("srcA")
+    assert((a._2, a._3, a._5) == ((2L, 14L, 1L)))      // 2 docs, 12+2 tokens, 1 dup
+    assert(a._6 == 500000L)                            // dup rate 1/2
+    assert(a._8 == "en" && a._9 == 1000000L)           // both docs vote en
+    val b = got("srcB")
+    assert((b._2, b._5) == ((2L, 1L)))                 // the other side of the dup
+    assert(b._8 == "de" || b._8 == "en")               // one de doc, one en dup → tie to 'de'
+    assert(b._9 == 500000L)
+  }
+
   test("rrfFuse: hand-computed fusion, absent-leg contribution, top-k cut and tie order") {
     // query 1: doc 10 is rank 1 in both legs; doc 20 rank 2 sparse only;
     // doc 30 rank 2 dense only — 20 vs 30 tie on rrf, lower id first
