@@ -21,7 +21,7 @@ object ScaleSmoke {
     val only = args.toSet
     val known =
       Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix",
-        "editdist", "kmeans", "incr", "incrstore", "knncross", "bpe")
+        "editdist", "kmeans", "incr", "incrstore", "knncross", "bpe", "govern")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -671,6 +671,42 @@ object ScaleSmoke {
         .select(explode(col("sh")).as("g")).filter(mc(col("g"))).count()
       println(s"$k,$nGrams,cand_frac,${cand.toDouble / math.max(nGrams, 1L)},$cand")
       evalG.unpersist(); corpus.unpersist()
+    }
+
+    // ---- governance family: classifier fit/score, data card, blocklist —
+    // all designed as one-or-two-pass aggregates, so wall time must track
+    // the corpus linearly (no pairing, no iteration) ----
+    if (want("govern")) println("govern: k,docs,op,seconds,out")
+    (if (want("govern")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
+      val corpus = copyK(k).withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(20L)))).cache()
+      val n = corpus.count()
+      import spark.implicits._
+      val label = length(col("text")) >= 280
+      val terms = Seq(("slow", "performance"), ("crash", "stability"),
+        ("dup", "duplication"), ("big", "size")).toDF("term", "category")
+      Seq(
+        ("classifier_fit", () => graft.ops.ClassifierOps.centroidTrain(
+          graft.ops.ClassifierOps.features(corpus, "doc_id", "text", label), "doc_id").count()),
+        ("classifier_score", () => {
+          val f = graft.ops.ClassifierOps.features(corpus, "doc_id", "text", label)
+          graft.ops.ClassifierOps.score(
+            f, "doc_id", graft.ops.ClassifierOps.centroidTrain(f, "doc_id"))
+            .filter(col("pred")).count()
+        }),
+        ("data_card", () => graft.ops.TextOps.dataCard(
+          corpus, "doc_id", "text", "source").count()),
+        ("blocklist", () => graft.ops.TextOps.blocklistScreen(
+          corpus, "doc_id", "text", terms, flagAt = 3L, dropAt = 9L)
+          .filter(col("action") =!= "keep").count())
+      ).foreach { case (name, f) =>
+        spark.sharedState.cacheManager.clearCache(); System.gc()
+        corpus.cache().count()
+        val t0 = System.nanoTime()
+        val out = f()
+        println(s"$k,$n,$name,${(System.nanoTime() - t0) / 1e9},$out")
+      }
+      corpus.unpersist()
     }
     spark.stop()
   }
