@@ -102,6 +102,41 @@ object AuditOps {
   // are bit-identical to from-scratch — the registered incremental query
   // shares q_constraint_audit's oracle as the losslessness proof.
 
+  /** Long-form row-check relation — one row per (input row × check) with
+    * a 0/1 violation value, `(check_name, table_name, viol)`. This is the
+    * STREAMING adapter: feeding it to a
+    * [[graft.streaming.Streaming.RollupStream]] with
+    * `keys = (check_name, table_name)`, `valueCol = "viol"` maintains the
+    * scorecard over a micro-batched stream under the rollup store's
+    * existing guarantees (per-batch-id partial slots, crash-safe
+    * compaction, checkpoint-replay fencing) — count(n) is the rows judged
+    * and sum(viol) the violations, exactly [[auditRows]]' aggregate.
+    * Finalize the rollup's `current` with [[scorecardFromRollup]].
+    */
+  def rowCheckLong(
+      df: DataFrame,
+      table: String,
+      checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one row check")
+    df.select(explode(array(checks.map { case (name, viol) =>
+      struct(
+        lit(name).as("check_name"),
+        lit(table).as("table_name"),
+        when(coalesce(viol, lit(true)), 1L).otherwise(0L).as("viol"))
+    }: _*)).as("__c"))
+      .select(col("__c.check_name"), col("__c.table_name"), col("__c.viol"))
+  }
+
+  /** Finalize a rollup-maintained `(check_name, table_name, n, __total)`
+    * relation (from [[rowCheckLong]] partials) into the scorecard schema.
+    */
+  def scorecardFromRollup(rollup: DataFrame): DataFrame =
+    rollup.select(
+      col("check_name"), col("table_name"),
+      col("__total").cast("long").as("violations"),
+      col("n").as("total"),
+      (col("__total").cast("long") === 0L).as("pass"))
+
   /** Fold row-check scorecards from DISJOINT batches of the same table:
     * per (check, table) violation/total sums, pass recomputed on the
     * folded counts.

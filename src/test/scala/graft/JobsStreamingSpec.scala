@@ -860,4 +860,37 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(f1.toSeq == f2.toSeq)
     assert(f1.forall(f => f.n_bytes > 0 && f.width >= 16 && f.height >= 16))
   }
+
+  test("streaming audit scorecard: RollupStream over rowCheckLong ≡ one-shot auditRows across kill/restart") {
+    import graft.ops.AuditOps
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq((1L, Some(10.0)), (2L, Some(-1.0)))
+    val b2 = Seq((3L, None: Option[Double]), (4L, Some(5.0)))
+    val checks = Seq(
+      "v_positive" -> !(col("v") > 0),
+      "v_complete" -> col("v").isNull)
+    val stream = MemoryStream[(Long, Option[Double])]
+    val longDf = AuditOps.rowCheckLong(stream.toDF().toDF("id", "v"), "t", checks)
+    val ckpt = Files.createTempDirectory("graft-audit-ckpt").toString
+    val store = Files.createTempDirectory("graft-audit-store").toString + "/audit"
+    val keys = Seq("check_name", "table_name")
+    val roll1 = new Streaming.RollupStream(keys, "viol", Some(store))
+    val q1 = roll1.start(longDf, ckpt)
+    stream.addData(b1); q1.processAllAvailable(); q1.stop()
+    // kill/restart: the scorecard rebuilds from the per-batch slots
+    val roll2 = new Streaming.RollupStream(keys, "viol", Some(store))
+    val q2 = roll2.start(longDf, ckpt)
+    stream.addData(b2); q2.processAllAvailable(); q2.stop()
+    def card(df: DataFrame) = AuditOps.scorecardFromRollup(df)
+      .select("check_name", "violations", "total", "pass")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    val streamed = card(roll2.current.get)
+    val oneShot = AuditOps.auditRows((b1 ++ b2).toDF("id", "v"), "t", checks)
+      .select("check_name", "violations", "total", "pass")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(streamed == oneShot)
+    assert(streamed == Set(
+      ("v_positive", 2L, 4L, false),  // -1, and the NULL counts conservatively
+      ("v_complete", 1L, 4L, false)))
+  }
 }
