@@ -1165,6 +1165,38 @@ object SparkEntry {
     ClassifierOps.score(feats, "doc_id", w)
   }
 
+  /** Quality TIER of the multiclass classifier queries — the heuristic
+    * quality bucketed at 0.45/0.55 (balanced 155/140/205 at sf0.01); NULL
+    * quality falls to the top tier in both engines (CASE ELSE).
+    */
+  private def qualityTier: Column = {
+    val t = col("text")
+    val nTokens = size(TextOps.tokens(t)).cast("double")
+    val punctRatio = when(length(t) > 0,
+      regexp_count(t, lit("[.,;:!?]")).cast("double") / length(t).cast("double"))
+    val stopRatio = when(nTokens > 0,
+      regexp_count(lower(t), lit("\\b(the|and|of|is|to|in|a)\\b")).cast("double") / nTokens)
+    val q = lit(0.4) * least(lit(1.0), nTokens / lit(100.0)) +
+      lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio * lit(10.0))) +
+      lit(0.3) * least(lit(1.0), stopRatio * lit(5.0))
+    when(q < 0.45, lit(0L)).when(q < 0.55, lit(1L)).otherwise(lit(2L))
+  }
+
+  /** Multiclass nearest-centroid: per-tier centroids trained on the
+    * even-id half, every document assigned to its nearest tier centroid
+    * (native integer L2 argmin, ties to the lowest tier) — the k-classes
+    * generalization of the binary classifier split.
+    */
+  def qNearestCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val feats = ClassifierOps.featuresLabeled(
+      Tables.documents(spark, dir), "doc_id", "text", qualityTier)
+    val model = ClassifierOps.nearestCentroidTrain(feats.filter(col("doc_id") % 2 === 0))
+    ClassifierOps.nearestCentroidAssign(feats, "doc_id", model)
+      .join(feats.select(col("doc_id"), col("label").as("tier")), "doc_id")
+      .select(col("doc_id"), col("pred_label"), col("dist_fp"), col("tier"),
+        (col("pred_label") === col("tier")).as("correct"))
+  }
+
   /** Incremental classifier maintenance: per-(class, dim) sufficient
     * statistics folded from quarter-stride batches, means taken after the
     * fold — must reproduce q_classifier_train bit-for-bit (shared oracle,
@@ -2379,6 +2411,7 @@ object SparkEntry {
     "q_classifier_train"        -> (qClassifierTrain(_, _)),
     "q_classifier_filter"       -> (qClassifierFilter(_, _)),
     "q_classifier_incremental"  -> (qClassifierIncremental(_, _)),
+    "q_nearest_centroid"        -> (qNearestCentroid(_, _)),
     "q_doc_fingerprint"         -> (qDocFingerprint(_, _)),
     "q_exact_dedup"             -> (qExactDedup(_, _)),
     "q_tfidf_top_terms"         -> (qTfidfTopTerms(_, _)),
@@ -3118,6 +3151,53 @@ object SparkEntry {
        |wt AS (SELECT j, (CASE WHEN j = 1 THEN w + ((SELECT b FROM bias) // 1000000)
        |                       ELSE w END)::BIGINT AS w
        |       FROM wd)""".stripMargin
+
+  /** Multiclass nearest-centroid oracle: tier labels at 0.45/0.55, the
+    * same feature CTE as the binary oracles, per-(tier, j) truncated-div
+    * means over the even-id half, and the integer L2 argmin with ties to
+    * the lowest tier — mirror of
+    * [[graft.ops.ClassifierOps.nearestCentroidTrain]]/`Assign`.
+    */
+  private val nearestCentroidOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         CASE WHEN (0.4 * least(1.0, nt::DOUBLE / 100.0)
+       |                    + 0.3 * (1.0 - least(1.0, (CASE WHEN nc > 0 THEN np::DOUBLE / nc::DOUBLE END) * 10.0))
+       |                    + 0.3 * least(1.0, (CASE WHEN nt > 0 THEN ns::DOUBLE / nt::DOUBLE END) * 5.0)) < 0.45
+       |              THEN 0::BIGINT
+       |              WHEN (0.4 * least(1.0, nt::DOUBLE / 100.0)
+       |                    + 0.3 * (1.0 - least(1.0, (CASE WHEN nc > 0 THEN np::DOUBLE / nc::DOUBLE END) * 10.0))
+       |                    + 0.3 * least(1.0, (CASE WHEN nt > 0 THEN ns::DOUBLE / nt::DOUBLE END) * 5.0)) < 0.55
+       |              THEN 1::BIGINT ELSE 2::BIGINT END AS tier,
+       |         nc, nt, np, ns, nd
+       |  FROM (
+       |    SELECT doc_id, length(text)::BIGINT AS nc,
+       |         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), z -> z <> ''))::BIGINT AS nt,
+       |         len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS np,
+       |         len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to|in|a)\\b'))::BIGINT AS ns,
+       |         len(regexp_extract_all(text, '[0-9]'))::BIGINT AS nd
+       |    FROM documents)),
+       |fa AS (SELECT doc_id, tier, [
+       |         1000000::BIGINT,
+       |         least((nt * 1000000) // 200, 1000000),
+       |         least((np * 20000000) // greatest(nc, 1), 1000000),
+       |         least((ns * 5000000) // greatest(nt, 1), 1000000),
+       |         least((nd * 10000000) // greatest(nc, 1), 1000000),
+       |         least((nc * 1000000) // (greatest(nt, 1) * 10), 1000000)
+       |       ] AS x
+       |       FROM base),
+       |fl AS (SELECT doc_id, tier, generate_subscripts(x, 1)::BIGINT AS j, unnest(x) AS xv FROM fa),
+       |cm AS (SELECT tier AS clabel, j, (sum(xv)::BIGINT // count(*)::BIGINT) AS m
+       |       FROM fl WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+       |dist AS (SELECT fl.doc_id, cm.clabel,
+       |                sum((fl.xv - cm.m) * (fl.xv - cm.m))::BIGINT AS d
+       |         FROM fl JOIN cm USING (j) GROUP BY 1, 2),
+       |asg AS (SELECT doc_id, clabel AS pred_label, d AS dist_fp FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY d, clabel) AS rn
+       |          FROM dist) WHERE rn = 1)
+       |SELECT a.doc_id, a.pred_label, a.dist_fp, fa.tier,
+       |       a.pred_label = fa.tier AS correct
+       |FROM asg a JOIN fa USING (doc_id)""".stripMargin
 
   private val classifierTrainOracle: String =
     s"""WITH ${rocchioBaseCtes("TRUE")}
@@ -4024,6 +4104,7 @@ object SparkEntry {
     // (mergeCentroidStats losslessness proof)
     "q_classifier_incremental" -> classifierTrainOracle,
     "q_classifier_filter" -> classifierFilterOracle,
+    "q_nearest_centroid" -> nearestCentroidOracle,
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
         |       length(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))::BIGINT AS norm_len

@@ -59,25 +59,39 @@ object ClassifierOps {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      positive: Column): DataFrame = {
-    val t = col(textCol)
+      positive: Column): DataFrame =
+    df.select(
+      col(idCol),
+      when(positive, lit(1L)).otherwise(lit(-1L)).as("y"),
+      featureArray(col(textCol)).as("x"))
+
+  /** [[features]] with an arbitrary BIGINT class label instead of the
+    * binary ±1 — the multiclass input shape of [[nearestCentroidTrain]].
+    */
+  def featuresLabeled(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      label: Column): DataFrame =
+    df.select(col(idCol), label.cast("long").as("label"), featureArray(col(textCol)).as("x"))
+
+  /** ONE definition of the feature array for every labeling shape, so the
+    * binary and multiclass paths can never drift.
+    */
+  private def featureArray(t: Column): Column = {
     val nChars = length(t).cast("long")
     val nTok = size(TextOps.tokens(t)).cast("long")
     val nPunct = regexp_count(t, lit("[.,;:!?]")).cast("long")
     val nStop = regexp_count(lower(t), lit("\\b(the|and|of|is|to|in|a)\\b")).cast("long")
     val nDigit = regexp_count(t, lit("[0-9]")).cast("long")
     def sat(c: Column): Column = least(c, lit(Scale))
-    df.select(
-      col(idCol),
-      when(positive, lit(1L)).otherwise(lit(-1L)).as("y"),
-      array(
-        lit(Scale),
-        sat(divTrunc(nTok * lit(Scale), lit(200L))),
-        sat(divTrunc(nPunct * lit(20L * Scale), greatest(nChars, lit(1L)))),
-        sat(divTrunc(nStop * lit(5L * Scale), greatest(nTok, lit(1L)))),
-        sat(divTrunc(nDigit * lit(10L * Scale), greatest(nChars, lit(1L)))),
-        sat(divTrunc(nChars * lit(Scale), greatest(nTok, lit(1L)) * lit(10L)))
-      ).as("x"))
+    array(
+      lit(Scale),
+      sat(divTrunc(nTok * lit(Scale), lit(200L))),
+      sat(divTrunc(nPunct * lit(20L * Scale), greatest(nChars, lit(1L)))),
+      sat(divTrunc(nStop * lit(5L * Scale), greatest(nTok, lit(1L)))),
+      sat(divTrunc(nDigit * lit(10L * Scale), greatest(nChars, lit(1L)))),
+      sat(divTrunc(nChars * lit(Scale), greatest(nTok, lit(1L)) * lit(10L))))
   }
 
   /** Truncating integer division as a Column — Spark's `div` operator
@@ -149,6 +163,46 @@ object ClassifierOps {
         when(col("j") === 1L, col("w") + divTrunc(col("b"), lit(Scale)))
           .otherwise(col("w")).as("w_fp"))
   }
+
+  /** MULTICLASS nearest-centroid fit over a labeled `(idCol, label, x)`
+    * relation (from [[featuresLabeled]]): per-class integer centroids
+    * `(label, cfp)` via truncated-division per-dimension means — the
+    * scikit-style NearestCentroid classifier, the k-classes generalization
+    * of the binary Rocchio fit, in the [[SimilarityOps]] lloyd-update
+    * idiom (positional sums, array rebuild). One aggregate pass,
+    * classes·nFeatures groups.
+    */
+  def nearestCentroidTrain(feats: DataFrame): DataFrame =
+    feats
+      .select(col("label"), posexplode(col("x")).as(Seq("pos", "xv")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("xv")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), expr("s div n").as("m"))
+      .groupBy(col("label"))
+      .agg(DedupOps.bindOnce(sort_array(collect_list(struct(col("pos"), col("m"))))) { arr =>
+        transform(arr, e => e.getField("m"))
+      }.as("cfp"))
+
+  /** Assign every feature row to its nearest class centroid — broadcast
+    * model, native integer L2 kernel ([[graft.functions.L2SquaredFp]]),
+    * argmin with ties to the LOWEST label (the fixed-point assign rule
+    * shared with kmeans). Output `(idCol, pred_label, dist_fp)`; one
+    * corpus scan, the argmin aggregate shuffles (id, label, dist) triples
+    * only.
+    */
+  def nearestCentroidAssign(
+      feats: DataFrame,
+      idCol: String,
+      model: DataFrame): DataFrame =
+    // the model's label renames before the cross: a labeled feature
+    // relation (the usual train/eval shape) would otherwise make `label`
+    // ambiguous in the argmin
+    feats.join(broadcast(model.select(col("label").as("__clabel"), col("cfp"))), lit(true))
+      .withColumn("dist_fp",
+        graft.functions.VectorFunctions.graft_l2sq(col("x"), col("cfp")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("dist_fp").as("d"), col("__clabel").as("l"))).as("m"))
+      .select(col(idCol), col("m.l").as("pred_label"), col("m.d").as("dist_fp"))
 
   /** Score a feature relation against frozen `(j, w_fp)` weights — one
     * broadcast + one codegen'd integer fold per row, no iteration, no

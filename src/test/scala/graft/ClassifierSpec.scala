@@ -95,6 +95,35 @@ class ClassifierSpec extends AnyFunSuite {
     assert(folded == oneShot)
   }
 
+  test("nearestCentroid: plain-Scala differential and the lowest-label tie rule") {
+    val df = fixture.toDF("id", "pos", "text")
+    val tier = when(col("pos"), lit(2L)).otherwise(when(col("id") % 2 === 0, 0L).otherwise(1L))
+    val feats = ClassifierOps.featuresLabeled(df, "id", "text", tier)
+    val model = ClassifierOps.nearestCentroidTrain(feats)
+    val got = ClassifierOps.nearestCentroidAssign(feats, "id", model)
+      .as[(Long, Long, Long)].collect().map { case (i, p, d) => i -> ((p, d)) }.toMap
+    // plain-Scala mirror over the collected features
+    val rows = feats.as[(Long, Long, Seq[Long])].collect()
+    val cents = rows.groupBy(_._2).map { case (l, rs) =>
+      l -> (0 until 6).map(j => rs.map(_._3(j)).sum / rs.size)
+    }
+    val ref = rows.map { case (i, _, x) =>
+      val scored = cents.toSeq.map { case (l, c) =>
+        (x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, l)
+      }.minBy(identity) // (dist, label) — min dist, ties to lowest label
+      i -> ((scored._2, scored._1))
+    }.toMap
+    assert(got == ref)
+    // exact tie: two identical one-doc classes — prediction takes label 0
+    val tie = Seq((1L, 0L, "same words here"), (2L, 1L, "same words here"))
+      .toDF("id", "label", "text")
+    val tf = ClassifierOps.featuresLabeled(tie, "id", "text", col("label"))
+    val pred = ClassifierOps.nearestCentroidAssign(
+      tf, "id", ClassifierOps.nearestCentroidTrain(tf))
+      .as[(Long, Long, Long)].collect().map { case (i, p, d) => i -> ((p, d)) }.toMap
+    assert(pred(1L) == ((0L, 0L)) && pred(2L) == ((0L, 0L)))
+  }
+
   test("train on half, score all: the learned midpoint rule generalizes") {
     val df = fixture.toDF("id", "pos", "text")
     val feats = ClassifierOps.features(df, "id", "text", col("pos"))
