@@ -425,6 +425,38 @@ object DedupOps {
     * optional externally-maintained hot-shingle override (the incremental
     * store cycle's corpus-wide df cap — see [[incrementalJaccardPairs]]).
     */
+  /** Exact Jaccard pairs RESTRICTED to one anchor side: all pairs
+    * (a ∈ anchors, b ∈ corpus, a ≠ b) with J ≥ threshold, under the SAME
+    * corpus-wide df cap as [[jaccardPairs]] (the hot set is computed over
+    * the FULL corpus and passed as the exclusion — not the cross form's
+    * combined-sides cap — so for anchor-involving pairs the output is
+    * bit-identical to filtering [[jaccardPairs]], and an oracle written
+    * against the full form stays valid). The consumer-side optimization
+    * for metrics that only read anchor-involving pairs (retrieval
+    * relevance, per-query dedup): posting expansion costs df_anchor·df per
+    * shingle instead of df², so a 1/k anchor stride cuts the pair stage
+    * ~k×. Anchor-anchor pairs appear in BOTH orientations (each side of
+    * the pair anchors once); anchor-other pairs once, anchored on doc_a.
+    */
+  def jaccardPairsAgainst(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Int = 100): DataFrame = {
+    val shAll = hashedShingles(corpus, idCol, textCol, n).scopedCache()
+    val shA = hashedShingles(anchors, idCol, textCol, n).scopedCache()
+    val hot =
+      if (maxDocFreq <= 0) shAll.sparkSession.emptyDataFrame.select(lit(0L).as("s")).limit(0)
+      else shAll.select(explode(col("sh")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDocFreq).select(col("s"))
+    crossJaccardPairsFrom(shA, shAll, idCol, threshold, 0, Some(hot))
+      .filter(col("doc_a") =!= col("doc_b"))
+  }
+
   private[ops] def crossJaccardPairsFrom(
       shA: DataFrame,
       shB: DataFrame,

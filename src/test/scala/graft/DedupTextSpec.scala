@@ -19,6 +19,24 @@ class DedupTextSpec extends AnyFunSuite {
     assert(lsh == exact, s"expected full recall on planted dups, missed ${exact -- lsh}")
   }
 
+  test("jaccardPairsAgainst == anchor-involving subset of full jaccardPairs, scores included") {
+    val anchors = docs.filter(col("doc_id") % 7 === 0)
+    val aIds = anchors.select("doc_id").as[Long].collect().toSet
+    val full = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+    // expected: every anchor-involving pair, anchored orientation(s) —
+    // both orientations when both sides anchor, else anchored on doc_a
+    val expected = full.flatMap { case (a, b, j) =>
+      Seq(a -> ((b, j)), b -> ((a, j))).collect {
+        case (x, (y, jj)) if aIds(x) => (x, y, jj)
+      }
+    }.toSet
+    val got = DedupOps.jaccardPairsAgainst(docs, anchors, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture must actually exercise anchored pairs")
+  }
+
   test("simhash: identical docs collide at hamming 0; near-dup pairs found") {
     val crafted = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
