@@ -1130,17 +1130,7 @@ object SparkEntry {
     * sf0.01). NULL quality (empty text) labels negative in both engines
     * (when().otherwise ≡ CASE ELSE).
     */
-  private def qualityLabel: Column = {
-    val t = col("text")
-    val nTokens = size(TextOps.tokens(t)).cast("double")
-    val punctRatio = when(length(t) > 0,
-      regexp_count(t, lit("[.,;:!?]")).cast("double") / length(t).cast("double"))
-    val stopRatio = when(nTokens > 0,
-      regexp_count(lower(t), lit("\\b(the|and|of|is|to|in|a)\\b")).cast("double") / nTokens)
-    (lit(0.4) * least(lit(1.0), nTokens / lit(100.0)) +
-      lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio * lit(10.0))) +
-      lit(0.3) * least(lit(1.0), stopRatio * lit(5.0))) >= 0.5
-  }
+  private def qualityLabel: Column = TextOps.qualityExpr(col("text")) >= 0.5
 
   /** TRAINED quality classifier: Rocchio centroid-midpoint fit over the
     * fixed-point feature relation, engine-exact integer arithmetic
@@ -1170,15 +1160,7 @@ object SparkEntry {
     * quality falls to the top tier in both engines (CASE ELSE).
     */
   private def qualityTier: Column = {
-    val t = col("text")
-    val nTokens = size(TextOps.tokens(t)).cast("double")
-    val punctRatio = when(length(t) > 0,
-      regexp_count(t, lit("[.,;:!?]")).cast("double") / length(t).cast("double"))
-    val stopRatio = when(nTokens > 0,
-      regexp_count(lower(t), lit("\\b(the|and|of|is|to|in|a)\\b")).cast("double") / nTokens)
-    val q = lit(0.4) * least(lit(1.0), nTokens / lit(100.0)) +
-      lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio * lit(10.0))) +
-      lit(0.3) * least(lit(1.0), stopRatio * lit(5.0))
+    val q = TextOps.qualityExpr(col("text"))
     when(q < 0.45, lit(0L)).when(q < 0.55, lit(1L)).otherwise(lit(2L))
   }
 
@@ -1191,10 +1173,11 @@ object SparkEntry {
     val feats = ClassifierOps.featuresLabeled(
       Tables.documents(spark, dir), "doc_id", "text", qualityTier)
     val model = ClassifierOps.nearestCentroidTrain(feats.filter(col("doc_id") % 2 === 0))
-    ClassifierOps.nearestCentroidAssign(feats, "doc_id", model)
-      .join(feats.select(col("doc_id"), col("label").as("tier")), "doc_id")
-      .select(col("doc_id"), col("pred_label"), col("dist_fp"), col("tier"),
-        (col("pred_label") === col("tier")).as("correct"))
+    // the true tier rides the argmin via `carry` — no corpus join-back,
+    // no third derivation of the regex feature projection
+    ClassifierOps.nearestCentroidAssign(feats, "doc_id", model, carry = Seq("label"))
+      .select(col("doc_id"), col("pred_label"), col("dist_fp"), col("label").as("tier"),
+        (col("pred_label") === col("label")).as("correct"))
   }
 
   /** Incremental classifier maintenance: per-(class, dim) sufficient
@@ -3044,15 +3027,6 @@ object SparkEntry {
        |${p}c$i AS (SELECT $prev.cid, coalesce(${p}n$i.cfp, $prev.cfp) AS cfp
        |        FROM $prev LEFT JOIN ${p}n$i USING (cid))""".stripMargin
 
-  /** Shared CTE block of the classifier oracles: the fixed-point feature
-    * relation (mirror of [[graft.ops.ClassifierOps.features]] — every
-    * component a saturating truncated division at BIGINT millionths, label
-    * = heuristic quality ≥ 0.5), its positional form over the
-    * `trainFilter` subset, and the Rocchio fit (truncated-div class means,
-    * w = μ⁺−μ⁻, midpoint threshold folded into the j=1 bias row) —
-    * the exact mirror of [[graft.ops.ClassifierOps.centroidTrain]]
-    * (Spark `div` ≡ DuckDB `//`, both toward zero).
-    */
   /** From-scratch constraint-audit suite — shared verbatim by
     * q_constraint_audit and q_audit_incremental: equality of the folded
     * per-batch partials with this relation is the losslessness proof of
@@ -3119,6 +3093,15 @@ object SparkEntry {
         |FROM (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1) g
         |LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON g.k = p.k""".stripMargin
 
+  /** Shared CTE block of the classifier oracles: the fixed-point feature
+    * relation (mirror of [[graft.ops.ClassifierOps.features]] — every
+    * component a saturating truncated division at BIGINT millionths, label
+    * = heuristic quality ≥ 0.5), its positional form over the
+    * `trainFilter` subset, and the Rocchio fit (truncated-div class means,
+    * w = μ⁺−μ⁻, midpoint threshold folded into the j=1 bias row) —
+    * the exact mirror of [[graft.ops.ClassifierOps.centroidTrain]]
+    * (Spark `div` ≡ DuckDB `//`, both toward zero).
+    */
   private def rocchioBaseCtes(trainFilter: String): String =
     s"""base AS (
        |  SELECT doc_id,

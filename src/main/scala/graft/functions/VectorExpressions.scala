@@ -148,8 +148,11 @@ case class L2SquaredFp(left: Expression, right: Expression)
   * margin kernel of [[graft.ops.ClassifierOps]] (⟨w, x⟩ at Scale²). Same
   * preference-ladder rationale, null semantics and ragged common-prefix
   * contract as [[L2SquaredFp]]; exact 64-bit wraparound arithmetic
-  * identical to the HOF fold `aggregate(zip_with(a,b,_*_), 0L, _+_)` it
-  * replaces and to the oracle's list comprehension.
+  * identical (on NULL-FREE arrays — the HOF fold propagates a null
+  * element to a NULL total where this kernel skips the position, the
+  * [[L2SquaredFp]] contract) to the fold
+  * `aggregate(zip_with(a,b,_*_), 0L, _+_)` it replaces and to the
+  * oracle's list comprehension.
   */
 case class DotFp(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -49,7 +49,9 @@ object AuditOps {
       explode(array(checks.zipWithIndex.map { case ((name, _), i) =>
         struct(
           lit(name).as("check_name"),
-          col(s"__v$i").as("violations"))
+          // empty table: sum() is NULL while count() is 0 — an empty
+          // relation trivially passes every row check, never NULLs it
+          coalesce(col(s"__v$i"), lit(0L)).as("violations"))
       }: _*)).as("__c"), col("__total"))
       .select(
         col("__c.check_name"),

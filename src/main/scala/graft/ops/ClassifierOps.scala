@@ -193,16 +193,25 @@ object ClassifierOps {
   def nearestCentroidAssign(
       feats: DataFrame,
       idCol: String,
-      model: DataFrame): DataFrame =
+      model: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    // `carry` rides per-id-constant input columns (the true label, a
+    // split tag) through the argmin, so callers comparing prediction to
+    // truth never re-derive the feature relation or join the corpus back
     // the model's label renames before the cross: a labeled feature
     // relation (the usual train/eval shape) would otherwise make `label`
     // ambiguous in the argmin
+    val aggs = min(struct(col("dist_fp").as("d"), col("__clabel").as("l"))).as("m") +:
+      carry.map(c => first(col(c)).as(c))
     feats.join(broadcast(model.select(col("label").as("__clabel"), col("cfp"))), lit(true))
       .withColumn("dist_fp",
         graft.functions.VectorFunctions.graft_l2sq(col("x"), col("cfp")))
       .groupBy(col(idCol))
-      .agg(min(struct(col("dist_fp").as("d"), col("__clabel").as("l"))).as("m"))
-      .select(col(idCol), col("m.l").as("pred_label"), col("m.d").as("dist_fp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        (col(idCol) +: col("m.l").as("pred_label") +: col("m.d").as("dist_fp") +:
+          carry.map(col)): _*)
+  }
 
   /** Score a feature relation against frozen `(j, w_fp)` weights — one
     * broadcast + one codegen'd integer fold per row, no iteration, no
@@ -211,6 +220,12 @@ object ClassifierOps {
     * `score_fp = ⟨w, x⟩` at [[Scale]]² and `pred = score_fp >= 0`.
     */
   def score(feats: DataFrame, idCol: String, weights: DataFrame): DataFrame = {
+    // fail loudly on an empty model (one-class training input): the
+    // zero-length weight array would otherwise dot to 0 and classify the
+    // ENTIRE corpus positive with no signal. Dimension-sized action —
+    // the bounded planning-time check class.
+    require(!weights.isEmpty,
+      "empty classifier model — was the training input one-class?")
     val warr = weights.groupBy()
       .agg(DedupOps.bindOnce(sort_array(collect_list(struct(col("j"), col("w_fp"))))) { arr =>
         transform(arr, e => e.getField("w_fp"))

@@ -123,19 +123,32 @@ object TextOps {
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val nTokens = size(tokens(t)).cast("double")
-    val punctRatio = when(length(t) > 0,
-      regexp_count(t, lit("[.,;:!?]")).cast("double") / length(t).cast("double"))
-    val stopRatio = when(nTokens > 0,
-      regexp_count(lower(t), lit("\\b(the|and|of|is|to|in|a)\\b")).cast("double") / nTokens)
     df.select(
       col(idCol),
-      nTokens.cast("long").as("n_tokens"),
-      punctRatio.as("punct_ratio"),
-      stopRatio.as("stopword_ratio"),
-      (lit(0.4) * least(lit(1.0), nTokens / lit(100.0)) +
-        lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatio * lit(10.0))) +
-        lit(0.3) * least(lit(1.0), stopRatio * lit(5.0))).as("quality"))
+      size(tokens(t)).cast("long").as("n_tokens"),
+      punctRatioExpr(t).as("punct_ratio"),
+      stopRatioExpr(t).as("stopword_ratio"),
+      qualityExpr(t).as("quality"))
+  }
+
+  /** THE composite-quality expression — one definition for every consumer
+    * (the registered score, the classifier label/tier derivations, the
+    * data card), so the weights/clamps can never silently drift between
+    * them.
+    */
+  private[graft] def qualityExpr(t: Column): Column =
+    lit(0.4) * least(lit(1.0), size(tokens(t)).cast("double") / lit(100.0)) +
+      lit(0.3) * (lit(1.0) - least(lit(1.0), punctRatioExpr(t) * lit(10.0))) +
+      lit(0.3) * least(lit(1.0), stopRatioExpr(t) * lit(5.0))
+
+  private def punctRatioExpr(t: Column): Column =
+    when(length(t) > 0,
+      regexp_count(t, lit("[.,;:!?]")).cast("double") / length(t).cast("double"))
+
+  private def stopRatioExpr(t: Column): Column = {
+    val nTokens = size(tokens(t)).cast("double")
+    when(nTokens > 0,
+      regexp_count(lower(t), lit("\\b(the|and|of|is|to|in|a)\\b")).cast("double") / nTokens)
   }
 
   /** Content fingerprint of the whitespace/case-normalized text (md5) — the
@@ -706,14 +719,15 @@ object TextOps {
       textCol: String,
       sourceCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perDoc = langId(
-      qualityScore(df, idCol, textCol)
-        .join(df.select(col(idCol), col(textCol), col(sourceCol)), idCol), textCol)
+    // every per-doc feature from ONE projection over one scan — quality
+    // and language are inline expressions (qualityExpr / langId), never a
+    // corpus self-join to re-attach columns a sub-operator dropped
+    val perDoc = langId(df.select(col(idCol), col(textCol), col(sourceCol)), textCol)
       .select(
         col(idCol), col(sourceCol).as("source"),
-        col("n_tokens"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
         length(col(textCol)).cast("long").as("n_chars"),
-        round(col("quality") * lit(1.0e6)).cast("long").as("quality_fp"),
+        round(qualityExpr(col(textCol)) * lit(1.0e6)).cast("long").as("quality_fp"),
         col("pred_lang"),
         md5(col(textCol)).as("__fp"))
       .scopedCache()

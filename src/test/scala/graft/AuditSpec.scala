@@ -27,6 +27,13 @@ class AuditSpec extends AnyFunSuite {
     assert(got("v_complete") == ((1L, 4L, false)))
   }
 
+  test("auditRows on an empty table passes trivially — never NULL") {
+    val empty = Seq.empty[(Long, Option[Double])].toDF("id", "v")
+    val got = AuditOps.auditRows(empty, "t", Seq("v_positive" -> !(col("v") > 0)))
+      .select("violations", "total", "pass").as[(Long, Long, Boolean)].head()
+    assert(got == ((0L, 0L, true)))
+  }
+
   test("auditUnique counts every row of a duplicated key; null keys group") {
     val df = Seq(
       (1L, "a"), (1L, "a"), (1L, "a"), // 3 rows of one dup key

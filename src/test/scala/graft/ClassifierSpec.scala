@@ -67,6 +67,12 @@ class ClassifierSpec extends AnyFunSuite {
     val w = ClassifierOps
       .centroidTrain(ClassifierOps.features(df, "id", "text", col("pos")), "id")
     assert(w.count() == 0L)
+    // and scoring with it fails LOUDLY instead of classifying everything
+    // positive through the zero-length weight array
+    val ex = intercept[IllegalArgumentException] {
+      ClassifierOps.score(ClassifierOps.features(df, "id", "text", col("pos")), "id", w)
+    }
+    assert(ex.getMessage.contains("empty classifier model"))
   }
 
   test("DotFp kernel ≡ HOF fold on the feature/weight arrays") {
