@@ -519,4 +519,76 @@ class PropertiesSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("property: audit monoids — any batch split folds to the one-shot scorecard") {
+    import graft.ops.AuditOps
+    val rowGen: Gen[List[(Long, Option[Double], Long)]] = Gen.listOf(
+      for {
+        id <- Gen.choose(0L, 30L)
+        v <- Gen.option(Gen.choose(-10.0, 10.0))
+        fk <- Gen.choose(0L, 6L)
+      } yield (id, v, fk)).suchThat(_.nonEmpty)
+    val parent = Seq(0L, 1L, 2L, 3L).toDF("pk")
+    val checks = Seq(
+      "v_positive" -> !(col("v") > 0),
+      "v_complete" -> col("v").isNull)
+    samples(rowGen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("id", "v", "fk")
+      val nBatches = 1 + (rows.size % 3)
+      val batches = (0 until nBatches).map(m => df.filter(pmod(col("id"), lit(nBatches)) === m))
+      def card(d: org.apache.spark.sql.DataFrame) =
+        d.select("check_name", "violations", "total", "pass")
+          .as[(String, Long, Long, Boolean)].collect().toSet
+      assert(
+        card(AuditOps.mergeRowAudits(batches.map(AuditOps.auditRows(_, "t", checks)): _*)) ==
+          card(AuditOps.auditRows(df, "t", checks)),
+        s"case $i rows")
+      val foldedCounts = AuditOps.mergeKeyCounts(Seq("id"))(
+        batches.map(AuditOps.keyCounts(_, Seq("id"))): _*)
+      assert(
+        card(AuditOps.auditUniqueFromCounts(foldedCounts, "t", "pk")) ==
+          card(AuditOps.auditUnique(df, "t", Seq("id"), "pk")),
+        s"case $i unique")
+      val foldedFk = AuditOps.mergeKeyCounts(Seq("fk"))(
+        batches.map(AuditOps.keyCounts(_, Seq("fk"))): _*)
+      assert(
+        card(AuditOps.auditReferentialFromCounts(
+          foldedFk, "t", Seq("fk" -> "pk"), parent, "fk")) ==
+          card(AuditOps.auditReferential(df, "t", Seq("fk" -> "pk"), parent, "fk")),
+        s"case $i referential")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("property: rrfFuse is symmetric in run order and exact in fixed point") {
+    import graft.ops.TextOps
+    val runGen: Gen[List[(Long, Long, Long)]] = Gen.listOf(
+      for {
+        q <- Gen.choose(1L, 4L)
+        d <- Gen.choose(10L, 25L)
+        r <- Gen.choose(1L, 10L)
+      } yield (q, d, r)).suchThat(_.nonEmpty)
+    samples(Gen.zip(runGen, runGen), 8).zipWithIndex.foreach { case ((ra, rb), i) =>
+      // dedupe (q, d) within a run: a run is a ranking, one rank per doc
+      def clean(rs: List[(Long, Long, Long)]) =
+        rs.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq.toDF("q", "d", "r")
+      val (a, b) = (clean(ra), clean(rb))
+      def fuse(runs: Seq[org.apache.spark.sql.DataFrame]) =
+        TextOps.rrfFuse(runs, "q", "d", "r", k = 5)
+          .select("query_id", "doc_id", "rrf_fp", "n_runs", "rank")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val ab = fuse(Seq(a, b))
+      assert(ab == fuse(Seq(b, a)), s"case $i: fusion must not depend on run order")
+      // per-row exactness vs a plain-Scala fold
+      val expected = (a.as[(Long, Long, Long)].collect() ++ b.as[(Long, Long, Long)].collect())
+        .groupBy(t => (t._1, t._2))
+        .map { case ((q, d), rs) => (q, d, rs.map(t => 1000000L / (60L + t._3)).sum, rs.size.toLong) }
+      expected.groupBy(_._1).foreach { case (q, rows) =>
+        val top = rows.toSeq.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+          .map { case ((qq, d, s, n), idx) => (qq, d, s, n, idx + 1L) }.toSet
+        assert(ab.filter(_._1 == q) == top, s"case $i query $q")
+      }
+      spark.catalog.clearCache()
+    }
+  }
 }
