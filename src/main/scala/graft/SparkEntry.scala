@@ -1999,6 +1999,19 @@ object SparkEntry {
   def qDataCard(spark: SparkSession, dir: String): DataFrame =
     TextOps.dataCard(Tables.documents(spark, dir), "doc_id", "text", "source")
 
+  /** Unigram-LM tokenizer training (SentencePiece-style hard-EM): the
+    * learned piece inventory with quantized log-probs after two EM
+    * rounds over the corpus vocabulary.
+    */
+  def qUnigramVocab(spark: SparkSession, dir: String): DataFrame =
+    TextOps.unigramTrain(Tables.documents(spark, dir), "text")._1
+
+  /** The final Viterbi segmentation of every vocabulary word under the
+    * trained unigram scores — (word, pieces, score_fp).
+    */
+  def qUnigramSegment(spark: SparkSession, dir: String): DataFrame =
+    TextOps.unigramTrain(Tables.documents(spark, dir), "text")._2
+
   /** Blocklist policy screen over the corpus — a fixed categorized term
     * list (three categories present in the vocabulary at different rates
     * plus one absent term, so zero-hit/flag/drop paths all fire),
@@ -2445,6 +2458,8 @@ object SparkEntry {
     "q_hybrid_rrf"              -> (qHybridRrf(_, _)),
     "q_blocklist_screen"        -> (qBlocklistScreen(_, _)),
     "q_data_card"               -> (qDataCard(_, _)),
+    "q_unigram_vocab"           -> (qUnigramVocab(_, _)),
+    "q_unigram_segment"         -> (qUnigramSegment(_, _)),
     "q_vocab_drift"             -> (qVocabDrift(_, _)),
     "q_vocab_drift_incremental" -> (qVocabDriftIncremental(_, _)),
     "q_textrank"                -> (qTextRank(_, _)),
@@ -3026,6 +3041,79 @@ object SparkEntry {
        |${p}n$i AS (SELECT cid, list(m ORDER BY pos) AS cfp FROM ${p}m$i GROUP BY 1),
        |${p}c$i AS (SELECT $prev.cid, coalesce(${p}n$i.cfp, $prev.cfp) AS cfp
        |        FROM $prev LEFT JOIN ${p}n$i USING (cid))""".stripMargin
+
+  /** One Viterbi DP round of the unigram oracle: extend every scored
+    * candidate ending at position `i` from the best state at its start,
+    * (score DESC, split DESC, path DESC) argmax per word — the mirror of
+    * [[graft.ops.TextOps]]' `viterbi` struct max.
+    */
+  private def unigramDpCte(k: Int, i: Int): String =
+    s"""d${k}_$i AS MATERIALIZED (
+       |  SELECT * FROM d${k}_${i - 1}
+       |  UNION ALL
+       |  SELECT word, $i AS pos, score_fp, path FROM (
+       |    SELECT c.word, (p.score_fp + c.lp_fp)::BIGINT AS score_fp,
+       |           list_append(p.path, c.piece) AS path,
+       |           row_number() OVER (PARTITION BY c.word
+       |             ORDER BY (p.score_fp + c.lp_fp) DESC, c.s DESC,
+       |                      list_append(p.path, c.piece) DESC) AS rn
+       |    FROM cand$k c JOIN d${k}_${i - 1} p ON p.word = c.word AND p.pos = c.s
+       |    WHERE c.e = $i) WHERE rn = 1)""".stripMargin
+
+  /** One hard-EM iteration `k` (scores from counts uc{k-1}, the unrolled
+    * Viterbi, and the re-count with the single-char floor) — mirror of
+    * [[graft.ops.TextOps.unigramTrainFromWordCounts]]'s loop body.
+    */
+  private def unigramEmCtes(k: Int, maxWordLen: Int): String =
+    s"""us${k - 1} AS MATERIALIZED (SELECT piece,
+       |        round(ln(cnt::DOUBLE / (SELECT sum(cnt) FROM uc${k - 1})::DOUBLE) * 1000000.0)::BIGINT AS lp_fp
+       |        FROM uc${k - 1}),
+       |cand$k AS MATERIALIZED (SELECT usub.word, usub.s, usub.e, usub.piece, us${k - 1}.lp_fp
+       |           FROM usub JOIN us${k - 1} USING (piece)),
+       |d${k}_0 AS MATERIALIZED (SELECT word, 0 AS pos, 0::BIGINT AS score_fp, []::VARCHAR[] AS path FROM uwc),
+       |${(1 to maxWordLen).map(unigramDpCte(k, _)).mkString(",\n")},
+       |seg$k AS MATERIALIZED (SELECT word, path, score_fp FROM d${k}_$maxWordLen WHERE pos = length(word)),
+       |used$k AS MATERIALIZED (SELECT piece, sum(freq)::BIGINT AS cnt
+       |           FROM (SELECT word, unnest(path) AS piece FROM seg$k) u
+       |           JOIN uwc USING (word) GROUP BY 1),
+       |uc$k AS MATERIALIZED (SELECT uch.piece, greatest(coalesce(used$k.cnt, 0), 1)::BIGINT AS cnt
+       |         FROM uch LEFT JOIN used$k ON uch.piece = used$k.piece
+       |         UNION ALL
+       |         SELECT used$k.piece, used$k.cnt FROM used$k
+       |         LEFT JOIN uch ON used$k.piece = uch.piece WHERE uch.piece IS NULL)""".stripMargin
+
+  /** Shared CTE block of the unigram-tokenizer oracles: the (word, freq)
+    * vocabulary, the candidate substring inventory (≤4 chars, overlapping
+    * occurrences), occurrence-weighted init counts, and TWO unrolled
+    * hard-EM iterations at a 12-round DP bound (words are ≤ 8 chars; the
+    * Scala op fails loudly beyond the shared bound, and rounds past the
+    * longest word extend nothing on either engine).
+    */
+  private val unigramBaseCtes: String =
+    raw"""uwc AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM (
+       |         SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> '')) AS word
+       |         FROM documents) GROUP BY 1),
+       |usub AS MATERIALIZED (SELECT word, c.s AS s, c.e AS e, c.piece AS piece FROM (
+       |           SELECT word,
+       |                  unnest(flatten([[{'s': s, 'e': s + l, 'piece': substr(word, s + 1, l)}
+       |                                   for l in range(1, least(4, length(word) - s) + 1)]
+       |                                  for s in range(0, length(word))])) AS c
+       |           FROM uwc)),
+       |uch AS MATERIALIZED (SELECT DISTINCT piece FROM usub WHERE e - s = 1),
+       |uc0 AS MATERIALIZED (SELECT piece, sum(freq)::BIGINT AS cnt FROM usub JOIN uwc USING (word) GROUP BY 1),
+       |${unigramEmCtes(1, 12)},
+       |${unigramEmCtes(2, 12)}""".stripMargin
+
+  private val unigramVocabOracle: String =
+    s"""WITH $unigramBaseCtes,
+       |usf AS (SELECT piece,
+       |        round(ln(cnt::DOUBLE / (SELECT sum(cnt) FROM uc2)::DOUBLE) * 1000000.0)::BIGINT AS lp_fp
+       |        FROM uc2)
+       |SELECT uc2.piece, uc2.cnt, usf.lp_fp FROM uc2 JOIN usf ON uc2.piece = usf.piece""".stripMargin
+
+  private val unigramSegmentOracle: String =
+    s"""WITH $unigramBaseCtes
+       |SELECT word, path AS pieces, score_fp FROM seg2""".stripMargin
 
   /** From-scratch constraint-audit suite — shared verbatim by
     * q_constraint_audit and q_audit_incremental: equality of the folded
@@ -4459,6 +4547,8 @@ object SparkEntry {
         |       lt.top_lang,
         |       ((lt.topn * 1000000) // s.n_docs)::BIGINT AS top_lang_share_fp
         |FROM s JOIN lt USING (source)""".stripMargin,
+    "q_unigram_vocab" -> unigramVocabOracle,
+    "q_unigram_segment" -> unigramSegmentOracle,
     "q_blocklist_screen" ->
       raw"""WITH bl(term, category) AS (VALUES
         |    ('slow', 'performance'), ('crash', 'stability'),

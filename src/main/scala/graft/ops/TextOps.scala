@@ -1181,4 +1181,139 @@ object TextOps {
           array_join(transform(arr, e => e.getField("tid").cast("string")), ",")
         }).as("ids_sig"))
   }
+
+  // ──────────────── unigram-LM tokenizer (SentencePiece-style) ────────────────
+
+  /** Hard-EM unigram language-model tokenizer training (the Kudo 2018
+    * SentencePiece family — the OTHER major subword trainer next to
+    * [[bpeTrain]]'s greedy merges): seed a candidate piece inventory with
+    * every word substring up to `maxPieceLen` chars, score pieces by
+    * quantized log-probability, and alternate Viterbi best-segmentation
+    * (E) with piece re-counting (M) for `emIters` rounds. Fully
+    * ENGINE-EXACT: occurrence counts are integer, log-probs quantize to
+    * BIGINT micro-nats through the [[lmScore]] recipe (ln on identical
+    * integer ratios, rounded — doubles never cross rows), Viterbi sums are
+    * integer, and the per-position argmax breaks ties by (score DESC,
+    * split point DESC, path DESC) — a total order both engines implement
+    * identically (struct max ↔ ORDER BY + row_number), so the full EM
+    * replays as unrolled CTEs in the oracle.
+    *
+    * Single-character pieces are always retained (floor count 1) so every
+    * word stays segmentable; multi-char pieces that a Viterbi round stops
+    * using drop out — the pruning step of the real algorithm in its
+    * hard-EM form. Words longer than `maxWordLen` fail loudly (the DP and
+    * its oracle unroll that many rounds).
+    *
+    * Scale shape ([[bpeTrain]]'s posture exactly): ONE corpus-sized pass
+    * builds the (word, freq) vocabulary; every EM structure after it —
+    * substrings, scores, the DP rounds — is vocabulary-bounded, so corpus
+    * growth touches only the word count. Returns
+    * (vocab `(piece, cnt, lp_fp)`, segmentation `(word, freq, pieces,
+    * score_fp)` under the PENULTIMATE scores — the E-step that produced
+    * the final counts).
+    */
+  def unigramTrain(
+      docs: DataFrame,
+      textCol: String,
+      emIters: Int = 2,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): (DataFrame, DataFrame) =
+    unigramTrainFromWordCounts(
+      bpeWordCounts(docs, textCol), emIters, maxPieceLen, maxWordLen)
+
+  /** [[unigramTrain]] over an externally-maintained `(word, freq)`
+    * relation — the persisted-vocabulary operating split shared with
+    * [[bpeTrainFromWordCounts]].
+    */
+  def unigramTrainFromWordCounts(
+      wc0: DataFrame,
+      emIters: Int,
+      maxPieceLen: Int,
+      maxWordLen: Int): (DataFrame, DataFrame) = {
+    require(emIters >= 1 && maxPieceLen >= 1, "need emIters >= 1, maxPieceLen >= 1")
+    val wc = wc0.scopedCache()
+    val maxLen = wc.agg(coalesce(max(length(col("word"))), lit(0)))
+      .head().getInt(0) // planning-time scalar: the DP round count
+    require(maxLen <= maxWordLen,
+      s"word of length $maxLen exceeds maxWordLen=$maxWordLen (DP unroll bound)")
+    // all candidate substrings with their positions — (word, s, e, piece),
+    // s 0-based, e exclusive; one narrow projection over the vocabulary
+    val subs = wc.select(
+      col("word"),
+      explode(flatten(transform(
+        sequence(lit(0), length(col("word")) - 1),
+        s => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - s)),
+          l => struct(s.as("s"), (s + l).as("e"),
+            col("word").substr(s + 1, l).as("piece")))))).as("c"))
+      .select(col("word"), col("c.s"), col("c.e"), col("c.piece"))
+      .scopedCache()
+    val chars = subs.filter(col("e") - col("s") === 1)
+      .select(col("piece")).distinct()
+    // init counts: frequency-weighted occurrences (overlapping included)
+    var counts = subs.join(wc, "word")
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint()
+    var segs: DataFrame = null
+    for (_ <- 1 to emIters) {
+      val scores = scoresFrom(counts).localCheckpoint()
+      segs = viterbi(wc, subs, scores, maxLen).localCheckpoint()
+      // M-step: pieces actually used, frequency-weighted; single chars
+      // keep a floor count of 1 so coverage never collapses
+      val used = segs.join(wc, "word")
+        .select(col("freq"), explode(col("pieces")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      counts = chars.join(used, Seq("piece"), "left")
+        .select(col("piece"), greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt"))
+        .unionByName(used.join(chars, Seq("piece"), "left_anti"))
+        .localCheckpoint()
+    }
+    val vocab = counts.join(scoresFrom(counts), "piece")
+      .select(col("piece"), col("cnt"), col("lp_fp"))
+    (vocab, segs)
+  }
+
+  /** Quantized log-probabilities from a piece count relation — micro-nat
+    * BIGINTs via ln on the integer count/total ratio (the [[lmScore]]
+    * portability recipe).
+    */
+  private def scoresFrom(counts: DataFrame): DataFrame = {
+    val total = counts.agg(sum(col("cnt")).as("t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("piece"),
+        round(log(col("cnt").cast("double") / col("t").cast("double")) * lit(1.0e6))
+          .cast("long").as("lp_fp"))
+  }
+
+  /** Unrolled Viterbi over the vocabulary: DP round `i` extends every
+    * scored candidate piece ending at position `i` from the best state at
+    * its start, taking the struct max (score, split, path) per word —
+    * `maxLen` vocabulary-bounded join rounds, localCheckpointed like every
+    * iterative fit in the engine. Output: one row per word at its final
+    * position — (word, pieces, score_fp).
+    */
+  private def viterbi(
+      wc: DataFrame,
+      subs: DataFrame,
+      scores: DataFrame,
+      maxLen: Int): DataFrame = {
+    val cand = subs.join(broadcast(scores), "piece").scopedCache()
+    var dp = wc.select(col("word"), lit(0).as("pos"), lit(0L).as("score_fp"),
+      array().cast("array<string>").as("path"))
+      .localCheckpoint()
+    for (i <- 1 to maxLen) {
+      val si = cand.filter(col("e") === i).as("c")
+        .join(dp.as("p"), col("c.word") === col("p.word") && col("c.s") === col("p.pos"))
+        .groupBy(col("c.word").as("word"))
+        .agg(max(struct(
+          (col("p.score_fp") + col("c.lp_fp")).as("score_fp"),
+          col("c.s").as("s"),
+          concat(col("p.path"), array(col("c.piece"))).as("path"))).as("m"))
+        .select(col("word"), lit(i).as("pos"), col("m.score_fp").as("score_fp"),
+          col("m.path").as("path"))
+      dp = dp.unionByName(si).localCheckpoint()
+    }
+    dp.filter(col("pos") === length(col("word")))
+      .select(col("word"), col("path").as("pieces"), col("score_fp"))
+  }
 }

@@ -465,6 +465,63 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a", "b", 1L), (2L, "ab", "</w>", 1L)))
   }
 
+  test("unigramTrain matches an independent plain-Scala hard-EM on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val (vocabDf, segDf) = TextOps.unigramTrain(docs, "text")
+    val gotVocab = vocabDf.as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val gotSegs = segDf.as[(String, Seq[String], Long)].collect()
+      .map(r => r._1 -> ((r._2.toList, r._3))).toMap
+
+    // independent implementation (mutable, driver-side)
+    val wc = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val subs = wc.keys.flatMap { w =>
+      for (s <- 0 until w.length; l <- 1 to math.min(4, w.length - s))
+        yield (w, s, s + l, w.substring(s, s + l))
+    }.toSeq
+    val chars = subs.filter(t => t._3 - t._2 == 1).map(_._4).toSet
+    def scores(cnt: Map[String, Long]): Map[String, Long] = {
+      val t = cnt.values.sum.toDouble
+      cnt.map { case (p, c) => p -> math.round(math.log(c.toDouble / t) * 1e6) }
+    }
+    def viterbi(lp: Map[String, Long]): Map[String, (List[String], Long)] =
+      wc.keys.map { w =>
+        // dp(i) = (score, s, path), struct-max semantics
+        val dp = Array.fill[Option[(Long, Int, List[String])]](w.length + 1)(None)
+        dp(0) = Some((0L, -1, Nil))
+        for (i <- 1 to w.length) {
+          val cands = for {
+            s <- math.max(0, i - 4) until i
+            p = w.substring(s, i) if lp.contains(p); prev <- dp(s)
+          } yield (prev._1 + lp(p), s, prev._3 :+ p)
+          if (cands.nonEmpty) {
+            import scala.math.Ordering.Implicits.seqOrdering
+            dp(i) = Some(cands.maxBy { case (sc, s, path) =>
+              (sc, s, path) // (score, split, path) - element-wise list order
+            })
+          }
+        }
+        w -> dp(w.length).map(d => (d._3, d._1)).get
+      }.toMap
+    var cnt: Map[String, Long] = subs.groupBy(_._4)
+      .map { case (p, occ) => p -> occ.map(o => wc(o._1)).sum }
+    var segs: Map[String, (List[String], Long)] = null
+    for (_ <- 1 to 2) {
+      segs = viterbi(scores(cnt))
+      val used = segs.toSeq.flatMap { case (w, (path, _)) => path.map(_ -> wc(w)) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      cnt = (chars.map(c => c -> math.max(used.getOrElse(c, 0L), 1L)) ++
+        used.filterNot(kv => chars(kv._1))).toMap
+    }
+    val refVocab = cnt.map { case (p, c) => p -> ((c, scores(cnt)(p))) }
+    assert(gotVocab == refVocab)
+    assert(gotSegs == segs)
+    // losslessness: every segmentation re-spells its word
+    assert(gotSegs.forall { case (w, (path, _)) => path.mkString == w })
+  }
+
   test("blocklistScreen: totality, thresholds, worst-category tie order") {
     val docs = Seq(
       (1L, "clean words only here"),
