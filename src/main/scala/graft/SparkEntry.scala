@@ -2012,6 +2012,13 @@ object SparkEntry {
   def qUnigramSegment(spark: SparkSession, dir: String): DataFrame =
     TextOps.unigramTrain(Tables.documents(spark, dir), "text")._2
 
+  /** Corpus encoding through the trained unigram tokenizer — the same
+    * deployment artifact shape as q_bpe_encode (subword ids, counts,
+    * ordered-id signature), from the other tokenizer family.
+    */
+  def qUnigramEncode(spark: SparkSession, dir: String): DataFrame =
+    TextOps.unigramEncodeDocs(Tables.documents(spark, dir), "doc_id", "text")
+
   /** Blocklist policy screen over the corpus — a fixed categorized term
     * list (three categories present in the vocabulary at different rates
     * plus one absent term, so zero-hit/flag/drop paths all fire),
@@ -2460,6 +2467,7 @@ object SparkEntry {
     "q_data_card"               -> (qDataCard(_, _)),
     "q_unigram_vocab"           -> (qUnigramVocab(_, _)),
     "q_unigram_segment"         -> (qUnigramSegment(_, _)),
+    "q_unigram_encode"          -> (qUnigramEncode(_, _)),
     "q_vocab_drift"             -> (qVocabDrift(_, _)),
     "q_vocab_drift_incremental" -> (qVocabDriftIncremental(_, _)),
     "q_textrank"                -> (qTextRank(_, _)),
@@ -3114,6 +3122,16 @@ object SparkEntry {
   private val unigramSegmentOracle: String =
     s"""WITH $unigramBaseCtes
        |SELECT word, path AS pieces, score_fp FROM seg2""".stripMargin
+
+  /** Corpus encoding through the unigram segmentation — the SHARED
+    * [[bpeEncodeSql]] tail over the seg2 relation bridged to the
+    * (word, freq, syms) shape.
+    */
+  private val unigramEncodeOracle: String =
+    s"""WITH $unigramBaseCtes,
+       |useg AS (SELECT seg2.word, uwc.freq, seg2.path AS syms
+       |         FROM seg2 JOIN uwc USING (word)),
+       |${bpeEncodeSql("useg")}""".stripMargin
 
   /** From-scratch constraint-audit suite — shared verbatim by
     * q_constraint_audit and q_audit_incremental: equality of the folded
@@ -4549,6 +4567,7 @@ object SparkEntry {
         |FROM s JOIN lt USING (source)""".stripMargin,
     "q_unigram_vocab" -> unigramVocabOracle,
     "q_unigram_segment" -> unigramSegmentOracle,
+    "q_unigram_encode" -> unigramEncodeOracle,
     "q_blocklist_screen" ->
       raw"""WITH bl(term, category) AS (VALUES
         |    ('slow', 'performance'), ('crash', 'stability'),

@@ -1273,6 +1273,27 @@ object TextOps {
     (vocab, segs)
   }
 
+  /** Encode the corpus through the trained unigram tokenizer — train
+    * ([[unigramTrain]]) then apply the final Viterbi segmentation to every
+    * document through the SAME encoding tail as [[bpeEncodeDocs]]
+    * (frequency-ranked subword ids, per-doc counts + ordered-id md5
+    * signature), so the two tokenizer families ship the identical
+    * deployment artifact shape.
+    */
+  def unigramEncodeDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      emIters: Int = 2,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    val wc = bpeWordCounts(docs, textCol).scopedCache()
+    val (_, segs) = unigramTrainFromWordCounts(wc, emIters, maxPieceLen, maxWordLen)
+    encodeFromSegmentation(docs, idCol, textCol,
+      segs.join(wc, "word")
+        .select(col("word"), col("freq"), col("pieces").as("syms")))
+  }
+
   /** Quantized log-probabilities from a piece count relation — micro-nat
     * BIGINTs via ln on the integer count/total ratio (the [[lmScore]]
     * portability recipe).
