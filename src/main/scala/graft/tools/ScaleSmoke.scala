@@ -174,7 +174,7 @@ object ScaleSmoke {
     // counts, bpeTrainFromWordCounts) must stay flat, because every round
     // is vocab-bounded. Real corpora sit between this and Heaps-law
     // sublinear vocab growth; either way rounds never scan the corpus.
-    if (want("bpe")) println("bpe: k,docs,vocab,wc_s,train_s,n_merges")
+    if (want("bpe")) println("bpe: k,docs,vocab,wc_s,train_s,n_merges,unigram_s,unigram_pieces")
     // one measure protocol for both corpora so the plain-vs-salted
     // comparison cannot drift: warm corpus cache, time the single
     // corpus-sized word-count pass, then time the vocab-bounded rounds
@@ -190,7 +190,14 @@ object ScaleSmoke {
       val t1 = System.nanoTime()
       val merges = graft.ops.TextOps.bpeTrainFromWordCounts(words, 10)
       val trS = (System.nanoTime() - t1) / 1e9
-      println(s"$tag,$n,$vocab,$wcS,$trS,${merges.length}")
+      // the unigram trainer makes the same vocab-bounded claim: both EM
+      // rounds (scores, 12 DP joins, re-count) over the SAME persisted
+      // word counts — flat as the corpus replicates
+      val t2 = System.nanoTime()
+      val (uv, _) = graft.ops.TextOps.unigramTrainFromWordCounts(words, 2, 4, 12)
+      val uPieces = uv.count()
+      val uniS = (System.nanoTime() - t2) / 1e9
+      println(s"$tag,$n,$vocab,$wcS,$trS,${merges.length},$uniS,$uPieces")
       spark.sharedState.cacheManager.clearCache(); System.gc()
       corpus.unpersist(): Unit
     }
