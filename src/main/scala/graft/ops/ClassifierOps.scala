@@ -201,9 +201,14 @@ object ClassifierOps {
     // the model's label renames before the cross: a labeled feature
     // relation (the usual train/eval shape) would otherwise make `label`
     // ambiguous in the argmin
+    // same empty-model discipline as [[score]]: checkpoint once, fail
+    // loudly — an empty cross would otherwise silently assign NOTHING
+    val m = model.localCheckpoint()
+    require(!m.isEmpty,
+      "empty nearest-centroid model — was the training input empty?")
     val aggs = min(struct(col("dist_fp").as("d"), col("__clabel").as("l"))).as("m") +:
       carry.map(c => first(col(c)).as(c))
-    feats.join(broadcast(model.select(col("label").as("__clabel"), col("cfp"))), lit(true))
+    feats.join(broadcast(m.select(col("label").as("__clabel"), col("cfp"))), lit(true))
       .withColumn("dist_fp",
         graft.functions.VectorFunctions.graft_l2sq(col("x"), col("cfp")))
       .groupBy(col(idCol))
@@ -220,13 +225,15 @@ object ClassifierOps {
     * `score_fp = ⟨w, x⟩` at [[Scale]]² and `pred = score_fp >= 0`.
     */
   def score(feats: DataFrame, idCol: String, weights: DataFrame): DataFrame = {
-    // fail loudly on an empty model (one-class training input): the
-    // zero-length weight array would otherwise dot to 0 and classify the
-    // ENTIRE corpus positive with no signal. Dimension-sized action —
-    // the bounded planning-time check class.
-    require(!weights.isEmpty,
+    // materialize the (nFeatures-row) model ONCE, then fail loudly on an
+    // empty one (one-class training input): the zero-length weight array
+    // would otherwise dot to 0 and classify the ENTIRE corpus positive
+    // with no signal — and without the checkpoint the emptiness action
+    // would re-run the whole training lineage a second time at execution
+    val w = weights.localCheckpoint()
+    require(!w.isEmpty,
       "empty classifier model — was the training input one-class?")
-    val warr = weights.groupBy()
+    val warr = w.groupBy()
       .agg(DedupOps.bindOnce(sort_array(collect_list(struct(col("j"), col("w_fp"))))) { arr =>
         transform(arr, e => e.getField("w_fp"))
       }.as("warr"))

@@ -1208,9 +1208,10 @@ object TextOps {
     * builds the (word, freq) vocabulary; every EM structure after it —
     * substrings, scores, the DP rounds — is vocabulary-bounded, so corpus
     * growth touches only the word count. Returns
-    * (vocab `(piece, cnt, lp_fp)`, segmentation `(word, freq, pieces,
+    * (vocab `(piece, cnt, lp_fp)`, segmentation `(word, pieces,
     * score_fp)` under the PENULTIMATE scores — the E-step that produced
-    * the final counts).
+    * the final counts; join the word-count relation back for
+    * frequencies, as [[unigramEncodeDocs]] does).
     */
   def unigramTrain(
       docs: DataFrame,
@@ -1319,22 +1320,29 @@ object TextOps {
       scores: DataFrame,
       maxLen: Int): DataFrame = {
     val cand = subs.join(broadcast(scores), "piece").scopedCache()
-    var dp = wc.select(col("word"), lit(0).as("pos"), lit(0L).as("score_fp"),
+    // each round checkpoints ONLY its new position slice; dp is the lazy
+    // union of already-checkpointed slices — re-checkpointing the whole
+    // accumulated union would rewrite round-1 rows maxLen times over
+    var slices = List(wc.select(col("word"), lit(0).as("pos"), lit(0L).as("score_fp"),
       array().cast("array<string>").as("path"))
-      .localCheckpoint()
+      .localCheckpoint())
     for (i <- 1 to maxLen) {
-      val si = cand.filter(col("e") === i).as("c")
-        .join(dp.as("p"), col("c.word") === col("p.word") && col("c.s") === col("p.pos"))
-        .groupBy(col("c.word").as("word"))
+      val dp = slices.reduce(_ unionByName _)
+        .withColumnRenamed("word", "pword")
+        .withColumnRenamed("score_fp", "pscore")
+      val si = cand.filter(col("e") === i)
+        .join(dp, col("word") === col("pword") && col("s") === col("pos"))
+        .groupBy(col("word"))
         .agg(max(struct(
-          (col("p.score_fp") + col("c.lp_fp")).as("score_fp"),
-          col("c.s").as("s"),
-          concat(col("p.path"), array(col("c.piece"))).as("path"))).as("m"))
+          (col("pscore") + col("lp_fp")).as("score_fp"),
+          col("s").as("s"),
+          concat(col("path"), array(col("piece"))).as("path"))).as("m"))
         .select(col("word"), lit(i).as("pos"), col("m.score_fp").as("score_fp"),
           col("m.path").as("path"))
-      dp = dp.unionByName(si).localCheckpoint()
+      slices = slices :+ si.localCheckpoint()
     }
-    dp.filter(col("pos") === length(col("word")))
+    slices.reduce(_ unionByName _)
+      .filter(col("pos") === length(col("word")))
       .select(col("word"), col("path").as("pieces"), col("score_fp"))
   }
 }
