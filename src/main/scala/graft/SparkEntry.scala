@@ -2012,6 +2012,17 @@ object SparkEntry {
   def qUnigramSegment(spark: SparkSession, dir: String): DataFrame =
     TextOps.unigramTrain(Tables.documents(spark, dir), "text")._2
 
+  /** The persisted-tokenizer deployment split for the unigram family
+    * (q_bpe_assign's analog): scores trained on the even-doc half, the
+    * FULL corpus vocabulary segmented under the frozen table — one
+    * Viterbi pass, no EM.
+    */
+  def qUnigramAssign(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (vocab, _) = TextOps.unigramTrain(docs.filter(col("doc_id") % 2 === 0), "text")
+    TextOps.unigramSegmentWith(docs, "text", vocab.select(col("piece"), col("lp_fp")))
+  }
+
   /** Corpus encoding through the trained unigram tokenizer — the same
     * deployment artifact shape as q_bpe_encode (subword ids, counts,
     * ordered-id signature), from the other tokenizer family.
@@ -2468,6 +2479,7 @@ object SparkEntry {
     "q_unigram_vocab"           -> (qUnigramVocab(_, _)),
     "q_unigram_segment"         -> (qUnigramSegment(_, _)),
     "q_unigram_encode"          -> (qUnigramEncode(_, _)),
+    "q_unigram_assign"          -> (qUnigramAssign(_, _)),
     "q_vocab_drift"             -> (qVocabDrift(_, _)),
     "q_vocab_drift_incremental" -> (qVocabDriftIncremental(_, _)),
     "q_textrank"                -> (qTextRank(_, _)),
@@ -3055,7 +3067,7 @@ object SparkEntry {
     * (score DESC, split DESC, path DESC) argmax per word — the mirror of
     * [[graft.ops.TextOps]]' `viterbi` struct max.
     */
-  private def unigramDpCte(k: Int, i: Int): String =
+  private def unigramDpCte(k: String, i: Int): String =
     s"""d${k}_$i AS MATERIALIZED (
        |  SELECT * FROM d${k}_${i - 1}
        |  UNION ALL
@@ -3068,6 +3080,18 @@ object SparkEntry {
        |    FROM cand$k c JOIN d${k}_${i - 1} p ON p.word = c.word AND p.pos = c.s
        |    WHERE c.e = $i) WHERE rn = 1)""".stripMargin
 
+  /** A full unrolled Viterbi block over `words`/`subsRel` under the
+    * `scoresRel` table, tag-namespaced — shared by the EM iterations and
+    * the q_unigram_assign apply leg.
+    */
+  private def unigramViterbiCtes(
+      k: String, words: String, subsRel: String, scoresRel: String, maxWordLen: Int): String =
+    s"""cand$k AS MATERIALIZED (SELECT $subsRel.word, $subsRel.s, $subsRel.e, $subsRel.piece, $scoresRel.lp_fp
+       |           FROM $subsRel JOIN $scoresRel USING (piece)),
+       |d${k}_0 AS MATERIALIZED (SELECT word, 0 AS pos, 0::BIGINT AS score_fp, []::VARCHAR[] AS path FROM $words),
+       |${(1 to maxWordLen).map(unigramDpCte(k, _)).mkString(",\n")},
+       |seg$k AS MATERIALIZED (SELECT word, path, score_fp FROM d${k}_$maxWordLen WHERE pos = length(word))""".stripMargin
+
   /** One hard-EM iteration `k` (scores from counts uc{k-1}, the unrolled
     * Viterbi, and the re-count with the single-char floor) — mirror of
     * [[graft.ops.TextOps.unigramTrainFromWordCounts]]'s loop body.
@@ -3076,11 +3100,7 @@ object SparkEntry {
     s"""us${k - 1} AS MATERIALIZED (SELECT piece,
        |        round(ln(cnt::DOUBLE / (SELECT sum(cnt) FROM uc${k - 1})::DOUBLE) * 1000000.0)::BIGINT AS lp_fp
        |        FROM uc${k - 1}),
-       |cand$k AS MATERIALIZED (SELECT usub.word, usub.s, usub.e, usub.piece, us${k - 1}.lp_fp
-       |           FROM usub JOIN us${k - 1} USING (piece)),
-       |d${k}_0 AS MATERIALIZED (SELECT word, 0 AS pos, 0::BIGINT AS score_fp, []::VARCHAR[] AS path FROM uwc),
-       |${(1 to maxWordLen).map(unigramDpCte(k, _)).mkString(",\n")},
-       |seg$k AS MATERIALIZED (SELECT word, path, score_fp FROM d${k}_$maxWordLen WHERE pos = length(word)),
+       |${unigramViterbiCtes(k.toString, "uwc", "usub", s"us${k - 1}", maxWordLen)},
        |used$k AS MATERIALIZED (SELECT piece, sum(freq)::BIGINT AS cnt
        |           FROM (SELECT word, unnest(path) AS piece FROM seg$k) u
        |           JOIN uwc USING (word) GROUP BY 1),
@@ -3097,10 +3117,12 @@ object SparkEntry {
     * Scala op fails loudly beyond the shared bound, and rounds past the
     * longest word extend nothing on either engine).
     */
-  private val unigramBaseCtes: String =
+  private val unigramBaseCtes: String = unigramBaseCtesWith("TRUE")
+
+  private def unigramBaseCtesWith(docsFilter: String): String =
     raw"""uwc AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM (
        |         SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> '')) AS word
-       |         FROM documents) GROUP BY 1),
+       |         FROM documents WHERE $docsFilter) GROUP BY 1),
        |usub AS MATERIALIZED (SELECT word, c.s AS s, c.e AS e, c.piece AS piece FROM (
        |           SELECT word,
        |                  unnest(flatten([[{'s': s, 'e': s + l, 'piece': substr(word, s + 1, l)}
@@ -3122,6 +3144,30 @@ object SparkEntry {
   private val unigramSegmentOracle: String =
     s"""WITH $unigramBaseCtes
        |SELECT word, path AS pieces, score_fp FROM seg2""".stripMargin
+
+  /** Deployment-split oracle: the full EM trained on the even-doc half
+    * (the parametrized base block), final scores from its uc2 counts,
+    * then ONE tag-`a` Viterbi block over the FULL corpus vocabulary —
+    * mirror of [[graft.ops.TextOps.unigramSegmentWith]]. Words with
+    * untrained characters never reach a complete path and are absent on
+    * both engines.
+    */
+  private val unigramAssignOracle: String =
+    raw"""WITH ${unigramBaseCtesWith("doc_id % 2 = 0")},
+       |usf AS MATERIALIZED (SELECT piece,
+       |       round(ln(cnt::DOUBLE / (SELECT sum(cnt) FROM uc2)::DOUBLE) * 1000000.0)::BIGINT AS lp_fp
+       |       FROM uc2),
+       |wa AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM (
+       |        SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> '')) AS word
+       |        FROM documents) GROUP BY 1),
+       |wsub AS MATERIALIZED (SELECT word, c.s AS s, c.e AS e, c.piece AS piece FROM (
+       |          SELECT word,
+       |                 unnest(flatten([[{'s': s, 'e': s + l, 'piece': substr(word, s + 1, l)}
+       |                                  for l in range(1, least(4, length(word) - s) + 1)]
+       |                                 for s in range(0, length(word))])) AS c
+       |          FROM wa)),
+       |${unigramViterbiCtes("a", "wa", "wsub", "usf", 12)}
+       |SELECT word, path AS pieces, score_fp FROM sega""".stripMargin
 
   /** Corpus encoding through the unigram segmentation — the SHARED
     * [[bpeEncodeSql]] tail over the seg2 relation bridged to the
@@ -4568,6 +4614,7 @@ object SparkEntry {
     "q_unigram_vocab" -> unigramVocabOracle,
     "q_unigram_segment" -> unigramSegmentOracle,
     "q_unigram_encode" -> unigramEncodeOracle,
+    "q_unigram_assign" -> unigramAssignOracle,
     "q_blocklist_screen" ->
       raw"""WITH bl(term, category) AS (VALUES
         |    ('slow', 'performance'), ('crash', 'stability'),

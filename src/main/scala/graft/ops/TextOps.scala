@@ -1237,18 +1237,7 @@ object TextOps {
       .head().getInt(0) // planning-time scalar: the DP round count
     require(maxLen <= maxWordLen,
       s"word of length $maxLen exceeds maxWordLen=$maxWordLen (DP unroll bound)")
-    // all candidate substrings with their positions — (word, s, e, piece),
-    // s 0-based, e exclusive; one narrow projection over the vocabulary
-    val subs = wc.select(
-      col("word"),
-      explode(flatten(transform(
-        sequence(lit(0), length(col("word")) - 1),
-        s => transform(
-          sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - s)),
-          l => struct(s.as("s"), (s + l).as("e"),
-            col("word").substr(s + 1, l).as("piece")))))).as("c"))
-      .select(col("word"), col("c.s"), col("c.e"), col("c.piece"))
-      .scopedCache()
+    val subs = wordSubstrings(wc, maxPieceLen).scopedCache()
     val chars = subs.filter(col("e") - col("s") === 1)
       .select(col("piece")).distinct()
     // init counts: frequency-weighted occurrences (overlapping included)
@@ -1274,6 +1263,28 @@ object TextOps {
     (vocab, segs)
   }
 
+  /** Apply a TRAINED unigram score table to another corpus — the
+    * persisted-tokenizer deployment split ([[bpeSegmentWith]]'s analog):
+    * ONE Viterbi pass over the target corpus's vocabulary under the
+    * frozen `(piece, lp_fp)` scores, no EM. A word containing a character
+    * the trained inventory never saw has no complete segmentation and is
+    * ABSENT from the output (the caller's unseen-word policy decides —
+    * mirrored by the oracle, spec-pinned); otherwise the single-char
+    * floor guarantees coverage.
+    */
+  def unigramSegmentWith(
+      docs: DataFrame,
+      textCol: String,
+      scores: DataFrame,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    val wc = bpeWordCounts(docs, textCol).scopedCache()
+    val maxLen = wc.agg(coalesce(max(length(col("word"))), lit(0))).head().getInt(0)
+    require(maxLen <= maxWordLen,
+      s"word of length $maxLen exceeds maxWordLen=$maxWordLen (DP unroll bound)")
+    viterbi(wc, wordSubstrings(wc, maxPieceLen), scores, maxLen)
+  }
+
   /** Encode the corpus through the trained unigram tokenizer — train
     * ([[unigramTrain]]) then apply the final Viterbi segmentation to every
     * document through the SAME encoding tail as [[bpeEncodeDocs]]
@@ -1294,6 +1305,21 @@ object TextOps {
       segs.join(wc, "word")
         .select(col("word"), col("freq"), col("pieces").as("syms")))
   }
+
+  /** All candidate substrings of a word-count vocabulary with their
+    * positions — (word, s, e, piece), s 0-based, e exclusive, lengths
+    * 1..maxPieceLen; one narrow projection over the vocabulary.
+    */
+  private def wordSubstrings(wc: DataFrame, maxPieceLen: Int): DataFrame =
+    wc.select(
+      col("word"),
+      explode(flatten(transform(
+        sequence(lit(0), length(col("word")) - 1),
+        s => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - s)),
+          l => struct(s.as("s"), (s + l).as("e"),
+            col("word").substr(s + 1, l).as("piece")))))).as("c"))
+      .select(col("word"), col("c.s"), col("c.e"), col("c.piece"))
 
   /** Quantized log-probabilities from a piece count relation — micro-nat
     * BIGINTs via ln on the integer count/total ratio (the [[lmScore]]

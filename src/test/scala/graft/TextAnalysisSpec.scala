@@ -522,6 +522,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(gotSegs.forall { case (w, (path, _)) => path.mkString == w })
   }
 
+  test("unigramSegmentWith: own-corpus apply reproduces training segs; untrained chars drop the word") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val (vocab, trainSegs) = TextOps.unigramTrain(docs, "text")
+    val scores = vocab.select(col("piece"), col("lp_fp"))
+    // applying the trained table to its own corpus = the training E-step
+    val applied = TextOps.unigramSegmentWith(docs, "text", scores)
+      .as[(String, Seq[String], Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val trained = trainSegs
+      .as[(String, Seq[String], Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(applied == trained)
+    // a word with a character the inventory never saw has no complete
+    // segmentation — absent, never wrongly segmented
+    val other = Seq((1L, "table zzqx9")).toDF("doc_id", "text")
+    val seg = TextOps.unigramSegmentWith(other, "text", scores)
+      .as[(String, Seq[String], Long)].collect().map(_._1).toSet
+    assert(seg == Set("table"), s"unexpected segmentation set $seg")
+  }
+
   test("blocklistScreen: totality, thresholds, worst-category tie order") {
     val docs = Seq(
       (1L, "clean words only here"),
