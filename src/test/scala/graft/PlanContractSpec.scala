@@ -183,7 +183,21 @@ class PlanContractSpec extends AnyFunSuite {
     // constraint audit: row checks are single-scan conditional sums (no
     // join at all); uniqueness is one groupBy; the FK joins carry the
     // child pre-aggregated to key cardinality — no cartesian, no BNL
-    Contract("q_constraint_audit", requiredMarkers = Seq()))
+    Contract("q_constraint_audit", requiredMarkers = Seq()),
+    // the fold form must keep the from-scratch suite's posture
+    Contract("q_audit_incremental", requiredMarkers = Seq()),
+    // unigram family: the EM executes eagerly over checkpointed
+    // vocabulary-sized slices, so the visible plans are dimension-scale;
+    // the only BNL is the 1-row score-total cross (scoresFrom), declared
+    Contract("q_unigram_vocab", requiredMarkers = Seq(), allowBroadcastCross = true),
+    Contract("q_unigram_segment", requiredMarkers = Seq(), allowBroadcastCross = true),
+    Contract("q_unigram_assign", requiredMarkers = Seq(), allowBroadcastCross = true),
+    // encode adds the shared BPE encode tail: segmentation + id-table
+    // broadcasts onto the corpus token scan; the one global window ranks
+    // the bounded subword vocabulary — the declared exception
+    Contract("q_unigram_encode",
+      requiredMarkers = Seq("BroadcastHashJoin"),
+      allowBroadcastCross = true, allowGlobalWindow = true))
 
   /** Static plan + logical global windows for one registered query, with
     * AQE off so the physical plan is fully materialized at plan time.
