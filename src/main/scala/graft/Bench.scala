@@ -183,7 +183,12 @@ object Bench {
         // already reported unreliable and its regressed list discarded —
         // re-running most of the suite for it would double the wall-clock
         // for an adjudication nobody reads
-        val confirmed = (if (reliable) ratios.filter(_._2 > 1.5).toSeq else Seq.empty)
+        // every retry's wall-clock is RECORDED in the output (`remeasured`)
+        // whether or not the candidate clears: the committed JSON then
+        // carries the adjudicated second capture next to the noisy first
+        // one, so a transient (a 13.56s first capture that re-measures at
+        // 5.2s) reads true from the artifact alone, with no judge re-run
+        val retried = (if (reliable) ratios.filter(_._2 > 1.5).toSeq else Seq.empty)
           .map { case (name, r) =>
             val t0 = System.nanoTime()
             val ok = try { exhaust(SparkEntry.queries(name)(spark, sfDir)); true }
@@ -193,8 +198,11 @@ object Bench {
             val dt = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache()
             System.gc()
-            (name, if (ok) math.min(r, dt / bq(name)) else r)
-          }.filter(_._2 > 1.5)
+            (name, if (ok) dt else -1.0, if (ok) math.min(r, dt / bq(name)) else r)
+          }
+        val confirmed = retried.collect { case (n, _, r) if r > 1.5 => (n, r) }
+        val remeasured = retried
+          .map { case (n, dt, _) => JsonOut.q(n) + ":" + dt }.mkString("{", ",", "}")
         val regressed = fmt(confirmed)
         val improved = fmt(ratios.filter(_._2 < 1.0 / 1.5).toSeq)
         val bTotal = results.collect {
@@ -203,7 +211,8 @@ object Bench {
         val covered = results.count { case (n, _, ok) => ok && bq.contains(n) }
         s"""{"path":${JsonOut.q(path)},"baseline_total":$bTotal,""" +
           s""""baseline_steal_pct":$bSteal,"covered":$covered,""" +
-          s""""reliable":$reliable,"regressed":$regressed,"improved":$improved}"""
+          s""""reliable":$reliable,"regressed":$regressed,""" +
+          s""""remeasured":$remeasured,"improved":$improved}"""
     }
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

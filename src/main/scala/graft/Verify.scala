@@ -28,6 +28,22 @@ object JsonOut {
   * previous run's parquet behind for the compare to mistake for a pass.
   */
 object Verify {
+  /** The driver-harness CELL CONTRACT: the compare sorts result cells with
+    * pandas, which requires hashable scalars — an array/map/struct column
+    * crashes the sort (`TypeError: unhashable type: numpy.ndarray`) and
+    * reads as a correctness ERR (round 7's q_unigram_segment/assign).
+    * Registered queries therefore emit atomic top-level columns only;
+    * list-shaped results pack to a scalar (`array_join`, the qCoverageMap
+    * convention). Enforced here at dump time AND in OutputContractSpec at
+    * CI time, so the in-repo gate can never pass a query the driver ERRs.
+    */
+  def isAtomic(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.ArrayType => false
+    case _: org.apache.spark.sql.types.MapType => false
+    case _: org.apache.spark.sql.types.StructType => false
+    case _ => true
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional: extra args name specific queries (dev loop); the driver
@@ -56,9 +72,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val bad = df.schema.fields.filterNot(f => isAtomic(f.dataType))
+        require(bad.isEmpty,
+          s"non-atomic output column(s) ${bad.map(f => s"${f.name}: ${f.dataType.simpleString}")
+            .mkString(", ")} — the driver harness cannot hash container cells")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache()

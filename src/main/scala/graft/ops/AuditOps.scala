@@ -131,13 +131,24 @@ object AuditOps {
 
   /** Finalize a rollup-maintained `(check_name, table_name, n, __total)`
     * relation (from [[rowCheckLong]] partials) into the scorecard schema.
+    *
+    * Column bridge, named explicitly because the rollup's names INVERT the
+    * scorecard's: `Analytics.rollupStats` emits `n` = count(rows judged)
+    * and `__total` = sum(value) — and since [[rowCheckLong]]'s value is
+    * the 0/1 `viol`, the rollup's `__total` is the VIOLATION sum while the
+    * scorecard's `total` is the rollup's `n`. The two-step select makes
+    * the swap self-evident so a future caller cannot wire it backwards.
     */
   def scorecardFromRollup(rollup: DataFrame): DataFrame =
     rollup.select(
       col("check_name"), col("table_name"),
-      col("__total").cast("long").as("violations"),
-      col("n").as("total"),
-      (col("__total").cast("long") === 0L).as("pass"))
+      col("__total").cast("long").as("viol_sum"), // sum(viol) — violations
+      col("n").as("rows_judged")) //                count(*)  — rows judged
+      .select(
+        col("check_name"), col("table_name"),
+        col("viol_sum").as("violations"),
+        col("rows_judged").as("total"),
+        (col("viol_sum") === 0L).as("pass"))
 
   /** Fold row-check scorecards from DISJOINT batches of the same table:
     * per (check, table) violation/total sums, pass recomputed on the

@@ -75,6 +75,14 @@ object ClassifierOps {
       label: Column): DataFrame =
     df.select(col(idCol), label.cast("long").as("label"), featureArray(col(textCol)).as("x"))
 
+  /** LABEL-FREE feature projection `(idCol, x)` — the deployment input
+    * shape of [[scoreWith]]: genuinely unlabeled documents featurize here
+    * with no dummy label anywhere. Same single [[featureArray]]
+    * definition, so deployed features can never drift from trained ones.
+    */
+  def featuresUnlabeled(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), featureArray(col(textCol)).as("x"))
+
   /** ONE definition of the feature array for every labeling shape, so the
     * binary and multiclass paths can never drift.
     */
@@ -218,13 +226,20 @@ object ClassifierOps {
           carry.map(col)): _*)
   }
 
-  /** Score a feature relation against frozen `(j, w_fp)` weights — one
-    * broadcast + one codegen'd integer fold per row, no iteration, no
-    * shuffle of features: the full-corpus APPLY leg of the train/apply
-    * split. Output `(idCol, score_fp, pred, is_pos, correct)` with
-    * `score_fp = ⟨w, x⟩` at [[Scale]]² and `pred = score_fp >= 0`.
+  /** LABEL-FREE scoring core: apply frozen `(j, w_fp)` weights to any
+    * `(idCol, x)` feature relation — one broadcast + one codegen'd integer
+    * fold per row, no iteration, no shuffle of features. This is the
+    * deployment surface: genuinely unlabeled documents score here with no
+    * dummy-label fabrication. Output `(idCol, score_fp, pred)` with
+    * `score_fp = ⟨w, x⟩` at [[Scale]]² and `pred = score_fp >= 0`, plus
+    * any `carry` input columns ridden through (the true label for an eval
+    * wrapper, a split tag — the [[nearestCentroidAssign]] convention).
     */
-  def score(feats: DataFrame, idCol: String, weights: DataFrame): DataFrame = {
+  def scoreWith(
+      feats: DataFrame,
+      idCol: String,
+      weights: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     // materialize the (nFeatures-row) model ONCE, then fail loudly on an
     // empty one (one-class training input): the zero-length weight array
     // would otherwise dot to 0 and classify the ENTIRE corpus positive
@@ -238,10 +253,21 @@ object ClassifierOps {
         transform(arr, e => e.getField("w_fp"))
       }.as("warr"))
     feats.join(broadcast(warr), lit(true))
-      .select(col(idCol), col("y"),
-        graft.functions.VectorFunctions.graft_dotfp(col("x"), col("warr")).as("score_fp"))
-      .select(col(idCol), col("score_fp"), (col("score_fp") >= 0L).as("pred"),
-        (col("y") === 1L).as("is_pos"),
-        ((col("score_fp") >= 0L) === (col("y") === 1L)).as("correct"))
+      .select((col(idCol) +:
+        graft.functions.VectorFunctions.graft_dotfp(col("x"), col("warr")).as("score_fp") +:
+        carry.map(col)): _*)
+      .select((col(idCol) +: col("score_fp") +:
+        (col("score_fp") >= 0L).as("pred") +: carry.map(col)): _*)
   }
+
+  /** Labeled EVALUATION wrapper over [[scoreWith]]: scores a `(idCol, y,
+    * x)` relation and adds the truth columns — `(idCol, score_fp, pred,
+    * is_pos, correct)`. The registered queries sit here; deployment on
+    * unlabeled data uses [[scoreWith]] directly.
+    */
+  def score(feats: DataFrame, idCol: String, weights: DataFrame): DataFrame =
+    scoreWith(feats, idCol, weights, carry = Seq("y"))
+      .select(col(idCol), col("score_fp"), col("pred"),
+        (col("y") === 1L).as("is_pos"),
+        (col("pred") === (col("y") === 1L)).as("correct"))
 }

@@ -829,7 +829,11 @@ object TextOps {
       k0: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(runs.nonEmpty, "need at least one run")
-    require(k >= 1 && k0 >= 0, "need k >= 1 and k0 >= 0")
+    // k0 >= 1 keeps the integral division total for any rank >= 0: with
+    // k0 = 0 a (malformed) rank-0 row divides by zero, which Spark's `div`
+    // NULLs silently while DuckDB raises — a cross-engine divergence the
+    // operator's engine-exact contract otherwise rules out
+    require(k >= 1 && k0 >= 1, "need k >= 1 and k0 >= 1")
     val normalized = runs.map(_.select(
       col(qidCol).as("query_id"), col(docCol).as("doc_id"), col(rankCol).as("__rank")))
     val fused = normalized.reduce(_.unionByName(_))
@@ -1204,6 +1208,19 @@ object TextOps {
     * hard-EM form. Words longer than `maxWordLen` fail loudly (the DP and
     * its oracle unroll that many rounds).
     *
+    * OPERATING POLICY for long tokens: `maxWordLen` bounds the DP unroll,
+    * not the corpus — raise it for a long-tailed vocabulary (cost is
+    * linear in the bound: one vocabulary-sized join round per position),
+    * or pre-normalize the corpus so outliers never reach the trainer. On
+    * real web text the outliers are URLs, hex ids and concatenated junk —
+    * exactly what a curation pass upstream (PII scrub, quality filter,
+    * [[tokens]]' whitespace split) should have already handled; the
+    * standard pre-split policy is to break such tokens at punctuation or
+    * truncate them to the bound BEFORE training, which keeps the failure
+    * loud here rather than silently learning pieces of garbage strings.
+    * SentencePiece itself bounds trained pieces the same way
+    * (`max_sentencepiece_length`, default 16).
+    *
     * Scale shape ([[bpeTrain]]'s posture exactly): ONE corpus-sized pass
     * builds the (word, freq) vocabulary; every EM structure after it —
     * substrings, scores, the DP rounds — is vocabulary-bounded, so corpus
@@ -1305,6 +1322,23 @@ object TextOps {
       segs.join(wc, "word")
         .select(col("word"), col("freq"), col("pieces").as("syms")))
   }
+
+  /** [[unigramEncodeDocs]] from an ALREADY-TRAINED segmentation relation
+    * `(word, pieces, score_fp)` — the staged split: the EM artifact is
+    * produced once (and at production scale persisted) and every consumer
+    * derives from it instead of re-running the trainer. Bit-identical to
+    * [[unigramEncodeDocs]] when `segs` came from [[unigramTrain]] over the
+    * same corpus (the word frequencies are re-derived from `docs`, which is
+    * exactly what the self-contained form joins back).
+    */
+  def unigramEncodeFrom(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      segs: DataFrame): DataFrame =
+    encodeFromSegmentation(docs, idCol, textCol,
+      segs.join(bpeWordCounts(docs, textCol), "word")
+        .select(col("word"), col("freq"), col("pieces").as("syms")))
 
   /** All candidate substrings of a word-count vocabulary with their
     * positions — (word, s, e, piece), s 0-based, e exclusive, lengths

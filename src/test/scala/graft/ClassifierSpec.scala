@@ -89,6 +89,26 @@ class ClassifierSpec extends AnyFunSuite {
     assert(both.nonEmpty && both.forall { case (n, h) => n == h })
   }
 
+  test("scoreWith scores genuinely UNLABELED features; the labeled wrapper agrees") {
+    val df = fixture.toDF("id", "pos", "text")
+    val labeled = ClassifierOps.features(df, "id", "text", col("pos"))
+    val w = ClassifierOps.centroidTrain(labeled, "id")
+    // the deployment shape: (id, x) only — no y column anywhere
+    val unlabeled = labeled.select(col("id"), col("x"))
+    val core = ClassifierOps.scoreWith(unlabeled, "id", w)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(core.length == fixture.length)
+    // the eval wrapper's (score_fp, pred) legs are the SAME numbers
+    val evald = ClassifierOps.score(labeled, "id", w)
+      .select(col("id"), col("score_fp"), col("pred"))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(core.sameElements(evald))
+    // and carry rides a per-id-constant column through untouched
+    val carried = ClassifierOps.scoreWith(labeled, "id", w, carry = Seq("y"))
+    assert(carried.columns.toSeq == Seq("id", "score_fp", "pred", "y"))
+    assert(carried.filter(col("y") =!= 1L && col("y") =!= -1L).count() == 0L)
+  }
+
   test("stats fold is lossless: merged batch statistics reproduce the one-shot fit") {
     val df = fixture.toDF("id", "pos", "text")
     val feats = ClassifierOps.features(df, "id", "text", col("pos"))

@@ -197,6 +197,11 @@ class PlanContractSpec extends AnyFunSuite {
     // the bounded subword vocabulary — the declared exception
     Contract("q_unigram_encode",
       requiredMarkers = Seq("BroadcastHashJoin"),
+      allowBroadcastCross = true, allowGlobalWindow = true),
+    // staged family union: inherits the vocab leg's declared score-total
+    // cross and the encode leg's broadcasts + bounded id-ranking window
+    Contract("q_unigram_staged",
+      requiredMarkers = Seq("BroadcastHashJoin"),
       allowBroadcastCross = true, allowGlobalWindow = true))
 
   /** Static plan + logical global windows for one registered query, with

@@ -541,6 +541,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(seg == Set("table"), s"unexpected segmentation set $seg")
   }
 
+  test("unigramEncodeFrom(trained segs) ≡ self-contained unigramEncodeDocs") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val (_, segs) = TextOps.unigramTrain(docs, "text")
+    val staged = TextOps.unigramEncodeFrom(docs, "doc_id", "text", segs)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val oneShot = TextOps.unigramEncodeDocs(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(staged.nonEmpty && staged.sameElements(oneShot))
+  }
+
   test("blocklistScreen: totality, thresholds, worst-category tie order") {
     val docs = Seq(
       (1L, "clean words only here"),
