@@ -2111,6 +2111,36 @@ object SparkEntry {
       .unionByName(encLeg, allowMissingColumns = true)
   }
 
+  /** Tokenizer-selection report: per (family, source) FERTILITY — subwords
+    * per word, the standard metric for choosing between subword trainers —
+    * of BOTH tokenizer families over the same corpus, from their trained
+    * artifacts (the unigram leg reuses the staged [[unigramArtifact]]; the
+    * BPE leg its 10-merge training). Output (family, source, n_docs,
+    * n_words, n_subwords, fertility_fp) with fertility in truncated-div
+    * millionths — engine-exact. Docs whose text yields no tokens have no
+    * encode row and are absent from n_docs (both engines; the data card
+    * covers raw volumes). Scale shape: both encode legs are the
+    * broadcast-join corpus scans of their registered encode queries; the
+    * report adds one source-keyed aggregate each — dimension-sized output.
+    */
+  def qTokenizerReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    def leg(enc: DataFrame, family: String): DataFrame =
+      enc.join(src, "doc_id")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"))
+        .select(lit(family).as("family"), col("source"), col("n_docs"),
+          col("n_words"), col("n_subwords"),
+          expr("n_subwords * 1000000 div n_words").as("fertility_fp"))
+    leg(TextOps.unigramEncodeFrom(docs, "doc_id", "text", unigramArtifact(spark, dir)._2),
+      "unigram")
+      .unionByName(leg(TextOps.bpeEncodeDocs(docs, "doc_id", "text", nMerges = 10), "bpe"))
+  }
+
   /** Blocklist policy screen over the corpus — a fixed categorized term
     * list (three categories present in the vocabulary at different rates
     * plus one absent term, so zero-hit/flag/drop paths all fire),
@@ -2563,6 +2593,7 @@ object SparkEntry {
     "q_unigram_encode"          -> (qUnigramEncode(_, _)),
     "q_unigram_assign"          -> (qUnigramAssign(_, _)),
     "q_unigram_staged"          -> (qUnigramStaged(_, _)),
+    "q_tokenizer_report"        -> (qTokenizerReport(_, _)),
     "q_vocab_drift"             -> (qVocabDrift(_, _)),
     "q_vocab_drift_incremental" -> (qVocabDriftIncremental(_, _)),
     "q_textrank"                -> (qTextRank(_, _)),
@@ -3283,7 +3314,7 @@ object SparkEntry {
        |useg AS (SELECT seg2.word, uwc.freq, seg2.path AS syms
        |         FROM seg2 JOIN uwc USING (word)),
        |${bpeEncodeCtes("useg")},
-       |enc AS ($bpeEncodeSelect)
+       |enc AS (${bpeEncodeSelect()})
        |SELECT 'vocab' AS kind, uc2.piece AS piece, uc2.cnt AS cnt, usf.lp_fp AS score_fp,
        |       NULL::VARCHAR AS word, NULL::VARCHAR AS pieces, NULL::BIGINT AS doc_id,
        |       NULL::BIGINT AS n_words, NULL::BIGINT AS n_subwords, NULL::VARCHAR AS ids_sig
@@ -3295,6 +3326,33 @@ object SparkEntry {
        |UNION ALL
        |SELECT 'encode', NULL, NULL, NULL, NULL, NULL, doc_id, n_words, n_subwords, ids_sig
        |FROM enc""".stripMargin
+
+  /** Tokenizer-report oracle: BOTH families' full training + encode CTE
+    * stacks in one WITH block (the encode tails tag-namespaced `u`/`b`),
+    * each aggregated per source — mirror of [[qTokenizerReport]], so the
+    * hash-match differentially tests unigram EM, BPE merges, both encode
+    * tails AND the report aggregate in one relation.
+    */
+  // lazy: interpolates bpeBaseCtes, a val declared further down the file
+  private lazy val tokenizerReportOracle: String = {
+    def reportLeg(family: String, enc: String): String =
+      s"""SELECT '$family' AS family, d.source, count(*)::BIGINT AS n_docs,
+         |       sum(e.n_words)::BIGINT AS n_words, sum(e.n_subwords)::BIGINT AS n_subwords,
+         |       ((sum(e.n_subwords)::BIGINT * 1000000) // sum(e.n_words)::BIGINT) AS fertility_fp
+         |FROM $enc e JOIN documents d USING (doc_id) GROUP BY 2""".stripMargin
+    s"""WITH $unigramBaseCtes,
+       |useg AS (SELECT seg2.word, uwc.freq, seg2.path AS syms
+       |         FROM seg2 JOIN uwc USING (word)),
+       |${bpeEncodeCtes("useg", "u")},
+       |encu AS (${bpeEncodeSelect("u")}),
+       |$bpeBaseCtes,
+       |${(1 to 10).map(bpeRoundCte).mkString(",\n")},
+       |${bpeEncodeCtes("r10", "b")},
+       |encb AS (${bpeEncodeSelect("b")})
+       |${reportLeg("unigram", "encu")}
+       |UNION ALL
+       |${reportLeg("bpe", "encb")}""".stripMargin
+  }
 
   /** From-scratch constraint-audit suite — shared verbatim by
     * q_constraint_audit and q_audit_incremental: equality of the folded
@@ -3640,32 +3698,35 @@ object SparkEntry {
     * q_bpe_assign (seg = ra10).
     */
   private def bpeEncodeSql(seg: String): String =
-    s"${bpeEncodeCtes(seg)}\n$bpeEncodeSelect"
+    s"${bpeEncodeCtes(seg)}\n${bpeEncodeSelect()}"
 
   /** The encode tail's CTE block alone (no final SELECT) — so oracles that
     * need the per-doc encoding as ONE LEG of a larger union
     * (q_unigram_staged) can wrap [[bpeEncodeSelect]] in their own CTE.
+    * `tag` namespaces the CTE names so TWO encode tails (the two tokenizer
+    * families in q_tokenizer_report) can coexist in one WITH block.
     */
-  private def bpeEncodeCtes(seg: String): String =
-    raw"""vocab AS (SELECT token, sum(freq)::BIGINT AS tc FROM (
+  private def bpeEncodeCtes(seg: String, tag: String = ""): String =
+    raw"""vocab$tag AS (SELECT token, sum(freq)::BIGINT AS tc FROM (
        |            SELECT unnest(syms) AS token, freq FROM $seg) GROUP BY 1),
-       |vid AS (SELECT token, (row_number() OVER (ORDER BY tc DESC, token) - 1)::BIGINT AS tid
-       |        FROM vocab),
-       |dt AS (SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS word FROM (
+       |vid$tag AS (SELECT token, (row_number() OVER (ORDER BY tc DESC, token) - 1)::BIGINT AS tid
+       |        FROM vocab$tag),
+       |dt$tag AS (SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS word FROM (
        |         SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
        |         FROM documents)),
-       |ds AS (SELECT dt.doc_id, dt.pos, generate_subscripts($seg.syms, 1) AS spos,
+       |ds$tag AS (SELECT dt$tag.doc_id, dt$tag.pos, generate_subscripts($seg.syms, 1) AS spos,
        |              unnest($seg.syms) AS token
-       |       FROM dt JOIN $seg ON $seg.word = dt.word),
-       |dj AS (SELECT ds.doc_id, ds.pos, ds.spos, vid.tid FROM ds JOIN vid USING (token))""".stripMargin
+       |       FROM dt$tag JOIN $seg ON $seg.word = dt$tag.word),
+       |dj$tag AS (SELECT ds$tag.doc_id, ds$tag.pos, ds$tag.spos, vid$tag.tid
+       |       FROM ds$tag JOIN vid$tag USING (token))""".stripMargin
 
   // a def (not a val): referenced by oracle vals declared ABOVE it —
   // initialization order would otherwise interpolate null into the SQL
-  private def bpeEncodeSelect: String =
-    """SELECT doc_id, count(CASE WHEN spos = 1 THEN 1 END)::BIGINT AS n_words,
+  private def bpeEncodeSelect(tag: String = ""): String =
+    s"""SELECT doc_id, count(CASE WHEN spos = 1 THEN 1 END)::BIGINT AS n_words,
        |       count(*)::BIGINT AS n_subwords,
        |       md5(string_agg(tid::VARCHAR, ',' ORDER BY pos, spos)) AS ids_sig
-       |FROM dj GROUP BY 1""".stripMargin
+       |FROM dj$tag GROUP BY 1""".stripMargin
 
   private val neardupClustersOracle: String =
     s"""WITH RECURSIVE $neardupClusterCtes,
@@ -4758,6 +4819,7 @@ object SparkEntry {
     "q_unigram_encode" -> unigramEncodeOracle,
     "q_unigram_assign" -> unigramAssignOracle,
     "q_unigram_staged" -> unigramStagedOracle,
+    "q_tokenizer_report" -> tokenizerReportOracle,
     "q_blocklist_screen" ->
       raw"""WITH bl(term, category) AS (VALUES
         |    ('slow', 'performance'), ('crash', 'stability'),

@@ -202,6 +202,12 @@ class PlanContractSpec extends AnyFunSuite {
     // cross and the encode leg's broadcasts + bounded id-ranking window
     Contract("q_unigram_staged",
       requiredMarkers = Seq("BroadcastHashJoin"),
+      allowBroadcastCross = true, allowGlobalWindow = true),
+    // both families' encode tails (broadcast segmentation + id table onto
+    // the corpus scan; bounded subword-vocab id-ranking windows) + one
+    // source-keyed aggregate per family
+    Contract("q_tokenizer_report",
+      requiredMarkers = Seq("BroadcastHashJoin"),
       allowBroadcastCross = true, allowGlobalWindow = true))
 
   /** Static plan + logical global windows for one registered query, with
