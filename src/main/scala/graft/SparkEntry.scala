@@ -1896,30 +1896,54 @@ object SparkEntry {
       dim = 64, m = 8, kSub = 16, k = 5, nLists = 8, nProbe = 4, iters = 2, rerank = 8)
   }
 
+  /** The shared trained-BPE artifact, memoized per (session, corpus dir)
+    * — the [[unigramArtifact]] treatment for the OTHER tokenizer family:
+    * the 10-merge sequential trainer runs once and the merge table, the
+    * induced vocabulary, the corpus encoding and the tokenizer report's
+    * BPE leg all derive from the returned (merges, segmentation) pair.
+    * The segmentation is localCheckpoint-backed and the merge table is a
+    * driver-side list, so reuse replays no merge rounds; results are
+    * bit-identical to per-query training (deterministic trainer, same
+    * corpus), so every oracle is unchanged.
+    */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[(Long, String, String, Long)], DataFrame)]()
+  private def bpeTrainedArtifact(
+      spark: SparkSession, dir: String): (Seq[(Long, String, String, Long)], DataFrame) =
+    bpeMemo.computeIfAbsent((spark, dir),
+      _ => TextOps.bpeArtifact(Tables.documents(spark, dir), "text", nMerges = 10))
+
   /** Greedy BPE merge learning over the corpus vocabulary (10 merges) —
     * the subword-tokenizer training step. Fully deterministic (tie order
     * pinned), so the oracle replays all ten count→argmax→rewrite rounds
-    * as unrolled CTEs and the learned merge table hash-matches.
+    * as unrolled CTEs and the learned merge table hash-matches. Derives
+    * from the shared [[bpeTrainedArtifact]].
     */
-  def qBpeMerges(spark: SparkSession, dir: String): DataFrame =
-    TextOps.bpeTrain(Tables.documents(spark, dir), "text", nMerges = 10)
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTrainedArtifact(spark, dir)._1
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
 
   /** The subword vocabulary after those 10 merges: every symbol with its
     * frequency-weighted occurrence count — the token histogram the
     * trained tokenizer induces on its own training corpus. Shares the
-    * oracle's merge rounds with q_bpe_merges.
+    * oracle's merge rounds with q_bpe_merges and the staged artifact with
+    * the whole family.
     */
   def qBpeVocab(spark: SparkSession, dir: String): DataFrame =
-    TextOps.bpeVocab(Tables.documents(spark, dir), "text", nMerges = 10)
+    TextOps.bpeVocabFrom(bpeTrainedArtifact(spark, dir)._2)
 
   /** The corpus encoded through the learned BPE merges: per-doc
     * word/subword counts and the md5 signature of the frequency-ranked
     * subword-id sequence — the apply-the-tokenizer step, corpus encoded
     * by two broadcast joins against the vocab-sized segmentation and the
-    * bounded id table.
+    * bounded id table. Derives from the shared [[bpeTrainedArtifact]]
+    * segmentation.
     */
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
-    TextOps.bpeEncodeDocs(Tables.documents(spark, dir), "doc_id", "text", nMerges = 10)
+    TextOps.bpeEncodeFrom(
+      Tables.documents(spark, dir), "doc_id", "text", bpeTrainedArtifact(spark, dir)._2)
 
   /** The persisted-tokenizer deployment split: merges trained on the
     * even-doc half only, then the FULL corpus encoded against that fixed
@@ -2138,7 +2162,9 @@ object SparkEntry {
           expr("n_subwords * 1000000 div n_words").as("fertility_fp"))
     leg(TextOps.unigramEncodeFrom(docs, "doc_id", "text", unigramArtifact(spark, dir)._2),
       "unigram")
-      .unionByName(leg(TextOps.bpeEncodeDocs(docs, "doc_id", "text", nMerges = 10), "bpe"))
+      .unionByName(leg(
+        TextOps.bpeEncodeFrom(docs, "doc_id", "text", bpeTrainedArtifact(spark, dir)._2),
+        "bpe"))
   }
 
   /** Blocklist policy screen over the corpus — a fixed categorized term

@@ -1132,9 +1132,38 @@ object TextOps {
     * [[bpeTrain]]'s merges would produce on this corpus.
     */
   def bpeVocab(docs: DataFrame, textCol: String, nMerges: Int): DataFrame =
-    bpeSegment(docs, textCol, nMerges)
+    bpeVocabFrom(bpeSegment(docs, textCol, nMerges))
+
+  /** The induced token histogram from an ALREADY-TRAINED segmentation
+    * relation `(word, freq, syms)` — the staged split's vocab leg.
+    */
+  def bpeVocabFrom(segmentation: DataFrame): DataFrame =
+    segmentation
       .select(explode(col("syms")).as("token"), col("freq"))
       .groupBy(col("token")).agg(sum(col("freq")).as("token_count"))
+
+  /** The full trained-BPE artifact from ONE training run — (merge table,
+    * final `(word, freq, syms)` segmentation), [[unigramTrain]]'s analog
+    * for the staged split: train once (the segmentation is
+    * localCheckpoint-backed, so reuse replays no merge rounds), then
+    * derive the merge table, the induced vocabulary ([[bpeVocabFrom]])
+    * and the corpus encoding ([[bpeEncodeFrom]]) from the one artifact.
+    */
+  def bpeArtifact(
+      docs: DataFrame,
+      textCol: String,
+      nMerges: Int): (Seq[(Long, String, String, Long)], DataFrame) =
+    bpeLoop(bpeWordCounts(docs, textCol), nMerges)
+
+  /** [[bpeEncodeDocs]] from an already-trained `(word, freq, syms)`
+    * segmentation — the staged split's encode leg.
+    */
+  def bpeEncodeFrom(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      segmentation: DataFrame): DataFrame =
+    encodeFromSegmentation(docs, idCol, textCol, segmentation)
 
   /** Encode the CORPUS through the learned merges — the apply-the-
     * tokenizer step, and the shape that matters at 100 TB: the

@@ -541,6 +541,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(seg == Set("table"), s"unexpected segmentation set $seg")
   }
 
+  test("bpeArtifact staged legs ≡ self-contained bpeTrain/bpeVocab/bpeEncodeDocs") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val (merges, seg) = TextOps.bpeArtifact(docs, "text", nMerges = 10)
+    assert(merges.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .exceptAll(TextOps.bpeTrain(docs, "text", nMerges = 10)).isEmpty)
+    assert(TextOps.bpeVocabFrom(seg)
+      .exceptAll(TextOps.bpeVocab(docs, "text", nMerges = 10)).isEmpty)
+    val staged = TextOps.bpeEncodeFrom(docs, "doc_id", "text", seg)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val oneShot = TextOps.bpeEncodeDocs(docs, "doc_id", "text", nMerges = 10)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(staged.nonEmpty && staged.sameElements(oneShot))
+  }
+
   test("unigramEncodeFrom(trained segs) ≡ self-contained unigramEncodeDocs") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val (_, segs) = TextOps.unigramTrain(docs, "text")
