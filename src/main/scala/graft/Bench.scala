@@ -68,6 +68,13 @@ object Bench {
         val names = qs.fieldNames()
         val b = Map.newBuilder[String, Double]
         while (names.hasNext) { val n = names.next(); b += n -> qs.get(n).asDouble() }
+        // artifact-phase timings (present from the first staged-suite
+        // baseline on) fold into the same per-name map — their names
+        // (artifact_*) cannot collide with registered query names
+        Option(root.get("artifacts")).foreach { a =>
+          val an = a.fieldNames()
+          while (an.hasNext) { val n = an.next(); b += n -> a.get(n).asDouble() }
+        }
         val steal = Option(root.get("steal")).flatMap(s => Option(s.get("steal_pct")))
           .map(_.asDouble()).getOrElse(0.0)
         Some((path, b.result(), steal))
@@ -120,9 +127,23 @@ object Bench {
       try { exhaust(fn(spark, warmDir)) } catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
-    // free the warmup pass's dead localCheckpoint blocks before measuring
+    // free the warmup pass's dead localCheckpoint blocks before measuring;
+    // the trained-artifact memos are CLEARED first — they would otherwise
+    // pin the warmup-scale artifacts' checkpoint blocks (strong map
+    // references defeat the ContextCleaner) through the measured run
+    SparkEntry.clearTrainedArtifacts()
     System.gc()
     val (stealBefore, totalBefore) = stealJiffies()
+    // explicit ARTIFACT PHASE (inside the measured/steal window): train
+    // both tokenizer families' shared artifacts for the bench SF and
+    // record each trainer's own wall-clock. The suite is staged — family
+    // queries ride these artifacts, so their per-query numbers are
+    // marginal cost — and this is where trainer cost lives: a trainer
+    // regression is a tracked number here, not a hidden component of
+    // whichever family query sorts first, and the >1.5× retry below stays
+    // work-equivalent for family queries (memo state at retry == memo
+    // state when measured).
+    val artifactTimes = SparkEntry.trainArtifacts(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -146,7 +167,12 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => JsonOut.q(k) }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    // total = artifact phase + query phase: the suite's real wall-clock
+    // (per-query values stay marginal-cost; "artifacts" decomposes)
+    val artifactTotal = artifactTimes.map(_._2).sum
+    val total = results.collect { case (_, v, true) => v }.sum + artifactTotal
+    val artifactsJson = artifactTimes
+      .map { case (k, v) => JsonOut.q(k) + ":" + v }.mkString("{", ",", "}")
     val (stealAfter, totalAfter) = stealJiffies()
     val stealDelta = stealAfter - stealBefore
     val jiffiesDelta = totalAfter - totalBefore
@@ -200,11 +226,23 @@ object Bench {
             System.gc()
             (name, if (ok) dt else -1.0, if (ok) math.min(r, dt / bq(name)) else r)
           }
-        val confirmed = retried.collect { case (n, _, r) if r > 1.5 => (n, r) }
-        val remeasured = retried
+        // the artifact phase adjudicates the same way, with a retry that
+        // clears the memos and re-trains — work-equivalent to the
+        // measured phase by construction
+        val artifactRatios = artifactTimes.collect {
+          case (n, v) if bq.getOrElse(n, 0.0) >= FloorSec => (n, v / bq(n))
+        }
+        val artRetried = (if (reliable) artifactRatios.filter(_._2 > 1.5) else Seq.empty)
+          .map { case (name, r) =>
+            SparkEntry.clearTrainedArtifacts()
+            val dt = SparkEntry.trainArtifacts(spark, sfDir).toMap.getOrElse(name, -1.0)
+            (name, dt, if (dt > 0) math.min(r, dt / bq(name)) else r)
+          }
+        val confirmed = (retried ++ artRetried).collect { case (n, _, r) if r > 1.5 => (n, r) }
+        val remeasured = (retried ++ artRetried)
           .map { case (n, dt, _) => JsonOut.q(n) + ":" + dt }.mkString("{", ",", "}")
         val regressed = fmt(confirmed)
-        val improved = fmt(ratios.filter(_._2 < 1.0 / 1.5).toSeq)
+        val improved = fmt((ratios ++ artifactRatios).filter(_._2 < 1.0 / 1.5).toSeq)
         val bTotal = results.collect {
           case (name, _, true) if bq.contains(name) => bq(name)
         }.sum
@@ -216,6 +254,7 @@ object Bench {
     }
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""artifacts":$artifactsJson,"artifact_total":$artifactTotal,""" +
         s""""failed":$failed,"sf":${JsonOut.q(sfDir)},""" +
         s""""steal":{"before":$stealBefore,"after":$stealAfter,""" +
         s""""delta":$stealDelta,"jiffies_delta":$jiffiesDelta,""" +

@@ -2068,6 +2068,43 @@ object SparkEntry {
     unigramMemo.computeIfAbsent((spark, dir),
       _ => TextOps.unigramTrain(Tables.documents(spark, dir), "text"))
 
+  /** Drop every memoized trained artifact (both tokenizer families).
+    * Harness hook: Bench clears after its warmup pass so the warmup-scale
+    * artifacts' localCheckpoint blocks become collectable (the memo would
+    * otherwise pin them through the measured run), then explicitly
+    * re-trains at the bench scale via [[trainArtifacts]].
+    */
+  def clearTrainedArtifacts(): Unit = {
+    unigramMemo.clear()
+    bpeMemo.clear()
+  }
+
+  /** Train both families' artifacts for `dir` NOW and return each
+    * training's wall-clock — the bench's explicit artifact phase. With the
+    * suite staged (family queries ride the memo), per-query times are
+    * marginal cost GIVEN the artifact; this is where the trainers' own
+    * cost is measured and reported, so a trainer regression shows up as
+    * its own tracked number instead of hiding inside whichever family
+    * query happens to run first — and the >1.5× retry adjudication stays
+    * work-equivalent for every family query (the memo state at retry
+    * matches the measured pass).
+    */
+  def trainArtifacts(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    Seq(
+      "artifact_unigram_train" -> timed { unigramArtifact(spark, dir); () },
+      "artifact_bpe_train" -> timed { bpeTrainedArtifact(spark, dir); () })
+  }
+
+  /** ONE definition of the segmentation cell packing (the scalar-cell
+    * contract: space-joined pieces, mirrored by the oracles'
+    * `coalesce(array_to_string(path, ' '), '')`) — shared by all three
+    * registered projections so they cannot drift from each other.
+    */
+  private def scalarPieces: Column = array_join(col("pieces"), " ").as("pieces")
+
   /** Unigram-LM tokenizer training (SentencePiece-style hard-EM): the
     * learned piece inventory with quantized log-probs after two EM
     * rounds over the corpus vocabulary. Derives from the shared
@@ -2084,7 +2121,7 @@ object SparkEntry {
     */
   def qUnigramSegment(spark: SparkSession, dir: String): DataFrame =
     unigramArtifact(spark, dir)._2
-      .select(col("word"), array_join(col("pieces"), " ").as("pieces"), col("score_fp"))
+      .select(col("word"), scalarPieces, col("score_fp"))
 
   /** The persisted-tokenizer deployment split for the unigram family
     * (q_bpe_assign's analog): scores trained on the even-doc half, the
@@ -2097,7 +2134,7 @@ object SparkEntry {
     val docs = Tables.documents(spark, dir)
     val (vocab, _) = TextOps.unigramTrain(docs.filter(col("doc_id") % 2 === 0), "text")
     TextOps.unigramSegmentWith(docs, "text", vocab.select(col("piece"), col("lp_fp")))
-      .select(col("word"), array_join(col("pieces"), " ").as("pieces"), col("score_fp"))
+      .select(col("word"), scalarPieces, col("score_fp"))
   }
 
   /** Corpus encoding through the trained unigram tokenizer — the same
@@ -2125,7 +2162,7 @@ object SparkEntry {
       lit("vocab").as("kind"), col("piece"), col("cnt"), col("lp_fp").as("score_fp"))
     val segLeg = segs.select(
       lit("segment").as("kind"), col("word"),
-      array_join(col("pieces"), " ").as("pieces"), col("score_fp"))
+      scalarPieces, col("score_fp"))
     val encLeg = TextOps
       .unigramEncodeFrom(Tables.documents(spark, dir), "doc_id", "text", segs)
       .select(lit("encode").as("kind"),

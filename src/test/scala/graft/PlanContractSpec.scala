@@ -180,6 +180,11 @@ class PlanContractSpec extends AnyFunSuite {
     // crosses; scoring is one corpus scan against the broadcast model
     Contract("q_classifier_filter",
       requiredMarkers = Seq("PushedFilters"), allowBroadcastCross = true),
+    // the label-free deployment leg pins the same posture: a dropped
+    // broadcast on the weight-array cross would regress the heaviest
+    // (full-corpus, unlabeled) scoring path to a corpus-sized BNL
+    Contract("q_classifier_apply",
+      requiredMarkers = Seq("PushedFilters"), allowBroadcastCross = true),
     // constraint audit: row checks are single-scan conditional sums (no
     // join at all); uniqueness is one groupBy; the FK joins carry the
     // child pre-aggregated to key cardinality — no cartesian, no BNL
