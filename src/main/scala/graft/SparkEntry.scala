@@ -2090,12 +2090,21 @@ object SparkEntry {
     * matches the measured pass).
     */
   def trainArtifacts(spark: SparkSession, dir: String): Seq[(String, Double)] = {
-    def timed(body: => Unit): Double = {
-      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    // per-artifact fault isolation: one trainer throwing (bad data, OOM)
+    // reports -1 for ITS entry; the other still trains and times, and the
+    // caller's query loop surfaces the broken family's queries
+    // individually — failure honesty without losing the run
+    def timed(name: String)(body: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      try { body; name -> (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[artifacts] $name failed: ${e.getMessage}")
+        name -> -1.0
+      }
     }
     Seq(
-      "artifact_unigram_train" -> timed { unigramArtifact(spark, dir); () },
-      "artifact_bpe_train" -> timed { bpeTrainedArtifact(spark, dir); () })
+      timed("artifact_unigram_train") { unigramArtifact(spark, dir); () },
+      timed("artifact_bpe_train") { bpeTrainedArtifact(spark, dir); () })
   }
 
   /** ONE definition of the segmentation cell packing (the scalar-cell

@@ -44,11 +44,17 @@ class PlanContractSpec extends AnyFunSuite {
     * static physical plan; `allowBroadcastCross`/`allowGlobalWindow`
     * whitelist the two documented bounded exceptions.
     */
+  /** `bnlAtMost` bounds the COUNT of BroadcastNestedLoopJoin operators
+    * when a declared broadcast cross is allowed — a whitelisted plan with
+    * exactly one declared cross fails if a SECOND (accidental) BNL creeps
+    * in, which a bare boolean whitelist could never catch.
+    */
   private case class Contract(
       name: String,
       requiredMarkers: Seq[String],
       allowBroadcastCross: Boolean = false,
-      allowGlobalWindow: Boolean = false)
+      allowGlobalWindow: Boolean = false,
+      bnlAtMost: Int = Int.MaxValue)
 
   private val contracts = Seq(
     // incremental near-dup: the pair-generation stages (where the
@@ -179,12 +185,15 @@ class PlanContractSpec extends AnyFunSuite {
     // the 1-row weight-array and bias relations are the declared bounded
     // crosses; scoring is one corpus scan against the broadcast model
     Contract("q_classifier_filter",
-      requiredMarkers = Seq("PushedFilters"), allowBroadcastCross = true),
-    // the label-free deployment leg pins the same posture: a dropped
-    // broadcast on the weight-array cross would regress the heaviest
-    // (full-corpus, unlabeled) scoring path to a corpus-sized BNL
+      requiredMarkers = Seq("PushedFilters"), allowBroadcastCross = true,
+      bnlAtMost = 1),
+    // the label-free deployment leg pins the same posture as the filter
+    // leg: no cartesian, no global window, AND at most the ONE declared
+    // broadcast cross (the 1-row weight-array build side) — a second BNL
+    // appearing anywhere in the full-corpus scoring path fails the count
     Contract("q_classifier_apply",
-      requiredMarkers = Seq("PushedFilters"), allowBroadcastCross = true),
+      requiredMarkers = Seq("PushedFilters"), allowBroadcastCross = true,
+      bnlAtMost = 1),
     // constraint audit: row checks are single-scan conditional sums (no
     // join at all); uniqueness is one groupBy; the FK joins carry the
     // child pre-aggregated to key cardinality — no cartesian, no BNL
@@ -242,6 +251,12 @@ class PlanContractSpec extends AnyFunSuite {
       if (!c.allowBroadcastCross)
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"${c.name} planned a BroadcastNestedLoopJoin without a declared bounded cross:\n$plan")
+      else {
+        val bnls = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+        assert(bnls <= c.bnlAtMost,
+          s"${c.name} planned $bnls BroadcastNestedLoopJoins — more than the " +
+            s"${c.bnlAtMost} declared bounded cross(es):\n$plan")
+      }
       if (!c.allowGlobalWindow)
         assert(globalWindows.isEmpty,
           s"${c.name} has ${globalWindows.size} unpartitioned Window(s) — single-partition " +
