@@ -937,6 +937,52 @@ object SparkEntry {
         expr("percentile(value, 0.95)").as("p95"),
         count(lit(1)).as("n"))
 
+  /** Sketch geometry of the histogram-quantile pair — pinned once so the
+    * from-scratch and incremental forms (and their shared oracle) can
+    * never disagree on bounds/bins: cents in [0, 50000) (covers the
+    * corpus's 1¢..49,002¢ range), 50 bins, p50/p90/p99.
+    */
+  private val HqLo = 0L
+  private val HqHi = 50000L
+  private val HqBins = 50
+  private val HqPermille = Seq(500, 900, 990)
+
+  /** MERGEABLE histogram-sketch quantiles (p50/p90/p99 per event type):
+    * values quantize to integer cents, one fixed-bounds histogram
+    * aggregate, estimates from the bin-bounded cumulative window — the
+    * quantile path that survives 100 TB (exact per-key percentiles sort
+    * every value; the sketch is one hash aggregate with 50 longs of state
+    * per key, error ≤ one bin = 1000¢). Engine-exact integer arithmetic
+    * throughout, so the sketch replays in the oracle bit-for-bit —
+    * q_value_quantiles remains the small-scale exact form.
+    */
+  def qHistQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    Analytics.quantilesFromCounts(
+      Analytics.histogramFixed(ev, Seq("event_type"), "c", HqLo, HqHi, HqBins),
+      Seq("event_type"), HqPermille, HqLo, HqHi, HqBins)
+  }
+
+  /** Incremental maintenance of the quantile sketch: four disjoint
+    * event-id batches contribute histogram counts, the counts fold, the
+    * estimates derive AFTER the fold — must reproduce q_hist_quantiles
+    * bit-for-bit (shared oracle, the histogram-monoid losslessness
+    * proof, the audit/classifier/BM25 fold discipline applied to
+    * quantiles).
+    */
+  def qHistQuantilesIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+    val batches = (0 until 4).map(m => ev.filter(pmod(col("event_id"), lit(4)) === m))
+    Analytics.quantilesFromCounts(
+      Analytics.mergeHistogramCounts(Seq("event_type"))(
+        batches.map(b =>
+          Analytics.histogramFixed(b, Seq("event_type"), "c", HqLo, HqHi, HqBins)): _*),
+      Seq("event_type"), HqPermille, HqLo, HqHi, HqBins)
+  }
+
   /** Batch form of the stream-stream interval join (same function, no
     * watermark effect): purchases attributed to clicks of the same user
     * within 1 hour.
@@ -2590,6 +2636,8 @@ object SparkEntry {
     "q_temperature_mix"         -> (qTemperatureMix(_, _)),
     "q_quota_sample"            -> (qQuotaSample(_, _)),
     "q_value_quantiles"         -> (qValueQuantiles(_, _)),
+    "q_hist_quantiles"          -> (qHistQuantiles(_, _)),
+    "q_hist_quantiles_incremental" -> (qHistQuantilesIncremental(_, _)),
     "q_outlier_flags"           -> (qOutlierFlags(_, _)),
     "q_funnel"                  -> (qFunnel(_, _)),
     "q_interval_join"           -> (qIntervalJoin(_, _)),
@@ -3800,6 +3848,34 @@ object SparkEntry {
        |       md5(string_agg(tid::VARCHAR, ',' ORDER BY pos, spos)) AS ids_sig
        |FROM dj$tag GROUP BY 1""".stripMargin
 
+  /** Histogram-sketch quantile oracle — mirror of
+    * [[graft.ops.Analytics.histogramFixed]] +
+    * [[graft.ops.Analytics.quantilesFromCounts]] at the pinned geometry
+    * (cents in [0, 50000), 50 bins, p50/p90/p99): integer binning,
+    * per-key bin-cumulative window, smallest bin reaching ⌈N·q/1000⌉,
+    * upper-edge estimate. Shared by both registered forms.
+    */
+  private val histQuantilesOracle: String =
+    """WITH ev AS (SELECT event_type, round(value * 100)::BIGINT AS c FROM events),
+      |h AS (SELECT event_type,
+      |             CASE WHEN c < 0 THEN 0::BIGINT WHEN c >= 50000 THEN 49::BIGINT
+      |                  ELSE (c * 50) // 50000 END AS bin,
+      |             count(*)::BIGINT AS n
+      |      FROM ev WHERE c IS NOT NULL GROUP BY 1, 2),
+      |cum AS (SELECT event_type, bin, n,
+      |               sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+      |               sum(n) OVER (PARTITION BY event_type) AS total
+      |        FROM h),
+      |qq AS (SELECT unnest([500, 900, 990])::BIGINT AS q_permille),
+      |j AS (SELECT cum.event_type, qq.q_permille, cum.bin, cum.total
+      |      FROM cum CROSS JOIN qq
+      |      WHERE cum.cum >= (cum.total * qq.q_permille + 999) // 1000),
+      |s AS (SELECT event_type, q_permille, min(bin) AS bin, min(total) AS n_total
+      |      FROM j GROUP BY 1, 2)
+      |SELECT event_type, q_permille, n_total::BIGINT AS n_total,
+      |       (0 + ((bin + 1) * 50000) // 50)::BIGINT AS est
+      |FROM s""".stripMargin
+
   private val neardupClustersOracle: String =
     s"""WITH RECURSIVE $neardupClusterCtes,
       |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1)
@@ -4378,6 +4454,10 @@ object SparkEntry {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.95) AS p95,
         |       count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    // shared verbatim by the incremental fold — the histogram-monoid
+    // losslessness proof (counts add; estimates derive after the fold)
+    "q_hist_quantiles" -> histQuantilesOracle,
+    "q_hist_quantiles_incremental" -> histQuantilesOracle,
     "q_outlier_flags" ->
       """WITH s AS (SELECT event_type, quantile_cont(value, 0.99) AS p99 FROM events GROUP BY 1)
         |SELECT e.event_id, e.event_type, e.value, s.p99, e.value > s.p99 AS is_outlier

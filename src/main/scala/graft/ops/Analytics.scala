@@ -697,6 +697,79 @@ object Analytics {
         (col("__mn") + (col("bin") + 1).cast("double") * (col("__mx") - col("__mn")) / nBins).as("bin_hi"): _*)
   }
 
+  /** FIXED-bounds equi-width histogram counts `(keys…, bin, n)` — the
+    * MERGEABLE form of [[histogram]]: bounds are caller-pinned instead of
+    * data-driven, so per-batch counts are a true monoid (they add across
+    * disjoint batches via [[mergeHistogramCounts]]) and quantile
+    * estimates derive from the folded counts ([[quantilesFromCounts]]).
+    * This is the 100 TB quantile path: exact per-key quantiles need a
+    * per-key sort of ALL values, while this is one hash aggregate per
+    * batch with nBins-bounded state per key — the classic
+    * histogram-sketch trade (error ≤ one bin width, here (hi−lo)/nBins).
+    * `valueCol` must be integral (quantize upstream — the cents
+    * convention); binning is pure integer arithmetic (`div`), so counts
+    * and estimates are engine-exact. Values outside [lo, hi) clamp into
+    * the edge bins — counted, never dropped (the NULL-conservative
+    * discipline); NULL values are dropped like every count aggregate.
+    */
+  def histogramFixed(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      lo: Long,
+      hi: Long,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1 && hi > lo, "need nBins >= 1 and hi > lo")
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("bin",
+        when(col(valueCol) < lo, lit(0L))
+          .when(col(valueCol) >= hi, lit(nBins - 1L))
+          .otherwise(expr(s"(($valueCol - $lo) * $nBins) div ${hi - lo}")))
+      .groupBy((keys.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Fold [[histogramFixed]] increments from DISJOINT batches (same keys,
+    * same bounds/bins — the caller's pinned sketch geometry).
+    */
+  def mergeHistogramCounts(keys: Seq[String])(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "need at least one counts relation")
+    parts.reduce(_.unionByName(_))
+      .groupBy((keys.map(col) :+ col("bin")): _*)
+      .agg(sum(col("n")).as("n"))
+  }
+
+  /** Per-key quantile estimates from (possibly folded) fixed-bounds
+    * histogram counts: for each requested permille q, the smallest bin
+    * whose cumulative count reaches ⌈N·q/1000⌉, reported as that bin's
+    * UPPER edge (integer arithmetic throughout — the estimate is exact
+    * given the sketch, and the sketch error is one bin width). The
+    * cumulative window is keys-partitioned and nBins-bounded — never a
+    * global sort. Output `(keys…, q_permille, n_total, est)`.
+    */
+  def quantilesFromCounts(
+      hist: DataFrame,
+      keys: Seq[String],
+      qsPermille: Seq[Int],
+      lo: Long,
+      hi: Long,
+      nBins: Int): DataFrame = {
+    require(qsPermille.nonEmpty && qsPermille.forall(q => q >= 1 && q <= 1000),
+      "quantiles are permille values in [1, 1000]")
+    val wCum = Window.partitionBy(keys.map(col): _*).orderBy(col("bin"))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .select((keys.map(col) :+ col("bin") :+ col("cum") :+ col("total") :+
+        explode(array(qsPermille.map(q => lit(q.toLong)): _*)).as("q_permille")): _*)
+      .filter(col("cum") >= expr("(total * q_permille + 999) div 1000"))
+      .groupBy((keys.map(col) :+ col("q_permille")): _*)
+      .agg(min(col("bin")).as("__bin"), min(col("total")).as("n_total"))
+      .select((keys.map(col) :+ col("q_permille") :+ col("n_total") :+
+        expr(s"$lo + ((__bin + 1) * ${hi - lo}) div $nBins").as("est")): _*)
+  }
+
   /** Per-key OLS beta and correlation against the cross-sectional market
     * return, in FIXED POINT: monthly returns quantize to BIGINT
     * basis-point units (×10⁴ — sized so every moment sum fits int64 with

@@ -560,6 +560,48 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: histogram-sketch quantiles — any batch split folds to the one-shot estimates") {
+    import graft.ops.Analytics
+    val (lo, hi, nBins) = (0L, 100L, 10)
+    val qs = Seq(250, 500, 900, 1000)
+    val rowGen: Gen[List[(Long, String, Option[Long])]] = Gen.listOf(
+      for {
+        id <- Gen.choose(0L, 40L)
+        k <- Gen.oneOf("a", "b")
+        // values straddle both clamp edges (negatives and >= hi) and NULL
+        v <- Gen.option(Gen.choose(-20L, 130L))
+      } yield (id, k, v)).suchThat(_.exists(_._3.isDefined))
+    def est(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "q_permille", "n_total", "est")
+        .as[(String, Long, Long, Long)].collect().toSet
+    samples(rowGen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("id", "k", "v")
+      val oneShot = Analytics.quantilesFromCounts(
+        Analytics.histogramFixed(df, Seq("k"), "v", lo, hi, nBins),
+        Seq("k"), qs, lo, hi, nBins)
+      val nBatches = 1 + (rows.size % 3)
+      val batches = (0 until nBatches).map(m => df.filter(pmod(col("id"), lit(nBatches)) === m))
+      val folded = Analytics.quantilesFromCounts(
+        Analytics.mergeHistogramCounts(Seq("k"))(
+          batches.map(Analytics.histogramFixed(_, Seq("k"), "v", lo, hi, nBins)): _*),
+        Seq("k"), qs, lo, hi, nBins)
+      assert(est(folded) == est(oneShot), s"case $i fold")
+      // sketch sanity against the exact quantile: the estimate's bin
+      // contains a value at or above the target rank, so est (the bin's
+      // UPPER edge) is >= the exact q-quantile clamped into [lo, hi]
+      val exact = rows.collect { case (_, k, Some(v)) => (k, math.max(lo, math.min(hi - 1, v))) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      est(oneShot).foreach { case (k, q, n, e) =>
+        val vs = exact(k)
+        assert(n == vs.size, s"case $i count for $k")
+        val target = ((n * q + 999) / 1000).toInt
+        assert(e >= vs(target - 1), s"case $i est $e < exact ${vs(target - 1)} for ($k, $q)")
+        assert(e - vs(target - 1) <= (hi - lo) / nBins, s"case $i error > one bin for ($k, $q)")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("property: rrfFuse is symmetric in run order and exact in fixed point") {
     import graft.ops.TextOps
     val runGen: Gen[List[(Long, Long, Long)]] = Gen.listOf(
