@@ -721,12 +721,25 @@ object Analytics {
       nBins: Int): DataFrame = {
     require(nBins >= 1 && hi > lo, "need nBins >= 1 and hi > lo")
     df.filter(col(valueCol).isNotNull)
-      .withColumn("bin",
-        when(col(valueCol) < lo, lit(0L))
-          .when(col(valueCol) >= hi, lit(nBins - 1L))
-          .otherwise(expr(s"(($valueCol - $lo) * $nBins) div ${hi - lo}")))
+      .withColumn("bin", fixedBin(valueCol, lo, hi, nBins))
       .groupBy((keys.map(col) :+ col("bin")): _*)
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** The ONE fixed-bounds bin expression behind [[histogramFixed]] —
+    * exposed as the STREAMING adapter: bin a micro-batched stream's rows
+    * with it and a [[graft.streaming.Streaming.RollupStream]] over
+    * `(keys…, bin)` maintains the sketch counts (the rollup's `n` IS the
+    * bin count) under the store's existing per-batch-slot/compaction/
+    * replay guarantees — the rowCheckLong precedent applied to quantile
+    * monitoring. Finalize `rollup.current` with [[quantilesFromCounts]]
+    * over `(keys…, bin, n)`.
+    */
+  def fixedBin(valueCol: String, lo: Long, hi: Long, nBins: Int): Column = {
+    require(nBins >= 1 && hi > lo, "need nBins >= 1 and hi > lo")
+    when(col(valueCol) < lo, lit(0L))
+      .when(col(valueCol) >= hi, lit(nBins - 1L))
+      .otherwise(expr(s"(($valueCol - $lo) * $nBins) div ${hi - lo}"))
   }
 
   /** Fold [[histogramFixed]] increments from DISJOINT batches (same keys,

@@ -893,4 +893,40 @@ class JobsStreamingSpec extends AnyFunSuite {
       ("v_positive", 2L, 4L, false),  // -1, and the NULL counts conservatively
       ("v_complete", 1L, 4L, false)))
   }
+
+  test("streaming quantile sketch: RollupStream over fixedBin ≡ one-shot estimates across kill/restart") {
+    import graft.ops.Analytics
+    implicit val sqlCtx = spark.sqlContext
+    val (lo, hi, nBins) = (0L, 100L, 10)
+    val qs = Seq(500, 900)
+    // values straddle both clamp edges across the two batches
+    val b1 = Seq((1L, "a", 5L), (2L, "a", 37L), (3L, "b", -4L), (4L, "a", 62L))
+    val b2 = Seq((5L, "a", 120L), (6L, "b", 41L), (7L, "b", 99L), (8L, "a", 37L))
+    val stream = MemoryStream[(Long, String, Long)]
+    val binned = stream.toDF().toDF("id", "k", "v")
+      .select(col("k"), Analytics.fixedBin("v", lo, hi, nBins).as("bin"), lit(1L).as("one"))
+    val ckpt = Files.createTempDirectory("graft-hq-ckpt").toString
+    val store = Files.createTempDirectory("graft-hq-store").toString + "/hist"
+    val keys = Seq("k", "bin")
+    val roll1 = new Streaming.RollupStream(keys, "one", Some(store))
+    val q1 = roll1.start(binned, ckpt)
+    stream.addData(b1); q1.processAllAvailable(); q1.stop()
+    // kill/restart: the sketch counts rebuild from the per-batch slots
+    val roll2 = new Streaming.RollupStream(keys, "one", Some(store))
+    val q2 = roll2.start(binned, ckpt)
+    stream.addData(b2); q2.processAllAvailable(); q2.stop()
+    def est(hist: DataFrame) =
+      Analytics.quantilesFromCounts(hist, Seq("k"), qs, lo, hi, nBins)
+        .select("k", "q_permille", "n_total", "est")
+        .as[(String, Long, Long, Long)].collect().toSet
+    // the rollup's n IS the per-(k, bin) row count — the sketch statistic
+    val streamed = est(roll2.current.get.select(col("k"), col("bin"), col("n")))
+    val oneShot = est(Analytics.histogramFixed(
+      (b1 ++ b2).toDF("id", "k", "v"), Seq("k"), "v", lo, hi, nBins))
+    assert(streamed == oneShot)
+    // hand check: k=a values {5, 37, 37, 62, 120→clamp bin 9}: n=5,
+    // p50 target rank 3 → 37 in bin 3 → upper edge 40; p90 rank 5 → bin 9 → 100
+    assert(streamed.contains(("a", 500L, 5L, 40L)))
+    assert(streamed.contains(("a", 900L, 5L, 100L)))
+  }
 }
