@@ -28,12 +28,17 @@ class OutputContractSpec extends AnyFunSuite {
     test(s"$name: atomic output columns only (driver-harness cell contract)") {
       val df = fn(spark, TestSpark.sf0001)
       val bad = df.schema.fields.filterNot(f => Verify.isAtomic(f.dataType))
+      val dupes = df.schema.fieldNames.groupBy(identity).collect {
+        case (n, occ) if occ.length > 1 => n
+      }
       spark.catalog.clearCache()
       assert(bad.isEmpty,
         s"$name emits non-atomic column(s) " +
           bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
           " — the driver harness cannot hash container cells; pack to a scalar " +
           "(array_join / signature) and mirror the packing in the oracle")
+      // duplicate names break the same pandas sort path a container cell does
+      assert(dupes.isEmpty, s"$name emits duplicate column name(s): ${dupes.mkString(", ")}")
     }
   }
 

@@ -565,6 +565,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(staged.nonEmpty && staged.sameElements(oneShot))
   }
 
+  test("tokenizer artifacts round-trip through parquet: persisted ≡ in-session") {
+    // the train-once / persist / apply-anywhere split actually exercised
+    // against DISK, pinning the artifact schemas as the contract: the
+    // unigram score table (piece, lp_fp) and the BPE merge table
+    // (merge_rank, left_sym, right_sym, pair_count) written to parquet,
+    // read back in a fresh lineage, and applied — outputs must be
+    // bit-identical to applying the in-session artifacts
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tok-artifacts").toString
+
+    val (vocab, _) = TextOps.unigramTrain(docs, "text")
+    val scores = vocab.select(col("piece"), col("lp_fp"))
+    scores.write.mode("overwrite").parquet(s"$tmp/unigram_scores")
+    val loadedScores = spark.read.parquet(s"$tmp/unigram_scores")
+    def segSet(s: DataFrame) = TextOps.unigramSegmentWith(docs, "text", s)
+      .select(col("word"), array_join(col("pieces"), " ").as("p"), col("score_fp"))
+      .as[(String, String, Long)].collect().toSet
+    assert(segSet(loadedScores) == segSet(scores) && segSet(scores).nonEmpty)
+
+    val merges = TextOps.bpeTrain(docs, "text", nMerges = 10)
+    merges.write.mode("overwrite").parquet(s"$tmp/bpe_merges")
+    val loadedMerges = spark.read.parquet(s"$tmp/bpe_merges")
+      .orderBy("merge_rank")
+      .select(col("left_sym"), col("right_sym"))
+      .as[(String, String)].collect().toSeq
+    def encSet(m: Seq[(String, String)]) =
+      TextOps.bpeEncodeDocsWith(docs, "doc_id", "text", m)
+        .as[(Long, Long, Long, String)].collect().toSet
+    val direct = TextOps.bpeMergeList(docs, "text", nMerges = 10).map(r => (r._2, r._3))
+    assert(encSet(loadedMerges) == encSet(direct) && encSet(direct).nonEmpty)
+  }
+
   test("blocklistScreen: totality, thresholds, worst-category tie order") {
     val docs = Seq(
       (1L, "clean words only here"),
