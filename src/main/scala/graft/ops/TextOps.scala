@@ -1293,7 +1293,7 @@ object TextOps {
     var segs: DataFrame = null
     for (_ <- 1 to emIters) {
       val scores = scoresFrom(counts).localCheckpoint()
-      segs = viterbi(wc, subs, scores, maxLen).localCheckpoint()
+      segs = viterbi(subs, scores).localCheckpoint()
       // M-step: pieces actually used, frequency-weighted; single chars
       // keep a floor count of 1 so coverage never collapses
       val used = segs.join(wc, "word")
@@ -1328,7 +1328,7 @@ object TextOps {
     val maxLen = wc.agg(coalesce(max(length(col("word"))), lit(0))).head().getInt(0)
     require(maxLen <= maxWordLen,
       s"word of length $maxLen exceeds maxWordLen=$maxWordLen (DP unroll bound)")
-    viterbi(wc, wordSubstrings(wc, maxPieceLen), scores, maxLen)
+    viterbi(wordSubstrings(wc, maxPieceLen), scores)
   }
 
   /** Encode the corpus through the trained unigram tokenizer — train
@@ -1403,35 +1403,58 @@ object TextOps {
     * iterative fit in the engine. Output: one row per word at its final
     * position — (word, pieces, score_fp).
     */
-  private def viterbi(
-      wc: DataFrame,
-      subs: DataFrame,
-      scores: DataFrame,
-      maxLen: Int): DataFrame = {
-    val cand = subs.join(broadcast(scores), "piece").scopedCache()
-    // each round checkpoints ONLY its new position slice; dp is the lazy
-    // union of already-checkpointed slices — re-checkpointing the whole
-    // accumulated union would rewrite round-1 rows maxLen times over
-    var slices = List(wc.select(col("word"), lit(0).as("pos"), lit(0L).as("score_fp"),
-      array().cast("array<string>").as("path"))
-      .localCheckpoint())
-    for (i <- 1 to maxLen) {
-      val dp = slices.reduce(_ unionByName _)
-        .withColumnRenamed("word", "pword")
-        .withColumnRenamed("score_fp", "pscore")
-      val si = cand.filter(col("e") === i)
-        .join(dp, col("word") === col("pword") && col("s") === col("pos"))
-        .groupBy(col("word"))
-        .agg(max(struct(
-          (col("pscore") + col("lp_fp")).as("score_fp"),
-          col("s").as("s"),
-          concat(col("path"), array(col("piece"))).as("path"))).as("m"))
-        .select(col("word"), lit(i).as("pos"), col("m.score_fp").as("score_fp"),
-          col("m.path").as("path"))
-      slices = slices :+ si.localCheckpoint()
-    }
-    slices.reduce(_ unionByName _)
-      .filter(col("pos") === length(col("word")))
-      .select(col("word"), col("path").as("pieces"), col("score_fp"))
+  private def viterbi(subs: DataFrame, scores: DataFrame): DataFrame = {
+    // IN-ROW DP (the ewmaFixedPoint/cusum aggregate-lambda idiom): each
+    // word's scored candidate pieces are collected into one array and the
+    // whole best-segmentation DP runs as a single fold over positions
+    // 1..len(word) INSIDE the row — one aggregate + one projection over
+    // the vocabulary, no per-position join rounds. Through round 7 this
+    // was maxLen unrolled join rounds with a localCheckpoint barrier
+    // each; at any corpus scale that is 10-24 sequential scheduler
+    // barriers for relations that are vocabulary-bounded anyway, so the
+    // barriers — not the data — were the entire cost (measured: the
+    // sf0.1 EM spends ~5s on ~20 rounds over a 31-word vocabulary). The
+    // fold is bit-identical: dp(i) takes the max of
+    // struct(score, split, path) over scored pieces ending at i from a
+    // reached split — the same total order (score DESC, split DESC,
+    // path DESC) the join rounds' struct max and the oracle's
+    // row_number() pin.
+    val cand = subs.join(broadcast(scores), "piece")
+    val pieces = cand.groupBy(col("word"))
+      .agg(collect_list(struct(
+        col("s"), col("e"), col("lp_fp"), col("piece"))).as("__ps"))
+    // dp accumulator: one struct per position 0..i — (reached, score_fp,
+    // path); position 0 is the reached empty segmentation
+    val dpInit = array(struct(
+      lit(true).as("reached"),
+      lit(0L).as("score_fp"),
+      array().cast("array<string>").as("path")))
+    def dpFold(ps: Column, len: Column): Column =
+      aggregate(
+        sequence(lit(1), len),
+        dpInit,
+        (acc, i) => {
+          val best = array_max(transform(
+            filter(ps, p =>
+              p.getField("e") === i &&
+                element_at(acc, p.getField("s") + 1).getField("reached")),
+            p => struct(
+              (element_at(acc, p.getField("s") + 1).getField("score_fp") +
+                p.getField("lp_fp")).as("score_fp"),
+              p.getField("s").as("s"),
+              concat(element_at(acc, p.getField("s") + 1).getField("path"),
+                array(p.getField("piece"))).as("path"))))
+          concat(acc, array(struct(
+            best.isNotNull.as("reached"),
+            coalesce(best.getField("score_fp"), lit(0L)).as("score_fp"),
+            coalesce(best.getField("path"),
+              array().cast("array<string>")).as("path"))))
+        })
+    pieces
+      .withColumn("__dp", element_at(dpFold(col("__ps"), length(col("word"))),
+        length(col("word")) + 1))
+      .filter(col("__dp.reached"))
+      .select(col("word"), col("__dp.path").as("pieces"),
+        col("__dp.score_fp").as("score_fp"))
   }
 }
