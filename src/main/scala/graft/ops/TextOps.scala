@@ -1111,11 +1111,16 @@ object TextOps {
     */
   def bpeSegmentWith(
       docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
-    var words = bpeInit(bpeWordCounts(docs, textCol)).localCheckpoint()
-    merges.foreach { case (l, r) =>
-      words = words.withColumn("syms", bpeMergeFold(l, r)(col("syms"))).localCheckpoint()
-    }
-    words
+    // the whole merge list applies in ONE projection: unlike the trainer
+    // (whose round n+1 argmax needs round n's rewrite materialized), the
+    // apply leg knows every merge upfront, so the rewrites nest as
+    // |merges| composed aggregate lambdas over the in-row symbol array —
+    // no per-merge checkpoint barrier, one pass over the vocabulary
+    // (the Viterbi in-row-fold rationale; nesting depth = |merges| is
+    // bounded by the trained artifact, not the corpus)
+    bpeInit(bpeWordCounts(docs, textCol))
+      .withColumn("syms",
+        merges.foldLeft(col("syms")) { case (c, (l, r)) => bpeMergeFold(l, r)(c) })
   }
 
   /** The segmentation after `nMerges` learned merges: `(word, freq,
