@@ -1630,6 +1630,41 @@ object SparkEntry {
       "doc_id", "cluster_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
 
+  /** QUANTIFIED split leakage — the governance metric that justifies
+    * cluster-aware splitting: for the naive per-document hash split and
+    * the cluster-aware split (same fractions, same verified near-dup pair
+    * relation as q_neardup_clusters), the count of pairs whose two
+    * members land in DIFFERENT buckets. The cluster split's leakage is
+    * structurally zero (a pair's endpoints share a connected component,
+    * which is assigned atomically); the hash split's is the measured
+    * train/test contamination a pipeline ships without knowing. Leak rate
+    * in truncated-div millionths of the pair count.
+    */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val hash = SamplingOps
+      .hashSplit(docs.select(col("doc_id")), "doc_id", splits)
+      .select(col("doc_id"), col("bucket"))
+    val clus = SamplingOps.clusterSplit(
+      labeledClusters(docs).withColumnRenamed("id", "doc_id"),
+      "doc_id", "cluster_id", splits)
+      .select(col("doc_id"), col("bucket"))
+    def leak(assign: DataFrame, method: String): DataFrame =
+      pairs
+        .join(assign.select(col("doc_id").as("doc_a"), col("bucket").as("__ba")), "doc_a")
+        .join(assign.select(col("doc_id").as("doc_b"), col("bucket").as("__bb")), "doc_b")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("__ba") =!= col("__bb"), 1L).otherwise(0L)).as("leaked"))
+        .select(lit(method).as("method"), col("n_pairs"), col("leaked"),
+          expr("CASE WHEN n_pairs > 0 THEN (leaked * 1000000) div n_pairs END")
+            .as("leak_rate_fp"))
+    leak(hash, "hash_split").unionByName(leak(clus, "cluster_split"))
+  }
+
   /** Quality-based keeper election per near-dup cluster
     * ([[DedupOps.keeperByScore]]): production curation keeps each family's
     * BEST-quality member, not the accidental minimum id — the labeling is
@@ -2718,6 +2753,7 @@ object SparkEntry {
     "q_vocab_drift_incremental" -> (qVocabDriftIncremental(_, _)),
     "q_textrank"                -> (qTextRank(_, _)),
     "q_cluster_split"           -> (qClusterSplit(_, _)),
+    "q_split_leakage"           -> (qSplitLeakage(_, _)),
     "q_weighted_sample"         -> (qWeightedSample(_, _)),
     "q_quality_rank"            -> (qQualityRank(_, _)),
     "q_vocab_build"             -> (qVocabBuild(_, _)),
@@ -5037,6 +5073,33 @@ object SparkEntry {
         |            WHEN substr(md5(cluster_id::VARCHAR), 1, 4) < 'e666' THEN 'val'
         |            ELSE 'test' END AS bucket
         |FROM labeled""".stripMargin,
+    // straddling-pair counts over the SAME verified pair relation + both
+    // split rules — the cluster leg must come out 0 by construction
+    "q_split_leakage" ->
+      s"""WITH RECURSIVE $neardupClusterCtes,
+        |ha AS (SELECT doc_id,
+        |              CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'cccd' THEN 'train'
+        |                   WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'e666' THEN 'val'
+        |                   ELSE 'test' END AS bucket
+        |       FROM documents),
+        |ca AS (SELECT doc_id,
+        |              CASE WHEN substr(md5(cluster_id::VARCHAR), 1, 4) < 'cccd' THEN 'train'
+        |                   WHEN substr(md5(cluster_id::VARCHAR), 1, 4) < 'e666' THEN 'val'
+        |                   ELSE 'test' END AS bucket
+        |       FROM labeled),
+        |lh AS (SELECT count(*)::BIGINT AS n_pairs,
+        |              coalesce(sum(CASE WHEN a.bucket <> b.bucket THEN 1 ELSE 0 END), 0)::BIGINT AS leaked
+        |       FROM pr JOIN ha a ON a.doc_id = pr.doc_a JOIN ha b ON b.doc_id = pr.doc_b),
+        |lc AS (SELECT count(*)::BIGINT AS n_pairs,
+        |              coalesce(sum(CASE WHEN a.bucket <> b.bucket THEN 1 ELSE 0 END), 0)::BIGINT AS leaked
+        |       FROM pr JOIN ca a ON a.doc_id = pr.doc_a JOIN ca b ON b.doc_id = pr.doc_b)
+        |SELECT 'hash_split' AS method, n_pairs, leaked,
+        |       CASE WHEN n_pairs > 0 THEN (leaked * 1000000) // n_pairs END AS leak_rate_fp
+        |FROM lh
+        |UNION ALL
+        |SELECT 'cluster_split', n_pairs, leaked,
+        |       CASE WHEN n_pairs > 0 THEN (leaked * 1000000) // n_pairs END
+        |FROM lc""".stripMargin,
     "q_textrank" ->
       raw"""WITH t AS (
         |  SELECT regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
