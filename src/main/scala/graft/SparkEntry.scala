@@ -1643,14 +1643,22 @@ object SparkEntry {
   def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    // the pair relation is the query's whole cost — derive it ONCE
+    // (cached, the qCurationManifestStaged discipline) and feed both the
+    // cluster labeling and the two leak legs from it; calling
+    // labeledClusters here would re-generate the pairs a second time
     val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).cache()
+    val labels = docs.select(col("doc_id"))
+      .join(
+        DedupOps.connectedComponents(pairs, "doc_a", "doc_b")
+          .withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
     val hash = SamplingOps
       .hashSplit(docs.select(col("doc_id")), "doc_id", splits)
       .select(col("doc_id"), col("bucket"))
-    val clus = SamplingOps.clusterSplit(
-      labeledClusters(docs).withColumnRenamed("id", "doc_id"),
-      "doc_id", "cluster_id", splits)
+    val clus = SamplingOps.clusterSplit(labels, "doc_id", "cluster_id", splits)
       .select(col("doc_id"), col("bucket"))
     def leak(assign: DataFrame, method: String): DataFrame =
       pairs
