@@ -137,6 +137,10 @@ class PlanContractSpec extends AnyFunSuite {
     // the split boundaries are per-cluster hashes, no global sort
     Contract("q_cluster_split",
       requiredMarkers = Seq("SortMergeJoin", "PushedFilters")),
+    // leakage metric: one cached pair derivation feeds the CC labeling
+    // and both straddle counts; assignments join the pair relation by id
+    Contract("q_split_leakage",
+      requiredMarkers = Seq("PushedFilters")),
     // winnowing fingerprints: df-capped hot-fingerprint relation broadcasts
     Contract("q_winnow_dedup", requiredMarkers = Seq("BroadcastHashJoin")),
     // blocked cosine near-dup: the only BNL is the DECLARED bounded cross
