@@ -1666,7 +1666,10 @@ object SparkEntry {
         .join(assign.select(col("doc_id").as("doc_b"), col("bucket").as("__bb")), "doc_b")
         .agg(
           count(lit(1)).as("n_pairs"),
-          sum(when(col("__ba") =!= col("__bb"), 1L).otherwise(0L)).as("leaked"))
+          // coalesce: sum over ZERO pairs is NULL, the oracle's
+          // coalesce(..., 0) emits 0 — a pair-free corpus must agree
+          coalesce(sum(when(col("__ba") =!= col("__bb"), 1L).otherwise(0L)), lit(0L))
+            .as("leaked"))
         .select(lit(method).as("method"), col("n_pairs"), col("leaked"),
           expr("CASE WHEN n_pairs > 0 THEN (leaked * 1000000) div n_pairs END")
             .as("leak_rate_fp"))

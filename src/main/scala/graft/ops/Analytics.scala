@@ -726,6 +726,16 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Truncating integer division as a Column (Spark `div` ≡ DuckDB `//`,
+    * toward zero) — the Catalyst node directly, since `functions._` has
+    * no spelling and an `expr()` string would re-parse the column name.
+    */
+  private def divTrunc(num: Column, den: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(num),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(den)))
+
   /** The ONE fixed-bounds bin expression behind [[histogramFixed]] —
     * exposed as the STREAMING adapter: bin a micro-batched stream's rows
     * with it and a [[graft.streaming.Streaming.RollupStream]] over
@@ -733,13 +743,16 @@ object Analytics {
     * bin count) under the store's existing per-batch-slot/compaction/
     * replay guarantees — the rowCheckLong precedent applied to quantile
     * monitoring. Finalize `rollup.current` with [[quantilesFromCounts]]
-    * over `(keys…, bin, n)`.
+    * over `(keys…, bin, n)`. A NULL value bins to NULL — filter upstream
+    * (as [[histogramFixed]] does) or rely on [[quantilesFromCounts]]
+    * dropping the NULL-bin group, so the streamed sketch matches the
+    * one-shot form on NULL-bearing data.
     */
   def fixedBin(valueCol: String, lo: Long, hi: Long, nBins: Int): Column = {
     require(nBins >= 1 && hi > lo, "need nBins >= 1 and hi > lo")
     when(col(valueCol) < lo, lit(0L))
       .when(col(valueCol) >= hi, lit(nBins - 1L))
-      .otherwise(expr(s"(($valueCol - $lo) * $nBins) div ${hi - lo}"))
+      .otherwise(divTrunc((col(valueCol) - lit(lo)) * lit(nBins.toLong), lit(hi - lo)))
   }
 
   /** Fold [[histogramFixed]] increments from DISJOINT batches (same keys,
@@ -772,6 +785,10 @@ object Analytics {
     val wCum = Window.partitionBy(keys.map(col): _*).orderBy(col("bin"))
     val wAll = Window.partitionBy(keys.map(col): _*)
     hist
+      // a NULL bin group can only come from a rollup-maintained sketch fed
+      // unfiltered NULL values ([[fixedBin]]); drop it here so streamed
+      // estimates equal the one-shot form, which never counts NULLs
+      .filter(col("bin").isNotNull)
       .withColumn("cum", sum(col("n")).over(wCum))
       .withColumn("total", sum(col("n")).over(wAll))
       .select((keys.map(col) :+ col("bin") :+ col("cum") :+ col("total") :+

@@ -1109,19 +1109,26 @@ object TextOps {
     * fold rewrites over the vocab-sized relation. This is how a persisted
     * tokenizer meets a new corpus.
     */
+  /** How many merge rewrites compose into one projection before the plan
+    * is cut with a checkpoint: unlike the trainer (whose round n+1 argmax
+    * needs round n's rewrite materialized), the apply leg knows every
+    * merge upfront, so rewrites nest as composed aggregate lambdas — but
+    * UNBOUNDED nesting does not survive a real merge list (thousands of
+    * merges in a production BPE artifact): past ~100 composed lambdas
+    * whole-stage codegen degrades and a deep enough tree overflows the
+    * analyzer stack. Chunking keeps expression depth constant while
+    * paying |merges|/chunk barriers instead of |merges|.
+    */
+  private val BpeApplyChunk = 16
+
   def bpeSegmentWith(
-      docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
-    // the whole merge list applies in ONE projection: unlike the trainer
-    // (whose round n+1 argmax needs round n's rewrite materialized), the
-    // apply leg knows every merge upfront, so the rewrites nest as
-    // |merges| composed aggregate lambdas over the in-row symbol array —
-    // no per-merge checkpoint barrier, one pass over the vocabulary
-    // (the Viterbi in-row-fold rationale; nesting depth = |merges| is
-    // bounded by the trained artifact, not the corpus)
-    bpeInit(bpeWordCounts(docs, textCol))
-      .withColumn("syms",
-        merges.foldLeft(col("syms")) { case (c, (l, r)) => bpeMergeFold(l, r)(c) })
-  }
+      docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame =
+    merges.grouped(BpeApplyChunk).foldLeft(
+      bpeInit(bpeWordCounts(docs, textCol)).localCheckpoint()) { (words, chunk) =>
+      words.withColumn("syms",
+        chunk.foldLeft(col("syms")) { case (c, (l, r)) => bpeMergeFold(l, r)(c) })
+        .localCheckpoint()
+    }
 
   /** The segmentation after `nMerges` learned merges: `(word, freq,
     * syms)` — each word's subword sequence under the trained merge table.
@@ -1239,13 +1246,15 @@ object TextOps {
     * Single-character pieces are always retained (floor count 1) so every
     * word stays segmentable; multi-char pieces that a Viterbi round stops
     * using drop out — the pruning step of the real algorithm in its
-    * hard-EM form. Words longer than `maxWordLen` fail loudly (the DP and
-    * its oracle unroll that many rounds).
+    * hard-EM form. Words longer than `maxWordLen` fail loudly — the ORACLE
+    * replays the DP as that many unrolled CTE rounds (the Spark side runs
+    * the whole DP as one in-row fold and has no such limit of its own).
     *
-    * OPERATING POLICY for long tokens: `maxWordLen` bounds the DP unroll,
-    * not the corpus — raise it for a long-tailed vocabulary (cost is
-    * linear in the bound: one vocabulary-sized join round per position),
-    * or pre-normalize the corpus so outliers never reach the trainer. On
+    * OPERATING POLICY for long tokens: `maxWordLen` bounds the ORACLE's
+    * DP replay, not the corpus — raise it for a long-tailed vocabulary
+    * (oracle cost is linear in the bound; the Spark in-row fold is
+    * indifferent), or pre-normalize the corpus so outliers never reach
+    * the trainer. On
     * real web text the outliers are URLs, hex ids and concatenated junk —
     * exactly what a curation pass upstream (PII scrub, quality filter,
     * [[tokens]]' whitespace split) should have already handled; the
@@ -1284,10 +1293,16 @@ object TextOps {
       maxWordLen: Int): (DataFrame, DataFrame) = {
     require(emIters >= 1 && maxPieceLen >= 1, "need emIters >= 1, maxPieceLen >= 1")
     val wc = wc0.scopedCache()
+    // ORACLE-PARITY contract, not a Spark mechanism: the in-row Viterbi
+    // fold handles any word length in one expression, but the oracle
+    // still replays the DP as maxWordLen unrolled CTE rounds — a longer
+    // word would silently fall outside the replayed rounds, so the bound
+    // stays a loud shared precondition (the long-token OPERATING POLICY
+    // in [[unigramTrain]]'s scaladoc explains how to raise or pre-split)
     val maxLen = wc.agg(coalesce(max(length(col("word"))), lit(0)))
-      .head().getInt(0) // planning-time scalar: the DP round count
+      .head().getInt(0) // planning-time scalar
     require(maxLen <= maxWordLen,
-      s"word of length $maxLen exceeds maxWordLen=$maxWordLen (DP unroll bound)")
+      s"word of length $maxLen exceeds maxWordLen=$maxWordLen (shared oracle DP bound)")
     val subs = wordSubstrings(wc, maxPieceLen).scopedCache()
     val chars = subs.filter(col("e") - col("s") === 1)
       .select(col("piece")).distinct()
@@ -1330,9 +1345,11 @@ object TextOps {
       maxPieceLen: Int = 4,
       maxWordLen: Int = 12): DataFrame = {
     val wc = bpeWordCounts(docs, textCol).scopedCache()
+    // same oracle-parity bound as [[unigramTrainFromWordCounts]] — the
+    // Spark fold has no unroll, the replayed oracle rounds do
     val maxLen = wc.agg(coalesce(max(length(col("word"))), lit(0))).head().getInt(0)
     require(maxLen <= maxWordLen,
-      s"word of length $maxLen exceeds maxWordLen=$maxWordLen (DP unroll bound)")
+      s"word of length $maxLen exceeds maxWordLen=$maxWordLen (shared oracle DP bound)")
     viterbi(wordSubstrings(wc, maxPieceLen), scores)
   }
 

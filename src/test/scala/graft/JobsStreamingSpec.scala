@@ -899,10 +899,15 @@ class JobsStreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val (lo, hi, nBins) = (0L, 100L, 10)
     val qs = Seq(500, 900)
-    // values straddle both clamp edges across the two batches
-    val b1 = Seq((1L, "a", 5L), (2L, "a", 37L), (3L, "b", -4L), (4L, "a", 62L))
-    val b2 = Seq((5L, "a", 120L), (6L, "b", 41L), (7L, "b", 99L), (8L, "a", 37L))
-    val stream = MemoryStream[(Long, String, Long)]
+    // values straddle both clamp edges across the two batches, and one
+    // NULL rides along: the rollup counts it under a NULL bin, the
+    // finalize drops that group, so streamed ≡ one-shot (which filters
+    // NULLs at the aggregate) even on NULL-bearing streams
+    val b1 = Seq((1L, "a", Some(5L)), (2L, "a", Some(37L)), (3L, "b", Some(-4L)),
+      (4L, "a", Some(62L)))
+    val b2 = Seq((5L, "a", Some(120L)), (6L, "b", Some(41L)), (7L, "b", Some(99L)),
+      (8L, "a", Some(37L)), (9L, "b", None: Option[Long]))
+    val stream = MemoryStream[(Long, String, Option[Long])]
     val binned = stream.toDF().toDF("id", "k", "v")
       .select(col("k"), Analytics.fixedBin("v", lo, hi, nBins).as("bin"), lit(1L).as("one"))
     val ckpt = Files.createTempDirectory("graft-hq-ckpt").toString
