@@ -560,6 +560,39 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: cluster-aware split leaks ZERO pairs for ANY pair graph") {
+    import graft.ops.{DedupOps, SamplingOps}
+    // the structural claim behind q_split_leakage's cluster leg: a pair's
+    // endpoints share a connected component, components are assigned
+    // atomically, so NO pair can straddle buckets — for any graph, any
+    // fraction vector, including bridge chains and isolated nodes
+    val pairGen: Gen[List[(Long, Long)]] = Gen.listOf(
+      for {
+        a <- Gen.choose(0L, 25L)
+        b <- Gen.choose(0L, 25L) if a != b
+      } yield (math.min(a, b), math.max(a, b))).suchThat(_.nonEmpty)
+    val splits = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    samples(pairGen, 8).zipWithIndex.foreach { case (ps, i) =>
+      val pairs = ps.toDF("doc_a", "doc_b")
+      val docs = (0L to 25L).toDF("doc_id")
+      val labels = docs
+        .join(
+          DedupOps.connectedComponents(pairs, "doc_a", "doc_b")
+            .withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val assign = SamplingOps.clusterSplit(labels, "doc_id", "cluster_id", splits)
+        .select(col("doc_id"), col("bucket"))
+      val straddling = pairs
+        .join(assign.select(col("doc_id").as("doc_a"), col("bucket").as("ba")), "doc_a")
+        .join(assign.select(col("doc_id").as("doc_b"), col("bucket").as("bb")), "doc_b")
+        .filter(col("ba") =!= col("bb"))
+        .count()
+      assert(straddling == 0L, s"case $i: $straddling straddling pairs")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("property: histogram-sketch quantiles — any batch split folds to the one-shot estimates") {
     import graft.ops.Analytics
     val (lo, hi, nBins) = (0L, 100L, 10)
