@@ -964,6 +964,23 @@ object SparkEntry {
       Seq("event_type"), HqPermille, HqLo, HqHi, HqBins)
   }
 
+  /** Per-source QUALITY-DISTRIBUTION drift (the per-domain data-quality
+    * monitor): each source's quality-score histogram vs the corpus-wide
+    * reference as Laplace-smoothed KL contributions per (source, bin) —
+    * micro-nat fixed point over the shared 20-bin [0, 1e6) geometry, so a
+    * source whose quality profile diverges from the corpus reads as a
+    * large positive Σcontrib. Quality doubles are the SAME mirrored
+    * expression q_quality_score hash-matches, quantized once to
+    * millionths; NULL quality (empty text) drops like every count.
+    */
+  def qQualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Analytics.histogramDriftByGroup(
+      docs.select(col("source"),
+        round(TextOps.qualityExpr(col("text")) * lit(1.0e6)).cast("long").as("q_fp")),
+      "source", "q_fp", 0L, 1000000L, 20)
+  }
+
   /** Incremental maintenance of the quantile sketch: four disjoint
     * event-id batches contribute histogram counts, the counts fold, the
     * estimates derive AFTER the fold — must reproduce q_hist_quantiles
@@ -2684,6 +2701,7 @@ object SparkEntry {
     "q_value_quantiles"         -> (qValueQuantiles(_, _)),
     "q_hist_quantiles"          -> (qHistQuantiles(_, _)),
     "q_hist_quantiles_incremental" -> (qHistQuantilesIncremental(_, _)),
+    "q_quality_drift"           -> (qQualityDrift(_, _)),
     "q_outlier_flags"           -> (qOutlierFlags(_, _)),
     "q_funnel"                  -> (qFunnel(_, _)),
     "q_interval_join"           -> (qIntervalJoin(_, _)),
@@ -4505,6 +4523,44 @@ object SparkEntry {
     // losslessness proof (counts add; estimates derive after the fold)
     "q_hist_quantiles" -> histQuantilesOracle,
     "q_hist_quantiles_incremental" -> histQuantilesOracle,
+    // per-source quality-histogram KL vs the corpus reference — the
+    // quality expression is q_quality_score's verbatim, quantized once
+    "q_quality_drift" ->
+      raw"""WITH s AS (
+        |  SELECT source,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::DOUBLE AS n_tokens,
+        |         CASE WHEN length(text) > 0
+        |              THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE END AS punct_ratio,
+        |         CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) > 0
+        |              THEN len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
+        |                / len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::DOUBLE END
+        |           AS stopword_ratio
+        |  FROM documents),
+        |q AS (SELECT source,
+        |             round((0.4 * least(1.0, n_tokens / 100.0)
+        |                    + 0.3 * (1.0 - least(1.0, punct_ratio * 10.0))
+        |                    + 0.3 * least(1.0, stopword_ratio * 5.0)) * 1000000.0)::BIGINT AS q_fp
+        |      FROM s),
+        |b AS (SELECT source,
+        |             CASE WHEN q_fp < 0 THEN 0::BIGINT WHEN q_fp >= 1000000 THEN 19::BIGINT
+        |                  ELSE (q_fp * 20) // 1000000 END AS bin
+        |      FROM q WHERE q_fp IS NOT NULL),
+        |dom AS (SELECT DISTINCT source FROM b),
+        |bins AS (SELECT unnest(range(0, 20))::BIGINT AS bin),
+        |cg AS (SELECT source, bin, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+        |cr AS (SELECT bin, count(*)::BIGINT AS c FROM b GROUP BY 1),
+        |ng AS (SELECT source, count(*)::BIGINT AS n FROM b GROUP BY 1),
+        |dense AS (SELECT dom.source, bins.bin,
+        |                 coalesce(cg.c, 0)::BIGINT AS c_g, coalesce(cr.c, 0)::BIGINT AS c_r
+        |          FROM dom CROSS JOIN bins
+        |          LEFT JOIN cg ON cg.source = dom.source AND cg.bin = bins.bin
+        |          LEFT JOIN cr ON cr.bin = bins.bin)
+        |SELECT d.source, d.bin, d.c_g, d.c_r,
+        |       round(((d.c_g + 1)::DOUBLE / (ng.n + 20)::DOUBLE)
+        |             * ln(((d.c_g + 1)::DOUBLE / (ng.n + 20)::DOUBLE)
+        |                  / ((d.c_r + 1)::DOUBLE / ((SELECT count(*) FROM b) + 20)::DOUBLE))
+        |             * 1000000.0)::BIGINT AS contrib_fp
+        |FROM dense d JOIN ng USING (source)""".stripMargin,
     "q_outlier_flags" ->
       """WITH s AS (SELECT event_type, quantile_cont(value, 0.99) AS p99 FROM events GROUP BY 1)
         |SELECT e.event_id, e.event_type, e.value, s.p99, e.value > s.p99 AS is_outlier

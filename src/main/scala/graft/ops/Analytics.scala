@@ -765,6 +765,53 @@ object Analytics {
       .agg(sum(col("n")).as("n"))
   }
 
+  /** Per-group DISTRIBUTION DRIFT over a fixed-bounds histogram:
+    * KL(group ‖ whole-relation reference) as per-(group, bin) Laplace-
+    * smoothed contributions over the FULL bin domain (zero-count bins
+    * included — the fixed geometry is the smoothing domain, so no union
+    * vocabulary is needed), in the [[graft.ops.TextOps.distributionDrift]]
+    * fixed-point recipe: the contribution pg·ln(pg/pr) quantizes to
+    * BIGINT micro-nats after a fully mirrored double expression on
+    * integer-derived probabilities, so Σcontrib_fp per group is an
+    * order-free integer KL total. The per-domain data-quality monitor:
+    * which sources' metric distributions diverge from the corpus.
+    *
+    * Shape: one binned scan, two count aggregates, the dense domain is
+    * (groups × nBins) — dimension-sized; group totals join back, the
+    * 1-row reference total broadcasts.
+    *
+    * Output: (groupCol, bin, c_g, c_r, contrib_fp).
+    */
+  def histogramDriftByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      lo: Long,
+      hi: Long,
+      nBins: Int): DataFrame = {
+    val binned = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), fixedBin(valueCol, lo, hi, nBins).as("bin"))
+      .scopedCache()
+    val dom = binned.select(col(groupCol)).distinct()
+      .select(col(groupCol), explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"))
+    val cg = binned.groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("__cg"))
+    val cr = binned.groupBy(col("bin")).agg(count(lit(1)).as("__cr"))
+    val ng = binned.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"))
+    val nr = binned.agg(count(lit(1)).as("__nr"))
+    val pg = (col("c_g") + 1).cast("double") / (col("__ng") + nBins).cast("double")
+    val pr = (col("c_r") + 1).cast("double") / (col("__nr") + nBins).cast("double")
+    dom
+      .join(cg, Seq(groupCol, "bin"), "left")
+      .join(cr, Seq("bin"), "left")
+      .select(col(groupCol), col("bin"),
+        coalesce(col("__cg"), lit(0L)).as("c_g"),
+        coalesce(col("__cr"), lit(0L)).as("c_r"))
+      .join(ng, Seq(groupCol))
+      .crossJoin(broadcast(nr))
+      .select(col(groupCol), col("bin"), col("c_g"), col("c_r"),
+        round(pg * log(pg / pr) * lit(1.0e6)).cast("long").as("contrib_fp"))
+  }
+
   /** Per-key quantile estimates from (possibly folded) fixed-bounds
     * histogram counts: for each requested permille q, the smallest bin
     * whose cumulative count reaches ⌈N·q/1000⌉, reported as that bin's
