@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, L2SquaredFp, MinHashSignature, NGramHashes, SimHash64, TopCount, WinnowFingerprints}
+import graft.functions.{CharEntropyStats, DotProduct, L2SquaredFp, MinHashSignature, NGramHashes, SimHash64, TopCount, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for SQL use. Wire with
@@ -59,7 +59,13 @@ object GraftExtensions {
     case _ => throw new IllegalArgumentException("graft_top_count expects exactly 1 argument")
   }
 
+  private def buildCharEntropy(args: Seq[Expression]): Expression = args match {
+    case Seq(t) => CharEntropyStats(t)
+    case _ => throw new IllegalArgumentException("graft_char_entropy expects exactly 1 argument")
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
+    ("graft_char_entropy", buildCharEntropy _, classOf[CharEntropyStats]),
     ("graft_dot", buildDot _, classOf[DotProduct]),
     ("graft_l2sq", buildL2Sq _, classOf[L2SquaredFp]),
     ("graft_ngram_hashes", buildNgramHashes _, classOf[NGramHashes]),

@@ -973,12 +973,40 @@ object SparkEntry {
     * expression q_quality_score hash-matches, quantized once to
     * millionths; NULL quality (empty text) drops like every count.
     */
-  def qQualityDrift(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def qQualityDrift(spark: SparkSession, dir: String): DataFrame =
     Analytics.histogramDriftByGroup(
-      docs.select(col("source"),
-        round(TextOps.qualityExpr(col("text")) * lit(1.0e6)).cast("long").as("q_fp")),
-      "source", "q_fp", 0L, 1000000L, 20)
+      qualityFpBySource(spark, dir), "source", "q_fp", QdLo, QdHi, QdBins)
+
+  /** The quality-drift input relation: per document, its source and the
+    * q_quality_score expression quantized once to millionths — shared by
+    * the one-shot and incremental drift forms so both bin the SAME
+    * fixed-point value under the SAME 20-bin geometry.
+    */
+  private def qualityFpBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      round(TextOps.qualityExpr(col("text")) * lit(1.0e6)).cast("long").as("q_fp"))
+
+  private val QdLo = 0L
+  private val QdHi = 1000000L
+  private val QdBins = 20
+
+  /** Incremental maintenance of the drift monitor: four disjoint doc-id
+    * batches contribute per-(source, bin) histogram counts, the counts
+    * fold, the KL contributions derive AFTER the fold — must reproduce
+    * q_quality_drift bit-for-bit (shared oracle; the histogram-monoid
+    * losslessness discipline applied to drift). The pmod split is total
+    * by the PropertiesSpec convention: pmod covers negative keys,
+    * coalesce routes a NULL key to batch 0.
+    */
+  def qQualityDriftIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = qualityFpBySource(spark, dir)
+    val batches = (0 until 4).map(m =>
+      docs.filter(coalesce(pmod(col("doc_id"), lit(4)), lit(0)) === m))
+    Analytics.driftFromCounts(
+      Analytics.mergeHistogramCounts(Seq("source"))(
+        batches.map(b =>
+          Analytics.histogramFixed(b, Seq("source"), "q_fp", QdLo, QdHi, QdBins)): _*),
+      "source", QdBins)
   }
 
   /** Incremental maintenance of the quantile sketch: four disjoint
@@ -1191,6 +1219,13 @@ object SparkEntry {
   /** Normalized-content fingerprint. */
   def qDocFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprint(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Character-entropy junk signal: per-document char-unigram Shannon
+    * entropy in micro-nat fixed point, flagged below the 2.5-nat policy
+    * threshold — the compression-proxy quality gate, fully in-row.
+    */
+  def qCharEntropy(spark: SparkSession, dir: String): DataFrame =
+    TextOps.charEntropy(Tables.documents(spark, dir), "doc_id", "text")
 
   /** Label of the trained classifier queries: the heuristic
     * [[graft.ops.TextOps.qualityScore]] composite ≥ 0.5 — the "distill a
@@ -2702,6 +2737,7 @@ object SparkEntry {
     "q_hist_quantiles"          -> (qHistQuantiles(_, _)),
     "q_hist_quantiles_incremental" -> (qHistQuantilesIncremental(_, _)),
     "q_quality_drift"           -> (qQualityDrift(_, _)),
+    "q_quality_drift_incremental" -> (qQualityDriftIncremental(_, _)),
     "q_outlier_flags"           -> (qOutlierFlags(_, _)),
     "q_funnel"                  -> (qFunnel(_, _)),
     "q_interval_join"           -> (qIntervalJoin(_, _)),
@@ -2725,6 +2761,7 @@ object SparkEntry {
     "q_classifier_incremental"  -> (qClassifierIncremental(_, _)),
     "q_nearest_centroid"        -> (qNearestCentroid(_, _)),
     "q_doc_fingerprint"         -> (qDocFingerprint(_, _)),
+    "q_char_entropy"            -> (qCharEntropy(_, _)),
     "q_exact_dedup"             -> (qExactDedup(_, _)),
     "q_tfidf_top_terms"         -> (qTfidfTopTerms(_, _)),
     "q_bigram_counts"           -> (qBigramCounts(_, _)),
@@ -3941,6 +3978,50 @@ object SparkEntry {
       |       (0 + ((bin + 1) * 50000) // 50)::BIGINT AS est
       |FROM s""".stripMargin
 
+  /** Per-source quality-histogram KL contributions vs the corpus-wide
+    * reference: the q_quality_score expression verbatim, quantized to
+    * millionths, binned under the fixed 20-bin geometry, then the
+    * Laplace-smoothed per-(source, bin) drift terms in micro-nat fixed
+    * point. Shared by the one-shot and incremental registered forms —
+    * the fold must be invisible in the output.
+    */
+  private val qualityDriftOracle: String =
+    raw"""WITH s AS (
+      |  SELECT source,
+      |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::DOUBLE AS n_tokens,
+      |         CASE WHEN length(text) > 0
+      |              THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE END AS punct_ratio,
+      |         CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) > 0
+      |              THEN len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
+      |                / len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::DOUBLE END
+      |           AS stopword_ratio
+      |  FROM documents),
+      |q AS (SELECT source,
+      |             round((0.4 * least(1.0, n_tokens / 100.0)
+      |                    + 0.3 * (1.0 - least(1.0, punct_ratio * 10.0))
+      |                    + 0.3 * least(1.0, stopword_ratio * 5.0)) * 1000000.0)::BIGINT AS q_fp
+      |      FROM s),
+      |b AS (SELECT source,
+      |             CASE WHEN q_fp < 0 THEN 0::BIGINT WHEN q_fp >= 1000000 THEN 19::BIGINT
+      |                  ELSE (q_fp * 20) // 1000000 END AS bin
+      |      FROM q WHERE q_fp IS NOT NULL),
+      |dom AS (SELECT DISTINCT source FROM b),
+      |bins AS (SELECT unnest(range(0, 20))::BIGINT AS bin),
+      |cg AS (SELECT source, bin, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+      |cr AS (SELECT bin, count(*)::BIGINT AS c FROM b GROUP BY 1),
+      |ng AS (SELECT source, count(*)::BIGINT AS n FROM b GROUP BY 1),
+      |dense AS (SELECT dom.source, bins.bin,
+      |                 coalesce(cg.c, 0)::BIGINT AS c_g, coalesce(cr.c, 0)::BIGINT AS c_r
+      |          FROM dom CROSS JOIN bins
+      |          LEFT JOIN cg ON cg.source = dom.source AND cg.bin = bins.bin
+      |          LEFT JOIN cr ON cr.bin = bins.bin)
+      |SELECT d.source, d.bin, d.c_g, d.c_r,
+      |       round(((d.c_g + 1)::DOUBLE / (ng.n + 20)::DOUBLE)
+      |             * ln(((d.c_g + 1)::DOUBLE / (ng.n + 20)::DOUBLE)
+      |                  / ((d.c_r + 1)::DOUBLE / ((SELECT count(*) FROM b) + 20)::DOUBLE))
+      |             * 1000000.0)::BIGINT AS contrib_fp
+      |FROM dense d JOIN ng USING (source)""".stripMargin
+
   private val neardupClustersOracle: String =
     s"""WITH RECURSIVE $neardupClusterCtes,
       |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1)
@@ -4524,43 +4605,11 @@ object SparkEntry {
     "q_hist_quantiles" -> histQuantilesOracle,
     "q_hist_quantiles_incremental" -> histQuantilesOracle,
     // per-source quality-histogram KL vs the corpus reference — the
-    // quality expression is q_quality_score's verbatim, quantized once
-    "q_quality_drift" ->
-      raw"""WITH s AS (
-        |  SELECT source,
-        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::DOUBLE AS n_tokens,
-        |         CASE WHEN length(text) > 0
-        |              THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE END AS punct_ratio,
-        |         CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) > 0
-        |              THEN len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
-        |                / len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::DOUBLE END
-        |           AS stopword_ratio
-        |  FROM documents),
-        |q AS (SELECT source,
-        |             round((0.4 * least(1.0, n_tokens / 100.0)
-        |                    + 0.3 * (1.0 - least(1.0, punct_ratio * 10.0))
-        |                    + 0.3 * least(1.0, stopword_ratio * 5.0)) * 1000000.0)::BIGINT AS q_fp
-        |      FROM s),
-        |b AS (SELECT source,
-        |             CASE WHEN q_fp < 0 THEN 0::BIGINT WHEN q_fp >= 1000000 THEN 19::BIGINT
-        |                  ELSE (q_fp * 20) // 1000000 END AS bin
-        |      FROM q WHERE q_fp IS NOT NULL),
-        |dom AS (SELECT DISTINCT source FROM b),
-        |bins AS (SELECT unnest(range(0, 20))::BIGINT AS bin),
-        |cg AS (SELECT source, bin, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
-        |cr AS (SELECT bin, count(*)::BIGINT AS c FROM b GROUP BY 1),
-        |ng AS (SELECT source, count(*)::BIGINT AS n FROM b GROUP BY 1),
-        |dense AS (SELECT dom.source, bins.bin,
-        |                 coalesce(cg.c, 0)::BIGINT AS c_g, coalesce(cr.c, 0)::BIGINT AS c_r
-        |          FROM dom CROSS JOIN bins
-        |          LEFT JOIN cg ON cg.source = dom.source AND cg.bin = bins.bin
-        |          LEFT JOIN cr ON cr.bin = bins.bin)
-        |SELECT d.source, d.bin, d.c_g, d.c_r,
-        |       round(((d.c_g + 1)::DOUBLE / (ng.n + 20)::DOUBLE)
-        |             * ln(((d.c_g + 1)::DOUBLE / (ng.n + 20)::DOUBLE)
-        |                  / ((d.c_r + 1)::DOUBLE / ((SELECT count(*) FROM b) + 20)::DOUBLE))
-        |             * 1000000.0)::BIGINT AS contrib_fp
-        |FROM dense d JOIN ng USING (source)""".stripMargin,
+    // quality expression is q_quality_score's verbatim, quantized once;
+    // SHARED with the incremental form (counts fold, contributions
+    // derive after — the histogram-monoid losslessness proof for drift)
+    "q_quality_drift" -> qualityDriftOracle,
+    "q_quality_drift_incremental" -> qualityDriftOracle,
     "q_outlier_flags" ->
       """WITH s AS (SELECT event_type, quantile_cont(value, 0.99) AS p99 FROM events GROUP BY 1)
         |SELECT e.event_id, e.event_type, e.value, s.p99, e.value > s.p99 AS is_outlier
@@ -4707,6 +4756,26 @@ object SparkEntry {
     "q_exact_dedup" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS n_dupes
         |FROM documents GROUP BY 1""".stripMargin,
+    // char-unigram entropy in micro-nats: per-(doc, char) counts round
+    // c·ln(c)·1e6 to BIGINT BEFORE summing (longs cross rows, doubles
+    // never), then H = ln(n) − Σ/n with truncating division — the exact
+    // integer identity the in-row Spark fold computes
+    "q_char_entropy" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+        |pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM d),
+        |ch AS (SELECT doc_id, substr(text, i::INTEGER, 1) AS ch FROM pos),
+        |c AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+        |agg AS (SELECT doc_id,
+        |               sum(c)::BIGINT AS n_chars_seen,
+        |               count(*)::BIGINT AS n_unique_chars,
+        |               sum(round(c::DOUBLE * ln(c::DOUBLE) * 1000000.0)::BIGINT)::BIGINT AS sum_fp
+        |        FROM c GROUP BY 1)
+        |SELECT doc_id, n_chars_seen, n_unique_chars,
+        |       round(ln(n_chars_seen::DOUBLE) * 1000000.0)::BIGINT - sum_fp // n_chars_seen
+        |         AS entropy_fp,
+        |       (round(ln(n_chars_seen::DOUBLE) * 1000000.0)::BIGINT - sum_fp // n_chars_seen)
+        |         < 2500000 AS is_low_entropy
+        |FROM agg""".stripMargin,
     "q_tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -776,9 +776,15 @@ object Analytics {
     * order-free integer KL total. The per-domain data-quality monitor:
     * which sources' metric distributions diverge from the corpus.
     *
-    * Shape: one binned scan, two count aggregates, the dense domain is
-    * (groups × nBins) — dimension-sized; group totals join back, the
-    * 1-row reference total broadcasts.
+    * Shape: ONE binned scan ([[histogramFixed]]); everything else —
+    * reference counts, group totals, the dense (groups × nBins) domain —
+    * derives from the dimension-sized counts relation via
+    * [[driftFromCounts]]. Because the derive phase consumes only the
+    * histogram-monoid counts, the incremental form is free: fold
+    * per-batch [[histogramFixed]] increments with
+    * [[mergeHistogramCounts]] and derive AFTER the fold, and the
+    * streaming form is a [[graft.streaming.Streaming.RollupStream]] over
+    * `(group, bin)` finalized the same way.
     *
     * Output: (groupCol, bin, c_g, c_r, contrib_fp).
     */
@@ -788,16 +794,28 @@ object Analytics {
       valueCol: String,
       lo: Long,
       hi: Long,
-      nBins: Int): DataFrame = {
-    val binned = df.filter(col(valueCol).isNotNull)
-      .select(col(groupCol), fixedBin(valueCol, lo, hi, nBins).as("bin"))
+      nBins: Int): DataFrame =
+    driftFromCounts(
+      histogramFixed(df, Seq(groupCol), valueCol, lo, hi, nBins), groupCol, nBins)
+
+  /** The DERIVE phase of [[histogramDriftByGroup]], over an already-built
+    * `(groupCol, bin, n)` counts relation (one [[histogramFixed]] batch,
+    * a [[mergeHistogramCounts]] fold, or a RollupStream's `current`).
+    * Counts are the monoid; contributions derive here, after any fold —
+    * the audit/classifier/quantile discipline applied to drift. A NULL
+    * bin group (a rollup fed unfiltered NULL values) is dropped, matching
+    * the one-shot form's NULL filter. All inputs to the mirrored double
+    * expression are exact longs, so the fold cannot perturb the output.
+    */
+  def driftFromCounts(counts: DataFrame, groupCol: String, nBins: Int): DataFrame = {
+    val cg = counts.filter(col("bin").isNotNull)
+      .select(col(groupCol), col("bin"), col("n").cast("long").as("__cg"))
       .scopedCache()
-    val dom = binned.select(col(groupCol)).distinct()
+    val dom = cg.select(col(groupCol)).distinct()
       .select(col(groupCol), explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"))
-    val cg = binned.groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("__cg"))
-    val cr = binned.groupBy(col("bin")).agg(count(lit(1)).as("__cr"))
-    val ng = binned.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"))
-    val nr = binned.agg(count(lit(1)).as("__nr"))
+    val cr = cg.groupBy(col("bin")).agg(sum(col("__cg")).as("__cr"))
+    val ng = cg.groupBy(col(groupCol)).agg(sum(col("__cg")).as("__ng"))
+    val nr = cg.agg(sum(col("__cg")).as("__nr"))
     val pg = (col("c_g") + 1).cast("double") / (col("__ng") + nBins).cast("double")
     val pr = (col("c_r") + 1).cast("double") / (col("__nr") + nBins).cast("double")
     dom

@@ -162,6 +162,83 @@ object TextOps {
       length(norm).cast("long").as("norm_len"))
   }
 
+  /** Per-document character-unigram Shannon entropy — the compression-
+    * ratio PROXY quality signal (cf. the reference's quality gates;
+    * zlib-style ratios need a codec, char entropy needs only counts):
+    * low-entropy documents are repeated-boilerplate/padding junk, and the
+    * signal is orthogonal to the token-ratio features in [[qualityExpr]].
+    *
+    * Entirely IN-ROW — zero shuffle, the 100 TB shape. The default path
+    * is the native [[graft.functions.CharEntropyStats]] kernel: ONE
+    * O(L) codepoint pass per row with an alphabet-sized count map,
+    * inside whole-stage codegen. `native = false` keeps the HOF
+    * reference form (sort the char array, fold run lengths) — O(L log L)
+    * with interpreted lambdas, differential-pinned ≡ native in
+    * TextAnalysisSpec. Both accumulate Σ round(c·ln c·1e6) as a LONG
+    * (order-free, so map iteration vs sorted runs cannot diverge) and
+    * the identity H = ln n − (Σ c·ln c)/n then derives in micro-nat
+    * fixed point with truncating division — every step mirrored by the
+    * oracle on the same exact integers, so the entropy replays
+    * engine-exact (the distributionDrift ln-fixed-point recipe applied
+    * per row).
+    *
+    * Empty/NULL documents drop (no distribution to measure). The
+    * `lowFp` policy threshold flags candidates for the junk filter;
+    * 2.5 nats ≈ 3.6 bits sits well under natural-language char entropy
+    * (~4.1–4.8 bits across this corpus's languages) and above
+    * repeated-template boilerplate.
+    *
+    * Output: (idCol, n_chars_seen, n_unique_chars, entropy_fp,
+    * is_low_entropy).
+    */
+  def charEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lowFp: Long = 2500000L,
+      native: Boolean = true): DataFrame = {
+    val base = df.filter(length(col(textCol)) > 0)
+    val stats =
+      if (native)
+        base.select(col(idCol),
+          graft.functions.EntropyFunctions.graft_char_entropy(col(textCol)).as("__s"))
+          .select(col(idCol),
+            col("__s").getField("n_chars").as("n_chars_seen"),
+            col("__s").getField("n_unique").as("n_unique_chars"),
+            col("__s").getField("sum_fp").as("__sum_fp"))
+      else {
+        // c·ln(c)·1e6 as a LONG; ln(0) is NULL in Spark — guard the empty run
+        def runFp(r: Column): Column =
+          when(r > 0, round(r.cast("double") * log(r.cast("double")) * lit(1.0e6)).cast("long"))
+            .otherwise(lit(0L))
+        val folded = aggregate(
+          col("__chars"),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("sum_fp")),
+          (acc, ch) => {
+            val same = ch === acc.getField("prev")
+            struct(
+              ch.as("prev"),
+              when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+              when(same, acc.getField("sum_fp"))
+                .otherwise(acc.getField("sum_fp") + runFp(acc.getField("run"))).as("sum_fp"))
+          },
+          acc => acc.getField("sum_fp") + runFp(acc.getField("run")))
+        base
+          // the BPE char-split idiom: split("") emits a trailing "", filter it
+          .select(col(idCol),
+            array_sort(filter(split(col(textCol), ""), c => c =!= "")).as("__chars"))
+          .select(col(idCol),
+            size(col("__chars")).cast("long").as("n_chars_seen"),
+            size(array_distinct(col("__chars"))).cast("long").as("n_unique_chars"),
+            folded.as("__sum_fp"))
+      }
+    stats
+      .select(col(idCol), col("n_chars_seen"), col("n_unique_chars"),
+        (round(log(col("n_chars_seen").cast("double")) * lit(1.0e6)).cast("long") -
+          expr("__sum_fp div n_chars_seen")).as("entropy_fp"))
+      .withColumn("is_low_entropy", col("entropy_fp") < lit(lowFp))
+  }
+
   /** Top-k distinctive terms per document, TF-IDF style but with an
     * integer-safe ranking (tf DESC, then document-frequency ASC, then term) —
     * rarer terms win ties, exactly the tf·idf ordering for equal tf, without

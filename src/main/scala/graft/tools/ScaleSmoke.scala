@@ -21,7 +21,8 @@ object ScaleSmoke {
     val only = args.toSet
     val known =
       Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix",
-        "editdist", "kmeans", "incr", "incrstore", "knncross", "bpe", "govern", "staged")
+        "editdist", "kmeans", "incr", "incrstore", "knncross", "bpe", "govern", "staged",
+        "entropy")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -683,6 +684,26 @@ object ScaleSmoke {
     // ---- governance family: classifier fit/score, data card, blocklist —
     // all designed as one-or-two-pass aggregates, so wall time must track
     // the corpus linearly (no pairing, no iteration) ----
+    // native one-pass char-entropy kernel vs the sort+fold HOF reference:
+    // both corpus-linear (per-row work only — no shuffle to misbehave),
+    // the kernel wins the constant factor and the gap must not grow with K
+    if (want("entropy")) println("entropy: k,docs,op,seconds,low_flagged")
+    (if (want("entropy")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
+      val corpus = copyK(k).cache()
+      val n = corpus.count()
+      Seq(
+        ("char_entropy_native", () => graft.ops.TextOps.charEntropy(
+          corpus, "doc_id", "text").filter(col("is_low_entropy")).count()),
+        ("char_entropy_hof", () => graft.ops.TextOps.charEntropy(
+          corpus, "doc_id", "text", native = false).filter(col("is_low_entropy")).count())
+      ).foreach { case (name, f) =>
+        val t0 = System.nanoTime()
+        val out = f()
+        println(s"$k,$n,$name,${(System.nanoTime() - t0) / 1e9},$out")
+      }
+      corpus.unpersist()
+    }
+
     if (want("govern")) println("govern: k,docs,op,seconds,out")
     (if (want("govern")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
       val corpus = copyK(k).withColumn("source",

@@ -934,4 +934,43 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(streamed.contains(("a", 500L, 5L, 40L)))
     assert(streamed.contains(("a", 900L, 5L, 100L)))
   }
+
+  test("streaming drift monitor: RollupStream over fixedBin ≡ one-shot contributions across kill/restart") {
+    import graft.ops.Analytics
+    implicit val sqlCtx = spark.sqlContext
+    val (lo, hi, nBins) = (0L, 100L, 10)
+    // per-source metric values straddling both clamp edges, plus a NULL:
+    // the rollup counts it under a NULL bin, driftFromCounts drops that
+    // group, so streamed ≡ one-shot (which filters NULLs at the histogram)
+    val b1 = Seq((1L, "web", Some(5L)), (2L, "web", Some(37L)), (3L, "books", Some(-4L)),
+      (4L, "web", Some(62L)))
+    val b2 = Seq((5L, "web", Some(120L)), (6L, "books", Some(41L)), (7L, "books", Some(99L)),
+      (8L, "web", Some(37L)), (9L, "books", None: Option[Long]))
+    val stream = MemoryStream[(Long, String, Option[Long])]
+    val binned = stream.toDF().toDF("id", "g", "v")
+      .select(col("g"), Analytics.fixedBin("v", lo, hi, nBins).as("bin"), lit(1L).as("one"))
+    val ckpt = Files.createTempDirectory("graft-hd-ckpt").toString
+    val store = Files.createTempDirectory("graft-hd-store").toString + "/hist"
+    val keys = Seq("g", "bin")
+    val roll1 = new Streaming.RollupStream(keys, "one", Some(store))
+    val q1 = roll1.start(binned, ckpt)
+    stream.addData(b1); q1.processAllAvailable(); q1.stop()
+    // kill/restart: the drift counts rebuild from the per-batch slots
+    val roll2 = new Streaming.RollupStream(keys, "one", Some(store))
+    val q2 = roll2.start(binned, ckpt)
+    stream.addData(b2); q2.processAllAvailable(); q2.stop()
+    def drift(d: DataFrame) =
+      d.select("g", "bin", "c_g", "c_r", "contrib_fp")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    // the rollup's n IS the per-(g, bin) count — the drift monoid state
+    val streamed = drift(Analytics.driftFromCounts(
+      roll2.current.get.select(col("g"), col("bin"), col("n")), "g", nBins))
+    val oneShot = drift(Analytics.histogramDriftByGroup(
+      (b1 ++ b2).toDF("id", "g", "v"), "g", "v", lo, hi, nBins))
+    assert(streamed == oneShot)
+    // hand check: web counted 5 of 8 values, books 3; web's clamp-in bin 0
+    // holds one value (the 5); both groups densify to the full bin domain
+    assert(streamed.size == 2 * nBins)
+    assert(streamed.exists(r => r._1 == "web" && r._2 == 0L && r._3 == 1L && r._4 == 2L))
+  }
 }

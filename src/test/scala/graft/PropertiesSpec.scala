@@ -635,6 +635,74 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: histogram drift — any batch split folds to the one-shot contributions") {
+    import graft.ops.Analytics
+    val (lo, hi, nBins) = (0L, 100L, 10)
+    val rowGen: Gen[List[(Long, String, Option[Long])]] = Gen.listOf(
+      for {
+        id <- Gen.choose(0L, 40L)
+        g <- Gen.oneOf("web", "books", "code")
+        // values straddle both clamp edges (negatives and >= hi) and NULL
+        v <- Gen.option(Gen.choose(-20L, 130L))
+      } yield (id, g, v)).suchThat(_.exists(_._3.isDefined))
+    def drift(d: org.apache.spark.sql.DataFrame) =
+      d.select("g", "bin", "c_g", "c_r", "contrib_fp")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    samples(rowGen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("id", "g", "v")
+      val oneShot = Analytics.histogramDriftByGroup(df, "g", "v", lo, hi, nBins)
+      val nBatches = 1 + (rows.size % 3)
+      val batches = (0 until nBatches).map(m => df.filter(pmod(col("id"), lit(nBatches)) === m))
+      val folded = Analytics.driftFromCounts(
+        Analytics.mergeHistogramCounts(Seq("g"))(
+          batches.map(Analytics.histogramFixed(_, Seq("g"), "v", lo, hi, nBins)): _*),
+        "g", nBins)
+      val os = drift(oneShot)
+      assert(drift(folded) == os, s"case $i fold")
+      // KL sanity: the per-group total is the smoothed KL(group ‖ corpus),
+      // non-negative up to per-bin rounding (each bin rounds to micro-nats
+      // independently, so the floor is -nBins/2 micro-nats, not 0)
+      os.groupBy(_._1).foreach { case (g, bins) =>
+        assert(bins.size == nBins, s"case $i dense domain for $g")
+        assert(bins.toSeq.map(_._5).sum >= -(nBins / 2).toLong, s"case $i KL < rounding floor for $g")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("property: charEntropy native kernel ≡ HOF fold ≡ plain Scala on random unicode text") {
+    import graft.ops.TextOps
+    // alphabet spans ASCII, BMP accents, and SUPPLEMENTARY-plane emoji —
+    // codepoint counting must not split surrogate pairs; wide alphabets
+    // force the kernel's open-address map through its rehash path
+    val cpGen = Gen.frequency(
+      6 -> Gen.choose('a'.toInt, 'z'.toInt),
+      2 -> Gen.oneOf('é'.toInt, 'ü'.toInt, 'ß'.toInt, '中'.toInt),
+      1 -> Gen.oneOf(0x1F600, 0x1F680, 0x10348),
+      3 -> Gen.choose(0x100, 0x2FF)) // 512-codepoint band → rehash at 64 uniques
+    val docGen = Gen.listOfN(4, Gen.nonEmptyListOf(cpGen)
+      .map(_.flatMap(Character.toChars(_).toSeq).mkString))
+    def refEntropy(t: String): (Long, Long, Long) = {
+      val cps = t.codePoints().toArray
+      val counts = cps.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = cps.length.toLong
+      val sumFp = counts.values.map(c => math.round(c.toDouble * math.log(c.toDouble) * 1e6)).sum
+      (n, counts.size.toLong, math.round(math.log(n.toDouble) * 1e6) - sumFp / n)
+    }
+    samples(docGen, 8).zipWithIndex.foreach { case (texts, i) =>
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      def run(native: Boolean) = TextOps.charEntropy(docs, "doc_id", "text", native = native)
+        .select("doc_id", "n_chars_seen", "n_unique_chars", "entropy_fp")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val nat = run(native = true)
+      assert(run(native = false) == nat, s"case $i native vs HOF")
+      val want = texts.zipWithIndex.map { case (t, j) =>
+        val (n, u, h) = refEntropy(t); (j.toLong, n, u, h)
+      }.toSet
+      assert(nat == want, s"case $i vs plain Scala")
+    }
+  }
+
   test("property: rrfFuse is symmetric in run order and exact in fixed point") {
     import graft.ops.TextOps
     val runGen: Gen[List[(Long, Long, Long)]] = Gen.listOf(

@@ -39,6 +39,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("charEntropy: in-row fold equals the plain-Scala entropy, edges included") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),                 // one run → entropy 0
+      (2L, "abab"),                 // two chars, 2 bits ≈ ln 2 nats each
+      (3L, "the quick brown fox"),  // varied text, spaces counted as chars
+      (4L, "z"),                    // single char: ln(1) = 0
+      (5L, ""),                     // empty: dropped
+      (6L, "héhé ü"),               // BMP non-ASCII chars count once each
+      (7L, "aabbaabb"))             // interleaved runs re-sort into two runs
+      .toDF("doc_id", "text")
+    def run(native: Boolean) = TextOps.charEntropy(docs, "doc_id", "text", native = native)
+      .select("doc_id", "n_chars_seen", "n_unique_chars", "entropy_fp", "is_low_entropy")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    val got = run(native = true)
+    // the native one-pass kernel and the sort-fold HOF reference agree
+    assert(run(native = false) == got)
+    // the mirrored integer identity, computed independently in plain Scala
+    def ref(id: Long, t: String): (Long, Long, Long, Long, Boolean) = {
+      val counts = t.split("").filter(_.nonEmpty).groupBy(identity).view.mapValues(_.length.toLong)
+      val n = counts.values.sum
+      val sumFp = counts.values.map(c => math.round(c.toDouble * math.log(c.toDouble) * 1e6)).sum
+      val h = math.round(math.log(n.toDouble) * 1e6) - sumFp / n
+      (id, n, counts.size.toLong, h, h < 2500000L)
+    }
+    val want = Seq(1L -> "aaaa", 2L -> "abab", 3L -> "the quick brown fox",
+      4L -> "z", 6L -> "héhé ü", 7L -> "aabbaabb").map { case (i, t) => ref(i, t) }.toSet
+    assert(got == want)
+    // hand anchors: zero entropy for the constant docs, ln 2 ≈ 693147
+    // micro-nats for the two balanced two-char docs, flags accordingly
+    assert(got.collect { case (1L, _, _, h, low) => (h, low) } == Set((0L, true)))
+    assert(got.collect { case (4L, n, u, h, _) => (n, u, h) } == Set((1L, 1L, 0L)))
+    assert(got.collect { case (2L, _, _, h, _) => h } == Set(693147L))
+    // doc 7 lands one micro-nat higher: round(ln 8·1e6) = 2079442 rounds
+    // UP while 11090354 div 8 truncates — the quantization is per-term
+    assert(got.collect { case (7L, _, _, h, _) => h } == Set(693148L))
+    assert(got.collect { case (3L, _, _, _, low) => low } == Set(false))
+  }
+
   test("tfidfTopTerms ranks by tf desc, then rarity (df asc), then term") {
     val docs = Seq(
       (1L, "apple apple banana cherry"),
