@@ -2556,6 +2556,13 @@ object SparkEntry {
     SimilarityOps.classCentroidOutliers(
       Tables.embeddings(spark, dir), "vec_id", "embedding", "label", k = 5)
 
+  /** Embedding-space drift monitor: each label's centroid distance to the
+    * corpus centroid plus its corpus share — the re-embedded/mis-normalized
+    * partition check.
+    */
+  def qEmbeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.centroidDrift(Tables.embeddings(spark, dir), "embedding", "label")
+
   /** Incremental top-k maintenance, proven BY CONSTRUCTION equal to the
     * one-shot knn: the corpus is split in half (even/odd vec_id), each half
     * is scored separately, and knnMerge of the halves must reproduce
@@ -2857,6 +2864,7 @@ object SparkEntry {
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_hard_negatives"          -> (qHardNegatives(_, _)),
     "q_class_outliers"          -> (qClassOutliers(_, _)),
+    "q_embedding_drift"         -> (qEmbeddingDrift(_, _)),
     "q_knn_incremental"         -> (qKnnIncremental(_, _)),
     "q_embedding_neardup"       -> (qEmbeddingNeardup(_, _)),
     "q_embedding_neardup_blocked" -> (qEmbeddingNeardupBlocked(_, _)),
@@ -5408,6 +5416,30 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rank
         |      FROM d)
         |SELECT vec_id, label, dist, rank::BIGINT AS rank, rank <= 5 AS is_outlier FROM r""".stripMargin,
+    // per-label centroid vs corpus centroid: global sums derive from the
+    // label-level (dim, sq, cnt) monoid; centroids divide back to doubles
+    // only inside the dim-ordered dot products (list_dot_product replays
+    // the same summation order as graft_dot)
+    "q_embedding_drift" ->
+      """WITH v AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT label, generate_subscripts(v, 1) AS dim,
+        |             unnest(list_transform(v, x -> round(x * 1000000.0)::BIGINT)) AS q
+        |      FROM v),
+        |g AS (SELECT label, dim, sum(q)::BIGINT AS sq, count(*)::BIGINT AS cnt
+        |      FROM q GROUP BY 1, 2),
+        |cl AS (SELECT label,
+        |              list(sq::DOUBLE / (cnt::DOUBLE * 1000000.0) ORDER BY dim) AS cvec,
+        |              max(cnt)::BIGINT AS n_vecs
+        |       FROM g GROUP BY 1),
+        |r AS (SELECT dim, sum(sq)::BIGINT AS sq, sum(cnt)::BIGINT AS cnt FROM g GROUP BY 1),
+        |rv AS (SELECT list(sq::DOUBLE / (cnt::DOUBLE * 1000000.0) ORDER BY dim) AS rvec,
+        |              max(cnt)::BIGINT AS n_total
+        |       FROM r)
+        |SELECT label, n_vecs, (n_vecs * 1000000) // n_total AS share_fp,
+        |       sqrt(greatest(list_dot_product(cvec, cvec)
+        |                     - 2.0 * list_dot_product(cvec, rvec)
+        |                     + list_dot_product(rvec, rvec), 0.0)) AS dist
+        |FROM cl CROSS JOIN rv""".stripMargin,
     "q_hard_negatives" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
         |n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM v),

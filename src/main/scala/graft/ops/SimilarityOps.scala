@@ -203,6 +203,61 @@ object SimilarityOps {
         (col("rank") <= k).as("is_outlier"))
   }
 
+  /** Embedding-space DRIFT monitor: per label (model version, source,
+    * shard…), the L2 distance between the label's centroid and the
+    * corpus-wide centroid, with the label's corpus share — the check that
+    * catches a re-embedded or mis-normalized partition before it poisons
+    * retrieval. Complements [[classCentroidOutliers]] (which ranks
+    * VECTORS within a label; this compares LABELS against the corpus).
+    *
+    * Same engine-exact recipe as the outliers: components quantize to
+    * 1e6-fixed-point longs, per-(label, dim) sums aggregate (ONE explode
+    * scan — the corpus-sized work), and the GLOBAL sums derive from the
+    * label sums (the (label, dim, sq, cnt) relation is a monoid, so an
+    * incremental form is the same fold discipline as the histogram
+    * drift). Centroids divide back to doubles only inside per-row dot
+    * products over dim-ordered arrays, so the oracle replays them with
+    * list_dot_product in identical order. The dense relation is
+    * (labels × dims) — dimension-sized; the 1-row global centroid
+    * broadcasts.
+    *
+    * Output: (labelCol, n_vecs, share_fp, dist).
+    */
+  def centroidDrift(
+      df: DataFrame,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val vq = df.select(
+      col(labelCol),
+      posexplode(transform(v, x => round(x * lit(1.0e6)).cast("long"))).as(Seq("dim", "q")))
+    val byLabel = vq.groupBy(col(labelCol), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+      .scopedCache()
+    def centroidVec(sq: Column, cnt: Column) =
+      (sq.cast("double") / (cnt.cast("double") * lit(1.0e6))).as("c")
+    val lab = byLabel.groupBy(col(labelCol))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), centroidVec(col("sq"), col("cnt"))))),
+          s => s.getField("c")).as("cvec"),
+        max(col("cnt")).as("n_vecs"))
+    val glob = byLabel.groupBy(col("dim"))
+      .agg(sum(col("sq")).as("sq"), sum(col("cnt")).as("cnt"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), centroidVec(col("sq"), col("cnt"))))),
+          s => s.getField("c")).as("rvec"),
+        max(col("cnt")).as("n_total"))
+    val d2 = dot(col("cvec"), col("cvec")) - lit(2.0) * dot(col("cvec"), col("rvec")) +
+      dot(col("rvec"), col("rvec"))
+    lab.crossJoin(broadcast(glob))
+      .select(
+        col(labelCol), col("n_vecs"),
+        expr("(n_vecs * 1000000) div n_total").as("share_fp"),
+        sqrt(greatest(d2, lit(0.0))).as("dist"))
+  }
+
   /** Incremental top-k maintenance (the interactive-session pattern: the
     * corpus grows, stored per-probe results must not be recomputed against
     * everything): merge a stored top-k relation with the top-k of a DELTA

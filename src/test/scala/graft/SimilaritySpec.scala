@@ -89,6 +89,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.count(_._5) == vecs.map(_._3).distinct.size * 5, "exactly k flags per label")
   }
 
+  test("centroidDrift matches a plain-Scala fixed-point reference; uniform corpus reads zero") {
+    val got = SimilarityOps.centroidDrift(emb, "embedding", "label")
+      .select("label", "n_vecs", "share_fp", "dist")
+      .as[(Int, Long, Long, Double)].collect().toSet
+
+    val vecs = emb.select(col("embedding").cast("array<double>"), col("label"))
+      .as[(Seq[Double], Int)].collect()
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val dims = vecs.head._1.size
+    def centroid(ms: Seq[Seq[Double]]): Seq[Double] =
+      (0 until dims).map(d => ms.map(v => math.round(v(d) * 1e6)).sum.toDouble /
+        (ms.size.toDouble * 1e6))
+    val rvec = centroid(vecs.map(_._1).toSeq)
+    val nTotal = vecs.length.toLong
+    val expect = vecs.groupBy(_._2).map { case (label, members) =>
+      val cvec = centroid(members.map(_._1).toSeq)
+      val d2 = dot(cvec, cvec) - 2.0 * dot(cvec, rvec) + dot(rvec, rvec)
+      (label, members.size.toLong, members.size.toLong * 1000000L / nTotal,
+        math.sqrt(math.max(d2, 0.0)))
+    }.toSet
+    assert(got == expect, "per-label shares and centroid distances bit-identical")
+    // shares account for the whole corpus (up to one truncation unit per label)
+    val shareSum = got.toSeq.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - got.size)
+
+    // a label whose members ARE the corpus sits exactly on the global centroid
+    val uniform = SimilarityOps.centroidDrift(
+      emb.withColumn("label", lit(7)), "embedding", "label")
+      .select("label", "share_fp", "dist").as[(Int, Long, Double)].collect().toSeq
+    assert(uniform == Seq((7, 1000000L, 0.0)))
+  }
+
   test("knnMerge with OVERLAPPING corpus slices equals full-corpus knnBrute") {
     // slices share vec_id in [cut-50, cut): an overlapping neighbor appears in
     // both per-side top-k relations and must occupy ONE merged slot, not two
