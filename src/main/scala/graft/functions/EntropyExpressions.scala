@@ -29,20 +29,31 @@ object CharEntropyKernel {
   /** (n_chars, n_unique, Σ round(c·ln c·1e6)) over the string's
     * CODEPOINTS — the same units DuckDB's substr/length count, and the
     * same elements `split(text, "")` emits (Java's regex engine does not
-    * split surrogate pairs).
+    * split surrogate pairs). Codepoints decode directly from the UTF-8
+    * bytes (Spark strings are valid UTF-8), so the row contributes no
+    * allocation beyond the alphabet-sized map — no UTF-16 transcode of
+    * the document.
     */
   def compute(s: UTF8String): InternalRow = {
-    val str = s.toString
     var cap = 128 // power of two; grown at 50% load
     var keys = new Array[Int](cap) // codepoint + 1, 0 = empty
     var vals = new Array[Long](cap)
     var unique = 0
     var n = 0L
     var i = 0
-    val len = str.length
-    while (i < len) {
-      val cp = str.codePointAt(i)
-      i += Character.charCount(cp)
+    val nb = s.numBytes()
+    while (i < nb) {
+      val b0 = s.getByte(i) & 0xFF
+      var cp = b0
+      var len = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+        else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+        else { cp = b0 & 0x07; len = 4 } // valid UTF-8 leaves only 4-byte leads
+        var j = 1
+        while (j < len && i + j < nb) { cp = (cp << 6) | (s.getByte(i + j) & 0x3F); j += 1 }
+      }
+      i += len
       n += 1L
       val k = cp + 1
       var idx = (k * HashMix) & (cap - 1)

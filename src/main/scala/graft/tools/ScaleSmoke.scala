@@ -681,12 +681,10 @@ object ScaleSmoke {
       evalG.unpersist(); corpus.unpersist()
     }
 
-    // ---- governance family: classifier fit/score, data card, blocklist —
-    // all designed as one-or-two-pass aggregates, so wall time must track
-    // the corpus linearly (no pairing, no iteration) ----
-    // native one-pass char-entropy kernel vs the sort+fold HOF reference:
-    // both corpus-linear (per-row work only — no shuffle to misbehave),
-    // the kernel wins the constant factor and the gap must not grow with K
+    // ---- entropy: native one-pass char-entropy kernel vs the sort+fold
+    // HOF reference — both corpus-linear (per-row work only, no shuffle
+    // to misbehave), the kernel wins the constant factor and the gap must
+    // not grow with K ----
     if (want("entropy")) println("entropy: k,docs,op,seconds,low_flagged")
     (if (want("entropy")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
       val corpus = copyK(k).cache()
@@ -704,6 +702,9 @@ object ScaleSmoke {
       corpus.unpersist()
     }
 
+    // ---- governance family: classifier fit/score, data card, blocklist —
+    // all designed as one-or-two-pass aggregates, so wall time must track
+    // the corpus linearly (no pairing, no iteration) ----
     if (want("govern")) println("govern: k,docs,op,seconds,out")
     (if (want("govern")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
       val corpus = copyK(k).withColumn("source",
