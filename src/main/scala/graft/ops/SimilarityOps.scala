@@ -231,8 +231,24 @@ object SimilarityOps {
     val vq = df.select(
       col(labelCol),
       posexplode(transform(v, x => round(x * lit(1.0e6)).cast("long"))).as(Seq("dim", "q")))
-    val byLabel = vq.groupBy(col(labelCol), col("dim"))
-      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+    centroidDriftFromSums(
+      vq.groupBy(col(labelCol), col("dim"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt")),
+      labelCol)
+  }
+
+  /** The DERIVE phase of [[centroidDrift]], over an already-built
+    * `(labelCol, dim, sq, cnt)` fixed-point sums relation (one explode
+    * scan, a fold of disjoint-batch sums, or a RollupStream's `current`
+    * pivoted to the two statistics). Sums are the monoid; centroids,
+    * shares and distances derive here, AFTER any fold — so incremental
+    * and streaming embedding-drift monitors reproduce the one-shot form
+    * bit-for-bit (all fold inputs are exact longs).
+    */
+  def centroidDriftFromSums(sums: DataFrame, labelCol: String): DataFrame = {
+    val byLabel = sums
+      .select(col(labelCol), col("dim"),
+        col("sq").cast("long").as("sq"), col("cnt").cast("long").as("cnt"))
       .scopedCache()
     def centroidVec(sq: Column, cnt: Column) =
       (sq.cast("double") / (cnt.cast("double") * lit(1.0e6))).as("c")

@@ -973,4 +973,45 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(streamed.size == 2 * nBins)
     assert(streamed.exists(r => r._1 == "web" && r._2 == 0L && r._3 == 1L && r._4 == 2L))
   }
+
+  test("streaming embedding drift: RollupStream over (label, dim) ≡ one-shot across kill/restart") {
+    import graft.ops.SimilarityOps
+    implicit val sqlCtx = spark.sqlContext
+    // two labels, negative components included; label 1 drifts from the corpus
+    val b1 = Seq((1L, 0, Seq(0.2, -0.4, 0.1)), (2L, 0, Seq(0.3, -0.2, 0.0)),
+      (3L, 1, Seq(-0.9, 0.8, 0.5)))
+    val b2 = Seq((4L, 1, Seq(-0.7, 0.9, 0.6)), (5L, 0, Seq(0.25, -0.3, 0.05)))
+    val stream = MemoryStream[(Long, Int, Seq[Double])]
+    // the rollup's per-key state is ALREADY the drift monoid: n counts
+    // the (label, dim) elements and __total sums the quantized component
+    // — one rollup carries both statistics, nothing extra rides the stream
+    val vq = stream.toDF().toDF("vec_id", "label", "emb")
+      .select(col("label"), posexplode(transform(col("emb").cast("array<double>"),
+        x => round(x * lit(1.0e6)).cast("long"))).as(Seq("dim", "q")))
+    val ckpt = Files.createTempDirectory("graft-ed-ckpt").toString
+    val store = Files.createTempDirectory("graft-ed-store").toString + "/sums"
+    val keys = Seq("label", "dim")
+    val roll1 = new Streaming.RollupStream(keys, "q", Some(store))
+    val q1 = roll1.start(vq, ckpt)
+    stream.addData(b1); q1.processAllAvailable(); q1.stop()
+    // kill/restart: the sums rebuild from the per-batch slots
+    val roll2 = new Streaming.RollupStream(keys, "q", Some(store))
+    val q2 = roll2.start(vq, ckpt)
+    stream.addData(b2); q2.processAllAvailable(); q2.stop()
+    def drift(d: DataFrame) = d.select("label", "n_vecs", "share_fp", "dist")
+      .as[(Int, Long, Long, Double)].collect().toSet
+    // (sum, count) map straight onto (sq, cnt); the decimal sum is exact
+    // on integer inputs, so the long cast cannot round
+    val sums = roll2.current.get.select(col("label"), col("dim"),
+      col("__total").cast("long").as("sq"), col("n").as("cnt"))
+    val streamed = drift(SimilarityOps.centroidDriftFromSums(sums, "label"))
+    val oneShot = drift(SimilarityOps.centroidDrift(
+      (b1 ++ b2).toDF("vec_id", "label", "embedding"), "embedding", "label"))
+    assert(streamed == oneShot)
+    // hand check: 3-of-5 share for label 0 truncates to 600000, and the
+    // drifting label is FARTHER from the corpus centroid than the bulk
+    assert(streamed.exists(r => r._1 == 0 && r._2 == 3L && r._3 == 600000L))
+    val dist = streamed.map(r => r._1 -> r._4).toMap
+    assert(dist(1) > dist(0))
+  }
 }
