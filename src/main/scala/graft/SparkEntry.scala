@@ -1599,6 +1599,25 @@ object SparkEntry {
       .select(col("doc_id"), col("community_id"), col("community_size"))
   }
 
+  /** PageRank authority over the verified near-dup pair graph — the
+    * centrality weight that ranks which documents sit at the heart of a
+    * duplication neighborhood (curation keeps the authoritative copy,
+    * not an arbitrary keeper). Five synchronous rounds in micro-rank
+    * fixed point; documents outside the graph hold exactly the teleport
+    * mass (the isolated-node fixed point).
+    */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val prk = GraphOps.pageRank(pairs, "doc_a", "doc_b", rounds = 5)
+    docs.select(col("doc_id"))
+      .join(prk.select(col("node").as("doc_id"), col("rank_fp"), col("degree")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rank_fp"), lit(150000L)).as("rank_fp"),
+        coalesce(col("degree"), lit(0L)).as("degree"))
+  }
+
   /** Per-document triangle count / degree / local clustering coefficient
     * on the same verified pair graph — local density as a template-family
     * detector (a doc whose neighbors all pair with each other is
@@ -2563,6 +2582,22 @@ object SparkEntry {
   def qEmbeddingDrift(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.centroidDrift(Tables.embeddings(spark, dir), "embedding", "label")
 
+  /** Incremental maintenance of the embedding-drift monitor: four
+    * disjoint vec-id batches contribute (label, dim) sums, the sums fold,
+    * centroids/shares/distances derive AFTER the fold — must reproduce
+    * q_embedding_drift bit-for-bit (shared oracle; the histogram-drift
+    * fold discipline applied to centroid statistics).
+    */
+  def qEmbeddingDriftIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val batches = (0 until 4).map(m =>
+      emb.filter(coalesce(pmod(col("vec_id"), lit(4)), lit(0)) === m))
+    SimilarityOps.centroidDriftFromSums(
+      SimilarityOps.mergeCentroidSums("label")(
+        batches.map(SimilarityOps.centroidSums(_, "embedding", "label")): _*),
+      "label")
+  }
+
   /** Incremental top-k maintenance, proven BY CONSTRUCTION equal to the
     * one-shot knn: the corpus is split in half (even/odd vec_id), each half
     * is scored separately, and knnMerge of the halves must reproduce
@@ -2782,6 +2817,7 @@ object SparkEntry {
     "q_minhash_dedup"           -> (qMinhashDedup(_, _)),
     "q_editdist_dedup"          -> (qEditDistDedup(_, _)),
     "q_label_propagation"       -> (qLabelPropagation(_, _)),
+    "q_pagerank"                -> (qPagerank(_, _)),
     "q_triangle_stats"          -> (qTriangleStats(_, _)),
     "q_ewma_smooth"             -> (qEwmaSmooth(_, _)),
     "q_ewma_incremental"        -> (qEwmaIncremental(_, _)),
@@ -2865,6 +2901,7 @@ object SparkEntry {
     "q_hard_negatives"          -> (qHardNegatives(_, _)),
     "q_class_outliers"          -> (qClassOutliers(_, _)),
     "q_embedding_drift"         -> (qEmbeddingDrift(_, _)),
+    "q_embedding_drift_incremental" -> (qEmbeddingDriftIncremental(_, _)),
     "q_knn_incremental"         -> (qKnnIncremental(_, _)),
     "q_embedding_neardup"       -> (qEmbeddingNeardup(_, _)),
     "q_embedding_neardup_blocked" -> (qEmbeddingNeardupBlocked(_, _)),
@@ -3299,6 +3336,58 @@ object SparkEntry {
       |szc AS (SELECT community_id, count(*) AS community_size FROM alln GROUP BY 1)
       |SELECT doc_id, community_id, community_size FROM alln JOIN szc USING (community_id)""".stripMargin
   }
+
+  /** Unrolled synchronous PageRank rounds over the shared pair CTEs —
+    * round-for-round mirror of [[GraphOps.pageRank]]: micro-rank longs,
+    * per-edge (r·w) // wdeg contributions, damped with (85·Σ) // 100 + the
+    * 150000 teleport base; documents outside the graph coalesce to the
+    * isolated-node fixed point.
+    */
+  private val pageRankOracle: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (SELECT ew.et AS node,
+         |             (150000 + (85 * sum((r${i - 1}.r * ew.w) // wd.wdeg)) // 100)::BIGINT AS r
+         |      FROM ew JOIN r${i - 1} ON r${i - 1}.node = ew.es
+         |      JOIN wd ON wd.es = ew.es GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $neardupPairCtes,
+      |ed AS (SELECT doc_a AS es, doc_b AS et FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+      |ew AS (SELECT es, et, count(*)::BIGINT AS w FROM ed GROUP BY 1, 2),
+      |wd AS (SELECT es, sum(w)::BIGINT AS wdeg FROM ew GROUP BY 1),
+      |r0 AS (SELECT DISTINCT es AS node, 1000000::BIGINT AS r FROM ew),
+      |$rounds
+      |SELECT d.doc_id, coalesce(r5.r, 150000)::BIGINT AS rank_fp,
+      |       coalesce(wd.wdeg, 0)::BIGINT AS degree
+      |FROM (SELECT doc_id FROM documents) d
+      |LEFT JOIN r5 ON r5.node = d.doc_id
+      |LEFT JOIN wd ON wd.es = d.doc_id""".stripMargin
+  }
+
+  /** Per-label centroid-vs-corpus drift over the embeddings table — the
+    * one-shot derivation both registered forms must reproduce (the
+    * incremental form folds per-batch sums first; the fold must be
+    * invisible here).
+    */
+  private val embeddingDriftOracle: String =
+    """WITH v AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT label, generate_subscripts(v, 1) AS dim,
+      |             unnest(list_transform(v, x -> round(x * 1000000.0)::BIGINT)) AS q
+      |      FROM v),
+      |g AS (SELECT label, dim, sum(q)::BIGINT AS sq, count(*)::BIGINT AS cnt
+      |      FROM q GROUP BY 1, 2),
+      |cl AS (SELECT label,
+      |              list(sq::DOUBLE / (cnt::DOUBLE * 1000000.0) ORDER BY dim) AS cvec,
+      |              max(cnt)::BIGINT AS n_vecs
+      |       FROM g GROUP BY 1),
+      |r AS (SELECT dim, sum(sq)::BIGINT AS sq, sum(cnt)::BIGINT AS cnt FROM g GROUP BY 1),
+      |rv AS (SELECT list(sq::DOUBLE / (cnt::DOUBLE * 1000000.0) ORDER BY dim) AS rvec,
+      |              max(cnt)::BIGINT AS n_total
+      |       FROM r)
+      |SELECT label, n_vecs, (n_vecs * 1000000) // n_total AS share_fp,
+      |       sqrt(greatest(list_dot_product(cvec, cvec)
+      |                     - 2.0 * list_dot_product(cvec, rvec)
+      |                     + list_dot_product(rvec, rvec), 0.0)) AS dist
+      |FROM cl CROSS JOIN rv""".stripMargin
 
   private val triangleStatsOracle: String =
     s"""WITH $neardupPairCtes,
@@ -4062,6 +4151,7 @@ object SparkEntry {
         |SELECT doc_a, doc_b, dist, sim FROM d WHERE sim >= 0.6""".stripMargin,
     "q_winnow_dedup" -> verifiedPairsOracle,
     "q_label_propagation" -> labelPropagationOracle,
+    "q_pagerank" -> pageRankOracle,
     "q_kmeans" -> kmeansOracle,
     "q_kmeans_assign" -> kmeansOracleWith("vec_id % 2 = 0"),
     "q_pq_encode" ->
@@ -5419,27 +5509,10 @@ object SparkEntry {
     // per-label centroid vs corpus centroid: global sums derive from the
     // label-level (dim, sq, cnt) monoid; centroids divide back to doubles
     // only inside the dim-ordered dot products (list_dot_product replays
-    // the same summation order as graft_dot)
-    "q_embedding_drift" ->
-      """WITH v AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT label, generate_subscripts(v, 1) AS dim,
-        |             unnest(list_transform(v, x -> round(x * 1000000.0)::BIGINT)) AS q
-        |      FROM v),
-        |g AS (SELECT label, dim, sum(q)::BIGINT AS sq, count(*)::BIGINT AS cnt
-        |      FROM q GROUP BY 1, 2),
-        |cl AS (SELECT label,
-        |              list(sq::DOUBLE / (cnt::DOUBLE * 1000000.0) ORDER BY dim) AS cvec,
-        |              max(cnt)::BIGINT AS n_vecs
-        |       FROM g GROUP BY 1),
-        |r AS (SELECT dim, sum(sq)::BIGINT AS sq, sum(cnt)::BIGINT AS cnt FROM g GROUP BY 1),
-        |rv AS (SELECT list(sq::DOUBLE / (cnt::DOUBLE * 1000000.0) ORDER BY dim) AS rvec,
-        |              max(cnt)::BIGINT AS n_total
-        |       FROM r)
-        |SELECT label, n_vecs, (n_vecs * 1000000) // n_total AS share_fp,
-        |       sqrt(greatest(list_dot_product(cvec, cvec)
-        |                     - 2.0 * list_dot_product(cvec, rvec)
-        |                     + list_dot_product(rvec, rvec), 0.0)) AS dist
-        |FROM cl CROSS JOIN rv""".stripMargin,
+    // the same summation order as graft_dot). SHARED with the incremental
+    // form — the sums fold, the drift derives after
+    "q_embedding_drift" -> embeddingDriftOracle,
+    "q_embedding_drift_incremental" -> embeddingDriftOracle,
     "q_hard_negatives" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
         |n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM v),

@@ -80,6 +80,67 @@ object GraphOps {
     lab
   }
 
+  /** Weighted PageRank over an undirected pair graph in INTEGER fixed
+    * point — the authority/centrality weight web-corpus curation uses to
+    * prioritize domains and documents. Rank units are micro-rank longs
+    * (every node starts at 1e6); one synchronous round is
+    *
+    *   r'(v) = base + (dampNum · Σ_{(u,v)} (r(u)·w(u,v)) div wdeg(u)) div dampDen
+    *
+    * with base = 1e6·(dampDen−dampNum) div dampDen (the teleport mass,
+    * 150000 at the classic 0.85). Every step is integer arithmetic with
+    * truncating division, so `rounds` unrolled rounds replay bit-for-bit
+    * as oracle CTEs (the labelPropagation discipline). The truncation
+    * bleeds ≤1 unit of mass per edge per round — deterministic on every
+    * engine, which is the contract here; this is a RANKING signal, not a
+    * probability (dangling/isolated nodes are the caller's coalesce —
+    * they hold exactly `base`).
+    *
+    * Shape: one cached weighted edge list (both orientations from ONE
+    * evaluation of `pairs`); per round one hash join on src + one
+    * aggregate on dst — the standard distributed PageRank step; lineage
+    * truncates per round (localCheckpoint) so round N's plan does not
+    * nest rounds 1..N−1. Σ rank mass is bounded by |nodes|·1e6, so the
+    * damped per-node sums sit far inside int64 at any corpus scale.
+    *
+    * Output: (node, rank_fp, degree) for nodes IN the graph.
+    */
+  def pageRank(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int = 5,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    require(dampDen >= 1 && dampNum >= 0 && dampNum <= dampDen,
+      "damping must be a fraction in [0, 1]")
+    val base = 1000000L * (dampDen - dampNum) / dampDen
+    val edges = pairs
+      .select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .scopedCache()
+    val wdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    val ew = edges.join(wdeg, "src")
+    var r = edges.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      r = ew
+        .join(r.select(col("node").as("src"), col("r").as("rs")), "src")
+        .select(col("dst"), expr("(rs * w) div wdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("c"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr(s"($dampNum * c) div $dampDen")).as("r"))
+        .localCheckpoint()
+    }
+    r.join(wdeg.select(col("src").as("node"), col("wdeg")), Seq("node"))
+      .select(col("node"), col("r").as("rank_fp"), col("wdeg").as("degree"))
+  }
+
   /** Per-node triangle count, degree, and local clustering coefficient
     * over an undirected simple graph given as canonical pairs (a < b,
     * distinct). lcc = 2·triangles / (degree·(degree−1)), NULL for

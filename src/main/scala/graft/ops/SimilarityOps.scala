@@ -227,14 +227,31 @@ object SimilarityOps {
       df: DataFrame,
       vecCol: String,
       labelCol: String): DataFrame = {
+    centroidDriftFromSums(centroidSums(df, vecCol, labelCol), labelCol)
+  }
+
+  /** The per-batch SUMS phase of [[centroidDrift]]: quantized component
+    * sums and element counts per (label, dim) — the drift monoid. Fold
+    * increments from DISJOINT batches with [[mergeCentroidSums]] and
+    * derive with [[centroidDriftFromSums]].
+    */
+  def centroidSums(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val vq = df.select(
+    df.select(
       col(labelCol),
       posexplode(transform(v, x => round(x * lit(1.0e6)).cast("long"))).as(Seq("dim", "q")))
-    centroidDriftFromSums(
-      vq.groupBy(col(labelCol), col("dim"))
-        .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt")),
-      labelCol)
+      .groupBy(col(labelCol), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+  }
+
+  /** Fold [[centroidSums]] increments from DISJOINT batches (exact long
+    * sums — the fold is invisible in the derived drift).
+    */
+  def mergeCentroidSums(labelCol: String)(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "need at least one sums relation")
+    parts.reduce(_ unionByName _)
+      .groupBy(col(labelCol), col("dim"))
+      .agg(sum(col("sq")).as("sq"), sum(col("cnt")).as("cnt"))
   }
 
   /** The DERIVE phase of [[centroidDrift]], over an already-built

@@ -54,4 +54,31 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got(9L) == ((1L, 0L, None)))
     assert(got(3L)._1 == 3L && got(3L)._2 == 1L)
   }
+
+  test("pageRank matches a plain-Scala fixed-point replay; bridge nodes out-rank leaves") {
+    val got = GraphOps.pageRank(bridged, "doc_a", "doc_b", rounds = 5)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // independent plain-Scala replay of the integer recurrence
+    val und = bridged.as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val w = und.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val wdeg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = und.map(_._1).distinct.map(_ -> 1000000L).toMap
+    (1 to 5).foreach { _ =>
+      r = und.distinct.groupBy(_._2).map { case (v, ins) =>
+        val c = ins.map { case (u, _) => r(u) * w((u, v)) / wdeg(u) }.sum
+        v -> (150000L + 85L * c / 100L)
+      }
+    }
+    assert(got == r.map { case (n, rk) => n -> ((rk, wdeg(n))) })
+
+    // structure: the bridge endpoints (degree 3) carry more authority
+    // than the pure triangle corners (degree 2); mass stays bounded by
+    // the initial |nodes|·1e6 (truncation only ever bleeds mass)
+    assert(got(3L)._1 > got(1L)._1 && got(4L)._1 > got(6L)._1)
+    assert(got.values.map(_._1).sum <= 6L * 1000000L)
+    assert(got.values.forall(_._1 >= 150000L))
+  }
 }

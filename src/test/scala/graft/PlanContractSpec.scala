@@ -112,6 +112,11 @@ class PlanContractSpec extends AnyFunSuite {
     // relation on node ids each round
     Contract("q_label_propagation",
       requiredMarkers = Seq("SortMergeJoin", "PushedFilters")),
+    // PageRank rounds: rank relation joins the cached weighted edge list
+    // per round (lineage checkpointed, so the visible plan is the final
+    // doc-roster join tail); the teleport/damping arithmetic is row-local
+    Contract("q_pagerank",
+      requiredMarkers = Seq("SortMergeJoin", "PushedFilters")),
     // keeper election: quality scores shuffle-join the cluster labeling on
     // doc ids; the per-cluster argmax window is cluster-keyed, not global
     Contract("q_keeper_by_quality",
