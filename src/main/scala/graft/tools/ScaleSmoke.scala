@@ -686,7 +686,7 @@ object ScaleSmoke {
     // to misbehave), the kernel wins the constant factor and the gap must
     // not grow with K ----
     if (want("entropy")) println("entropy: k,docs,op,seconds,low_flagged")
-    (if (want("entropy")) Seq(1, 2, 4, 8) else Seq[Int]()).foreach { k =>
+    ks("entropy", Seq(1, 2, 4, 8), Seq(1, 4, 16)).foreach { k =>
       val corpus = copyK(k).cache()
       val n = corpus.count()
       Seq(
