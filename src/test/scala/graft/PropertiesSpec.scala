@@ -703,6 +703,37 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: pageRank equals a plain-Scala integer replay on any pair graph") {
+    import graft.ops.GraphOps
+    // random multigraphs: parallel pairs (weight > 1), self-contained
+    // components, chains — the replay must match bit-for-bit everywhere
+    val pairGen: Gen[List[(Long, Long)]] = Gen.listOf(
+      for {
+        a <- Gen.choose(0L, 15L)
+        b <- Gen.choose(0L, 15L) if a != b
+      } yield (a, b)).suchThat(_.nonEmpty)
+    samples(pairGen, 8).zipWithIndex.foreach { case (ps, i) =>
+      val rounds = 1 + (i % 4)
+      val got = GraphOps.pageRank(ps.toDF("doc_a", "doc_b"), "doc_a", "doc_b", rounds)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val und = ps.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val w = und.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val wdeg = und.groupBy(_._1).view.mapValues(vs => vs.map(_ => 1L).sum).toMap
+      var r = und.map(_._1).distinct.map(_ -> 1000000L).toMap
+      (1 to rounds).foreach { _ =>
+        r = und.distinct.groupBy(_._2).map { case (v, ins) =>
+          v -> (150000L + 85L * ins.map { case (u, _) => r(u) * w((u, v)) / wdeg(u) }.sum / 100L)
+        }
+      }
+      assert(got == r.map { case (n, rk) => n -> ((rk, wdeg(n))) }, s"case $i rounds=$rounds")
+      // mass never inflates (truncation only bleeds), floor is the teleport
+      assert(got.values.map(_._1).sum <= r.size * 1000000L, s"case $i mass")
+      assert(got.values.forall(_._1 >= 150000L), s"case $i floor")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("property: rrfFuse is symmetric in run order and exact in fixed point") {
     import graft.ops.TextOps
     val runGen: Gen[List[(Long, Long, Long)]] = Gen.listOf(
