@@ -1614,7 +1614,7 @@ object SparkEntry {
       .join(prk.select(col("node").as("doc_id"), col("rank_fp"), col("degree")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("rank_fp"), lit(150000L)).as("rank_fp"),
+        coalesce(col("rank_fp"), lit(GraphOps.pageRankTeleportBase())).as("rank_fp"),
         coalesce(col("degree"), lit(0L)).as("degree"))
   }
 

@@ -30,9 +30,14 @@ object CharEntropyKernel {
     * CODEPOINTS — the same units DuckDB's substr/length count, and the
     * same elements `split(text, "")` emits (Java's regex engine does not
     * split surrogate pairs). Codepoints decode directly from the UTF-8
-    * bytes (Spark strings are valid UTF-8), so the row contributes no
-    * allocation beyond the alphabet-sized map — no UTF-16 transcode of
-    * the document.
+    * bytes on the fast path, so a valid-UTF-8 row (every string a Spark
+    * scan produces) contributes no allocation beyond the alphabet-sized
+    * map — no UTF-16 transcode of the document. The decode VALIDATES as
+    * it goes (lead ranges, continuation bytes, the overlong/surrogate/
+    * out-of-range bounds); any ill-formed sequence restarts the row on
+    * [[computeViaString]], Java's replacement-decoding reference, so the
+    * kernel is bit-equal to the HOF/toString contract on ARBITRARY
+    * bytes, not just well-formed ones.
     */
   def compute(s: UTF8String): InternalRow = {
     var cap = 128 // power of two; grown at 50% load
@@ -47,11 +52,30 @@ object CharEntropyKernel {
       var cp = b0
       var len = 1
       if (b0 >= 0x80) {
-        if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
-        else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
-        else { cp = b0 & 0x07; len = 4 } // valid UTF-8 leaves only 4-byte leads
+        // strict well-formedness per RFC 3629; anything else → reference
+        if (b0 >= 0xC2 && b0 <= 0xDF) { cp = b0 & 0x1F; len = 2 }
+        else if (b0 >= 0xE0 && b0 <= 0xEF) { cp = b0 & 0x0F; len = 3 }
+        else if (b0 >= 0xF0 && b0 <= 0xF4) { cp = b0 & 0x07; len = 4 }
+        else return computeViaString(s) // 0x80-0xC1 stray/overlong, 0xF5+
+        if (i + len > nb) return computeViaString(s) // truncated tail
         var j = 1
-        while (j < len && i + j < nb) { cp = (cp << 6) | (s.getByte(i + j) & 0x3F); j += 1 }
+        while (j < len) {
+          val bj = s.getByte(i + j) & 0xFF
+          val lo = if (j == 1) b0 match {
+            case 0xE0 => 0xA0 // exclude overlong 3-byte forms
+            case 0xED => 0x80 // surrogates excluded by hi below
+            case 0xF0 => 0x90 // exclude overlong 4-byte forms
+            case _    => 0x80
+          } else 0x80
+          val hi = if (j == 1) b0 match {
+            case 0xED => 0x9F // exclude UTF-16 surrogates
+            case 0xF4 => 0x8F // exclude > U+10FFFF
+            case _    => 0xBF
+          } else 0xBF
+          if (bj < lo || bj > hi) return computeViaString(s)
+          cp = (cp << 6) | (bj & 0x3F)
+          j += 1
+        }
       }
       i += len
       n += 1L
@@ -79,6 +103,38 @@ object CharEntropyKernel {
         }
       }
     }
+    finish(keys, vals, cap, n, unique)
+  }
+
+  /** The ill-formed-input reference path: Java's UTF-8 replacement
+    * decoding (`toString`) then per-codepoint counting — exactly what the
+    * kernel replaced, and exactly what the HOF form (`split(text, "")`)
+    * sees, since that too decodes via String. Reached only when
+    * [[compute]]'s validator rejects a sequence.
+    */
+  private def computeViaString(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val m = new java.util.HashMap[Integer, Array[Long]]()
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1L
+      val slot = m.get(cp)
+      if (slot == null) m.put(cp, Array(1L)) else slot(0) += 1L
+    }
+    var sumFp = 0L
+    val it = m.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0).toDouble
+      sumFp += Math.round(c * Math.log(c) * 1e6)
+    }
+    new GenericInternalRow(Array[Any](n, m.size().toLong, sumFp))
+  }
+
+  private def finish(
+      keys: Array[Int], vals: Array[Long], cap: Int, n: Long, unique: Int): InternalRow = {
     var sumFp = 0L
     var j = 0
     while (j < cap) {

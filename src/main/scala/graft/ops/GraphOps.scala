@@ -52,17 +52,7 @@ object GraphOps {
       dstCol: String,
       rounds: Int = 3): DataFrame = {
     require(rounds >= 1, "need at least one round")
-    // undirected: each pair votes in both directions; weights sum parallel
-    // edges so a multi-evidence pair counts accordingly. Both orientations
-    // come from ONE evaluation of `pairs` (explode, not a two-branch
-    // union) — the pair relation is typically an expensive shingle join
-    val edges = pairs
-      .select(explode(array(
-        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
-        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("__e"))
-      .select(col("__e.src"), col("__e.dst"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      .scopedCache()
+    val edges = undirectedWeightedEdges(pairs, srcCol, dstCol)
     var lab = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
@@ -79,6 +69,35 @@ object GraphOps {
     }
     lab
   }
+
+  /** The ONE cached undirected weighted edge list behind
+    * [[labelPropagation]] and [[pageRank]] (and the oracles' shared
+    * `ed`/`ew` CTE construction): each pair votes in both directions,
+    * weights sum parallel edges so a multi-evidence pair counts
+    * accordingly. Both orientations come from ONE evaluation of `pairs`
+    * (explode, not a two-branch union) — the pair relation is typically
+    * an expensive shingle join. Output: (src, dst, w), cached.
+    */
+  private def undirectedWeightedEdges(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame =
+    pairs
+      .select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("__e"))
+      .select(col("__e.src"), col("__e.dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .scopedCache()
+
+  /** The isolated-node PageRank fixed point for a damping fraction —
+    * what a node with no edges holds after any number of rounds (pure
+    * teleport mass). Exposed so callers coalescing out-of-graph nodes
+    * (q_pagerank's doc roster) cannot drift from the recurrence's own
+    * base term.
+    */
+  def pageRankTeleportBase(dampNum: Long = 85L, dampDen: Long = 100L): Long =
+    1000000L * (dampDen - dampNum) / dampDen
 
   /** Weighted PageRank over an undirected pair graph in INTEGER fixed
     * point — the authority/centrality weight web-corpus curation uses to
@@ -115,14 +134,8 @@ object GraphOps {
     require(rounds >= 1, "need at least one round")
     require(dampDen >= 1 && dampNum >= 0 && dampNum <= dampDen,
       "damping must be a fraction in [0, 1]")
-    val base = 1000000L * (dampDen - dampNum) / dampDen
-    val edges = pairs
-      .select(explode(array(
-        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
-        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("__e"))
-      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      .scopedCache()
+    val base = pageRankTeleportBase(dampNum, dampDen)
+    val edges = undirectedWeightedEdges(pairs, srcCol, dstCol)
     val wdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
     val ew = edges.join(wdeg, "src")
     var r = edges.select(col("src").as("node")).distinct()

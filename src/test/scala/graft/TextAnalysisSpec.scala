@@ -78,6 +78,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.collect { case (3L, _, _, _, low) => low } == Set(false))
   }
 
+  test("charEntropy kernel: ill-formed UTF-8 falls back to the String-decode reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.CharEntropyKernel
+    // unvalidated bytes (a column cast from binary, a corrupt field) must
+    // count EXACTLY like Java's replacement decoding — the semantics the
+    // HOF form sees via split(text, "") — not like a lenient decode that
+    // swallows following valid characters
+    val cases: Seq[Array[Byte]] = Seq(
+      Array(0x80, 'a', 'b', 'c').map(_.toByte),     // stray continuation lead
+      Array('a'.toInt, 0xC3).map(_.toByte),         // truncated 2-byte tail
+      Array(0xE0, 0x80, 0x80, 'x').map(_.toByte),   // overlong 3-byte form
+      Array(0xED, 0xA0, 0x80).map(_.toByte),        // encoded UTF-16 surrogate
+      Array(0xF5, 0x90, 0x80, 0x80).map(_.toByte),  // lead beyond U+10FFFF
+      Array(0xF0, 'a'.toInt).map(_.toByte),         // truncated 4-byte tail
+      Array(0xC0, 0xAF).map(_.toByte),              // overlong 2-byte form
+      "héllo 中 🚀".getBytes("UTF-8"))              // valid control case
+    cases.zipWithIndex.foreach { case (bs, i) =>
+      val got = CharEntropyKernel.compute(UTF8String.fromBytes(bs))
+      val cps = UTF8String.fromBytes(bs).toString.codePoints().toArray
+      val counts = cps.groupBy(identity).view.mapValues(_.length.toLong)
+      val sumFp = counts.values.map(c => math.round(c.toDouble * math.log(c.toDouble) * 1e6)).sum
+      assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+        ((cps.length.toLong, counts.size.toLong, sumFp)), s"case $i")
+    }
+    // the review's concrete scenario: [0x80, a, b, c] is FOUR codepoints
+    // (U+FFFD a b c), never one garbage 4-byte decode
+    val bad = CharEntropyKernel.compute(UTF8String.fromBytes(
+      Array(0x80, 'a', 'b', 'c').map(_.toByte)))
+    assert(bad.getLong(0) == 4L && bad.getLong(1) == 4L)
+  }
+
   test("tfidfTopTerms ranks by tf desc, then rarity (df asc), then term") {
     val docs = Seq(
       (1L, "apple apple banana cherry"),
