@@ -576,6 +576,60 @@ object SparkEntry {
         Tables.events(spark, dir).select(col("user_id")), Seq("user_id"), minShare = 0.003)
       .select(col("user_id").as("symbol"), col("n"), col("share"))
 
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+  private val CmsMinShare = 0.008
+
+  /** The CMS estimate→threshold tail shared by the one-shot and
+    * incremental count-min queries: probe every candidate user against
+    * the sketch, derive each type's grand total FROM the sketch itself
+    * (one hash row's cells sum to N — no exact count anywhere), and keep
+    * users whose estimated share clears the whale threshold. Everything
+    * downstream of the cell counts, so a folded or streamed sketch
+    * finalizes identically.
+    */
+  private def cmsHeavyTail(sketch: DataFrame, probes: DataFrame): DataFrame = {
+    val est = Analytics.cmsEstimate(
+      sketch, probes, Seq("event_type"), "user_id", CmsDepth, CmsWidth)
+    val tot = sketch.filter(col("row_id") === 0)
+      .groupBy(col("event_type")).agg(sum(col("n")).as("__t"))
+    est.join(tot, Seq("event_type"))
+      .filter(col("est_n") > col("__t") * lit(CmsMinShare))
+      .select(col("event_type"), col("user_id").as("symbol"), col("est_n"))
+  }
+
+  /** Sketch-estimated whale keys: a count-min sketch (4 salted md5 hash
+    * rows × 512 counters per event type) replaces the exact per-user
+    * count — ≤ depth·width longs of state per type at ANY user
+    * cardinality, est ≥ true with the collision mass bounded by 2N/512
+    * per row. The deterministic-hash analog of q_heavy_hitters for the
+    * regime where the distinct-key relation itself is too big to carry.
+    */
+  def qCmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    cmsHeavyTail(
+      Analytics.cmsSketch(ev, Seq("event_type"), "user_id", CmsDepth, CmsWidth),
+      ev)
+  }
+
+  /** Incremental maintenance of the count-min sketch: four disjoint
+    * event-id batches contribute sparse cell counts, the cells fold
+    * additively, the min-of-rows estimates derive AFTER the fold — must
+    * reproduce q_cms_heavy_hitters bit-for-bit (shared oracle; the
+    * histogram/KMV monoid discipline applied to frequency sketches).
+    */
+  def qCmsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"))
+    val batches = (0 until 4).map(m => ev.filter(pmod(col("event_id"), lit(4)) === m))
+    cmsHeavyTail(
+      Analytics.cmsMerge(Seq("event_type"))(
+        batches.map(b =>
+          Analytics.cmsSketch(
+            b.drop("event_id"), Seq("event_type"), "user_id", CmsDepth, CmsWidth)): _*),
+      ev.drop("event_id"))
+  }
+
   /** Distinct set algebra over per-type key sets:
     * (signup ∖ error) ∪ (purchase ∩ view).
     */
@@ -1869,6 +1923,23 @@ object SparkEntry {
       .select(col("doc_id"), col("pred_lang"), col("quality"), col("q_rank"))
   }
 
+  /** Multi-criteria curation frontier: the documents no other document
+    * beats on BOTH quality and length — [[SamplingOps.paretoFrontier2]]
+    * maximizing (quality_fp, n_tokens) over the millionth-quantized
+    * quality score (the qualityFpBySource expression) under the fixed
+    * 32-bucket [0, 1e6) x-geometry. The skyline runs on the x-LEVEL
+    * relation (≤ 1e6 rows at any corpus size — bounded by the quality
+    * domain, not the data), so no global sort and no dominance self-join
+    * ever touches the corpus.
+    */
+  def qParetoFrontier(spark: SparkSession, dir: String): DataFrame =
+    SamplingOps.paretoFrontier2(
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        round(TextOps.qualityExpr(col("text")) * lit(1.0e6)).cast("long").as("quality_fp"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+      "doc_id", "quality_fp", "n_tokens", xLo = 0L, xHi = 1000000L, nBuckets = 32)
+
   /** Per-domain cap: top-50 documents per source by (n_chars DESC, doc_id)
     * — the anti-SEO curation guard ([[SamplingOps.capPerDomain]]).
     */
@@ -2134,6 +2205,14 @@ object SparkEntry {
       cand, emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
       "probe_id", "neighbor_id", "sim", "embedding", k = 5, lam = 0.7)
   }
+
+  /** Diversity coreset: greedy k-center (farthest-first) over the
+    * embedding corpus — the 8 spread representatives plus the
+    * non-increasing radius sequence ([[SimilarityOps.kCenterSelect]]).
+    */
+  def qKCenterSelect(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.kCenterSelect(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8)
 
   /** Unigram drift KL(even‖odd) between the two corpus halves — per-term
     * smoothed contributions in micro-nats (order-free integer total).
@@ -2765,6 +2844,8 @@ object SparkEntry {
     "q_asof_join_2t"            -> (qAsofJoin2t(_, _)),
     "q_asof_join_tol"           -> (qAsofJoinTol(_, _)),
     "q_heavy_hitters"           -> (qHeavyHitters(_, _)),
+    "q_cms_heavy_hitters"       -> (qCmsHeavyHitters(_, _)),
+    "q_cms_incremental"         -> (qCmsIncremental(_, _)),
     "q_set_ops"                 -> (qSetOps(_, _)),
     "q_rollup_stats"            -> (qRollupStats(_, _)),
     "q_completion_payload"      -> (qCompletionPayload(_, _)),
@@ -2887,6 +2968,7 @@ object SparkEntry {
     "q_curation_manifest_staged" -> (qCurationManifestStaged(_, _)),
     "q_neardup_clusters_incr"   -> (qNeardupClustersIncremental(_, _)),
     "q_domain_cap"              -> (qDomainCap(_, _)),
+    "q_pareto_frontier"         -> (qParetoFrontier(_, _)),
     "q_length_buckets"          -> (qLengthBuckets(_, _)),
     "q_curriculum_bins"         -> (qCurriculumBins(_, _)),
     "q_prefix_templates"        -> (qPrefixTemplates(_, _)),
@@ -2915,6 +2997,7 @@ object SparkEntry {
     "q_bpe_encode"              -> (qBpeEncode(_, _)),
     "q_bpe_assign"              -> (qBpeAssign(_, _)),
     "q_mmr_select"              -> (qMmrSelect(_, _)),
+    "q_kcenter_select"          -> (qKCenterSelect(_, _)),
     "q_cube_stats"              -> (qCubeStats(_, _)),
     "q_pivot_values"            -> (qPivotValues(_, _)),
     "q_unpivot_measures"        -> (qUnpivotMeasures(_, _)),
@@ -3432,6 +3515,36 @@ object SparkEntry {
     * q_kmv_incremental (merge losslessness). The nibble-sum reconstructs
     * the same 60-bit integer Spark's conv(md5-prefix, 16, 10) parses.
     */
+  /** Full count-min replay: build the 4×512 sparse cell relation with the
+    * same salted md5→60-bit→mod-width hash (the kmv hex-fold recipe),
+    * probe every candidate, min over rows with missing cells as 0, grand
+    * totals from hash row 0 — shared verbatim by the one-shot and folded
+    * registered queries (cell counts are an additive monoid, so the fold
+    * must land on the identical sketch).
+    */
+  private val cmsOracle: String = {
+    val h = "list_sum([(strpos('0123456789abcdef', md5(i::VARCHAR || ':' || " +
+      "user_id::VARCHAR)[j]) - 1)::BIGINT << (4 * (15 - j)) for j in range(1, 16)])" +
+      "::BIGINT % 512"
+    s"""WITH v AS (SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+      |cells AS (
+      |  SELECT event_type, i AS row_id, $h AS slot, count(*)::BIGINT AS n
+      |  FROM v CROSS JOIN range(4) r(i)
+      |  GROUP BY 1, 2, 3),
+      |pr AS (
+      |  SELECT event_type, user_id, i AS row_id, $h AS slot
+      |  FROM (SELECT DISTINCT event_type, user_id FROM v) CROSS JOIN range(4) r(i)),
+      |est AS (
+      |  SELECT pr.event_type, pr.user_id, min(coalesce(c.n, 0))::BIGINT AS est_n
+      |  FROM pr LEFT JOIN cells c
+      |    ON c.event_type = pr.event_type AND c.row_id = pr.row_id AND c.slot = pr.slot
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT event_type, sum(n)::BIGINT AS t FROM cells WHERE row_id = 0 GROUP BY 1)
+      |SELECT e.event_type, e.user_id AS symbol, e.est_n
+      |FROM est e JOIN tot USING (event_type)
+      |WHERE e.est_n > tot.t * 0.008""".stripMargin
+  }
+
   private val kmvOracle: String =
     """WITH hv AS (SELECT DISTINCT event_type,
       |                   list_sum([(strpos('0123456789abcdef', md5(user_id::VARCHAR)[i]) - 1)::BIGINT << (4 * (15 - i))
@@ -3460,6 +3573,41 @@ object SparkEntry {
       |                  / ((c_b + 1)::DOUBLE / (nb + v)::DOUBLE))
       |             * 1000000.0)::BIGINT AS contrib_fp
       |FROM j CROSS JOIN t""".stripMargin
+
+  /** Unrolled farthest-first traversal over millionth-quantized vectors —
+    * mirror of [[graft.ops.SimilarityOps.kCenterSelect]] at k=8: seed =
+    * min vec_id, each round the (mind DESC, vec_id) argmax of the running
+    * min squared-L2 to the picked set, folded per round with `least` —
+    * all order-free BIGINT arithmetic, so every pick and radius replays
+    * engine-exact.
+    */
+  private val kCenterOracle: String = {
+    val l2 = "list_sum([(r.vfp[i] - p.vfp[i]) * (r.vfp[i] - p.vfp[i]) " +
+      "for i in range(1, len(r.vfp) + 1)])::BIGINT"
+    val k = 8
+    val rounds = (2 to k).map { t =>
+      val step =
+        s"p$t AS (SELECT vec_id, vfp, mind FROM r${t - 1} ORDER BY mind DESC, vec_id LIMIT 1)"
+      val next =
+        if (t < k)
+          s""",
+             |r$t AS (SELECT r.vec_id, r.vfp, least(r.mind, $l2) AS mind
+             |       FROM r${t - 1} r CROSS JOIN p$t p WHERE r.vec_id <> p.vec_id)""".stripMargin
+        else ""
+      step + next
+    }.mkString(",\n")
+    val picks = (2 to k)
+      .map(t => s"SELECT vec_id, $t::BIGINT AS pick_rank, mind AS radius_sq FROM p$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id, [round(x::DOUBLE * 1000000.0)::BIGINT for x in embedding] AS vfp
+      |           FROM embeddings),
+      |p1 AS (SELECT vec_id, vfp FROM v ORDER BY vec_id LIMIT 1),
+      |r1 AS (SELECT r.vec_id, r.vfp, $l2 AS mind
+      |       FROM v r CROSS JOIN p1 p WHERE r.vec_id <> p.vec_id),
+      |$rounds
+      |SELECT vec_id, 1::BIGINT AS pick_rank, NULL::BIGINT AS radius_sq FROM p1
+      |UNION ALL $picks""".stripMargin
+  }
 
   /** Unrolled Lloyd iterations over millionth-quantized vectors — mirror
     * of [[graft.ops.SimilarityOps.kmeansFixedPoint]] at k=8, iters=2:
@@ -4188,6 +4336,28 @@ object SparkEntry {
          |${bpeEncodeSql("ra10")}""".stripMargin,
     "q_triangle_stats" -> triangleStatsOracle,
     "q_cross_dedup_lsh" -> crossVerifiedPairsOracle,
+    // Pareto frontier: the oracle is the DEFINITION — the O(n²) NOT EXISTS
+    // dominance check the distributed level/bucket algorithm must equal
+    "q_pareto_frontier" ->
+      raw"""WITH qy AS (
+        |  SELECT doc_id,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> ''))::BIGINT AS n_tokens,
+        |         0.4 * least(1.0, len(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> ''))::DOUBLE / 100.0)
+        |         + 0.3 * (1.0 - least(1.0, (CASE WHEN length(text) > 0
+        |                 THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE END) * 10.0))
+        |         + 0.3 * least(1.0, (CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> '')) > 0
+        |                 THEN len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
+        |                      / len(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> ''))::DOUBLE END) * 5.0)
+        |           AS quality
+        |  FROM documents),
+        |p AS (SELECT doc_id, round(quality * 1000000.0)::BIGINT AS quality_fp, n_tokens
+        |      FROM qy WHERE quality IS NOT NULL AND n_tokens IS NOT NULL)
+        |SELECT a.doc_id, a.quality_fp, a.n_tokens
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.quality_fp >= a.quality_fp AND b.n_tokens >= a.n_tokens
+        |    AND (b.quality_fp > a.quality_fp OR b.n_tokens > a.n_tokens))""".stripMargin,
     "q_domain_cap" ->
       """WITH r AS (SELECT doc_id, source, n_chars,
         |                  row_number() OVER (PARTITION BY source
@@ -4403,6 +4573,8 @@ object SparkEntry {
         |       l.value AS purchase_value,
         |       CASE WHEN r.tsm >= l.tsm - 3600000 THEN r.value END AS last_view_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsm >= r.tsm""".stripMargin,
+    "q_cms_heavy_hitters" -> cmsOracle,
+    "q_cms_incremental" -> cmsOracle,
     "q_heavy_hitters" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
         |t AS (SELECT count(*) AS t FROM events)
@@ -5490,6 +5662,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_embedding_knn" -> knnOracle,
     "q_mmr_select" -> mmrOracle,
+    "q_kcenter_select" -> kCenterOracle,
     "q_class_outliers" ->
       """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id, label, generate_subscripts(v, 1) AS dim,

@@ -297,6 +297,112 @@ object Analytics {
     partials.groupBy(keys.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_distinct"))
 
+  /** The count-min sketch slot of `value` in hash row `rowId` — the ONE
+    * hash expression shared by sketch build ([[cmsSketch]]), probe
+    * ([[cmsEstimate]]) and the streaming adapter ([[cmsCells]]): the
+    * KMV md5→60-bit recipe salted with the row id, reduced mod `width`.
+    * Deterministic and engine-portable (the DuckDB oracle replays the
+    * same hex fold), unlike xxhash-seeded families an oracle cannot see.
+    */
+  private def cmsSlot(value: Column, rowId: Column, width: Int): Column = {
+    val h = conv(
+      substring(md5(concat(rowId.cast("string"), lit(":"), value).cast("binary")), 1, 15),
+      16, 10).cast("long")
+    pmod(h, lit(width.toLong))
+  }
+
+  /** Per-key COUNT-MIN sketch — the FREQUENCY analog of the KMV
+    * distinct-count and fixed-histogram quantile sketches: `depth` salted
+    * 60-bit md5 hash rows × `width` counters, stored SPARSELY as
+    * `(keys…, row_id, slot, n)` (zero cells carry no row; a probe reads a
+    * missing cell as 0). Cell counts are an additive monoid — disjoint
+    * batches fold with [[cmsMerge]], and a streaming
+    * [[graft.streaming.Streaming.RollupStream]] over `(keys…, row_id,
+    * slot)` maintains the cells under the store's slot/compaction/replay
+    * guarantees (bin with [[cmsCells]]). This is the 100 TB frequency
+    * path: the exact per-value count ([[heavyHitters]]) shuffles every
+    * distinct value forever, while the sketch holds ≤ depth·width longs
+    * of state per key at ANY cardinality, over-estimating by at most the
+    * collision mass (est ≥ true always; P[err > 2N/width] < 2⁻ᵈᵉᵖᵗʰ).
+    * Deterministic md5 hashing, no randomness — the whole sketch relation
+    * hash-matches a SQL oracle.
+    */
+  def cmsSketch(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      depth: Int = 4,
+      width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1 and width >= 2")
+    df.filter(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ col(valueCol).cast("string").as("__cms_v"): _*)
+      .withColumn("__row", explode(sequence(lit(0L), lit(depth - 1L))))
+      .withColumn("slot", cmsSlot(col("__cms_v"), col("__row"), width))
+      .withColumnRenamed("__row", "row_id")
+      .groupBy(keys.map(col) ++ Seq(col("row_id"), col("slot")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Fold count-min sketch increments from DISJOINT batches (same keys,
+    * same depth/width — the caller's pinned sketch geometry). Cells add;
+    * min-of-rows estimates derive AFTER the fold ([[cmsEstimate]]) — the
+    * histogram-sketch fold discipline applied to frequencies.
+    */
+  def cmsMerge(keys: Seq[String])(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "need at least one sketch")
+    parts.reduce(_.unionByName(_))
+      .groupBy(keys.map(col) ++ Seq(col("row_id"), col("slot")): _*)
+      .agg(sum(col("n")).as("n"))
+  }
+
+  /** STREAMING adapter: expand a micro-batch's rows into their
+    * `(keys…, row_id, slot, one)` sketch cells; a RollupStream over
+    * `(keys…, row_id, slot)` summing `one` IS the count-min sketch (its
+    * maintained `n` is the cell count), finalized by [[cmsEstimate]]
+    * over `current`. NULL values drop here, matching [[cmsSketch]].
+    */
+  def cmsCells(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      depth: Int,
+      width: Int): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ col(valueCol).cast("string").as("__cms_v"): _*)
+      .withColumn("__row", explode(sequence(lit(0L), lit(depth - 1L))))
+      .select(keys.map(col) ++ Seq(
+        col("__row").as("row_id"),
+        cmsSlot(col("__cms_v"), col("__row"), width).as("slot"),
+        lit(1L).as("one")): _*)
+
+  /** Point-estimate frequencies from a (possibly folded / streamed)
+    * count-min sketch: each probe value hashes to its `depth` cells and
+    * the estimate is the MIN cell count (missing sparse cell = 0). The
+    * probe relation joins the sketch on `(keys…, row_id, slot)` — an
+    * equi-join at probe·depth rows, never value·width — so estimating a
+    * billion-value candidate set is one keyed shuffle. Output:
+    * `(keys…, valueCol, est_n)` with est_n ≥ the true count, equality
+    * when none of the value's `depth` cells collide.
+    */
+  def cmsEstimate(
+      sketch: DataFrame,
+      probes: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1 and width >= 2")
+    probes.filter(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ col(valueCol): _*).distinct()
+      .withColumn("__cms_v", col(valueCol).cast("string"))
+      .withColumn("__row", explode(sequence(lit(0L), lit(depth - 1L))))
+      .withColumn("slot", cmsSlot(col("__cms_v"), col("__row"), width))
+      .withColumnRenamed("__row", "row_id")
+      .join(sketch, keys ++ Seq("row_id", "slot"), "left")
+      .groupBy(keys.map(col) :+ col(valueCol): _*)
+      .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
+  }
+
   /** Session-window aggregate: Spark's native `session_window` merges each
     * key's events closer than `gap` into one session (same partitioning as a
     * plain keyed aggregate — one shuffle on the key, sessions formed within

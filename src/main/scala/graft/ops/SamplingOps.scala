@@ -464,4 +464,59 @@ object SamplingOps {
         col("c.n").as("n_chunk_tokens"),
         col("c.t").as("chunk_text"))
   }
+
+  /** 2-D Pareto frontier (skyline), MAXIMIZING both integral criteria —
+    * multi-criteria curation's "undominated extremes" selector: a row is
+    * kept iff no other row is ≥ on both dimensions and > on one.
+    * Coordinate-duplicate rows are all kept (neither dominates).
+    *
+    * The naive skyline is an O(n²) dominance self-join and the textbook
+    * single-pass needs a GLOBAL x-sort — both non-starters at corpus
+    * scale. This runs in three bounded stages instead: (1) collapse to
+    * x-LEVELS — per distinct x, the max y (one keyed shuffle; for
+    * fixed-point scores the level relation is bounded by the VALUE DOMAIN,
+    * e.g. ≤ 1e6 rows for millionth-quantized quality, regardless of corpus
+    * size); (2) cross-bucket prune — levels bucket into the caller's fixed
+    * x-geometry ([[Analytics.fixedBin]]), per-bucket y-maxima (nBuckets
+    * rows) take a suffix-max over strictly-higher buckets (a window over
+    * the nBuckets-row relation — the documented bounded-global-window
+    * site), and a level survives only if its y beats every higher bucket's
+    * best; (3) within-bucket residual — survivors sort per bucket (x
+    * distinct ⇒ all preceding rows have strictly greater x) under a
+    * bucket-partitioned running max. Exact, not approximate: a same-bucket
+    * dominator pruned by stage 2 implies a higher-bucket dominator that
+    * prunes the dominated level too. Frontier levels then equi-join back
+    * to recover every row at a frontier coordinate.
+    *
+    * Output: (idCol, xCol, yCol), one row per undominated input row.
+    */
+  def paretoFrontier2(
+      df: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      xLo: Long,
+      xHi: Long,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && xHi > xLo, "need nBuckets >= 1 and xHi > xLo")
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(idCol), col(xCol).cast("long").as(xCol), col(yCol).cast("long").as(yCol))
+      .scopedCache()
+    val levels = pts.groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
+      .withColumn("__b", Analytics.fixedBin(xCol, xLo, xHi, nBuckets))
+      .scopedCache()
+    val wSuf = Window.orderBy(col("__b").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val suf = levels.groupBy(col("__b")).agg(max(col("__ymax")).as("__bm"))
+      .withColumn("__suf", max(col("__bm")).over(wSuf))
+      .drop("__bm")
+    val wIn = Window.partitionBy(col("__b")).orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = levels.join(broadcast(suf), Seq("__b"))
+      .filter(col("__suf").isNull || col("__ymax") > col("__suf"))
+      .withColumn("__pm", max(col("__ymax")).over(wIn))
+      .filter(col("__pm").isNull || col("__ymax") > col("__pm"))
+      .select(col(xCol), col("__ymax").as(yCol))
+    frontier.join(pts, Seq(xCol, yCol))
+      .select(col(idCol), col(xCol), col(yCol))
+  }
 }

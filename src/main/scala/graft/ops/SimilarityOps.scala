@@ -900,6 +900,63 @@ object SimilarityOps {
     selected.select(col(qidCol), col(didCol), col(relCol), col("pick_rank"))
   }
 
+  /** Greedy k-center (farthest-first traversal) coreset selection: pick
+    * the smallest-id vector, then k−1 times the vector FARTHEST from the
+    * already-picked set — the classic 2-approximation of the metric
+    * k-center cover, and the diversity-maximizing dual of [[mmrSelect]]'s
+    * relevance/novelty trade (here there is no relevance: pure coverage,
+    * the "spread representatives for labeling/eval" selector).
+    *
+    * Same carry-forward shape as MMR: each remaining vector keeps its
+    * running MIN squared-L2 to the picked set and every round folds in
+    * ONLY the newest pick (`least` is exact on the integer distances), so
+    * the cost is one 1-row broadcast cross + one narrow `graft_l2sq` scan
+    * + one TakeOrdered argmax per round — O(k·N·d) total, no pairwise
+    * relation ever materializes. Distances are order-free BIGINT sums
+    * over millionth-quantized coordinates (the k-means fixed-point
+    * recipe), so the DuckDB oracle replays every round bit-for-bit.
+    *
+    * Output: (idCol, pick_rank 1..k, radius_sq) where radius_sq is the
+    * pick's distance to the set at pick time (NULL for the seed) — the
+    * non-increasing k-center radius sequence, the coverage diagnostic.
+    */
+  def kCenterSelect(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val v = quantizeFp(vecs, idCol, vecCol).scopedCache()
+    val distFp = graft.functions.VectorFunctions.graft_l2sq(col("vfp"), col("__pv"))
+    def crossPick(rel: DataFrame, pick: DataFrame): DataFrame = rel
+      .crossJoin(broadcast(
+        pick.select(col(idCol).as("__pid"), col("vfp").as("__pv"))))
+      .filter(col(idCol) =!= col("__pid"))
+      .withColumn("__d", distFp)
+      .drop("__pid", "__pv")
+    var pick = v.orderBy(col(idCol)).limit(1)
+      .select(col(idCol), col("vfp"), lit(1L).as("pick_rank"),
+        lit(null).cast("long").as("radius_sq"))
+      .localCheckpoint()
+    var selected = pick
+    var rem = crossPick(v, pick)
+      .withColumnRenamed("__d", "__mind")
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      pick = rem.orderBy(col("__mind").desc, col(idCol)).limit(1)
+        .select(col(idCol), col("vfp"), lit(t.toLong).as("pick_rank"),
+          col("__mind").as("radius_sq"))
+        .localCheckpoint()
+      selected = selected.unionByName(pick)
+      if (t < k)
+        rem = crossPick(rem, pick)
+          .withColumn("__mind", least(col("__mind"), col("__d")))
+          .drop("__d")
+          .localCheckpoint()
+    }
+    selected.select(col(idCol), col("pick_rank"), col("radius_sq"))
+  }
+
   /** IVF approximate top-k with k-means coarse quantization — the
     * self-contained composition of [[ivfFitKmeans]] + [[knnIvfSearch]]
     * (fit per call; an operating deployment persists the fit and calls

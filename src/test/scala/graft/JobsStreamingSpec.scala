@@ -935,6 +935,44 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(streamed.contains(("a", 900L, 5L, 100L)))
   }
 
+  test("streaming count-min sketch: RollupStream over cmsCells ≡ one-shot estimates across kill/restart") {
+    import graft.ops.Analytics
+    implicit val sqlCtx = spark.sqlContext
+    val (depth, width) = (3, 16) // narrow: collisions likely, still exact vs one-shot
+    // a NULL value rides along in batch 2: cmsCells drops it, matching
+    // the one-shot sketch's NULL filter
+    val b1 = Seq((1L, "a", Some(5L)), (2L, "a", Some(5L)), (3L, "b", Some(-4L)),
+      (4L, "a", Some(62L)))
+    val b2 = Seq((5L, "a", Some(5L)), (6L, "b", Some(-4L)), (7L, "b", Some(99L)),
+      (8L, "a", Some(62L)), (9L, "b", None: Option[Long]))
+    val stream = MemoryStream[(Long, String, Option[Long])]
+    val cells = Analytics.cmsCells(
+      stream.toDF().toDF("id", "k", "v"), Seq("k"), "v", depth, width)
+    val ckpt = Files.createTempDirectory("graft-cms-ckpt").toString
+    val store = Files.createTempDirectory("graft-cms-store").toString + "/cms"
+    val keys = Seq("k", "row_id", "slot")
+    val roll1 = new Streaming.RollupStream(keys, "one", Some(store))
+    val q1 = roll1.start(cells, ckpt)
+    stream.addData(b1); q1.processAllAvailable(); q1.stop()
+    // kill/restart: the sketch cells rebuild from the per-batch slots
+    val roll2 = new Streaming.RollupStream(keys, "one", Some(store))
+    val q2 = roll2.start(cells, ckpt)
+    stream.addData(b2); q2.processAllAvailable(); q2.stop()
+    val all = (b1 ++ b2).toDF("id", "k", "v")
+    def est(sketch: DataFrame) =
+      Analytics.cmsEstimate(sketch, all, Seq("k"), "v", depth, width)
+        .as[(String, Long, Long)].collect().toSet
+    // the rollup's n IS the per-(k, row_id, slot) cell count
+    val streamed = est(roll2.current.get
+      .select(col("k"), col("row_id"), col("slot"), col("n")))
+    val oneShot = est(Analytics.cmsSketch(all, Seq("k"), "v", depth, width))
+    assert(streamed == oneShot)
+    // hand check: est >= exact on every probe; ("a", 5) appeared 3 times
+    val exact = Map(("a", 5L) -> 3L, ("a", 62L) -> 2L, ("b", -4L) -> 2L, ("b", 99L) -> 1L)
+    streamed.foreach { case (k, v, e) => assert(e >= exact((k, v))) }
+    assert(streamed.map { case (k, v, _) => (k, v) } == exact.keySet)
+  }
+
   test("streaming drift monitor: RollupStream over fixedBin ≡ one-shot contributions across kill/restart") {
     import graft.ops.Analytics
     implicit val sqlCtx = spark.sqlContext

@@ -593,6 +593,67 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: paretoFrontier2 equals the naive O(n²) dominance filter on random points") {
+    import graft.ops.SamplingOps
+    // x straddles both clamp edges of the [0, 100) × 4-bucket geometry;
+    // duplicate coordinates occur (small domains) and must ALL be kept
+    val rowGen: Gen[List[(Long, Option[Long], Option[Long])]] = Gen.listOf(
+      for {
+        x <- Gen.option(Gen.choose(-20L, 130L))
+        y <- Gen.option(Gen.choose(-10L, 10L))
+      } yield (0L, x, y)).suchThat(_.exists(r => r._2.isDefined && r._3.isDefined))
+    samples(rowGen, 8).zipWithIndex.foreach { case (rows0, i) =>
+      val rows = rows0.zipWithIndex.map { case ((_, x, y), j) => (j.toLong, x, y) }
+      val df = rows.toDF("id", "x", "y")
+      val got = SamplingOps.paretoFrontier2(df, "id", "x", "y", 0L, 100L, 4)
+        .as[(Long, Long, Long)].collect().toSet
+      val pts = rows.collect { case (id, Some(x), Some(y)) => (id, x, y) }
+      val exp = pts.filter { case (_, x, y) =>
+        !pts.exists { case (_, bx, by) => bx >= x && by >= y && (bx > x || by > y) }
+      }.toSet
+      assert(got == exp, s"case $i: got ${got.toSeq.sorted}\nexp ${exp.toSeq.sorted}")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("property: count-min sketch — fold ≡ one-shot, est >= exact, exact at collision-free width") {
+    import graft.ops.Analytics
+    val (depth, width) = (3, 16) // narrow on purpose: collisions MUST occur
+    val rowGen: Gen[List[(Long, String, Option[Long])]] = Gen.listOf(
+      for {
+        id <- Gen.choose(0L, 40L)
+        k <- Gen.oneOf("a", "b")
+        // negative values and NULLs ride along; values collide in 16 slots
+        v <- Gen.option(Gen.choose(-30L, 30L))
+      } yield (id, k, v)).suchThat(_.exists(_._3.isDefined))
+    def est(sketch: org.apache.spark.sql.DataFrame, probes: org.apache.spark.sql.DataFrame,
+        w: Int) =
+      Analytics.cmsEstimate(sketch, probes, Seq("k"), "v", depth, w)
+        .as[(String, Long, Long)].collect().map { case (k, v, e) => ((k, v), e) }.toMap
+    samples(rowGen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("id", "k", "v")
+      val oneShot = est(Analytics.cmsSketch(df, Seq("k"), "v", depth, width), df, width)
+      val nBatches = 1 + (rows.size % 3)
+      val batches = (0 until nBatches).map(m => df.filter(pmod(col("id"), lit(nBatches)) === m))
+      val folded = est(
+        Analytics.cmsMerge(Seq("k"))(
+          batches.map(Analytics.cmsSketch(_, Seq("k"), "v", depth, width)): _*),
+        df, width)
+      assert(folded == oneShot, s"case $i fold")
+      // over-estimate bound: est >= exact for every probed value…
+      val exact = rows.collect { case (_, k, Some(v)) => (k, v) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      oneShot.foreach { case ((k, v), e) =>
+        assert(e >= exact((k, v)), s"case $i: est $e < exact for ($k, $v)")
+      }
+      assert(oneShot.keySet == exact.keySet, s"case $i probe domain")
+      // …and with a width no 61 distinct values can collide in, est == exact
+      val wide = est(Analytics.cmsSketch(df, Seq("k"), "v", depth, 1 << 20), df, 1 << 20)
+      assert(wide == exact, s"case $i exact at wide width")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("property: histogram-sketch quantiles — any batch split folds to the one-shot estimates") {
     import graft.ops.Analytics
     val (lo, hi, nBins) = (0L, 100L, 10)

@@ -511,6 +511,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(1L)._1 != got(4L)._1)
   }
 
+  test("kCenterSelect matches a plain-Scala farthest-first run; radius sequence non-increasing") {
+    val sub = emb.filter(col("vec_id") < 60)
+    val got = SimilarityOps.kCenterSelect(sub, "vec_id", "embedding", k = 6)
+      .select("vec_id", "pick_rank", "radius_sq")
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._2).toVector
+    val vf = fpOf(sub)
+    var picks = Vector(vf.keys.min)
+    var mind = (vf.keySet - picks.head).map(id => id -> l2fp(vf(id), vf(picks.head))).toMap
+    var exp = Vector((picks.head, 1L, None: Option[Long]))
+    for (t <- 2 to 6) {
+      // argmax of the running min-dist; ties break to the SMALLEST id
+      val (nid, d) = mind.toSeq.maxBy { case (id, dd) => (dd, -id) }
+      exp :+= ((nid, t.toLong, Some(d)))
+      picks :+= nid
+      mind = (mind - nid).map { case (id, dd) => id -> math.min(dd, l2fp(vf(id), vf(nid))) }
+    }
+    assert(got == exp, s"got $got\nexp $exp")
+    val radii = got.flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b }, s"radii not monotone: $radii")
+  }
+
   // ─────────────────────── product quantization ───────────────────────
 
   private def fpOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
