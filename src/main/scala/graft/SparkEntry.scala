@@ -1375,6 +1375,19 @@ object SparkEntry {
   def qTfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
     TextOps.tfidfTopTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
 
+  /** Topic labels for the k-means cells: c-TF-IDF top-5 terms per cluster
+    * ([[TextOps.clusterKeywords]] over the [[qKmeans]] assignment, vec_id
+    * ≡ doc_id in the synthetic corpus) — the "what is this cluster about"
+    * report a curation pipeline attaches to its semantic partitions.
+    */
+  def qClusterKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val assign = SimilarityOps.kmeansFixedPoint(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, iters = 2)
+      .select(col("vec_id").as("doc_id"), col("cid"))
+    TextOps.clusterKeywords(
+      Tables.documents(spark, dir), assign, "doc_id", "text", "cid", k = 5)
+  }
+
   /** Corpus top-100 bigram collocations (deterministic total order at the
     * LIMIT boundary).
     */
@@ -2214,6 +2227,18 @@ object SparkEntry {
     SimilarityOps.kCenterSelect(
       Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8)
 
+  /** Training-data valuation: exact kNN-Shapley (K=5) of every non-probe
+    * vector against the 1-in-50 labeled probe panel
+    * ([[SimilarityOps.knnShapley]]) — negative values flag points that
+    * actively pull K-NN predictions wrong on the panel.
+    */
+  def qKnnShapley(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.knnShapley(
+      emb.filter(col("vec_id") % 50 =!= 0), emb.filter(col("vec_id") % 50 === 0),
+      "vec_id", "embedding", "label", kNeigh = 5)
+  }
+
   /** Unigram drift KL(even‖odd) between the two corpus halves — per-term
     * smoothed contributions in micro-nats (order-free integer total).
     */
@@ -2998,6 +3023,8 @@ object SparkEntry {
     "q_bpe_assign"              -> (qBpeAssign(_, _)),
     "q_mmr_select"              -> (qMmrSelect(_, _)),
     "q_kcenter_select"          -> (qKCenterSelect(_, _)),
+    "q_cluster_keywords"        -> (qClusterKeywords(_, _)),
+    "q_knn_shapley"             -> (qKnnShapley(_, _)),
     "q_cube_stats"              -> (qCubeStats(_, _)),
     "q_pivot_values"            -> (qPivotValues(_, _)),
     "q_unpivot_measures"        -> (qUnpivotMeasures(_, _)),
@@ -3609,6 +3636,43 @@ object SparkEntry {
       |UNION ALL $picks""".stripMargin
   }
 
+  /** Telescoping kNN-Shapley replay — mirror of
+    * [[graft.ops.SimilarityOps.knnShapley]] at K=5: per probe, rank all
+    * train points by (squared-L2 fixed-point distance, id), quantize each
+    * telescoping step to nano-units with truncated division, suffix-sum
+    * the INTEGER steps (order-free, so DuckDB's segment-tree window
+    * aggregation cannot diverge from Spark's running accumulation), add
+    * the farthest point's base term, and reduce over the probe panel.
+    */
+  private val knnShapleyOracle: String =
+    """WITH v AS (SELECT vec_id, [round(x::DOUBLE * 1000000.0)::BIGINT for x in embedding] AS vfp,
+      |                  label::BIGINT AS y
+      |           FROM embeddings),
+      |t AS (SELECT * FROM v WHERE vec_id % 50 <> 0),
+      |p AS (SELECT vec_id AS pid, vfp AS pv, y AS py FROM v WHERE vec_id % 50 = 0),
+      |d AS (SELECT p.pid, t.vec_id, t.y, p.py,
+      |             list_sum([(t.vfp[i] - p.pv[i]) * (t.vfp[i] - p.pv[i])
+      |                       for i in range(1, len(t.vfp) + 1)])::BIGINT AS dist
+      |      FROM t CROSS JOIN p),
+      |r AS (SELECT pid, vec_id,
+      |             row_number() OVER (PARTITION BY pid ORDER BY dist, vec_id) AS i,
+      |             count(*) OVER (PARTITION BY pid) AS n,
+      |             CASE WHEN y = py THEN 1 ELSE 0 END AS ind
+      |      FROM d),
+      |r2 AS (SELECT *, lead(ind) OVER (PARTITION BY pid ORDER BY i) AS nind FROM r),
+      |r3 AS (SELECT pid, vec_id, i, n, ind,
+      |              CASE WHEN nind IS NULL THEN 0
+      |                   ELSE (ind - nind) * ((least(5, i) * 1000000000) // (5 * i)) END AS dfp
+      |       FROM r2),
+      |r4 AS (SELECT pid, vec_id,
+      |              sum(dfp) OVER (PARTITION BY pid ORDER BY i DESC
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              + first_value(ind) OVER (PARTITION BY pid ORDER BY i DESC
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                * (1000000000 // n) AS sfp
+      |       FROM r3)
+      |SELECT vec_id, sum(sfp)::BIGINT AS shap_fp FROM r4 GROUP BY 1""".stripMargin
+
   /** Unrolled Lloyd iterations over millionth-quantized vectors — mirror
     * of [[graft.ops.SimilarityOps.kmeansFixedPoint]] at k=8, iters=2:
     * squared-L2 integer distances, (dist, cid) argmin, truncated-div
@@ -4004,8 +4068,12 @@ object SparkEntry {
        |SELECT doc_id, s AS score_fp, s >= 0 AS pred
        |FROM sc""".stripMargin
 
-  private def kmeansOracleWith(trainFilter: String): String =
-    s"""WITH v AS (SELECT vec_id, [round(x::DOUBLE * 1000000.0)::BIGINT for x in embedding] AS vfp
+  /** The unrolled-Lloyd CTE body alone (final full-corpus assignment in
+    * `a3`) — shared by the k-means oracles and the cluster-keywords
+    * oracle, which consumes the assignment instead of emitting it.
+    */
+  private def kmeansCtes(trainFilter: String): String =
+    s"""v AS (SELECT vec_id, [round(x::DOUBLE * 1000000.0)::BIGINT for x in embedding] AS vfp
       |           FROM embeddings),
       |vt AS (SELECT * FROM v WHERE $trainFilter),
       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vfp AS cfp
@@ -4014,8 +4082,36 @@ object SparkEntry {
       |${lloydUpdateCte("", 1, "c0", "vt")},
       |${lloydAssignCte("", 2, "c1", "vt")},
       |${lloydUpdateCte("", 2, "c1", "vt")},
-      |${lloydAssignCte("", 3, "c2", "v")}
+      |${lloydAssignCte("", 3, "c2", "v")}""".stripMargin
+
+  private def kmeansOracleWith(trainFilter: String): String =
+    s"""WITH ${kmeansCtes(trainFilter)}
       |SELECT vec_id, cid, dist AS dist_fp FROM a3""".stripMargin
+
+  /** c-TF-IDF over the k-means cells — mirror of
+    * [[graft.ops.TextOps.clusterKeywords]]: per-(cluster, term) counts,
+    * corpus frequency and the truncated-div average cluster mass derived
+    * FROM the counts, the mirrored tf_c·ln(1 + A/f_t) score quantized to
+    * millionths, (w_fp DESC, term) top-5 per cluster.
+    */
+  private val clusterKeywordsOracle: String =
+    s"""WITH ${kmeansCtes("TRUE")},
+      |toks AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      |  FROM documents),
+      |tk AS (SELECT a3.cid, toks.term FROM toks JOIN a3 ON a3.vec_id = toks.doc_id
+      |       WHERE toks.term <> ''),
+      |tfc AS (SELECT cid, term, count(*)::BIGINT AS tf_c FROM tk GROUP BY 1, 2),
+      |ft AS (SELECT term, sum(tf_c)::BIGINT AS f_t FROM tfc GROUP BY 1),
+      |aw AS (SELECT sum(tf_c)::BIGINT // count(DISTINCT cid)::BIGINT AS aw FROM tfc),
+      |sc AS (SELECT tfc.cid, tfc.term, tfc.tf_c, ft.f_t,
+      |              round(tfc.tf_c::DOUBLE * ln(1.0 + aw.aw::DOUBLE / ft.f_t::DOUBLE)
+      |                    * 1000000.0)::BIGINT AS w_fp
+      |       FROM tfc JOIN ft USING (term) CROSS JOIN aw),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY cid ORDER BY w_fp DESC, term) AS rk
+      |      FROM sc)
+      |SELECT cid, term, tf_c, f_t, w_fp, rk::BIGINT AS rk FROM r WHERE rk <= 5""".stripMargin
 
   /** Per-sub PQ assignment round `i` against codebooks `cs` — mirror of
     * [[graft.ops.SimilarityOps.pqEncode]]'s argmin (ties to lowest code).
@@ -5663,6 +5759,8 @@ object SparkEntry {
     "q_embedding_knn" -> knnOracle,
     "q_mmr_select" -> mmrOracle,
     "q_kcenter_select" -> kCenterOracle,
+    "q_cluster_keywords" -> clusterKeywordsOracle,
+    "q_knn_shapley" -> knnShapleyOracle,
     "q_class_outliers" ->
       """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id, label, generate_subscripts(v, 1) AS dim,

@@ -957,6 +957,65 @@ object SimilarityOps {
     selected.select(col(idCol), col("pick_rank"), col("radius_sq"))
   }
 
+  /** kNN-Shapley data valuation (the closed-form exact Shapley value of
+    * each training point under the K-nearest-neighbor utility, Jia et
+    * al., PVLDB 12(11) 2019): for each labeled probe, training points
+    * sort by distance and the value telescopes from the farthest point
+    * inward — s_N = 𝟙[y_N = y_probe]/N, s_i = s_{i+1} +
+    * (𝟙[y_i = y] − 𝟙[y_{i+1} = y])·min(K,i)/(K·i) — so one ranked pass
+    * computes what naive Shapley needs 2^N coalitions for. The per-probe
+    * values sum over the probe panel: points that pull K-NN toward
+    * correct predictions value high, mislabeled/outlier points go
+    * NEGATIVE — the "which training data helps vs hurts" curation signal.
+    *
+    * Fixed-point discipline: distances are order-free BIGINT squared-L2
+    * on millionth-quantized coordinates; each telescoping step quantizes
+    * to nano-units with TRUNCATED integer division before summation
+    * ((𝟙ᵢ−𝟙ᵢ₊₁)·((min(K,i)·10⁹) div (K·i))), so the suffix accumulation
+    * is an integer window sum — exact under ANY evaluation order, which
+    * is what lets engines with segment-tree window aggregation (DuckDB)
+    * hash-match Spark's running accumulation.
+    *
+    * Shape: |probes|·N scored rows (the knnBrute posture — the probe
+    * panel is small and BOUNDED by contract); ranking and the suffix sum
+    * partition per probe, and the final per-point reduction is one
+    * id-keyed aggregate. Output: (idCol, shap_fp) with shap_fp the
+    * nano-unit sum over the panel.
+    */
+  def knnShapley(
+      train: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      kNeigh: Int): DataFrame = {
+    require(kNeigh >= 1, "K must be positive")
+    def fp(v: Column) = transform(v, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+    val t = train.select(
+      col(idCol), fp(col(vecCol)).as("vfp"), col(labelCol).cast("long").as("__y"))
+    val p = probes.select(
+      col(idCol).as("__pid"), fp(col(vecCol)).as("__pv"),
+      col(labelCol).cast("long").as("__py"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__dist"), col(idCol))
+    val wDesc = Window.partitionBy(col("__pid")).orderBy(col("__i").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.crossJoin(broadcast(p))
+      .withColumn("__dist", graft.functions.VectorFunctions.graft_l2sq(col("vfp"), col("__pv")))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__pid"))))
+      .withColumn("__ind", (col("__y") === col("__py")).cast("long"))
+      .withColumn("__nind", lead(col("__ind"), 1).over(w))
+      .withColumn("__dfp",
+        when(col("__nind").isNull, lit(0L))
+          .otherwise((col("__ind") - col("__nind")) *
+            expr(s"(least($kNeigh, __i) * 1000000000L) div (${kNeigh}L * __i)")))
+      .withColumn("__sfp",
+        sum(col("__dfp")).over(wDesc) +
+          first(col("__ind")).over(wDesc) * expr("1000000000L div __n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__sfp")).as("shap_fp"))
+  }
+
   /** IVF approximate top-k with k-means coarse quantization — the
     * self-contained composition of [[ivfFitKmeans]] + [[knnIvfSearch]]
     * (fit per call; an operating deployment persists the fit and calls

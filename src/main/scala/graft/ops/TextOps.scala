@@ -266,6 +266,57 @@ object TextOps {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))
   }
 
+  /** Class-based TF-IDF (the c-TF-IDF topic-labeling recipe): treat each
+    * CLUSTER's concatenated documents as one pseudo-document and score
+    * each term by tf_c · ln(1 + A / f_t), where tf_c is the term's count
+    * inside the cluster, f_t its corpus-wide count, and A the truncated-
+    * div average token mass per cluster — high for terms frequent IN the
+    * cluster but rare elsewhere, the automatic "what is this cluster
+    * about" keyword extractor over any assignment (k-means cells, label
+    * columns, sources). Top-k per cluster by (w_fp DESC, term).
+    *
+    * Shape: one token explode joined to the |docs|-sized assignment (both
+    * id-keyed), then everything aggregates to the (clusters × vocabulary)
+    * relation — f_t and the 1-row average derive from the tf_c counts,
+    * never from a second corpus pass; the ranking window partitions by
+    * cluster. The score quantizes to BIGINT millionths after a fully
+    * mirrored double expression on exact longs (the lmScore recipe), so
+    * ranks and scores replay engine-exact.
+    *
+    * Output: (cidCol, term, tf_c, f_t, w_fp, rk 1..k).
+    */
+  def clusterKeywords(
+      docs: DataFrame,
+      assign: DataFrame,
+      idCol: String,
+      textCol: String,
+      cidCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    val toks = docs
+      .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .join(assign.select(col(idCol), col(cidCol)), Seq(idCol))
+    // cached: the (cluster, term) counts feed the corpus frequency, the
+    // cluster-mass average AND the scoring join
+    val tfc = toks.groupBy(col(cidCol), col("term"))
+      .agg(count(lit(1)).as("tf_c")).scopedCache()
+    val ft = tfc.groupBy(col("term")).agg(sum(col("tf_c")).as("f_t"))
+    val aw = tfc.agg(sum(col("tf_c")).as("__tot"), count_distinct(col(cidCol)).as("__nc"))
+      .select(expr("__tot div __nc").as("__aw"))
+    val w = Window.partitionBy(col(cidCol)).orderBy(col("w_fp").desc, col("term"))
+    tfc.join(ft, Seq("term"))
+      .crossJoin(broadcast(aw))
+      .withColumn("w_fp",
+        round(col("tf_c").cast("double") *
+          log(lit(1.0) + col("__aw").cast("double") / col("f_t").cast("double")) *
+          lit(1.0e6)).cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(cidCol), col("term"), col("tf_c"), col("f_t"), col("w_fp"), col("rk"))
+  }
+
   /** Corpus-level top-k bigram collocations: adjacent normalized-token pairs,
     * counted and totally ordered (count DESC, bigram ASC — deterministic at
     * the LIMIT boundary). The pair construction is a zip of two array slices

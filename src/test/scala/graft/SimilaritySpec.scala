@@ -532,6 +532,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(radii.zip(radii.tail).forall { case (a, b) => a >= b }, s"radii not monotone: $radii")
   }
 
+  test("knnShapley matches a plain-Scala telescoping replay on the corpus slice") {
+    val sub = emb.filter(col("vec_id") < 100)
+    val got = SimilarityOps.knnShapley(
+      sub.filter(col("vec_id") % 10 =!= 0), sub.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", "label", kNeigh = 3)
+      .as[(Long, Long)].collect().toMap
+    val vf = fpOf(sub)
+    val labels = sub.select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val trainIds = vf.keySet.filter(_ % 10 != 0)
+    val exp = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (pid <- vf.keySet.filter(_ % 10 == 0)) {
+      val ranked = trainIds.toSeq.map(id => (id, l2fp(vf(id), vf(pid))))
+        .sortBy { case (id, d) => (d, id) }
+      val n = ranked.size
+      val ind = ranked.map { case (id, _) => if (labels(id) == labels(pid)) 1L else 0L }
+      val K = 3L
+      val dfp = (0 until n).map { j =>
+        if (j == n - 1) 0L
+        else (ind(j) - ind(j + 1)) * ((math.min(K, j + 1L) * 1000000000L) / (K * (j + 1L)))
+      }
+      val sN = ind.last * (1000000000L / n)
+      var sfx = 0L
+      for (j <- (n - 1) to 0 by -1) {
+        sfx += dfp(j)
+        exp(ranked(j)._1) += sfx + sN
+      }
+    }
+    assert(got == exp.toMap, s"got ${got.toSeq.sorted}\nexp ${exp.toSeq.sorted}")
+    assert(got.values.toSet.size > 1, "values degenerate")
+  }
+
   // ─────────────────────── product quantization ───────────────────────
 
   private def fpOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
