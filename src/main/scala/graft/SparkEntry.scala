@@ -2399,6 +2399,19 @@ object SparkEntry {
     unigramArtifact(spark, dir)._2
       .select(col("word"), scalarPieces, col("score_fp"))
 
+  /** Greedy maximal-munch apply of the staged unigram inventory
+    * ([[TextOps.greedySegmentWith]] over [[unigramArtifact]]'s vocab) —
+    * the WordPiece-style longest-match decode next to the same
+    * inventory's Viterbi optimum (q_unigram_segment), `pieces`
+    * space-joined to a scalar cell like its sibling.
+    */
+  def qGreedySegment(spark: SparkSession, dir: String): DataFrame = {
+    val (vocab, _) = unigramArtifact(spark, dir)
+    TextOps.greedySegmentWith(
+      Tables.documents(spark, dir), "text", vocab.select(col("piece")))
+      .select(col("word"), scalarPieces, col("n_pieces"))
+  }
+
   /** The persisted-tokenizer deployment split for the unigram family
     * (q_bpe_assign's analog): scores trained on the even-doc half, the
     * FULL corpus vocabulary segmented under the frozen table — one
@@ -2960,6 +2973,7 @@ object SparkEntry {
     "q_data_card"               -> (qDataCard(_, _)),
     "q_unigram_vocab"           -> (qUnigramVocab(_, _)),
     "q_unigram_segment"         -> (qUnigramSegment(_, _)),
+    "q_greedy_segment"          -> (qGreedySegment(_, _)),
     "q_unigram_encode"          -> (qUnigramEncode(_, _)),
     "q_unigram_assign"          -> (qUnigramAssign(_, _)),
     "q_unigram_staged"          -> (qUnigramStaged(_, _)),
@@ -3778,6 +3792,37 @@ object SparkEntry {
        |uc0 AS MATERIALIZED (SELECT piece, sum(freq)::BIGINT AS cnt FROM usub JOIN uwc USING (word) GROUP BY 1),
        |${unigramEmCtes(1, 12)},
        |${unigramEmCtes(2, 12)}""".stripMargin
+
+  /** Unrolled greedy maximal-munch — mirror of
+    * [[graft.ops.TextOps.greedySegmentWith]] over the trained `uc2`
+    * inventory: per (word, position) the longest candidate piece wins
+    * (`gb`), each of the 12 rounds advances exactly the words whose
+    * cursor sits at that round's position (single-char fallback when no
+    * piece starts there), `path` space-joined to the scalar cell.
+    */
+  private val greedySegmentOracle: String = {
+    val rounds = (1 to 12).map { i =>
+      s"""g$i AS (SELECT w.word,
+         |        CASE WHEN w.pos = ${i - 1} AND w.pos < length(w.word)
+         |             THEN coalesce(b.e, w.pos + 1) ELSE w.pos END AS pos,
+         |        CASE WHEN w.pos = ${i - 1} AND w.pos < length(w.word)
+         |             THEN list_append(w.path, coalesce(b.piece, substr(w.word, w.pos + 1, 1)))
+         |             ELSE w.path END AS path
+         |        FROM g${i - 1} w LEFT JOIN gb b ON b.word = w.word AND b.s = w.pos)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $unigramBaseCtes,
+       |gcand AS (SELECT usub.word, usub.s, usub.e, usub.piece
+       |          FROM usub JOIN uc2 ON usub.piece = uc2.piece),
+       |gb AS (SELECT word, s, e, piece FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY word, s ORDER BY e DESC) AS rn
+       |         FROM gcand) WHERE rn = 1),
+       |g0 AS (SELECT word, 0 AS pos, []::VARCHAR[] AS path FROM uwc),
+       |$rounds
+       |SELECT word, coalesce(array_to_string(path, ' '), '') AS pieces,
+       |       len(path)::BIGINT AS n_pieces
+       |FROM g12""".stripMargin
+  }
 
   private val unigramVocabOracle: String =
     s"""WITH $unigramBaseCtes,
@@ -5506,6 +5551,7 @@ object SparkEntry {
         |FROM s JOIN lt USING (source)""".stripMargin,
     "q_unigram_vocab" -> unigramVocabOracle,
     "q_unigram_segment" -> unigramSegmentOracle,
+    "q_greedy_segment" -> greedySegmentOracle,
     "q_unigram_encode" -> unigramEncodeOracle,
     "q_unigram_assign" -> unigramAssignOracle,
     "q_unigram_staged" -> unigramStagedOracle,

@@ -1481,6 +1481,66 @@ object TextOps {
     viterbi(wordSubstrings(wc, maxPieceLen), scores)
   }
 
+  /** GREEDY maximal-munch segmentation under a trained piece inventory —
+    * the WordPiece longest-match-first decode rule (BERT's tokenizer
+    * apply step, minus the word-initial/continuation role split): at each
+    * position emit the LONGEST inventory piece starting there and jump to
+    * its end; a position no piece covers falls back to its single
+    * character (total coverage — the complement of
+    * [[unigramSegmentWith]]'s absent-word policy). Against the SAME
+    * trained inventory this is the greedy counterpart of the Viterbi
+    * optimum — where the two disagree is exactly the corpus a tokenizer
+    * report should surface.
+    *
+    * Same shape as the Viterbi leg: candidates are the vocabulary-bounded
+    * substring inventory joined to the broadcast piece set, and the whole
+    * left-to-right munch runs as ONE in-row `aggregate` fold over
+    * positions (state = (pos, path); off-position steps pass through) —
+    * one aggregate + one projection, no join rounds. `maxWordLen` is the
+    * shared ORACLE round bound ([[unigramTrain]]'s operating policy).
+    *
+    * Output: (word, pieces array<string>, n_pieces).
+    */
+  def greedySegmentWith(
+      docs: DataFrame,
+      textCol: String,
+      pieces: DataFrame,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    val wc = bpeWordCounts(docs, textCol).scopedCache()
+    val maxLen = wc.agg(coalesce(max(length(col("word"))), lit(0))).head().getInt(0)
+    require(maxLen <= maxWordLen,
+      s"word of length $maxLen exceeds maxWordLen=$maxWordLen (shared oracle greedy-round bound)")
+    val cand = wordSubstrings(wc, maxPieceLen)
+      .join(broadcast(pieces.select(col("piece")).distinct()), "piece")
+    val ps = cand.groupBy(col("word"))
+      .agg(collect_list(struct(col("s"), col("e"), col("piece"))).as("__ps"))
+    // words whose characters the inventory never saw have NO candidates:
+    // keep them (typed empty candidate array) so the char fallback covers
+    val words = wc.select(col("word")).join(ps, Seq("word"), "left")
+      .withColumn("__ps", coalesce(col("__ps"),
+        array().cast("array<struct<s:int,e:int,piece:string>>")))
+    def munch(ps2: Column, word: Column): Column =
+      aggregate(
+        sequence(lit(0), length(word) - 1),
+        struct(lit(0).as("pos"), array().cast("array<string>").as("path")),
+        (acc, i) => {
+          val atPos = filter(ps2, p => p.getField("s") === i)
+          val bestE = array_max(transform(atPos, p => p.getField("e")))
+          // (s, e) determines the piece, so the filtered array is a
+          // singleton; get() is the ANSI-safe empty-array probe
+          val best = get(filter(atPos, p => p.getField("e") === bestE), lit(0))
+          when(acc.getField("pos") =!= i, acc).otherwise(struct(
+            coalesce(bestE, i + 1).as("pos"),
+            concat(acc.getField("path"),
+              array(coalesce(best.getField("piece"), word.substr(i + lit(1), lit(1)))))
+              .as("path")))
+        })
+    words.withColumn("__g", munch(col("__ps"), col("word")))
+      .select(col("word"), col("__g.path").as("pieces"),
+        size(col("__g.path")).cast("long").as("n_pieces"))
+  }
+
   /** Encode the corpus through the trained unigram tokenizer — train
     * ([[unigramTrain]]) then apply the final Viterbi segmentation to every
     * document through the SAME encoding tail as [[bpeEncodeDocs]]

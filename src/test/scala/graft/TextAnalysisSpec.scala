@@ -611,6 +611,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(seg == Set("table"), s"unexpected segmentation set $seg")
   }
 
+  test("greedySegmentWith: hand-computed maximal munch, char fallback covers unseen words") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "abcc abcd xyz ab")).toDF("doc_id", "text")
+    val inv = Seq("ab", "abc", "c", "d").toDF("piece")
+    val got = TextOps.greedySegmentWith(docs, "text", inv)
+      .as[(String, Seq[String], Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      // longest-match at 0 takes "abc" over "ab"; the tail segments on
+      "abcc" -> ((Seq("abc", "c"), 2L)),
+      "abcd" -> ((Seq("abc", "d"), 2L)),
+      // no inventory piece anywhere: per-char fallback, never absent
+      "xyz" -> ((Seq("x", "y", "z"), 3L)),
+      "ab" -> ((Seq("ab"), 1L))), s"got $got")
+    // greedy vs Viterbi on the SAME trained inventory: both total over
+    // the training corpus (single-char floor), greedy never shorter than
+    // the optimum's piece count is NOT guaranteed — only totality is
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+    val (vocab, _) = TextOps.unigramTrain(corpus, "text")
+    val greedy = TextOps.greedySegmentWith(corpus, "text", vocab.select(col("piece")))
+      .as[(String, Seq[String], Long)].collect()
+    val words = TextOps.bpeWordCounts(corpus, "text").select("word").as[String].collect().toSet
+    assert(greedy.map(_._1).toSet == words, "greedy must cover every corpus word")
+    // lossless: concatenating the pieces re-spells the word
+    greedy.foreach { case (w, ps, n) =>
+      assert(ps.mkString == w, s"munch of $w lost characters: $ps")
+      assert(n == ps.size)
+    }
+  }
+
   test("bpeArtifact staged legs ≡ self-contained bpeTrain/bpeVocab/bpeEncodeDocs") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val (merges, seg) = TextOps.bpeArtifact(docs, "text", nMerges = 10)
