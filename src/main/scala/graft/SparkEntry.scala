@@ -1946,12 +1946,38 @@ object SparkEntry {
     * ever touches the corpus.
     */
   def qParetoFrontier(spark: SparkSession, dir: String): DataFrame =
+    paretoOf(paretoPoints(spark, dir))
+
+  /** The frontier input relation (quality millionths × token count) and
+    * geometry, shared by the one-shot and incremental forms.
+    */
+  private def paretoPoints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      round(TextOps.qualityExpr(col("text")) * lit(1.0e6)).cast("long").as("quality_fp"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+
+  private def paretoOf(pts: DataFrame): DataFrame =
     SamplingOps.paretoFrontier2(
-      Tables.documents(spark, dir).select(
-        col("doc_id"),
-        round(TextOps.qualityExpr(col("text")) * lit(1.0e6)).cast("long").as("quality_fp"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
-      "doc_id", "quality_fp", "n_tokens", xLo = 0L, xHi = 1000000L, nBuckets = 32)
+      pts, "doc_id", "quality_fp", "n_tokens", xLo = 0L, xHi = 1000000L, nBuckets = 32)
+
+  /** Incremental maintenance of the curation frontier: the skyline is a
+    * FOLD MONOID — skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)),
+    * because an undominated point stays undominated in any subset and a
+    * dominated point always has an UNDOMINATED dominator (transitivity +
+    * well-foundedness) that survives its own batch's frontier to kill it
+    * at the merge. Four disjoint doc-id batches keep only their local
+    * frontiers (tiny), the merge re-skylines the union — must reproduce
+    * q_pareto_frontier bit-for-bit (shared oracle). This is the 100 TB
+    * maintenance path: per-partition frontiers are frontier-sized, and
+    * new data re-skylines against the kept frontier, never the history.
+    */
+  def qParetoIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val pts = paretoPoints(spark, dir)
+    val parts = (0 until 4).map(m =>
+      paretoOf(pts.filter(pmod(col("doc_id"), lit(4)) === m)))
+    paretoOf(parts.reduce(_ unionByName _))
+  }
 
   /** Per-domain cap: top-50 documents per source by (n_chars DESC, doc_id)
     * — the anti-SEO curation guard ([[SamplingOps.capPerDomain]]).
@@ -3008,6 +3034,7 @@ object SparkEntry {
     "q_neardup_clusters_incr"   -> (qNeardupClustersIncremental(_, _)),
     "q_domain_cap"              -> (qDomainCap(_, _)),
     "q_pareto_frontier"         -> (qParetoFrontier(_, _)),
+    "q_pareto_incremental"      -> (qParetoIncremental(_, _)),
     "q_length_buckets"          -> (qLengthBuckets(_, _)),
     "q_curriculum_bins"         -> (qCurriculumBins(_, _)),
     "q_prefix_templates"        -> (qPrefixTemplates(_, _)),
@@ -3649,6 +3676,31 @@ object SparkEntry {
       |SELECT vec_id, 1::BIGINT AS pick_rank, NULL::BIGINT AS radius_sq FROM p1
       |UNION ALL $picks""".stripMargin
   }
+
+  /** O(n²) NOT EXISTS dominance skyline over (quality millionths, token
+    * count) — the DEFINITION the distributed level/bucket algorithm and
+    * its fold-monoid incremental form must both equal.
+    */
+  private val paretoOracle: String =
+    raw"""WITH qy AS (
+      |  SELECT doc_id,
+      |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> ''))::BIGINT AS n_tokens,
+      |         0.4 * least(1.0, len(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> ''))::DOUBLE / 100.0)
+      |         + 0.3 * (1.0 - least(1.0, (CASE WHEN length(text) > 0
+      |                 THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE END) * 10.0))
+      |         + 0.3 * least(1.0, (CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> '')) > 0
+      |                 THEN len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
+      |                      / len(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> ''))::DOUBLE END) * 5.0)
+      |           AS quality
+      |  FROM documents),
+      |p AS (SELECT doc_id, round(quality * 1000000.0)::BIGINT AS quality_fp, n_tokens
+      |      FROM qy WHERE quality IS NOT NULL AND n_tokens IS NOT NULL)
+      |SELECT a.doc_id, a.quality_fp, a.n_tokens
+      |FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.quality_fp >= a.quality_fp AND b.n_tokens >= a.n_tokens
+      |    AND (b.quality_fp > a.quality_fp OR b.n_tokens > a.n_tokens))""".stripMargin
 
   /** Telescoping kNN-Shapley replay — mirror of
     * [[graft.ops.SimilarityOps.knnShapley]] at K=5: per probe, rank all
@@ -4478,27 +4530,10 @@ object SparkEntry {
     "q_triangle_stats" -> triangleStatsOracle,
     "q_cross_dedup_lsh" -> crossVerifiedPairsOracle,
     // Pareto frontier: the oracle is the DEFINITION — the O(n²) NOT EXISTS
-    // dominance check the distributed level/bucket algorithm must equal
-    "q_pareto_frontier" ->
-      raw"""WITH qy AS (
-        |  SELECT doc_id,
-        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> ''))::BIGINT AS n_tokens,
-        |         0.4 * least(1.0, len(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> ''))::DOUBLE / 100.0)
-        |         + 0.3 * (1.0 - least(1.0, (CASE WHEN length(text) > 0
-        |                 THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE END) * 10.0))
-        |         + 0.3 * least(1.0, (CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> '')) > 0
-        |                 THEN len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
-        |                      / len(list_filter(regexp_split_to_array(trim(text), '\s+'), z -> z <> ''))::DOUBLE END) * 5.0)
-        |           AS quality
-        |  FROM documents),
-        |p AS (SELECT doc_id, round(quality * 1000000.0)::BIGINT AS quality_fp, n_tokens
-        |      FROM qy WHERE quality IS NOT NULL AND n_tokens IS NOT NULL)
-        |SELECT a.doc_id, a.quality_fp, a.n_tokens
-        |FROM p a
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM p b
-        |  WHERE b.quality_fp >= a.quality_fp AND b.n_tokens >= a.n_tokens
-        |    AND (b.quality_fp > a.quality_fp OR b.n_tokens > a.n_tokens))""".stripMargin,
+    // dominance check the distributed level/bucket algorithm must equal.
+    // SHARED with the incremental form (skyline fold-monoid losslessness)
+    "q_pareto_frontier" -> paretoOracle,
+    "q_pareto_incremental" -> paretoOracle,
     "q_domain_cap" ->
       """WITH r AS (SELECT doc_id, source, n_chars,
         |                  row_number() OVER (PARTITION BY source

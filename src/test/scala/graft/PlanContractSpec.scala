@@ -231,7 +231,37 @@ class PlanContractSpec extends AnyFunSuite {
     // source-keyed aggregate per family
     Contract("q_tokenizer_report",
       requiredMarkers = Seq("BroadcastHashJoin"),
-      allowBroadcastCross = true, allowGlobalWindow = true))
+      allowBroadcastCross = true, allowGlobalWindow = true),
+    // count-min family: explode → hash aggregate cells, probe estimate is
+    // an equi-join on (keys, row_id, slot) — no cross, no global window
+    Contract("q_cms_heavy_hitters", requiredMarkers = Seq()),
+    Contract("q_cms_incremental", requiredMarkers = Seq()),
+    // skyline: the ONLY global window is the suffix-max over the
+    // nBuckets-row bucket relation (the declared bounded site); the
+    // level/bucket joins are hash joins
+    Contract("q_pareto_frontier", requiredMarkers = Seq(), allowGlobalWindow = true),
+    Contract("q_pareto_incremental", requiredMarkers = Seq(), allowGlobalWindow = true),
+    // greedy k-center: every round is checkpoint-materialized, so the
+    // visible plan is the union of the picked 1-row slices — nothing may
+    // reintroduce a cartesian or window over the corpus
+    Contract("q_kcenter_select", requiredMarkers = Seq()),
+    // c-TF-IDF: the 1-row average-mass relation is the declared bounded
+    // cross; ranking windows partition per cluster
+    // (4 declared crosses: the final Lloyd assignment's k-row centroid
+    // relation appears once per consumer of the cached tf_c derivation
+    // plus the 1-row average-mass cross — all dimension-sized)
+    Contract("q_cluster_keywords", requiredMarkers = Seq(),
+      allowBroadcastCross = true, bnlAtMost = 4),
+    // kNN-Shapley: the bounded probe panel is the ONE declared broadcast
+    // cross; ranking and suffix sums partition per probe
+    Contract("q_knn_shapley", requiredMarkers = Seq(),
+      allowBroadcastCross = true, bnlAtMost = 1),
+    // greedy munch: every relation after the word-count scan is
+    // vocabulary-bounded and the fold is one projection; the ONE declared
+    // cross is the trained inventory's 1-row score-total (scoresFrom, the
+    // unigram family's shared exception)
+    Contract("q_greedy_segment", requiredMarkers = Seq(),
+      allowBroadcastCross = true, bnlAtMost = 1))
 
   /** Static plan + logical global windows for one registered query, with
     * AQE off so the physical plan is fully materialized at plan time.

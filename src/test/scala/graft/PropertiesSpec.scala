@@ -612,6 +612,15 @@ class PropertiesSpec extends AnyFunSuite {
         !pts.exists { case (_, bx, by) => bx >= x && by >= y && (bx > x || by > y) }
       }.toSet
       assert(got == exp, s"case $i: got ${got.toSeq.sorted}\nexp ${exp.toSeq.sorted}")
+      // skyline fold monoid: frontier of the batch frontiers' union ==
+      // the full frontier, for any disjoint split
+      val nb = 1 + (rows.size % 3)
+      val parts = (0 until nb).map(m => SamplingOps.paretoFrontier2(
+        df.filter(pmod(col("id"), lit(nb)) === m), "id", "x", "y", 0L, 100L, 4))
+      val folded = SamplingOps.paretoFrontier2(
+        parts.reduce(_ unionByName _), "id", "x", "y", 0L, 100L, 4)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(folded == exp, s"case $i fold: got ${folded.toSeq.sorted}")
       spark.catalog.clearCache()
     }
   }
