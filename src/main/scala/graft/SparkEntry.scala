@@ -2230,6 +2230,83 @@ object SparkEntry {
     TextOps.bpeEncodeDocsWith(docs, "doc_id", "text", merges.map(m => (m._2, m._3)))
   }
 
+  /** The shared trained-WordPiece artifact, memoized per (session, corpus
+    * dir) — the [[bpeTrainedArtifact]] treatment for the THIRD tokenizer
+    * family: the 10-merge likelihood-scored trainer runs once and the
+    * merge table and corpus encoding both derive from the returned
+    * (merges, segmentation) pair.
+    */
+  private val wpMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[(Long, String, String, String, Long, Long)], DataFrame)]()
+  private def wordpieceTrainedArtifact(
+      spark: SparkSession,
+      dir: String): (Seq[(Long, String, String, String, Long, Long)], DataFrame) =
+    wpMemo.computeIfAbsent((spark, dir),
+      _ => TextOps.wordpieceArtifact(Tables.documents(spark, dir), "text", nMerges = 10))
+
+  /** WordPiece merge learning (10 merges) — the LIKELIHOOD-scored member
+    * of the subword-trainer family (BPE merges by raw pair count, unigram
+    * prunes by EM; WordPiece merges the pair maximizing
+    * ln c(l,r) − ln c(l) − ln c(r), Schuster & Nakajima 2012). The score
+    * quantizes each ln term to micro-nat BIGINTs before subtracting, so
+    * the oracle replays all ten count→score→argmax→rewrite rounds as
+    * unrolled CTEs and the learned table hash-matches, scores included.
+    */
+  def qWordpieceMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    wordpieceTrainedArtifact(spark, dir)._1
+      .toDF("merge_rank", "left_sym", "right_sym", "merged_sym", "pair_count", "score_fp")
+  }
+
+  /** The corpus encoded through the learned WordPiece merges — the SHARED
+    * encode tail ([[graft.ops.TextOps.bpeEncodeFrom]]: frequency-ranked
+    * subword ids over the `##`-marked symbol vocabulary, per-doc counts +
+    * ordered-id md5 signature), so all three tokenizer families ship the
+    * identical deployment artifact shape. Derives from the shared
+    * [[wordpieceTrainedArtifact]] segmentation.
+    */
+  def qWordpieceEncode(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeEncodeFrom(
+      Tables.documents(spark, dir), "doc_id", "text", wordpieceTrainedArtifact(spark, dir)._2)
+
+  /** DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    * bucket models fit on the English slice (the target distribution) vs
+    * the whole corpus, each document scored by its integer micro-nat log
+    * importance ratio — the data-selection signal that upsamples
+    * target-like text. One corpus scan; the models are 4096-row
+    * broadcasts.
+    */
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame =
+    TextOps.dsirWeights(
+      Tables.documents(spark, dir), "doc_id", "text", col("lang") === "en")
+
+  /** The DSIR resampling step: top-100 documents by importance weight
+    * (deterministic weight-ordered take, ties to the lower id) with their
+    * selection rank — planned as TakeOrderedAndProject, never a global
+    * sort.
+    */
+  def qDsirSelect(spark: SparkSession, dir: String): DataFrame =
+    TextOps.dsirSelect(qDsirWeights(spark, dir), "doc_id", k = 100)
+
+  /** Incremental DSIR: the bucket models are a counts monoid — built
+    * per-batch over four disjoint doc slices and folded
+    * ([[graft.ops.TextOps.dsirMergeModels]]), then the full corpus is
+    * scored against the folded model. Shares q_dsir_weights' oracle: the
+    * fold must be lossless.
+    */
+  def qDsirIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val models = (0 to 3).map { k =>
+      TextOps.dsirModelFromFeatures(TextOps.dsirFeatures(
+        docs.filter(pmod(col("doc_id"), lit(4)) === k), "doc_id", "text",
+        col("lang") === "en"))
+    }
+    TextOps.dsirWeightsFromModel(
+      docs, "doc_id",
+      TextOps.dsirFeatures(docs, "doc_id", "text", col("lang") === "en"),
+      TextOps.dsirMergeModels(models))
+  }
+
   /** MMR-diversified retrieval: per probe, the top-20 cosine candidates
     * re-selected down to 5 by maximal marginal relevance (λ=0.7) — the
     * redundancy-penalizing pick for near-duplicate-heavy pools. Fully
@@ -3062,6 +3139,11 @@ object SparkEntry {
     "q_bpe_vocab"               -> (qBpeVocab(_, _)),
     "q_bpe_encode"              -> (qBpeEncode(_, _)),
     "q_bpe_assign"              -> (qBpeAssign(_, _)),
+    "q_wordpiece_merges"        -> (qWordpieceMerges(_, _)),
+    "q_wordpiece_encode"        -> (qWordpieceEncode(_, _)),
+    "q_dsir_weights"            -> (qDsirWeights(_, _)),
+    "q_dsir_select"             -> (qDsirSelect(_, _)),
+    "q_dsir_incremental"        -> (qDsirIncremental(_, _)),
     "q_mmr_select"              -> (qMmrSelect(_, _)),
     "q_kcenter_select"          -> (qKCenterSelect(_, _)),
     "q_cluster_keywords"        -> (qClusterKeywords(_, _)),
@@ -4330,6 +4412,85 @@ object SparkEntry {
        |        -- bpeLoop's early stop, not an empty relation
        |        FROM r${i - 1} LEFT JOIN bm$i ON TRUE)""".stripMargin
 
+  /** DSIR oracle CTE block — mirror of [[graft.ops.TextOps.dsirWeights]]:
+    * hashed unigram+bigram features (md5 hex-prefix buckets, the portable
+    * hash), Laplace-smoothed target/raw bucket models, per-bucket log
+    * importance ratio with every ln term quantized to micro-nat BIGINTs
+    * before the arithmetic, per-doc weight as the integer dot product.
+    * `dfinal` is the (doc_id, n_feats, weight_fp) relation.
+    */
+  private val dsirWeightCtes: String =
+    raw"""t AS (SELECT doc_id, lang,
+       |             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+       |      FROM documents),
+       |f AS (SELECT doc_id, lang,
+       |             unnest(w || [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS feat
+       |      FROM t),
+       |fb AS (SELECT doc_id, lang = 'en' AS is_t, substr(md5(feat), 1, 3) AS bucket,
+       |              count(*)::BIGINT AS c
+       |       FROM f GROUP BY 1, 2, 3),
+       |m AS (SELECT bucket, sum(CASE WHEN is_t THEN c ELSE 0 END)::BIGINT AS tc,
+       |             sum(c)::BIGINT AS rc
+       |      FROM fb GROUP BY 1),
+       |dtot AS (SELECT sum(tc)::BIGINT AS tt, sum(rc)::BIGINT AS rt FROM m),
+       |bt AS (SELECT bucket,
+       |         round(ln((tc + 1)::DOUBLE) * 1000000.0)::BIGINT
+       |       - round(ln((tt + 4096)::DOUBLE) * 1000000.0)::BIGINT
+       |       - round(ln((rc + 1)::DOUBLE) * 1000000.0)::BIGINT
+       |       + round(ln((rt + 4096)::DOUBLE) * 1000000.0)::BIGINT AS llr_fp
+       |       FROM m CROSS JOIN dtot),
+       |dw AS (SELECT doc_id, sum(c)::BIGINT AS n_feats, sum(c * llr_fp)::BIGINT AS weight_fp
+       |       FROM fb JOIN bt USING (bucket) GROUP BY 1),
+       |dfinal AS (SELECT d.doc_id, coalesce(n_feats, 0)::BIGINT AS n_feats,
+       |                  coalesce(weight_fp, 0)::BIGINT AS weight_fp
+       |           FROM documents d LEFT JOIN dw USING (doc_id))""".stripMargin
+
+  private val dsirWeightsOracle: String =
+    s"""WITH $dsirWeightCtes
+       |SELECT doc_id, n_feats, weight_fp FROM dfinal""".stripMargin
+
+  /** One WordPiece training round: pair counts AND symbol counts from
+    * round i−1's segmentation, the likelihood score with each ln term
+    * quantized to micro-nats before subtracting (mirror of
+    * [[graft.ops.TextOps.wordpieceTrain]]'s `lnFp` recipe), argmax by
+    * (score_fp desc, l, r), then the LEFT JOIN ON TRUE identity-guarded
+    * rewrite with the `##`-stripped merged name.
+    */
+  private def wpRoundCte(i: Int): String =
+    // wr$i MATERIALIZED: each round reads its predecessor THREE times
+    // (positions, symbol counts, rewrite) — inlined, the 10-round stack
+    // would expand 3^10 copies of the base scan and exhaust the process
+    // fd limit (the unigramAssignOracle MATERIALIZED precedent)
+    s"""wpx$i AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM wr${i - 1}),
+       |wsc$i AS (SELECT s, sum(freq)::BIGINT AS c FROM (
+       |          SELECT freq, unnest(syms) AS s FROM wr${i - 1}) GROUP BY 1),
+       |wbp$i AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq)::BIGINT AS cnt
+       |          FROM wpx$i GROUP BY 1, 2),
+       |wbm$i AS MATERIALIZED (SELECT $i::BIGINT AS merge_rank, l, r,
+       |          l || CASE WHEN starts_with(r, '##') THEN r[3:] ELSE r END AS merged,
+       |          cnt,
+       |          round(ln(cnt::DOUBLE) * 1000000.0)::BIGINT
+       |            - round(ln(cl.c::DOUBLE) * 1000000.0)::BIGINT
+       |            - round(ln(cr.c::DOUBLE) * 1000000.0)::BIGINT AS score_fp
+       |          FROM wbp$i JOIN wsc$i cl ON cl.s = wbp$i.l JOIN wsc$i cr ON cr.s = wbp$i.r
+       |          ORDER BY score_fp DESC, l, r LIMIT 1),
+       |wr$i AS MATERIALIZED (SELECT word, freq, list_reduce([[s] for s in syms], (acc, x) ->
+       |          CASE WHEN len(acc) >= 1 AND acc[-1] = wbm$i.l AND x[1] = wbm$i.r
+       |               THEN acc[1:len(acc)-1] || [wbm$i.merged] ELSE acc || x END) AS syms
+       |        FROM wr${i - 1} LEFT JOIN wbm$i ON TRUE)""".stripMargin
+
+  /** Corpus word counts + BERT first-char/`##`-continuation initialization
+    * shared by the WordPiece oracles.
+    */
+  private val wpBaseCtes: String =
+    raw"""ww AS (SELECT word, count(*)::BIGINT AS freq FROM (
+       |         SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS word
+       |         FROM documents) GROUP BY 1),
+       |wr0 AS (SELECT word, freq,
+       |          [CASE WHEN i = 1 THEN word[i] ELSE '##' || word[i] END
+       |           for i in range(1, length(word) + 1)] AS syms
+       |        FROM ww)""".stripMargin
+
   /** Corpus word counts + Sennrich char-plus-marker initialization shared
     * by the BPE oracles; `trainFilter` restricts the TRAINING corpus
     * (q_bpe_assign trains on the even-doc half).
@@ -4527,6 +4688,26 @@ object SparkEntry {
          |ra0 AS (SELECT word, freq, regexp_split_to_array(word, '') || ['</w>'] AS syms FROM wa),
          |${(1 to 10).map(bpeApplyCte).mkString(",\n")},
          |${bpeEncodeSql("ra10")}""".stripMargin,
+    // SHARED by the incremental form: folding per-batch bucket models must
+    // be lossless (counts monoid)
+    "q_dsir_weights" -> dsirWeightsOracle,
+    "q_dsir_incremental" -> dsirWeightsOracle,
+    "q_dsir_select" ->
+      s"""WITH $dsirWeightCtes,
+         |sel AS (SELECT doc_id, weight_fp,
+         |               row_number() OVER (ORDER BY weight_fp DESC, doc_id) AS rank
+         |        FROM dfinal)
+         |SELECT doc_id, weight_fp, rank::BIGINT AS rank FROM sel WHERE rank <= 100""".stripMargin,
+    "q_wordpiece_merges" ->
+      s"""WITH $wpBaseCtes,
+         |${(1 to 10).map(wpRoundCte).mkString(",\n")}
+         |SELECT merge_rank, l AS left_sym, r AS right_sym, merged AS merged_sym,
+         |       cnt AS pair_count, score_fp FROM (
+         |  ${(1 to 10).map(i => s"SELECT * FROM wbm$i").mkString(" UNION ALL ")})""".stripMargin,
+    "q_wordpiece_encode" ->
+      s"""WITH $wpBaseCtes,
+         |${(1 to 10).map(wpRoundCte).mkString(",\n")},
+         |${bpeEncodeSql("wr10")}""".stripMargin,
     "q_triangle_stats" -> triangleStatsOracle,
     "q_cross_dedup_lsh" -> crossVerifiedPairsOracle,
     // Pareto frontier: the oracle is the DEFINITION — the O(n²) NOT EXISTS

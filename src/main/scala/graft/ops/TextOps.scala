@@ -1355,6 +1355,235 @@ object TextOps {
         }).as("ids_sig"))
   }
 
+  // ───────────── DSIR importance resampling (data selection) ─────────────
+
+  /** Smoothing domain size for the DSIR bucket models — 16^3 md5
+    * hex-prefix buckets (the portable hash both engines agree on;
+    * q_hash_split precedent).
+    */
+  private val DsirBuckets = 4096L
+
+  /** Hashed n-gram feature counts for DSIR (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): word
+    * unigrams plus adjacent bigrams, each hashed to one of 4096 buckets
+    * by its md5 hex prefix — `(id, is_t, bucket, c)`. ONE corpus scan,
+    * map-side combined on (doc, bucket); at 100 TB this is the only
+    * corpus-sized relation in the pipeline (the bucket models it feeds
+    * are 4096 rows). Zero-feature documents drop here and are restored
+    * with weight 0 by [[dsirWeightsFromModel]]'s left join.
+    */
+  def dsirFeatures(
+      docs: DataFrame, idCol: String, textCol: String, isTarget: Column): DataFrame = {
+    val feats = DedupOps.bindOnce(tokens(col(textCol))) { toks =>
+      concat(
+        toks,
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+          .otherwise(array().cast("array<string>")))
+    }
+    docs.select(col(idCol), isTarget.as("is_t"), explode(feats).as("feat"))
+      .select(col(idCol), col("is_t"), substring(md5(col("feat")), 1, 3).as("bucket"))
+      .groupBy(col(idCol), col("is_t"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** The DSIR bucket models from a feature relation: per bucket the
+    * TARGET count and the RAW (whole-slice) count — `(bucket, tc, rc)`.
+    * The pair of sums is a monoid: per-batch models over disjoint doc
+    * slices fold by bucket-wise addition ([[dsirMergeModels]]), so the
+    * models maintain incrementally while the corpus streams in.
+    */
+  def dsirModelFromFeatures(feats: DataFrame): DataFrame =
+    feats.groupBy(col("bucket")).agg(
+      sum(when(col("is_t"), col("c")).otherwise(lit(0L))).as("tc"),
+      sum(col("c")).as("rc"))
+
+  /** Fold per-batch DSIR models (bucket-wise sum — the counts monoid). */
+  def dsirMergeModels(models: Seq[DataFrame]): DataFrame =
+    models.reduce(_ unionByName _)
+      .groupBy(col("bucket")).agg(sum(col("tc")).as("tc"), sum(col("rc")).as("rc"))
+
+  /** DSIR importance weights: per document, Σ_b c_b · (ln p̂(b) − ln q̂(b))
+    * where p̂/q̂ are the Laplace-smoothed target/raw bucket unigram models —
+    * the log importance ratio under the hashed-n-gram generative model.
+    * Each ln term quantizes to micro-nats BEFORE the arithmetic (the
+    * engine-wide [[lnFp]] recipe), so `weight_fp` is a BIGINT the oracle
+    * replays exactly. The model (4096 rows + a 1-row totals broadcast) is
+    * broadcast into the per-doc aggregate — nothing model-sized shuffles
+    * with the corpus; documents with no features score 0 via the left
+    * join (they carry no evidence either way).
+    */
+  def dsirWeightsFromModel(
+      docs: DataFrame, idCol: String, feats: DataFrame, model: DataFrame): DataFrame = {
+    val tot = model.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
+    val bt = model.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (lnFp(col("tc") + lit(1L)) - lnFp(col("tt") + lit(DsirBuckets))
+          - lnFp(col("rc") + lit(1L)) + lnFp(col("rt") + lit(DsirBuckets))).as("llr_fp"))
+    val dw = feats.join(broadcast(bt), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("nf"), sum(col("c") * col("llr_fp")).as("w"))
+    docs.select(col(idCol)).join(dw, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nf"), lit(0L)).as("n_feats"),
+        coalesce(col("w"), lit(0L)).as("weight_fp"))
+  }
+
+  /** One-shot DSIR weights: features → models → weights over the same
+    * corpus, with `isTarget` marking the target-distribution slice.
+    */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String, isTarget: Column): DataFrame = {
+    val feats = dsirFeatures(docs, idCol, textCol, isTarget).scopedCache()
+    dsirWeightsFromModel(docs, idCol, feats, dsirModelFromFeatures(feats))
+  }
+
+  /** DSIR selection: the top-k corpus documents by importance weight
+    * (ties to the lower id) with their selection rank — the resampling
+    * step made deterministic (weight-ordered take rather than
+    * Gumbel-noised, so the oracle replays it; the paper's noise term is a
+    * seeded tie-breaker at heart). `orderBy().limit(k)` plans as
+    * TakeOrderedAndProject — per-partition top-k then a k-sized merge,
+    * never a global sort — and the rank window runs over the k-row
+    * result (bounded; the declared global-window exception).
+    */
+  def dsirSelect(weights: DataFrame, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    weights.orderBy(col("weight_fp").desc, col(idCol)).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("weight_fp").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("weight_fp"), col("rank"))
+  }
+
+  // ───────────── WordPiece merge training (likelihood-scored) ─────────────
+
+  /** Initial WordPiece symbols: the word-initial character plain, every
+    * continuation character `##`-prefixed — `"low"` → `[l, ##o, ##w]`
+    * (the Schuster & Nakajima / BERT convention; reference surfaces its
+    * BPE/unigram tokenizer training in etl, this is the third member of
+    * the standard subword family). Same per-codepoint split caveat as
+    * [[bpeInit]] (ASCII-pinned corpus).
+    */
+  private def wpInit(words: DataFrame): DataFrame =
+    words.withColumn("syms",
+      DedupOps.bindOnce(filter(split(col("word"), ""), c => c =!= "")) { cs =>
+        transform(cs, (c, i) => when(i === 0, c).otherwise(concat(lit("##"), c)))
+      })
+
+  /** The WordPiece merged-symbol name: `l` plus `r` with its continuation
+    * marker stripped (`a + ##b → ab`, `##a + ##b → ##ab`) — so a merged
+    * symbol keeps exactly one leading `##` iff it is word-internal.
+    */
+  private def wpMergedSym(l: String, r: String): String =
+    l + (if (r.startsWith("##")) r.substring(2) else r)
+
+  /** [[bpeMergeFold]] generalized to an arbitrary merged-symbol name (the
+    * WordPiece merge does NOT concatenate the raw symbol strings — the
+    * continuation marker is stripped from the right side).
+    */
+  private def mergeFoldNamed(l: String, r: String, merged: String)(syms: Column): Column =
+    aggregate(
+      syms,
+      typedlit(Seq.empty[String]),
+      (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+        .otherwise(concat(acc, array(x))))
+
+  /** micro-nat quantization of ln(c) — the engine-wide ln-fixed-point
+    * recipe ([[lmScore]]/charEntropy): round to BIGINT immediately, all
+    * downstream arithmetic in integer space so DuckDB replays it exactly.
+    */
+  private def lnFp(c: Column): Column =
+    round(log(c.cast("double")) * lit(1.0e6)).cast("long")
+
+  /** The WordPiece merge-learning loop: [[bpeLoop]]'s structure with the
+    * LIKELIHOOD objective — per round the chosen pair maximizes
+    * `ln c(l,r) − ln c(l) − ln c(r)` (the pair whose merge most increases
+    * the unigram-LM likelihood of the corpus, Schuster & Nakajima 2012),
+    * not the raw pair count. Each term quantizes to micro-nats BEFORE the
+    * subtraction, so `score_fp` is a BIGINT both engines agree on; ties
+    * break (score_fp desc, l, r), pinned identically in the oracle.
+    * Per round: ONE vocab-bounded pair aggregate + ONE vocab-bounded
+    * symbol-count aggregate, joined on the symbol-sized relation — same
+    * 100 TB posture as BPE (the corpus is scanned once by
+    * [[bpeWordCounts]]; training never touches it again).
+    */
+  private def wpLoop(
+      words0: DataFrame,
+      nMerges: Int): (Seq[(Long, String, String, String, Long, Long)], DataFrame) = {
+    require(nMerges >= 1, "need at least one merge")
+    var words = wpInit(words0).localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val pairs = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          j => struct(
+            element_at(col("syms"), j).as("l"),
+            element_at(col("syms"), j + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val symCounts = words
+        .select(col("freq"), explode(col("syms")).as("s"))
+        .groupBy(col("s")).agg(sum(col("freq")).as("c"))
+      val top = pairs
+        .join(symCounts.select(col("s").as("l"), col("c").as("cl")), "l")
+        .join(symCounts.select(col("s").as("r"), col("c").as("cr")), "r")
+        .select(col("l"), col("r"), col("cnt"),
+          (lnFp(col("cnt")) - lnFp(col("cl")) - lnFp(col("cr"))).as("score_fp"))
+        .orderBy(col("score_fp").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c, s) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2), top.head.getLong(3))
+        val merged = wpMergedSym(l, r)
+        merges += ((i + 1L, l, r, merged, c, s))
+        words = words
+          .withColumn("syms", mergeFoldNamed(l, r, merged)(col("syms")))
+          .localCheckpoint()
+        i += 1
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** WordPiece merge learning (the BERT-tokenizer trainer): `nMerges`
+    * rounds of count-pairs → merge the LIKELIHOOD-argmax pair, over the
+    * corpus's frequency-weighted word vocabulary with `##`-marked
+    * continuations. Returns `(merge_rank, left_sym, right_sym,
+    * merged_sym, pair_count, score_fp)` — the shipped artifact plus the
+    * micro-nat score each merge won with. Fully deterministic, so the
+    * oracle replays every round (pair counts, symbol counts, quantized
+    * scores, argmax, rewrite) as unrolled CTEs and hash-matches.
+    */
+  def wordpieceTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    wordpieceArtifact(docs, textCol, nMerges)._1
+      .toDF("merge_rank", "left_sym", "right_sym", "merged_sym", "pair_count", "score_fp")
+  }
+
+  /** The full trained-WordPiece artifact from ONE training run — (merge
+    * table, final `(word, freq, syms)` segmentation), the [[bpeArtifact]]
+    * analog: the segmentation is localCheckpoint-backed, so the merge
+    * table, induced vocabulary ([[bpeVocabFrom]] works unchanged — the
+    * `##` marks live inside the symbol strings) and the corpus encoding
+    * ([[bpeEncodeFrom]]) all derive without replaying a round.
+    */
+  def wordpieceArtifact(
+      docs: DataFrame,
+      textCol: String,
+      nMerges: Int): (Seq[(Long, String, String, String, Long, Long)], DataFrame) =
+    wpLoop(bpeWordCounts(docs, textCol), nMerges)
+
   // ──────────────── unigram-LM tokenizer (SentencePiece-style) ────────────────
 
   /** Hard-EM unigram language-model tokenizer training (the Kudo 2018

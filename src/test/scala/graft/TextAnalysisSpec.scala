@@ -535,6 +535,175 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a", "b", 1L), (2L, "ab", "</w>", 1L)))
   }
 
+  // ─────────────────── DSIR importance resampling ───────────────────
+
+  test("dsirWeights matches an independent plain-Scala replay on the real corpus") {
+    import org.apache.spark.sql.functions._
+    import java.security.MessageDigest
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val got = TextOps.dsirWeights(docs, "doc_id", "text", col("lang") === "en")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val raw = docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect()
+    def bucket(s: String): String = {
+      val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.take(2).map(b => f"$b%02x").mkString.take(3)
+    }
+    def feats(text: String): Seq[String] = {
+      val w = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      w ++ w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val fb = raw.map { case (id, lang, text) =>
+      (id, lang == "en", feats(text).groupBy(bucket).view.mapValues(_.size.toLong).toMap)
+    }
+    val tc = scala.collection.mutable.Map.empty[String, Long]
+    val rc = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, isT, m) <- fb; (b, c) <- m) {
+      if (isT) tc(b) = tc.getOrElse(b, 0L) + c
+      rc(b) = rc.getOrElse(b, 0L) + c
+    }
+    val (tt, rt) = (tc.values.sum, rc.values.sum)
+    def lnFp(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    def llr(b: String): Long =
+      lnFp(tc.getOrElse(b, 0L) + 1) - lnFp(tt + 4096) - lnFp(rc(b) + 1) + lnFp(rt + 4096)
+    val exp = fb.map { case (id, _, m) =>
+      id -> ((m.values.sum, m.map { case (b, c) => c * llr(b) }.sum))
+    }.toMap
+    assert(got == exp)
+    // direction: the target slice averages a higher weight than the rest
+    val (enW, otherW) = (
+      raw.filter(_._2 == "en").map(r => got(r._1)._2),
+      raw.filter(_._2 != "en").map(r => got(r._1)._2))
+    assert(enW.sum / enW.size > otherW.sum / otherW.size,
+      "target-language docs should out-weigh the rest on average")
+  }
+
+  test("dsir model fold over disjoint batches equals the one-shot model; zero-feature docs score 0") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .unionByName(Seq((999999L, "   ", "en", "srcX", 3L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val isT = col("lang") === "en"
+    val oneShot = TextOps.dsirWeights(docs, "doc_id", "text", isT)
+    val folded = {
+      val models = (0 to 3).map { k =>
+        TextOps.dsirModelFromFeatures(TextOps.dsirFeatures(
+          docs.filter(pmod(col("doc_id"), lit(4)) === k), "doc_id", "text", isT))
+      }
+      TextOps.dsirWeightsFromModel(
+        docs, "doc_id", TextOps.dsirFeatures(docs, "doc_id", "text", isT),
+        TextOps.dsirMergeModels(models))
+    }
+    assert(oneShot.exceptAll(folded).isEmpty && folded.exceptAll(oneShot).isEmpty)
+    val empty = oneShot.filter(col("doc_id") === 999999L)
+      .as[(Long, Long, Long)].head()
+    assert(empty == ((999999L, 0L, 0L)), "whitespace-only doc: no features, weight 0")
+  }
+
+  test("dsirSelect: top-k by (weight desc, id), ranks contiguous, boundary ties deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val w = TextOps.dsirWeights(docs, "doc_id", "text", col("lang") === "en").cache()
+    val sel = TextOps.dsirSelect(w, "doc_id", k = 20)
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(sel.map(_._3).toSeq == (1L to 20L))
+    val exp = w.as[(Long, Long, Long)].collect()
+      .sortBy { case (id, _, wt) => (-wt, id) }.take(20).map(r => (r._1, r._3))
+    assert(sel.map(r => (r._1, r._2)).toSeq == exp.toSeq)
+  }
+
+  // ─────────────────── WordPiece merge training ───────────────────
+
+  /** Independent plain-Scala WordPiece — likelihood scores with each ln
+    * term rounded to micro-nats BEFORE subtracting (the engine recipe),
+    * ties (score desc, l, r), first-char/`##`-continuation init, merged
+    * name strips the right side's marker.
+    */
+  private def refWordpiece(
+      words: Map[String, Long],
+      n: Int): (Seq[(Long, String, String, String, Long, Long)], Map[String, List[String]]) = {
+    def lnFp(c: Long): Long = math.round(math.log(c.toDouble) * 1e6)
+    def mergedName(l: String, r: String): String =
+      l + (if (r.startsWith("##")) r.substring(2) else r)
+    def mergeSeq(s: List[String], l: String, r: String, m: String): List[String] =
+      s.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ m else acc :+ x
+      }
+    var segs: Map[String, (List[String], Long)] =
+      words.map { case (w, f) =>
+        w -> ((w.zipWithIndex.map { case (c, i) =>
+          if (i == 0) c.toString else "##" + c
+        }.toList, f))
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long, Long)]
+    var i = 1
+    var done = false
+    while (i <= n && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      val sc = scala.collection.mutable.Map.empty[String, Long]
+      for ((_, (s, f)) <- segs) {
+        for (p <- s.zip(s.tail)) pc(p) = pc.getOrElse(p, 0L) + f
+        for (x <- s) sc(x) = sc.getOrElse(x, 0L) + f
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val (((l, r), c), s) = pc.toSeq
+          .map { case (p, c) => ((p, c), lnFp(c) - lnFp(sc(p._1)) - lnFp(sc(p._2))) }
+          .minBy { case (((a, b), _), sc0) => (-sc0, a, b) }
+        val m = mergedName(l, r)
+        out += ((i.toLong, l, r, m, c, s))
+        segs = segs.map { case (w, (sq, f)) => w -> ((mergeSeq(sq, l, r, m), f)) }
+        i += 1
+      }
+    }
+    (out.toSeq, segs.map { case (w, (s, _)) => w -> s })
+  }
+
+  test("wordpieceTrain: merge table equals an independent plain-Scala trainer on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val words = TextOps.bpeWordCounts(docs, "text")
+      .as[(String, Long)].collect().toMap
+    val (expMerges, expSegs) = refWordpiece(words, 6)
+    val (gotMerges, segDf) = TextOps.wordpieceArtifact(docs, "text", nMerges = 6)
+    assert(gotMerges == expMerges)
+    val segGot = segDf.select("word", "syms")
+      .as[(String, Seq[String])].collect().toMap
+    assert(segGot.view.mapValues(_.toList).toMap == expSegs)
+  }
+
+  test("wordpiece likelihood argmax diverges from the BPE count argmax where normalization bites") {
+    // "xy" occurs 5× but x and y are everywhere (high symbol counts drag
+    // ln c(xy) − ln c(x) − ln c(y) down); "qz" occurs only 2× but q and z
+    // occur ONLY there — likelihood picks (q, ##z), raw counts pick (x, ##y)
+    val docs = Seq(
+      (1L, "xy xy xy xy xy qz qz"),
+      (2L, "xa ya xb yb xc yc")).toDF("doc_id", "text")
+    val wp = TextOps.wordpieceTrain(docs, "text", nMerges = 1)
+      .select("left_sym", "right_sym", "merged_sym")
+      .as[(String, String, String)].head()
+    assert(wp == (("q", "##z", "qz")))
+    val bpe = TextOps.bpeTrain(docs, "text", nMerges = 1)
+      .select("left_sym", "right_sym").as[(String, String)].head()
+    assert(bpe == (("x", "y")))
+  }
+
+  test("wordpiece segmentation is lossless: stripping ## re-spells every word; init marks continuations only") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val (_, segDf) = TextOps.wordpieceArtifact(docs, "text", nMerges = 5)
+    val bad = segDf.filter(
+      concat_ws("", transform(col("syms"),
+        s => when(s.startsWith("##"), s.substr(lit(3), length(s))).otherwise(s))) =!= col("word"))
+    assert(bad.count() == 0)
+    // every non-initial symbol carries the marker, the initial one never does
+    val marks = segDf.filter(
+      element_at(col("syms"), 1).startsWith("##") ||
+        exists(slice(col("syms"), lit(2), size(col("syms"))), s => !s.startsWith("##")))
+    assert(marks.count() == 0)
+  }
+
   test("unigramTrain matches an independent plain-Scala hard-EM on the real corpus") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, TestSpark.sf0001)
