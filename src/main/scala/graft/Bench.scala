@@ -150,7 +150,8 @@ object Bench {
       try SparkEntry.trainArtifacts(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] artifact training failed: ${e.getMessage}")
-        Seq("artifact_unigram_train" -> -1.0, "artifact_bpe_train" -> -1.0)
+        Seq("artifact_unigram_train" -> -1.0, "artifact_bpe_train" -> -1.0,
+          "artifact_wordpiece_train" -> -1.0)
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -2447,6 +2447,7 @@ object SparkEntry {
   def clearTrainedArtifacts(): Unit = {
     unigramMemo.clear()
     bpeMemo.clear()
+    wpMemo.clear()
   }
 
   /** Train both families' artifacts for `dir` NOW and return each
@@ -2474,7 +2475,8 @@ object SparkEntry {
     }
     Seq(
       timed("artifact_unigram_train") { unigramArtifact(spark, dir); () },
-      timed("artifact_bpe_train") { bpeTrainedArtifact(spark, dir); () })
+      timed("artifact_bpe_train") { bpeTrainedArtifact(spark, dir); () },
+      timed("artifact_wordpiece_train") { wordpieceTrainedArtifact(spark, dir); () })
   }
 
   /** ONE definition of the segmentation cell packing (the scalar-cell

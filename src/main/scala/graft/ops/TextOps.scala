@@ -1372,9 +1372,11 @@ object TextOps {
     * are 4096 rows). Zero-feature documents drop here and are restored
     * with weight 0 by [[dsirWeightsFromModel]]'s left join.
     */
-  def dsirFeatures(
-      docs: DataFrame, idCol: String, textCol: String, isTarget: Column): DataFrame = {
-    val feats = DedupOps.bindOnce(tokens(col(textCol))) { toks =>
+  /** The unigram+bigram feature array of a text column (shared by the
+    * batch and streaming feature forms).
+    */
+  private def dsirFeatArray(textCol: String): Column =
+    DedupOps.bindOnce(tokens(col(textCol))) { toks =>
       concat(
         toks,
         when(size(toks) >= 2,
@@ -1382,11 +1384,37 @@ object TextOps {
             i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
           .otherwise(array().cast("array<string>")))
     }
-    docs.select(col(idCol), isTarget.as("is_t"), explode(feats).as("feat"))
+
+  def dsirFeatures(
+      docs: DataFrame, idCol: String, textCol: String, isTarget: Column): DataFrame =
+    docs.select(col(idCol), isTarget.as("is_t"), explode(dsirFeatArray(textCol)).as("feat"))
       .select(col(idCol), col("is_t"), substring(md5(col("feat")), 1, 3).as("bucket"))
       .groupBy(col(idCol), col("is_t"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-  }
+
+  /** Per-occurrence hashed feature rows `(is_t, bucket, one)` — the
+    * STREAMING model maintenance input: a RollupStream over keys
+    * `(bucket, is_t)` with value `one` maintains exactly the per-bucket
+    * counts [[dsirModelFromFeatures]] aggregates, under the store's
+    * slot/compaction/replay guarantees; finalize with
+    * [[dsirModelFromRollup]]. The maintained state is ≤ 2·4096 rows
+    * regardless of stream volume.
+    */
+  def dsirFeatureRows(docs: DataFrame, textCol: String, isTarget: Column): DataFrame =
+    docs.select(isTarget.as("is_t"), explode(dsirFeatArray(textCol)).as("feat"))
+      .select(col("is_t"), substring(md5(col("feat")), 1, 3).as("bucket"),
+        lit(1L).as("one"))
+
+  /** Finalize a rollup-maintained `(bucket, is_t, n, __total)` relation
+    * (from [[dsirFeatureRows]] partials) into the `(bucket, tc, rc)`
+    * model shape — `__total` is the per-(bucket, slice) occurrence sum.
+    */
+  def dsirModelFromRollup(rollup: DataFrame): DataFrame =
+    rollup.select(col("bucket"), col("is_t"), col("__total").cast("long").as("c"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("is_t"), col("c")).otherwise(lit(0L))).as("tc"),
+        sum(col("c")).as("rc"))
 
   /** The DSIR bucket models from a feature relation: per bucket the
     * TARGET count and the RAW (whole-slice) count — `(bucket, tc, rc)`.

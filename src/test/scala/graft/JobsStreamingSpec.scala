@@ -935,6 +935,38 @@ class JobsStreamingSpec extends AnyFunSuite {
     assert(streamed.contains(("a", 900L, 5L, 100L)))
   }
 
+  test("streaming DSIR model: RollupStream over dsirFeatureRows ≡ one-shot weights across kill/restart") {
+    import graft.ops.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq((1L, "the quick brown fox", "en"), (2L, "der schnelle fuchs", "de"))
+    val b2 = Seq((3L, "the lazy dog sleeps", "en"), (4L, "le chien paresseux", "fr"),
+      (5L, "   ", "en")) // zero-feature doc rides along
+    val stream = MemoryStream[(Long, String, String)]
+    val rows = TextOps.dsirFeatureRows(
+      stream.toDF().toDF("doc_id", "text", "lang"), "text", col("lang") === "en")
+    val ckpt = Files.createTempDirectory("graft-dsir-ckpt").toString
+    val store = Files.createTempDirectory("graft-dsir-store").toString + "/dsir"
+    val keys = Seq("bucket", "is_t")
+    val roll1 = new Streaming.RollupStream(keys, "one", Some(store))
+    val q1 = roll1.start(rows, ckpt)
+    stream.addData(b1); q1.processAllAvailable(); q1.stop()
+    // kill/restart: the bucket model rebuilds from the per-batch slots
+    val roll2 = new Streaming.RollupStream(keys, "one", Some(store))
+    val q2 = roll2.start(rows, ckpt)
+    stream.addData(b2); q2.processAllAvailable(); q2.stop()
+    val docs = (b1 ++ b2).toDF("doc_id", "text", "lang")
+    def weights(model: DataFrame) = TextOps.dsirWeightsFromModel(
+      docs, "doc_id",
+      TextOps.dsirFeatures(docs, "doc_id", "text", col("lang") === "en"), model)
+      .as[(Long, Long, Long)].collect().toSet
+    val streamed = weights(TextOps.dsirModelFromRollup(roll2.current.get))
+    val oneShot = TextOps.dsirWeights(docs, "doc_id", "text", col("lang") === "en")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == oneShot)
+    assert(streamed.exists(r => r._1 == 5L && r._2 == 0L && r._3 == 0L),
+      "zero-feature doc scores 0 under the streamed model too")
+  }
+
   test("streaming count-min sketch: RollupStream over cmsCells ≡ one-shot estimates across kill/restart") {
     import graft.ops.Analytics
     implicit val sqlCtx = spark.sqlContext
