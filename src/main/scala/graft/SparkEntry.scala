@@ -1331,6 +1331,30 @@ object SparkEntry {
       ClassifierOps.featuresUnlabeled(docs, "doc_id", "text"), "doc_id", w)
   }
 
+  /** Isotonic (PAV) calibration of the trained classifier's scores into
+    * monotone empirical positive rates — the step that turns a raw margin
+    * into a keep-probability a curation pipeline can threshold honestly.
+    * Fixed 20-bin score geometry over [−2·10¹¹, 2·10¹¹) (clamped — the
+    * histogram-sketch discipline; the sf0.01 scores span ±1.9·10¹¹), the
+    * minimax closed form computed relationally over the bounded
+    * histogram, everything integer after the binned scan.
+    */
+  def qCalibrateScores(spark: SparkSession, dir: String): DataFrame =
+    ClassifierOps.calibrateIsotonic(
+      qClassifierFilter(spark, dir), "score_fp", "is_pos",
+      lo = -200000000000L, hi = 200000000000L, nBins = 20)
+
+  /** kNN label-noise screen over the labeled embedding corpus: each
+    * vector's 5 exact nearest neighbors vote, a strict majority of
+    * differently-labeled neighbors flags a suspect label
+    * ([[graft.ops.SimilarityOps.labelNoise]]). The vote consumes ANY
+    * candidate relation — at scale the IVF/PQ searches replace the brute
+    * leg; the vote itself is n·k-sized.
+    */
+  def qLabelNoise(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.labelNoise(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", "label", k = 5)
+
   /** Quality TIER of the multiclass classifier queries — the heuristic
     * quality bucketed at 0.45/0.55 (balanced 155/140/205 at sf0.01); NULL
     * quality falls to the top tier in both engines (CASE ELSE).
@@ -3024,6 +3048,8 @@ object SparkEntry {
     "q_classifier_train"        -> (qClassifierTrain(_, _)),
     "q_classifier_filter"       -> (qClassifierFilter(_, _)),
     "q_classifier_apply"        -> (qClassifierApply(_, _)),
+    "q_calibrate_scores"        -> (qCalibrateScores(_, _)),
+    "q_label_noise"             -> (qLabelNoise(_, _)),
     "q_classifier_incremental"  -> (qClassifierIncremental(_, _)),
     "q_nearest_centroid"        -> (qNearestCentroid(_, _)),
     "q_doc_fingerprint"         -> (qDocFingerprint(_, _)),
@@ -4236,6 +4262,38 @@ object SparkEntry {
        |       (s >= 0) = (y = 1) AS correct
        |FROM sc""".stripMargin
 
+  /** Isotonic-calibration oracle: the classifier-filter scoring CTEs
+    * verbatim, then the fixed-geometry binning and the minimax identity
+    * cal(b) = max_{i≤b} min_{j≥b} ⌊Σpos·10⁶ / Σn⌋ over the bounded bin
+    * histogram — mirror of [[graft.ops.ClassifierOps.calibrateIsotonic]]
+    * at (lo, hi, nBins) = (−2·10¹¹, 2·10¹¹, 20).
+    */
+  private val calibrateScoresOracle: String =
+    s"""WITH ${rocchioBaseCtes("doc_id % 2 = 0")},
+       |fla AS (SELECT doc_id, y, generate_subscripts(x, 1)::BIGINT AS j, unnest(x) AS xv FROM fa),
+       |sc AS (SELECT fla.doc_id, min(fla.y) AS y, sum(fla.xv * wt.w)::BIGINT AS s
+       |       FROM fla JOIN wt USING (j) GROUP BY fla.doc_id),
+       |lb AS (SELECT CASE WHEN s < -200000000000 THEN 0::BIGINT
+       |                   WHEN s >= 200000000000 THEN 19::BIGINT
+       |                   ELSE ((s + 200000000000) * 20) // 400000000000 END AS bin,
+       |              CASE WHEN y = 1 THEN 1 ELSE 0 END AS pos
+       |       FROM sc),
+       |cbins AS (SELECT bin, count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos
+       |          FROM lb GROUP BY 1),
+       |ccum AS (SELECT bin, n, n_pos,
+       |                sum(n) OVER (ORDER BY bin)::BIGINT AS cn,
+       |                sum(n_pos) OVER (ORDER BY bin)::BIGINT AS cp
+       |         FROM cbins),
+       |csegs AS (SELECT i.bin AS i, j.bin AS j,
+       |                 ((j.cp - (i.cp - i.n_pos)) * 1000000) // (j.cn - (i.cn - i.n)) AS avg_fp
+       |          FROM ccum i JOIN ccum j ON i.bin <= j.bin),
+       |cinner AS (SELECT b.bin AS b, s.i, min(s.avg_fp) AS mn
+       |           FROM csegs s JOIN cbins b ON s.i <= b.bin AND b.bin <= s.j
+       |           GROUP BY 1, 2),
+       |ccal AS (SELECT b AS bin, max(mn)::BIGINT AS calibrated_fp FROM cinner GROUP BY 1)
+       |SELECT cbins.bin, cbins.n, cbins.n_pos, ccal.calibrated_fp
+       |FROM cbins JOIN ccal USING (bin)""".stripMargin
+
   /** Label-free apply-leg oracle: the same even-half-trained weights, the
     * same dot product, but the label never enters the scored relation —
     * mirror of [[graft.ops.ClassifierOps.scoreWith]] over
@@ -5377,6 +5435,22 @@ object SparkEntry {
     "q_classifier_incremental" -> classifierTrainOracle,
     "q_classifier_filter" -> classifierFilterOracle,
     "q_classifier_apply" -> classifierApplyOracle,
+    "q_calibrate_scores" -> calibrateScoresOracle,
+    "q_label_noise" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        |j AS (SELECT a.vec_id AS probe_id, a.label AS pl, b.vec_id AS nid, b.label AS nl,
+        |             CASE WHEN a.nrm * b.nrm > 0
+        |                  THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END AS sim
+        |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nid) AS rank
+        |      FROM j WHERE sim IS NOT NULL),
+        |t AS (SELECT * FROM r WHERE rank <= 5)
+        |SELECT probe_id AS vec_id, pl::INT AS label,
+        |       count(*)::BIGINT AS n_neighbors,
+        |       sum(CASE WHEN nl <> pl THEN 1 ELSE 0 END)::BIGINT AS n_disagree,
+        |       sum(CASE WHEN nl <> pl THEN 1 ELSE 0 END) * 2 > count(*) AS is_suspect
+        |FROM t GROUP BY 1, 2""".stripMargin,
     "q_nearest_centroid" -> nearestCentroidOracle,
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,

@@ -836,7 +836,7 @@ object Analytics {
     * toward zero) — the Catalyst node directly, since `functions._` has
     * no spelling and an `expr()` string would re-parse the column name.
     */
-  private def divTrunc(num: Column, den: Column): Column =
+  private[ops] def divTrunc(num: Column, den: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(num),

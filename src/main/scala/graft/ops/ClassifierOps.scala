@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import Caching.Syntax
+
 /** Trained quality/language classifier — the LEARNED counterpart of
   * [[TextOps.qualityScore]]'s fixed-weight heuristic: a Rocchio /
   * nearest-centroid linear classifier (the classic one-pass text-filter
@@ -270,4 +272,62 @@ object ClassifierOps {
       .select(col(idCol), col("score_fp"), col("pred"),
         (col("y") === 1L).as("is_pos"),
         (col("pred") === (col("y") === 1L)).as("correct"))
+
+  /** Isotonic (pool-adjacent-violators) calibration of classifier scores
+    * into monotone empirical probabilities, via the MINIMAX closed form:
+    * over score bins b (FIXED geometry — [[Analytics.fixedBin]], clamped,
+    * the histogram-sketch discipline, so no global sort touches the
+    * corpus), the calibrated positive rate is
+    *
+    *   cal(b) = max_{i ≤ b} min_{j ≥ b} (Σ pos[i..j] · 10⁶) div (Σ n[i..j])
+    *
+    * — the standard isotonic-regression identity (the PAV fixed point),
+    * computed relationally over the ≤`nBins`-row histogram: prefix sums
+    * (bounded global window — the declared exception), the nBins²
+    * segment-average pairs, and the two bounded min/max aggregates.
+    * Every average quantizes by truncating division BEFORE the minimax,
+    * so `calibrated_fp` is a BIGINT both engines agree on, and the
+    * minimax of quantized averages is still monotone in b (the max-set
+    * grows and each min-set shrinks as b rises). Corpus cost: ONE binned
+    * scan; everything downstream is nBins-sized.
+    *
+    * Output: (bin, n, n_pos, calibrated_fp) for each NON-EMPTY bin,
+    * calibrated_fp in millionths, non-decreasing in bin.
+    */
+  def calibrateIsotonic(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      lo: Long,
+      hi: Long,
+      nBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = scored
+      .select(
+        Analytics.fixedBin(scoreCol, lo, hi, nBins).as("bin"),
+        when(col(labelCol), 1L).otherwise(0L).as("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      .scopedCache()
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.select(col("bin"), col("n"), col("n_pos"),
+      sum(col("n")).over(w).as("cn"), sum(col("n_pos")).over(w).as("cp"))
+    // segment (i..j) sums from the prefix differences; i's own bin counts
+    // re-enter via (cn − n, cp − n_pos) = the prefix STRICTLY before i
+    val ci = cum.select(col("bin").as("i"),
+      (col("cn") - col("n")).as("cni"), (col("cp") - col("n_pos")).as("cpi"))
+    val cj = cum.select(col("bin").as("j"), col("cn").as("cnj"), col("cp").as("cpj"))
+    val segs = ci.join(cj, col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        Analytics.divTrunc(
+          (col("cpj") - col("cpi")) * lit(1000000L),
+          col("cnj") - col("cni")).as("avg_fp"))
+    val inner = segs
+      .join(bins.select(col("bin").as("b")), col("i") <= col("b") && col("b") <= col("j"))
+      .groupBy(col("b"), col("i")).agg(min(col("avg_fp")).as("mn"))
+    val cal = inner.groupBy(col("b")).agg(max(col("mn")).as("calibrated_fp"))
+    bins.join(cal, col("bin") === col("b"))
+      .select(col("bin"), col("n"), col("n_pos"), col("calibrated_fp"))
+  }
 }

@@ -154,6 +154,44 @@ object SimilarityOps {
         col("sim"), col("rank"))
   }
 
+  /** kNN label-noise detection over a PRE-BUILT neighbor relation
+    * (`(probe_id, neighbor_id)` from any candidate generator): each
+    * labeled point's neighbors vote, `n_disagree` counts the
+    * differently-labeled ones, and a strict majority of disagreement
+    * flags the row as a suspect label — the confident-learning-style
+    * mislabel screen. Decomposed exactly so the scale path plugs in: the
+    * registered query wires [[knnBrute]] (exact, corpus²), and at 100 TB
+    * the SAME vote consumes [[knnIvfSearch]]/[[knnIvfPq]] candidates —
+    * the vote itself shuffles only (probe, neighbor, label) triples,
+    * n·k-sized.
+    */
+  def labelNoiseFrom(
+      neighbors: DataFrame,
+      labeled: DataFrame,
+      idCol: String,
+      labelCol: String): DataFrame =
+    neighbors
+      .join(labeled.select(col(idCol).as("probe_id"), col(labelCol).as("__pl")), "probe_id")
+      .join(
+        labeled.select(col(idCol).as("neighbor_id"), col(labelCol).as("__nl")),
+        "neighbor_id")
+      .groupBy(col("probe_id"), col("__pl"))
+      .agg(
+        count(lit(1)).as("n_neighbors"),
+        sum(when(col("__nl") =!= col("__pl"), 1L).otherwise(0L)).as("n_disagree"))
+      .select(
+        col("probe_id").as(idCol), col("__pl").as(labelCol),
+        col("n_neighbors"), col("n_disagree"),
+        (col("n_disagree") * 2 > col("n_neighbors")).as("is_suspect"))
+
+  /** [[labelNoiseFrom]] over the exact brute-force k-nearest neighbors of
+    * every labeled vector (knnBrute rules: self excluded, zero-norm
+    * dropped, (sim DESC, id) total order).
+    */
+  def labelNoise(
+      vecs: DataFrame, idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame =
+    labelNoiseFrom(knnBrute(vecs, vecs, idCol, vecCol, k), vecs, idCol, labelCol)
+
   /** Per-class centroid distances with farthest-first outlier ranking —
     * the embedding-quality audit that catches mislabeled or degenerate
     * vectors before they poison contrastive training: each vector's

@@ -150,6 +150,49 @@ class ClassifierSpec extends AnyFunSuite {
     assert(pred(1L) == ((0L, 0L)) && pred(2L) == ((0L, 0L)))
   }
 
+  test("calibrateIsotonic equals floor-of-PAV (pooling replay) and is monotone; clamp edges covered") {
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random scores/labels, including values beyond
+    // both clamp edges; label rate rises with score but NOT monotonically
+    // per bin, so PAV genuinely pools
+    val rows = (0 until 400).map { i =>
+      val score = ((i * 2654435761L) % 1400L) - 200L // spans [-200, 1200) vs [0, 1000) bins
+      val noise = (i * 40503L) % 100L
+      val pos = noise < (20L + math.max(0L, math.min(score, 999L)) / 20L)
+      (i.toLong, score, pos)
+    }
+    val (lo, hi, nBins) = (0L, 1000L, 10)
+    val got = ClassifierOps.calibrateIsotonic(
+      rows.toDF("id", "s", "y"), "s", "y", lo, hi, nBins)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // independent plain-Scala PAV: bin identically, pool adjacent
+    // violators on EXACT rationals, floor each pooled average at the end
+    def bin(s: Long): Long =
+      if (s < lo) 0L else if (s >= hi) nBins - 1L else (s - lo) * nBins / (hi - lo)
+    val hist = rows.groupBy(r => bin(r._2)).map { case (b, rs) =>
+      (b, rs.size.toLong, rs.count(_._3).toLong)
+    }.toSeq.sortBy(_._1)
+    val pooled = hist.foldLeft(List.empty[(List[Long], Long, Long)]) {
+      case (acc, (b, n, p)) =>
+        var st = (List(b), n, p) :: acc
+        while (st.lengthCompare(2) >= 0 && {
+          val (_, n1, p1) = st.head; val (_, n0, p0) = st.tail.head
+          p0 * n1 >= p1 * n0 // prev avg >= next avg → violator, pool
+        }) {
+          val (b1, n1, p1) = st.head; val (b0, n0, p0) = st.tail.head
+          st = (b0 ++ b1, n0 + n1, p0 + p1) :: st.tail.tail
+        }
+        st
+    }.reverse
+    val exp = pooled.flatMap { case (bs, n, p) => bs.map(b => (b, p * 1000000L / n)) }.toMap
+    assert(got.map(r => r._1 -> r._4).toMap == exp)
+    assert(got.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+      "calibrated rates must be non-decreasing in bin")
+    // both clamp bins exist (out-of-range scores landed there)
+    assert(got.exists(_._1 == 0L) && got.exists(_._1 == (nBins - 1L)))
+    assert(got.map(_._2).sum == 400L, "every row lands in exactly one bin")
+  }
+
   test("train on half, score all: the learned midpoint rule generalizes") {
     val df = fixture.toDF("id", "pos", "text")
     val feats = ClassifierOps.features(df, "id", "text", col("pos"))

@@ -750,6 +750,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("labelNoise flags a planted mislabel and nothing else; vote math matches a plain replay") {
+    // two tight clusters in 2D (padded to 4 dims), one point of cluster A
+    // carrying cluster B's label — its 3 nearest neighbors all disagree
+    val pts = Seq(
+      (1L, Seq(1.0f, 0.1f, 0f, 0f), 0),
+      (2L, Seq(1.0f, 0.2f, 0f, 0f), 0),
+      (3L, Seq(1.0f, 0.15f, 0f, 0f), 0),
+      (4L, Seq(1.0f, 0.12f, 0f, 0f), 1), // planted mislabel inside cluster A
+      (5L, Seq(0.1f, 1.0f, 0f, 0f), 1),
+      (6L, Seq(0.2f, 1.0f, 0f, 0f), 1),
+      (7L, Seq(0.15f, 1.0f, 0f, 0f), 1))
+    val df = pts.toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.labelNoise(df, "vec_id", "embedding", "label", k = 3)
+      .as[(Long, Int, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 7)
+    assert(got(4L)._5, "the planted mislabel is flagged")
+    assert(got.filterKeys(_ != 4L).values.forall(!_._5), "no false flags")
+    assert(got(4L)._4 == 3L, "all 3 neighbors of the mislabel disagree")
+    // plain replay of the vote from the knnBrute relation
+    val nbrs = SimilarityOps.knnBrute(df, df, "vec_id", "embedding", 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+    val lab = pts.map(p => p._1 -> p._3).toMap
+    val exp = nbrs.groupBy(_._1).map { case (p, ns) =>
+      val dis = ns.count(n => lab(n._2) != lab(p))
+      p -> ((lab(p), ns.length.toLong, dis.toLong, dis * 2 > ns.length))
+    }
+    assert(got.view.mapValues(r => (r._2, r._3, r._4, r._5)).toMap == exp)
+  }
+
   test("pqTrain: codebook count degrades gracefully when kSub exceeds the corpus") {
     val tiny = emb.filter(col("vec_id") < 6)
     val cb = SimilarityOps.pqTrain(tiny, "vec_id", "embedding", dim = 64, m = 4, kSub = 8, iters = 1)
