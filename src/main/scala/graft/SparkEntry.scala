@@ -4277,7 +4277,7 @@ object SparkEntry {
        |                   WHEN s >= 200000000000 THEN 19::BIGINT
        |                   ELSE ((s + 200000000000) * 20) // 400000000000 END AS bin,
        |              CASE WHEN y = 1 THEN 1 ELSE 0 END AS pos
-       |       FROM sc),
+       |       FROM sc WHERE s IS NOT NULL),
        |cbins AS (SELECT bin, count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos
        |          FROM lb GROUP BY 1),
        |ccum AS (SELECT bin, n, n_pos,

@@ -306,6 +306,11 @@ object ClassifierOps {
       .select(
         Analytics.fixedBin(scoreCol, lo, hi, nBins).as("bin"),
         when(col(labelCol), 1L).otherwise(0L).as("pos"))
+      // a NULL score bins to NULL; drop the group BEFORE the ordered
+      // prefix window (Spark sorts NULL first, DuckDB last — the
+      // quantilesFromCounts NULL-bin discipline, defensive here since
+      // classifier scores are never NULL today)
+      .filter(col("bin").isNotNull)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
       .scopedCache()

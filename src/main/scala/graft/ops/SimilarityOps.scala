@@ -186,11 +186,15 @@ object SimilarityOps {
 
   /** [[labelNoiseFrom]] over the exact brute-force k-nearest neighbors of
     * every labeled vector (knnBrute rules: self excluded, zero-norm
-    * dropped, (sim DESC, id) total order).
+    * dropped, (sim DESC, id) total order). Every corpus vector is a probe
+    * here, so the candidate leg is [[knnBruteAgg]] — the heap aggregator
+    * reduces each probe's n−1 scored candidates to k MAP-SIDE instead of
+    * shuffling all n² rows into ranking windows (row-identical to
+    * knnBrute by the aggregator's spec).
     */
   def labelNoise(
       vecs: DataFrame, idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame =
-    labelNoiseFrom(knnBrute(vecs, vecs, idCol, vecCol, k), vecs, idCol, labelCol)
+    labelNoiseFrom(knnBruteAgg(vecs, vecs, idCol, vecCol, k), vecs, idCol, labelCol)
 
   /** Per-class centroid distances with farthest-first outlier ranking —
     * the embedding-quality audit that catches mislabeled or degenerate

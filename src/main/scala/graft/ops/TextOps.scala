@@ -1502,6 +1502,14 @@ object TextOps {
   /** The WordPiece merged-symbol name: `l` plus `r` with its continuation
     * marker stripped (`a + ##b → ab`, `##a + ##b → ##ab`) — so a merged
     * symbol keeps exactly one leading `##` iff it is word-internal.
+    *
+    * Caveat (text containing literal `#`): a continuation of `#` is
+    * spelled `###`, so symbol NAMES for hash-heavy corpora can collide
+    * after merging (the rewrite itself always matches exact symbol
+    * strings, and the oracle strips identically, so the two engines never
+    * diverge — only the re-spell invariant weakens). Real WordPiece has
+    * the same marker ambiguity; route such corpora through a pre-tokenizer
+    * that isolates `#` runs if names must stay lossless.
     */
   private def wpMergedSym(l: String, r: String): String =
     l + (if (r.startsWith("##")) r.substring(2) else r)
@@ -1611,6 +1619,17 @@ object TextOps {
       textCol: String,
       nMerges: Int): (Seq[(Long, String, String, String, Long, Long)], DataFrame) =
     wpLoop(bpeWordCounts(docs, textCol), nMerges)
+
+  /** [[wordpieceArtifact]] over an externally-maintained `(word, freq)`
+    * relation — the same operating split as [[bpeTrainFromWordCounts]]:
+    * ONE corpus pass builds the word counts, every training round is
+    * vocabulary-bounded (ScaleSmoke's `wordpiece` section measures the
+    * flatness).
+    */
+  def wordpieceTrainFromWordCounts(
+      words: DataFrame,
+      nMerges: Int): Seq[(Long, String, String, String, Long, Long)] =
+    wpLoop(words, nMerges)._1
 
   // ──────────────── unigram-LM tokenizer (SentencePiece-style) ────────────────
 

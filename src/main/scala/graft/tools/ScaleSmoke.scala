@@ -22,7 +22,7 @@ object ScaleSmoke {
     val known =
       Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix",
         "editdist", "kmeans", "incr", "incrstore", "knncross", "bpe", "govern", "staged",
-        "entropy")
+        "entropy", "wordpiece", "dsir")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -769,6 +769,58 @@ object ScaleSmoke {
         val (vocab, segs) = graft.ops.TextOps.unigramTrain(corpus, "text")
         vocab.count() + segs.count() +
           graft.ops.TextOps.unigramEncodeFrom(corpus, "doc_id", "text", segs).count()
+      }
+      corpus.unpersist(): Unit
+    }
+
+    // ---- WordPiece trainer: same vocab-bounded claim as bpe — one
+    // corpus-sized word-count pass, then likelihood-scored rounds over
+    // the bounded vocabulary; plain replication must be FLAT, salted
+    // replication may grow with the vocab, never the corpus ----
+    if (want("wordpiece")) println("wordpiece: k,docs,vocab,wc_s,train_s,n_merges")
+    def wpMeasure(tag: String, corpus: DataFrame): Unit = {
+      corpus.cache()
+      val n = corpus.count()
+      spark.sharedState.cacheManager.clearCache(); System.gc()
+      corpus.cache().count()
+      val t0 = System.nanoTime()
+      val words = graft.ops.TextOps.bpeWordCounts(corpus, "text").localCheckpoint()
+      val vocab = words.count()
+      val wcS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val merges = graft.ops.TextOps.wordpieceTrainFromWordCounts(words, 10)
+      val trS = (System.nanoTime() - t1) / 1e9
+      println(s"$tag,$n,$vocab,$wcS,$trS,${merges.length}")
+      spark.sharedState.cacheManager.clearCache(); System.gc()
+      corpus.unpersist(): Unit
+    }
+    ks("wordpiece", Seq(1, 2, 4, 8), Seq(1, 4, 16)).foreach { k =>
+      wpMeasure(s"$k", (0 until k).map { c =>
+        base.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"), col("text"))
+      }.reduce(_ unionByName _))
+      wpMeasure(s"${k}s", copyK(k))
+    }
+
+    // ---- DSIR: one corpus scan to hashed bucket counts (map-side
+    // combined), 4096-row broadcast models, one scoring join — wall time
+    // must track the corpus LINEARLY at every K ----
+    if (want("dsir")) println("dsir: k,docs,op,seconds,out")
+    ks("dsir", Seq(1, 2, 4, 8), Seq(1, 4, 16)).foreach { k =>
+      val corpus = copyK(k).cache()
+      val n = corpus.count()
+      val isT = pmod(col("doc_id"), lit(5L)) === 0L
+      Seq(
+        ("dsir_weights", () => graft.ops.TextOps.dsirWeights(
+          corpus, "doc_id", "text", isT).count()),
+        ("dsir_select", () => graft.ops.TextOps.dsirSelect(
+          graft.ops.TextOps.dsirWeights(corpus, "doc_id", "text", isT),
+          "doc_id", 100).count())
+      ).foreach { case (name, f) =>
+        spark.sharedState.cacheManager.clearCache(); System.gc()
+        corpus.cache().count()
+        val t0 = System.nanoTime()
+        val out = f()
+        println(s"$k,$n,$name,${(System.nanoTime() - t0) / 1e9},$out")
       }
       corpus.unpersist(): Unit
     }

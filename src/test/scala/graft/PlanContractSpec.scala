@@ -261,7 +261,37 @@ class PlanContractSpec extends AnyFunSuite {
     // cross is the trained inventory's 1-row score-total (scoresFrom, the
     // unigram family's shared exception)
     Contract("q_greedy_segment", requiredMarkers = Seq(),
-      allowBroadcastCross = true, bnlAtMost = 1))
+      allowBroadcastCross = true, bnlAtMost = 1),
+    // DSIR: the 4096-row bucket model broadcasts into the scoring join
+    // (BroadcastHashJoin); the ONE declared cross is the 1-row totals
+    // relation onto the model
+    Contract("q_dsir_weights",
+      requiredMarkers = Seq("BroadcastHashJoin"),
+      allowBroadcastCross = true, bnlAtMost = 1),
+    Contract("q_dsir_incremental",
+      requiredMarkers = Seq("BroadcastHashJoin"),
+      allowBroadcastCross = true, bnlAtMost = 1),
+    // the resampling take is TakeOrdered (per-partition top-k, never a
+    // global sort); the rank window runs over the k-row survivors — the
+    // declared bounded exception
+    Contract("q_dsir_select",
+      requiredMarkers = Seq("BroadcastHashJoin", "TakeOrdered"),
+      allowBroadcastCross = true, allowGlobalWindow = true, bnlAtMost = 1),
+    // isotonic calibration: the trainer's and scorer's 1-row model
+    // crosses (3 — the midpoint fold's count/mean relations plus the
+    // weight-array broadcast) plus the bounded-histogram minimax's two
+    // non-equi joins (prefix pairs i≤j, segment×bin containment) — all
+    // 1-row or ≤nBins-sized by construction; the prefix-sum window runs
+    // over the ≤nBins-row histogram
+    Contract("q_calibrate_scores",
+      requiredMarkers = Seq("PushedFilters"),
+      allowBroadcastCross = true, allowGlobalWindow = true, bnlAtMost = 5),
+    // label-noise: the brute self-kNN broadcast is the DECLARED exact
+    // form (the ANN searches are the scale path — the vote consumes any
+    // candidate relation); the vote itself is a hash aggregate over
+    // n·k rows
+    Contract("q_label_noise", requiredMarkers = Seq(),
+      allowBroadcastCross = true))
 
   /** Static plan + logical global windows for one registered query, with
     * AQE off so the physical plan is fully materialized at plan time.
