@@ -1467,6 +1467,27 @@ object SparkEntry {
   def qNgramJaccardDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
 
+  /** Containment (asymmetric-overlap) dedup: every 23rd document re-ships
+    * as its first-quarter truncation (id + 10⁶ — the concatenated-shard /
+    * excerpt duplicate class), and [[graft.ops.DedupOps.containmentPairs]]
+    * must catch each planted pair at containment ≈ 1.0 while its Jaccard
+    * (~0.25, carried for contrast) sits far below the symmetric dedup
+    * threshold — the duplicate class a Jaccard-only pass ships.
+    * `contained_id` names the copy a curation pass would drop.
+    */
+  def qContainmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val toks = TextOps.tokens(col("text"))
+    val quarter = DedupOps.bindOnce(toks) { w =>
+      concat_ws(" ", slice(w, lit(1), greatest(floor(size(w) / lit(4)).cast("int"), lit(4))))
+    }
+    val truncated = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 23 === 0 && size(toks) >= 16)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), quarter.as("text"))
+    DedupOps.containmentPairs(
+      docs.unionByName(truncated), "doc_id", "text", n = 3, threshold = 0.9)
+  }
+
   /** Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin candidate
     * scheme): rarest-first prefixes cut the candidate set, exact
     * verification restores [[DedupOps.jaccardPairs]]' output bit-for-bit —
@@ -3061,6 +3082,7 @@ object SparkEntry {
     "q_embedding_quantize"      -> (qEmbeddingQuantize(_, _)),
     "q_scd2_history"            -> (qScd2History(_, _)),
     "q_ngram_jaccard_dedup"     -> (qNgramJaccardDedup(_, _)),
+    "q_containment_dedup"       -> (qContainmentDedup(_, _)),
     "q_jaccard_prefix"          -> (qJaccardPrefix(_, _)),
     "q_cross_dedup"             -> (qCrossDedup(_, _)),
     "q_cross_dedup_lsh"         -> (qCrossDedupLsh(_, _)),
@@ -5541,6 +5563,34 @@ object SparkEntry {
         |       valid_from, valid_to, valid_to IS NULL AS is_current
         |FROM h""".stripMargin,
     "q_ngram_jaccard_dedup" -> ngramJaccardOracle,
+    // same shingle/df-cap/posting scheme as the Jaccard oracle, scored by
+    // the asymmetric containment over the truncation-augmented corpus
+    "q_containment_dedup" ->
+      raw"""WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(w[1:greatest(len(w) // 4, 4)], ' ') AS text
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |        FROM documents WHERE doc_id % 23 = 0)
+        |  WHERE len(w) >= 16),
+        |t AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |      FROM aug),
+        |g AS (SELECT doc_id,
+        |             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh
+        |      FROM t WHERE len(w) >= 3),
+        |e0 AS (SELECT doc_id, unnest(sh) AS s FROM g),
+        |e AS (SELECT doc_id, s FROM e0
+        |      WHERE s NOT IN (SELECT s FROM e0 GROUP BY s HAVING count(*) > 100)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS common
+        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM g)
+        |SELECT doc_a, doc_b, common,
+        |       common::DOUBLE / least(sa.n, sb.n) AS containment,
+        |       common::DOUBLE / (sa.n + sb.n - common) AS jaccard,
+        |       CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS contained_id
+        |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE common::DOUBLE / least(sa.n, sb.n) >= 0.9""".stripMargin,
     // SHARED: prefix filtering must restore the full posting-list pair set
     // bit-for-bit (AllPairs candidate-scheme equality proof)
     "q_jaccard_prefix" -> ngramJaccardOracle,

@@ -220,6 +220,44 @@ object DedupOps {
       maxDocFreq: Int = 100): DataFrame =
     setJaccardPairs(hashedShingles(df, idCol, textCol, n), idCol, threshold, maxDocFreq)
 
+  /** Containment near-duplicate pairs: the SAME capped posting-list
+    * candidates as [[jaccardPairs]], scored by the ASYMMETRIC overlap
+    * `common / min(n_a, n_b)` — the max-containment measure that catches
+    * a document wholly EMBEDDED in a larger one (boilerplate wrapping,
+    * quote expansion, concatenated shards). Symmetric Jaccard dilutes
+    * such pairs below any fixed threshold as the wrapper grows
+    * (j = |A|/|B| → 0 while containment stays 1), so a dedup pass keyed
+    * on Jaccard alone ships the wrapped copies; this is the complement
+    * pass. Output carries BOTH scores plus `contained_id` (the smaller
+    * side — the copy a curation pass would drop; ties to doc_a, matching
+    * the oracle's CASE). Same 100 TB posture as the Jaccard family: df-
+    * capped posting lists bound candidate growth by real dup structure.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFreq: Int = 100): DataFrame = {
+    val sh = hashedShingles(df, idCol, textCol, n).scopedCache()
+    val sizes = sh.select(col(idCol), size(col("sh")).as("n_sh"))
+    val pairs = bucketPairsCapped(
+      sh.select(col(idCol), explode(col("sh")).as("s")), idCol, "s", maxDocFreq)
+    pairs
+      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("containment",
+        col("common").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("containment"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"),
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_id"))
+  }
+
   /** Exact set-Jaccard pairs over any (id, sh: array) element-set relation:
     * explode, posting-list pair the shared elements, Jaccard = common /
     * (|A| + |B| − common) ≥ threshold. The candidate-generation core shared

@@ -19,6 +19,55 @@ class DedupTextSpec extends AnyFunSuite {
     assert(lsh == exact, s"expected full recall on planted dups, missed ${exact -- lsh}")
   }
 
+  test("containmentPairs: a planted truncation scores containment 1.0 where Jaccard misses it") {
+    import org.apache.spark.sql.functions._
+    // doc 1 re-ships as its first quarter — the excerpt-duplicate class
+    val toks = ('a' to 'z').map(c => s"tok$c")
+    val full = toks.mkString(" ")
+    val quarter = toks.take(8).mkString(" ")
+    val other = toks.reverse.map(_ + "x").mkString(" ")
+    val df = Seq((1L, full), (2L, quarter), (3L, other)).toDF("doc_id", "text")
+    val got = DedupOps.containmentPairs(df, "doc_id", "text", 3, 0.9)
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+    assert(got.length == 1)
+    val (a, b, common, cont, jac, contained) = got.head
+    assert((a, b) == ((1L, 2L)) && contained == 2L)
+    assert(cont == 1.0, "every quarter shingle is inside the full doc")
+    // 8 tokens → 6 shingles; 26 tokens → 24; symmetric jaccard 6/24 = 0.25
+    assert(common == 6L && jac == 0.25)
+    // the symmetric pass at its registered threshold ships this duplicate
+    assert(DedupOps.jaccardPairs(df, "doc_id", "text", 3, 0.5).isEmpty)
+  }
+
+  test("containmentPairs on the real corpus: scores match a plain-Scala shingle replay") {
+    import org.apache.spark.sql.functions._
+    val got = DedupOps.containmentPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    val raw = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def sh(t: String): Set[Seq[String]] = {
+      val w = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      w.sliding(3).filter(_.size == 3).toSet
+    }
+    val sets = raw.map { case (id, t) => id -> sh(t) }.toMap
+    // df cap: drop shingles appearing in > 100 docs (none at sf0.001, but
+    // replay the contract exactly)
+    val dfCount = sets.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val hot = dfCount.filter(_._2 > 100).keySet
+    val kept = sets.view.mapValues(_ -- hot).toMap
+    val exp = (for {
+      Seq(a, b) <- kept.keys.toSeq.sorted.combinations(2)
+      common = (kept(a) intersect kept(b)).size
+      if common > 0
+      cont = common.toDouble / math.min(sets(a).size, sets(b).size)
+      if cont >= 0.5
+    } yield (a, b) -> ((common.toLong,
+      cont,
+      common.toDouble / (sets(a).size + sets(b).size - common),
+      if (sets(a).size <= sets(b).size) a else b))).toMap
+    assert(got == exp)
+  }
+
   test("jaccardPairsAgainst == anchor-involving subset of full jaccardPairs, scores included") {
     val anchors = docs.filter(col("doc_id") % 7 === 0)
     val aIds = anchors.select("doc_id").as[Long].collect().toSet
