@@ -1467,6 +1467,44 @@ object SparkEntry {
   def qNgramJaccardDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
 
+  /** Stupid Backoff trigram LM (Brants et al. 2007) self-trained on the
+    * corpus: per-token relative-frequency scores with a fixed ln(0.4)
+    * penalty per backoff level (trigram → bigram → unigram), all
+    * micro-nat integers — the no-discounting LM that ships at web scale
+    * because every level is one count join. Artifact shape shared with
+    * q_lm_score.
+    */
+  def qSbScore(spark: SparkSession, dir: String): DataFrame =
+    TextOps.stupidBackoffScore(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Incremental Stupid Backoff: uni/bi/trigram counts folded from four
+    * disjoint doc batches ([[graft.ops.TextOps.mergeSbCounts]] — contexts
+    * never straddle documents, so per-batch counts sum losslessly), the
+    * full corpus scored against the folded statistics. Shares
+    * q_sb_score's oracle as the proof.
+    */
+  def qSbIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val parts = (0 to 3).map { k =>
+      TextOps.sbCounts(docs.filter(pmod(col("doc_id"), lit(4)) === k), "doc_id", "text")
+    }
+    val (uni, bi, tri) = TextOps.mergeSbCounts(parts: _*)
+    TextOps.stupidBackoffFromCounts(docs, "doc_id", "text", uni, bi, tri)
+  }
+
+  /** The Stupid-Backoff deployment split: counts from the even-doc half,
+    * every document scored against the frozen statistics — the form where
+    * the backoff LADDER genuinely fires (odd docs carry unseen trigrams/
+    * bigrams; a token the counts never saw is excluded per the explicit
+    * OOV contract in [[graft.ops.TextOps.stupidBackoffFromCounts]]).
+    */
+  def qSbAssign(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (uni, bi, tri) =
+      TextOps.sbCounts(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    TextOps.stupidBackoffFromCounts(docs, "doc_id", "text", uni, bi, tri)
+  }
+
   /** Containment (asymmetric-overlap) dedup: every 23rd document re-ships
     * as its first-quarter truncation (id + 10⁶ — the concatenated-shard /
     * excerpt duplicate class), and [[graft.ops.DedupOps.containmentPairs]]
@@ -3118,6 +3156,9 @@ object SparkEntry {
     "q_token_rarity"            -> (qTokenRarity(_, _)),
     "q_lm_score"                -> (qLmScore(_, _)),
     "q_lm_incremental"          -> (qLmIncremental(_, _)),
+    "q_sb_score"                -> (qSbScore(_, _)),
+    "q_sb_incremental"          -> (qSbIncremental(_, _)),
+    "q_sb_assign"               -> (qSbAssign(_, _)),
     "q_bm25"                    -> (qBm25(_, _)),
     "q_bm25_incremental"        -> (qBm25Incremental(_, _)),
     "q_retrieval_eval"          -> (qRetrievalEval(_, _)),
@@ -3265,6 +3306,68 @@ object SparkEntry {
       |SELECT d.doc_id, agg.n_scored, agg.sum_logq,
       |       -(agg.sum_logq::DOUBLE / (agg.n_scored::DOUBLE * 1000000.0)) AS avg_nll
       |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  /** Stupid-Backoff oracle — mirror of
+    * [[graft.ops.TextOps.stupidBackoffFromCounts]]: the lmScoreOracle
+    * occurrence/count construction one level deeper (prev2, trigram
+    * counts), the three-rung CASE ladder with every ln quantized to
+    * micro-nat BIGINTs before the arithmetic (α = −916291 = round(ln 0.4
+    * ·10⁶), the shared literal). Shared by the incremental fold form.
+    */
+  private def sbScoreOracleWith(trainFilter: String): String =
+    raw"""WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents),
+      |o AS (SELECT doc_id,
+      |             unnest([{'tok': w[i],
+      |                      'prev': CASE WHEN i > 1 THEN w[i-1] END,
+      |                      'prev2': CASE WHEN i > 2 THEN w[i-2] END}
+      |                     for i in range(1, len(w)+1)]) AS g
+      |      FROM t),
+      |occ AS (SELECT doc_id, g.tok AS token, g.prev AS prev, g.prev2 AS prev2
+      |        FROM o WHERE g.tok <> ''),
+      |occt AS (SELECT * FROM occ WHERE $trainFilter),
+      |uni AS (SELECT token, count(*)::BIGINT AS c1 FROM occt GROUP BY 1),
+      |stot AS (SELECT sum(c1)::BIGINT AS n FROM uni),
+      |big AS (SELECT prev, token, count(*)::BIGINT AS c2 FROM occt
+      |        WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |tg AS (SELECT prev2, prev, token, count(*)::BIGINT AS c3 FROM occt
+      |       WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+      |sc AS (SELECT occ.doc_id,
+      |        CASE WHEN occ.prev IS NULL
+      |             THEN round(ln(u.c1::DOUBLE) * 1000000.0)::BIGINT
+      |                  - round(ln(stot.n::DOUBLE) * 1000000.0)::BIGINT
+      |             WHEN occ.prev2 IS NULL THEN
+      |               CASE WHEN b.c2 IS NOT NULL
+      |                    THEN round(ln(b.c2::DOUBLE) * 1000000.0)::BIGINT
+      |                         - round(ln(up.c1::DOUBLE) * 1000000.0)::BIGINT
+      |                    ELSE -916291 + round(ln(u.c1::DOUBLE) * 1000000.0)::BIGINT
+      |                         - round(ln(stot.n::DOUBLE) * 1000000.0)::BIGINT END
+      |             ELSE
+      |               CASE WHEN tr.c3 IS NOT NULL
+      |                    THEN round(ln(tr.c3::DOUBLE) * 1000000.0)::BIGINT
+      |                         - round(ln(bc.c2::DOUBLE) * 1000000.0)::BIGINT
+      |                    WHEN b.c2 IS NOT NULL
+      |                    THEN -916291 + round(ln(b.c2::DOUBLE) * 1000000.0)::BIGINT
+      |                         - round(ln(up.c1::DOUBLE) * 1000000.0)::BIGINT
+      |                    ELSE -1832582 + round(ln(u.c1::DOUBLE) * 1000000.0)::BIGINT
+      |                         - round(ln(stot.n::DOUBLE) * 1000000.0)::BIGINT END
+      |        END AS s
+      |       FROM occ
+      |       JOIN uni u USING (token)
+      |       LEFT JOIN uni up ON up.token = occ.prev
+      |       LEFT JOIN big b ON b.prev = occ.prev AND b.token = occ.token
+      |       LEFT JOIN big bc ON bc.prev = occ.prev2 AND bc.token = occ.prev
+      |       LEFT JOIN tg tr ON tr.prev2 = occ.prev2 AND tr.prev = occ.prev
+      |                      AND tr.token = occ.token
+      |       CROSS JOIN stot),
+      |agg AS (SELECT doc_id, count(*)::BIGINT AS n_scored, sum(s)::BIGINT AS sb_fp
+      |        FROM sc GROUP BY 1)
+      |SELECT d.doc_id, agg.n_scored, agg.sb_fp,
+      |       -(agg.sb_fp::DOUBLE / (agg.n_scored::DOUBLE * 1000000.0)) AS avg_nll
+      |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  private val sbScoreOracle: String = sbScoreOracleWith("TRUE")
 
   /** Capped exact n-gram Jaccard pairs — shared verbatim by
     * q_ngram_jaccard_dedup and q_jaccard_prefix: the prefix-filtered
@@ -5845,6 +5948,11 @@ object SparkEntry {
     // SHARED: scoring against the merged half-corpus counts must reproduce
     // the self-trained LM bit-for-bit (mergeLmCounts losslessness proof)
     "q_lm_incremental" -> lmScoreOracle,
+    "q_sb_score" -> sbScoreOracle,
+    // SHARED: four folded batch count-triples ≡ the one-shot statistics
+    "q_sb_incremental" -> sbScoreOracle,
+    // deployment split: the ladder's lower rungs genuinely fire here
+    "q_sb_assign" -> sbScoreOracleWith("doc_id % 2 = 0"),
     "q_bm25" -> bm25Oracle,
     "q_hybrid_rrf" -> hybridRrfOracle,
     "q_data_card" ->

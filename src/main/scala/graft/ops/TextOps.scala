@@ -587,6 +587,135 @@ object TextOps {
           .as("avg_nll"))
   }
 
+  // ─────────────── Stupid Backoff trigram LM (Brants 2007) ───────────────
+
+  /** round(ln(0.4)·10⁶) — the Stupid Backoff multiplier in micro-nats,
+    * embedded as ONE literal on both engines (ln(0.4) = −0.91629073…,
+    * rounding half-away-from-zero and half-up agree on it) so the score
+    * arithmetic is pure integers end-to-end.
+    */
+  private[graft] val SbAlphaFp = -916291L
+
+  /** Token occurrences with BOTH context words: `(id, token, prev,
+    * prev2)` — [[lmOccurrences]] extended one position left for the
+    * trigram level.
+    */
+  private[graft] def sbOccurrences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withCtx = DedupOps.bindOnce(split(normalize(col(textCol)), " ")) { w =>
+      transform(w, (t, i) =>
+        struct(
+          t.as("token"),
+          when(i > 0, element_at(w, i)).as("prev"),
+          when(i > 1, element_at(w, i - 1)).as("prev2")))
+    }
+    df.select(col(idCol), explode(withCtx).as("g"))
+      .select(col(idCol), col("g.token").as("token"),
+        col("g.prev").as("prev"), col("g.prev2").as("prev2"))
+      .filter(col("token") =!= "")
+  }
+
+  /** The maintainable Stupid-Backoff statistics: unigram / bigram /
+    * trigram count relations. All three are counts monoids —
+    * [[mergeSbCounts]] folds per-batch increments, and the registered
+    * incremental query shares q_sb_score's oracle as the losslessness
+    * proof (the [[lmCounts]] contract extended one level).
+    */
+  def sbCounts(
+      df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val occ = sbOccurrences(df, idCol, textCol).scopedCache()
+    (occ.groupBy(col("token")).agg(count(lit(1)).as("c1")),
+      occ.filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("c2")),
+      occ.filter(col("prev2").isNotNull)
+        .groupBy(col("prev2"), col("prev"), col("token")).agg(count(lit(1)).as("c3")))
+  }
+
+  /** Sum Stupid-Backoff count relations key-wise — the incremental fold. */
+  def mergeSbCounts(
+      parts: (DataFrame, DataFrame, DataFrame)*): (DataFrame, DataFrame, DataFrame) = {
+    require(parts.nonEmpty, "need at least one count triple")
+    (parts.map(_._1).reduce(_.unionByName(_))
+      .groupBy(col("token")).agg(sum(col("c1")).as("c1")),
+      parts.map(_._2).reduce(_.unionByName(_))
+        .groupBy(col("prev"), col("token")).agg(sum(col("c2")).as("c2")),
+      parts.map(_._3).reduce(_.unionByName(_))
+        .groupBy(col("prev2"), col("prev"), col("token")).agg(sum(col("c3")).as("c3")))
+  }
+
+  /** Stupid Backoff scoring (Brants et al. 2007, "Large Language Models
+    * in Machine Translation") against externally-supplied count
+    * relations — the LM that actually ships at web scale: no discounting,
+    * no normalization, just relative frequencies with a fixed 0.4 penalty
+    * per backoff level, which is exactly what makes it embarrassingly
+    * distributable (each level is one count join). Per occurrence, in
+    * micro-nats with every ln quantized BEFORE the arithmetic:
+    *
+    *   S(w | u, v) = ln c₃(u,v,w) − ln c₂(u,v)          if the trigram is seen
+    *               = α + ln c₂(v,w) − ln c₁(v)           else if the bigram is
+    *               = 2α + ln c₁(w) − ln N                else       (α = ln 0.4)
+    *
+    * (positions 1-2 enter the ladder at their widest available level).
+    * Output: (id, n_scored, sb_fp, avg_nll) — the [[lmScore]] artifact
+    * shape, sb_fp the order-free integer sum. Self-trained on the scored
+    * corpus every token is in-vocabulary; with external counts an unseen
+    * token would need an OOV floor (not modeled here — the oracle-parity
+    * bound, same as [[lmScoreFromCounts]]'s coalesce convention).
+    */
+  def stupidBackoffFromCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      uni0: DataFrame,
+      bi0: DataFrame,
+      tri: DataFrame): DataFrame = {
+    val uni = uni0.scopedCache()
+    val bi = bi0.scopedCache()
+    val tot = uni.agg(sum(col("c1")).cast("long").as("n"))
+    // INNER join on the unigram vocabulary: an occurrence whose TOKEN the
+    // counts never saw is excluded from scoring entirely (n_scored counts
+    // in-vocabulary occurrences only) — the OOV convention Brants leaves
+    // undefined, made explicit and oracle-mirrored (the oracle's inner
+    // JOIN uni does the same). Self-trained forms are unaffected (every
+    // token is in its own counts); the deployment split (q_sb_assign)
+    // exercises it. An OOV CONTEXT word is different: the bigram/trigram
+    // lookups miss and the ladder backs off with its α penalties.
+    val scored = sbOccurrences(df, idCol, textCol)
+      .join(uni, Seq("token"))
+      .join(uni.select(col("token").as("prev"), col("c1").as("cprev")), Seq("prev"), "left")
+      .join(bi, Seq("prev", "token"), "left")
+      .join(
+        bi.select(col("prev").as("prev2"), col("token").as("prev"), col("c2").as("ctx2")),
+        Seq("prev2", "prev"), "left")
+      .join(tri, Seq("prev2", "prev", "token"), "left")
+      .crossJoin(broadcast(tot))
+    val u = lnFp(col("c1")) - lnFp(col("n"))
+    val biS = lnFp(col("c2")) - lnFp(col("cprev"))
+    val triS = lnFp(col("c3")) - lnFp(col("ctx2"))
+    val s = when(col("prev").isNull, u)
+      .when(col("prev2").isNull,
+        when(col("c2").isNotNull, biS).otherwise(lit(SbAlphaFp) + u))
+      .otherwise(
+        when(col("c3").isNotNull, triS)
+          .when(col("c2").isNotNull, lit(SbAlphaFp) + biS)
+          .otherwise(lit(2L * SbAlphaFp) + u))
+    val agg = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"), sum(s).as("sb_fp"))
+    df.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_scored"), col("sb_fp"),
+        (-(col("sb_fp").cast("double") / (col("n_scored").cast("double") * lit(1.0e6))))
+          .as("avg_nll"))
+  }
+
+  /** Self-trained Stupid Backoff over the corpus — counts and scoring in
+    * one call ([[lmScore]]'s operating split, one level deeper).
+    */
+  def stupidBackoffScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (uni, bi, tri) = sbCounts(df, idCol, textCol)
+    stupidBackoffFromCounts(df, idCol, textCol, uni, bi, tri)
+  }
+
   /** BM25 retrieval (Robertson–Spärck Jones, the Lucene-variant IDF):
     * top-`k` corpus documents per query under
     * score(q,d) = Σ_{t∈q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),

@@ -74,7 +74,12 @@ object ScaleSmoke {
         ("jaccard_uncapped",
           () => DedupOps.jaccardPairs(corpus, "doc_id", "text", 3, 0.5, maxDocFreq = 0).count()),
         ("simhash", () => DedupOps.simhashPairs(corpus, "doc_id", "text").count()),
-        ("winnow",  () => DedupOps.winnowPairs(corpus, "doc_id", "text", threshold = 0.3).count())
+        ("winnow",  () => DedupOps.winnowPairs(corpus, "doc_id", "text", threshold = 0.3).count()),
+        // asymmetric containment rides the same capped posting scheme, so
+        // its growth must track jaccard's (dup-structure-, not corpus²-,
+        // governed)
+        ("containment",
+          () => DedupOps.containmentPairs(corpus, "doc_id", "text", 3, 0.9).count())
       ).foreach { case (name, f) =>
         spark.sharedState.cacheManager.clearCache(); System.gc()
         corpus.cache().count()

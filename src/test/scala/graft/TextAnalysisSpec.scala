@@ -535,6 +535,78 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a", "b", 1L), (2L, "ab", "</w>", 1L)))
   }
 
+  // ─────────────── Stupid Backoff trigram LM ───────────────
+
+  test("stupidBackoff ladder: trigram hit, bigram hit, double backoff, OOV exclusion — hand-checked") {
+    import org.apache.spark.sql.functions._
+    def lnFp(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val alpha = -916291L
+    val train = Seq((2L, "a b c a b d")).toDF("doc_id", "text")
+    val (uni, bi, tri) = TextOps.sbCounts(train, "doc_id", "text")
+    // "a b d c": unigram entry, bigram (a,b) hit, trigram (a,b,d) hit,
+    // (b,d,c) misses trigram AND bigram → double backoff to c's unigram
+    // "q a" : q is OOV → excluded; 'a' scores at the unigram rung (its
+    // prev q is in-context but unseen, bigram misses → alpha + unigram)
+    val scoreDf = Seq((1L, "a b d c"), (3L, "q a")).toDF("doc_id", "text")
+    val got = TextOps.stupidBackoffFromCounts(scoreDf, "doc_id", "text", uni, bi, tri)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val exp1 = (lnFp(2) - lnFp(6)) + // a: c1(a)=2, N=6
+      (lnFp(2) - lnFp(2)) + // b|a: c2(a,b)=2 / c1(a)=2
+      (lnFp(1) - lnFp(2)) + // d|a,b: c3=1 / c2(a,b)=2
+      (2 * alpha + lnFp(1) - lnFp(6)) // c|b,d: both rungs miss → 2α + unigram
+    assert(got(1L) == ((4L, exp1)))
+    // doc 3: q excluded (OOV), a scores α + ln c1(a) − ln N (bigram (q,a) unseen)
+    assert(got(3L) == ((1L, alpha + lnFp(2) - lnFp(6))))
+  }
+
+  test("stupidBackoffScore matches a plain-Scala replay on the real corpus; fold ≡ one-shot") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val got = TextOps.stupidBackoffScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    def lnFp(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val alpha = -916291L
+    val raw = docs.select(col("doc_id"), TextOps.normalize(col("text")))
+      .as[(Long, String)].collect()
+    val toks = raw.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }
+    val c1 = scala.collection.mutable.Map.empty[String, Long]
+    val c2 = scala.collection.mutable.Map.empty[(String, String), Long]
+    val c3 = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    for ((_, w) <- toks) {
+      w.foreach(t => c1(t) = c1.getOrElse(t, 0L) + 1)
+      w.sliding(2).filter(_.size == 2).foreach { p =>
+        c2((p(0), p(1))) = c2.getOrElse((p(0), p(1)), 0L) + 1
+      }
+      w.sliding(3).filter(_.size == 3).foreach { p =>
+        c3((p(0), p(1), p(2))) = c3.getOrElse((p(0), p(1), p(2)), 0L) + 1
+      }
+    }
+    val n = c1.values.sum
+    val exp = toks.map { case (id, w) =>
+      val ss = w.zipWithIndex.map { case (t, i) =>
+        def u = lnFp(c1(t)) - lnFp(n)
+        if (i == 0) u
+        else if (i == 1) c2.get((w(0), t)).map(c => lnFp(c) - lnFp(c1(w(0))))
+          .getOrElse(alpha + u)
+        else c3.get((w(i - 2), w(i - 1), t))
+          .map(c => lnFp(c) - lnFp(c2((w(i - 2), w(i - 1)))))
+          .orElse(c2.get((w(i - 1), t)).map(c => alpha + lnFp(c) - lnFp(c1(w(i - 1)))))
+          .getOrElse(2 * alpha + u)
+      }
+      id -> ((ss.length.toLong, ss.sum))
+    }.toMap
+    assert(got == exp)
+    // counts monoid: four folded batch triples reproduce the one-shot scores
+    val parts = (0 to 3).map { k =>
+      TextOps.sbCounts(docs.filter(pmod(col("doc_id"), lit(4)) === k), "doc_id", "text")
+    }
+    val (fu, fb, ft) = TextOps.mergeSbCounts(parts: _*)
+    val folded = TextOps.stupidBackoffFromCounts(docs, "doc_id", "text", fu, fb, ft)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(folded == got)
+  }
+
   // ─────────────────── DSIR importance resampling ───────────────────
 
   test("dsirWeights matches an independent plain-Scala replay on the real corpus") {
