@@ -291,7 +291,20 @@ class PlanContractSpec extends AnyFunSuite {
     // candidate relation); the vote itself is a hash aggregate over
     // n·k rows
     Contract("q_label_noise", requiredMarkers = Seq(),
-      allowBroadcastCross = true))
+      allowBroadcastCross = true),
+    // containment: the identical df-capped posting-candidate plan as the
+    // jaccard family (shared contract shape) — only the scoring
+    // projection differs
+    Contract("q_containment_dedup", requiredMarkers = Seq("BroadcastHashJoin")),
+    // Stupid Backoff: occurrence explode + three map-combined count
+    // aggregates + five equi-joins (one per rung) + the declared 1-row
+    // totals cross — no iteration, no windows anywhere
+    Contract("q_sb_score", requiredMarkers = Seq(),
+      allowBroadcastCross = true, bnlAtMost = 1),
+    Contract("q_sb_incremental", requiredMarkers = Seq(),
+      allowBroadcastCross = true, bnlAtMost = 1),
+    Contract("q_sb_assign", requiredMarkers = Seq("PushedFilters"),
+      allowBroadcastCross = true, bnlAtMost = 1))
 
   /** Static plan + logical global windows for one registered query, with
     * AQE off so the physical plan is fully materialized at plan time.
