@@ -745,6 +745,16 @@ object SparkEntry {
     Analytics.transitionMatrix(
       Tables.events(spark, dir), "user_id", "ts", "event_id", "event_type")
 
+  /** Sequence-model training examples from the event log: per user, each
+    * position with a complete 3-event history emits (space-joined
+    * context, next-event label) — the dataset-construction step of a
+    * next-event model ([[graft.ops.Analytics.sequenceExamples]]); one
+    * user-partitioned window, order pinned (ts, event_id).
+    */
+  def qSequenceExamples(spark: SparkSession, dir: String): DataFrame =
+    Analytics.sequenceExamples(
+      Tables.events(spark, dir), "user_id", "ts", "event_id", "event_type", k = 3)
+
   /** Running-peak drawdown over the monthly close series — cumulative max
     * selects an input double, so the whole metric is engine-exact with no
     * quantization needed.
@@ -3080,6 +3090,7 @@ object SparkEntry {
     "q_sessionize"              -> (qSessionize(_, _)),
     "q_cohort_retention"        -> (qCohortRetention(_, _)),
     "q_event_transitions"       -> (qEventTransitions(_, _)),
+    "q_sequence_examples"       -> (qSequenceExamples(_, _)),
     "q_temperature_mix"         -> (qTemperatureMix(_, _)),
     "q_quota_sample"            -> (qQuotaSample(_, _)),
     "q_value_quantiles"         -> (qValueQuantiles(_, _)),
@@ -5207,6 +5218,13 @@ object SparkEntry {
         |t AS (SELECT src_type, sum(n)::BIGINT AS tt FROM p GROUP BY 1)
         |SELECT p.src_type, p.dst_type, p.n, (p.n * 1000000) // t.tt AS p_fp
         |FROM p JOIN t USING (src_type)""".stripMargin,
+    "q_sequence_examples" ->
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |                 list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx
+        |          FROM events)
+        |SELECT user_id, event_id, array_to_string(ctx, ' ') AS context, event_type AS label
+        |FROM o WHERE len(ctx) = 3""".stripMargin,
     "q_temperature_mix" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
         |w AS (SELECT source, n_docs, round(sqrt(n_docs::DOUBLE) * 1000000.0)::BIGINT AS w FROM c),

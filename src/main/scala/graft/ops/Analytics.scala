@@ -649,6 +649,38 @@ object Analytics {
         expr("(n * 1000000) div __t").as("p_fp"))
   }
 
+  /** Next-event-prediction training examples from an event log — the
+    * dataset-builder step of a sequence model: per key, every position
+    * with a COMPLETE k-event history emits (context of the k preceding
+    * tokens in order, the current token as label). The context is
+    * space-joined to a scalar cell (the engine's cell contract), total
+    * order inside each key pinned by (tsCol, idCol). One partitioned
+    * window over the log — no self-joins, no explode; at any scale the
+    * work is one shuffle on the key column, and the per-row state is the
+    * k-element frame (bounded by construction).
+    *
+    * Output: (keyCol, idCol, context, label).
+    */
+  def sequenceExamples(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      tokenCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "need at least one context token")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-k, -1)
+    events
+      .select(col(keyCol), col(tsCol), col(idCol), col(tokenCol))
+      .withColumn("__ctx", collect_list(col(tokenCol)).over(byKey))
+      .filter(size(col("__ctx")) === k)
+      .select(
+        col(keyCol), col(idCol),
+        array_join(col("__ctx"), " ").as("context"),
+        col(tokenCol).as("label"))
+  }
+
   /** Bollinger bands per key series: rolling mid/σ from integer sum and
     * sum-of-squares of CENT-quantized values over a `window`-row frame
     * (order-free, engine-exact — the [[rollingZscore]] moments at a price

@@ -296,6 +296,25 @@ class AnalyticsRetrySpec extends AnyFunSuite {
       ("cart", "buy", 1L, 1000000L)))
   }
 
+  test("sequenceExamples: ordered k-contexts, head positions skipped, users isolated") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"), (1L, ts(3), 3L, "c"),
+      (1L, ts(4), 4L, "d"), (1L, ts(5), 5L, "e"),
+      // same-ts tie inside user 2 breaks by event_id
+      (2L, ts(1), 6L, "x"), (2L, ts(1), 7L, "y"), (2L, ts(2), 8L, "z"),
+      (2L, ts(3), 9L, "w")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.sequenceExamples(ev, "user_id", "ts", "event_id", "event_type", 3)
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, 4L, "a b c", "d"),
+      (1L, 5L, "b c d", "e"),
+      (2L, 9L, "x y z", "w"))) // user 2's context never sees user 1's events
+    // k larger than any history → empty, not partial contexts
+    assert(Analytics.sequenceExamples(ev, "user_id", "ts", "event_id", "event_type", 6).isEmpty)
+  }
+
   test("temperatureAllocation: sum == slots exactly, sqrt-proportional, deterministic remainders") {
     import graft.ops.SamplingOps
     val docs = (1 to 100).map(i => (i.toLong, s"src${i % 4}")) ++
