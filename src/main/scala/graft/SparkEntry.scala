@@ -4594,12 +4594,17 @@ object SparkEntry {
     * reduce accumulator must share the element type) — the exact mirror
     * of [[graft.ops.TextOps]]' `bpeMergeFold`.
     */
+  // bm$i/r$i MATERIALIZED: each round reads its predecessor TWICE
+  // (pair positions + rewrite) — inlined, the 10-round stack expands
+  // 2^10 copies of the base scan (measured 42 s for q_bpe_merges and
+  // 179 s for q_bpe_encode in DuckDB at sf0.01; 0.3 s materialized —
+  // the wpRoundCte/unigramAssignOracle precedent)
   private def bpeRoundCte(i: Int): String =
     s"""px$i AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM r${i - 1}),
        |bp$i AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq)::BIGINT AS cnt
        |         FROM px$i GROUP BY 1, 2),
-       |bm$i AS (SELECT $i::BIGINT AS merge_rank, l, r, cnt FROM bp$i ORDER BY cnt DESC, l, r LIMIT 1),
-       |r$i AS (SELECT word, freq, list_reduce([[s] for s in syms], (acc, x) ->
+       |bm$i AS MATERIALIZED (SELECT $i::BIGINT AS merge_rank, l, r, cnt FROM bp$i ORDER BY cnt DESC, l, r LIMIT 1),
+       |r$i AS MATERIALIZED (SELECT word, freq, list_reduce([[s] for s in syms], (acc, x) ->
        |          CASE WHEN len(acc) >= 1 AND acc[-1] = bm$i.l AND x[1] = bm$i.r
        |               THEN acc[1:len(acc)-1] || [bm$i.l || bm$i.r] ELSE acc || x END) AS syms
        |        -- LEFT JOIN ON TRUE: an exhausted round (empty bm$i — the
@@ -4704,7 +4709,7 @@ object SparkEntry {
     * mirroring [[graft.ops.TextOps.bpeSegmentWith]].
     */
   private def bpeApplyCte(i: Int): String =
-    s"""ra$i AS (SELECT word, freq, list_reduce([[s] for s in syms], (acc, x) ->
+    s"""ra$i AS MATERIALIZED (SELECT word, freq, list_reduce([[s] for s in syms], (acc, x) ->
        |           CASE WHEN len(acc) >= 1 AND acc[-1] = bm$i.l AND x[1] = bm$i.r
        |                THEN acc[1:len(acc)-1] || [bm$i.l || bm$i.r] ELSE acc || x END) AS syms
        |         FROM ra${i - 1} LEFT JOIN bm$i ON TRUE)""".stripMargin

@@ -7,10 +7,20 @@ Reads each <outDir>/<name> parquet (graft.Verify output), runs the matching
 SQL from <outDir>/oracle_sql.json in DuckDB against the sfDir tables, and
 compares: columns sorted by name, rows as a sorted multiset, exact values
 (with a small float report when exact fails).
+
+Also enforces the ORACLE RUNTIME BUDGET (round-8 verdict: one 225s oracle
+starved the driver's gate into an empty artifact): every oracle must run in
+DuckDB under ORACLE_BUDGET_SEC at sf0.01, and the whole pass under
+SUITE_BUDGET_SEC. Budget breaches are BUDGET lines and fail the exit code
+even when values match — a correct query whose oracle kills the grading
+artifact is not done.
 """
-import sys, json, math, datetime
+import sys, json, math, datetime, time
 import duckdb
 import pyarrow.dataset as pads
+
+ORACLE_BUDGET_SEC = 10.0
+SUITE_BUDGET_SEC = 300.0
 
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
@@ -54,11 +64,20 @@ def main():
     only = set(sys.argv[3:])  # optional: restrict to named queries (dev loop)
     if only:
         oracle = {k: v for k, v in oracle.items() if k in only}
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_budget = 0
+    t_suite = time.time()
+    slowest = []
     for name, sql in sorted(oracle.items()):
         try:
             got_cols, got = to_rows(pads.dataset(f"{outdir}/{name}").to_table())
-            exp_cols, exp = to_rows(con.sql(sql).arrow())
+            t0 = time.time()
+            exp_tbl = con.sql(sql).arrow()
+            dt = time.time() - t0
+            slowest.append((dt, name))
+            if dt > ORACLE_BUDGET_SEC:
+                print(f"BUDGET {name}: oracle took {dt:.1f}s > {ORACLE_BUDGET_SEC}s")
+                n_budget += 1
+            exp_cols, exp = to_rows(exp_tbl)
         except Exception as e:
             print(f"FAIL {name}: error {e}"); n_fail += 1; continue
         if got_cols != exp_cols:
@@ -75,8 +94,14 @@ def main():
         for g, e in diffs[:3]:
             print(f"   got {g}\n   exp {e}")
         n_fail += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
-    sys.exit(1 if n_fail else 0)
+    suite_dt = time.time() - t_suite
+    top = ", ".join(f"{n}={d:.1f}s" for d, n in sorted(slowest, reverse=True)[:5])
+    print(f"== {n_pass} pass / {n_fail} fail / {n_budget} over-budget ==")
+    print(f"== oracle suite {suite_dt:.1f}s (budget {SUITE_BUDGET_SEC:.0f}s; slowest: {top}) ==")
+    if not only and suite_dt > SUITE_BUDGET_SEC:
+        print(f"BUDGET suite: {suite_dt:.1f}s > {SUITE_BUDGET_SEC}s")
+        n_budget += 1
+    sys.exit(1 if (n_fail or n_budget) else 0)
 
 if __name__ == "__main__":
     main()
