@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every registered query at the bench scale
-  * factor, one JSON line on stdout. Queries run in sorted name order
+  * factor. The FULL per-query JSON goes to `BENCH_full.json` (committed
+  * per round; `SPARK_GRAFT_BENCH_OUT` overrides); stdout's LAST line is a
+  * compact (~0.8kB) summary the driver's ~2kB tail capture can always
+  * parse — the 205-query single line overflowed it in rounds 7–8 and
+  * zeroed the bench signal. Queries run in sorted name order
   * (deterministic, comparable across rounds) after a table warmup pass that
   * takes parquet footer reads and OS page-cache noise out of the first
   * measured query.
@@ -90,10 +94,13 @@ object Bench {
   private val QuietStealPct = 2.0
 
   /** Per-query floor (seconds, on the BASELINE side) below which ratios
-    * are not adjudicated — sub-300ms queries jitter across same-day runs
-    * by more than the 1.5× threshold without any code change.
+    * are not adjudicated — sub-second queries jitter across same-day runs
+    * by more than the 1.5× threshold without any code change (round-8
+    * verdict: at a 0.3s floor a 0.79%-steal window still flagged 17
+    * uniform sub-3.3s queries and re-ran ~95, doubling suite wall-clock
+    * for adjudications that all cleared).
     */
-  private val FloorSec = 0.3
+  private val FloorSec = 1.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -197,8 +204,8 @@ object Bench {
     // flagging the whole suite. This is the machine-check the steal
     // counters enable: pollution is detectable (counters), drift is
     // detectable (this block), and neither needs a judge rerun.
-    val baselineJson = loadBaseline() match {
-      case None => "null"
+    val (baselineJson, baselineCompact) = loadBaseline() match {
+      case None => ("null", "null")
       case Some((path, bq, bSteal)) =>
         val reliable = stealPct < QuietStealPct && bSteal < QuietStealPct
         val ratios = results.collect {
@@ -273,19 +280,60 @@ object Bench {
           case (name, v) if v >= 0 && bq.contains(name) => bq(name)
         }.sum
         val covered = results.count { case (n, _, ok) => ok && bq.contains(n) }
-        s"""{"path":${JsonOut.q(path)},"baseline_total":$bTotal,""" +
+        val full = s"""{"path":${JsonOut.q(path)},"baseline_total":$bTotal,""" +
           s""""baseline_steal_pct":$bSteal,"covered":$covered,""" +
           s""""reliable":$reliable,"regressed":$regressed,""" +
           s""""remeasured":$remeasured,"improved":$improved}"""
+        val allRatios = ratios ++ artifactRatios
+        val maxRatio =
+          if (allRatios.isEmpty) 0.0
+          else math.round(allRatios.map(_._2).max * 100.0) / 100.0
+        val compact = s"""{"path":${JsonOut.q(path)},"baseline_total":$bTotal,""" +
+          s""""reliable":$reliable,"covered":$covered,""" +
+          s""""regressed_n":${confirmed.size},""" +
+          s""""improved_n":${allRatios.count(_._2 < 1.0 / 1.5)},""" +
+          s""""remeasured_n":${retried.size + artRetried.size},""" +
+          s""""max_ratio":$maxRatio,""" +
+          s""""regressed":${fmt(confirmed.sortBy(-_._2).take(5))}}"""
+        (full, compact)
     }
-    println(
+    val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""artifacts":$artifactsJson,"artifact_total":$artifactTotal,""" +
         s""""failed":$failed,"sf":${JsonOut.q(sfDir)},""" +
         s""""steal":{"before":$stealBefore,"after":$stealAfter,""" +
         s""""delta":$stealDelta,"jiffies_delta":$jiffiesDelta,""" +
         s""""steal_pct":$stealPct},""" +
-        s""""baseline":$baselineJson}""")
+        s""""baseline":$baselineJson}"""
+    // FULL per-query map → a file the round commits. The driver's stdout
+    // capture keeps only a ~2kB tail, which the 205-query map overflows —
+    // BENCH_r07/r08 both came back "parsed": null because the one big line
+    // was truncated mid-JSON. Stdout gets a compact summary line LAST.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outPath), fullLine + "\n"): Unit
+      System.err.println(s"[bench] full per-query map written to $outPath")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    // compact driver-parseable line (≈0.8kB): schema keeps "queries" (the
+    // 8 slowest — the ones a reader acts on), the full map lives in the
+    // file; "failed" capped at 10 names so a catastrophic run still fits
+    // the tail, with n_failed carrying the true count.
+    val top8 = results.filter(_._3).sortBy(-_._2).take(8)
+      .map { case (k, v, _) => JsonOut.q(k) + ":" + math.round(v * 1000.0) / 1000.0 }
+      .mkString("{", ",", "}")
+    val nFailed = results.count(!_._3)
+    val failedCompact = results.collect { case (k, _, false) => JsonOut.q(k) }
+      .take(10).mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top8,""" +
+        s""""n":${results.size},"n_failed":$nFailed,"failed":$failedCompact,""" +
+        s""""artifact_total":$artifactTotal,"sf":${JsonOut.q(sfDir)},""" +
+        s""""steal_pct":${math.round(stealPct * 1000.0) / 1000.0},""" +
+        s""""queries_file":${JsonOut.q(outPath)},""" +
+        s""""baseline":$baselineCompact}""")
     spark.stop()
   }
 }
