@@ -2116,6 +2116,39 @@ object SparkEntry {
   def qPrefixTemplates(spark: SparkSession, dir: String): DataFrame =
     DedupOps.prefixTemplates(Tables.documents(spark, dir), "doc_id", "text", k = 16)
 
+  /** The two deterministic plants for [[qSubstringDedup]]: a 30-token
+    * passage appended to every doc_id % 151 == 0 document (MUST be
+    * reported: its per-pair Jaccard/containment against ~120-token hosts
+    * sits far below the doc-level families' thresholds — the exact case
+    * suffix-array dedup exists for) and a 12-token passage at
+    * doc_id % 97 == 0 (must NOT be reported at minSpan 24 — the
+    * threshold path, planted so it actually generates anchors first).
+    */
+  private val substringPlantLong: String =
+    " orbital cadence marigold lattice quorum ember tectonic verdigris" +
+      " plenum oscillate cobalt meridian saffron turbine aquifer bastion" +
+      " cipher dynamo eolian fresco gossamer helix isthmus juniper" +
+      " krypton lumen moraine nacre obsidian pylon"
+  private val substringPlantShort: String =
+    " quartz nimbus delta rookery sextant talus umbra vortex wicket xenon yawl zephyr"
+
+  /** Cross-document exact-substring spans ([[DedupOps.substringSpans]],
+    * 8-token anchors, maximal spans ≥ 24 tokens, anchor df-cap 50) — the
+    * Lee et al. 2022 suffix-array dedup family, bucketed. The planted
+    * 30-token passage is caught with its exact length and per-document
+    * offsets; the 12-token plant generates anchors but dies at the span
+    * threshold; everything else in the word-soup corpus shares no
+    * 8-gram run and is absent on both engines.
+    */
+  def qSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 151 === 0, lit(substringPlantLong)).otherwise(lit("")),
+        when(col("doc_id") % 97 === 0, lit(substringPlantShort)).otherwise(lit(""))))
+    DedupOps.substringSpans(
+      planted, "doc_id", "text", k = 8, minSpanTokens = 24, maxDocFreq = 50)
+  }
+
   /** Frequency-ranked top-30 vocabulary of the corpus (deterministic
     * (count DESC, token) order), the tokenizer-prep relation.
     */
@@ -3218,6 +3251,7 @@ object SparkEntry {
     "q_curriculum_bins"         -> (qCurriculumBins(_, _)),
     "q_prefix_templates"        -> (qPrefixTemplates(_, _)),
     "q_repeated_spans"          -> (qRepeatedSpans(_, _)),
+    "q_substring_dedup"         -> (qSubstringDedup(_, _)),
     "q_span_scrub"              -> (qSpanScrub(_, _)),
     "q_decontaminate_multi"     -> (qDecontaminateMulti(_, _)),
     "q_keeper_by_quality"       -> (qKeeperByQuality(_, _)),
@@ -4968,6 +5002,31 @@ object SparkEntry {
         |SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end,
         |       count(*)::BIGINT AS n_grams
         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    // mirror of qSubstringDedup: same plants, positional 8-gram anchors,
+    // df ∈ [2, 50] survival, pair join, diagonal-island maximal spans
+    "q_substring_dedup" ->
+      raw"""WITH base AS (SELECT doc_id,
+        |         text || CASE WHEN doc_id % 151 = 0 THEN '$substringPlantLong' ELSE '' END
+        |              || CASE WHEN doc_id % 97 = 0 THEN '$substringPlantShort' ELSE '' END AS text
+        |         FROM documents),
+        |t AS (SELECT doc_id,
+        |             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |      FROM base),
+        |sel AS (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i
+        |        FROM t WHERE len(w) >= 8),
+        |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS s FROM sel),
+        |alive AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS d FROM g GROUP BY 1)
+        |          WHERE d BETWEEN 2 AND 50),
+        |gg AS (SELECT g.doc_id, g.pos, g.s FROM g JOIN alive USING (s)),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+        |       FROM gg a JOIN gg b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |isl AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+        |               pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+        |        FROM pr)
+        |SELECT doc_a, doc_b, min(pa)::BIGINT AS a_start, min(pb)::BIGINT AS b_start,
+        |       (max(pa) - min(pa) + 8)::BIGINT AS span_tokens
+        |FROM isl GROUP BY doc_a, doc_b, diag, isl
+        |HAVING max(pa) - min(pa) + 8 >= 24""".stripMargin,
     "q_semantic_decontaminate" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
@@ -5227,7 +5286,10 @@ object SparkEntry {
       """WITH o AS (SELECT user_id, event_id, event_type,
         |                 list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                                        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx
-        |          FROM events)
+        |          -- NULL tokens dropped pre-window on BOTH engines:
+        |          -- Spark's collect_list skips frame-NULLs, list() keeps
+        |          -- them — the operator excludes the row entirely
+        |          FROM events WHERE event_type IS NOT NULL)
         |SELECT user_id, event_id, array_to_string(ctx, ' ') AS context, event_type AS label
         |FROM o WHERE len(ctx) = 3""".stripMargin,
     "q_temperature_mix" ->

@@ -659,6 +659,12 @@ object Analytics {
     * work is one shuffle on the key column, and the per-row state is the
     * k-element frame (bounded by construction).
     *
+    * NULL tokens are dropped BEFORE the window: Spark's collect_list
+    * silently skips NULLs inside the frame while SQL list() keeps them,
+    * so a NULL event would shift/shrink contexts on one engine only —
+    * excluding the row entirely (it can be neither context nor label)
+    * is the one semantics both engines express identically.
+    *
     * Output: (keyCol, idCol, context, label).
     */
   def sequenceExamples(
@@ -673,6 +679,7 @@ object Analytics {
       .rowsBetween(-k, -1)
     events
       .select(col(keyCol), col(tsCol), col(idCol), col(tokenCol))
+      .filter(col(tokenCol).isNotNull)
       .withColumn("__ctx", collect_list(col(tokenCol)).over(byKey))
       .filter(size(col("__ctx")) === k)
       .select(

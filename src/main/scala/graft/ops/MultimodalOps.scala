@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * feature-extraction stage.
   *
   * The decode step is a STUB — image/audio codecs are not available in this
-  * environment, so [[fakeDecode]] derives deterministic pseudo-features from
+  * environment, so [[decodeStub]] derives deterministic pseudo-features from
   * the raw bytes. Everything around it is the real engine contract:
   * binary packing, metadata schema, `mapPartitions` batch shape (one codec
   * instance per partition, streamed record iteration — the same shape a
@@ -43,11 +43,14 @@ object MultimodalOps {
       octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"),
       encode(col(textCol), "UTF-8").as("payload"))
 
-  /** STUB decode: deterministic pseudo-features from raw bytes (a rolling
-    * checksum and fake dimensions). A real deployment swaps ONLY this
-    * function for a codec call; the `mapPartitions` harness stays.
+  /** STUB decode — NO REAL CODEC. Deterministic pseudo-features from raw
+    * bytes (a rolling checksum and fake dimensions); no image/audio/video
+    * library exists in this environment, so nothing here parses an actual
+    * media format. A real deployment swaps ONLY this function for a codec
+    * call (JNI/FFmpeg); the `mapPartitions` harness — schema, batching,
+    * per-partition decoder context, generator fan-out — stays.
     */
-  private[graft] def fakeDecode(payload: Array[Byte]): (Long, Int, Int) = {
+  private[graft] def decodeStub(payload: Array[Byte]): (Long, Int, Int) = {
     var h = 1125899906842597L // large prime; plain polynomial rolling hash
     var i = 0
     while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
@@ -64,7 +67,7 @@ object MultimodalOps {
     packed.as[MediaRecord].mapPartitions { it =>
       // real codec: initialize per-partition decoder context here
       it.map { r =>
-        val (checksum, w, h) = fakeDecode(r.payload)
+        val (checksum, w, h) = decodeStub(r.payload)
         MediaFeatures(r.media_id, r.kind, r.n_bytes, checksum, w, h)
       }
     }
@@ -93,7 +96,7 @@ object MultimodalOps {
     packed.as[MediaRecord].mapPartitions { it =>
       // real scaler: initialize per-partition image context here
       it.map { r =>
-        val (_, sw, sh) = fakeDecode(r.payload)
+        val (_, sw, sh) = decodeStub(r.payload)
         val scaleNum = math.min(maxDim, math.max(sw, sh)) // never upscale
         val scaleDen = math.max(sw, sh)
         val (w, h) = (math.max(1, sw * scaleNum / scaleDen),
@@ -112,7 +115,7 @@ object MultimodalOps {
   /** Frame sampling over packed "video": a 1→N generator (`mapPartitions` +
     * streamed flatMap, one decoder context per partition) emitting a frame
     * every `everyMs` ms up to `maxFrames`. The decode/grab is the
-    * deterministic [[fakeDecode]] stub (duration and thumbnail bytes derived
+    * deterministic [[decodeStub]] stub (duration and thumbnail bytes derived
     * from the payload checksum); the engine contract — generator shape, frame
     * schema, payload-stays-in-place partitioning, bounded fan-out — is real.
     * Source payloads never shuffle; only the small frame rows flow on.
@@ -127,7 +130,7 @@ object MultimodalOps {
     import spark.implicits._
     packed.as[MediaRecord].mapPartitions { it =>
       it.flatMap { r =>
-        val (checksum, w, h) = fakeDecode(r.payload)
+        val (checksum, w, h) = decodeStub(r.payload)
         val durationMs = 500L + math.abs(checksum % 8000L) // stub duration probe
         val n = math.min(maxFrames.toLong, durationMs / everyMs + 1).toInt
         (0 until n).iterator.map { i =>
@@ -212,7 +215,7 @@ object MultimodalOps {
     * fixed-length windows of `windowMs` every `hopMs` (overlapping when
     * hop < window — the ASR / audio-embedding pre-segmentation shape),
     * bounded by `maxWindows`. The duration probe and per-window energy
-    * features (rms/peak in [0,1)) are the deterministic [[fakeDecode]]
+    * features (rms/peak in [0,1)) are the deterministic [[decodeStub]]
     * stub; the engine contract — generator fan-out bounds, window
     * geometry (last window clipped to the duration), payload-stays-in-
     * place partitioning — is real, same shape as [[sampleFrames]].
@@ -228,7 +231,7 @@ object MultimodalOps {
     packed.as[MediaRecord].mapPartitions { it =>
       // real codec: per-partition audio decoder context here
       it.flatMap { r =>
-        val (checksum, _, _) = fakeDecode(r.payload)
+        val (checksum, _, _) = decodeStub(r.payload)
         val durationMs = 1000L + math.abs(checksum % 30000L) // stub duration probe
         val nAll = if (durationMs <= windowMs) 1L else (durationMs - windowMs) / hopMs + 1
         val n = math.min(maxWindows.toLong, nAll).toInt

@@ -1041,7 +1041,13 @@ object SimilarityOps {
     val w = Window.partitionBy(col("__pid")).orderBy(col("__dist"), col(idCol))
     val wDesc = Window.partitionBy(col("__pid")).orderBy(col("__i").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // self-match exclusion (the knnBrute convention): a probe that also
+    // appears in train would rank itself at distance 0 with a guaranteed
+    // label agreement, inflating its own value — filtered so callers with
+    // overlapping relations get leave-self-out semantics (no-op when the
+    // panels are disjoint, as the registered query's id-split is)
     t.crossJoin(broadcast(p))
+      .filter(col(idCol) =!= col("__pid"))
       .withColumn("__dist", graft.functions.VectorFunctions.graft_l2sq(col("vfp"), col("__pv")))
       .withColumn("__i", row_number().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__pid"))))

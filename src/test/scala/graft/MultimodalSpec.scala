@@ -23,7 +23,7 @@ class MultimodalSpec extends AnyFunSuite {
     // re-derive each record's stub duration driver-side from the same bytes
     val durations = p.select("media_id", "payload").as[(Long, Array[Byte])].collect()
       .map { case (id, bytes) =>
-        val (checksum, _, _) = MultimodalOps.fakeDecode(bytes)
+        val (checksum, _, _) = MultimodalOps.decodeStub(bytes)
         (id, 500L + math.abs(checksum % 8000L))
       }.toSeq.toDF("media_id", "duration_ms")
     val geo = MultimodalOps.frameGeometry(p.join(durations, "media_id"), "duration_ms")
@@ -39,7 +39,7 @@ class MultimodalSpec extends AnyFunSuite {
     val p = packed("audio").cache()
     val durations = p.select("media_id", "payload").as[(Long, Array[Byte])].collect()
       .map { case (id, bytes) =>
-        val (checksum, _, _) = MultimodalOps.fakeDecode(bytes)
+        val (checksum, _, _) = MultimodalOps.decodeStub(bytes)
         (id, 1000L + math.abs(checksum % 30000L))
       }.toSeq.toDF("media_id", "duration_ms")
     val geo = MultimodalOps.audioWindowGeometry(p.join(durations, "media_id"), "duration_ms")
