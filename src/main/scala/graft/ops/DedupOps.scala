@@ -1364,6 +1364,100 @@ object DedupOps {
       .select(col(idCol), col("r.n_tokens"), col("r.n_removed"), col("r.clean_text"))
   }
 
+  /** CROSS-document exact-substring duplicate spans — the suffix-array
+    * dedup family (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": cross-document duplicated substrings ≥ L
+    * tokens that doc-level shingle-Jaccard and the within-doc
+    * [[repeatedSpans]] both miss), re-expressed as a bucketed join rather
+    * than a monolithic suffix array: every position's k-token anchor gram
+    * is a bucket; two documents sharing a RUN of consecutive anchors on
+    * one alignment diagonal share the run's exact substring, and the
+    * maximal run is recovered per (pair, diagonal) with the island trick
+    * (anchor position minus its rank is constant within a consecutive
+    * run). A span of L ≥ k shared tokens yields L−k+1 consecutive
+    * anchors, so maximal-span length = max(pos)−min(pos)+k exactly.
+    *
+    * Anchor grams stay STRINGS (not xxhash64) — the operator is
+    * SQL-oracle-checked end to end and 8-byte hashing is an internal
+    * optimization the [[jaccardPairs]] family already demonstrates; a
+    * deployment at 100 TB swaps `concat_ws` for the hashed-anchor kernel
+    * without touching the island algebra.
+    *
+    * Scale shape: NEVER all-pairs — pair generation is the anchor-bucket
+    * self-join restricted to grams seen in [2, maxDocFreq] distinct
+    * documents (the df-cap contract of the Jaccard family: a boilerplate
+    * gram shared by every license header is a stop-gram, exactly what
+    * Lee et al. drop; strict `>` cap boundary). Per surviving gram the
+    * fan-out is ≤ cap², and the island window partitions by
+    * (doc_a, doc_b, diagonal) — no global window anywhere. Unique-gram
+    * positions (the overwhelming mass of a natural corpus) die in the
+    * df ∈ [2, cap] semi-join before any pairing.
+    *
+    * Output: (doc_a, doc_b, a_start, b_start, span_tokens) per maximal
+    * shared span with span_tokens ≥ minSpanTokens, positions 0-based
+    * token offsets, doc_a < doc_b.
+    */
+  def substringSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minSpanTokens: Int = 24,
+      maxDocFreq: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "anchor gram needs k >= 2")
+    require(minSpanTokens >= k, "a reportable span must cover at least one anchor")
+    require(maxDocFreq >= 2, "a shared gram needs at least two documents")
+    // positional anchor grams: (doc, pos, gram) — NOT distinct; position
+    // is load-bearing (the same gram at two positions is two anchors)
+    val grams = df.select(
+      col(idCol).as("__doc"),
+      bindOnce(TextOps.tokens(col(textCol))) { toks =>
+        when(
+          size(toks) >= k,
+          transform(
+            sequence(lit(1), size(toks) - lit(k - 1)),
+            i => struct(
+              (i - 1).cast("long").as("pos"),
+              concat_ws(" ", slice(toks, i, lit(k))).as("s"))))
+          .otherwise(array().cast("array<struct<pos:bigint,s:string>>"))
+      }.as("__pg"))
+      .select(col("__doc"), explode(col("__pg")).as("__x"))
+      .select(col("__doc"), col("__x.pos").as("__pos"), col("__x.s").as("s"))
+    // grams alive for pairing: shared (df >= 2) and not hot (df <= cap,
+    // strict-> boundary). The semi-join kills the unique-gram mass before
+    // the self-join ever sees it.
+    val alive = grams.groupBy(col("s"))
+      .agg(countDistinct(col("__doc")).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)
+      .select(col("s"))
+    val shared = grams.join(alive, Seq("s"), "left_semi")
+    val pairs = shared.alias("a")
+      .join(shared.alias("b"),
+        col("a.s") === col("b.s") && col("a.__doc") < col("b.__doc"))
+      .select(
+        col("a.__doc").as("doc_a"), col("b.__doc").as("doc_b"),
+        col("a.__pos").as("__pa"), col("b.__pos").as("__pb"))
+    // island trick per alignment diagonal: within (pair, pa-pb), anchor
+    // positions are unique, so pa - rank(pa) is constant exactly on a
+    // consecutive run — each group is one maximal shared span
+    val wDiag = Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("__diag"))
+      .orderBy(col("__pa"))
+    pairs
+      .withColumn("__diag", col("__pa") - col("__pb"))
+      .withColumn("__isl", col("__pa") - row_number().over(wDiag))
+      .groupBy(col("doc_a"), col("doc_b"), col("__diag"), col("__isl"))
+      .agg(
+        min(col("__pa")).as("a_start"),
+        min(col("__pb")).as("b_start"),
+        (max(col("__pa")) - min(col("__pa")) + k).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(
+        col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        col("span_tokens"))
+  }
+
   /** Incremental connected-components maintenance — the cluster-resolution
     * leg of the incremental dedup story ([[crossJaccardPairs]] /
     * [[crossMinhashLshPairs]] generate the pairs, this folds them into the

@@ -761,4 +761,60 @@ class DedupTextSpec extends AnyFunSuite {
     // doc 4: candidate shingles shared, but 30/79 chars fails least >= 0.6*greatest
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  private def passage(n: Int, tag: String = "p"): Seq[String] =
+    (1 to n).map(i => s"$tag$i")
+
+  test("substringSpans: a 30-token shared run two disjoint hosts — exact span, Jaccard blind") {
+    val p = passage(30)
+    val a = ((1 to 100).map(i => s"fa$i") ++ p).mkString(" ")
+    val b = ((1 to 50).map(i => s"fb$i") ++ p ++ (51 to 100).map(i => s"fb$i")).mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = DedupOps.substringSpans(df, "doc_id", "text", k = 8, minSpanTokens = 24)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 100L, 50L, 30L)),
+      "one maximal span with exact 0-based offsets and length")
+    // the doc-level families at their registered thresholds do NOT ship
+    // this duplication — 30 shared tokens of ~130 sits near Jaccard 0.13
+    // and containment 0.23, the gap substring dedup exists to close
+    assert(DedupOps.jaccardPairs(df, "doc_id", "text", 3, 0.5).isEmpty)
+    assert(DedupOps.containmentPairs(df, "doc_id", "text", 3, 0.9).isEmpty)
+  }
+
+  test("substringSpans: minSpanTokens boundary — 24 ships, 23 dies") {
+    def hosts(n: Int, tag: String) = {
+      val p = passage(n, tag)
+      Seq(((1 to 40).map(i => s"${tag}xa$i") ++ p).mkString(" "),
+        ((1 to 40).map(i => s"${tag}xb$i") ++ p).mkString(" "))
+    }
+    val Seq(a24, b24) = hosts(24, "q")
+    val Seq(a23, b23) = hosts(23, "r")
+    val df = Seq((1L, a24), (2L, b24), (3L, a23), (4L, b23)).toDF("doc_id", "text")
+    val got = DedupOps.substringSpans(df, "doc_id", "text", k = 8, minSpanTokens = 24)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 40L, 40L, 24L)),
+      "exactly the >= 24 run; the 23-token run generates anchors but dies at the threshold")
+  }
+
+  test("substringSpans: a passage repeated in one doc is one span per alignment diagonal") {
+    val p = passage(30, "z")
+    val e = (p ++ (1 to 10).map(i => s"fe$i") ++ p).mkString(" ")
+    val f = ((1 to 10).map(i => s"ff$i") ++ p).mkString(" ")
+    val df = Seq((5L, e), (6L, f)).toDF("doc_id", "text")
+    val got = DedupOps.substringSpans(df, "doc_id", "text", k = 8, minSpanTokens = 24)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((5L, 6L, 0L, 10L, 30L), (5L, 6L, 40L, 10L, 30L)),
+      "two maximal spans, one per occurrence/diagonal, same b-side offset")
+  }
+
+  test("substringSpans: anchors over the df cap are stop-grams — no pairs from boilerplate") {
+    val p = passage(30, "boiler")
+    val docs = (1L to 4L).map(i =>
+      (i, ((1 to 20).map(j => s"h${i}w$j") ++ p).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    assert(DedupOps.substringSpans(df, "doc_id", "text", k = 8, minSpanTokens = 24,
+      maxDocFreq = 3).isEmpty, "df 4 > cap 3: the shared passage is a stop-gram")
+    assert(DedupOps.substringSpans(df, "doc_id", "text", k = 8, minSpanTokens = 24,
+      maxDocFreq = 4).count() == 6L, "df 4 <= cap 4: all C(4,2) pairs ship")
+  }
 }
