@@ -1645,8 +1645,7 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), col("quality"))
     val keepers = DedupOps.exactDedup(docs, "doc_id", "text")
       .select(col("keeper_id").as("doc_id"))
-    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
-    val nearDupLosers = DedupOps.connectedComponents(pairs, "doc_a", "doc_b")
+    val nearDupLosers = neardupArtifact(spark, dir)._2
       .filter(col("id") =!= col("cluster_id")).select(col("id").as("doc_id"))
     quality
       .join(lang, "doc_id").filter(col("pred_lang") === "en")
@@ -1716,25 +1715,12 @@ object SparkEntry {
     * once.
     */
   def qNeardupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val labeled = labeledClusters(Tables.documents(spark, dir))
+    val labeled = neardupArtifact(spark, dir)._2
       .withColumnRenamed("id", "doc_id")
     val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labeled.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
-  }
-
-  /** The per-doc near-dup cluster labeling (word-3-gram pairs at 0.5 → CC →
-    * every doc labeled, singletons self-labeled) — ONE derivation shared by
-    * qNeardupClusters and qKeeperByQuality so the clustering parameters and
-    * the coalesce convention cannot drift between them.
-    */
-  private def labeledClusters(docs: DataFrame): DataFrame = {
-    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
-    val cc = DedupOps.connectedComponents(pairs, "doc_a", "doc_b")
-    docs.select(col("doc_id").as("id"))
-      .join(cc, Seq("id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
   }
 
   /** Label-propagation communities over the verified near-dup pair graph —
@@ -1746,7 +1732,7 @@ object SparkEntry {
     */
   def qLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val pairs = neardupArtifact(spark, dir)._1
     val lp = GraphOps.labelPropagation(pairs, "doc_a", "doc_b", rounds = 3)
     // cached: feeds BOTH the size aggregate and the final join
     // (module caching contract: harness clears)
@@ -1768,7 +1754,7 @@ object SparkEntry {
     */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val pairs = neardupArtifact(spark, dir)._1
     val prk = GraphOps.pageRank(pairs, "doc_a", "doc_b", rounds = 5)
     docs.select(col("doc_id"))
       .join(prk.select(col("node").as("doc_id"), col("rank_fp"), col("degree")),
@@ -1784,8 +1770,7 @@ object SparkEntry {
     * boilerplate structure, not chance collision).
     */
   def qTriangleStats(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupOps.jaccardPairs(
-      Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
+    val pairs = neardupArtifact(spark, dir)._1
     GraphOps.triangleStats(pairs, "doc_a", "doc_b")
       .select(col("node").as("doc_id"), col("degree"), col("triangles"), col("lcc"))
   }
@@ -1857,7 +1842,7 @@ object SparkEntry {
     */
   def qClusterSplit(spark: SparkSession, dir: String): DataFrame =
     SamplingOps.clusterSplit(
-      labeledClusters(Tables.documents(spark, dir)).withColumnRenamed("id", "doc_id"),
+      neardupArtifact(spark, dir)._2.withColumnRenamed("id", "doc_id"),
       "doc_id", "cluster_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
 
@@ -1874,18 +1859,12 @@ object SparkEntry {
   def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
-    // the pair relation is the query's whole cost — derive it ONCE
-    // (cached, the qCurationManifestStaged discipline) and feed both the
-    // cluster labeling and the two leak legs from it; calling
-    // labeledClusters here would re-generate the pairs a second time
-    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
-      .select(col("doc_a"), col("doc_b")).cache()
-    val labels = docs.select(col("doc_id"))
-      .join(
-        DedupOps.connectedComponents(pairs, "doc_a", "doc_b")
-          .withColumnRenamed("id", "doc_id"),
-        Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    // both the pair relation and the labeling come from the staged
+    // artifact — the pairs feed the two leak legs, the labeling the
+    // cluster split; nothing is re-derived here
+    val (pairsFull, labelsArt) = neardupArtifact(spark, dir)
+    val pairs = pairsFull.select(col("doc_a"), col("doc_b"))
+    val labels = labelsArt.withColumnRenamed("id", "doc_id")
     val hash = SamplingOps
       .hashSplit(docs.select(col("doc_id")), "doc_id", splits)
       .select(col("doc_id"), col("bucket"))
@@ -1917,7 +1896,7 @@ object SparkEntry {
     val docs = Tables.documents(spark, dir)
     val quality = TextOps.qualityScore(docs, "doc_id", "text")
       .select(col("doc_id"), col("quality"))
-    DedupOps.keeperByScore(labeledClusters(docs), quality, "doc_id", "quality")
+    DedupOps.keeperByScore(neardupArtifact(spark, dir)._2, quality, "doc_id", "quality")
       .select(col("id").as("doc_id"), col("cluster_id"), col("keeper_id"), col("is_keeper"))
   }
 
@@ -2574,7 +2553,37 @@ object SparkEntry {
     unigramMemo.clear()
     bpeMemo.clear()
     wpMemo.clear()
+    neardupMemo.clear()
   }
+
+  /** The SHARED verified near-dup PAIR GRAPH (word-3-gram Jaccard ≥ 0.5
+    * over documents) and its connected-components labeling (every doc,
+    * singletons self-labeled), memoized per (session, corpus dir) — the
+    * [[unigramArtifact]] treatment for the dedup-graph family. NINE
+    * registered queries consume this one relation (clusters, keeper
+    * election, cluster split, label propagation, PageRank, triangles,
+    * split leakage, the curation chain and both manifests); staged, the
+    * suite pays the shingle join and the CC rounds once instead of once
+    * per query — exactly how a 100 TB deployment runs it (materialize
+    * the pair graph, fan out consumers). Both relations are
+    * localCheckpoint-backed (eager), results bit-identical to per-query
+    * derivation (deterministic operator, same corpus), so every oracle
+    * is unchanged.
+    */
+  private val neardupMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  private def neardupArtifact(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    neardupMemo.computeIfAbsent((spark, dir), _ => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = DedupOps
+        .jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+        .localCheckpoint(true)
+      val labels = docs.select(col("doc_id").as("id"))
+        .join(DedupOps.connectedComponents(pairs, "doc_a", "doc_b"), Seq("id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+        .localCheckpoint(true)
+      (pairs, labels)
+    })
 
   /** Train both families' artifacts for `dir` NOW and return each
     * training's wall-clock — the bench's explicit artifact phase. With the
@@ -2602,7 +2611,8 @@ object SparkEntry {
     Seq(
       timed("artifact_unigram_train") { unigramArtifact(spark, dir); () },
       timed("artifact_bpe_train") { bpeTrainedArtifact(spark, dir); () },
-      timed("artifact_wordpiece_train") { wordpieceTrainedArtifact(spark, dir); () })
+      timed("artifact_wordpiece_train") { wordpieceTrainedArtifact(spark, dir); () },
+      timed("artifact_neardup_pairs") { neardupArtifact(spark, dir); () })
   }
 
   /** ONE definition of the segmentation cell packing (the scalar-cell
