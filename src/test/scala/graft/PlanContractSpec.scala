@@ -325,6 +325,43 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  /** The RUNTIME leg of the global-window contract: the static whitelist
+    * above says WHERE an unpartitioned Window may appear; this sweep
+    * proves each one's input is actually dimension-sized by executing the
+    * window's child subtree at the GATE scale (sf0.01 — where the event
+    * log is 10k rows and lineitem 60k, so a corpus-proportional global
+    * window blows the bound by an order of magnitude) and counting rows.
+    * Every bounded-by-contract site in the suite — subword-vocab id
+    * ranks, DSIR's k-row rank, PAV's 20 bins, the pareto bucket suffix,
+    * mixture shard suffixes, batch chunk assignment — sits far below the
+    * bound; the bound is set ~6× above the largest legitimate site so
+    * vocabulary growth has headroom while events/lineitem-scale inputs
+    * still fail loudly. This closes the WindowExec-warning class: every
+    * "No Partition Defined" the harness logs is one of these counted,
+    * bounded inputs (attributed in PLANS.md §global-windows).
+    */
+  test("every unpartitioned Window's input is row-bounded at the gate scale") {
+    val Bound = 5000L
+    val offenders = Seq.newBuilder[String]
+    var audited = 0
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, TestSpark.sf001)
+      df.queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+      }.foreach { w =>
+        audited += 1
+        val n = org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, w.child).count()
+        if (n > Bound)
+          offenders += s"$name: global window over $n rows " +
+            s"(${w.windowExpressions.map(_.sql).mkString(", ").take(120)})"
+      }
+      spark.catalog.clearCache()
+    }
+    assert(offenders.result().isEmpty,
+      s"corpus-scale global windows:\n${offenders.result().mkString("\n")}")
+    assert(audited > 0, "sweep found no global windows — collection broke, not the suite")
+  }
+
   contracts.foreach { c =>
     test(s"${c.name}: pinned plan contract (no cartesian/BNL/global-window drift, markers present)") {
       val (plan, globalWindows) = planOf(c.name)
