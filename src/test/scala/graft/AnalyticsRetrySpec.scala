@@ -315,6 +315,25 @@ class AnalyticsRetrySpec extends AnyFunSuite {
     assert(Analytics.sequenceExamples(ev, "user_id", "ts", "event_id", "event_type", 6).isEmpty)
   }
 
+  test("sequenceExamples: NULL tokens are excluded rows, not silent context holes") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // a NULL mid-stream: collect_list would silently skip it INSIDE the
+    // frame (shifting/shrinking contexts vs the SQL oracle's list()); the
+    // contract is that the row is excluded entirely — it is neither a
+    // context member nor a label, and the stream closes over the gap
+    val ev = Seq(
+      (1L, ts(1), 1L, Some("a")), (1L, ts(2), 2L, Some("b")),
+      (1L, ts(3), 3L, Option.empty[String]), (1L, ts(4), 4L, Some("c")),
+      (1L, ts(5), 5L, Some("d")), (1L, ts(6), 6L, Some("e"))
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.sequenceExamples(ev, "user_id", "ts", "event_id", "event_type", 3)
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, 5L, "a b c", "d"),
+      (1L, 6L, "b c d", "e")),
+      "the NULL row neither labels a position nor leaves a hole in any context")
+  }
+
   test("temperatureAllocation: sum == slots exactly, sqrt-proportional, deterministic remainders") {
     import graft.ops.SamplingOps
     val docs = (1 to 100).map(i => (i.toLong, s"src${i % 4}")) ++

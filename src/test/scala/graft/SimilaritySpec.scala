@@ -564,6 +564,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.values.toSet.size > 1, "values degenerate")
   }
 
+  test("knnShapley: an overlapping probe/train id is leave-self-out, not a distance-0 self-vote") {
+    val sub = emb.filter(col("vec_id") < 100)
+    val probe = sub.filter(col("vec_id") === 0)
+    // probe ∈ train: it would otherwise rank itself first at distance 0
+    // with guaranteed label agreement, inflating its own value
+    val overlapping = SimilarityOps.knnShapley(
+      sub, probe, "vec_id", "embedding", "label", kNeigh = 3)
+      .as[(Long, Long)].collect().toMap
+    // leave-self-out must equal scoring against train-without-the-probe,
+    // with the probe itself absent from the value table
+    val excluded = SimilarityOps.knnShapley(
+      sub.filter(col("vec_id") =!= 0), probe,
+      "vec_id", "embedding", "label", kNeigh = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(overlapping == excluded,
+      "the overlapping id must reproduce the explicit-exclusion values exactly")
+    assert(!overlapping.contains(0L), "the probe never values itself")
+  }
+
   // ─────────────────────── product quantization ───────────────────────
 
   private def fpOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
