@@ -2119,14 +2119,30 @@ object SparkEntry {
     * threshold; everything else in the word-soup corpus shares no
     * 8-gram run and is absent on both engines.
     */
-  def qSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
-    val planted = Tables.documents(spark, dir).withColumn("text",
+  def qSubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.substringSpans(
+      substringPlanted(spark, dir), "doc_id", "text",
+      k = 8, minSpanTokens = 24, maxDocFreq = 50)
+
+  /** The planted corpus shared by both substring-family queries. */
+  private def substringPlanted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).withColumn("text",
       concat(col("text"),
         when(col("doc_id") % 151 === 0, lit(substringPlantLong)).otherwise(lit("")),
         when(col("doc_id") % 97 === 0, lit(substringPlantShort)).otherwise(lit(""))))
-    DedupOps.substringSpans(
-      planted, "doc_id", "text", k = 8, minSpanTokens = 24, maxDocFreq = 50)
-  }
+
+  /** Cross-document span scrub ([[DedupOps.removeCrossSpans]]) — the
+    * consumer of q_substring_dedup: each duplicated passage survives only
+    * in its lowest-id host; every other host is rebuilt without its copy.
+    * Same plants, so the scrub provably removes exactly the planted
+    * 30-token passage from every non-minimum %151 document and nothing
+    * else (the 12-token plant is below the span threshold and survives
+    * everywhere).
+    */
+  def qSubstringScrub(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.removeCrossSpans(
+      substringPlanted(spark, dir), "doc_id", "text",
+      k = 8, minSpanTokens = 24, maxDocFreq = 50)
 
   /** Frequency-ranked top-30 vocabulary of the corpus (deterministic
     * (count DESC, token) order), the tokenizer-prep relation.
@@ -3262,6 +3278,7 @@ object SparkEntry {
     "q_prefix_templates"        -> (qPrefixTemplates(_, _)),
     "q_repeated_spans"          -> (qRepeatedSpans(_, _)),
     "q_substring_dedup"         -> (qSubstringDedup(_, _)),
+    "q_substring_scrub"         -> (qSubstringScrub(_, _)),
     "q_span_scrub"              -> (qSpanScrub(_, _)),
     "q_decontaminate_multi"     -> (qDecontaminateMulti(_, _)),
     "q_keeper_by_quality"       -> (qKeeperByQuality(_, _)),
@@ -4245,6 +4262,36 @@ object SparkEntry {
        |SELECT 'encode', NULL, NULL, NULL, NULL, NULL, doc_id, n_words, n_subwords, ids_sig
        |FROM enc""".stripMargin
 
+  /** Shared CTE block of the substring-dedup family oracles: the planted
+    * corpus (`base`), token arrays (`t`), positional 8-gram anchors with
+    * STRING grams (`g`), df ∈ [2, 50] survival (`alive`/`gg`), the a<b
+    * pair join (`pr`) and the diagonal-island relation (`isl`) — the
+    * span aggregate/threshold lives in each consumer so the scrub can
+    * reuse the islands for its covered-range sides.
+    */
+  private lazy val substringSpanCtes: String =
+    // NB consumers re-run stripMargin over the interpolated block, so no
+    // content line here may START with '|' after the first strip — the
+    // concat operators stay at end-of-line
+    raw"""base AS (SELECT doc_id,
+       |         text || CASE WHEN doc_id % 151 = 0 THEN '$substringPlantLong' ELSE '' END ||
+       |         CASE WHEN doc_id % 97 = 0 THEN '$substringPlantShort' ELSE '' END AS text
+       |         FROM documents),
+       |t AS (SELECT doc_id,
+       |             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+       |      FROM base),
+       |sel AS (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i
+       |        FROM t WHERE len(w) >= 8),
+       |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS s FROM sel),
+       |alive AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS d FROM g GROUP BY 1)
+       |          WHERE d BETWEEN 2 AND 50),
+       |gg AS (SELECT g.doc_id, g.pos, g.s FROM g JOIN alive USING (s)),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+       |       FROM gg a JOIN gg b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |isl AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+       |               pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+       |        FROM pr)""".stripMargin
+
   /** Tokenizer-report oracle: BOTH families' full training + encode CTE
     * stacks in one WITH block (the encode tails tag-namespaced `u`/`b`),
     * each aggregated per source — mirror of [[qTokenizerReport]], so the
@@ -5015,28 +5062,30 @@ object SparkEntry {
     // mirror of qSubstringDedup: same plants, positional 8-gram anchors,
     // df ∈ [2, 50] survival, pair join, diagonal-island maximal spans
     "q_substring_dedup" ->
-      raw"""WITH base AS (SELECT doc_id,
-        |         text || CASE WHEN doc_id % 151 = 0 THEN '$substringPlantLong' ELSE '' END
-        |              || CASE WHEN doc_id % 97 = 0 THEN '$substringPlantShort' ELSE '' END AS text
-        |         FROM documents),
-        |t AS (SELECT doc_id,
-        |             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
-        |      FROM base),
-        |sel AS (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i
-        |        FROM t WHERE len(w) >= 8),
-        |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS s FROM sel),
-        |alive AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS d FROM g GROUP BY 1)
-        |          WHERE d BETWEEN 2 AND 50),
-        |gg AS (SELECT g.doc_id, g.pos, g.s FROM g JOIN alive USING (s)),
-        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
-        |       FROM gg a JOIN gg b ON a.s = b.s AND a.doc_id < b.doc_id),
-        |isl AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
-        |               pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
-        |        FROM pr)
+      s"""WITH $substringSpanCtes
         |SELECT doc_a, doc_b, min(pa)::BIGINT AS a_start, min(pb)::BIGINT AS b_start,
         |       (max(pa) - min(pa) + 8)::BIGINT AS span_tokens
         |FROM isl GROUP BY doc_a, doc_b, diag, isl
         |HAVING max(pa) - min(pa) + 8 >= 24""".stripMargin,
+    // the scrub consumer: same span CTEs, doc_b-side covered ranges, the
+    // q_span_scrub token-reconstruction tail verbatim
+    "q_substring_scrub" ->
+      s"""WITH $substringSpanCtes,
+        |sp AS (SELECT doc_b AS doc_id, min(pb) AS s,
+        |              min(pb) + (max(pa) - min(pa) + 8) AS e
+        |       FROM isl GROUP BY doc_a, doc_b, diag, isl
+        |       HAVING max(pa) - min(pa) + 8 >= 24),
+        |tok AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM t),
+        |kept AS (SELECT tk.doc_id, tk.i, tk.w[tk.i] AS tkn FROM tok tk
+        |         WHERE NOT EXISTS (SELECT 1 FROM sp
+        |                           WHERE sp.doc_id = tk.doc_id
+        |                             AND tk.i - 1 >= sp.s AND tk.i - 1 < sp.e)),
+        |agg AS (SELECT doc_id, count(*) AS kept_n, string_agg(tkn, ' ' ORDER BY i) AS clean
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, len(w)::BIGINT AS n_tokens,
+        |       (len(w) - coalesce(kept_n, 0))::BIGINT AS n_removed,
+        |       coalesce(clean, '') AS clean_text
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q_semantic_decontaminate" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),

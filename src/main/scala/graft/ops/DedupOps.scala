@@ -1341,8 +1341,25 @@ object DedupOps {
       idCol: String,
       textCol: String,
       k: Int = 8,
-      minCount: Long = 2L): DataFrame = {
-    val spans = repeatedSpans(df, idCol, textCol, k, minCount)
+      minCount: Long = 2L): DataFrame =
+    reconstructWithoutSpans(df, idCol, textCol,
+      repeatedSpans(df, idCol, textCol, k, minCount)
+        .select(col(idCol), col("span_start"), col("span_end")))
+
+  /** Rebuild each document from the tokens NOT covered by any of its
+    * spans in `spanRel` (idCol, span_start, span_end — 0-based,
+    * end-exclusive), order preserved — the reconstruction tail shared by
+    * [[removeRepeatedSpans]] (within-doc spans) and [[removeCrossSpans]]
+    * (cross-doc spans) so the keep/drop algebra cannot drift between the
+    * two scrub policies. Documents with no spans keep their row with the
+    * normalized token stream intact.
+    */
+  private def reconstructWithoutSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanRel: DataFrame): DataFrame = {
+    val spans = spanRel
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
     df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
@@ -1457,6 +1474,33 @@ object DedupOps {
         col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
         col("span_tokens"))
   }
+
+  /** Cross-document duplicated-span REMOVAL — the Lee et al. 2022 policy
+    * consumer of [[substringSpans]]: every duplicated substring keeps ONE
+    * canonical occurrence (the lowest-id document is doc_a in every pair
+    * it wins, so its copy survives) and every doc_b-side copy is dropped;
+    * each document rebuilt from its surviving tokens, order preserved.
+    * Overlapping ranges from different pairs union naturally in the
+    * covered-index test.
+    *
+    * Scale shape: the span relation is the (duplication-structure-sized)
+    * [[substringSpans]] output — it broadcasts; the reconstruction is
+    * [[reconstructWithoutSpans]]'s narrow per-row token filter, shared
+    * verbatim with [[removeRepeatedSpans]].
+    *
+    * Output one row per document: (id, n_tokens, n_removed, clean_text).
+    */
+  def removeCrossSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minSpanTokens: Int = 24,
+      maxDocFreq: Int = 50): DataFrame =
+    reconstructWithoutSpans(df, idCol, textCol,
+      substringSpans(df, idCol, textCol, k, minSpanTokens, maxDocFreq)
+        .select(col("doc_b").as(idCol), col("b_start").as("span_start"),
+          (col("b_start") + col("span_tokens")).as("span_end")))
 
   /** Incremental connected-components maintenance — the cluster-resolution
     * leg of the incremental dedup story ([[crossJaccardPairs]] /

@@ -807,6 +807,23 @@ class DedupTextSpec extends AnyFunSuite {
       "two maximal spans, one per occurrence/diagonal, same b-side offset")
   }
 
+  test("removeCrossSpans: the duplicated passage survives only in its lowest-id host") {
+    val p = passage(30, "s")
+    val hostA = (1 to 100).map(i => s"ga$i")
+    val hostB = (1 to 50).map(i => s"gb$i")
+    val a = (hostA ++ p).mkString(" ")
+    val b = (hostB.take(25) ++ p ++ hostB.drop(25)).mkString(" ")
+    val c = (1 to 40).map(i => s"gc$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = DedupOps.removeCrossSpans(df, "doc_id", "text", k = 8, minSpanTokens = 24)
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 130L, 0L, a),                                            // keeper: untouched
+      (2L, 80L, 30L, (hostB.take(25) ++ hostB.drop(25)).mkString(" ")), // copy excised
+      (3L, 40L, 0L, c)),                                            // bystander: untouched
+      "exactly the doc_b-side copy is removed, order preserved")
+  }
+
   test("substringSpans: anchors over the df cap are stop-grams — no pairs from boilerplate") {
     val p = passage(30, "boiler")
     val docs = (1L to 4L).map(i =>

@@ -94,7 +94,10 @@ class PlanContractSpec extends AnyFunSuite {
     // the custom physical operator IS the contract: the naive form of the
     // band lookup is a theta-join that plans as BNL
     Contract("q_range_band_fast", requiredMarkers = Seq("RangeLookupJoin")),
-    Contract("q_triangle_stats", requiredMarkers = Seq("BroadcastHashJoin")),
+    // wedge join tail over the checkpoint-materialized pair artifact (the
+    // df-capped shingle broadcasts live inside the artifact's own run);
+    // the degree/triangle legs shuffle-join on node ids
+    Contract("q_triangle_stats", requiredMarkers = Seq("SortMergeJoin")),
     // rank relation broadcasts onto the cached edge relation each
     // iteration; the final rank window runs over ≤k TakeOrdered survivors
     Contract("q_textrank",
@@ -138,10 +141,10 @@ class PlanContractSpec extends AnyFunSuite {
     // fused df-capped blocking + length-ratio prefilter: candidate joins
     // broadcast; DP verification never plans as a product
     Contract("q_editdist_dedup", requiredMarkers = Seq("BroadcastHashJoin")),
-    // leakage-safe split: cluster labeling shuffle-joins the doc roster;
-    // the split boundaries are per-cluster hashes, no global sort
-    Contract("q_cluster_split",
-      requiredMarkers = Seq("SortMergeJoin", "PushedFilters")),
+    // leakage-safe split: ONE narrow projection over the checkpointed
+    // cluster labeling artifact (the roster join and pair generation live
+    // in the artifact's own run) — no join, no window, nothing may creep in
+    Contract("q_cluster_split", requiredMarkers = Seq()),
     // leakage metric: one cached pair derivation feeds the CC labeling
     // and both straddle counts; assignments join the pair relation by id
     Contract("q_split_leakage",
