@@ -142,7 +142,8 @@ object Bench {
     System.gc()
     val (stealBefore, totalBefore) = stealJiffies()
     // explicit ARTIFACT PHASE (inside the measured/steal window): train
-    // both tokenizer families' shared artifacts for the bench SF and
+    // the shared session artifacts (three tokenizer families + the
+    // near-dup pair graph) for the bench SF and
     // record each trainer's own wall-clock. The suite is staged — family
     // queries ride these artifacts, so their per-query numbers are
     // marginal cost — and this is where trainer cost lives: a trainer
@@ -158,7 +159,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] artifact training failed: ${e.getMessage}")
         Seq("artifact_unigram_train" -> -1.0, "artifact_bpe_train" -> -1.0,
-          "artifact_wordpiece_train" -> -1.0)
+          "artifact_wordpiece_train" -> -1.0, "artifact_neardup_pairs" -> -1.0)
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

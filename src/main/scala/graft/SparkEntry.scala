@@ -2601,7 +2601,8 @@ object SparkEntry {
       (pairs, labels)
     })
 
-  /** Train both families' artifacts for `dir` NOW and return each
+  /** Train every shared session artifact (three tokenizer families + the
+    * near-dup pair graph) for `dir` NOW and return each
     * training's wall-clock — the bench's explicit artifact phase. With the
     * suite staged (family queries ride the memo), per-query times are
     * marginal cost GIVEN the artifact; this is where the trainers' own
@@ -4263,8 +4264,10 @@ object SparkEntry {
        |FROM enc""".stripMargin
 
   /** Shared CTE block of the substring-dedup family oracles: the planted
-    * corpus (`base`), token arrays (`t`), positional 8-gram anchors with
-    * STRING grams (`g`), df ∈ [2, 50] survival (`alive`/`gg`), the a<b
+    * corpus (`base`), token arrays (`t`), positional 8-gram anchors as
+    * md5 grams (`g` — the engine hashes with xxhash64; both hashes
+    * preserve string equality and values never surface, the
+    * q_repeated_spans convention), df ∈ [2, 50] survival (`alive`/`gg`), the a<b
     * pair join (`pr`) and the diagonal-island relation (`isl`) — the
     * span aggregate/threshold lives in each consumer so the scrub can
     * reuse the islands for its covered-range sides.
@@ -4282,7 +4285,7 @@ object SparkEntry {
        |      FROM base),
        |sel AS (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i
        |        FROM t WHERE len(w) >= 8),
-       |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS s FROM sel),
+       |g AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+7], ' ')) AS s FROM sel),
        |alive AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS d FROM g GROUP BY 1)
        |          WHERE d BETWEEN 2 AND 50),
        |gg AS (SELECT g.doc_id, g.pos, g.s FROM g JOIN alive USING (s)),
