@@ -2131,6 +2131,25 @@ object SparkEntry {
         when(col("doc_id") % 151 === 0, lit(substringPlantLong)).otherwise(lit("")),
         when(col("doc_id") % 97 === 0, lit(substringPlantShort)).otherwise(lit(""))))
 
+  /** Incremental substring dedup — the store/batch cycle of the
+    * suffix-array family ([[DedupOps.incrementalSubstringSpans]]): even-id
+    * docs are the STORE, odd-id docs the incoming BATCH, anchor survival
+    * under the corpus-wide df the store's gram bank maintains; the three
+    * legs' union must reproduce the from-scratch q_substring_dedup
+    * bit-for-bit, so the query SHARES its oracle verbatim — the
+    * hash-match IS the losslessness proof (the q_neardup_clusters_incr
+    * pattern). Steady-state increments pay only the batch and cross
+    * legs; the store leg re-derives here so one oracle covers the cycle.
+    */
+  def qSubstringDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val planted = substringPlanted(spark, dir)
+    val (st, ba, cr) = DedupOps.incrementalSubstringSpans(
+      planted.filter(col("doc_id") % 2 === 0),
+      planted.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", k = 8, minSpanTokens = 24, maxDocFreq = 50)
+    st.unionByName(ba).unionByName(cr)
+  }
+
   /** Cross-document span scrub ([[DedupOps.removeCrossSpans]]) — the
     * consumer of q_substring_dedup: each duplicated passage survives only
     * in its lowest-id host; every other host is rebuilt without its copy.
@@ -3279,6 +3298,7 @@ object SparkEntry {
     "q_prefix_templates"        -> (qPrefixTemplates(_, _)),
     "q_repeated_spans"          -> (qRepeatedSpans(_, _)),
     "q_substring_dedup"         -> (qSubstringDedup(_, _)),
+    "q_substring_dedup_incr"    -> (qSubstringDedupIncremental(_, _)),
     "q_substring_scrub"         -> (qSubstringScrub(_, _)),
     "q_span_scrub"              -> (qSpanScrub(_, _)),
     "q_decontaminate_multi"     -> (qDecontaminateMulti(_, _)),
@@ -4295,6 +4315,13 @@ object SparkEntry {
        |               pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
        |        FROM pr)""".stripMargin
 
+  private lazy val substringDedupOracle: String =
+    s"""WITH $substringSpanCtes
+       |SELECT doc_a, doc_b, min(pa)::BIGINT AS a_start, min(pb)::BIGINT AS b_start,
+       |       (max(pa) - min(pa) + 8)::BIGINT AS span_tokens
+       |FROM isl GROUP BY doc_a, doc_b, diag, isl
+       |HAVING max(pa) - min(pa) + 8 >= 24""".stripMargin
+
   /** Tokenizer-report oracle: BOTH families' full training + encode CTE
     * stacks in one WITH block (the encode tails tag-namespaced `u`/`b`),
     * each aggregated per source — mirror of [[qTokenizerReport]], so the
@@ -5064,12 +5091,10 @@ object SparkEntry {
         |FROM isl GROUP BY doc_id, grp""".stripMargin,
     // mirror of qSubstringDedup: same plants, positional 8-gram anchors,
     // df ∈ [2, 50] survival, pair join, diagonal-island maximal spans
-    "q_substring_dedup" ->
-      s"""WITH $substringSpanCtes
-        |SELECT doc_a, doc_b, min(pa)::BIGINT AS a_start, min(pb)::BIGINT AS b_start,
-        |       (max(pa) - min(pa) + 8)::BIGINT AS span_tokens
-        |FROM isl GROUP BY doc_a, doc_b, diag, isl
-        |HAVING max(pa) - min(pa) + 8 >= 24""".stripMargin,
+    "q_substring_dedup" -> substringDedupOracle,
+    // the store/batch legs must reproduce the from-scratch spans exactly
+    // — the shared oracle is the losslessness proof
+    "q_substring_dedup_incr" -> substringDedupOracle,
     // the scrub consumer: same span CTEs, doc_b-side covered ranges, the
     // q_span_scrub token-reconstruction tail verbatim
     "q_substring_scrub" ->

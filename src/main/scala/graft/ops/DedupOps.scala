@@ -1452,9 +1452,18 @@ object DedupOps {
       .select(
         col("a.__doc").as("doc_a"), col("b.__doc").as("doc_b"),
         col("a.__pos").as("__pa"), col("b.__pos").as("__pb"))
-    // island trick per alignment diagonal: within (pair, pa-pb), anchor
-    // positions are unique, so pa - rank(pa) is constant exactly on a
-    // consecutive run — each group is one maximal shared span
+    diagonalSpans(pairs, k, minSpanTokens)
+  }
+
+  /** The diagonal-island span tail over a (doc_a, doc_b, __pa, __pb)
+    * anchor-match relation: within (pair, pa-pb), anchor positions are
+    * unique, so pa - rank(pa) is constant exactly on a consecutive run —
+    * each group is one maximal shared span. Shared by [[substringSpans]]
+    * and [[incrementalSubstringSpans]] so the span algebra cannot drift
+    * between the one-shot and staged forms.
+    */
+  private def diagonalSpans(pairs: DataFrame, k: Int, minSpanTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wDiag = Window
       .partitionBy(col("doc_a"), col("doc_b"), col("__diag"))
       .orderBy(col("__pa"))
@@ -1470,6 +1479,70 @@ object DedupOps {
       .select(
         col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
         col("span_tokens"))
+  }
+
+  /** Incremental [[substringSpans]] — the store/batch decomposition of
+    * the suffix-array dedup family (the [[incrementalJaccardPairs]]
+    * posture): anchor matches partition EXACTLY into store-internal,
+    * batch-internal and store×batch legs under ONE corpus-wide df
+    * survival (computed over store ∪ batch — the statistic a production
+    * store maintains in its gram bank), so the union of the three legs'
+    * spans equals a from-scratch run over all documents — the
+    * losslessness proof the registered query pins by sharing the
+    * one-shot oracle verbatim. In steady state the store leg's spans
+    * were computed when those documents arrived and only the batch and
+    * cross legs are paid per increment; the cross leg is batch×store,
+    * never store×store.
+    *
+    * Returns (storeSpans, batchSpans, crossSpans) — cross spans are
+    * id-ordered (doc_a < doc_b) regardless of which side each document
+    * came from, matching the one-shot convention.
+    */
+  def incrementalSubstringSpans(
+      store: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minSpanTokens: Int = 24,
+      maxDocFreq: Int = 50): (DataFrame, DataFrame, DataFrame) = {
+    require(k >= 2, "anchor gram needs k >= 2")
+    require(minSpanTokens >= k, "a reportable span must cover at least one anchor")
+    require(maxDocFreq >= 2, "a shared gram needs at least two documents")
+    def grams(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("__doc"),
+      posexplode(
+        graft.functions.HashFunctions.graft_ngram_hashes(TextOps.tokens(col(textCol)), k))
+        .as(Seq("__p", "s")))
+      .select(col("__doc"), col("__p").cast("long").as("__pos"), col("s"))
+    val gs = grams(store)
+    val gb = grams(batch)
+    // corpus-wide df over BOTH sides — the cap boundary must match the
+    // from-scratch run or the legs stop partitioning its pair set
+    val alive = gs.unionByName(gb).groupBy(col("s"))
+      .agg(countDistinct(col("__doc")).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)
+      .select(col("s"))
+    val ss = gs.join(alive, Seq("s"), "left_semi")
+    val sb = gb.join(alive, Seq("s"), "left_semi")
+    def internalPairs(g: DataFrame): DataFrame = g.alias("a")
+      .join(g.alias("b"), col("a.s") === col("b.s") && col("a.__doc") < col("b.__doc"))
+      .select(
+        col("a.__doc").as("doc_a"), col("b.__doc").as("doc_b"),
+        col("a.__pos").as("__pa"), col("b.__pos").as("__pb"))
+    // cross leg: one row per (gram match, store doc, batch doc),
+    // id-ordered after the join so the span relation matches the
+    // one-shot orientation
+    val crossPairs = ss.alias("x")
+      .join(sb.alias("y"), col("x.s") === col("y.s") && col("x.__doc") =!= col("y.__doc"))
+      .select(
+        least(col("x.__doc"), col("y.__doc")).as("doc_a"),
+        greatest(col("x.__doc"), col("y.__doc")).as("doc_b"),
+        when(col("x.__doc") < col("y.__doc"), col("x.__pos")).otherwise(col("y.__pos")).as("__pa"),
+        when(col("x.__doc") < col("y.__doc"), col("y.__pos")).otherwise(col("x.__pos")).as("__pb"))
+    (diagonalSpans(internalPairs(ss), k, minSpanTokens),
+      diagonalSpans(internalPairs(sb), k, minSpanTokens),
+      diagonalSpans(crossPairs, k, minSpanTokens))
   }
 
   /** Cross-document duplicated-span REMOVAL — the Lee et al. 2022 policy

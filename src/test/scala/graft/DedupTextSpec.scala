@@ -824,6 +824,32 @@ class DedupTextSpec extends AnyFunSuite {
       "exactly the doc_b-side copy is removed, order preserved")
   }
 
+  test("incrementalSubstringSpans: the three legs partition the from-scratch span set") {
+    val p1 = passage(30, "ia") // store×store: docs 2, 4
+    val p2 = passage(30, "ib") // batch×batch: docs 1, 3
+    val p3 = passage(30, "ic") // cross: docs 6 (store), 7 (batch)
+    def host(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    val docs = Seq(
+      (1L, (host("h1", 40) ++ p2).mkString(" ")),
+      (2L, (host("h2", 40) ++ p1).mkString(" ")),
+      (3L, (host("h3", 60) ++ p2).mkString(" ")),
+      (4L, (p1 ++ host("h4", 40)).mkString(" ")),
+      (6L, (host("h6", 20) ++ p3).mkString(" ")),
+      (7L, (host("h7", 30) ++ p3).mkString(" "))).toDF("doc_id", "text")
+    def spans(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
+      df.as[(Long, Long, Long, Long, Long)].collect().toSet
+    val full = spans(DedupOps.substringSpans(docs, "doc_id", "text", 8, 24))
+    val (st, ba, cr) = DedupOps.incrementalSubstringSpans(
+      docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", 8, 24)
+    val (s, b, c) = (spans(st), spans(ba), spans(cr))
+    assert((s ++ b ++ c) == full, "union must equal the from-scratch run")
+    assert(s.forall(r => r._1 % 2 == 0 && r._2 % 2 == 0), "store leg is store-internal")
+    assert(b.forall(r => r._1 % 2 == 1 && r._2 % 2 == 1), "batch leg is batch-internal")
+    assert(c.forall(r => (r._1 % 2) != (r._2 % 2)), "cross leg straddles the sides")
+    assert(s.nonEmpty && b.nonEmpty && c.nonEmpty, "every leg exercised")
+  }
+
   test("substringSpans: anchors over the df cap are stop-grams — no pairs from boilerplate") {
     val p = passage(30, "boiler")
     val docs = (1L to 4L).map(i =>
