@@ -22,7 +22,7 @@ object ScaleSmoke {
     val known =
       Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix",
         "editdist", "kmeans", "incr", "incrstore", "knncross", "bpe", "govern", "staged",
-        "entropy", "wordpiece", "dsir")
+        "entropy", "wordpiece", "dsir", "substring")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -118,6 +118,41 @@ object ScaleSmoke {
       val results = DedupOps.editDistancePairs(corpus, "doc_id", "text").count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(s"$k,$n,$shingleCands,$verifiedCands,$results,$secs")
+      spark.sharedState.cacheManager.clearCache(); System.gc()
+      corpus.unpersist()
+    }
+
+    // ---- substring spans: pair work governed by dup structure ----
+    // per-copy-salted plant: docs with base id % 151 == 0 get a 30-token
+    // passage salted by copy index, so spans duplicate WITHIN a copy and
+    // never across (the copyK salting already breaks every cross-copy
+    // 8-gram) — true span structure grows LINEARLY in K while corpus²
+    // grows quadratically. If pair work tracked corpus², seconds would
+    // grow ~K²; governed by dup structure, they track the span count.
+    if (want("substring")) println("k,docs,anchors,alive_grams,spans,seconds")
+    ks("substring", Seq(1, 2, 4, 8), Seq(1, 4, 16, 32)).foreach { k =>
+      val plant = concat_ws(" ",
+        (1 to 30).map(i => concat(lit(s"sp${i}_"), (col("doc_id") / 1000000L).cast("long"))): _*)
+      val corpus = copyK(k).withColumn("text",
+        when(pmod(pmod(col("doc_id"), lit(1000000L)), lit(151L)) === 0,
+          concat_ws(" ", col("text"), plant)).otherwise(col("text"))).cache()
+      val n = corpus.count()
+      val grams = corpus.select(
+        col("doc_id"),
+        posexplode(graft.functions.HashFunctions
+          .graft_ngram_hashes(graft.ops.TextOps.tokens(col("text")), 8))
+          .as(Seq("p", "s"))).cache()
+      val anchors = grams.count()
+      val alive = grams.groupBy(col("s"))
+        .agg(countDistinct(col("doc_id")).as("d"))
+        .filter(col("d") >= 2 && col("d") <= 50)
+        .count()
+      spark.sharedState.cacheManager.clearCache(); System.gc()
+      corpus.cache().count()
+      val t0 = System.nanoTime()
+      val spans = DedupOps.substringSpans(corpus, "doc_id", "text").count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(s"$k,$n,$anchors,$alive,$spans,$secs")
       spark.sharedState.cacheManager.clearCache(); System.gc()
       corpus.unpersist()
     }

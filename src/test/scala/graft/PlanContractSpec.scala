@@ -151,6 +151,18 @@ class PlanContractSpec extends AnyFunSuite {
       requiredMarkers = Seq("PushedFilters")),
     // winnowing fingerprints: df-capped hot-fingerprint relation broadcasts
     Contract("q_winnow_dedup", requiredMarkers = Seq("BroadcastHashJoin")),
+    // substring spans: anchor-bucket self-join on 8-byte gram hashes after
+    // the df∈[2,cap] survival semi-join (both hash joins — broadcast at
+    // the contract scale, AQE re-plans to shuffled as the alive-gram
+    // relation grows); the island window partitions per (pair, diagonal)
+    // — no cartesian, no BNL, no global window anywhere
+    Contract("q_substring_dedup", requiredMarkers = Seq("BroadcastHashJoin")),
+    // the store/batch decomposition must keep the one-shot posture (it
+    // shares the oracle as its losslessness proof)
+    Contract("q_substring_dedup_incr", requiredMarkers = Seq("BroadcastHashJoin")),
+    // the scrub consumer: span relation re-joined to the doc roster; the
+    // reconstruction is a narrow per-row token filter
+    Contract("q_substring_scrub", requiredMarkers = Seq("SortMergeJoin")),
     // blocked cosine near-dup: the only BNL is the DECLARED bounded cross
     // of every vector against the collected centroid list (LocalTableScan
     // build side); list ranking runs as rank-limited windows partitioned
