@@ -2131,6 +2131,36 @@ object SparkEntry {
         when(col("doc_id") % 151 === 0, lit(substringPlantLong)).otherwise(lit("")),
         when(col("doc_id") % 97 === 0, lit(substringPlantShort)).otherwise(lit(""))))
 
+  /** The 28-token canary for [[qSubstringDecontaminate]] — appended to
+    * every eval doc (%97) and LEAKED into the %89 (non-eval) train docs,
+    * so the span detector must attribute each leaking train doc to every
+    * eval doc carrying the passage.
+    */
+  private val substringCanary: String =
+    " amber ketone lichen fjord parapet quill rhombus sable timpani umlaut" +
+      " velvet wicker yttrium zeolite arroyo basalt cairn dolmen eyrie" +
+      " fumarole geyser hollow islet jetty knoll lagoon mesa nadir"
+
+  /** Exact-substring decontamination ([[DedupOps.substringDecontaminate]],
+    * 8-token anchors, spans ≥ 24, df cap 200 — sized ABOVE the eval
+    * duplication structure so the contamination itself cannot become a
+    * stop-gram): train docs sharing a ≥24-token verbatim span with any
+    * eval doc, evidence aggregated per train doc. The complement of the
+    * n-gram q_decontaminate probe: long verbatim leakage whose doc-level
+    * gram-overlap rate stays low.
+    */
+  def qSubstringDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isEval = col("doc_id") % 97 === 0
+    val isLeak = (col("doc_id") % 89 === 0) && !(col("doc_id") % 97 === 0)
+    val evalDocs = docs.filter(isEval)
+      .withColumn("text", concat(col("text"), lit(substringCanary)))
+    val train = docs.filter(!isEval).withColumn("text",
+      concat(col("text"), when(isLeak, lit(substringCanary)).otherwise(lit(""))))
+    DedupOps.substringDecontaminate(
+      train, evalDocs, "doc_id", "text", k = 8, minSpanTokens = 24, maxDocFreq = 200)
+  }
+
   /** Incremental substring dedup — the store/batch cycle of the
     * suffix-array family ([[DedupOps.incrementalSubstringSpans]]): even-id
     * docs are the STORE, odd-id docs the incoming BATCH, anchor survival
@@ -3297,6 +3327,7 @@ object SparkEntry {
     "q_curriculum_bins"         -> (qCurriculumBins(_, _)),
     "q_prefix_templates"        -> (qPrefixTemplates(_, _)),
     "q_repeated_spans"          -> (qRepeatedSpans(_, _)),
+    "q_substring_decontaminate" -> (qSubstringDecontaminate(_, _)),
     "q_substring_dedup"         -> (qSubstringDedup(_, _)),
     "q_substring_dedup_incr"    -> (qSubstringDedupIncremental(_, _)),
     "q_substring_scrub"         -> (qSubstringScrub(_, _)),
@@ -5095,6 +5126,39 @@ object SparkEntry {
     // the store/batch legs must reproduce the from-scratch spans exactly
     // — the shared oracle is the losslessness proof
     "q_substring_dedup_incr" -> substringDedupOracle,
+    // train×eval cross spans with the canary plants, per-train-doc
+    // aggregation — the island tail shared with the dedup family oracles
+    "q_substring_decontaminate" ->
+      raw"""WITH tr AS (SELECT doc_id,
+        |            text || CASE WHEN doc_id % 89 = 0 THEN '$substringCanary' ELSE '' END AS text
+        |            FROM documents WHERE doc_id % 97 <> 0),
+        |ev AS (SELECT doc_id, text || '$substringCanary' AS text
+        |       FROM documents WHERE doc_id % 97 = 0),
+        |tt AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w FROM tr),
+        |te AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w FROM ev),
+        |gt AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+7], ' ')) AS s
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i
+        |             FROM tt WHERE len(w) >= 8)),
+        |ge AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+7], ' ')) AS s
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i
+        |             FROM te WHERE len(w) >= 8)),
+        |alive AS (SELECT s FROM (
+        |            SELECT s, count(DISTINCT doc_id) AS d
+        |            FROM (SELECT doc_id, s FROM gt UNION ALL SELECT doc_id, s FROM ge)
+        |            GROUP BY 1)
+        |          WHERE d BETWEEN 2 AND 200),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+        |       FROM gt a JOIN alive al ON a.s = al.s
+        |       JOIN ge b ON a.s = b.s AND a.doc_id <> b.doc_id),
+        |isl AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+        |               pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+        |        FROM pr),
+        |sp AS (SELECT doc_a, doc_b, (max(pa) - min(pa) + 8)::BIGINT AS span
+        |       FROM isl GROUP BY doc_a, doc_b, diag, isl
+        |       HAVING max(pa) - min(pa) + 8 >= 24)
+        |SELECT doc_a AS doc_id, count(DISTINCT doc_b)::BIGINT AS n_eval_docs,
+        |       count(*)::BIGINT AS n_spans, max(span)::BIGINT AS max_span_tokens
+        |FROM sp GROUP BY 1""".stripMargin,
     // the scrub consumer: same span CTEs, doc_b-side covered ranges, the
     // q_span_scrub token-reconstruction tail verbatim
     "q_substring_scrub" ->

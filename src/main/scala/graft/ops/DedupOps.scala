@@ -1545,6 +1545,77 @@ object DedupOps {
       diagonalSpans(crossPairs, k, minSpanTokens))
   }
 
+  /** CROSS-CORPUS exact-substring spans — [[substringSpans]] between two
+    * DISJOINT relations (doc_a always from `left`, doc_b from `right`, no
+    * id ordering): anchor survival under the df computed over the UNION
+    * (the corpus-wide statistic), pairs restricted to left×right — never
+    * left×left or right×right — then the shared diagonal-island tail.
+    * The building block of substring decontamination (train×eval) and of
+    * batch-vs-store incremental maintenance (the cross leg of
+    * [[incrementalSubstringSpans]] is this relation id-ordered).
+    */
+  def crossSubstringSpans(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minSpanTokens: Int = 24,
+      maxDocFreq: Int = 50): DataFrame = {
+    require(k >= 2, "anchor gram needs k >= 2")
+    require(minSpanTokens >= k, "a reportable span must cover at least one anchor")
+    require(maxDocFreq >= 2, "a shared gram needs at least two documents")
+    def grams(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("__doc"),
+      posexplode(
+        graft.functions.HashFunctions.graft_ngram_hashes(TextOps.tokens(col(textCol)), k))
+        .as(Seq("__p", "s")))
+      .select(col("__doc"), col("__p").cast("long").as("__pos"), col("s"))
+    val gl = grams(left)
+    val gr = grams(right)
+    val alive = gl.unionByName(gr).groupBy(col("s"))
+      .agg(countDistinct(col("__doc")).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)
+      .select(col("s"))
+    val pairs = gl.join(alive, Seq("s"), "left_semi").alias("a")
+      .join(gr.join(alive, Seq("s"), "left_semi").alias("b"),
+        col("a.s") === col("b.s") && col("a.__doc") =!= col("b.__doc"))
+      .select(
+        col("a.__doc").as("doc_a"), col("b.__doc").as("doc_b"),
+        col("a.__pos").as("__pa"), col("b.__pos").as("__pb"))
+    diagonalSpans(pairs, k, minSpanTokens)
+  }
+
+  /** Exact-substring DECONTAMINATION — the suffix-array complement of the
+    * n-gram [[decontaminate]] probe (Lee et al. 2022 §6 / the PaLM-style
+    * "contaminated if it shares a ≥L-token verbatim span with an eval
+    * document" rule, which catches long verbatim leakage whose doc-level
+    * n-gram overlap RATE stays low): every training document sharing at
+    * least one maximal span ≥ minSpanTokens with any eval document, with
+    * the evidence aggregated per train doc. Eval sets are benchmark-sized;
+    * the df cap must sit ABOVE the eval duplication structure (a passage
+    * present in the whole eval set plus its train leaks) or the
+    * contamination itself becomes a stop-gram — callers size it to the
+    * eval corpus, not the dedup default.
+    *
+    * Output: (idCol, n_eval_docs, n_spans, max_span_tokens) — hit train
+    * docs only (the scrub/drop policy joins back by id).
+    */
+  def substringDecontaminate(
+      train: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minSpanTokens: Int = 24,
+      maxDocFreq: Int = 200): DataFrame =
+    crossSubstringSpans(train, evalSet, idCol, textCol, k, minSpanTokens, maxDocFreq)
+      .groupBy(col("doc_a").as(idCol))
+      .agg(
+        countDistinct(col("doc_b")).as("n_eval_docs"),
+        count(lit(1)).as("n_spans"),
+        max(col("span_tokens")).as("max_span_tokens"))
+
   /** Cross-document duplicated-span REMOVAL — the Lee et al. 2022 policy
     * consumer of [[substringSpans]]: every duplicated substring keeps ONE
     * canonical occurrence (the lowest-id document is doc_a in every pair

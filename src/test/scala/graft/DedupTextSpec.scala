@@ -850,6 +850,24 @@ class DedupTextSpec extends AnyFunSuite {
     assert(s.nonEmpty && b.nonEmpty && c.nonEmpty, "every leg exercised")
   }
 
+  test("substringDecontaminate: a leaked eval passage attributes every carrying eval doc") {
+    val canary = passage(28, "cn")
+    val t1 = ((1 to 50).map(i => s"ta$i") ++ canary).mkString(" ")
+    val t2 = (1 to 50).map(i => s"tb$i").mkString(" ")
+    val e1 = ((1 to 30).map(i => s"ea$i") ++ canary).mkString(" ")
+    val e2 = (canary ++ (1 to 30).map(i => s"eb$i")).mkString(" ")
+    val train = Seq((10L, t1), (11L, t2)).toDF("doc_id", "text")
+    val evalSet = Seq((20L, e1), (21L, e2)).toDF("doc_id", "text")
+    val got = DedupOps.substringDecontaminate(train, evalSet, "doc_id", "text",
+      k = 8, minSpanTokens = 24, maxDocFreq = 200)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 2L, 2L, 28L)),
+      "one hit train doc, both eval carriers attributed, exact max span; clean doc absent")
+    // eval-internal duplication (e1/e2 share the canary) never reports —
+    // the relation is strictly train x eval
+    assert(!got.exists(r => r._1 == 20L || r._1 == 21L))
+  }
+
   test("substringSpans: anchors over the df cap are stop-grams — no pairs from boilerplate") {
     val p = passage(30, "boiler")
     val docs = (1L to 4L).map(i =>
