@@ -2265,10 +2265,34 @@ object SparkEntry {
     */
   def qBm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    TextOps.bm25Search(
-      docs, "doc_id", "text",
-      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 10)
+    val (tf, dl, dfreq, stats) = bm25IndexArtifact(spark, dir)
+    TextOps.bm25SearchFromStats(
+      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", "doc_id",
+      tf, dl, dfreq, stats, k = 10)
   }
+
+  /** The SHARED BM25 index artifact (postings, doc lengths, df, corpus
+    * totals over the documents table), memoized per (session, corpus
+    * dir) — the [[unigramArtifact]] treatment for the retrieval family:
+    * q_bm25, q_retrieval_eval and q_hybrid_rrf's sparse leg all search
+    * the SAME corpus index, and an operating deployment maintains it
+    * once ([[TextOps.mergeBm25Stats]] is the fold). The incremental
+    * query keeps building its per-half stats self-contained — that
+    * build IS its subject matter (the fold losslessness proof).
+    * Relations are localCheckpoint-backed; results bit-identical, every
+    * oracle unchanged.
+    */
+  private val bm25Memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
+  private def bm25IndexArtifact(
+      spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    bm25Memo.computeIfAbsent((spark, dir), _ => {
+      val (tf, dl, dfreq, stats) =
+        TextOps.bm25Stats(Tables.documents(spark, dir), "doc_id", "text")
+      (tf.localCheckpoint(true), dl.localCheckpoint(true),
+        dfreq.localCheckpoint(true), stats.localCheckpoint(true))
+    })
 
   /** Incremental BM25 index maintenance, proven lossless BY CONSTRUCTION:
     * even/odd corpus halves are indexed separately, folded with
@@ -2544,8 +2568,9 @@ object SparkEntry {
   def qRetrievalEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val queries = docs.filter(col("doc_id") % 29 === 0)
-    val results = TextOps.bm25Search(
-      docs, "doc_id", "text", queries, "doc_id", "text", k = 10)
+    val (tf, dl, dfreq, stats) = bm25IndexArtifact(spark, dir)
+    val results = TextOps.bm25SearchFromStats(
+      queries, "doc_id", "text", "doc_id", tf, dl, dfreq, stats, k = 10)
     // the metric only reads QUERY-involving pairs, so the relevance leg
     // uses the anchor-restricted pair operator (corpus-df cap identical to
     // the full form — the shared-oracle equality is bit-exact): posting
@@ -2571,9 +2596,10 @@ object SparkEntry {
   def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
-    val sparse = TextOps.bm25Search(
-      docs, "doc_id", "text",
-      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 10)
+    val (tf, dl, dfreq, stats) = bm25IndexArtifact(spark, dir)
+    val sparse = TextOps.bm25SearchFromStats(
+      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", "doc_id",
+      tf, dl, dfreq, stats, k = 10)
     val dense = SimilarityOps.knnBrute(
       emb, emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding", k = 10)
       .select(col("probe_id").as("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
@@ -2619,6 +2645,7 @@ object SparkEntry {
     bpeMemo.clear()
     wpMemo.clear()
     neardupMemo.clear()
+    bm25Memo.clear()
   }
 
   /** The SHARED verified near-dup PAIR GRAPH (word-3-gram Jaccard ≥ 0.5
@@ -2678,7 +2705,8 @@ object SparkEntry {
       timed("artifact_unigram_train") { unigramArtifact(spark, dir); () },
       timed("artifact_bpe_train") { bpeTrainedArtifact(spark, dir); () },
       timed("artifact_wordpiece_train") { wordpieceTrainedArtifact(spark, dir); () },
-      timed("artifact_neardup_pairs") { neardupArtifact(spark, dir); () })
+      timed("artifact_neardup_pairs") { neardupArtifact(spark, dir); () },
+      timed("artifact_bm25_index") { bm25IndexArtifact(spark, dir); () })
   }
 
   /** ONE definition of the segmentation cell packing (the scalar-cell
