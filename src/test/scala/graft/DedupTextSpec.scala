@@ -850,6 +850,21 @@ class DedupTextSpec extends AnyFunSuite {
     assert(s.nonEmpty && b.nonEmpty && c.nonEmpty, "every leg exercised")
   }
 
+  test("removeCrossSpans reaches a fixpoint: the scrubbed corpus has no reportable spans") {
+    val p = passage(30, "fx")
+    val docs = (1L to 3L).map(i =>
+      (i, ((1 to 40).map(j => s"fh${i}w$j") ++ p).mkString(" "))).toDF("doc_id", "text")
+    val scrubbed = DedupOps.removeCrossSpans(docs, "doc_id", "text", k = 8, minSpanTokens = 24)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    // the only shared content was the passage; after keep-one-occurrence
+    // a single carrier remains, so no gram reaches df >= 2 and a second
+    // pass finds nothing — the scrub is a fixpoint on this corpus
+    assert(DedupOps.substringSpans(scrubbed, "doc_id", "text", k = 8, minSpanTokens = 24).isEmpty)
+    // and doc 1 (the keeper) still carries the passage verbatim
+    val kept = scrubbed.filter(col("doc_id") === 1L).select("text").as[String].head()
+    assert(kept.endsWith(p.mkString(" ")), "the canonical occurrence survives")
+  }
+
   test("substringDecontaminate: a leaked eval passage attributes every carrying eval doc") {
     val canary = passage(28, "cn")
     val t1 = ((1 to 50).map(i => s"ta$i") ++ canary).mkString(" ")

@@ -163,6 +163,9 @@ class PlanContractSpec extends AnyFunSuite {
     // the scrub consumer: span relation re-joined to the doc roster; the
     // reconstruction is a narrow per-row token filter
     Contract("q_substring_scrub", requiredMarkers = Seq("SortMergeJoin")),
+    // train×eval cross spans: same hash-join + per-diagonal-window shape,
+    // pairs strictly cross-corpus, one per-train-doc aggregate on top
+    Contract("q_substring_decontaminate", requiredMarkers = Seq("BroadcastHashJoin")),
     // blocked cosine near-dup: the only BNL is the DECLARED bounded cross
     // of every vector against the collected centroid list (LocalTableScan
     // build side); list ranking runs as rank-limited windows partitioned
