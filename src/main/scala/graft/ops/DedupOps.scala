@@ -1429,22 +1429,11 @@ object DedupOps {
     require(k >= 2, "anchor gram needs k >= 2")
     require(minSpanTokens >= k, "a reportable span must cover at least one anchor")
     require(maxDocFreq >= 2, "a shared gram needs at least two documents")
-    // positional anchor grams: (doc, pos, gram-hash) — NOT distinct;
-    // position is load-bearing (the same gram at two positions is two
-    // anchors). Same kernel + posexplode shape as [[repeatedSpans]].
-    val grams = df.select(
-      col(idCol).as("__doc"),
-      posexplode(
-        graft.functions.HashFunctions.graft_ngram_hashes(TextOps.tokens(col(textCol)), k))
-        .as(Seq("__p", "s")))
-      .select(col("__doc"), col("__p").cast("long").as("__pos"), col("s"))
     // grams alive for pairing: shared (df >= 2) and not hot (df <= cap,
     // strict-> boundary). The semi-join kills the unique-gram mass before
     // the self-join ever sees it.
-    val alive = grams.groupBy(col("s"))
-      .agg(countDistinct(col("__doc")).as("__df"))
-      .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)
-      .select(col("s"))
+    val grams = substringGrams(df, idCol, textCol, k)
+    val alive = substringAlive(substringGramDf(grams), maxDocFreq)
     val shared = grams.join(alive, Seq("s"), "left_semi")
     val pairs = shared.alias("a")
       .join(shared.alias("b"),
@@ -1454,6 +1443,37 @@ object DedupOps {
         col("a.__pos").as("__pa"), col("b.__pos").as("__pb"))
     diagonalSpans(pairs, k, minSpanTokens)
   }
+
+  /** Positional anchor grams for the substring family: (__doc, __pos, s)
+    * — NOT distinct; position is load-bearing (the same gram at two
+    * positions is two anchors). Same kernel + posexplode shape as
+    * [[repeatedSpans]]. The building block the one-shot, incremental,
+    * cross-corpus and streaming forms all share.
+    */
+  private[graft] def substringGrams(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(
+      col(idCol).as("__doc"),
+      posexplode(
+        graft.functions.HashFunctions.graft_ngram_hashes(TextOps.tokens(col(textCol)), k))
+        .as(Seq("__p", "s")))
+      .select(col("__doc"), col("__p").cast("long").as("__pos"), col("s"))
+
+  /** Per-gram distinct-document counts (s, __df) — the df statistic a
+    * bank maintains; ADDITIVE across batches of DISJOINT documents
+    * ([[mergeSubstringGramDf]] is the fold).
+    */
+  private[graft] def substringGramDf(grams: DataFrame): DataFrame =
+    grams.groupBy(col("s")).agg(countDistinct(col("__doc")).as("__df"))
+
+  /** Fold per-gram df counts from disjoint-document batches. */
+  private[graft] def mergeSubstringGramDf(parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy(col("s")).agg(sum(col("__df")).as("__df"))
+
+  /** The df ∈ [2, cap] survival relation from a (s, __df) count table. */
+  private[graft] def substringAlive(dfCounts: DataFrame, maxDocFreq: Int): DataFrame =
+    dfCounts.filter(col("__df") >= 2 && col("__df") <= maxDocFreq).select(col("s"))
 
   /** The diagonal-island span tail over a (doc_a, doc_b, __pa, __pb)
     * anchor-match relation: within (pair, pa-pb), anchor positions are
@@ -1509,28 +1529,39 @@ object DedupOps {
     require(k >= 2, "anchor gram needs k >= 2")
     require(minSpanTokens >= k, "a reportable span must cover at least one anchor")
     require(maxDocFreq >= 2, "a shared gram needs at least two documents")
-    def grams(df: DataFrame): DataFrame = df.select(
-      col(idCol).as("__doc"),
-      posexplode(
-        graft.functions.HashFunctions.graft_ngram_hashes(TextOps.tokens(col(textCol)), k))
-        .as(Seq("__p", "s")))
-      .select(col("__doc"), col("__p").cast("long").as("__pos"), col("s"))
-    val gs = grams(store)
-    val gb = grams(batch)
+    val gs = substringGrams(store, idCol, textCol, k)
+    val gb = substringGrams(batch, idCol, textCol, k)
     // corpus-wide df over BOTH sides — the cap boundary must match the
     // from-scratch run or the legs stop partitioning its pair set
-    val alive = gs.unionByName(gb).groupBy(col("s"))
-      .agg(countDistinct(col("__doc")).as("__df"))
-      .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)
-      .select(col("s"))
-    val ss = gs.join(alive, Seq("s"), "left_semi")
-    val sb = gb.join(alive, Seq("s"), "left_semi")
-    def internalPairs(g: DataFrame): DataFrame = g.alias("a")
-      .join(g.alias("b"), col("a.s") === col("b.s") && col("a.__doc") < col("b.__doc"))
-      .select(
-        col("a.__doc").as("doc_a"), col("b.__doc").as("doc_b"),
-        col("a.__pos").as("__pa"), col("b.__pos").as("__pb"))
-    // cross leg: one row per (gram match, store doc, batch doc),
+    val alive = substringAlive(
+      mergeSubstringGramDf(substringGramDf(gs), substringGramDf(gb)), maxDocFreq)
+    val (batchSpans, crossSpans) = substringSpanLegs(gs, gb, alive, k, minSpanTokens)
+    (diagonalSpans(substringInternalPairs(gs.join(alive, Seq("s"), "left_semi")),
+      k, minSpanTokens),
+      batchSpans, crossSpans)
+  }
+
+  private[graft] def substringInternalPairs(g: DataFrame): DataFrame = g.alias("a")
+    .join(g.alias("b"), col("a.s") === col("b.s") && col("a.__doc") < col("b.__doc"))
+    .select(
+      col("a.__doc").as("doc_a"), col("b.__doc").as("doc_b"),
+      col("a.__pos").as("__pa"), col("b.__pos").as("__pb"))
+
+  /** The INCREMENT's two span legs from gram relations under a given
+    * survival table: batch-internal spans and bank×batch cross spans
+    * (id-ordered, matching the one-shot orientation) — what a streaming
+    * maintainer emits per micro-batch (the bank-internal leg was emitted
+    * when those documents arrived).
+    */
+  private[graft] def substringSpanLegs(
+      bankGrams: DataFrame,
+      batchGrams: DataFrame,
+      alive: DataFrame,
+      k: Int,
+      minSpanTokens: Int): (DataFrame, DataFrame) = {
+    val ss = bankGrams.join(alive, Seq("s"), "left_semi")
+    val sb = batchGrams.join(alive, Seq("s"), "left_semi")
+    // cross leg: one row per (gram match, bank doc, batch doc),
     // id-ordered after the join so the span relation matches the
     // one-shot orientation
     val crossPairs = ss.alias("x")
@@ -1540,8 +1571,7 @@ object DedupOps {
         greatest(col("x.__doc"), col("y.__doc")).as("doc_b"),
         when(col("x.__doc") < col("y.__doc"), col("x.__pos")).otherwise(col("y.__pos")).as("__pa"),
         when(col("x.__doc") < col("y.__doc"), col("y.__pos")).otherwise(col("x.__pos")).as("__pb"))
-    (diagonalSpans(internalPairs(ss), k, minSpanTokens),
-      diagonalSpans(internalPairs(sb), k, minSpanTokens),
+    (diagonalSpans(substringInternalPairs(sb), k, minSpanTokens),
       diagonalSpans(crossPairs, k, minSpanTokens))
   }
 
@@ -1565,18 +1595,10 @@ object DedupOps {
     require(k >= 2, "anchor gram needs k >= 2")
     require(minSpanTokens >= k, "a reportable span must cover at least one anchor")
     require(maxDocFreq >= 2, "a shared gram needs at least two documents")
-    def grams(df: DataFrame): DataFrame = df.select(
-      col(idCol).as("__doc"),
-      posexplode(
-        graft.functions.HashFunctions.graft_ngram_hashes(TextOps.tokens(col(textCol)), k))
-        .as(Seq("__p", "s")))
-      .select(col("__doc"), col("__p").cast("long").as("__pos"), col("s"))
-    val gl = grams(left)
-    val gr = grams(right)
-    val alive = gl.unionByName(gr).groupBy(col("s"))
-      .agg(countDistinct(col("__doc")).as("__df"))
-      .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)
-      .select(col("s"))
+    val gl = substringGrams(left, idCol, textCol, k)
+    val gr = substringGrams(right, idCol, textCol, k)
+    val alive = substringAlive(
+      mergeSubstringGramDf(substringGramDf(gl), substringGramDf(gr)), maxDocFreq)
     val pairs = gl.join(alive, Seq("s"), "left_semi").alias("a")
       .join(gr.join(alive, Seq("s"), "left_semi").alias("b"),
         col("a.s") === col("b.s") && col("a.__doc") =!= col("b.__doc"))

@@ -878,6 +878,64 @@ object Streaming {
     }
   }
 
+  /** Streaming maintenance for the exact-substring span family — the
+    * [[NearDupClusterStream]] fold applied to
+    * [[graft.ops.DedupOps.substringSpans]]: the maintainer banks each
+    * batch's positional anchor grams and folds the per-gram df counts
+    * (additive across disjoint-doc batches), and each `ingest` emits the
+    * NEW maximal spans — batch-internal plus bank×batch cross — under
+    * the UPDATED corpus-wide df survival; bank-internal spans were
+    * emitted when those documents arrived, so emissions across batches
+    * partition the from-scratch span set on a cap-stable corpus
+    * (StreamingDedupSpec pins the equality; a GROWING df has the same
+    * inherent prefix-dependence documented at
+    * [[graft.ops.DedupOps.pairsFromShingleBank]]).
+    *
+    * At-least-once redelivery is fenced by a banked-id anti-join: a
+    * replayed batch contributes no grams, no df, and emits nothing.
+    * Per-increment work is O(batch grams + alive-matched bank postings)
+    * — never bank×bank. In-memory form (localCheckpoint-backed state);
+    * the delta-slot persistence pattern for crash-safe stores is
+    * demonstrated by [[NearDupClusterStream]] and applies unchanged
+    * (the gram bank and df counts are the same monoid shapes).
+    */
+  class SubstringSpanStream(
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minSpanTokens: Int = 24,
+      maxDocFreq: Int = 50) {
+    import graft.ops.DedupOps
+    @volatile private var bankGrams: Option[DataFrame] = None
+    @volatile private var bankDf: Option[DataFrame] = None
+    @volatile private var bankIds: Option[DataFrame] = None
+
+    /** Ingest one micro-batch; returns the batch's NEW spans
+      * (doc_a, doc_b, a_start, b_start, span_tokens), materialized.
+      */
+    def ingest(batch: DataFrame): DataFrame = {
+      val docs0 = batch.select(col(idCol), col(textCol))
+      // redelivery fence: already-banked ids contribute nothing
+      val docs = bankIds.fold(docs0)(ids =>
+        docs0.join(ids, docs0(idCol) === ids("__seen"), "left_anti"))
+      val gb = DedupOps.substringGrams(docs, idCol, textCol, k).localCheckpoint(true)
+      val dfb = DedupOps.substringGramDf(gb)
+      val dfc = bankDf.fold(dfb)(b => DedupOps.mergeSubstringGramDf(b, dfb))
+        .localCheckpoint(true)
+      val alive = DedupOps.substringAlive(dfc, maxDocFreq)
+      val (batchSpans, crossSpans) = DedupOps.substringSpanLegs(
+        bankGrams.getOrElse(gb.limit(0)), gb, alive, k, minSpanTokens)
+      val emitted = batchSpans.unionByName(crossSpans).localCheckpoint(true)
+      bankGrams = Some(bankGrams.fold(gb)(_.unionByName(gb)).localCheckpoint(true))
+      bankDf = Some(dfc)
+      bankIds = Some(bankIds
+        .fold(docs.select(col(idCol).as("__seen")))(
+          _.unionByName(docs.select(col(idCol).as("__seen"))))
+        .localCheckpoint(true))
+      emitted
+    }
+  }
+
   class NearDupClusterStream(
       idCol: String,
       textCol: String,

@@ -231,4 +231,37 @@ class StreamingDedupSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("unrecognized NearDupClusterStream store layout"))
   }
+
+  test("SubstringSpanStream: per-batch emissions partition the from-scratch span set; replay fenced") {
+    // real corpus + two plants whose carriers straddle the batch cuts;
+    // final per-gram df (4 and 6 carriers) sits far below the cap, so the
+    // corpus is cap-stable and stream ≡ from-scratch must hold exactly
+    val planted = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 151 === 0,
+          lit(" " + (1 to 30).map(i => s"strp$i").mkString(" "))).otherwise(lit("")),
+        when(col("doc_id") % 97 === 0,
+          lit(" " + (1 to 26).map(i => s"strq$i").mkString(" "))).otherwise(lit(""))))
+      .cache()
+    val full = DedupOps.substringSpans(planted, "doc_id", "text", k = 8, minSpanTokens = 24)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(full.nonEmpty, "the planted corpus must have spans to maintain")
+    val s = new Streaming.SubstringSpanStream("doc_id", "text", k = 8, minSpanTokens = 24)
+    val batches = Seq(
+      planted.filter(col("doc_id") < 160),
+      planted.filter(col("doc_id") >= 160 && col("doc_id") < 320),
+      planted.filter(col("doc_id") >= 320))
+    val emissions = batches.map(b =>
+      s.ingest(b).as[(Long, Long, Long, Long, Long)].collect().toSet)
+    assert(emissions.reduce(_ ++ _) == full,
+      "the union of per-batch emissions must equal the from-scratch spans")
+    assert(emissions.map(_.size).sum == full.size,
+      "emissions are disjoint — no span reported twice")
+    assert(emissions.forall(_.nonEmpty), "every batch cut exercised")
+    // at-least-once: a fully re-delivered batch emits nothing and
+    // corrupts no state (a later fresh ingest still works)
+    assert(s.ingest(batches(1)).isEmpty, "replayed batch fences to an empty emission")
+    planted.unpersist(); ()
+  }
 }
