@@ -22,7 +22,7 @@ object ScaleSmoke {
     val known =
       Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix",
         "editdist", "kmeans", "incr", "incrstore", "knncross", "bpe", "govern", "staged",
-        "entropy", "wordpiece", "dsir", "substring")
+        "entropy", "wordpiece", "dsir", "substring", "incrsub")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -155,6 +155,46 @@ object ScaleSmoke {
       println(s"$k,$n,$anchors,$alive,$spans,$secs")
       spark.sharedState.cacheManager.clearCache(); System.gc()
       corpus.unpersist()
+    }
+
+    // ---- streaming substring maintenance: per-batch cost vs bank size ----
+    // a FIXED batch ingested against banks grown 1x..8x: the increment's
+    // pair work is bounded by alive-matched postings (dup structure), so
+    // per-batch seconds should stay near-flat while the bank grows a
+    // decade — the df-fold and bank semi-join are the only bank-sized
+    // touches, both columnar scans
+    if (want("incrsub")) println("bank_k,bank_docs,batch_docs,emitted,seconds")
+    ks("incrsub", Seq(1, 2, 4, 8), Seq(1, 4, 16, 32)).foreach { k =>
+      val plant = concat_ws(" ",
+        (1 to 30).map(i => concat(lit(s"isp${i}_"), (col("doc_id") / 1000000L).cast("long"))): _*)
+      def planted(df: DataFrame): DataFrame = df.withColumn("text",
+        when(pmod(pmod(col("doc_id"), lit(1000000L)), lit(151L)) === 0,
+          concat_ws(" ", col("text"), plant)).otherwise(col("text")))
+      val bank = planted(copyK(k)).cache()
+      val bn = bank.count()
+      // the batch is ONE further salted copy (fixed index 45, outside
+      // every bank copy): its salting breaks all cross-bank grams, so
+      // batch plants pair only batch-internally — constant true work at
+      // every bank size; the bank contributes only its df-fold and
+      // alive semi-join scans
+      val batch = planted(base.select(
+        (col("doc_id") + lit(45L * 1000000L)).as("doc_id"),
+        concat_ws(" ", transform(
+          split(trim(col("text")), "\\s+"),
+          (t, i) => when(pmod(i, lit(5)) === 0, concat(t, lit("_c"), lit(45))).otherwise(t)))
+          .as("text"))).cache()
+      val bm = batch.count()
+      val s = new graft.streaming.Streaming.SubstringSpanStream(
+        "doc_id", "text", k = 8, minSpanTokens = 24, maxDocFreq = 50)
+      s.ingest(bank).count() // seed the bank in one ingest (not measured)
+      spark.sharedState.cacheManager.clearCache(); System.gc()
+      batch.cache().count()
+      val t0 = System.nanoTime()
+      val emitted = s.ingest(batch).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(s"$k,$bn,$bm,$emitted,$secs")
+      spark.sharedState.cacheManager.clearCache(); System.gc()
+      bank.unpersist(); batch.unpersist(); ()
     }
 
     // ---- prefix filtering vs full posting lists: candidate growth ----
