@@ -2843,6 +2843,29 @@ object SparkEntry {
       Tables.documents(spark, dir), "doc_id", "text", terms, flagAt = 3L, dropAt = 9L)
   }
 
+  /** Gopher rule-based quality gate ([[TextOps.gopherRules]], the Rae et
+    * al. 2021 Appendix-A rule set) with four deterministic plants so
+    * every rule fires BOTH ways on the word-soup corpus: a full
+    * stopword sentence (%31), a symbol storm that breaks the
+    * symbol-to-word ratio (%37), ten bullet lines (%41) and five
+    * ellipsis-ended lines (%43). All thresholds evaluate by integer
+    * cross-multiplication — engine-exact booleans, no float division.
+    */
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 31 === 0,
+          lit(" the cat must be close to all of them and that they have fun with it"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 37 === 0,
+          lit(" ######### ... ... ... ... ############")).otherwise(lit("")),
+        when(col("doc_id") % 41 === 0,
+          lit("\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j")).otherwise(lit("")),
+        when(col("doc_id") % 43 === 0,
+          lit("\nwell...\nso...\nhmm...\nyes...\nno...")).otherwise(lit(""))))
+    TextOps.gopherRules(planted, "doc_id", "text")
+  }
+
   /** Corpus-trained interpolated bigram LM score (CCNet/KenLM-style
     * perplexity quality filter) — per-document mean negative log-likelihood
     * from fixed-point-quantized log-probs (order-free integer sums, so the
@@ -3415,6 +3438,7 @@ object SparkEntry {
     "q_index_projection"        -> (qIndexProjection(_, _)),
     "q_asset_type_dispatch"     -> (qAssetTypeDispatch(_, _)),
     "q_payload_parse"           -> (qPayloadParse(_, _)),
+    "q_gopher_rules"            -> (qGopherRules(_, _)),
     "q_group_by_asset_type"     -> (qGroupByAssetType(_, _)),
     "q_batch_assignment"        -> (qBatchAssignment(_, _)),
     "q_completion_stats"        -> (qCompletionStats(_, _)),
@@ -5818,6 +5842,55 @@ object SparkEntry {
         |       + 0.3 * (1.0 - least(1.0, punct_ratio * 10.0))
         |       + 0.3 * least(1.0, stopword_ratio * 5.0) AS quality
         |FROM s""".stripMargin,
+    // mirror of qGopherRules: same plants, every threshold an integer
+    // cross-multiplication (no float division anywhere on either engine)
+    "q_gopher_rules" ->
+      raw"""WITH b AS (SELECT doc_id, coalesce(
+        |    text || CASE WHEN doc_id % 31 = 0
+        |                 THEN ' the cat must be close to all of them and that they have fun with it'
+        |                 ELSE '' END
+        |         || CASE WHEN doc_id % 37 = 0
+        |                 THEN ' ######### ... ... ... ... ############' ELSE '' END
+        |         || CASE WHEN doc_id % 41 = 0
+        |                 THEN chr(10) || '- a' || chr(10) || '- b' || chr(10) || '- c' ||
+        |                      chr(10) || '- d' || chr(10) || '- e' || chr(10) || '- f' ||
+        |                      chr(10) || '- g' || chr(10) || '- h' || chr(10) || '- i' ||
+        |                      chr(10) || '- j' ELSE '' END
+        |         || CASE WHEN doc_id % 43 = 0
+        |                 THEN chr(10) || 'well...' || chr(10) || 'so...' || chr(10) ||
+        |                      'hmm...' || chr(10) || 'yes...' || chr(10) || 'no...'
+        |                 ELSE '' END, '') AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(trim(t), '\s+'), x -> x <> ''))::BIGINT AS n_words,
+        |  length(regexp_replace(t, '\s+', '', 'g'))::BIGINT AS wc,
+        |  len(regexp_extract_all(t, '#|\.\.\.'))::BIGINT AS sym,
+        |  len(regexp_split_to_array(t, '\n'))::BIGINT AS n_lines,
+        |  len(list_filter(regexp_split_to_array(t, '\n'), l -> regexp_matches(l, '^\s*[-*•]')))::BIGINT AS bullet,
+        |  len(list_filter(regexp_split_to_array(t, '\n'), l -> regexp_matches(l, '\.\.\.\s*$$')))::BIGINT AS ell,
+        |  len(list_filter(list_filter(regexp_split_to_array(trim(t), '\s+'), x -> x <> ''),
+        |                  x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS alpha,
+        |  ((CASE WHEN regexp_matches(lower(t), '\bthe\b') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN regexp_matches(lower(t), '\bbe\b') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN regexp_matches(lower(t), '\bto\b') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN regexp_matches(lower(t), '\bof\b') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN regexp_matches(lower(t), '\band\b') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN regexp_matches(lower(t), '\bthat\b') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN regexp_matches(lower(t), '\bhave\b') THEN 1 ELSE 0 END)
+        |   + (CASE WHEN regexp_matches(lower(t), '\bwith\b') THEN 1 ELSE 0 END))::BIGINT AS stops
+        |  FROM b)
+        |SELECT doc_id, n_words,
+        |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
+        |  3 * n_words <= wc AND wc <= 10 * n_words AS r_mean_word_len,
+        |  sym * 10 <= n_words AS r_symbol_ratio,
+        |  bullet * 10 < n_lines * 9 AS r_bullet_lines,
+        |  ell * 10 < n_lines * 3 AS r_ellipsis_lines,
+        |  alpha * 5 >= n_words * 4 AS r_alpha_words,
+        |  stops >= 2 AS r_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000) AND (3 * n_words <= wc AND wc <= 10 * n_words)
+        |    AND sym * 10 <= n_words AND bullet * 10 < n_lines * 9
+        |    AND ell * 10 < n_lines * 3 AND alpha * 5 >= n_words * 4 AND stops >= 2 AS pass
+        |FROM c""".stripMargin,
     "q_classifier_train" -> classifierTrainOracle,
     // SHARED: stats-fold training must reproduce the from-scratch fit
     // (mergeCentroidStats losslessness proof)

@@ -151,6 +151,66 @@ object TextOps {
       regexp_count(lower(t), lit("\\b(the|and|of|is|to|in|a)\\b")).cast("double") / nTokens)
   }
 
+  /** Gopher rule-based quality filter (Rae et al. 2021, Appendix A) — the
+    * most-cited NAMED rule set in LLM data curation, distinct from the
+    * continuous [[qualityScore]]: per document, each rule's boolean
+    * outcome plus the conjunction. Every ratio threshold is evaluated by
+    * integer CROSS-MULTIPLICATION (10·symbols ≤ words instead of
+    * symbols/words ≤ 0.1), so the relation is engine-exact with no float
+    * division anywhere — the fixed-point discipline applied to policy
+    * gates. One narrow codegen'd projection; zero shuffle at any scale.
+    *
+    * Rules: word count ∈ [minWords, maxWords]; mean word length ∈ [3, 10]
+    * chars (3n ≤ chars ≤ 10n); symbol-to-word ratio ≤ 0.1 (`#`/`...`);
+    * <90 % of lines bullet-started; <30 % of lines ellipsis-ended; ≥80 %
+    * of words contain an alphabetic char; ≥2 of the 8 required stopwords
+    * present.
+    *
+    * Output: (idCol, n_words, r_word_count, r_mean_word_len,
+    * r_symbol_ratio, r_bullet_lines, r_ellipsis_lines, r_alpha_words,
+    * r_stopwords, pass).
+    */
+  def gopherRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val w = tokens(t)
+    val nWords = size(w).cast("long")
+    val wordChars = length(regexp_replace(t, "\\s+", "")).cast("long")
+    val symbols = regexp_count(t, lit("#|\\.\\.\\.")).cast("long")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("long")
+    val alphaWords = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
+    val requiredStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = requiredStops
+      .map(s0 => when(lower(t).rlike(s"\\b$s0\\b"), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val rWordCount = nWords >= minWords && nWords <= maxWords
+    val rMeanLen = lit(3L) * nWords <= wordChars && wordChars <= lit(10L) * nWords
+    val rSymbol = symbols * lit(10L) <= nWords
+    val rBullet = bulletLines * lit(10L) < nLines * lit(9L)
+    val rEllipsis = ellipsisLines * lit(10L) < nLines * lit(3L)
+    val rAlpha = alphaWords * lit(5L) >= nWords * lit(4L)
+    val rStops = stopHits >= lit(2L)
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      rWordCount.as("r_word_count"),
+      rMeanLen.as("r_mean_word_len"),
+      rSymbol.as("r_symbol_ratio"),
+      rBullet.as("r_bullet_lines"),
+      rEllipsis.as("r_ellipsis_lines"),
+      rAlpha.as("r_alpha_words"),
+      rStops.as("r_stopwords"),
+      (rWordCount && rMeanLen && rSymbol && rBullet && rEllipsis && rAlpha && rStops)
+        .as("pass"))
+  }
+
   /** Content fingerprint of the whitespace/case-normalized text (md5) — the
     * key for exact near-normalized dedup and cheap change detection.
     */

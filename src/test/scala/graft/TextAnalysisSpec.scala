@@ -992,4 +992,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1L, 20L, rr2, 1L, 2L), // doc 30 ties but loses on id, then k=2 cuts it
       (2L, 40L, rr1, 1L, 1L)))
   }
+
+  test("gopherRules: each named rule catches its crafted violator, a good doc passes all") {
+    val good = ("the data must be close to all of that " +
+      (1 to 50).map(i => s"word$i").mkString(" ") + " have fun with it")
+    val tooShort = "the of be to and that have with just a few words here"
+    val symbolStorm = good + " " + ("# " * 30)
+    val bulletWall = good + (1 to 19).map(i => s"\n- item$i").mkString
+    val ellipses = good + (1 to 9).map(i => s"\ntrailing$i...").mkString
+    val numericSoup = ("the of be and " + (1 to 80).map(_.toString).mkString(" "))
+    val noStops = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, good), (2L, tooShort), (3L, symbolStorm), (4L, bulletWall),
+      (5L, ellipses), (6L, numericSoup), (7L, noStops)
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRules(df, "doc_id", "text")
+      .select("doc_id", "r_word_count", "r_symbol_ratio", "r_bullet_lines",
+        "r_ellipsis_lines", "r_alpha_words", "r_stopwords", "pass")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7)))).toMap
+    assert(got(1L) == ((true, true, true, true, true, true, true)), "the good doc passes all")
+    assert(!got(2L)._1 && !got(2L)._7, "under 50 words fails word count and the pass gate")
+    assert(!got(3L)._2 && !got(3L)._7, "30 symbols over ~60 words breaks the 0.1 ratio")
+    assert(!got(4L)._3 && !got(4L)._7, "19 of 20 lines bullet-started breaks the 90% gate")
+    assert(!got(5L)._4 && !got(5L)._7, "9 of 10 lines ellipsis-ended breaks the 30% gate")
+    assert(!got(6L)._5 && !got(6L)._7, "80 of 84 words non-alphabetic breaks the 80% gate")
+    assert(!got(7L)._6 && !got(7L)._7, "no required stopwords fails the >=2 gate")
+  }
 }
