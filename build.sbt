@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON. sbt's default output strategy prefixes the forked program's stdout
+// with `[info] ` and appends a `[success] Total time: ...` banner — both
+// broke BENCH parsing for three rounds (r7-r9 "parsed": null). StdoutOutput
+// passes the forked JVM's stdout/stderr through raw; showSuccess drops the
+// trailing banner, so Bench's compact JSON line is the literal last stdout
+// line of the whole sbt invocation.
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting —
+// excluded from the unused-key lint (false positive).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

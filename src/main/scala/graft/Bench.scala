@@ -329,6 +329,13 @@ object Bench {
     val nFailed = results.count(!_._3)
     val failedCompact = results.collect { case (k, _, false) => JsonOut.q(k) }
       .take(10).mkString("[", ",", "]")
+    // stop Spark BEFORE printing: the driver tail-captures merged
+    // stdout+stderr, and SparkContext shutdown can emit WARN lines that
+    // would otherwise land AFTER the JSON and break last-line parsing.
+    // ERROR level silences stop-time WARNs; the flush pins ordering.
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.stop()
+    System.err.flush()
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$top8,""" +
         s""""n":${results.size},"n_failed":$nFailed,"failed":$failedCompact,""" +
@@ -336,6 +343,6 @@ object Bench {
         s""""steal_pct":${math.round(stealPct * 1000.0) / 1000.0},""" +
         s""""queries_file":${JsonOut.q(outPath)},""" +
         s""""baseline":$baselineCompact}""")
-    spark.stop()
+    System.out.flush()
   }
 }
