@@ -590,6 +590,122 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Fixed-point (ENGINE-EXACT) k-means blocking — the [[kmeansFixedPoint]]
+    * discipline applied to [[cosineNearDupPairsBlocked]]'s candidate
+    * generation, so the WHOLE blocked near-dup (quantizer fit, multi-probe
+    * list assignment, candidate pairing, exact-cosine verify) reproduces
+    * bit-for-bit on any engine and the registered query carries a full SQL
+    * oracle (the MLlib-fitted variant keeps float centroids and a seeded
+    * random init, which no other engine can replay — its recall is
+    * spec-pinned instead). Direction blocking: vectors are L2-NORMALIZED
+    * and then quantized to BIGINT millionths, so the integer Lloyd's
+    * squared-L2 objective equals (up to the monotone 2−2cos map) cosine
+    * distance and lists cluster by direction, exactly like the MLlib fit.
+    *
+    * Scale shape is the flat blocking's: candidate volume ~ nProbe²·n²/
+    * nLists with nLists grown ∝ √n (sub-quadratic); the Lloyd rounds scan
+    * the corpus `iters` times but shuffle only (id, cid, dist) triples;
+    * at 100 TB the list id is the partitioning key. Determinism costs
+    * nothing at scale — lowest-id seeding is one TakeOrdered, integer
+    * argmin is the same broadcast scan as the float one.
+    */
+  def cosineNearDupPairsBlockedFp(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nLists: Int = 8,
+      nProbe: Int = 2,
+      iters: Int = 2): DataFrame = {
+    val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
+    val q = quantizeNormFp(c, idCol).scopedCache()
+    val cents = lloyd(q, idCol, nLists, iters)
+    val assigned = multiProbeAssignFp(q, idCol, cents, nProbe)
+    val cand = assigned.select(col(idCol).as("id_a"), col("cid"))
+      .join(assigned.select(col(idCol).as("id_b"), col("cid")), Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val va = c.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = c.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** IVF top-k on the fixed-point quantizer — [[knnIvfKmeans]] with the
+    * MLlib fit swapped for the engine-exact integer Lloyd over NORMALIZED
+    * millionth-quantized vectors (list routing and corpus assignment both
+    * integer-deterministic; returned scores are the same exact cosine), so
+    * the registered IVF query carries a full SQL oracle instead of a
+    * recall-only spec. Search shape is [[knnIvfSearch]]'s: corpus vectors
+    * carry one list id (argmin), probes fan to their `nProbe` closest
+    * lists, scoring touches only probed lists, raw vectors never shuffle
+    * (probes broadcast). At 100 TB the assignment relation persists
+    * `partitionBy(list_id)` and probed lists prune at the scan, exactly
+    * like the fitted-index split.
+    */
+  def knnIvfKmeansFp(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int,
+      nProbe: Int,
+      iters: Int = 2): DataFrame = {
+    val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
+    val q = quantizeNormFp(c, idCol).scopedCache()
+    val cents = lloyd(q, idCol, nLists, iters)
+    val assigned = assignFp(q, idCol, cents)
+      .select(col(idCol), col("cid"))
+      .join(c.select(col(idCol), col("v"), col("nrm")), Seq(idCol))
+    val p = preparedNonZero(probes, idCol, vecCol)
+    val probeLists = multiProbeAssignFp(
+      quantizeNormFp(p, idCol).withColumnRenamed(idCol, "probe_id"),
+      "probe_id", cents, nProbe)
+      .join(
+        p.select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn")),
+        Seq("probe_id"))
+    val scored = assigned
+      .join(broadcast(probeLists), Seq("cid"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("sim", cosine(dot(col("pv"), col("v")), col("pn"), col("nrm")))
+      .filter(col("sim").isNotNull)
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** L2-normalized BIGINT-millionth quantization of a [[preparedNonZero]]
+    * relation — `(keyCol, vfp)`, the engine-exact input both fixed-point
+    * blocking operators share with their oracles.
+    */
+  private def quantizeNormFp(c: DataFrame, keyCol: String): DataFrame =
+    c.select(
+      col(keyCol),
+      transform(col("vn"), x => round(x * lit(1000000.0)).cast("long")).as("vfp"))
+
+  /** Top-`nProbe` centroid lists per vector by integer squared-L2 (ties to
+    * the lowest cid — the first-minimum rule): the multi-probe analogue of
+    * [[assignFp]], shared by the fixed-point blocking and IVF routing.
+    */
+  private def multiProbeAssignFp(
+      q: DataFrame,
+      keyCol: String,
+      cents: DataFrame,
+      nProbe: Int): DataFrame = {
+    val distFp = graft.functions.VectorFunctions.graft_l2sq(col("vfp"), col("cfp"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("dist_fp"), col("cid"))
+    q.join(broadcast(cents), lit(true))
+      .withColumn("dist_fp", distFp)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nProbe)
+      .select(col(keyCol), col("cid"))
+  }
+
   /** Salted (hierarchical) blocking for the SKEWED regime the flat blocking
     * cannot survive: when one direction cluster holds a large fraction of
     * the corpus (the one-giant-cluster regime), its k-means list emits
@@ -1023,6 +1139,14 @@ object SimilarityOps {
     * partition per probe, and the final per-point reduction is one
     * id-keyed aggregate. Output: (idCol, shap_fp) with shap_fp the
     * nano-unit sum over the panel.
+    *
+    * PRECONDITION — shared id namespace: train and probes must draw ids
+    * from the same keyspace (the knnBrute convention). Leave-self-out
+    * filters on raw id equality, so a probe id that COINCIDENTALLY equals
+    * an unrelated train id silently drops that valid neighbor (and
+    * shrinks that probe's N) with no error. Callers mixing id universes
+    * must re-key one side first; the registered query's %50 id-split
+    * satisfies the precondition by construction.
     */
   def knnShapley(
       train: DataFrame,

@@ -161,10 +161,14 @@ object TextOps {
     * gates. One narrow codegen'd projection; zero shuffle at any scale.
     *
     * Rules: word count ∈ [minWords, maxWords]; mean word length ∈ [3, 10]
-    * chars (3n ≤ chars ≤ 10n); symbol-to-word ratio ≤ 0.1 (`#`/`...`);
-    * <90 % of lines bullet-started; <30 % of lines ellipsis-ended; ≥80 %
-    * of words contain an alphabetic char; ≥2 of the 8 required stopwords
-    * present.
+    * chars (3n ≤ chars ≤ 10n); symbol-to-word ratio ≤ 0.1 PER FAMILY —
+    * the paper thresholds the hash symbol and the ellipsis separately, so
+    * a doc at hash 0.06 + ellipsis 0.06 passes (their sum would not);
+    * the two tests land in the single `r_symbol_ratio` column as a
+    * conjunction. Line rules follow the paper's "more than": fail only
+    * when bullet-started lines EXCEED 90 % (ellipsis-ended, 30 %) — the
+    * exact-boundary document passes. ≥80 % of words contain an alphabetic
+    * char; ≥2 of the 8 required stopwords present.
     *
     * Output: (idCol, n_words, r_word_count, r_mean_word_len,
     * r_symbol_ratio, r_bullet_lines, r_ellipsis_lines, r_alpha_words,
@@ -180,7 +184,8 @@ object TextOps {
     val w = tokens(t)
     val nWords = size(w).cast("long")
     val wordChars = length(regexp_replace(t, "\\s+", "")).cast("long")
-    val symbols = regexp_count(t, lit("#|\\.\\.\\.")).cast("long")
+    val hashes = regexp_count(t, lit("#")).cast("long")
+    val ellipses = regexp_count(t, lit("\\.\\.\\.")).cast("long")
     val lines = split(t, "\n")
     val nLines = size(lines).cast("long")
     val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
@@ -192,9 +197,9 @@ object TextOps {
       .reduce(_ + _)
     val rWordCount = nWords >= minWords && nWords <= maxWords
     val rMeanLen = lit(3L) * nWords <= wordChars && wordChars <= lit(10L) * nWords
-    val rSymbol = symbols * lit(10L) <= nWords
-    val rBullet = bulletLines * lit(10L) < nLines * lit(9L)
-    val rEllipsis = ellipsisLines * lit(10L) < nLines * lit(3L)
+    val rSymbol = hashes * lit(10L) <= nWords && ellipses * lit(10L) <= nWords
+    val rBullet = bulletLines * lit(10L) <= nLines * lit(9L)
+    val rEllipsis = ellipsisLines * lit(10L) <= nLines * lit(3L)
     val rAlpha = alphaWords * lit(5L) >= nWords * lit(4L)
     val rStops = stopHits >= lit(2L)
     df.select(
@@ -859,6 +864,29 @@ object TextOps {
   /** Score queries against externally-maintained BM25 index statistics
     * (the incremental-store operating mode; [[bm25Search]] is the
     * self-contained index-and-search form).
+    *
+    * The per-(term, doc) contribution `cq` is QUERY-INDEPENDENT, so it is
+    * computed once per posting (|postings| rows of double math + round)
+    * and only then joined to the query terms — through round 9 the
+    * rounding ran inside the (query × posting) expansion, paying the
+    * identical arithmetic |queries| times over (the whole heavy stage of
+    * q_retrieval_eval's 2.85× driver flag). The expansion itself (one row
+    * per query term per matching posting) is inherent to term-at-a-time
+    * retrieval and aggregates map-side; every join before it is
+    * broadcast-sized (doc lengths, idf, totals, query terms).
+    *
+    * `maxDfFrac < 1` prunes STOP TERMS — postings of terms with
+    * df > maxDfFrac·N never join (the impact-ordered-index discipline;
+    * on a Zipf vocabulary the handful of stop terms carry most posting
+    * mass at near-zero idf, so the cut is the difference between
+    * |q|·|corpus| and |q|·|useful postings| at 100 TB). It CHANGES scores
+    * (pruned contributions are dropped exactly, not approximated) and
+    * must be mirrored in any oracle. Default 1.0 = off: the registered
+    * queries keep it off because the synthetic bench corpus has a 31-term
+    * vocabulary with 30 terms at a uniform ~77% df — any cap under that
+    * leaves a single 5%-df term and empties the retrieval result (the
+    * vacuous-gate failure mode), while real corpora are where the lever
+    * pays.
     */
   def bm25SearchFromStats(
       queries: DataFrame,
@@ -871,10 +899,17 @@ object TextOps {
       stats: DataFrame,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      maxDfFrac: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be positive")
-    val idfq = dfreq.crossJoin(broadcast(stats))
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, "maxDfFrac must be in (0, 1]")
+    val capped =
+      if (maxDfFrac >= 1.0) dfreq
+      else dfreq.crossJoin(broadcast(stats.select(col("nd").as("__nd"))))
+        .filter(col("df").cast("double") <= lit(maxDfFrac) * col("__nd").cast("double"))
+        .drop("__nd")
+    val idfq = capped.crossJoin(broadcast(stats))
       .select(col("term"),
         round(log(lit(1.0) +
           (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1.0e6))
@@ -887,14 +922,21 @@ object TextOps {
     val factor = (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
-    val contrib = qterms
-      .join(tf, Seq("term"))
+    // query-independent posting score: one rounding pass over |postings|.
+    // idfq is vocabulary-bounded and explicitly broadcast — planned cold
+    // (off a cached RDD with no stats) the term join otherwise falls to a
+    // sort-merge join that shuffles every posting on a low-cardinality
+    // term key (measured 1.5× on q_bm25 when it regressed that way)
+    val postingCq = tf
       .join(dl, Seq(idCol))
-      .join(idfq, Seq("term"))
+      .join(broadcast(idfq), Seq("term"))
       .crossJoin(broadcast(stats))
-      .filter(col("query_id") =!= col(idCol))
       .withColumn("cq",
         round((col("idfq").cast("double") / lit(1.0e6)) * factor * lit(1.0e6)).cast("long"))
+      .select(col("term"), col(idCol), col("cq"))
+    val contrib = qterms
+      .join(postingCq, Seq("term"))
+      .filter(col("query_id") =!= col(idCol))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("cq")).as("score_fp"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score_fp").desc, col(idCol))

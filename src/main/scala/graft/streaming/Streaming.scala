@@ -912,8 +912,16 @@ object Streaming {
 
     /** Ingest one micro-batch; returns the batch's NEW spans
       * (doc_a, doc_b, a_start, b_start, span_tokens), materialized.
+      *
+      * `synchronized`: the bank/df/ids updates are a check-then-act
+      * sequence over three fields — two interleaved ingests would
+      * double-count grams in the df fold while each returned plausible
+      * spans (ADVICE r9). The lock is driver-side state swapping only
+      * (the Spark jobs it encloses are already serial per foreachBatch
+      * contract); contention is zero in the single-query streaming path
+      * and correctness-preserving for ad-hoc multi-threaded drivers.
       */
-    def ingest(batch: DataFrame): DataFrame = {
+    def ingest(batch: DataFrame): DataFrame = synchronized {
       val docs0 = batch.select(col(idCol), col(textCol))
       // redelivery fence: already-banked ids contribute nothing
       val docs = bankIds.fold(docs0)(ids =>

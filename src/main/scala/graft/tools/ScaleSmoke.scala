@@ -22,7 +22,7 @@ object ScaleSmoke {
     val known =
       Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix",
         "editdist", "kmeans", "incr", "incrstore", "knncross", "bpe", "govern", "staged",
-        "entropy", "wordpiece", "dsir", "substring", "incrsub")
+        "entropy", "wordpiece", "dsir", "substring", "incrsub", "contend")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -903,6 +903,49 @@ object ScaleSmoke {
         println(s"$k,$n,$name,${(System.nanoTime() - t0) / 1e9},$out")
       }
       corpus.unpersist(): Unit
+    }
+    // ---- contention sensitivity of the pair-generation queries: the
+    // three chronically WINDOW-SENSITIVE registered queries
+    // (q_retrieval_eval / q_neardup_clusters_incr / q_semantic_dedup —
+    // every >1.5× driver flag rounds 7-9 landed on one of them) measured
+    // quiet and then under a full-width CPU antagonist (32 spinning
+    // threads — the steal/sibling-contention regime a shared driver host
+    // produces). The committed quiet:contended ratios make the NEXT
+    // contended driver capture attributable from this artifact alone: a
+    // driver time inside quiet·ratio is window noise, not a regression ----
+    if (want("contend")) {
+      println("contend: query,quiet_s,contended_s,ratio")
+      val names =
+        Seq("q_retrieval_eval", "q_neardup_clusters_incr", "q_semantic_dedup")
+      def exhaust(n: String): Unit =
+        graft.SparkEntry.queries(n)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+      // one warm pass: artifact memos (pair graph, BM25 index) train here,
+      // so both measured modes ride the same staged state — the bench's
+      // own posture
+      names.foreach(exhaust)
+      names.foreach { n =>
+        def once(): Double = {
+          spark.sharedState.cacheManager.clearCache(); System.gc()
+          val t0 = System.nanoTime()
+          exhaust(n)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val quiet = once()
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val spinners = (0 until 32).map { i =>
+          val t = new Thread(() => {
+            var x = i.toLong
+            while (!stop.get()) { x = x * 6364136223846793005L + 1442695040888963407L }
+            if (x == 42L) println("") // defeat dead-code elimination
+          })
+          t.setDaemon(true); t.start(); t
+        }
+        val contended =
+          try once()
+          finally { stop.set(true); spinners.foreach(_.join(1000)) }
+        println(f"$n,$quiet%.2f,$contended%.2f,${contended / quiet}%.2f")
+      }
     }
     spark.stop()
   }

@@ -338,6 +338,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.values.toSet == (0 until 8).map(_ * 100L).toSet)
   }
 
+  test("cosineNearDupPairsBlockedFp: recall >= 0.9 vs exact on clustered vectors, exact sims, deterministic") {
+    // the fixed-point (oracle-able) blocking must keep the MLlib form's
+    // recall guarantees: subset of exact pairs, identical scores, and —
+    // the property the float form cannot offer — bit-identical reruns
+    val vecs = graft.tools.SyntheticVectors
+      .clustered(nClusters = 10, perCluster = 20, dim = 16, seed = 11, stride = 20L)
+      .toDF("vec_id", "embedding")
+    val exact = SimilarityOps.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+    def run() = SimilarityOps.cosineNearDupPairsBlockedFp(
+      vecs, "vec_id", "embedding", 0.9, nLists = 16, nProbe = 2, iters = 2)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+    val blocked = run()
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val blockedSet = blocked.map(r => (r._1, r._2)).toSet
+    assert(exactSet.nonEmpty)
+    val recall = (exactSet & blockedSet).size.toDouble / exactSet.size
+    info(s"fp-blocked near-dup recall=$recall (${blockedSet.size}/${exactSet.size} pairs)")
+    assert(recall >= 0.9, s"recall=$recall")
+    assert((blockedSet -- exactSet).isEmpty)
+    val exactSims = exact.map(r => (r._1, r._2) -> r._3).toMap
+    assert(blocked.forall(r => exactSims((r._1, r._2)) == r._3))
+    assert(blocked.forall(r => r._1 < r._2))
+    assert(run().toSet == blocked.toSet) // integer quantizer: reruns identical
+  }
+
+  test("knnIvfKmeansFp: recall comparable to the MLlib fit, exact scores, self excluded") {
+    val probes = emb.filter(col("vec_id") < 20)
+    val brute = SimilarityOps.knnBrute(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    val fp = SimilarityOps.knnIvfKmeansFp(
+      emb, probes, "vec_id", "embedding", k = 10, nLists = 8, nProbe = 4, iters = 2)
+      .select("probe_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    val fpSet = fp.map(r => (r._1, r._2)).toSet
+    val recall = (bruteSet & fpSet).size.toDouble / bruteSet.size
+    info(s"fp IVF recall=$recall (probing 4 of 8 lists)")
+    // 4-of-8 lists on uniform vectors: recall must beat the scan fraction
+    assert(recall > 0.5, s"recall=$recall")
+    assert(fp.forall(r => r._1 != r._2))
+    // returned scores are the exact cosine — equal to brute wherever the
+    // same (probe, neighbor) survives both
+    val bruteSims = brute.map(r => (r._1, r._2) -> r._3).toMap
+    assert(fp.forall(r => !bruteSims.contains((r._1, r._2)) || bruteSims((r._1, r._2)) == r._3))
+  }
+
   test("knnIvfKmeans: k-means lists beat stride-sampled lists on recall") {
     val probes = emb.filter(col("vec_id") < 20)
     val brute = SimilarityOps.knnBrute(emb, probes, "vec_id", "embedding", 10)

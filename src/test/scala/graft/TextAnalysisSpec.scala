@@ -1020,4 +1020,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got(6L)._5 && !got(6L)._7, "80 of 84 words non-alphabetic breaks the 80% gate")
     assert(!got(7L)._6 && !got(7L)._7, "no required stopwords fails the >=2 gate")
   }
+
+  test("gopherRules: symbol families threshold separately (Rae et al. A), boundaries are 'more than'") {
+    // hash 4/69 ≈ 0.058 and ellipsis 4/69 ≈ 0.058 each clear the 0.1
+    // per-family bar even though their SUM (0.116) would not — the paper
+    // thresholds '#' and '...' separately
+    val good = ("the data must be close to all of that " +
+      (1 to 50).map(i => s"word$i").mkString(" ") + " have fun with it")
+    val mixedSymbols = good + " # # # # ... ... ... ... end"
+    // exactly 90% bullet lines (9 of 10) is NOT 'more than 90%': passes
+    val boundaryBullets = good + (1 to 9).map(i => s"\n- item$i").mkString
+    val df = Seq((1L, mixedSymbols), (2L, boundaryBullets)).toDF("doc_id", "text")
+    val got = TextOps.gopherRules(df, "doc_id", "text")
+      .select("doc_id", "r_symbol_ratio", "r_bullet_lines", "pass")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))))
+      .toMap
+    assert(got(1L)._1 && got(1L)._3, "per-family symbol ratios under 0.1 pass")
+    assert(got(2L)._2 && got(2L)._3, "exactly 90% bullet lines passes the strict 'more than' bound")
+  }
 }

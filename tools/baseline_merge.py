@@ -38,6 +38,15 @@ def main():
     base["artifacts"] = {k: statistics.median(v) for (s, k), v in sorted(votes.items()) if s == "artifacts"}
     base["artifact_total"] = sum(base["artifacts"].values())
     base["value"] = min(d["value"] for _, d in caps)
+    # a query that failed in EVERY quiet capture has no vote at all — it
+    # would otherwise vanish from "queries" silently and drop out of all
+    # future adjudication (ADVICE r9); name it loudly instead
+    all_failed = set.intersection(*(set(d.get("failed", [])) for _, d in caps)) \
+        if caps else set()
+    for q in sorted(all_failed):
+        print(f"WARNING: {q} failed in every quiet capture — it has NO baseline "
+              f"entry and will be excluded from regression adjudication until it "
+              f"succeeds in a future refresh")
     base["steal"] = max((d.get("steal", {}) for _, d in caps),
                         key=lambda s: s.get("steal_pct", 0.0))
     base["baseline"] = None
@@ -45,7 +54,11 @@ def main():
     base["refresh_note"] = {
         "refreshed": f"median of {len(caps)} quiet captures per query; min total "
                      f"(round-9 policy: median kills the min-merge low bias that "
-                     f"chronically flagged sub-second queries)",
+                     f"chronically flagged sub-second queries). NB mixed "
+                     f"statistics: 'value' is the MIN suite total while "
+                     f"per-query entries are MEDIANS, so value != sum(queries) "
+                     f"+ sum(artifacts) by design — do not sanity-check totals "
+                     f"against the per-query sum",
         "captures": [p for p, _ in caps],
     }
     json.dump(base, open(out, "w"), indent=1)
