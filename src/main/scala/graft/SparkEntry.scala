@@ -1185,27 +1185,37 @@ object SparkEntry {
         sum(col("price").cast("decimal(18,2)")).cast("double").as("total_price"))
   }
 
-  /** HLL-sketch distinct counts per event_type (approx_count_distinct — no
-    * SQL oracle, approximate; ScalaTest bounds the error vs exact).
+  /** HLL distinct-user counts per event_type — the FIXED-POINT HLL
+    * ([[graft.ops.Analytics.hllRegisters]]): md5 hex-fold hash, long-form
+    * registers, integer-exact dyadic harmonic sum. Fully DuckDB-oracled
+    * (register file AND estimate replay bit-for-bit — rounds 3–9 carried
+    * this rows-only because approx_count_distinct's xxhash register file
+    * is invisible to any other engine; the fp form closes that).
+    * ScalaTest still bounds the estimate against exact distinct.
     */
-  def qApproxUsers(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        count(lit(1)).as("n_events"))
+  def qApproxUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Analytics.hllEstimate(
+      Analytics.hllRegisters(ev, Seq("event_type"), "user_id"),
+      Seq("event_type"))
+      .withColumnRenamed("approx_distinct", "approx_users")
+      .join(ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_events")),
+        Seq("event_type"))
+  }
 
-  /** Incremental distinct maintenance: per-(type, day) HLL sketch partials
-    * merged up to per-type estimates — the sketch-monoid analog of
-    * q_incremental_agg (no SQL oracle: sketch hashing is engine-specific;
-    * ScalaTest proves merge-of-partials == one-pass sketch exactly and
-    * bounds the estimate vs exact distinct).
+  /** Incremental distinct maintenance: per-(type, day) fixed-point HLL
+    * register partials merged up to per-type estimates — the max-monoid
+    * analog of q_incremental_agg. The oracle computes the registers in ONE
+    * pass; equality proves merge-of-partials is lossless (max is
+    * associative), the same shared-oracle discipline as q_kmv_incremental.
     */
   def qHllIncremental(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("user_id"), col("ts").cast("date").as("d"))
-    Analytics.sketchMergeEstimate(
-      Analytics.sketchPartial(ev, Seq("event_type", "d"), "user_id"),
+    Analytics.hllEstimate(
+      Analytics.hllMerge(
+        Analytics.hllRegisters(ev, Seq("event_type", "d"), "user_id"),
+        Seq("event_type")),
       Seq("event_type"))
   }
 
@@ -1568,14 +1578,18 @@ object SparkEntry {
   def qMinhashDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.5)
 
-  /** SimHash near-dup pairs at Hamming ≤ 3 (no SQL oracle — and unlike the
-    * minhash/winnow generators this is INHERENT, not an xxhash64 artifact:
-    * token-simhash at radius 3 is a near-EXACT-dup detector whose recall of
-    * J≈0.9 pairs is partial by construction (single-token edits flip ~6 of
-    * 64 bits on 100-word docs), so no text-level SQL predicate reproduces
-    * its pair set. Rows-only check + DedupTextSpec precision pins; the
-    * exact-verified composition [[DedupOps.simhashVerifiedPairs]] is specced
-    * as a SUBSET of the exact relation, never claimed equal).
+  /** SimHash near-dup pairs at Hamming ≤ 3, fully DuckDB-oracled: the token
+    * hash is the md5 hex-fold ([[graft.ops.DedupOps.md5Hash60]]), so the
+    * oracle REPLAYS the signature computation itself — per-bit ±1 vote
+    * sums, 16-bit chunk banding (recall-complete for radius ≤ 3 by
+    * pigeonhole), Hamming via bit_count(xor). Rounds 3–9 carried this
+    * rows-only because xxhash64 signatures are invisible to other engines;
+    * no TEXT-LEVEL predicate can reproduce the pair set (radius-3
+    * token-simhash is a near-EXACT-dup detector with partial recall of
+    * J≈0.9 pairs — that part is inherent and unchanged), but a
+    * signature-replay oracle does not need one. DedupTextSpec keeps the
+    * precision pins; [[DedupOps.simhashVerifiedPairs]] stays specced as a
+    * SUBSET of the exact relation, never claimed equal.
     */
   def qSimhashDedup(spark: SparkSession, dir: String): DataFrame =
     DedupOps.simhashPairs(Tables.documents(spark, dir), "doc_id", "text")
@@ -3229,9 +3243,14 @@ object SparkEntry {
   }
 
   /** SRP-LSH approximate top-10 for the same probe set (sign-random-
-    * projection signatures, 8 bands × 8 bits; no SQL oracle: approximate
-    * candidate set; SimilaritySpec checks recall vs brute force on
-    * clustered vectors and exactness of returned scores).
+    * projection signatures, 8 bands × 8 bits), fully DuckDB-oracled: the
+    * hyperplanes are spec-pinned `java.util.Random(42)` Gaussians
+    * ([[graft.ops.SimilarityOps.srpPlanes]]), embedded in the oracle as
+    * round-trip-exact double literals, so the oracle replays the
+    * signature bits (sign of list_dot_product against the same planes),
+    * the banded candidate join AND the exact cosine re-rank bit-for-bit.
+    * SimilaritySpec still checks recall vs brute force on clustered
+    * vectors.
     */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -4065,6 +4084,140 @@ object SparkEntry {
       |       CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
       |            ELSE 63.0 * 1152921504606846976.0 / max(hv)::DOUBLE END AS est_distinct
       |FROM s GROUP BY 1""".stripMargin
+
+  /** Fixed-point HLL replay — the register file from the SAME md5 hex-fold
+    * as kmvOracle, ranks via DuckDB's bin() (no leading zeros, like Java's
+    * Long.toBinaryString: an exact integer floor(log2)+1), the harmonic
+    * sum as the integer Σ 2^(width+1−mx), and BOTH estimate branches with
+    * the numerator/threshold constants embedded from
+    * [[graft.ops.Analytics.hllNumerator]] (one double, two engines).
+    * Computed ONE-PASS per event_type: shared verbatim by q_approx_users
+    * and q_hll_incremental — the incremental form merging per-day partials
+    * must land on the identical registers (max is associative), the
+    * kmv/LM-counts losslessness discipline.
+    */
+  private def hllEstimateSql(estCol: String): String = {
+    val p = Analytics.HllP
+    val m = 1 << p
+    val width = 60 - p
+    val scale = width + 1
+    val mask = (1L << width) - 1
+    raw"""WITH v AS (SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+      |h AS (SELECT event_type,
+      |             list_sum([(strpos('0123456789abcdef', md5(user_id::VARCHAR)[i]) - 1)::BIGINT << (4 * (15 - i))
+      |                       for i in range(1, 16)])::BIGINT AS hv
+      |      FROM v),
+      |rw AS (SELECT event_type, hv >> $width AS reg, hv & $mask AS w FROM h),
+      |r AS (SELECT event_type, reg,
+      |             max(CASE WHEN w = 0 THEN $scale ELSE $scale - length(bin(w)) END)::BIGINT AS mx
+      |      FROM rw GROUP BY 1, 2),
+      |agg AS (SELECT event_type, count(*)::BIGINT AS nz,
+      |               sum(1::BIGINT << ($scale - mx))::BIGINT AS s_nz
+      |        FROM r GROUP BY 1),
+      |e AS (SELECT event_type, ($m - nz) AS z, (($m - nz)::BIGINT << $scale) + s_nz AS s_scaled FROM agg)
+      |SELECT event_type,
+      |       CASE WHEN z > 0 AND (${Analytics.hllNumerator(p)} / s_scaled::DOUBLE) <= ${2.5 * m}
+      |            THEN round(ln($m.0 / z::DOUBLE) * 1000000.0)::BIGINT::DOUBLE * $m.0 / 1000000.0
+      |            ELSE ${Analytics.hllNumerator(p)} / s_scaled::DOUBLE END AS $estCol
+      |FROM e""".stripMargin
+  }
+
+  private val hllApproxUsersOracle: String =
+    s"""WITH est AS (${hllEstimateSql("approx_users")}),
+      |n AS (SELECT event_type, count(*)::BIGINT AS n_events FROM events GROUP BY 1)
+      |SELECT est.event_type, est.approx_users, n.n_events
+      |FROM est JOIN n USING (event_type)""".stripMargin
+
+  /** SimHash signature replay: md5Hash60 per distinct token, 60 per-bit
+    * ±1 vote sums, 4×16-bit chunk values (bits 60–63 pin to 0 — the md5
+    * fold is 60-bit, see [[graft.ops.DedupOps.simhash]]), candidates from
+    * chunk-equality buckets (recall-complete for Hamming ≤ 3 by
+    * pigeonhole), Hamming as Σ bit_count(xor(chunk)). Docs whose token
+    * list is EMPTY still get signature 0 (all vote sums are 0, no bit
+    * set) — the LEFT JOIN + coalesce mirrors the engine, where simhash of
+    * an empty array is 0, not absent.
+    */
+  private val simhashOracle: String = {
+    val votes = (0 until 60)
+      .map(b => s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n|             ")
+    def chunk(c: Int): String = {
+      val hi = if (c < 3) 16 else 12 // chunk 3 carries only bits 48–59
+      (0 until hi)
+        .map(j => s"(CASE WHEN coalesce(v${16 * c + j}, 0) > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+    }
+    raw"""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+      |            FROM documents),
+      |tok AS (SELECT DISTINCT doc_id, unnest(w) AS token FROM t),
+      |h AS (SELECT doc_id,
+      |             list_sum([(strpos('0123456789abcdef', md5(token)[i]) - 1)::BIGINT << (4 * (15 - i))
+      |                       for i in range(1, 16)])::BIGINT AS hv
+      |      FROM tok),
+      |v AS (SELECT doc_id,
+      |             $votes
+      |      FROM h GROUP BY 1),
+      |sig AS (SELECT d.doc_id, (${chunk(0)})::BIGINT AS c0, (${chunk(1)})::BIGINT AS c1,
+      |               (${chunk(2)})::BIGINT AS c2, (${chunk(3)})::BIGINT AS c3
+      |        FROM (SELECT doc_id FROM documents) d LEFT JOIN v USING (doc_id)),
+      |ch AS (SELECT doc_id, 0 AS c, c0 AS val FROM sig UNION ALL
+      |       SELECT doc_id, 1, c1 FROM sig UNION ALL
+      |       SELECT doc_id, 2, c2 FROM sig UNION ALL
+      |       SELECT doc_id, 3, c3 FROM sig),
+      |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |          FROM ch a JOIN ch b ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id),
+      |ham AS (SELECT doc_a, doc_b,
+      |               (bit_count(xor(sa.c0, sb.c0)) + bit_count(xor(sa.c1, sb.c1))
+      |                + bit_count(xor(sa.c2, sb.c2)) + bit_count(xor(sa.c3, sb.c3)))::INTEGER AS hamming
+      |        FROM pairs
+      |        JOIN sig sa ON sa.doc_id = pairs.doc_a
+      |        JOIN sig sb ON sb.doc_id = pairs.doc_b)
+      |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
+  }
+
+  /** SRP-LSH replay: the 64 Gaussian hyperplanes regenerated from the SAME
+    * `java.util.Random(42)` the engine plan embeds
+    * ([[graft.ops.SimilarityOps.srpPlanes]] — Double.toString round-trips,
+    * so the SQL literals parse back to bit-identical doubles), signature
+    * bits as sign of list_dot_product (same summation order as graft_dot),
+    * 8×8-bit band values, candidates from band-equality buckets, exact
+    * cosine re-rank — the engine's whole plan, step for step.
+    */
+  private val annLshOracle: String = {
+    val planes = SimilarityOps.srpPlanes(dim = 64, nBits = 64, seed = 42L)
+    val bitCols = planes.zipWithIndex
+      .map { case (h, b) =>
+        val arr = h.map(_.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN 1 ELSE 0 END) AS b$b"
+      }
+      .mkString(",\n|             ")
+    val bandCols = (0 until 8)
+      .map { c =>
+        (0 until 8).map(j => s"b${c * 8 + j} * ${1L << j}").mkString("(", " + ", s")::BIGINT AS band$c")
+      }
+      .mkString(",\n|               ")
+    val bandUnion = (0 until 8)
+      .map(c => s"SELECT vec_id, $c AS band, band$c AS val FROM bands")
+      .mkString("\n|       UNION ALL ")
+    raw"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |sig AS (SELECT vec_id,
+      |             $bitCols
+      |      FROM n),
+      |bands AS (SELECT vec_id,
+      |               $bandCols
+      |          FROM sig),
+      |cb AS ($bandUnion),
+      |pb AS (SELECT vec_id AS probe_id, band, val FROM cb WHERE vec_id < 20),
+      |cand AS (SELECT DISTINCT pb.probe_id, cb.vec_id
+      |         FROM pb JOIN cb USING (band, val) WHERE cb.vec_id <> pb.probe_id),
+      |j AS (SELECT cand.probe_id, cand.vec_id,
+      |             CASE WHEN p.nrm * c.nrm > 0 THEN list_dot_product(p.v, c.v) / (p.nrm * c.nrm) END AS sim
+      |      FROM cand JOIN n c ON c.vec_id = cand.vec_id JOIN n p ON p.vec_id = cand.probe_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+      |      FROM j WHERE sim IS NOT NULL)
+      |SELECT probe_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
+  }
 
   private val vocabDriftOracle: String =
     raw"""WITH ta AS (SELECT unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
@@ -5698,6 +5851,12 @@ object SparkEntry {
         |      FROM m)
         |SELECT user_id, ts AS event_ts, event_id, event_type, run_seq FROM r WHERE nr = 1""".stripMargin,
     "q_kmv_users" -> kmvOracle,
+    "q_approx_users" -> hllApproxUsersOracle,
+    // shared one-pass register replay: the incremental per-day fold must
+    // land on the identical register file (max is associative)
+    "q_hll_incremental" -> hllEstimateSql("approx_distinct"),
+    "q_simhash_dedup" -> simhashOracle,
+    "q_ann_lsh" -> annLshOracle,
     "q_bollinger" ->
       s"""WITH $monthlyLastCloseCtes,
         |b AS (

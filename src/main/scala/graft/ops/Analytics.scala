@@ -297,6 +297,99 @@ object Analytics {
     partials.groupBy(keys.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_distinct"))
 
+  // ---------------------------------------------------------------------
+  // Fixed-point HLL — the ORACLE-CHECKABLE HyperLogLog. Spark's native
+  // hll_sketch_agg (above) carries an xxhash-seeded register file no other
+  // engine can replay; this variant builds the registers from the SAME
+  // md5 hex-fold 60-bit hash as the KMV/CMS sketches, keeps them as a
+  // LONG-FORM RELATION (keys…, reg, mx) instead of an opaque binary, and
+  // derives the estimate with integer-exact dyadic sums so a DuckDB oracle
+  // reproduces every register AND every estimate bit-for-bit.
+  //
+  // Scale shape: one hash projection + one (keys, reg) max-aggregate —
+  // map-side combine collapses each partition to ≤ m rows per key before
+  // the shuffle, so a 100 TB scan moves only |keys|·m tiny rows. Registers
+  // are a max-monoid: per-day partials fold losslessly ([[hllMerge]]).
+  // ---------------------------------------------------------------------
+
+  /** Register width p: 2^p registers over the 60-bit hash space. m = 256
+    * gives ~6.5% raw-HLL rsd and an exact-ish linear-counting regime below
+    * 2.5·m = 640 distinct — both branches of the estimator are exercised
+    * across the shipped scale factors (sf0.01 ≈ 150 distinct users/type,
+    * sf0.1 ≈ 1500).
+    */
+  val HllP: Int = 8
+
+  /** alpha_m · m² · 2^(width+1) — the raw-estimate numerator, computed ONCE
+    * here and embedded as the same double literal in both the Spark plan
+    * and the DuckDB oracle (Double.toString round-trips, so both engines
+    * divide the identical constant by the identical integer-exact scaled
+    * harmonic sum: the estimate is deterministic to the last bit).
+    */
+  def hllNumerator(p: Int): Double = {
+    val m = 1 << p
+    0.7213 / (1 + 1.079 / m) * m * m * math.pow(2.0, 61 - p)
+  }
+
+  /** Per-key fixed-point HLL registers: (keys…, reg, mx) — one row per
+    * NON-EMPTY register, mx the max "rank" (leading-zero count + 1 of the
+    * hash's low `60-p` bits; 0 remaining bits rank as width+1, the standard
+    * convention). Missing registers read as rank 0 at estimate time.
+    */
+  def hllRegisters(df: DataFrame, keys: Seq[String], valueCol: String, p: Int = HllP): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of the sane register range [4,16]")
+    val width = 60 - p
+    val hv = expr(
+      s"cast(conv(substring(md5(cast(`$valueCol` as string)), 1, 15), 16, 10) as bigint)")
+    // rank via length(bin(w)): bin renders a positive long with NO leading
+    // zeros (Java Long.toBinaryString — DuckDB's bin() agrees), so
+    // floor(log2 w)+1 is an exact INTEGER string length, never a float log
+    val w = col("__w")
+    val rank = when(w === 0L, lit((width + 1).toLong))
+      .otherwise(lit((width + 1).toLong) - length(bin(w)).cast("long"))
+    df.filter(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ hv.as("__hv"): _*)
+      .select(keys.map(col) :+
+        shiftright(col("__hv"), width).as("reg") :+
+        col("__hv").bitwiseAND(lit((1L << width) - 1)).as("__w"): _*)
+      .groupBy((keys :+ "reg").map(col): _*)
+      .agg(max(rank).as("mx"))
+  }
+
+  /** Fold register partials over a coarser key: registers are a max-monoid,
+    * so merge-of-partials is EXACTLY the one-pass register file (the
+    * registered incremental query proves it by sharing the from-scratch
+    * oracle, the same discipline as kmvMerge/mergeLmCounts).
+    */
+  def hllMerge(registers: DataFrame, keys: Seq[String]): DataFrame =
+    registers.groupBy((keys :+ "reg").map(col): _*).agg(max(col("mx")).as("mx"))
+
+  /** Distinct-count estimate from fixed-point registers. The harmonic sum
+    * Σ 2^(−mx) is computed as the INTEGER Σ 2^(width+1−mx) (every term a
+    * dyadic rational scaled to exactness; ≤ m·2^(width+1) = 2^61 fits a
+    * BIGINT), so the only floating-point steps are one long→double
+    * conversion and one division — both IEEE-deterministic. Small-range
+    * linear counting (E ≤ 2.5m with empty registers) quantizes its ln to
+    * micro-nats before the arithmetic, the engine-wide transcendental
+    * discipline. Output: (keys…, approx_distinct DOUBLE).
+    */
+  def hllEstimate(registers: DataFrame, keys: Seq[String], p: Int = HllP): DataFrame = {
+    val m = 1 << p
+    val scale = 61 - p // width + 1
+    val z = lit(m.toLong) - col("__nz")
+    val sScaled = call_function("shiftleft", z, lit(scale)) + col("__snz")
+    val raw = lit(hllNumerator(p)) / sScaled.cast("double")
+    val lc = round(log(lit(m.toDouble) / z.cast("double")) * lit(1e6)).cast("long")
+      .cast("double") * lit(m.toDouble) / lit(1e6)
+    registers
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("__nz"),
+        sum(call_function("shiftleft", lit(1L), (lit(scale) - col("mx")).cast("int"))).as("__snz"))
+      .select(keys.map(col) :+
+        when(z > 0 && raw <= lit(2.5 * m), lc).otherwise(raw).as("approx_distinct"): _*)
+  }
+
   /** The count-min sketch slot of `value` in hash row `rowId` — the ONE
     * hash expression shared by sketch build ([[cmsSketch]]), probe
     * ([[cmsEstimate]]) and the streaming adapter ([[cmsCells]]): the

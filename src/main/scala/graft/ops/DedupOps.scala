@@ -1969,7 +1969,32 @@ object DedupOps {
       })
   }
 
+  /** md5 hex-fold 60-bit token hash — the KMV/CMS recipe
+    * ([[graft.ops.Analytics.kmvSketch]]): parse the first 15 hex chars of
+    * md5 as one BIGINT. Deterministic and ORACLE-VISIBLE — a DuckDB oracle
+    * replays the identical nibble fold — unlike xxhash64, whose seeded
+    * avalanche no other SQL engine reproduces.
+    */
+  def md5Hash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** Token simhash over [[md5Hash60]] hashes. Bits 60–63 of the hash are
+    * always zero, so the signature is an effective 60-bit simhash (the top
+    * 4 vote sums are unanimously −n and those signature bits pin to 0 on
+    * EVERY document — Hamming distances between any two signatures are
+    * unaffected). The md5 hash makes the whole pair relation replayable by
+    * the q_simhash_dedup DuckDB oracle, which the previous xxhash64 form
+    * could never be.
+    */
   def simhash(tokensCol: Column): Column =
+    simhashFromHashes(transform(array_distinct(tokensCol), t => md5Hash60(t)))
+
+  /** The xxhash64 variant of [[simhash]] — one codegen'd hash vs md5's
+    * digest per token (faster when no cross-engine oracle needs to replay
+    * the signature, e.g. operational dedup where only pair AGREEMENT
+    * matters, not external reproducibility).
+    */
+  def simhashXx(tokensCol: Column): Column =
     simhashFromHashes(transform(array_distinct(tokensCol), t => xxhash64(t)))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 with the

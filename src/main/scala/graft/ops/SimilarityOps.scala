@@ -1240,15 +1240,22 @@ object SimilarityOps {
       probes, idCol, vecCol, k, dim, nBits, nBands, seed)
 
   /** The seed-deterministic Gaussian hyperplanes behind the SRP signature —
-    * one definition, so an index persisted by [[srpIndex]] and probe
-    * signatures computed later by [[knnLshSrpSearch]] (same dim/nBits/seed)
-    * always agree.
+    * ONE definition shared by index build, probe signing AND the DuckDB
+    * oracle: `java.util.Random`'s LCG + nextGaussian are spec-pinned, so the
+    * same (dim, nBits, seed) always regenerates the identical doubles, and
+    * an oracle that embeds `srpPlanes(...)` as literals replays the exact
+    * plan (Double.toString round-trips, so the SQL literal parses back to
+    * the bit-identical double).
     */
-  private def srpSignature(dim: Int, nBits: Int, seed: Long)(v: Column): Column = {
+  def srpPlanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
-    val planes = Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()).toSeq)
+    Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  private def srpSignature(dim: Int, nBits: Int, seed: Long)(v: Column): Column = {
+    val planes = srpPlanes(dim, nBits, seed)
     planes.zipWithIndex.map { case (h, b) =>
-      when(dot(v, typedlit(h)) >= 0, lit(1L << b)).otherwise(lit(0L))
+      when(dot(v, typedlit(h.toSeq)) >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
   }
 

@@ -256,7 +256,8 @@ class DedupTextSpec extends AnyFunSuite {
     assert(win == exact, s"winnow-verified diverged: missing=${exact -- win} extra=${win -- exact}")
     // simhash at radius 3 is a near-EXACT-dup detector: verified pairs are a
     // subset (precision 1.0), and on this corpus it DOES miss J≈0.9 pairs —
-    // which is why q_simhash_dedup is documented rows-only, not oracle-shared
+    // which is why q_simhash_dedup's oracle REPLAYS the md5 signature
+    // computation rather than sharing the exact-Jaccard relation
     val sim = DedupOps.simhashVerifiedPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .as[(Long, Long, Double)].collect().toSet
     assert(sim.subsetOf(exact), s"simhash-verified must never invent pairs: ${sim -- exact}")
