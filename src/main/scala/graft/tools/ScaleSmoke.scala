@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.DedupOps
+import graft.ops.{Analytics, DedupOps}
 
 /** Scaling smoke for the dedup pipelines: replicate the documents corpus
   * K× with per-copy perturbation (every 5th token salted, so copies do NOT
@@ -22,7 +22,7 @@ object ScaleSmoke {
     val known =
       Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix",
         "editdist", "kmeans", "incr", "incrstore", "knncross", "bpe", "govern", "staged",
-        "entropy", "wordpiece", "dsir", "substring", "incrsub", "contend")
+        "entropy", "wordpiece", "dsir", "substring", "incrsub", "contend", "hll")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -913,6 +913,32 @@ object ScaleSmoke {
     // produces). The committed quiet:contended ratios make the NEXT
     // contended driver capture attributable from this artifact alone: a
     // driver time inside quiet·ratio is window noise, not a regression ----
+    // ---- fixed-point HLL: the register relation must stay BOUNDED
+    // (≤ keys·m rows) while the input grows decades — the whole point of
+    // sketching a 100 TB distinct-count; and the raw-branch estimate must
+    // hold its ~6.5% rsd as cardinality climbs ----
+    if (want("hll")) println("hll: k,rows,distinct_per_type,reg_rows,max_err_pct,seconds")
+    ks("hll", Seq(1, 4, 16, 64), Seq(1, 16, 64, 256)).foreach { k =>
+      val nDistinct = k * 50000L
+      // (type t, user u) exactly once per pair: each of the 5 types sees
+      // exactly nDistinct distinct users — the exact truth is analytic
+      val ev = spark.range(0, nDistinct * 5).select(
+        (col("id") % 5).cast("string").as("event_type"),
+        // integer division — `/` alone is Spark double division, which
+        // would hash "0.2"-style strings instead of integer ids
+        (col("id") / 5).cast("long").as("user_id"))
+      spark.sharedState.cacheManager.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val regs = Analytics.hllRegisters(ev, Seq("event_type"), "user_id").cache()
+      val regRows = regs.count()
+      val ests = Analytics.hllEstimate(regs, Seq("event_type"))
+        .select(col("approx_distinct")).collect().map(_.getDouble(0))
+      val secs = (System.nanoTime() - t0) / 1e9
+      regs.unpersist()
+      val maxErr = ests.map(e => math.abs(e - nDistinct) / nDistinct * 100).max
+      println(f"hll: $k,${nDistinct * 5},$nDistinct,$regRows,$maxErr%.2f,$secs%.1f")
+    }
+
     if (want("contend")) {
       println("contend: query,quiet_s,contended_s,ratio")
       val names =
