@@ -3117,9 +3117,15 @@ object SparkEntry {
     SimilarityOps.knnMerge(stored, delta, k = 10)
   }
 
-  /** Embedding-cosine near-duplicate pairs at cosine ≥ 0.4 (exact form —
-    * broadcast upper-triangle scan with the native dot kernel; the scale
-    * path is k-means-list blocking, see SimilarityOps.cosineNearDupPairs).
+  /** Embedding-cosine near-duplicate pairs at cosine ≥ 0.4 — the EXACT
+    * REFERENCE RELATION of the semantic-dedup family, deliberately kept
+    * registered alongside the scale path: this is the ground truth that
+    * `q_embedding_neardup_blocked`'s recall (≥ 0.9, spec-pinned) and
+    * `q_semantic_dedup`'s blocked composition are measured AGAINST, the
+    * knnBrute-vs-IVF convention. The plan is a broadcast upper-triangle
+    * scan with the native dot kernel — O(n²) BY CONTRACT, bounded to
+    * reference/audit corpus sizes (a recall denominator has to be exact;
+    * sub-quadratic production dedup is the blocked query's job).
     */
   def qEmbeddingNeardup(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.cosineNearDupPairs(
