@@ -482,6 +482,108 @@ object Streaming {
     }
   }
 
+  /** Maintained fixed-point HLL distinct-count registers over a
+    * micro-batched stream — the sketch-monoid sibling of [[RollupStream]]
+    * (which maintains exact count+sum): each batch contributes its
+    * [[graft.ops.Analytics.hllRegisters]] relation and the running state is
+    * the [[graft.ops.Analytics.hllMerge]] max-fold, so the maintained
+    * registers are EXACTLY the one-shot registers over every row ever seen
+    * (max is associative and commutative) and [[estimate]] derives the
+    * distinct count at any moment without rescanning history. State is
+    * ≤ |keys|·2^p rows regardless of stream volume.
+    *
+    * Durability rides the same per-batch slot protocol as RollupStream —
+    * with one strengthening: register MAX is IDEMPOTENT, so unlike the
+    * additive rollup a re-delivered or replayed batch can never corrupt
+    * the state even without the slot fencing (re-merging the same
+    * registers is a no-op; spec-pinned). The slots exist for restart
+    * rebuild and between-runs [[compact]]ion, not for replay safety.
+    */
+  class HllStream(
+      keys: Seq[String],
+      valueCol: String,
+      p: Int = graft.ops.Analytics.HllP,
+      storeDir: Option[String] = None) {
+    @volatile private var state: Option[DataFrame] = None
+    @volatile private var incremental = false
+
+    /** The maintained register relation (keys…, reg, mx). */
+    def current: Option[DataFrame] = state
+
+    /** The distinct-count estimates derived from the current registers. */
+    def estimate: Option[DataFrame] =
+      state.map(graft.ops.Analytics.hllEstimate(_, keys, p))
+
+    private def mergeAll(partials: DataFrame): DataFrame =
+      graft.ops.Analytics.hllMerge(partials.drop("batch_id"), keys)
+
+    private def recoverCompaction(spark: SparkSession, d: String): Unit = {
+      val (fs, _) = fsFor(spark, d)
+      val tmps = committedSlots(spark, d, ".compact-")
+      tmps.drop(1).foreach { case (_, t) => fs.delete(t, true): Unit }
+      tmps.headOption.foreach { case (id, tmp) =>
+        committedSlots(spark, d, "batch_id=").foreach { case (_, s) => fs.delete(s, true): Unit }
+        fs.rename(tmp, new org.apache.hadoop.fs.Path(d, s"batch_id=$id")): Unit
+      }
+    }
+
+    /** Fold all per-batch register slots into one base slot (the
+      * RollupStream compaction contract: between query runs only).
+      */
+    def compact(spark: SparkSession): Int = storeDir match {
+      case Some(d) =>
+        recoverCompaction(spark, d)
+        val slots = committedSlots(spark, d, "batch_id=")
+        if (slots.length <= 1) 0
+        else {
+          val (fs, _) = fsFor(spark, d)
+          val newBase = math.min(slots.map(_._1).min, 0L) - 1
+          val merged = mergeAll(spark.read.parquet(d)).localCheckpoint(true)
+          merged.write.mode("overwrite").parquet(s"$d/.compact-$newBase")
+          slots.foreach { case (_, s) => fs.delete(s, true): Unit }
+          fs.rename(
+            new org.apache.hadoop.fs.Path(d, s".compact-$newBase"),
+            new org.apache.hadoop.fs.Path(d, s"batch_id=$newBase")): Unit
+          state = Some(merged)
+          slots.length
+        }
+      case _ => 0
+    }
+
+    def start(stream: DataFrame, checkpointDir: String): StreamingQuery = {
+      val spark = stream.sparkSession
+      incremental = false
+      storeDir.foreach { d =>
+        recoverCompaction(spark, d)
+        if (state.isEmpty && committedSlots(spark, d, "batch_id=").nonEmpty)
+          state = Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
+      }
+      stream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val part = graft.ops.Analytics.hllRegisters(batch, keys, valueCol, p)
+            .localCheckpoint(true)
+          state = storeDir match {
+            case Some(d) =>
+              part.write.mode("overwrite").parquet(s"$d/batch_id=$batchId")
+              if (!incremental) {
+                incremental = true
+                committedSlots(spark, d, "batch_id=") // fence crashed slots
+                Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
+              } else Some(graft.ops.Analytics
+                .hllMerge(state.get.unionByName(part), keys).localCheckpoint(true))
+            case None =>
+              Some((state match {
+                case Some(prev) => graft.ops.Analytics.hllMerge(prev.unionByName(part), keys)
+                case None       => part
+              }).localCheckpoint(true))
+          }
+        }
+        .start()
+    }
+  }
+
   /** Maintained NEAR-DUP cluster labeling over a micro-batched document
     * stream — the streaming form of the incremental dedup story
     * (q_neardup_clusters_incr's store/batch cycle driven by a real

@@ -329,6 +329,45 @@ class JobsStreamingSpec extends AnyFunSuite {
       (1L, 4L, 14.75), (2L, 2L, 3.5), (3L, 2L, 10.0), (4L, 1L, 6.0)))
   }
 
+  test("HllStream: maintained registers equal the one-shot file across kill/restart/compaction; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = Seq(("click", 1L), ("click", 2L), ("view", 1L))
+    val t2 = Seq(("click", 3L), ("view", 2L), ("view", 2L)) // intra-batch dup
+    val t3 = Seq(("click", 1L), ("view", 9L)) // cross-batch re-sighting
+    val stream = MemoryStream[(String, Long)]
+    val df = stream.toDF().toDF("event_type", "user_id")
+    val ckpt = Files.createTempDirectory("graft-hll-ckpt").toString
+    val store = Files.createTempDirectory("graft-hll-store").toString + "/hll"
+    val s1 = new Streaming.HllStream(Seq("event_type"), "user_id", storeDir = Some(store))
+    val q1 = s1.start(df, ckpt)
+    stream.addData(t1); q1.processAllAvailable(); q1.stop()
+    val s2 = new Streaming.HllStream(Seq("event_type"), "user_id", storeDir = Some(store))
+    val q2 = s2.start(df, ckpt)
+    stream.addData(t2); q2.processAllAvailable() // first batch: disk rebuild
+    stream.addData(t3); q2.processAllAvailable() // steady state: O(keys·m) merge
+    q2.stop()
+    def regs(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("event_type"), col("reg"), col("mx"))
+        .as[(String, Long, Long)].collect().toSet
+    val oneShot = graft.ops.Analytics.hllRegisters(
+      (t1 ++ t2 ++ t3).toDF("event_type", "user_id"), Seq("event_type"), "user_id")
+    assert(regs(s2.current.get) == regs(oneShot),
+      "maintained registers must equal the one-shot register file")
+    // the derived estimates agree too (same registers, same formula)
+    val estStream = s2.estimate.get.as[(String, Double)].collect().toMap
+    val estBatch = graft.ops.Analytics.hllEstimate(oneShot, Seq("event_type"))
+      .as[(String, Double)].collect().toMap
+    assert(estStream == estBatch)
+    // compaction folds the slots; a further restart + re-DELIVERED data is
+    // a register no-op (max is idempotent — stronger than the rollup's sums)
+    assert(s2.compact(spark) == 3)
+    val s3 = new Streaming.HllStream(Seq("event_type"), "user_id", storeDir = Some(store))
+    val q3 = s3.start(df, ckpt)
+    stream.addData(t1 ++ t2 ++ t3); q3.processAllAvailable(); q3.stop()
+    assert(regs(s3.current.get) == regs(oneShot),
+      "re-delivering every row ever seen must leave the registers unchanged")
+  }
+
   test("SnapshotStream recovery fences a crashed version write and resumes from the last good one") {
     implicit val sqlCtx = spark.sqlContext
     val store = Files.createTempDirectory("graft-snapv").toString + "/snap"
