@@ -3216,6 +3216,45 @@ object SparkEntry {
       .select(col("media_id"), col("window_idx"), col("start_ms"), col("end_ms"))
   }
 
+  /** REAL-codec image round trip, driver-oracled: every doc id renders a
+    * deterministic two-band test card through the JDK's actual PNG encoder
+    * ([[MultimodalOps.renderTestCards]]), then [[MultimodalOps
+    * .decodeImageFeatures]] decodes the true pixels back — dims and
+    * INTEGER-EXACT channel sums. PNG is lossless for 8-bit RGB, so the
+    * decoded sums equal the closed form
+    * `w·(⌊h/2⌋·top_c + (h−⌊h/2⌋)·bot_c)` the oracle computes from pure id
+    * arithmetic: a fake or lossy codec CANNOT pass this gate. This is the
+    * real-decode complement of the decodeStub-flagged generator queries.
+    */
+  def qImageDecode(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.decodeImageFeatures(spark,
+      MultimodalOps.renderTestCards(spark,
+        Tables.documents(spark, dir).select(col("doc_id")), "doc_id"))
+      .toDF()
+      .select(col("media_id"), col("decode_ok"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+
+  /** REAL-codec resize round trip: solid test cards (8..44 × 4..26,
+    * straddling the 16-box both ways) through decode → Graphics2D box-fit
+    * rescale (never upscaling) → PNG re-encode → decode AGAIN. Geometry is
+    * integer box-fit arithmetic the oracle replays; a solid color survives
+    * ANY interpolation kernel exactly, so the re-decoded channel sums are
+    * the closed form color·w'·h' — the whole decode→transform→re-encode→
+    * decode pipeline is bit-checked through two real codec passes.
+    */
+  def qImageResize(spark: SparkSession, dir: String): DataFrame = {
+    val cards = MultimodalOps.renderTestCards(spark,
+      Tables.documents(spark, dir).select(col("doc_id")), "doc_id", solid = true)
+    val resized = MultimodalOps.resizeImages(spark, cards, maxDim = 16).toDF()
+    MultimodalOps.decodeImageFeatures(spark,
+      resized.select(col("media_id"), col("kind"), col("n_bytes"), col("payload")))
+      .toDF()
+      .join(resized.select(col("media_id"),
+        col("src_width"), col("src_height"), col("resized")), Seq("media_id"))
+      .select(col("media_id"), col("resized"), col("src_width"), col("src_height"),
+        col("width"), col("height"), col("sum_r"), col("sum_g"), col("sum_b"))
+  }
+
   /** Embedding-space decontamination ([[SimilarityOps.semanticDecontaminate]]):
     * the %13 vectors act as the eval benchmark, the rest as train; every
     * train vector gets its nearest-eval cosine and a ≥0.9 contamination
@@ -3476,6 +3515,8 @@ object SparkEntry {
     "q_binary_meta"             -> (qBinaryMeta(_, _)),
     "q_frame_sample"            -> (qFrameSample(_, _)),
     "q_audio_windows"           -> (qAudioWindows(_, _)),
+    "q_image_decode"            -> (qImageDecode(_, _)),
+    "q_image_resize"            -> (qImageResize(_, _)),
     "q_latest_snapshot_upsert"  -> (qLatestSnapshotUpsert(_, _)),
     "q_merge_last_wins"         -> (qMergeLastWins(_, _)),
     "q_cdc_apply"               -> (qCdcApply(_, _)),
@@ -6880,6 +6921,41 @@ object SparkEntry {
     "q_binary_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind, octet_length(text::BLOB)::BIGINT AS n_bytes
         |FROM documents""".stripMargin,
+    // the REAL-codec round trips: the oracle computes what a correct PNG
+    // encode→decode (and encode→rescale→re-encode→decode) MUST reproduce
+    // from pure id arithmetic — no codec on the oracle side, the closed
+    // form IS the check (lossless 8-bit RGB; solid color survives any
+    // interpolation kernel)
+    "q_image_decode" ->
+      """WITH c AS (
+        |  SELECT doc_id AS media_id,
+        |         (16 + doc_id % 17)::BIGINT AS w, (8 + doc_id % 13)::BIGINT AS h,
+        |         (doc_id * 37 % 256)::BIGINT AS tr, (doc_id * 59 % 256)::BIGINT AS tg, (doc_id * 83 % 256)::BIGINT AS tb,
+        |         (doc_id * 101 % 256)::BIGINT AS br, (doc_id * 131 % 256)::BIGINT AS bg, (doc_id * 151 % 256)::BIGINT AS bb
+        |  FROM documents)
+        |SELECT media_id, true AS decode_ok, w AS width, h AS height,
+        |       (w * ((h // 2) * tr + (h - h // 2) * br))::BIGINT AS sum_r,
+        |       (w * ((h // 2) * tg + (h - h // 2) * bg))::BIGINT AS sum_g,
+        |       (w * ((h // 2) * tb + (h - h // 2) * bb))::BIGINT AS sum_b
+        |FROM c""".stripMargin,
+    "q_image_resize" ->
+      """WITH c AS (
+        |  SELECT doc_id AS media_id,
+        |         (8 + doc_id % 37)::BIGINT AS w, (4 + doc_id % 23)::BIGINT AS h,
+        |         (doc_id * 37 % 256)::BIGINT AS r, (doc_id * 59 % 256)::BIGINT AS g, (doc_id * 83 % 256)::BIGINT AS b
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, w, h, r, g, b,
+        |         least(16, greatest(w, h)) AS s, greatest(w, h) AS d
+        |  FROM c),
+        |o AS (
+        |  SELECT media_id, w AS src_width, h AS src_height, r, g, b,
+        |         greatest(1, w * s // d)::BIGINT AS ow, greatest(1, h * s // d)::BIGINT AS oh
+        |  FROM f)
+        |SELECT media_id, true AS resized, src_width, src_height,
+        |       ow AS width, oh AS height,
+        |       (r * ow * oh)::BIGINT AS sum_r, (g * ow * oh)::BIGINT AS sum_g, (b * ow * oh)::BIGINT AS sum_b
+        |FROM o""".stripMargin,
     "q_embedding_knn" -> knnOracle,
     "q_mmr_select" -> mmrOracle,
     "q_kcenter_select" -> kCenterOracle,

@@ -82,4 +82,74 @@ class MultimodalSpec extends AnyFunSuite {
     val w1 = got(1L).sortBy(_._2)
     assert(w1.zip(w1.tail).forall { case (a, b) => b._3 - a._3 == 1000L })
   }
+
+  // ---- REAL image codec path (javax.imageio — the JDK's own PNG codec) ----
+
+  test("real PNG round trip: decoded dims and channel sums equal the closed form, including odd heights and 1px strips") {
+    // crafted geometries: odd/even heights (band split), 1-row, 1-col
+    val cases = Seq((7L, 5, 4), (8L, 3, 5), (9L, 1, 9), (10L, 6, 1))
+    val rows = cases.map { case (id, w, h) =>
+      val top = 0xFF8040; val bot = 0x102030
+      MultimodalOps.MediaRecord(id, "image", 0L, MultimodalOps.renderPng(w, h, top, bot))
+    }
+    val got = MultimodalOps.decodeImageFeatures(spark, rows.toDF())
+      .collect().map(f => f.media_id -> f).toMap
+    cases.foreach { case (id, w, h) =>
+      val f = got(id)
+      assert(f.decode_ok && f.width == w && f.height == h)
+      val (tRows, bRows) = (h / 2, h - h / 2)
+      assert(f.sum_r == w.toLong * (tRows * 0xFF + bRows * 0x10), s"sum_r id=$id")
+      assert(f.sum_g == w.toLong * (tRows * 0x80 + bRows * 0x20), s"sum_g id=$id")
+      assert(f.sum_b == w.toLong * (tRows * 0x40 + bRows * 0x30), s"sum_b id=$id")
+    }
+  }
+
+  test("corrupt/truncated/non-image payloads land as decode_ok=false rows — the scan never dies") {
+    val png = MultimodalOps.renderPng(6, 4, 0xAABBCC, 0x112233)
+    val rows = Seq(
+      MultimodalOps.MediaRecord(1L, "image", 0L, png),
+      MultimodalOps.MediaRecord(2L, "image", 0L, "not an image at all".getBytes("UTF-8")),
+      MultimodalOps.MediaRecord(3L, "image", 0L, java.util.Arrays.copyOf(png, 11)),
+      MultimodalOps.MediaRecord(4L, "image", 0L, Array.empty[Byte]))
+    val got = MultimodalOps.decodeImageFeatures(spark, rows.toDF())
+      .collect().map(f => f.media_id -> f.decode_ok).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("resizeImages: box-fit geometry, never upscales, and the re-encoded payload is a REAL decodable PNG") {
+    val solid = 0x3C96C8
+    val rows = Seq(
+      MultimodalOps.MediaRecord(1L, "image", 0L, MultimodalOps.renderPng(40, 20, solid, solid)),
+      MultimodalOps.MediaRecord(2L, "image", 0L, MultimodalOps.renderPng(5, 3, solid, solid)),
+      MultimodalOps.MediaRecord(3L, "image", 0L, "junk".getBytes("UTF-8")))
+    val out = MultimodalOps.resizeImages(spark, rows.toDF(), maxDim = 16)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(out(1L).resized && out(1L).width == 16 && out(1L).height == 8) // downscaled
+    assert(out(2L).resized && out(2L).width == 5 && out(2L).height == 3)  // never upscale
+    assert(!out(3L).resized && out(3L).payload.sameElements("junk".getBytes("UTF-8")))
+    // two real codec passes: decode the resized payload again — solid color
+    // survives any interpolation kernel exactly
+    val back = MultimodalOps.decodeImageFeatures(spark,
+      Seq(MultimodalOps.MediaRecord(1L, "image", 0L, out(1L).payload)).toDF())
+      .collect().head
+    assert(back.decode_ok && back.width == 16 && back.height == 8)
+    assert(back.sum_r == 0x3CL * 16 * 8 && back.sum_g == 0x96L * 16 * 8 &&
+      back.sum_b == 0xC8L * 16 * 8)
+  }
+
+  test("renderTestCards geometry/colors match the registered oracles' id arithmetic") {
+    val ids = Seq(0L, 1L, 16L, 254L, 255L, 256L, 12345L).toDF("doc_id")
+    val feats = MultimodalOps.decodeImageFeatures(spark,
+      MultimodalOps.renderTestCards(spark, ids, "doc_id"))
+      .collect().map(f => f.media_id -> f).toMap
+    feats.foreach { case (id, f) =>
+      val (w, h) = MultimodalOps.cardDims(id, solid = false)
+      assert(f.decode_ok && f.width == w && f.height == h, s"dims id=$id")
+      val (tRows, bRows) = (h / 2, h - h / 2)
+      def c(m: Int) = (id * m % 256).toInt
+      assert(f.sum_r == w.toLong * (tRows * c(37) + bRows * c(101)), s"sum_r id=$id")
+      assert(f.sum_g == w.toLong * (tRows * c(59) + bRows * c(131)), s"sum_g id=$id")
+      assert(f.sum_b == w.toLong * (tRows * c(83) + bRows * c(151)), s"sum_b id=$id")
+    }
+  }
 }
