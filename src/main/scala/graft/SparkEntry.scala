@@ -3255,6 +3255,25 @@ object SparkEntry {
         col("width"), col("height"), col("sum_r"), col("sum_g"), col("sum_b"))
   }
 
+  /** REAL-codec audio round trip: every doc id renders a deterministic
+    * square-wave test tone through the JDK's actual WAV encoder
+    * ([[MultimodalOps.renderTestTones]]), then [[MultimodalOps
+    * .decodeAudioFeatures]] parses the RIFF container back and windows the
+    * true PCM16 frames — sample-exact Σ|sample| and peak per window. A
+    * square wave's energy is closed-form (every sample is ±amp, so
+    * sum_abs = amp·len and peak = amp), which the oracle computes from
+    * pure id arithmetic: a decoder that misparses the header, drops a
+    * frame or rounds a sample cannot pass. Video containers remain the
+    * one stubbed modality (no in-JVM parser exists).
+    */
+  def qAudioDecode(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.decodeAudioFeatures(spark,
+      MultimodalOps.renderTestTones(spark,
+        Tables.documents(spark, dir).select(col("doc_id")), "doc_id"))
+      .toDF()
+      .select(col("media_id"), col("decode_ok"), col("sample_rate"), col("n_total"),
+        col("window_idx"), col("n_samples"), col("sum_abs"), col("peak"))
+
   /** Embedding-space decontamination ([[SimilarityOps.semanticDecontaminate]]):
     * the %13 vectors act as the eval benchmark, the rest as train; every
     * train vector gets its nearest-eval cosine and a ≥0.9 contamination
@@ -3517,6 +3536,7 @@ object SparkEntry {
     "q_audio_windows"           -> (qAudioWindows(_, _)),
     "q_image_decode"            -> (qImageDecode(_, _)),
     "q_image_resize"            -> (qImageResize(_, _)),
+    "q_audio_decode"            -> (qAudioDecode(_, _)),
     "q_latest_snapshot_upsert"  -> (qLatestSnapshotUpsert(_, _)),
     "q_merge_last_wins"         -> (qMergeLastWins(_, _)),
     "q_cdc_apply"               -> (qCdcApply(_, _)),
@@ -6956,6 +6976,22 @@ object SparkEntry {
         |       ow AS width, oh AS height,
         |       (r * ow * oh)::BIGINT AS sum_r, (g * ow * oh)::BIGINT AS sum_g, (b * ow * oh)::BIGINT AS sum_b
         |FROM o""".stripMargin,
+    "q_audio_decode" ->
+      """WITH t AS (
+        |  SELECT doc_id AS media_id,
+        |         (400 + doc_id % 1200)::BIGINT AS n, (1000 + doc_id % 20000)::BIGINT AS amp
+        |  FROM documents),
+        |w AS (
+        |  SELECT media_id, n, amp,
+        |         unnest(range(least(8, CASE WHEN n <= 256 THEN 1 ELSE (n - 256) // 128 + 1 END)))::BIGINT AS window_idx
+        |  FROM t),
+        |s AS (SELECT media_id, n, amp, window_idx,
+        |             least(256, n - window_idx * 128)::BIGINT AS len
+        |      FROM w)
+        |SELECT media_id, true AS decode_ok, 8000::BIGINT AS sample_rate, n AS n_total,
+        |       window_idx, len AS n_samples,
+        |       (amp * len)::BIGINT AS sum_abs, amp AS peak
+        |FROM s""".stripMargin,
     "q_embedding_knn" -> knnOracle,
     "q_mmr_select" -> mmrOracle,
     "q_kcenter_select" -> kCenterOracle,

@@ -410,4 +410,130 @@ object MultimodalOps {
       }
     }
   }
+
+  // =========================================================================
+  // REAL audio codec path — javax.sound.sampled (WAV/RIFF PCM), also the
+  // JDK's own: AudioSystem parses the container header (sample rate,
+  // channels, bit depth) and streams PCM frames. With it, the audio
+  // modality's decode is real too; only VIDEO containers remain stubbed
+  // (no in-JVM parser exists).
+  // =========================================================================
+
+  /** One decoded audio window: INTEGER-EXACT energy (Σ|sample| and peak
+    * over PCM16 values) per fixed sample-denominated window — integer so a
+    * decode is checkable to the last bit (float RMS would hide a sample
+    * error in rounding). `decode_ok = false` rows carry zeros, one row per
+    * undecodable media (screen, don't kill — and never silently drop).
+    */
+  case class AudioWindowFeatures(
+      media_id: Long, kind: String, decode_ok: Boolean, sample_rate: Long,
+      n_total: Long, window_idx: Long, n_samples: Long, sum_abs: Long, peak: Long)
+
+  /** Render the deterministic square-wave TEST TONE for an id: mono PCM16LE
+    * WAV at 8 kHz, `n` samples alternating ±`amp` with an even period —
+    * every decoded window's Σ|sample| is exactly amp·len and its peak
+    * exactly amp, the closed form the q_audio_decode oracle computes from
+    * pure id arithmetic. Encoded through the REAL javax.sound WAV writer.
+    */
+  private[graft] def renderWavSquare(n: Int, amp: Int, period: Int): Array[Byte] = {
+    require(n > 0 && amp > 0 && period >= 2 && period % 2 == 0, "even period, positive tone")
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = if (i % period < period / 2) amp else -amp
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Square-tone geometry: n = 400 + id % 1200 samples (50–200 ms at
+    * 8 kHz), amp = 1000 + id % 20000, period = 16 + 2·(id % 17). Pure id
+    * arithmetic — the oracle replays it in SQL.
+    */
+  private[graft] def toneParams(id: Long): (Int, Int, Int) =
+    ((400 + id % 1200).toInt, (1000 + id % 20000).toInt, (16 + 2 * (id % 17)).toInt)
+
+  /** Packed test tones from an id roster, through the real WAV encoder. */
+  def renderTestTones(spark: SparkSession, roster: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    roster.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (n, amp, period) = toneParams(id)
+        MediaRecord(id, "audio", 0L, renderWavSquare(n, amp, period))
+      }
+    }.withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("payload"))
+  }
+
+  /** REAL audio decode + windowing over packed media: javax.sound parses
+    * the WAV container per partition and streams PCM16 frames; windows are
+    * SAMPLE-denominated (`windowSamples` every `hopSamples`, last window
+    * clipped, capped at `maxWindows` — the [[audioWindowGeometry]] span
+    * arithmetic on true decoded frame counts) and each emits integer-exact
+    * Σ|sample| and peak. Multi-channel audio folds all channels into the
+    * per-window sums (frames interleave; the sample count is
+    * frames·channels). Undecodable payloads land as one
+    * `decode_ok = false` row. Payloads never shuffle.
+    */
+  def decodeAudioFeatures(
+      spark: SparkSession,
+      packed: DataFrame,
+      windowSamples: Int = 256,
+      hopSamples: Int = 128,
+      maxWindows: Int = 8): Dataset[AudioWindowFeatures] = {
+    require(windowSamples > 0 && hopSamples > 0 && maxWindows > 0,
+      "window, hop and budget must be positive")
+    import spark.implicits._
+    packed.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val decoded =
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            val f = in.getFormat
+            if (f.getSampleSizeInBits != 16 || f.isBigEndian) None
+            else {
+              val bytes = in.readAllBytes()
+              val samples = new Array[Int](bytes.length / 2)
+              var i = 0
+              while (i < samples.length) {
+                samples(i) = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toInt
+                i += 1
+              }
+              Some((f.getSampleRate.toLong, samples))
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case None =>
+            Iterator.single(AudioWindowFeatures(
+              r.media_id, r.kind, false, 0L, 0L, 0L, 0L, 0L, 0L))
+          case Some((rate, samples)) =>
+            val n = samples.length
+            val nAll = if (n <= windowSamples) 1L else ((n - windowSamples) / hopSamples + 1).toLong
+            val nw = math.min(maxWindows.toLong, nAll).toInt
+            (0 until nw).iterator.map { w =>
+              val start = w * hopSamples
+              val end = math.min(start + windowSamples, n)
+              var (sumAbs, peak) = (0L, 0L)
+              var i = start
+              while (i < end) {
+                val a = math.abs(samples(i).toLong)
+                sumAbs += a; if (a > peak) peak = a
+                i += 1
+              }
+              AudioWindowFeatures(r.media_id, r.kind, true, rate, n.toLong,
+                w.toLong, (end - start).toLong, sumAbs, peak)
+            }
+        }
+      }
+    }
+  }
 }

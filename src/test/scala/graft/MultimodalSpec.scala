@@ -137,6 +137,42 @@ class MultimodalSpec extends AnyFunSuite {
       back.sum_b == 0xC8L * 16 * 8)
   }
 
+  test("real WAV round trip: decoded windows carry sample-exact energy; header fields parse; corrupt audio screens") {
+    // crafted tone: 700 samples ±1234, period 20 → windows at 256/128:
+    // nw = (700-256)/128 + 1 = 4, last clipped to 700 - 3*128 = 316 → 256? no:
+    // len(w) = min(256, 700 - w*128) → 256, 256, 256, 172 (wait w=3: 700-384=316 → 256)
+    val wav = MultimodalOps.renderWavSquare(700, 1234, 20)
+    val rows = Seq(
+      MultimodalOps.MediaRecord(1L, "audio", 0L, wav),
+      MultimodalOps.MediaRecord(2L, "audio", 0L, "definitely not RIFF".getBytes("UTF-8")))
+    val got = MultimodalOps.decodeAudioFeatures(spark, rows.toDF())
+      .collect().groupBy(_.media_id)
+    val ws = got(1L).sortBy(_.window_idx)
+    assert(ws.forall(w => w.decode_ok && w.sample_rate == 8000L && w.n_total == 700L))
+    assert(ws.map(_.window_idx).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(ws.map(_.n_samples).toSeq == Seq(256L, 256L, 256L, 256L))
+    assert(ws.forall(w => w.sum_abs == 1234L * w.n_samples && w.peak == 1234L))
+    // the undecodable payload is screened as one flagged row, never dropped
+    assert(got(2L).toSeq.map(w => (w.decode_ok, w.sum_abs)) == Seq((false, 0L)))
+  }
+
+  test("renderTestTones params match the q_audio_decode oracle's id arithmetic; last window clips exactly") {
+    val ids = Seq(0L, 1L, 955L, 1199L, 1200L, 54321L).toDF("doc_id")
+    val got = MultimodalOps.decodeAudioFeatures(spark,
+      MultimodalOps.renderTestTones(spark, ids, "doc_id"))
+      .collect().groupBy(_.media_id)
+    got.foreach { case (id, ws) =>
+      val (n, amp, _) = MultimodalOps.toneParams(id)
+      val nw = math.min(8, (n - 256) / 128 + 1)
+      assert(ws.length == nw, s"window count id=$id")
+      ws.foreach { w =>
+        val len = math.min(256, n - w.window_idx * 128)
+        assert(w.decode_ok && w.n_total == n && w.n_samples == len &&
+          w.sum_abs == amp.toLong * len && w.peak == amp.toLong, s"window $w id=$id")
+      }
+    }
+  }
+
   test("renderTestCards geometry/colors match the registered oracles' id arithmetic") {
     val ids = Seq(0L, 1L, 16L, 254L, 255L, 256L, 12345L).toDF("doc_id")
     val feats = MultimodalOps.decodeImageFeatures(spark,
