@@ -3263,8 +3263,7 @@ object SparkEntry {
     * square wave's energy is closed-form (every sample is ±amp, so
     * sum_abs = amp·len and peak = amp), which the oracle computes from
     * pure id arithmetic: a decoder that misparses the header, drops a
-    * frame or rounds a sample cannot pass. Video containers remain the
-    * one stubbed modality (no in-JVM parser exists).
+    * frame or rounds a sample cannot pass.
     */
   def qAudioDecode(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.decodeAudioFeatures(spark,
@@ -3273,6 +3272,26 @@ object SparkEntry {
       .toDF()
       .select(col("media_id"), col("decode_ok"), col("sample_rate"), col("n_total"),
         col("window_idx"), col("n_samples"), col("sum_abs"), col("peak"))
+
+  /** REAL video-container round trip: every doc id renders a deterministic
+    * animated GIF (2–8 solid frames) through the JDK's actual sequence
+    * encoder ([[MultimodalOps.renderTestClips]]), then [[MultimodalOps
+    * .decodeVideoFrames]] parses the container back and decodes every
+    * frame's true pixels. Solid frames survive GIF's palette quantization
+    * exactly, so each frame's channel sums are the closed form
+    * color(id, f)·w·h the oracle computes from pure arithmetic — a parser
+    * that miscounts frames or a decoder that misreads a palette cannot
+    * pass. The frame-sampling GENERATOR now runs on a real container
+    * parse end to end; only JNI-gated codecs (H.264/VP9) stay behind the
+    * flagged decodeStub seam.
+    */
+  def qVideoFrames(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.decodeVideoFrames(spark,
+      MultimodalOps.renderTestClips(spark,
+        Tables.documents(spark, dir).select(col("doc_id")), "doc_id"))
+      .toDF()
+      .select(col("media_id"), col("decode_ok"), col("n_frames"), col("frame_idx"),
+        col("width"), col("height"), col("sum_r"), col("sum_g"), col("sum_b"))
 
   /** Embedding-space decontamination ([[SimilarityOps.semanticDecontaminate]]):
     * the %13 vectors act as the eval benchmark, the rest as train; every
@@ -3537,6 +3556,7 @@ object SparkEntry {
     "q_image_decode"            -> (qImageDecode(_, _)),
     "q_image_resize"            -> (qImageResize(_, _)),
     "q_audio_decode"            -> (qAudioDecode(_, _)),
+    "q_video_frames"            -> (qVideoFrames(_, _)),
     "q_latest_snapshot_upsert"  -> (qLatestSnapshotUpsert(_, _)),
     "q_merge_last_wins"         -> (qMergeLastWins(_, _)),
     "q_cdc_apply"               -> (qCdcApply(_, _)),
@@ -6992,6 +7012,18 @@ object SparkEntry {
         |       window_idx, len AS n_samples,
         |       (amp * len)::BIGINT AS sum_abs, amp AS peak
         |FROM s""".stripMargin,
+    "q_video_frames" ->
+      """WITH t AS (
+        |  SELECT doc_id AS media_id,
+        |         (8 + doc_id % 13)::BIGINT AS w, (5 + doc_id % 11)::BIGINT AS h,
+        |         (2 + doc_id % 7)::BIGINT AS nf
+        |  FROM documents),
+        |f AS (SELECT media_id, w, h, nf, unnest(range(nf))::BIGINT AS frame_idx FROM t)
+        |SELECT media_id, true AS decode_ok, nf AS n_frames, frame_idx, w AS width, h AS height,
+        |       (((media_id * 37 + frame_idx * 17) % 256) * w * h)::BIGINT AS sum_r,
+        |       (((media_id * 59 + frame_idx * 29) % 256) * w * h)::BIGINT AS sum_g,
+        |       (((media_id * 83 + frame_idx * 43) % 256) * w * h)::BIGINT AS sum_b
+        |FROM f""".stripMargin,
     "q_embedding_knn" -> knnOracle,
     "q_mmr_select" -> mmrOracle,
     "q_kcenter_select" -> kCenterOracle,

@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, and a partition-preserving
   * feature-extraction stage.
   *
-  * The IMAGE modality has a REAL codec path since round 10 — the JDK's own
-  * javax.imageio (PNG/JPEG/BMP/GIF, headless-safe, zero external deps):
-  * [[decodeImageFeatures]] decodes true pixels to integer-exact channel
-  * sums, [[resizeImages]] rescales through Graphics2D and re-encodes, and
-  * the registered round-trip queries are SQL-oracled in closed form.
-  * [[decodeStub]] remains ONLY for modalities with no in-JVM codec
-  * (audio/video containers) — those stub features are clearly flagged.
+  * ALL THREE modalities have REAL codec paths since round 10, on the JDK's
+  * own libraries (headless-safe, zero external deps): javax.imageio for
+  * images ([[decodeImageFeatures]] — true pixels to integer-exact channel
+  * sums; [[resizeImages]] — Graphics2D rescale + re-encode) AND for
+  * multi-frame GIF video containers ([[decodeVideoFrames]] — real sequence
+  * parse, per-frame decode); javax.sound.sampled for WAV/RIFF PCM audio
+  * ([[decodeAudioFeatures]] — header parse + sample-exact window energy).
+  * Every registered round-trip query is SQL-oracled in closed form.
+  * [[decodeStub]] remains only as the flagged seam for codecs that
+  * genuinely need JNI/FFmpeg (H.264/VP9, MP3/AAC, …).
   * Everything around either path is the real engine contract: binary
   * packing, metadata schema, `mapPartitions` batch shape (one codec
   * instance per partition, streamed record iteration — the same shape a
@@ -412,11 +415,138 @@ object MultimodalOps {
   }
 
   // =========================================================================
+  // REAL video-container path — multi-frame GIF through the same
+  // javax.imageio: the GIF codec reads and writes FRAME SEQUENCES
+  // (getNumImages/read(i) — a real animated container with per-frame
+  // decode), so frame extraction runs on true container parsing. Modern
+  // codecs (H.264/VP9) still need JNI/FFmpeg — decodeStub keeps flagging
+  // that seam — but the frame-sampling OPERATOR itself now has a real
+  // decode path end to end.
+  // =========================================================================
+
+  /** One decoded video frame: dims + integer-exact channel sums (the
+    * [[ImageFeatures]] convention per frame). `decode_ok = false` rows
+    * carry zeros with frame_idx 0 — one row per undecodable media.
+    */
+  case class VideoFrameFeatures(
+      media_id: Long, kind: String, decode_ok: Boolean, n_frames: Long,
+      frame_idx: Long, width: Long, height: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Render the deterministic multi-frame TEST CLIP for an id: an animated
+    * GIF of `nFrames` solid frames (solid colors survive GIF's palette
+    * quantization exactly — every frame's decoded channel sums are
+    * closed-form), written through the REAL sequence encoder.
+    */
+  private[graft] def renderGif(w: Int, h: Int, frameRgbs: Seq[Int]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frameRgbs.foreach { rgb =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val md = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, md), writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Test-clip geometry: 8..20 × 5..15, 2..8 frames, frame f solid color
+    * derived from (id, f). Pure arithmetic — the oracle replays it.
+    */
+  private[graft] def clipParams(id: Long): (Int, Int, Int) =
+    ((8 + id % 13).toInt, (5 + id % 11).toInt, (2 + id % 7).toInt)
+
+  private[graft] def clipFrameColor(id: Long, f: Int): Int =
+    (((id * 37 + f * 17) % 256).toInt << 16) |
+      (((id * 59 + f * 29) % 256).toInt << 8) | ((id * 83 + f * 43) % 256).toInt
+
+  /** Packed test clips from an id roster, through the real GIF sequence
+    * encoder.
+    */
+  def renderTestClips(spark: SparkSession, roster: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    roster.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val (w, h, nf) = clipParams(id)
+        MediaRecord(id, "video", 0L,
+          renderGif(w, h, (0 until nf).map(f => clipFrameColor(id, f))))
+      }
+    }.withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("payload"))
+  }
+
+  /** REAL video-frame extraction over packed media: the GIF sequence
+    * reader parses the container per partition (one reader context),
+    * every frame up to `maxFrames` decodes to true pixels → dims +
+    * integer channel sums. The 1→N generator shape of [[sampleFrames]],
+    * now on an actual container parse; undecodable payloads land as one
+    * `decode_ok = false` row. Payloads never shuffle.
+    */
+  def decodeVideoFrames(
+      spark: SparkSession,
+      packed: DataFrame,
+      maxFrames: Int = 8): Dataset[VideoFrameFeatures] = {
+    require(maxFrames > 0, "frame budget must be positive")
+    import spark.implicits._
+    packed.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val frames =
+          try {
+            val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+            try {
+              reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(r.payload)))
+              val n = reader.getNumImages(true)
+              if (n <= 0) None
+              else Some((n.toLong, (0 until math.min(n, maxFrames)).map { f =>
+                val img = reader.read(f)
+                var (sr, sg, sb) = (0L, 0L, 0L)
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val rgb = img.getRGB(x, y)
+                    sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+                    x += 1
+                  }
+                  y += 1
+                }
+                (f.toLong, img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb)
+              }))
+            } finally reader.dispose()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        frames match {
+          case None =>
+            Iterator.single(VideoFrameFeatures(
+              r.media_id, r.kind, false, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          case Some((n, fs)) =>
+            fs.iterator.map { case (f, w, h, sr, sg, sb) =>
+              VideoFrameFeatures(r.media_id, r.kind, true, n, f, w, h, sr, sg, sb)
+            }
+        }
+      }
+    }
+  }
+
+  // =========================================================================
   // REAL audio codec path — javax.sound.sampled (WAV/RIFF PCM), also the
   // JDK's own: AudioSystem parses the container header (sample rate,
-  // channels, bit depth) and streams PCM frames. With it, the audio
-  // modality's decode is real too; only VIDEO containers remain stubbed
-  // (no in-JVM parser exists).
+  // channels, bit depth) and streams PCM frames.
   // =========================================================================
 
   /** One decoded audio window: INTEGER-EXACT energy (Σ|sample| and peak

@@ -173,6 +173,47 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real GIF container round trip: frame count, per-frame dims and channel sums exact; corrupt video screens; maxFrames caps") {
+    val colors = Seq(0xFF0000, 0x00A050, 0x0000FF, 0x7F7F7F, 0x010203)
+    val gif = MultimodalOps.renderGif(9, 6, colors)
+    val rows = Seq(
+      MultimodalOps.MediaRecord(1L, "video", 0L, gif),
+      MultimodalOps.MediaRecord(2L, "video", 0L, "GIF89a-but-not-really".getBytes("UTF-8")))
+    val got = MultimodalOps.decodeVideoFrames(spark, rows.toDF(), maxFrames = 8)
+      .collect().groupBy(_.media_id)
+    val fs = got(1L).sortBy(_.frame_idx)
+    assert(fs.length == 5 && fs.forall(f => f.decode_ok && f.n_frames == 5L &&
+      f.width == 9L && f.height == 6L))
+    fs.zip(colors).foreach { case (f, c) =>
+      assert(f.sum_r == 54L * ((c >> 16) & 0xFF) && f.sum_g == 54L * ((c >> 8) & 0xFF) &&
+        f.sum_b == 54L * (c & 0xFF), s"frame ${f.frame_idx}")
+    }
+    assert(got(2L).toSeq.map(f => (f.decode_ok, f.n_frames)) == Seq((false, 0L)))
+    // the frame budget truncates the decode, not the container's count
+    val capped = MultimodalOps.decodeVideoFrames(
+      spark, Seq(MultimodalOps.MediaRecord(1L, "video", 0L, gif)).toDF(), maxFrames = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(capped.length == 3 && capped.forall(_.n_frames == 5L))
+  }
+
+  test("renderTestClips params match the q_video_frames oracle's id arithmetic") {
+    val ids = Seq(0L, 1L, 6L, 255L, 256L, 9999L).toDF("doc_id")
+    val got = MultimodalOps.decodeVideoFrames(spark,
+      MultimodalOps.renderTestClips(spark, ids, "doc_id"))
+      .collect().groupBy(_.media_id)
+    got.foreach { case (id, fs) =>
+      val (w, h, nf) = MultimodalOps.clipParams(id)
+      assert(fs.length == nf, s"frame count id=$id")
+      fs.foreach { f =>
+        val c = MultimodalOps.clipFrameColor(id, f.frame_idx.toInt)
+        assert(f.decode_ok && f.width == w && f.height == h &&
+          f.sum_r == w.toLong * h * ((c >> 16) & 0xFF) &&
+          f.sum_g == w.toLong * h * ((c >> 8) & 0xFF) &&
+          f.sum_b == w.toLong * h * (c & 0xFF), s"frame $f id=$id")
+      }
+    }
+  }
+
   test("renderTestCards geometry/colors match the registered oracles' id arithmetic") {
     val ids = Seq(0L, 1L, 16L, 254L, 255L, 256L, 12345L).toDF("doc_id")
     val feats = MultimodalOps.decodeImageFeatures(spark,
