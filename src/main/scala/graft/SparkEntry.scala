@@ -1457,6 +1457,36 @@ object SparkEntry {
     TextOps.piiScrub(docs, "doc_id", "text")
   }
 
+  /** HTML boilerplate extraction over the corpus, GROUND-TRUTH-oracled:
+    * every document is wrapped in a deterministic full-page template —
+    * head with title/style/script (the script body contains raw `<`, `>`
+    * and `&&` — exactly the bytes that corrupt a naive tag-stripper),
+    * nav and footer link blocks, an `<h1>` and the entity-escaped body —
+    * and [[TextOps.htmlExtract]] must recover EXACTLY `"Doc {id} {text}"`
+    * (whitespace-normalized) with all three anchors counted. The oracle
+    * computes the expected text straight from the `documents` table: the
+    * extractor is checked against ground truth, not replayed — an
+    * extractor that leaks script bytes, keeps nav/footer chrome, drops
+    * body text or double-decodes entities (`&amp;amp;` must land as the
+    * literal `&amp;`) cannot pass.
+    */
+  def qHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val esc = (c: Column) => regexp_replace(regexp_replace(regexp_replace(
+      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val page = concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style>p{margin:0}</style>" +
+        "<script>if(1<2&&2>1){var x=\"<p>\";}</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav><h1>Doc "),
+      col("doc_id"),
+      lit("</h1><p>"), esc(col("text")),
+      lit("</p><footer><a href=\"/tos\">Terms</a> &copy; Example &amp; Co." +
+        "</footer></body></html>"))
+    TextOps.htmlExtract(
+      Tables.documents(spark, dir).select(col("doc_id"), page.as("html")),
+      "doc_id", "html")
+  }
+
   /** Int8 quantization stats per embedding vector (integer-exact
     * invariants: quantized sum + saturation count).
     */
@@ -3420,6 +3450,7 @@ object SparkEntry {
     "q_tfidf_top_terms"         -> (qTfidfTopTerms(_, _)),
     "q_bigram_counts"           -> (qBigramCounts(_, _)),
     "q_pii_scrub"               -> (qPiiScrub(_, _)),
+    "q_html_extract"            -> (qHtmlExtract(_, _)),
     "q_embedding_quantize"      -> (qEmbeddingQuantize(_, _)),
     "q_scd2_history"            -> (qScd2History(_, _)),
     "q_ngram_jaccard_dedup"     -> (qNgramJaccardDedup(_, _)),
@@ -6351,6 +6382,15 @@ object SparkEntry {
         |       md5(scrubbed) AS scrub_sig,
         |       length(scrubbed)::BIGINT AS scrub_len
         |FROM s2""".stripMargin,
+    // GROUND-TRUTH oracle, not a replay: the engine wraps text in a full
+    // page (script with raw < > &&, nav/footer chrome, entity-escaped
+    // body) and must extract back exactly the visible text the template
+    // carries — which the oracle derives from the clean documents table
+    "q_html_extract" ->
+      raw"""SELECT doc_id,
+        |       trim('Doc ' || doc_id::VARCHAR || ' ' || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text_out,
+        |       3::BIGINT AS n_links
+        |FROM documents""".stripMargin,
     "q_embedding_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),

@@ -437,6 +437,55 @@ object TextOps {
       length(scrubbed).cast("long").as("scrub_len"))
   }
 
+  /** HTML → visible-text extraction — the web-corpus BOILERPLATE-REMOVAL
+    * stage (the trafilatura/jusText slot, the first pass of every
+    * web-scale LLM pipeline), re-expressed as ONE codegen'd narrow
+    * projection: no UDF, no shuffle, payloads stay in place, 100 TB of
+    * crawl scans at parquet speed.
+    *
+    * Pipeline, in the order that makes each step safe:
+    *  1. drop `<head>…</head>` wholesale (title/script/style live there —
+    *     and a script's raw `<`/`&&` would corrupt a naive tag regex, so
+    *     containers go BEFORE the tag strip);
+    *  2. drop the structural boilerplate containers `<nav> <header>
+    *     <footer> <aside>` and any body-level `<script>/<style>`
+    *     (lazy-matched, case-insensitive, DOTALL);
+    *  3. count `<a` anchors (the link-density provenance signal) on the
+    *     raw document;
+    *  4. strip remaining tags to spaces;
+    *  5. decode the core entities — `&lt; &gt; &quot; &#39; &nbsp;` first
+    *     and `&amp;` strictly LAST (the standard unescape ordering:
+    *     decoding `&amp;` first would turn `&amp;lt;` into a spurious
+    *     `<`); escaped user content therefore can never inject structure,
+    *     because tags were stripped before any entity became a bracket;
+    *  6. collapse whitespace.
+    *
+    * CONTRACT/LIMITS (regex extractor, not an HTML5 parser): boilerplate
+    * containers are matched non-nested (a `<nav>` inside a `<nav>` ends
+    * the outer match early); entity coverage is the core five + named
+    * space; malformed markup degrades to text, never to an error. A
+    * deployment needing full HTML5 tree semantics swaps this body for a
+    * parser on `mapPartitions` — the operator seam, like the multimodal
+    * decode, stays.
+    *
+    * Output: (idCol, text_out, n_links).
+    */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val raw = col(htmlCol)
+    val noHead = regexp_replace(raw, "(?is)<head\\b[^>]*>.*?</head>", " ")
+    val noBp = regexp_replace(noHead,
+      "(?is)<(nav|header|footer|aside|script|style)\\b[^>]*>.*?</\\1>", " ")
+    val noTags = regexp_replace(noBp, "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"), "&nbsp;", " "),
+      "&amp;", "&")
+    df.select(
+      col(idCol),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("text_out"),
+      regexp_count(raw, lit("(?i)<a\\b")).cast("long").as("n_links"))
+  }
+
   /** Frequency-ranked vocabulary of the corpus's most common `vocabSize`
     * normalized tokens: (token, n, id) with dense ids 0..vocabSize-1
     * assigned by (count DESC, token ASC) — the deterministic total order

@@ -152,6 +152,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1)._5 == "no pii here".length.toLong)
   }
 
+  test("htmlExtract: boilerplate containers drop, script bytes never leak, entities decode once, anchors counted") {
+    val docs = Seq(
+      // script with raw < > && inside head AND body; nav/footer chrome;
+      // body entities incl. the double-escape case &amp;amp; -> literal &amp;
+      (1L, "<html><head><title>T</title><script>if(a<b&&c>d){x=\"<p>\";}</script></head>" +
+        "<body><nav><a href=\"/\">Home</a></nav><p>alpha &lt;tag&gt; &amp;amp; beta</p>" +
+        "<script>var y = 1 < 2;</script><footer><a href=\"/t\">T</a> &copy;</footer></body></html>"),
+      // malformed: a trailing unclosed tag cannot match the tag regex and
+      // DEGRADES TO LITERAL TEXT (the contract: degrade, never error)
+      (2L, "<p>keep <b>bold</b> text</p><img src=\"x\""),
+      // aside/header containers; &nbsp; becomes plain space and collapses
+      (3L, "<header>SiteName</header><aside>ads</aside><p>one&nbsp;&nbsp;two</p>")
+    ).toDF("doc_id", "html")
+    val got = TextOps.htmlExtract(docs, "doc_id", "html")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("alpha <tag> &amp; beta", 2L)), s"got ${got(1L)}")
+    assert(got(2L)._1 == "keep bold text <img src=\"x\"")
+    assert(got(3L) == (("one two", 0L)))
+  }
+
   test("quantizeInt8: unit scale quantizes exactly, saturation counted, zero vector safe") {
     val vecs = Seq(
       (1L, Array(1.0f, -2.0f, 127.0f)), // scale = 127/127 = 1.0 exactly
