@@ -1487,6 +1487,64 @@ object SparkEntry {
       "doc_id", "html")
   }
 
+  /** C4 gate over a modulus-planted corpus (the qGopherRules discipline —
+    * the base corpus is single-line unpunctuated word soup, so every rule
+    * needs planted structure to fire both ways): %7 plants three real
+    * sentences (line survival + the 3-sentence page minimum), %11 a
+    * javascript boilerplate line (line-dropped, sentence count unchanged),
+    * %13 a short terminal-punctuated line (word-count drop), %17 a
+    * trailing "lorem ipsum" (page drop; it also de-terminates the host
+    * line when %7 co-fires — deterministic, oracle replays the concat
+    * order), %19 a brace snippet (page drop), %23 a full bad-word
+    * sentence that SURVIVES the line filter while killing the page —
+    * line-keep and page-drop are independent axes.
+    */
+  def qC4Rules(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit("\nThe quick brown fox jumps over the lazy dog today." +
+            "\nIt was a bright cold day in April and the clocks were striking one." +
+            "\nWhere is the small key that opens the heavy door now?"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\nPlease enable javascript to view this page properly today."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit("\nShort line here.")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit(" lorem ipsum dolor")).otherwise(lit("")),
+        when(col("doc_id") % 19 === 0, lit(" if (x) { return; }")).otherwise(lit("")),
+        when(col("doc_id") % 23 === 0,
+          lit("\nThis testpage contains craptastic material for screening purposes."))
+          .otherwise(lit(""))))
+    TextOps.c4Rules(planted, "doc_id", "text", badWords = Seq("craptastic", "obscenex"))
+  }
+
+  /** URL canonicalization over doc_id-derived URLs exercising every rule:
+    * mixed-case scheme/host, www. label, default port dropped (http:80 on
+    * %4, https:443 otherwise) vs non-default kept (:8443 on %6 \ %4),
+    * trailing path slash on evens, a tracking-heavy query string (3 kept /
+    * 3 dropped params, bytewise re-sort) absent on %8, and a fragment on
+    * every URL.
+    */
+  def qUrlNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 4 === 0, lit("HTTP://")).otherwise(lit("HTTPS://")),
+      when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Site"), (id % 5).cast("string"), lit(".Example.COM"),
+      when(id % 4 === 0, lit(":80"))
+        .otherwise(when(id % 6 === 0, lit(":8443")).otherwise(lit(":443"))),
+      lit("/Path/"), (id % 7).cast("string"),
+      when(id % 2 === 0, lit("/")).otherwise(lit("")),
+      when(id % 8 === 0, lit(""))
+        .otherwise(concat(lit("?utm_source=feed&z=9&id="), (id % 13).cast("string"),
+          lit("&utm_campaign=x&a=2&ref=tw"))),
+      lit("#sec"), id.cast("string"))
+    TextOps.urlNormalize(
+      Tables.documents(spark, dir).select(col("doc_id"), url.as("url")),
+      "doc_id", "url")
+  }
+
   /** Int8 quantization stats per embedding vector (integer-exact
     * invariants: quantized sum + saturation count).
     */
@@ -3451,6 +3509,8 @@ object SparkEntry {
     "q_bigram_counts"           -> (qBigramCounts(_, _)),
     "q_pii_scrub"               -> (qPiiScrub(_, _)),
     "q_html_extract"            -> (qHtmlExtract(_, _)),
+    "q_c4_rules"                -> (qC4Rules(_, _)),
+    "q_url_normalize"           -> (qUrlNormalize(_, _)),
     "q_embedding_quantize"      -> (qEmbeddingQuantize(_, _)),
     "q_scd2_history"            -> (qScd2History(_, _)),
     "q_ngram_jaccard_dedup"     -> (qNgramJaccardDedup(_, _)),
@@ -6391,6 +6451,98 @@ object SparkEntry {
         |       trim('Doc ' || doc_id::VARCHAR || ' ' || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text_out,
         |       3::BIGINT AS n_links
         |FROM documents""".stripMargin,
+    // the C4 plant concatenation replayed in the engine's order, then the
+    // line filter (terminal punct + >=5 words + no javascript) and page
+    // rules (sentence minimum on RETAINED text; brace/lorem/bad-word on
+    // the RAW page) step for step
+    "q_c4_rules" ->
+      raw"""WITH b AS (SELECT doc_id, coalesce(text
+        |  || CASE WHEN doc_id % 7 = 0 THEN
+        |       chr(10) || 'The quick brown fox jumps over the lazy dog today.' ||
+        |       chr(10) || 'It was a bright cold day in April and the clocks were striking one.' ||
+        |       chr(10) || 'Where is the small key that opens the heavy door now?' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN
+        |       chr(10) || 'Please enable javascript to view this page properly today.' ELSE '' END
+        |  || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Short line here.' ELSE '' END
+        |  || CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum dolor' ELSE '' END
+        |  || CASE WHEN doc_id % 19 = 0 THEN ' if (x) { return; }' ELSE '' END
+        |  || CASE WHEN doc_id % 23 = 0 THEN
+        |       chr(10) || 'This testpage contains craptastic material for screening purposes.' ELSE '' END,
+        |  '') AS t FROM documents),
+        |k AS (SELECT doc_id, t,
+        |  len(regexp_split_to_array(t, '\n'))::BIGINT AS n_lines,
+        |  list_filter(regexp_split_to_array(t, '\n'),
+        |    x -> regexp_matches(x, '[.!?"”]\s*$$')
+        |         AND len(list_filter(regexp_split_to_array(trim(x), '\s+'), w -> w <> '')) >= 5
+        |         AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM b),
+        |c AS (SELECT doc_id, t, n_lines, len(kept)::BIGINT AS n_kept_lines,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean FROM k),
+        |r AS (SELECT doc_id, n_lines, n_kept_lines,
+        |  len(regexp_extract_all(clean, '[.!?]'))::BIGINT AS n_sentences,
+        |  NOT regexp_matches(t, '[{}]') AS r_no_brace,
+        |  NOT contains(lower(t), 'lorem ipsum') AS r_no_lorem,
+        |  NOT regexp_matches(lower(t), '\b(craptastic|obscenex)\b') AS r_no_badword,
+        |  clean AS text_out FROM c)
+        |SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+        |  n_sentences >= 3 AS r_min_sentences, r_no_brace, r_no_lorem, r_no_badword,
+        |  (n_sentences >= 3 AND r_no_brace AND r_no_lorem AND r_no_badword) AS pass,
+        |  text_out
+        |FROM r""".stripMargin,
+    // URL plant + the six canonicalization steps replayed verbatim
+    // (fragment, scheme/host lowercase, default-port drop, www. strip,
+    // trailing-slash drop, tracking-param drop + bytewise param sort)
+    "q_url_normalize" ->
+      raw"""WITH b AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 4 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |  || 'Site' || (doc_id % 5)::VARCHAR || '.Example.COM'
+        |  || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+        |           WHEN doc_id % 6 = 0 THEN ':8443' ELSE ':443' END)
+        |  || '/Path/' || (doc_id % 7)::VARCHAR
+        |  || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        |  || (CASE WHEN doc_id % 8 = 0 THEN ''
+        |           ELSE '?utm_source=feed&z=9&id=' || (doc_id % 13)::VARCHAR
+        |                || '&utm_campaign=x&a=2&ref=tw' END)
+        |  || '#sec' || doc_id::VARCHAR AS url FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$$', '') AS u FROM b),
+        |s2 AS (SELECT doc_id,
+        |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1),
+        |s3 AS (SELECT doc_id, scheme,
+        |  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+        |  regexp_replace(rest, '^[^/?]*', '') AS tail FROM s2),
+        |s4 AS (SELECT doc_id, scheme, tail,
+        |  regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''), '^www\.', '') AS host,
+        |  regexp_extract(hostport, ':([0-9]+)$$', 1) AS port FROM s3),
+        |s5 AS (SELECT doc_id, scheme, host, port, tail,
+        |  port <> '' AND NOT ((scheme = 'http' AND port = '80')
+        |                      OR (scheme = 'https' AND port = '443')) AS keep_port,
+        |  regexp_extract(tail, '^([^?]*)', 1) AS path0,
+        |  CASE WHEN contains(tail, '?') THEN regexp_extract(tail, '\?(.*)$$', 1)
+        |       ELSE '' END AS query0 FROM s4),
+        |s6 AS (SELECT doc_id, scheme, host, port, keep_port,
+        |  CASE WHEN path0 = '' OR path0 = '/' THEN '/'
+        |       ELSE regexp_replace(path0, '/$$', '') END AS path_canon,
+        |  list_filter(string_split(query0, '&'), p -> p <> '') AS params FROM s5),
+        |s7 AS (SELECT doc_id, scheme, host, port, keep_port, path_canon, params,
+        |  list_sort(list_filter(params, p -> NOT regexp_matches(
+        |    regexp_extract(p, '^([^=]*)', 1),
+        |    '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_eid)$$'))) AS kept FROM s6),
+        |s8 AS (SELECT doc_id, scheme, path_canon, params, kept,
+        |  CASE WHEN keep_port THEN host || ':' || port ELSE host END AS host_canon,
+        |  coalesce(array_to_string(kept, '&'), '') AS query_canon,
+        |  string_split(host, '.') AS labels, host FROM s7)
+        |SELECT doc_id,
+        |  scheme || '://' || host_canon || path_canon
+        |    || CASE WHEN query_canon <> '' THEN '?' || query_canon ELSE '' END AS url_canon,
+        |  host_canon AS host,
+        |  CASE WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+        |       ELSE host END AS domain,
+        |  path_canon, query_canon,
+        |  len(kept)::BIGINT AS n_params_kept,
+        |  (len(params) - len(kept))::BIGINT AS n_params_dropped
+        |FROM s8""".stripMargin,
     "q_embedding_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),

@@ -486,6 +486,134 @@ object TextOps {
       regexp_count(raw, lit("(?i)<a\\b")).cast("long").as("n_links"))
   }
 
+  /** C4 rule-based cleaning gate (Raffel et al. 2020, §2.2) — the OTHER
+    * canonical named rule set next to [[gopherRules]], and the one that
+    * TRANSFORMS as well as gates: C4 first drops lines, then discards
+    * pages. One codegen'd narrow projection, zero shuffle at any scale
+    * (the natural companion stage right after [[htmlExtract]]).
+    *
+    * LINE rules (a line survives only if ALL hold):
+    *  - ends with a terminal punctuation mark — period, exclamation mark,
+    *    question mark, or end quotation mark (`[.!?"”]`, trailing
+    *    whitespace allowed); the paper's apostrophe-quote is omitted to
+    *    keep the predicate engine-portable and is noted here as the
+    *    deviation;
+    *  - has at least [[minLineWords]] (paper: 5) whitespace words;
+    *  - does not mention `javascript` (case-insensitive) — the
+    *    "please enable JavaScript" boilerplate.
+    * `text_out` is the surviving lines rejoined by newline.
+    *
+    * PAGE rules (evaluated per the paper: curly brace, "lorem ipsum" and
+    * the bad-word screen on the RAW page — a brace dropped with its line
+    * still marks code; the sentence minimum on the RETAINED text, since
+    * that is what would ship):
+    *  - at least [[minSentences]] (paper: 3) sentences in the retained
+    *    text, counted as terminal `[.!?]` marks;
+    *  - no curly brace `{`/`}` anywhere (code page);
+    *  - no `lorem ipsum` (case-insensitive) placeholder;
+    *  - no word from `badWords` (case-insensitive, word-bounded) — the
+    *    paper screens against the "List of Dirty, Naughty, Obscene or
+    *    Otherwise Bad Words"; the list is a parameter here, callers
+    *    supply their deployment's list.
+    *
+    * Output: (idCol, n_lines, n_kept_lines, n_sentences, r_min_sentences,
+    * r_no_brace, r_no_lorem, r_no_badword, pass, text_out).
+    */
+  def c4Rules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      badWords: Seq[String],
+      minLineWords: Int = 5,
+      minSentences: Int = 3): DataFrame = {
+    require(badWords.nonEmpty, "c4Rules needs a bad-word list (paper §2.2)")
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"”]\\s*$") &&
+        size(filter(split(trim(l), "\\s+"), w => w =!= "")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val clean = array_join(kept, "\n")
+    val nSentences = regexp_count(clean, lit("[.!?]")).cast("long")
+    val badPat = badWords.map(java.util.regex.Pattern.quote).mkString("\\b(", "|", ")\\b")
+    val rMinSent = nSentences >= lit(minSentences.toLong)
+    val rNoBrace = !t.rlike("[{}]")
+    val rNoLorem = !lower(t).contains("lorem ipsum")
+    val rNoBad = !lower(t).rlike(badPat)
+    df.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      nSentences.as("n_sentences"),
+      rMinSent.as("r_min_sentences"),
+      rNoBrace.as("r_no_brace"),
+      rNoLorem.as("r_no_lorem"),
+      rNoBad.as("r_no_badword"),
+      (rMinSent && rNoBrace && rNoLorem && rNoBad).as("pass"),
+      clean.as("text_out"))
+  }
+
+  /** URL canonicalization — the web-corpus PROVENANCE key (crawl dedup by
+    * canonical URL, domain mixing caps, blocklist joins all key on this).
+    * Deterministic string surgery, one codegen'd projection, zero shuffle.
+    *
+    * Rule set (each step mirrored verbatim by the oracle):
+    *  1. trim; drop the `#fragment`;
+    *  2. scheme and host lowercase; the port dropped when it is the
+    *     scheme default (http:80, https:443), kept otherwise;
+    *  3. a leading `www.` label dropped from the host;
+    *  4. the path's trailing `/` dropped (the root path stays `/`; an
+    *     empty path becomes `/`);
+    *  5. query parameters split on `&`, empties dropped, TRACKING
+    *     parameters dropped (name test, case-sensitive as tracking tags
+    *     are in the wild: `utm_*`, `gclid`, `fbclid`, `ref`, `mc_eid`),
+    *     the survivors sorted bytewise (full `k=v` token) and rejoined —
+    *     parameter order never distinguishes two URLs again;
+    *  6. `domain` is the registrable-domain approximation: the host's
+    *     last two dot-labels (a public-suffix list is deployment data,
+    *     same seam as [[c4Rules]]' bad-word list).
+    *
+    * Output: (idCol, url_canon, host, domain, path_canon, query_canon,
+    * n_params_kept, n_params_dropped).
+    */
+  def urlNormalize(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val u0 = trim(col(urlCol))
+    val u = regexp_replace(u0, "#.*$", "")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val host0 = regexp_replace(hostport, ":[0-9]+$", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
+    val host = regexp_replace(host0, "^www\\.", "")
+    val tail = regexp_replace(rest, "^[^/?]*", "")
+    val path0 = regexp_extract(tail, "^([^?]*)", 1)
+    val path = when(path0 === "" || path0 === "/", lit("/"))
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val query0 = when(tail.contains("?"), regexp_extract(tail, "\\?(.*)$", 1)).otherwise(lit(""))
+    val params = filter(split(query0, "&"), p => p =!= "")
+    val keptParams = array_sort(filter(params,
+      p => !regexp_extract(p, "^([^=]*)", 1).rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref|mc_eid)$")))
+    val queryCanon = array_join(keptParams, "&")
+    val hostCanon = when(keepPort, concat(host, lit(":"), port)).otherwise(host)
+    val canon = concat(scheme, lit("://"), hostCanon, path,
+      when(queryCanon =!= "", concat(lit("?"), queryCanon)).otherwise(lit("")))
+    val labels = split(host, "\\.")
+    val nLabels = size(labels)
+    val domain = when(nLabels >= 2,
+      concat(element_at(labels, -2), lit("."), element_at(labels, -1))).otherwise(host)
+    df.select(
+      col(idCol),
+      canon.as("url_canon"),
+      hostCanon.as("host"),
+      domain.as("domain"),
+      path.as("path_canon"),
+      queryCanon.as("query_canon"),
+      size(keptParams).cast("long").as("n_params_kept"),
+      (size(params) - size(keptParams)).cast("long").as("n_params_dropped"))
+  }
+
   /** Frequency-ranked vocabulary of the corpus's most common `vocabSize`
     * normalized tokens: (token, n, id) with dense ids 0..vocabSize-1
     * assigned by (count DESC, token ASC) — the deterministic total order

@@ -172,6 +172,69 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L) == (("one two", 0L)))
   }
 
+  test("c4Rules: line filter (punct/words/javascript) and page rules fire independently") {
+    val docs = Seq(
+      // 3 real sentences -> all kept, page passes
+      (1L, "The quick brown fox jumps over the dog.\nIt was a cold bright day in April!\nWhere is the small key for the door?"),
+      // javascript line dropped; the other three keep the page at the minimum
+      (2L, "Please enable javascript to view this page.\nThe quick brown fox jumps again.\nIt was a cold bright day there.\nWhere is the small key now?"),
+      // short line (<5 words) dropped despite terminal punct -> 2 sentences -> page fails
+      (3L, "Too short.\nThe quick brown fox jumps over the dog.\nIt was a cold bright day in April."),
+      // no terminal punctuation anywhere -> nothing kept
+      (4L, "this line just trails off\nand so does this one here"),
+      // brace + lorem on the RAW page kill it even though 3 sentences survive
+      (5L, "The quick brown fox jumps over the dog. { lorem ipsum\nIt was a cold bright day in April.\nWhere is the small key for the door?"),
+      // bad word: the line SURVIVES the line filter, the page fails
+      (6L, "This page contains craptastic material for sure.\nThe quick brown fox jumps over the dog.\nIt was a cold bright day in April.")
+    ).toDF("doc_id", "text")
+    val got = TextOps.c4Rules(docs, "doc_id", "text", badWords = Seq("craptastic"))
+      .select("doc_id", "n_kept_lines", "n_sentences", "r_min_sentences",
+        "r_no_brace", "r_no_lorem", "r_no_badword", "pass")
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 3L, true, true, true, true, true)))
+    assert(got(2L) == ((2L, 3L, 3L, true, true, true, true, true)))
+    assert(got(3L) == ((3L, 2L, 2L, false, true, true, true, false)))
+    assert(got(4L) == ((4L, 0L, 0L, false, true, true, true, false)))
+    assert(got(5L)._5 == false && got(5L)._6 == false && got(5L)._8 == false)
+    // doc 5: the brace/lorem line itself fails the line filter (no terminal
+    // punct after the plant), so only 2 sentences survive — but the page
+    // rules are what kill it regardless
+    assert(got(6L) == ((6L, 3L, 3L, true, true, true, false, false)))
+  }
+
+  test("c4Rules: kept lines rejoin in order as text_out") {
+    val docs = Seq(
+      (1L, "drop me no punct\nKeep the first real sentence here.\ndrop too\nAnd keep the second real sentence too!")
+    ).toDF("doc_id", "text")
+    val out = TextOps.c4Rules(docs, "doc_id", "text", badWords = Seq("zz"))
+      .select("text_out").as[String].head()
+    assert(out == "Keep the first real sentence here.\nAnd keep the second real sentence too!")
+  }
+
+  test("urlNormalize: ports, www, trailing slash, tracking params, sort, domain") {
+    val docs = Seq(
+      (1L, "HTTPS://WWW.News.Example.COM:443/A/B/?utm_source=x&b=2&a=10&ref=tw#top"),
+      (2L, "http://example.com:8080/"),          // non-default port KEPT; root path stays /
+      (3L, "https://sub.example.org/p/q"),       // no port, no query, no trailing slash
+      (4L, "HTTP://EXAMPLE.COM:80?gclid=1&z=1"), // empty path -> /, default http port dropped
+      (5L, "https://onelabel/x/")                // single-label host: domain = host
+    ).toDF("doc_id", "url")
+    val got = TextOps.urlNormalize(docs, "doc_id", "url")
+      .as[(Long, String, String, String, String, String, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "https://news.example.com/A/B?a=10&b=2",
+      "news.example.com", "example.com", "/A/B", "a=10&b=2", 2L, 2L)))
+    assert(got(2L) == ((2L, "http://example.com:8080/",
+      "example.com:8080", "example.com", "/", "", 0L, 0L)))
+    assert(got(3L) == ((3L, "https://sub.example.org/p/q",
+      "sub.example.org", "example.org", "/p/q", "", 0L, 0L)))
+    assert(got(4L) == ((4L, "http://example.com/?z=1",
+      "example.com", "example.com", "/", "z=1", 1L, 1L)))
+    assert(got(5L) == ((5L, "https://onelabel/x",
+      "onelabel", "onelabel", "/x", "", 0L, 0L)))
+  }
+
   test("quantizeInt8: unit scale quantizes exactly, saturation counted, zero vector safe") {
     val vecs = Seq(
       (1L, Array(1.0f, -2.0f, 127.0f)), // scale = 127/127 = 1.0 exactly
