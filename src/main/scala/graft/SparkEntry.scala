@@ -1545,6 +1545,68 @@ object SparkEntry {
       "doc_id", "url")
   }
 
+  /** Unicode normalization over a plant set covering each rule: %7 a
+    * decomposed combining acute (NFC composes), %11 a combining ring plus
+    * the U+2126 Ohm singleton (NFC maps to Greek Ω), %13 a non-breaking
+    * space (→ plain space), %17 zero-width space + BOM (stripped), %19 a
+    * C0 control + DEL (stripped). The untouched majority pins the
+    * `changed=false` fast path.
+    */
+  def qTextNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" cafe\u0301 items")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" A\u030A unit \u2126 ohm")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" x\u00A0y")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit(" z\u200Bw\uFEFF")).otherwise(lit("")),
+        when(col("doc_id") % 19 === 0, lit(" a\u0001b\u007Fc")).otherwise(lit(""))))
+    TextOps.unicodeNormalize(planted, "doc_id", "text")
+  }
+
+  /** Mojibake repair over mutually-exclusive doc_id%10 residue plants
+    * (one plant per doc keeps the ground-truth oracle a flat CASE):
+    * r1 single mojibake "cafÃ©" (1 round), r2 double "cafÃƒÂ©" (2
+    * rounds), r3 GENUINE "café" (provably untouched — the safety half),
+    * r4 curly-quote "itâ€™s" (1 round), r5 CJK (unmappable → untouched),
+    * everything else pure ASCII (fast path). The oracle states the
+    * EXPECTED REPAIRED TEXT from the plant arithmetic — ground truth,
+    * not a mechanism replay, so a fake or over-eager fixer cannot pass.
+    */
+  def qFixMojibake(spark: SparkSession, dir: String): DataFrame = {
+    val r = col("doc_id") % 10
+    val planted = Tables.documents(spark, dir).withColumn("text",
+      concat(col("text"),
+        when(r === 1, lit(" caf\u00c3\u00a9 one")).otherwise(lit("")),
+        when(r === 2, lit(" caf\u00c3\u0192\u00c2\u00a9 two")).otherwise(lit("")),
+        when(r === 3, lit(" caf\u00e9 three")).otherwise(lit("")),
+        when(r === 4, lit(" it\u00e2\u20ac\u2122s four")).otherwise(lit("")),
+        when(r === 5, lit(" \u4e2d five")).otherwise(lit(""))))
+    TextOps.fixMojibake(planted, "doc_id", "text")
+  }
+
+  /** C4 three-sentence-span dedup over doc_id%9 residue plants: %9=0 docs
+    * share a 4-sentence block (the first extracted sentence absorbs the
+    * doc-specific base soup, so window 0 is unique per doc and window 1
+    * is a CROSS-DOC duplicate — keeper = lowest doc_id); %9=3 docs carry
+    * an alternating 6-sentence block whose windows repeat INTRA-doc
+    * (span 3 of period 2 ⇒ window 3 duplicates window 1; window 0
+    * absorbs the soup and stays unique) and cross-doc;
+    * %9=6 docs have only two sentences (under the span — emit nothing);
+    * all other docs are unpunctuated soup (zero sentences).
+    */
+  def qSentenceSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val r = col("doc_id") % 9
+    val planted = Tables.documents(spark, dir).withColumn("text",
+      concat(col("text"),
+        when(r === 0, lit("\nAlpha beta gamma delta. Epsilon zeta eta theta." +
+          " Iota kappa lambda mu. Nu xi omicron pi."))
+          .otherwise(when(r === 3, lit("\nRho sigma tau upsilon. Phi chi psi omega." +
+            " Rho sigma tau upsilon. Phi chi psi omega. Rho sigma tau upsilon." +
+            " Phi chi psi omega."))
+            .otherwise(when(r === 6, lit("\nOne two. Three four.")).otherwise(lit(""))))))
+    DedupOps.sentenceSpanDedup(planted, "doc_id", "text")
+  }
+
   /** Int8 quantization stats per embedding vector (integer-exact
     * invariants: quantized sum + saturation count).
     */
@@ -3511,6 +3573,9 @@ object SparkEntry {
     "q_html_extract"            -> (qHtmlExtract(_, _)),
     "q_c4_rules"                -> (qC4Rules(_, _)),
     "q_url_normalize"           -> (qUrlNormalize(_, _)),
+    "q_text_normalize"          -> (qTextNormalize(_, _)),
+    "q_fix_mojibake"            -> (qFixMojibake(_, _)),
+    "q_sentence_span_dedup"     -> (qSentenceSpanDedup(_, _)),
     "q_embedding_quantize"      -> (qEmbeddingQuantize(_, _)),
     "q_scd2_history"            -> (qScd2History(_, _)),
     "q_ngram_jaccard_dedup"     -> (qNgramJaccardDedup(_, _)),
@@ -6543,6 +6608,73 @@ object SparkEntry {
         |  len(kept)::BIGINT AS n_params_kept,
         |  (len(params) - len(kept))::BIGINT AS n_params_dropped
         |FROM s8""".stripMargin,
+    // the unicode plant rebuilt from chr() codepoints, then DuckDB's own
+    // utf8proc NFC + the two mirrored regex passes; lengths are codepoint
+    // counts on both engines
+    "q_text_normalize" ->
+      raw"""WITH b AS (SELECT doc_id, coalesce(text
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' cafe' || chr(769) || ' items' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' A' || chr(778) || ' unit ' || chr(8486) || ' ohm' ELSE '' END
+        |  || CASE WHEN doc_id % 13 = 0 THEN ' x' || chr(160) || 'y' ELSE '' END
+        |  || CASE WHEN doc_id % 17 = 0 THEN ' z' || chr(8203) || 'w' || chr(65279) ELSE '' END
+        |  || CASE WHEN doc_id % 19 = 0 THEN ' a' || chr(1) || 'b' || chr(127) || 'c' ELSE '' END,
+        |  '') AS t FROM documents),
+        |n AS (SELECT doc_id, t,
+        |  regexp_replace(regexp_replace(nfc_normalize(t),
+        |    '[\x{00A0}\x{2007}\x{202F}]', ' ', 'g'),
+        |    '[\x{200B}-\x{200D}\x{FEFF}\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS clean
+        |  FROM b)
+        |SELECT doc_id, clean AS text_norm,
+        |  length(t)::BIGINT AS n_chars_before,
+        |  length(clean)::BIGINT AS n_chars_after,
+        |  clean <> t AS changed
+        |FROM n""".stripMargin,
+    // GROUND-TRUTH oracle: the expected repaired text is stated from the
+    // plant arithmetic (chr() codepoints), never by replaying the fixer —
+    // r1 single-mojibake repairs in 1 round, r2 double in 2, r3 genuine
+    // accents and r5 CJK must come back UNTOUCHED, r4 curly quote in 1
+    "q_fix_mojibake" ->
+      raw"""WITH b AS (SELECT doc_id, text, coalesce(text
+        |  || CASE WHEN doc_id % 10 = 1 THEN ' caf' || chr(195) || chr(169) || ' one' ELSE '' END
+        |  || CASE WHEN doc_id % 10 = 2 THEN ' caf' || chr(195) || chr(402) || chr(194) || chr(169) || ' two' ELSE '' END
+        |  || CASE WHEN doc_id % 10 = 3 THEN ' caf' || chr(233) || ' three' ELSE '' END
+        |  || CASE WHEN doc_id % 10 = 4 THEN ' it' || chr(226) || chr(8364) || chr(8482) || 's four' ELSE '' END
+        |  || CASE WHEN doc_id % 10 = 5 THEN ' ' || chr(20013) || ' five' ELSE '' END,
+        |  '') AS t FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 1 THEN text || ' caf' || chr(233) || ' one'
+        |       WHEN doc_id % 10 = 2 THEN text || ' caf' || chr(233) || ' two'
+        |       WHEN doc_id % 10 = 4 THEN text || ' it' || chr(8217) || 's four'
+        |       ELSE t END AS text_fixed,
+        |  doc_id % 10 IN (1, 2, 4) AS changed,
+        |  (CASE WHEN doc_id % 10 = 1 THEN 1 WHEN doc_id % 10 = 2 THEN 2
+        |        WHEN doc_id % 10 = 4 THEN 1 ELSE 0 END)::BIGINT AS n_rounds
+        |FROM b""".stripMargin,
+    // sentence extraction, 3-windows and the md5-keyed keeper window
+    // replayed step for step (the plant concat in the engine's order)
+    "q_sentence_span_dedup" ->
+      raw"""WITH b AS (SELECT doc_id, coalesce(text
+        |  || CASE WHEN doc_id % 9 = 0 THEN chr(10) ||
+        |       'Alpha beta gamma delta. Epsilon zeta eta theta. Iota kappa lambda mu. Nu xi omicron pi.'
+        |     WHEN doc_id % 9 = 3 THEN chr(10) ||
+        |       'Rho sigma tau upsilon. Phi chi psi omega. Rho sigma tau upsilon. Phi chi psi omega. Rho sigma tau upsilon. Phi chi psi omega.'
+        |     WHEN doc_id % 9 = 6 THEN chr(10) || 'One two. Three four.'
+        |     ELSE '' END, '') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_filter(list_transform(regexp_extract_all(t, '[^.!?]+[.!?]'), x -> trim(x)),
+        |              x -> x <> '') AS ss FROM b),
+        |f AS (SELECT doc_id, ss FROM s WHERE len(ss) >= 3),
+        |u AS (SELECT doc_id, ss, unnest(range(1, len(ss) - 1)) AS i FROM f),
+        |sp AS (SELECT doc_id, (i - 1)::BIGINT AS span_idx,
+        |              md5(array_to_string(ss[i:i+2], ' ')) AS span_md5 FROM u),
+        |k AS (SELECT doc_id, span_idx, span_md5,
+        |  first_value(doc_id) OVER w AS keeper_id,
+        |  first_value(span_idx) OVER w AS keeper_idx
+        |  FROM sp WINDOW w AS (PARTITION BY span_md5 ORDER BY doc_id, span_idx
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT doc_id, span_idx, span_md5, keeper_id, keeper_idx,
+        |  (keeper_id <> doc_id OR keeper_idx <> span_idx) AS is_dup
+        |FROM k""".stripMargin,
     "q_embedding_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),

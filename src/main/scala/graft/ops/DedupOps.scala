@@ -1273,6 +1273,60 @@ object DedupOps {
       .select(col(idCol), col("r.n_lines"), col("r.n_dropped"), col("r.clean_text"))
   }
 
+  /** THREE-SENTENCE-SPAN dedup — C4's own dedup unit (Raffel et al. 2020
+    * §2.2 deduplicates "any three-sentence span" occurring more than once
+    * in the corpus), completing the [[graft.ops.TextOps.c4Rules]] family:
+    * line dedup catches repeated LINES, the substring family repeated
+    * TOKEN runs; this catches repeated sentence windows, the unit the C4
+    * paper actually removes.
+    *
+    * Sentences are maximal `[^.!?]+[.!?]` runs (trimmed, empties
+    * dropped — deterministic and engine-portable; no abbreviation
+    * heuristics, same contract class as the c4Rules sentence count).
+    * Every consecutive `span` -sentence window is keyed by the md5 of its
+    * space-joined text; the first occurrence in (id, span_idx) order is
+    * the keeper, every other occurrence is a duplicate.
+    *
+    * Scale shape: sentence/window expansion is a narrow per-row
+    * projection (output volume = corpus sentence count — linear); the
+    * only shuffle is the hash partition on `span_md5` for the keeper
+    * window — never all-pairs, the exactDedup posture at span
+    * granularity. Documents with fewer than `span` sentences emit
+    * nothing.
+    *
+    * Output: (idCol, span_idx, span_md5, keeper_id, keeper_idx, is_dup)
+    * with span_idx 0-based.
+    */
+  def sentenceSpanDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      span: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(span >= 1, "span must be >= 1")
+    val sents = filter(
+      transform(
+        regexp_extract_all(coalesce(col(textCol), lit("")), lit("[^.!?]+[.!?]"), lit(0)),
+        s => trim(s)),
+      s => s =!= "")
+    val spans = df
+      .select(col(idCol), sents.as("__s"))
+      .filter(size(col("__s")) >= span)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), size(col("__s")) - (span - 1)),
+          i => array_join(slice(col("__s"), i, lit(span)), " "))).as(Seq("span_idx", "span_text")))
+      .select(col(idCol), col("span_idx").cast("long").as("span_idx"),
+        md5(col("span_text")).as("span_md5"))
+    val w = Window.partitionBy(col("span_md5"))
+    spans
+      .withColumn("__k", min(struct(col(idCol), col("span_idx"))).over(w))
+      .select(col(idCol), col("span_idx"), col("span_md5"),
+        col("__k").getField(idCol).as("keeper_id"),
+        col("__k").getField("span_idx").as("keeper_idx"),
+        (col("__k").getField(idCol) =!= col(idCol) ||
+          col("__k").getField("span_idx") =!= col("span_idx")).as("is_dup"))
+  }
+
   /** Repeated-SPAN detection — the substring-level dedup pass (the
     * "Deduplicating Training Data" ExactSubstr shape, re-expressed
     * relationally): find, per document, the maximal token spans whose every

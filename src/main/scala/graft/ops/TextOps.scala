@@ -26,6 +26,66 @@ object TextOps {
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** Unicode text normalization — the ENCODING-REPAIR stage every
+    * web-corpus pipeline runs before any token/hash operator (dedup keys,
+    * shingles and vocabularies all assume one byte sequence per logical
+    * string; a decomposed `e`+U+0301 and a composed `é` must not count as
+    * different tokens). Three mirrored steps, in order:
+    *
+    *  1. Unicode NFC via the native [[graft.functions.NfcNormalize]]
+    *     kernel (ASCII rows: one byte scan, zero allocation — the 100 TB
+    *     fast path);
+    *  2. non-breaking/figure/narrow spaces (U+00A0, U+2007, U+202F) →
+    *     plain space;
+    *  3. zero-width characters (U+200B..U+200D, U+FEFF) and C0 controls
+    *     except `\t`/`\n` (plus DEL) stripped.
+    *
+    * Deliberately NOT lowercased/whitespace-collapsed ([[normalize]] is
+    * that policy step) and NOT NFKC (rewriting ligatures/full-width forms
+    * is a policy choice, not canonical equivalence).
+    *
+    * Output: (idCol, text_norm, n_chars_before, n_chars_after, changed) —
+    * char counts are CODEPOINTS (Spark `length` and DuckDB `length`
+    * agree on that unit).
+    */
+  def unicodeNormalize(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val composed = graft.functions.NfcFunctions.graft_nfc(t)
+    val spaced = regexp_replace(composed, "[\\x{00A0}\\x{2007}\\x{202F}]", " ")
+    val cleaned = regexp_replace(spaced,
+      "[\\x{200B}-\\x{200D}\\x{FEFF}\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    df.select(
+      col(idCol),
+      cleaned.as("text_norm"),
+      length(t).cast("long").as("n_chars_before"),
+      length(cleaned).cast("long").as("n_chars_after"),
+      (cleaned =!= t).as("changed"))
+  }
+
+  /** Mojibake (double-encoding) repair — the ftfy slot, sitting right
+    * next to [[unicodeNormalize]] in the encoding-repair stage: "cafÃ©"
+    * (UTF-8 bytes mis-decoded as cp1252 upstream) → "café", up to
+    * `maxRounds` inversions for double-encoded text. All semantics,
+    * safety proofs (genuine accented text provably untouched) and the
+    * DOCUMENT-ATOMIC contract live on
+    * [[graft.functions.MojibakeKernel]]; this is the one-projection
+    * DataFrame face. Zero shuffle at any scale; ASCII rows exit on one
+    * byte scan.
+    *
+    * Output: (idCol, text_fixed, changed, n_rounds).
+    */
+  def fixMojibake(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxRounds: Int = 2): DataFrame = {
+    val s = graft.functions.MojibakeFunctions
+      .graft_fix_mojibake(coalesce(col(textCol), lit("")), maxRounds)
+    df.select(col(idCol), s.getField("text_fixed").as("text_fixed"),
+      s.getField("changed").as("changed"),
+      s.getField("n_rounds").as("n_rounds"))
+  }
+
   /** Per-document token/char statistics. Counts are BIGINT (engine-wide
     * convention so oracles agree on schema).
     */

@@ -584,6 +584,110 @@ object Streaming {
     }
   }
 
+  /** Maintained KMV (k-minimum-values) distinct-count sketch over a
+    * micro-batched stream — the DETERMINISTIC sibling of [[HllStream]]:
+    * the state per key is the k smallest md5-derived 60-bit hashes of
+    * every value ever seen ([[graft.ops.Analytics.kmvSketch]]), folded per
+    * batch by [[graft.ops.Analytics.kmvMerge]] (min-k of the distinct
+    * union — a bounded-min monoid, associative and commutative), so the
+    * maintained sketch EXACTLY equals the one-shot sketch over the full
+    * history and [[estimate]] derives the distinct count at any moment.
+    * State is ≤ |keys|·k rows regardless of stream volume.
+    *
+    * Same slot protocol and idempotence class as HllStream: min-k of a
+    * union is insensitive to re-delivered values (distinct absorbs them),
+    * so a replayed batch is a provable state no-op even without slot
+    * fencing — the slots exist for restart rebuild and between-runs
+    * [[compact]]ion. Unlike HLL registers the KMV sketch relation is
+    * fully value-inspectable (pure md5 arithmetic), which is why the
+    * batch form is the one sketch family the DuckDB oracle hash-checks
+    * end to end; the stream maintains that same relation.
+    */
+  class KmvStream(
+      keys: Seq[String],
+      valueCol: String,
+      k: Int = 64,
+      storeDir: Option[String] = None) {
+    @volatile private var state: Option[DataFrame] = None
+    @volatile private var incremental = false
+
+    /** The maintained sketch relation (keys…, hv, pos), pos 1..k. */
+    def current: Option[DataFrame] = state
+
+    /** The distinct-count estimates derived from the current sketch. */
+    def estimate: Option[DataFrame] =
+      state.map(graft.ops.Analytics.kmvEstimate(_, keys, k))
+
+    private def mergeAll(partials: DataFrame): DataFrame =
+      graft.ops.Analytics.kmvMerge(k, partials.drop("batch_id"))
+
+    private def recoverCompaction(spark: SparkSession, d: String): Unit = {
+      val (fs, _) = fsFor(spark, d)
+      val tmps = committedSlots(spark, d, ".compact-")
+      tmps.drop(1).foreach { case (_, t) => fs.delete(t, true): Unit }
+      tmps.headOption.foreach { case (id, tmp) =>
+        committedSlots(spark, d, "batch_id=").foreach { case (_, s) => fs.delete(s, true): Unit }
+        fs.rename(tmp, new org.apache.hadoop.fs.Path(d, s"batch_id=$id")): Unit
+      }
+    }
+
+    /** Fold all per-batch sketch slots into one base slot (the
+      * RollupStream compaction contract: between query runs only).
+      */
+    def compact(spark: SparkSession): Int = storeDir match {
+      case Some(d) =>
+        recoverCompaction(spark, d)
+        val slots = committedSlots(spark, d, "batch_id=")
+        if (slots.length <= 1) 0
+        else {
+          val (fs, _) = fsFor(spark, d)
+          val newBase = math.min(slots.map(_._1).min, 0L) - 1
+          val merged = mergeAll(spark.read.parquet(d)).localCheckpoint(true)
+          merged.write.mode("overwrite").parquet(s"$d/.compact-$newBase")
+          slots.foreach { case (_, s) => fs.delete(s, true): Unit }
+          fs.rename(
+            new org.apache.hadoop.fs.Path(d, s".compact-$newBase"),
+            new org.apache.hadoop.fs.Path(d, s"batch_id=$newBase")): Unit
+          state = Some(merged)
+          slots.length
+        }
+      case _ => 0
+    }
+
+    def start(stream: DataFrame, checkpointDir: String): StreamingQuery = {
+      val spark = stream.sparkSession
+      incremental = false
+      storeDir.foreach { d =>
+        recoverCompaction(spark, d)
+        if (state.isEmpty && committedSlots(spark, d, "batch_id=").nonEmpty)
+          state = Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
+      }
+      stream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val part = graft.ops.Analytics.kmvSketch(batch, keys, valueCol, k)
+            .localCheckpoint(true)
+          state = storeDir match {
+            case Some(d) =>
+              part.write.mode("overwrite").parquet(s"$d/batch_id=$batchId")
+              if (!incremental) {
+                incremental = true
+                committedSlots(spark, d, "batch_id=") // fence crashed slots
+                Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
+              } else Some(graft.ops.Analytics
+                .kmvMerge(k, state.get, part).localCheckpoint(true))
+            case None =>
+              Some((state match {
+                case Some(prev) => graft.ops.Analytics.kmvMerge(k, prev, part)
+                case None       => part
+              }).localCheckpoint(true))
+          }
+        }
+        .start()
+    }
+  }
+
   /** Maintained NEAR-DUP cluster labeling over a micro-batched document
     * stream — the streaming form of the incremental dedup story
     * (q_neardup_clusters_incr's store/batch cycle driven by a real

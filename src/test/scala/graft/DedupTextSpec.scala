@@ -670,6 +670,37 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("sentenceSpanDedup: cross-doc and intra-doc 3-sentence windows keyed to the first occurrence") {
+    val df = Seq(
+      // docs 1 and 2 share all four sentences -> both windows duplicate, doc 1 keeps
+      (1L, "A b c. D e f. G h i. J k l."),
+      (2L, "A b c. D e f. G h i. J k l."),
+      // intra-doc repetition: alternating sentences, window 2 == window 0
+      (3L, "Z z z. Y y y. Z z z. Y y y. Z z z."),
+      // under the span: no rows
+      (4L, "One two. Three four."),
+      // no terminal punctuation at all: no sentences, no rows
+      (5L, "just soup with no punctuation at all")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.sentenceSpanDedup(df, "doc_id", "text")
+      .select("doc_id", "span_idx", "keeper_id", "keeper_idx", "is_dup")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 1L, 0L, false), (1L, 1L, 1L, 1L, false),
+      (2L, 0L, 1L, 0L, true), (2L, 1L, 1L, 1L, true),
+      (3L, 0L, 3L, 0L, false), (3L, 1L, 3L, 1L, false),
+      (3L, 2L, 3L, 0L, true)))
+  }
+
+  test("sentenceSpanDedup: sentence extraction trims and survives !/? terminators and empty gaps") {
+    val df = Seq(
+      (1L, "  First one!   Second here?  Third now. Fourth last.  ")
+    ).toDF("doc_id", "text")
+    val rows = DedupOps.sentenceSpanDedup(df, "doc_id", "text")
+      .select("doc_id", "span_idx", "is_dup").as[(Long, Long, Boolean)].collect().toSet
+    assert(rows == Set((1L, 0L, false), (1L, 1L, false)))
+  }
+
   test("lineDedup drops exactly the >maxDocFreq lines and preserves order") {
     val boiler = "copyright acme corp"
     val d = Seq(

@@ -368,6 +368,50 @@ class JobsStreamingSpec extends AnyFunSuite {
       "re-delivering every row ever seen must leave the registers unchanged")
   }
 
+  test("KmvStream: maintained sketch equals the one-shot sketch across kill/restart/compaction; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = Seq(("click", 1L), ("click", 2L), ("view", 1L))
+    val t2 = Seq(("click", 3L), ("view", 2L), ("view", 2L)) // intra-batch dup
+    val t3 = Seq(("click", 1L), ("view", 9L)) // cross-batch re-sighting
+    val stream = MemoryStream[(String, Long)]
+    val df = stream.toDF().toDF("event_type", "user_id")
+    val ckpt = Files.createTempDirectory("graft-kmv-ckpt").toString
+    val store = Files.createTempDirectory("graft-kmv-store").toString + "/kmv"
+    val s1 = new Streaming.KmvStream(Seq("event_type"), "user_id", k = 4, storeDir = Some(store))
+    val q1 = s1.start(df, ckpt)
+    stream.addData(t1); q1.processAllAvailable(); q1.stop()
+    val s2 = new Streaming.KmvStream(Seq("event_type"), "user_id", k = 4, storeDir = Some(store))
+    val q2 = s2.start(df, ckpt)
+    stream.addData(t2); q2.processAllAvailable() // first batch: disk rebuild
+    stream.addData(t3); q2.processAllAvailable() // steady state: O(keys·k) merge
+    q2.stop()
+    def sk(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("event_type"), col("hv"), col("pos"))
+        .as[(String, Long, Long)].collect().toSet
+    val oneShot = graft.ops.Analytics.kmvSketch(
+      (t1 ++ t2 ++ t3).toDF("event_type", "user_id"), Seq("event_type"), "user_id", k = 4)
+    assert(sk(s2.current.get) == sk(oneShot),
+      "maintained sketch must equal the one-shot sketch relation")
+    // k=4 < 4 distinct click users? click has {1,2,3} = 3 < 4 -> exact path;
+    // view has {1,2,9} = 3 -> exact path; estimates equal the batch form
+    val estStream = s2.estimate.get
+      .select(col("event_type"), col("n_sketch"), col("est_distinct"))
+      .as[(String, Long, Double)].collect().toSet
+    val estBatch = graft.ops.Analytics.kmvEstimate(oneShot, Seq("event_type"), k = 4)
+      .select(col("event_type"), col("n_sketch"), col("est_distinct"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(estStream == estBatch)
+    assert(estStream.map(e => e._1 -> e._3).toMap == Map("click" -> 3.0, "view" -> 3.0))
+    // compaction folds the slots; a further restart + re-DELIVERED data is
+    // a sketch no-op (min-k of a distinct union is replay-insensitive)
+    assert(s2.compact(spark) == 3)
+    val s3 = new Streaming.KmvStream(Seq("event_type"), "user_id", k = 4, storeDir = Some(store))
+    val q3 = s3.start(df, ckpt)
+    stream.addData(t1 ++ t2 ++ t3); q3.processAllAvailable(); q3.stop()
+    assert(sk(s3.current.get) == sk(oneShot),
+      "re-delivering every row ever seen must leave the sketch unchanged")
+  }
+
   test("SnapshotStream recovery fences a crashed version write and resumes from the last good one") {
     implicit val sqlCtx = spark.sqlContext
     val store = Files.createTempDirectory("graft-snapv").toString + "/snap"

@@ -212,6 +212,76 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out == "Keep the first real sentence here.\nAnd keep the second real sentence too!")
   }
 
+  test("unicodeNormalize: NFC composes, singletons map, spaces/zero-width/controls clean, ASCII untouched") {
+    val docs = Seq(
+      // decomposed composes; already-composed idempotent
+      (1L, "cafe\u0301 and caf\u00e9"),
+      // U+2126 Ohm singleton -> U+03A9 Greek Omega
+      (2L, "ohm \u2126 stays \u03a9"),
+      // NBSP / figure space / narrow NBSP -> plain space
+      (3L, "a\u00a0b\u2007c\u202fd"),
+      // zero-width space/BOM/ZWNJ + C0 BEL + DEL all strip
+      (4L, "x\u200by\ufeffz\u200cw\u0007\u007fv"),
+      (5L, "tab\there\nand newline stay"), // \t and \n are kept, not controls here
+      (6L, "plain ascii untouched")
+    ).toDF("doc_id", "text")
+    val got = TextOps.unicodeNormalize(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "caf\u00e9 and caf\u00e9", 14L, 13L, true)))
+    assert(got(2L) == ((2L, "ohm \u03a9 stays \u03a9", 13L, 13L, true)))
+    assert(got(3L) == ((3L, "a b c d", 7L, 7L, true)))
+    assert(got(4L) == ((4L, "xyzwv", 10L, 5L, true)))
+    assert(got(5L) == ((5L, "tab\there\nand newline stay", 25L, 25L, false)))
+    assert(got(6L) == ((6L, "plain ascii untouched", 21L, 21L, false)))
+  }
+
+  test("NfcKernel: ASCII fast path returns the input reference; normalized non-ASCII skips the rewrite") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.NfcKernel
+    val ascii = UTF8String.fromString("just ascii")
+    assert(NfcKernel.nfc(ascii) eq ascii)
+    val composed = UTF8String.fromString("caf\u00e9")
+    assert(NfcKernel.nfc(composed) eq composed)
+    val decomposed = UTF8String.fromString("cafe\u0301")
+    assert(NfcKernel.nfc(decomposed).toString == "caf\u00e9")
+  }
+
+  test("fixMojibake: single/double inversion repair; genuine accents, CJK and ASCII provably untouched") {
+    val docs = Seq(
+      (1L, "plain ascii stays"),
+      (2L, "one caf\u00c3\u00a9 level"),            // cafÃ© -> café, 1 round
+      (3L, "two caf\u00c3\u0192\u00c2\u00a9 levels"), // cafÃƒÂ© -> café, 2 rounds
+      (4L, "real caf\u00e9 here"),                  // genuine é: 0xE9 is no UTF-8 lead -> untouched
+      (5L, "it\u00e2\u20ac\u2122s quoted"),         // â€™ -> ’ (cp1252 C1 range)
+      (6L, "mixed \u4e2d text"),                    // CJK unmappable -> untouched
+      // document-atomic: mojibake AND genuine accent in one doc -> veto
+      (7L, "caf\u00c3\u00a9 and caf\u00e9 together")
+    ).toDF("doc_id", "text")
+    val got = TextOps.fixMojibake(docs, "doc_id", "text")
+      .as[(Long, String, Boolean, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "plain ascii stays", false, 0L)))
+    assert(got(2L) == ((2L, "one caf\u00e9 level", true, 1L)))
+    assert(got(3L) == ((3L, "two caf\u00e9 levels", true, 2L)))
+    assert(got(4L) == ((4L, "real caf\u00e9 here", false, 0L)))
+    assert(got(5L) == ((5L, "it\u2019s quoted", true, 1L)))
+    assert(got(6L) == ((6L, "mixed \u4e2d text", false, 0L)))
+    assert(got(7L) == ((7L, "caf\u00c3\u00a9 and caf\u00e9 together", false, 0L)))
+  }
+
+  test("MojibakeKernel: ASCII fast path returns the input reference; maxRounds caps the inversion") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.MojibakeKernel
+    val ascii = UTF8String.fromString("just ascii")
+    assert(MojibakeKernel.fix(ascii, 2).get(0, null) eq ascii)
+    // triple-encoded: with maxRounds=2 only two inversions run
+    val triple = "caf\u00c3\u0192\u00c6\u2019\u00c3\u201a\u00c2\u00a9"
+    val r2 = MojibakeKernel.fix(UTF8String.fromString(triple), 2)
+    assert(r2.getLong(2) == 2L)
+    val r3 = MojibakeKernel.fix(UTF8String.fromString(triple), 3)
+    assert(r3.getLong(2) == 3L)
+    assert(r3.get(0, null).toString == "caf\u00e9")
+  }
+
   test("urlNormalize: ports, www, trailing slash, tracking params, sort, domain") {
     val docs = Seq(
       (1L, "HTTPS://WWW.News.Example.COM:443/A/B/?utm_source=x&b=2&a=10&ref=tw#top"),
