@@ -1607,6 +1607,47 @@ object SparkEntry {
     DedupOps.sentenceSpanDedup(planted, "doc_id", "text")
   }
 
+  /** Link extraction over deterministic full pages (the qHtmlExtract
+    * page shape): two nav anchors, one per-doc body anchor whose URL is
+    * doc_id arithmetic, one footer anchor. GROUND-TRUTH oracle: the
+    * expected (idx, href) rows are stated from the construction — an
+    * extractor that misses an anchor, misorders, or leaks tag bytes
+    * cannot pass.
+    */
+  def qHtmlLinks(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><title>D</title></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a class=\"x\" href=\"/about\">About</a></nav><p>"),
+      col("text"),
+      lit("</p><a href=\"https://site"), (col("doc_id") % 5).cast("string"),
+      lit(".example.com/p/"), (col("doc_id") % 7).cast("string"),
+      lit("\">out</a><footer><a href=\"/tos\">Terms</a></footer></body></html>"))
+    TextOps.htmlLinks(
+      Tables.documents(spark, dir).select(col("doc_id"), page.as("html")),
+      "doc_id", "html")
+  }
+
+  /** Feature hashing over the raw corpus — no plant needed: every token
+    * routes through the shared md5-60-bit recipe, so the oracle replays
+    * bucket, sign and the signed sums exactly.
+    */
+  def qHashFeatures(spark: SparkSession, dir: String): DataFrame =
+    TextOps.hashFeatures(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Readability over the %7-planted three-sentence docs: planted docs
+    * take the full Flesch path; the unpunctuated soup majority pins the
+    * NULL-flesch (no-sentences) branch with real word/syllable counts.
+    */
+  def qReadability(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit(" The quick brown fox jumps over the lazy dog today." +
+            " It was a bright cold day in April. Where is the small key now?"))
+          .otherwise(lit(""))))
+    TextOps.readabilityScores(planted, "doc_id", "text")
+  }
+
   /** Int8 quantization stats per embedding vector (integer-exact
     * invariants: quantized sum + saturation count).
     */
@@ -3208,6 +3249,22 @@ object SparkEntry {
     SimilarityOps.knnBrute(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
   }
 
+  /** Two-stage truncated-prefix ANN over the same probe set as
+    * q_embedding_knn: 16-of-64-dim prefilter (4× cheaper scoring pass)
+    * to 60 candidates, exact rerank to top 10 — the DETERMINISTIC ANN
+    * variant whose result relation (scores, candidate ranks and all)
+    * hash-matches a full two-stage oracle replay. The synthetic
+    * isotropic embeddings are the WORST case for prefix truncation
+    * (no MRL/PCA variance front-loading): measured recall@10 vs brute
+    * is 0.54 here and spec-pinned as the mechanism-regression canary.
+    */
+  def qAnnTruncated(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.knnTruncatedRerank(
+      emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      prefixDims = 16, candK = 60, k = 10)
+  }
+
   /** Hard-negative mining: for the anchor set (every 10th vector), the
     * top-5 most-similar vectors with a DIFFERENT label — contrastive
     * near-misses, knn rules plus the label-inequality predicate
@@ -3576,6 +3633,9 @@ object SparkEntry {
     "q_text_normalize"          -> (qTextNormalize(_, _)),
     "q_fix_mojibake"            -> (qFixMojibake(_, _)),
     "q_sentence_span_dedup"     -> (qSentenceSpanDedup(_, _)),
+    "q_html_links"              -> (qHtmlLinks(_, _)),
+    "q_hash_features"           -> (qHashFeatures(_, _)),
+    "q_readability"             -> (qReadability(_, _)),
     "q_embedding_quantize"      -> (qEmbeddingQuantize(_, _)),
     "q_scd2_history"            -> (qScd2History(_, _)),
     "q_ngram_jaccard_dedup"     -> (qNgramJaccardDedup(_, _)),
@@ -3677,6 +3737,7 @@ object SparkEntry {
     "q_gap_interpolate"         -> (qGapInterpolate(_, _)),
     "q_series_motif"            -> (qSeriesMotif(_, _)),
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
+    "q_ann_truncated"           -> (qAnnTruncated(_, _)),
     "q_hard_negatives"          -> (qHardNegatives(_, _)),
     "q_class_outliers"          -> (qClassOutliers(_, _)),
     "q_embedding_drift"         -> (qEmbeddingDrift(_, _)),
@@ -6675,6 +6736,50 @@ object SparkEntry {
         |SELECT doc_id, span_idx, span_md5, keeper_id, keeper_idx,
         |  (keeper_id <> doc_id OR keeper_idx <> span_idx) AS is_dup
         |FROM k""".stripMargin,
+    // GROUND TRUTH: the page construction fixes every anchor, so the
+    // expected (idx, href) rows are pure doc_id arithmetic
+    "q_html_links" ->
+      raw"""SELECT doc_id, i::BIGINT AS link_idx,
+        |  CASE i WHEN 0 THEN '/'
+        |         WHEN 1 THEN '/about'
+        |         WHEN 2 THEN 'https://site' || (doc_id % 5)::VARCHAR
+        |                     || '.example.com/p/' || (doc_id % 7)::VARCHAR
+        |         ELSE '/tos' END AS href
+        |FROM (SELECT doc_id, unnest(range(0, 4)) AS i FROM documents)""".stripMargin,
+    // the md5 hex-fold 60-bit recipe (the KMV/CMS/simhash hash), then
+    // bucket (h div 2) % 16, sign 1-2*(h % 2), signed sums per (doc, dim)
+    "q_hash_features" ->
+      raw"""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |            FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+        |h AS (SELECT doc_id,
+        |             list_sum([(strpos('0123456789abcdef', md5(token)[i]) - 1)::BIGINT << (4 * (15 - i))
+        |                       for i in range(1, 16)])::BIGINT AS hv
+        |      FROM tok)
+        |SELECT doc_id, ((hv // 2) % 16)::BIGINT AS dim,
+        |       sum(1 - 2 * (hv % 2))::BIGINT AS value,
+        |       count(*)::BIGINT AS n_tokens
+        |FROM h GROUP BY 1, 2""".stripMargin,
+    // vowel-group syllables, terminal-punct sentences and the micro-unit
+    // Flesch identity with truncating division, mirrored step for step
+    "q_readability" ->
+      raw"""WITH b AS (SELECT doc_id, coalesce(text
+        |  || CASE WHEN doc_id % 7 = 0 THEN
+        |       ' The quick brown fox jumps over the lazy dog today. It was a bright cold day in April. Where is the small key now?'
+        |     ELSE '' END, '') AS t FROM documents),
+        |c AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(t), '\s+'), x -> x <> '') AS w,
+        |  len(regexp_extract_all(t, '[.!?]'))::BIGINT AS ns FROM b),
+        |s AS (SELECT doc_id, len(w)::BIGINT AS nw, ns,
+        |  coalesce(list_sum([greatest(1, len(regexp_split_to_array(lower(x), '[aeiouy]+')) - 1)
+        |                     for x in w]), 0)::BIGINT AS syl
+        |  FROM c)
+        |SELECT doc_id, nw AS n_words, ns AS n_sentences, syl AS n_syllables,
+        |  (CASE WHEN nw > 0 AND ns > 0 THEN
+        |     206835000 - ((nw * 1000000) // ns) * 1015 // 1000
+        |               - ((syl * 1000000) // nw) * 84600 // 1000
+        |   END)::BIGINT AS flesch_fp
+        |FROM s""".stripMargin,
     "q_embedding_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),
@@ -7349,6 +7454,29 @@ object SparkEntry {
         |       (((media_id * 83 + frame_idx * 43) % 256) * w * h)::BIGINT AS sum_b
         |FROM f""".stripMargin,
     "q_embedding_knn" -> knnOracle,
+    // both stages replayed: prefix-16 cosine + (tsim DESC, id) candidate
+    // cut at 60, exact full-dim rerank to 10 — the deterministic ANN
+    "q_ann_truncated" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |             v[1:16] AS tv, sqrt(list_dot_product(v[1:16], v[1:16])) AS tn FROM v),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn, tv AS ptv, tn AS ptn
+        |      FROM n WHERE vec_id < 20),
+        |j1 AS (SELECT probe_id, vec_id, pv, pn, v, nrm,
+        |              CASE WHEN ptn * tn > 0 THEN list_dot_product(ptv, tv) / (ptn * tn) END AS tsim
+        |       FROM p, n WHERE vec_id <> probe_id),
+        |r1 AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY tsim DESC, vec_id) AS crank
+        |       FROM j1 WHERE tsim IS NOT NULL),
+        |cand AS (SELECT * FROM r1 WHERE crank <= 60),
+        |j2 AS (SELECT probe_id, vec_id, tsim, crank,
+        |              CASE WHEN pn * nrm > 0 THEN list_dot_product(pv, v) / (pn * nrm) END AS sim
+        |       FROM cand),
+        |r2 AS (SELECT probe_id, vec_id, sim, tsim, crank,
+        |              row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+        |       FROM j2 WHERE sim IS NOT NULL)
+        |SELECT probe_id, vec_id AS neighbor_id, sim, rank::BIGINT AS rank,
+        |       tsim, crank::BIGINT AS crank
+        |FROM r2 WHERE rank <= 10""".stripMargin,
     "q_mmr_select" -> mmrOracle,
     "q_kcenter_select" -> kCenterOracle,
     "q_cluster_keywords" -> clusterKeywordsOracle,

@@ -82,6 +82,60 @@ object SimilarityOps {
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", l2norm(col("v")))
 
+  /** Two-stage truncated-prefix ANN (the Matryoshka/PCA-truncation
+    * trick): stage 1 ranks every candidate by cosine over the FIRST
+    * `prefixDims` dimensions — an 8-of-64 prefix makes the scoring pass
+    * ~8× cheaper per pair, and a real deployment stores the truncated
+    * vectors as their own skinny column so the full vectors are never
+    * scanned — and keeps `candK` survivors per probe; stage 2 reranks
+    * only those by EXACT full-dimension cosine to the final top `k`.
+    *
+    * Unlike IVF/LSH (whose recall is a measured, spec-pinned bound) this
+    * ANN variant is fully DETERMINISTIC — both stages are pure
+    * arithmetic with the (score DESC, id) total order — so the whole
+    * result relation hash-matches a DuckDB oracle that replays prefix
+    * scoring, candidate cut and rerank step for step. Recall against
+    * [[knnBrute]] is additionally spec-pinned on the real corpus.
+    *
+    * Same candidate rules as [[knnBrute]]: self excluded, zero-norm
+    * (prefix OR full) vectors dropped.
+    *
+    * Output: (probe_id, neighbor_id, sim, rank, tsim, crank).
+    */
+  def knnTruncatedRerank(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      prefixDims: Int,
+      candK: Int,
+      k: Int): DataFrame = {
+    require(prefixDims >= 1, "prefixDims must be >= 1")
+    require(candK >= k, "candK must be >= k (the rerank pool cannot shrink below k)")
+    def prep(df: DataFrame) = prepared(df, idCol, vecCol)
+      .withColumn("tv", slice(col("v"), 1, prefixDims))
+      .withColumn("tn", l2norm(col("tv")))
+    val c = prep(corpus)
+    val p = prep(probes).select(
+      col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn"),
+      col("tv").as("ptv"), col("tn").as("ptn"))
+    val stage1 = c
+      .join(broadcast(p), col(idCol) =!= col("probe_id"))
+      .withColumn("tsim", cosine(dot(col("ptv"), col("tv")), col("ptn"), col("tn")))
+      .filter(col("tsim").isNotNull)
+    val w1 = Window.partitionBy(col("probe_id")).orderBy(col("tsim").desc, col(idCol))
+    val w2 = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col(idCol))
+    stage1
+      .withColumn("crank", row_number().over(w1).cast("long"))
+      .filter(col("crank") <= candK)
+      .withColumn("sim", cosine(dot(col("pv"), col("v")), col("pn"), col("nrm")))
+      .filter(col("sim").isNotNull)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        col("sim"), col("rank"), col("tsim"), col("crank"))
+  }
+
   /** Exact cosine top-k: for each probe, the k nearest corpus vectors
     * (excluding itself), ranked by (similarity desc, id) for a total order.
     * Zero-norm vectors (on either side) have UNDEFINED direction and are

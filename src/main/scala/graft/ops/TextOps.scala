@@ -674,6 +674,86 @@ object TextOps {
       (size(params) - size(keptParams)).cast("long").as("n_params_dropped"))
   }
 
+  /** Anchor/href extraction from raw HTML — the LINK-GRAPH source every
+    * crawl pipeline feeds PageRank/domain-authority from (the companion
+    * of [[htmlExtract]], which only counts anchors). One generator
+    * projection: (idCol, link_idx, href) per `<a ... href="...">` in
+    * document order; documents without links emit nothing.
+    *
+    * The tag-interior class is LAZY (`[^>]*?`) — greedy would scan to the
+    * tag end and backtrack per candidate position; possessive would eat
+    * `href=` itself and never match. Double-quoted hrefs only (the
+    * emitter contract of every templating system; single-quoted/bare
+    * attrs are crawl exotica a deployment adds to the pattern).
+    */
+  def htmlLinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(regexp_extract_all(coalesce(col(htmlCol), lit("")),
+        lit("(?i)<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\""), lit(1)))
+        .as(Seq("link_idx", "href")))
+      .select(col(idCol), col("link_idx").cast("long").as("link_idx"), col("href"))
+
+  /** Feature hashing (the hashing trick, Weinberger et al. 2009) — the
+    * fixed-width BoW featurizer behind linear classifiers/regressors when
+    * a vocabulary table is unwanted: token → md5-derived 60-bit hash →
+    * bucket `(h div 2) mod dims`, sign `1 − 2·(h mod 2)`, feature value =
+    * signed occurrence sum. Every step is the repo's replayable md5
+    * fixed-point recipe ([[DedupOps.md5Hash60]]), so the whole feature
+    * relation hash-matches a SQL oracle.
+    *
+    * LONG-FORM output (idCol, dim, value, n_tokens) — sparse rows, atomic
+    * columns (the driver cell contract), and the natural shape for both
+    * the classifier join and a 100 TB shuffle: the aggregate partial
+    * combines map-side, so ≤ |docs|·dims rows ever cross the wire.
+    */
+  def hashFeatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int = 16): DataFrame = {
+    require(dims >= 2, "dims must be >= 2")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol), DedupOps.md5Hash60(col("__t")).as("__h"))
+      .select(col(idCol),
+        expr(s"(__h div 2) % $dims").as("dim"),
+        expr("1 - 2 * (__h % 2)").as("__sign"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(sum(col("__sign")).as("value"), count(lit(1)).as("n_tokens"))
+  }
+
+  /** Flesch reading-ease readability — the classic quality feature
+    * (education-level filters in curation stacks), in the repo's integer
+    * fixed-point contract so both engines realize identical values:
+    * syllables ≈ max(1, vowel-group count) per word (the standard
+    * heuristic), sentences = terminal-punctuation marks, and
+    * flesch_fp (micro-units) =
+    * 206835000 − (w/s·1e6)·1015 div 1000 − (syl/w·1e6)·84600 div 1000
+    * with every division truncating on nonnegative operands. Documents
+    * with no words or no sentences keep NULL flesch (no silent zero).
+    *
+    * Output: (idCol, n_words, n_sentences, n_syllables, flesch_fp).
+    * Zero shuffle — one codegen'd projection (HOF syllable fold aside).
+    */
+  def readabilityScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val w = tokens(t)
+    val syl = aggregate(
+      transform(w, x =>
+        greatest(lit(1L), (size(split(lower(x), "[aeiouy]+", -1)) - 1).cast("long"))),
+      lit(0L), (acc, s) => acc + s)
+    df.select(
+      col(idCol),
+      size(w).cast("long").as("n_words"),
+      regexp_count(t, lit("[.!?]")).cast("long").as("n_sentences"),
+      syl.as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          lit(206835000L)
+            - expr("((n_words * 1000000) div n_sentences) * 1015 div 1000")
+            - expr("((n_syllables * 1000000) div n_words) * 84600 div 1000"))
+          .as("flesch_fp"))
+  }
+
   /** Frequency-ranked vocabulary of the corpus's most common `vocabSize`
     * normalized tokens: (token, n, id) with dense ids 0..vocabSize-1
     * assigned by (count DESC, token ASC) — the deterministic total order

@@ -380,6 +380,31 @@ class PlanContractSpec extends AnyFunSuite {
     assert(audited > 0, "sweep found no global windows — collection broke, not the suite")
   }
 
+  /** The round-10 web-corpus stages are claimed SHUFFLE-FREE scans (or
+    * exactly one designed exchange) — pin the count so a refactor that
+    * sneaks a repartition/aggregate into a projection stage fails CI, not
+    * a bench. Shuffle exchanges are counted as plan lines mentioning
+    * Exchange that are not BroadcastExchange.
+    */
+  test("web-corpus stage queries: pinned shuffle-exchange counts") {
+    def shuffles(name: String): Int = {
+      val (phys, _) = planOf(name)
+      phys.linesIterator.count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    }
+    val zeroShuffle = Seq("q_c4_rules", "q_url_normalize", "q_text_normalize",
+      "q_fix_mojibake", "q_html_links", "q_readability", "q_html_extract")
+    zeroShuffle.foreach { n =>
+      assert(shuffles(n) == 0, s"$n must plan as a shuffle-free scan")
+    }
+    // span dedup: ONE hash partition on span_md5 for the keeper window
+    assert(shuffles("q_sentence_span_dedup") == 1,
+      "q_sentence_span_dedup plans exactly the span_md5 keeper exchange")
+    // feature hashing: ONE exchange for the (doc, dim) final aggregate —
+    // the partial aggregate must stay on the map side
+    assert(shuffles("q_hash_features") == 1,
+      "q_hash_features plans exactly the (doc, dim) aggregate exchange")
+  }
+
   contracts.foreach { c =>
     test(s"${c.name}: pinned plan contract (no cartesian/BNL/global-window drift, markers present)") {
       val (plan, globalWindows) = planOf(c.name)

@@ -282,6 +282,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r3.get(0, null).toString == "caf\u00e9")
   }
 
+  test("htmlLinks: anchors in order, case-insensitive, attr noise tolerated, no-link docs silent") {
+    val docs = Seq(
+      (1L, "<a href=\"/x\">a</a> text <A CLASS=\"z\" HREF=\"/y\">b</A>"),
+      (2L, "no anchors at all"),
+      // single-quoted href is OUT OF CONTRACT (double-quote emitters only)
+      (3L, "<a href='/skip'>s</a><a href=\"/keep\">k</a>")
+    ).toDF("doc_id", "html")
+    val got = TextOps.htmlLinks(docs, "doc_id", "html")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 0L, "/x"), (1L, 1L, "/y"), (3L, 0L, "/keep")))
+  }
+
+  test("hashFeatures: signed sums conserve token mass, parity holds, repeated tokens stack") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha alpha"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.hashFeatures(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+    val byDoc = rows.groupBy(_._1)
+    // doc 1: four tokens distributed over dims; mass conserved, |value| <= n and same parity
+    assert(byDoc(1L).map(_._4).sum == 4L)
+    assert(rows.forall { case (_, d, v, n) => d >= 0 && d < 16 && math.abs(v) <= n && (v - n) % 2 == 0 })
+    // doc 2: one dim, the repeated token stacks to ±2
+    assert(byDoc(2L).length == 1 && math.abs(byDoc(2L).head._3) == 2L && byDoc(2L).head._4 == 2L)
+    // same token -> same dim across docs
+    val alphaDim = byDoc(2L).head._2
+    assert(byDoc(1L).exists(_._2 == alphaDim))
+    assert(!byDoc.contains(3L), "empty doc emits no feature rows")
+  }
+
+  test("readabilityScores: hand-checked Flesch fixed point; no-sentence docs keep NULL flesch") {
+    val docs = Seq(
+      (1L, "The cat sat."),     // 3 words, 1 sentence, 3 syllables -> 119.19
+      (2L, "soup with no punctuation here"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextOps.readabilityScores(docs, "doc_id", "text")
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch_fp")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got(1L) == ((3L, 1L, 3L, Some(119190000L))))
+    assert(got(2L) == ((5L, 0L, 8L, None)))
+    assert(got(3L) == ((0L, 0L, 0L, None)))
+  }
+
   test("urlNormalize: ports, www, trailing slash, tracking params, sort, domain") {
     val docs = Seq(
       (1L, "HTTPS://WWW.News.Example.COM:443/A/B/?utm_source=x&b=2&a=10&ref=tw#top"),
