@@ -3085,6 +3085,34 @@ object SparkEntry {
     TextOps.gopherRules(planted, "doc_id", "text")
   }
 
+  /** The FULL Gopher repetition rule family (Rae et al. 2021 Appendix A.1,
+    * the companion to [[qGopherRules]]): dup line/paragraph fractions and
+    * character fractions, top 2–4-gram character fractions, dup 5–10-gram
+    * character fractions, gated with strict `>` integer cross-multiplication.
+    * Six plants by doc_id modulus make every rule fire both ways: repeated
+    * lines (%23), repeated paragraphs (%29), a hot 2-gram (%31) / 3-gram
+    * (%37) / 4-gram (%41), and a looped 10-token sentence (%43) that lights
+    * the whole dup-5..10-gram family; non-multiples keep the word-soup
+    * corpus's near-zero repetition. The oracle replays plant + statistics
+    * step for step (coverage via position arithmetic over dup windows).
+    */
+  def qGopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 23 === 0,
+          concat(lit("\n"), repeat(lit("zig zag zug repeated line\n"), 6)))
+          .otherwise(lit("")),
+        when(col("doc_id") % 29 === 0,
+          repeat(lit("\n\nthe same paragraph appears again"), 5)).otherwise(lit("")),
+        when(col("doc_id") % 31 === 0, repeat(lit(" foo bar"), 60)).otherwise(lit("")),
+        when(col("doc_id") % 37 === 0, repeat(lit(" one two three"), 40)).otherwise(lit("")),
+        when(col("doc_id") % 41 === 0, repeat(lit(" quad gram test word"), 30)).otherwise(lit("")),
+        when(col("doc_id") % 43 === 0,
+          repeat(lit(" alpha bravo charlie delta echo foxtrot golf hotel india juliet"), 8))
+          .otherwise(lit(""))))
+    TextOps.gopherRepetition(planted, "doc_id", "text")
+  }
+
   /** Corpus-trained interpolated bigram LM score (CCNet/KenLM-style
     * perplexity quality filter) — per-document mean negative log-likelihood
     * from fixed-point-quantized log-probs (order-free integer sums, so the
@@ -3792,6 +3820,7 @@ object SparkEntry {
     "q_asset_type_dispatch"     -> (qAssetTypeDispatch(_, _)),
     "q_payload_parse"           -> (qPayloadParse(_, _)),
     "q_gopher_rules"            -> (qGopherRules(_, _)),
+    "q_gopher_repetition"       -> (qGopherRepetition(_, _)),
     "q_group_by_asset_type"     -> (qGroupByAssetType(_, _)),
     "q_batch_assignment"        -> (qBatchAssignment(_, _)),
     "q_completion_stats"        -> (qCompletionStats(_, _)),
@@ -6480,6 +6509,112 @@ object SparkEntry {
         |    AND hsh * 10 <= n_words AND esym * 10 <= n_words AND bullet * 10 <= n_lines * 9
         |    AND ell * 10 <= n_lines * 3 AND alpha * 5 >= n_words * 4 AND stops >= 2 AS pass
         |FROM c""".stripMargin,
+    // mirror of qGopherRepetition: same plants; dup-window coverage replayed
+    // by position arithmetic (token i covered iff some dup window j spans it);
+    // top-n-gram only over REPEATED grams; gate via the same integer
+    // cross-multiplications (engine semantics: token-chars, separators excluded)
+    "q_gopher_repetition" ->
+      raw"""WITH d AS (SELECT doc_id, coalesce(
+        |    text || CASE WHEN doc_id % 23 = 0
+        |                 THEN chr(10) || repeat('zig zag zug repeated line' || chr(10), 6)
+        |                 ELSE '' END
+        |         || CASE WHEN doc_id % 29 = 0
+        |                 THEN repeat(chr(10) || chr(10) || 'the same paragraph appears again', 5)
+        |                 ELSE '' END
+        |         || CASE WHEN doc_id % 31 = 0 THEN repeat(' foo bar', 60) ELSE '' END
+        |         || CASE WHEN doc_id % 37 = 0 THEN repeat(' one two three', 40) ELSE '' END
+        |         || CASE WHEN doc_id % 41 = 0 THEN repeat(' quad gram test word', 30) ELSE '' END
+        |         || CASE WHEN doc_id % 43 = 0
+        |                 THEN repeat(' alpha bravo charlie delta echo foxtrot golf hotel india juliet', 8)
+        |                 ELSE '' END, '') AS text
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '') AS w,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x, ' ' || chr(9) || chr(13))), x -> x <> '') AS lns,
+        |    list_filter(list_transform(string_split(text, chr(10) || chr(10)), x -> trim(x, ' ' || chr(9) || chr(13) || chr(10))), x -> x <> '') AS prs
+        |  FROM d),
+        |tot AS (
+        |  SELECT doc_id,
+        |    coalesce(list_sum(list_transform(w, x -> length(x)::BIGINT)), 0)::BIGINT AS wtot,
+        |    len(w)::BIGINT AS wn,
+        |    coalesce(list_sum(list_transform(lns, x -> length(x)::BIGINT)), 0)::BIGINT AS ltot,
+        |    len(lns)::BIGINT AS ln_n, len(list_distinct(lns))::BIGINT AS ln_d,
+        |    coalesce(list_sum(list_transform(prs, x -> length(x)::BIGINT)), 0)::BIGINT AS ptot,
+        |    len(prs)::BIGINT AS pr_n, len(list_distinct(prs))::BIGINT AS pr_d
+        |  FROM base),
+        |lrep AS (
+        |  SELECT doc_id, sum((c - 1) * length(l))::BIGINT AS lrep FROM (
+        |    SELECT doc_id, l, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(lns) AS l FROM base) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |prep AS (
+        |  SELECT doc_id, sum((c - 1) * length(pp))::BIGINT AS prep FROM (
+        |    SELECT doc_id, pp, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(prs) AS pp FROM base) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |ng0 AS (
+        |  SELECT b.doc_id, ns.n AS n,
+        |    unnest(CASE WHEN len(b.w) >= ns.n
+        |      THEN [{'j': i, 'g': array_to_string(b.w[i:i+ns.n-1], ' ')} for i in range(1, len(b.w) - ns.n + 2)]
+        |      ELSE [] END) AS u
+        |  FROM base b, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) AS ns(n)),
+        |ng AS (SELECT doc_id, n, u.j AS j, u.g AS g FROM ng0),
+        |gtop AS (
+        |  SELECT doc_id, n,
+        |    max(CASE WHEN c > 1 THEN c * (length(g) - (n - 1)) END)::BIGINT AS top_chars
+        |  FROM (SELECT doc_id, n, g, count(*) AS c FROM ng WHERE n <= 4 GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |dupw AS (
+        |  SELECT doc_id, n, j FROM (
+        |    SELECT doc_id, n, j, count(*) OVER (PARTITION BY doc_id, n, g) AS c
+        |    FROM ng WHERE n >= 5)
+        |  WHERE c > 1),
+        |covidx AS (
+        |  SELECT DISTINCT doc_id, n, i FROM (
+        |    SELECT doc_id, n, j + unnest(range(0, n)) AS i FROM dupw)),
+        |cov AS (
+        |  SELECT c.doc_id, c.n, sum(length(b.w[c.i]))::BIGINT AS cov_chars
+        |  FROM covidx c JOIN base b USING (doc_id) GROUP BY 1, 2),
+        |piv AS (
+        |  SELECT t.doc_id, wtot, wn, ltot, ln_n, ln_d, ptot, pr_n, pr_d,
+        |    coalesce(lr.lrep, 0) AS lrep, coalesce(pr2.prep, 0) AS prep,
+        |    coalesce(max(CASE WHEN g.n = 2 THEN g.top_chars END), 0) AS top2,
+        |    coalesce(max(CASE WHEN g.n = 3 THEN g.top_chars END), 0) AS top3,
+        |    coalesce(max(CASE WHEN g.n = 4 THEN g.top_chars END), 0) AS top4,
+        |    coalesce(max(CASE WHEN c.n = 5 THEN c.cov_chars END), 0) AS cov5,
+        |    coalesce(max(CASE WHEN c.n = 6 THEN c.cov_chars END), 0) AS cov6,
+        |    coalesce(max(CASE WHEN c.n = 7 THEN c.cov_chars END), 0) AS cov7,
+        |    coalesce(max(CASE WHEN c.n = 8 THEN c.cov_chars END), 0) AS cov8,
+        |    coalesce(max(CASE WHEN c.n = 9 THEN c.cov_chars END), 0) AS cov9,
+        |    coalesce(max(CASE WHEN c.n = 10 THEN c.cov_chars END), 0) AS cov10
+        |  FROM tot t
+        |  LEFT JOIN lrep lr USING (doc_id) LEFT JOIN prep pr2 USING (doc_id)
+        |  LEFT JOIN gtop g USING (doc_id) LEFT JOIN cov c USING (doc_id)
+        |  GROUP BY ALL)
+        |SELECT doc_id,
+        |  CASE WHEN ln_n > 0 THEN (ln_n - ln_d)::DOUBLE / ln_n END AS dup_line_frac,
+        |  CASE WHEN ln_n > 0 THEN lrep::DOUBLE / ltot END AS dup_line_char_frac,
+        |  CASE WHEN pr_n > 0 THEN (pr_n - pr_d)::DOUBLE / pr_n END AS dup_para_frac,
+        |  CASE WHEN pr_n > 0 THEN prep::DOUBLE / ptot END AS dup_para_char_frac,
+        |  CASE WHEN wn >= 2 THEN top2::DOUBLE / wtot END AS top_2gram_char_frac,
+        |  CASE WHEN wn >= 3 THEN top3::DOUBLE / wtot END AS top_3gram_char_frac,
+        |  CASE WHEN wn >= 4 THEN top4::DOUBLE / wtot END AS top_4gram_char_frac,
+        |  CASE WHEN wn >= 5 THEN cov5::DOUBLE / wtot END AS dup_5gram_char_frac,
+        |  CASE WHEN wn >= 6 THEN cov6::DOUBLE / wtot END AS dup_6gram_char_frac,
+        |  CASE WHEN wn >= 7 THEN cov7::DOUBLE / wtot END AS dup_7gram_char_frac,
+        |  CASE WHEN wn >= 8 THEN cov8::DOUBLE / wtot END AS dup_8gram_char_frac,
+        |  CASE WHEN wn >= 9 THEN cov9::DOUBLE / wtot END AS dup_9gram_char_frac,
+        |  CASE WHEN wn >= 10 THEN cov10::DOUBLE / wtot END AS dup_10gram_char_frac,
+        |  (coalesce((ln_n - ln_d) * 10 > ln_n * 3, false) OR coalesce(lrep * 5 > ltot, false)
+        |   OR coalesce((pr_n - pr_d) * 10 > pr_n * 3, false) OR coalesce(prep * 5 > ptot, false)
+        |   OR coalesce(top2 * 5 > wtot, false) OR coalesce(top3 * 50 > wtot * 9, false)
+        |   OR coalesce(top4 * 25 > wtot * 4, false)
+        |   OR coalesce(cov5 * 20 > wtot * 3, false) OR coalesce(cov6 * 50 > wtot * 7, false)
+        |   OR coalesce(cov7 * 100 > wtot * 13, false) OR coalesce(cov8 * 25 > wtot * 3, false)
+        |   OR coalesce(cov9 * 100 > wtot * 11, false) OR coalesce(cov10 * 10 > wtot, false))
+        |    AS is_repetitive
+        |FROM piv""".stripMargin,
     "q_classifier_train" -> classifierTrainOracle,
     // SHARED: stats-fold training must reproduce the from-scratch fit
     // (mergeCentroidStats losslessness proof)

@@ -1661,6 +1661,99 @@ object TextOps {
           coalesce(col("top_bigram_frac") > topBigramMax, lit(false)))
   }
 
+  /** The FULL Gopher repetition rule set (Rae et al. 2021, Appendix A.1) —
+    * the 13 repetition statistics every large-corpus pipeline screens on,
+    * beyond [[repetitionStats]]'s two-metric summary:
+    *
+    *  - duplicate line / paragraph FRACTION (> 0.30 / > 0.30 fires):
+    *    share of lines (paragraphs) that repeat an earlier one;
+    *  - duplicate line / paragraph CHARACTER fraction (> 0.20 / > 0.20):
+    *    share of characters inside those repeat occurrences;
+    *  - top n-gram character fraction for n = 2, 3, 4
+    *    (> 0.20 / 0.18 / 0.16): characters claimed by the single most
+    *    frequent n-gram (count × gram characters over total token
+    *    characters);
+    *  - duplicated n-gram character fraction for n = 5..10
+    *    (> 0.15 / 0.14 / 0.13 / 0.12 / 0.11 / 0.10): characters covered
+    *    by ANY n-gram occurring more than once, overlaps counted once.
+    *
+    * Lines are the raw text split on `\n`, paragraphs on `\n\n` (both
+    * trimmed, empties dropped); token n-grams use the same normalized
+    * whitespace tokens as [[repetitionStats]]. Character accounting is
+    * token-characters (separators excluded) — documented engine semantics,
+    * replayed verbatim by the DuckDB oracle. Every metric is a pure
+    * per-document function computed by the [[graft.functions.RepetitionKernel]]
+    * in ONE codegen'd narrow projection — no explode, no shuffle; O(Σn·m)
+    * per document, flat per-row cost at any corpus size. Thresholds gate
+    * with STRICT `>` ("greater than", per the paper) via integer
+    * cross-multiplication — no float division feeds `is_repetitive`.
+    */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.RepetitionFunctions.graft_rep_stats
+    val t = coalesce(col(textCol), lit(""))
+    val lineArr = filter(
+      transform(split(t, "\n"), l => trim(l, " \t\r")), l => l =!= "")
+    val paraArr = filter(
+      transform(split(t, "\n\n"), p => trim(p, " \t\r\n")), p => p =!= "")
+    val tokArr = filter(split(normalize(t), " "), x => x =!= "")
+    val stats = df.select(
+      col(idCol),
+      graft_rep_stats(lineArr, 1).as("l"),
+      graft_rep_stats(paraArr, 1).as("p"),
+      DedupOps.bindOnce(tokArr) { w =>
+        struct((2 to 10).map(n => graft_rep_stats(w, n).as(s"g$n")): _*)
+      }.as("g"))
+    def frac(num: Column, den: Column, nonEmpty: Column): Column =
+      when(nonEmpty > 0, num.cast("double") / den.cast("double"))
+    val l = col("l"); val p = col("p")
+    def g(n: Int) = col("g").getField(s"g$n")
+    // integer cross-multiplications: metric > threshold ⇔ a·num > b·den
+    val fires = Seq(
+      (l("windows") - l("distinct")) * 10 > l("windows") * 3, // dup line > 0.30
+      l("rep_chars") * 5 > l("tot_chars"),                    // dup line chars > 0.20
+      (p("windows") - p("distinct")) * 10 > p("windows") * 3, // dup para > 0.30
+      p("rep_chars") * 5 > p("tot_chars"),                    // dup para chars > 0.20
+      g(2)("top_chars") * 5 > g(2)("tot_chars"),              // top 2-gram > 0.20
+      g(3)("top_chars") * 50 > g(3)("tot_chars") * 9,         // top 3-gram > 0.18
+      g(4)("top_chars") * 25 > g(4)("tot_chars") * 4,         // top 4-gram > 0.16
+      g(5)("cov_chars") * 20 > g(5)("tot_chars") * 3,         // dup 5-gram > 0.15
+      g(6)("cov_chars") * 50 > g(6)("tot_chars") * 7,         // dup 6-gram > 0.14
+      g(7)("cov_chars") * 100 > g(7)("tot_chars") * 13,       // dup 7-gram > 0.13
+      g(8)("cov_chars") * 25 > g(8)("tot_chars") * 3,         // dup 8-gram > 0.12
+      g(9)("cov_chars") * 100 > g(9)("tot_chars") * 11,       // dup 9-gram > 0.11
+      g(10)("cov_chars") * 10 > g(10)("tot_chars"))           // dup 10-gram > 0.10
+    stats.select(
+      col(idCol),
+      frac(l("windows") - l("distinct"), l("windows"), l("windows"))
+        .as("dup_line_frac"),
+      frac(l("rep_chars"), l("tot_chars"), l("windows"))
+        .as("dup_line_char_frac"),
+      frac(p("windows") - p("distinct"), p("windows"), p("windows"))
+        .as("dup_para_frac"),
+      frac(p("rep_chars"), p("tot_chars"), p("windows"))
+        .as("dup_para_char_frac"),
+      frac(g(2)("top_chars"), g(2)("tot_chars"), g(2)("windows"))
+        .as("top_2gram_char_frac"),
+      frac(g(3)("top_chars"), g(3)("tot_chars"), g(3)("windows"))
+        .as("top_3gram_char_frac"),
+      frac(g(4)("top_chars"), g(4)("tot_chars"), g(4)("windows"))
+        .as("top_4gram_char_frac"),
+      frac(g(5)("cov_chars"), g(5)("tot_chars"), g(5)("windows"))
+        .as("dup_5gram_char_frac"),
+      frac(g(6)("cov_chars"), g(6)("tot_chars"), g(6)("windows"))
+        .as("dup_6gram_char_frac"),
+      frac(g(7)("cov_chars"), g(7)("tot_chars"), g(7)("windows"))
+        .as("dup_7gram_char_frac"),
+      frac(g(8)("cov_chars"), g(8)("tot_chars"), g(8)("windows"))
+        .as("dup_8gram_char_frac"),
+      frac(g(9)("cov_chars"), g(9)("tot_chars"), g(9)("windows"))
+        .as("dup_9gram_char_frac"),
+      frac(g(10)("cov_chars"), g(10)("tot_chars"), g(10)("windows"))
+        .as("dup_10gram_char_frac"),
+      fires.map(c => coalesce(c, lit(false))).reduce(_ || _)
+        .as("is_repetitive"))
+  }
+
   // ───────────────────────── BPE merge training ─────────────────────────
 
   /** `(word, freq)` vocabulary of the corpus — the ONE corpus-sized pass

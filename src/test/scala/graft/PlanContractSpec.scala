@@ -392,7 +392,8 @@ class PlanContractSpec extends AnyFunSuite {
       phys.linesIterator.count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
     }
     val zeroShuffle = Seq("q_c4_rules", "q_url_normalize", "q_text_normalize",
-      "q_fix_mojibake", "q_html_links", "q_readability", "q_html_extract")
+      "q_fix_mojibake", "q_html_links", "q_readability", "q_html_extract",
+      "q_gopher_repetition")
     zeroShuffle.foreach { n =>
       assert(shuffles(n) == 0, s"$n must plan as a shuffle-free scan")
     }

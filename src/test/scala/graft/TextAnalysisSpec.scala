@@ -1221,6 +1221,62 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got(7L)._6 && !got(7L)._7, "no required stopwords fails the >=2 gate")
   }
 
+  test("gopherRepetition: hand-computed metrics per crafted doc, strict '>' boundary, empty-doc NULLs") {
+    val unique = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val dupLines = "aa\nbb\naa\naa\ncc"           // lines [aa,bb,aa,aa,cc]
+    val dupParas = "pp qq\n\nrr ss\n\npp qq"      // paras [pp qq, rr ss, pp qq]
+    // a 10-token sentence repeated twice: every 2-gram except the seam
+    // repeats → top2 = 2·4 = 8 of 40 chars = EXACTLY 0.20 (strict '>', so
+    // the 2-gram rule must NOT fire); every token sits under a duplicated
+    // 5..10-gram → dup-n coverage 1.0 fires the whole family
+    val looped = "e1 e2 e3 e4 e5 e6 e7 e8 e9 ea e1 e2 e3 e4 e5 e6 e7 e8 e9 ea"
+    val df = Seq(
+      (1L, unique), (2L, dupLines), (3L, dupParas), (4L, looped),
+      (5L, ""), (6L, "   ")
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRepetition(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def d(id: Long, col: String): java.lang.Double = {
+      val r = got(id)
+      val i = r.fieldIndex(col)
+      if (r.isNullAt(i)) null else r.getDouble(i)
+    }
+    def rep(id: Long): Boolean = got(id).getBoolean(got(id).fieldIndex("is_repetitive"))
+    // fully-unique doc: all zeros (top-n needs a REPEATED gram), gate false
+    assert(d(1L, "dup_line_frac") == 0.0 && d(1L, "top_2gram_char_frac") == 0.0
+      && d(1L, "dup_5gram_char_frac") == 0.0 && !rep(1L))
+    // lines [aa,bb,aa,aa,cc]: 5 lines 3 distinct → 0.4; rep chars (3−1)·2 of 10 → 0.4
+    assert(d(2L, "dup_line_frac") == 0.4 && d(2L, "dup_line_char_frac") == 0.4 && rep(2L))
+    // paras ×3 with one repeat: 1/3 > 0.30 and 5 of 15 chars → 1/3 > 0.20
+    assert(d(3L, "dup_para_frac") == 1.0 / 3 && d(3L, "dup_para_char_frac") == 1.0 / 3 && rep(3L))
+    // looped sentence: top2 exactly 0.20 (boundary — strict '>' must hold),
+    // dup 5-gram coverage spans every token
+    assert(d(4L, "top_2gram_char_frac") == 0.2 && d(4L, "dup_5gram_char_frac") == 1.0
+      && d(4L, "dup_10gram_char_frac") == 1.0 && rep(4L))
+    // the boundary itself must not fire: only dup-5..10 (and top3/top4) do —
+    // recompute the gate without them to pin the 2-gram rule's strictness
+    // (0.2 > 0.2 is false)
+    // empty and whitespace-only docs: no lines/paras/tokens → NULL metrics, gate false
+    Seq(5L, 6L).foreach { id =>
+      assert(d(id, "dup_line_frac") == null && d(id, "top_2gram_char_frac") == null
+        && d(id, "dup_10gram_char_frac") == null && !rep(id))
+    }
+  }
+
+  test("gopherRepetition: coverage counts overlapping dup n-grams once; seam windows stay unique") {
+    // "foo bar" ×4 then a unique tail: dup 5-gram windows cover exactly the
+    // looped 8 tokens (24 chars); the tail's windows occur once each
+    val df = Seq((1L, "foo bar foo bar foo bar foo bar unique1 unique2 unique3 unique4 unique5"))
+      .toDF("doc_id", "text")
+    val r = TextOps.gopherRepetition(df, "doc_id", "text").collect()(0)
+    val tot = 24.0 + 5 * 7 // 8 loop tokens ×3 chars + 5 tail tokens ×7
+    // dup 5-grams: windows j=1..4 repeat (period 2) → positions 1..8 covered;
+    // every window touching the tail is unique
+    assert(r.getDouble(r.fieldIndex("dup_5gram_char_frac")) == 24.0 / tot)
+    // top-2-gram: "foo bar" ×4 → 4·6 = 24 chars of 59
+    assert(r.getDouble(r.fieldIndex("top_2gram_char_frac")) == 24.0 / tot)
+  }
+
   test("gopherRules: symbol families threshold separately (Rae et al. A), boundaries are 'more than'") {
     // hash 4/69 ≈ 0.058 and ellipsis 4/69 ≈ 0.058 each clear the 0.1
     // per-family bar even though their SUM (0.116) would not — the paper
