@@ -3121,6 +3121,13 @@ object SparkEntry {
   def qLmScore(spark: SparkSession, dir: String): DataFrame =
     TextOps.lmScore(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** CCNet head/middle/tail perplexity terciles per predicted language
+    * ([[graft.ops.TextOps.ccnetBuckets]]) — the canonical LM-filtered
+    * web-corpus mixing stage, over the same fixed-point LM as q_lm_score.
+    */
+  def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextOps.ccnetBuckets(Tables.documents(spark, dir), "doc_id", "text")
+
   /** GPT-style sequence packing: documents laid end-to-end per shard
     * (8 shards by doc_id), chunked every 512 tokens; each document's span
     * and chunk range is a pure function of (id, token count).
@@ -3702,6 +3709,7 @@ object SparkEntry {
     "q_repetition_filter"       -> (qRepetitionFilter(_, _)),
     "q_token_rarity"            -> (qTokenRarity(_, _)),
     "q_lm_score"                -> (qLmScore(_, _)),
+    "q_ccnet_buckets"           -> (qCcnetBuckets(_, _)),
     "q_lm_incremental"          -> (qLmIncremental(_, _)),
     "q_sb_score"                -> (qSbScore(_, _)),
     "q_sb_incremental"          -> (qSbIncremental(_, _)),
@@ -7218,6 +7226,52 @@ object SparkEntry {
         |FROM tk JOIN f USING (token)
         |GROUP BY 1""".stripMargin,
     "q_lm_score" -> lmScoreOracle,
+    // lmScoreOracle's statistics + the q_lang_id marker argmax + a
+    // deterministic (avg_nll, doc_id) ntile — mirror of ccnetBuckets
+    "q_ccnet_buckets" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+        |  FROM documents),
+        |o AS (SELECT doc_id,
+        |             unnest([{'tok': w[i], 'prev': CASE WHEN i > 1 THEN w[i-1] END}
+        |                     for i in range(1, len(w)+1)]) AS g
+        |      FROM t),
+        |occ AS (SELECT doc_id, g.tok AS token, g.prev AS prev FROM o WHERE g.tok <> ''),
+        |uni AS (SELECT token, count(*) AS cw FROM occ GROUP BY 1),
+        |tot AS (SELECT sum(cw) AS n, count(*) AS v FROM uni),
+        |big AS (SELECT prev, token, count(*) AS cb FROM occ WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |sc AS (SELECT occ.doc_id,
+        |              CASE WHEN occ.prev IS NULL
+        |                   THEN ln((u.cw + 1.0) / (tot.n + tot.v))
+        |                   ELSE ln(0.5 * ((coalesce(b.cb, 0) + 1.0) / (up.cw + tot.v))
+        |                           + 0.5 * ((u.cw + 1.0) / (tot.n + tot.v)))
+        |              END AS lp
+        |       FROM occ
+        |       JOIN uni u USING (token)
+        |       LEFT JOIN uni up ON up.token = occ.prev
+        |       LEFT JOIN big b ON b.prev = occ.prev AND b.token = occ.token
+        |       CROSS JOIN tot),
+        |agg AS (SELECT doc_id, count(*) AS n_scored,
+        |               sum(round(lp * 1000000.0)::BIGINT)::BIGINT AS sum_logq
+        |        FROM sc GROUP BY 1),
+        |lng AS (SELECT doc_id,
+        |               CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |                    WHEN de >= fr AND de >= es THEN 'de'
+        |                    WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang
+        |        FROM (SELECT doc_id,
+        |                len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS en,
+        |                len(regexp_extract_all(lower(text), '\b(der|und|die|das)\b')) AS de,
+        |                len(regexp_extract_all(lower(text), '\b(le|la|et|les)\b')) AS fr,
+        |                len(regexp_extract_all(lower(text), '\b(el|los|que|una)\b')) AS es
+        |              FROM documents)),
+        |b2 AS (SELECT agg.doc_id, lng.pred_lang, agg.n_scored, agg.sum_logq,
+        |              -(agg.sum_logq::DOUBLE / (agg.n_scored::DOUBLE * 1000000.0)) AS avg_nll
+        |       FROM agg JOIN lng USING (doc_id)),
+        |nt AS (SELECT *, ntile(3) OVER (PARTITION BY pred_lang ORDER BY avg_nll, doc_id) AS tercile
+        |       FROM b2)
+        |SELECT doc_id, pred_lang, n_scored, sum_logq, avg_nll,
+        |       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM nt""".stripMargin,
     // SHARED: scoring against the merged half-corpus counts must reproduce
     // the self-trained LM bit-for-bit (mergeLmCounts losslessness proof)
     "q_lm_incremental" -> lmScoreOracle,

@@ -848,6 +848,39 @@ object TextOps {
       .select(col(idCol), col("pred_lang"), col("quality"), col("bin"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per predicted
+    * language, scored documents split into head/middle/tail TERCILES of the
+    * [[lmScore]] perplexity proxy (mean negative log-likelihood per token,
+    * ascending — the most-fluent third is `head`, the noisiest `tail`; the
+    * canonical pipeline trains on head+middle). Unscored documents (no
+    * tokens) are dropped, as in the reference pipeline. Ordering is total —
+    * (avg_nll, id) — so the tercile assignment is deterministic on both
+    * engines; avg_nll itself derives from order-free integer statistics,
+    * so the sort key is bit-stable across partitionings.
+    *
+    * Scale shape: the ntile window partitions by language — a handful of
+    * giant partitions at corpus scale. This registered form is the exact
+    * small-N semantics ([[curriculumBins]] precedent); the 100 TB lever is
+    * the CCNet original: compute per-language tercile CUTOFFS from a
+    * histogram/sample, broadcast them, and assign by comparison — one scan,
+    * no global sort. The cutoff form trades exact tercile cardinality for
+    * scan-shaped assignment; semantics otherwise identical.
+    */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmScore(df, idCol, textCol).filter(col("n_scored").isNotNull)
+    val lang = langId(df.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("pred_lang"))
+    val w = Window.partitionBy(col("pred_lang")).orderBy(col("avg_nll"), col(idCol))
+    scored.join(lang, Seq(idCol))
+      .withColumn("tercile", ntile(3).over(w))
+      .select(
+        col(idCol), col("pred_lang"), col("n_scored"), col("sum_logq"), col("avg_nll"),
+        when(col("tercile") === 1, lit("head"))
+          .when(col("tercile") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** Corpus-trained interpolated bigram language-model score per document —
     * the CCNet/KenLM-style perplexity quality filter re-expressed with
     * engine-portable fixed-point arithmetic. The LM is add-α (α=1) smoothed

@@ -1221,6 +1221,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got(7L)._6 && !got(7L)._7, "no required stopwords fails the >=2 gate")
   }
 
+  test("ccnetBuckets: per-language terciles balanced within 1, head strictly no-noisier than tail") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val b = TextOps.ccnetBuckets(docs, "doc_id", "text").cache()
+    // tercile cardinalities per language differ by at most 1 (ntile contract)
+    val sizes = b.groupBy("pred_lang", "ppl_bucket").count()
+      .groupBy("pred_lang").agg((max("count") - min("count")).as("spread"))
+      .collect()
+    assert(sizes.nonEmpty && sizes.forall(_.getLong(1) <= 1))
+    // max avg_nll in head <= min avg_nll in tail, per language
+    val bounds = b.groupBy("pred_lang").agg(
+      max(when(col("ppl_bucket") === "head", col("avg_nll"))).as("head_max"),
+      min(when(col("ppl_bucket") === "tail", col("avg_nll"))).as("tail_min")).collect()
+    bounds.foreach(r => assert(r.getDouble(1) <= r.getDouble(2),
+      s"head must be at least as fluent as tail for ${r.getString(0)}"))
+    b.unpersist()
+  }
+
   test("gopherRepetition: hand-computed metrics per crafted doc, strict '>' boundary, empty-doc NULLs") {
     val unique = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
     val dupLines = "aa\nbb\naa\naa\ncc"           // lines [aa,bb,aa,aa,cc]
