@@ -3121,6 +3121,53 @@ object SparkEntry {
   def qLmScore(spark: SparkSession, dir: String): DataFrame =
     TextOps.lmScore(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Shared plant for the domain-reputation pair: a synthetic host per doc
+    * (17 `site*` domains; every ~97th doc its own single-doc `solo*`
+    * domain), with a punctuation-junk plant on the SAME residues that form
+    * domains site0..site7 — so those domains' mean quality drops below the
+    * 0.57 gate BY CONSTRUCTION at every scale factor (no
+    * distribution-luck dependence), site8..site16 stay clean above it, and
+    * the solo domains exercise the minDocs evidence rule. Both queries
+    * MUST share this construction byte-identically (they share the
+    * oracle).
+    */
+  private[graft] def domainPlantedDocsForTest(spark: SparkSession, dir: String): DataFrame =
+    domainPlantedDocs(spark, dir)
+
+  private def domainPlantedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(id % 97 === 0,
+        concat(lit("solo"), (id % 9999).cast("string"), lit(".example.com")))
+        .otherwise(concat(lit("site"), (id % 17).cast("string"), lit(".example.com")))
+        .as("domain"),
+      when(id % 97 =!= 0 && id % 17 < 8,
+        concat(col("text"), lit(" "), repeat(lit("!!! ;;; ??? ::: ... "), 10)))
+        .otherwise(col("text")).as("text"))
+  }
+
+  /** RefinedWeb-style domain reputation: per-host quality prior (mean
+    * fixed-point quality + document count), gated and joined back onto
+    * every document ([[graft.ops.TextOps.domainReputation]]).
+    */
+  def qDomainReputation(spark: SparkSession, dir: String): DataFrame =
+    TextOps.domainReputation(domainPlantedDocs(spark, dir), "doc_id", "domain", "text")
+
+  /** Incremental fold form: stats from two disjoint halves merged with
+    * [[graft.ops.TextOps.mergeDomainStats]] must reproduce the one-pass
+    * verdicts — shares q_domain_reputation's oracle verbatim (the
+    * counts-monoid losslessness proof, the lm/vocab-counts discipline).
+    */
+  def qDomainReputationIncr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = domainPlantedDocs(spark, dir)
+    val merged = TextOps.mergeDomainStats(
+      TextOps.domainStats(docs.filter(col("doc_id") % 2 === 0), "domain", "text"),
+      TextOps.domainStats(docs.filter(col("doc_id") % 2 =!= 0), "domain", "text"))
+    TextOps.domainReputation(
+      docs, "doc_id", "domain", "text", stats = Some(merged))
+  }
+
   /** CCNet head/middle/tail perplexity terciles per predicted language
     * ([[graft.ops.TextOps.ccnetBuckets]]) — the canonical LM-filtered
     * web-corpus mixing stage, over the same fixed-point LM as q_lm_score.
@@ -3710,6 +3757,8 @@ object SparkEntry {
     "q_token_rarity"            -> (qTokenRarity(_, _)),
     "q_lm_score"                -> (qLmScore(_, _)),
     "q_ccnet_buckets"           -> (qCcnetBuckets(_, _)),
+    "q_domain_reputation"       -> (qDomainReputation(_, _)),
+    "q_domain_reputation_incr"  -> (qDomainReputationIncr(_, _)),
     "q_lm_incremental"          -> (qLmIncremental(_, _)),
     "q_sb_score"                -> (qSbScore(_, _)),
     "q_sb_incremental"          -> (qSbIncremental(_, _)),
@@ -3843,6 +3892,43 @@ object SparkEntry {
     * merged half-corpus counts with this relation is the losslessness
     * proof of [[graft.ops.TextOps.mergeLmCounts]].
     */
+  /** Mirror of [[domainPlantedDocs]] + [[graft.ops.TextOps.domainStats]] +
+    * the reputation gate: quality replayed with the q_quality_score
+    * formula, quantized to micro-units per doc BEFORE the domain sum
+    * (order-free integers), verdict via the same inclusive integer
+    * cross-multiplication. Shared by the incremental fold form.
+    */
+  private val domainReputationOracle: String =
+    raw"""WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 97 = 0 THEN 'solo' || (doc_id % 9999)::VARCHAR || '.example.com'
+      |         ELSE 'site' || (doc_id % 17)::VARCHAR || '.example.com' END AS domain,
+      |    CASE WHEN doc_id % 97 <> 0 AND doc_id % 17 < 8
+      |         THEN text || ' ' || repeat('!!! ;;; ??? ::: ... ', 10)
+      |         ELSE text END AS text
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, domain,
+      |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::DOUBLE AS n_tokens,
+      |         CASE WHEN length(text) > 0
+      |              THEN len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE END AS punct_ratio,
+      |         CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) > 0
+      |              THEN len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|a)\b'))::DOUBLE
+      |                / len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::DOUBLE END
+      |           AS stopword_ratio
+      |  FROM d),
+      |q AS (
+      |  SELECT doc_id, domain,
+      |         coalesce(round((0.4 * least(1.0, n_tokens / 100.0)
+      |                         + 0.3 * (1.0 - least(1.0, punct_ratio * 10.0))
+      |                         + 0.3 * least(1.0, stopword_ratio * 5.0)) * 1000000.0)::BIGINT, 0) AS q_fp
+      |  FROM s),
+      |st AS (SELECT domain, count(*) AS n_docs, sum(q_fp)::BIGINT AS sum_q_fp FROM q GROUP BY 1)
+      |SELECT q.doc_id, q.domain, st.n_docs,
+      |       st.sum_q_fp::DOUBLE / (st.n_docs::DOUBLE * 1000000.0) AS domain_mean_quality,
+      |       (st.n_docs >= 3 AND st.sum_q_fp >= st.n_docs * 570000) AS domain_ok
+      |FROM q JOIN st USING (domain)""".stripMargin
+
   private val lmScoreOracle: String =
     raw"""WITH t AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
@@ -7226,6 +7312,10 @@ object SparkEntry {
         |FROM tk JOIN f USING (token)
         |GROUP BY 1""".stripMargin,
     "q_lm_score" -> lmScoreOracle,
+    "q_domain_reputation" -> domainReputationOracle,
+    // SHARED: the two-half stats fold must reproduce the one-pass verdicts
+    // (mergeDomainStats counts-monoid losslessness proof)
+    "q_domain_reputation_incr" -> domainReputationOracle,
     // lmScoreOracle's statistics + the q_lang_id marker argmax + a
     // deterministic (avg_nll, doc_id) ntile — mirror of ccnetBuckets
     "q_ccnet_buckets" ->

@@ -191,6 +191,65 @@ object TextOps {
       qualityExpr(t).as("quality"))
   }
 
+  /** Per-domain quality statistics — the maintainable half of
+    * [[domainReputation]]: `(domain, n_docs, sum_q_fp)` where `sum_q_fp`
+    * is the Σ of per-document [[qualityExpr]] scores QUANTIZED to
+    * micro-unit longs (round(q·10⁶); empty/NULL-quality docs contribute
+    * 0 but still count). Both fields are counts monoids, so an operating
+    * store folds each batch in with [[mergeDomainStats]] instead of
+    * re-scanning history — the [[lmCounts]]/[[vocabCounts]] contract. The
+    * aggregate partial-combines map-side; at any corpus size only
+    * |domains| rows cross the wire.
+    */
+  def domainStats(df: DataFrame, domainCol: String, textCol: String): DataFrame =
+    df.groupBy(col(domainCol).as("domain")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(coalesce(round(qualityExpr(col(textCol)) * lit(1.0e6)).cast("long"), lit(0L)))
+        .as("sum_q_fp"))
+
+  /** Key-wise sum of [[domainStats]] relations — the incremental fold. */
+  def mergeDomainStats(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "need at least one stats relation")
+    parts.reduce(_.unionByName(_)).groupBy(col("domain")).agg(
+      sum(col("n_docs")).as("n_docs"), sum(col("sum_q_fp")).as("sum_q_fp"))
+  }
+
+  /** Domain-level reputation gate (the RefinedWeb/host-prior discipline:
+    * judge the HOST, not just the page — boilerplate farms and SEO spam
+    * concentrate by domain). A domain is reputable iff it has at least
+    * `minDocs` documents AND its mean quality clears `minMeanFp`
+    * micro-units (inclusive ≥, integer cross-multiplication — no float
+    * division feeds the gate); every document inherits its domain's
+    * verdict. Domains with too few documents fail closed — too little
+    * evidence to trust (documented engine semantics).
+    *
+    * Scale shape: [[domainStats]] is one map-side-combined aggregate to a
+    * |domains|-sized relation, broadcast back onto the corpus — one scan +
+    * one broadcast join, no corpus-keyed shuffle. `stats` defaults to the
+    * self-computed one-pass form; pass a merged store relation for the
+    * incremental operating mode.
+    */
+  def domainReputation(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      textCol: String,
+      minDocs: Long = 3L,
+      minMeanFp: Long = 570000L,
+      stats: Option[DataFrame] = None): DataFrame = {
+    val st = stats.getOrElse(domainStats(df, domainCol, textCol))
+    df.select(col(idCol), col(domainCol).as("domain"))
+      .join(broadcast(st), Seq("domain"))
+      .select(
+        col(idCol),
+        col("domain"),
+        col("n_docs"),
+        (col("sum_q_fp").cast("double") / (col("n_docs").cast("double") * lit(1.0e6)))
+          .as("domain_mean_quality"),
+        (col("n_docs") >= minDocs &&
+          col("sum_q_fp") >= col("n_docs") * minMeanFp).as("domain_ok"))
+  }
+
   /** THE composite-quality expression — one definition for every consumer
     * (the registered score, the classifier label/tier derivations, the
     * data card), so the weights/clamps can never silently drift between

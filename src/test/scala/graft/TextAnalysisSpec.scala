@@ -1221,6 +1221,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got(7L)._6 && !got(7L)._7, "no required stopwords fails the >=2 gate")
   }
 
+  test("domainReputation: junk domains fail, clean pass, solo fails minDocs; fold is lossless at every shipped SF") {
+    import org.apache.spark.sql.functions._
+    Seq(TestSpark.sf0001, TestSpark.sf001).foreach { sf =>
+      val docs = SparkEntry.domainPlantedDocsForTest(spark, sf)
+      val rep = TextOps.domainReputation(docs, "doc_id", "domain", "text").cache()
+      // junk-planted site0..site7 fail; clean site8..site16 pass (plant is
+      // by construction, not distribution luck — assert at BOTH spec SFs)
+      val verdicts = rep.select("domain", "domain_ok").distinct()
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      (0 to 7).foreach(i => assert(!verdicts(s"site$i.example.com"), s"site$i junked at $sf"))
+      (8 to 16).foreach(i => assert(verdicts(s"site$i.example.com"), s"site$i clean at $sf"))
+      // every solo domain fails on evidence, whatever its quality
+      verdicts.collect { case (d, ok) if d.startsWith("solo") => assert(!ok, s"$d must fail minDocs") }
+      // two-half fold reproduces the one-pass stats bit-for-bit
+      val merged = TextOps.mergeDomainStats(
+        TextOps.domainStats(docs.filter(col("doc_id") % 2 === 0), "domain", "text"),
+        TextOps.domainStats(docs.filter(col("doc_id") % 2 =!= 0), "domain", "text"))
+      val folded = TextOps.domainReputation(docs, "doc_id", "domain", "text", stats = Some(merged))
+      assert(folded.exceptAll(rep).isEmpty && rep.exceptAll(folded).isEmpty)
+      rep.unpersist()
+    }
+  }
+
   test("ccnetBuckets: per-language terciles balanced within 1, head strictly no-noisier than tail") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, TestSpark.sf0001)
