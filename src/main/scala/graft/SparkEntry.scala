@@ -1985,6 +1985,20 @@ object SparkEntry {
       .select(col("node").as("doc_id"), col("degree"), col("triangles"), col("lcc"))
   }
 
+  /** 2-core of the verified near-dup pair graph
+    * ([[graft.ops.GraphOps.kCore]], 8 peeling rounds — the spec pins the
+    * fixpoint at shipped SFs): separates DENSE duplication families from
+    * chains/pendants that mere transitive pairing produces — a path of
+    * borderline pairs survives CC but no tree survives the 2-core, so
+    * core membership is the "real template family" screen next to
+    * [[qTriangleStats]]'s local density.
+    */
+  def qKcore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = neardupArtifact(spark, dir)._1
+    GraphOps.kCore(pairs, "doc_a", "doc_b", k = 2, rounds = 8)
+      .select(col("node").as("doc_id"), col("degree"), col("in_kcore"), col("core_degree"))
+  }
+
   /** Incremental near-dup cluster MAINTENANCE — the full store/batch cycle
     * of the incremental dedup story: even-id docs are the STORE (clusters
     * already resolved from their own pairs, historical pair set discarded),
@@ -2883,6 +2897,9 @@ object SparkEntry {
     */
   private val neardupMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  private[graft] def neardupArtifactForTest(spark: SparkSession, dir: String): DataFrame =
+    neardupArtifact(spark, dir)._1
+
   private def neardupArtifact(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     neardupMemo.computeIfAbsent((spark, dir), _ => {
       val docs = Tables.documents(spark, dir)
@@ -3730,6 +3747,7 @@ object SparkEntry {
     "q_label_propagation"       -> (qLabelPropagation(_, _)),
     "q_pagerank"                -> (qPagerank(_, _)),
     "q_triangle_stats"          -> (qTriangleStats(_, _)),
+    "q_kcore"                   -> (qKcore(_, _)),
     "q_ewma_smooth"             -> (qEwmaSmooth(_, _)),
     "q_ewma_incremental"        -> (qEwmaIncremental(_, _)),
     "q_vwap"                    -> (qVwap(_, _)),
@@ -4426,6 +4444,33 @@ object SparkEntry {
       |                     - 2.0 * list_dot_product(cvec, rvec)
       |                     + list_dot_product(rvec, rvec), 0.0)) AS dist
       |FROM cl CROSS JOIN rv""".stripMargin
+
+  /** Mirror of [[graft.ops.GraphOps.kCore]] at k=2, rounds=8 over the
+    * shared pair-graph CTEs: each peeling round a MATERIALIZED CTE (the
+    * BPE-round lesson — a round references its predecessor twice, so
+    * inlining would copy the pair derivation 2⁸ times), each step a
+    * within-alive degree count + integer comparison.
+    */
+  private val kcoreOracle: String = {
+    val rounds = (2 to 8).map { r =>
+      s"""ka$r AS MATERIALIZED (
+         |  SELECT ke.src AS node FROM ke
+         |  JOIN ka${r - 1} s ON ke.src = s.node JOIN ka${r - 1} t ON ke.dst = t.node
+         |  GROUP BY 1 HAVING count(*) >= 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $neardupPairCtes,
+      |ke AS MATERIALIZED (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pr
+      |  UNION ALL SELECT doc_b, doc_a FROM pr),
+      |kdeg AS (SELECT src AS node, count(*)::BIGINT AS degree FROM ke GROUP BY 1),
+      |ka1 AS MATERIALIZED (SELECT node FROM kdeg WHERE degree >= 2),
+      |$rounds,
+      |kcd AS (SELECT ke.src AS node, count(*)::BIGINT AS core_degree FROM ke
+      |        JOIN ka8 s ON ke.src = s.node JOIN ka8 t ON ke.dst = t.node GROUP BY 1)
+      |SELECT kdeg.node AS doc_id, kdeg.degree,
+      |       kcd.core_degree IS NOT NULL AS in_kcore, kcd.core_degree
+      |FROM kdeg LEFT JOIN kcd USING (node)""".stripMargin
+  }
 
   private val triangleStatsOracle: String =
     s"""WITH $neardupPairCtes,
@@ -5819,6 +5864,7 @@ object SparkEntry {
          |${(1 to 10).map(wpRoundCte).mkString(",\n")},
          |${bpeEncodeSql("wr10")}""".stripMargin,
     "q_triangle_stats" -> triangleStatsOracle,
+    "q_kcore" -> kcoreOracle,
     "q_cross_dedup_lsh" -> crossVerifiedPairsOracle,
     // Pareto frontier: the oracle is the DEFINITION — the O(n²) NOT EXISTS
     // dominance check the distributed level/bucket algorithm must equal.

@@ -90,6 +90,61 @@ object GraphOps {
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
       .scopedCache()
 
+  /** k-core membership by synchronous peeling: `rounds` unrolled
+    * iterations of "drop every node with fewer than k neighbors still
+    * alive" (Seidman 1983; the density screen web-graph and dup-graph
+    * curation uses where a CHAIN of pairs must not count as a dense
+    * family — a path survives CC and even LPA, but no tree survives the
+    * 2-core). After round R the alive set is a SUPERSET of the true
+    * k-core that shrinks monotonically and reaches the exact fixpoint as
+    * soon as one round removes nothing; bounded-round semantics exactly
+    * as [[labelPropagation]], with the spec/ScaleSmoke pinning
+    * convergence at shipped scale factors (round R−1 ≡ round R there, so
+    * the registered result IS the fixpoint). Peeling is monotone, so
+    * rounds replay as oracle CTEs with no tie-break subtleties at all —
+    * every step is a degree count and an integer comparison.
+    *
+    * Shape: the undirected edge list builds once (cached); each round is
+    * two semi-shaped joins of the shrinking alive set against the edges
+    * plus one partial-aggregating count — O(rounds) shuffles on 8-byte
+    * ids, lineage truncated per round (the CC/LPA discipline). The alive
+    * relation only ever shrinks, so late rounds are broadcast-sized
+    * joins at any corpus scale.
+    *
+    * Output: (node, degree, in_kcore, core_degree) for nodes IN the
+    * graph; `core_degree` (degree among surviving nodes, ≥ k) is NULL
+    * outside the core. Isolated documents are absent — callers left-join
+    * the roster, as with the other graph operators.
+    */
+  def kCore(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int = 2,
+      rounds: Int = 8): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(rounds >= 1, "need at least one round")
+    val edges = undirectedWeightedEdges(pairs, srcCol, dstCol)
+    val deg0 = edges.groupBy(col("src")).agg(count(lit(1)).as("degree")).scopedCache()
+    var alive = deg0.filter(col("degree") >= k).select(col("src").as("node"))
+    def degreesWithin(a: DataFrame): DataFrame = edges
+      .join(a.select(col("node").as("src")), "src")
+      .join(a.select(col("node").as("dst")), "dst")
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+    for (_ <- 2 to rounds) {
+      alive = degreesWithin(alive)
+        .filter(col("d") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint()
+    }
+    val coreDeg = degreesWithin(alive)
+      .select(col("src").as("node"), col("d").as("core_degree"))
+    deg0.select(col("src").as("node"), col("degree"))
+      .join(coreDeg, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        col("core_degree").isNotNull.as("in_kcore"), col("core_degree"))
+  }
+
   /** The isolated-node PageRank fixed point for a damping fraction —
     * what a node with no edges holds after any number of rounds (pure
     * teleport mass). Exposed so callers coalescing out-of-graph nodes

@@ -55,6 +55,40 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got(3L)._1 == 3L && got(3L)._2 == 1L)
   }
 
+  test("kCore: cascade peeling on a hand-built lollipop; fixpoint reached within the round budget") {
+    // triangle {1,2,3} with a tail 3-7-8-9: the tail peels back one node
+    // per round (9 first, then 8, then 7 — a CASCADE, so one round of
+    // degree filtering is provably not enough), the triangle survives
+    val lollipop = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 7L), (7L, 8L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val got = GraphOps.kCore(lollipop, "doc_a", "doc_b", k = 2, rounds = 8)
+      .as[(Long, Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, true, Some(2L))))
+    assert(got(2L) == ((2L, true, Some(2L))))
+    assert(got(3L) == ((3L, true, Some(2L)))) // raw degree 3, core degree 2
+    assert(got(7L) == ((2L, false, None)))    // degree 2 raw, but peels in the cascade
+    assert(got(8L) == ((2L, false, None)))
+    assert(got(9L) == ((1L, false, None)))
+    // too few rounds must NOT reach the fixpoint on the cascade — pins
+    // that the registered 8-round form actually needed its iteration
+    val shallow = GraphOps.kCore(lollipop, "doc_a", "doc_b", k = 2, rounds = 2)
+      .as[(Long, Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(shallow(7L), "after 2 rounds the cascade has not yet peeled node 7")
+  }
+
+  test("kCore: registered 8-round form is the exact fixpoint on the shipped pair graph (round 7 == round 8)") {
+    Seq(TestSpark.sf0001, TestSpark.sf001).foreach { sf =>
+      val pairs = SparkEntry.neardupArtifactForTest(spark, sf)
+      val r7 = GraphOps.kCore(pairs, "doc_a", "doc_b", k = 2, rounds = 7)
+      val r8 = GraphOps.kCore(pairs, "doc_a", "doc_b", k = 2, rounds = 8)
+      assert(r7.exceptAll(r8).isEmpty && r8.exceptAll(r7).isEmpty,
+        s"peeling must have converged within 7 rounds at $sf")
+    }
+  }
+
   test("pageRank matches a plain-Scala fixed-point replay; bridge nodes out-rank leaves") {
     val got = GraphOps.pageRank(bridged, "doc_a", "doc_b", rounds = 5)
       .as[(Long, Long, Long)].collect()
