@@ -1627,6 +1627,28 @@ object SparkEntry {
       "doc_id", "html")
   }
 
+  /** Anchor-text aggregation over constructed pages
+    * ([[graft.ops.TextOps.anchorText]]): three fixed nav/footer targets
+    * (one with nested markup + double spaces in its anchor — pins the
+    * tag-strip/collapse), plus five outbound site targets whose anchor
+    * text alternates by doc parity so the per-target argmax sees real
+    * competition (and exact ties, resolved by the total order).
+    */
+  def qAnchorText(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val page = concat(
+      lit("<html><body><nav><a href=\"/\">Home</a> " +
+        "<a href=\"/about\">About  <b>Us</b></a></nav><p>"),
+      col("text"),
+      lit("</p><a href=\"https://site"), (id % 5).cast("string"),
+      lit(".example.com/\">"),
+      when(id % 2 === 0, lit("read more")).otherwise(lit("details")),
+      lit("</a><footer><a href=\"/tos\">Terms</a></footer></body></html>"))
+    TextOps.anchorText(
+      Tables.documents(spark, dir).select(col("doc_id"), page.as("html")),
+      "doc_id", "html")
+  }
+
   /** Feature hashing over the raw corpus — no plant needed: every token
     * routes through the shared md5-60-bit recipe, so the oracle replays
     * bucket, sign and the signed sums exactly.
@@ -3733,6 +3755,7 @@ object SparkEntry {
     "q_fix_mojibake"            -> (qFixMojibake(_, _)),
     "q_sentence_span_dedup"     -> (qSentenceSpanDedup(_, _)),
     "q_html_links"              -> (qHtmlLinks(_, _)),
+    "q_anchor_text"             -> (qAnchorText(_, _)),
     "q_hash_features"           -> (qHashFeatures(_, _)),
     "q_readability"             -> (qReadability(_, _)),
     "q_embedding_quantize"      -> (qEmbeddingQuantize(_, _)),
@@ -7021,6 +7044,28 @@ object SparkEntry {
         |                     || '.example.com/p/' || (doc_id % 7)::VARCHAR
         |         ELSE '/tos' END AS href
         |FROM (SELECT doc_id, unnest(range(0, 4)) AS i FROM documents)""".stripMargin,
+    // GROUND TRUTH from the plant arithmetic (the q_html_links discipline —
+    // not a regex replay): every doc contributes Home//about//tos anchors
+    // plus one parity-texted site anchor; the per-target argmax and its
+    // tie-break ('details' < 'read more') derive from the parity counts
+    "q_anchor_text" ->
+      raw"""WITH d AS (SELECT doc_id, doc_id % 5 AS k, doc_id % 2 = 0 AS even FROM documents),
+        |fixed AS (
+        |  SELECT '/' AS target, count(*)::BIGINT AS n_anchors, count(*)::BIGINT AS n_source_docs,
+        |         'Home' AS top_anchor, count(*)::BIGINT AS top_anchor_count FROM d
+        |  UNION ALL
+        |  SELECT '/about', count(*)::BIGINT, count(*)::BIGINT, 'About Us', count(*)::BIGINT FROM d
+        |  UNION ALL
+        |  SELECT '/tos', count(*)::BIGINT, count(*)::BIGINT, 'Terms', count(*)::BIGINT FROM d),
+        |site AS (
+        |  SELECT 'https://site' || k::VARCHAR || '.example.com/' AS target,
+        |         count(*)::BIGINT AS n_anchors, count(*)::BIGINT AS n_source_docs,
+        |         CASE WHEN sum(CASE WHEN even THEN 0 ELSE 1 END) >= sum(CASE WHEN even THEN 1 ELSE 0 END)
+        |              THEN 'details' ELSE 'read more' END AS top_anchor,
+        |         greatest(sum(CASE WHEN even THEN 0 ELSE 1 END),
+        |                  sum(CASE WHEN even THEN 1 ELSE 0 END))::BIGINT AS top_anchor_count
+        |  FROM d GROUP BY 1)
+        |SELECT * FROM fixed UNION ALL SELECT * FROM site""".stripMargin,
     // the md5 hex-fold 60-bit recipe (the KMV/CMS/simhash hash), then
     // bucket (h div 2) % 16, sign 1-2*(h % 2), signed sums per (doc, dim)
     "q_hash_features" ->

@@ -752,6 +752,47 @@ object TextOps {
         .as(Seq("link_idx", "href")))
       .select(col(idCol), col("link_idx").cast("long").as("link_idx"), col("href"))
 
+  /** Anchor-text aggregation — the classic web-graph signal next to
+    * [[htmlLinks]]: what OTHER pages call a target is a quality/retrieval
+    * feature the target cannot fake (search engines have used anchor text
+    * as document expansion since Brin & Page 1998). Extracts every
+    * `<a href="...">text</a>` element (lazy interior — greedy would
+    * re-scan; inner tags stripped from the text, whitespace collapsed)
+    * and aggregates per raw href target:
+    * `(target, n_anchors, n_source_docs, top_anchor, top_anchor_count)` —
+    * the top anchor by (count DESC, text ASC) via the min-struct argmax
+    * (the [[labelPropagation]] tie-break discipline, engine-total order).
+    *
+    * Shape: one codegen'd extraction projection, then two
+    * partial-aggregating groupBys on the (target, anchor) relation — at
+    * corpus scale only |targets|(+|target,anchor|) rows shuffle, never
+    * pages. Normalize targets first with [[urlNormalize]] when crawl
+    * provenance needs canonical keys; this operator aggregates whatever
+    * target column the caller extracted, raw hrefs by default.
+    */
+  def anchorText(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val pat = "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+    val pairs = df
+      .select(col(idCol), explode(
+        regexp_extract_all(coalesce(col(htmlCol), lit("")), lit(pat), lit(0))).as("__a"))
+      .select(
+        col(idCol),
+        regexp_extract(col("__a"), pat, 1).as("target"),
+        trim(regexp_replace(regexp_replace(
+          regexp_extract(col("__a"), pat, 2), "<[^>]*>", " "), "\\s+", " ")).as("anchor"))
+      .scopedCache() // feeds the per-target stats AND the per-anchor argmax
+    val stats = pairs.groupBy(col("target")).agg(
+      count(lit(1)).as("n_anchors"),
+      countDistinct(col(idCol)).as("n_source_docs"))
+    val top = pairs.groupBy(col("target"), col("anchor"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("target"))
+      .agg(min(struct((-col("c")).as("nc"), col("anchor").as("a"))).as("m"))
+      .select(col("target"), col("m.a").as("top_anchor"),
+        (-col("m.nc")).as("top_anchor_count"))
+    stats.join(top, Seq("target"))
+  }
+
   /** Feature hashing (the hashing trick, Weinberger et al. 2009) — the
     * fixed-width BoW featurizer behind linear classifiers/regressors when
     * a vocabulary table is unwanted: token → md5-derived 60-bit hash →

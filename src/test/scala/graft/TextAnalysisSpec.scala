@@ -1221,6 +1221,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got(7L)._6 && !got(7L)._7, "no required stopwords fails the >=2 gate")
   }
 
+  test("anchorText: tag-strip + whitespace collapse, per-target counts, argmax with lexicographic tie-break") {
+    val df = Seq(
+      (1L, """<a href="/x">read   <b>more</b></a> <a href="/x">details</a>"""),
+      (2L, """<a href="/x">details</a> <a href="/y">only</a>"""),
+      (3L, """<a href="/x">read more</a>""")
+    ).toDF("doc_id", "html")
+    val got = TextOps.anchorText(df, "doc_id", "html").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))))
+      .toMap
+    // /x: 4 anchors from 3 docs; "read more" (nested-tag + double-space form
+    // normalizes to it) ties "details" 2-2 → lexicographic min wins
+    assert(got("/x") == ((4L, 3L, "details", 2L)))
+    assert(got("/y") == ((1L, 1L, "only", 1L)))
+  }
+
   test("domainReputation: junk domains fail, clean pass, solo fails minDocs; fold is lossless at every shipped SF") {
     import org.apache.spark.sql.functions._
     Seq(TestSpark.sf0001, TestSpark.sf001).foreach { sf =>
