@@ -239,16 +239,27 @@ object TextOps {
       stats: Option[DataFrame] = None): DataFrame = {
     val st = stats.getOrElse(domainStats(df, domainCol, textCol))
     df.select(col(idCol), col(domainCol).as("domain"))
-      .join(broadcast(st), Seq("domain"))
-      .select(
-        col(idCol),
-        col("domain"),
-        col("n_docs"),
-        (col("sum_q_fp").cast("double") / (col("n_docs").cast("double") * lit(1.0e6)))
-          .as("domain_mean_quality"),
-        (col("n_docs") >= minDocs &&
-          col("sum_q_fp") >= col("n_docs") * minMeanFp).as("domain_ok"))
+      .join(broadcast(domainVerdicts(st, minDocs, minMeanFp)), Seq("domain"))
+      .select(col(idCol), col("domain"), col("n_docs"),
+        col("domain_mean_quality"), col("domain_ok"))
   }
+
+  /** The reputation verdict derivation from a [[domainStats]] relation —
+    * ONE definition shared by [[domainReputation]] and the streaming
+    * maintainer ([[graft.streaming.Streaming.DomainStatsStream]]), so the
+    * gate arithmetic can never drift between batch and stream.
+    */
+  def domainVerdicts(
+      stats: DataFrame,
+      minDocs: Long = 3L,
+      minMeanFp: Long = 570000L): DataFrame =
+    stats.select(
+      col("domain"),
+      col("n_docs"),
+      (col("sum_q_fp").cast("double") / (col("n_docs").cast("double") * lit(1.0e6)))
+        .as("domain_mean_quality"),
+      (col("n_docs") >= minDocs &&
+        col("sum_q_fp") >= col("n_docs") * minMeanFp).as("domain_ok"))
 
   /** THE composite-quality expression — one definition for every consumer
     * (the registered score, the classifier label/tier derivations, the

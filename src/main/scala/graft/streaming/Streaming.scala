@@ -688,6 +688,107 @@ object Streaming {
     }
   }
 
+  /** Maintained per-DOMAIN reputation statistics over a micro-batched
+    * document stream — the streaming form of the
+    * [[graft.ops.TextOps.domainStats]]/[[graft.ops.TextOps.domainReputation]]
+    * story: each batch contributes its `(domain, n_docs, sum_q_fp)`
+    * partial and the running state is the
+    * [[graft.ops.TextOps.mergeDomainStats]] key-wise sum, so the
+    * maintained relation is EXACTLY the one-shot stats over every
+    * document ever seen (counts are an additive monoid) and [[verdicts]]
+    * derives the host gate at any moment without rescanning history.
+    * State is ≤ |domains| rows regardless of stream volume.
+    *
+    * Durability rides the RollupStream per-batch slot protocol — counts
+    * are ADDITIVE (not idempotent like the HLL max-fold), so replay
+    * safety comes from the slot fencing: a re-delivered batch overwrites
+    * its own slot rather than double-counting, and restart rebuild folds
+    * the committed slots.
+    */
+  class DomainStatsStream(
+      domainCol: String,
+      textCol: String,
+      storeDir: Option[String] = None) {
+    @volatile private var state: Option[DataFrame] = None
+    @volatile private var incremental = false
+
+    /** The maintained stats relation (domain, n_docs, sum_q_fp). */
+    def current: Option[DataFrame] = state
+
+    /** The reputation verdicts derived from the current stats — the SAME
+      * derivation the batch operator applies ([[graft.ops.TextOps.domainVerdicts]]).
+      */
+    def verdicts(minDocs: Long = 3L, minMeanFp: Long = 570000L): Option[DataFrame] =
+      state.map(graft.ops.TextOps.domainVerdicts(_, minDocs, minMeanFp))
+
+    private def mergeAll(partials: DataFrame): DataFrame =
+      graft.ops.TextOps.mergeDomainStats(partials.drop("batch_id"))
+
+    private def recoverCompaction(spark: SparkSession, d: String): Unit = {
+      val (fs, _) = fsFor(spark, d)
+      val tmps = committedSlots(spark, d, ".compact-")
+      tmps.drop(1).foreach { case (_, t) => fs.delete(t, true): Unit }
+      tmps.headOption.foreach { case (id, tmp) =>
+        committedSlots(spark, d, "batch_id=").foreach { case (_, s) => fs.delete(s, true): Unit }
+        fs.rename(tmp, new org.apache.hadoop.fs.Path(d, s"batch_id=$id")): Unit
+      }
+    }
+
+    /** Fold all per-batch slots into one base slot (between runs only). */
+    def compact(spark: SparkSession): Int = storeDir match {
+      case Some(d) =>
+        recoverCompaction(spark, d)
+        val slots = committedSlots(spark, d, "batch_id=")
+        if (slots.length <= 1) 0
+        else {
+          val (fs, _) = fsFor(spark, d)
+          val newBase = math.min(slots.map(_._1).min, 0L) - 1
+          val merged = mergeAll(spark.read.parquet(d)).localCheckpoint(true)
+          merged.write.mode("overwrite").parquet(s"$d/.compact-$newBase")
+          slots.foreach { case (_, s) => fs.delete(s, true): Unit }
+          fs.rename(
+            new org.apache.hadoop.fs.Path(d, s".compact-$newBase"),
+            new org.apache.hadoop.fs.Path(d, s"batch_id=$newBase")): Unit
+          state = Some(merged)
+          slots.length
+        }
+      case _ => 0
+    }
+
+    def start(stream: DataFrame, checkpointDir: String): StreamingQuery = {
+      val spark = stream.sparkSession
+      incremental = false
+      storeDir.foreach { d =>
+        recoverCompaction(spark, d)
+        if (state.isEmpty && committedSlots(spark, d, "batch_id=").nonEmpty)
+          state = Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
+      }
+      stream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val part = graft.ops.TextOps.domainStats(batch, domainCol, textCol)
+            .localCheckpoint(true)
+          state = storeDir match {
+            case Some(d) =>
+              part.write.mode("overwrite").parquet(s"$d/batch_id=$batchId")
+              if (!incremental) {
+                incremental = true
+                committedSlots(spark, d, "batch_id=") // fence crashed slots
+                Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
+              } else Some(graft.ops.TextOps
+                .mergeDomainStats(state.get, part).localCheckpoint(true))
+            case None =>
+              Some((state match {
+                case Some(prev) => graft.ops.TextOps.mergeDomainStats(prev, part)
+                case None       => part
+              }).localCheckpoint(true))
+          }
+        }
+        .start()
+    }
+  }
+
   /** Maintained NEAR-DUP cluster labeling over a micro-batched document
     * stream — the streaming form of the incremental dedup story
     * (q_neardup_clusters_incr's store/batch cycle driven by a real

@@ -329,6 +329,54 @@ class JobsStreamingSpec extends AnyFunSuite {
       (1L, 4L, 14.75), (2L, 2L, 3.5), (3L, 2L, 10.0), (4L, 1L, 6.0)))
   }
 
+  test("DomainStatsStream: maintained stats equal one-shot across kill/restart/compaction; verdicts match the batch gate") {
+    implicit val sqlCtx = spark.sqlContext
+    // texts engineered so quality differs by domain: d1 clean prose (high
+    // stopword/low punct), d2 punctuation junk (gate-failing), d3 one doc
+    val clean = "the cat and the dog sat on the mat with all of the others in a big room"
+    val junk = "xxx !!! ;;; ??? ::: ... yyy !!! ;;; ??? ::: ... zzz !!! ;;; ??? ::: ..."
+    val t1 = Seq(("d1.com", clean), ("d2.com", junk), ("d1.com", clean))
+    val t2 = Seq(("d2.com", junk), ("d1.com", clean), ("d2.com", junk))
+    val t3 = Seq(("d3.com", clean)) // steady-state batch after restart rebuild
+    val stream = MemoryStream[(String, String)]
+    val df = stream.toDF().toDF("domain", "text")
+    val ckpt = Files.createTempDirectory("graft-dom-ckpt").toString
+    val store = Files.createTempDirectory("graft-dom-store").toString + "/dom"
+    val s1 = new Streaming.DomainStatsStream("domain", "text", Some(store))
+    val q1 = s1.start(df, ckpt)
+    stream.addData(t1); q1.processAllAvailable(); q1.stop()
+    val s2 = new Streaming.DomainStatsStream("domain", "text", Some(store))
+    val q2 = s2.start(df, ckpt)
+    stream.addData(t2); q2.processAllAvailable() // first batch: disk rebuild
+    stream.addData(t3); q2.processAllAvailable() // later batch: O(domains) fold
+    q2.stop()
+    def st(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("domain"), col("n_docs"), col("sum_q_fp"))
+        .as[(String, Long, Long)].collect().toSet
+    val oneShot = graft.ops.TextOps.domainStats(
+      (t1 ++ t2 ++ t3).toDF("domain", "text"), "domain", "text")
+    assert(st(s2.current.get) == st(oneShot),
+      "maintained stats must equal the one-shot relation")
+    // the derived gate is the batch derivation verbatim
+    val vStream = s2.verdicts().get
+      .select(col("domain"), col("domain_ok")).as[(String, Boolean)].collect().toMap
+    val vBatch = graft.ops.TextOps.domainVerdicts(oneShot)
+      .select(col("domain"), col("domain_ok")).as[(String, Boolean)].collect().toMap
+    assert(vStream == vBatch)
+    assert(vStream == Map("d1.com" -> true, "d2.com" -> false, "d3.com" -> false),
+      "clean domain passes, junk domain fails quality, single-doc domain fails evidence")
+    // compaction folds the slots; a further restart + new batch stays exact
+    assert(s2.compact(spark) == 3)
+    val s3 = new Streaming.DomainStatsStream("domain", "text", Some(store))
+    val q3 = s3.start(df, ckpt)
+    stream.addData(Seq(("d3.com", clean), ("d3.com", clean))); q3.processAllAvailable(); q3.stop()
+    val after = s3.verdicts().get
+      .select(col("domain"), col("n_docs"), col("domain_ok"))
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(after.contains(("d3.com", 3L, true)),
+      "d3 crosses the evidence bar after the post-compaction batch")
+  }
+
   test("HllStream: maintained registers equal the one-shot file across kill/restart/compaction; replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val t1 = Seq(("click", 1L), ("click", 2L), ("view", 1L))
