@@ -983,6 +983,20 @@ object ScaleSmoke {
         .filter(col("changed")).count())
       time("sentence_span_dedup", DedupOps.sentenceSpanDedup(planted, "doc_id", "text")
         .filter(col("is_dup")).count())
+      time("gopher_repetition", TextOps.gopherRepetition(planted, "doc_id", "text")
+        .filter(col("is_repetitive")).count())
+      // host stats stay |domains|-bounded however the corpus grows; the
+      // per-doc side is one broadcast-join scan
+      time("domain_reputation", TextOps.domainReputation(
+        corpus.select(col("doc_id"),
+          concat(lit("site"), (col("doc_id") % 17).cast("string"),
+            lit(".example.com")).as("domain"), col("text")),
+        "doc_id", "domain", "text").filter(col("domain_ok")).count())
+      time("anchor_text", TextOps.anchorText(
+        corpus.select(col("doc_id"),
+          concat(lit("<a href=\"/t"), (col("doc_id") % 11).cast("string"),
+            lit("\">read this</a><a href=\"/u\">or  <b>that</b></a>")).as("html")),
+        "doc_id", "html").count())
       planted.unpersist(); withUrl.unpersist(); corpus.unpersist(): Unit
     }
 
