@@ -1649,6 +1649,26 @@ object SparkEntry {
       "doc_id", "html")
   }
 
+  /** Content-defined chunk dedup ([[graft.ops.DedupOps.cdcChunkDedup]]):
+    * every seventh document carries a shared ~190-char passage appended
+    * AFTER its doc-specific soup — fixed-size blocking would never align
+    * the copies, but CDC boundaries re-synchronize at the first
+    * content-defined cut inside the passage, so its interior chunks
+    * deduplicate across carriers (the first passage chunk absorbs the
+    * soup and stays unique per doc). Unplanted docs pin the all-unique
+    * side.
+    */
+  def qCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val passage = " the shared canonical passage that every seventh document" +
+      " carries verbatim so interior chunk boundaries re-synchronize on" +
+      " content and the chunks deduplicate across carriers regardless of" +
+      " whatever unique soup precedes them in each host document"
+    val planted = Tables.documents(spark, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(passage)).otherwise(lit(""))))
+    DedupOps.cdcChunkDedup(planted, "doc_id", "text")
+  }
+
   /** Feature hashing over the raw corpus — no plant needed: every token
     * routes through the shared md5-60-bit recipe, so the oracle replays
     * bucket, sign and the signed sums exactly.
@@ -3756,6 +3776,7 @@ object SparkEntry {
     "q_sentence_span_dedup"     -> (qSentenceSpanDedup(_, _)),
     "q_html_links"              -> (qHtmlLinks(_, _)),
     "q_anchor_text"             -> (qAnchorText(_, _)),
+    "q_cdc_chunks"              -> (qCdcChunks(_, _)),
     "q_hash_features"           -> (qHashFeatures(_, _)),
     "q_readability"             -> (qReadability(_, _)),
     "q_embedding_quantize"      -> (qEmbeddingQuantize(_, _)),
@@ -7044,6 +7065,44 @@ object SparkEntry {
         |                     || '.example.com/p/' || (doc_id % 7)::VARCHAR
         |         ELSE '/tos' END AS href
         |FROM (SELECT doc_id, unnest(range(0, 4)) AS i FROM documents)""".stripMargin,
+    // mirror of cdcChunkDedup: candidate boundaries where the md5-60 window
+    // hash has its low 5 bits zero; the SEQUENTIAL minChunk accept/skip fold
+    // replays as a recursive CTE over candidate rank (the ewmaOracle
+    // discipline — DuckDB 1.0's list_reduce mis-evaluates a fold whose ELSE
+    // branch returns the accumulator unchanged, so the fold must not use it)
+    "q_cdc_chunks" ->
+      raw"""WITH RECURSIVE d AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 0
+        |                 THEN ' the shared canonical passage that every seventh document carries verbatim so interior chunk boundaries re-synchronize on content and the chunks deduplicate across carriers regardless of whatever unique soup precedes them in each host document'
+        |                 ELSE '' END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, length(text)::BIGINT AS L FROM d),
+        |pos AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, text, L, unnest(range(8, L + 1)) AS i FROM c WHERE L >= 8) q
+        |  WHERE (list_sum([(strpos('0123456789abcdef', md5(substr(q.text, q.i - 7, 8))[k]) - 1)::BIGINT << (4 * (15 - k)) for k in range(1, 16)])::BIGINT & 31) = 0),
+        |cr AS MATERIALIZED (SELECT doc_id, i AS p, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn FROM pos),
+        |sel(doc_id, rn, p, last) AS (
+        |  SELECT doc_id, rn, p, CASE WHEN p >= 16 THEN p ELSE 0 END
+        |  FROM cr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT cr.doc_id, cr.rn, cr.p,
+        |         CASE WHEN cr.p - sel.last >= 16 THEN cr.p ELSE sel.last END
+        |  FROM cr JOIN sel ON cr.doc_id = sel.doc_id AND cr.rn = sel.rn + 1),
+        |cl AS (SELECT doc_id, list(p ORDER BY p) AS cands FROM sel WHERE p = last GROUP BY 1),
+        |b2 AS (SELECT c.doc_id, c.text, c.L,
+        |        CASE WHEN coalesce(cl.cands[-1], 0) < c.L
+        |             THEN list_append(list_prepend(0::BIGINT, coalesce(cl.cands, CAST([] AS BIGINT[]))), c.L)
+        |             ELSE list_prepend(0::BIGINT, coalesce(cl.cands, CAST([] AS BIGINT[]))) END AS wb
+        |      FROM c LEFT JOIN cl USING (doc_id)),
+        |ch AS (SELECT doc_id, (j - 1)::BIGINT AS chunk_idx, (wb[j] + 1)::BIGINT AS chunk_start,
+        |              (wb[j+1] - wb[j])::BIGINT AS chunk_len,
+        |              list_sum([(strpos('0123456789abcdef', md5(substr(text, wb[j] + 1, wb[j+1] - wb[j]))[k]) - 1)::BIGINT << (4 * (15 - k)) for k in range(1, 16)])::BIGINT AS chunk_id
+        |       FROM (SELECT doc_id, text, wb, unnest(range(1, len(wb)::BIGINT)) AS j FROM b2 WHERE len(wb) >= 2) q2),
+        |ca AS (SELECT chunk_id, count(DISTINCT doc_id)::BIGINT AS n_carriers FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, ch.chunk_idx, ch.chunk_start, ch.chunk_len, ch.chunk_id,
+        |       ca.n_carriers, ca.n_carriers > 1 AS is_dup
+        |FROM ch JOIN ca USING (chunk_id)""".stripMargin,
     // GROUND TRUTH from the plant arithmetic (the q_html_links discipline —
     // not a regex replay): every doc contributes Home//about//tos anchors
     // plus one parity-texted site anchor; the per-target argmax and its

@@ -2066,6 +2066,93 @@ object DedupOps {
   def simhashXx(tokensCol: Column): Column =
     simhashFromHashes(transform(array_distinct(tokensCol), t => xxhash64(t)))
 
+  /** Content-defined chunking (the Rabin/LBFS discipline, Muthitacharoen
+    * et al. 2001): chunk boundaries fall where the hash of the trailing
+    * `window`-character gram has its low `maskBits` bits zero, so
+    * boundaries move WITH the content — an insertion early in a document
+    * shifts byte offsets but re-synchronizes at the next content-defined
+    * boundary, and every later chunk hashes identically. That is the
+    * primitive fixed-size blocking cannot offer: chunk-level dedup across
+    * near-identical page versions / re-crawls, the storage-dedup
+    * complement of the span families above. `minChunk` suppresses
+    * boundaries closer than that to the previous accepted one (the
+    * standard anti-fragmentation rule) — a SEQUENTIAL accept/skip fold,
+    * per-document, replayed by the oracle as a list_reduce.
+    *
+    * The window hash is [[md5Hash60]] (values GATE boundaries here, so
+    * both engines must realize the same hash — the q_simhash_dedup
+    * reasoning; an operational deployment that needs no cross-engine
+    * replay swaps in the xxhash64 kernel form, [[simhashXx]]'s trade).
+    * Expected chunk length ≈ 2^maskBits + minChunk.
+    *
+    * Per-document narrow projection (one interpreted HOF pass, O(len)
+    * hashes of `window`-char grams) → explode to chunk rows: nothing
+    * shuffles until the caller aggregates chunk ids. Empty documents emit
+    * no chunks.
+    *
+    * Output: (idCol, chunk_idx, chunk_start, chunk_len, chunk_id) — 1-based
+    * char offsets, chunk_id = md5Hash60 of the chunk text.
+    */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 8,
+      maskBits: Int = 5,
+      minChunk: Int = 16): DataFrame = {
+    require(window >= 1 && maskBits >= 1 && minChunk >= 0, "invalid CDC parameters")
+    val mask = (1 << maskBits) - 1
+    val t = coalesce(col(textCol), lit(""))
+    val len = length(t)
+    val cands = when(len >= window,
+      filter(
+        sequence(lit(window), len),
+        i => md5Hash60(t.substr(i - lit(window - 1), lit(window)))
+          .bitwiseAND(lit(mask.toLong)) === 0))
+      .otherwise(array().cast("array<int>"))
+    val bounds = aggregate(cands, array(lit(0)), (acc, p) =>
+      when(p - element_at(acc, -1) >= minChunk, concat(acc, array(p))).otherwise(acc))
+    val withEnd = when(element_at(bounds, -1) < len, concat(bounds, array(len)))
+      .otherwise(bounds)
+    val chunks = bindOnce(withEnd) { b =>
+      when(size(b) >= 2,
+        transform(sequence(lit(1), size(b) - 1), j =>
+          struct(
+            (j - 1).cast("long").as("chunk_idx"),
+            (element_at(b, j) + 1).cast("long").as("chunk_start"),
+            (element_at(b, j + 1) - element_at(b, j)).cast("long").as("chunk_len"),
+            md5Hash60(t.substr(element_at(b, j) + 1,
+              element_at(b, j + 1) - element_at(b, j))).as("chunk_id"))))
+        .otherwise(array().cast(
+          "array<struct<chunk_idx:bigint,chunk_start:bigint,chunk_len:bigint,chunk_id:bigint>>"))
+    }
+    df.select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk_start").as("chunk_start"), col("c.chunk_len").as("chunk_len"),
+        col("c.chunk_id").as("chunk_id"))
+  }
+
+  /** Cross-document chunk dedup over [[cdcChunks]]: each chunk row joins
+    * its chunk id's distinct-carrier count — `is_dup` marks content shared
+    * with ANY other document (or repeated within one), offset-independent
+    * by construction. The carrier aggregate partial-combines map-side;
+    * only (chunk_id)-keyed rows shuffle.
+    */
+  def cdcChunkDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 8,
+      maskBits: Int = 5,
+      minChunk: Int = 16): DataFrame = {
+    val ch = cdcChunks(df, idCol, textCol, window, maskBits, minChunk).scopedCache()
+    val carriers = ch.groupBy(col("chunk_id"))
+      .agg(countDistinct(col(idCol)).as("n_carriers"))
+    ch.join(carriers, Seq("chunk_id"))
+      .select(col(idCol), col("chunk_idx"), col("chunk_start"), col("chunk_len"),
+        col("chunk_id"), col("n_carriers"), (col("n_carriers") > 1).as("is_dup"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 with the
     * default 4 chunks, by pigeonhole: ≤3 differing bits leave ≥1 of the 4
     * 16-bit chunks identical, so chunk-equality buckets lose no true pair).

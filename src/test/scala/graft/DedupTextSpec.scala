@@ -8,6 +8,44 @@ import graft.ops.{DedupOps, TextOps}
 class DedupTextSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  test("cdcChunks: boundaries re-synchronize after an insertion; minChunk suppresses close cuts; chunks tile the text") {
+    val shared = "the quick brown fox jumps over the lazy dog while the cat " +
+      "watches from the warm windowsill and the birds sing in the garden " +
+      "all through the long summer afternoon hours"
+    val df = Seq(
+      (1L, shared),
+      (2L, "PREFIX INSERTED HERE " + shared), // shifts every offset by 21
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val ch = DedupOps.cdcChunks(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // empty doc emits nothing
+    assert(!ch.exists(_._1 == 3L))
+    // chunks tile each document exactly: starts/lens partition [1, len]
+    Seq(1L -> shared.length, 2L -> (shared.length + 21)).foreach { case (id, len) =>
+      val rows = ch.filter(_._1 == id).sortBy(_._2)
+      assert(rows.head._3 == 1L && rows.map(_._4).sum == len.toLong)
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4, s"gap in doc $id")
+        case _ =>
+      }
+      // minChunk: every accepted cut leaves at least 16 chars (the last
+      // remainder chunk may be shorter)
+      assert(rows.dropRight(1).forall(_._4 >= 16L))
+    }
+    // RESYNC: once past the insertion, doc 2 reproduces doc 1's chunk ids
+    // at offsets shifted by exactly the insertion length
+    val ids1 = ch.filter(_._1 == 1L).map(r => r._5 -> r._3).toMap
+    val resynced = ch.filter(t => t._1 == 2L && ids1.contains(t._5))
+    assert(resynced.nonEmpty, "some chunk of the shared tail must re-align")
+    resynced.foreach { t => assert(t._3 == ids1(t._5) + 21, "re-aligned chunk sits at the shifted offset") }
+    // and the dedup consumer marks exactly those chunks as duplicated
+    val dd = DedupOps.cdcChunkDedup(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(6))).toSet
+    val dupIdx = ch.filter(t => t._1 == 2L && ids1.contains(t._5)).map(_._2).toSet
+    assert(dupIdx.forall(i => dd.contains((2L, i, true))))
+  }
   private def docs = Tables.documents(spark, TestSpark.sf0001)
 
   test("minhash LSH pairs == exact n-gram Jaccard pairs on the corpus (verified candidates)") {
