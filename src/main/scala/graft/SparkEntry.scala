@@ -1658,15 +1658,37 @@ object SparkEntry {
     * soup and stays unique per doc). Unplanted docs pin the all-unique
     * side.
     */
-  def qCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+  def qCdcChunks(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cdcChunkDedup(cdcPlantedDocs(spark, dir), "doc_id", "text")
+
+  /** Shared plant for the CDC pair — both queries MUST stay byte-identical
+    * (they share the oracle).
+    */
+  private def cdcPlantedDocs(spark: SparkSession, dir: String): DataFrame = {
     val passage = " the shared canonical passage that every seventh document" +
       " carries verbatim so interior chunk boundaries re-synchronize on" +
       " content and the chunks deduplicate across carriers regardless of" +
       " whatever unique soup precedes them in each host document"
-    val planted = Tables.documents(spark, dir).withColumn("text",
+    Tables.documents(spark, dir).withColumn("text",
       concat(col("text"),
         when(col("doc_id") % 7 === 0, lit(passage)).otherwise(lit(""))))
-    DedupOps.cdcChunkDedup(planted, "doc_id", "text")
+  }
+
+  /** Incremental fold form: per-chunk carrier stats from two doc-disjoint
+    * halves merged with [[graft.ops.DedupOps.mergeCdcCarriers]] must
+    * reproduce the one-pass marks — shares q_cdc_chunks' oracle verbatim
+    * (chunking is stateless per document, so the carrier-count monoid is
+    * the ONLY cross-document state and the fold is the whole proof).
+    */
+  def qCdcChunksIncr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = cdcPlantedDocs(spark, dir)
+    def statsOf(half: DataFrame) =
+      DedupOps.cdcCarrierStats(DedupOps.cdcChunks(half, "doc_id", "text"), "doc_id")
+    val merged = DedupOps.mergeCdcCarriers(
+      statsOf(docs.filter(col("doc_id") % 2 === 0)),
+      statsOf(docs.filter(col("doc_id") % 2 =!= 0)))
+    DedupOps.cdcMarkFromStats(
+      DedupOps.cdcChunks(docs, "doc_id", "text"), "doc_id", merged)
   }
 
   /** Feature hashing over the raw corpus — no plant needed: every token
@@ -3777,6 +3799,7 @@ object SparkEntry {
     "q_html_links"              -> (qHtmlLinks(_, _)),
     "q_anchor_text"             -> (qAnchorText(_, _)),
     "q_cdc_chunks"              -> (qCdcChunks(_, _)),
+    "q_cdc_chunks_incr"         -> (qCdcChunksIncr(_, _)),
     "q_hash_features"           -> (qHashFeatures(_, _)),
     "q_readability"             -> (qReadability(_, _)),
     "q_embedding_quantize"      -> (qEmbeddingQuantize(_, _)),
@@ -3990,6 +4013,47 @@ object SparkEntry {
       |       st.sum_q_fp::DOUBLE / (st.n_docs::DOUBLE * 1000000.0) AS domain_mean_quality,
       |       (st.n_docs >= 3 AND st.sum_q_fp >= st.n_docs * 570000) AS domain_ok
       |FROM q JOIN st USING (domain)""".stripMargin
+
+  /** Mirror of cdcChunkDedup (shared by the incremental fold form):
+    * md5-60 window-hash boundary gate, the SEQUENTIAL minChunk accept/
+    * skip fold as a recursive CTE over MATERIALIZED candidates (DuckDB
+    * 1.0 list_reduce mis-evaluates identity ELSE branches, and the
+    * unmaterialized recursion re-derived every window hash per step),
+    * chunk reconstruction by boundary pairs, carrier counts.
+    */
+  private val cdcChunksOracle: String =
+      raw"""WITH RECURSIVE d AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 0
+        |                 THEN ' the shared canonical passage that every seventh document carries verbatim so interior chunk boundaries re-synchronize on content and the chunks deduplicate across carriers regardless of whatever unique soup precedes them in each host document'
+        |                 ELSE '' END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, length(text)::BIGINT AS L FROM d),
+        |pos AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, text, L, unnest(range(8, L + 1)) AS i FROM c WHERE L >= 8) q
+        |  WHERE (list_sum([(strpos('0123456789abcdef', md5(substr(q.text, q.i - 7, 8))[k]) - 1)::BIGINT << (4 * (15 - k)) for k in range(1, 16)])::BIGINT & 31) = 0),
+        |cr AS MATERIALIZED (SELECT doc_id, i AS p, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn FROM pos),
+        |sel(doc_id, rn, p, last) AS (
+        |  SELECT doc_id, rn, p, CASE WHEN p >= 16 THEN p ELSE 0 END
+        |  FROM cr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT cr.doc_id, cr.rn, cr.p,
+        |         CASE WHEN cr.p - sel.last >= 16 THEN cr.p ELSE sel.last END
+        |  FROM cr JOIN sel ON cr.doc_id = sel.doc_id AND cr.rn = sel.rn + 1),
+        |cl AS (SELECT doc_id, list(p ORDER BY p) AS cands FROM sel WHERE p = last GROUP BY 1),
+        |b2 AS (SELECT c.doc_id, c.text, c.L,
+        |        CASE WHEN coalesce(cl.cands[-1], 0) < c.L
+        |             THEN list_append(list_prepend(0::BIGINT, coalesce(cl.cands, CAST([] AS BIGINT[]))), c.L)
+        |             ELSE list_prepend(0::BIGINT, coalesce(cl.cands, CAST([] AS BIGINT[]))) END AS wb
+        |      FROM c LEFT JOIN cl USING (doc_id)),
+        |ch AS (SELECT doc_id, (j - 1)::BIGINT AS chunk_idx, (wb[j] + 1)::BIGINT AS chunk_start,
+        |              (wb[j+1] - wb[j])::BIGINT AS chunk_len,
+        |              list_sum([(strpos('0123456789abcdef', md5(substr(text, wb[j] + 1, wb[j+1] - wb[j]))[k]) - 1)::BIGINT << (4 * (15 - k)) for k in range(1, 16)])::BIGINT AS chunk_id
+        |       FROM (SELECT doc_id, text, wb, unnest(range(1, len(wb)::BIGINT)) AS j FROM b2 WHERE len(wb) >= 2) q2),
+        |ca AS (SELECT chunk_id, count(DISTINCT doc_id)::BIGINT AS n_carriers FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, ch.chunk_idx, ch.chunk_start, ch.chunk_len, ch.chunk_id,
+        |       ca.n_carriers, ca.n_carriers > 1 AS is_dup
+        |FROM ch JOIN ca USING (chunk_id)""".stripMargin
 
   private val lmScoreOracle: String =
     raw"""WITH t AS (
@@ -7070,39 +7134,10 @@ object SparkEntry {
     // replays as a recursive CTE over candidate rank (the ewmaOracle
     // discipline — DuckDB 1.0's list_reduce mis-evaluates a fold whose ELSE
     // branch returns the accumulator unchanged, so the fold must not use it)
-    "q_cdc_chunks" ->
-      raw"""WITH RECURSIVE d AS (SELECT doc_id,
-        |    text || CASE WHEN doc_id % 7 = 0
-        |                 THEN ' the shared canonical passage that every seventh document carries verbatim so interior chunk boundaries re-synchronize on content and the chunks deduplicate across carriers regardless of whatever unique soup precedes them in each host document'
-        |                 ELSE '' END AS text
-        |  FROM documents),
-        |c AS (SELECT doc_id, text, length(text)::BIGINT AS L FROM d),
-        |pos AS (
-        |  SELECT doc_id, i FROM (
-        |    SELECT doc_id, text, L, unnest(range(8, L + 1)) AS i FROM c WHERE L >= 8) q
-        |  WHERE (list_sum([(strpos('0123456789abcdef', md5(substr(q.text, q.i - 7, 8))[k]) - 1)::BIGINT << (4 * (15 - k)) for k in range(1, 16)])::BIGINT & 31) = 0),
-        |cr AS MATERIALIZED (SELECT doc_id, i AS p, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn FROM pos),
-        |sel(doc_id, rn, p, last) AS (
-        |  SELECT doc_id, rn, p, CASE WHEN p >= 16 THEN p ELSE 0 END
-        |  FROM cr WHERE rn = 1
-        |  UNION ALL
-        |  SELECT cr.doc_id, cr.rn, cr.p,
-        |         CASE WHEN cr.p - sel.last >= 16 THEN cr.p ELSE sel.last END
-        |  FROM cr JOIN sel ON cr.doc_id = sel.doc_id AND cr.rn = sel.rn + 1),
-        |cl AS (SELECT doc_id, list(p ORDER BY p) AS cands FROM sel WHERE p = last GROUP BY 1),
-        |b2 AS (SELECT c.doc_id, c.text, c.L,
-        |        CASE WHEN coalesce(cl.cands[-1], 0) < c.L
-        |             THEN list_append(list_prepend(0::BIGINT, coalesce(cl.cands, CAST([] AS BIGINT[]))), c.L)
-        |             ELSE list_prepend(0::BIGINT, coalesce(cl.cands, CAST([] AS BIGINT[]))) END AS wb
-        |      FROM c LEFT JOIN cl USING (doc_id)),
-        |ch AS (SELECT doc_id, (j - 1)::BIGINT AS chunk_idx, (wb[j] + 1)::BIGINT AS chunk_start,
-        |              (wb[j+1] - wb[j])::BIGINT AS chunk_len,
-        |              list_sum([(strpos('0123456789abcdef', md5(substr(text, wb[j] + 1, wb[j+1] - wb[j]))[k]) - 1)::BIGINT << (4 * (15 - k)) for k in range(1, 16)])::BIGINT AS chunk_id
-        |       FROM (SELECT doc_id, text, wb, unnest(range(1, len(wb)::BIGINT)) AS j FROM b2 WHERE len(wb) >= 2) q2),
-        |ca AS (SELECT chunk_id, count(DISTINCT doc_id)::BIGINT AS n_carriers FROM ch GROUP BY 1)
-        |SELECT ch.doc_id, ch.chunk_idx, ch.chunk_start, ch.chunk_len, ch.chunk_id,
-        |       ca.n_carriers, ca.n_carriers > 1 AS is_dup
-        |FROM ch JOIN ca USING (chunk_id)""".stripMargin,
+    "q_cdc_chunks" -> cdcChunksOracle,
+    // SHARED: the two-half carrier fold must reproduce the one-pass marks
+    // (mergeCdcCarriers counts-monoid losslessness proof)
+    "q_cdc_chunks_incr" -> cdcChunksOracle,
     // GROUND TRUTH from the plant arithmetic (the q_html_links discipline —
     // not a regex replay): every doc contributes Home//about//tos anchors
     // plus one parity-texted site anchor; the per-target argmax and its

@@ -2148,10 +2148,35 @@ object DedupOps {
     val ch = cdcChunks(df, idCol, textCol, window, maskBits, minChunk).scopedCache()
     val carriers = ch.groupBy(col("chunk_id"))
       .agg(countDistinct(col(idCol)).as("n_carriers"))
-    ch.join(carriers, Seq("chunk_id"))
+    cdcMarkFromStats(ch, idCol, carriers)
+  }
+
+  /** Per-chunk distinct-carrier statistics from a [[cdcChunks]] relation —
+    * the MAINTAINED half of the CDC dedup store: `(chunk_id, n_carriers)`.
+    * Chunking itself is a stateless per-document projection, so carrier
+    * counts are the only cross-document state; they sum across
+    * DOC-DISJOINT parts (each document arrives in exactly one batch — the
+    * standard ingest contract, same as every counts-monoid store here), so
+    * an operating store folds each batch's stats in with
+    * [[mergeCdcCarriers]] instead of re-chunking history.
+    */
+  def cdcCarrierStats(chunks: DataFrame, idCol: String): DataFrame =
+    chunks.groupBy(col("chunk_id")).agg(countDistinct(col(idCol)).as("n_carriers"))
+
+  /** Key-wise sum of [[cdcCarrierStats]] relations over doc-disjoint parts. */
+  def mergeCdcCarriers(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "need at least one stats relation")
+    parts.reduce(_.unionByName(_)).groupBy(col("chunk_id"))
+      .agg(sum(col("n_carriers")).as("n_carriers"))
+  }
+
+  /** Mark a chunk relation against an (externally maintained) carrier
+    * store — the incremental operating mode of [[cdcChunkDedup]].
+    */
+  def cdcMarkFromStats(chunks: DataFrame, idCol: String, stats: DataFrame): DataFrame =
+    chunks.join(stats, Seq("chunk_id"))
       .select(col(idCol), col("chunk_idx"), col("chunk_start"), col("chunk_len"),
         col("chunk_id"), col("n_carriers"), (col("n_carriers") > 1).as("is_dup"))
-  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 with the
     * default 4 chunks, by pigeonhole: ≤3 differing bits leave ≥1 of the 4
