@@ -2101,32 +2101,15 @@ object DedupOps {
       maskBits: Int = 5,
       minChunk: Int = 16): DataFrame = {
     require(window >= 1 && maskBits >= 1 && minChunk >= 0, "invalid CDC parameters")
-    val mask = (1 << maskBits) - 1
-    val t = coalesce(col(textCol), lit(""))
-    val len = length(t)
-    val cands = when(len >= window,
-      filter(
-        sequence(lit(window), len),
-        i => md5Hash60(t.substr(i - lit(window - 1), lit(window)))
-          .bitwiseAND(lit(mask.toLong)) === 0))
-      .otherwise(array().cast("array<int>"))
-    val bounds = aggregate(cands, array(lit(0)), (acc, p) =>
-      when(p - element_at(acc, -1) >= minChunk, concat(acc, array(p))).otherwise(acc))
-    val withEnd = when(element_at(bounds, -1) < len, concat(bounds, array(len)))
-      .otherwise(bounds)
-    val chunks = bindOnce(withEnd) { b =>
-      when(size(b) >= 2,
-        transform(sequence(lit(1), size(b) - 1), j =>
-          struct(
-            (j - 1).cast("long").as("chunk_idx"),
-            (element_at(b, j) + 1).cast("long").as("chunk_start"),
-            (element_at(b, j + 1) - element_at(b, j)).cast("long").as("chunk_len"),
-            md5Hash60(t.substr(element_at(b, j) + 1,
-              element_at(b, j + 1) - element_at(b, j))).as("chunk_id"))))
-        .otherwise(array().cast(
-          "array<struct<chunk_idx:bigint,chunk_start:bigint,chunk_len:bigint,chunk_id:bigint>>"))
-    }
-    df.select(col(idCol), explode(chunks).as("c"))
+    // the whole walk (window hashes, boundary gate, minChunk fold, chunk
+    // ids) is ONE native-kernel pass per document — the HOF formulation
+    // evaluated an interpreted substr+md5+conv tree per character position
+    // (measured 7.5 s/query at sf0.1; the kernel form is the same
+    // semantics, spec-pinned equal to md5Hash60 on every emitted slice)
+    import graft.functions.CdcFunctions.graft_cdc_chunks
+    df.select(col(idCol),
+      explode(graft_cdc_chunks(coalesce(col(textCol), lit("")),
+        window, maskBits, minChunk)).as("c"))
       .select(col(idCol), col("c.chunk_idx").as("chunk_idx"),
         col("c.chunk_start").as("chunk_start"), col("c.chunk_len").as("chunk_len"),
         col("c.chunk_id").as("chunk_id"))

@@ -9,6 +9,19 @@ class DedupTextSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("CdcKernel hash60 == md5Hash60 on every emitted slice (incl. non-ASCII; the oracle-replay contract)") {
+    // window larger than any text -> no candidate boundary -> one chunk
+    // spanning the whole doc, whose chunk_id must be exactly md5Hash60(text)
+    val df = Seq((1L, "abcdefgh"), (2L, "the quick brown fox"), (3L, "x"),
+      (4L, "café über window"), (5L, "0123456789" * 30))
+      .toDF("doc_id", "text")
+    val got = DedupOps.cdcChunks(df, "doc_id", "text", window = 10000)
+      .select("doc_id", "chunk_id").as[(Long, Long)].collect().toMap
+    val ref = df.select(col("doc_id"), DedupOps.md5Hash60(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(got == ref)
+  }
+
   test("cdcChunks: boundaries re-synchronize after an insertion; minChunk suppresses close cuts; chunks tile the text") {
     val shared = "the quick brown fox jumps over the lazy dog while the cat " +
       "watches from the warm windowsill and the birds sing in the garden " +
