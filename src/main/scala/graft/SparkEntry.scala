@@ -1627,6 +1627,20 @@ object SparkEntry {
       "doc_id", "html")
   }
 
+  /** Zipf-law fit over the raw corpus vocabulary
+    * ([[graft.ops.TextOps.zipfSlope]]) — corpus-health analytics; no
+    * plant needed (the fit is over the natural token distribution and
+    * both engines realize identical milli-nat integer sums).
+    */
+  def qZipfSlope(spark: SparkSession, dir: String): DataFrame =
+    TextOps.zipfSlope(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Heaps-law vocabulary growth at doc-id decile thresholds
+    * ([[graft.ops.TextOps.heapsCurve]]).
+    */
+  def qHeapsCurve(spark: SparkSession, dir: String): DataFrame =
+    TextOps.heapsCurve(Tables.documents(spark, dir), "doc_id", "text")
+
   /** Anchor-text aggregation over constructed pages
     * ([[graft.ops.TextOps.anchorText]]): three fixed nav/footer targets
     * (one with nested markup + double spaces in its anchor — pins the
@@ -3799,6 +3813,8 @@ object SparkEntry {
     "q_html_links"              -> (qHtmlLinks(_, _)),
     "q_anchor_text"             -> (qAnchorText(_, _)),
     "q_cdc_chunks"              -> (qCdcChunks(_, _)),
+    "q_zipf_slope"              -> (qZipfSlope(_, _)),
+    "q_heaps_curve"             -> (qHeapsCurve(_, _)),
     "q_cdc_chunks_incr"         -> (qCdcChunksIncr(_, _)),
     "q_hash_features"           -> (qHashFeatures(_, _)),
     "q_readability"             -> (qReadability(_, _)),
@@ -7135,6 +7151,32 @@ object SparkEntry {
     // discipline — DuckDB 1.0's list_reduce mis-evaluates a fold whose ELSE
     // branch returns the accumulator unchanged, so the fold must not use it)
     "q_cdc_chunks" -> cdcChunksOracle,
+    "q_zipf_slope" ->
+      raw"""WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
+        |cnt AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1 ORDER BY freq DESC, token LIMIT 1000),
+        |rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank FROM cnt),
+        |pts AS (SELECT round(ln(rank::DOUBLE) * 1000.0)::BIGINT AS x,
+        |               round(ln(freq::DOUBLE) * 1000.0)::BIGINT AS y FROM rk),
+        |s AS (SELECT count(*)::BIGINT AS n_terms, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |             sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx FROM pts)
+        |SELECT n_terms,
+        |  (n_terms * sxy - sx * sy)::DOUBLE / (n_terms * sxx - sx * sx)::DOUBLE AS slope,
+        |  (sy::DOUBLE - ((n_terms * sxy - sx * sy)::DOUBLE / (n_terms * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+        |    / n_terms::DOUBLE AS intercept_mnat
+        |FROM s""".stripMargin,
+    "q_heaps_curve" ->
+      raw"""WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
+        |fc AS (SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+        |pd AS (SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY 1),
+        |mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        |th AS (SELECT d::BIGINT AS decile, (mx.max_id * d) // 10 AS thr_doc_id FROM mx, range(1, 11) t(d)),
+        |v AS (SELECT decile, thr_doc_id, count(*)::BIGINT AS n_vocab
+        |      FROM fc, th WHERE fc.first_doc <= th.thr_doc_id GROUP BY 1, 2),
+        |m AS (SELECT decile, thr_doc_id, count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS n_tokens
+        |      FROM pd, th WHERE pd.doc_id <= th.thr_doc_id GROUP BY 1, 2)
+        |SELECT m.decile, m.thr_doc_id, m.n_docs, m.n_tokens, v.n_vocab
+        |FROM m JOIN v USING (decile, thr_doc_id)""".stripMargin,
+
     // SHARED: the two-half carrier fold must reproduce the one-pass marks
     // (mergeCdcCarriers counts-monoid losslessness proof)
     "q_cdc_chunks_incr" -> cdcChunksOracle,

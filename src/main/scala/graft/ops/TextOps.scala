@@ -191,6 +191,83 @@ object TextOps {
       qualityExpr(t).as("quality"))
   }
 
+  /** Zipf-law fit over the corpus vocabulary — the corpus-health check
+    * every curation stack runs (a natural-language corpus shows slope
+    * ≈ −1 in log(freq) vs log(rank); template spam or deduplication
+    * failures bend it). Least squares over the top-`topK` terms by
+    * (freq DESC, token ASC); ln values quantized to MILLI-nats before
+    * the sums, so every statistic is an exact integer on both engines
+    * (Σxy at k=1000 stays ≤ ~1e11, n·Σxy ≤ ~1e14 — far inside int64;
+    * micro-nats would overflow n·Σxy) and slope/intercept derive
+    * per-row from identical integer operands. The rank window runs over
+    * the LIMITed top-K relation (≤ topK rows — inside the global-window
+    * CI row bound), never the vocabulary: orderBy+limit is a
+    * TakeOrdered, so the vocabulary itself is never globally sorted.
+    *
+    * Output (one row): n_terms, slope, intercept_mnat (ln-freq
+    * milli-nats at ln rank = 0).
+    */
+  def zipfSlope(df: DataFrame, idCol: String, textCol: String, topK: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 2, "need at least two ranks to fit")
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(topK)
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("token"))).cast("long"))
+    val pts = ranked.select(
+      round(log(col("rank").cast("double")) * lit(1000.0)).cast("long").as("x"),
+      round(log(col("freq").cast("double")) * lit(1000.0)).cast("long").as("y"))
+    pts.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("n_terms"),
+        ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"),
+        ((col("sy").cast("double") -
+          ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            col("sx").cast("double")) / col("n_terms").cast("double"))
+          .as("intercept_mnat"))
+  }
+
+  /** Heaps-law vocabulary growth curve: cumulative distinct vocabulary /
+    * token mass / document count at each doc-id decile threshold — the
+    * second corpus-health law (V ≈ K·N^β with β ≈ 0.5 for natural text;
+    * a flattening curve means the corpus is recycling itself, a linear
+    * one means noise). A token's contribution to the curve is its FIRST
+    * carrier (min doc id), so the whole curve derives from two
+    * Zipf-small relations (first-carrier per token, token count per doc)
+    * broadcast-crossed with the 10 thresholds — no repeated corpus scans
+    * per decile, no global sort.
+    *
+    * Output (10 rows): decile, thr_doc_id, n_docs, n_tokens, n_vocab.
+    */
+  def heapsCurve(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .scopedCache()
+    val firstCarrier = toks.groupBy(col("token")).agg(min(col(idCol)).as("first_doc"))
+    val perDoc = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_toks"))
+    val thresholds = df.agg(max(col(idCol)).as("max_id"))
+      .select(explode(sequence(lit(1), lit(10))).as("decile"), col("max_id"))
+      .select(col("decile").cast("long").as("decile"),
+        expr("max_id * decile div 10").as("thr_doc_id"))
+    val vocab = firstCarrier.crossJoin(broadcast(thresholds))
+      .filter(col("first_doc") <= col("thr_doc_id"))
+      .groupBy(col("decile"), col("thr_doc_id"))
+      .agg(count(lit(1)).as("n_vocab"))
+    val mass = perDoc.crossJoin(broadcast(thresholds))
+      .filter(col(idCol) <= col("thr_doc_id"))
+      .groupBy(col("decile"), col("thr_doc_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    mass.join(vocab, Seq("decile", "thr_doc_id"))
+      .select(col("decile"), col("thr_doc_id"), col("n_docs"),
+        col("n_tokens"), col("n_vocab"))
+  }
+
   /** Per-domain quality statistics — the maintainable half of
     * [[domainReputation]]: `(domain, n_docs, sum_q_fp)` where `sum_q_fp`
     * is the Σ of per-document [[qualityExpr]] scores QUANTIZED to
