@@ -1627,6 +1627,24 @@ object SparkEntry {
       "doc_id", "html")
   }
 
+  /** Luhn-validated card detection over three plants: a Luhn-VALID Visa
+    * test number with space separators (%13), a Luhn-INVALID 16-digit run
+    * (%17 — candidate shape, checksum fails: the false positive a bare
+    * regex would redact), and a dash-separated valid card (%19). The
+    * oracle replays extraction + the checksum fold per candidate.
+    */
+  def qLuhnCards(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 13 === 0, lit(" card 4539 1488 0343 6467 on file"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit(" order 1234 5678 9012 3456 shipped"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 19 === 0, lit(" pay 4111-1111-1111-1111 now"))
+          .otherwise(lit(""))))
+    TextOps.luhnCards(planted, "doc_id", "text")
+  }
+
   /** Zipf-law fit over the raw corpus vocabulary
     * ([[graft.ops.TextOps.zipfSlope]]) — corpus-health analytics; no
     * plant needed (the fit is over the natural token distribution and
@@ -3814,6 +3832,7 @@ object SparkEntry {
     "q_anchor_text"             -> (qAnchorText(_, _)),
     "q_cdc_chunks"              -> (qCdcChunks(_, _)),
     "q_zipf_slope"              -> (qZipfSlope(_, _)),
+    "q_luhn_cards"              -> (qLuhnCards(_, _)),
     "q_heaps_curve"             -> (qHeapsCurve(_, _)),
     "q_cdc_chunks_incr"         -> (qCdcChunksIncr(_, _)),
     "q_hash_features"           -> (qHashFeatures(_, _)),
@@ -7151,6 +7170,30 @@ object SparkEntry {
     // discipline — DuckDB 1.0's list_reduce mis-evaluates a fold whose ELSE
     // branch returns the accumulator unchanged, so the fold must not use it)
     "q_cdc_chunks" -> cdcChunksOracle,
+    // extraction + per-candidate Luhn checksum fold, mirrored exactly:
+    // position-from-right parity doubles, 2d>9 -> 2d-9, sum % 10 = 0
+    "q_luhn_cards" ->
+      raw"""WITH d AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 13 = 0 THEN ' card 4539 1488 0343 6467 on file' ELSE '' END
+        |         || CASE WHEN doc_id % 17 = 0 THEN ' order 1234 5678 9012 3456 shipped' ELSE '' END
+        |         || CASE WHEN doc_id % 19 = 0 THEN ' pay 4111-1111-1111-1111 now' ELSE '' END AS text
+        |  FROM documents),
+        |cand AS (SELECT doc_id, u.i - 1 AS cand_idx, u.c AS cand FROM (
+        |  SELECT doc_id,
+        |         unnest([{'i': i, 'c': cs[i]} for i in range(1, len(cs) + 1)]) AS u
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(text, '\b(?:\d[ -]?){12,18}\d\b') AS cs
+        |        FROM d))),
+        |dig AS (SELECT doc_id, cand_idx,
+        |               list_filter(string_split(cand, ''), x -> x BETWEEN '0' AND '9') AS ds
+        |        FROM cand)
+        |SELECT doc_id, cand_idx::BIGINT AS cand_idx, len(ds)::BIGINT AS n_digits,
+        |       (list_sum([CASE WHEN (len(ds) - i) % 2 = 0 THEN ds[i]::INT
+        |                       WHEN ds[i]::INT * 2 > 9 THEN ds[i]::INT * 2 - 9
+        |                       ELSE ds[i]::INT * 2 END
+        |                  for i in range(1, len(ds) + 1)]) % 10 = 0) AS luhn_ok,
+        |       array_to_string(ds[-4:], '') AS last4
+        |FROM dig""".stripMargin,
     "q_zipf_slope" ->
       raw"""WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
         |cnt AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1 ORDER BY freq DESC, token LIMIT 1000),

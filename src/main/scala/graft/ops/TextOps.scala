@@ -644,6 +644,43 @@ object TextOps {
       length(scrubbed).cast("long").as("scrub_len"))
   }
 
+  /** Luhn-validated payment-card detection — the PRECISION half of the
+    * PII family next to [[piiScrub]]'s pattern redaction: a 13–19-digit
+    * run is only a card if its Luhn checksum verifies (ISO/IEC 7812; the
+    * Presidio-style validation step), which kills the order-id/timestamp
+    * false positives a bare digit-run regex would redact. Emits one row
+    * per CANDIDATE with its verdict and only the last 4 digits (the
+    * PCI-safe display form) — never the full run.
+    *
+    * One codegen'd extraction + an in-row checksum fold per candidate —
+    * zero shuffle; the checksum is exact integer arithmetic replayed
+    * verbatim by the oracle.
+    *
+    * Output: (idCol, cand_idx, n_digits, luhn_ok, last4).
+    */
+  def luhnCards(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ccPattern = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+    val cands = df.select(col(idCol),
+      posexplode(regexp_extract_all(coalesce(col(textCol), lit("")),
+        lit(ccPattern), lit(0))).as(Seq("cand_idx", "cand")))
+    cands.select(
+      col(idCol), col("cand_idx").cast("long").as("cand_idx"),
+      DedupOps.bindOnce(filter(split(col("cand"), ""), c => c >= "0" && c <= "9")) { ds =>
+        struct(
+          size(ds).cast("long").as("n_digits"),
+          (aggregate(
+            transform(sequence(lit(1), size(ds)), i =>
+              DedupOps.bindOnce(element_at(ds, i).cast("int")) { d =>
+                when(pmod(size(ds) - i, lit(2)) === 0, d)
+                  .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+              }),
+            lit(0), (acc, x) => acc + x) % 10 === 0).as("luhn_ok"),
+          concat_ws("", slice(ds, -4, 4)).as("last4"))
+      }.as("s"))
+      .select(col(idCol), col("cand_idx"), col("s.n_digits").as("n_digits"),
+        col("s.luhn_ok").as("luhn_ok"), col("s.last4").as("last4"))
+  }
+
   /** HTML → visible-text extraction — the web-corpus BOILERPLATE-REMOVAL
     * stage (the trafilatura/jusText slot, the first pass of every
     * web-scale LLM pipeline), re-expressed as ONE codegen'd narrow

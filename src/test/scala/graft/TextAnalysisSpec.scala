@@ -1221,6 +1221,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got(7L)._6 && !got(7L)._7, "no required stopwords fails the >=2 gate")
   }
 
+  test("luhnCards: checksum verdicts on known vectors, length window, PCI-safe last4 only") {
+    val df = Seq(
+      (1L, "pay 4539 1488 0343 6467 thanks"),     // valid Visa test number
+      (2L, "order 1234 5678 9012 3456 shipped"),  // candidate shape, Luhn fails
+      (3L, "id 4111-1111-1111-1111 end"),         // valid with dash separators
+      (4L, "short 1234 5678 run"),                // 8 digits: below window, no row
+      (5L, "amex 3782 822463 10005 ok")           // 15-digit Amex test number, valid
+    ).toDF("doc_id", "text")
+    val got = TextOps.luhnCards(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3), r.getString(4)))).toMap
+    assert(got(1L) == ((16L, true, "6467")))
+    assert(got(2L) == ((16L, false, "3456")))
+    assert(got(3L) == ((16L, true, "1111")))
+    assert(!got.contains(4L), "an 8-digit run is not a candidate")
+    assert(got(5L) == ((15L, true, "0005")))
+  }
+
   test("anchorText: tag-strip + whitespace collapse, per-target counts, argmax with lexicographic tie-break") {
     val df = Seq(
       (1L, """<a href="/x">read   <b>more</b></a> <a href="/x">details</a>"""),
