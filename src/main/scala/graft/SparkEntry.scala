@@ -1627,6 +1627,40 @@ object SparkEntry {
       "doc_id", "html")
   }
 
+  /** robots.txt screening over five constructed per-domain rule files
+    * covering the RFC 9309 semantics end to end: longest-prefix override
+    * (Allow /sec1/public inside Disallow /sec1), a specific-UA group that
+    * must be ignored, a multi-agent group header including `*`, an empty
+    * Disallow (dropped), comments, an empty file, an Allow that OUTRANKS
+    * a shorter Disallow, and an exact-length tie where Allow must win.
+    * The oracle is GROUND TRUTH: every verdict, match length and matched
+    * prefix is a CASE over (doc_id%5, doc_id%7, doc_id%2) — a parser or
+    * precedence bug cannot hash-match it.
+    */
+  def qRobotsScreen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val id = col("doc_id")
+    val urls = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat(lit("site"), (id % 5).cast("string"), lit(".example.com")).as("domain"),
+      concat(lit("/sec"), (id % 7).cast("string"),
+        when(id % 2 === 0, lit("/private/page")).otherwise(lit("/public/page")))
+        .as("path"))
+    val robots = Seq(
+      ("site0.example.com",
+        "User-agent: *\nDisallow: /sec1\nAllow: /sec1/public\n# politeness\nDisallow: /sec2/private"),
+      ("site1.example.com",
+        "User-agent: googlebot\nDisallow: /\n\nUser-agent: *\nDisallow: /sec3"),
+      ("site2.example.com",
+        "User-agent: badbot\nUser-agent: *\nDisallow: /sec4\nDisallow:"),
+      ("site3.example.com", ""),
+      ("site4.example.com",
+        "User-agent: *\nAllow: /sec5/private\nDisallow: /sec5\nDisallow: /sec6\nAllow: /sec6/p\nDisallow: /sec6/p")
+    ).toDF("domain", "txt")
+    TextOps.robotsScreen(urls, "doc_id", "domain", "path",
+      TextOps.robotsRules(robots, "domain", "txt"))
+  }
+
   /** Luhn-validated card detection over three plants: a Luhn-VALID Visa
     * test number with space separators (%13), a Luhn-INVALID 16-digit run
     * (%17 — candidate shape, checksum fails: the false positive a bare
@@ -3833,6 +3867,7 @@ object SparkEntry {
     "q_cdc_chunks"              -> (qCdcChunks(_, _)),
     "q_zipf_slope"              -> (qZipfSlope(_, _)),
     "q_luhn_cards"              -> (qLuhnCards(_, _)),
+    "q_robots_screen"           -> (qRobotsScreen(_, _)),
     "q_heaps_curve"             -> (qHeapsCurve(_, _)),
     "q_cdc_chunks_incr"         -> (qCdcChunksIncr(_, _)),
     "q_hash_features"           -> (qHashFeatures(_, _)),
@@ -7170,6 +7205,29 @@ object SparkEntry {
     // discipline — DuckDB 1.0's list_reduce mis-evaluates a fold whose ELSE
     // branch returns the accumulator unchanged, so the fold must not use it)
     "q_cdc_chunks" -> cdcChunksOracle,
+    // GROUND TRUTH: rule files are constants, so verdict/match_len/prefix
+    // derive from (doc_id%5, doc_id%7, doc_id%2) alone — a parser or
+    // precedence bug cannot hash-match this
+    "q_robots_screen" ->
+      raw"""WITH d AS (SELECT doc_id, doc_id % 5 AS k, doc_id % 7 AS s, doc_id % 2 = 0 AS priv
+        |  FROM documents),
+        |v AS (SELECT doc_id, k, s, priv,
+        |  CASE
+        |    WHEN k = 0 AND s = 1 AND NOT priv THEN struct_pack(a := true,  l := 12, p := '/sec1/public')
+        |    WHEN k = 0 AND s = 1 AND priv     THEN struct_pack(a := false, l := 5,  p := '/sec1')
+        |    WHEN k = 0 AND s = 2 AND priv     THEN struct_pack(a := false, l := 13, p := '/sec2/private')
+        |    WHEN k = 1 AND s = 3              THEN struct_pack(a := false, l := 5,  p := '/sec3')
+        |    WHEN k = 2 AND s = 4              THEN struct_pack(a := false, l := 5,  p := '/sec4')
+        |    WHEN k = 4 AND s = 5 AND priv     THEN struct_pack(a := true,  l := 13, p := '/sec5/private')
+        |    WHEN k = 4 AND s = 5 AND NOT priv THEN struct_pack(a := false, l := 5,  p := '/sec5')
+        |    WHEN k = 4 AND s = 6              THEN struct_pack(a := true,  l := 7,  p := '/sec6/p')
+        |    ELSE struct_pack(a := true, l := 0, p := CAST(NULL AS VARCHAR)) END AS m
+        |  FROM d)
+        |SELECT doc_id,
+        |  'site' || k::VARCHAR || '.example.com' AS domain,
+        |  '/sec' || s::VARCHAR || CASE WHEN priv THEN '/private/page' ELSE '/public/page' END AS path,
+        |  m.a AS allowed, m.l::BIGINT AS match_len, m.p AS matched_prefix
+        |FROM v""".stripMargin,
     // extraction + per-candidate Luhn checksum fold, mirrored exactly:
     // position-from-right parity doubles, 2d>9 -> 2d-9, sum % 10 = 0
     "q_luhn_cards" ->

@@ -644,6 +644,92 @@ object TextOps {
       length(scrubbed).cast("long").as("scrub_len"))
   }
 
+  /** robots.txt rule extraction (RFC 9309, the `*` user-agent groups) —
+    * the crawl-politeness stage of the web-corpus story: a corpus derived
+    * from a crawl must be able to answer "was this path allowed?".
+    * Parses each domain's robots text with the RFC's group semantics as
+    * ONE in-row sequential fold over lines: consecutive `User-agent:`
+    * lines form a group header; a group's rules apply here iff one of its
+    * agents is `*`; the first rule line closes the header. Comments (`#`)
+    * strip first; `Allow:`/`Disallow:` match case-insensitively; an
+    * EMPTY Disallow value disallows nothing (RFC) and empty values are
+    * dropped. CONTRACT/LIMITS: specific user-agent groups are ignored
+    * (the corpus-screening consumer is a generic crawler), and prefixes
+    * match literally — no `*`/`$` wildcards (documented; the RFC makes
+    * them optional extensions).
+    *
+    * Output: (domainCol, rule_idx, allow, prefix) — rule_idx in file
+    * order over the emitted rules.
+    */
+  def robotsRules(robots: DataFrame, domainCol: String, txtCol: String): DataFrame = {
+    val lines = transform(
+      split(coalesce(col(txtCol), lit("")), "\n"),
+      l => trim(regexp_replace(l, "#.*$", "")))
+    // fold state: (in_ua_header, star_active, rules so far)
+    val emptyRules = array().cast("array<struct<allow:boolean,prefix:string>>")
+    val folded = aggregate(
+      lines,
+      struct(lit(false).as("in_ua"), lit(false).as("act"), emptyRules.as("rules")),
+      (acc, l) => {
+        val low = lower(l)
+        val isUa = low.startsWith("user-agent:")
+        val isAllow = low.startsWith("allow:")
+        val isDis = low.startsWith("disallow:")
+        // get() is 0-based and NULL-safe on short arrays (a colon-less
+        // line must not trip ANSI element_at)
+        val value = trim(coalesce(get(split(l, ":", 2), lit(1)), lit("")))
+        val uaAct = when(acc("in_ua"), acc("act") || (value === "*"))
+          .otherwise(value === "*")
+        when(isUa,
+          struct(lit(true).as("in_ua"), uaAct.as("act"), acc("rules").as("rules")))
+          .when((isAllow || isDis) && acc("act") && value =!= "",
+            struct(lit(false).as("in_ua"), acc("act").as("act"),
+              concat(acc("rules"),
+                array(struct(isAllow.as("allow"), value.as("prefix")))).as("rules")))
+          .when(isAllow || isDis,
+            struct(lit(false).as("in_ua"), acc("act").as("act"), acc("rules").as("rules")))
+          .otherwise(acc)
+      })
+    robots.select(col(domainCol), posexplode(folded("rules")).as(Seq("rule_idx", "r")))
+      .select(col(domainCol), col("rule_idx").cast("long").as("rule_idx"),
+        col("r.allow").as("allow"), col("r.prefix").as("prefix"))
+  }
+
+  /** Screen crawled URLs against [[robotsRules]]: RFC 9309 precedence —
+    * the LONGEST matching prefix decides; on a length tie `Allow` wins;
+    * a path matching no rule is allowed. The argmax is the min-struct
+    * (-len, disallow-rank, prefix) reduction (engine-total order, the
+    * [[anchorText]] discipline). Rules are a |domains|-bounded relation:
+    * broadcast join + one partial-aggregating reduction per URL — no
+    * corpus-keyed shuffle beyond the per-URL argmax combine.
+    *
+    * Output: (idCol, domainCol, path, allowed, match_len, matched_prefix).
+    */
+  def robotsScreen(
+      urls: DataFrame,
+      idCol: String,
+      domainCol: String,
+      pathCol: String,
+      rules: DataFrame): DataFrame = {
+    // no filter: a URL whose domain rules all fail to match must SURVIVE
+    // the aggregate (as allowed) — non-matching rows contribute NULL to
+    // the min and nulls are ignored, so the URL keeps its row
+    val matched = urls.select(col(idCol), col(domainCol), col(pathCol))
+      .join(broadcast(rules), Seq(domainCol), "left")
+      .groupBy(col(idCol), col(domainCol), col(pathCol))
+      .agg(min(when(
+        col("prefix").isNotNull && col(pathCol).startsWith(col("prefix")),
+        struct((-length(col("prefix"))).as("nl"),
+          when(col("allow"), 0).otherwise(1).as("dis"),
+          col("prefix").as("prefix"),
+          col("allow").as("allow")))).as("m"))
+    matched.select(
+      col(idCol), col(domainCol), col(pathCol),
+      coalesce(col("m.allow"), lit(true)).as("allowed"),
+      coalesce(length(col("m.prefix")).cast("long"), lit(0L)).as("match_len"),
+      col("m.prefix").as("matched_prefix"))
+  }
+
   /** Luhn-validated payment-card detection — the PRECISION half of the
     * PII family next to [[piiScrub]]'s pattern redaction: a 13–19-digit
     * run is only a card if its Luhn checksum verifies (ISO/IEC 7812; the

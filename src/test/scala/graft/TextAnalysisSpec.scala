@@ -1221,6 +1221,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got(7L)._6 && !got(7L)._7, "no required stopwords fails the >=2 gate")
   }
 
+  test("robotsRules/robotsScreen: group semantics, precedence, tie -> Allow, no-match -> allowed") {
+    val robots = Seq(
+      ("a.com", "User-agent: googlebot\nDisallow: /\n\nUser-agent: *\nDisallow: /x\nAllow: /x/pub\n# note\nDisallow:"),
+      ("b.com", "User-agent: badbot\nUser-agent: *\nDisallow: /y"),
+      ("c.com", "User-agent: googlebot\nDisallow: /z") // no * group at all
+    ).toDF("domain", "txt")
+    val rules = TextOps.robotsRules(robots, "domain", "txt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getString(3)))
+    // a.com: the googlebot group is ignored; empty Disallow dropped
+    assert(rules.filter(_._1 == "a.com").map(t => (t._3, t._4)).toSet ==
+      Set((false, "/x"), (true, "/x/pub")))
+    // b.com: multi-agent header including * applies
+    assert(rules.filter(_._1 == "b.com").map(t => (t._3, t._4)).toSeq == Seq((false, "/y")))
+    // c.com: nothing applies to a generic crawler
+    assert(!rules.exists(_._1 == "c.com"))
+    val urls = Seq(
+      (1L, "a.com", "/x/pub/page"),  // Allow /x/pub (6) beats Disallow /x (2)
+      (2L, "a.com", "/x/secret"),    // only /x matches -> disallowed
+      (3L, "a.com", "/open"),        // no match -> allowed
+      (4L, "b.com", "/y/d"),         // disallowed
+      (5L, "c.com", "/z/anything")   // no * rules -> allowed
+    ).toDF("doc_id", "domain", "path")
+    val got = TextOps.robotsScreen(urls, "doc_id", "domain", "path",
+      TextOps.robotsRules(robots, "domain", "txt")).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(3), r.getLong(4)))).toMap
+    assert(got == Map(1L -> ((true, 6L)), 2L -> ((false, 2L)), 3L -> ((true, 0L)),
+      4L -> ((false, 2L)), 5L -> ((true, 0L))))
+  }
+
   test("luhnCards: checksum verdicts on known vectors, length window, PCI-safe last4 only") {
     val df = Seq(
       (1L, "pay 4539 1488 0343 6467 thanks"),     // valid Visa test number
