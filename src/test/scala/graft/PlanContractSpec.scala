@@ -393,7 +393,7 @@ class PlanContractSpec extends AnyFunSuite {
     }
     val zeroShuffle = Seq("q_c4_rules", "q_url_normalize", "q_text_normalize",
       "q_fix_mojibake", "q_html_links", "q_readability", "q_html_extract",
-      "q_gopher_repetition")
+      "q_gopher_repetition", "q_luhn_cards")
     zeroShuffle.foreach { n =>
       assert(shuffles(n) == 0, s"$n must plan as a shuffle-free scan")
     }
