@@ -2028,6 +2028,17 @@ object SparkEntry {
     Privacy.kAnonymity(
       Tables.customer(spark, dir), Seq("c_nationkey", "c_mktsegment"), k = 12)
 
+  /** l-diversity over the same quasi classes with the account-balance
+    * band (floor(acctbal/2500)) as the sensitive attribute
+    * ([[graft.ops.Privacy.lDiversity]]) — classes that hide the row but
+    * share the band still flag.
+    */
+  def qLDiversity(spark: SparkSession, dir: String): DataFrame =
+    Privacy.lDiversity(
+      Tables.customer(spark, dir)
+        .withColumn("bal_band", floor(col("c_acctbal") / 2500).cast("long")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 4)
+
   /** Full-domain suppression of rare quasi-identifier classes: customers
     * in a (nation, segment) class below k=12 get both quasi values
     * collapsed to '*' ([[Privacy.suppressRare]] — the generalization step
@@ -3946,6 +3957,7 @@ object SparkEntry {
     "q_fuzzy_join"              -> (qFuzzyJoin(_, _)),
     "q_pseudonymize"            -> (qPseudonymize(_, _)),
     "q_k_anonymity"             -> (qKAnonymity(_, _)),
+    "q_l_diversity"             -> (qLDiversity(_, _)),
     "q_suppress_rare"           -> (qSuppressRare(_, _)),
     "q_incremental_agg"         -> (qIncrementalAgg(_, _)),
     "q_zorder_layout"           -> (qZorderLayout(_, _)),
@@ -7557,6 +7569,11 @@ object SparkEntry {
         |                 || substring(c_name, length(c_name) - 3, 4)
         |       END AS c_name_masked
         |FROM customer""".stripMargin,
+    "q_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+        |       count(DISTINCT floor(c_acctbal / 2500)::BIGINT) AS distinct_sensitive,
+        |       count(DISTINCT floor(c_acctbal / 2500)::BIGINT) >= 4 AS is_diverse
+        |FROM customer GROUP BY 1, 2""".stripMargin,
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
         |       count(*) >= 12 AS is_safe

@@ -81,6 +81,26 @@ object Privacy {
       .withColumn("is_safe", col("class_size") >= k)
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the attribute-
+    * disclosure complement of [[kAnonymity]]: a class can be large enough
+    * to hide WHICH row is the target yet still leak WHAT the target's
+    * sensitive value is, if every member shares it. One row per
+    * quasi-identifier class with its size, the number of DISTINCT
+    * sensitive values, and whether it meets `l`. Same one
+    * partial-aggregating groupBy shape as the k-audit.
+    */
+  def lDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(l >= 1, "l must be positive")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .withColumn("is_diverse", col("distinct_sensitive") >= l)
+  }
+
   /** Suppress rare quasi-identifier classes: rows whose equivalence class
     * has fewer than `k` members get EVERY quasi column replaced by
     * `replacement` (collapsing them into one residual class — full-domain
