@@ -688,6 +688,106 @@ object Streaming {
     }
   }
 
+  /** Maintained CDC chunk-carrier statistics over a micro-batched document
+    * stream — the streaming form of the content-defined-chunking dedup
+    * story ([[graft.ops.DedupOps.cdcChunkDedup]]): each batch chunks its
+    * own documents (chunking is stateless per document) and contributes
+    * its `(chunk_id, n_carriers)` partial; the running state is the
+    * [[graft.ops.DedupOps.mergeCdcCarriers]] key-wise sum, exact under
+    * the doc-disjoint ingest contract (a document arrives in exactly one
+    * batch — the incremental form's documented precondition). [[mark]]
+    * screens any chunk relation against the maintained store at any
+    * moment. State is ≤ |distinct chunks| rows; additive counts ride the
+    * RollupStream slot protocol (replay safety IS the slot fencing).
+    */
+  class CdcCarrierStream(
+      idCol: String,
+      textCol: String,
+      window: Int = 8,
+      maskBits: Int = 5,
+      minChunk: Int = 16,
+      storeDir: Option[String] = None) {
+    @volatile private var state: Option[DataFrame] = None
+    @volatile private var incremental = false
+
+    /** The maintained carrier relation (chunk_id, n_carriers). */
+    def current: Option[DataFrame] = state
+
+    /** Screen a chunk relation against the maintained carrier store —
+      * the batch operator's marking step verbatim.
+      */
+    def mark(chunks: DataFrame): Option[DataFrame] =
+      state.map(graft.ops.DedupOps.cdcMarkFromStats(chunks, idCol, _))
+
+    private def mergeAll(partials: DataFrame): DataFrame =
+      graft.ops.DedupOps.mergeCdcCarriers(partials.drop("batch_id"))
+
+    private def recoverCompaction(spark: SparkSession, d: String): Unit = {
+      val (fs, _) = fsFor(spark, d)
+      val tmps = committedSlots(spark, d, ".compact-")
+      tmps.drop(1).foreach { case (_, t) => fs.delete(t, true): Unit }
+      tmps.headOption.foreach { case (id, tmp) =>
+        committedSlots(spark, d, "batch_id=").foreach { case (_, s) => fs.delete(s, true): Unit }
+        fs.rename(tmp, new org.apache.hadoop.fs.Path(d, s"batch_id=$id")): Unit
+      }
+    }
+
+    /** Fold all per-batch slots into one base slot (between runs only). */
+    def compact(spark: SparkSession): Int = storeDir match {
+      case Some(d) =>
+        recoverCompaction(spark, d)
+        val slots = committedSlots(spark, d, "batch_id=")
+        if (slots.length <= 1) 0
+        else {
+          val (fs, _) = fsFor(spark, d)
+          val newBase = math.min(slots.map(_._1).min, 0L) - 1
+          val merged = mergeAll(spark.read.parquet(d)).localCheckpoint(true)
+          merged.write.mode("overwrite").parquet(s"$d/.compact-$newBase")
+          slots.foreach { case (_, s) => fs.delete(s, true): Unit }
+          fs.rename(
+            new org.apache.hadoop.fs.Path(d, s".compact-$newBase"),
+            new org.apache.hadoop.fs.Path(d, s"batch_id=$newBase")): Unit
+          state = Some(merged)
+          slots.length
+        }
+      case _ => 0
+    }
+
+    def start(stream: DataFrame, checkpointDir: String): StreamingQuery = {
+      val spark = stream.sparkSession
+      incremental = false
+      storeDir.foreach { d =>
+        recoverCompaction(spark, d)
+        if (state.isEmpty && committedSlots(spark, d, "batch_id=").nonEmpty)
+          state = Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
+      }
+      stream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val part = graft.ops.DedupOps.cdcCarrierStats(
+            graft.ops.DedupOps.cdcChunks(batch, idCol, textCol, window, maskBits, minChunk),
+            idCol).localCheckpoint(true)
+          state = storeDir match {
+            case Some(d) =>
+              part.write.mode("overwrite").parquet(s"$d/batch_id=$batchId")
+              if (!incremental) {
+                incremental = true
+                committedSlots(spark, d, "batch_id=") // fence crashed slots
+                Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
+              } else Some(graft.ops.DedupOps
+                .mergeCdcCarriers(state.get, part).localCheckpoint(true))
+            case None =>
+              Some((state match {
+                case Some(prev) => graft.ops.DedupOps.mergeCdcCarriers(prev, part)
+                case None       => part
+              }).localCheckpoint(true))
+          }
+        }
+        .start()
+    }
+  }
+
   /** Maintained per-DOMAIN reputation statistics over a micro-batched
     * document stream — the streaming form of the
     * [[graft.ops.TextOps.domainStats]]/[[graft.ops.TextOps.domainReputation]]

@@ -329,6 +329,55 @@ class JobsStreamingSpec extends AnyFunSuite {
       (1L, 4L, 14.75), (2L, 2L, 3.5), (3L, 2L, 10.0), (4L, 1L, 6.0)))
   }
 
+  test("CdcCarrierStream: maintained carriers equal one-shot across kill/restart/compaction; marks match the batch dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val shared = "the quick brown fox jumps over the lazy dog while the cat " +
+      "watches from the warm windowsill and the birds sing in the garden " +
+      "all through the long summer afternoon hours"
+    val t1 = Seq((1L, "alpha soup one " + shared), (2L, "totally unrelated text here"))
+    val t2 = Seq((3L, "beta prefix words " + shared))
+    val t3 = Seq((4L, "gamma " + shared))
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().toDF("doc_id", "text")
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    val store = Files.createTempDirectory("graft-cdc-store").toString + "/cdc"
+    val s1 = new Streaming.CdcCarrierStream("doc_id", "text", storeDir = Some(store))
+    val q1 = s1.start(df, ckpt)
+    stream.addData(t1); q1.processAllAvailable(); q1.stop()
+    val s2 = new Streaming.CdcCarrierStream("doc_id", "text", storeDir = Some(store))
+    val q2 = s2.start(df, ckpt)
+    stream.addData(t2); q2.processAllAvailable() // first batch: disk rebuild
+    stream.addData(t3); q2.processAllAvailable() // steady state: O(chunks) fold
+    q2.stop()
+    val allDocs = (t1 ++ t2 ++ t3).toDF("doc_id", "text")
+    def carriers(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("chunk_id"), col("n_carriers")).as[(Long, Long)].collect().toSet
+    val oneShot = graft.ops.DedupOps.cdcCarrierStats(
+      graft.ops.DedupOps.cdcChunks(allDocs, "doc_id", "text"), "doc_id")
+    assert(carriers(s2.current.get) == carriers(oneShot),
+      "maintained carriers must equal the one-shot relation")
+    // marking a batch's chunks against the store equals the batch dedup
+    val chunks = graft.ops.DedupOps.cdcChunks(allDocs, "doc_id", "text")
+    val viaStream = s2.mark(chunks).get
+    val viaBatch = graft.ops.DedupOps.cdcChunkDedup(allDocs, "doc_id", "text")
+    assert(viaStream.exceptAll(viaBatch).isEmpty && viaBatch.exceptAll(viaStream).isEmpty)
+    // the shared passage's interior chunks are multi-carrier; doc 2 is not
+    val marked = viaStream.select(col("doc_id"), col("is_dup"))
+      .as[(Long, Boolean)].collect()
+    assert(marked.exists(r => r._1 == 3L && r._2), "resynced chunks carry across docs")
+    assert(marked.filter(_._1 == 2L).forall(!_._2), "unrelated doc stays unique")
+    // compaction + restart stays exact
+    assert(s2.compact(spark) == 3)
+    val s3 = new Streaming.CdcCarrierStream("doc_id", "text", storeDir = Some(store))
+    val q3 = s3.start(df, ckpt)
+    stream.addData(Seq((5L, "delta " + shared))); q3.processAllAvailable(); q3.stop()
+    val after = graft.ops.DedupOps.cdcCarrierStats(
+      graft.ops.DedupOps.cdcChunks(
+        (t1 ++ t2 ++ t3 ++ Seq((5L, "delta " + shared))).toDF("doc_id", "text"),
+        "doc_id", "text"), "doc_id")
+    assert(carriers(s3.current.get) == carriers(after))
+  }
+
   test("DomainStatsStream: maintained stats equal one-shot across kill/restart/compaction; verdicts match the batch gate") {
     implicit val sqlCtx = spark.sqlContext
     // texts engineered so quality differs by domain: d1 clean prose (high
