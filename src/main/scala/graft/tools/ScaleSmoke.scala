@@ -23,7 +23,7 @@ object ScaleSmoke {
       Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix",
         "editdist", "kmeans", "incr", "incrstore", "knncross", "bpe", "govern", "staged",
         "entropy", "wordpiece", "dsir", "substring", "incrsub", "contend", "hll",
-        "webstage")
+        "webstage", "cdc")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -998,6 +998,27 @@ object ScaleSmoke {
             lit("\">read this</a><a href=\"/u\">or  <b>that</b></a>")).as("html")),
         "doc_id", "html").count())
       planted.unpersist(); withUrl.unpersist(); corpus.unpersist(): Unit
+    }
+
+    // CDC: per-doc chunking must stay FLAT per document (the kernel is one
+    // O(len) pass) and dup-chunk mass must grow exactly with the planted
+    // duplication (copies share the plant passage's interior chunks)
+    if (want("cdc")) println("cdc: k,docs,chunks,dup_chunks,seconds")
+    ks("cdc", Seq(1, 2, 4, 8), Seq(1, 4, 16, 32)).foreach { k =>
+      val corpus = copyK(k).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" the shared canonical passage that every seventh document" +
+              " carries verbatim so interior chunk boundaries re-synchronize" +
+              " on content and deduplicate across carriers"))
+            .otherwise(lit("")))).cache()
+      val n = corpus.count()
+      val t0 = System.nanoTime()
+      val marked = DedupOps.cdcChunkDedup(corpus, "doc_id", "text").cache()
+      val total = marked.count()
+      val dups = marked.filter(col("is_dup")).count()
+      println(f"cdc: $k,$n,$total,$dups,${(System.nanoTime() - t0) / 1e9}%.1f")
+      marked.unpersist(); corpus.unpersist(): Unit
     }
 
     if (want("contend")) {
