@@ -1627,6 +1627,29 @@ object SparkEntry {
       "doc_id", "html")
   }
 
+  /** Block-density main-content extraction over constructed pages
+    * ([[graft.ops.TextOps.mainContentBlocks]]): a link-dense nav, the
+    * doc's soup in a `<div>` (long, link-free — content), a `<p>` with
+    * one inline link but content-shaped density, a short `<li>`, and a
+    * link-dense footer — the verdict set every block-classifier paper
+    * demonstrates on. The oracle replays split/strip/density/signature
+    * step for step.
+    */
+  def qMainContent(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About us</a>" +
+        " <a href=\"/c\">Contact page</a></nav><div>"),
+      col("text"),
+      lit("</div><p>Read the <a href=\"/x\">full analysis</a> alongside enough" +
+        " surrounding prose that this paragraph clears the forty character" +
+        " content bar easily.</p><li>short</li><footer><a href=\"/tos\">Terms</a>" +
+        " <a href=\"/priv\">Privacy policy</a> <a href=\"/img\">Imprint</a></footer>" +
+        "</body></html>"))
+    TextOps.mainContentBlocks(
+      Tables.documents(spark, dir).select(col("doc_id"), page.as("html")),
+      "doc_id", "html")
+  }
+
   /** robots.txt screening over five constructed per-domain rule files
     * covering the RFC 9309 semantics end to end: longest-prefix override
     * (Allow /sec1/public inside Disallow /sec1), a specific-UA group that
@@ -3879,6 +3902,7 @@ object SparkEntry {
     "q_zipf_slope"              -> (qZipfSlope(_, _)),
     "q_luhn_cards"              -> (qLuhnCards(_, _)),
     "q_robots_screen"           -> (qRobotsScreen(_, _)),
+    "q_main_content"            -> (qMainContent(_, _)),
     "q_heaps_curve"             -> (qHeapsCurve(_, _)),
     "q_cdc_chunks_incr"         -> (qCdcChunksIncr(_, _)),
     "q_hash_features"           -> (qHashFeatures(_, _)),
@@ -7217,6 +7241,37 @@ object SparkEntry {
     // discipline — DuckDB 1.0's list_reduce mis-evaluates a fold whose ELSE
     // branch returns the accumulator unchanged, so the fold must not use it)
     "q_cdc_chunks" -> cdcChunksOracle,
+    // mechanism replay: block split at block-level tags, visible-text
+    // normalization, per-block anchor-interior link chars, the integer
+    // density gate, space-joined signature (coalesce: DuckDB
+    // array_to_string([]) is NULL where Spark array_join is '')
+    "q_main_content" ->
+      raw"""WITH d AS (SELECT doc_id,
+        |    '<html><body><nav><a href="/">Home</a> <a href="/a">About us</a> <a href="/c">Contact page</a></nav><div>'
+        |    || text ||
+        |    '</div><p>Read the <a href="/x">full analysis</a> alongside enough surrounding prose that this paragraph clears the forty character content bar easily.</p><li>short</li><footer><a href="/tos">Terms</a> <a href="/priv">Privacy policy</a> <a href="/img">Imprint</a></footer></body></html>'
+        |    AS html
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |  list_filter(
+        |    list_transform(
+        |      regexp_split_to_array(html, '(?i)</?(?:p|div|h[1-6]|li|ul|ol|td|tr|table|article|section|br|nav|header|footer)[^>]*>'),
+        |      x -> {'txt': trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+        |            'lc': coalesce(list_sum(list_transform(
+        |                    regexp_extract_all(x, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+        |                    a -> length(trim(regexp_replace(regexp_replace(a, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))), 0)}),
+        |    s -> s.txt <> '') AS bs
+        |  FROM d),
+        |c AS (SELECT doc_id, bs,
+        |  list_filter(bs, s -> length(s.txt) >= 40 AND s.lc * 5 <= length(s.txt) * 2) AS cs
+        |  FROM b)
+        |SELECT doc_id,
+        |  len(bs)::BIGINT AS n_blocks,
+        |  len(cs)::BIGINT AS n_content_blocks,
+        |  coalesce(list_sum(list_transform(cs, s -> length(s.txt)::BIGINT)), 0)::BIGINT AS content_chars,
+        |  md5(coalesce(array_to_string(list_transform(cs, s -> s.txt), ' '), '')) AS main_sig,
+        |  length(coalesce(array_to_string(list_transform(cs, s -> s.txt), ' '), ''))::BIGINT AS main_len
+        |FROM c""".stripMargin,
     // GROUND TRUTH: rule files are constants, so verdict/match_len/prefix
     // derive from (doc_id%5, doc_id%7, doc_id%2) alone — a parser or
     // precedence bug cannot hash-match this

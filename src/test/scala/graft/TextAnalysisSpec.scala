@@ -1221,6 +1221,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got(7L)._6 && !got(7L)._7, "no required stopwords fails the >=2 gate")
   }
 
+  test("mainContentBlocks: density gate rejects link-dominated blocks however long; boundary inclusive") {
+    val longProse = ("word " * 20).trim // 99 chars, no links -> content
+    val linkWall = (1 to 12).map(i => s"""<a href="/$i">link number $i</a>""").mkString(" ")
+    val boundary = "x" * 40 // exactly minChars: inclusive >= keeps it
+    val under = "y" * 39
+    val df = Seq(
+      (1L, s"<p>$longProse</p>"),
+      (2L, s"<div>$linkWall</div>"),          // long but ~100% link chars
+      (3L, s"<p>$boundary</p><li>$under</li>"),
+      (4L, s"<p>Read <b>this</b> $longProse with <a href=\"/x\">one link</a></p>")
+    ).toDF("doc_id", "html")
+    val got = TextOps.mainContentBlocks(df, "doc_id", "html").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((1L, 1L)))
+    assert(got(2L) == ((1L, 0L)), "a link wall is boilerplate at any length")
+    assert(got(3L) == ((2L, 1L)), "exactly minChars is content; one under is not")
+    assert(got(4L) == ((1L, 1L)), "an inline link inside real prose does not disqualify")
+  }
+
   test("robotsRules/robotsScreen: group semantics, precedence, tie -> Allow, no-match -> allowed") {
     val robots = Seq(
       ("a.com", "User-agent: googlebot\nDisallow: /\n\nUser-agent: *\nDisallow: /x\nAllow: /x/pub\n# note\nDisallow:"),
