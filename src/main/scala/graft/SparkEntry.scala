@@ -1710,6 +1710,21 @@ object SparkEntry {
   def qZipfSlope(spark: SparkSession, dir: String): DataFrame =
     TextOps.zipfSlope(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Incremental fold form: token counts from two doc-disjoint halves
+    * merged with [[graft.ops.TextOps.mergeTokenCounts]] must reproduce the
+    * one-pass fit — shares q_zipf_slope's oracle verbatim (counts-monoid
+    * losslessness through to the least-squares integers).
+    */
+  def qZipfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def countsOf(half: DataFrame) = half
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    TextOps.zipfSlopeFromCounts(TextOps.mergeTokenCounts(
+      countsOf(docs.filter(col("doc_id") % 2 === 0)),
+      countsOf(docs.filter(col("doc_id") % 2 =!= 0))))
+  }
+
   /** Heaps-law vocabulary growth at doc-id decile thresholds
     * ([[graft.ops.TextOps.heapsCurve]]).
     */
@@ -3900,6 +3915,7 @@ object SparkEntry {
     "q_anchor_text"             -> (qAnchorText(_, _)),
     "q_cdc_chunks"              -> (qCdcChunks(_, _)),
     "q_zipf_slope"              -> (qZipfSlope(_, _)),
+    "q_zipf_incremental"        -> (qZipfIncremental(_, _)),
     "q_luhn_cards"              -> (qLuhnCards(_, _)),
     "q_robots_screen"           -> (qRobotsScreen(_, _)),
     "q_main_content"            -> (qMainContent(_, _)),
@@ -4127,6 +4143,21 @@ object SparkEntry {
     * unmaterialized recursion re-derived every window hash per step),
     * chunk reconstruction by boundary pairs, carrier counts.
     */
+  /** Mirror of zipfSlope — shared by the incremental count-fold form. */
+  private val zipfSlopeOracle: String =
+      raw"""WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
+        |cnt AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1 ORDER BY freq DESC, token LIMIT 1000),
+        |rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank FROM cnt),
+        |pts AS (SELECT round(ln(rank::DOUBLE) * 1000.0)::BIGINT AS x,
+        |               round(ln(freq::DOUBLE) * 1000.0)::BIGINT AS y FROM rk),
+        |s AS (SELECT count(*)::BIGINT AS n_terms, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |             sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx FROM pts)
+        |SELECT n_terms,
+        |  (n_terms * sxy - sx * sy)::DOUBLE / (n_terms * sxx - sx * sx)::DOUBLE AS slope,
+        |  (sy::DOUBLE - ((n_terms * sxy - sx * sy)::DOUBLE / (n_terms * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+        |    / n_terms::DOUBLE AS intercept_mnat
+        |FROM s""".stripMargin
+
   private val cdcChunksOracle: String =
       raw"""WITH RECURSIVE d AS (SELECT doc_id,
         |    text || CASE WHEN doc_id % 7 = 0
@@ -7319,19 +7350,9 @@ object SparkEntry {
         |                  for i in range(1, len(ds) + 1)]) % 10 = 0) AS luhn_ok,
         |       array_to_string(ds[-4:], '') AS last4
         |FROM dig""".stripMargin,
-    "q_zipf_slope" ->
-      raw"""WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
-        |cnt AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1 ORDER BY freq DESC, token LIMIT 1000),
-        |rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank FROM cnt),
-        |pts AS (SELECT round(ln(rank::DOUBLE) * 1000.0)::BIGINT AS x,
-        |               round(ln(freq::DOUBLE) * 1000.0)::BIGINT AS y FROM rk),
-        |s AS (SELECT count(*)::BIGINT AS n_terms, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
-        |             sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx FROM pts)
-        |SELECT n_terms,
-        |  (n_terms * sxy - sx * sy)::DOUBLE / (n_terms * sxx - sx * sx)::DOUBLE AS slope,
-        |  (sy::DOUBLE - ((n_terms * sxy - sx * sy)::DOUBLE / (n_terms * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
-        |    / n_terms::DOUBLE AS intercept_mnat
-        |FROM s""".stripMargin,
+    // SHARED: the two-half token-count fold must reproduce the one-pass fit
+    "q_zipf_incremental" -> zipfSlopeOracle,
+    "q_zipf_slope" -> zipfSlopeOracle,
     "q_heaps_curve" ->
       raw"""WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token FROM documents),
         |fc AS (SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY 1),

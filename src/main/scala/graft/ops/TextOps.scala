@@ -207,12 +207,30 @@ object TextOps {
     * Output (one row): n_terms, slope, intercept_mnat (ln-freq
     * milli-nats at ln rank = 0).
     */
-  def zipfSlope(df: DataFrame, idCol: String, textCol: String, topK: Int = 1000): DataFrame = {
+  def zipfSlope(df: DataFrame, idCol: String, textCol: String, topK: Int = 1000): DataFrame =
+    zipfSlopeFromCounts(
+      df.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq")),
+      topK)
+
+  /** Key-wise sum of `(token, freq)` relations — the incremental fold
+    * behind [[zipfSlopeFromCounts]]'s operating mode (an observing store
+    * maintains the count relation and re-fits the law per batch without
+    * rescanning history; the counts monoid is the whole state).
+    */
+  def mergeTokenCounts(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "need at least one count relation")
+    parts.reduce(_.unionByName(_)).groupBy(col("token"))
+      .agg(sum(col("freq")).as("freq"))
+  }
+
+  /** [[zipfSlope]] from an externally-maintained `(token, freq)` count
+    * relation — the incremental operating mode.
+    */
+  def zipfSlopeFromCounts(uni: DataFrame, topK: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(topK >= 2, "need at least two ranks to fit")
-    val counts = df.select(explode(tokens(col(textCol))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("token")).limit(topK)
+    val counts = uni.orderBy(col("freq").desc, col("token")).limit(topK)
     val ranked = counts.withColumn("rank",
       row_number().over(Window.orderBy(col("freq").desc, col("token"))).cast("long"))
     val pts = ranked.select(
