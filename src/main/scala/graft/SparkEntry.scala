@@ -3810,6 +3810,22 @@ object SparkEntry {
       k = 10, nLists = 8, nProbe = 4, iters = 2)
   }
 
+  /** HNSW-style layered-graph ANN top-10 for the IVF probe set —
+    * [[graft.ops.SimilarityOps.knnHnsw]]: md5-geometric levels, per-layer
+    * neighbor lists from the SHARED fixed-point k-means blocking (top-10
+    * by integer dot, 3-probed), greedy descent + 4 beam rounds at ef=16.
+    * Fully DuckDB-oracled: the oracle replays the k-means fit, the level
+    * law, all four layer adjacencies and every unrolled search round
+    * bit-for-bit. SimilaritySpec pins recall ≥ 0.94 vs brute force.
+    */
+  def qAnnHnsw(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.knnHnsw(
+      emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 10, maxLevel = 3, mNeighbors = 10, nLists = 16, nProbe = 3, iters = 2,
+      ef = 16, roundsUpper = 1, rounds0 = 4)
+  }
+
   /** SRP-LSH approximate top-10 for the same probe set (sign-random-
     * projection signatures, 8 bands × 8 bits), fully DuckDB-oracled: the
     * hyperplanes are spec-pinned `java.util.Random(42)` Gaussians
@@ -4039,6 +4055,7 @@ object SparkEntry {
     "q_embedding_neardup_blocked" -> (qEmbeddingNeardupBlocked(_, _)),
     "q_semantic_dedup"          -> (qSemanticDedup(_, _)),
     "q_ann_ivf"                 -> (qAnnIvf(_, _)),
+    "q_ann_hnsw"                -> (qAnnHnsw(_, _)),
     "q_ann_lsh"                 -> (qAnnLsh(_, _)),
     "q_pq_encode"               -> (qPqEncode(_, _)),
     "q_ann_ivfpq"               -> (qAnnIvfPq(_, _)),
@@ -5644,6 +5661,105 @@ object SparkEntry {
     * full mirror of [[graft.ops.SimilarityOps.knnIvfKmeansFp]] at
     * (k, nLists, nProbe, iters) = (10, 8, 4, 2), probes vec_id < 20.
     */
+  /** One HNSW layer's adjacency: the ONE scored candidate relation `sc0`
+    * filtered to layer-l members (h % 2^l == 0), top-10 per src by
+    * integer dot (ties to the lower dst) — mirror of
+    * [[graft.ops.SimilarityOps.knnHnsw]]'s build. Integer dots ride
+    * `list_dot_product` over DOUBLE lists, which is EXACT here: the
+    * micro-quantized components are ≤ 1e6 in magnitude, so every product
+    * (≤ 1e12) and 64-term partial sum (≤ 6.4e13) is an integer below
+    * 2^53 — bit-equal to the Spark side's long arithmetic.
+    */
+  private def hnswAdjCte(l: Int): String =
+    s"""hm$l AS (SELECT vec_id FROM hh WHERE h % ${1L << l} = 0),
+       |adj$l AS (SELECT src, dst FROM (
+       |           SELECT s.src, s.dst, row_number() OVER (PARTITION BY s.src ORDER BY
+       |             s.simfp DESC, s.dst) AS rn
+       |           FROM sc0 s
+       |           JOIN hm$l ma ON ma.vec_id = s.src
+       |           JOIN hm$l mb ON mb.vec_id = s.dst)
+       |          WHERE rn <= 10)""".stripMargin
+
+  /** One unrolled HNSW search round: expand the beam through layer `l`'s
+    * adjacency (UNION dedupes like the Spark `.distinct()`), rescore
+    * every beam node by integer dot, keep the probe-keyed top-`width`.
+    */
+  private def hnswRoundCte(i: Int, prev: String, l: Int, width: Int): String =
+    s"""hg$i AS (SELECT probe_id, node FROM $prev
+       |         UNION
+       |         SELECT b.probe_id, a.dst AS node FROM $prev b JOIN adj$l a ON a.src = b.node),
+       |hb$i AS (SELECT probe_id, node FROM (
+       |          SELECT g.probe_id, g.node, row_number() OVER (PARTITION BY g.probe_id ORDER BY
+       |            list_dot_product(p.pvfd, nv.vfd)::BIGINT DESC,
+       |            g.node) AS rn
+       |          FROM hg$i g JOIN pp p USING (probe_id) JOIN vd nv ON nv.vec_id = g.node)
+       |         WHERE rn <= $width)""".stripMargin
+
+  /** HNSW end-to-end oracle: the shared fixed-point k-means CTEs, the
+    * md5-geometric level law, four layer adjacencies, the max-level
+    * entry, greedy layer descent (3→1, width 1) plus three ef=12 beam
+    * rounds at layer 0, and the exact-cosine top-10 — the full mirror of
+    * [[graft.ops.SimilarityOps.knnHnsw]] at the registered parameters.
+    */
+  private val annHnswOracle: String =
+    s"""WITH nz AS MATERIALIZED (SELECT vec_id, v, nrm FROM (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings) WHERE nrm > 0),
+       |v AS MATERIALIZED (SELECT vec_id, [round(x / nrm * 1000000.0)::BIGINT for x in v] AS vfp
+       |     FROM nz),
+       |hkc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vfp AS cfp
+       |         FROM v ORDER BY vec_id LIMIT 16),
+       |${lloydAssignCte("hk", 1, "hkc0", "v")},
+       |${lloydUpdateCte("hk", 1, "hkc0", "v")},
+       |${lloydAssignCte("hk", 2, "hkc1", "v")},
+       |${lloydUpdateCte("hk", 2, "hkc1", "v")},
+       |hmpd AS MATERIALIZED (SELECT v.vec_id, hkc2.cid,
+       |       list_sum([(v.vfp[i] - hkc2.cfp[i]) * (v.vfp[i] - hkc2.cfp[i])
+       |                 for i in range(1, len(v.vfp) + 1)])::BIGINT AS dist
+       |       FROM v CROSS JOIN hkc2),
+       |mpa AS (SELECT vec_id, cid FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |          FROM hmpd) WHERE rn <= 3),
+       |hh AS (SELECT vec_id, ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h FROM v),
+       |vd AS MATERIALIZED (SELECT vec_id, vfp::DOUBLE[] AS vfd FROM v),
+       |sc0 AS MATERIALIZED (
+       |  SELECT c.src, c.dst, list_dot_product(va.vfd, vb.vfd)::BIGINT AS simfp
+       |  FROM (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |        FROM mpa a JOIN mpa b USING (cid) WHERE a.vec_id <> b.vec_id) c
+       |  JOIN vd va ON va.vec_id = c.src
+       |  JOIN vd vb ON vb.vec_id = c.dst),
+       |${hnswAdjCte(0)},
+       |${hnswAdjCte(1)},
+       |${hnswAdjCte(2)},
+       |${hnswAdjCte(3)},
+       |ent AS (SELECT vec_id AS node FROM (
+       |          SELECT vec_id,
+       |                 (CASE WHEN h % 2 = 0 THEN 1 ELSE 0 END +
+       |                  CASE WHEN h % 4 = 0 THEN 1 ELSE 0 END +
+       |                  CASE WHEN h % 8 = 0 THEN 1 ELSE 0 END) AS lvl
+       |          FROM hh) ORDER BY lvl DESC, vec_id LIMIT 1),
+       |pp AS (SELECT vec_id AS probe_id, vfd AS pvfd FROM vd WHERE vec_id < 20),
+       |hb0 AS (SELECT probe_id, node FROM pp CROSS JOIN ent),
+       |${hnswRoundCte(1, "hb0", 3, 1)},
+       |${hnswRoundCte(2, "hb1", 2, 1)},
+       |${hnswRoundCte(3, "hb2", 1, 1)},
+       |${hnswRoundCte(4, "hb3", 0, 16)},
+       |${hnswRoundCte(5, "hb4", 0, 16)},
+       |${hnswRoundCte(6, "hb5", 0, 16)},
+       |${hnswRoundCte(7, "hb6", 0, 16)}
+       |SELECT probe_id, neighbor_id, sim, rank FROM (
+       |  SELECT b.probe_id, b.node AS neighbor_id,
+       |         list_dot_product(p.v, n.v) / (p.nrm * n.nrm) AS sim,
+       |         row_number() OVER (PARTITION BY b.probe_id ORDER BY
+       |           list_dot_product(p.v, n.v) / (p.nrm * n.nrm) DESC, b.node)::BIGINT AS rank
+       |  FROM hb7 b
+       |  JOIN nz p ON p.vec_id = b.probe_id
+       |  JOIN nz n ON n.vec_id = b.node
+       |  WHERE b.node <> b.probe_id
+       |    AND list_dot_product(p.v, n.v) / (p.nrm * n.nrm) IS NOT NULL)
+       |WHERE rank <= 10""".stripMargin
+
   private val annIvfOracle: String =
     s"""WITH $blockedKmeansCtes,
        |iasg AS (SELECT vec_id, cid FROM (
@@ -8232,6 +8348,7 @@ object SparkEntry {
     "q_semantic_dedup" -> semanticDedupOracle,
     "q_embedding_neardup_blocked" -> embeddingNeardupBlockedOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_ann_hnsw" -> annHnswOracle,
     "q_cube_stats" ->
       """WITH e AS (SELECT event_type, ts::DATE AS event_date, value FROM events)
         |SELECT event_type, event_date, count(*) AS n,

@@ -112,9 +112,14 @@ object GraphOps {
     * joins at any corpus scale.
     *
     * Output: (node, degree, in_kcore, core_degree) for nodes IN the
-    * graph; `core_degree` (degree among surviving nodes, ≥ k) is NULL
-    * outside the core. Isolated documents are absent — callers left-join
-    * the roster, as with the other graph operators.
+    * graph; `core_degree` (degree among surviving nodes) is NULL outside
+    * the core. `core_degree ≥ k` holds AT THE FIXPOINT (which the spec
+    * pins for the registered 8-round form); under a deliberately
+    * unconverged round budget a survivor can report a smaller
+    * core_degree — the bounded-round semantics the lollipop spec relies
+    * on (an extra implicit peel here would make `rounds` lie by one).
+    * Isolated documents are absent — callers left-join the roster, as
+    * with the other graph operators.
     */
   def kCore(
       pairs: DataFrame,

@@ -1437,6 +1437,159 @@ object SimilarityOps {
       .select(col("probe_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** HNSW-style layered-graph ANN (Malkov & Yashunin 2018, "Efficient and
+    * robust approximate nearest neighbor search using Hierarchical
+    * Navigable Small World graphs" — restated relationally): the
+    * high-recall complement to the IVF/LSH/PQ family. The paper's
+    * insert-one-point-at-a-time construction is inherently sequential, so
+    * the BUILD here is declarative:
+    *
+    *  - LEVELS: node n sits on every layer l ≤ lvl(n), where lvl(n) is
+    *    the largest l ≤ maxLevel with H(n) mod 2^l == 0 and H is the
+    *    md5-15-hex id hash — the paper's geometric level law
+    *    (P[lvl ≥ l] = 2^-l) made integer-deterministic so both engines
+    *    replay it.
+    *  - EDGES: ONE fixed-point k-means fit (the blocked near-dup
+    *    quantizer) multi-probes every vector into its nProbe closest
+    *    lists; per layer, same-list co-members ON THAT LAYER are the
+    *    candidates, and each node keeps its mNeighbors best by exact
+    *    INTEGER dot over the normalized micro-quantized vectors (directed
+    *    lists, ties to the lower id). Candidate volume is the
+    *    blocked-pairs bound (Σ list² with multi-probe overlap) — never
+    *    all-pairs — and upper layers shrink geometrically.
+    *  - ENTRY: the max-level node (ties to the lowest id) — one row.
+    *
+    * SEARCH is the paper's descent as bounded unrolled joins (the
+    * k-core/CC discipline — one localCheckpoint per round): greedy width-1
+    * hops down layers maxLevel→1 (roundsUpper hops per layer), then
+    * rounds0 beam rounds at layer 0 with width `ef`; each round expands
+    * the beam through the layer's (src, dst) edge relation, rescores by
+    * integer dot, keeps the probe-keyed top-width. The fixed round budget
+    * replaces the paper's run-until-no-improvement (the bounded-round
+    * semantics every iterative operator here uses); the spec pins recall
+    * against brute force.
+    *
+    * 100 TB shape: adjacency is n·mNeighbors rows per layer, bucketable
+    * by src; per search round the moving state is |probes|·ef rows
+    * BROADCAST into one equi-join against the edge relation and one
+    * id-equi-join against the vector store — raw corpus vectors never
+    * shuffle after the one-time build, and rounds are independent of
+    * corpus size. Output matches the IVF family: (probe_id, neighbor_id,
+    * sim, rank), sim the exact double cosine.
+    */
+  def knnHnsw(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxLevel: Int = 3,
+      mNeighbors: Int = 10,
+      nLists: Int = 16,
+      nProbe: Int = 3,
+      iters: Int = 2,
+      ef: Int = 16,
+      roundsUpper: Int = 1,
+      rounds0: Int = 4): DataFrame = {
+    require(maxLevel >= 1 && mNeighbors >= 1 && ef >= k, "degenerate HNSW shape")
+    val dbg = sys.env.contains("SPARK_GRAFT_HNSW_DEBUG")
+    def ph[A](tag: String)(f: => A): A =
+      if (!dbg) f else {
+        val t0 = System.nanoTime; val r = f
+        println(f"HNSWPHASE $tag ${(System.nanoTime - t0) / 1e9}%.2f"); r
+      }
+    val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
+    val q = quantizeNormFp(c, idCol).scopedCache()
+    val cents = ph("lloyd") { lloyd(q, idCol, nLists, iters) }
+    val mp = multiProbeAssignFp(q, idCol, cents, nProbe)
+    val hashes = q.select(
+      col(idCol),
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val src = q.select(col(idCol).as("src"), col("vfp").as("svfp"))
+    val dst = q.select(col(idCol).as("dst"), col("vfp").as("dvfp"))
+    // candidate pairs scored exactly ONCE (the oracle's sc0), annotated
+    // with both endpoints' level hashes — the hash is a pure function of
+    // the id, so every layer's adjacency below is a FILTER over this one
+    // materialized relation (no membership joins, no per-layer shuffle of
+    // the pair set) + the heap top-M
+    val scored0 = mp.select(col(idCol).as("src"), col("cid"))
+      .join(mp.select(col(idCol).as("dst"), col("cid")), Seq("cid"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .join(src, "src").join(dst, "dst")
+      .withColumn("sim_fp",
+        graft.functions.VectorFunctions.graft_dotfp(col("svfp"), col("dvfp")))
+      .withColumn("hsrc",
+        conv(substring(md5(col("src").cast("string")), 1, 15), 16, 10).cast("long"))
+      .withColumn("hdst",
+        conv(substring(md5(col("dst").cast("string")), 1, 15), 16, 10).cast("long"))
+      .select(col("src"), col("dst"), col("sim_fp"), col("hsrc"), col("hdst"))
+    val scored0Ck = ph("scored0") { scored0.localCheckpoint() }
+    // top-M per src via the bounded heap aggregator — map-side partial
+    // combine reduces each partition to M rows before the shuffle, where
+    // a rank window would sort the whole candidate relation. sim_fp ≤
+    // 1e12 < 2^53, so the Double-scored heap preserves the exact integer
+    // order (ties to the lower dst, the window's order).
+    val topM = udaf(new graft.functions.TopKAggregator(mNeighbors))
+    val adj: Map[Int, DataFrame] = (0 to maxLevel).map { l =>
+      l -> ph(s"adj$l") {
+        scored0Ck
+          .filter(col("hsrc") % lit(1L << l) === 0 && col("hdst") % lit(1L << l) === 0)
+          .groupBy(col("src"))
+          .agg(topM(col("sim_fp").cast("double"), col("dst")).as("top"))
+          .select(col("src"), explode(col("top.id")).as("dst"))
+          .localCheckpoint()
+      }
+    }.toMap
+    val lvlOf = (1 to maxLevel)
+      .map(l => when(col("h") % lit(1L << l) === 0, 1).otherwise(0))
+      .reduce(_ + _)
+    val entry = hashes.withColumn("lvl", lvlOf)
+      .orderBy(col("lvl").desc, col(idCol)).limit(1)
+      .select(col(idCol).as("node"))
+    val p = preparedNonZero(probes, idCol, vecCol).scopedCache()
+    val pq = quantizeNormFp(p, idCol)
+      .select(col(idCol).as("probe_id"), col("vfp").as("pvfp")).scopedCache()
+    // beam seeding: every probe starts at the one entry node — the 1-row
+    // broadcast cross (the declared bounded pattern)
+    var beam = pq.select(col("probe_id")).join(broadcast(entry), lit(true))
+    def round(b: DataFrame, layer: Int, width: Int): DataFrame = {
+      val grown = b.select(col("probe_id"), col("node"))
+        .unionByName(
+          b.join(adj(layer), b("node") === adj(layer)("src"))
+            .select(col("probe_id"), col("dst").as("node")))
+        .distinct()
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("sim_fp").desc, col("node"))
+      // every round is localCheckpointed: the beam feeds the NEXT round
+      // twice (union left arm + expansion join), so an uncut lineage
+      // re-executes the whole prior descent 2^depth times
+      q.join(broadcast(grown), q(idCol) === grown("node"))
+        .join(broadcast(pq), Seq("probe_id"))
+        .withColumn("sim_fp",
+          graft.functions.VectorFunctions.graft_dotfp(col("pvfp"), col("vfp")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= width)
+        .select(col("probe_id"), col("node"))
+        .localCheckpoint()
+    }
+    for (l <- maxLevel to 1 by -1; _ <- 1 to roundsUpper)
+      beam = ph(s"round-l$l") { round(beam, l, 1) }
+    for (r <- 1 to rounds0)
+      beam = ph(s"round-0.$r") { round(beam, 0, ef) }
+    val out = beam
+      .join(c.select(col(idCol).as("node"), col("v").as("nv"), col("nrm").as("nn")), "node")
+      .join(p.select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn")),
+        "probe_id")
+      .filter(col("node") =!= col("probe_id"))
+      .withColumn("sim", cosine(dot(col("pv"), col("nv")), col("pn"), col("nn")))
+      .filter(col("sim").isNotNull)
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("node"))
+    out.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("node").as("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** Distributed Lloyd k-means, fully ENGINE-EXACT: vector components
     * quantize once to BIGINT millionths, squared-L2 distances are integer
     * sums over the zipped arrays, the argmin assignment breaks ties by

@@ -236,20 +236,20 @@ object TextOps {
     val pts = ranked.select(
       round(log(col("rank").cast("double")) * lit(1000.0)).cast("long").as("x"),
       round(log(col("freq").cast("double")) * lit(1000.0)).cast("long").as("y"))
+    // Degenerate one-term vocabulary ⇒ denominator 0; Spark's 0/0 is NaN
+    // while the SQL oracle's is NULL, so guard both outputs to NULL there.
+    val denom = (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = when(denom =!= 0.0,
+      (col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") / denom)
     pts.agg(
       count(lit(1)).as("n_terms"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       .select(
         col("n_terms"),
-        ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
-          .as("slope"),
-        ((col("sy").cast("double") -
-          ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-            col("sx").cast("double")) / col("n_terms").cast("double"))
-          .as("intercept_mnat"))
+        slope.as("slope"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n_terms").cast("double")).as("intercept_mnat"))
   }
 
   /** Heaps-law vocabulary growth curve: cumulative distinct vocabulary /
@@ -261,6 +261,12 @@ object TextOps {
     * Zipf-small relations (first-carrier per token, token count per doc)
     * broadcast-crossed with the 10 thresholds — no repeated corpus scans
     * per decile, no global sort.
+    *
+    * Note: `n_docs`/`n_tokens` count only documents that carry ≥ 1 token
+    * (both derive from the exploded token relation), so empty or
+    * whitespace-only docs are excluded from every decile — intentional:
+    * the curve measures vocabulary growth against *token-bearing* mass,
+    * and a tokenless doc contributes nothing to either axis.
     *
     * Output (10 rows): decile, thr_doc_id, n_docs, n_tokens, n_vocab.
     */
@@ -2020,7 +2026,10 @@ object TextOps {
         .select(col("token"), (lit(150000L) + expr("(85 * cs) div 100")).as("score"))
     }
     val top = r.orderBy(col("score").desc, col("token")).limit(k)
-    // window over the ≤k TakeOrdered survivors only — bounded by contract
+    // window over the ≤k TakeOrdered survivors only — bounded by
+    // construction (and runtime-swept); swapping it for the zipRank RDD
+    // path would hide the whole upstream plan behind an ExistingRDD scan
+    // and blind the plan contract, a worse trade at k rows
     val ranked = top.withColumn(
       "rank",
       row_number().over(Window.orderBy(col("score").desc, col("token"))).cast("long"))
@@ -2215,26 +2224,89 @@ object TextOps {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
+  /** Candidates collected per driver round-trip in the batched trainer
+    * loops ([[bpeLoop]]/[[wpLoop]]). 1 reproduces the classic
+    * one-merge-per-round loop; the default turns a 32k-merge production
+    * vocabulary from 32k Spark jobs + checkpoints into a few hundred,
+    * with the accepted batch PROVABLY equal to the one-at-a-time result
+    * (see [[bpeLoop]]'s dominance argument and the
+    * TextAnalysisSpec batched≡sequential pin).
+    */
+  val TrainerBatchWindow = 64
+
+  /** Which of `names` already occur as symbols in the `(word, freq,
+    * syms)` relation — the per-round vocabulary membership probe of the
+    * batched trainer loops (vocab-bounded scan, filter pushed to the
+    * explode).
+    */
+  private def existingSymbols(words: DataFrame, names: Seq[String]): Set[String] =
+    if (names.isEmpty) Set.empty
+    else words
+      .select(explode(col("syms")).as("s"))
+      .filter(col("s").isin(names.distinct: _*))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+
   /** The sequential merge-learning loop over an initialized `(word, freq,
     * syms)` relation. Per round: adjacent-pair counts weighted by word
     * frequency (a vocab-sized aggregate — only (l, r, cnt) triples
-    * shuffle), ONE two-string driver round-trip for the argmax (ties
-    * break (count desc, l, r) — pinned identically in the oracle's
-    * ORDER BY ... LIMIT 1), then the fold rewrite, localCheckpointed so
-    * round n+1 neither recomputes nor nests n rounds of lambdas. The
-    * driver sequentialism is intrinsic to BPE (merge n+1's counts depend
-    * on merge n's rewrite); what matters at scale is that each round is
-    * vocab-bounded, not corpus-bounded. Stops early if no pair remains.
+    * shuffle), ONE driver round-trip collecting the top `batchWindow + 1`
+    * candidates (ties break (count desc, l, r) — pinned identically in
+    * the oracle's ORDER BY), then the accepted batch's fold rewrites
+    * composed into one projection, localCheckpointed so the next round
+    * neither recomputes nor nests this round's lambdas. The driver
+    * sequentialism is intrinsic to BPE (merge n+1's counts depend on
+    * merge n's rewrite); what matters at scale is that each round is
+    * vocab-bounded, not corpus-bounded, and — with batching — that the
+    * NUMBER of driver rounds no longer equals the number of merges.
+    *
+    * Batched ≡ one-at-a-time, by construction. From the sorted candidate
+    * window the batch takes the prefix that is
+    *
+    *  1. mutually NON-INTERACTING — a candidate is rejected (stopping the
+    *     batch) if its left/right symbol, or its concatenation, collides
+    *     with any earlier-accepted candidate's left, right, or
+    *     concatenation, OR if its concatenation is spelled like a symbol
+    *     ALREADY IN THE VOCABULARY (one vocab-bounded membership probe
+    *     per round): a colliding merge would pour new adjacencies into
+    *     the existing symbol's pairs, whose combined post-rewrite count
+    *     can reach 2× the stop bound — the one way a non-interacting
+    *     candidate's replay argmax could be overtaken; and
+    *  2. trimmed to counts STRICTLY ABOVE the stop candidate's count
+    *     (the first rejected row, the first row past the window, or the
+    *     first row past the remaining-merge budget, whichever comes
+    *     first; no trim if the candidate table was exhausted first).
+    *
+    * Replaying the accepted merges one at a time, each step's argmax is
+    * exactly the next accepted merge: an accepted candidate's own count
+    * is untouched by the earlier rewrites (disjoint symbols — a rewrite
+    * only consumes occurrences of its own two symbols and emits its own
+    * new spelling), every pair CHANGED by an earlier rewrite shares a
+    * symbol with it, so it sits at or below the stop candidate in the
+    * sorted order and can only lose count, and every pair CREATED by an
+    * earlier rewrite `(l,r)→m` maps occurrence-injectively to a
+    * pre-rewrite adjacency involving `l` or `r` — also an interacting
+    * pair, also count-bounded by the stop candidate. The strict trim
+    * makes every accepted count beat that bound outright, so no changed
+    * or new pair can win a replayed round even on tie-break. If the trim
+    * empties the batch, the round falls back to accepting exactly the
+    * top candidate — the classic argmax step, always sound. Stops early
+    * if no pair remains.
     */
   private def bpeLoop(
       words0: DataFrame,
-      nMerges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+      nMerges: Int,
+      batchWindow: Int = TrainerBatchWindow): (Seq[(Long, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, "need at least one merge")
+    require(batchWindow >= 1, "window must be positive")
     var words = bpeInit(words0).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var i = 0
     var exhausted = false
-    while (i < nMerges && !exhausted) {
+    while (merges.length < nMerges && !exhausted) {
+      val want = nMerges - merges.length
+      val k = math.min(batchWindow, want) + 1
       val top = words
         .filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(transform(
@@ -2245,14 +2317,39 @@ object TextOps {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1)
+        .limit(k)
         .collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        merges += ((i + 1L, l, r, c))
-        words = words.withColumn("syms", bpeMergeFold(l, r)(col("syms"))).localCheckpoint()
-        i += 1
+        // never accept the last collected row when the table may extend
+        // below it — it serves as the count floor instead
+        val maxAccept = math.min(want, if (top.length == k) top.length - 1 else top.length)
+        val existing = existingSymbols(words, top.map { case (l, r, _) => l + r })
+        val touched = scala.collection.mutable.Set.empty[String]
+        val prefix = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var idx = 0
+        var stopped = false
+        while (idx < maxAccept && !stopped) {
+          val (l, r, _) = top(idx)
+          if (touched(l) || touched(r) || touched(l + r) || existing(l + r)) stopped = true
+          else {
+            prefix += top(idx)
+            touched ++= Seq(l, r, l + r)
+            idx += 1
+          }
+        }
+        val floor: Option[Long] = if (idx < top.length) Some(top(idx)._3) else None
+        val batch0 = floor match {
+          case Some(f) => prefix.takeWhile(_._3 > f).toSeq
+          case None    => prefix.toSeq
+        }
+        val batch = if (batch0.nonEmpty) batch0 else Seq(top.head)
+        batch.foreach { case (l, r, c) => merges += ((merges.length + 1L, l, r, c)) }
+        words = batch.grouped(BpeApplyChunk).foldLeft(words) { (w, grp) =>
+          w.withColumn("syms",
+            grp.foldLeft(col("syms")) { case (c, (l, r, _)) => bpeMergeFold(l, r)(c) })
+        }.localCheckpoint()
       }
     }
     (merges.toSeq, words)
@@ -2280,8 +2377,9 @@ object TextOps {
     * (the train-once / apply-anywhere operating split).
     */
   def bpeMergeList(
-      docs: DataFrame, textCol: String, nMerges: Int): Seq[(Long, String, String, Long)] =
-    bpeLoop(bpeWordCounts(docs, textCol), nMerges)._1
+      docs: DataFrame, textCol: String, nMerges: Int,
+      batchWindow: Int = TrainerBatchWindow): Seq[(Long, String, String, Long)] =
+    bpeLoop(bpeWordCounts(docs, textCol), nMerges, batchWindow)._1
 
   /** [[bpeMergeList]] over an externally-maintained `(word, freq)`
     * relation — the operating split at scale: word counts are persisted
@@ -2291,8 +2389,9 @@ object TextOps {
     * constant → flat round cost.
     */
   def bpeTrainFromWordCounts(
-      words: DataFrame, nMerges: Int): Seq[(Long, String, String, Long)] =
-    bpeLoop(words, nMerges)._1
+      words: DataFrame, nMerges: Int,
+      batchWindow: Int = TrainerBatchWindow): Seq[(Long, String, String, Long)] =
+    bpeLoop(words, nMerges, batchWindow)._1
 
   /** Segment a corpus's vocabulary under an ALREADY-LEARNED merge list,
     * applied in rank order — no counting, no argmax, just the nMerges
@@ -2373,9 +2472,10 @@ object TextOps {
     * tid, subword-vocab-sized — bounded by |chars| + nMerges) are built
     * once and BROADCAST; the corpus is scanned once and encoded by two
     * broadcast joins, nothing vocab-related shuffles with it. Subword ids
-    * are frequency-ranked ((token_count desc, token) — the id window is
-    * over the BOUNDED subword vocab, the declared global-window
-    * exception). Per document: word/subword counts and an md5 signature
+    * are frequency-ranked ((token_count desc, token)) via [[zipRank]]'s
+    * sort+zipWithIndex dense-id assignment — no single-partition stage
+    * even at a Heaps-law 10⁸-type vocabulary. Per document: word/subword
+    * counts and an md5 signature
     * of the ordered id sequence — the [[encodeTokens]] convention, scalar
     * cells that any engine reproduces.
     */
@@ -2393,14 +2493,34 @@ object TextOps {
       merges: Seq[(String, String)]): DataFrame =
     encodeFromSegmentation(docs, idCol, textCol, bpeSegmentWith(docs, textCol, merges))
 
+  /** Dense 0-based ranks in a total order WITHOUT a single-partition
+    * window: a range-partitioned global sort (every partition sorted and
+    * ordered between partitions) followed by `zipWithIndex`, whose ids
+    * read off per-partition offsets — the distributed dense-id
+    * assignment. One extra count job (zipWithIndex's offset pass), no
+    * stage ever holds more than a partition; at a 10⁸-row subword
+    * vocabulary this is an ordinary sort, where `row_number() OVER
+    * (ORDER BY …)` would drag every row through one task. The order
+    * columns must form a total order (callers tie-break on a unique
+    * column) — both engines then agree on every rank.
+    */
+  private def zipRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val sorted = df.sort(order: _*)
+    val schema = sorted.schema.add(StructField(rankCol, LongType, nullable = false))
+    sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+  }
+
   private def encodeFromSegmentation(
       docs: DataFrame, idCol: String, textCol: String, segmentation: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val seg = segmentation.scopedCache()
-    val w = Window.orderBy(col("tc").desc, col("token"))
-    val vid = seg.select(explode(col("syms")).as("token"), col("freq"))
-      .groupBy(col("token")).agg(sum(col("freq")).as("tc"))
-      .withColumn("tid", row_number().over(w).cast("long") - 1)
+    val vid = zipRank(
+      seg.select(explode(col("syms")).as("token"), col("freq"))
+        .groupBy(col("token")).agg(sum(col("freq")).as("tc")),
+      "tid", col("tc").desc, col("token"))
       .select(col("token"), col("tid"))
     val toks = docs.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
     val sub = toks
@@ -2536,7 +2656,9 @@ object TextOps {
     * seeded tie-breaker at heart). `orderBy().limit(k)` plans as
     * TakeOrderedAndProject — per-partition top-k then a k-sized merge,
     * never a global sort — and the rank window runs over the k-row
-    * result (bounded; the declared global-window exception).
+    * result (bounded by construction; the [[zipRank]] RDD path would
+    * hide the TakeOrdered plan behind an ExistingRDD scan and blind the
+    * plan contract, a worse trade at k rows).
     */
   def dsirSelect(weights: DataFrame, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2608,16 +2730,123 @@ object TextOps {
     * 100 TB posture as BPE (the corpus is scanned once by
     * [[bpeWordCounts]]; training never touches it again).
     */
+  /** One collected WordPiece candidate: pair, raw count, both symbol
+    * counts, micro-nat likelihood score.
+    */
+  private final case class WpCand(
+      l: String, r: String, cnt: Long, cl: Long, cr: Long, score: Long) {
+    def merged: String = wpMergedSym(l, r)
+  }
+
+  /** Driver-side twin of [[lnFp]] — same `java.lang.Math.log`, same
+    * half-up micro-nat rounding (arguments are ≥ 1, so ln ≥ 0 and
+    * `math.round` matches Spark's HALF_UP), used only to evaluate the
+    * batch-acceptance BOUNDS, never a value either engine outputs.
+    */
+  private def lnFpDriver(c: Long): Long = math.round(math.log(c.toDouble) * 1e6)
+
+  /** Batched ≡ one-at-a-time for the LIKELIHOOD objective. BPE's count
+    * trim is not enough here: a merge shrinks its own symbols' counts
+    * (raising −ln c(l) for every pair that still carries l) and mints a
+    * new symbol whose pairs score `ln cnt − ln c(x) − ln c(m)`. Both
+    * effects are boundable from the collected window, so a candidate is
+    * accepted only while its score STRICTLY dominates:
+    *
+    *  - CHANGED pairs (share a symbol with an accepted merge — all of
+    *    them sit at or below the stop row, or below the window): their
+    *    pre-score is ≤ the stop row's score, and each accepted merge
+    *    `(l,r)` can raise a changed pair's score by at most
+    *    `ln c(t) − ln(c(t) − 2·cnt)` per touched side `t` (a merge
+    *    occurrence consumes at most two of each of its symbols; if
+    *    `c(t) − 2·cnt < 1` the bound is +∞ and the batch stops). Two
+    *    sides can be touched by two different accepted merges, hence the
+    *    `2·Δmax` headroom.
+    *  - NEW pairs (involve a minted symbol `m`): adjacency counts are
+    *    bounded by both neighbors' occurrence counts, so their score is
+    *    ≤ −ln c(m), and `c(m)` is at least the merge's own greedy
+    *    occurrence count (`cnt` when l ≠ r, `⌈cnt/2⌉` overlapped).
+    *
+    * Minted-name collisions with the existing vocabulary (which would
+    * let counts COMBINE past these bounds) stop the batch via the same
+    * membership probe as [[bpeLoop]]. Because cutting the batch turns
+    * dropped rows into un-accepted pairs (raising the changed-pair
+    * base), the cut iterates to a fixpoint driver-side — ≤ window items,
+    * strictly shrinking. An empty batch falls back to the classic
+    * single-argmax round, always sound. Replay then picks exactly the
+    * accepted merges in order: each one's own cnt/c(l)/c(r) — hence its
+    * score — is untouched by the earlier accepted rewrites (disjoint
+    * symbols, fresh names), and every rival is strictly dominated.
+    */
+  private def wpAcceptBatch(
+      top: IndexedSeq[WpCand],
+      maxAccept: Int,
+      collides: String => Boolean): Seq[WpCand] = {
+    val Inf = Long.MaxValue / 4
+    val touched = scala.collection.mutable.Set.empty[String]
+    val tentative = scala.collection.mutable.ArrayBuffer.empty[WpCand]
+    var idx = 0
+    var stopped = false
+    while (idx < maxAccept && !stopped) {
+      val c = top(idx)
+      if (touched(c.l) || touched(c.r) || touched(c.merged) || collides(c.merged)) stopped = true
+      else {
+        tentative += c
+        touched ++= Seq(c.l, c.r, c.merged)
+        idx += 1
+      }
+    }
+    // pre-rewrite score bound on every pair outside the accepted prefix:
+    // the first non-accepted row (None = candidate table exhausted, so no
+    // interacting pair exists outside the batch at all)
+    def guardCut(cut: Int, base: Option[Long]): Int = {
+      var twoDeltaMax = 0L
+      var newFloor = Long.MinValue
+      var j = 0
+      while (j < cut) {
+        val c = top(j)
+        val changedBound = base.map { b =>
+          if (twoDeltaMax >= Inf) Long.MaxValue else b + 2 * twoDeltaMax
+        }
+        val ok = j == 0 ||
+          (c.score > newFloor && changedBound.forall(c.score > _))
+        if (!ok) return j
+        val dl = if (c.cl - 2 * c.cnt >= 1) lnFpDriver(c.cl) - lnFpDriver(c.cl - 2 * c.cnt) else Inf
+        val dr = if (c.cr - 2 * c.cnt >= 1) lnFpDriver(c.cr) - lnFpDriver(c.cr - 2 * c.cnt) else Inf
+        twoDeltaMax = math.max(twoDeltaMax, math.max(dl, dr))
+        val nLb = if (c.l == c.r) (c.cnt + 1) / 2 else c.cnt
+        newFloor = math.max(newFloor, -lnFpDriver(math.max(1L, nLb)))
+        j += 1
+      }
+      cut
+    }
+    var cut = tentative.length
+    var base = if (idx < top.length) Some(top(idx).score) else None
+    var done = false
+    while (!done) {
+      val c2 = guardCut(cut, base)
+      if (c2 == cut) done = true
+      else {
+        base = Some(top(c2).score) // dropped rows become un-accepted pairs
+        cut = c2
+      }
+    }
+    if (cut >= 1) tentative.take(cut).toSeq else Seq(top.head)
+  }
+
   private def wpLoop(
       words0: DataFrame,
-      nMerges: Int): (Seq[(Long, String, String, String, Long, Long)], DataFrame) = {
+      nMerges: Int,
+      batchWindow: Int = TrainerBatchWindow)
+      : (Seq[(Long, String, String, String, Long, Long)], DataFrame) = {
     require(nMerges >= 1, "need at least one merge")
+    require(batchWindow >= 1, "window must be positive")
     var words = wpInit(words0).localCheckpoint()
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long, Long)]
-    var i = 0
     var exhausted = false
-    while (i < nMerges && !exhausted) {
+    while (merges.length < nMerges && !exhausted) {
+      val want = nMerges - merges.length
+      val k = math.min(batchWindow, want) + 1
       val pairs = words
         .filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(transform(
@@ -2633,21 +2862,26 @@ object TextOps {
       val top = pairs
         .join(symCounts.select(col("s").as("l"), col("c").as("cl")), "l")
         .join(symCounts.select(col("s").as("r"), col("c").as("cr")), "r")
-        .select(col("l"), col("r"), col("cnt"),
+        .select(col("l"), col("r"), col("cnt"), col("cl"), col("cr"),
           (lnFp(col("cnt")) - lnFp(col("cl")) - lnFp(col("cr"))).as("score_fp"))
         .orderBy(col("score_fp").desc, col("l"), col("r"))
-        .limit(1)
+        .limit(k)
         .collect()
+        .map(row => WpCand(row.getString(0), row.getString(1),
+          row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5)))
+        .toIndexedSeq
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, c, s) = (top.head.getString(0), top.head.getString(1),
-          top.head.getLong(2), top.head.getLong(3))
-        val merged = wpMergedSym(l, r)
-        merges += ((i + 1L, l, r, merged, c, s))
-        words = words
-          .withColumn("syms", mergeFoldNamed(l, r, merged)(col("syms")))
-          .localCheckpoint()
-        i += 1
+        val maxAccept = math.min(want, if (top.length == k) top.length - 1 else top.length)
+        val existing = existingSymbols(words, top.map(_.merged))
+        val batch = wpAcceptBatch(top, maxAccept, existing)
+        batch.foreach { c =>
+          merges += ((merges.length + 1L, c.l, c.r, c.merged, c.cnt, c.score))
+        }
+        words = batch.grouped(BpeApplyChunk).foldLeft(words) { (w, grp) =>
+          w.withColumn("syms",
+            grp.foldLeft(col("syms")) { (e, c) => mergeFoldNamed(c.l, c.r, c.merged)(e) })
+        }.localCheckpoint()
       }
     }
     (merges.toSeq, words)
@@ -2690,8 +2924,9 @@ object TextOps {
     */
   def wordpieceTrainFromWordCounts(
       words: DataFrame,
-      nMerges: Int): Seq[(Long, String, String, String, Long, Long)] =
-    wpLoop(words, nMerges)._1
+      nMerges: Int,
+      batchWindow: Int = TrainerBatchWindow): Seq[(Long, String, String, String, Long, Long)] =
+    wpLoop(words, nMerges, batchWindow)._1
 
   // ──────────────── unigram-LM tokenizer (SentencePiece-style) ────────────────
 

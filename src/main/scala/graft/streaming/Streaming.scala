@@ -375,10 +375,28 @@ object Streaming {
     * run. At scale the per-batch partials are the compaction inputs a
     * nightly job folds into a base rollup.
     */
-  class RollupStream(
-      keys: Seq[String],
-      valueCol: String,
-      storeDir: Option[String] = None) {
+  /** Shared spine of the maintained-monoid stream family
+    * ([[RollupStream]] / [[HllStream]] / [[KmvStream]] /
+    * [[CdcCarrierStream]] / [[DomainStatsStream]]): each micro-batch
+    * contributes a PARTIAL relation, the running state is a key-wise
+    * monoid fold of every partial ever seen, and durability is the
+    * per-batch SLOT protocol — one idempotently-overwritten
+    * `batch_id=<id>` parquet slot per batch, restart rebuild by folding
+    * the committed slots, and between-runs [[compact]]ion into a
+    * negative-id base slot (staged dot-prefixed, promoted by atomic
+    * rename). Subclasses supply ONLY the three monoid hooks; the slot
+    * fencing / recovery / fold protocol exists exactly once here.
+    */
+  abstract class MonoidSlotStream(storeDir: Option[String]) {
+    /** The batch's own contribution, already in state form. */
+    protected def partial(batch: DataFrame): DataFrame
+    /** Fold a stacked many-partials relation (slot column already
+      * dropped) into one state relation.
+      */
+    protected def foldPartials(partials: DataFrame): DataFrame
+    /** Merge the running state with one new partial. */
+    protected def mergeOne(prev: DataFrame, part: DataFrame): DataFrame
+
     @volatile private var state: Option[DataFrame] = None
     // false until this query instance has processed its first batch: the
     // FIRST batch after a (re)start may be a checkpoint replay whose
@@ -388,10 +406,11 @@ object Streaming {
     // the per-batch cost never grows with stream lifetime
     @volatile private var incremental = false
 
+    /** The maintained state relation. */
     def current: Option[DataFrame] = state
 
     private def mergeAll(partials: DataFrame): DataFrame =
-      graft.ops.Analytics.mergePartialAggs(Seq(partials.drop("batch_id")), keys)
+      foldPartials(partials.drop("batch_id"))
 
     /** Complete or roll back an interrupted [[compact]] — idempotent: a
       * COMMITTED `.compact-<id>` staging dir proves the folded base was
@@ -459,7 +478,7 @@ object Streaming {
         .option("checkpointLocation", checkpointDir)
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val part = graft.ops.Analytics.partialAgg(batch, keys, valueCol).localCheckpoint(true)
+          val part = partial(batch).localCheckpoint(true)
           state = storeDir match {
             case Some(d) =>
               // idempotent slot write; replay-safe rebuild only on the
@@ -469,17 +488,29 @@ object Streaming {
                 incremental = true
                 committedSlots(spark, d, "batch_id=") // fence crashed slots
                 Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
-              } else Some(graft.ops.Analytics
-                .mergePartialAggs(Seq(state.get, part), keys).localCheckpoint(true))
+              } else Some(mergeOne(state.get, part).localCheckpoint(true))
             case None =>
               Some((state match {
-                case Some(prev) => graft.ops.Analytics.mergePartialAggs(Seq(prev, part), keys)
+                case Some(prev) => mergeOne(prev, part)
                 case None       => part
               }).localCheckpoint(true))
           }
         }
         .start()
     }
+  }
+
+  class RollupStream(
+      keys: Seq[String],
+      valueCol: String,
+      storeDir: Option[String] = None)
+      extends MonoidSlotStream(storeDir) {
+    protected def partial(batch: DataFrame): DataFrame =
+      graft.ops.Analytics.partialAgg(batch, keys, valueCol)
+    protected def foldPartials(partials: DataFrame): DataFrame =
+      graft.ops.Analytics.mergePartialAggs(Seq(partials), keys)
+    protected def mergeOne(prev: DataFrame, part: DataFrame): DataFrame =
+      graft.ops.Analytics.mergePartialAggs(Seq(prev, part), keys)
   }
 
   /** Maintained fixed-point HLL distinct-count registers over a
@@ -503,85 +534,20 @@ object Streaming {
       keys: Seq[String],
       valueCol: String,
       p: Int = graft.ops.Analytics.HllP,
-      storeDir: Option[String] = None) {
-    @volatile private var state: Option[DataFrame] = None
-    @volatile private var incremental = false
+      storeDir: Option[String] = None)
+      extends MonoidSlotStream(storeDir) {
+    protected def partial(batch: DataFrame): DataFrame =
+      graft.ops.Analytics.hllRegisters(batch, keys, valueCol, p)
+    protected def foldPartials(partials: DataFrame): DataFrame =
+      graft.ops.Analytics.hllMerge(partials, keys)
+    protected def mergeOne(prev: DataFrame, part: DataFrame): DataFrame =
+      graft.ops.Analytics.hllMerge(prev.unionByName(part), keys)
 
-    /** The maintained register relation (keys…, reg, mx). */
-    def current: Option[DataFrame] = state
-
-    /** The distinct-count estimates derived from the current registers. */
-    def estimate: Option[DataFrame] =
-      state.map(graft.ops.Analytics.hllEstimate(_, keys, p))
-
-    private def mergeAll(partials: DataFrame): DataFrame =
-      graft.ops.Analytics.hllMerge(partials.drop("batch_id"), keys)
-
-    private def recoverCompaction(spark: SparkSession, d: String): Unit = {
-      val (fs, _) = fsFor(spark, d)
-      val tmps = committedSlots(spark, d, ".compact-")
-      tmps.drop(1).foreach { case (_, t) => fs.delete(t, true): Unit }
-      tmps.headOption.foreach { case (id, tmp) =>
-        committedSlots(spark, d, "batch_id=").foreach { case (_, s) => fs.delete(s, true): Unit }
-        fs.rename(tmp, new org.apache.hadoop.fs.Path(d, s"batch_id=$id")): Unit
-      }
-    }
-
-    /** Fold all per-batch register slots into one base slot (the
-      * RollupStream compaction contract: between query runs only).
+    /** The distinct-count estimates derived from the current registers
+      * (keys…, reg, mx).
       */
-    def compact(spark: SparkSession): Int = storeDir match {
-      case Some(d) =>
-        recoverCompaction(spark, d)
-        val slots = committedSlots(spark, d, "batch_id=")
-        if (slots.length <= 1) 0
-        else {
-          val (fs, _) = fsFor(spark, d)
-          val newBase = math.min(slots.map(_._1).min, 0L) - 1
-          val merged = mergeAll(spark.read.parquet(d)).localCheckpoint(true)
-          merged.write.mode("overwrite").parquet(s"$d/.compact-$newBase")
-          slots.foreach { case (_, s) => fs.delete(s, true): Unit }
-          fs.rename(
-            new org.apache.hadoop.fs.Path(d, s".compact-$newBase"),
-            new org.apache.hadoop.fs.Path(d, s"batch_id=$newBase")): Unit
-          state = Some(merged)
-          slots.length
-        }
-      case _ => 0
-    }
-
-    def start(stream: DataFrame, checkpointDir: String): StreamingQuery = {
-      val spark = stream.sparkSession
-      incremental = false
-      storeDir.foreach { d =>
-        recoverCompaction(spark, d)
-        if (state.isEmpty && committedSlots(spark, d, "batch_id=").nonEmpty)
-          state = Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
-      }
-      stream.writeStream
-        .option("checkpointLocation", checkpointDir)
-        .outputMode("append")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val part = graft.ops.Analytics.hllRegisters(batch, keys, valueCol, p)
-            .localCheckpoint(true)
-          state = storeDir match {
-            case Some(d) =>
-              part.write.mode("overwrite").parquet(s"$d/batch_id=$batchId")
-              if (!incremental) {
-                incremental = true
-                committedSlots(spark, d, "batch_id=") // fence crashed slots
-                Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
-              } else Some(graft.ops.Analytics
-                .hllMerge(state.get.unionByName(part), keys).localCheckpoint(true))
-            case None =>
-              Some((state match {
-                case Some(prev) => graft.ops.Analytics.hllMerge(prev.unionByName(part), keys)
-                case None       => part
-              }).localCheckpoint(true))
-          }
-        }
-        .start()
-    }
+    def estimate: Option[DataFrame] =
+      current.map(graft.ops.Analytics.hllEstimate(_, keys, p))
   }
 
   /** Maintained KMV (k-minimum-values) distinct-count sketch over a
@@ -607,85 +573,20 @@ object Streaming {
       keys: Seq[String],
       valueCol: String,
       k: Int = 64,
-      storeDir: Option[String] = None) {
-    @volatile private var state: Option[DataFrame] = None
-    @volatile private var incremental = false
+      storeDir: Option[String] = None)
+      extends MonoidSlotStream(storeDir) {
+    protected def partial(batch: DataFrame): DataFrame =
+      graft.ops.Analytics.kmvSketch(batch, keys, valueCol, k)
+    protected def foldPartials(partials: DataFrame): DataFrame =
+      graft.ops.Analytics.kmvMerge(k, partials)
+    protected def mergeOne(prev: DataFrame, part: DataFrame): DataFrame =
+      graft.ops.Analytics.kmvMerge(k, prev, part)
 
-    /** The maintained sketch relation (keys…, hv, pos), pos 1..k. */
-    def current: Option[DataFrame] = state
-
-    /** The distinct-count estimates derived from the current sketch. */
-    def estimate: Option[DataFrame] =
-      state.map(graft.ops.Analytics.kmvEstimate(_, keys, k))
-
-    private def mergeAll(partials: DataFrame): DataFrame =
-      graft.ops.Analytics.kmvMerge(k, partials.drop("batch_id"))
-
-    private def recoverCompaction(spark: SparkSession, d: String): Unit = {
-      val (fs, _) = fsFor(spark, d)
-      val tmps = committedSlots(spark, d, ".compact-")
-      tmps.drop(1).foreach { case (_, t) => fs.delete(t, true): Unit }
-      tmps.headOption.foreach { case (id, tmp) =>
-        committedSlots(spark, d, "batch_id=").foreach { case (_, s) => fs.delete(s, true): Unit }
-        fs.rename(tmp, new org.apache.hadoop.fs.Path(d, s"batch_id=$id")): Unit
-      }
-    }
-
-    /** Fold all per-batch sketch slots into one base slot (the
-      * RollupStream compaction contract: between query runs only).
+    /** The distinct-count estimates derived from the current sketch
+      * (keys…, hv, pos), pos 1..k.
       */
-    def compact(spark: SparkSession): Int = storeDir match {
-      case Some(d) =>
-        recoverCompaction(spark, d)
-        val slots = committedSlots(spark, d, "batch_id=")
-        if (slots.length <= 1) 0
-        else {
-          val (fs, _) = fsFor(spark, d)
-          val newBase = math.min(slots.map(_._1).min, 0L) - 1
-          val merged = mergeAll(spark.read.parquet(d)).localCheckpoint(true)
-          merged.write.mode("overwrite").parquet(s"$d/.compact-$newBase")
-          slots.foreach { case (_, s) => fs.delete(s, true): Unit }
-          fs.rename(
-            new org.apache.hadoop.fs.Path(d, s".compact-$newBase"),
-            new org.apache.hadoop.fs.Path(d, s"batch_id=$newBase")): Unit
-          state = Some(merged)
-          slots.length
-        }
-      case _ => 0
-    }
-
-    def start(stream: DataFrame, checkpointDir: String): StreamingQuery = {
-      val spark = stream.sparkSession
-      incremental = false
-      storeDir.foreach { d =>
-        recoverCompaction(spark, d)
-        if (state.isEmpty && committedSlots(spark, d, "batch_id=").nonEmpty)
-          state = Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
-      }
-      stream.writeStream
-        .option("checkpointLocation", checkpointDir)
-        .outputMode("append")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val part = graft.ops.Analytics.kmvSketch(batch, keys, valueCol, k)
-            .localCheckpoint(true)
-          state = storeDir match {
-            case Some(d) =>
-              part.write.mode("overwrite").parquet(s"$d/batch_id=$batchId")
-              if (!incremental) {
-                incremental = true
-                committedSlots(spark, d, "batch_id=") // fence crashed slots
-                Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
-              } else Some(graft.ops.Analytics
-                .kmvMerge(k, state.get, part).localCheckpoint(true))
-            case None =>
-              Some((state match {
-                case Some(prev) => graft.ops.Analytics.kmvMerge(k, prev, part)
-                case None       => part
-              }).localCheckpoint(true))
-          }
-        }
-        .start()
-    }
+    def estimate: Option[DataFrame] =
+      current.map(graft.ops.Analytics.kmvEstimate(_, keys, k))
   }
 
   /** Maintained CDC chunk-carrier statistics over a micro-batched document
@@ -706,86 +607,23 @@ object Streaming {
       window: Int = 8,
       maskBits: Int = 5,
       minChunk: Int = 16,
-      storeDir: Option[String] = None) {
-    @volatile private var state: Option[DataFrame] = None
-    @volatile private var incremental = false
+      storeDir: Option[String] = None)
+      extends MonoidSlotStream(storeDir) {
+    protected def partial(batch: DataFrame): DataFrame =
+      graft.ops.DedupOps.cdcCarrierStats(
+        graft.ops.DedupOps.cdcChunks(batch, idCol, textCol, window, maskBits, minChunk),
+        idCol)
+    protected def foldPartials(partials: DataFrame): DataFrame =
+      graft.ops.DedupOps.mergeCdcCarriers(partials)
+    protected def mergeOne(prev: DataFrame, part: DataFrame): DataFrame =
+      graft.ops.DedupOps.mergeCdcCarriers(prev, part)
 
-    /** The maintained carrier relation (chunk_id, n_carriers). */
-    def current: Option[DataFrame] = state
-
-    /** Screen a chunk relation against the maintained carrier store —
-      * the batch operator's marking step verbatim.
+    /** Screen a chunk relation against the maintained carrier store
+      * (chunk_id, n_carriers) — the batch operator's marking step
+      * verbatim.
       */
     def mark(chunks: DataFrame): Option[DataFrame] =
-      state.map(graft.ops.DedupOps.cdcMarkFromStats(chunks, idCol, _))
-
-    private def mergeAll(partials: DataFrame): DataFrame =
-      graft.ops.DedupOps.mergeCdcCarriers(partials.drop("batch_id"))
-
-    private def recoverCompaction(spark: SparkSession, d: String): Unit = {
-      val (fs, _) = fsFor(spark, d)
-      val tmps = committedSlots(spark, d, ".compact-")
-      tmps.drop(1).foreach { case (_, t) => fs.delete(t, true): Unit }
-      tmps.headOption.foreach { case (id, tmp) =>
-        committedSlots(spark, d, "batch_id=").foreach { case (_, s) => fs.delete(s, true): Unit }
-        fs.rename(tmp, new org.apache.hadoop.fs.Path(d, s"batch_id=$id")): Unit
-      }
-    }
-
-    /** Fold all per-batch slots into one base slot (between runs only). */
-    def compact(spark: SparkSession): Int = storeDir match {
-      case Some(d) =>
-        recoverCompaction(spark, d)
-        val slots = committedSlots(spark, d, "batch_id=")
-        if (slots.length <= 1) 0
-        else {
-          val (fs, _) = fsFor(spark, d)
-          val newBase = math.min(slots.map(_._1).min, 0L) - 1
-          val merged = mergeAll(spark.read.parquet(d)).localCheckpoint(true)
-          merged.write.mode("overwrite").parquet(s"$d/.compact-$newBase")
-          slots.foreach { case (_, s) => fs.delete(s, true): Unit }
-          fs.rename(
-            new org.apache.hadoop.fs.Path(d, s".compact-$newBase"),
-            new org.apache.hadoop.fs.Path(d, s"batch_id=$newBase")): Unit
-          state = Some(merged)
-          slots.length
-        }
-      case _ => 0
-    }
-
-    def start(stream: DataFrame, checkpointDir: String): StreamingQuery = {
-      val spark = stream.sparkSession
-      incremental = false
-      storeDir.foreach { d =>
-        recoverCompaction(spark, d)
-        if (state.isEmpty && committedSlots(spark, d, "batch_id=").nonEmpty)
-          state = Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
-      }
-      stream.writeStream
-        .option("checkpointLocation", checkpointDir)
-        .outputMode("append")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val part = graft.ops.DedupOps.cdcCarrierStats(
-            graft.ops.DedupOps.cdcChunks(batch, idCol, textCol, window, maskBits, minChunk),
-            idCol).localCheckpoint(true)
-          state = storeDir match {
-            case Some(d) =>
-              part.write.mode("overwrite").parquet(s"$d/batch_id=$batchId")
-              if (!incremental) {
-                incremental = true
-                committedSlots(spark, d, "batch_id=") // fence crashed slots
-                Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
-              } else Some(graft.ops.DedupOps
-                .mergeCdcCarriers(state.get, part).localCheckpoint(true))
-            case None =>
-              Some((state match {
-                case Some(prev) => graft.ops.DedupOps.mergeCdcCarriers(prev, part)
-                case None       => part
-              }).localCheckpoint(true))
-          }
-        }
-        .start()
-    }
+      current.map(graft.ops.DedupOps.cdcMarkFromStats(chunks, idCol, _))
   }
 
   /** Maintained per-DOMAIN reputation statistics over a micro-batched
@@ -808,85 +646,21 @@ object Streaming {
   class DomainStatsStream(
       domainCol: String,
       textCol: String,
-      storeDir: Option[String] = None) {
-    @volatile private var state: Option[DataFrame] = None
-    @volatile private var incremental = false
+      storeDir: Option[String] = None)
+      extends MonoidSlotStream(storeDir) {
+    protected def partial(batch: DataFrame): DataFrame =
+      graft.ops.TextOps.domainStats(batch, domainCol, textCol)
+    protected def foldPartials(partials: DataFrame): DataFrame =
+      graft.ops.TextOps.mergeDomainStats(partials)
+    protected def mergeOne(prev: DataFrame, part: DataFrame): DataFrame =
+      graft.ops.TextOps.mergeDomainStats(prev, part)
 
-    /** The maintained stats relation (domain, n_docs, sum_q_fp). */
-    def current: Option[DataFrame] = state
-
-    /** The reputation verdicts derived from the current stats — the SAME
-      * derivation the batch operator applies ([[graft.ops.TextOps.domainVerdicts]]).
+    /** The reputation verdicts derived from the current stats
+      * (domain, n_docs, sum_q_fp) — the SAME derivation the batch
+      * operator applies ([[graft.ops.TextOps.domainVerdicts]]).
       */
     def verdicts(minDocs: Long = 3L, minMeanFp: Long = 570000L): Option[DataFrame] =
-      state.map(graft.ops.TextOps.domainVerdicts(_, minDocs, minMeanFp))
-
-    private def mergeAll(partials: DataFrame): DataFrame =
-      graft.ops.TextOps.mergeDomainStats(partials.drop("batch_id"))
-
-    private def recoverCompaction(spark: SparkSession, d: String): Unit = {
-      val (fs, _) = fsFor(spark, d)
-      val tmps = committedSlots(spark, d, ".compact-")
-      tmps.drop(1).foreach { case (_, t) => fs.delete(t, true): Unit }
-      tmps.headOption.foreach { case (id, tmp) =>
-        committedSlots(spark, d, "batch_id=").foreach { case (_, s) => fs.delete(s, true): Unit }
-        fs.rename(tmp, new org.apache.hadoop.fs.Path(d, s"batch_id=$id")): Unit
-      }
-    }
-
-    /** Fold all per-batch slots into one base slot (between runs only). */
-    def compact(spark: SparkSession): Int = storeDir match {
-      case Some(d) =>
-        recoverCompaction(spark, d)
-        val slots = committedSlots(spark, d, "batch_id=")
-        if (slots.length <= 1) 0
-        else {
-          val (fs, _) = fsFor(spark, d)
-          val newBase = math.min(slots.map(_._1).min, 0L) - 1
-          val merged = mergeAll(spark.read.parquet(d)).localCheckpoint(true)
-          merged.write.mode("overwrite").parquet(s"$d/.compact-$newBase")
-          slots.foreach { case (_, s) => fs.delete(s, true): Unit }
-          fs.rename(
-            new org.apache.hadoop.fs.Path(d, s".compact-$newBase"),
-            new org.apache.hadoop.fs.Path(d, s"batch_id=$newBase")): Unit
-          state = Some(merged)
-          slots.length
-        }
-      case _ => 0
-    }
-
-    def start(stream: DataFrame, checkpointDir: String): StreamingQuery = {
-      val spark = stream.sparkSession
-      incremental = false
-      storeDir.foreach { d =>
-        recoverCompaction(spark, d)
-        if (state.isEmpty && committedSlots(spark, d, "batch_id=").nonEmpty)
-          state = Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
-      }
-      stream.writeStream
-        .option("checkpointLocation", checkpointDir)
-        .outputMode("append")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val part = graft.ops.TextOps.domainStats(batch, domainCol, textCol)
-            .localCheckpoint(true)
-          state = storeDir match {
-            case Some(d) =>
-              part.write.mode("overwrite").parquet(s"$d/batch_id=$batchId")
-              if (!incremental) {
-                incremental = true
-                committedSlots(spark, d, "batch_id=") // fence crashed slots
-                Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
-              } else Some(graft.ops.TextOps
-                .mergeDomainStats(state.get, part).localCheckpoint(true))
-            case None =>
-              Some((state match {
-                case Some(prev) => graft.ops.TextOps.mergeDomainStats(prev, part)
-                case None       => part
-              }).localCheckpoint(true))
-          }
-        }
-        .start()
-    }
+      current.map(graft.ops.TextOps.domainVerdicts(_, minDocs, minMeanFp))
   }
 
   /** Maintained NEAR-DUP cluster labeling over a micro-batched document

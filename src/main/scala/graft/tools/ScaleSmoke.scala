@@ -23,7 +23,7 @@ object ScaleSmoke {
       Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix",
         "editdist", "kmeans", "incr", "incrstore", "knncross", "bpe", "govern", "staged",
         "entropy", "wordpiece", "dsir", "substring", "incrsub", "contend", "hll",
-        "webstage", "cdc")
+        "webstage", "cdc", "sf1", "skew")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -1054,6 +1054,135 @@ object ScaleSmoke {
           finally { stop.set(true); spinners.foreach(_.join(1000)) }
         println(f"$n,$quiet%.2f,$contended%.2f,${contended / quiet}%.2f")
       }
+    }
+    // ---- sf1: the 10× rehearsal — every headline family at an
+    // sf1-EQUIVALENT corpus (sf0.1 replicated ×10) with a ×5 midpoint, so
+    // the per-decade growth ratio is read off directly. The claim under
+    // test is the one the plan-shape arguments make: doubling rows at
+    // this scale must not super-linearly grow any family (pair
+    // generation stays dup-structure-governed, ANN stays list-pruned,
+    // packing stays one-shuffle). seconds(k=10)/seconds(k=5) ≤ ~2.4
+    // (linear + constant overheads) is the pass bar recorded in PLANS.md.
+    if (want("sf1")) println("sf1: k,rows,op,seconds,result_rows")
+    ks("sf1", Seq(5, 10), Seq(5, 10)).foreach { k =>
+      import graft.ops.{SamplingOps, SimilarityOps}
+      val corpus = copyK(k).cache()
+      val n = corpus.count()
+      val emb = embK(k).cache()
+      val nv = emb.count()
+      def timedRow(op: String, rows: Long)(f: => Long): Unit = {
+        spark.sharedState.cacheManager.clearCache(); System.gc()
+        corpus.cache().count(); emb.cache().count()
+        val t0 = System.nanoTime()
+        val out = f
+        println(s"sf1: $k,$rows,$op,${(System.nanoTime() - t0) / 1e9},$out")
+      }
+      timedRow("minhash", n) {
+        DedupOps.minhashLshPairs(corpus, "doc_id", "text", 3, 0.5).count()
+      }
+      timedRow("substring", n) {
+        DedupOps.substringSpans(corpus, "doc_id", "text").count()
+      }
+      timedRow("cdc", n) {
+        DedupOps.cdcChunkDedup(corpus, "doc_id", "text").count()
+      }
+      timedRow("semantic_dedup", nv) {
+        val pairs = SimilarityOps.cosineNearDupPairsBlockedFp(
+          emb, "vec_id", "embedding", threshold = 0.4, nLists = 8, nProbe = 2, iters = 2)
+        DedupOps.connectedComponentsFast(pairs, "id_a", "id_b").count()
+      }
+      timedRow("ann_ivfpq", nv) {
+        SimilarityOps.knnIvfPq(
+          emb, emb.filter(pmod(col("vec_id"), lit(500L)) === 3), "vec_id", "embedding",
+          dim = 64, m = 8, kSub = 16, k = 10, nLists = 8, nProbe = 4).count()
+      }
+      timedRow("ann_hnsw", nv) {
+        SimilarityOps.knnHnsw(
+          emb, emb.filter(pmod(col("vec_id"), lit(500L)) === 3), "vec_id", "embedding",
+          k = 10).count()
+      }
+      timedRow("pack_sequences", n) {
+        SamplingOps.packSequences(corpus, "doc_id", "text",
+          chunkTokens = 512, nShards = 8).count()
+      }
+      timedRow("clusters_incr", n) {
+        // the registered store/batch split: bank built outside any real
+        // increment's timer, so time only the batch-against-bank pairing
+        val batch = corpus.filter(col("doc_id") < 1000000L && col("doc_id") % 2 === 1)
+        val store = corpus.exceptAll(batch)
+        val bank = DedupOps.shingleBank(store, "doc_id", "text", 3)
+        bank._1.count(); bank._2.count()
+        val (bp, cp) = DedupOps.incrementalPairsFromBank(
+          bank, batch, "doc_id", "text", 3, 0.5)
+        bp.unionByName(cp).count()
+      }
+      corpus.unpersist(); emb.unpersist()
+    }
+
+    // ---- skew: a Zipf hot-key plant through the CLUSTER path ----
+    // One giant near-dup family holds 25% of all rows (the Zipf head);
+    // the tail is constant-size 4-chains. Two legs:
+    //  - GRAPH leg (synthetic pair relation, so the plant is exact):
+    //    connectedComponentsFast must stay per-decade ~linear even though
+    //    one component is a star of n/4 nodes (alternating-star
+    //    contraction bounds the round count, never materializing the
+    //    component as pairs), and mergeClusters folding a batch into an
+    //    ALREADY-GIANT labeling must stay batch-governed.
+    //  - TEXT leg: minhashLshPairs over a corpus where 25% of documents
+    //    are near-copies of ONE hot text — the df-capped posting join
+    //    must keep candidates bounded (the uncapped truth is (n/4)²/2
+    //    pairs, which nothing should emit).
+    if (want("skew")) println("skew: k,rows,giant,op,seconds,out_rows")
+    ks("skew", Seq(2, 4, 8), Seq(2, 4, 8, 16)).foreach { k =>
+      val n = k * 10000L
+      val ids = spark.range(n)
+      val giant = ids.filter(col("id") > 0 && col("id") < n / 4)
+        .select(lit(0L).as("doc_a"), col("id").as("doc_b"))
+      val tail = ids.filter(col("id") >= n / 4 && pmod(col("id"), lit(4L)) =!= 0)
+        .select((col("id") - pmod(col("id"), lit(4L))).as("doc_a"), col("id").as("doc_b"))
+      val pairs = giant.unionByName(tail).cache()
+      pairs.count()
+      def timedRow(op: String)(f: => Long): Unit = {
+        spark.sharedState.cacheManager.clearCache(); System.gc()
+        pairs.cache().count()
+        val t0 = System.nanoTime()
+        val out = f
+        println(s"skew: $k,$n,${n / 4},$op,${(System.nanoTime() - t0) / 1e9},$out")
+      }
+      timedRow("cc") {
+        DedupOps.connectedComponentsFast(pairs, "doc_a", "doc_b").count()
+      }
+      // batch = every 5th edge (old labeling built OUTSIDE the timer);
+      // the giant cluster is already labeled when the batch arrives
+      val batchPairs = pairs.filter(pmod(col("doc_b"), lit(5L)) === 0).cache()
+      val storePairs = pairs.exceptAll(batchPairs).cache()
+      val labeled = DedupOps.connectedComponentsFast(storePairs, "doc_a", "doc_b")
+        .localCheckpoint()
+      timedRow("merge_clusters") {
+        DedupOps.mergeClusters(labeled, batchPairs.select(col("doc_a"), col("doc_b"))).count()
+      }
+      // TEXT leg: hot family = 25% of docs sharing one 40-token text with
+      // a single per-doc salt token (same-family Jaccard ≈ 0.9)
+      val hotBody = (1 to 40).map(i => s"hot$i").mkString(" ")
+      val docs = ids.select(col("id").as("doc_id"),
+        when(col("id") < n / 4,
+          concat(lit(hotBody), lit(" salt"), pmod(col("id"), lit(7L))))
+          .otherwise(concat(lit("cold "),
+            (col("id") / 4).cast("string"), lit(" body word"),
+            pmod(col("id"), lit(4L)).cast("string"), lit(" tail text plus filler")))
+          .as("text")).cache()
+      docs.count()
+      def timedDocs(op: String)(f: => Long): Unit = {
+        spark.sharedState.cacheManager.clearCache(); System.gc()
+        docs.cache().count()
+        val t0 = System.nanoTime()
+        val out = f
+        println(s"skew: $k,$n,${n / 4},$op,${(System.nanoTime() - t0) / 1e9},$out")
+      }
+      timedDocs("minhash_capped") {
+        DedupOps.minhashLshPairs(docs, "doc_id", "text", 3, 0.5).count()
+      }
+      pairs.unpersist(); batchPairs.unpersist(); storePairs.unpersist(); docs.unpersist()
     }
     spark.stop()
   }

@@ -100,6 +100,8 @@ class PlanContractSpec extends AnyFunSuite {
     Contract("q_triangle_stats", requiredMarkers = Seq("SortMergeJoin")),
     // rank relation broadcasts onto the cached edge relation each
     // iteration; the final rank window runs over ≤k TakeOrdered survivors
+    // (bounded by construction — the zipRank RDD path would hide the
+    // upstream plan from this very contract)
     Contract("q_textrank",
       requiredMarkers = Seq("BroadcastHashJoin"), allowGlobalWindow = true),
     // shard-allocation mixture: dimension-sized allocation relation joins
@@ -193,14 +195,14 @@ class PlanContractSpec extends AnyFunSuite {
       requiredMarkers = Seq("WindowGroupLimit", "BroadcastHashJoin", "SortMergeJoin"),
       allowBroadcastCross = true),
     // BPE corpus encoding: the corpus scan is encoded by TWO broadcast
-    // joins (vocab-sized segmentation, bounded id table); the only global
-    // window ranks the subword vocabulary — bounded by |chars| + nMerges
+    // joins (vocab-sized segmentation, bounded id table); subword ids are
+    // zip-assigned over the sorted vocabulary — no global window at all
     Contract("q_bpe_encode",
-      requiredMarkers = Seq("BroadcastHashJoin"), allowGlobalWindow = true),
+      requiredMarkers = Seq("BroadcastHashJoin")),
     // same final-plan shape as q_bpe_encode — the merges were learned on
     // the even half, but the corpus-encoding tail is identical
     Contract("q_bpe_assign",
-      requiredMarkers = Seq("BroadcastHashJoin"), allowGlobalWindow = true),
+      requiredMarkers = Seq("BroadcastHashJoin")),
     // hybrid RRF: the BM25 leg keeps q_bm25's posture (term-dictionary
     // broadcast, one-row stats cross, stride filter pushed to the scan);
     // the dense leg's probe batch is the declared bounded cross; the
@@ -234,22 +236,22 @@ class PlanContractSpec extends AnyFunSuite {
     Contract("q_unigram_segment", requiredMarkers = Seq(), allowBroadcastCross = true),
     Contract("q_unigram_assign", requiredMarkers = Seq(), allowBroadcastCross = true),
     // encode adds the shared BPE encode tail: segmentation + id-table
-    // broadcasts onto the corpus token scan; the one global window ranks
-    // the bounded subword vocabulary — the declared exception
+    // broadcasts onto the corpus token scan; subword ids are
+    // zip-assigned over the sorted vocabulary — no global window
     Contract("q_unigram_encode",
       requiredMarkers = Seq("BroadcastHashJoin"),
-      allowBroadcastCross = true, allowGlobalWindow = true),
+      allowBroadcastCross = true),
     // staged family union: inherits the vocab leg's declared score-total
-    // cross and the encode leg's broadcasts + bounded id-ranking window
+    // cross and the encode leg's broadcasts (ids zip-assigned, no window)
     Contract("q_unigram_staged",
       requiredMarkers = Seq("BroadcastHashJoin"),
-      allowBroadcastCross = true, allowGlobalWindow = true),
+      allowBroadcastCross = true),
     // both families' encode tails (broadcast segmentation + id table onto
-    // the corpus scan; bounded subword-vocab id-ranking windows) + one
+    // the corpus scan; subword ids zip-assigned, no global windows) + one
     // source-keyed aggregate per family
     Contract("q_tokenizer_report",
       requiredMarkers = Seq("BroadcastHashJoin"),
-      allowBroadcastCross = true, allowGlobalWindow = true),
+      allowBroadcastCross = true),
     // count-min family: explode → hash aggregate cells, probe estimate is
     // an equi-join on (keys, row_id, slot) — no cross, no global window
     Contract("q_cms_heavy_hitters", requiredMarkers = Seq()),
@@ -290,8 +292,9 @@ class PlanContractSpec extends AnyFunSuite {
       requiredMarkers = Seq("BroadcastHashJoin"),
       allowBroadcastCross = true, bnlAtMost = 1),
     // the resampling take is TakeOrdered (per-partition top-k, never a
-    // global sort); the rank window runs over the k-row survivors — the
-    // declared bounded exception
+    // global sort); the rank window runs over the k-row survivors —
+    // bounded by construction (the zipRank RDD path would hide the
+    // TakeOrdered marker from this very contract)
     Contract("q_dsir_select",
       requiredMarkers = Seq("BroadcastHashJoin", "TakeOrdered"),
       allowBroadcastCross = true, allowGlobalWindow = true, bnlAtMost = 1),

@@ -417,6 +417,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fp.forall(r => !bruteSims.contains((r._1, r._2)) || bruteSims((r._1, r._2)) == r._3))
   }
 
+  test("knnHnsw: layered-graph search recall vs brute force; exact scores; deterministic reruns") {
+    val probes = emb.filter(col("vec_id") < 20)
+    val brute = SimilarityOps.knnBrute(emb, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    def run() = SimilarityOps.knnHnsw(
+      emb, probes, "vec_id", "embedding",
+      k = 10, maxLevel = 3, mNeighbors = 10, nLists = 16, nProbe = 3, iters = 2,
+      ef = 16, roundsUpper = 1, rounds0 = 4)
+      .select("probe_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    val hnsw = run()
+    val hnswSet = hnsw.map(r => (r._1, r._2)).toSet
+    val recall = (bruteSet & hnswSet).size.toDouble / bruteSet.size
+    info(s"hnsw recall@10 = $recall (${hnswSet.size}/${bruteSet.size})")
+    // the registered bar: ≥ the IVF family's 0.94 on the same corpus
+    // (deterministic build+search — the measured value is 0.96)
+    assert(recall >= 0.94, s"recall=$recall")
+    // no self-neighbors; exact cosine wherever brute kept the same pair
+    assert(hnsw.forall(r => r._1 != r._2))
+    val bruteSims = brute.map(r => (r._1, r._2) -> r._3).toMap
+    assert(hnsw.forall(r => !bruteSims.contains((r._1, r._2)) || bruteSims((r._1, r._2)) == r._3))
+    // integer-deterministic end to end: reruns identical
+    assert(run().toSet == hnsw.toSet)
+  }
+
   test("knnIvfKmeans: k-means lists beat stride-sampled lists on recall") {
     val probes = emb.filter(col("vec_id") < 20)
     val brute = SimilarityOps.knnBrute(emb, probes, "vec_id", "embedding", 10)

@@ -727,6 +727,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(seg("zzqx").mkString == "zzqx</w>")
   }
 
+  test("batched trainer rounds ≡ one-at-a-time: BPE and WordPiece merge tables " +
+    "identical at window 1 vs 64 on the real corpus") {
+    // 40 merges on real text forces several rounds with interacting
+    // candidates, count/score ties, and trim fallbacks — the regimes the
+    // dominance argument must survive; window=1 IS the classic loop.
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val words = TextOps.bpeWordCounts(docs, "text").localCheckpoint()
+
+    val bpeSeq = TextOps.bpeTrainFromWordCounts(words, nMerges = 40, batchWindow = 1)
+    val bpeBat = TextOps.bpeTrainFromWordCounts(words, nMerges = 40, batchWindow = 64)
+    assert(bpeBat == bpeSeq)
+    assert(bpeBat.length == 40)
+
+    val wpSeq = TextOps.wordpieceTrainFromWordCounts(words, nMerges = 40, batchWindow = 1)
+    val wpBat = TextOps.wordpieceTrainFromWordCounts(words, nMerges = 40, batchWindow = 64)
+    assert(wpBat == wpSeq)
+    assert(wpBat.length == 40)
+  }
+
   test("bpeTrain stops early when no adjacent pair remains") {
     val docs = Seq((1L, "ab")).toDF("doc_id", "text")
     val got = TextOps.bpeTrain(docs, "text", nMerges = 10)
