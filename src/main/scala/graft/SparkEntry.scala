@@ -3826,6 +3826,23 @@ object SparkEntry {
       ef = 16, roundsUpper = 1, rounds0 = 4)
   }
 
+  /** Incremental/staged HNSW — [[graft.ops.SimilarityOps.knnHnswStaged]]:
+    * the layered adjacency is built from the even-id store partition,
+    * then the odd-id batch folds in (batch-governed pair blocks only)
+    * under the frozen quantizer; exactly [[qAnnHnsw]]'s result by the
+    * bounded-max monoid argument on the per-(layer, node) top-M lists,
+    * so the oracle is shared verbatim and the hash-match IS the
+    * staged-≡-from-scratch proof at the gate scale.
+    */
+  def qAnnHnswIncr(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.knnHnswStaged(
+      emb, col("vec_id") % 2 === 1, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding",
+      k = 10, maxLevel = 3, mNeighbors = 10, nLists = 16, nProbe = 3, iters = 2,
+      ef = 16, roundsUpper = 1, rounds0 = 4)
+  }
+
   /** SRP-LSH approximate top-10 for the same probe set (sign-random-
     * projection signatures, 8 bands × 8 bits), fully DuckDB-oracled: the
     * hyperplanes are spec-pinned `java.util.Random(42)` Gaussians
@@ -4056,6 +4073,7 @@ object SparkEntry {
     "q_semantic_dedup"          -> (qSemanticDedup(_, _)),
     "q_ann_ivf"                 -> (qAnnIvf(_, _)),
     "q_ann_hnsw"                -> (qAnnHnsw(_, _)),
+    "q_ann_hnsw_incr"           -> (qAnnHnswIncr(_, _)),
     "q_ann_lsh"                 -> (qAnnLsh(_, _)),
     "q_pq_encode"               -> (qPqEncode(_, _)),
     "q_ann_ivfpq"               -> (qAnnIvfPq(_, _)),
@@ -5672,7 +5690,7 @@ object SparkEntry {
     */
   private def hnswAdjCte(l: Int): String =
     s"""hm$l AS (SELECT vec_id FROM hh WHERE h % ${1L << l} = 0),
-       |adj$l AS (SELECT src, dst FROM (
+       |adj$l AS MATERIALIZED (SELECT src, dst FROM (
        |           SELECT s.src, s.dst, row_number() OVER (PARTITION BY s.src ORDER BY
        |             s.simfp DESC, s.dst) AS rn
        |           FROM sc0 s
@@ -5688,7 +5706,7 @@ object SparkEntry {
     s"""hg$i AS (SELECT probe_id, node FROM $prev
        |         UNION
        |         SELECT b.probe_id, a.dst AS node FROM $prev b JOIN adj$l a ON a.src = b.node),
-       |hb$i AS (SELECT probe_id, node FROM (
+       |hb$i AS MATERIALIZED (SELECT probe_id, node FROM (
        |          SELECT g.probe_id, g.node, row_number() OVER (PARTITION BY g.probe_id ORDER BY
        |            list_dot_product(p.pvfd, nv.vfd)::BIGINT DESC,
        |            g.node) AS rn
@@ -8349,6 +8367,7 @@ object SparkEntry {
     "q_embedding_neardup_blocked" -> embeddingNeardupBlockedOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_hnsw" -> annHnswOracle,
+    "q_ann_hnsw_incr" -> annHnswOracle,
     "q_cube_stats" ->
       """WITH e AS (SELECT event_type, ts::DATE AS event_date, value FROM events)
         |SELECT event_type, event_date, count(*) AS n,

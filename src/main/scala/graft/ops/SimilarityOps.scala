@@ -1492,56 +1492,130 @@ object SimilarityOps {
       roundsUpper: Int = 1,
       rounds0: Int = 4): DataFrame = {
     require(maxLevel >= 1 && mNeighbors >= 1 && ef >= k, "degenerate HNSW shape")
-    val dbg = sys.env.contains("SPARK_GRAFT_HNSW_DEBUG")
-    def ph[A](tag: String)(f: => A): A =
-      if (!dbg) f else {
-        val t0 = System.nanoTime; val r = f
-        println(f"HNSWPHASE $tag ${(System.nanoTime - t0) / 1e9}%.2f"); r
-      }
     val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
     val q = quantizeNormFp(c, idCol).scopedCache()
-    val cents = ph("lloyd") { lloyd(q, idCol, nLists, iters) }
-    val mp = multiProbeAssignFp(q, idCol, cents, nProbe)
-    val hashes = q.select(
-      col(idCol),
-      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-        .cast("long").as("h"))
-    val src = q.select(col(idCol).as("src"), col("vfp").as("svfp"))
-    val dst = q.select(col(idCol).as("dst"), col("vfp").as("dvfp"))
-    // candidate pairs scored exactly ONCE (the oracle's sc0), annotated
-    // with both endpoints' level hashes — the hash is a pure function of
-    // the id, so every layer's adjacency below is a FILTER over this one
-    // materialized relation (no membership joins, no per-layer shuffle of
-    // the pair set) + the heap top-M
-    val scored0 = mp.select(col(idCol).as("src"), col("cid"))
-      .join(mp.select(col(idCol).as("dst"), col("cid")), Seq("cid"))
+    val cents = hnswPh("lloyd") { lloyd(q, idCol, nLists, iters) }
+    val scored0Ck = hnswPh("scored0") {
+      hnswScoredPairs(q, q, idCol, cents, nProbe).localCheckpoint()
+    }
+    val state = hnswAdjState(scored0Ck, maxLevel, mNeighbors)
+    hnswSearch(c, q, probes, idCol, vecCol, state, k, maxLevel, ef, roundsUpper, rounds0)
+  }
+
+  private def hnswHash(cc: Column): Column =
+    conv(substring(md5(cc.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Env-gated phase timer for the HNSW build (SPARK_GRAFT_HNSW_DEBUG). */
+  private def hnswPh[A](tag: String)(f: => A): A =
+    if (!sys.env.contains("SPARK_GRAFT_HNSW_DEBUG")) f
+    else {
+      val t0 = System.nanoTime; val r = f
+      println(f"HNSWPHASE $tag ${(System.nanoTime - t0) / 1e9}%.2f"); r
+    }
+
+  /** Directed scored candidate pairs src ∈ qa → dst ∈ qb sharing a probed
+    * list under the FROZEN quantizer `cents`, annotated with both
+    * endpoints' level hashes (pure functions of the id, so layer
+    * adjacencies are FILTERS over this relation, never membership joins).
+    * The one-shot build calls this with qa = qb = the whole corpus; the
+    * incremental fold calls it per (batch×store / store×batch /
+    * batch×batch) block — list routing is a per-vector function, so the
+    * union corpus's candidate set decomposes EXACTLY into these blocks.
+    */
+  private def hnswScoredPairs(
+      qa: DataFrame, qb: DataFrame, idCol: String,
+      cents: DataFrame, nProbe: Int): DataFrame = {
+    // vectors travel WITH their (id, cid) routing rows into the cid
+    // equi-join (n·nProbe rows — the only array-carrying shuffle), and
+    // dots are computed INSIDE the join so the pair-scale relation that
+    // comes out carries only (src, dst, sim, hashes) — attaching arrays
+    // to the pair relation afterwards would shuffle |pairs|·dim values
+    // and is exactly what overflowed local disk at the sf1 smoke's 20k
+    // decade. Probe-overlap duplicates score identically (the dot is a
+    // pure function of the pair), so the trailing distinct collapses them
+    val routedA = multiProbeAssignFp(qa, idCol, cents, nProbe).join(qa, Seq(idCol))
+    // the self-build (qa eq qb) routes the corpus ONCE — the n×k routing
+    // pass is the build's quadratic-with-granularity term, not worth
+    // paying twice for the two join arms
+    val routedB =
+      if (qb eq qa) routedA else multiProbeAssignFp(qb, idCol, cents, nProbe).join(qb, Seq(idCol))
+    val qa2 = routedA.select(col(idCol).as("src"), col("cid"), col("vfp").as("svfp"))
+    val qb2 = routedB.select(col(idCol).as("dst"), col("cid"), col("vfp").as("dvfp"))
+    qa2.join(qb2, Seq("cid"))
       .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
-      .join(src, "src").join(dst, "dst")
-      .withColumn("sim_fp",
-        graft.functions.VectorFunctions.graft_dotfp(col("svfp"), col("dvfp")))
-      .withColumn("hsrc",
-        conv(substring(md5(col("src").cast("string")), 1, 15), 16, 10).cast("long"))
-      .withColumn("hdst",
-        conv(substring(md5(col("dst").cast("string")), 1, 15), 16, 10).cast("long"))
-      .select(col("src"), col("dst"), col("sim_fp"), col("hsrc"), col("hdst"))
-    val scored0Ck = ph("scored0") { scored0.localCheckpoint() }
-    // top-M per src via the bounded heap aggregator — map-side partial
-    // combine reduces each partition to M rows before the shuffle, where
-    // a rank window would sort the whole candidate relation. sim_fp ≤
-    // 1e12 < 2^53, so the Double-scored heap preserves the exact integer
-    // order (ties to the lower dst, the window's order).
+      .select(
+        col("src"), col("dst"),
+        graft.functions.VectorFunctions.graft_dotfp(col("svfp"), col("dvfp")).as("sim_fp"),
+        hnswHash(col("src")).as("hsrc"),
+        hnswHash(col("dst")).as("hdst"))
+      .distinct()
+  }
+
+  /** The maintainable HNSW adjacency STATE: per layer (lvl ≤ maxLevel),
+    * each node's top-M candidates WITH their scores —
+    * `(lvl, src, dst, sim_fp)`. Keeping sim_fp makes the relation a
+    * bounded-max monoid per (lvl, src) (the KMV min-k argument): folding
+    * new scored pairs in with [[hnswMergeAdjState]] is EXACTLY the
+    * from-scratch top-M over the union candidate set, because a candidate
+    * outside a top-M can never re-enter once MORE candidates arrive.
+    * Top-M rides the heap aggregator (map-side combine — never a pair-set
+    * sort); sim_fp ≤ 1e12 < 2^53 so the Double-scored heap preserves the
+    * exact integer order (ties to the lower dst).
+    */
+  def hnswAdjState(scored: DataFrame, maxLevel: Int, mNeighbors: Int): DataFrame = {
     val topM = udaf(new graft.functions.TopKAggregator(mNeighbors))
-    val adj: Map[Int, DataFrame] = (0 to maxLevel).map { l =>
-      l -> ph(s"adj$l") {
-        scored0Ck
+    (0 to maxLevel).map { l =>
+      hnswPh(s"adj$l") {
+        scored
           .filter(col("hsrc") % lit(1L << l) === 0 && col("hdst") % lit(1L << l) === 0)
           .groupBy(col("src"))
           .agg(topM(col("sim_fp").cast("double"), col("dst")).as("top"))
-          .select(col("src"), explode(col("top.id")).as("dst"))
+          .select(lit(l).as("lvl"), col("src"), explode(col("top")).as("e"))
+          .select(col("lvl"), col("src"), col("e.id").as("dst"),
+            col("e.score").cast("long").as("sim_fp"))
           .localCheckpoint()
       }
+    }.reduce(_ unionByName _)
+  }
+
+  /** Fold newly-arrived scored pairs into an adjacency state — exact by
+    * the bounded-max monoid argument on [[hnswAdjState]] (top-M of
+    * (state ∪ new) per (lvl, src) = from-scratch top-M over all pairs
+    * ever seen, under the SAME frozen quantizer). The per-batch cost is
+    * governed by the batch's pair blocks, never the store size.
+    */
+  def hnswMergeAdjState(
+      state: DataFrame, newScored: DataFrame,
+      maxLevel: Int, mNeighbors: Int): DataFrame = {
+    val topM = udaf(new graft.functions.TopKAggregator(mNeighbors))
+    val newLeveled = (0 to maxLevel).map { l =>
+      newScored
+        .filter(col("hsrc") % lit(1L << l) === 0 && col("hdst") % lit(1L << l) === 0)
+        .select(lit(l).as("lvl"), col("src"), col("dst"), col("sim_fp"))
+    }.reduce(_ unionByName _)
+    state.select(col("lvl"), col("src"), col("dst"), col("sim_fp"))
+      .unionByName(newLeveled)
+      .groupBy(col("lvl"), col("src"))
+      .agg(topM(col("sim_fp").cast("double"), col("dst")).as("top"))
+      .select(col("lvl"), col("src"), explode(col("top")).as("e"))
+      .select(col("lvl"), col("src"), col("e.id").as("dst"),
+        col("e.score").cast("long").as("sim_fp"))
+      .localCheckpoint()
+  }
+
+  /** The HNSW descent over a built adjacency state: greedy width-1 hops
+    * down layers maxLevel→1, then rounds0 beam rounds at width ef on
+    * layer 0, exact-cosine top-k at the end — see [[knnHnsw]] for the
+    * full contract.
+    */
+  private def hnswSearch(
+      c: DataFrame, q: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, state: DataFrame,
+      k: Int, maxLevel: Int, ef: Int, roundsUpper: Int, rounds0: Int): DataFrame = {
+    val adj: Map[Int, DataFrame] = (0 to maxLevel).map { l =>
+      l -> state.filter(col("lvl") === l).select(col("src"), col("dst"))
     }.toMap
+    val hashes = q.select(col(idCol), hnswHash(col(idCol)).as("h"))
     val lvlOf = (1 to maxLevel)
       .map(l => when(col("h") % lit(1L << l) === 0, 1).otherwise(0))
       .reduce(_ + _)
@@ -1574,9 +1648,9 @@ object SimilarityOps {
         .localCheckpoint()
     }
     for (l <- maxLevel to 1 by -1; _ <- 1 to roundsUpper)
-      beam = ph(s"round-l$l") { round(beam, l, 1) }
+      beam = hnswPh(s"round-l$l") { round(beam, l, 1) }
     for (r <- 1 to rounds0)
-      beam = ph(s"round-0.$r") { round(beam, 0, ef) }
+      beam = hnswPh(s"round-0.$r") { round(beam, 0, ef) }
     val out = beam
       .join(c.select(col(idCol).as("node"), col("v").as("nv"), col("nrm").as("nn")), "node")
       .join(p.select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn")),
@@ -1588,6 +1662,49 @@ object SimilarityOps {
     out.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("node").as("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** [[knnHnsw]] with the build split into the OPERATING increments: the
+    * layered adjacency state is built from the store partition's pairs,
+    * then the batch partition folds in via [[hnswMergeAdjState]] (pair
+    * blocks batch×store, store×batch, batch×batch — never store×store
+    * again), and the search runs over the merged state. With the
+    * quantizer FROZEN across the fold (trained once; operationally on
+    * whatever corpus version last refit), the result is EXACTLY
+    * [[knnHnsw]]'s on the union corpus — the registered q_ann_hnsw_incr
+    * shares q_ann_hnsw's oracle verbatim on that contract. A
+    * re-clustering refit is a scheduled full rebuild, the same posture as
+    * the IVF fitted-index split.
+    */
+  def knnHnswStaged(
+      corpus: DataFrame,
+      batchPred: Column,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxLevel: Int = 3,
+      mNeighbors: Int = 10,
+      nLists: Int = 16,
+      nProbe: Int = 3,
+      iters: Int = 2,
+      ef: Int = 16,
+      roundsUpper: Int = 1,
+      rounds0: Int = 4): DataFrame = {
+    val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
+    val q = quantizeNormFp(c, idCol).scopedCache()
+    val cents = lloyd(q, idCol, nLists, iters)
+    val qStore = q.filter(!batchPred)
+    val qBatch = q.filter(batchPred)
+    val storeState = hnswAdjState(
+      hnswScoredPairs(qStore, qStore, idCol, cents, nProbe).localCheckpoint(),
+      maxLevel, mNeighbors)
+    val newPairs = hnswScoredPairs(qBatch, qStore, idCol, cents, nProbe)
+      .unionByName(hnswScoredPairs(qStore, qBatch, idCol, cents, nProbe))
+      .unionByName(hnswScoredPairs(qBatch, qBatch, idCol, cents, nProbe))
+      .localCheckpoint()
+    val merged = hnswMergeAdjState(storeState, newPairs, maxLevel, mNeighbors)
+    hnswSearch(c, q, probes, idCol, vecCol, merged, k, maxLevel, ef, roundsUpper, rounds0)
   }
 
   /** Distributed Lloyd k-means, fully ENGINE-EXACT: vector components

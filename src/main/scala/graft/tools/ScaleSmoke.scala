@@ -1056,20 +1056,26 @@ object ScaleSmoke {
       }
     }
     // ---- sf1: the 10× rehearsal — every headline family at an
-    // sf1-EQUIVALENT corpus (sf0.1 replicated ×10) with a ×5 midpoint, so
-    // the per-decade growth ratio is read off directly. The claim under
-    // test is the one the plan-shape arguments make: doubling rows at
-    // this scale must not super-linearly grow any family (pair
+    // sf1-EQUIVALENT corpus (sf0.1 replicated ×10), with a ×2 decade as
+    // the JIT/codegen warm-up (its times are cold and not read) and a ×5
+    // midpoint, so the 5→10 per-decade growth ratio is read off warm.
+    // The claim under test is the one the plan-shape arguments make:
+    // doubling rows must not super-linearly grow any family (pair
     // generation stays dup-structure-governed, ANN stays list-pruned,
     // packing stays one-shuffle). seconds(k=10)/seconds(k=5) ≤ ~2.4
     // (linear + constant overheads) is the pass bar recorded in PLANS.md.
+    // The embedding ops scale their quantizer granularity with the
+    // corpus (nLists ∝ n, constant expected list size) — the documented
+    // 100 TB operating posture; a FIXED nLists at growing n is the
+    // known-quadratic regime the neardupskew section already pins.
     if (want("sf1")) println("sf1: k,rows,op,seconds,result_rows")
-    ks("sf1", Seq(5, 10), Seq(5, 10)).foreach { k =>
+    ks("sf1", Seq(2, 5, 10), Seq(2, 5, 10)).foreach { k =>
       import graft.ops.{SamplingOps, SimilarityOps}
       val corpus = copyK(k).cache()
       val n = corpus.count()
       val emb = embK(k).cache()
       val nv = emb.count()
+      val nl = math.max(8, (nv / 250L).toInt)
       def timedRow(op: String, rows: Long)(f: => Long): Unit = {
         spark.sharedState.cacheManager.clearCache(); System.gc()
         corpus.cache().count(); emb.cache().count()
@@ -1088,18 +1094,22 @@ object ScaleSmoke {
       }
       timedRow("semantic_dedup", nv) {
         val pairs = SimilarityOps.cosineNearDupPairsBlockedFp(
-          emb, "vec_id", "embedding", threshold = 0.4, nLists = 8, nProbe = 2, iters = 2)
+          emb, "vec_id", "embedding", threshold = 0.4, nLists = nl, nProbe = 2, iters = 2)
         DedupOps.connectedComponentsFast(pairs, "id_a", "id_b").count()
       }
       timedRow("ann_ivfpq", nv) {
         SimilarityOps.knnIvfPq(
           emb, emb.filter(pmod(col("vec_id"), lit(500L)) === 3), "vec_id", "embedding",
-          dim = 64, m = 8, kSub = 16, k = 10, nLists = 8, nProbe = 4).count()
+          dim = 64, m = 8, kSub = 16, k = 10, nLists = nl, nProbe = 4).count()
       }
       timedRow("ann_hnsw", nv) {
+        // finer quantizer than the search ops (nv/125 ≈ 375-vector lists):
+        // the graph BUILD pays nProbe²·listSize candidates per node, so
+        // granularity is the knob that keeps the pair volume (and the
+        // distinct's memory) linear-in-n at a useful constant
         SimilarityOps.knnHnsw(
           emb, emb.filter(pmod(col("vec_id"), lit(500L)) === 3), "vec_id", "embedding",
-          k = 10).count()
+          k = 10, nLists = math.max(16, (nv / 125L).toInt)).count()
       }
       timedRow("pack_sequences", n) {
         SamplingOps.packSequences(corpus, "doc_id", "text",
@@ -1161,15 +1171,33 @@ object ScaleSmoke {
       timedRow("merge_clusters") {
         DedupOps.mergeClusters(labeled, batchPairs.select(col("doc_a"), col("doc_b"))).count()
       }
-      // TEXT leg: hot family = 25% of docs sharing one 40-token text with
-      // a single per-doc salt token (same-family Jaccard ≈ 0.9)
-      val hotBody = (1 to 40).map(i => s"hot$i").mkString(" ")
+      // TEXT leg: hot SHINGLES without quadratic truth — 25% of docs share
+      // a 20-token boilerplate template (those shingles' df = n/4, the hot
+      // key) but carry 20 id-unique tokens each, so same-family Jaccard ≈
+      // 0.31 < the 0.5 threshold and the TRUE pair set is ~empty; cold
+      // docs are group-of-4 structured with id-salted heads so no cold
+      // pair reaches the threshold either (an early cut of this plant
+      // left 4-of-6 shared trigrams between cold docs — J exactly 0.50 —
+      // and 27.5M TRUE pairs; a family of actual near-copies is an
+      // inherently quadratic OUTPUT and not a sub-quadratic test). The op
+      // under test is the df-capped shingle join (jaccardPairs, the
+      // registered contract): uncapped, the hot template's postings would
+      // emit ~(n/4)²/2 candidates; the cap must keep candidate volume —
+      // and therefore time — growing with n, not n². (The banded-LSH
+      // path is NOT the sub-quadratic guard here by design: band
+      // collision probability is J^rows per band, so a J≈0.3 family
+      // still emits a constant FRACTION of its all-pairs as candidates —
+      // the df/bucket cap, not banding, is what bounds hot keys.)
+      val hotBody = (1 to 20).map(i => s"hot$i").mkString(" ")
       val docs = ids.select(col("id").as("doc_id"),
         when(col("id") < n / 4,
-          concat(lit(hotBody), lit(" salt"), pmod(col("id"), lit(7L))))
-          .otherwise(concat(lit("cold "),
-            (col("id") / 4).cast("string"), lit(" body word"),
-            pmod(col("id"), lit(4L)).cast("string"), lit(" tail text plus filler")))
+          concat(lit(hotBody), lit(" "), concat_ws(" ",
+            (0 until 20).map(j => concat(lit(s"u${j}_"), col("id").cast("string"))): _*)))
+          .otherwise(concat(
+            lit("c"), col("id").cast("string"),
+            lit(" d"), col("id").cast("string"),
+            lit(" body word"), pmod(col("id"), lit(4L)).cast("string"),
+            lit(" tail text")))
           .as("text")).cache()
       docs.count()
       def timedDocs(op: String)(f: => Long): Unit = {
@@ -1179,8 +1207,8 @@ object ScaleSmoke {
         val out = f
         println(s"skew: $k,$n,${n / 4},$op,${(System.nanoTime() - t0) / 1e9},$out")
       }
-      timedDocs("minhash_capped") {
-        DedupOps.minhashLshPairs(docs, "doc_id", "text", 3, 0.5).count()
+      timedDocs("jaccard_capped") {
+        DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
       }
       pairs.unpersist(); batchPairs.unpersist(); storePairs.unpersist(); docs.unpersist()
     }

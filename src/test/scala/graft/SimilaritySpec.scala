@@ -442,6 +442,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run().toSet == hnsw.toSet)
   }
 
+  test("knnHnswStaged: store+batch fold under the frozen quantizer equals the one-shot build exactly") {
+    val probes = emb.filter(col("vec_id") < 20)
+    def full = SimilarityOps.knnHnsw(
+      emb, probes, "vec_id", "embedding", k = 10)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // two different splits (half/half and 1-in-5) — the monoid fold must
+    // be split-invariant, not lucky on one partition shape
+    Seq(col("vec_id") % 2 === 1, col("vec_id") % 5 === 0).foreach { pred =>
+      val staged = SimilarityOps.knnHnswStaged(
+        emb, pred, probes, "vec_id", "embedding", k = 10)
+        .select("probe_id", "neighbor_id", "sim", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(staged == full, s"staged fold diverged for split $pred")
+    }
+  }
+
   test("knnIvfKmeans: k-means lists beat stride-sampled lists on recall") {
     val probes = emb.filter(col("vec_id") < 20)
     val brute = SimilarityOps.knnBrute(emb, probes, "vec_id", "embedding", 10)
