@@ -1505,6 +1505,56 @@ object SimilarityOps {
   private def hnswHash(cc: Column): Column =
     conv(substring(md5(cc.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** The HNSW working-row shape `(idCol, v, nrm, vfp)` — raw doubles for
+    * the exact-cosine output leg plus the micro-quantized integer vector
+    * for every build/search decision. The streaming maintainer persists
+    * exactly this relation per batch (vectors are the additive,
+    * id-idempotent state; the adjacency is derived).
+    */
+  private[graft] def hnswPrep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    prepared(df, idCol, vecCol)
+      .filter(col("nrm") > 0)
+      .select(col(idCol), col("v"), col("nrm"),
+        // inline (x / nrm) * 1e6 — the same double-op sequence as
+        // preparedNonZero∘quantizeNormFp, without the dropped `vn`
+        // alias whose inferred constraint trips streaming batch plans
+        // (QueryPlanConstraints "key not found" on the pruned attribute)
+        transform(col("v"),
+          x => round(x / col("nrm") * lit(1000000.0)).cast("long")).as("vfp"))
+
+  /** The frozen-quantizer fit for the HNSW family — the engine-exact
+    * integer Lloyd over the normalized micro-quantized corpus, exposed so
+    * an operating deployment (and the streaming maintainer's equality
+    * spec) can train ONCE and hold the centroids across increments.
+    * Deterministic: the same corpus always yields the same centroids, so
+    * this equals [[knnHnsw]]'s internal fit on that corpus.
+    */
+  def hnswFitCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 16, iters: Int = 2): DataFrame =
+    lloyd(quantizeNormFp(preparedNonZero(corpus, idCol, vecCol), idCol),
+      idCol, nLists, iters).localCheckpoint()
+
+  /** [[hnswScoredPairs]] over `(id, vfp)` relations with externally-held
+    * centroids — the streaming maintainer's pair-block generator.
+    */
+  private[graft] def hnswScoredPairsFor(
+      qa: DataFrame, qb: DataFrame, idCol: String,
+      cents: DataFrame, nProbe: Int): DataFrame =
+    hnswScoredPairs(qa, qb, idCol, cents, nProbe)
+
+  /** [[hnswSearch]] over an externally-maintained `(id, v, nrm, vfp)`
+    * relation and adjacency state — the streaming maintainer's query leg.
+    */
+  private[graft] def hnswSearchOver(
+      rel: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      state: DataFrame, k: Int, maxLevel: Int, ef: Int,
+      roundsUpper: Int, rounds0: Int): DataFrame =
+    hnswSearch(
+      rel.select(col(idCol), col("v"), col("nrm")),
+      rel.select(col(idCol), col("vfp")),
+      probes, idCol, vecCol, state, k, maxLevel, ef, roundsUpper, rounds0)
+
   /** Env-gated phase timer for the HNSW build (SPARK_GRAFT_HNSW_DEBUG). */
   private def hnswPh[A](tag: String)(f: => A): A =
     if (!sys.env.contains("SPARK_GRAFT_HNSW_DEBUG")) f
@@ -1595,6 +1645,13 @@ object SimilarityOps {
     }.reduce(_ unionByName _)
     state.select(col("lvl"), col("src"), col("dst"), col("sim_fp"))
       .unionByName(newLeveled)
+      // an at-least-once re-delivery can present a pair that is already
+      // in the state (and in more than one pair block): without this
+      // dedup the duplicate occupies TWO of the M heap slots and evicts
+      // a genuinely distinct neighbor — the fold must be idempotent on
+      // PAIRS, not rows (sim_fp is functional on the pair, so the key
+      // is (lvl, src, dst))
+      .dropDuplicates("lvl", "src", "dst")
       .groupBy(col("lvl"), col("src"))
       .agg(topM(col("sim_fp").cast("double"), col("dst")).as("top"))
       .select(col("lvl"), col("src"), explode(col("top")).as("e"))

@@ -397,6 +397,15 @@ object Streaming {
     /** Merge the running state with one new partial. */
     protected def mergeOne(prev: DataFrame, part: DataFrame): DataFrame
 
+    /** Subclass hook invoked once per batch with the PRE-merge state and
+      * the batch partial — for derived structures maintained NEXT TO the
+      * monoid state (e.g. [[HnswIndexStream]]'s adjacency fold). MUST be
+      * idempotent under checkpoint replay: the first batch after a
+      * restart can be a re-delivery, and the base class only fences the
+      * primary state (via the slot rebuild), not what this hook builds.
+      */
+    protected def onBatch(prev: Option[DataFrame], part: DataFrame): Unit = ()
+
     @volatile private var state: Option[DataFrame] = None
     // false until this query instance has processed its first batch: the
     // FIRST batch after a (re)start may be a checkpoint replay whose
@@ -479,6 +488,7 @@ object Streaming {
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val part = partial(batch).localCheckpoint(true)
+          onBatch(state, part)
           state = storeDir match {
             case Some(d) =>
               // idempotent slot write; replay-safe rebuild only on the
@@ -1123,6 +1133,108 @@ object Streaming {
         .localCheckpoint(true))
       emitted
     }
+  }
+
+  /** Maintained HNSW index over a micro-batched vector stream — the
+    * streaming twin of the q_ann_hnsw / q_ann_hnsw_incr family. The
+    * quantizer is FROZEN (train once with
+    * [[graft.ops.SimilarityOps.hnswFitCentroids]]; a re-clustering refit
+    * is a scheduled rebuild, the IVF fitted-index posture). Two
+    * structures live here:
+    *
+    *  - the VECTOR STATE `(id, v, nrm, vfp)` — the primary monoid state
+    *    riding the [[MonoidSlotStream]] slot protocol: per-batch partials
+    *    are disjoint-by-id (dropDuplicates makes the fold id-IDEMPOTENT,
+    *    so a replayed document can never double), slots persist the
+    *    batch's own rows, restart rebuilds by folding committed slots;
+    *  - the ADJACENCY `(lvl, src, dst, sim_fp)` — DERIVED state folded
+    *    per batch through [[graft.ops.SimilarityOps.hnswMergeAdjState]]
+    *    over the batch's pair blocks (new×store, store×new, new×new —
+    *    never store×store again): exact by the bounded-max monoid
+    *    argument, idempotent under checkpoint replay (re-merging the same
+    *    scored pairs is a no-op), and NOT persisted — after a restart
+    *    [[currentAdj]] rebuilds it once from the recovered vectors, which
+    *    equals any incremental fold order by the same argument.
+    *
+    * [[search]] runs the registered descent over the live index at any
+    * moment. Per-batch cost is governed by the batch's pair blocks (the
+    * store side enters only through the cid equi-join), never the store
+    * size; the restart rebuild is the one corpus-pair-sized cost, paid
+    * once per process, amortized exactly like NearDupClusterStream's
+    * bank recovery.
+    */
+  class HnswIndexStream(
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      maxLevel: Int = 3,
+      mNeighbors: Int = 10,
+      nProbe: Int = 3,
+      storeDir: Option[String] = None)
+      extends MonoidSlotStream(storeDir) {
+    import graft.ops.SimilarityOps
+
+    @volatile private var adj: Option[DataFrame] = None
+
+    protected def partial(batch: DataFrame): DataFrame = {
+      // strip the foreachBatch LogicalRDD's imported constraints — they
+      // can reference stream-side attributes pruned from the batch
+      // output, and the self-join-heavy pair plan then dies in
+      // QueryPlanConstraints ("key not found") — by recreating the batch
+      // from its raw RDD
+      val clean = batch.sparkSession.createDataFrame(batch.rdd, batch.schema)
+      SimilarityOps.hnswPrep(clean, idCol, vecCol)
+    }
+    protected def foldPartials(partials: DataFrame): DataFrame =
+      partials.dropDuplicates(idCol)
+    protected def mergeOne(prev: DataFrame, part: DataFrame): DataFrame =
+      prev.unionByName(part).dropDuplicates(idCol)
+
+    override protected def onBatch(prev: Option[DataFrame], part: DataFrame): Unit = {
+      val newQ = part.select(col(idCol), col("vfp"))
+      val blocks = prev match {
+        case Some(p) =>
+          val storeQ = p.select(col(idCol), col("vfp"))
+          SimilarityOps.hnswScoredPairsFor(newQ, newQ, idCol, centroids, nProbe)
+            .unionByName(
+              SimilarityOps.hnswScoredPairsFor(newQ, storeQ, idCol, centroids, nProbe))
+            .unionByName(
+              SimilarityOps.hnswScoredPairsFor(storeQ, newQ, idCol, centroids, nProbe))
+        case None =>
+          SimilarityOps.hnswScoredPairsFor(newQ, newQ, idCol, centroids, nProbe)
+      }
+      val pairs = blocks.localCheckpoint(true)
+      adj = Some(adj match {
+        case Some(a) => SimilarityOps.hnswMergeAdjState(a, pairs, maxLevel, mNeighbors)
+        case None    => SimilarityOps.hnswAdjState(pairs, maxLevel, mNeighbors)
+      })
+    }
+
+    /** The live layered adjacency `(lvl, src, dst, sim_fp)`; rebuilt once
+      * from the recovered vector state after a restart.
+      */
+    def currentAdj: Option[DataFrame] = adj.orElse {
+      current.map { rel =>
+        val q = rel.select(col(idCol), col("vfp"))
+        val a = SimilarityOps.hnswAdjState(
+          SimilarityOps.hnswScoredPairsFor(q, q, idCol, centroids, nProbe)
+            .localCheckpoint(true),
+          maxLevel, mNeighbors)
+        adj = Some(a)
+        a
+      }
+    }
+
+    /** Registered-descent search over the live index — the
+      * [[graft.ops.SimilarityOps.knnHnsw]] output contract
+      * (probe_id, neighbor_id, sim, rank).
+      */
+    def search(
+        probes: DataFrame, k: Int, ef: Int = 16,
+        roundsUpper: Int = 1, rounds0: Int = 4): Option[DataFrame] =
+      for { rel <- current; a <- currentAdj } yield
+        SimilarityOps.hnswSearchOver(
+          rel, probes, idCol, vecCol, a, k, maxLevel, ef, roundsUpper, rounds0)
   }
 
   class NearDupClusterStream(

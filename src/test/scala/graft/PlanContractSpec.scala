@@ -94,6 +94,14 @@ class PlanContractSpec extends AnyFunSuite {
     // the custom physical operator IS the contract: the naive form of the
     // band lookup is a theta-join that plans as BNL
     Contract("q_range_band_fast", requiredMarkers = Seq("RangeLookupJoin")),
+    // HNSW: the build (quantizer fit, pair scoring, layer adjacencies,
+    // search rounds) is checkpoint-materialized — the visible plan is the
+    // final exact-cosine top-k tail: beam scan + two id-equi joins (small
+    // sides broadcast) + the probe-keyed rank window; no cartesian, no
+    // BNL, no global window may appear in that tail
+    Contract("q_ann_hnsw", requiredMarkers = Seq("BroadcastHashJoin")),
+    // the staged fold must keep the identical search-tail posture
+    Contract("q_ann_hnsw_incr", requiredMarkers = Seq("BroadcastHashJoin")),
     // wedge join tail over the checkpoint-materialized pair artifact (the
     // df-capped shingle broadcasts live inside the artifact's own run);
     // the degree/triangle legs shuffle-join on node ids

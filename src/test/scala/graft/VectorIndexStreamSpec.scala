@@ -37,6 +37,43 @@ class VectorIndexStreamSpec extends AnyFunSuite {
     finally q.stop()
   }
 
+  test("HnswIndexStream: 3-batch ingest ≡ one-shot knnHnsw on the real corpus; re-fed batch is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val probes = emb.filter(col("vec_id") < 20)
+    // frozen quantizer trained on the full corpus — deterministic Lloyd,
+    // so it EQUALS knnHnsw's internal fit on the same corpus and the
+    // one-shot result is the exact comparator
+    val cents = SimilarityOps.hnswFitCentroids(emb, "vec_id", "embedding")
+    val oneShot = SimilarityOps.knnHnsw(emb, probes, "vec_id", "embedding", k = 10)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val batches = Seq(
+      rows.filter(_._1 % 3 == 0), rows.filter(_._1 % 3 == 1), rows.filter(_._1 % 3 == 2))
+    val his = new Streaming.HnswIndexStream("vec_id", "embedding", cents)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = his.start(in.toDF().toDF("vec_id", "embedding"),
+      Files.createTempDirectory("graft-hnsw-ck").toString)
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val streamed = his.search(probes, k = 10).get
+        .select("probe_id", "neighbor_id", "sim", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(streamed == oneShot,
+        "incrementally-folded index must equal the one-shot build exactly")
+      // at-least-once: re-feeding a whole batch leaves the index unchanged
+      // (id-idempotent vector fold; max-idempotent adjacency fold)
+      in.addData(batches(1)); q.processAllAvailable()
+      val again = his.search(probes, k = 10).get
+        .select("probe_id", "neighbor_id", "sim", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(again == oneShot, "re-delivered batch must be a provable no-op")
+    } finally q.stop()
+  }
+
   test("streamed index == one-shot assignment with the first-batch quantizer; replay is a no-op") {
     val vis = new Streaming.VectorIndexStream("vec_id", "embedding", nLists = 8)
     val ck = Files.createTempDirectory("graft-vis-ck").toString
