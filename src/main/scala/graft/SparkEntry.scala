@@ -5715,7 +5715,7 @@ object SparkEntry {
 
   /** HNSW end-to-end oracle: the shared fixed-point k-means CTEs, the
     * md5-geometric level law, four layer adjacencies, the max-level
-    * entry, greedy layer descent (3→1, width 1) plus three ef=12 beam
+    * entry, greedy layer descent (3→1, width 1) plus four ef=16 beam
     * rounds at layer 0, and the exact-cosine top-10 — the full mirror of
     * [[graft.ops.SimilarityOps.knnHnsw]] at the registered parameters.
     */

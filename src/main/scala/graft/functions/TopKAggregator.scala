@@ -43,3 +43,45 @@ class TopKAggregator(k: Int)
 object TopKAggregator {
   case class Entry(score: Double, id: Long)
 }
+
+/** [[TopKAggregator]] with id-DEDUP folded into the heap: an id already in
+  * the buffer is skipped on reduce and collapsed on merge, so a candidate
+  * relation whose duplicates score identically (the HNSW scored pairs —
+  * multi-probe overlap emits the same (src, dst) from up to nProbe² shared
+  * lists, and the score is a pure function of the pair) needs NO upstream
+  * `distinct`: the r11 sf1 smoke's 22.5M-row pair distinct was a full-width
+  * hash aggregate that spilled at the 16 GiB heap, doing exactly the work
+  * these map-side partial heaps already do in O(k) memory per group.
+  *
+  * Contract: duplicate ids carry EQUAL scores (sim is functional on the
+  * pair). A contract-violating feed still yields a deterministic result —
+  * the surviving entry is the better (score desc, id asc) one on merge —
+  * but per-id score retraction is out of scope, like the adjacency fold's
+  * same-id⇒same-vector rule.
+  */
+class TopKDistinctAggregator(k: Int)
+    extends Aggregator[TopKAggregator.Entry, Seq[TopKAggregator.Entry], Seq[TopKAggregator.Entry]] {
+  import TopKAggregator.Entry
+
+  require(k > 0, "TopKDistinctAggregator needs k > 0")
+
+  private def better(a: Entry, b: Entry): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  /** Keep the first (= best, input sorted) occurrence of each id. */
+  private def dedupSorted(s: Seq[Entry]): Seq[Entry] = {
+    val seen = scala.collection.mutable.LongMap.empty[Unit]
+    s.filter(e => seen.put(e.id, ()).isEmpty)
+  }
+
+  override def zero: Seq[Entry] = Vector.empty
+  override def reduce(buf: Seq[Entry], e: Entry): Seq[Entry] =
+    if (buf.exists(_.id == e.id)) buf // equal-score duplicate by contract
+    else if (buf.size >= k && better(buf.last, e)) buf
+    else ((buf :+ e).sortWith(better)).take(k)
+  override def merge(a: Seq[Entry], b: Seq[Entry]): Seq[Entry] =
+    dedupSorted((a ++ b).sortWith(better)).take(k)
+  override def finish(buf: Seq[Entry]): Seq[Entry] = buf
+  override def bufferEncoder: Encoder[Seq[Entry]] = ExpressionEncoder[Seq[Entry]]()
+  override def outputEncoder: Encoder[Seq[Entry]] = bufferEncoder
+}

@@ -673,8 +673,11 @@ object SimilarityOps {
       iters: Int = 2): DataFrame = {
     val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
     val q = quantizeNormFp(c, idCol).scopedCache()
-    val cents = lloyd(q, idCol, nLists, iters)
-    val assigned = multiProbeAssignFp(q, idCol, cents, nProbe)
+    // granularity-adaptive routing: ≤32 lists (every oracled call) is the
+    // verbatim flat form; larger granularities (nLists ∝ n at scale) take
+    // the two-level tree that kills the n·nLists routing quadratic
+    val routing = fitRouting(q, idCol, nLists, iters)
+    val assigned = multiProbeRoute(q, idCol, routing, nProbe)
     val cand = assigned.select(col(idCol).as("id_a"), col("cid"))
       .join(assigned.select(col(idCol).as("id_b"), col("cid")), Seq("cid"))
       .filter(col("id_a") < col("id_b"))
@@ -732,6 +735,103 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col(idCol).as("neighbor_id"), col("sim"), col("rank"))
   }
+
+  /** Routing artifact of the fixed-point direction quantizer — FLAT (one
+    * Lloyd fit; every vector ranks all nLists centroids) below
+    * [[HierRoutingThreshold]], HIERARCHICAL two-level above it. The flat
+    * n·nLists routing term is the measured scale-killer of the r11 sf1
+    * smoke: with nLists ∝ n (the constant-list-size operating posture)
+    * it is n²/const — HNSW build+search grew 3.48× and semantic dedup
+    * 2.38× per 2× rows while every pair pipeline stayed linear. The
+    * two-level tree routes in n·(k1 + nProbe·k2) ≈ n·(1+nProbe)·√nLists
+    * — n^1.5 when nLists ∝ n, and ~4× less absolute work already at the
+    * 20k-vector decade — while keeping routing a PURE PER-VECTOR function
+    * of the frozen tree, so the pair-block decomposition every
+    * incremental/streaming fold relies on is unchanged.
+    *
+    * The threshold keeps every ORACLED query (nLists ≤ 16) on the flat
+    * path bit-for-bit; the hier path is recall-pinned in SimilaritySpec
+    * (approximate blocking has no exactness contract — only the chosen
+    * lists change, and verification/scoring stays exact either way).
+    */
+  private[graft] sealed trait FpRouting
+  private[graft] final case class FlatRouting(cents: DataFrame) extends FpRouting
+  private[graft] final case class HierRouting(
+      cents1: DataFrame, cents2: DataFrame, k2: Int) extends FpRouting
+
+  /** Largest nLists still routed flat — chosen between the registered
+    * queries' granularities (8/16, which must stay oracle-exact) and the
+    * sf1 smoke's scaled ones (80-160, where the n·nLists term dominates).
+    */
+  private[graft] val HierRoutingThreshold = 32
+
+  /** Fit the routing artifact for an `(idCol, vfp)` relation (caller
+    * caches it — the fit scans it). Flat: the full-corpus integer Lloyd,
+    * exactly as before. Hier: level-1 centroids (k1 = ⌈√nLists⌉) fit on a
+    * fixed-target deterministic hash-sample — quantizer quality needs the
+    * direction DISTRIBUTION, which a sample captures (the ivfFitKmeans
+    * fitFraction posture) — then per-cell level-2 codebooks (k2 =
+    * ⌈nLists/k1⌉) via ONE grouped Lloyd over a per-cell sample that
+    * always includes each cell's k2 lowest ids (a cell absent from the
+    * sample would otherwise have no codebook and orphan its members).
+    * Both fits are deterministic functions of the id set, so a staged
+    * build under a frozen tree equals the one-shot build exactly.
+    */
+  private[graft] def fitRouting(
+      q: DataFrame, idCol: String, nLists: Int, iters: Int): FpRouting =
+    if (nLists <= HierRoutingThreshold) FlatRouting(lloyd(q, idCol, nLists, iters))
+    else {
+      val k1 = math.max(2, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+      val k2 = math.max(2, (nLists + k1 - 1) / k1)
+      val n = math.max(1L, q.count())
+      val sampleMod1 = math.max(1L, n / math.max(40L * k1, 4000L))
+      val qs = q
+        .filter(pmod(xxhash64(col(idCol).cast("string")), lit(sampleMod1)) === 0)
+        .localCheckpoint()
+      val cents1 = lloyd(qs, idCol, k1, iters)
+      val a1 = assignFp(q, idCol, cents1).select(col(idCol), col("cid").as("c1"))
+      val byCell = a1.join(q, Seq(idCol))
+      val seedW = Window.partitionBy(col("c1")).orderBy(col(idCol))
+      val sampleMod2 = math.max(1L, n / math.max(40L * k2.toLong * k1, 4000L))
+      val fit2 = byCell
+        .withColumn("__rn", row_number().over(seedW))
+        .filter(col("__rn") <= k2 ||
+          pmod(xxhash64(col(idCol).cast("string")), lit(sampleMod2)) === 0)
+        .select(col(idCol), col("c1").as("sub"), col("vfp").as("svfp"))
+      val cents2 = pqLloyd(fit2, idCol, k2, iters)
+      HierRouting(cents1.localCheckpoint(), cents2.localCheckpoint(), k2)
+    }
+
+  /** Top-`nProbe` list memberships per vector under a routing artifact —
+    * `(keyCol, cid)`, the one routing entry point every blocking/build
+    * shares. Flat: rank all centroids ([[multiProbeAssignFp]]). Hier:
+    * rank the k1 coarse cells (n·k1), then rank the nProbe probed cells'
+    * sub-centroids TOGETHER and keep the global top-nProbe fine lists
+    * (n·nProbe·k2) — the inverted-multi-index routing. Membership per
+    * vector is nProbe in both forms, so candidate volume per list is the
+    * flat bound; a vector's argmin cell always carries a codebook (the
+    * fit's per-cell seed floor), so no vector is orphaned. cid is
+    * c1·k2+c2 — unique per (cell, sub-list).
+    */
+  private def multiProbeRoute(
+      q: DataFrame, keyCol: String, routing: FpRouting, nProbe: Int): DataFrame =
+    routing match {
+      case FlatRouting(cents) => multiProbeAssignFp(q, keyCol, cents, nProbe)
+      case HierRouting(c1, c2, k2) =>
+        val coarse = multiProbeAssignFp(q, keyCol, c1, nProbe)
+          .withColumnRenamed("cid", "c1")
+        val distFp = graft.functions.VectorFunctions.graft_l2sq(col("vfp"), col("cfp"))
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col("dist_fp"), col("c1"), col("c2"))
+        q.join(coarse, Seq(keyCol))
+          .join(
+            broadcast(c2.select(col("sub").as("c1"), col("cid").as("c2"), col("cfp"))),
+            Seq("c1"))
+          .withColumn("dist_fp", distFp)
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= nProbe)
+          .select(col(keyCol), (col("c1") * k2 + col("c2")).as("cid"))
+    }
 
   /** L2-normalized BIGINT-millionth quantization of a [[preparedNonZero]]
     * relation — `(keyCol, vfp)`, the engine-exact input both fixed-point
@@ -1494,9 +1594,9 @@ object SimilarityOps {
     require(maxLevel >= 1 && mNeighbors >= 1 && ef >= k, "degenerate HNSW shape")
     val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
     val q = quantizeNormFp(c, idCol).scopedCache()
-    val cents = hnswPh("lloyd") { lloyd(q, idCol, nLists, iters) }
+    val routing = hnswPh("lloyd") { fitRouting(q, idCol, nLists, iters) }
     val scored0Ck = hnswPh("scored0") {
-      hnswScoredPairs(q, q, idCol, cents, nProbe).localCheckpoint()
+      hnswScoredPairs(q, q, idCol, routing, nProbe).localCheckpoint()
     }
     val state = hnswAdjState(scored0Ck, maxLevel, mNeighbors)
     hnswSearch(c, q, probes, idCol, vecCol, state, k, maxLevel, ef, roundsUpper, rounds0)
@@ -1541,7 +1641,7 @@ object SimilarityOps {
   private[graft] def hnswScoredPairsFor(
       qa: DataFrame, qb: DataFrame, idCol: String,
       cents: DataFrame, nProbe: Int): DataFrame =
-    hnswScoredPairs(qa, qb, idCol, cents, nProbe)
+    hnswScoredPairs(qa, qb, idCol, FlatRouting(cents), nProbe)
 
   /** [[hnswSearch]] over an externally-maintained `(id, v, nrm, vfp)`
     * relation and adjacency state — the streaming maintainer's query leg.
@@ -1574,7 +1674,7 @@ object SimilarityOps {
     */
   private def hnswScoredPairs(
       qa: DataFrame, qb: DataFrame, idCol: String,
-      cents: DataFrame, nProbe: Int): DataFrame = {
+      routing: FpRouting, nProbe: Int): DataFrame = {
     // vectors travel WITH their (id, cid) routing rows into the cid
     // equi-join (n·nProbe rows — the only array-carrying shuffle), and
     // dots are computed INSIDE the join so the pair-scale relation that
@@ -1582,13 +1682,19 @@ object SimilarityOps {
     // to the pair relation afterwards would shuffle |pairs|·dim values
     // and is exactly what overflowed local disk at the sf1 smoke's 20k
     // decade. Probe-overlap duplicates score identically (the dot is a
-    // pure function of the pair), so the trailing distinct collapses them
-    val routedA = multiProbeAssignFp(qa, idCol, cents, nProbe).join(qa, Seq(idCol))
-    // the self-build (qa eq qb) routes the corpus ONCE — the n×k routing
-    // pass is the build's quadratic-with-granularity term, not worth
+    // pure function of the pair) and are NOT pre-deduplicated here: every
+    // consumer folds pairs through the id-dedup top-M heap
+    // (TopKDistinctAggregator), which collapses them in O(M) memory per
+    // group — the r11 pair-wide `distinct` was a 22.5M-row hash
+    // aggregate that spilled at the sf1 smoke's 16 GiB heap for work the
+    // heap's map-side partials already do
+    val routedA = multiProbeRoute(qa, idCol, routing, nProbe).join(qa, Seq(idCol))
+    // the self-build (qa eq qb) routes the corpus ONCE — routing is the
+    // build's granularity-scaled term (n·k flat, n·√k hier), not worth
     // paying twice for the two join arms
     val routedB =
-      if (qb eq qa) routedA else multiProbeAssignFp(qb, idCol, cents, nProbe).join(qb, Seq(idCol))
+      if (qb eq qa) routedA
+      else multiProbeRoute(qb, idCol, routing, nProbe).join(qb, Seq(idCol))
     val qa2 = routedA.select(col(idCol).as("src"), col("cid"), col("vfp").as("svfp"))
     val qb2 = routedB.select(col(idCol).as("dst"), col("cid"), col("vfp").as("dvfp"))
     qa2.join(qb2, Seq("cid"))
@@ -1598,7 +1704,6 @@ object SimilarityOps {
         graft.functions.VectorFunctions.graft_dotfp(col("svfp"), col("dvfp")).as("sim_fp"),
         hnswHash(col("src")).as("hsrc"),
         hnswHash(col("dst")).as("hdst"))
-      .distinct()
   }
 
   /** The maintainable HNSW adjacency STATE: per layer (lvl ≤ maxLevel),
@@ -1613,7 +1718,10 @@ object SimilarityOps {
     * exact integer order (ties to the lower dst).
     */
   def hnswAdjState(scored: DataFrame, maxLevel: Int, mNeighbors: Int): DataFrame = {
-    val topM = udaf(new graft.functions.TopKAggregator(mNeighbors))
+    // id-dedup heap: the scored pair relation keeps its multi-probe
+    // duplicates (equal-score by construction), and collapsing them here
+    // costs O(M) per group instead of a pair-wide distinct
+    val topM = udaf(new graft.functions.TopKDistinctAggregator(mNeighbors))
     (0 to maxLevel).map { l =>
       hnswPh(s"adj$l") {
         scored
@@ -1637,7 +1745,15 @@ object SimilarityOps {
   def hnswMergeAdjState(
       state: DataFrame, newScored: DataFrame,
       maxLevel: Int, mNeighbors: Int): DataFrame = {
-    val topM = udaf(new graft.functions.TopKAggregator(mNeighbors))
+    // the id-DEDUP heap makes the fold idempotent on PAIRS, not rows: an
+    // at-least-once re-delivery (or a multi-probe/block overlap) presents
+    // a (lvl, src, dst) already in the state, and a plain heap would let
+    // the duplicate occupy TWO of the M slots and evict a genuinely
+    // distinct neighbor (the r11 replay-no-op spec caught exactly that).
+    // sim_fp is functional on the pair, so dedup-by-dst inside the
+    // (lvl, src) group is dedup-by-pair — in O(M) memory, replacing the
+    // r11 pair-wide dropDuplicates hash aggregate
+    val topM = udaf(new graft.functions.TopKDistinctAggregator(mNeighbors))
     val newLeveled = (0 to maxLevel).map { l =>
       newScored
         .filter(col("hsrc") % lit(1L << l) === 0 && col("hdst") % lit(1L << l) === 0)
@@ -1645,13 +1761,6 @@ object SimilarityOps {
     }.reduce(_ unionByName _)
     state.select(col("lvl"), col("src"), col("dst"), col("sim_fp"))
       .unionByName(newLeveled)
-      // an at-least-once re-delivery can present a pair that is already
-      // in the state (and in more than one pair block): without this
-      // dedup the duplicate occupies TWO of the M heap slots and evicts
-      // a genuinely distinct neighbor — the fold must be idempotent on
-      // PAIRS, not rows (sim_fp is functional on the pair, so the key
-      // is (lvl, src, dst))
-      .dropDuplicates("lvl", "src", "dst")
       .groupBy(col("lvl"), col("src"))
       .agg(topM(col("sim_fp").cast("double"), col("dst")).as("top"))
       .select(col("lvl"), col("src"), explode(col("top")).as("e"))
@@ -1750,15 +1859,18 @@ object SimilarityOps {
       rounds0: Int = 4): DataFrame = {
     val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
     val q = quantizeNormFp(c, idCol).scopedCache()
-    val cents = lloyd(q, idCol, nLists, iters)
+    // same adaptive routing as the one-shot build, fit on the SAME union
+    // corpus — routing stays a per-vector function of the frozen tree, so
+    // the pair blocks below decompose the union candidate set exactly
+    val routing = fitRouting(q, idCol, nLists, iters)
     val qStore = q.filter(!batchPred)
     val qBatch = q.filter(batchPred)
     val storeState = hnswAdjState(
-      hnswScoredPairs(qStore, qStore, idCol, cents, nProbe).localCheckpoint(),
+      hnswScoredPairs(qStore, qStore, idCol, routing, nProbe).localCheckpoint(),
       maxLevel, mNeighbors)
-    val newPairs = hnswScoredPairs(qBatch, qStore, idCol, cents, nProbe)
-      .unionByName(hnswScoredPairs(qStore, qBatch, idCol, cents, nProbe))
-      .unionByName(hnswScoredPairs(qBatch, qBatch, idCol, cents, nProbe))
+    val newPairs = hnswScoredPairs(qBatch, qStore, idCol, routing, nProbe)
+      .unionByName(hnswScoredPairs(qStore, qBatch, idCol, routing, nProbe))
+      .unionByName(hnswScoredPairs(qBatch, qBatch, idCol, routing, nProbe))
       .localCheckpoint()
     val merged = hnswMergeAdjState(storeState, newPairs, maxLevel, mNeighbors)
     hnswSearch(c, q, probes, idCol, vecCol, merged, k, maxLevel, ef, roundsUpper, rounds0)

@@ -414,6 +414,52 @@ object Streaming {
     // guaranteed new, so steady state is a pure O(|keys|) monoid merge —
     // the per-batch cost never grows with stream lifetime
     @volatile private var incremental = false
+    // slot ids are `slotBase + batchId`, with the base allocated ONCE per
+    // checkpoint LINEAGE (see epochBase) — raw batchIds would let a fresh
+    // checkpoint over an existing store restart at 0 and silently
+    // OVERWRITE the oldest slots with unrelated batches' data
+    @volatile private var slotBase = 0L
+
+    /** Slot-id base for this (store, checkpoint lineage). Two restart
+      * shapes must coexist:
+      *
+      *  - a RETAINED checkpoint replays the in-flight batch under its
+      *    ORIGINAL batchId, and the replay fence is that it overwrites
+      *    its own slot with the same data (non-idempotent folds — the
+      *    rollup sums — depend on this, so replayed ids must keep
+      *    mapping to the same slot);
+      *  - a FRESH checkpoint over an existing store restarts batchId at
+      *    0, which under raw-batchId slots would overwrite the oldest
+      *    slots with unrelated data (observed as silent store truncation
+      *    in the HNSW restart spec).
+      *
+      * Resolution: the base for a checkpoint lineage is `max existing
+      * slot id + 1` at first contact, persisted under
+      * `.ck_epoch/<urlencoded checkpoint path>` (dot-prefixed: invisible
+      * to the parquet reads) so the SAME lineage always re-reads the
+      * same base — replay overwrites stay no-ops, new lineages append.
+      * Deleting a checkpoint dir should delete its epoch marker too; a
+      * RECREATED checkpoint at the same path with the marker left behind
+      * would re-use the old base and collide like raw batchIds did.
+      */
+    private def epochBase(spark: SparkSession, d: String, ck: String): Long = {
+      val (fs, _) = fsFor(spark, d)
+      val enc = java.net.URLEncoder.encode(
+        new java.io.File(ck).getAbsolutePath, "UTF-8")
+      val marker = new org.apache.hadoop.fs.Path(d, s".ck_epoch/$enc")
+      if (fs.exists(marker)) {
+        val buf = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
+        val in = fs.open(marker)
+        try in.readFully(0, buf) finally in.close()
+        new String(buf, "UTF-8").trim.toLong
+      } else {
+        val base =
+          committedSlots(spark, d, "batch_id=").headOption.fold(0L)(_._1 + 1L)
+        val out = fs.create(marker, true)
+        try out.write(base.toString.getBytes("UTF-8")) finally out.close()
+        base
+      }
+    }
 
     /** The maintained state relation. */
     def current: Option[DataFrame] = state
@@ -480,6 +526,7 @@ object Streaming {
         // finish any interrupted compaction and fence crashed slot writes
         // BEFORE anything reads the store dir
         recoverCompaction(spark, d)
+        slotBase = epochBase(spark, d, checkpointDir)
         if (state.isEmpty && committedSlots(spark, d, "batch_id=").nonEmpty)
           state = Some(mergeAll(spark.read.parquet(d)).localCheckpoint(true))
       }
@@ -491,9 +538,10 @@ object Streaming {
           onBatch(state, part)
           state = storeDir match {
             case Some(d) =>
-              // idempotent slot write; replay-safe rebuild only on the
-              // first batch of this query instance
-              part.write.mode("overwrite").parquet(s"$d/batch_id=$batchId")
+              // idempotent slot write (epoch-offset id — see epochBase);
+              // replay-safe rebuild only on the first batch of this
+              // query instance
+              part.write.mode("overwrite").parquet(s"$d/batch_id=${slotBase + batchId}")
               if (!incremental) {
                 incremental = true
                 committedSlots(spark, d, "batch_id=") // fence crashed slots
@@ -1187,8 +1235,15 @@ object Streaming {
     }
     protected def foldPartials(partials: DataFrame): DataFrame =
       partials.dropDuplicates(idCol)
+    // CONTRACT: a re-arriving id carries the SAME vector (the usual
+    // immutable-embedding feed). The index cannot honor an id that
+    // re-arrives with a different vector — the max-monoid adjacency never
+    // retracts edges scored against the old one — so the merge prefers
+    // the STORED row deterministically (anti-join, not dropDuplicates'
+    // arbitrary survivor): a contract-violating feed yields a stable
+    // index keyed on first arrival instead of a run-dependent one.
     protected def mergeOne(prev: DataFrame, part: DataFrame): DataFrame =
-      prev.unionByName(part).dropDuplicates(idCol)
+      prev.unionByName(part.join(prev.select(col(idCol)), Seq(idCol), "left_anti"))
 
     override protected def onBatch(prev: Option[DataFrame], part: DataFrame): Unit = {
       val newQ = part.select(col(idCol), col("vfp"))
@@ -1204,10 +1259,30 @@ object Streaming {
           SimilarityOps.hnswScoredPairsFor(newQ, newQ, idCol, centroids, nProbe)
       }
       val pairs = blocks.localCheckpoint(true)
-      adj = Some(adj match {
+      // restart-with-storeDir: when the adjacency hasn't been built this
+      // process but a recovered vector state EXISTS, the batch's pair
+      // blocks alone are NOT a valid seed — they carry no store×store
+      // edge, and the batch fold never revisits those, so every later
+      // search would run over a silently truncated graph. Rebuild the
+      // full store adjacency ONCE (the currentAdj recovery path) and
+      // fold the batch in on top of it.
+      val base = adj.orElse(prev.map(rebuildAdjFrom))
+      adj = Some(base match {
         case Some(a) => SimilarityOps.hnswMergeAdjState(a, pairs, maxLevel, mNeighbors)
         case None    => SimilarityOps.hnswAdjState(pairs, maxLevel, mNeighbors)
       })
+    }
+
+    /** Full adjacency rebuild from a recovered vector relation — the one
+      * corpus-pair-sized cost of a restart, shared by [[currentAdj]] and
+      * the first [[onBatch]] after recovery.
+      */
+    private def rebuildAdjFrom(rel: DataFrame): DataFrame = {
+      val q = rel.select(col(idCol), col("vfp"))
+      SimilarityOps.hnswAdjState(
+        SimilarityOps.hnswScoredPairsFor(q, q, idCol, centroids, nProbe)
+          .localCheckpoint(true),
+        maxLevel, mNeighbors)
     }
 
     /** The live layered adjacency `(lvl, src, dst, sim_fp)`; rebuilt once
@@ -1215,11 +1290,7 @@ object Streaming {
       */
     def currentAdj: Option[DataFrame] = adj.orElse {
       current.map { rel =>
-        val q = rel.select(col(idCol), col("vfp"))
-        val a = SimilarityOps.hnswAdjState(
-          SimilarityOps.hnswScoredPairsFor(q, q, idCol, centroids, nProbe)
-            .localCheckpoint(true),
-          maxLevel, mNeighbors)
+        val a = rebuildAdjFrom(rel)
         adj = Some(a)
         a
       }

@@ -569,8 +569,11 @@ class JobsStreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(got == Set((1L, 2L, 3.0), (2L, 1L, 3.0), (3L, 1L, 7.0)))
     // the folded slots 0/1 were deleted and the staging dir renamed into
-    // the base; the NEW batch (fresh checkpoint, id 0) wrote its own slot
-    val dirs = new java.io.File(store).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    // the base; the NEW batch (fresh checkpoint → epoch base 0 over the
+    // negative-id-only store) wrote its own slot. Dot-prefixed protocol
+    // dirs (.ck_epoch) are reader-invisible and not part of the contract.
+    val dirs = new java.io.File(store).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith(".")).toSet
     assert(dirs == Set("batch_id=-1", "batch_id=0"))
   }
 

@@ -74,6 +74,46 @@ class VectorIndexStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("HnswIndexStream: restart with storeDir rebuilds the full store adjacency before folding") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val probes = emb.filter(col("vec_id") < 20)
+    val cents = SimilarityOps.hnswFitCentroids(emb, "vec_id", "embedding")
+    val oneShot = SimilarityOps.knnHnsw(emb, probes, "vec_id", "embedding", k = 10)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val store = Files.createTempDirectory("graft-hnsw-store").toString + "/hnsw"
+    def feed(his: Streaming.HnswIndexStream, batches: Seq[Seq[(Long, Seq[Double])]]): Unit = {
+      val in = MemoryStream[(Long, Seq[Double])]
+      val q = his.start(in.toDF().toDF("vec_id", "embedding"),
+        Files.createTempDirectory("graft-hnsw-rck").toString)
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val his = new Streaming.HnswIndexStream(
+      "vec_id", "embedding", cents, storeDir = Some(store))
+    feed(his, Seq(rows.filter(_._1 % 3 == 0), rows.filter(_._1 % 3 == 1)))
+    // crash analog: a FRESH instance recovers the vector state from the
+    // slots; its first batch must rebuild the store×store adjacency
+    // before folding the batch's pair blocks — seeding from the blocks
+    // alone would drop every store-internal edge and truncate the graph
+    val his2 = new Streaming.HnswIndexStream(
+      "vec_id", "embedding", cents, storeDir = Some(store))
+    feed(his2, Seq(rows.filter(_._1 % 3 == 2)))
+    // the epoch-offset slot protocol: the restarted lineage's batch 0
+    // must NOT have overwritten the first run's slot 0 (raw batchId slots
+    // silently truncated the store to 333 of 500 vectors here)
+    assert(his2.current.get.count() == emb.count(),
+      "restart must preserve every banked vector")
+    val streamed = his2.search(probes, k = 10).get
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(streamed == oneShot,
+      "post-restart fold must equal the one-shot build exactly")
+  }
+
   test("streamed index == one-shot assignment with the first-batch quantizer; replay is a no-op") {
     val vis = new Streaming.VectorIndexStream("vec_id", "embedding", nLists = 8)
     val ck = Files.createTempDirectory("graft-vis-ck").toString
