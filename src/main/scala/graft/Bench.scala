@@ -160,7 +160,7 @@ object Bench {
         System.err.println(s"[bench] artifact training failed: ${e.getMessage}")
         Seq("artifact_unigram_train" -> -1.0, "artifact_bpe_train" -> -1.0,
           "artifact_wordpiece_train" -> -1.0, "artifact_neardup_pairs" -> -1.0,
-          "artifact_bm25_index" -> -1.0)
+          "artifact_bm25_index" -> -1.0, "artifact_hnsw_index" -> -1.0)
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

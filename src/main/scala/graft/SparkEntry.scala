@@ -2673,10 +2673,9 @@ object SparkEntry {
     */
   def qBm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val (tf, dl, dfreq, stats) = bm25IndexArtifact(spark, dir)
-    TextOps.bm25SearchFromStats(
+    TextOps.bm25SearchFromScored(
       docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", "doc_id",
-      tf, dl, dfreq, stats, k = 10)
+      bm25ScoredArtifact(spark, dir), k = 10)
   }
 
   /** The SHARED BM25 index artifact (postings, doc lengths, df, corpus
@@ -2700,6 +2699,25 @@ object SparkEntry {
         TextOps.bm25Stats(Tables.documents(spark, dir), "doc_id", "text")
       (tf.localCheckpoint(true), dl.localCheckpoint(true),
         dfreq.localCheckpoint(true), stats.localCheckpoint(true))
+    })
+
+  /** The staged QUERY-INDEPENDENT scored posting relation
+    * ([[TextOps.bm25ScoredPostings]] over [[bm25IndexArtifact]],
+    * checkpointed) — the r11 verdict's q_retrieval_eval fix: the three
+    * default-parameter retrieval queries (q_bm25, q_retrieval_eval,
+    * q_hybrid_rrf's sparse leg) previously re-derived every per-posting
+    * weight per query, and that scoring projection's first execution was
+    * the query's unbounded-variance leg (4-24s across captures). Staged,
+    * each query's marginal plan is join + accumulate + heap top-k over a
+    * materialized 3-column relation; the scoring cost is paid once in
+    * the artifact phase where it is its own tracked number.
+    */
+  private val bm25ScoredMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def bm25ScoredArtifact(spark: SparkSession, dir: String): DataFrame =
+    bm25ScoredMemo.computeIfAbsent((spark, dir), _ => {
+      val (tf, dl, dfreq, stats) = bm25IndexArtifact(spark, dir)
+      TextOps.bm25ScoredPostings(tf, dl, dfreq, stats, "doc_id").localCheckpoint(true)
     })
 
   /** Incremental BM25 index maintenance, proven lossless BY CONSTRUCTION:
@@ -2976,9 +2994,8 @@ object SparkEntry {
   def qRetrievalEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val queries = docs.filter(col("doc_id") % 29 === 0)
-    val (tf, dl, dfreq, stats) = bm25IndexArtifact(spark, dir)
-    val results = TextOps.bm25SearchFromStats(
-      queries, "doc_id", "text", "doc_id", tf, dl, dfreq, stats, k = 10)
+    val results = TextOps.bm25SearchFromScored(
+      queries, "doc_id", "text", "doc_id", bm25ScoredArtifact(spark, dir), k = 10)
     // the relevance set = query-involving near-dup pairs, which are a
     // FILTER of the staged session pair graph (artifact_neardup_pairs) —
     // the same verified relation eleven other consumers ride, and exactly
@@ -3008,10 +3025,9 @@ object SparkEntry {
   def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
-    val (tf, dl, dfreq, stats) = bm25IndexArtifact(spark, dir)
-    val sparse = TextOps.bm25SearchFromStats(
+    val sparse = TextOps.bm25SearchFromScored(
       docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", "doc_id",
-      tf, dl, dfreq, stats, k = 10)
+      bm25ScoredArtifact(spark, dir), k = 10)
     val dense = SimilarityOps.knnBrute(
       emb, emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding", k = 10)
       .select(col("probe_id").as("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
@@ -3058,7 +3074,28 @@ object SparkEntry {
     wpMemo.clear()
     neardupMemo.clear()
     bm25Memo.clear()
+    hnswMemo.clear()
   }
+
+  /** The SHARED staged HNSW index (working relation + scored pair
+    * relation under the frozen fit, both checkpointed), memoized per
+    * (session, corpus dir) — the [[unigramArtifact]] treatment for the
+    * HNSW twins: q_ann_hnsw and q_ann_hnsw_incr ride ONE quantizer fit,
+    * corpus routing and pair scoring instead of recomputing them
+    * per query (13% of the r11 suite wall-clock), and the expensive leg
+    * moves to the bench's artifact phase where first-execution cost is
+    * its own tracked number. Results are bit-identical to the unstaged
+    * forms (same deterministic fit on the same corpus), so the shared
+    * oracle is unchanged and the incr query's hash-match remains the
+    * staged≡from-scratch proof.
+    */
+  private val hnswMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  private def hnswIndexArtifact(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    hnswMemo.computeIfAbsent((spark, dir), _ =>
+      SimilarityOps.hnswStageIndex(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        nLists = 16, nProbe = 3, iters = 2))
 
   /** The SHARED verified near-dup PAIR GRAPH (word-3-gram Jaccard ≥ 0.5
     * over documents) and its connected-components labeling (every doc,
@@ -3121,7 +3158,8 @@ object SparkEntry {
       timed("artifact_bpe_train") { bpeTrainedArtifact(spark, dir); () },
       timed("artifact_wordpiece_train") { wordpieceTrainedArtifact(spark, dir); () },
       timed("artifact_neardup_pairs") { neardupArtifact(spark, dir); () },
-      timed("artifact_bm25_index") { bm25IndexArtifact(spark, dir); () })
+      timed("artifact_bm25_index") { bm25IndexArtifact(spark, dir); () },
+      timed("artifact_hnsw_index") { hnswIndexArtifact(spark, dir); () })
   }
 
   /** ONE definition of the segmentation cell packing (the scalar-cell
@@ -3817,30 +3855,35 @@ object SparkEntry {
     * Fully DuckDB-oracled: the oracle replays the k-means fit, the level
     * law, all four layer adjacencies and every unrolled search round
     * bit-for-bit. SimilaritySpec pins recall ≥ 0.94 vs brute force.
+    * Rides the staged session index ([[hnswIndexArtifact]]) — fit +
+    * routing + pair scoring paid once for the HNSW twins, results
+    * bit-identical to the unstaged build (SimilaritySpec pins it).
     */
   def qAnnHnsw(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    SimilarityOps.knnHnsw(
-      emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-      k = 10, maxLevel = 3, mNeighbors = 10, nLists = 16, nProbe = 3, iters = 2,
-      ef = 16, roundsUpper = 1, rounds0 = 4)
+    val (rel, scored) = hnswIndexArtifact(spark, dir)
+    SimilarityOps.knnHnswFromStaged(
+      rel, scored, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 10, maxLevel = 3, mNeighbors = 10, ef = 16, roundsUpper = 1, rounds0 = 4)
   }
 
-  /** Incremental/staged HNSW — [[graft.ops.SimilarityOps.knnHnswStaged]]:
-    * the layered adjacency is built from the even-id store partition,
-    * then the odd-id batch folds in (batch-governed pair blocks only)
-    * under the frozen quantizer; exactly [[qAnnHnsw]]'s result by the
-    * bounded-max monoid argument on the per-(layer, node) top-M lists,
-    * so the oracle is shared verbatim and the hash-match IS the
+  /** Incremental/staged HNSW —
+    * [[graft.ops.SimilarityOps.knnHnswStagedFromPairs]] over the shared
+    * session index: the layered adjacency is built from the even-id
+    * store partition's pairs (a FILTER of the staged pair relation —
+    * routing is per-vector under the frozen fit, so the blocks decompose
+    * exactly), then the odd-id batch's pairs fold in through the
+    * bounded-max monoid merge; exactly [[qAnnHnsw]]'s result, so the
+    * oracle is shared verbatim and the hash-match IS the
     * staged-≡-from-scratch proof at the gate scale.
     */
   def qAnnHnswIncr(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    SimilarityOps.knnHnswStaged(
-      emb, col("vec_id") % 2 === 1, emb.filter(col("vec_id") < 20),
+    val (rel, scored) = hnswIndexArtifact(spark, dir)
+    SimilarityOps.knnHnswStagedFromPairs(
+      rel, scored, c => c % 2 === 1, emb.filter(col("vec_id") < 20),
       "vec_id", "embedding",
-      k = 10, maxLevel = 3, mNeighbors = 10, nLists = 16, nProbe = 3, iters = 2,
-      ef = 16, roundsUpper = 1, rounds0 = 4)
+      k = 10, maxLevel = 3, mNeighbors = 10, ef = 16, roundsUpper = 1, rounds0 = 4)
   }
 
   /** SRP-LSH approximate top-10 for the same probe set (sign-random-

@@ -569,13 +569,38 @@ object SimilarityOps {
       seed: Long = 42L,
       maxIter: Int = 5): DataFrame = {
     val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
-    val cand = blockedCandidatesFrom(c, idCol, nLists, nProbe, seed, maxIter)
-    val va = c.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val vb = c.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    cand.join(va, "id_a").join(vb, "id_b")
+    val assigned = multiProbeAssign(c.select(col(idCol), col("vn")), idCol, nLists, nProbe,
+      seed, maxIter).withColumnRenamed("list_id", "__blk")
+    verifyBlockedPairs(c, idCol, assigned, "__blk", threshold)
+  }
+
+  /** Exact-cosine verify of a blocked membership relation `(idCol,
+    * keyCol)` WITHOUT a pair-scale array shuffle: vectors attach to the
+    * n·m membership rows (the pre-pair side — small), the self-join on
+    * the block key computes the dot INSIDE the join, and only
+    * (id_a, id_b, sim) scalars survive to the threshold filter; the pair
+    * dedup (multi-probe overlap emits a pair once per shared key, with
+    * identical sim) runs on threshold SURVIVORS only. The pre-r12 shape
+    * — distinct candidate pairs, then arrays joined onto the pair
+    * relation — shuffled |candidates|·dim doubles and was the measured
+    * decade-grower of the sf1 semantic-dedup smoke (≈13 GB of array
+    * shuffle at the 20k-vector decade). Shared by all three blocked
+    * near-dup forms (MLlib, fixed-point, salted).
+    */
+  private def verifyBlockedPairs(
+      c: DataFrame, idCol: String, assigned: DataFrame, keyCol: String,
+      threshold: Double): DataFrame = {
+    val routed = assigned.join(c.select(col(idCol), col("v"), col("nrm")), Seq(idCol))
+    val aArm = routed.select(
+      col(idCol).as("id_a"), col(keyCol), col("v").as("va"), col("nrm").as("na"))
+    val bArm = routed.select(
+      col(idCol).as("id_b"), col(keyCol), col("v").as("vb"), col("nrm").as("nb"))
+    aArm.join(bArm, Seq(keyCol))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
+      .distinct()
   }
 
   /** Candidate pairs of the blocked near-dup (before the exact-cosine
@@ -670,24 +695,30 @@ object SimilarityOps {
       threshold: Double,
       nLists: Int = 8,
       nProbe: Int = 2,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    cosineNearDupPairsBlockedFpForTest(
+      corpus, idCol, vecCol, threshold, nLists, nProbe, iters, HierRoutingThreshold)
+
+  /** [[cosineNearDupPairsBlockedFp]] with the routing threshold exposed —
+    * spec-only seam for the flat-vs-hier differential at equal nLists.
+    */
+  private[graft] def cosineNearDupPairsBlockedFpForTest(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nLists: Int,
+      nProbe: Int,
+      iters: Int,
+      hierThreshold: Int): DataFrame = {
     val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
     val q = quantizeNormFp(c, idCol).scopedCache()
     // granularity-adaptive routing: ≤32 lists (every oracled call) is the
     // verbatim flat form; larger granularities (nLists ∝ n at scale) take
     // the two-level tree that kills the n·nLists routing quadratic
-    val routing = fitRouting(q, idCol, nLists, iters)
+    val routing = fitRouting(q, idCol, nLists, iters, hierThreshold)
     val assigned = multiProbeRoute(q, idCol, routing, nProbe)
-    val cand = assigned.select(col(idCol).as("id_a"), col("cid"))
-      .join(assigned.select(col(idCol).as("id_b"), col("cid")), Seq("cid"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val va = c.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val vb = c.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    cand.join(va, "id_a").join(vb, "id_b")
-      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
+    verifyBlockedPairs(c, idCol, assigned, "cid", threshold)
   }
 
   /** IVF top-k on the fixed-point quantizer — [[knnIvfKmeans]] with the
@@ -778,8 +809,9 @@ object SimilarityOps {
     * build under a frozen tree equals the one-shot build exactly.
     */
   private[graft] def fitRouting(
-      q: DataFrame, idCol: String, nLists: Int, iters: Int): FpRouting =
-    if (nLists <= HierRoutingThreshold) FlatRouting(lloyd(q, idCol, nLists, iters))
+      q: DataFrame, idCol: String, nLists: Int, iters: Int,
+      hierThreshold: Int = HierRoutingThreshold): FpRouting =
+    if (nLists <= hierThreshold) FlatRouting(lloyd(q, idCol, nLists, iters))
     else {
       val k1 = math.max(2, math.ceil(math.sqrt(nLists.toDouble)).toInt)
       val k2 = math.max(2, (nLists + k1 - 1) / k1)
@@ -793,11 +825,16 @@ object SimilarityOps {
       val byCell = a1.join(q, Seq(idCol))
       val seedW = Window.partitionBy(col("c1")).orderBy(col(idCol))
       val sampleMod2 = math.max(1L, n / math.max(40L * k2.toLong * k1, 4000L))
+      // eager checkpoint: pqLloyd scans its input once per assign/update
+      // per round — an uncut lineage re-executes the corpus-wide argmin
+      // + per-cell window 4+ times (measured as a 10s routing plan over
+      // 10k vectors before the cut)
       val fit2 = byCell
         .withColumn("__rn", row_number().over(seedW))
         .filter(col("__rn") <= k2 ||
           pmod(xxhash64(col(idCol).cast("string")), lit(sampleMod2)) === 0)
         .select(col(idCol), col("c1").as("sub"), col("vfp").as("svfp"))
+        .localCheckpoint()
       val cents2 = pqLloyd(fit2, idCol, k2, iters)
       HierRouting(cents1.localCheckpoint(), cents2.localCheckpoint(), k2)
     }
@@ -816,9 +853,25 @@ object SimilarityOps {
   private def multiProbeRoute(
       q: DataFrame, keyCol: String, routing: FpRouting, nProbe: Int): DataFrame =
     routing match {
-      case FlatRouting(cents) => multiProbeAssignFp(q, keyCol, cents, nProbe)
+      // flat stays FULLY DECLARATIVE (no checkpoint): the registered
+      // queries ride this branch and their plan contracts audit the
+      // routing window in the final plan; re-evaluation across the
+      // self-join arms is one extra broadcast+window at oracle scales.
+      // hier checkpoints (below): its plan is deep (two fits + two
+      // windows), every consumer reads it 2-4 times, and no oracled
+      // query reaches it
+      case FlatRouting(cents) =>
+        multiProbeAssignFp(q, keyCol, cents, nProbe)
       case HierRouting(c1, c2, k2) =>
-        val coarse = multiProbeAssignFp(q, keyCol, c1, nProbe)
+        // probe MORE coarse cells than fine memberships kept (the
+        // inverted-multi-index over-probe): near-boundary neighbors that
+        // disagree on their rank-2 coarse cell still see each other's
+        // fine lists in the global ranking below. Measured on the
+        // 10×200-cluster fixture at nLists=48/nProbe=2: pair recall
+        // 0.786 at coarseProbe=nProbe → 0.92+ at nProbe+2, vs 0.912 for
+        // the flat router at the same granularity; membership (and so
+        // candidate volume) stays nProbe either way
+        val coarse = multiProbeAssignFp(q, keyCol, c1, nProbe + 2)
           .withColumnRenamed("cid", "c1")
         val distFp = graft.functions.VectorFunctions.graft_l2sq(col("vfp"), col("cfp"))
         val w = Window.partitionBy(col(keyCol))
@@ -831,7 +884,38 @@ object SimilarityOps {
           .withColumn("__r", row_number().over(w))
           .filter(col("__r") <= nProbe)
           .select(col(keyCol), (col("c1") * k2 + col("c2")).as("cid"))
+          // eager checkpoint: every blocking consumer joins the routing
+          // TWICE (the id_a/id_b self-join arms), and the hier plan is
+          // deep (two fits + two windows) — n·nProbe two-column rows is
+          // the cheapest point to cut it
+          .localCheckpoint()
     }
+
+  /** Spec-only: phase-timed routing breakdown (prep / fit / assign). */
+  private[graft] def routePhasesForTest(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, nProbe: Int, iters: Int,
+      ph: String => (=> DataFrame) => DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val q = ph("prep") {
+      val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
+      quantizeNormFp(c, idCol).localCheckpoint()
+    }
+    var routing: FpRouting = null
+    val fitDf = ph("fit") { routing = fitRouting(q, idCol, nLists, iters, 32); q }
+    val asg = ph("assign") { multiProbeRoute(q, idCol, routing, nProbe) }
+    (q, fitDf, asg)
+  }
+
+  /** Spec-only: the raw `(id, cid)` memberships under a given routing
+    * configuration — for structure diagnostics in SimilaritySpec.
+    */
+  private[graft] def routeForTest(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, nProbe: Int, iters: Int, hierThreshold: Int): DataFrame = {
+    val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
+    val q = quantizeNormFp(c, idCol).scopedCache()
+    multiProbeRoute(q, idCol, fitRouting(q, idCol, nLists, iters, hierThreshold), nProbe)
+  }
 
   /** L2-normalized BIGINT-millionth quantization of a [[preparedNonZero]]
     * relation — `(keyCol, vfp)`, the engine-exact input both fixed-point
@@ -896,14 +980,9 @@ object SimilarityOps {
       maxIter: Int = 5,
       maxDepth: Int = 3): DataFrame = {
     val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
-    val cand =
-      blockedCandidatesSalted(c, idCol, nLists, nProbe, maxListSize, seed, maxIter, maxDepth)
-    val va = c.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val vb = c.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    cand.join(va, "id_a").join(vb, "id_b")
-      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
+    val assigned =
+      saltedAssignments(c, idCol, nLists, nProbe, maxListSize, seed, maxIter, maxDepth)
+    verifyBlockedPairs(c, idCol, assigned, "k", threshold)
   }
 
   /** Candidate pairs of the salted blocking (pre-verify) — exposed for the
@@ -911,6 +990,27 @@ object SimilarityOps {
     * scale metric.
     */
   private[graft] def blockedCandidatesSalted(
+      c: DataFrame,
+      idCol: String,
+      nLists: Int,
+      nProbe: Int,
+      maxListSize: Int,
+      seed: Long,
+      maxIter: Int,
+      maxDepth: Int): DataFrame = {
+    val assigned =
+      saltedAssignments(c, idCol, nLists, nProbe, maxListSize, seed, maxIter, maxDepth)
+    assigned.select(col(idCol).as("id_a"), col("k"))
+      .join(assigned.select(col(idCol).as("id_b"), col("k")), Seq("k"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** The salted blocking's final `(idCol, k)` membership relation — the
+    * adaptive-subdivision loop split from the pairing so the verify can
+    * score inside the key join ([[verifyBlockedPairs]]).
+    */
+  private def saltedAssignments(
       c: DataFrame,
       idCol: String,
       nLists: Int,
@@ -956,10 +1056,7 @@ object SimilarityOps {
         depth += 1
       }
     }
-    assigned.select(col(idCol).as("id_a"), col("k"))
-      .join(assigned.select(col(idCol).as("id_b"), col("k")), Seq("k"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    assigned
   }
 
   /** Fit an IVF index over a vector corpus — the PERSISTABLE half of
@@ -1595,10 +1692,12 @@ object SimilarityOps {
     val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
     val q = quantizeNormFp(c, idCol).scopedCache()
     val routing = hnswPh("lloyd") { fitRouting(q, idCol, nLists, iters) }
-    val scored0Ck = hnswPh("scored0") {
-      hnswScoredPairs(q, q, idCol, routing, nProbe).localCheckpoint()
-    }
-    val state = hnswAdjState(scored0Ck, maxLevel, mNeighbors)
+    // NOT checkpointed: the routing underneath is (n·nProbe scalar rows,
+    // already cut), so each of the 4 level aggregates re-runs only the
+    // cid equi-join + dot — cheaper than writing the pair-scale relation
+    // (now carrying its multi-probe duplicates) to local disk once
+    val scored0 = hnswPh("scored0") { hnswScoredPairs(q, q, idCol, routing, nProbe) }
+    val state = hnswAdjState(scored0, maxLevel, mNeighbors)
     hnswSearch(c, q, probes, idCol, vecCol, state, k, maxLevel, ef, roundsUpper, rounds0)
   }
 
@@ -1874,6 +1973,62 @@ object SimilarityOps {
       .localCheckpoint()
     val merged = hnswMergeAdjState(storeState, newPairs, maxLevel, mNeighbors)
     hnswSearch(c, q, probes, idCol, vecCol, merged, k, maxLevel, ef, roundsUpper, rounds0)
+  }
+
+  /** Stage the HNSW build ONCE for a corpus version: the working relation
+    * `(id, v, nrm, vfp)` and the full-corpus scored candidate-pair
+    * relation under the adaptive routing fit — the expensive,
+    * query-independent legs (quantizer fit, corpus routing, pair
+    * scoring) that the one-shot AND incremental registered queries
+    * otherwise recompute identically (13% of the r11 suite wall-clock
+    * was the twin queries duplicating exactly this work). Both relations
+    * are eagerly checkpointed; derive the per-query adjacency + search
+    * with [[knnHnswFromStaged]] / [[knnHnswStagedFromPairs]]. At 100 TB
+    * this pair of relations is what a deployment persists per corpus
+    * version (bucketed by src), with searches running against the store.
+    */
+  def hnswStageIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 16, nProbe: Int = 3, iters: Int = 2): (DataFrame, DataFrame) = {
+    val rel = hnswPrep(corpus, idCol, vecCol).localCheckpoint(true)
+    val q = rel.select(col(idCol), col("vfp"))
+    val routing = fitRouting(q, idCol, nLists, iters)
+    val scored = hnswScoredPairs(q, q, idCol, routing, nProbe).localCheckpoint(true)
+    (rel, scored)
+  }
+
+  /** [[knnHnsw]] over a staged index — bit-identical to the one-shot
+    * build on the same corpus (same prep, same deterministic fit, same
+    * pair relation), with the staged legs' cost already paid.
+    */
+  def knnHnswFromStaged(
+      rel: DataFrame, scored: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      maxLevel: Int = 3, mNeighbors: Int = 10, ef: Int = 16,
+      roundsUpper: Int = 1, rounds0: Int = 4): DataFrame =
+    hnswSearchOver(rel, probes, idCol, vecCol,
+      hnswAdjState(scored, maxLevel, mNeighbors), k, maxLevel, ef, roundsUpper, rounds0)
+
+  /** [[knnHnswStaged]] over a staged index: routing is a per-vector
+    * function of the frozen fit, so the union corpus's pair relation
+    * decomposes EXACTLY into store×store vs batch-incident blocks by
+    * FILTERING on the endpoints — the store adjacency builds from the
+    * former, the latter folds in through [[hnswMergeAdjState]], and the
+    * result equals the one-shot build by the bounded-max monoid argument
+    * (the same equality the registered incr query's shared oracle pins).
+    * `batchOf` maps an endpoint id column to the batch predicate.
+    */
+  def knnHnswStagedFromPairs(
+      rel: DataFrame, scored: DataFrame, batchOf: Column => Column,
+      probes: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxLevel: Int = 3, mNeighbors: Int = 10, ef: Int = 16,
+      roundsUpper: Int = 1, rounds0: Int = 4): DataFrame = {
+    val storePairs = scored.filter(!batchOf(col("src")) && !batchOf(col("dst")))
+    val newPairs = scored.filter(batchOf(col("src")) || batchOf(col("dst")))
+    val merged = hnswMergeAdjState(
+      hnswAdjState(storePairs, maxLevel, mNeighbors),
+      newPairs, maxLevel, mNeighbors)
+    hnswSearchOver(rel, probes, idCol, vecCol, merged, k, maxLevel, ef, roundsUpper, rounds0)
   }
 
   /** Distributed Lloyd k-means, fully ENGINE-EXACT: vector components

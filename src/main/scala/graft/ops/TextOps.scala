@@ -1644,9 +1644,29 @@ object TextOps {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75,
+      maxDfFrac: Double = 1.0): DataFrame =
+    bm25SearchFromScored(
+      queries, qidCol, qtextCol, idCol,
+      bm25ScoredPostings(tf, dl, dfreq, stats, idCol, k1, b, maxDfFrac), k)
+
+  /** The QUERY-INDEPENDENT scored posting relation `(term, idCol, cq)` —
+    * [[bm25SearchFromStats]]'s heavy leg split out so a session (or a
+    * 100 TB deployment) computes it ONCE per index version and every
+    * query batch rides [[bm25SearchFromScored]] against the staged
+    * relation: cq packs the whole BM25 term weight (idf × saturated-tf ×
+    * length norm) per posting, so nothing per-query ever recomputes
+    * per-posting math. This is the impact-ordered-index posture; the
+    * registered retrieval queries stage it inside artifact_bm25_index.
+    */
+  def bm25ScoredPostings(
+      tf: DataFrame,
+      dl: DataFrame,
+      dfreq: DataFrame,
+      stats: DataFrame,
+      idCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
       maxDfFrac: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k >= 1, "k must be positive")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, "maxDfFrac must be in (0, 1]")
     val capped =
       if (maxDfFrac >= 1.0) dfreq
@@ -1658,10 +1678,6 @@ object TextOps {
         round(log(lit(1.0) +
           (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1.0e6))
           .cast("long").as("idfq"))
-    val qterms = queries
-      .select(col(qidCol).as("query_id"),
-        explode(array_distinct(split(normalize(col(qtextCol)), " "))).as("term"))
-      .filter(col("term") =!= "")
     val avgdl = col("tl").cast("double") / col("nd").cast("double")
     val factor = (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") +
@@ -1671,25 +1687,55 @@ object TextOps {
     // (off a cached RDD with no stats) the term join otherwise falls to a
     // sort-merge join that shuffles every posting on a low-cardinality
     // term key (measured 1.5× on q_bm25 when it regressed that way)
-    val postingCq = tf
-      .join(dl, Seq(idCol))
+    tf.join(dl, Seq(idCol))
       .join(broadcast(idfq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("cq",
         round((col("idfq").cast("double") / lit(1.0e6)) * factor * lit(1.0e6)).cast("long"))
       .select(col("term"), col(idCol), col("cq"))
-    val contrib = qterms
-      .join(postingCq, Seq("term"))
+  }
+
+  /** Score a query batch against a staged [[bm25ScoredPostings]]
+    * relation: explode query terms (BROADCAST — the query batch is the
+    * small side by contract, the [[graft.ops.SimilarityOps.knnBrute]]
+    * probes rule; without stats on a checkpoint-backed posting relation
+    * the term join otherwise plans sort-merge and shuffles every posting
+    * over a vocabulary-sized — i.e. skewed — key), accumulate per
+    * (query, doc), then per-query top-k through the BOUNDED HEAP
+    * aggregator instead of a window rank: the window form shuffles and
+    * fully sorts the |queries|·|docs|-scale scored relation, the heap
+    * moves k rows per partition per query (same (score desc, id asc)
+    * order, row-identical output — the knnBruteAgg equivalence).
+    */
+  def bm25SearchFromScored(
+      queries: DataFrame,
+      qidCol: String,
+      qtextCol: String,
+      idCol: String,
+      scored: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    require(k >= 1, "k must be positive")
+    val qterms = queries
+      .select(col(qidCol).as("query_id"),
+        explode(array_distinct(split(normalize(col(qtextCol)), " "))).as("term"))
+      .filter(col("term") =!= "")
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    broadcast(qterms)
+      .join(scored, Seq("term"))
       .filter(col("query_id") =!= col(idCol))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("cq")).as("score_fp"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score_fp").desc, col(idCol))
-    contrib
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      // score_fp ≤ |query terms|·max cq ≪ 2^53: the Double-scored heap
+      // preserves the exact integer order (ties to the lower doc id)
+      .groupBy(col("query_id"))
+      .agg(topk(col("score_fp").cast("double"), col(idCol)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
       .select(
-        col("query_id"), col(idCol).as("doc_id"), col("score_fp"),
-        (col("score_fp").cast("double") / lit(1.0e6)).as("score"), col("rank"))
+        col("query_id"), col("entry.id").as("doc_id"),
+        col("entry.score").cast("long").as("score_fp"),
+        (col("entry.score") / lit(1.0e6)).as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Unigram distribution drift between two corpora — the per-term
