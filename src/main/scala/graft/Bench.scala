@@ -109,6 +109,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep the bounded-heap UDAF aggregates (top-M adjacency, top-k
+      // search) in HASH mode: the default 128-distinct-key fallback
+      // degrades every group-heavy ObjectHashAggregate into a full sort
+      // of its input — measured 76s (spilling sort of a 101M-row pair
+      // stream) vs hash-mode minutes->seconds at the sf1 K=20 decade.
+      // Heap buffers are M-bounded (~500B), so 1M keys/partition is MBs
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -744,14 +744,16 @@ object SimilarityOps {
       iters: Int = 2): DataFrame = {
     val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
     val q = quantizeNormFp(c, idCol).scopedCache()
-    val cents = lloyd(q, idCol, nLists, iters)
-    val assigned = assignFp(q, idCol, cents)
-      .select(col(idCol), col("cid"))
+    // adaptive routing (flat ≤32 lists — the oracle's bit-exact form):
+    // the corpus argmin and the probe multi-probe both ride it, so the
+    // n·nLists fit/assign terms go n·√nLists at scaled granularity
+    val routing = fitRouting(q, idCol, nLists, iters)
+    val assigned = assignRoute(q, idCol, routing)
       .join(c.select(col(idCol), col("v"), col("nrm")), Seq(idCol))
     val p = preparedNonZero(probes, idCol, vecCol)
-    val probeLists = multiProbeAssignFp(
+    val probeLists = multiProbeRoute(
       quantizeNormFp(p, idCol).withColumnRenamed(idCol, "probe_id"),
-      "probe_id", cents, nProbe)
+      "probe_id", routing, nProbe)
       .join(
         p.select(col(idCol).as("probe_id"), col("v").as("pv"), col("nrm").as("pn")),
         Seq("probe_id"))
@@ -891,20 +893,20 @@ object SimilarityOps {
           .localCheckpoint()
     }
 
-  /** Spec-only: phase-timed routing breakdown (prep / fit / assign). */
-  private[graft] def routePhasesForTest(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, nProbe: Int, iters: Int,
-      ph: String => (=> DataFrame) => DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val q = ph("prep") {
-      val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
-      quantizeNormFp(c, idCol).localCheckpoint()
+  /** ONE list per vector under a routing artifact — the IVF
+    * corpus-assignment leg. Flat: the exact integer argmin (ties to the
+    * lowest cid — unchanged for every oracled granularity). Hier: the
+    * top-1 of the global fine ranking within the probed coarse cells —
+    * the inverted-multi-index's approximate argmin, recall-pinned rather
+    * than exact (candidates are verified/re-ranked exactly downstream in
+    * every consumer, so only recall can move).
+    */
+  private def assignRoute(q: DataFrame, keyCol: String, routing: FpRouting): DataFrame =
+    routing match {
+      case FlatRouting(cents) =>
+        assignFp(q, keyCol, cents).select(col(keyCol), col("cid"))
+      case h: HierRouting => multiProbeRoute(q, keyCol, h, 1)
     }
-    var routing: FpRouting = null
-    val fitDf = ph("fit") { routing = fitRouting(q, idCol, nLists, iters, 32); q }
-    val asg = ph("assign") { multiProbeRoute(q, idCol, routing, nProbe) }
-    (q, fitDf, asg)
-  }
 
   /** Spec-only: the raw `(id, cid)` memberships under a given routing
     * configuration — for structure diagnostics in SimilaritySpec.
@@ -2390,16 +2392,26 @@ object SimilarityOps {
       rerank: Int = 4): DataFrame = {
     require(rerank >= 1, "rerank factor must be positive")
     val v = quantizeFp(corpus, idCol, vecCol).scopedCache()
-    val coarse = lloyd(v, idCol, nLists, iters)
-    val assigned = assignFp(v, idCol, coarse)
+    // the coarse legs ride the adaptive routing: flat (bit-exact, the
+    // oracle's form) at ≤32 lists, the two-level tree above — the
+    // n·nLists fit/assign terms here are the same quadratic the HNSW
+    // family carried (raw-space l2 instead of direction, same integer
+    // machinery). Routing externalizes through the WithLists seam, whose
+    // flat instantiation is exactly knnIvfPqSearch's own probe ranking
+    val routing = fitRouting(v, idCol, nLists, iters)
+    val assigned = assignRoute(v, idCol, routing)
       .select(col(idCol), col("cid").as("list_id"))
     val s = subSplit(v, idCol, dim, m).scopedCache()
     val codebooks = pqLloyd(s, idCol, kSub, iters)
     val coded = pqPack(pqAssignFp(s, idCol, codebooks), idCol)
       .join(assigned, Seq(idCol))
       .select(col(idCol), col("list_id"), col("codes"))
-    val cand = knnIvfPqSearch(
-      coarse, codebooks, coded, probes, idCol, vecCol, dim, m, rerank * k, nProbe)
+    val probeLists = multiProbeRoute(
+      quantizeFp(probes, idCol, vecCol).select(col(idCol).as("probe_id"), col("vfp")),
+      "probe_id", routing, nProbe)
+      .select(col("probe_id"), col("cid").as("list_id"))
+    val cand = knnIvfPqSearchWithLists(
+      probeLists, codebooks, coded, probes, idCol, vecCol, dim, m, rerank * k)
     val pv = quantizeFp(probes, idCol, vecCol)
       .select(col(idCol).as("probe_id"), col("vfp").as("pvfp"))
     val exact = cand

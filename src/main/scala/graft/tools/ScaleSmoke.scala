@@ -38,6 +38,13 @@ object ScaleSmoke {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // keep the bounded-heap UDAF aggregates (top-M adjacency, top-k
+      // search) in HASH mode: the default 128-distinct-key fallback
+      // degrades every group-heavy ObjectHashAggregate into a full sort
+      // of its input — measured 76s (spilling sort of a 101M-row pair
+      // stream) vs hash-mode minutes->seconds at the sf1 K=20 decade.
+      // Heap buffers are M-bounded (~500B), so 1M keys/partition is MBs
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -1069,7 +1076,10 @@ object ScaleSmoke {
     // 100 TB operating posture; a FIXED nLists at growing n is the
     // known-quadratic regime the neardupskew section already pins.
     if (want("sf1")) println("sf1: k,rows,op,seconds,result_rows")
-    ks("sf1", Seq(2, 5, 10), Seq(2, 5, 10)).foreach { k =>
+    // deep adds a ×20 decade (100k docs / 40k vectors): two consecutive
+    // warm doublings, so a ratio that GROWS across 5→10→20 exposes a
+    // super-linear term that a single doubling can hide
+    ks("sf1", Seq(2, 5, 10), Seq(2, 5, 10, 20)).foreach { k =>
       import graft.ops.{SamplingOps, SimilarityOps}
       val corpus = copyK(k).cache()
       val n = corpus.count()

@@ -549,6 +549,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF on the hier routing path (nLists > threshold): recall holds, deterministic") {
+    // the IVF family's coarse legs share the adaptive routing: above the
+    // threshold the corpus argmin is the inverted-multi-index's
+    // approximate one (top-1 within probed coarse cells) — recall-pinned,
+    // since scoring inside probed lists stays exact either way
+    val vecs = graft.tools.SyntheticVectors
+      .clustered(nClusters = 10, perCluster = 200, dim = 16, seed = 13, stride = 200L)
+      .toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") % 200 < 2)
+    val brute = SimilarityOps.knnBrute(vecs, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def run() = SimilarityOps.knnIvfKmeansFp(
+      vecs, probes, "vec_id", "embedding", k = 10, nLists = 48, nProbe = 4, iters = 2)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = run()
+    val recall = (brute & got).size.toDouble / brute.size
+    info(s"hier IVF recall=$recall (nLists=48, nProbe=4)")
+    // 4-of-48 probed lists is an ~8% scan fraction; on clustered vectors
+    // the router must put cluster-mates in probed lists far above that
+    assert(recall >= 0.7, s"recall=$recall")
+    assert(run() == got) // integer tree: reruns identical
+  }
+
   test("staged HNSW index: FromStaged == one-shot, StagedFromPairs == knnHnswStaged, exactly") {
     // the session-artifact split (q_ann_hnsw twins): stage fit + routing
     // + pair scoring once, derive both registered shapes from it — each

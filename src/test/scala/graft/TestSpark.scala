@@ -10,6 +10,9 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // hash-mode UDAF aggregates (see Bench.scala) — specs exercise the
+      // same bounded-heap operators
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
