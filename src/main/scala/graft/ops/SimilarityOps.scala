@@ -816,7 +816,6 @@ object SimilarityOps {
     if (nLists <= hierThreshold) FlatRouting(lloyd(q, idCol, nLists, iters))
     else {
       val k1 = math.max(2, math.ceil(math.sqrt(nLists.toDouble)).toInt)
-      val k2 = math.max(2, (nLists + k1 - 1) / k1)
       val n = math.max(1L, q.count())
       val sampleMod1 = math.max(1L, n / math.max(40L * k1, 4000L))
       val qs = q
@@ -824,21 +823,40 @@ object SimilarityOps {
         .localCheckpoint()
       val cents1 = lloyd(qs, idCol, k1, iters)
       val a1 = assignFp(q, idCol, cents1).select(col(idCol), col("cid").as("c1"))
+        .localCheckpoint()
+      // fine capacity ∝ cell POPULATION: a uniform per-cell k2 was the
+      // measured skew AMPLIFIER — a coarse cell holding 2× the vectors
+      // got the same sub-list count, so each of its subs was 2× hot, and
+      // fine-list skew COMPOUNDED per decade (max list 1504→2841, pair
+      // volume ∝ n^1.7 at the sf1 K=20 rehearsal). Proportional caps
+      // equalize expected fine-list size at n·m/nLists no matter how
+      // uneven the coarse cells are; the sub-list count still sums to
+      // ~nLists. Exact integer arithmetic on exact counts keeps the fit
+      // deterministic.
+      val pops = a1.groupBy(col("c1")).agg(count(lit(1)).as("__pop"))
+      val caps = pops.select(col("c1"),
+        greatest(lit(1L),
+          ((col("__pop") * lit(nLists.toLong) + lit(n / 2)) / lit(n)).cast("long"))
+          .as("__cap"))
+        .localCheckpoint()
+      val k2max = math.max(2, caps.agg(max(col("__cap"))).head().getLong(0).toInt)
       val byCell = a1.join(q, Seq(idCol))
       val seedW = Window.partitionBy(col("c1")).orderBy(col(idCol))
-      val sampleMod2 = math.max(1L, n / math.max(40L * k2.toLong * k1, 4000L))
+      val sampleMod2 = math.max(1L, n / math.max(40L * nLists.toLong, 4000L))
       // eager checkpoint: pqLloyd scans its input once per assign/update
       // per round — an uncut lineage re-executes the corpus-wide argmin
       // + per-cell window 4+ times (measured as a 10s routing plan over
       // 10k vectors before the cut)
       val fit2 = byCell
+        .join(broadcast(caps), Seq("c1"))
         .withColumn("__rn", row_number().over(seedW))
-        .filter(col("__rn") <= k2 ||
+        .filter(col("__rn") <= col("__cap") ||
           pmod(xxhash64(col(idCol).cast("string")), lit(sampleMod2)) === 0)
         .select(col(idCol), col("c1").as("sub"), col("vfp").as("svfp"))
         .localCheckpoint()
-      val cents2 = pqLloyd(fit2, idCol, k2, iters)
-      HierRouting(cents1.localCheckpoint(), cents2.localCheckpoint(), k2)
+      val cents2 = pqLloyd(fit2, idCol, k2max, iters,
+        subCaps = Some(caps.select(col("c1").as("sub"), col("__cap"))))
+      HierRouting(cents1.localCheckpoint(), cents2.localCheckpoint(), k2max)
     }
 
   /** Top-`nProbe` list memberships per vector under a routing artifact —
@@ -2151,13 +2169,22 @@ object SimilarityOps {
     * per sub (the same seed ids in every subspace), truncated-div means,
     * emptied codes keep their prior codeword, localCheckpoint per round.
     */
-  private def pqLloyd(s: DataFrame, idCol: String, kSub: Int, iters: Int): DataFrame = {
+  private def pqLloyd(
+      s: DataFrame, idCol: String, kSub: Int, iters: Int,
+      subCaps: Option[DataFrame] = None): DataFrame = {
     require(kSub >= 1, "kSub must be positive")
     require(iters >= 1, "need at least one iteration")
     val seedW = Window.partitionBy(col("sub")).orderBy(col(idCol))
-    var codebooks = s
-      .withColumn("rn", row_number().over(seedW))
-      .filter(col("rn") <= kSub)
+    // subCaps (sub, __cap): optional PER-GROUP codeword budget ≤ kSub —
+    // the hier router's population-proportional fine capacity. Absent
+    // (every PQ codebook), all groups seed kSub codewords as before.
+    val seeded = s.withColumn("rn", row_number().over(seedW))
+    val capped = subCaps match {
+      case None => seeded.filter(col("rn") <= kSub)
+      case Some(c) => seeded.join(broadcast(c), Seq("sub"))
+        .filter(col("rn") <= least(col("__cap"), lit(kSub.toLong)))
+    }
+    var codebooks = capped
       .select(col("sub"), (col("rn").cast("long") - 1).as("cid"), col("svfp").as("cfp"))
       .localCheckpoint()
     for (_ <- 1 to iters) {

@@ -424,16 +424,20 @@ class SimilaritySpec extends AnyFunSuite {
         (m(a) & m(b)).nonEmpty }.toDouble / exactSet.size
       (volume, recall)
     }
+    // equal-budget points under the population-proportional fine caps:
+    // hier np=4 posts ~1.01M candidate volume vs flat np=2's ~1.20M and
+    // 0.968 recall vs 0.912 — dominant on both axes by a wide margin
+    // (hier np=3 is the lean point: ~0.68M volume at flat-level recall)
     val (flatVol, flatRec) = structure(Int.MaxValue, 2)
-    val (hierVol, hierRec) = structure(0, 3)
-    info(s"flat np=2: volume=$flatVol recall=$flatRec; hier np=3: volume=$hierVol recall=$hierRec")
+    val (hierVol, hierRec) = structure(0, 4)
+    info(s"flat np=2: volume=$flatVol recall=$flatRec; hier np=4: volume=$hierVol recall=$hierRec")
     assert(hierVol <= flatVol, s"hier volume $hierVol above flat's $flatVol")
     assert(hierRec >= flatRec, s"hier recall $hierRec below flat's $flatRec")
     // contract invariants on the shipped hier path: subset-of-exact with
     // exact scores, bit-identical reruns (integer Lloyd at both levels +
     // hash-deterministic fit samples)
     def run() = SimilarityOps.cosineNearDupPairsBlockedFp(
-      vecs, "vec_id", "embedding", 0.9, nLists = 48, nProbe = 3, iters = 2)
+      vecs, "vec_id", "embedding", 0.9, nLists = 48, nProbe = 4, iters = 2)
       .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
     val blocked = run()
     val blockedSet = blocked.map(r => (r._1, r._2)).toSet
@@ -451,12 +455,13 @@ class SimilaritySpec extends AnyFunSuite {
     // tree or the pair-block decomposition silently breaks
     val probes = emb.filter(col("vec_id") < 20)
     def oneShot = SimilarityOps.knnHnsw(
-      emb, probes, "vec_id", "embedding", k = 10, nLists = 48)
+      emb, probes, "vec_id", "embedding", k = 10, nLists = 48, nProbe = 4)
       .select("probe_id", "neighbor_id", "sim", "rank")
       .as[(Long, Long, Double, Long)].collect().toSet
     val full = oneShot
     val staged = SimilarityOps.knnHnswStaged(
-      emb, col("vec_id") % 2 === 1, probes, "vec_id", "embedding", k = 10, nLists = 48)
+      emb, col("vec_id") % 2 === 1, probes, "vec_id", "embedding",
+      k = 10, nLists = 48, nProbe = 4)
       .select("probe_id", "neighbor_id", "sim", "rank")
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(staged == full, "staged fold diverged under hier routing")
@@ -464,9 +469,9 @@ class SimilaritySpec extends AnyFunSuite {
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (brute & full.map(r => (r._1, r._2))).size.toDouble / brute.size
     info(s"hier hnsw recall@10 = $recall")
-    // finer lists than the registered 16 shrink per-list candidate sets
-    // on this 500-vector corpus; the bar tracks the measured value with
-    // margin — scale recall is re-pinned by the sf1 smoke's result rows
+    // 48 lists over 500 UNIFORM vectors is ~10/list — far finer than the
+    // operating posture (~125/list); the bar tracks the measured value
+    // with margin, and scale recall is the domination differential above
     assert(recall >= 0.85, s"recall=$recall")
   }
 
