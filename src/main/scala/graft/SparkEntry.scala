@@ -3592,6 +3592,20 @@ object SparkEntry {
       emb, emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", "label", k = 5)
   }
 
+  /** Margin-based bitext mining over the parity split of the embedding
+    * corpus (even vec_ids = source side, odd = target side): forward and
+    * backward top-4 neighborhoods, nano-fixed-point neighborhood sums,
+    * ratio margin ≥ 1.05, best target per source with the mutual-top-k
+    * flag ([[SimilarityOps.bitextMine]]).
+    */
+  def qBitextMine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.bitextMine(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding", k = 4, marginFpMin = 1050000L)
+  }
+
   /** Per-class centroid distances with farthest-first outlier flags
     * (top-5 per label) — the embedding-quality audit, fixed-point
     * centroids + dot-identity distances so even the doubles hash-match
@@ -3756,6 +3770,29 @@ object SparkEntry {
       .toDF()
       .select(col("media_id"), col("decode_ok"), col("width"), col("height"),
         col("sum_r"), col("sum_g"), col("sum_b"))
+
+  /** Decode-normalized image dedup through two REAL codecs: every card is
+    * rendered as PNG, again as BMP under a shifted media_id (byte-level
+    * payloads differ — a file-digest dedup finds nothing), and every 7th
+    * card a third time as a PNG "re-upload"; decode → raster-hex → md5
+    * groups them back ([[MultimodalOps.imageRasterDedup]]). The oracle
+    * builds each card's raster hex from pure id arithmetic
+    * (`repeat(printf bands)`) and replays the digest grouping — both
+    * codec round trips are bit-checked via the digest.
+    */
+  def qImageRasterDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val png = docs.select(col("doc_id").as("media_id"), col("doc_id").as("card_id"))
+    val extra = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 10000000L).as("media_id"), col("doc_id").as("card_id"))
+    val bmp = docs.select(
+      (col("doc_id") + 20000000L).as("media_id"), col("doc_id").as("card_id"))
+    val packed = MultimodalOps
+      .renderTestCardsEnc(spark, png.unionByName(extra), "media_id", "card_id", "png")
+      .unionByName(
+        MultimodalOps.renderTestCardsEnc(spark, bmp, "media_id", "card_id", "bmp"))
+    MultimodalOps.imageRasterDedup(MultimodalOps.rasterHex(spark, packed).toDF())
+  }
 
   /** REAL-codec resize round trip: solid test cards (8..44 × 4..26,
     * straddling the 16-box both ways) through decode → Graphics2D box-fit
@@ -4107,6 +4144,7 @@ object SparkEntry {
     "q_embedding_knn"           -> (qEmbeddingKnn(_, _)),
     "q_ann_truncated"           -> (qAnnTruncated(_, _)),
     "q_hard_negatives"          -> (qHardNegatives(_, _)),
+    "q_bitext_mine"             -> (qBitextMine(_, _)),
     "q_class_outliers"          -> (qClassOutliers(_, _)),
     "q_embedding_drift"         -> (qEmbeddingDrift(_, _)),
     "q_embedding_drift_incremental" -> (qEmbeddingDriftIncremental(_, _)),
@@ -4141,6 +4179,7 @@ object SparkEntry {
     "q_frame_sample"            -> (qFrameSample(_, _)),
     "q_audio_windows"           -> (qAudioWindows(_, _)),
     "q_image_decode"            -> (qImageDecode(_, _)),
+    "q_image_raster_dedup"      -> (qImageRasterDedup(_, _)),
     "q_image_resize"            -> (qImageResize(_, _)),
     "q_audio_decode"            -> (qAudioDecode(_, _)),
     "q_video_frames"            -> (qVideoFrames(_, _)),
@@ -8284,6 +8323,27 @@ object SparkEntry {
         |       (w * ((h // 2) * tg + (h - h // 2) * bg))::BIGINT AS sum_g,
         |       (w * ((h // 2) * tb + (h - h // 2) * bb))::BIGINT AS sum_b
         |FROM c""".stripMargin,
+    "q_image_raster_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS card FROM documents
+        |  UNION ALL SELECT doc_id + 20000000, doc_id FROM documents
+        |  UNION ALL SELECT doc_id + 10000000, doc_id FROM documents WHERE doc_id % 7 = 0),
+        |c AS (
+        |  SELECT media_id,
+        |         (16 + card % 17)::BIGINT AS w, (8 + card % 13)::BIGINT AS h,
+        |         (card * 37 % 256)::INT AS tr, (card * 59 % 256)::INT AS tg, (card * 83 % 256)::INT AS tb,
+        |         (card * 101 % 256)::INT AS br, (card * 131 % 256)::INT AS bg, (card * 151 % 256)::INT AS bb
+        |  FROM ids),
+        |d AS (
+        |  SELECT media_id, w AS width, h AS height,
+        |         md5(repeat(repeat(printf('%02x%02x%02x', tr, tg, tb), w::INT), (h // 2)::INT)
+        |             || repeat(repeat(printf('%02x%02x%02x', br, bg, bb), w::INT), (h - h // 2)::INT)) AS raster_md5
+        |  FROM c),
+        |g AS (SELECT raster_md5, min(media_id) AS keeper_id, count(*)::BIGINT AS n_copies
+        |      FROM d GROUP BY 1)
+        |SELECT media_id, width, height, raster_md5, keeper_id, n_copies,
+        |       media_id <> keeper_id AS is_dup
+        |FROM d JOIN g USING (raster_md5)""".stripMargin,
     "q_image_resize" ->
       """WITH c AS (
         |  SELECT doc_id AS media_id,
@@ -8394,6 +8454,35 @@ object SparkEntry {
         |SELECT probe_id, probe_label::INT AS probe_label, vec_id AS neighbor_id,
         |       label::INT AS neighbor_label, sim, rank
         |FROM r WHERE rank <= 5""".stripMargin,
+    "q_bitext_mine" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        |x AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 2 = 0),
+        |y AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 2 = 1),
+        |fj AS (SELECT x.vec_id AS src_id, y.vec_id AS dst_id,
+        |              CASE WHEN x.nrm * y.nrm > 0
+        |                   THEN list_dot_product(x.v, y.v) / (x.nrm * y.nrm) END AS sim
+        |       FROM x, y),
+        |fr AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, dst_id) AS r
+        |       FROM fj WHERE sim IS NOT NULL),
+        |fk AS (SELECT src_id, dst_id, sim, round(sim * 1000000000)::BIGINT AS sim_fp
+        |       FROM fr WHERE r <= 4),
+        |br AS (SELECT *, row_number() OVER (PARTITION BY dst_id ORDER BY sim DESC, src_id) AS r
+        |       FROM fj WHERE sim IS NOT NULL),
+        |bk AS (SELECT src_id, dst_id, round(sim * 1000000000)::BIGINT AS sim_fp
+        |       FROM br WHERE r <= 4),
+        |ax AS (SELECT src_id, sum(sim_fp)::BIGINT AS ax_fp FROM fk GROUP BY 1),
+        |ay AS (SELECT dst_id, sum(sim_fp)::BIGINT AS ay_fp FROM bk GROUP BY 1),
+        |sc AS (SELECT f.src_id, f.dst_id, f.sim,
+        |              ((8 * f.sim_fp * 1000000) // (ax_fp + ay_fp))::BIGINT AS margin_fp,
+        |              b.src_id IS NOT NULL AS mutual
+        |       FROM fk f
+        |       JOIN ax USING (src_id) JOIN ay USING (dst_id)
+        |       LEFT JOIN bk b ON b.src_id = f.src_id AND b.dst_id = f.dst_id
+        |       WHERE ax_fp + ay_fp > 0),
+        |fl AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin_fp DESC, dst_id) AS r
+        |       FROM sc WHERE margin_fp >= 1050000)
+        |SELECT src_id, dst_id, sim, margin_fp, mutual FROM fl WHERE r = 1""".stripMargin,
     // identical by construction: per-half top-10s merged and re-ranked must
     // reproduce the one-shot top-10 (every global winner is in its half's
     // top-10), so the incremental query reuses the knn oracle verbatim

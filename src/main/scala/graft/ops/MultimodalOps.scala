@@ -328,6 +328,115 @@ object MultimodalOps {
   private[graft] def cardColor(id: Long, mr: Int, mg: Int, mb: Int): Int =
     ((id * mr % 256).toInt << 16) | ((id * mg % 256).toInt << 8) | (id * mb % 256).toInt
 
+  /** [[renderTestCards]] with the media id and the CARD id decoupled and
+    * the container format selectable ("png" | "bmp", both lossless
+    * JDK-codec round trips): the same card_id rendered under two formats
+    * (or re-packed under a second media_id) produces byte-DIFFERENT
+    * payloads whose decoded rasters are identical — the planted input for
+    * decode-normalized dedup, where file-digest dedup structurally fails.
+    */
+  def renderTestCardsEnc(
+      spark: SparkSession, roster: DataFrame,
+      idCol: String, cardCol: String, fmt: String): DataFrame = {
+    require(fmt == "png" || fmt == "bmp", s"unsupported lossless test format $fmt")
+    import spark.implicits._
+    roster.select(col(idCol).cast("long"), col(cardCol).cast("long"))
+      .as[(Long, Long)].mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, card) =>
+          val (w, h) = cardDims(card, solid = false)
+          val top = cardColor(card, 37, 59, 83)
+          val bot = cardColor(card, 101, 131, 151)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            val rgb = if (y < h / 2) top else bot
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, bos)
+          MediaRecord(id, "image", 0L, bos.toByteArray)
+        }
+      }.withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("payload"))
+  }
+
+  /** Decoded raster identity row: the LOWERCASE HEX of the row-major RGB
+    * raster (6 chars/pixel). Hex-of-raster rather than raw bytes because
+    * the digest downstream must be computable by a SQL engine whose md5
+    * takes strings — same discrimination, engine-portable definition.
+    */
+  case class ImageRaster(
+      media_id: Long, kind: String, decode_ok: Boolean,
+      width: Long, height: Long, raster_hex: String)
+
+  /** Decode packed images to their raster-identity rows ([[ImageRaster]]):
+    * the normalization step of decode-normalized image dedup. Same codec
+    * discipline as [[decodeImageFeatures]] (per-partition reader, corrupt
+    * payloads taint their own row only, payloads never shuffle — the hex
+    * is 6·w·h chars and the ONLY thing that flows on).
+    */
+  def rasterHex(spark: SparkSession, packed: DataFrame): Dataset[ImageRaster] = {
+    import spark.implicits._
+    val hexChars = "0123456789abcdef".toCharArray
+    packed.as[MediaRecord].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) ImageRaster(r.media_id, r.kind, false, 0L, 0L, "")
+          else {
+            val sb = new java.lang.StringBuilder(img.getWidth * img.getHeight * 6)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                var shift = 20
+                while (shift >= 0) {
+                  sb.append(hexChars((rgb >> shift) & 0xF)); shift -= 4
+                }
+                x += 1
+              }
+              y += 1
+            }
+            ImageRaster(r.media_id, r.kind, true,
+              img.getWidth.toLong, img.getHeight.toLong, sb.toString)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            ImageRaster(r.media_id, r.kind, false, 0L, 0L, "")
+        }
+      }
+    }
+  }
+
+  /** Decode-normalized image dedup over [[rasterHex]] rows: md5 of the
+    * raster hex keys one hash-aggregate (keeper = lowest media_id,
+    * multiplicity), joined back for the per-row verdict — the
+    * [[graft.ops.DedupOps.exactDedup]] shape on decoded-pixel identity.
+    * This is what catches the SAME image stored under different lossless
+    * containers (PNG vs BMP re-encodes, re-uploads under new ids), which
+    * file-byte digests miss by construction. At 100 TB the digest is
+    * computed next to the decode (payloads never shuffle; 32-char digests
+    * do), and the aggregate is one map-side-combined hash shuffle.
+    */
+  def imageRasterDedup(rasters: DataFrame): DataFrame = {
+    val d = rasters
+      .filter(col("decode_ok"))
+      .select(col("media_id"), col("width"), col("height"),
+        md5(col("raster_hex")).as("raster_md5"))
+    val g = d.groupBy(col("raster_md5"))
+      .agg(min(col("media_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+    d.join(g, Seq("raster_md5"))
+      .select(col("media_id"), col("width"), col("height"), col("raster_md5"),
+        col("keeper_id"), col("n_copies"),
+        (col("media_id") =!= col("keeper_id")).as("is_dup"))
+  }
+
   /** REAL image decode over packed media: javax.imageio per partition
     * (one reader context, no disk cache), emitting exact dims and
     * integer channel sums. Undecodable payloads — wrong format, truncated

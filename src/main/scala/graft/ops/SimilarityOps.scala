@@ -208,6 +208,95 @@ object SimilarityOps {
         col("sim"), col("rank"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the scoring
+    * rule behind the CCMatrix/WikiMatrix-scale parallel-corpus mines):
+    * candidate cross-side pairs are scored by the RATIO margin
+    * `cos(x,y) / ((avgₖ(x→Y) + avgₖ(y→X)) / 2)` — similarity relative to
+    * each endpoint's own neighborhood density — which is what separates
+    * true translation pairs from generically-close neighbors in
+    * hubness-prone embedding spaces; a raw cosine threshold cannot. Kept
+    * pairs clear `marginFpMin` (micro-units, 1_000_000 = margin 1.0) and
+    * are reduced to each source's best target; `mutual` marks pairs that
+    * also appear in the backward top-k (the "intersection" strategy's
+    * condition, the highest-precision subset).
+    *
+    * Engine-exact discipline: per-pair cosine is the same double formula
+    * as [[knnBrute]] (pure per-pair — hash-safe); neighborhood averages
+    * are summed in NANO fixed point (integer sums are order-independent,
+    * so a 1000-executor sum equals the oracle's) and the margin is one
+    * integer division; the division's trunc-vs-floor divergence on
+    * negative numerators cannot surface because only
+    * margin ≥ marginFpMin ≥ 0 rows are emitted and both engines agree on
+    * every non-negative quotient.
+    *
+    * Scale shape: the two top-k legs are the pluggable part — here the
+    * exact [[knnBrute]] (probes broadcast, corpus scanned once, raw
+    * vectors never shuffle); at 100 TB swap in the staged
+    * [[knnIvfPq]]/[[knnHnsw]] searches, which share the
+    * (probe, neighbor, sim, rank) contract. Everything downstream is
+    * O(n·k): two map-side-partial aggregates over k-row groups, one
+    * equi-join of the forward candidates against the two tiny per-vector
+    * sums, and a left semi-shaped mutual probe on the (src, dst) key.
+    */
+  def bitextMine(
+      xs: DataFrame,
+      ys: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 4,
+      marginFpMin: Long = 1050000L): DataFrame =
+    bitextMineFrom(
+      knnBrute(ys, xs, idCol, vecCol, k),
+      knnBrute(xs, ys, idCol, vecCol, k),
+      marginFpMin)
+
+  /** [[bitextMine]] over PRE-BUILT directional top-k relations — the
+    * operating form at scale: `fwd` (x-probes over the Y corpus) and
+    * `bwd` (y-probes over X) are ANY candidate relations sharing the knn
+    * family's `(probe_id, neighbor_id, sim, rank)` contract — exact
+    * [[knnBrute]] here, the staged [[knnIvfPq]]/[[knnHnsw]] searches over
+    * a persisted index at 100 TB. Everything downstream is O(n·k).
+    * Neighborhood averages use each side's ACTUAL candidate count
+    * (`2·kx·ky·sim / (ky·Σx + kx·Σy)` in fixed point — an ANN leg may
+    * return fewer than k), which reduces EXACTLY to the shared-oracle
+    * `2k·sim/(Σx+Σy)` form when both sides are full: integer division is
+    * invariant under the common kx=ky factor.
+    */
+  def bitextMineFrom(
+      fwd0: DataFrame,
+      bwd0: DataFrame,
+      marginFpMin: Long = 1050000L): DataFrame = {
+    require(marginFpMin >= 0, "negative margins are never translation pairs")
+    val simFp = round(col("sim") * lit(1000000000.0)).cast("long")
+    val fwd = fwd0.select(
+      col("probe_id").as("src_id"), col("neighbor_id").as("dst_id"),
+      col("sim"), simFp.as("sim_fp"))
+    val bwd = bwd0.select(
+      col("probe_id").as("dst_id"), col("neighbor_id").as("src_id"),
+      simFp.as("sim_fp"))
+    val ax = fwd.groupBy(col("src_id"))
+      .agg(sum(col("sim_fp")).as("ax_fp"), count(lit(1)).as("kx"))
+    val ay = bwd.groupBy(col("dst_id"))
+      .agg(sum(col("sim_fp")).as("ay_fp"), count(lit(1)).as("ky"))
+    val mutual = bwd.select(col("src_id"), col("dst_id"), lit(true).as("mutual"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin_fp").desc, col("dst_id"))
+    fwd
+      .join(ax, Seq("src_id"))
+      .join(ay, Seq("dst_id"))
+      .join(mutual, Seq("src_id", "dst_id"), "left")
+      .filter(col("ky") * col("ax_fp") + col("kx") * col("ay_fp") > 0)
+      .withColumn("__mnum",
+        lit(2L) * col("kx") * col("ky") * col("sim_fp") * lit(1000000L))
+      .withColumn("margin_fp", expr("__mnum div (ky * ax_fp + kx * ay_fp)"))
+      .filter(col("margin_fp") >= marginFpMin)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(
+        col("src_id"), col("dst_id"), col("sim"), col("margin_fp"),
+        coalesce(col("mutual"), lit(false)).as("mutual"))
+  }
+
   /** kNN label-noise detection over a PRE-BUILT neighbor relation
     * (`(probe_id, neighbor_id)` from any candidate generator): each
     * labeled point's neighbors vote, `n_disagree` counts the
@@ -710,13 +799,14 @@ object SimilarityOps {
       nLists: Int,
       nProbe: Int,
       iters: Int,
-      hierThreshold: Int): DataFrame = {
+      hierThreshold: Int,
+      fineCap: Long = 0L): DataFrame = {
     val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
     val q = quantizeNormFp(c, idCol).scopedCache()
     // granularity-adaptive routing: ≤32 lists (every oracled call) is the
     // verbatim flat form; larger granularities (nLists ∝ n at scale) take
     // the two-level tree that kills the n·nLists routing quadratic
-    val routing = fitRouting(q, idCol, nLists, iters, hierThreshold)
+    val routing = fitRouting(q, idCol, nLists, iters, hierThreshold, fineCap, nProbe)
     val assigned = multiProbeRoute(q, idCol, routing, nProbe)
     verifyBlockedPairs(c, idCol, assigned, "cid", threshold)
   }
@@ -747,7 +837,7 @@ object SimilarityOps {
     // adaptive routing (flat ≤32 lists — the oracle's bit-exact form):
     // the corpus argmin and the probe multi-probe both ride it, so the
     // n·nLists fit/assign terms go n·√nLists at scaled granularity
-    val routing = fitRouting(q, idCol, nLists, iters)
+    val routing = fitRouting(q, idCol, nLists, iters, censusProbe = 1)
     val assigned = assignRoute(q, idCol, routing)
       .join(c.select(col(idCol), col("v"), col("nrm")), Seq(idCol))
     val p = preparedNonZero(probes, idCol, vecCol)
@@ -789,14 +879,45 @@ object SimilarityOps {
     */
   private[graft] sealed trait FpRouting
   private[graft] final case class FlatRouting(cents: DataFrame) extends FpRouting
+  /** `census`/`censusOf`: the fit-time fine-membership relation
+    * `(key, cid, dist_fp)` at [[FineCensusProbe]] over the fit corpus
+    * (reference `censusOf`), checkpointed. Routing the SAME corpus at
+    * nProbe ≤ censusProbe reuses it (routing is a pure per-vector
+    * function, so the census IS that routing's base — the whale census
+    * would otherwise double the routing cost of every self-build).
+    */
   private[graft] final case class HierRouting(
-      cents1: DataFrame, cents2: DataFrame, k2: Int) extends FpRouting
+      cents1: DataFrame, cents2: DataFrame, k2: Int,
+      cents3: Option[DataFrame] = None, s3: Long = 1L,
+      census: Option[DataFrame] = None, censusOf: AnyRef = null,
+      censusK: Int = FineCensusProbe) extends FpRouting
 
   /** Largest nLists still routed flat — chosen between the registered
     * queries' granularities (8/16, which must stay oracle-exact) and the
     * sf1 smoke's scaled ones (80-160, where the n·nLists term dominates).
     */
   private[graft] val HierRoutingThreshold = 32
+
+  /** Floor of the hier router's auto fine-list capacity cap: whale-list
+    * subdivision (level 3) only fires when a fine list's CENSUS
+    * membership exceeds max(256, 4·n/nLists) vectors — above the balanced
+    * nProbe·n/nLists expectation, so a healthy fit never subdivides and
+    * every existing fixture routes identically; the sf1 rehearsal's
+    * measured whales (max fine list 2885 vs balanced 375 at the 40k
+    * decade — the residual n^1.7 candidate-volume term) are exactly what
+    * crosses it.
+    */
+  private[graft] val FineCapFloor = 256L
+
+  /** Probe count of the fit-time membership census. Whales are a
+    * MEMBERSHIP phenomenon, not an ownership one (multi-probe
+    * concentration: the sf1 rehearsal shows 1459-member lists whose
+    * ownership stays under 500 — neighbors' rank-2/3 probes pile into
+    * the same realized list), so the census must count memberships at a
+    * representative probe depth. Any fixed choice keeps the tree a pure
+    * function of the corpus; 3 is the ANN/blocking families' default.
+    */
+  private[graft] val FineCensusProbe = 3
 
   /** Fit the routing artifact for an `(idCol, vfp)` relation (caller
     * caches it — the fit scans it). Flat: the full-corpus integer Lloyd,
@@ -809,10 +930,30 @@ object SimilarityOps {
     * sample would otherwise have no codebook and orphan its members).
     * Both fits are deterministic functions of the id set, so a staged
     * build under a frozen tree equals the one-shot build exactly.
+    *
+    * Level 3 — WHALE-LIST SUBDIVISION (the fine-list capacity cap): the
+    * population-proportional fine capacity equalizes EXPECTED fine-list
+    * size, but intra-cell Lloyd imbalance still leaves whale lists on
+    * skewed (or adversarially structureless) corpora — the sf1 rehearsal
+    * measured max fine list 2841 vs balanced 125, inflating candidate
+    * volume ∝ n^1.7 (Σ m_i² under Σ m_i = n·nProbe is minimized by
+    * balance; whales pay their excess QUADRATICALLY). Any fine list
+    * owning more than `fineCap` vectors gets its own sub-codebook —
+    * fan-out ∝ pop/cap (one level suffices, the saltedAssignments
+    * adaptive-fan-out argument) fit by the SAME grouped Lloyd as level 2
+    * — so per-list candidate volume is capped at ~pop·cap and the total
+    * returns to the linear-in-n balanced bound. The sub-fit is a
+    * deterministic function of the id set (exact ownership counts,
+    * lowest-id seeds, hash samples) and the tree is frozen before any
+    * routing, so staged/incremental folds still decompose exactly.
+    * `fineCap` 0 = auto (max([[FineCapFloor]], 4·n/nLists));
+    * Int.MaxValue disables.
     */
   private[graft] def fitRouting(
       q: DataFrame, idCol: String, nLists: Int, iters: Int,
-      hierThreshold: Int = HierRoutingThreshold): FpRouting =
+      hierThreshold: Int = HierRoutingThreshold,
+      fineCap: Long = 0L,
+      censusProbe: Int = FineCensusProbe): FpRouting =
     if (nLists <= hierThreshold) FlatRouting(lloyd(q, idCol, nLists, iters))
     else {
       val k1 = math.max(2, math.ceil(math.sqrt(nLists.toDouble)).toInt)
@@ -856,7 +997,61 @@ object SimilarityOps {
         .localCheckpoint()
       val cents2 = pqLloyd(fit2, idCol, k2max, iters,
         subCaps = Some(caps.select(col("c1").as("sub"), col("__cap"))))
-      HierRouting(cents1.localCheckpoint(), cents2.localCheckpoint(), k2max)
+      val (c1c, c2c) = (cents1.localCheckpoint(), cents2.localCheckpoint())
+      // auto cap in CENSUS units: 4× the balanced census membership
+      // (censusProbe·n/nLists). A tighter multiple (the first cut used
+      // 4× balanced OWNERSHIP = 1.33× balanced membership) subdivides
+      // ordinary fluctuation — measured as pure overhead on corpora
+      // whose volume is not whale-dominated — while genuine whales sit
+      // 6-8× above balance and still cross this bar.
+      val cap =
+        if (fineCap == 0L)
+          math.max(FineCapFloor,
+            4L * censusProbe * ((n + nLists - 1) / nLists))
+        else fineCap
+      if (cap >= n) HierRouting(c1c, c2c, k2max)
+      else {
+        // level 3: MEMBERSHIP census under the frozen two-level tree at
+        // the representative probe depth (see FineCensusProbe — whales
+        // are realized-membership pileups, not ownership ones), then one
+        // grouped Lloyd over the whales only. The census is NOT an extra
+        // cost: it is retained on the routing artifact and serves as the
+        // fit corpus's own base routing (the common self-build path), so
+        // the fit+route total stays one coarse+fine pass either way.
+        val census = hierFine(q, idCol, c1c, c2c, k2max, censusProbe)
+          .localCheckpoint()
+        val withCensus = HierRouting(c1c, c2c, k2max,
+          census = Some(census), censusOf = q, censusK = censusProbe)
+        val hot = census.groupBy(col("cid")).agg(count(lit(1)).as("__pop"))
+          .filter(col("__pop") > cap)
+        if (hot.head(1).isEmpty) withCensus
+        else {
+          // fan-out 4·pop/cap: the sub-refinement keeps up to 2 sub-cells
+          // per kept fine membership (sub-boundary pairs survive, the
+          // saltedAssignments multi-probe argument), so doubling the
+          // nominal pop/cap split keeps per-whale volume ≈ pop·cap even
+          // at worst-case membership doubling before the global re-rank
+          val caps3 = hot.select(col("cid"),
+            greatest(lit(2L), least(col("__pop"),
+              ((lit(4L) * col("__pop")) / lit(cap)).cast("long") + 1L))
+              .as("__cap"))
+            .localCheckpoint()
+          val k3max = math.max(2, caps3.agg(max(col("__cap"))).head().getLong(0).toInt)
+          val seedW3 = Window.partitionBy(col("cid")).orderBy(col(idCol))
+          val fit3 = census.join(broadcast(caps3), Seq("cid"))
+            .join(q, Seq(idCol))
+            .withColumn("__rn", row_number().over(seedW3))
+            .filter(col("__rn") <= col("__cap") ||
+              pmod(xxhash64(col(idCol).cast("string")), lit(sampleMod2)) === 0)
+            .select(col(idCol), col("cid").as("sub"), col("vfp").as("svfp"))
+            .localCheckpoint()
+          val cents3 = pqLloyd(fit3, idCol, k3max, iters,
+            subCaps = Some(caps3.select(col("cid").as("sub"), col("__cap"))))
+            .select(col("sub").as("cid"), col("cid").as("scid"), col("cfp"))
+            .localCheckpoint()
+          withCensus.copy(cents3 = Some(cents3), s3 = k3max + 1L)
+        }
+      }
     }
 
   /** Top-`nProbe` list memberships per vector under a routing artifact —
@@ -882,34 +1077,96 @@ object SimilarityOps {
       // query reaches it
       case FlatRouting(cents) =>
         multiProbeAssignFp(q, keyCol, cents, nProbe)
-      case HierRouting(c1, c2, k2) =>
-        // probe MORE coarse cells than fine memberships kept (the
-        // inverted-multi-index over-probe): near-boundary neighbors that
-        // disagree on their rank-2 coarse cell still see each other's
-        // fine lists in the global ranking below. Measured on the
-        // 10×200-cluster fixture at nLists=48/nProbe=2: pair recall
-        // 0.786 at coarseProbe=nProbe → 0.92+ at nProbe+2, vs 0.912 for
-        // the flat router at the same granularity; membership (and so
-        // candidate volume) stays nProbe either way
-        val coarse = multiProbeAssignFp(q, keyCol, c1, nProbe + 2)
-          .withColumnRenamed("cid", "c1")
-        val distFp = graft.functions.VectorFunctions.graft_l2sq(col("vfp"), col("cfp"))
-        val w = Window.partitionBy(col(keyCol))
-          .orderBy(col("dist_fp"), col("c1"), col("c2"))
-        q.join(coarse, Seq(keyCol))
-          .join(
-            broadcast(c2.select(col("sub").as("c1"), col("cid").as("c2"), col("cfp"))),
-            Seq("c1"))
-          .withColumn("dist_fp", distFp)
-          .withColumn("__r", row_number().over(w))
-          .filter(col("__r") <= nProbe)
-          .select(col(keyCol), (col("c1") * k2 + col("c2")).as("cid"))
-          // eager checkpoint: every blocking consumer joins the routing
-          // TWICE (the id_a/id_b self-join arms), and the hier plan is
-          // deep (two fits + two windows) — n·nProbe two-column rows is
-          // the cheapest point to cut it
-          .localCheckpoint()
+      case h: HierRouting =>
+        val fromCensus = h.census.isDefined &&
+          (h.censusOf eq q) && nProbe <= h.censusK
+        val fine =
+          if (!fromCensus) hierFine(q, keyCol, h.cents1, h.cents2, h.k2, nProbe)
+          else if (nProbe == h.censusK) h.census.get
+          else {
+            // the census at a deeper probe SUPERSETS any shallower
+            // routing's candidates (its coarse over-probe is wider too,
+            // so the filtered top-nProbe can only see MORE near-boundary
+            // candidates than a fresh shallow route — recall-neutral or
+            // better, still a pure per-vector function of the frozen
+            // tree) — one window over checkpointed scalar rows instead
+            // of a full coarse+fine re-route
+            val w = Window.partitionBy(col(keyCol))
+              .orderBy(col("dist_fp"), col("cid"))
+            h.census.get.withColumn("__r", row_number().over(w))
+              .filter(col("__r") <= nProbe)
+              .select(col(keyCol), col("cid"), col("dist_fp"))
+          }
+        val refined = h.cents3 match {
+          case None => fine.select(col(keyCol), col("cid"))
+          case Some(c3) =>
+            // whale subdivision: memberships in a subdivided fine list
+            // refine to their 2 nearest sub-cells (sub-boundary pairs
+            // survive — the direction-aware salt argument), then the
+            // refined candidate set re-ranks GLOBALLY per vector so
+            // membership stays exactly nProbe; unsubdivided memberships
+            // pass through at their fine-centroid distance. cid·s3(+scid
+            // +1) keeps the two populations disjoint: subdivided lists
+            // never emit slot 0, unsubdivided lists only slot 0.
+            val dist3c = graft.functions.VectorFunctions.graft_l2sq(col("vfp"), col("scfp"))
+            val subW = Window.partitionBy(col(keyCol), col("cid"))
+              .orderBy(col("dist3"), col("scid"))
+            val gW = Window.partitionBy(col(keyCol))
+              .orderBy(col("dist3"), col("cid3"))
+            fine.join(q, Seq(keyCol))
+              .join(
+                broadcast(c3.select(col("cid"), col("scid"), col("cfp").as("scfp"))),
+                Seq("cid"), "left")
+              .withColumn("dist3",
+                when(col("scid").isNull, col("dist_fp")).otherwise(dist3c))
+              .withColumn("__rs", row_number().over(subW))
+              .filter(col("__rs") <= 2)
+              .withColumn("cid3",
+                col("cid") * h.s3 +
+                  when(col("scid").isNull, lit(0L)).otherwise(col("scid") + 1L))
+              .withColumn("__rg", row_number().over(gW))
+              .filter(col("__rg") <= nProbe)
+              .select(col(keyCol), col("cid3").as("cid"))
+        }
+        // eager checkpoint: every blocking consumer joins the routing
+        // TWICE (the id_a/id_b self-join arms), and the hier plan is
+        // deep (two fits + two windows) — n·nProbe two-column rows is
+        // the cheapest point to cut it. A census served verbatim with no
+        // level 3 is ALREADY cut; don't copy it to local disk again.
+        if (h.cents3.isEmpty && fromCensus && nProbe == h.censusK)
+          refined
+        else refined.localCheckpoint()
     }
+
+  /** The hier router's base (pre-level-3) fine routing:
+    * `(keyCol, cid, dist_fp)` — the coarse over-probe + global fine
+    * ranking, split out so the fit-time census and any consumer-side
+    * re-route share one definition. Probes MORE coarse cells than fine
+    * memberships kept (the inverted-multi-index over-probe): near-
+    * boundary neighbors that disagree on their rank-2 coarse cell still
+    * see each other's fine lists in the global ranking. Measured on the
+    * 10×200-cluster fixture at nLists=48/nProbe=2: pair recall 0.786 at
+    * coarseProbe=nProbe → 0.92+ at nProbe+2, vs 0.912 for the flat
+    * router at the same granularity; membership (and so candidate
+    * volume) stays nProbe either way.
+    */
+  private def hierFine(
+      q: DataFrame, keyCol: String, c1: DataFrame, c2: DataFrame, k2: Int,
+      nProbe: Int): DataFrame = {
+    val coarse = multiProbeAssignFp(q, keyCol, c1, nProbe + 2)
+      .withColumnRenamed("cid", "c1")
+    val distFp = graft.functions.VectorFunctions.graft_l2sq(col("vfp"), col("cfp"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("dist_fp"), col("c1"), col("c2"))
+    q.join(coarse, Seq(keyCol))
+      .join(
+        broadcast(c2.select(col("sub").as("c1"), col("cid").as("c2"), col("cfp"))),
+        Seq("c1"))
+      .withColumn("dist_fp", distFp)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nProbe)
+      .select(col(keyCol), (col("c1") * k2 + col("c2")).as("cid"), col("dist_fp"))
+  }
 
   /** ONE list per vector under a routing artifact — the IVF
     * corpus-assignment leg. Flat: the exact integer argmin (ties to the
@@ -931,10 +1188,13 @@ object SimilarityOps {
     */
   private[graft] def routeForTest(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, nProbe: Int, iters: Int, hierThreshold: Int): DataFrame = {
+      nLists: Int, nProbe: Int, iters: Int, hierThreshold: Int,
+      fineCap: Long = 0L): DataFrame = {
     val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
     val q = quantizeNormFp(c, idCol).scopedCache()
-    multiProbeRoute(q, idCol, fitRouting(q, idCol, nLists, iters, hierThreshold), nProbe)
+    multiProbeRoute(
+      q, idCol,
+      fitRouting(q, idCol, nLists, iters, hierThreshold, fineCap, nProbe), nProbe)
   }
 
   /** L2-normalized BIGINT-millionth quantization of a [[preparedNonZero]]
@@ -1707,11 +1967,14 @@ object SimilarityOps {
       iters: Int = 2,
       ef: Int = 16,
       roundsUpper: Int = 1,
-      rounds0: Int = 4): DataFrame = {
+      rounds0: Int = 4,
+      fineCap: Long = 0L): DataFrame = {
     require(maxLevel >= 1 && mNeighbors >= 1 && ef >= k, "degenerate HNSW shape")
     val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
     val q = quantizeNormFp(c, idCol).scopedCache()
-    val routing = hnswPh("lloyd") { fitRouting(q, idCol, nLists, iters) }
+    val routing = hnswPh("lloyd") {
+      fitRouting(q, idCol, nLists, iters, fineCap = fineCap, censusProbe = nProbe)
+    }
     // NOT checkpointed: the routing underneath is (n·nProbe scalar rows,
     // already cut), so each of the 4 level aggregates re-runs only the
     // cid equi-join + dot — cheaper than writing the pair-scale relation
@@ -1975,13 +2238,14 @@ object SimilarityOps {
       iters: Int = 2,
       ef: Int = 16,
       roundsUpper: Int = 1,
-      rounds0: Int = 4): DataFrame = {
+      rounds0: Int = 4,
+      fineCap: Long = 0L): DataFrame = {
     val c = preparedNonZero(corpus, idCol, vecCol).scopedCache()
     val q = quantizeNormFp(c, idCol).scopedCache()
     // same adaptive routing as the one-shot build, fit on the SAME union
     // corpus — routing stays a per-vector function of the frozen tree, so
     // the pair blocks below decompose the union candidate set exactly
-    val routing = fitRouting(q, idCol, nLists, iters)
+    val routing = fitRouting(q, idCol, nLists, iters, fineCap = fineCap, censusProbe = nProbe)
     val qStore = q.filter(!batchPred)
     val qBatch = q.filter(batchPred)
     val storeState = hnswAdjState(
@@ -2012,7 +2276,7 @@ object SimilarityOps {
       nLists: Int = 16, nProbe: Int = 3, iters: Int = 2): (DataFrame, DataFrame) = {
     val rel = hnswPrep(corpus, idCol, vecCol).localCheckpoint(true)
     val q = rel.select(col(idCol), col("vfp"))
-    val routing = fitRouting(q, idCol, nLists, iters)
+    val routing = fitRouting(q, idCol, nLists, iters, censusProbe = nProbe)
     val scored = hnswScoredPairs(q, q, idCol, routing, nProbe).localCheckpoint(true)
     (rel, scored)
   }
@@ -2425,7 +2689,7 @@ object SimilarityOps {
     // family carried (raw-space l2 instead of direction, same integer
     // machinery). Routing externalizes through the WithLists seam, whose
     // flat instantiation is exactly knnIvfPqSearch's own probe ranking
-    val routing = fitRouting(v, idCol, nLists, iters)
+    val routing = fitRouting(v, idCol, nLists, iters, censusProbe = 1)
     val assigned = assignRoute(v, idCol, routing)
       .select(col(idCol), col("cid").as("list_id"))
     val s = subSplit(v, idCol, dim, m).scopedCache()

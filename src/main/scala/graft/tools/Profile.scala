@@ -14,6 +14,10 @@ object Profile {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // same heap-UDAF hash-mode pin as ScaleSmoke/Bench — without it the
+      // group-heavy bounded-heap aggregates fall back to sorting their
+      // whole input past 128 keys/partition and every profile reads wrong
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -26,6 +30,36 @@ object Profile {
 
     val emb = Tables.embeddings(spark, dir)
     time("warmup-count") { emb.count() }
+
+    if (args.contains("hnswcap")) {
+      // isolated capped-vs-uncapped embedding family at the sf1 K decades
+      val k = args.find(_.startsWith("k=")).map(_.drop(2).toInt).getOrElse(20)
+      val big = (0 until k).map { c =>
+        emb.select(
+          (col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(c * 0.001f)).otherwise(x)).as("embedding"))
+      }.reduce(_ unionByName _).cache()
+      val nv = big.count()
+      val probes = big.filter(pmod(col("vec_id"), lit(500L)) === 3)
+      val nlHnsw = math.max(16, (nv / 125L).toInt)
+      val nlSem = math.max(8, (nv / 250L).toInt)
+      for (round <- 1 to 2) {
+        Seq("uncapped" -> Long.MaxValue, "auto" -> 0L).foreach { case (mode, cap) =>
+          time(s"hnsw-$mode-$round") {
+            SimilarityOps.knnHnsw(big, probes, "vec_id", "embedding",
+              k = 10, nLists = nlHnsw, fineCap = cap).count()
+          }
+          time(s"semdedup-$mode-$round") {
+            val pairs = SimilarityOps.cosineNearDupPairsBlockedFpForTest(
+              big, "vec_id", "embedding", threshold = 0.4, nLists = nlSem,
+              nProbe = 2, iters = 2,
+              hierThreshold = SimilarityOps.HierRoutingThreshold, fineCap = cap)
+            DedupOps.connectedComponentsFast(pairs, "id_a", "id_b").count()
+          }
+        }
+      }
+    }
 
     if (args.contains("rep")) {
       import graft.ops.TextOps

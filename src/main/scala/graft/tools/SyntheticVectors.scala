@@ -30,6 +30,26 @@ object SyntheticVectors {
     * diffuse half into one quadratic list; the salted blocking must
     * subdivide it while keeping every twin pair co-blocked.
     */
+  /** Twin-pair corpus over UNIFORM directions — the sf1 smoke's regime:
+    * structureless in direction space (no clusters for Lloyd to find),
+    * which is exactly where lowest-id seeding + few iterations leave
+    * REALIZED whale lists even under population-proportional capacity
+    * (the measured max-fine-list 2841 vs balanced 125 at the 40k decade).
+    * Each of `nPairs` uniform dim-`dim` Gaussian directions is emitted
+    * twice at σ=0.01 (ids 2i / 2i+1) — planted near-dups at sim ≈ 1
+    * against a ≈0-sim background, so co-routing recall is measurable at a
+    * 0.99 threshold.
+    */
+  def twinUniform(nPairs: Int, dim: Int, seed: Long): Seq[(Long, Seq[Double])] = {
+    val rng = new scala.util.Random(seed)
+    (0 until nPairs).flatMap { i =>
+      val base = Array.fill(dim)(rng.nextGaussian())
+      Seq(
+        (2L * i, base.map(_ + rng.nextGaussian() * 0.01).toSeq),
+        (2L * i + 1, base.map(_ + rng.nextGaussian() * 0.01).toSeq))
+    }
+  }
+
   def skewedOneCluster(
       nTwinPairs: Int,
       nColdClusters: Int,

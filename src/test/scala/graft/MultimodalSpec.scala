@@ -229,4 +229,37 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.sum_b == w.toLong * (tRows * c(83) + bRows * c(151)), s"sum_b id=$id")
     }
   }
+
+  test("imageRasterDedup: PNG/BMP byte-different payloads dedupe on decoded raster; file digest finds nothing") {
+    val cards = Seq(0L, 1L, 7L, 255L, 256L, 12345L)
+    val png = cards.map(c => (c, c)).toDF("media_id", "card_id")
+    val bmp = cards.map(c => (c + 1000L, c)).toDF("media_id", "card_id")
+    val packed = MultimodalOps.renderTestCardsEnc(spark, png, "media_id", "card_id", "png")
+      .unionByName(MultimodalOps.renderTestCardsEnc(spark, bmp, "media_id", "card_id", "bmp"))
+      .cache()
+    // the motivating differential: the PNG and BMP payloads of the same
+    // card share ZERO file digests (container bytes differ)...
+    val fileDigests = packed.select(md5(col("payload")).as("d"))
+      .groupBy("d").count().filter(col("count") > 1).count()
+    assert(fileDigests == 0L, "file-level digests must NOT collide across containers")
+    // ...but every card's two rows share one raster digest
+    val out = MultimodalOps.imageRasterDedup(
+      MultimodalOps.rasterHex(spark, packed).toDF())
+      .select("media_id", "raster_md5", "keeper_id", "n_copies", "is_dup")
+      .as[(Long, String, Long, Long, Boolean)].collect()
+    assert(out.length == cards.size * 2)
+    assert(out.forall(_._4 == 2L), s"every card must have exactly 2 copies: ${out.take(4).toSeq}")
+    cards.foreach { c =>
+      val pair = out.filter(r => r._1 == c || r._1 == c + 1000L)
+      assert(pair.map(_._2).distinct.length == 1, s"raster digests differ for card $c")
+      assert(pair.forall(_._3 == c), s"keeper must be the lowest media_id for card $c")
+      assert(pair.map(_._5).sorted.toSeq == Seq(false, true), s"one keeper one dup for card $c")
+    }
+    // corrupt payloads screen, never kill, and never join a dup group
+    val corrupt = Seq((99999L, "image", 3L, Array[Byte](1, 2, 3))).toDF(
+      "media_id", "kind", "n_bytes", "payload")
+    val withBad = MultimodalOps.rasterHex(spark, packed.unionByName(corrupt)).toDF()
+    assert(withBad.filter(!col("decode_ok")).count() == 1L)
+    assert(MultimodalOps.imageRasterDedup(withBad).count() == cards.size * 2L)
+  }
 }

@@ -475,6 +475,166 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall=$recall")
   }
 
+  test("whale-list subdivision (level 3): capped volume + max list, twin recall pinned, deterministic") {
+    // the fine-list capacity cap: intra-cell Lloyd imbalance leaves whale
+    // fine lists on skewed corpora even under population-proportional
+    // capacity (expectation is equalized; realized lists are not). The
+    // diffuse hot cluster here puts ~2/3 of the corpus into a handful of
+    // fine lists; the level-3 sub-codebooks must cap the realized list
+    // size so Σ m² returns to the linear balanced bound, while twin pairs
+    // (the planted near-dups) stay co-routed through the sub-refinement.
+    import graft.tools.SyntheticVectors
+    val nPairs = 4000
+    val vecs = SyntheticVectors
+      .twinUniform(nPairs = nPairs, dim = 64, seed = 7L)
+      .toDF("vec_id", "embedding").cache()
+    // twins are planted by construction (ids 2i/2i+1 at sim ≈ 1 over a
+    // ≈0-sim uniform background) — co-routing recall needs no O(n²) scan
+    val twinSet = (0 until nPairs).map(i => (2L * i, 2L * i + 1)).toSet
+    def structure(fineCap: Long): (Long, Long, Double) = {
+      val m = SimilarityOps.routeForTest(
+        vecs, "vec_id", "embedding", nLists = 64, nProbe = 3, iters = 2,
+        hierThreshold = 0, fineCap = fineCap)
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val sizes = m.toSeq.flatMap(_._2.toSeq).groupBy(identity).map(_._2.size.toLong)
+      val volume = sizes.map(s => s * s).sum / 2
+      val recall = twinSet.count { case (a, b) =>
+        (m(a) & m(b)).nonEmpty }.toDouble / twinSet.size
+      (volume, sizes.max, recall)
+    }
+    def ownership(fineCap: Long): Seq[Int] = SimilarityOps.routeForTest(
+      vecs, "vec_id", "embedding", nLists = 64, nProbe = 1, iters = 2,
+      hierThreshold = 0, fineCap = fineCap)
+      .as[(Long, Long)].collect().groupBy(_._2).map(_._2.size).toSeq.sorted.reverse
+    val cap = 150L
+    val (ownedU, ownedC) = (ownership(Long.MaxValue), ownership(cap))
+    info(s"ownership: uncapped top=${ownedU.take(8)} capped top=${ownedC.take(8)}")
+    // the contract: realized ownership is CAPPED — whale lists subdivide
+    // to ~cap/4 expected sub-size, so even skewed subs stay under cap
+    assert(ownedU.head > cap, "fixture must produce an over-cap whale list")
+    assert(ownedC.head <= cap,
+      s"capped max ownership ${ownedC.head} above the $cap cap")
+    val (uncappedVol, uncappedMax, uncappedRec) = structure(Long.MaxValue)
+    val (cappedVol, cappedMax, cappedRec) = structure(cap)
+    info(s"uncapped: vol=$uncappedVol max=$uncappedMax rec=$uncappedRec; " +
+      s"capped($cap): vol=$cappedVol max=$cappedMax rec=$cappedRec")
+    assert(cappedVol < uncappedVol,
+      s"capped volume $cappedVol must undercut uncapped $uncappedVol")
+    assert(cappedMax < uncappedMax,
+      s"capped max membership $cappedMax must undercut uncapped $uncappedMax")
+    assert(cappedRec >= 0.95, s"twin-pair co-routing recall=$cappedRec")
+    // bit-identical reruns: both fits are deterministic functions of the
+    // id set (exact ownership counts, lowest-id seeds, hash samples)
+    val rerun = structure(cap)
+    assert(rerun == ((cappedVol, cappedMax, cappedRec)))
+  }
+
+  test("whale cap through public hier paths: blocked twins recovered; knnHnsw staged ≡ one-shot") {
+    // the invariants that must survive subdivision on the whale regime:
+    // blocked pairs keep exact verified sims and full twin recall, reruns
+    // are bit-identical, and the staged HNSW fold still equals the
+    // one-shot build (routing stays a pure per-vector function of the
+    // frozen THREE-level tree, so pair blocks decompose exactly)
+    import graft.tools.SyntheticVectors
+    val nPairs = 4000
+    val vecs = SyntheticVectors
+      .twinUniform(nPairs = nPairs, dim = 64, seed = 7L)
+      .toDF("vec_id", "embedding").cache()
+    val twinSet = (0 until nPairs).map(i => (2L * i, 2L * i + 1)).toSet
+    def run() = SimilarityOps.cosineNearDupPairsBlockedFpForTest(
+      vecs, "vec_id", "embedding", 0.99, nLists = 64, nProbe = 3, iters = 2,
+      hierThreshold = 0, fineCap = 150L)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+    val blocked = run()
+    val blockedSet = blocked.map(r => (r._1, r._2)).toSet
+    // verification is exact cosine, so precision is structural; at 0.99
+    // over a uniform dim-64 background only twins can pass
+    assert((blockedSet -- twinSet).isEmpty)
+    assert(blocked.forall(_._3 >= 0.99))
+    val recall = (twinSet & blockedSet).size.toDouble / twinSet.size
+    info(s"whale-capped blocked twin recall=$recall (${blockedSet.size}/${twinSet.size})")
+    assert(recall >= 0.95, s"recall=$recall")
+    assert(run().toSet == blocked.toSet)
+    val probes = vecs.filter(col("vec_id") < 20)
+    val full = SimilarityOps.knnHnsw(
+      vecs, probes, "vec_id", "embedding", k = 10, nLists = 64, nProbe = 3,
+      ef = 32, rounds0 = 6, fineCap = 150L)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val staged = SimilarityOps.knnHnswStaged(
+      vecs, col("vec_id") % 2 === 1, probes, "vec_id", "embedding",
+      k = 10, nLists = 64, nProbe = 3, ef = 32, rounds0 = 6, fineCap = 150L)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(staged == full, "staged fold diverged under whale subdivision")
+    // every probe's twin is its sim≈1 nearest neighbor — the recall floor
+    // that matters on this corpus (background neighbors sit near cos 0.4)
+    def twinHits(rs: Set[(Long, Long, Double, Long)]): Int = {
+      val gotPairs = rs.map(r => (r._1, r._2))
+      probes.as[(Long, Seq[Double])].collect().map(_._1).count { p =>
+        gotPairs.contains((p, if (p % 2 == 0) p + 1 else p - 1))
+      }
+    }
+    val uncapped = SimilarityOps.knnHnsw(
+      vecs, probes, "vec_id", "embedding", k = 10, nLists = 64, nProbe = 3,
+      ef = 32, rounds0 = 6, fineCap = Long.MaxValue)
+      .select("probe_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    info(s"hnsw twin hits: capped=${twinHits(full)}/20 uncapped=${twinHits(uncapped)}/20")
+    assert(twinHits(full) >= twinHits(uncapped) - 2,
+      s"subdivision degraded search: capped=${twinHits(full)} uncapped=${twinHits(uncapped)}")
+  }
+
+  test("bitextMine: planted twins mined exactly; sources with no counterpart rejected by the margin") {
+    // ground truth by construction: twinUniform's even/odd twins are the
+    // "translation" pairs (sim ≈ 1 over a ≈0.4-top-sim background). A
+    // fifth of the targets are REMOVED — their sources' best remaining
+    // candidate is a background neighbor whose ratio margin falls under
+    // the threshold (its own neighborhood is equally close), which is
+    // precisely the discrimination a raw cosine threshold cannot make at
+    // mining scale and the reason the margin rule exists.
+    import graft.tools.SyntheticVectors
+    val nPairs = 300
+    val all = SyntheticVectors.twinUniform(nPairs = nPairs, dim = 64, seed = 3L)
+      .toDF("vec_id", "embedding").cache()
+    val xs = all.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val ys = all.filter(
+      pmod(col("vec_id"), lit(2)) === 1 && pmod((col("vec_id") - 1) / 2, lit(5)) =!= 0)
+    def run() = SimilarityOps.bitextMine(xs, ys, "vec_id", "embedding",
+      k = 4, marginFpMin = 1200000L)
+      .select("src_id", "dst_id", "sim", "margin_fp", "mutual")
+      .as[(Long, Long, Double, Long, Boolean)].collect()
+    val mined = run()
+    val pairedSrc = (0 until nPairs).filter(_ % 5 != 0).map(i => 2L * i).toSet
+    val minedTwins = mined.filter { case (s, d, _, _, _) => d == s + 1 }
+    info(s"mined=${mined.length} twins=${minedTwins.length} " +
+      s"paired=${pairedSrc.size} mutual=${mined.count(_._5)}")
+    // precision: everything mined is a true twin pair, mutual, high-sim
+    assert(minedTwins.length == mined.length,
+      s"non-twin pairs mined: ${mined.filterNot { case (s, d, _, _, _) => d == s + 1 }.take(5).toSeq}")
+    assert(mined.forall(_._5), "twin pairs must be mutual top-k")
+    assert(mined.forall(_._3 > 0.99))
+    // recall: every source whose twin survives is mined; none of the
+    // twinless sources sneak past the margin
+    val minedSrc = mined.map(_._1).toSet
+    assert((pairedSrc -- minedSrc).isEmpty,
+      s"missed twins: ${(pairedSrc -- minedSrc).take(5)}")
+    assert((minedSrc -- pairedSrc).isEmpty,
+      s"twinless sources mined: ${(minedSrc -- pairedSrc).take(5)}")
+    assert(run().toSet == mined.toSet) // deterministic
+    // the decomposed form with a PARTIAL backward leg (an ANN leg that
+    // returned 2 of 4 candidates): count-scaled averages keep the margin
+    // well-defined and the planted twins still clear it
+    val fwdLeg = SimilarityOps.knnBrute(ys, xs, "vec_id", "embedding", 4)
+    val bwdLeg = SimilarityOps.knnBrute(xs, ys, "vec_id", "embedding", 4)
+    val partial = SimilarityOps.bitextMineFrom(
+      fwdLeg, bwdLeg.filter(col("rank") <= 2), marginFpMin = 1200000L)
+      .select("src_id", "dst_id").as[(Long, Long)].collect()
+    assert(partial.count { case (s, d) => d == s + 1 } >= (pairedSrc.size * 95) / 100,
+      s"partial-leg mining lost twins: ${partial.length}")
+  }
+
   test("TopKDistinctAggregator collapses duplicate ids; plain heap would double-count them") {
     import graft.functions.{TopKAggregator, TopKDistinctAggregator}
     import TopKAggregator.Entry
