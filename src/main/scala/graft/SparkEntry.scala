@@ -2448,10 +2448,23 @@ object SparkEntry {
     * new data re-skylines against the kept frontier, never the history.
     */
   def qParetoIncremental(spark: SparkSession, dir: String): DataFrame = {
+    // the four batch frontiers compute in ONE keyed pass
+    // ([[SamplingOps.paretoFrontier2Keyed]] over __batch = doc_id mod 4)
+    // instead of four unioned copies of the frontier plan: the unioned
+    // form re-scanned the text column and re-ran the quality/token
+    // kernels once per batch and planned ~4× the stages (123 Exchange /
+    // 1481 plan lines before; the keyed plan is one frontier's worth).
+    // Per-batch rows are exactly paretoOf(pts.filter(batch == m)) — the
+    // suffix-max/bucket windows partition by the batch key — so the
+    // merged re-skyline input, its output, and the shared
+    // q_pareto_frontier oracle are unchanged.
     val pts = paretoPoints(spark, dir)
-    val parts = (0 until 4).map(m =>
-      paretoOf(pts.filter(pmod(col("doc_id"), lit(4)) === m)))
-    paretoOf(parts.reduce(_ unionByName _))
+      .withColumn("__batch", pmod(col("doc_id"), lit(4)))
+    val parts = SamplingOps.paretoFrontier2Keyed(
+      pts, Seq("__batch"), "doc_id", "quality_fp", "n_tokens",
+      xLo = 0L, xHi = 1000000L, nBuckets = 32)
+      .drop("__batch")
+    paretoOf(parts)
   }
 
   /** Per-domain cap: top-50 documents per source by (n_chars DESC, doc_id)
@@ -2916,15 +2929,23 @@ object SparkEntry {
     */
   def qDsirIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // ONE hashed-feature pass serves the four batch models AND the
+    // full-corpus scorer: dsirFeatures is per-(doc, bucket) — a doc_id
+    // filter commutes with it exactly — so the pre-r13 form re-ran the
+    // n-gram explode + md5 kernel five times (4 disjoint quarters + the
+    // scoring pass) for one pass's worth of distinct work. The four
+    // batch models still aggregate and fold separately (the
+    // incremental-maintenance path under proof is untouched); they just
+    // read the staged features, exactly as a batch's features are
+    // computed once at arrival in the operating deployment.
+    val feats = TextOps.dsirFeatures(
+      docs, "doc_id", "text", col("lang") === "en").scopedCache()
     val models = (0 to 3).map { k =>
-      TextOps.dsirModelFromFeatures(TextOps.dsirFeatures(
-        docs.filter(pmod(col("doc_id"), lit(4)) === k), "doc_id", "text",
-        col("lang") === "en"))
+      TextOps.dsirModelFromFeatures(
+        feats.filter(pmod(col("doc_id"), lit(4)) === k))
     }
     TextOps.dsirWeightsFromModel(
-      docs, "doc_id",
-      TextOps.dsirFeatures(docs, "doc_id", "text", col("lang") === "en"),
-      TextOps.dsirMergeModels(models))
+      docs, "doc_id", feats, TextOps.dsirMergeModels(models))
   }
 
   /** MMR-diversified retrieval: per probe, the top-20 cosine candidates
@@ -3074,6 +3095,7 @@ object SparkEntry {
     wpMemo.clear()
     neardupMemo.clear()
     bm25Memo.clear()
+    bm25ScoredMemo.clear()
     hnswMemo.clear()
   }
 

@@ -614,9 +614,11 @@ object Analytics {
     * start (the last-trading-day convention joins correctly).
     *
     * Scale shape: one bounds aggregate, a narrow spine explode, one left
-    * join back on (key, month), and ONE per-key window pass carrying
-    * (t, v) structs — the ignore-nulls last/first frames resolve both
-    * neighbors in the same sort; no self-join, no per-gap probing.
+    * join back on (key, month), and one exchange's worth of per-key window
+    * work carrying (t, v) structs — both neighbors resolve via running
+    * ignore-nulls LAST frames (the next-neighbor one over the descending
+    * order: two in-partition sorts, one shuffle, every frame O(rows));
+    * no self-join, no per-gap probing.
     */
   def interpolateMonthlyGaps(
       series: DataFrame,
@@ -643,11 +645,19 @@ object Analytics {
     val joined = spine.join(norm, Seq(keyCol, "month"), "left")
     val mi = (year(col("month")) * 12 + month(col("month"))).cast("long")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("month"))
+    val wDesc = Window.partitionBy(col(keyCol)).orderBy(col("month").desc)
     val obs = when(col("__v").isNotNull, struct(mi.as("t"), col("__v").as("v")))
     val prevS = last(obs, ignoreNulls = true)
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val nextS = first(obs, ignoreNulls = true)
-      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    // the NEXT observation (first non-null strictly after the row in month
+    // order) is computed as the running LAST over the month-DESC order:
+    // identical value, but an UnboundedPreceding frame accumulates
+    // incrementally (O(rows) per partition) where the (1, unboundedFollowing)
+    // frame re-scans the tail per row (O(rows²) — Spark's
+    // UnboundedFollowingWindowFunctionFrame rebuilds its buffer for every
+    // row). Costs one extra in-partition sort, no extra exchange.
+    val nextS = last(obs, ignoreNulls = true)
+      .over(wDesc.rowsBetween(Window.unboundedPreceding, -1))
     joined
       .withColumn("__mi", mi)
       .withColumn("__p", prevS)

@@ -353,15 +353,40 @@ object DedupOps {
     val ex0 = sh.select(col(idCol), explode(col("sh")).as("s"))
     val dfr0 = ex0.groupBy(col("s")).agg(count(lit(1)).as("sdf"))
     val dfr = if (maxDocFreq <= 0) dfr0 else dfr0.filter(col("sdf") <= maxDocFreq)
-    val ex = ex0.join(dfr, Seq("s")).scopedCache()
-    val cand = prefixCandidatePairsAnnotated(ex, idCol, threshold)
-    val csets = ex.groupBy(col(idCol)).agg(sort_array(collect_list(col("s"))).as("cs"))
+    val ex = ex0.join(dfr, Seq("s"))
+    // ONE groupBy(id) collects each document's df-annotated survivor set,
+    // sorted rarest-first — the per-row sorted array replaces BOTH window
+    // passes of [[prefixCandidatePairsAnnotated]] (row_number + count over
+    // doc partitions: a shuffle plus a full sort of the exploded relation)
+    // AND the separate csets groupBy: prefix = a slice of the array,
+    // verify sets = a projection of it, one exchange for the pair. Same
+    // total order (struct(sdf, s) sorts lexicographically = orderBy(sdf, s);
+    // s is distinct per doc so the order is total), so the prefix SETS —
+    // and therefore the candidates, the intersections and every output
+    // row — are identical; the spec-facing reference formulation in
+    // [[prefixCandidatePairs]] is unchanged.
+    val docsets = ex.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("sdf"), col("s")))).as("__ss"))
+      .scopedCache()
+    val nc = size(col("__ss"))
+    val prefixLen = greatest(
+      (nc - ceil(lit(threshold) * nc) + lit(1)).cast("int"), lit(0))
+    val prefix = docsets
+      .select(col(idCol), explode(slice(col("__ss"), lit(1), prefixLen)).as("__e"))
+      .select(col(idCol), col("__e.s").as("s"))
+    val cand = bucketPairs(prefix, idCol, "s").select(col("doc_a"), col("doc_b"))
+    // verify set and uncapped set size attach to the PAIR relation in one
+    // join per side: the (id-keyed, doc-count-sized) csets⋈sizes join is
+    // paid once instead of two extra pair-sized joins
+    val docinfo = docsets.select(
+      col(idCol), sort_array(transform(col("__ss"), e => e.getField("s"))).as("cs"))
+      .join(sizes, Seq(idCol))
     cand
-      .join(csets.select(col(idCol).as("doc_a"), col("cs").as("ca")), "doc_a")
-      .join(csets.select(col(idCol).as("doc_b"), col("cs").as("cb")), "doc_b")
+      .join(docinfo.select(
+        col(idCol).as("doc_a"), col("cs").as("ca"), col("n_sh").as("na")), "doc_a")
+      .join(docinfo.select(
+        col(idCol).as("doc_b"), col("cs").as("cb"), col("n_sh").as("nb")), "doc_b")
       .withColumn("common", size(array_intersect(col("ca"), col("cb"))))
-      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("jaccard", col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))

@@ -497,26 +497,50 @@ object SamplingOps {
       yCol: String,
       xLo: Long,
       xHi: Long,
+      nBuckets: Int): DataFrame =
+    paretoFrontier2Keyed(df, Seq.empty, idCol, xCol, yCol, xLo, xHi, nBuckets)
+
+  /** [[paretoFrontier2]] computed independently PER KEY GROUP in one pass —
+    * every stage gains the key columns (levels per (keys, x), the
+    * suffix-max window partitioned by keys, the join-back on
+    * (keys, x, y)), so N disjoint batches cost one plan instead of N
+    * unioned copies of it. With `keyCols` empty this is exactly
+    * [[paretoFrontier2]] (zero-column partitionBy ≡ the documented bounded
+    * global window), so the single-frontier consumers' plans are
+    * unchanged. Output: (keyCols..., idCol, xCol, yCol) — each key group's
+    * rows are exactly `paretoFrontier2(df.filter(keys == g))`.
+    */
+  def paretoFrontier2Keyed(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      xLo: Long,
+      xHi: Long,
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 1 && xHi > xLo, "need nBuckets >= 1 and xHi > xLo")
+    val ks = keyCols.map(col)
     val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .select(col(idCol), col(xCol).cast("long").as(xCol), col(yCol).cast("long").as(yCol))
+      .select(ks ++ Seq(
+        col(idCol), col(xCol).cast("long").as(xCol), col(yCol).cast("long").as(yCol)): _*)
       .scopedCache()
-    val levels = pts.groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
+    val levels = pts.groupBy(ks :+ col(xCol): _*).agg(max(col(yCol)).as("__ymax"))
       .withColumn("__b", Analytics.fixedBin(xCol, xLo, xHi, nBuckets))
       .scopedCache()
-    val wSuf = Window.orderBy(col("__b").desc).rowsBetween(Window.unboundedPreceding, -1)
-    val suf = levels.groupBy(col("__b")).agg(max(col("__ymax")).as("__bm"))
+    val wSuf = Window.partitionBy(ks: _*)
+      .orderBy(col("__b").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val suf = levels.groupBy(ks :+ col("__b"): _*).agg(max(col("__ymax")).as("__bm"))
       .withColumn("__suf", max(col("__bm")).over(wSuf))
       .drop("__bm")
-    val wIn = Window.partitionBy(col("__b")).orderBy(col(xCol).desc)
+    val wIn = Window.partitionBy(ks :+ col("__b"): _*).orderBy(col(xCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = levels.join(broadcast(suf), Seq("__b"))
+    val frontier = levels.join(broadcast(suf), keyCols :+ "__b")
       .filter(col("__suf").isNull || col("__ymax") > col("__suf"))
       .withColumn("__pm", max(col("__ymax")).over(wIn))
       .filter(col("__pm").isNull || col("__ymax") > col("__pm"))
-      .select(col(xCol), col("__ymax").as(yCol))
-    frontier.join(pts, Seq(xCol, yCol))
-      .select(col(idCol), col(xCol), col(yCol))
+      .select(ks ++ Seq(col(xCol), col("__ymax").as(yCol)): _*)
+    frontier.join(pts, keyCols ++ Seq(xCol, yCol))
+      .select(ks ++ Seq(col(idCol), col(xCol), col(yCol)): _*)
   }
 }

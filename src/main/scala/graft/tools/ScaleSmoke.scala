@@ -23,7 +23,7 @@ object ScaleSmoke {
       Set("dedup", "knn", "neardup", "neardupskew", "merge", "linededup", "decon", "prefix",
         "editdist", "kmeans", "incr", "incrstore", "knncross", "bpe", "govern", "staged",
         "entropy", "wordpiece", "dsir", "substring", "incrsub", "contend", "hll",
-        "webstage", "cdc", "sf1", "skew")
+        "webstage", "cdc", "sf1", "skew", "bitext", "raster")
     require(only.subsetOf(known),
       s"unknown section(s) ${only.diff(known).mkString(",")} — valid: ${known.mkString(",")}")
     def want(s: String): Boolean = only.isEmpty || only.contains(s)
@@ -1137,6 +1137,83 @@ object ScaleSmoke {
         bp.unionByName(cp).count()
       }
       corpus.unpersist(); emb.unpersist()
+    }
+
+    // ---- bitext mining: exact dual-knnBrute (the registered, oracled
+    // form — O(|X|·|Y|) scored candidates in each direction) vs the SAME
+    // margin fold over staged ANN legs (bitextMineFrom ∘ knnHnsw at
+    // nLists ∝ n — the 100 TB posture: directional searches ride an
+    // index, everything after the legs is O(n·k)). Both sides GROW with
+    // k (parallel corpora grow together — the honest axis; a fixed probe
+    // set would hide the quadratic term). `overlap` is the
+    // machine-independent quality number: the fraction of the exact
+    // margin pairs the ANN-fed fold reproduces. The registered
+    // q_bitext_mine keeps the exact legs (its oracle replays them); this
+    // section is the scale evidence that the SAME downstream operator
+    // consumes sub-quadratic legs unchanged.
+    if (want("bitext")) println("bitext: k,x_vecs,y_vecs,op,seconds,pairs,overlap")
+    ks("bitext", Seq(1, 2, 4), Seq(1, 4, 8, 16)).foreach { k =>
+      val emb = embK(k).cache()
+      val xs = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val ys = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val (nx, ny) = (xs.count(), ys.count())
+      val nl = math.max(16, (((nx + ny) / 2L) / 125L).toInt)
+      def pairsOf(df: DataFrame): Set[(Long, Long)] =
+        df.select(col("src_id"), col("dst_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.sharedState.cacheManager.clearCache(); System.gc()
+      emb.cache().count()
+      val t0 = System.nanoTime()
+      val exact = pairsOf(SimilarityOps.bitextMine(
+        xs, ys, "vec_id", "embedding", k = 4))
+      val exactS = (System.nanoTime() - t0) / 1e9
+      println(s"bitext: $k,$nx,$ny,exact,$exactS,${exact.size},1.0")
+      spark.sharedState.cacheManager.clearCache(); System.gc()
+      emb.cache().count()
+      val t1 = System.nanoTime()
+      val ann = pairsOf(SimilarityOps.bitextMineFrom(
+        SimilarityOps.knnHnsw(ys, xs, "vec_id", "embedding", k = 4, nLists = nl),
+        SimilarityOps.knnHnsw(xs, ys, "vec_id", "embedding", k = 4, nLists = nl)))
+      val annS = (System.nanoTime() - t1) / 1e9
+      val ov = if (exact.isEmpty) 1.0 else ann.intersect(exact).size.toDouble / exact.size
+      println(f"bitext: $k,$nx,$ny,hnsw($nl),$annS,${ann.size},$ov%.3f")
+      emb.unpersist(): Unit
+    }
+
+    // ---- raster dedup: real-codec decode + digest dedup must track the
+    // payload count LINEARLY — payloads never shuffle (the decode is a
+    // narrow map stage; only (media_id, dims, md5) digests flow into the
+    // group/join), so replicating the media K× must cost ~K×. Replicas
+    // keep the ORIGINAL card geometry, so every copy is an exact-raster
+    // dup of its base card (PNG and BMP of the same card already dedup
+    // cross-format in the base set): true dup structure GROWS with k
+    // while the digest groups stay constant — the axis where a
+    // payload-shuffling formulation would blow up and this one must not.
+    // Payloads are rendered and checkpointed OUTSIDE the timer (the
+    // operating posture: media bytes already sit in storage).
+    if (want("raster")) println("raster: k,payloads,seconds,groups,dups")
+    ks("raster", Seq(1, 2, 4), Seq(1, 4, 8, 16)).foreach { k =>
+      val docs = base.select(col("doc_id"))
+      def roster(offset: Long): DataFrame = (0 until k).map { c =>
+        docs.select((col("doc_id") + lit(offset + c * 1000000L)).as("media_id"),
+          col("doc_id").as("card_id"))
+      }.reduce(_ unionByName _)
+      val packed = graft.ops.MultimodalOps
+        .renderTestCardsEnc(spark, roster(0L), "media_id", "card_id", "png")
+        .unionByName(graft.ops.MultimodalOps
+          .renderTestCardsEnc(spark, roster(100000000L), "media_id", "card_id", "bmp"))
+        .localCheckpoint(true)
+      val nPayloads = packed.count()
+      spark.sharedState.cacheManager.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val out = graft.ops.MultimodalOps.imageRasterDedup(
+        graft.ops.MultimodalOps.rasterHex(spark, packed).toDF())
+      val agg = out.agg(
+        countDistinct(col("raster_md5")).as("g"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("d")).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(s"raster: $k,$nPayloads,$secs,${agg.getLong(0)},${agg.getLong(1)}")
+      spark.sharedState.cacheManager.clearCache(); System.gc()
     }
 
     // ---- skew: a Zipf hot-key plant through the CLUSTER path ----

@@ -45,6 +45,60 @@ class AnalyticsRetrySpec extends AnyFunSuite {
       "2024-03-01" -> ((30.0, false))))
   }
 
+  test("interpolateMonthlyGaps: desc-ordered next-neighbor frame ≡ the (1, unboundedFollowing) reference") {
+    // the r13 optimization replaced the O(rows²)-per-partition
+    // (1, unboundedFollowing) FIRST frame with a running LAST over the
+    // month-DESC order; this pins the equivalence on a randomized gappy
+    // multi-key series (deterministic seed), including all-gap interiors,
+    // leading/trailing observations and single-point keys
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(20260819L)
+    def d(y: Int, m: Int) = java.sql.Date.valueOf(f"$y%04d-$m%02d-01")
+    val rows = (1 to 25).flatMap { sym =>
+      val months = 1 + rnd.nextInt(30)
+      (0 until months).flatMap { i =>
+        if (rnd.nextDouble() < 0.45)
+          Some((sym.toLong, d(2020 + (i + rnd.nextInt(2)) / 12, 1 + (i % 12)), rnd.nextInt(2000) / 10.0))
+        else None
+      }
+    }.distinct
+    val series = rows.toDF("symbol", "date", "price")
+    val got = Analytics.interpolateMonthlyGaps(series, "symbol", "date", "price")
+      .as[(Long, java.sql.Date, Option[Double], Boolean)].collect().toSet
+    // reference: the pre-r13 formulation, inlined verbatim
+    val norm = series.select(
+      col("symbol"),
+      to_date(date_trunc("month", col("date"))).as("month"),
+      col("price").as("__v")).cache()
+    val bounds = norm.groupBy(col("symbol"))
+      .agg(min(col("month")).as("__lo"), max(col("month")).as("__hi"))
+    val spine = graft.ops.Incremental.monthSpine(bounds, col("__lo"), col("__hi"), "month")
+      .select(col("symbol"), col("month"))
+    val joined = spine.join(norm, Seq("symbol", "month"), "left")
+    val mi = (year(col("month")) * 12 + month(col("month"))).cast("long")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("month"))
+    val obs = when(col("__v").isNotNull, struct(mi.as("t"), col("__v").as("v")))
+    val prevS = last(obs, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val nextS = first(obs, ignoreNulls = true)
+      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    val ref = joined
+      .withColumn("__mi", mi)
+      .withColumn("__p", prevS)
+      .withColumn("__n", nextS)
+      .withColumn("price",
+        when(col("__v").isNotNull, col("__v"))
+          .otherwise(when(col("__p").isNotNull && col("__n").isNotNull,
+            col("__p.v") + (col("__n.v") - col("__p.v")) *
+              ((col("__mi") - col("__p.t")).cast("double")
+                / (col("__n.t") - col("__p.t")).cast("double")))))
+      .withColumn("is_interpolated", col("__v").isNull && col("price").isNotNull)
+      .select(col("symbol"), col("month"), col("price"), col("is_interpolated"))
+      .as[(Long, java.sql.Date, Option[Double], Boolean)].collect().toSet
+    norm.unpersist()
+    assert(got == ref, "running desc LAST must equal the unboundedFollowing FIRST bit-for-bit")
+  }
+
   test("fetchWithRetry re-drives only rate-limited symbols, bounded passes, skips 404s") {
     // symbol -> (passes needed before ok, terminal class)
     val behavior = Map(

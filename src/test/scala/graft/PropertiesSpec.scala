@@ -621,6 +621,15 @@ class PropertiesSpec extends AnyFunSuite {
         parts.reduce(_ unionByName _), "id", "x", "y", 0L, 100L, 4)
         .as[(Long, Long, Long)].collect().toSet
       assert(folded == exp, s"case $i fold: got ${folded.toSeq.sorted}")
+      // keyed single-pass form (the r13 q_pareto_incremental plan) ==
+      // the union of per-batch frontiers, batch by batch
+      val keyed = SamplingOps.paretoFrontier2Keyed(
+        df.withColumn("__m", pmod(col("id"), lit(nb))),
+        Seq("__m"), "id", "x", "y", 0L, 100L, 4)
+        .select(col("id"), col("x"), col("y"))
+        .as[(Long, Long, Long)].collect().toSet
+      val unioned = parts.map(_.as[(Long, Long, Long)].collect().toSet).reduce(_ union _)
+      assert(keyed == unioned, s"case $i keyed: got ${keyed.toSeq.sorted}")
       spark.catalog.clearCache()
     }
   }
