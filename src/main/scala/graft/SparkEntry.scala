@@ -1869,11 +1869,19 @@ object SparkEntry {
     */
   def qSbIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // ONE tokenize pass: the (token, prev, prev2) occurrence relation is
+    // per-row of its document, so the four batch filters commute with it
+    // exactly, and the scoring pass consumes the same staged relation —
+    // the pre-r13 form re-ran the context-window explode five times
+    // (4 disjoint quarters + the scorer) for one pass's worth of rows.
+    // The count fold under proof (mergeSbCounts over four per-batch
+    // aggregates) is unchanged.
+    val occ = TextOps.sbOccurrences(docs, "doc_id", "text").scopedCache()
     val parts = (0 to 3).map { k =>
-      TextOps.sbCounts(docs.filter(pmod(col("doc_id"), lit(4)) === k), "doc_id", "text")
+      TextOps.sbCountsFromOccurrences(occ.filter(pmod(col("doc_id"), lit(4)) === k))
     }
     val (uni, bi, tri) = TextOps.mergeSbCounts(parts: _*)
-    TextOps.stupidBackoffFromCounts(docs, "doc_id", "text", uni, bi, tri)
+    TextOps.stupidBackoffFromCountsOcc(docs, "doc_id", occ, uni, bi, tri)
   }
 
   /** The Stupid-Backoff deployment split: counts from the even-doc half,
@@ -2666,10 +2674,15 @@ object SparkEntry {
     */
   def qLmIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // ONE tokenize pass (the qSbIncremental staging, one context level
+    // shallower): halves' counts and the scoring occurrences all derive
+    // from the same staged per-row occurrence relation; the count fold
+    // under proof is unchanged.
+    val occ = TextOps.lmOccurrences(docs, "doc_id", "text").scopedCache()
     val (u, b) = TextOps.mergeLmCounts(
-      TextOps.lmCounts(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
-      TextOps.lmCounts(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"))
-    TextOps.lmScoreFromCounts(docs, "doc_id", "text", u, b)
+      TextOps.lmCountsFromOccurrences(occ.filter(col("doc_id") % 2 === 0)),
+      TextOps.lmCountsFromOccurrences(occ.filter(col("doc_id") % 2 === 1)))
+    TextOps.lmScoreFromCountsOcc(docs, "doc_id", occ, u, b)
   }
 
   /** TextRank keywords: 3 fixed-point PageRank iterations over the token

@@ -1331,12 +1331,19 @@ object TextOps {
     * oracle (N and V derive from the unigram relation, so they need no
     * separate maintenance).
     */
-  def lmCounts(df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
-    val occ = lmOccurrences(df, idCol, textCol).scopedCache()
+  def lmCounts(df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) =
+    lmCountsFromOccurrences(lmOccurrences(df, idCol, textCol).scopedCache())
+
+  /** [[lmCounts]] over a pre-built (and typically staged) occurrence
+    * relation — the one-tokenize-pass seam: an incremental maintainer
+    * that also scores against the fold (q_lm_incremental) derives every
+    * batch's counts AND the scoring occurrences from ONE corpus pass
+    * instead of re-tokenizing per consumer.
+    */
+  def lmCountsFromOccurrences(occ: DataFrame): (DataFrame, DataFrame) =
     (occ.groupBy(col("token")).agg(count(lit(1)).as("cw")),
       occ.filter(col("prev").isNotNull)
         .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("cb")))
-  }
 
   /** Sum LM count relations key-wise — the incremental LM fold. */
   def mergeLmCounts(parts: (DataFrame, DataFrame)*): (DataFrame, DataFrame) = {
@@ -1358,6 +1365,18 @@ object TextOps {
       uni: DataFrame,
       big: DataFrame): DataFrame =
     lmScoreFrom(df, idCol, lmOccurrences(df, idCol, textCol), uni, big)
+
+  /** [[lmScoreFromCounts]] over a pre-built occurrence relation — pairs
+    * with [[lmCountsFromOccurrences]] for the staged-tokenize form.
+    * `df` supplies the id spine (unscored docs keep their NULL row).
+    */
+  def lmScoreFromCountsOcc(
+      df: DataFrame,
+      idCol: String,
+      occ: DataFrame,
+      uni: DataFrame,
+      big: DataFrame): DataFrame =
+    lmScoreFrom(df, idCol, occ, uni, big)
 
   private def lmScoreFrom(
       df: DataFrame,
@@ -1430,14 +1449,17 @@ object TextOps {
     * proof (the [[lmCounts]] contract extended one level).
     */
   def sbCounts(
-      df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame, DataFrame) = {
-    val occ = sbOccurrences(df, idCol, textCol).scopedCache()
+      df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame, DataFrame) =
+    sbCountsFromOccurrences(sbOccurrences(df, idCol, textCol).scopedCache())
+
+  /** [[sbCounts]] over a pre-built occurrence relation — the
+    * one-tokenize-pass seam, mirroring [[lmCountsFromOccurrences]]. */
+  def sbCountsFromOccurrences(occ: DataFrame): (DataFrame, DataFrame, DataFrame) =
     (occ.groupBy(col("token")).agg(count(lit(1)).as("c1")),
       occ.filter(col("prev").isNotNull)
         .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("c2")),
       occ.filter(col("prev2").isNotNull)
         .groupBy(col("prev2"), col("prev"), col("token")).agg(count(lit(1)).as("c3")))
-  }
 
   /** Sum Stupid-Backoff count relations key-wise — the incremental fold. */
   def mergeSbCounts(
@@ -1476,6 +1498,20 @@ object TextOps {
       textCol: String,
       uni0: DataFrame,
       bi0: DataFrame,
+      tri: DataFrame): DataFrame =
+    stupidBackoffFromCountsOcc(
+      df, idCol, sbOccurrences(df, idCol, textCol), uni0, bi0, tri)
+
+  /** [[stupidBackoffFromCounts]] over a pre-built occurrence relation —
+    * pairs with [[sbCountsFromOccurrences]] for the staged-tokenize form.
+    * `df` supplies the id spine (unscored docs keep their NULL row).
+    */
+  def stupidBackoffFromCountsOcc(
+      df: DataFrame,
+      idCol: String,
+      occ: DataFrame,
+      uni0: DataFrame,
+      bi0: DataFrame,
       tri: DataFrame): DataFrame = {
     val uni = uni0.scopedCache()
     val bi = bi0.scopedCache()
@@ -1488,7 +1524,7 @@ object TextOps {
     // token is in its own counts); the deployment split (q_sb_assign)
     // exercises it. An OOV CONTEXT word is different: the bigram/trigram
     // lookups miss and the ladder backs off with its α penalties.
-    val scored = sbOccurrences(df, idCol, textCol)
+    val scored = occ
       .join(uni, Seq("token"))
       .join(uni.select(col("token").as("prev"), col("c1").as("cprev")), Seq("prev"), "left")
       .join(bi, Seq("prev", "token"), "left")
